@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the oracle-checked surface: one entry per implemented
+  * operator from SURVEY.md §2 (and the training-data extensions), each with
+  * a DuckDB-equivalent SQL twin in `oracleSql` (omitted only for ops whose
+  * semantics aren't SQL-expressible — those get a rows-only check).
+  */
 object SparkEntry {
+
+  private val groups: Seq[(Map[String, Q.QueryFn], Map[String, String])] = Seq(
+    (RelationalQueries.queries, RelationalQueries.oracle),
+    (LabelQueries.queries, LabelQueries.oracle),
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    groups.iterator.map(_._1).reduce(_ ++ _)
+
+  def oracleSql: Map[String, String] =
+    groups.iterator.map(_._2).reduce(_ ++ _)
 }

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** G14/G15 — ROC / PR curves, AUC, average precision, threshold selection
+  * (SURVEY §2.5), replacing the reference's sklearn calls
+  * (`roc_curve` / `precision_recall_curve` / `roc_auc_score` /
+  * `average_precision_score`, func_aux/func_test.py:257,306,339,430-448).
+  *
+  * Distributed shape: first `groupBy(score)` — the only pass over the full
+  * data, shrinking N rows to D = #distinct scores — then cumulative sums
+  * over the D-row curve with a global-order window. D is bounded by score
+  * resolution (model probabilities), so the single-partition cumsum runs on
+  * a small aggregate, not the data; at 100 TB the heavy lifting is the
+  * map-side-combined groupBy.
+  *
+  * Curve convention: one point per distinct threshold, thresholds strictly
+  * descending, cumulative tps/fps INCLUSIVE of the threshold (score >= thr
+  * predicted positive — sklearn's convention), with the (fpr=0, tpr=0,
+  * thr=+inf) virtual start point. We do NOT reproduce sklearn's
+  * `drop_intermediate` point thinning — it changes the point set but not
+  * the curve geometry; AUC and last-fpr<=target threshold selection agree
+  * wherever the target lands on a kept point, and `roc_auc_score` itself
+  * never thins.
+  */
+object Curves {
+
+  /** ROC curve table: (threshold, fps, tps, fpr, tpr), thresholds descending.
+    * `label` must be 0/1 ints; `score` the attack-class score. */
+  def rocCurve(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val byScore = df
+      .select(score.cast("double").as("threshold"), label.cast("int").as("y"))
+      .groupBy("threshold")
+      .agg(sum(col("y")).as("pos"), sum(lit(1) - col("y")).as("neg"))
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = Window.partitionBy()
+    byScore
+      .withColumn("tps", sum("pos").over(w))
+      .withColumn("fps", sum("neg").over(w))
+      .withColumn("fpr", col("fps") / max("fps").over(totals))
+      .withColumn("tpr", col("tps") / max("tps").over(totals))
+      .select("threshold", "fps", "tps", "fpr", "tpr")
+  }
+
+  /** ROC-AUC by trapezoid over the full (unthinned) curve — equals
+    * sklearn `roc_auc_score` exactly (ties handled by the per-threshold
+    * grouping). Returns a 1-row DataFrame (roc_auc). */
+  def rocAuc(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val curve = rocCurve(df, label, score)
+    val w = Window.orderBy(col("threshold").desc)
+    curve
+      .withColumn("fpr_prev", coalesce(lag("fpr", 1).over(w), lit(0.0)))
+      .withColumn("tpr_prev", coalesce(lag("tpr", 1).over(w), lit(0.0)))
+      .agg(sum((col("fpr") - col("fpr_prev")) * (col("tpr") + col("tpr_prev")) / 2)
+        .as("roc_auc"))
+  }
+
+  /** PR curve table: (threshold, precision, recall), thresholds descending
+    * (recall increasing). sklearn's final (P=1, R=0) anchor point is implied
+    * by the AP sum below and omitted from the table. */
+  def prCurve(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val roc = rocCurve(df, label, score)
+    roc.select(
+      col("threshold"),
+      (col("tps") / (col("tps") + col("fps"))).as("precision"),
+      col("tpr").as("recall"))
+  }
+
+  /** Average precision — sklearn `average_precision_score`:
+    * AP = Σ_i (R_i − R_{i−1}) · P_i over thresholds descending (R_0 = 0). */
+  def averagePrecision(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val pr = prCurve(df, label, score)
+    val w = Window.orderBy(col("threshold").desc)
+    pr.withColumn("recall_prev", coalesce(lag("recall", 1).over(w), lit(0.0)))
+      .agg(sum((col("recall") - col("recall_prev")) * col("precision")).as("average_precision"))
+  }
+
+  /** G15 — threshold at target FPR. Ref: select_threshold_at_fpr,
+    * func_aux/func_test.py:252-269: take the LAST curve point with
+    * fpr <= target (i.e. the largest such fpr = smallest such threshold);
+    * if none, the point minimizing |fpr − target|.
+    * Returns 1 row (threshold, fpr, tpr). */
+  def thresholdAtFpr(curve: DataFrame, fprTarget: Double): DataFrame = {
+    // "last index with fpr <= target" on a curve ordered by descending
+    // threshold == max fpr among candidates, ties broken by the latest
+    // (lowest-threshold) point, matching np.where(...)[−1].
+    val candidates = curve.where(col("fpr") <= fprTarget)
+      .orderBy(col("fpr").desc, col("threshold").asc).limit(1)
+    val fallback = curve
+      .orderBy(abs(col("fpr") - lit(fprTarget)).asc, col("threshold").desc).limit(1)
+    val chosen = if (candidates.isEmpty) fallback else candidates
+    chosen.select(col("threshold"), col("fpr"), col("tpr"))
+  }
+
+  /** Macro one-vs-rest ROC-AUC over a probability array column —
+    * `roc_auc_score(y_onehot, proba, average="macro")`
+    * (func_aux/func_test.py:92-97): mean over classes of the binary AUC of
+    * class-k indicator vs proba[k]. One groupBy per class on a k-way
+    * union — still one shuffle stage, k small. */
+  def rocAucMacro(df: DataFrame, yTrue: Column, proba: Column, nClasses: Int): DataFrame = {
+    val perClass = (0 until nClasses).map { k =>
+      rocAuc(df.select(yTrue.as("y"), proba.as("p")),
+        (col("y") === k).cast("int"), element_at(col("p"), k + 1))
+    }.reduce(_ unionByName _)
+    perClass.agg(avg("roc_auc").as("roc_auc_macro"))
+  }
+}

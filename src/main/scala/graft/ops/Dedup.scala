@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication operators (engine extension beyond the
+  * reference — BASELINE.json north star): exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard. All hash-based and shuffle-frugal:
+  *
+  *  - exact: one groupBy on a 128-bit content hash — the canonical
+  *    100 TB dedup (shuffle carries hashes + ids, never documents).
+  *  - MinHash/LSH: per-row signature (narrow), then ONE shuffle on
+  *    (band, band-hash) buckets; candidate pairs only within buckets.
+  *  - SimHash: per-row 64-bit fingerprint (narrow); near-dup = small
+  *    Hamming distance, bucketed by fingerprint prefix.
+  *
+  * Everything is built from `xxhash64`/`md5` + array expressions — no UDFs,
+  * deterministic across cluster sizes and retries.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a whitespace-tokenized text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val count = size(toks) - (n - 1)
+    // sequence(a, b) DESCENDS when a > b — guard the empty case explicitly.
+    when(count >= 1,
+      array_distinct(transform(sequence(lit(1), count), i =>
+        array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact duplicate groups: rows sharing md5(text). Returns
+    * (dup_hash, n_copies, keeper_id, doc_ids) for groups with >1 member. */
+  def exactDuplicates(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(md5(col(text)).as("dup_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(id)).as("keeper_id"),
+        sort_array(collect_list(col(id))).as("doc_ids"))
+      .where(col("n_copies") > 1)
+
+  /** Exact dedup: keep the lowest-id row per content hash. One shuffle on
+    * the hash; ties broken deterministically. */
+  def dedupExact(df: DataFrame, id: String, text: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(text))).orderBy(col(id))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature: for permutation p in 0 until numHashes,
+    * min over shingles of xxhash64(shingle, p). Narrow, per-row. */
+  def minhashSignature(text: Column, numShingleWords: Int, numHashes: Int): Column = {
+    val sh = shingles(text, numShingleWords)
+    transform(sequence(lit(0), lit(numHashes - 1)), p =>
+      coalesce(
+        array_min(transform(sh, s => xxhash64(s, p))),
+        lit(Long.MaxValue)))
+  }
+
+  /** MinHash + LSH banding: signature of `numBands·rowsPerBand` hashes,
+    * split into bands; emit one (band_idx, band_hash) bucket key per band.
+    * Near-duplicate candidates = pairs sharing ANY bucket. Returns the
+    * exploded bucket table (id, band, bucket) — callers self-join on
+    * (band, bucket) to get candidate pairs, then verify with
+    * [[jaccardSimilarity]]. */
+  def lshBuckets(df: DataFrame, id: String, text: String,
+      numShingleWords: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val sig = minhashSignature(col(text), numShingleWords, numBands * rowsPerBand)
+    df.select(col(id), posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+        xxhash64(array_join(transform(
+          slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")), ","), b)))
+      .as(Seq("band", "bucket")))
+  }
+
+  /** Candidate near-dup pairs from LSH buckets, verified by true n-gram
+    * Jaccard >= threshold. The self-join runs per (band,bucket) — the only
+    * quadratic blow-up is within buckets, which banding keeps small. */
+  def minhashNearDuplicates(df: DataFrame, id: String, text: String,
+      threshold: Double, numShingleWords: Int = 3,
+      numBands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val buckets = lshBuckets(df, id, text, numShingleWords, numBands, rowsPerBand)
+    val a = buckets.toDF("id_a", "band", "bucket")
+    val b = buckets.toDF("id_b", "band", "bucket")
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val docs = df.select(col(id), shingles(col(text), numShingleWords).as("sh"))
+    pairs
+      .join(docs.toDF("id_a", "sh_a"), Seq("id_a"))
+      .join(docs.toDF("id_b", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Brute-force n-gram Jaccard over all pairs (the LSH verifier / small-N
+    * baseline; O(N²) — use [[minhashNearDuplicates]] at scale). */
+  def jaccardSimilarity(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val docs = df.select(col(id).as("id"), shingles(col(text), n).as("sh"))
+    docs.toDF("id_a", "sh_a")
+      .crossJoin(docs.toDF("id_b", "sh_b"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** SimHash 64-bit fingerprint: sign of the per-bit sum of token hashes.
+    * bit b of fingerprint = 1 iff Σ_tokens (bit b of xxhash64(token) ? +1 : −1) > 0.
+    * Near-dups have small Hamming distance. Pure array expressions. */
+  def simhash(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    val hashes = transform(toks, t => xxhash64(t))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => {
+        val vote = aggregate(hashes, lit(0),
+          (v, h) => v + when(call_function("getbit", h, b) === 1, 1).otherwise(-1))
+        acc + when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)
+      })
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classification-metric operators (SURVEY §2.5 G9, G11, G13, G5, G7).
+  *
+  * All metrics are derived relationally from a confusion matrix or a
+  * per-row probability table — one `groupBy` over (#classes²) cells, then
+  * scalar math. This is the sklearn-parity layer:
+  * `compute_multiclass_metrics` (func_aux/func_test.py:61-171) with
+  * `zero_division=0` ⇒ every ratio is `coalesce(x/y, 0)` when the
+  * denominator can be 0.
+  */
+object MetricsOps {
+
+  private def safeDiv(num: Column, den: Column): Column =
+    coalesce(num / nullif(den, lit(0.0)), lit(0.0))
+
+  /** G9 — dense confusion matrix over a fixed label universe.
+    * Ref: pipeline_trainingmodels_power.py:200-211 (labels=range(n_classes)).
+    * Missing (y_true, y_pred) pairs are zero-filled via a cross join of the
+    * tiny label universe with itself (cells = k², never large). */
+  def confusionMatrix(df: DataFrame, yTrue: String, yPred: String, labels: Seq[Int]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val universe = labels.toDF("y_true")
+      .crossJoin(labels.toDF("y_pred"))
+    val counts = df.groupBy(col(yTrue).cast("int").as("y_true"), col(yPred).cast("int").as("y_pred"))
+      .agg(count(lit(1)).as("cnt"))
+    universe.join(counts, Seq("y_true", "y_pred"), "left")
+      .na.fill(0L, Seq("cnt"))
+  }
+
+  /** Per-class TP/FP/FN/support from a dense confusion matrix. */
+  def perClassStats(confusion: DataFrame): DataFrame = {
+    val tp = confusion.where(col("y_true") === col("y_pred"))
+      .select(col("y_true").as("cls"), col("cnt").as("tp"))
+    val support = confusion.groupBy(col("y_true").as("cls"))
+      .agg(sum("cnt").as("support"))
+    val predicted = confusion.groupBy(col("y_pred").as("cls"))
+      .agg(sum("cnt").as("predicted"))
+    support.join(tp, Seq("cls"), "left").join(predicted, Seq("cls"), "left")
+      .na.fill(0L)
+      .withColumn("fn", col("support") - col("tp"))
+      .withColumn("fp", col("predicted") - col("tp"))
+  }
+
+  /** G13 — the multiclass metric suite of func_aux/func_test.py:61-171
+    * (confusion-derivable part; the AUC part lives in [[Curves]]).
+    * Input: per-row `(yTrue, yPred)` int columns. Output: ONE row.
+    *
+    * sklearn parity notes: `zero_division=0`; weighted averages weight by
+    * true support; fbeta = (1+β²)·P·R / (β²·P + R). Balanced accuracy =
+    * mean of per-class recall over classes present in y_true.
+    */
+  def multiclassMetrics(df: DataFrame, yTrue: String, yPred: String, labels: Seq[Int]): DataFrame = {
+    val stats = perClassStats(confusionMatrix(df, yTrue, yPred, labels))
+      .withColumn("precision", safeDiv(col("tp"), col("tp") + col("fp")))
+      .withColumn("recall", safeDiv(col("tp"), col("tp") + col("fn")))
+    def fbeta(b: Double): Column = {
+      val b2 = lit(b * b)
+      safeDiv((lit(1.0) + b2) * col("precision") * col("recall"),
+        b2 * col("precision") + col("recall"))
+    }
+    val withF = stats
+      .withColumn("f1", fbeta(1.0))
+      .withColumn("f2", fbeta(2.0))
+      .withColumn("f0_5", fbeta(0.5))
+    // macro averages run over ALL labels in the universe (sklearn passes
+    // labels=None → present labels; our universe = encoder classes, which
+    // matches the reference's usage where every class appears in y_true).
+    // balanced accuracy averages recall over classes present in y_true.
+    withF.agg(
+      safeDiv(sum("tp"), sum("support")).as("accuracy"),
+      avg(when(col("support") > 0, col("recall"))).as("balanced_accuracy"),
+      avg("precision").as("precision_macro"),
+      avg("recall").as("recall_macro"),
+      avg("f1").as("f1_macro"),
+      avg("f2").as("f2_macro"),
+      avg("f0_5").as("f0_5_macro"),
+      (sum(col("precision") * col("support")) / sum("support")).as("precision_weighted"),
+      (sum(col("recall") * col("support")) / sum("support")).as("recall_weighted"),
+      (sum(col("f1") * col("support")) / sum("support")).as("f1_weighted"))
+  }
+
+  /** G11 — weighted log-loss with probability clipping.
+    * Ref: compute_weighted_logloss, pipelines_host/pipeline_host_importance.py:128-151:
+    * `Σ w_i · (−log clip(p_true_i, ε, 1−ε)) / Σ w_i`, ε = 1e-12. */
+  def weightedLogLoss(df: DataFrame, pTrue: Column, weight: Column, eps: Double = 1e-12): DataFrame = {
+    val clipped = greatest(least(pTrue, lit(1.0 - eps)), lit(eps))
+    df.agg((sum(-log(clipped) * weight) / sum(weight)).as("weighted_logloss"))
+  }
+
+  /** G5 — "balanced" class weights capped: w_c = min(n / (k · n_c), cap).
+    * Ref: func_aux/func_models.py:55-62 (cap 10). Returns tiny (class, weight)
+    * table meant to be broadcast back onto rows (J5). */
+  def classWeights(df: DataFrame, yCol: String, cap: Double = 10.0): DataFrame = {
+    val counts = df.groupBy(col(yCol).as("cls")).agg(count(lit(1)).as("n_c"))
+    val totals = counts.agg(sum("n_c").as("n"), count(lit(1)).as("k"))
+    counts.crossJoin(totals)
+      .select(col("cls"),
+        least(col("n") / (col("k") * col("n_c")), lit(cap)).as("weight"))
+  }
+
+  /** G7 — mean/std across repeated runs, nan-aware, std with ddof=1 (0.0
+    * for a single run). Ref: aggregate_metric_list, func_aux/func_test.py:513-527.
+    * Input: long-format `(keyCols…, metric, value)`. */
+  def aggregateRuns(df: DataFrame, keyCols: Seq[String], value: String): DataFrame =
+    df.where(!isnan(col(value)) && col(value).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        avg(value).as("mean"),
+        coalesce(stddev_samp(col(value)), lit(0.0)).as("std"))
+}

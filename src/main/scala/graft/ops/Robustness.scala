@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** R1–R4 — seeded synthetic degradations of window tensors, and the
+  * hash-based RNG expression that makes them reproducible on a cluster.
+  *
+  * Ref: `degrade_sequences`, func_aux/func_test.py:535-579. The reference
+  * draws from a NumPy generator whose stream order depends on array layout;
+  * bit-parity is impossible on a distributed engine (SURVEY §4.2), so the
+  * spec here is DISTRIBUTIONAL equivalence + determinism under our own
+  * seeding: every random draw is `hash(seed, window_id, timestep, feature)`
+  * mapped to U(0,1) — independent of partitioning, task retries, and
+  * cluster size, which is exactly what a 1000-executor run needs.
+  *
+  * All four degradations are pure array expressions (`transform` over the
+  * `array<array<double>>` window column) — no shuffle, no UDF, fully
+  * codegen-capable, embarrassingly parallel.
+  */
+object Robustness {
+
+  /** Deterministic per-coordinate uniform in [0,1): xxhash64 of the key
+    * columns + seed, scaled from the non-negative 63-bit range. */
+  def seededUniform(seed: Long, keys: Column*): Column =
+    (abs(xxhash64((keys :+ lit(seed)): _*)) % lit(1L << 61)).cast("double") / lit((1L << 61).toDouble)
+
+  /** Box–Muller standard normal from two hash-uniforms (distinct salts). */
+  def seededNormal(seed: Long, keys: Column*): Column = {
+    val u1 = greatest(seededUniform(seed, keys: _*), lit(1e-12)) // avoid log(0)
+    val u2 = seededUniform(seed + 0x9e3779b97f4a7c15L, keys: _*)
+    sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+  }
+
+  /** R1 packet_loss — zero ALL features at a Bernoulli(severity) subset of
+    * timesteps (mask per (window, t)). func_test.py:548-552. */
+  def packetLoss(window: Column, winId: Column, severity: Double, seed: Long): Column =
+    if (severity <= 0) window
+    else {
+      val t = transform(window, (row, i) =>
+        when(seededUniform(seed, winId, i) < severity,
+          transform(row, _ => lit(0.0))).otherwise(row))
+      t
+    }
+
+  /** R2 missing_variables — zero a Bernoulli(severity) subset of FEATURES
+    * across the whole window (mask per (window, f)). func_test.py:554-558. */
+  def missingVariables(window: Column, winId: Column, severity: Double, seed: Long): Column =
+    if (severity <= 0) window
+    else transform(window, row =>
+      transform(row, (x, j) =>
+        when(seededUniform(seed, winId, j) < severity, lit(0.0)).otherwise(x)))
+
+  /** R3 clock_offset — circular roll of the window's time axis by a
+    * per-window uniform integer shift in [−⌊sev·T⌋, ⌊sev·T⌋].
+    * func_test.py:560-566. np.roll(shift=s): out[i] = in[(i − s) mod T]. */
+  def clockOffset(window: Column, winId: Column, severity: Double, seed: Long): Column = {
+    val t = size(window)
+    val maxShift = floor(lit(severity) * t).cast("int")
+    val span = maxShift * 2 + 1 // draws in [-maxShift, maxShift]
+    val shift = (floor(seededUniform(seed, winId) * span)).cast("int") - maxShift
+    when(maxShift <= 0, window).otherwise(
+      transform(window, (_, i) =>
+        element_at(window, pmod(i - shift, t) + 1)))
+  }
+
+  /** R4 drift — add a linear ramp t/(T−1) · N(0, severity) per feature
+    * (one gaussian coefficient per (window, feature)). func_test.py:568-574. */
+  def drift(window: Column, winId: Column, severity: Double, seed: Long): Column =
+    if (severity <= 0) window
+    else {
+      val t = size(window)
+      transform(window, (row, i) =>
+        transform(row, (x, j) =>
+          x + (i.cast("double") / (t - 1).cast("double")) *
+            seededNormal(seed, winId, j) * severity))
+    }
+
+  /** R6 — severity-sweep grid as a driver-side deterministic loop spec:
+    * severities linspace(0, maxSev, nSev), seeds `base + 1000·i + rep`
+    * (pipeline_tests_power.py:255-297). */
+  def severityGrid(maxSev: Double = 0.6, nSev: Int = 7, nRepeats: Int = 5,
+      baseSeed: Long = 123L): Seq[(Double, Int, Long)] =
+    for {
+      i <- 0 until nSev
+      r <- 0 until nRepeats
+    } yield (maxSev * i / (nSev - 1), r, baseSeed + 1000L * i + r)
+}

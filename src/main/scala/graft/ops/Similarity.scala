@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float|double>`) — engine extension for training-data
+  * pipelines (BASELINE.json north star).
+  *
+  *  - [[cosine]] / [[dot]]: pure `zip_with`+`aggregate` array expressions,
+  *    codegen'd, no UDF.
+  *  - [[bruteForceTopK]]: exact baseline — broadcast the (small) query set
+  *    against the corpus, one window per query for top-k. Scales linearly
+  *    in corpus size; use for verification and small query batches.
+  *  - [[ivfTopK]]: the scale path — k-means-style inverted-file: assign
+  *    every corpus vector to its nearest of C centroids (broadcast C),
+  *    search only the `nProbe` closest cells per query. Corpus scan drops
+  *    from O(N·Q) to O(N·Q·nProbe/C) with one narrow pre-pass.
+  *  - [[randomHyperplaneLsh]]: signed-projection LSH bucket key for
+  *    cosine — deterministic hash-based hyperplanes, no stored model.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query row.
+    * @param queries small DataFrame (qid, qvec) — broadcast side.
+    * @param corpus  (id, vec) — the big side; never shuffled beyond the
+    *                final per-query top-k (a k-row window over Q·N pairs,
+    *                partitioned by query → fully parallel). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, qid: String, qvec: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val joined = corpus.join(broadcast(queries))
+      .withColumn("cos", cosine(col(qvec), col(vec)))
+    val filtered = if (excludeSelf) joined.where(col(id) =!= col(qid)) else joined
+    val w = Window.partitionBy(qid).orderBy(col("cos").desc, col(id).asc)
+    filtered.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qid), col(id), col("cos"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * a hash-uniform mapped to ±N(0,1) via Robustness.seededNormal. */
+  private def plane(seed: Long, p: Column, i: Column): Column =
+    Robustness.seededNormal(seed, p, i)
+
+  /** Random-hyperplane (sign) LSH: `nBits`-bit bucket key for cosine
+    * similarity. Vectors with high cosine collide with high probability.
+    * Bucket = Σ_b (sign(v · h_b) > 0) << b. */
+  def randomHyperplaneLsh(vec: Column, nBits: Int, seed: Long): Column =
+    aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L), (acc, b) => {
+      val proj = aggregate(zip_with(vec,
+        sequence(lit(0), size(vec) - 1).cast("array<double>"),
+        (x, i) => x * plane(seed, b, i)), lit(0.0), (a, v) => a + v)
+      acc + when(proj > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)
+    })
+
+  /** IVF (inverted-file) ANN: centroids from a deterministic sample of the
+    * corpus; corpus vectors pre-assigned to nearest centroid (one narrow
+    * pass, broadcast centroids); each query probes its `nProbe` nearest
+    * cells. Returns approximate top-k per query. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      qid: String, qvec: String, k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    // Deterministic "centroid" sample: the nCells corpus rows with the
+    // smallest xxhash64(id) — stable across partitioning and cluster size.
+    val centroids = corpus
+      .select(col(id).as("cell_id"), col(vec).as("cvec"), xxhash64(col(id)).as("h"))
+      .orderBy("h").limit(nCells).drop("h")
+    val assigned = corpus.join(broadcast(centroids))
+      .withColumn("d", -cosine(col(vec), col("cvec")))
+      .withColumn("rnk", row_number().over(Window.partitionBy(id).orderBy(col("d").asc, col("cell_id").asc)))
+      .where(col("rnk") === 1)
+      .select(col(id), col(vec), col("cell_id"))
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("d", -cosine(col(qvec), col("cvec")))
+      .withColumn("rnk", row_number().over(Window.partitionBy(qid).orderBy(col("d").asc, col("cell_id").asc)))
+      .where(col("rnk") <= nProbe)
+      .select(col(qid), col(qvec), col("cell_id"))
+    val candidates = assigned.join(broadcast(probes), Seq("cell_id"))
+      .where(col(id) =!= col(qid))
+      .withColumn("cos", cosine(col(qvec), col(vec)))
+    val w = Window.partitionBy(qid).orderBy(col("cos").desc, col(id).asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qid), col(id), col("cos"), col("rank"))
+  }
+}

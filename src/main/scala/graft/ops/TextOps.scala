@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (engine extension —
+  * BASELINE.json north star): language ID, quality scoring, token
+  * counting, document fingerprinting. All pure column expressions (no
+  * UDFs), embarrassingly parallel, shuffle-free.
+  */
+object TextOps {
+
+  /** Whitespace token count. Empty/blank text → 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count estimate: word-boundary regex split into
+    * letter-runs / digit-runs / single punctuation, the classic GPT-2-style
+    * pre-tokenizer shape. Counts pieces, not learned merges. */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+      t => length(t) > 0 && t =!= " "))
+
+  /** Stopword hit ratio for a language's marker words: fraction of tokens
+    * that are in `markers` (lower-cased exact match). */
+  def stopwordRatio(text: Column, markers: Seq[String]): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(0.0)
+  }
+
+  /** Tiny trigram/stopword language-ID heuristic: argmax over per-language
+    * marker-word ratios; "und" (undetermined) when no marker hits. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "una"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+  )
+
+  def languageId(text: Column): Column = {
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(stopwordRatio(text, markers).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality-scoring feature bundle (struct): n_chars, n_tokens,
+    * mean token length, punctuation ratio, digit ratio, uppercase ratio,
+    * stopword ratio (en), max single-token length. */
+  def qualityFeatures(text: Column): Column = {
+    val n = length(text).cast("double")
+    val toks = split(trim(text), "\\s+")
+    def ratio(pattern: String): Column =
+      when(n > 0, (n - length(regexp_replace(text, pattern, ""))) / n).otherwise(0.0)
+    struct(
+      length(text).as("n_chars"),
+      tokenCount(text).as("n_tokens"),
+      when(size(toks) > 0,
+        aggregate(toks, lit(0), (a, t) => a + length(t)).cast("double") / size(toks))
+        .otherwise(0.0).as("mean_token_len"),
+      ratio("[\\p{Punct}]").as("punct_ratio"),
+      ratio("[0-9]").as("digit_ratio"),
+      ratio("[A-Z]").as("upper_ratio"),
+      stopwordRatio(text, LangMarkers("en")).as("stopword_ratio_en"),
+      coalesce(array_max(transform(toks, t => length(t))), lit(0)).as("max_token_len"))
+  }
+
+  /** Scalar quality score in [0,1]: penalize too-short/too-long docs, high
+    * punctuation/digit density, missing stopwords — the C4/Gopher-style
+    * heuristic family, condensed. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenScore = least(f.getField("n_tokens").cast("double") / 20.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - f.getField("punct_ratio") * 4)
+    val digitPenalty = greatest(lit(0.0), lit(1.0) - f.getField("digit_ratio") * 4)
+    val stopBonus = least(f.getField("stopword_ratio_en") * 5, lit(1.0))
+    round((lenScore * 0.4 + punctPenalty * 0.2 + digitPenalty * 0.2 + stopBonus * 0.2), 6)
+  }
+
+  /** Polynomial rolling-hash document fingerprint (Rabin–Karp shape) over
+    * whitespace tokens: h = Σ xxhash64(token_i) · 31^(n−1−i) mod 2^64 —
+    * order-sensitive, unlike a bag-of-words hash. */
+  def rollingFingerprint(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    aggregate(toks, lit(0L), (acc, t) => acc * 31L + xxhash64(t))
+  }
+}

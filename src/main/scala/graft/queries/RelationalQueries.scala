@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.Q._
+
+/** Core relational surface: scans, aggregations, joins (SURVEY §2.4 J*),
+  * set ops (§2.8), sorts/limits/top-k (§2.7), distinct counts (G2/G3/G10).
+  * These exercise the general `ds.join/groupBy/union/orderBy` engine API
+  * the duckdb-oracle harness demands (SURVEY §2.4 note).
+  */
+object RelationalQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+    "q1_agg" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_join_dims" -> ((s, dir) => {
+      // Broadcast star join: orders ⋈ customer ⋈ nation ⋈ region — dims are
+      // tiny, so Catalyst broadcasts them (verified in the plan; no shuffle
+      // of the fact side beyond the final small groupBy).
+      val orders = table(s, dir, "orders")
+      val customer = table(s, dir, "customer")
+      val nation = table(s, dir, "nation")
+      val region = table(s, dir, "region")
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      val customer = table(s, dir, "customer")
+      val orders = table(s, dir, "orders")
+      customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      val customer = table(s, dir, "customer")
+      val orders = table(s, dir, "orders")
+      customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_topk" -> ((s, dir) =>
+      // G10 value_counts top-N diagnostics, deterministic tie-break.
+      table(s, dir, "part").groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("p_brand").asc).limit(10)),
+
+    "q_sort_limit" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(25)),
+
+    "q_union" -> ((s, dir) => {
+      // §2.8 pd.concat row-union as unionByName.
+      val orders = table(s, dir, "orders")
+      orders.where(col("o_totalprice") < 1000)
+        .unionByName(orders.where(col("o_orderpriority") === "1-URGENT"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "g2_group_counts" -> ((s, dir) =>
+      table(s, dir, "orders").groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n")).orderBy("o_orderstatus", "o_orderpriority")),
+
+    "g3_distinct_counts" -> ((s, dir) => {
+      // Per-column distinct counts (constant/near-empty col detection
+      // F6/F7/G3), nunique(dropna=False) parity via null sentinel.
+      val li = table(s, dir, "lineitem")
+      Seq("l_returnflag", "l_linestatus", "l_quantity", "l_discount")
+        .map(c => li.agg(
+          countDistinct(coalesce(col(c).cast("string"), lit("§null§"))).as("n_distinct"))
+          .select(lit(c).as("column_name"), col("n_distinct")))
+        .reduce(_ unionByName _).orderBy("column_name")
+    }),
+
+    "g4_mode_per_group" -> ((s, dir) => {
+      // Mode with deterministic tie-break (smallest value wins) — the
+      // portable spec of pandas .mode()[0] (func_plot.py:146-153).
+      import org.apache.spark.sql.expressions.Window
+      val counts = table(s, dir, "orders").groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("n").desc, col("o_orderpriority").asc)
+      counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"))
+        .orderBy("o_orderstatus")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_join_dims" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topk" ->
+      "SELECT p_brand, count(*) AS n FROM part GROUP BY 1 ORDER BY n DESC, p_brand ASC LIMIT 10",
+
+    "q_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 25""".stripMargin,
+
+    "q_union" ->
+      """SELECT o_orderstatus, count(*) AS n FROM (
+        |  SELECT * FROM orders WHERE o_totalprice < 1000
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g2_group_counts" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g3_distinct_counts" ->
+      """SELECT 'l_returnflag' AS column_name, count(DISTINCT coalesce(CAST(l_returnflag AS VARCHAR), '§null§')) AS n_distinct FROM lineitem
+        |UNION ALL SELECT 'l_linestatus', count(DISTINCT coalesce(CAST(l_linestatus AS VARCHAR), '§null§')) FROM lineitem
+        |UNION ALL SELECT 'l_quantity', count(DISTINCT coalesce(CAST(l_quantity AS VARCHAR), '§null§')) FROM lineitem
+        |UNION ALL SELECT 'l_discount', count(DISTINCT coalesce(CAST(l_discount AS VARCHAR), '§null§')) FROM lineitem
+        |ORDER BY column_name""".stripMargin,
+
+    "g4_mode_per_group" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+        |  FROM orders GROUP BY 1, 2) t
+        |WHERE rn = 1 ORDER BY 1""".stripMargin,
+  )
+}

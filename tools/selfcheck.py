@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 correctness gate.
+
+Runs graft.Verify at a given SF dir, then replays every oracle_sql.json
+entry in DuckDB over the same parquet tables and compares with the
+Spark-written parquet (columns sorted by name, rows sorted, exact values).
+
+Usage: python3 tools/selfcheck.py [sfdir] [outdir] [--skip-verify] [query...]
+"""
+import json, math, subprocess, sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+flags = [a for a in sys.argv[3:] if a.startswith("--")]
+only = [a for a in sys.argv[3:] if not a.startswith("--")]
+
+if "--skip-verify" not in flags:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True)
+    tail = "\n".join((r.stdout + r.stderr).splitlines()[-15:])
+    if r.returncode != 0:
+        print("VERIFY FAILED:\n", tail); sys.exit(1)
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
+results = {}
+for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
+    pdir = Path(OUT) / name
+    try:
+        spark_df = con.sql(f"SELECT * FROM '{pdir}/*.parquet'").df()
+    except Exception as e:
+        results[name] = f"NO SPARK OUTPUT: {e}"; continue
+    try:
+        duck_df = con.sql(sql).df()
+    except Exception as e:
+        results[name] = f"ORACLE SQL ERROR: {e}"; continue
+
+    s = spark_df[sorted(spark_df.columns)]
+    d = duck_df[sorted(duck_df.columns)]
+    if list(s.columns) != list(d.columns):
+        results[name] = f"SCHEMA MISMATCH spark={list(s.columns)} duck={list(d.columns)}"
+        continue
+    if len(s) != len(d):
+        results[name] = f"ROWCOUNT MISMATCH spark={len(s)} duck={len(d)}"
+        continue
+    s = s.sort_values(by=list(s.columns), ignore_index=True)
+    d = d.sort_values(by=list(d.columns), ignore_index=True)
+    bad = None
+    for c in s.columns:
+        for i, (a, b) in enumerate(zip(s[c], d[c])):
+            fa = isinstance(a, float)
+            if fa and isinstance(b, float) and math.isnan(a) and math.isnan(b):
+                continue
+            eq = (a == b) if not fa else (float(a) == float(b))
+            try:
+                if hasattr(a, "__len__") and not isinstance(a, str):
+                    eq = list(a) == list(b)
+            except Exception:
+                pass
+            if not eq:
+                bad = f"VALUE MISMATCH col={c} row={i}: spark={a!r} duck={b!r}"
+                break
+        if bad:
+            break
+    results[name] = bad or "OK"
+
+ok = sum(1 for v in results.values() if v == "OK")
+for name, v in sorted(results.items()):
+    print(("PASS " if v == "OK" else "FAIL ") + name + ("" if v == "OK" else f"  {v}"))
+print(f"\n{ok}/{len(results)} queries match")
+sys.exit(0 if ok == len(results) else 2)
