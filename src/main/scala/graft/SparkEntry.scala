@@ -15,6 +15,8 @@ object SparkEntry {
   private val groups: Seq[(Map[String, Q.QueryFn], Map[String, String])] = Seq(
     (RelationalQueries.queries, RelationalQueries.oracle),
     (LabelQueries.queries, LabelQueries.oracle),
+    (SplitWindowQueries.queries, SplitWindowQueries.oracle),
+    (MetricQueries.queries, MetricQueries.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

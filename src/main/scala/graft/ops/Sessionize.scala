@@ -22,7 +22,7 @@ object Sessionize {
   /** Per-episode table: (episode, start_idx, det_idx|null, delay_windows|null). */
   def episodes(df: DataFrame, order: Column, yTrue: Column, yPred: Column,
       episodeId: Column): DataFrame = {
-    val w = Window.orderBy(order)
+    val w = Window.orderBy(col("idx"))
     val attacks = df
       .select(order.as("idx"), yTrue.cast("int").as("yt"), yPred.cast("int").as("yp"),
         episodeId.cast("string").as("ep"))

@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{BinaryOperational, Curves, MetricsOps, Sessionize}
+import graft.queries.Q._
+
+/** Classification-metric operators bound to the oracle tables (SURVEY
+  * §2.5): G9 confusion, G13 multiclass suite, G14 curves/AUC/AP, G15
+  * threshold-at-FPR, G12 TTD sessionization, G11 weighted log-loss, G16
+  * binary operational composite (its SQL-expressible core; the
+  * Clopper–Pearson beta quantiles are ScalaTest-covered).
+  *
+  * The "model" is the deterministic score of [[Q.scoredEvents]]; the
+  * multiclass y_pred is a deterministic perturbation of the encoded
+  * event_type so every confusion cell is populated.
+  */
+object MetricQueries {
+
+  /** Multiclass (y_true, y_pred) pair: y_true = lexicographic id of
+    * event_type; y_pred = y_true shifted by 1 (mod k) on rows where
+    * event_id % 5 == 0 — a deterministic 20%-error "model". */
+  private def multiclassFrame(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ev = table(s, dir, "events")
+    val enc = graft.ops.Labels.fitLabelEncoder(ev, "event_type")
+    val k = enc.count().toInt
+    val df = graft.ops.Labels.encodeLabel(ev, enc, "event_type", "y_true")
+      .withColumn("y_pred",
+        when(pmod(col("event_id"), lit(5)) === 0, pmod(col("y_true") + 1, lit(k)))
+          .otherwise(col("y_true")).cast("int"))
+    (df, k)
+  }
+
+  private val multiclassSql: String =
+    """SELECT e.*, y_true,
+      |  CAST(CASE WHEN event_id % 5 = 0 THEN (y_true + 1) % k ELSE y_true END AS INT) AS y_pred
+      |FROM events e
+      |JOIN (SELECT class, CAST(row_number() OVER (ORDER BY class) - 1 AS INT) AS y_true,
+      |             CAST(count(*) OVER () AS INT) AS k
+      |      FROM (SELECT DISTINCT event_type AS class FROM events) d) m
+      |  ON e.event_type = m.class""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    "g9_confusion" -> ((s, dir) => {
+      val (df, k) = multiclassFrame(s, dir)
+      MetricsOps.confusionMatrix(df, "y_true", "y_pred", 0 until k)
+        .orderBy("y_true", "y_pred")
+    }),
+
+    "g13_multiclass_metrics" -> ((s, dir) => {
+      val (df, k) = multiclassFrame(s, dir)
+      val m = MetricsOps.multiclassMetrics(df, "y_true", "y_pred", 0 until k)
+      m.select(m.columns.map(c => round(col(c), 6).as(c)): _*)
+    }),
+
+    "g14_roc_curve" -> ((s, dir) => {
+      val ev = scoredEvents(s, dir)
+      Curves.rocCurve(ev, col("y_true"), col("score"))
+        .select(col("threshold"), col("fps"), col("tps"),
+          round(col("fpr"), 6).as("fpr"), round(col("tpr"), 6).as("tpr"))
+        .orderBy(col("threshold").desc)
+    }),
+
+    "g14_roc_auc" -> ((s, dir) => {
+      val ev = scoredEvents(s, dir)
+      Curves.rocAuc(ev, col("y_true"), col("score"))
+        .select(round(col("roc_auc"), 6).as("roc_auc"))
+    }),
+
+    "g14_average_precision" -> ((s, dir) => {
+      val ev = scoredEvents(s, dir)
+      Curves.averagePrecision(ev, col("y_true"), col("score"))
+        .select(round(col("average_precision"), 6).as("average_precision"))
+    }),
+
+    "g15_threshold_at_fpr" -> ((s, dir) => {
+      val ev = scoredEvents(s, dir)
+      val curve = Curves.rocCurve(ev, col("y_true"), col("score"))
+      Curves.thresholdAtFpr(curve, 0.3)
+        .select(round(col("threshold"), 4).as("threshold"),
+          round(col("fpr"), 6).as("fpr"), round(col("tpr"), 6).as("tpr"))
+    }),
+
+    "g12_ttd" -> ((s, dir) => {
+      // Episodes = runs of consecutive error events (y_true=1) with
+      // constant user_id, in event_id order; detected iff any y_pred=1
+      // inside; delay in windows × hop 1s.
+      val ev = scoredEvents(s, dir)
+      Sessionize.ttdStats(ev, col("event_id"), col("y_true"), col("y_pred"),
+          col("user_id"), hopSeconds = 1.0)
+        .select(col("episodes_total"), col("episodes_detected"),
+          round(col("avg_ttd_seconds"), 4).as("avg_ttd_seconds"))
+    }),
+
+    "g11_weighted_logloss" -> ((s, dir) => {
+      // p_true = probability assigned to the true class by the "model"
+      // p(attack)=score: p_true = score if y=1 else 1-score; weight = value+1.
+      val ev = scoredEvents(s, dir)
+      val pTrue = when(col("y_true") === 1, col("score")).otherwise(lit(1.0) - col("score"))
+      MetricsOps.weightedLogLoss(ev, pTrue, col("value") + 1)
+        .select(round(col("weighted_logloss"), 6).as("weighted_logloss"))
+    }),
+
+    "g16_operational" -> ((s, dir) => {
+      // Binary operational composite: calibrate on even event_ids (val),
+      // score odd event_ids (test), fpr_target=0.1, hop=1s. The CP CIs are
+      // computed (driver-side Beta quantiles) but checked in ScalaTest;
+      // the oracle covers the relational core.
+      val ev = scoredEvents(s, dir)
+      val valDf = ev.where(pmod(col("event_id"), lit(2)) === 0)
+      val testDf = ev.where(pmod(col("event_id"), lit(2)) === 1)
+      val m = BinaryOperational.evaluate(valDf, testDf, col("y_true"), col("score"),
+        fprTarget = 0.1, hopSeconds = 1.0)
+      val spark = s
+      import spark.implicits._
+      Seq((m.threshold, m.tn, m.fp, m.fn, m.tp,
+        BigDecimal(m.fpr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(m.tpr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(m.precision).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(m.f1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("threshold", "tn", "fp", "fn", "tp", "fpr", "tpr", "precision", "f1")
+    }),
+  )
+
+  val oracle: Map[String, String] = {
+    val rocCurveSql =
+      s"""SELECT threshold,
+         |  sum(pos) OVER w AS tps, sum(neg) OVER w AS fps,
+         |  (sum(neg) OVER w) * 1.0 / (sum(neg) OVER ()) AS fpr,
+         |  (sum(pos) OVER w) * 1.0 / (sum(pos) OVER ()) AS tpr
+         |FROM (
+         |  SELECT score AS threshold, sum(y_true) AS pos, sum(1 - y_true) AS neg
+         |  FROM (${Q.scoredEventsSql}) se GROUP BY 1)
+         |WINDOW w AS (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+    Map(
+      "g9_confusion" ->
+        s"""WITH mc AS ($multiclassSql),
+           |k AS (SELECT count(DISTINCT event_type) AS k FROM events),
+           |universe AS (
+           |  SELECT a.i AS y_true, b.i AS y_pred
+           |  FROM (SELECT unnest(range(CAST((SELECT k FROM k) AS BIGINT))) AS i) a,
+           |       (SELECT unnest(range(CAST((SELECT k FROM k) AS BIGINT))) AS i) b),
+           |counts AS (SELECT y_true, y_pred, count(*) AS cnt FROM mc GROUP BY 1, 2)
+           |SELECT CAST(u.y_true AS INT) AS y_true, CAST(u.y_pred AS INT) AS y_pred,
+           |  coalesce(c.cnt, 0) AS cnt
+           |FROM universe u LEFT JOIN counts c
+           |  ON u.y_true = c.y_true AND u.y_pred = c.y_pred
+           |ORDER BY 1, 2""".stripMargin,
+
+      "g13_multiclass_metrics" ->
+        s"""WITH mc AS ($multiclassSql),
+           |stats AS (
+           |  SELECT y_true AS cls,
+           |    sum(CASE WHEN y_pred = y_true THEN 1 ELSE 0 END) AS tp,
+           |    count(*) AS support
+           |  FROM mc GROUP BY 1),
+           |pred AS (SELECT y_pred AS cls, count(*) AS predicted FROM mc GROUP BY 1),
+           |pc AS (
+           |  SELECT s.cls, s.tp, s.support, coalesce(p.predicted, 0) AS predicted,
+           |    s.support - s.tp AS fn, coalesce(p.predicted, 0) - s.tp AS fp
+           |  FROM stats s LEFT JOIN pred p ON s.cls = p.cls),
+           |pr AS (
+           |  SELECT *,
+           |    coalesce(tp * 1.0 / nullif(tp + fp, 0), 0) AS precision,
+           |    coalesce(tp * 1.0 / nullif(tp + fn, 0), 0) AS recall
+           |  FROM pc),
+           |f AS (
+           |  SELECT *,
+           |    coalesce(2.0 * precision * recall / nullif(precision + recall, 0), 0) AS f1,
+           |    coalesce(5.0 * precision * recall / nullif(4.0 * precision + recall, 0), 0) AS f2,
+           |    coalesce(1.25 * precision * recall / nullif(0.25 * precision + recall, 0), 0) AS f0_5
+           |  FROM pr)
+           |SELECT
+           |  round(sum(tp) * 1.0 / sum(support), 6) AS accuracy,
+           |  round(avg(CASE WHEN support > 0 THEN recall END), 6) AS balanced_accuracy,
+           |  round(avg(precision), 6) AS precision_macro,
+           |  round(avg(recall), 6) AS recall_macro,
+           |  round(avg(f1), 6) AS f1_macro,
+           |  round(avg(f2), 6) AS f2_macro,
+           |  round(avg(f0_5), 6) AS f0_5_macro,
+           |  round(sum(precision * support) / sum(support), 6) AS precision_weighted,
+           |  round(sum(recall * support) / sum(support), 6) AS recall_weighted,
+           |  round(sum(f1 * support) / sum(support), 6) AS f1_weighted
+           |FROM f""".stripMargin,
+
+      "g14_roc_curve" ->
+        s"""SELECT threshold, fps, tps, round(fpr, 6) AS fpr, round(tpr, 6) AS tpr
+           |FROM ($rocCurveSql) ORDER BY threshold DESC""".stripMargin,
+
+      "g14_roc_auc" ->
+        s"""WITH curve AS ($rocCurveSql),
+           |pts AS (
+           |  SELECT fpr, tpr,
+           |    coalesce(lag(fpr) OVER (ORDER BY threshold DESC), 0) AS fpr_prev,
+           |    coalesce(lag(tpr) OVER (ORDER BY threshold DESC), 0) AS tpr_prev
+           |  FROM curve)
+           |SELECT round(sum((fpr - fpr_prev) * (tpr + tpr_prev) / 2), 6) AS roc_auc FROM pts""".stripMargin,
+
+      "g14_average_precision" ->
+        s"""WITH curve AS ($rocCurveSql),
+           |pr AS (
+           |  SELECT threshold, tps * 1.0 / (tps + fps) AS precision, tpr AS recall FROM curve),
+           |pts AS (
+           |  SELECT precision, recall,
+           |    coalesce(lag(recall) OVER (ORDER BY threshold DESC), 0) AS recall_prev
+           |  FROM pr)
+           |SELECT round(sum((recall - recall_prev) * precision), 6) AS average_precision FROM pts""".stripMargin,
+
+      "g15_threshold_at_fpr" ->
+        s"""WITH curve AS ($rocCurveSql)
+           |SELECT round(threshold, 4) AS threshold, round(fpr, 6) AS fpr, round(tpr, 6) AS tpr
+           |FROM curve WHERE fpr <= 0.3
+           |ORDER BY fpr DESC, threshold ASC LIMIT 1""".stripMargin,
+
+      "g12_ttd" ->
+        s"""WITH se AS (${Q.scoredEventsSql}),
+           |flagged AS (
+           |  SELECT event_id AS idx, y_true AS yt, y_pred AS yp,
+           |    CAST(user_id AS VARCHAR) AS ep,
+           |    lag(y_true) OVER (ORDER BY event_id) AS prev_yt,
+           |    lag(CAST(user_id AS VARCHAR)) OVER (ORDER BY event_id) AS prev_ep
+           |  FROM se),
+           |starts AS (
+           |  SELECT *, CASE WHEN yt = 1 AND (prev_yt IS NULL OR prev_yt != 1 OR prev_ep != ep)
+           |    THEN 1 ELSE 0 END AS is_start FROM flagged),
+           |islands AS (
+           |  SELECT *, sum(is_start) OVER (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode
+           |  FROM starts),
+           |eps AS (
+           |  SELECT episode, min(idx) AS start_idx,
+           |    min(CASE WHEN yp = 1 THEN idx END) AS det_idx
+           |  FROM islands WHERE yt = 1 GROUP BY 1)
+           |SELECT count(*) AS episodes_total,
+           |  count(det_idx) AS episodes_detected,
+           |  round(avg((det_idx - start_idx) * 1.0), 4) AS avg_ttd_seconds
+           |FROM eps""".stripMargin,
+
+      "g11_weighted_logloss" ->
+        s"""SELECT round(sum(-ln(greatest(least(p_true, 1 - 1e-12), 1e-12)) * w) / sum(w), 6)
+           |  AS weighted_logloss
+           |FROM (
+           |  SELECT CASE WHEN y_true = 1 THEN score ELSE 1 - score END AS p_true,
+           |    value + 1 AS w
+           |  FROM (${Q.scoredEventsSql}) se) t""".stripMargin,
+
+      "g16_operational" ->
+        s"""WITH se AS (${Q.scoredEventsSql}),
+           |v AS (SELECT * FROM se WHERE event_id % 2 = 0),
+           |tst AS (SELECT * FROM se WHERE event_id % 2 = 1),
+           |curve AS (
+           |  SELECT threshold,
+           |    (sum(neg) OVER w) * 1.0 / (sum(neg) OVER ()) AS fpr
+           |  FROM (SELECT score AS threshold, sum(y_true) AS pos, sum(1 - y_true) AS neg
+           |        FROM v GROUP BY 1)
+           |  WINDOW w AS (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |thr AS (SELECT threshold FROM curve WHERE fpr <= 0.1
+           |        ORDER BY fpr DESC, threshold ASC LIMIT 1),
+           |cells AS (
+           |  SELECT
+           |    sum(CASE WHEN y_true = 0 AND score <  (SELECT threshold FROM thr) THEN 1 ELSE 0 END) AS tn,
+           |    sum(CASE WHEN y_true = 0 AND score >= (SELECT threshold FROM thr) THEN 1 ELSE 0 END) AS fp,
+           |    sum(CASE WHEN y_true = 1 AND score <  (SELECT threshold FROM thr) THEN 1 ELSE 0 END) AS fn,
+           |    sum(CASE WHEN y_true = 1 AND score >= (SELECT threshold FROM thr) THEN 1 ELSE 0 END) AS tp
+           |  FROM tst)
+           |SELECT (SELECT threshold FROM thr) AS threshold, tn, fp, fn, tp,
+           |  round(fp * 1.0 / (tn + fp), 6) AS fpr,
+           |  round(tp / (tp + fn + 1e-12), 6) AS tpr,
+           |  round(tp / (tp + fp + 1e-12), 6) AS precision,
+           |  round(CASE WHEN (tp / (tp + fp + 1e-12)) + (tp / (tp + fn + 1e-12)) = 0 THEN 0
+           |    ELSE 2 * (tp / (tp + fp + 1e-12)) * (tp / (tp + fn + 1e-12)) /
+           |         ((tp / (tp + fp + 1e-12)) + (tp / (tp + fn + 1e-12))) END, 6) AS f1
+           |FROM cells""".stripMargin,
+    )
+  }
+}

@@ -54,8 +54,14 @@ for name, sql in sorted(oracle.items()):
     if len(s) != len(d):
         results[name] = f"ROWCOUNT MISMATCH spark={len(s)} duck={len(d)}"
         continue
-    s = s.sort_values(by=list(s.columns), ignore_index=True)
-    d = d.sort_values(by=list(d.columns), ignore_index=True)
+    # Sort by scalar columns only (array cells aren't hashable/orderable);
+    # queries with array columns must order deterministically themselves.
+    keys = [c for c in s.columns
+            if not any(hasattr(v, "__len__") and not isinstance(v, str)
+                       for v in s[c].head(3))]
+    if keys:
+        s = s.sort_values(by=keys, ignore_index=True)
+        d = d.sort_values(by=keys, ignore_index=True)
     bad = None
     for c in s.columns:
         for i, (a, b) in enumerate(zip(s[c], d[c])):
