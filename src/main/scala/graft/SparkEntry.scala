@@ -17,6 +17,9 @@ object SparkEntry {
     (LabelQueries.queries, LabelQueries.oracle),
     (SplitWindowQueries.queries, SplitWindowQueries.oracle),
     (MetricQueries.queries, MetricQueries.oracle),
+    (DedupTextQueries.queries, DedupTextQueries.oracle),
+    (SimilarityQueries.queries, SimilarityQueries.oracle),
+    (RowsOnlyQueries.queries, Map.empty[String, String]),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

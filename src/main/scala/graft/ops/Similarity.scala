@@ -69,11 +69,15 @@ object Similarity {
     * pass, broadcast centroids); each query probes its `nProbe` nearest
     * cells. Returns approximate top-k per query. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-      qid: String, qvec: String, k: Int, nCells: Int, nProbe: Int): DataFrame = {
+      qid: String, qvec: String, k: Int, nCells: Int, nProbe: Int,
+      centroidsByHash: Boolean = true): DataFrame = {
     // Deterministic "centroid" sample: the nCells corpus rows with the
     // smallest xxhash64(id) — stable across partitioning and cluster size.
+    // (centroidsByHash=false picks the lowest ids instead — useful when an
+    // external system must reproduce the cell assignment.)
     val centroids = corpus
-      .select(col(id).as("cell_id"), col(vec).as("cvec"), xxhash64(col(id)).as("h"))
+      .select(col(id).as("cell_id"), col(vec).as("cvec"),
+        (if (centroidsByHash) xxhash64(col(id)) else col(id)).as("h"))
       .orderBy("h").limit(nCells).drop("h")
     val assigned = corpus.join(broadcast(centroids))
       .withColumn("d", -cosine(col(vec), col("cvec")))

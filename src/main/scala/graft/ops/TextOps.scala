@@ -14,13 +14,12 @@ object TextOps {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
 
-  /** BPE-ish subword count estimate: word-boundary regex split into
-    * letter-runs / digit-runs / single punctuation, the classic GPT-2-style
-    * pre-tokenizer shape. Counts pieces, not learned merges. */
+  /** BPE-ish subword count estimate: letter-runs, digit-runs, and single
+    * non-space punctuation — the classic GPT-2-style pre-tokenizer shape.
+    * Counts pieces, not learned merges. (RE2-compatible pattern — no
+    * lookarounds — so the same regex runs on any engine.) */
   def subwordCount(text: Column): Column =
-    size(filter(
-      split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
-      t => length(t) > 0 && t =!= " "))
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Stopword hit ratio for a language's marker words: fraction of tokens
     * that are in `markers` (lower-cased exact match). */
@@ -61,7 +60,8 @@ object TextOps {
       when(size(toks) > 0,
         aggregate(toks, lit(0), (a, t) => a + length(t)).cast("double") / size(toks))
         .otherwise(0.0).as("mean_token_len"),
-      ratio("[\\p{Punct}]").as("punct_ratio"),
+      // explicit ASCII punct class (== \p{Punct}), RE2-portable
+      ratio("[!\"#$%&'()*+,\\-./:;<=>?@\\[\\]^_`{|}~]").as("punct_ratio"),
       ratio("[0-9]").as("digit_ratio"),
       ratio("[A-Z]").as("upper_ratio"),
       stopwordRatio(text, LangMarkers("en")).as("stopword_ratio_en"),

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextOps}
+import graft.queries.Q._
+
+/** Training-data pipeline operators over `documents`: deduplication
+  * (exact, n-gram Jaccard) and text analysis (token counts, quality,
+  * language ID). MinHash-LSH / SimHash / rolling fingerprints are
+  * xxhash64-based and not DuckDB-reproducible — they live in
+  * [[RowsOnlyQueries]] with ScalaTest coverage instead.
+  *
+  * The sf documents are all unique, so the exact-dedup queries union the
+  * table with an id-shifted copy of itself to manufacture duplicate groups
+  * deterministically.
+  */
+object DedupTextQueries {
+
+  private val IdShift = 1000000L
+
+  val queries: Map[String, QueryFn] = Map(
+    "dedup_exact_groups" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val doubled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + IdShift))
+      Dedup.exactDuplicates(doubled, "doc_id", "text")
+        .orderBy("dup_hash")
+    }),
+
+    "dedup_exact_keep" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val doubled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + IdShift))
+      Dedup.dedupExact(doubled, "doc_id", "text")
+        .groupBy("source").agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+        .orderBy("source")
+    }),
+
+    "dedup_jaccard_pairs" -> ((s, dir) => {
+      // Brute-force token-set Jaccard on a bounded subset (the LSH
+      // verifier's exact form): pairs above threshold, deterministic order.
+      // (1-gram shingles: this corpus is word soup from a tiny vocab, so
+      // token-set overlap is the discriminating signal; 3-grams are ~0.)
+      val docs = table(s, dir, "documents").where(col("doc_id") < 120)
+      Dedup.jaccardSimilarity(docs, "doc_id", "text", n = 1)
+        .where(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "text_token_stats" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("lang"),
+          TextOps.tokenCount(col("text")).as("n_tok"),
+          TextOps.subwordCount(col("text")).as("n_sub"),
+          TextOps.stopwordRatio(col("text"), TextOps.LangMarkers("en")).as("sw"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("n_tok"), 4).as("avg_tokens"),
+          round(avg("n_sub"), 4).as("avg_subwords"),
+          round(avg("sw"), 4).as("avg_stopword_ratio"))
+        .orderBy("lang")),
+
+    "text_quality" -> ((s, dir) =>
+      table(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "text_lang_id" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("lang_pred", TextOps.languageId(col("text")))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")),
+  )
+
+  /** Shared SQL fragment: whitespace tokens of trimmed lower-cased text. */
+  private val toksLower = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+  private val toks = "regexp_split_to_array(trim(text), '\\s+')"
+  private def markerList(lang: String): String =
+    TextOps.LangMarkers(lang).map(m => s"'$m'").mkString("[", ",", "]")
+  private def swRatio(lang: String): String =
+    s"CASE WHEN len($toksLower) > 0 THEN len(list_filter($toksLower, t -> list_contains(${markerList(lang)}, t))) * 1.0 / len($toksLower) ELSE 0.0 END"
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact_groups" ->
+      s"""WITH doubled AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + $IdShift, text FROM documents)
+         |SELECT md5(text) AS dup_hash, count(*) AS n_copies,
+         |  min(doc_id) AS keeper_id, list_sort(list(doc_id)) AS doc_ids
+         |FROM doubled GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+    "dedup_exact_keep" ->
+      s"""WITH doubled AS (
+         |  SELECT * FROM documents
+         |  UNION ALL SELECT doc_id + $IdShift, text, lang, source, n_chars FROM documents),
+         |kept AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM doubled) t WHERE rn = 1)
+         |SELECT source, count(*) AS n, sum(doc_id) AS id_sum
+         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, list_distinct($toks) AS sh
+         |  FROM documents WHERE doc_id < 120)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+         |ORDER BY 1, 2""".stripMargin,
+
+    "text_token_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  round(avg(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($toks) END), 4) AS avg_tokens,
+         |  round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))), 4) AS avg_subwords,
+         |  round(avg(${swRatio("en")}), 4) AS avg_stopword_ratio
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id, round(
+         |  least(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($toks) END / 20.0, 1.0) * 0.4 +
+         |  greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+         |    THEN (length(text) - length(regexp_replace(text, '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\]^_`{|}~]', '', 'g'))) * 1.0 / length(text)
+         |    ELSE 0.0 END) * 4) * 0.2 +
+         |  greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+         |    THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text)
+         |    ELSE 0.0 END) * 4) * 0.2 +
+         |  least(${swRatio("en")} * 5, 1.0) * 0.2, 6) AS quality
+         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    "text_lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT lang, ${swRatio("de")} AS r_de, ${swRatio("en")} AS r_en,
+         |         ${swRatio("es")} AS r_es, ${swRatio("fr")} AS r_fr
+         |  FROM documents),
+         |pred AS (
+         |  SELECT lang, CASE
+         |    WHEN greatest(r_de, r_en, r_es, r_fr) <= 0 THEN 'und'
+         |    WHEN r_fr = greatest(r_de, r_en, r_es, r_fr) THEN 'fr'
+         |    WHEN r_es = greatest(r_de, r_en, r_es, r_fr) THEN 'es'
+         |    WHEN r_en = greatest(r_de, r_en, r_es, r_fr) THEN 'en'
+         |    ELSE 'de' END AS lang_pred
+         |  FROM scored)
+         |SELECT lang, lang_pred, count(*) AS n FROM pred
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

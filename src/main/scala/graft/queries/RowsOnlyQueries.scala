@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, PermImportance, Robustness, SlidingWindows, TextOps}
+import graft.queries.Q._
+
+/** Operators whose semantics are deterministic in-engine but not
+  * DuckDB-reproducible (xxhash64-seeded RNG, JVM-side decode): the driver
+  * records a rows-only check for these; exact semantics are ScalaTest-
+  * covered (window laws, identity at severity 0, multiset preservation,
+  * hamming bounds).
+  *
+  * Every query returns a deterministically-ordered aggregate (not raw
+  * blobs) so reruns are diffable.
+  */
+object RowsOnlyQueries {
+
+  private val ord = Seq(col("ts").asc, col("event_id").asc)
+
+  /** Shared windowed events: seq_len=8, step=8 (tumbling), one feature. */
+  private def wins(s: org.apache.spark.sql.SparkSession, dir: String) =
+    SlidingWindows.slideGlobal(scoredEvents(s, dir), ord, array(col("value")),
+      seqLen = 8, step = 8)
+      .select(col("win_id"), col("window"), col("y_true"))
+
+  private def winChecksum(c: org.apache.spark.sql.Column) =
+    round(aggregate(flatten(c), lit(0.0), (a, x) => a + x), 4)
+
+  val queries: Map[String, QueryFn] = Map(
+    "r1_packet_loss" -> ((s, dir) =>
+      wins(s, dir)
+        .withColumn("degraded",
+          Robustness.packetLoss(col("window"), col("win_id"), severity = 0.3, seed = 42L))
+        .select(col("win_id"), winChecksum(col("window")).as("sum_before"),
+          winChecksum(col("degraded")).as("sum_after"))
+        .orderBy("win_id")),
+
+    "r2_missing_vars" -> ((s, dir) =>
+      wins(s, dir)
+        .withColumn("degraded",
+          Robustness.missingVariables(col("window"), col("win_id"), severity = 0.3, seed = 42L))
+        .select(col("win_id"), winChecksum(col("degraded")).as("sum_after"))
+        .orderBy("win_id")),
+
+    "r3_clock_offset" -> ((s, dir) =>
+      wins(s, dir)
+        .withColumn("degraded",
+          Robustness.clockOffset(col("window"), col("win_id"), severity = 0.4, seed = 42L))
+        // roll preserves the multiset: sum is invariant, first element moves
+        .select(col("win_id"), winChecksum(col("degraded")).as("sum_after"),
+          round(element_at(element_at(col("degraded"), 1), 1), 4).as("first_val"))
+        .orderBy("win_id")),
+
+    "r4_drift" -> ((s, dir) =>
+      wins(s, dir)
+        .withColumn("degraded",
+          Robustness.drift(col("window"), col("win_id"), severity = 0.2, seed = 42L))
+        .select(col("win_id"), winChecksum(col("degraded")).as("sum_after"))
+        .orderBy("win_id")),
+
+    "r5_perm_importance" -> ((s, dir) => {
+      // Permute the single feature across all windows/timesteps; global
+      // sum is preserved (permutation = reordering) — the per-window sums
+      // change deterministically under the seed.
+      val w = wins(s, dir).where(col("win_id") <= 800)
+      PermImportance.permuteFeature(w, "win_id", "window", featureIdx = 0, seed = 7L)
+        .select(col("win_id"), winChecksum(col("window")).as("sum_permuted"))
+        .orderBy("win_id")
+    }),
+
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      // LSH candidate near-dup pairs verified at Jaccard >= 0.8 — the
+      // scale path of dedup_jaccard_pairs (bucketed join, not N²).
+      val docs = table(s, dir, "documents").where(col("doc_id") < 120)
+      Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.8,
+          numShingleWords = 1, numBands = 16, rowsPerBand = 2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      // 64-bit SimHash fingerprints + hamming distance of adjacent docs.
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      val a = docs.select(col("doc_id"), col("fp"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"), col("fp").as("fp2"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"), Dedup.hamming64(col("fp"), col("fp2")).as("hamming"))
+        .orderBy("doc_id")
+    }),
+
+    "text_fingerprint" -> ((s, dir) =>
+      table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "mm_features" -> ((s, dir) => {
+      // Multimodal plumbing: synthetic media from doc ids → per-partition
+      // batched "decode" → feature aggregation by kind.
+      val media = Multimodal.syntheticMedia(s, table(s, dir, "documents"), "doc_id")
+      Multimodal.extractFeatures(media, "payload")
+        .select(col("kind"), element_at(col("features"), 1).as("f_len"),
+          element_at(col("features"), 2).as("f_mean"))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), round(avg("f_len"), 2).as("avg_len"),
+          round(avg("f_mean"), 2).as("avg_byte_mean"))
+        .orderBy("kind")
+    }),
+
+    "mm_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, table(s, dir, "documents"), "doc_id")
+        .where(col("media_id") < 50)
+      Multimodal.sampleFrames(media, "payload", nFrames = 16, step = 4)
+        .groupBy("kind").agg(count(lit(1)).as("n_frames"),
+          round(avg(length(col("frame"))), 2).as("avg_frame_bytes"))
+        .orderBy("kind")
+    }),
+  )
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+import graft.queries.Q._
+
+/** Similarity-search operators over `embeddings` (64-dim float vectors):
+  * exact cosine, brute-force top-k ANN baseline, and the IVF
+  * (inverted-file) scale path with deterministic lowest-id centroids so
+  * DuckDB can reproduce the cell assignment bit-for-bit.
+  *
+  * All vectors are cast to double before arithmetic on BOTH engines so the
+  * accumulation precision matches (float-by-float vs double accumulate
+  * differ at ~1e-8 — enough to flip a round(…, 6)).
+  */
+object SimilarityQueries {
+
+  private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
+    table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+
+  /** SQL twin of [[emb]]'s double-cast vector. */
+  private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+  private val cosSql =
+    "(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))"
+
+  val queries: Map[String, QueryFn] = Map(
+    "sim_cosine_adjacent" -> ((s, dir) => {
+      // Cosine between consecutive vec_ids — exercises the zip_with/
+      // aggregate dot-product expressions, one narrow self-join.
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id"), col("v"))
+      val b = e.select((col("vec_id") - 1).as("vec_id"), col("v").as("v2"))
+      a.join(b, "vec_id")
+        .select(col("vec_id"), round(Similarity.cosine(col("v"), col("v2")), 6).as("cos"))
+        .orderBy("vec_id")
+    }),
+
+    "sim_norm_stats" -> ((s, dir) => {
+      // Per-label mean L2 norm and mean self-dot — aggregation over array
+      // expressions (the shape of embedding-quality monitoring at scale).
+      val e = emb(s, dir)
+      e.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg(Similarity.norm(col("v"))), 6).as("avg_norm"),
+          round(avg(Similarity.dot(col("v"), col("v"))), 4).as("avg_self_dot"))
+        .orderBy("label")
+    }),
+
+    "ann_topk_brute" -> ((s, dir) => {
+      // Exact top-5 cosine neighbors for 3 query vectors — the ANN
+      // ground-truth baseline (broadcast queries, per-query window top-k).
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      Similarity.bruteForceTopK(e, queries, "vec_id", "v", "qid", "qv", k = 5)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    "ann_ivf" -> ((s, dir) => {
+      // IVF ANN: 16 lowest-id centroids, probe 4 cells, top-3 — the
+      // 100 TB path (cell pre-assignment makes the per-query scan
+      // O(N·nProbe/nCells)). Lowest-id centroids keep it oracle-checkable.
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      Similarity.ivfTopK(e, queries, "vec_id", "v", "qid", "qv",
+          k = 3, nCells = 16, nProbe = 4, centroidsByHash = false)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sim_cosine_adjacent" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings)
+         |SELECT a.vec_id, round($cosSql, 6) AS cos
+         |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+         |ORDER BY a.vec_id""".stripMargin,
+
+    "sim_norm_stats" ->
+      s"""WITH e AS (SELECT vec_id, label, $vSql AS v FROM embeddings)
+         |SELECT label, count(*) AS n,
+         |  round(avg(sqrt(list_dot_product(v, v))), 6) AS avg_norm,
+         |  round(avg(list_dot_product(v, v)), 4) AS avg_self_dot
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ann_topk_brute" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+         |pairs AS (
+         |  SELECT b.vec_id AS qid, a.vec_id, $cosSql AS cos
+         |  FROM e a JOIN e b ON b.vec_id < 3 AND a.vec_id != b.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM pairs)
+         |SELECT qid, vec_id, round(cos, 4) AS cos, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+         |asn AS (
+         |  SELECT vec_id, v, cell_id FROM (
+         |    SELECT a.vec_id, a.v, b.cell_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        -(list_dot_product(a.v, b.cv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.cv, b.cv)))) ASC,
+         |        b.cell_id ASC) AS rnk
+         |    FROM e a, cent b) t WHERE rnk = 1),
+         |probes AS (
+         |  SELECT qid, qv, cell_id FROM (
+         |    SELECT a.vec_id AS qid, a.v AS qv, b.cell_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        -(list_dot_product(a.v, b.cv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.cv, b.cv)))) ASC,
+         |        b.cell_id ASC) AS rnk
+         |    FROM e a, cent b WHERE a.vec_id < 3) t WHERE rnk <= 4),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id,
+         |    (list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v)))) AS cos
+         |  FROM asn a JOIN probes p ON a.cell_id = p.cell_id AND a.vec_id != p.qid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM cand)
+         |SELECT qid, vec_id, round(cos, 4) AS cos, rank
+         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+  )
+}
