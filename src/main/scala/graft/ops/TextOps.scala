@@ -80,11 +80,12 @@ object TextOps {
     round((lenScore * 0.4 + punctPenalty * 0.2 + digitPenalty * 0.2 + stopBonus * 0.2), 6)
   }
 
-  /** Polynomial rolling-hash document fingerprint (Rabin–Karp shape) over
-    * whitespace tokens: h = Σ xxhash64(token_i) · 31^(n−1−i) mod 2^64 —
-    * order-sensitive, unlike a bag-of-words hash. */
+  /** Rolling document fingerprint over whitespace tokens: a left fold
+    * h' = xxhash64(h, token) — order-sensitive, unlike a bag-of-words
+    * hash, and overflow-free under ANSI mode (a Rabin–Karp polynomial
+    * would need wrapping multiplication, which ANSI rejects). */
   def rollingFingerprint(text: Column): Column = {
     val toks = split(trim(text), "\\s+")
-    aggregate(toks, lit(0L), (acc, t) => acc * 31L + xxhash64(t))
+    aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t))
   }
 }

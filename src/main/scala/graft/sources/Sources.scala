@@ -39,8 +39,10 @@ object Sources {
     val stateIdx = names.indexOf("State")
     require(stateIdx >= 0, "host CSV must contain a State column")
     val eventCandidates = names.take(stateIdx).filterNot(_ == "time")
+    // pd.to_numeric(errors="coerce") parity: malformed → null, independent
+    // of the session's ANSI setting.
     val coerced = eventCandidates.foldLeft(raw) { (d, c) =>
-      d.withColumn(c, col(c).cast(DoubleType))
+      d.withColumn(c, col(c).try_cast(DoubleType))
     }
     val constant = Stats.constantColumns(coerced, eventCandidates)
     val eventCols = eventCandidates.filterNot(constant.contains)
@@ -76,10 +78,10 @@ object Sources {
     val df = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     val names = df.schema.fieldNames.toSet
     val withTime =
-      if (names.contains(timeCol)) df.withColumn("timestamp", col(timeCol).cast(DoubleType))
+      if (names.contains(timeCol)) df.withColumn("timestamp", col(timeCol).try_cast(DoubleType))
       else if (names.contains("bidirectional_first_seen_ms"))
-        df.withColumn("timestamp", col("bidirectional_first_seen_ms").cast(DoubleType))
-      else if (names.contains("timestamp")) df.withColumn("timestamp", col("timestamp").cast(DoubleType))
+        df.withColumn("timestamp", col("bidirectional_first_seen_ms").try_cast(DoubleType))
+      else if (names.contains("timestamp")) df.withColumn("timestamp", col("timestamp").try_cast(DoubleType))
       else df.withColumn("timestamp",
         (row_number().over(Window.orderBy(monotonically_increasing_id())) - 1).cast(DoubleType))
     withTime.orderBy("timestamp")

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.ChronoSplit
+
+/** G1 laws: integer-truncation fractions, the n_train+n_val>=n guard
+  * (func_preproc.py:172-177), partition property, chronology. */
+class ChronoSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def group(g: String, n: Int, base: Int = 0) =
+    (1 to n).map(i => (g, (base + i).toLong))
+
+  private def splitCounts(n: Int): Map[String, Long] = {
+    val df = group("g", n).toDF("g", "t")
+    ChronoSplit.withSplit(df, Seq("g"), Seq(col("t")))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+  }
+
+  test("70/15/15 with integer truncation") {
+    val c = splitCounts(100)
+    assert(c("train") == 70 && c("val") == 15 && c("test") == 15)
+    val c2 = splitCounts(23) // floor(16.1)=16, floor(3.45)=3 → 16/3/4
+    assert(c2("train") == 16 && c2("val") == 3 && c2("test") == 4)
+  }
+
+  test("guard: tiny groups always leave at least one test row") {
+    for (n <- 1 to 8) {
+      val c = splitCounts(n)
+      assert(c("test") >= 1, s"n=$n -> $c")
+      assert(c("train") + c("val") + c("test") == n)
+      if (n > 1) assert(c("train") >= 1, s"n=$n -> $c")
+    }
+  }
+
+  test("chronology: every train row precedes every val row precedes every test row (per group)") {
+    val df = (group("a", 40) ++ group("b", 11, 1000)).toDF("g", "t")
+    val out = ChronoSplit.withSplit(df, Seq("g"), Seq(col("t")))
+      .groupBy("g", "split").agg(min("t").as("mn"), max("t").as("mx"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    for (g <- Seq("a", "b")) {
+      assert(out((g, "train"))._2 < out((g, "val"))._1)
+      assert(out((g, "val"))._2 < out((g, "test"))._1)
+    }
+  }
+
+  test("custom fractions") {
+    val df = group("g", 10).toDF("g", "t")
+    val c = ChronoSplit.withSplit(df, Seq("g"), Seq(col("t")), trainFrac = 0.5, valFrac = 0.3)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c("train") == 5 && c("val") == 3 && c("test") == 2)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextOps}
+
+/** Dedup + text-analysis operator semantics on hand fixtures. */
+class DedupTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: n-grams, distinct, short-text edge") {
+    val df = Seq("a b c d", "a b", "").toDF("t")
+    val out = df.select(Dedup.shingles(col("t"), 3)).collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq.empty)
+    assert(out(2) == Seq.empty)
+  }
+
+  test("exact duplicates: groups, keeper, dedup") {
+    val df = Seq((1L, "x y"), (2L, "z"), (3L, "x y"), (4L, "x y")).toDF("id", "t")
+    val groups = Dedup.exactDuplicates(df, "id", "t").collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("n_copies") == 3)
+    assert(groups(0).getAs[Long]("keeper_id") == 1L)
+    assert(groups(0).getSeq[Long](3) == Seq(1L, 3L, 4L))
+    val kept = Dedup.dedupExact(df, "id", "t").select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L))
+  }
+
+  test("jaccard similarity on known sets") {
+    val df = Seq((1L, "a b c"), (2L, "b c d"), (3L, "x y z")).toDF("id", "t")
+    val sims = Dedup.jaccardSimilarity(df, "id", "t", 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(approx(sims((1L, 2L)), 0.5)) // {b,c} / {a,b,c,d}
+    assert(approx(sims((1L, 3L)), 0.0))
+  }
+
+  test("minhash LSH finds high-jaccard pairs (recall) without false positives after verify") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // ~0.8 to 1
+      (3L, "completely different words here nothing shared"),
+      (4L, "the quick brown fox jumps over the lazy dog")) // exact dup of 1
+      .toDF("id", "t")
+    val pairs = Dedup.minhashNearDuplicates(docs, "id", "t", threshold = 0.5,
+      numShingleWords = 1, numBands = 16, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash signature: length, determinism, containment monotonicity") {
+    val df = Seq("a b c d e f", "a b c d e f", "q r s").toDF("t")
+    val sigs = df.select(Dedup.minhashSignature(col("t"), 1, 32)).collect()
+      .map(_.getSeq[Long](0))
+    assert(sigs.forall(_.size == 32))
+    assert(sigs(0) == sigs(1)) // same text, same signature
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("simhash: identical texts collide, disjoint texts differ, hamming bounds") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("id", "t")
+    val fps = df.select(col("id"), Dedup.simhash(col("t")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    val d = java.lang.Long.bitCount(fps(1L) ^ fps(3L))
+    assert(d > 0 && d <= 64)
+    val hd = df.as("a").crossJoin(df.as("b"))
+      .where(col("a.id") === 1 && col("b.id") === 3)
+      .select(Dedup.hamming64(Dedup.simhash(col("a.t")), Dedup.simhash(col("b.t"))))
+      .head().getInt(0)
+    assert(hd == d)
+  }
+
+  test("tokenCount / subwordCount edges") {
+    val df = Seq("", "   ", "one", "a b  c", "ab1 cd, x!").toDF("t")
+    val out = df.select(TextOps.tokenCount(col("t")), TextOps.subwordCount(col("t"))).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 0, 1, 3, 3))
+    assert(out(4).getInt(1) == 6) // ab,1,cd,',',x,'!'
+  }
+
+  test("languageId picks the marker-dominant language, und on no hits") {
+    val df = Seq(
+      "the cat is in the house and it is big",
+      "el gato y la casa en la calle",
+      "zzz qqq www").toDF("t")
+    val out = df.select(TextOps.languageId(col("t"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("qualityScore in [0,1], higher for clean prose than for junk") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs for a while in the field",
+      "!!! ??? *** 123 456 789 @@@ ###").toDF("t")
+    val out = df.select(TextOps.qualityScore(col("t"))).collect().map(_.getDouble(0))
+    assert(out.forall(s => s >= 0 && s <= 1))
+    assert(out(0) > out(1))
+  }
+
+  test("rollingFingerprint is order-sensitive") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("t")
+    val fps = df.select(TextOps.rollingFingerprint(col("t"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(2) && fps(0) != fps(1))
+  }
+}

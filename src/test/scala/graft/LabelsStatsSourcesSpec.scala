@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.{Labels, Stats}
+import graft.sources.Sources
+
+/** Label layer (P1–P12), stats layer (P10/F6/F7/G17), sources (S1–S3, S8). */
+class LabelsStatsSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binaryLabel: benign-like spellings → benign") {
+    val df = Seq("None", " BENIGN ", "none (ie. benign)", "syn-flood", null).toDF("a")
+    val out = df.select(Labels.binaryLabel(col("a"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("benign", "benign", "benign", "attack", "attack"))
+  }
+
+  test("attackGroup: known names map, unknown pass through") {
+    val df = Seq("SYN-Flood", "backdoor", "vuln-scan", "weird-new-attack").toDF("a")
+    val out = df.select(Labels.attackGroup(col("a"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("DoS", "host-attack", "recon", "weird-new-attack"))
+  }
+
+  test("filenameLabel: stem tokens from the 3rd, joined") {
+    val df = Seq("/data/evseA/EVSE-A-icmp-flood-1.csv", "x/a-b-c.csv", "a-b.csv").toDF("f")
+    val out = df.select(Labels.filenameLabel(col("f"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("icmp flood 1", "c", "")) // ref joins with " "
+  }
+
+  test("fitLabelEncoder is lexicographic; encodeLabel broadcasts it back") {
+    val df = Seq("dog", "ant", "cat", "dog").toDF("cls")
+    val enc = Labels.fitLabelEncoder(df, "cls")
+    val mapping = enc.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(mapping == Map("ant" -> 0, "cat" -> 1, "dog" -> 2))
+    val encoded = Labels.encodeLabel(df, enc, "cls").select("cls", "y").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(encoded == Set(("dog", 2), ("ant", 0), ("cat", 1)))
+  }
+
+  test("categoryCodes: sorted-distinct codes with null → missing") {
+    val df = Seq(Some("b"), None, Some("a"), Some("b")).toDF("c")
+    val out = Labels.categoryCodes(df, "c", "code").select("c", "code").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(out == Set(("a", 0), ("b", 1), ("missing", 2)))
+  }
+
+  test("standard scaler: population std, zero-variance guard, train-only fit") {
+    val train = Seq((1.0, 5.0), (3.0, 5.0)).toDF("x", "c")
+    val scaler = Stats.fitStandardScaler(train, Seq("x", "c"))
+    assert(approx(scaler("x")._1, 2.0) && approx(scaler("x")._2, 1.0)) // pop std of {1,3}
+    assert(scaler("c")._2 == 1.0) // zero-variance → scale 1
+    val applied = Stats.applyStandardScaler(train, scaler).collect()
+    assert(approx(applied(0).getDouble(0), -1.0) && approx(applied(1).getDouble(0), 1.0))
+    assert(approx(applied(0).getDouble(1), 0.0))
+  }
+
+  test("constantColumns counts nulls as values (dropna=False parity)") {
+    val df = Seq((1, Some("a"), None: Option[String]), (1, Some("a"), Some("x")))
+      .toDF("const", "const2", "mixed")
+    val out = Stats.constantColumns(df, Seq("const", "const2", "mixed"))
+    assert(out == Seq("const", "const2"))
+  }
+
+  test("nearEmptyColumns flags > threshold null ratio") {
+    val df = Seq((Some(1), None: Option[Int]), (None, None), (None, None), (None, None))
+      .toDF("a", "b")
+    assert(Stats.nearEmptyColumns(df, Seq("a", "b"), 0.8) == Seq("b"))
+    assert(Stats.nearEmptyColumns(df, Seq("a", "b"), 0.74) == Seq("a", "b"))
+  }
+
+  test("acf: lag0 = 1, perfect alternation has acf(1) ≈ -1") {
+    val df = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) 1.0 else -1.0)).toDF("t", "x")
+    val out = Stats.acf(df, col("t"), col("x"), 2).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(approx(out(0), 1.0))
+    assert(out(1) < -0.9)
+    assert(out(2) > 0.9)
+  }
+
+  test("S1/S2 power+host CSV loading: schema repair, constant drop, positional event cols") {
+    val dir = Files.createTempDirectory("graft_src").toFile
+    val power = new java.io.File(dir, "power.csv")
+    Files.writeString(power.toPath,
+      """time,current_mA,bus_voltage_V,power_mW,State,Attack
+        |2024-01-01 00:00:02,1.5,5.0,7.5,charging,none
+        |2024-01-01 00:00:01,1.0,5.0,5.0,idle,syn-flood
+        |""".stripMargin)
+    val p = Sources.loadPower(spark, power.getPath)
+    val rows = p.select("state_bin", "Attack").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1)) // sorted by timestamp: idle first
+    val host = new java.io.File(dir, "host.csv")
+    Files.writeString(host.toPath,
+      """time,ev1,ev2,ev3,State,Attack
+        |1,10,5,bad,Charging,none
+        |2,20,5,7,Idle,none
+        |3,30,5,8,Charging,dos
+        |""".stripMargin)
+    val (h, eventCols) = Sources.loadHost(spark, host.getPath)
+    assert(eventCols == Seq("ev1", "ev3")) // ev2 constant → dropped; time excluded
+    assert(h.schema.fieldNames.contains("state_bin"))
+    assert(h.select("timestamp").collect().map(_.getDouble(0)).toSeq == Seq(0.0, 1.0, 2.0))
+    // numeric coercion: "bad" → null
+    assert(h.where(col("ev3").isNull).count() == 1)
+  }
+
+  test("S3 network merge: filename labels, evse tag, union, dropna") {
+    val dir = Files.createTempDirectory("graft_net").toFile
+    val a = new java.io.File(dir, "a"); a.mkdirs()
+    val b = new java.io.File(dir, "b"); b.mkdirs()
+    Files.writeString(new java.io.File(a, "EVSE-A-syn-flood.csv").toPath,
+      "f1,f2\n1,2\n3,\n")
+    Files.writeString(new java.io.File(b, "EVSE-B-benign.csv").toPath,
+      "f1,f2\n5,6\n")
+    val merged = Sources.mergeNetworkCsvs(spark, a.getPath, b.getPath, dropCols = Seq())
+    val rows = merged.select("f1", "label_mul_raw", "evse").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1, "syn flood", "A"), (5, "benign", "B"))) // dropna removed (3, null)
+  }
+
+  test("S8 flattenStructs: nested → underscored; 2-elem numeric arrays → low/high") {
+    val df = spark.sql(
+      """SELECT named_struct('acc', CAST(0.9 AS DOUBLE),
+        |         'ci', array(CAST(0.8 AS DOUBLE), CAST(0.95 AS DOUBLE))) AS metrics,
+        |       'run1' AS run""".stripMargin)
+    val flat = Sources.flattenStructs(df)
+    assert(flat.schema.fieldNames.toSet == Set("metrics_acc", "metrics_ci_low", "metrics_ci_high", "run"))
+    val r = flat.head()
+    assert(r.getAs[Double]("metrics_ci_low") == 0.8 && r.getAs[Double]("metrics_ci_high") == 0.95)
+  }
+
+  test("sanitizeDoubles: NaN and ±Inf → null") {
+    val df = Seq(1.0, Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity).toDF("x")
+    val out = Sources.sanitizeDoubles(df).collect().map(r => Option(r.get(0)))
+    assert(out.toSeq == Seq(Some(1.0), None, None, None))
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{BinaryOperational, Curves, MetricsOps, Sessionize}
+
+/** sklearn-parity fixtures for G9/G13/G14/G15/G16/G12/G11/G5.
+  * Expected values hand-computed / cross-checked against sklearn formulas
+  * (SURVEY §5.2 "metric laws"). */
+class MetricsCurvesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // y_true, score fixture with known curve: scores descending
+  // (y, s): (1,.9) (0,.8) (1,.7) (1,.6) (0,.4) (0,.3) -> pos=3 neg=3
+  private lazy val scored = Seq((1, 0.9), (0, 0.8), (1, 0.7), (1, 0.6), (0, 0.4), (0, 0.3))
+    .toDF("y", "s")
+
+  test("rocCurve cumulative points match hand computation") {
+    val pts = Curves.rocCurve(scored, col("y"), col("s"))
+      .orderBy(desc("threshold")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    // threshold desc: (.9: fps0 tps1) (.8: 1,1) (.7: 1,2) (.6: 1,3) (.4: 2,3) (.3: 3,3)
+    assert(pts.toSeq == Seq((0.9, 0L, 1L), (0.8, 1L, 1L), (0.7, 1L, 2L),
+      (0.6, 1L, 3L), (0.4, 2L, 3L), (0.3, 3L, 3L)))
+  }
+
+  test("rocAuc matches sklearn roc_auc_score") {
+    // sklearn on this fixture: AUC = 7/9
+    val auc = Curves.rocAuc(scored, col("y"), col("s")).head().getDouble(0)
+    assert(approx(auc, 7.0 / 9, 1e-12), s"auc=$auc")
+  }
+
+  test("averagePrecision matches sklearn average_precision_score") {
+    // AP = sum (R_i - R_{i-1}) P_i over thresholds desc:
+    // (1/3)(1) + 0 + (1/3)(2/3) + (1/3)(3/4) + 0 + 0 = 0.80555...
+    val ap = Curves.averagePrecision(scored, col("y"), col("s")).head().getDouble(0)
+    assert(approx(ap, 1.0 / 3 + 2.0 / 9 + 0.25, 1e-12), s"ap=$ap")
+  }
+
+  test("thresholdAtFpr picks last point with fpr <= target, falls back to nearest") {
+    val curve = Curves.rocCurve(scored, col("y"), col("s"))
+    val t1 = Curves.thresholdAtFpr(curve, 1.0 / 3).head()
+    assert(t1.getDouble(0) == 0.6) // fpr 1/3 reached down to thr .6
+    val t2 = Curves.thresholdAtFpr(curve, 0.5).head()
+    assert(t2.getDouble(0) == 0.6) // last fpr <= .5 still 1/3 at thr .6
+    // fallback: no point has fpr <= 0 except none (min fpr = 0? thr .9 has fpr 0)
+    val t3 = Curves.thresholdAtFpr(curve, 0.0).head()
+    assert(t3.getDouble(0) == 0.9 && t3.getDouble(1) == 0.0)
+  }
+
+  test("multiclass metrics match sklearn on a 3-class fixture") {
+    // y_true: 0,0,1,1,2,2 ; y_pred: 0,1,1,1,2,0
+    val df = Seq((0, 0), (0, 1), (1, 1), (1, 1), (2, 2), (2, 0)).toDF("yt", "yp")
+    val m = MetricsOps.multiclassMetrics(df, "yt", "yp", Seq(0, 1, 2)).head()
+    val get = (n: String) => m.getAs[Double](n)
+    assert(approx(get("accuracy"), 4.0 / 6))
+    // per-class: P0=1/2 R0=1/2; P1=2/3 R1=1; P2=1 R2=1/2
+    assert(approx(get("precision_macro"), (0.5 + 2.0 / 3 + 1.0) / 3))
+    assert(approx(get("recall_macro"), (0.5 + 1.0 + 0.5) / 3))
+    assert(approx(get("balanced_accuracy"), (0.5 + 1.0 + 0.5) / 3))
+    // F1: 0.5, 0.8, 2/3
+    assert(approx(get("f1_macro"), (0.5 + 0.8 + 2.0 / 3) / 3))
+    assert(approx(get("f1_weighted"), (0.5 * 2 + 0.8 * 2 + 2.0 / 3 * 2) / 6))
+  }
+
+  test("zero_division=0: class never predicted gets precision 0") {
+    val df = Seq((0, 1), (1, 1)).toDF("yt", "yp") // class 0 never predicted
+    val m = MetricsOps.multiclassMetrics(df, "yt", "yp", Seq(0, 1)).head()
+    assert(approx(m.getAs[Double]("precision_macro"), (0.0 + 0.5) / 2))
+  }
+
+  test("confusion matrix densely zero-fills the label universe") {
+    val df = Seq((0, 0), (1, 1)).toDF("yt", "yp")
+    val cm = MetricsOps.confusionMatrix(df, "yt", "yp", Seq(0, 1, 2))
+    assert(cm.count() == 9)
+    assert(cm.where(col("cnt") === 0).count() == 7)
+  }
+
+  test("classWeights: n/(k*n_c) capped") {
+    val df = (Seq.fill(90)("a") ++ Seq.fill(9)("b") ++ Seq("c")).toDF("y")
+    val w = MetricsOps.classWeights(df, "y", cap = 10.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx(w("a"), 100.0 / (3 * 90)))
+    assert(approx(w("b"), 100.0 / (3 * 9)))
+    assert(approx(w("c"), 10.0)) // uncapped would be 33.3
+  }
+
+  test("weightedLogLoss clips probabilities") {
+    val df = Seq((1.0, 1.0), (0.0, 1.0)).toDF("p", "w") // p_true=0 would be -inf
+    val ll = MetricsOps.weightedLogLoss(df, col("p"), col("w")).head().getDouble(0)
+    assert(ll.isFinite && ll > 0)
+    assert(approx(ll, -math.log(1e-12) / 2, 1e-6))
+  }
+
+  test("TTD sessionization: episode boundaries and delays") {
+    // idx: 1..8; yt: 0 1 1 0 1 1 1 0; ep: same except idx5-7 has ep change at 6
+    val df = Seq(
+      (1L, 0, 0, "e1"), (2L, 1, 0, "e1"), (3L, 1, 1, "e1"), (4L, 0, 0, "e1"),
+      (5L, 1, 0, "e2"), (6L, 1, 0, "e3"), (7L, 1, 1, "e3"), (8L, 0, 1, "e3"))
+      .toDF("idx", "yt", "yp", "ep")
+    val eps = Sessionize.episodes(df, col("idx"), col("yt"), col("yp"), col("ep"))
+      .orderBy("episode").collect()
+    // episodes: [2,3] e1 (det at 3, delay 1), [5] e2 (undetected), [6,7] e3 (det at 7, delay 1)
+    assert(eps.length == 3)
+    assert(eps(0).getAs[Long]("start_idx") == 2L && eps(0).getAs[Long]("det_idx") == 3L)
+    assert(eps(1).getAs[Long]("start_idx") == 5L && eps(1).isNullAt(eps(1).fieldIndex("det_idx")))
+    assert(eps(2).getAs[Long]("start_idx") == 6L && eps(2).getAs[Long]("det_idx") == 7L)
+    val stats = Sessionize.ttdStats(df, col("idx"), col("yt"), col("yp"), col("ep"), 2.0).head()
+    assert(stats.getLong(0) == 3 && stats.getLong(1) == 2)
+    assert(approx(stats.getDouble(2), 2.0)) // mean(1,1)*hop2
+  }
+
+  test("clopperPearson matches independent beta-quantile reference values") {
+    // Reference: bisection on the regularized incomplete beta (Numerical
+    // Recipes continued fraction), CP interval for 5 successes of 100.
+    val (lo, hi) = BinaryOperational.clopperPearson(5, 100)
+    assert(approx(lo, 0.016431879182, 1e-6), s"lo=$lo")
+    assert(approx(hi, 0.112834911105, 1e-6), s"hi=$hi")
+    // edges
+    assert(BinaryOperational.clopperPearson(0, 50)._1 == 0.0)
+    assert(BinaryOperational.clopperPearson(50, 50)._2 == 1.0)
+  }
+
+  test("binary operational composite on a calibratable fixture") {
+    val valDf = Seq((1, 0.9), (1, 0.8), (0, 0.6), (0, 0.4), (0, 0.2)).toDF("y", "s")
+    val testDf = Seq((1, 0.95), (1, 0.5), (0, 0.7), (0, 0.3)).toDF("y", "s")
+    val m = BinaryOperational.evaluate(valDf, testDf, col("y"), col("s"),
+      fprTarget = 0.0, hopSeconds = 3600.0)
+    // val curve: thr .8 gives fpr 0, tpr 1 → threshold .8
+    assert(m.threshold == 0.8)
+    assert(m.tp == 1 && m.fn == 1 && m.tn == 2 && m.fp == 0)
+    assert(approx(m.fpr, 0.0))
+    assert(approx(m.falsePositivesPerHour, 0.0))
+    assert(m.fprCiCpHigh > 0 && m.fprCiCpHigh < 1)
+  }
+}

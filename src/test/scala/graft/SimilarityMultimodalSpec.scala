@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal, Similarity}
+
+class SimilarityMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: parallel = 1, orthogonal = 0, antiparallel = -1") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(2.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 3.0)),
+      (Seq(1.0, 2.0), Seq(-1.0, -2.0))).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(approx(out(0), 1.0) && approx(out(1), 0.0) && approx(out(2), -1.0))
+  }
+
+  test("bruteForceTopK returns k nearest by cosine, excluding self") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.0, 1.0)), (4L, Seq(-1.0, 0.0)))
+      .toDF("id", "v")
+    val queries = Seq((1L, Seq(1.0, 0.0))).toDF("qid", "qv")
+    val out = Similarity.bruteForceTopK(corpus, queries, "id", "v", "qid", "qv", k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(2L, 3L))
+  }
+
+  test("ivfTopK recall vs brute force on clustered corpus") {
+    // Two tight clusters; IVF with enough probes must match brute force.
+    val corpus = ((1 to 20).map(i => (i.toLong, Seq(1.0 + i * 0.001, 0.1))) ++
+      (21 to 40).map(i => (i.toLong, Seq(0.1, 1.0 + i * 0.001)))).toDF("id", "v")
+    val queries = Seq((1L, Seq(1.0, 0.1)), (21L, Seq(0.1, 1.0))).toDF("qid", "qv")
+    val brute = Similarity.bruteForceTopK(corpus, queries, "id", "v", "qid", "qv", k = 3)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, "id", "v", "qid", "qv",
+      k = 3, nCells = 4, nProbe = 4)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == brute)
+  }
+
+  test("randomHyperplaneLsh: similar vectors collide more than dissimilar") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.5, 0.2)), (2L, Seq(0.99, 0.01, 0.5, 0.2)),
+      (3L, Seq(-1.0, 0.3, -0.5, 0.9))).toDF("id", "v")
+    val buckets = df.select(col("id"), Similarity.randomHyperplaneLsh(col("v"), 8, 42L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(1L) == buckets(2L))
+    assert(buckets(1L) != buckets(3L))
+  }
+
+  test("multimodal extractFeatures: deterministic per-partition decode, schema appended") {
+    val ids = (1L to 30L).toDF("doc_id")
+    val media = Multimodal.syntheticMedia(spark, ids.toDF("doc_id"), "doc_id")
+    val feats = Multimodal.extractFeatures(media, "payload")
+    assert(feats.schema.fieldNames.contains("features"))
+    val rows = feats.select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.values.forall(_.size == Multimodal.FakeDecoder.featureDim))
+    // deterministic across recomputation and partitioning
+    val again = Multimodal.extractFeatures(media.repartition(7), "payload")
+      .select("media_id", "features").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows == again)
+    // f_len = payload byte length > 0
+    assert(rows.values.forall(_.head > 0))
+  }
+
+  test("sampleFrames: keeps every step-th of nFrames, slices payload bytes") {
+    val ids = (1L to 5L).toDF("doc_id")
+    val media = Multimodal.syntheticMedia(spark, ids.toDF("doc_id"), "doc_id")
+    val frames = Multimodal.sampleFrames(media, "payload", nFrames = 16, step = 4)
+    val perDoc = frames.groupBy("media_id").count().collect().map(_.getLong(1))
+    assert(perDoc.forall(_ == 4)) // frames 0,4,8,12
+    assert(frames.where(length(col("frame")) === 0).count() == 0)
+  }
+}
