@@ -1,0 +1,18 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.VectorShim
+
+/** Public column API for the native vector expressions
+  * (see org.apache.spark.sql.graft.VectorShim for the Catalyst side). */
+object VectorFunctions {
+  /** Σ a[i]·b[i] over the common prefix — whole-stage-codegen'd. */
+  def dot(a: Column, b: Column): Column = VectorShim.dotCol(a, b)
+
+  /** √(Σ a[i]²) — whole-stage-codegen'd. */
+  def l2norm(a: Column): Column = VectorShim.l2normCol(a)
+
+  /** dot(a,b) / (|a|·|b|). For repeated use against many candidates,
+    * precompute the norms once per side instead. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+}

@@ -46,14 +46,43 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature: for permutation p in 0 until numHashes,
-    * min over shingles of xxhash64(shingle, p). Narrow, per-row. */
+  /** MinHash signature expression: for permutation p in 0 until numHashes,
+    * min over shingles of xxhash64(shingle, p). Narrow, per-row — but the
+    * shingle array is re-evaluated per permutation by codegen, so prefer
+    * [[minhashSignatures]] (the exploded aggregation form) for anything
+    * beyond a handful of hashes. */
   def minhashSignature(text: Column, numShingleWords: Int, numHashes: Int): Column = {
     val sh = shingles(text, numShingleWords)
     transform(sequence(lit(0), lit(numHashes - 1)), p =>
       coalesce(
         array_min(transform(sh, s => xxhash64(s, p))),
         lit(Long.MaxValue)))
+  }
+
+  /** MinHash signatures as a table: (id, sig array<long>).
+    *
+    * Distributed shape: explode shingles × permutations, `groupBy(id, p)`
+    * `min` (map-side combinable — the shuffle carries one minimum per
+    * (doc, perm), never the shingles), then reassemble the signature in
+    * permutation order. This is the 100 TB form: cost is one shuffle of
+    * |docs|·numHashes tiny rows, and each shingle is hashed exactly
+    * numHashes times in one streaming pass. Docs with no shingles get the
+    * empty-signature sentinel (Long.MaxValue everywhere). */
+  def minhashSignatures(df: DataFrame, id: String, text: String,
+      numShingleWords: Int, numHashes: Int): DataFrame = {
+    val exploded = df
+      .select(col(id), explode(shingles(col(text), numShingleWords)).as("__sh"))
+      .select(col(id), col("__sh"), explode(sequence(lit(0), lit(numHashes - 1))).as("__p"))
+    val mins = exploded.groupBy(col(id), col("__p"))
+      .agg(min(xxhash64(col("__sh"), col("__p"))).as("__mh"))
+    val sigs = mins.groupBy(col(id))
+      .agg(transform(sort_array(collect_list(struct(col("__p"), col("__mh")))),
+        s => s.getField("__mh")).as("sig"))
+    // docs whose shingle set is empty fall out of the explode — restore
+    // them with the sentinel signature so downstream joins keep every id.
+    df.select(col(id)).join(sigs, Seq(id), "left")
+      .withColumn("sig", coalesce(col("sig"),
+        array_repeat(lit(Long.MaxValue), numHashes)))
   }
 
   /** MinHash + LSH banding: signature of `numBands·rowsPerBand` hashes,
@@ -64,10 +93,10 @@ object Dedup {
     * [[jaccardSimilarity]]. */
   def lshBuckets(df: DataFrame, id: String, text: String,
       numShingleWords: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val sig = minhashSignature(col(text), numShingleWords, numBands * rowsPerBand)
-    df.select(col(id), posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+    val sigs = minhashSignatures(df, id, text, numShingleWords, numBands * rowsPerBand)
+    sigs.select(col(id), posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
         xxhash64(array_join(transform(
-          slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")), ","), b)))
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")), ","), b)))
       .as(Seq("band", "bucket")))
   }
 

@@ -22,11 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Codegen'd single-pass dot product (graft.functions.DotProduct) —
+    * the HOF form `aggregate(zip_with(a, b, _*_), 0.0, _+_)` is
+    * semantically identical but interpreted per element. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+  def norm(a: Column): Column = graft.functions.VectorFunctions.l2norm(a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -39,8 +40,9 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, qid: String, qvec: String, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val joined = corpus.join(broadcast(queries))
-      .withColumn("cos", cosine(col(qvec), col(vec)))
+    val joined = corpus.withColumn("__vn", norm(col(vec)))
+      .join(broadcast(queries.withColumn("__qn", norm(col(qvec)))))
+      .withColumn("cos", dot(col(qvec), col(vec)) / (col("__qn") * col("__vn")))
     val filtered = if (excludeSelf) joined.where(col(id) =!= col(qid)) else joined
     val w = Window.partitionBy(qid).orderBy(col("cos").desc, col(id).asc)
     filtered.withColumn("rank", row_number().over(w))
@@ -75,23 +77,30 @@ object Similarity {
     // smallest xxhash64(id) — stable across partitioning and cluster size.
     // (centroidsByHash=false picks the lowest ids instead — useful when an
     // external system must reproduce the cell assignment.)
+    // Norms are precomputed once per vector — the cosine against each of
+    // the nCells/nProbe candidates then costs one dot product, not three
+    // (higher-order array folds are interpreted, so redundant folds are
+    // the dominant cost at scale).
     val centroids = corpus
       .select(col(id).as("cell_id"), col(vec).as("cvec"),
         (if (centroidsByHash) xxhash64(col(id)) else col(id)).as("h"))
       .orderBy("h").limit(nCells).drop("h")
-    val assigned = corpus.join(broadcast(centroids))
-      .withColumn("d", -cosine(col(vec), col("cvec")))
+      .withColumn("cnorm", norm(col("cvec")))
+    val corpusN = corpus.select(col(id), col(vec)).withColumn("vnorm", norm(col(vec)))
+    val assigned = corpusN.join(broadcast(centroids))
+      .withColumn("d", -dot(col(vec), col("cvec")) / (col("vnorm") * col("cnorm")))
       .withColumn("rnk", row_number().over(Window.partitionBy(id).orderBy(col("d").asc, col("cell_id").asc)))
       .where(col("rnk") === 1)
-      .select(col(id), col(vec), col("cell_id"))
-    val probes = queries.join(broadcast(centroids))
-      .withColumn("d", -cosine(col(qvec), col("cvec")))
+      .select(col(id), col(vec), col("vnorm"), col("cell_id"))
+    val queriesN = queries.withColumn("qnorm", norm(col(qvec)))
+    val probes = queriesN.join(broadcast(centroids))
+      .withColumn("d", -dot(col(qvec), col("cvec")) / (col("qnorm") * col("cnorm")))
       .withColumn("rnk", row_number().over(Window.partitionBy(qid).orderBy(col("d").asc, col("cell_id").asc)))
       .where(col("rnk") <= nProbe)
-      .select(col(qid), col(qvec), col("cell_id"))
+      .select(col(qid), col(qvec), col("qnorm"), col("cell_id"))
     val candidates = assigned.join(broadcast(probes), Seq("cell_id"))
       .where(col(id) =!= col(qid))
-      .withColumn("cos", cosine(col(qvec), col(vec)))
+      .withColumn("cos", dot(col(qvec), col(vec)) / (col("qnorm") * col("vnorm")))
     val w = Window.partitionBy(qid).orderBy(col("cos").desc, col(id).asc)
     candidates.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -17,10 +17,13 @@ object RowsOnlyQueries {
 
   private val ord = Seq(col("ts").asc, col("event_id").asc)
 
-  /** Shared windowed events: seq_len=8, step=8 (tumbling), one feature. */
+  /** Shared windowed events: seq_len=8, step=8 (tumbling), one feature.
+    * Uses the chunked (parallel) windower — byte-equal to the global form
+    * (proven by the w1_chunked_parity oracle query) without the
+    * single-partition sort. */
   private def wins(s: org.apache.spark.sql.SparkSession, dir: String) =
-    SlidingWindows.slideGlobal(scoredEvents(s, dir), ord, array(col("value")),
-      seqLen = 8, step = 8)
+    SlidingWindows.slideGlobalChunked(scoredEvents(s, dir), ord, array(col("value")),
+      seqLen = 8, step = 8, chunkSize = 8192)
       .select(col("win_id"), col("window"), col("y_true"))
 
   private def winChecksum(c: org.apache.spark.sql.Column) =
