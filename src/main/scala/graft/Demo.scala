@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.model.Scorers
+import graft.pipelines.{HostImportance, Pipeline1, Pipeline2, Pipeline3}
+import graft.sources.Sources
+
+/** End-to-end demo runner: the full reference experiment lifecycle
+  * (pipeline1 train → pipeline2 surrogate → pipeline3A robustness →
+  * pipeline3B generalization → permutation importance) on the events
+  * testdata, with windows + metrics artifacts written like the
+  * reference's run directories.
+  *
+  * Usage: sbt 'runMain graft.Demo [sfDir] [outDir]'
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_demo")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    // events → power-shaped: event_type plays Attack ('error' = the
+    // attack), user_id bucket plays State, (ts, event_id) is the order.
+    val power = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("Attack", when(col("event_type") === "error", lit("syn-flood")).otherwise(lit("none")))
+      .withColumn("State", when(pmod(col("user_id"), lit(2)) === 0, "charging").otherwise("idle"))
+      .withColumn("v2", col("value") * 0.5 + col("event_id") % 7)
+
+    val r = Pipeline1.run(spark, power, Seq("value", "v2"), "Attack", "State",
+      Seq(col("ts"), col("event_id")), Scorers.Logistic(maxIter = 25),
+      Pipeline1.Config(task = "binary", seqLen = 10, step = 5, fprTarget = 0.05, chunkSize = 8192))
+
+    Sources.writeWindows(r.windows, s"$outDir/windows")
+    Sources.writeMetricsJson(r.multiclass, s"$outDir/metrics_multiclass")
+    val op = r.operational.get
+    println(s"""{"stage":"pipeline1","accuracy":${r.multiclass.head().getAs[Double]("accuracy")},"threshold":${op.threshold},"fpr":${op.fpr},"tpr":${op.tpr},"fp_per_hour":${op.falsePositivesPerHour}}""")
+
+    val p2 = Pipeline2.run(r.scored, nFeatures = 2)
+    println(s"""{"stage":"pipeline2","agreement":${p2.agreement.head().getAs[Double]("agreement")}}""")
+
+    val curves = Pipeline3.robustness(r.scored, r.model,
+      kinds = Seq("packet_loss", "missing_variables"), nSev = 3, nRepeats = 2)
+    println(s"""{"stage":"pipeline3A","points":${curves.count()}}""")
+    Sources.writeMetricsJson(curves, s"$outDir/robustness_curves")
+
+    val gen = Pipeline3.leaveOneAttackOut(r.windows, Scorers.Logistic(maxIter = 15), Seq("syn-flood"))
+    val g = gen.head()
+    println(s"""{"stage":"pipeline3B","held_out":"${g.getString(0)}","acc_held":${g.getDouble(1)},"acc_rest":${g.getDouble(2)}}""")
+
+    val wins = r.windows.where(col("split") === "test")
+      .withColumn("weight", lit(1.0))
+      .withColumn("win_id", col("win_id").cast("long"))
+    val imp = HostImportance.permutationImportance(wins, r.model, nFeatures = 2, nRepeats = 2)
+    val top = HostImportance.topK(imp, 1)
+    println(s"""{"stage":"importance","top_feature":${top.head}}""")
+
+    spark.stop()
+  }
+}

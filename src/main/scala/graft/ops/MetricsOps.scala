@@ -84,6 +84,44 @@ object MetricsOps {
       (sum(col("f1") * col("support")) / sum("support")).as("f1_weighted"))
   }
 
+  /** G13 per-group (F10 per-state slices,
+    * pipeline_trainingmodels_power.py:235-311): the multiclass suite
+    * computed per value of `groupCol` in ONE pass — a groupBy over
+    * (group, y_true, y_pred) cells instead of a driver loop over boolean
+    * masks, so thousands of slices cost one shuffle. */
+  def multiclassMetricsPerGroup(df: DataFrame, groupCol: String,
+      yTrue: String, yPred: String, labels: Seq[Int]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(groupCol).as("grp"),
+        col(yTrue).cast("int").as("y_true"), col(yPred).cast("int").as("y_pred"))
+      .agg(count(lit(1)).as("cnt"))
+    val universe = df.select(col(groupCol).as("grp")).distinct()
+      .crossJoin(labels.toDF("y_true")).crossJoin(labels.toDF("y_pred"))
+    val dense = universe.join(counts, Seq("grp", "y_true", "y_pred"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val tp = dense.where(col("y_true") === col("y_pred"))
+      .select(col("grp"), col("y_true").as("cls"), col("cnt").as("tp"))
+    val support = dense.groupBy(col("grp"), col("y_true").as("cls"))
+      .agg(sum("cnt").as("support"))
+    val predicted = dense.groupBy(col("grp"), col("y_pred").as("cls"))
+      .agg(sum("cnt").as("predicted"))
+    val stats = support.join(tp, Seq("grp", "cls"), "left")
+      .join(predicted, Seq("grp", "cls"), "left").na.fill(0L)
+      .withColumn("fn", col("support") - col("tp"))
+      .withColumn("fp", col("predicted") - col("tp"))
+      .withColumn("precision", safeDiv(col("tp"), col("tp") + col("fp")))
+      .withColumn("recall", safeDiv(col("tp"), col("tp") + col("fn")))
+      .withColumn("f1", safeDiv(lit(2.0) * col("precision") * col("recall"),
+        col("precision") + col("recall")))
+    stats.groupBy("grp").agg(
+      safeDiv(sum("tp"), sum("support")).as("accuracy"),
+      avg(when(col("support") > 0, col("recall"))).as("balanced_accuracy"),
+      avg("precision").as("precision_macro"),
+      avg("recall").as("recall_macro"),
+      avg("f1").as("f1_macro"))
+  }
+
   /** G11 — weighted log-loss with probability clipping.
     * Ref: compute_weighted_logloss, pipelines_host/pipeline_host_importance.py:128-151:
     * `Σ w_i · (−log clip(p_true_i, ε, 1−ε)) / Σ w_i`, ε = 1e-12. */

@@ -1,0 +1,222 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Scorers, WindowScorer}
+import graft.ops._
+
+/** End-to-end experiment pipelines composing the operator library —
+  * the Spark re-expression of the reference's 4-stage experiment family
+  * (SURVEY §0, §3).
+  *
+  * Stage map (reference → here):
+  *  - pipeline1 train:  pipeline_trainingmodels_power.py:78-359 → [[Pipeline1.run]]
+  *  - pipeline2 surrogate: pipeline_expl_power.py:55-233 → [[Pipeline2.run]]
+  *  - pipeline3A robustness: pipeline_tests_power.py:172-477 → [[Pipeline3.robustness]]
+  *  - pipeline3B generalization: pipeline_tests_power.py:484-785 → [[Pipeline3.leaveOneAttackOut]]
+  *
+  * Every stage is ONE lazy DataFrame plan up to its sink: scan → labels →
+  * split (one shuffle) → scale (one collected agg row) → windows (one
+  * ordered exchange) → score → metric aggregations. Driver loops exist
+  * only where the reference's semantics are inherently iterative (grid
+  * cells, severity sweeps, held-out attacks) and each iteration is a
+  * distributed job.
+  */
+object Pipeline1 {
+
+  final case class Config(
+      task: String = "binary", // binary | scenario | multiattack
+      seqLen: Int = 15,
+      step: Int = 1,
+      fprTarget: Double = 1e-3,
+      hopSeconds: Double = 1.0,
+      trainFrac: Double = 0.70,
+      valFrac: Double = 0.15,
+      chunkSize: Int = 65536)
+
+  final case class Result(
+      windows: DataFrame,
+      scored: DataFrame,
+      encoder: DataFrame,
+      model: graft.model.WindowModel,
+      multiclass: DataFrame,
+      confusion: DataFrame,
+      operational: Option[BinaryOperational.OperationalMetrics],
+      perState: DataFrame)
+
+  /** Train pipeline on a labeled time series.
+    *
+    * @param df        input with `attackCol`, `stateCol`, feature columns,
+    *                  and a total chronological order given by `orderCols`
+    * @param features  numeric feature columns (scaled with train stats)
+    * @param scorer    pluggable model (SURVEY §2.10)
+    */
+  def run(spark: SparkSession, df: DataFrame, features: Seq[String],
+      attackCol: String, stateCol: String, orderCols: Seq[Column],
+      scorer: WindowScorer = Scorers.Logistic(), config: Config = Config()): Result = {
+
+    // 1. labels (P1/P2) + target per task (prepare_labels_for_task,
+    //    func_preproc.py:97-125) + task filter (F3)
+    val labeled = df
+      .withColumn("state_bin", Labels.stateBin(col(stateCol)))
+      .withColumn("attack_group", Labels.attackGroup(col(attackCol)))
+      .withColumn("label_bin", Labels.binaryLabel(col(attackCol)))
+      .na.drop(Seq(attackCol, stateCol))
+    val (target, filtered) = config.task match {
+      case "binary" => ("label_bin", labeled)
+      case "scenario" => ("attack_group",
+        labeled.where(lower(trim(col("attack_group"))) =!= "none"))
+      case "multiattack" => (attackCol,
+        labeled.where(!lower(trim(col(attackCol))).isin(Labels.BenignLike: _*)))
+      case other => throw new IllegalArgumentException(s"unknown task $other")
+    }
+
+    // 2. encode y (P9, lexicographic) — broadcast joined
+    val encoder = Labels.fitLabelEncoder(filtered, target)
+    val encoded = Labels.encodeLabel(filtered, encoder, target, "y")
+
+    // 3. per-(Attack, State) chronological split (G1) — one shuffle
+    val split = ChronoSplit.withSplit(encoded, Seq(attackCol, stateCol), orderCols,
+      config.trainFrac, config.valFrac)
+
+    // 4. standardize on train stats only (P10)
+    val scaler = Stats.fitStandardScaler(split.where(col("split") === "train"), features)
+    val scaled = Stats.applyStandardScaler(split, scaler)
+
+    // 5. sliding windows per split (W1/W2): label/state/attack from the
+    //    window's LAST row; windows slide over the concatenated sorted
+    //    split (crossing attack/state boundaries — the spec, SURVEY §7.4.2)
+    val featArray = array(features.map(col): _*)
+    val windows = Seq("train", "val", "test").map { s =>
+      SlidingWindows.slideGlobalChunked(
+        scaled.where(col("split") === s), orderCols, featArray,
+        config.seqLen, config.step, config.chunkSize)
+        .withColumn("split", lit(s))
+    }.reduce(_ unionByName _)
+      .select(col("split"), col("win_id"), col("window"), col("y"),
+        col(attackCol).as("attack"), col(stateCol).as("state"),
+        col("state_bin").as("state_bin_last"))
+
+    // 6. train + score
+    val model = scorer.fit(windows.where(col("split") === "train"))
+    val scored = model.transform(windows)
+
+    // 7. metrics: G9/G13 on test; G16 operational for binary; F10 per-state
+    val k = encoder.count().toInt
+    val test = scored.where(col("split") === "test")
+    val confusion = MetricsOps.confusionMatrix(test, "y", "y_pred", 0 until k)
+    val multiclass = MetricsOps.multiclassMetrics(test, "y", "y_pred", 0 until k)
+    val operational =
+      if (config.task == "binary" && k == 2) {
+        // attack-class proba: class id of "attack" under lexicographic
+        // encoding ("attack" < "benign" → id 0)
+        val attackId = encoder.where(col("class") === "attack")
+          .head().getAs[Int]("y")
+        val score = element_at(col("proba"), attackId + 1)
+        Some(BinaryOperational.evaluate(
+          scored.where(col("split") === "val"),
+          test,
+          when(col("y") === attackId, 1).otherwise(0), score,
+          config.fprTarget, config.hopSeconds))
+      } else None
+    val perState = MetricsOps.multiclassMetricsPerGroup(
+      test.withColumn("state_slice",
+        when(col("state_bin_last") >= 0.5, "charging").otherwise("idle")),
+      "state_slice", "y", "y_pred", 0 until k)
+
+    Result(windows, scored, encoder, model, multiclass, confusion, operational, perState)
+  }
+}
+
+/** Pipeline2 — surrogate explainability (pipeline_expl_power.py:55-233):
+  * per-window G6 summary stats → shallow decision tree imitating the base
+  * model; balanced accuracy of the imitation + exported rules. */
+object Pipeline2 {
+  final case class Result(stats: DataFrame, agreement: DataFrame, rules: String)
+
+  def run(scored: DataFrame, nFeatures: Int, maxDepth: Int = 4): Result = {
+    val statCols = (0 until nFeatures).flatMap { j =>
+      val s = SlidingWindows.windowFeatureStats(col("window"), j)
+      Seq(s("mean").as(s"mean_f$j"), s("std").as(s"std_f$j"),
+        s("min").as(s"min_f$j"), s("max").as(s"max_f$j"))
+    }
+    val names = (0 until nFeatures).flatMap(j =>
+      Seq(s"mean_f$j", s"std_f$j", s"min_f$j", s"max_f$j"))
+    val stats = scored.select(
+      (Seq(col("split"), col("win_id"), col("y"), col("y_pred")) ++ statCols): _*)
+    val (tree, apply) = Scorers.surrogateTree(
+      stats.where(col("split") === "train"), names, "y_pred", maxDepth)
+    val test = apply(stats.where(col("split") === "test"))
+    // agreement = surrogate vs base-model predictions (imitation quality)
+    val agreement = test.agg(
+      avg((col("y_pred_surrogate") === col("y_pred")).cast("double")).as("agreement"),
+      avg((col("y_pred_surrogate") === col("y")).cast("double")).as("accuracy_vs_truth"))
+    Result(stats, agreement, tree.toDebugString)
+  }
+}
+
+/** Pipeline3 — robustness (3A) and generalization (3B). */
+object Pipeline3 {
+
+  /** 3A: severity sweep of seeded degradations over the test windows,
+    * re-scored per (kind, severity, repeat); G7 mean/std across repeats.
+    * The sweep is a deterministic driver loop (70 evaluations in the
+    * reference, pipeline_tests_power.py:255-379); each evaluation is one
+    * distributed job over the degraded windows. */
+  def robustness(scored: DataFrame, model: graft.model.WindowModel,
+      kinds: Seq[String] = Seq("packet_loss", "missing_variables"),
+      maxSev: Double = 0.6, nSev: Int = 7, nRepeats: Int = 5,
+      baseSeed: Long = 123L): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val test = scored.where(col("split") === "test")
+      .select(col("win_id").cast("long").as("win_id"), col("window"), col("y"))
+    val grid = Robustness.severityGrid(maxSev, nSev, nRepeats, baseSeed)
+    val rows = for {
+      kind <- kinds
+      (sev, rep, seed) <- grid
+    } yield {
+      val degraded = kind match {
+        case "packet_loss" =>
+          test.withColumn("window", Robustness.packetLoss(col("window"), col("win_id"), sev, seed))
+        case "missing_variables" =>
+          test.withColumn("window", Robustness.missingVariables(col("window"), col("win_id"), sev, seed))
+        case "clock_offset" =>
+          test.withColumn("window", Robustness.clockOffset(col("window"), col("win_id"), sev, seed))
+        case "drift" =>
+          test.withColumn("window", Robustness.drift(col("window"), col("win_id"), sev, seed))
+        case other => throw new IllegalArgumentException(s"unknown kind $other")
+      }
+      val rescored = model.transform(degraded)
+      val acc = rescored.agg(avg((col("y_pred") === col("y")).cast("double"))).head().getDouble(0)
+      (kind, sev, rep, acc)
+    }
+    rows.toDF("kind", "severity", "rep", "accuracy")
+      .groupBy("kind", "severity")
+      .agg(avg("accuracy").as("accuracy_mean"),
+        coalesce(stddev_samp(col("accuracy")), lit(0.0)).as("accuracy_std"))
+      .orderBy("kind", "severity")
+  }
+
+  /** 3B: leave-one-attack-out generalization — drop one attack from
+    * train/val windows, retrain, evaluate on (a) windows of the held-out
+    * attack, (b) the rest (pipeline_tests_power.py:484-785). */
+  def leaveOneAttackOut(windows: DataFrame, scorer: WindowScorer,
+      attacks: Seq[String]): DataFrame = {
+    val spark = windows.sparkSession
+    import spark.implicits._
+    val rows = attacks.map { held =>
+      val train = windows.where(col("split") === "train" && col("attack") =!= held)
+      val model = scorer.fit(train)
+      val test = model.transform(windows.where(col("split") === "test"))
+      val onHeld = test.where(col("attack") === held)
+        .agg(avg((col("y_pred") === col("y")).cast("double"))).head()
+      val onRest = test.where(col("attack") =!= held)
+        .agg(avg((col("y_pred") === col("y")).cast("double"))).head()
+      (held,
+        if (onHeld.isNullAt(0)) Double.NaN else onHeld.getDouble(0),
+        if (onRest.isNullAt(0)) Double.NaN else onRest.getDouble(0))
+    }
+    rows.toDF("held_out_attack", "accuracy_on_held_out", "accuracy_on_rest")
+  }
+}

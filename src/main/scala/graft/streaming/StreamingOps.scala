@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming analogues of the batch operators (SURVEY §2.6
+  * note: the reference is batch/count-based; these are the event-time
+  * extensions a production deployment of the same semantics needs).
+  *
+  *  - [[slidingFeatureWindows]]: W1's event-time form — sliding
+  *    window(aggregates) with watermark, per entity.
+  *  - [[scoreStream]]: apply a fitted [[graft.model.WindowModel]]-style
+  *    threshold to a streaming score column (model scoring is row-local,
+  *    so any codegen'd scorer runs unchanged on a stream).
+  *  - [[EpisodeDetector]]: G12's online form — per-entity
+  *    flatMapGroupsWithState sessionization emitting (episode start,
+  *    first detection, delay) as episodes close.
+  */
+object StreamingOps {
+
+  /** Sliding event-time feature windows per entity: mean/std/min/max of
+    * `valueCol` over `windowDur` sliding by `slideDur`, watermarked —
+    * the streaming W1/G6. Late data beyond the watermark is dropped
+    * (state is bounded; at 1000 executors state is partitioned by
+    * (entity, window) — no global order needed, unlike batch W1). */
+  def slidingFeatureWindows(events: DataFrame, tsCol: String, entityCol: String,
+      valueCol: String, windowDur: String, slideDur: String,
+      watermark: String = "10 seconds"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(entityCol), window(col(tsCol), windowDur, slideDur))
+      .agg(
+        avg(valueCol).as("mean_value"),
+        coalesce(stddev_pop(col(valueCol)), lit(0.0)).as("std_value"),
+        min(valueCol).as("min_value"),
+        max(valueCol).as("max_value"),
+        count(lit(1)).as("n"))
+
+  /** Row-local threshold scoring on a stream (G15's threshold applied
+    * online). */
+  def scoreStream(scored: DataFrame, scoreCol: String, threshold: Double): DataFrame =
+    scored.withColumn("y_pred", (col(scoreCol) >= threshold).cast("int"))
+
+  final case class Event(entity: String, ts: Timestamp, yTrue: Int, yPred: Int)
+  final case class EpisodeState(startMs: Long, firstDetMs: Long, anyDetected: Boolean)
+  final case class Episode(entity: String, startMs: Long, detected: Boolean, delayMs: Long)
+
+  /** G12 online: per-entity episode sessionization. An episode opens on
+    * yTrue=1 and closes on the next yTrue=0 event for that entity; emits
+    * detection flag and first-detection delay on close. State is one small
+    * record per entity with an OPEN episode — bounded by entity
+    * cardinality, partitioned across executors by the groupByKey.
+    * (A production deployment would add an event-time timeout to close
+    * abandoned episodes; ProcessingTimeTimeout keeps the query
+    * perpetually re-triggering under processAllAvailable, so the
+    * deterministic core stays timeout-free.) */
+  object EpisodeDetector {
+    def detect(events: Dataset[Event]): Dataset[Episode] = {
+      import events.sparkSession.implicits._
+      events.groupByKey(_.entity)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (entity: String, rows: Iterator[Event], state: GroupState[EpisodeState]) => {
+            val out = scala.collection.mutable.Buffer[Episode]()
+            var st = state.getOption
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              (e.yTrue, st) match {
+                case (1, None) =>
+                  val det = e.yPred == 1
+                  st = Some(EpisodeState(e.ts.getTime, if (det) e.ts.getTime else -1L, det))
+                case (1, Some(s)) if e.yPred == 1 && !s.anyDetected =>
+                  st = Some(s.copy(firstDetMs = e.ts.getTime, anyDetected = true))
+                case (0, Some(s)) =>
+                  out += Episode(entity, s.startMs, s.anyDetected,
+                    if (s.anyDetected) s.firstDetMs - s.startMs else -1L)
+                  st = None
+                case _ => ()
+              }
+            }
+            st match {
+              case Some(s) => state.update(s)
+              case None => if (state.exists) state.remove()
+            }
+            out.iterator
+          })
+    }
+  }
+}

@@ -133,4 +133,14 @@ class LabelsStatsSourcesSpec extends SparkSpec {
     val out = Sources.sanitizeDoubles(df).collect().map(r => Option(r.get(0)))
     assert(out.toSeq == Seq(Some(1.0), None, None, None))
   }
+
+  test("G18 calculators: exact >= approx-ish, erf bridge, fph hours") {
+    import graft.ops.Calculators
+    // at fpr 1e-3, alpha .05: exact 2995, approx 2996
+    assert(Calculators.minSamplesZeroFpExact(1e-3) == 2995L)
+    assert(Calculators.minSamplesZeroFpApprox(1e-3) == 2996L)
+    assert(approx(Calculators.sigmaToAlpha(1.959963985), 0.05, 1e-6))
+    val h = Calculators.minBenignHoursZeroFp(fphTarget = 1.0, hopSeconds = 1.0)
+    assert(h > 2.9 && h < 3.1) // ~ln(1/.05) hours = 3.0
+  }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+/** Structured Streaming operators driven through MemoryStream — event-time
+  * sliding windows and the online episode detector. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+
+  test("slidingFeatureWindows aggregates per entity over event-time windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val agg = StreamingOps.slidingFeatureWindows(
+      input.toDF.toDF("entity", "ts", "value"),
+      "ts", "entity", "value", "10 seconds", "5 seconds")
+    val q = agg.writeStream.format("memory").queryName("sw")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        ("a", ts(0), 1.0), ("a", ts(2), 3.0), ("a", ts(7), 5.0),
+        ("b", ts(1), 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("sw")
+        .select(col("entity"), col("window.start").cast("long").as("ws"),
+          col("mean_value"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      // entity a, window starting at t=0 (1700000000): values 1,3,5 → mean 3
+      val a0 = rows.find(r => r._1 == "a" && r._2 == 1700000000L).get
+      assert(approx(a0._3, 3.0) && a0._4 == 3)
+      // sliding: the window starting at t=-5 contains 1,3
+      val aMinus = rows.find(r => r._1 == "a" && r._2 == 1699999995L).get
+      assert(approx(aMinus._3, 2.0) && aMinus._4 == 2)
+      assert(rows.exists(_._1 == "b"))
+    } finally q.stop()
+  }
+
+  test("EpisodeDetector: episodes open/close per entity, delay measured to first detection") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.Event]
+    val episodes = StreamingOps.EpisodeDetector.detect(input.toDS())
+    val q = episodes.writeStream.format("memory").queryName("eps")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamingOps.Event("a", ts(0), 0, 0),
+        StreamingOps.Event("a", ts(1), 1, 0), // episode opens
+        StreamingOps.Event("a", ts(3), 1, 1), // first detection (+2s)
+        StreamingOps.Event("a", ts(4), 0, 0), // closes
+        StreamingOps.Event("b", ts(2), 1, 0),
+        StreamingOps.Event("b", ts(5), 0, 0)) // closes undetected
+      q.processAllAvailable()
+      val rows = spark.table("eps").as[StreamingOps.Episode].collect()
+        .map(e => e.entity -> e).toMap
+      assert(rows("a").detected && rows("a").delayMs == 2000L)
+      assert(!rows("b").detected && rows("b").delayMs == -1L)
+    } finally q.stop()
+  }
+}
