@@ -135,6 +135,36 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicates: candidate pairs from multi-table
+    * random-hyperplane LSH (a pair with angle θ collides in one table
+    * with probability (1 − θ/π)^nBits; over nTables independent tables
+    * the miss probability decays exponentially), verified by exact cosine
+    * ≥ threshold. The self-join is per (table, bucket) — at 100 TB the
+    * quadratic term is bounded by bucket occupancy, tunable via nBits;
+    * the shuffle carries (id, norm, vector) once per table. */
+  def embeddingNearDuplicates(df: DataFrame, id: String, vec: String,
+      threshold: Double, nBits: Int = 8, nTables: Int = 4, seed: Long = 42L): DataFrame = {
+    val buckets = (0 until nTables).map(t =>
+      Similarity.randomHyperplaneLsh(col("__v"), nBits, seed + 7919L * t))
+    val withB = df.select(col(id), col(vec).cast("array<double>").as("__v"))
+      .withColumn("__n", Similarity.norm(col("__v")))
+      .select(col(id), col("__v"), col("__n"),
+        posexplode(array(buckets: _*)).as(Seq("__t", "__b")))
+    val a = withB.select(col(id).as("id_a"), col("__t"), col("__b"))
+    val b = withB.select(col(id).as("id_b"), col("__t"), col("__b"))
+    val pairs = a.join(b, Seq("__t", "__b"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = df.select(col(id), col(vec).cast("array<double>").as("v"))
+      .withColumn("n", Similarity.norm(col("v")))
+    pairs
+      .join(vecs.select(col(id).as("id_a"), col("v").as("va"), col("n").as("na")), Seq("id_a"))
+      .join(vecs.select(col(id).as("id_b"), col("v").as("vb"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** SimHash 64-bit fingerprint: sign of the per-bit sum of token hashes.
     * bit b of fingerprint = 1 iff Σ_tokens (bit b of xxhash64(token) ? +1 : −1) > 0.
     * Near-dups have small Hamming distance. Pure array expressions. */

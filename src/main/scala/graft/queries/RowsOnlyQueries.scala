@@ -81,6 +81,20 @@ object RowsOnlyQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      // Multi-table hyperplane-LSH near-dup pairs on the same synthesized
+      // corpus as dedup_embedding_brute — the scale path (bucketed join).
+      val e = table(s, dir, "embeddings").where(col("vec_id") < 400)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val corpus = e.unionByName(e.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x + lit(0.15) * element_at(col("v"), size(col("v")) - i)).as("v")))
+      Dedup.embeddingNearDuplicates(corpus, "vec_id", "v", threshold = 0.9,
+          nBits = 8, nTables = 6)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // 64-bit SimHash fingerprints + hamming distance of adjacent docs.
       val docs = table(s, dir, "documents")

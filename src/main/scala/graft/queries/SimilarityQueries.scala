@@ -58,6 +58,20 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    "dedup_embedding_brute" -> ((s, dir) => {
+      // Exact embedding-cosine near-dup pairs on the synthesized corpus —
+      // the ground truth the LSH path (dedup_embedding_lsh) must recall.
+      val c = nearDupCorpus(s, dir)
+      val withN = c.withColumn("n", graft.ops.Similarity.norm(col("v")))
+      val a = withN.select(col("vec_id").as("id_a"), col("v").as("va"), col("n").as("na"))
+      val b = withN.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .withColumn("cos", graft.ops.Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .where(col("cos") >= 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "ann_ivf" -> ((s, dir) => {
       // IVF ANN: 16 lowest-id centroids, probe 4 cells, top-3 — the
       // 100 TB path (cell pre-assignment makes the per-query scan
@@ -71,6 +85,22 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
   )
+
+  /** embeddings ∪ a deterministic near-copy of each (v′ = v + 0.15·reverse(v),
+    * cosine(v, v′) ≈ 0.99): the corpus for near-dup detection, bounded to
+    * vec_id < 400 so the brute-force oracle stays quadratic-small. */
+  private def nearDupCorpus(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val e = emb(s, dir).where(col("vec_id") < 400).select(col("vec_id"), col("v"))
+    e.unionByName(e.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("v"), (x, i) =>
+        x + lit(0.15) * element_at(col("v"), size(col("v")) - i)).as("v")))
+  }
+
+  private val nearDupCorpusSql: String =
+    s"""SELECT vec_id, v FROM (SELECT vec_id, $vSql AS v FROM embeddings WHERE vec_id < 400)
+       |UNION ALL
+       |SELECT vec_id + 100000, list_transform(range(1, len(v) + 1), i -> v[i] + 0.15 * v[len(v) + 1 - i])
+       |FROM (SELECT vec_id, $vSql AS v FROM embeddings WHERE vec_id < 400)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "sim_cosine_adjacent" ->
@@ -96,6 +126,16 @@ object SimilarityQueries {
          |  FROM pairs)
          |SELECT qid, vec_id, round(cos, 4) AS cos, rank
          |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "dedup_embedding_brute" ->
+      s"""WITH c AS ($nearDupCorpusSql),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM c),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cos, 4) AS cos FROM p
+         |WHERE cos >= 0.9 ORDER BY 1, 2""".stripMargin,
 
     "ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
