@@ -144,8 +144,10 @@ object Dedup {
     * the shuffle carries (id, norm, vector) once per table. */
   def embeddingNearDuplicates(df: DataFrame, id: String, vec: String,
       threshold: Double, nBits: Int = 8, nTables: Int = 4, seed: Long = 42L): DataFrame = {
+    // hyperplanes need the dimensionality — probe one row (tiny action)
+    val dim = df.select(size(col(vec))).head().getInt(0)
     val buckets = (0 until nTables).map(t =>
-      Similarity.randomHyperplaneLsh(col("__v"), nBits, seed + 7919L * t))
+      Similarity.randomHyperplaneLsh(col("__v"), nBits, seed + 7919L * t, dim))
     val withB = df.select(col(id), col(vec).cast("array<double>").as("__v"))
       .withColumn("__n", Similarity.norm(col("__v")))
       .select(col(id), col("__v"), col("__n"),

@@ -50,21 +50,37 @@ object Similarity {
       .select(col(qid), col(id), col("cos"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * a hash-uniform mapped to ±N(0,1) via Robustness.seededNormal. */
-  private def plane(seed: Long, p: Column, i: Column): Column =
-    Robustness.seededNormal(seed, p, i)
+  /** Deterministic Gaussian hyperplane grid: splitmix64-hashed (plane,
+    * dim) coordinates Box–Muller-mapped to N(0,1) — computed ONCE on the
+    * driver and shipped as literals, so the per-row cost is nBits
+    * codegen'd dot products instead of nBits·dim interpreted hash+trig
+    * evaluations. Stable across JVMs, partitioning, and cluster size. */
+  private[graft] def gaussianPlanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    def splitmix(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until nBits).map { p =>
+      (0 until dim).map { i =>
+        val h1 = splitmix(seed * 1000003L + p * 1048573L + i)
+        val h2 = splitmix(h1)
+        val u1 = math.max((h1 >>> 11).toDouble / (1L << 53).toDouble, 1e-12)
+        val u2 = (h2 >>> 11).toDouble / (1L << 53).toDouble
+        math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+      }
+    }
+  }
 
   /** Random-hyperplane (sign) LSH: `nBits`-bit bucket key for cosine
     * similarity. Vectors with high cosine collide with high probability.
-    * Bucket = Σ_b (sign(v · h_b) > 0) << b. */
-  def randomHyperplaneLsh(vec: Column, nBits: Int, seed: Long): Column =
-    aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L), (acc, b) => {
-      val proj = aggregate(zip_with(vec,
-        sequence(lit(0), size(vec) - 1).cast("array<double>"),
-        (x, i) => x * plane(seed, b, i)), lit(0.0), (a, v) => a + v)
-      acc + when(proj > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)
-    })
+    * Bucket = Σ_b (sign(v · h_b) > 0) << b. `dim` is the vector
+    * dimensionality (hyperplanes are materialized as literals). */
+  def randomHyperplaneLsh(vec: Column, nBits: Int, seed: Long, dim: Int): Column =
+    gaussianPlanes(nBits, dim, seed).zipWithIndex.map { case (pl, b) =>
+      when(dot(vec, typedLit(pl)) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** IVF (inverted-file) ANN: centroids from a deterministic sample of the
     * corpus; corpus vectors pre-assigned to nearest centroid (one narrow
@@ -87,10 +103,14 @@ object Similarity {
       .orderBy("h").limit(nCells).drop("h")
       .withColumn("cnorm", norm(col("cvec")))
     val corpusN = corpus.select(col(id), col(vec)).withColumn("vnorm", norm(col(vec)))
+    // nearest-centroid assignment as a map-side-combinable min_by (ties →
+    // lowest cell_id), not a window sort: the shuffle carries ONE row per
+    // corpus vector instead of nCells copies.
     val assigned = corpusN.join(broadcast(centroids))
       .withColumn("d", -dot(col(vec), col("cvec")) / (col("vnorm") * col("cnorm")))
-      .withColumn("rnk", row_number().over(Window.partitionBy(id).orderBy(col("d").asc, col("cell_id").asc)))
-      .where(col("rnk") === 1)
+      .groupBy(col(id))
+      .agg(min_by(col("cell_id"), struct(col("d"), col("cell_id"))).as("cell_id"),
+        first(col(vec)).as(vec), first(col("vnorm")).as("vnorm"))
       .select(col(id), col(vec), col("vnorm"), col("cell_id"))
     val queriesN = queries.withColumn("qnorm", norm(col(qvec)))
     val probes = queriesN.join(broadcast(centroids))

@@ -42,7 +42,7 @@ class SimilarityMultimodalSpec extends SparkSpec {
     val df = Seq(
       (1L, Seq(1.0, 0.0, 0.5, 0.2)), (2L, Seq(0.99, 0.01, 0.5, 0.2)),
       (3L, Seq(-1.0, 0.3, -0.5, 0.9))).toDF("id", "v")
-    val buckets = df.select(col("id"), Similarity.randomHyperplaneLsh(col("v"), 8, 42L).as("b"))
+    val buckets = df.select(col("id"), Similarity.randomHyperplaneLsh(col("v"), 8, 42L, 4).as("b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(buckets(1L) == buckets(2L))
     assert(buckets(1L) != buckets(3L))
