@@ -104,6 +104,85 @@ object SlidingWindows {
       .drop("__chunk")
   }
 
+  /** Distributed global row index: range-repartition on the order
+    * columns, sort within partitions, then add partition-offset +
+    * local-position — the classic parallel zipWithIndex. Two passes over
+    * the data (per-partition counts, then indexing), both fully
+    * parallel — this removes the single-partition `row_number` from the
+    * global-order path entirely. RDD used deliberately: per-partition
+    * imperative logic is the documented exception (builder brief). */
+  def withGlobalIndex(df: DataFrame, orderCols: Seq[Column], out: String,
+      numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val rdd = sorted.rdd
+    rdd.cache()
+    val counts = rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+      .collect().sortBy(_._1).map(_._2.toLong)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val indexed = rdd.mapPartitionsWithIndex { (i, it) =>
+      var k = offsets(i)
+      it.map { r => k += 1; Row.fromSeq(r.toSeq :+ k) }
+    }
+    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    df.sparkSession.createDataFrame(indexed, schema)
+  }
+
+  /** The fully-parallel physical form of [[slideGlobal]] for long windows
+    * and large data: global index via [[withGlobalIndex]] (no
+    * single-partition stage anywhere), chunk assignment with `seqLen−1`
+    * overlap, then an iterator ring buffer per chunk — O(n + windows·T)
+    * work instead of collect_list's O(n·T) frame materialization, and no
+    * per-row array allocation for rows that aren't window ends.
+    * Byte-equal to [[slideGlobal]] (spec-enforced). */
+  def slideGlobalStreaming(df: DataFrame, orderCols: Seq[Column], features: Column,
+      seqLen: Int, step: Int, chunkSize: Int = 65536, rangePartitions: Int = 0): DataFrame = {
+    require(chunkSize >= seqLen, "chunkSize must be >= seqLen")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val withFeat = df.withColumn("__feat", features)
+    val indexed = withGlobalIndex(withFeat, orderCols, "__rn", rangePartitions)
+    val home = indexed.withColumn("__chunk", ((col("__rn") - 1) / chunkSize).cast("long"))
+    val tail = indexed
+      .where(pmod(col("__rn") - 1, lit(chunkSize)) >= chunkSize - (seqLen - 1))
+      .withColumn("__chunk", ((col("__rn") - 1) / chunkSize).cast("long") + 1)
+    val chunked = (if (seqLen == 1) home else home.unionByName(tail))
+      .repartition(col("__chunk"))
+      .sortWithinPartitions(col("__chunk"), col("__rn"))
+    val inSchema = chunked.schema
+    val featIdx = inSchema.fieldIndex("__feat")
+    val rnIdx = inSchema.fieldIndex("__rn")
+    val chunkIdx = inSchema.fieldIndex("__chunk")
+    val keepIdx = inSchema.fields.indices
+      .filterNot(i => i == featIdx || i == rnIdx || i == chunkIdx)
+    val outSchema = StructType(
+      keepIdx.map(inSchema.fields).toArray :+
+        StructField("win_id", LongType, nullable = false) :+
+        StructField("window", ArrayType(inSchema.fields(featIdx).dataType), nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val cs = chunkSize.toLong
+    chunked.mapPartitions { it =>
+      var curChunk = Long.MinValue
+      val buf = new scala.collection.mutable.ArrayDeque[Any](seqLen)
+      it.flatMap { r =>
+        val chunk = r.getLong(chunkIdx)
+        if (chunk != curChunk) { curChunk = chunk; buf.clear() }
+        val rn = r.getLong(rnIdx)
+        buf.append(r.get(featIdx))
+        if (buf.size > seqLen) buf.removeHead()
+        val isHome = (rn - 1) / cs == chunk
+        if (isHome && rn >= seqLen && (rn - seqLen) % step == 0)
+          Some(Row.fromSeq(keepIdx.map(r.get) :+ rn :+ buf.toSeq))
+        else None
+      }
+    }(enc)
+  }
+
   /** G6 — per-window summary stats over the window array, computed with
     * array expressions (no shuffle, no explode): for feature j of an
     * `array<array<double>>` window, mean/std(population)/min/max across the

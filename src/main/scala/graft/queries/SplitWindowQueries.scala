@@ -51,6 +51,18 @@ object SplitWindowQueries {
         .orderBy("win_id")
     }),
 
+    "w1_streaming_parity" -> ((s, dir) => {
+      // The fully-parallel physical form (distributed global index +
+      // iterator ring buffer — no single-partition stage, no per-row
+      // frame materialization) against the same oracle as w1.
+      val ev = scoredEvents(s, dir)
+      SlidingWindows.slideGlobalStreaming(ev, ord, col("value"), seqLen = 5, step = 7,
+          chunkSize = 512, rangePartitions = 8)
+        .select(col("win_id"), col("window"), col("y_true").as("y"),
+          col("event_id").as("end_event_id"))
+        .orderBy("win_id")
+    }),
+
     "g6_window_stats" -> ((s, dir) => {
       // Per-window summary stats via pure array expressions over the
       // window column (no shuffle) — mean/std(pop)/min/max of the value
@@ -109,6 +121,7 @@ object SplitWindowQueries {
 
     "w1_sliding_windows" -> w1OracleSql,
     "w1_chunked_parity" -> w1OracleSql,
+    "w1_streaming_parity" -> w1OracleSql,
 
     "g6_window_stats" ->
       """SELECT win_id,
