@@ -91,6 +91,32 @@ object RelationalQueries {
         .reduce(_ unionByName _).orderBy("column_name")
     }),
 
+    "q_running_sum" -> ((s, dir) => {
+      // W4-family relational window function: per-customer running order
+      // total in date order (cumulative frame over a partitioned sort).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      table(s, dir, "orders")
+        .withColumn("running_total", round(sum("o_totalprice").over(w), 2))
+        .where(col("o_custkey") < 200)
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_topn_per_group" -> ((s, dir) => {
+      // Grouped top-N: 3 highest-value orders per status, rank window +
+      // deterministic tie-break.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      table(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_orderstatus", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderstatus", "rn")
+    }),
+
     "g4_mode_per_group" -> ((s, dir) => {
       // Mode with deterministic tie-break (smallest value wins) — the
       // portable spec of pandas .mode()[0] (func_plot.py:146-153).
@@ -158,6 +184,23 @@ object RelationalQueries {
         |UNION ALL SELECT 'l_quantity', count(DISTINCT coalesce(CAST(l_quantity AS VARCHAR), '§null§')) FROM lineitem
         |UNION ALL SELECT 'l_discount', count(DISTINCT coalesce(CAST(l_discount AS VARCHAR), '§null§')) FROM lineitem
         |ORDER BY column_name""".stripMargin,
+
+    "q_running_sum" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |  FROM orders) t
+        |WHERE o_custkey < 200 ORDER BY 1, 2""".stripMargin,
+
+    "q_topn_per_group" ->
+      """SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY 1, 2""".stripMargin,
 
     "g4_mode_per_group" ->
       """SELECT o_orderstatus, o_orderpriority AS mode_priority FROM (
