@@ -32,33 +32,57 @@ object Robustness {
     sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
   }
 
+  /** Column-seeded uniform — the seed itself a column, for plans that
+    * sweep (severity, seed) grids in one pass. */
+  def seededUniformC(seed: Column, keys: Column*): Column =
+    (abs(xxhash64((keys :+ seed): _*)) % lit(1L << 61)).cast("double") / lit((1L << 61).toDouble)
+
+  def seededNormalC(seed: Column, keys: Column*): Column = {
+    val u1 = greatest(seededUniformC(seed, keys: _*), lit(1e-12))
+    // second independent stream via an extra salt key (no seed arithmetic
+    // — adding large constants to a seed column would overflow under ANSI)
+    val u2 = seededUniformC(seed, (keys :+ lit("u2-salt")): _*)
+    sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+  }
+
   /** R1 packet_loss — zero ALL features at a Bernoulli(severity) subset of
     * timesteps (mask per (window, t)). func_test.py:548-552. */
   def packetLoss(window: Column, winId: Column, severity: Double, seed: Long): Column =
     if (severity <= 0) window
-    else {
-      val t = transform(window, (row, i) =>
-        when(seededUniform(seed, winId, i) < severity,
-          transform(row, _ => lit(0.0))).otherwise(row))
-      t
-    }
+    else packetLoss(window, winId, lit(severity), lit(seed))
+
+  /** R1 with column-parameterized severity/seed (single-plan sweeps). */
+  def packetLoss(window: Column, winId: Column, severity: Column, seed: Column): Column =
+    when(severity <= 0, window).otherwise(
+      transform(window, (row, i) =>
+        when(seededUniformC(seed, winId, i) < severity,
+          transform(row, _ => lit(0.0))).otherwise(row)))
 
   /** R2 missing_variables — zero a Bernoulli(severity) subset of FEATURES
     * across the whole window (mask per (window, f)). func_test.py:554-558. */
   def missingVariables(window: Column, winId: Column, severity: Double, seed: Long): Column =
     if (severity <= 0) window
-    else transform(window, row =>
-      transform(row, (x, j) =>
-        when(seededUniform(seed, winId, j) < severity, lit(0.0)).otherwise(x)))
+    else missingVariables(window, winId, lit(severity), lit(seed))
+
+  /** R2, column-parameterized. */
+  def missingVariables(window: Column, winId: Column, severity: Column, seed: Column): Column =
+    when(severity <= 0, window).otherwise(
+      transform(window, row =>
+        transform(row, (x, j) =>
+          when(seededUniformC(seed, winId, j) < severity, lit(0.0)).otherwise(x))))
 
   /** R3 clock_offset — circular roll of the window's time axis by a
     * per-window uniform integer shift in [−⌊sev·T⌋, ⌊sev·T⌋].
     * func_test.py:560-566. np.roll(shift=s): out[i] = in[(i − s) mod T]. */
-  def clockOffset(window: Column, winId: Column, severity: Double, seed: Long): Column = {
+  def clockOffset(window: Column, winId: Column, severity: Double, seed: Long): Column =
+    clockOffset(window, winId, lit(severity), lit(seed))
+
+  /** R3, column-parameterized. */
+  def clockOffset(window: Column, winId: Column, severity: Column, seed: Column): Column = {
     val t = size(window)
-    val maxShift = floor(lit(severity) * t).cast("int")
+    val maxShift = floor(severity * t).cast("int")
     val span = maxShift * 2 + 1 // draws in [-maxShift, maxShift]
-    val shift = (floor(seededUniform(seed, winId) * span)).cast("int") - maxShift
+    val shift = (floor(seededUniformC(seed, winId) * span)).cast("int") - maxShift
     when(maxShift <= 0, window).otherwise(
       transform(window, (_, i) =>
         element_at(window, pmod(i - shift, t) + 1)))
@@ -68,12 +92,16 @@ object Robustness {
     * (one gaussian coefficient per (window, feature)). func_test.py:568-574. */
   def drift(window: Column, winId: Column, severity: Double, seed: Long): Column =
     if (severity <= 0) window
-    else {
+    else drift(window, winId, lit(severity), lit(seed))
+
+  /** R4, column-parameterized. */
+  def drift(window: Column, winId: Column, severity: Column, seed: Column): Column =
+    when(severity <= 0, window).otherwise {
       val t = size(window)
       transform(window, (row, i) =>
         transform(row, (x, j) =>
           x + (i.cast("double") / (t - 1).cast("double")) *
-            seededNormal(seed, winId, j) * severity))
+            seededNormalC(seed, winId, j) * severity))
     }
 
   /** R6 — severity-sweep grid as a driver-side deterministic loop spec:

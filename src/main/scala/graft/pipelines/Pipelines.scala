@@ -198,6 +198,45 @@ object Pipeline3 {
       .orderBy("kind", "severity")
   }
 
+  /** 3A as ONE plan (SURVEY §3.2): broadcast the (kind, severity, rep,
+    * seed) grid, cross join against the test windows, degrade with
+    * column-parameterized severity/seed, score once, aggregate once —
+    * 2 jobs instead of kinds×severities×repeats sequential evaluations.
+    * Data inflates by the grid size within the plan (the point: the
+    * whole sweep parallelizes across the cluster); batch the grid if
+    * windows × grid exceeds cluster memory. */
+  def robustnessSweepPlan(scored: DataFrame, model: graft.model.WindowModel,
+      kinds: Seq[String] = Seq("packet_loss", "missing_variables"),
+      maxSev: Double = 0.6, nSev: Int = 7, nRepeats: Int = 5,
+      baseSeed: Long = 123L): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val test = scored.where(col("split") === "test")
+      .select(col("win_id").cast("long").as("win_id"), col("window"), col("y"))
+    val grid = for {
+      kind <- kinds
+      (sev, rep, seed) <- Robustness.severityGrid(maxSev, nSev, nRepeats, baseSeed)
+    } yield (kind, sev, rep, seed)
+    val gridDf = grid.toDF("kind", "severity", "rep", "seed")
+    val degraded = test.crossJoin(broadcast(gridDf))
+      .withColumn("window",
+        when(col("kind") === "packet_loss",
+          Robustness.packetLoss(col("window"), col("win_id"), col("severity"), col("seed")))
+        .when(col("kind") === "missing_variables",
+          Robustness.missingVariables(col("window"), col("win_id"), col("severity"), col("seed")))
+        .when(col("kind") === "clock_offset",
+          Robustness.clockOffset(col("window"), col("win_id"), col("severity"), col("seed")))
+        .otherwise(
+          Robustness.drift(col("window"), col("win_id"), col("severity"), col("seed"))))
+    model.transform(degraded)
+      .groupBy("kind", "severity", "rep")
+      .agg(avg((col("y_pred") === col("y")).cast("double")).as("accuracy"))
+      .groupBy("kind", "severity")
+      .agg(avg("accuracy").as("accuracy_mean"),
+        coalesce(stddev_samp(col("accuracy")), lit(0.0)).as("accuracy_std"))
+      .orderBy("kind", "severity")
+  }
+
   /** 3B: leave-one-attack-out generalization — drop one attack from
     * train/val windows, retrain, evaluate on (a) windows of the held-out
     * attack, (b) the rest (pipeline_tests_power.py:484-785). */

@@ -87,6 +87,21 @@ class PipelineSpec extends SparkSpec {
     assert(rows.last._2 <= rows.head._2 + 1e-9)
   }
 
+  test("pipeline3A single-plan sweep equals the driver-loop sweep exactly") {
+    val loop = Pipeline3.robustness(result.scored, result.model,
+      kinds = Seq("packet_loss", "missing_variables"), maxSev = 0.4, nSev = 3, nRepeats = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getAs[Double]("accuracy_mean"), r.getAs[Double]("accuracy_std"))).toMap
+    val plan = Pipeline3.robustnessSweepPlan(result.scored, result.model,
+      kinds = Seq("packet_loss", "missing_variables"), maxSev = 0.4, nSev = 3, nRepeats = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getAs[Double]("accuracy_mean"), r.getAs[Double]("accuracy_std"))).toMap
+    assert(loop.keySet == plan.keySet)
+    loop.foreach { case (k, (m, s)) =>
+      assert(approx(plan(k)._1, m, 1e-12) && approx(plan(k)._2, s, 1e-12), s"$k")
+    }
+  }
+
   test("pipeline3B: leave-one-attack-out returns a row per held-out attack") {
     val out = Pipeline3.leaveOneAttackOut(result.windows, Scorers.Logistic(maxIter = 20),
       Seq("syn-flood"))
