@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.{SlidingWindows, Stats}
+import graft.sources.Sources
+
+/** The reference's wide-host-frame path (SURVEY §7.4.8): positional
+  * schema over hundreds of event-counter columns, single-pass
+  * constant/near-empty detection (chunked), and the column-pruned
+  * windowing composition that TOP-K feature selection feeds. */
+class WideHostFrameSpec extends SparkSpec {
+
+  private val nCols = 200
+
+  private lazy val csvPath = {
+    val dir = Files.createTempDirectory("graft_wide").toFile
+    val f = new java.io.File(dir, "host_wide.csv")
+    val header = (Seq("time") ++ (0 until nCols).map(i => s"ev$i") ++ Seq("State", "Attack"))
+      .mkString(",")
+    val rows = (0 until 120).map { r =>
+      val vals = (0 until nCols).map { c =>
+        if (c % 50 == 7) "9" // constant columns
+        else if (c % 50 == 13 && r > 2) "" // near-empty-ish (nulls)
+        else ((r * 31 + c * 7) % 100).toString
+      }
+      (Seq(r.toString) ++ vals ++ Seq(if (r % 2 == 0) "Charging" else "Idle",
+        if (r % 10 < 3) "dos" else "none")).mkString(",")
+    }
+    Files.writeString(f.toPath, (header +: rows).mkString("\n"))
+    f.getPath
+  }
+
+  test("positional schema: 200 event cols detected, constants dropped in ONE aggregate pass") {
+    val (df, eventCols) = Sources.loadHost(spark, csvPath)
+    // 4 constant columns at c % 50 == 7 dropped
+    assert(eventCols.size == nCols - 4)
+    assert(!eventCols.contains("ev7") && !eventCols.contains("ev57"))
+    assert(eventCols.contains("ev0"))
+    assert(df.schema.fieldNames.contains("state_bin"))
+  }
+
+  test("chunked per-column aggregates: batched constant detection equals single-pass") {
+    val (df, _) = Sources.loadHost(spark, csvPath)
+    val candidates = (0 until nCols).map(i => s"ev$i").filter(df.columns.contains)
+    // chunk in batches of 40 columns (the 900-col strategy, SURVEY §4.2)
+    val chunked = candidates.grouped(40).flatMap(b => Stats.constantColumns(df, b)).toSeq
+    val single = Stats.constantColumns(df, candidates)
+    assert(chunked.sorted == single.sorted)
+  }
+
+  test("TOP-K pruning reaches the scan: windowing only K selected columns") {
+    val (df, eventCols) = Sources.loadHost(spark, csvPath)
+    val topK = eventCols.take(8) // stand-in for importance-ranked selection
+    val feats = array(topK.map(c => col(c).cast("double")): _*)
+    val wins = SlidingWindows.slideGlobalChunked(
+      df.select((topK :+ "timestamp").map(col): _*),
+      Seq(col("timestamp")), feats, seqLen = 5, step = 5, chunkSize = 64)
+    assert(wins.count() == 24) // 1 + (120-5)/5
+    val row = wins.select("window").head().getSeq[scala.collection.Seq[Double]](0)
+    assert(row.size == 5 && row.head.size == 8)
+    // the executed scan must read only the selected columns (+ order col)
+    val scanSchemas = wins.queryExecution.executedPlan.collectLeaves()
+      .map(_.schema.fieldNames.toSet)
+    assert(scanSchemas.exists(s => s.intersect(topK.toSet).size == 8 &&
+      !s.contains(s"ev${nCols - 1}")))
+  }
+}
