@@ -30,6 +30,19 @@ object VectorShim {
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def l2normCol(a: Column): Column =
     ExpressionUtils.column(L2Norm(ExpressionUtils.expression(a)))
+
+  /** Register the SQL functions on an EXISTING session (extensions via
+    * `spark.sql.extensions` only apply to sessions created after the
+    * config is set — `getOrCreate` against a live session ignores them). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => { require(exprs.size == 2, "graft_dot(arrayA, arrayB)"); DotProduct(exprs.head, exprs(1)) },
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_l2norm",
+      exprs => { require(exprs.size == 1, "graft_l2norm(array)"); L2Norm(exprs.head) },
+      "scala_udf")
+  }
 }
 
 case class DotProduct(left: Expression, right: Expression)

@@ -89,10 +89,14 @@ object Curves {
     // (lowest-threshold) point, matching np.where(...)[−1].
     val candidates = curve.where(col("fpr") <= fprTarget)
       .orderBy(col("fpr").desc, col("threshold").asc).limit(1)
-    val fallback = curve
+      .select(col("threshold"), col("fpr"), col("tpr"))
+    val picked = candidates.collect() // one job; fallback only if empty
+    if (picked.nonEmpty)
+      curve.sparkSession.createDataFrame(
+        java.util.Arrays.asList(picked: _*), candidates.schema)
+    else curve
       .orderBy(abs(col("fpr") - lit(fprTarget)).asc, col("threshold").desc).limit(1)
-    val chosen = if (candidates.isEmpty) fallback else candidates
-    chosen.select(col("threshold"), col("fpr"), col("tpr"))
+      .select(col("threshold"), col("fpr"), col("tpr"))
   }
 
   /** Macro one-vs-rest ROC-AUC over a probability array column —

@@ -97,11 +97,16 @@ object Similarity {
     // the nCells/nProbe candidates then costs one dot product, not three
     // (higher-order array folds are interpreted, so redundant folds are
     // the dominant cost at scale).
-    val centroids = corpus
+    // Materialize the nCells centroid rows on the driver once: they are
+    // referenced by two broadcast joins, and leaving them lazy re-runs
+    // the scan+sort+limit job per broadcast build.
+    val centroidRows = corpus
       .select(col(id).as("cell_id"), col(vec).as("cvec"),
         (if (centroidsByHash) xxhash64(col(id)) else col(id)).as("h"))
       .orderBy("h").limit(nCells).drop("h")
       .withColumn("cnorm", norm(col("cvec")))
+    val centroids = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centroidRows.collect(): _*), centroidRows.schema)
     val corpusN = corpus.select(col(id), col(vec)).withColumn("vnorm", norm(col(vec)))
     // nearest-centroid assignment as a map-side-combinable min_by (ties →
     // lowest cell_id), not a window sort: the shuffle carries ONE row per

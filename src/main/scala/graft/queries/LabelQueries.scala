@@ -74,6 +74,24 @@ object LabelQueries {
         .groupBy("lang").agg(count(lit(1)).as("n"), round(avg("n_chars"), 4).as("avg_chars"))
         .orderBy("lang")),
 
+    "p1_state_bin" -> ((s, dir) =>
+      // 'click' plays the "charging" state value.
+      table(s, dir, "events")
+        .withColumn("state_bin",
+          when(lower(trim(col("event_type"))) === "click", 1).otherwise(0))
+        .groupBy("state_bin").agg(count(lit(1)).as("n"))
+        .orderBy("state_bin")),
+
+    "g7_run_agg" -> ((s, dir) =>
+      // mean/std across repeated runs (ddof=1, 0.0 for single-run keys):
+      // event_type plays the run key, value the metric.
+      graft.ops.MetricsOps.aggregateRuns(
+          table(s, dir, "events").select(col("event_type"), col("value")),
+          Seq("event_type"), "value")
+        .select(col("event_type"), round(col("mean"), 4).as("mean"),
+          round(col("std"), 4).as("std"))
+        .orderBy("event_type")),
+
     "g5_class_weights" -> ((s, dir) => {
       import graft.ops.MetricsOps
       MetricsOps.classWeights(table(s, dir, "events"), "event_type")
@@ -132,6 +150,16 @@ object LabelQueries {
     "f5_key_filter" ->
       """SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars FROM documents
         |WHERE upper(trim(source)) = 'SRC1' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p1_state_bin" ->
+      """SELECT CASE WHEN lower(trim(event_type)) = 'click' THEN 1 ELSE 0 END AS state_bin,
+        |  count(*) AS n FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g7_run_agg" ->
+      """SELECT event_type, round(avg(value), 4) AS mean,
+        |  round(coalesce(stddev_samp(value), 0.0), 4) AS std
+        |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g5_class_weights" ->
       """WITH c AS (SELECT event_type AS cls, count(*) AS n_c FROM events GROUP BY 1),
