@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of a whitespace-tokenized text column. */
+  /** Word n-gram shingles of a whitespace-tokenized text column.
+    * Blank text → empty array (split of "" yields [""], which must not
+    * become a shingle — caught by the ScalaCheck shingle-count law). */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")
     val count = size(toks) - (n - 1)
     // sequence(a, b) DESCENDS when a > b — guard the empty case explicitly.
-    when(count >= 1,
+    when(length(trim(text)) > 0 && count >= 1,
       array_distinct(transform(sequence(lit(1), count), i =>
         array_join(slice(toks, i, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test => SCTest}
+import graft.ops.{ChronoSplit, Dedup, Robustness, SlidingWindows, Stats}
+
+/** Property-based laws (SURVEY §5.2): windowing count law, split
+  * partition/fraction laws, standardization moments, degradation
+  * identity/multiset laws — randomized over parameter space with
+  * ScalaCheck generators (8 cases per law; each case runs Spark jobs). */
+object LawsProps extends Properties("GraftLaws") {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: SCTest.Parameters): SCTest.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private val smallN = Gen.choose(1, 120)
+  private val seqLenG = Gen.choose(1, 12)
+  private val stepG = Gen.choose(1, 9)
+  private val seedG = Gen.choose(Long.MinValue / 4, Long.MaxValue / 4)
+
+  property("window count law: n_windows = max(0, 1 + (n - seqLen) / step)") =
+    Prop.forAll(smallN, seqLenG, stepG) { (n, seqLen, step) =>
+      val df = (1 to n).map(i => (i.toLong, i.toDouble)).toDF("t", "x")
+      val got = SlidingWindows.slideGlobal(df, Seq(col("t")), col("x"), seqLen, step).count()
+      val expected = if (n < seqLen) 0L else 1L + (n - seqLen) / step
+      got == expected
+    }
+
+  property("chunked windower == global windower for any chunk >= seqLen") =
+    Prop.forAll(Gen.choose(13, 90), seqLenG, stepG, Gen.choose(12, 64)) { (n, seqLen, step, chunk0) =>
+      val chunk = math.max(chunk0, seqLen)
+      val df = (1 to n).map(i => (i.toLong, i.toDouble)).toDF("t", "x").repartition(3)
+      val a = SlidingWindows.slideGlobal(df, Seq(col("t")), col("x"), seqLen, step)
+        .select("win_id", "window").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toList)).sortBy(_._1).toList
+      val b = SlidingWindows.slideGlobalChunked(df, Seq(col("t")), col("x"), seqLen, step, chunk)
+        .select("win_id", "window").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toList)).sortBy(_._1).toList
+      a == b
+    }
+
+  property("split is a partition; fractions within one row; test nonempty") =
+    Prop.forAll(Gen.choose(1, 200), Gen.choose(1, 4)) { (n, groups) =>
+      val df = (0 until n).map(i => (s"g${i % groups}", i.toLong)).toDF("g", "t")
+      val counts = ChronoSplit.withSplit(df, Seq("g"), Seq(col("t")))
+        .groupBy("g", "split").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        .withDefaultValue(0L)
+      (0 until groups).filter(g => (0 until n).exists(_ % groups == g)).forall { gi =>
+        val g = s"g$gi"
+        val gn = (0 until n).count(_ % groups == gi)
+        val (tr, va, te) = (counts((g, "train")), counts((g, "val")), counts((g, "test")))
+        tr + va + te == gn &&
+          te >= 1 &&
+          math.abs(tr - 0.7 * gn) <= 1 + 1e-9 * gn &&
+          math.abs(va - 0.15 * gn) <= 1 + 1e-9 * gn
+      }
+    }
+
+  property("train standardization: mean ~ 0, pop std ~ 1 (nonconstant column)") =
+    Prop.forAll(Gen.choose(5, 60), Gen.choose(1L, 9999L)) { (n, salt) =>
+      val df = (1 to n).map(i => ((i * salt % 101).toDouble + i * 0.01)).toDF("x")
+      val scaler = Stats.fitStandardScaler(df, Seq("x"))
+      val z = Stats.applyStandardScaler(df, scaler)
+        .agg(avg("x"), stddev_pop(col("x"))).head()
+      math.abs(z.getDouble(0)) < 1e-7 &&
+        (scaler("x")._2 == 1.0 || math.abs(z.getDouble(1) - 1.0) < 1e-7)
+    }
+
+  property("severity-0 degradations are identity for any seed") =
+    Prop.forAll(seedG) { seed =>
+      val wins = Seq((1L, Seq(Seq(1.0, 2.0), Seq(3.0, 4.0), Seq(5.0, 6.0))))
+        .toDF("win_id", "window")
+      val out = wins.select(
+        flatten(Robustness.packetLoss(col("window"), col("win_id"), 0.0, seed)).as("a"),
+        flatten(Robustness.drift(col("window"), col("win_id"), 0.0, seed)).as("b"),
+        flatten(col("window")).as("o")).head()
+      out.getSeq[Double](0) == out.getSeq[Double](2) &&
+        out.getSeq[Double](1) == out.getSeq[Double](2)
+    }
+
+  property("clock offset preserves the per-window multiset for any severity/seed") =
+    Prop.forAll(Gen.choose(0.0, 1.0), seedG) { (sev, seed) =>
+      val wins = Seq((7L, (1 to 6).map(i => Seq(i.toDouble)).toSeq)).toDF("win_id", "window")
+      val r = wins.select(flatten(col("window")).as("o"),
+        flatten(Robustness.clockOffset(col("window"), col("win_id"), sev, seed)).as("d")).head()
+      r.getSeq[Double](0).sorted == r.getSeq[Double](1).sorted
+    }
+
+  property("shingle count law: distinct n-grams <= max(0, tokens - n + 1)") =
+    Prop.forAll(Gen.choose(0, 12), Gen.choose(1, 4), Gen.choose(0L, 999L)) { (tokens, n, salt) =>
+      val text = (1 to tokens).map(i => s"w${(i * (salt + 1)) % 5}").mkString(" ")
+      val sh = Seq(text).toDF("t")
+        .select(Dedup.shingles(col("t"), n)).head().getSeq[String](0)
+      val expectedMax = math.max(0, tokens - n + 1)
+      sh.size <= expectedMax && (tokens < n) == sh.isEmpty
+    }
+}
