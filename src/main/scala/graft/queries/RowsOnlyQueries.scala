@@ -111,6 +111,36 @@ object RowsOnlyQueries {
         .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    "s8_harvest_join" -> ((s, dir) => {
+      // S8 + J3: write per-run metrics.json/config.json trees, harvest
+      // recursively, flatten nested structs, join metrics ⋈ config by
+      // run_dir (func_plot.py:648-697). Deterministic fixture derived
+      // from the events table; exercises the full harvest path.
+      import graft.sources.Sources
+      val base = java.nio.file.Files.createTempDirectory("graft_harvest").toString
+      val byType = table(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("mean_value"))
+        .collect()
+      byType.foreach { r =>
+        val runDir = s"$base/run_${r.getString(0)}"
+        new java.io.File(runDir).mkdirs()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$runDir/metrics.json"),
+          s"""{"metrics": {"n": ${r.getLong(1)}, "mean_value": ${r.getDouble(2)}}}""")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$runDir/config.json"),
+          s"""{"config": {"task": "${r.getString(0)}"}}""")
+      }
+      val harvested = Sources.flattenStructs(Sources.harvestJson(s, base))
+      val metrics = harvested.where(col("metrics_n").isNotNull)
+        .select("run_dir", "metrics_n", "metrics_mean_value")
+      val config = harvested.where(col("config_task").isNotNull)
+        .select("run_dir", "config_task")
+      metrics.join(config, "run_dir")
+        .select(col("config_task"), col("metrics_n"), col("metrics_mean_value"))
+        .orderBy("config_task")
+    }),
+
     "mm_features" -> ((s, dir) => {
       // Multimodal plumbing: synthetic media from doc ids → per-partition
       // batched "decode" → feature aggregation by kind.

@@ -63,6 +63,17 @@ object SplitWindowQueries {
         .orderBy("win_id")
     }),
 
+    "w1_partitioned" -> ((s, dir) => {
+      // The per-entity form — windows never cross users, fully parallel
+      // with NO global order (the common production shape at 100 TB).
+      val ev = scoredEvents(s, dir).where(col("user_id") < 40)
+      SlidingWindows.slide(ev, Seq("user_id"), Seq(col("ts").asc, col("event_id").asc),
+          col("value"), seqLen = 3, step = 2)
+        .select(col("user_id"), col("win_id"), col("window"),
+          col("event_id").as("end_event_id"))
+        .orderBy("user_id", "win_id")
+    }),
+
     "g6_window_stats" -> ((s, dir) => {
       // Per-window summary stats via pure array expressions over the
       // window column (no shuffle) — mean/std(pop)/min/max of the value
@@ -122,6 +133,16 @@ object SplitWindowQueries {
     "w1_sliding_windows" -> w1OracleSql,
     "w1_chunked_parity" -> w1OracleSql,
     "w1_streaming_parity" -> w1OracleSql,
+
+    "w1_partitioned" ->
+      """SELECT user_id, rn AS win_id, "window", event_id AS end_event_id FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS "window"
+        |  FROM events WHERE user_id < 40) t
+        |WHERE rn >= 3 AND (rn - 3) % 2 = 0
+        |ORDER BY user_id, win_id""".stripMargin,
 
     "g6_window_stats" ->
       """SELECT win_id,
