@@ -52,6 +52,22 @@ object MetricQueries {
       m.select(m.columns.map(c => round(col(c), 6).as(c)): _*)
     }),
 
+    "f10_metrics_per_group" -> ((s, dir) => {
+      // Per-slice metric suite in ONE shuffle (F10 per-state slices) —
+      // user_id % 2 plays the charging/idle state mask.
+      val (df, k) = multiclassFrame(s, dir)
+      val sliced = df.withColumn("state_slice",
+        when(pmod(col("user_id"), lit(2)) === 0, "charging").otherwise("idle"))
+      val m = MetricsOps.multiclassMetricsPerGroup(sliced, "state_slice", "y_true", "y_pred", 0 until k)
+      m.select(col("grp"),
+        round(col("accuracy"), 6).as("accuracy"),
+        round(col("balanced_accuracy"), 6).as("balanced_accuracy"),
+        round(col("precision_macro"), 6).as("precision_macro"),
+        round(col("recall_macro"), 6).as("recall_macro"),
+        round(col("f1_macro"), 6).as("f1_macro"))
+        .orderBy("grp")
+    }),
+
     "g14_roc_curve" -> ((s, dir) => {
       val ev = scoredEvents(s, dir)
       Curves.rocCurve(ev, col("y_true"), col("score"))
@@ -182,6 +198,47 @@ object MetricQueries {
            |  round(sum(recall * support) / sum(support), 6) AS recall_weighted,
            |  round(sum(f1 * support) / sum(support), 6) AS f1_weighted
            |FROM f""".stripMargin,
+
+      "f10_metrics_per_group" ->
+        s"""WITH mc AS ($multiclassSql),
+           |sliced AS (
+           |  SELECT *, CASE WHEN user_id % 2 = 0 THEN 'charging' ELSE 'idle' END AS grp
+           |  FROM mc),
+           |k AS (SELECT count(DISTINCT event_type) AS k FROM events),
+           |universe AS (
+           |  SELECT g.grp, a.i AS cls
+           |  FROM (SELECT DISTINCT grp FROM sliced) g,
+           |       (SELECT unnest(range(CAST((SELECT k FROM k) AS BIGINT))) AS i) a),
+           |stats AS (
+           |  SELECT grp, y_true AS cls,
+           |    sum(CASE WHEN y_pred = y_true THEN 1 ELSE 0 END) AS tp,
+           |    count(*) AS support
+           |  FROM sliced GROUP BY 1, 2),
+           |pred AS (SELECT grp, y_pred AS cls, count(*) AS predicted FROM sliced GROUP BY 1, 2),
+           |pc AS (
+           |  SELECT u.grp, u.cls,
+           |    coalesce(s.tp, 0) AS tp, coalesce(s.support, 0) AS support,
+           |    coalesce(p.predicted, 0) AS predicted,
+           |    coalesce(s.support, 0) - coalesce(s.tp, 0) AS fn,
+           |    coalesce(p.predicted, 0) - coalesce(s.tp, 0) AS fp
+           |  FROM universe u
+           |  LEFT JOIN stats s ON u.grp = s.grp AND u.cls = s.cls
+           |  LEFT JOIN pred p ON u.grp = p.grp AND u.cls = p.cls),
+           |pr AS (
+           |  SELECT *,
+           |    coalesce(tp * 1.0 / nullif(tp + fp, 0), 0) AS precision,
+           |    coalesce(tp * 1.0 / nullif(tp + fn, 0), 0) AS recall
+           |  FROM pc),
+           |f AS (
+           |  SELECT *, coalesce(2.0 * precision * recall / nullif(precision + recall, 0), 0) AS f1
+           |  FROM pr)
+           |SELECT grp,
+           |  round(sum(tp) * 1.0 / sum(support), 6) AS accuracy,
+           |  round(avg(CASE WHEN support > 0 THEN recall END), 6) AS balanced_accuracy,
+           |  round(avg(precision), 6) AS precision_macro,
+           |  round(avg(recall), 6) AS recall_macro,
+           |  round(avg(f1), 6) AS f1_macro
+           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "g14_roc_curve" ->
         s"""SELECT threshold, fps, tps, round(fpr, 6) AS fpr, round(tpr, 6) AS tpr
