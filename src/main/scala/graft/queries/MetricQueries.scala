@@ -25,7 +25,7 @@ object MetricQueries {
     val k = enc.count().toInt
     val df = graft.ops.Labels.encodeLabel(ev, enc, "event_type", "y_true")
       .withColumn("y_pred",
-        when(pmod(col("event_id"), lit(5)) === 0, pmod(col("y_true") + 1, lit(k)))
+        when(col("event_id") % 5 === 0, pmod(col("y_true") + 1, lit(k)))
           .otherwise(col("y_true")).cast("int"))
     (df, k)
   }
@@ -57,7 +57,7 @@ object MetricQueries {
       // user_id % 2 plays the charging/idle state mask.
       val (df, k) = multiclassFrame(s, dir)
       val sliced = df.withColumn("state_slice",
-        when(pmod(col("user_id"), lit(2)) === 0, "charging").otherwise("idle"))
+        when(col("user_id") % 2 === 0, "charging").otherwise("idle"))
       val m = MetricsOps.multiclassMetricsPerGroup(sliced, "state_slice", "y_true", "y_pred", 0 until k)
       m.select(col("grp"),
         round(col("accuracy"), 6).as("accuracy"),
@@ -122,8 +122,8 @@ object MetricQueries {
       // computed (driver-side Beta quantiles) but checked in ScalaTest;
       // the oracle covers the relational core.
       val ev = scoredEvents(s, dir)
-      val valDf = ev.where(pmod(col("event_id"), lit(2)) === 0)
-      val testDf = ev.where(pmod(col("event_id"), lit(2)) === 1)
+      val valDf = ev.where(col("event_id") % 2 === 0)
+      val testDf = ev.where(col("event_id") % 2 === 1)
       val m = BinaryOperational.evaluate(valDf, testDf, col("y_true"), col("score"),
         fprTarget = 0.1, hopSeconds = 1.0)
       val spark = s
