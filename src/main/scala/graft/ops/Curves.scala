@@ -80,23 +80,27 @@ object Curves {
 
   /** G15 — threshold at target FPR. Ref: select_threshold_at_fpr,
     * func_aux/func_test.py:252-269: take the LAST curve point with
-    * fpr <= target (i.e. the largest such fpr = smallest such threshold);
-    * if none, the point minimizing |fpr − target|.
-    * Returns 1 row (threshold, fpr, tpr). */
+    * fpr <= target. sklearn's `roc_curve` always emits a virtual
+    * (fpr=0, tpr=0, thr=+inf) start point, so that set is never empty in
+    * the reference (its |fpr−target| fallback is unreachable); our
+    * [[rocCurve]] omits the anchor from the table, so when no REAL point
+    * satisfies the target we return the anchor itself — threshold=+inf,
+    * i.e. "predict nothing", which honors the FPR budget exactly as the
+    * reference would. Returns 1 row (threshold, fpr, tpr). */
   def thresholdAtFpr(curve: DataFrame, fprTarget: Double): DataFrame = {
     // "last index with fpr <= target" on a curve ordered by descending
     // threshold == max fpr among candidates, ties broken by the latest
-    // (lowest-threshold) point, matching np.where(...)[−1].
+    // (lowest-threshold) point, matching np.where(...)[−1]. Real points
+    // always beat the virtual anchor (they have lower thresholds).
     val candidates = curve.where(col("fpr") <= fprTarget)
       .orderBy(col("fpr").desc, col("threshold").asc).limit(1)
       .select(col("threshold"), col("fpr"), col("tpr"))
-    val picked = candidates.collect() // one job; fallback only if empty
-    if (picked.nonEmpty)
-      curve.sparkSession.createDataFrame(
-        java.util.Arrays.asList(picked: _*), candidates.schema)
-    else curve
-      .orderBy(abs(col("fpr") - lit(fprTarget)).asc, col("threshold").desc).limit(1)
-      .select(col("threshold"), col("fpr"), col("tpr"))
+    val picked = candidates.collect() // one job; anchor only if empty
+    val rows =
+      if (picked.nonEmpty) picked
+      else Array(org.apache.spark.sql.Row(Double.PositiveInfinity, 0.0, 0.0))
+    curve.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), candidates.schema)
   }
 
   /** Macro one-vs-rest ROC-AUC over a probability array column —

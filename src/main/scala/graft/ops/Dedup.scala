@@ -95,7 +95,14 @@ object Dedup {
     * [[jaccardSimilarity]]. */
   def lshBuckets(df: DataFrame, id: String, text: String,
       numShingleWords: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(df, id, text, numShingleWords, numBands * rowsPerBand)
+    // Docs with NO shingles (shorter than the shingle width, blank) are
+    // excluded: they share the sentinel signature, which would put every
+    // such doc in the same bucket of every band — an O(E²) candidate
+    // blow-up for zero verified pairs (their Jaccard is 0/0). Blank-dup
+    // detection is exactDuplicates' job.
+    val sigs = minhashSignatures(
+      df.where(size(shingles(col(text), numShingleWords)) > 0),
+      id, text, numShingleWords, numBands * rowsPerBand)
     sigs.select(col(id), posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
         xxhash64(array_join(transform(
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")), ","), b)))

@@ -52,10 +52,7 @@ object Labels {
 
   /** P3 applied: map through [[AttackGroups]], pass unknown values through.
     * Ref: func_aux/func_preproc.py:114-117. */
-  def attackGroup(attack: Column): Column = {
-    val m = typedLit(AttackGroups)
-    coalesce(element_at(m, lower(trim(attack))), attack)
-  }
+  def attackGroup(attack: Column): Column = mapWithFallback(attack, AttackGroups)
 
   /** P5: any attack value containing "benign" (case-insensitive) → "None".
     * Ref: pipelines_network/pipeline_trainingmodels_network.py:319. */

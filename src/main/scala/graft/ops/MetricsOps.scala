@@ -54,41 +54,22 @@ object MetricsOps {
     * true support; fbeta = (1+β²)·P·R / (β²·P + R). Balanced accuracy =
     * mean of per-class recall over classes present in y_true.
     */
-  def multiclassMetrics(df: DataFrame, yTrue: String, yPred: String, labels: Seq[Int]): DataFrame = {
-    val stats = perClassStats(confusionMatrix(df, yTrue, yPred, labels))
-      .withColumn("precision", safeDiv(col("tp"), col("tp") + col("fp")))
-      .withColumn("recall", safeDiv(col("tp"), col("tp") + col("fn")))
-    def fbeta(b: Double): Column = {
-      val b2 = lit(b * b)
-      safeDiv((lit(1.0) + b2) * col("precision") * col("recall"),
-        b2 * col("precision") + col("recall"))
-    }
-    val withF = stats
-      .withColumn("f1", fbeta(1.0))
-      .withColumn("f2", fbeta(2.0))
-      .withColumn("f0_5", fbeta(0.5))
-    // macro averages run over ALL labels in the universe (sklearn passes
-    // labels=None → present labels; our universe = encoder classes, which
-    // matches the reference's usage where every class appears in y_true).
-    // balanced accuracy averages recall over classes present in y_true.
-    withF.agg(
-      safeDiv(sum("tp"), sum("support")).as("accuracy"),
-      avg(when(col("support") > 0, col("recall"))).as("balanced_accuracy"),
-      avg("precision").as("precision_macro"),
-      avg("recall").as("recall_macro"),
-      avg("f1").as("f1_macro"),
-      avg("f2").as("f2_macro"),
-      avg("f0_5").as("f0_5_macro"),
-      (sum(col("precision") * col("support")) / sum("support")).as("precision_weighted"),
-      (sum(col("recall") * col("support")) / sum("support")).as("recall_weighted"),
-      (sum(col("f1") * col("support")) / sum("support")).as("f1_weighted"))
-  }
+  def multiclassMetrics(df: DataFrame, yTrue: String, yPred: String, labels: Seq[Int]): DataFrame =
+    multiclassMetricsPerGroup(df.withColumn("__g", lit(1)), "__g", yTrue, yPred, labels)
+      .drop("grp")
 
-  /** G13 per-group (F10 per-state slices,
-    * pipeline_trainingmodels_power.py:235-311): the multiclass suite
+  /** G13, grouped (F10 per-state slices,
+    * pipeline_trainingmodels_power.py:235-311): the full multiclass suite
     * computed per value of `groupCol` in ONE pass — a groupBy over
     * (group, y_true, y_pred) cells instead of a driver loop over boolean
-    * masks, so thousands of slices cost one shuffle. */
+    * masks, so thousands of slices cost one shuffle.
+    * [[multiclassMetrics]] is the constant-group case.
+    *
+    * sklearn parity notes: `zero_division=0` ⇒ every ratio is
+    * coalesce(x/y, 0); macro averages run over ALL labels in the
+    * universe; weighted averages weight by true support; balanced
+    * accuracy averages recall over classes present in y_true;
+    * fbeta = (1+β²)·P·R / (β²·P + R). */
   def multiclassMetricsPerGroup(df: DataFrame, groupCol: String,
       yTrue: String, yPred: String, labels: Seq[Int]): DataFrame = {
     val spark = df.sparkSession
@@ -106,20 +87,31 @@ object MetricsOps {
       .agg(sum("cnt").as("support"))
     val predicted = dense.groupBy(col("grp"), col("y_pred").as("cls"))
       .agg(sum("cnt").as("predicted"))
+    def fbeta(b: Double): Column = {
+      val b2 = lit(b * b)
+      safeDiv((lit(1.0) + b2) * col("precision") * col("recall"),
+        b2 * col("precision") + col("recall"))
+    }
     val stats = support.join(tp, Seq("grp", "cls"), "left")
       .join(predicted, Seq("grp", "cls"), "left").na.fill(0L)
       .withColumn("fn", col("support") - col("tp"))
       .withColumn("fp", col("predicted") - col("tp"))
       .withColumn("precision", safeDiv(col("tp"), col("tp") + col("fp")))
       .withColumn("recall", safeDiv(col("tp"), col("tp") + col("fn")))
-      .withColumn("f1", safeDiv(lit(2.0) * col("precision") * col("recall"),
-        col("precision") + col("recall")))
+      .withColumn("f1", fbeta(1.0))
+      .withColumn("f2", fbeta(2.0))
+      .withColumn("f0_5", fbeta(0.5))
     stats.groupBy("grp").agg(
       safeDiv(sum("tp"), sum("support")).as("accuracy"),
       avg(when(col("support") > 0, col("recall"))).as("balanced_accuracy"),
       avg("precision").as("precision_macro"),
       avg("recall").as("recall_macro"),
-      avg("f1").as("f1_macro"))
+      avg("f1").as("f1_macro"),
+      avg("f2").as("f2_macro"),
+      avg("f0_5").as("f0_5_macro"),
+      (sum(col("precision") * col("support")) / sum("support")).as("precision_weighted"),
+      (sum(col("recall") * col("support")) / sum("support")).as("recall_weighted"),
+      (sum(col("f1") * col("support")) / sum("support")).as("f1_weighted"))
   }
 
   /** G11 — weighted log-loss with probability clipping.

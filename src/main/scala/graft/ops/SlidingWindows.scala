@@ -119,8 +119,12 @@ object SlidingWindows {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = df.repartitionByRange(parts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
+    // NOT cached: both jobs share the RDD lineage, so the range-exchange
+    // map stage is skipped on the second job (shuffle-file reuse); only
+    // the in-partition sort re-runs. Caching here would pin a full copy
+    // of the dataset with no unpersist point (the caller owns the
+    // returned plan's lifetime).
     val rdd = sorted.rdd
-    rdd.cache()
     val counts = rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
       .collect().sortBy(_._1).map(_._2.toLong)
     val offsets = counts.scanLeft(0L)(_ + _)

@@ -42,9 +42,15 @@ class MetricsCurvesSpec extends SparkSpec {
     assert(t1.getDouble(0) == 0.6) // fpr 1/3 reached down to thr .6
     val t2 = Curves.thresholdAtFpr(curve, 0.5).head()
     assert(t2.getDouble(0) == 0.6) // last fpr <= .5 still 1/3 at thr .6
-    // fallback: no point has fpr <= 0 except none (min fpr = 0? thr .9 has fpr 0)
+    // real point with fpr 0 exists → it wins over the virtual anchor
     val t3 = Curves.thresholdAtFpr(curve, 0.0).head()
     assert(t3.getDouble(0) == 0.9 && t3.getDouble(1) == 0.0)
+    // NO real point satisfies the target (top score is a negative) →
+    // sklearn's virtual (fpr=0, thr=inf) anchor: predict nothing
+    val inverted = Seq((0, 0.9), (1, 0.8)).toDF("y", "s")
+    val anchor = Curves.thresholdAtFpr(
+      Curves.rocCurve(inverted, col("y"), col("s")), 0.3).head()
+    assert(anchor.getDouble(0).isPosInfinity && anchor.getDouble(1) == 0.0)
   }
 
   test("multiclass metrics match sklearn on a 3-class fixture") {

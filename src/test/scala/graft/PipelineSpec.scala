@@ -33,11 +33,14 @@ class PipelineSpec extends SparkSpec {
     val counts = result.windows.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts.keySet == Set("train", "val", "test"))
-    // each split: n_windows = 1 + (n_rows - 10) / 5 for its row count
-    val splitRows = Seq("train", "val", "test").map { s =>
-      s -> power.count() // placeholder; exact per-split law checked via total
-    }
-    assert(counts.values.sum > 100)
+    // per split: n_windows = 1 + (n_rows_split - seqLen) / step, with the
+    // split row counts from the same chronological split the pipeline ran
+    val splitRows = graft.ops.ChronoSplit
+      .withSplit(power, Seq("Attack", "State"), Seq(col("t")))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (s <- Seq("train", "val", "test"))
+      assert(counts(s) == 1 + (splitRows(s) - 10) / 5, s"split $s")
     assert(result.windows.where(col("y").isNull).count() == 0)
   }
 
