@@ -39,6 +39,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a batch-fitted model scores a live stream (projection-only transform)") {
+    implicit val sqlCtx = spark.sqlContext
+    // train on batch windows with a separable signal
+    val train = (1 to 200).map { i =>
+      val y = i % 2
+      (Seq(Seq(y * 10.0 + 1.0), Seq(y * 10.0 + 2.0)), y)
+    }.toDF("window", "y")
+    val model = graft.model.Scorers.Logistic(maxIter = 20).fit(train)
+    // stream windows through the fitted model
+    val input = MemoryStream[(Long, Seq[Seq[Double]])]
+    val scored = model.transform(input.toDF.toDF("id", "window"))
+    val q = scored.writeStream.format("memory").queryName("scored_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, Seq(Seq(11.0), Seq(12.0))), (2L, Seq(Seq(1.0), Seq(2.0))))
+      q.processAllAvailable()
+      val preds = spark.table("scored_stream").select("id", "y_pred").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(preds == Map(1L -> 1, 2L -> 0))
+    } finally q.stop()
+  }
+
   test("EpisodeDetector: episodes open/close per entity, delay measured to first detection") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.Event]
