@@ -39,6 +39,17 @@ object Scorers {
   private def features(windowCol: String): Column =
     array_to_vector(flatten(col(windowCol)).cast("array<double>"))
 
+  /** Wrap a fitted MLlib probabilistic classifier into the engine's
+    * scoring contract (shared by every scorer — one place to change the
+    * proba/argmax/column conventions). */
+  private def wrap(m: org.apache.spark.ml.Transformer): WindowModel = new WindowModel {
+    def transform(df: DataFrame, wc: String): DataFrame =
+      m.transform(df.withColumn("__features", features(wc)))
+        .withColumn("proba", vector_to_array(col("probability")).cast("array<double>"))
+        .withColumn("y_pred", argmax(col("proba")))
+        .drop("__features", "rawPrediction", "probability", "prediction")
+  }
+
   /** Multinomial logistic regression on flattened windows — the fast
     * deterministic default scorer. */
   final case class Logistic(maxIter: Int = 50, regParam: Double = 0.01) extends WindowScorer {
@@ -49,13 +60,7 @@ object Scorers {
         .setMaxIter(maxIter).setRegParam(regParam)
         .setFeaturesCol("__features").setLabelCol("__label")
         .fit(prepared)
-      new WindowModel {
-        def transform(df: DataFrame, wc: String): DataFrame =
-          m.transform(df.withColumn("__features", features(wc)))
-            .withColumn("proba", vector_to_array(col("probability")).cast("array<double>"))
-            .withColumn("y_pred", argmax(col("proba")))
-            .drop("__features", "rawPrediction", "probability", "prediction")
-      }
+      wrap(m)
     }
   }
 
@@ -69,13 +74,7 @@ object Scorers {
         .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
         .setFeaturesCol("__features").setLabelCol("__label")
         .fit(prepared)
-      new WindowModel {
-        def transform(df: DataFrame, wc: String): DataFrame =
-          m.transform(df.withColumn("__features", features(wc)))
-            .withColumn("proba", vector_to_array(col("probability")).cast("array<double>"))
-            .withColumn("y_pred", argmax(col("proba")))
-            .drop("__features", "rawPrediction", "probability", "prediction")
-      }
+      wrap(m)
     }
   }
 

@@ -26,6 +26,9 @@ object HostImportance {
       eps: Double = 1e-12): DataFrame = {
     val spark = windows.sparkSession
     import spark.implicits._
+    // cache the input for the loop's lifetime: baseline + F×R loss jobs
+    // all re-read it; results reduce to driver doubles → scoped unpersist
+    windows.cache()
 
     def loss(df: DataFrame): Double = {
       val scored = model.transform(df)
@@ -43,6 +46,7 @@ object HostImportance {
         windows, "win_id", "window", j, baseSeed + 1000L * j + r)
       (j, r, loss(permuted) - baseline)
     }
+    windows.unpersist(blocking = false)
     rows.toDF("feature_idx", "rep", "drop")
       .groupBy("feature_idx")
       .agg(avg("drop").as("mean_drop"),

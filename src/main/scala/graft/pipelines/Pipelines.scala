@@ -169,8 +169,12 @@ object Pipeline3 {
       baseSeed: Long = 123L): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
+    // Every sweep evaluation re-reads the test windows; cache them for the
+    // loop's lifetime (all results reduce to driver tuples → safe to
+    // unpersist before returning).
     val test = scored.where(col("split") === "test")
       .select(col("win_id").cast("long").as("win_id"), col("window"), col("y"))
+      .cache()
     val grid = Robustness.severityGrid(maxSev, nSev, nRepeats, baseSeed)
     val rows = for {
       kind <- kinds
@@ -191,6 +195,7 @@ object Pipeline3 {
       val acc = rescored.agg(avg((col("y_pred") === col("y")).cast("double"))).head().getDouble(0)
       (kind, sev, rep, acc)
     }
+    test.unpersist(blocking = false)
     rows.toDF("kind", "severity", "rep", "accuracy")
       .groupBy("kind", "severity")
       .agg(avg("accuracy").as("accuracy_mean"),
@@ -248,13 +253,15 @@ object Pipeline3 {
       val train = windows.where(col("split") === "train" && col("attack") =!= held)
       val model = scorer.fit(train)
       val test = model.transform(windows.where(col("split") === "test"))
-      val onHeld = test.where(col("attack") === held)
-        .agg(avg((col("y_pred") === col("y")).cast("double"))).head()
-      val onRest = test.where(col("attack") =!= held)
-        .agg(avg((col("y_pred") === col("y")).cast("double"))).head()
+      // both slices in ONE aggregation job (conditional averages) — the
+      // test windows are scored once per held-out attack, not twice
+      val hit = (col("y_pred") === col("y")).cast("double")
+      val r = test.agg(
+        avg(when(col("attack") === held, hit)).as("held"),
+        avg(when(col("attack") =!= held, hit)).as("rest")).head()
       (held,
-        if (onHeld.isNullAt(0)) Double.NaN else onHeld.getDouble(0),
-        if (onRest.isNullAt(0)) Double.NaN else onRest.getDouble(0))
+        if (r.isNullAt(0)) Double.NaN else r.getDouble(0),
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1))
     }
     rows.toDF("held_out_attack", "accuracy_on_held_out", "accuracy_on_rest")
   }

@@ -264,10 +264,15 @@ object MetricQueries {
            |SELECT round(sum((recall - recall_prev) * precision), 6) AS average_precision FROM pts""".stripMargin,
 
       "g15_threshold_at_fpr" ->
-        s"""WITH curve AS ($rocCurveSql)
-           |SELECT round(threshold, 4) AS threshold, round(fpr, 6) AS fpr, round(tpr, 6) AS tpr
-           |FROM curve WHERE fpr <= 0.3
-           |ORDER BY fpr DESC, threshold ASC LIMIT 1""".stripMargin,
+        s"""WITH curve AS ($rocCurveSql),
+           |cand AS (
+           |  SELECT round(threshold, 4) AS threshold, round(fpr, 6) AS fpr, round(tpr, 6) AS tpr
+           |  FROM curve WHERE fpr <= 0.3
+           |  ORDER BY fpr DESC, threshold ASC LIMIT 1)
+           |SELECT * FROM cand
+           |UNION ALL
+           |SELECT CAST('Infinity' AS DOUBLE), 0.0, 0.0
+           |WHERE NOT EXISTS (SELECT 1 FROM cand)""".stripMargin,
 
       "g12_ttd" ->
         s"""WITH se AS (${Q.scoredEventsSql}),
@@ -310,8 +315,13 @@ object MetricQueries {
            |  FROM (SELECT score AS threshold, sum(y_true) AS pos, sum(1 - y_true) AS neg
            |        FROM v GROUP BY 1)
            |  WINDOW w AS (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-           |thr AS (SELECT threshold FROM curve WHERE fpr <= 0.1
-           |        ORDER BY fpr DESC, threshold ASC LIMIT 1),
+           |cand AS (SELECT threshold FROM curve WHERE fpr <= 0.1
+           |         ORDER BY fpr DESC, threshold ASC LIMIT 1),
+           |thr AS (
+           |  SELECT threshold FROM cand
+           |  UNION ALL
+           |  SELECT CAST('Infinity' AS DOUBLE)
+           |  WHERE NOT EXISTS (SELECT 1 FROM cand)),
            |cells AS (
            |  SELECT
            |    sum(CASE WHEN y_true = 0 AND score <  (SELECT threshold FROM thr) THEN 1 ELSE 0 END) AS tn,
