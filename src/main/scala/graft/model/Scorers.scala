@@ -25,6 +25,11 @@ trait WindowModel extends Serializable {
   def transform(df: DataFrame, windowCol: String = "window"): DataFrame
 }
 
+/** Mixin exposing the underlying MLlib model for persistence (S7). */
+trait HasMlModel {
+  def mlModel: org.apache.spark.ml.Transformer
+}
+
 object Scorers {
 
   /** argmax over a probability array — first maximum, like np.argmax
@@ -41,14 +46,19 @@ object Scorers {
 
   /** Wrap a fitted MLlib probabilistic classifier into the engine's
     * scoring contract (shared by every scorer — one place to change the
-    * proba/argmax/column conventions). */
-  private def wrap(m: org.apache.spark.ml.Transformer): WindowModel = new WindowModel {
-    def transform(df: DataFrame, wc: String): DataFrame =
-      m.transform(df.withColumn("__features", features(wc)))
-        .withColumn("proba", vector_to_array(col("probability")).cast("array<double>"))
-        .withColumn("y_pred", argmax(col("proba")))
-        .drop("__features", "rawPrediction", "probability", "prediction")
-  }
+    * proba/argmax/column conventions). The MLlib model stays reachable
+    * for artifact persistence (ModelIO, S7). */
+  private[model] def wrapTransformer(m: org.apache.spark.ml.Transformer): WindowModel =
+    new WindowModel with HasMlModel {
+      val mlModel: org.apache.spark.ml.Transformer = m
+      def transform(df: DataFrame, wc: String): DataFrame =
+        m.transform(df.withColumn("__features", features(wc)))
+          .withColumn("proba", vector_to_array(col("probability")).cast("array<double>"))
+          .withColumn("y_pred", argmax(col("proba")))
+          .drop("__features", "rawPrediction", "probability", "prediction")
+    }
+
+  private def wrap(m: org.apache.spark.ml.Transformer): WindowModel = wrapTransformer(m)
 
   /** Multinomial logistic regression on flattened windows — the fast
     * deterministic default scorer. */

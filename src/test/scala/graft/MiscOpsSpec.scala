@@ -80,4 +80,30 @@ class MiscOpsSpec extends SparkSpec {
     val scan = test.queryExecution.executedPlan.toString
     assert(new java.io.File(dir, "split=test").exists())
   }
+
+  test("S7 artifact roundtrip: model + encoder + scaler save/load, scoring parity") {
+    import graft.model.{ModelIO, Scorers}
+    import graft.ops.{Labels, Stats}
+    val dir = Files.createTempDirectory("graft_s7").toString
+    val train = (1 to 80).map { i =>
+      val y = i % 2
+      (i.toLong, Seq(Seq(y * 5.0 + 1.0), Seq(y * 5.0 + 2.0)), y)
+    }.toDF("id", "window", "y")
+    val model = Scorers.Logistic(maxIter = 15).fit(train)
+    ModelIO.saveModel(model, dir)
+    val loaded = ModelIO.loadModel(spark, dir)
+    val a = model.transform(train).select("id", "y_pred").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = loaded.transform(train).select("id", "y_pred").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+    // encoder + scaler roundtrips
+    val enc = Labels.fitLabelEncoder(Seq("b", "a", "c").toDF("cls"), "cls")
+    ModelIO.saveEncoder(enc, dir)
+    assert(ModelIO.loadEncoder(spark, dir).collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      enc.collect().map(r => (r.getString(0), r.getInt(1))).toSet)
+    val scaler = Map("f1" -> (1.5, 2.25), "we\"ird" -> (-3.0, 0.5))
+    ModelIO.saveScaler(scaler, dir)
+    assert(ModelIO.loadScaler(dir) == scaler)
+  }
 }
