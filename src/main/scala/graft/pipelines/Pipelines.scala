@@ -96,6 +96,10 @@ object Pipeline1 {
       .select(col("split"), col("win_id"), col("window"), col("y"),
         col(attackCol).as("attack"), col(stateCol).as("state"),
         col("state_bin").as("state_bin_last"))
+      // cached: model fit + every metric aggregation below re-reads the
+      // windows; the caller owns Result.windows and may unpersist when
+      // done (mirrors the reference persisting windows.npz once)
+      .cache()
 
     // 6. train + score
     val model = scorer.fit(windows.where(col("split") === "train"))
