@@ -76,15 +76,15 @@ object Stats {
     val withLags = (1 to maxLag).foldLeft(centered) { (d, k) =>
       d.withColumn(s"x_$k", lag("x", k).over(w))
     }
-    val denom = withLags.agg(sum(col("x") * col("x"))).head().getDouble(0)
+    // one aggregation pass: the lag-0 numerator IS the normalizer
     val numerators = (0 to maxLag).map { k =>
       val c = if (k == 0) col("x") * col("x") else col("x") * col(s"x_$k")
       sum(c).as(s"num_$k")
     }
-    val row = withLags.agg(numerators.head, numerators.tail: _*)
     val spark = df.sparkSession
     import spark.implicits._
-    val nums = row.head()
+    val nums = withLags.agg(numerators.head, numerators.tail: _*).head()
+    val denom = nums.getAs[Double]("num_0")
     (0 to maxLag).map(k => (k, nums.getAs[Double](s"num_$k") / denom))
       .toDF("lag", "acf")
   }
