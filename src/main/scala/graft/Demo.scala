@@ -39,7 +39,9 @@ object Demo {
 
     Sources.writeWindows(r.windows, s"$outDir/windows")
     Sources.writeMetricsJson(r.multiclass, s"$outDir/metrics_multiclass")
-    val op = r.operational.get
+    val op = r.operational.getOrElse(sys.error(
+      "no operational metrics: the input yielded a single label class " +
+        "(binary evaluation needs both attack and benign rows)"))
     println(s"""{"stage":"pipeline1","accuracy":${r.multiclass.head().getAs[Double]("accuracy")},"threshold":${op.threshold},"fpr":${op.fpr},"tpr":${op.tpr},"fp_per_hour":${op.falsePositivesPerHour}}""")
 
     val p2 = Pipeline2.run(r.scored, nFeatures = 2)

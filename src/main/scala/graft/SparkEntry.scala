@@ -26,9 +26,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    groups.iterator.map(_._1).reduce(_ ++ _)
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val merged = groups.iterator.map(_._1).reduce(_ ++ _)
+    // a name collision across groups would silently shadow a query and
+    // shrink the correctness gate — fail loudly instead
+    require(merged.size == groups.map(_._1.size).sum,
+      "duplicate query names across query groups")
+    merged
+  }
 
-  def oracleSql: Map[String, String] =
-    groups.iterator.map(_._2).reduce(_ ++ _)
+  def oracleSql: Map[String, String] = {
+    val merged = groups.iterator.map(_._2).reduce(_ ++ _)
+    require(merged.size == groups.map(_._2.size).sum,
+      "duplicate oracle names across query groups")
+    merged
+  }
 }

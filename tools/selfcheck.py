@@ -32,6 +32,12 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
+if only:
+    missing = [q for q in only if q not in oracle]
+    if missing:
+        print(f"ERROR: not in oracle_sql.json: {missing} "
+              f"(rows-only queries have no oracle; check spelling)")
+        sys.exit(1)
 results = {}
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
