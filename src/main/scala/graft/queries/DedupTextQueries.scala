@@ -23,7 +23,11 @@ object DedupTextQueries {
       val docs = table(s, dir, "documents").select("doc_id", "text")
       val doubled = docs.unionByName(
         docs.withColumn("doc_id", col("doc_id") + IdShift))
+      // doc_ids rendered as a CSV string: the driver's comparator sorts on
+      // every output column and array cells aren't orderable in pandas.
       Dedup.exactDuplicates(doubled, "doc_id", "text")
+        .withColumn("doc_ids",
+          array_join(transform(col("doc_ids"), _.cast("string")), ","))
         .orderBy("dup_hash")
     }),
 
@@ -87,7 +91,8 @@ object DedupTextQueries {
          |  SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + $IdShift, text FROM documents)
          |SELECT md5(text) AS dup_hash, count(*) AS n_copies,
-         |  min(doc_id) AS keeper_id, list_sort(list(doc_id)) AS doc_ids
+         |  min(doc_id) AS keeper_id,
+         |  array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
          |FROM doubled GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
 
     "dedup_exact_keep" ->
@@ -98,7 +103,7 @@ object DedupTextQueries {
          |  SELECT * FROM (
          |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
          |    FROM doubled) t WHERE rn = 1)
-         |SELECT source, count(*) AS n, sum(doc_id) AS id_sum
+         |SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_jaccard_pairs" ->

@@ -44,10 +44,12 @@ object LabelQueries {
       import graft.ops.Stats
       val ev = table(s, dir, "events")
       val scaler = Stats.fitStandardScaler(ev, Seq("value"))
+      // `+ 0.0` normalizes IEEE -0.0 to +0.0 (the driver's hash is
+      // byte-sensitive and DuckDB's round can yield -0.0 where ours doesn't).
       Stats.applyStandardScaler(ev, scaler)
         .groupBy("event_type")
-        .agg(round(avg("value"), 4).as("z_mean"),
-          round(stddev_pop(col("value")), 4).as("z_std"))
+        .agg((round(avg("value"), 4) + lit(0.0)).as("z_mean"),
+          (round(stddev_pop(col("value")), 4) + lit(0.0)).as("z_std"))
         .orderBy("event_type")
     }),
 
@@ -132,8 +134,8 @@ object LabelQueries {
     "p10_standardize" ->
       """WITH stats AS (SELECT avg(value) AS m, stddev_pop(value) AS s FROM events)
         |SELECT event_type,
-        |  round(avg((value - m) / s), 4) AS z_mean,
-        |  round(stddev_pop((value - m) / s), 4) AS z_std
+        |  round(avg((value - m) / s), 4) + 0.0 AS z_mean,
+        |  round(stddev_pop((value - m) / s), 4) + 0.0 AS z_std
         |FROM events, stats GROUP BY 1, stats.m, stats.s ORDER BY 1""".stripMargin,
 
     "p7_numeric_coercion" ->

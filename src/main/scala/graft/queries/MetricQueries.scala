@@ -140,7 +140,7 @@ object MetricQueries {
   val oracle: Map[String, String] = {
     val rocCurveSql =
       s"""SELECT threshold,
-         |  sum(pos) OVER w AS tps, sum(neg) OVER w AS fps,
+         |  CAST(sum(pos) OVER w AS BIGINT) AS tps, CAST(sum(neg) OVER w AS BIGINT) AS fps,
          |  (sum(neg) OVER w) * 1.0 / (sum(neg) OVER ()) AS fpr,
          |  (sum(pos) OVER w) * 1.0 / (sum(pos) OVER ()) AS tpr
          |FROM (
@@ -324,10 +324,10 @@ object MetricQueries {
            |  WHERE NOT EXISTS (SELECT 1 FROM cand)),
            |cells AS (
            |  SELECT
-           |    sum(CASE WHEN y_true = 0 AND score <  (SELECT threshold FROM thr) THEN 1 ELSE 0 END) AS tn,
-           |    sum(CASE WHEN y_true = 0 AND score >= (SELECT threshold FROM thr) THEN 1 ELSE 0 END) AS fp,
-           |    sum(CASE WHEN y_true = 1 AND score <  (SELECT threshold FROM thr) THEN 1 ELSE 0 END) AS fn,
-           |    sum(CASE WHEN y_true = 1 AND score >= (SELECT threshold FROM thr) THEN 1 ELSE 0 END) AS tp
+    |    CAST(sum(CASE WHEN y_true = 0 AND score <  (SELECT threshold FROM thr) THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+    |    CAST(sum(CASE WHEN y_true = 0 AND score >= (SELECT threshold FROM thr) THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    |    CAST(sum(CASE WHEN y_true = 1 AND score <  (SELECT threshold FROM thr) THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    |    CAST(sum(CASE WHEN y_true = 1 AND score >= (SELECT threshold FROM thr) THEN 1 ELSE 0 END) AS BIGINT) AS tp
            |  FROM tst)
            |SELECT (SELECT threshold FROM thr) AS threshold, tn, fp, fn, tp,
            |  round(fp * 1.0 / (tn + fp), 6) AS fpr,

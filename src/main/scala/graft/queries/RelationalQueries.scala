@@ -111,7 +111,7 @@ object RelationalQueries {
       val w = Window.partitionBy("o_orderstatus")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       table(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .where(col("rn") <= 3)
         .select("o_orderstatus", "rn", "o_orderkey", "o_totalprice")
         .orderBy("o_orderstatus", "rn")

@@ -54,7 +54,8 @@ object SimilarityQueries {
       val queries = e.where(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       Similarity.bruteForceTopK(e, queries, "vec_id", "v", "qid", "qv", k = 5)
-        .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
+        .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"),
+          col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
 
@@ -81,7 +82,8 @@ object SimilarityQueries {
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       Similarity.ivfTopK(e, queries, "vec_id", "v", "qid", "qv",
           k = 3, nCells = 16, nProbe = 4, centroidsByHash = false)
-        .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
+        .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"),
+          col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
   )

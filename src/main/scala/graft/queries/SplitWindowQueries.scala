@@ -16,6 +16,14 @@ object SplitWindowQueries {
 
   private val ord = Seq(col("ts").asc, col("event_id").asc)
 
+  /** Window values as scalar columns w0..w{n-1}: the driver's comparator
+    * sorts on every output column, and array cells aren't orderable in
+    * pandas — element projection keeps float-exact parity without arrays. */
+  private def winCols(n: Int) =
+    (0 until n).map(i => col("window")(i).as(s"w$i"))
+  private def winColsSql(n: Int) =
+    (0 until n).map(i => s""""window"[${i + 1}] AS w$i""").mkString(", ")
+
   val queries: Map[String, QueryFn] = Map(
     "g1_chrono_split" -> ((s, dir) => {
       // Per-group 70/15/15 chronological split → per-(group, split) counts
@@ -34,8 +42,8 @@ object SplitWindowQueries {
       // oracle (no arithmetic).
       val ev = scoredEvents(s, dir)
       SlidingWindows.slideGlobal(ev, ord, col("value"), seqLen = 5, step = 7)
-        .select(col("win_id"), col("window"), col("y_true").as("y"),
-          col("event_id").as("end_event_id"))
+        .select(col("win_id").cast("long").as("win_id") +: winCols(5) :+
+          col("y_true").as("y") :+ col("event_id").as("end_event_id"): _*)
         .orderBy("win_id")
     }),
 
@@ -46,8 +54,8 @@ object SplitWindowQueries {
       val ev = scoredEvents(s, dir)
       SlidingWindows.slideGlobalChunked(ev, ord, col("value"), seqLen = 5, step = 7,
           chunkSize = 512)
-        .select(col("win_id"), col("window"), col("y_true").as("y"),
-          col("event_id").as("end_event_id"))
+        .select(col("win_id").cast("long").as("win_id") +: winCols(5) :+
+          col("y_true").as("y") :+ col("event_id").as("end_event_id"): _*)
         .orderBy("win_id")
     }),
 
@@ -58,8 +66,8 @@ object SplitWindowQueries {
       val ev = scoredEvents(s, dir)
       SlidingWindows.slideGlobalStreaming(ev, ord, col("value"), seqLen = 5, step = 7,
           chunkSize = 512, rangePartitions = 8)
-        .select(col("win_id"), col("window"), col("y_true").as("y"),
-          col("event_id").as("end_event_id"))
+        .select(col("win_id").cast("long").as("win_id") +: winCols(5) :+
+          col("y_true").as("y") :+ col("event_id").as("end_event_id"): _*)
         .orderBy("win_id")
     }),
 
@@ -69,8 +77,8 @@ object SplitWindowQueries {
       val ev = scoredEvents(s, dir).where(col("user_id") < 40)
       SlidingWindows.slide(ev, Seq("user_id"), Seq(col("ts").asc, col("event_id").asc),
           col("value"), seqLen = 3, step = 2)
-        .select(col("user_id"), col("win_id"), col("window"),
-          col("event_id").as("end_event_id"))
+        .select(col("user_id") +: col("win_id").cast("long").as("win_id") +:
+          winCols(3) :+ col("event_id").as("end_event_id"): _*)
         .orderBy("user_id", "win_id")
     }),
 
@@ -82,7 +90,7 @@ object SplitWindowQueries {
       val wins = SlidingWindows.slideGlobal(ev, ord, array(col("value")), seqLen = 5, step = 7)
       val stats = SlidingWindows.windowFeatureStats(col("window"), 0)
       wins.select(
-        col("win_id"),
+        col("win_id").cast("long").as("win_id"),
         round(stats("mean"), 4).as("mean_value"),
         round(stats("std"), 4).as("std_value"),
         round(stats("min"), 4).as("min_value"),
@@ -135,7 +143,7 @@ object SplitWindowQueries {
     "w1_streaming_parity" -> w1OracleSql,
 
     "w1_partitioned" ->
-      """SELECT user_id, rn AS win_id, "window", event_id AS end_event_id FROM (
+      s"""SELECT user_id, rn AS win_id, ${winColsSql(3)}, event_id AS end_event_id FROM (
         |  SELECT user_id, event_id,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
         |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -189,7 +197,7 @@ object SplitWindowQueries {
   )
 
   private lazy val w1OracleSql: String =
-    s"""SELECT rn AS win_id, "window", y, event_id AS end_event_id FROM (
+    s"""SELECT rn AS win_id, ${winColsSql(5)}, y, event_id AS end_event_id FROM (
        |  SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn,
        |    list(value) OVER (ORDER BY ts, event_id
        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS "window",
