@@ -49,7 +49,7 @@ object BinaryOperational {
     * `val_` calibrates (G15), `test` is scored. Label columns are 0/1. */
   def evaluate(valDf: DataFrame, testDf: DataFrame, label: Column, score: Column,
       fprTarget: Double, hopSeconds: Double): OperationalMetrics = {
-    val curve = Curves.rocCurve(valDf, label, score)
+    val curve = Curves.dropIntermediate(Curves.rocCurve(valDf, label, score))
     val thrRow = Curves.thresholdAtFpr(curve, fprTarget).head()
     val thr = thrRow.getDouble(0)
 

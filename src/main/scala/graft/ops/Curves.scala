@@ -19,11 +19,10 @@ import org.apache.spark.sql.functions._
   * Curve convention: one point per distinct threshold, thresholds strictly
   * descending, cumulative tps/fps INCLUSIVE of the threshold (score >= thr
   * predicted positive — sklearn's convention), with the (fpr=0, tpr=0,
-  * thr=+inf) virtual start point. We do NOT reproduce sklearn's
-  * `drop_intermediate` point thinning — it changes the point set but not
-  * the curve geometry; AUC and last-fpr<=target threshold selection agree
-  * wherever the target lands on a kept point, and `roc_auc_score` itself
-  * never thins.
+  * thr=+inf) virtual start point. [[rocCurve]] emits the FULL point set
+  * (what `roc_auc_score` integrates); [[dropIntermediate]] reproduces
+  * sklearn `roc_curve`'s default point thinning for the selection paths
+  * that consume `roc_curve` output (G15 threshold-at-FPR).
   */
 object Curves {
 
@@ -78,6 +77,24 @@ object Curves {
       .agg(sum((col("recall") - col("recall_prev")) * col("precision")).as("average_precision"))
   }
 
+  /** sklearn `roc_curve(drop_intermediate=True)` point thinning: keep a
+    * curve point iff it is an endpoint or either cumulative series bends
+    * there (second difference of fps or tps nonzero) — collinear interior
+    * points add nothing to the polyline. One window pass over the D-row
+    * curve (D = #distinct scores), no pass over the data.
+    * Ref consumer: select_threshold_at_fpr, func_aux/func_test.py:257. */
+  def dropIntermediate(curve: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("threshold").desc)
+    curve
+      .withColumn("__dfp", col("fps") - lag("fps", 1).over(w))
+      .withColumn("__dfn", lead("fps", 1).over(w) - col("fps"))
+      .withColumn("__dtp", col("tps") - lag("tps", 1).over(w))
+      .withColumn("__dtn", lead("tps", 1).over(w) - col("tps"))
+      .where(col("__dfp").isNull || col("__dfn").isNull ||
+        col("__dfp") =!= col("__dfn") || col("__dtp") =!= col("__dtn"))
+      .drop("__dfp", "__dfn", "__dtp", "__dtn")
+  }
+
   /** G15 — threshold at target FPR. Ref: select_threshold_at_fpr,
     * func_aux/func_test.py:252-269: take the LAST curve point with
     * fpr <= target. sklearn's `roc_curve` always emits a virtual
@@ -86,7 +103,9 @@ object Curves {
     * [[rocCurve]] omits the anchor from the table, so when no REAL point
     * satisfies the target we return the anchor itself — threshold=+inf,
     * i.e. "predict nothing", which honors the FPR budget exactly as the
-    * reference would. Returns 1 row (threshold, fpr, tpr). */
+    * reference would. Pass the curve through [[dropIntermediate]] first for
+    * sklearn parity (the reference selects on roc_curve's thinned points).
+    * Returns 1 row (threshold, fpr, tpr). */
   def thresholdAtFpr(curve: DataFrame, fprTarget: Double): DataFrame = {
     // "last index with fpr <= target" on a curve ordered by descending
     // threshold == max fpr among candidates, ties broken by the latest

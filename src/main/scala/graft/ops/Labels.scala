@@ -59,11 +59,15 @@ object Labels {
   def benignNormalizer(attack: Column): Column =
     when(lower(attack).contains("benign"), "None").otherwise(attack)
 
-  /** P6: filename → label phrase: join stem tokens from the 3rd on with " ".
+  /** P6: filename → label phrase: join stem tokens from the 3rd on with " ";
+    * when the stem has fewer than 3 dash-separated parts, the whole stem is
+    * the label. Both branches trimmed (the reference's .strip()).
     * Ref: pipelines_network/pipeline_trainingmodels_network.py:158-164. */
   def filenameLabel(fileName: Column): Column = {
     val stem = regexp_extract(regexp_extract(fileName, "([^/]+)$", 1), "^(.*?)(\\.[^.]*)?$", 1)
-    array_join(slice(split(stem, "-"), 3, 1 << 20), " ")
+    val parts = split(stem, "-")
+    trim(when(size(parts) >= 3, array_join(slice(parts, 3, 1 << 20), " "))
+      .otherwise(stem))
   }
 
   /** P9: fit a lexicographic label encoder (sklearn `LabelEncoder` parity:

@@ -71,8 +71,12 @@ object Stats {
   def acf(df: DataFrame, order: Column, value: Column, maxLag: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("o"))
-    val mu = df.agg(avg(value)).head().getDouble(0)
-    val centered = df.select((value - mu).as("x"), order.as("o"))
+    // The reference drops NaNs and compacts the series (x = x[~isnan(x)])
+    // BEFORE centering: lag-k pairs are adjacency in the compacted order,
+    // and mu is the mean of the surviving values only.
+    val clean = df.where(value.isNotNull && !isnan(value.cast("double")))
+    val mu = clean.agg(avg(value)).head().getDouble(0)
+    val centered = clean.select((value - mu).as("x"), order.as("o"))
     val withLags = (1 to maxLag).foldLeft(centered) { (d, k) =>
       d.withColumn(s"x_$k", lag("x", k).over(w))
     }

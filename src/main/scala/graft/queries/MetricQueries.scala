@@ -90,7 +90,7 @@ object MetricQueries {
 
     "g15_threshold_at_fpr" -> ((s, dir) => {
       val ev = scoredEvents(s, dir)
-      val curve = Curves.rocCurve(ev, col("y_true"), col("score"))
+      val curve = Curves.dropIntermediate(Curves.rocCurve(ev, col("y_true"), col("score")))
       Curves.thresholdAtFpr(curve, 0.3)
         .select(round(col("threshold"), 4).as("threshold"),
           round(col("fpr"), 6).as("fpr"), round(col("tpr"), 6).as("tpr"))
@@ -265,9 +265,16 @@ object MetricQueries {
 
       "g15_threshold_at_fpr" ->
         s"""WITH curve AS ($rocCurveSql),
+           |d AS (
+           |  SELECT *, fps - lag(fps) OVER w2 AS dfp, lead(fps) OVER w2 - fps AS dfn,
+           |         tps - lag(tps) OVER w2 AS dtp, lead(tps) OVER w2 - tps AS dtn
+           |  FROM curve WINDOW w2 AS (ORDER BY threshold DESC)),
+           |thin AS (
+           |  SELECT threshold, fpr, tpr FROM d
+           |  WHERE dfp IS NULL OR dfn IS NULL OR dfp != dfn OR dtp != dtn),
            |cand AS (
            |  SELECT round(threshold, 4) AS threshold, round(fpr, 6) AS fpr, round(tpr, 6) AS tpr
-           |  FROM curve WHERE fpr <= 0.3
+           |  FROM thin WHERE fpr <= 0.3
            |  ORDER BY fpr DESC, threshold ASC LIMIT 1)
            |SELECT * FROM cand
            |UNION ALL
@@ -310,12 +317,19 @@ object MetricQueries {
            |v AS (SELECT * FROM se WHERE event_id % 2 = 0),
            |tst AS (SELECT * FROM se WHERE event_id % 2 = 1),
            |curve AS (
-           |  SELECT threshold,
+           |  SELECT threshold, sum(pos) OVER w AS tps, sum(neg) OVER w AS fps,
            |    (sum(neg) OVER w) * 1.0 / (sum(neg) OVER ()) AS fpr
            |  FROM (SELECT score AS threshold, sum(y_true) AS pos, sum(1 - y_true) AS neg
            |        FROM v GROUP BY 1)
            |  WINDOW w AS (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-           |cand AS (SELECT threshold FROM curve WHERE fpr <= 0.1
+           |d AS (
+           |  SELECT *, fps - lag(fps) OVER w2 AS dfp, lead(fps) OVER w2 - fps AS dfn,
+           |         tps - lag(tps) OVER w2 AS dtp, lead(tps) OVER w2 - tps AS dtn
+           |  FROM curve WINDOW w2 AS (ORDER BY threshold DESC)),
+           |thin AS (
+           |  SELECT threshold, fpr FROM d
+           |  WHERE dfp IS NULL OR dfn IS NULL OR dfp != dfn OR dtp != dtn),
+           |cand AS (SELECT threshold FROM thin WHERE fpr <= 0.1
            |         ORDER BY fpr DESC, threshold ASC LIMIT 1),
            |thr AS (
            |  SELECT threshold FROM cand

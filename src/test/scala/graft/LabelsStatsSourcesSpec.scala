@@ -21,10 +21,11 @@ class LabelsStatsSourcesSpec extends SparkSpec {
     assert(out.toSeq == Seq("DoS", "host-attack", "recon", "weird-new-attack"))
   }
 
-  test("filenameLabel: stem tokens from the 3rd, joined") {
+  test("filenameLabel: stem tokens from the 3rd, joined; short stems fall back whole") {
     val df = Seq("/data/evseA/EVSE-A-icmp-flood-1.csv", "x/a-b-c.csv", "a-b.csv").toDF("f")
     val out = df.select(Labels.filenameLabel(col("f"))).collect().map(_.getString(0))
-    assert(out.toSeq == Seq("icmp flood 1", "c", "")) // ref joins with " "
+    // ref joins with " "; < 3 dash parts → whole stem (stripped)
+    assert(out.toSeq == Seq("icmp flood 1", "c", "a-b"))
   }
 
   test("fitLabelEncoder is lexicographic; encodeLabel broadcasts it back") {
@@ -75,6 +76,19 @@ class LabelsStatsSourcesSpec extends SparkSpec {
     assert(approx(out(0), 1.0))
     assert(out(1) < -0.9)
     assert(out(2) > 0.9)
+  }
+
+  test("acf: NaNs are dropped and the series compacted before centering (ref parity)") {
+    // Without compaction the NaN poisons every sum; with it, the alternating
+    // pattern {-1,1,...} stays perfectly anti-correlated at lag 1 because the
+    // surviving neighbors remain adjacent in the compacted order.
+    val df = (1 to 41).map { i =>
+      (i.toLong, if (i == 21) Double.NaN else if (i % 2 == 0) 1.0 else -1.0)
+    }.toDF("t", "x")
+    val out = Stats.acf(df, col("t"), col("x"), 1).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(approx(out(0), 1.0))
+    assert(!out(1).isNaN && out(1) < -0.85)
   }
 
   test("S1/S2 power+host CSV loading: schema repair, constant drop, positional event cols") {

@@ -53,6 +53,23 @@ class MetricsCurvesSpec extends SparkSpec {
     assert(anchor.getDouble(0).isPosInfinity && anchor.getDouble(1) == 0.0)
   }
 
+  test("dropIntermediate keeps endpoints and bends only; selection matches sklearn") {
+    // (y, s): (1,.9) (1,.8) (0,.7) (0,.6) (0,.5) (1,.4) — cumulative
+    // (fps,tps) per thr desc: (0,1) (0,2) (1,2) (2,2) (3,2) (3,3).
+    // Interior points .7 and .6 are collinear (constant increments) →
+    // sklearn keeps [.9 .8 .5 .4].
+    val df = Seq((1, 0.9), (1, 0.8), (0, 0.7), (0, 0.6), (0, 0.5), (1, 0.4)).toDF("y", "s")
+    val full = Curves.rocCurve(df, col("y"), col("s"))
+    val thin = Curves.dropIntermediate(full)
+    assert(thin.orderBy(desc("threshold")).collect().map(_.getDouble(0)).toSeq
+      == Seq(0.9, 0.8, 0.5, 0.4))
+    // fpr_target = 0.5 falls strictly between kept corners: sklearn's
+    // select_threshold_at_fpr (thinned points) returns thr=.8 (fpr=0),
+    // while the unthinned curve would return thr=.7 (fpr=1/3).
+    assert(Curves.thresholdAtFpr(thin, 0.5).head().getDouble(0) == 0.8)
+    assert(Curves.thresholdAtFpr(full, 0.5).head().getDouble(0) == 0.7)
+  }
+
   test("multiclass metrics match sklearn on a 3-class fixture") {
     // y_true: 0,0,1,1,2,2 ; y_pred: 0,1,1,1,2,0
     val df = Seq((0, 0), (0, 1), (1, 1), (1, 1), (2, 2), (2, 0)).toDF("yt", "yp")
