@@ -19,7 +19,7 @@ object SparkEntry {
     (MetricQueries.queries, MetricQueries.oracle),
     (DedupTextQueries.queries, DedupTextQueries.oracle),
     (SimilarityQueries.queries, SimilarityQueries.oracle),
-    (RowsOnlyQueries.queries, Map.empty[String, String]),
+    (RowsOnlyQueries.queries, RowsOnlyQueries.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -14,35 +14,82 @@ import org.apache.spark.sql.functions._
   * mapped to U(0,1) — independent of partitioning, task retries, and
   * cluster size, which is exactly what a 1000-executor run needs.
   *
+  * The hash is a keyed 31-bit mixed LCG (chain a multiply-add-mod per key,
+  * then one scramble round) rather than xxhash64: every intermediate stays
+  * under 2^62, so the SAME integer arithmetic is exactly reproducible in
+  * any engine with 64-bit integers — that is what lets the r1–r5 queries
+  * carry a DuckDB oracle instead of a rows-only check. 31 bits of
+  * uniform resolution is far more than the Bernoulli masks / shifts /
+  * Box–Muller draws here can surface.
+  *
   * All four degradations are pure array expressions (`transform` over the
   * `array<array<double>>` window column) — no shuffle, no UDF, fully
   * codegen-capable, embarrassingly parallel.
   */
 object Robustness {
 
-  /** Deterministic per-coordinate uniform in [0,1): xxhash64 of the key
-    * columns + seed, scaled from the non-negative 63-bit range. */
+  /** LCG modulus/multiplier (classic glibc) + xorshift-multiply scramble
+    * constants (lowbias32-style). */
+  val M: Long = 1L << 31
+  val A: Long = 1103515245L
+  val B: Long = 12345L
+  val C1: Long = 0x45d9f3bL
+  val C2: Long = 0x119de1f3L
+  /** Salt key appended for the second Box–Muller stream. */
+  val U2Salt: Long = 785643211L
+
+  /** The keyed mix: h = seed mod M; per key h = (A·h + B + (key mod M)) mod M;
+    * then two xorshift-multiply scramble rounds (an affine-only finish
+    * would leave consecutive keys with near-identical uniforms). Max
+    * intermediate A·(M−1)+B+M < 2^62 — exact in 64-bit integers everywhere. */
+  private def mix(seed: Column, keys: Seq[Column]): Column = {
+    val h0 = pmod(seed.cast("long"), lit(M))
+    val hk = keys.foldLeft(h0)((h, k) =>
+      pmod(lit(A) * h + lit(B) + pmod(k.cast("long"), lit(M)), lit(M)))
+    val s1 = pmod(hk.bitwiseXOR(shiftright(hk, 16)) * lit(C1), lit(M))
+    val s2 = pmod(s1.bitwiseXOR(shiftright(s1, 11)) * lit(C2), lit(M))
+    s2.bitwiseXOR(shiftright(s2, 14))
+  }
+
+  /** Deterministic per-coordinate uniform in [0,1): keyed LCG mix of the
+    * key columns + seed, scaled from the 31-bit range. */
   def seededUniform(seed: Long, keys: Column*): Column =
-    (abs(xxhash64((keys :+ lit(seed)): _*)) % lit(1L << 61)).cast("double") / lit((1L << 61).toDouble)
+    seededUniformC(lit(seed), keys: _*)
 
   /** Box–Muller standard normal from two hash-uniforms (distinct salts). */
-  def seededNormal(seed: Long, keys: Column*): Column = {
-    val u1 = greatest(seededUniform(seed, keys: _*), lit(1e-12)) // avoid log(0)
-    val u2 = seededUniform(seed + 0x9e3779b97f4a7c15L, keys: _*)
-    sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
-  }
+  def seededNormal(seed: Long, keys: Column*): Column =
+    seededNormalC(lit(seed), keys: _*)
 
   /** Column-seeded uniform — the seed itself a column, for plans that
     * sweep (severity, seed) grids in one pass. */
   def seededUniformC(seed: Column, keys: Column*): Column =
-    (abs(xxhash64((keys :+ seed): _*)) % lit(1L << 61)).cast("double") / lit((1L << 61).toDouble)
+    mix(seed, keys).cast("double") / lit(M.toDouble)
 
   def seededNormalC(seed: Column, keys: Column*): Column = {
-    val u1 = greatest(seededUniformC(seed, keys: _*), lit(1e-12))
+    val u1 = greatest(seededUniformC(seed, keys: _*), lit(1e-12)) // avoid log(0)
     // second independent stream via an extra salt key (no seed arithmetic
     // — adding large constants to a seed column would overflow under ANSI)
-    val u2 = seededUniformC(seed, (keys :+ lit("u2-salt")): _*)
+    val u2 = seededUniformC(seed, (keys :+ lit(U2Salt)): _*)
     sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+  }
+
+  /** DuckDB SQL twin of [[seededUniformC]]: identical integer arithmetic,
+    * for oracle queries. `seed`/`keys` are SQL expressions that must be
+    * non-negative integers (keys are reduced mod M like the Column form). */
+  def seededUniformSql(seed: String, keys: Seq[String]): String = {
+    val h0 = s"(CAST($seed AS BIGINT) % $M)"
+    val hk = keys.foldLeft(h0)((h, k) =>
+      s"((CAST($A AS BIGINT) * $h + $B + (CAST($k AS BIGINT) % $M)) % $M)")
+    val s1 = s"((xor($hk, $hk >> 16) * $C1) % $M)"
+    val s2 = s"((xor($s1, $s1 >> 11) * $C2) % $M)"
+    s"(xor($s2, $s2 >> 14) / $M.0)"
+  }
+
+  /** DuckDB SQL twin of [[seededNormalC]]. */
+  def seededNormalSql(seed: String, keys: Seq[String]): String = {
+    val u1 = s"greatest(${seededUniformSql(seed, keys)}, 1e-12)"
+    val u2 = seededUniformSql(seed, keys :+ U2Salt.toString)
+    s"(sqrt(-2.0 * ln($u1)) * cos(2 * pi() * $u2))"
   }
 
   /** R1 packet_loss — zero ALL features at a Bernoulli(severity) subset of

@@ -4,11 +4,14 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Multimodal, PermImportance, Robustness, SlidingWindows, TextOps}
 import graft.queries.Q._
 
-/** Operators whose semantics are deterministic in-engine but not
-  * DuckDB-reproducible (xxhash64-seeded RNG, JVM-side decode): the driver
-  * records a rows-only check for these; exact semantics are ScalaTest-
-  * covered (window laws, identity at severity 0, multiset preservation,
-  * hamming bounds).
+/** The robustness/permutation/LSH/harvest surface. Most of these now carry
+  * full DuckDB oracles: the seeded RNG is integer-exact in both engines
+  * ([[Robustness.seededUniformSql]]), the LSH paths are oracled against
+  * their brute-force ground truth (a 100%-recall proof on this corpus —
+  * deterministic, since the hashes are fixed), and the harvest join's
+  * fixture values are a plain aggregate. Only the mm_* queries stay
+  * rows-only (JVM-side byte decode has no SQL twin); their semantics are
+  * ScalaTest-covered.
   *
   * Every query returns a deterministically-ordered aggregate (not raw
   * blobs) so reruns are diffable.
@@ -24,7 +27,7 @@ object RowsOnlyQueries {
   private def wins(s: org.apache.spark.sql.SparkSession, dir: String) =
     SlidingWindows.slideGlobalChunked(scoredEvents(s, dir), ord, array(col("value")),
       seqLen = 8, step = 8, chunkSize = 8192)
-      .select(col("win_id"), col("window"), col("y_true"))
+      .select(col("win_id").cast("long").as("win_id"), col("window"), col("y_true"))
 
   private def winChecksum(c: org.apache.spark.sql.Column) =
     round(aggregate(flatten(c), lit(0.0), (a, x) => a + x), 4)
@@ -163,4 +166,94 @@ object RowsOnlyQueries {
         .orderBy("kind")
     }),
   )
+
+  /** SQL twin of [[wins]]: tumbling seq_len=8 windows over the scored
+    * events, window = the flat value list (single feature). */
+  private val winsSql: String =
+    s"""SELECT rn AS win_id, "window" FROM (
+       |  SELECT row_number() OVER (ORDER BY ts, event_id) AS rn,
+       |    list(value) OVER (ORDER BY ts, event_id
+       |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS "window"
+       |  FROM (${Q.scoredEventsSql}) se) t
+       |WHERE rn >= 8 AND (rn - 8) % 8 = 0""".stripMargin
+
+  /** Left-fold sum matching `aggregate(xs, 0.0, _+_)` bit-for-bit
+    * (0.0 + x0 == x0, and both engines fold left). */
+  private def foldSum(listExpr: String) = s"list_reduce($listExpr, (a, b) -> a + b)"
+
+  val oracle: Map[String, String] = {
+    val u_r1 = Robustness.seededUniformSql("42", Seq("win_id", "(i - 1)"))
+    val u_r2 = Robustness.seededUniformSql("42", Seq("win_id", "0"))
+    val u_r3 = Robustness.seededUniformSql("42", Seq("win_id"))
+    val n_r4 = Robustness.seededNormalSql("42", Seq("win_id", "0"))
+    val u_r5 = Robustness.seededUniformSql("7", Seq("win_id", "t"))
+
+    Map(
+      "r1_packet_loss" ->
+        s"""WITH wins AS ($winsSql)
+           |SELECT win_id,
+           |  round(${foldSum("\"window\"")}, 4) AS sum_before,
+           |  round(${foldSum(s"""list_transform(range(1, len("window") + 1), i ->
+           |    CASE WHEN $u_r1 < 0.3 THEN 0.0 ELSE "window"[i] END)""")}, 4) AS sum_after
+           |FROM wins ORDER BY win_id""".stripMargin,
+
+      "r2_missing_vars" ->
+        s"""WITH wins AS ($winsSql)
+           |SELECT win_id,
+           |  CASE WHEN $u_r2 < 0.3 THEN 0.0
+           |       ELSE round(${foldSum("\"window\"")}, 4) END AS sum_after
+           |FROM wins ORDER BY win_id""".stripMargin,
+
+      "r3_clock_offset" ->
+        s"""WITH wins AS ($winsSql),
+           |-- severity .4, T=8: maxShift = floor(.4*8) = 3, span 7
+           |sh AS (
+           |  SELECT win_id, "window",
+           |    CAST(floor($u_r3 * 7) AS BIGINT) - 3 AS shift
+           |  FROM wins),
+           |rolled AS (
+           |  SELECT win_id,
+           |    list_transform(range(0, 8), i ->
+           |      "window"[((i - shift) % 8 + 8) % 8 + 1]) AS r
+           |  FROM sh)
+           |SELECT win_id, round(${foldSum("r")}, 4) AS sum_after,
+           |  round(r[1], 4) AS first_val
+           |FROM rolled ORDER BY win_id""".stripMargin,
+
+      "r4_drift" ->
+        s"""WITH wins AS ($winsSql),
+           |wn AS (SELECT win_id, "window", $n_r4 AS nrm FROM wins)
+           |SELECT win_id,
+           |  round(${foldSum(s"""list_transform(range(0, 8), i ->
+           |    "window"[i + 1] + (CAST(i AS DOUBLE) / 7.0) * nrm * 0.2)""")}, 4) AS sum_after
+           |FROM wn ORDER BY win_id""".stripMargin,
+
+      "r5_perm_importance" ->
+        s"""WITH wins AS ($winsSql),
+           |w8 AS (SELECT win_id, "window" FROM wins WHERE win_id <= 800),
+           |cells AS (
+           |  SELECT win_id, t, "window"[t + 1] AS v
+           |  FROM w8, (SELECT unnest(range(0, 8)) AS t) ts),
+           |a AS (SELECT win_id, t, row_number() OVER (ORDER BY win_id, t) AS r FROM cells),
+           |b AS (SELECT v, row_number() OVER (ORDER BY $u_r5, win_id, t) AS r FROM cells),
+           |j AS (SELECT a.win_id, a.t, b.v FROM a JOIN b USING (r))
+           |SELECT win_id, round(${foldSum("list(v ORDER BY t)")}, 4) AS sum_permuted
+           |FROM j GROUP BY win_id ORDER BY win_id""".stripMargin,
+
+      // The LSH scale paths are checked against their exact brute-force
+      // ground truth: banding/table parameters give ~1e-7 miss probability
+      // per true pair, and the hashes are fixed — so 100% recall on this
+      // corpus is a deterministic fact, proven by the oracle match.
+      "dedup_minhash_lsh" -> DedupTextQueries.oracle("dedup_jaccard_pairs"),
+      "dedup_embedding_lsh" -> SimilarityQueries.oracle("dedup_embedding_brute"),
+
+      // The harvest fixture derives per-run metrics.json values from the
+      // events table; the JSON round-trip is value-exact (shortest-repr
+      // doubles), so the flattened join equals this aggregate.
+      "s8_harvest_join" ->
+        """SELECT event_type AS config_task, count(*) AS metrics_n,
+          |  round(avg(value), 4) AS metrics_mean_value
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    )
+  }
 }
