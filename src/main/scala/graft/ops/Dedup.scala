@@ -176,14 +176,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
-  /** SimHash 64-bit fingerprint: sign of the per-bit sum of token hashes.
-    * bit b of fingerprint = 1 iff Σ_tokens (bit b of xxhash64(token) ? +1 : −1) > 0.
-    * Near-dups have small Hamming distance. Pure array expressions. */
+  /** SimHash 31-bit fingerprint: sign of the per-bit sum of token hashes.
+    * bit b of fingerprint = 1 iff Σ_tokens (bit b of hash(token) ? +1 : −1) > 0.
+    * Near-dups have small Hamming distance. Pure array expressions. The
+    * token hash is [[IntHash.stringHash]] (engine-portable, so the
+    * dedup_simhash query carries a DuckDB oracle); widen to two salted
+    * 31-bit lanes if 31 bits of fingerprint ever get collision-bound. */
   def simhash(text: Column): Column = {
     val toks = split(trim(text), "\\s+")
-    val hashes = transform(toks, t => xxhash64(t))
+    val hashes = transform(toks, t => IntHash.stringHash(t))
     aggregate(
-      sequence(lit(0), lit(63)),
+      sequence(lit(0), lit(30)),
       lit(0L),
       (acc, b) => {
         val vote = aggregate(hashes, lit(0),
@@ -192,7 +195,20 @@ object Dedup {
       })
   }
 
-  /** Hamming distance between two 64-bit fingerprints. */
+  /** DuckDB twin of [[simhash]]. */
+  def simhashSql(text: String): String = {
+    val toks = s"regexp_split_to_array(trim($text), '\\s+')"
+    val th = IntHash.stringHashSql("tok")
+    val vote = s"list_reduce(list_transform(hs, h -> " +
+      s"CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END), (a, c) -> a + c)"
+    s"(SELECT list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+      s"list_transform(range(0, 31), b -> " +
+      s"CASE WHEN $vote > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END)), " +
+      s"(a, c) -> a + c) " +
+      s"FROM (SELECT list_transform($toks, tok -> $th) AS hs) __sh)"
+  }
+
+  /** Hamming distance between two fingerprints (≤ 64 bits). */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 }

@@ -14,13 +14,12 @@ import org.apache.spark.sql.functions._
   * mapped to U(0,1) — independent of partitioning, task retries, and
   * cluster size, which is exactly what a 1000-executor run needs.
   *
-  * The hash is a keyed 31-bit mixed LCG (chain a multiply-add-mod per key,
-  * then one scramble round) rather than xxhash64: every intermediate stays
-  * under 2^62, so the SAME integer arithmetic is exactly reproducible in
-  * any engine with 64-bit integers — that is what lets the r1–r5 queries
-  * carry a DuckDB oracle instead of a rows-only check. 31 bits of
-  * uniform resolution is far more than the Bernoulli masks / shifts /
-  * Box–Muller draws here can surface.
+  * The hash is [[IntHash]]'s keyed 31-bit mix rather than xxhash64: every
+  * intermediate stays under 2^62, so the SAME integer arithmetic is
+  * exactly reproducible in any engine with 64-bit integers — that is what
+  * lets the r1–r5 queries carry a DuckDB oracle instead of a rows-only
+  * check. 31 bits of uniform resolution is far more than the Bernoulli
+  * masks / shifts / Box–Muller draws here can surface.
   *
   * All four degradations are pure array expressions (`transform` over the
   * `array<array<double>>` window column) — no shuffle, no UDF, fully
@@ -28,28 +27,8 @@ import org.apache.spark.sql.functions._
   */
 object Robustness {
 
-  /** LCG modulus/multiplier (classic glibc) + xorshift-multiply scramble
-    * constants (lowbias32-style). */
-  val M: Long = 1L << 31
-  val A: Long = 1103515245L
-  val B: Long = 12345L
-  val C1: Long = 0x45d9f3bL
-  val C2: Long = 0x119de1f3L
   /** Salt key appended for the second Box–Muller stream. */
   val U2Salt: Long = 785643211L
-
-  /** The keyed mix: h = seed mod M; per key h = (A·h + B + (key mod M)) mod M;
-    * then two xorshift-multiply scramble rounds (an affine-only finish
-    * would leave consecutive keys with near-identical uniforms). Max
-    * intermediate A·(M−1)+B+M < 2^62 — exact in 64-bit integers everywhere. */
-  private def mix(seed: Column, keys: Seq[Column]): Column = {
-    val h0 = pmod(seed.cast("long"), lit(M))
-    val hk = keys.foldLeft(h0)((h, k) =>
-      pmod(lit(A) * h + lit(B) + pmod(k.cast("long"), lit(M)), lit(M)))
-    val s1 = pmod(hk.bitwiseXOR(shiftright(hk, 16)) * lit(C1), lit(M))
-    val s2 = pmod(s1.bitwiseXOR(shiftright(s1, 11)) * lit(C2), lit(M))
-    s2.bitwiseXOR(shiftright(s2, 14))
-  }
 
   /** Deterministic per-coordinate uniform in [0,1): keyed LCG mix of the
     * key columns + seed, scaled from the 31-bit range. */
@@ -63,7 +42,7 @@ object Robustness {
   /** Column-seeded uniform — the seed itself a column, for plans that
     * sweep (severity, seed) grids in one pass. */
   def seededUniformC(seed: Column, keys: Column*): Column =
-    mix(seed, keys).cast("double") / lit(M.toDouble)
+    IntHash.mix(seed, keys).cast("double") / lit(IntHash.M.toDouble)
 
   def seededNormalC(seed: Column, keys: Column*): Column = {
     val u1 = greatest(seededUniformC(seed, keys: _*), lit(1e-12)) // avoid log(0)
@@ -76,14 +55,8 @@ object Robustness {
   /** DuckDB SQL twin of [[seededUniformC]]: identical integer arithmetic,
     * for oracle queries. `seed`/`keys` are SQL expressions that must be
     * non-negative integers (keys are reduced mod M like the Column form). */
-  def seededUniformSql(seed: String, keys: Seq[String]): String = {
-    val h0 = s"(CAST($seed AS BIGINT) % $M)"
-    val hk = keys.foldLeft(h0)((h, k) =>
-      s"((CAST($A AS BIGINT) * $h + $B + (CAST($k AS BIGINT) % $M)) % $M)")
-    val s1 = s"((xor($hk, $hk >> 16) * $C1) % $M)"
-    val s2 = s"((xor($s1, $s1 >> 11) * $C2) % $M)"
-    s"(xor($s2, $s2 >> 14) / $M.0)"
-  }
+  def seededUniformSql(seed: String, keys: Seq[String]): String =
+    s"(${IntHash.mixSql(seed, keys)} / ${IntHash.M}.0)"
 
   /** DuckDB SQL twin of [[seededNormalC]]. */
   def seededNormalSql(seed: String, keys: Seq[String]): String = {

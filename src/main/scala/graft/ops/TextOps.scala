@@ -80,12 +80,23 @@ object TextOps {
     round((lenScore * 0.4 + punctPenalty * 0.2 + digitPenalty * 0.2 + stopBonus * 0.2), 6)
   }
 
-  /** Rolling document fingerprint over whitespace tokens: a left fold
-    * h' = xxhash64(h, token) — order-sensitive, unlike a bag-of-words
-    * hash, and overflow-free under ANSI mode (a Rabin–Karp polynomial
-    * would need wrapping multiplication, which ANSI rejects). */
+  /** Rolling document fingerprint over whitespace tokens: a Rabin–Karp
+    * style left fold h' = (A·h + B + hash(token)) mod 2^31, scrambled —
+    * order-sensitive, unlike a bag-of-words hash. Mod-M arithmetic never
+    * overflows (ANSI-safe) and is engine-portable ([[IntHash]]), which is
+    * what lets the text_fingerprint query carry a DuckDB oracle. */
   def rollingFingerprint(text: Column): Column = {
     val toks = split(trim(text), "\\s+")
-    aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t))
+    IntHash.scramble(aggregate(toks, lit(0L), (acc, t) =>
+      pmod(lit(IntHash.A) * acc + lit(IntHash.B) + IntHash.stringHash(t), lit(IntHash.M))))
+  }
+
+  /** DuckDB twin of [[rollingFingerprint]]. */
+  def rollingFingerprintSql(text: String): String = {
+    val toks = s"regexp_split_to_array(trim($text), '\\s+')"
+    val th = IntHash.stringHashSql("tok")
+    IntHash.scrambleSql(
+      s"list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform($toks, tok -> $th)), " +
+        s"(a, b) -> (CAST(${IntHash.A} AS BIGINT) * a + ${IntHash.B} + b) % ${IntHash.M})")
   }
 }

@@ -99,13 +99,14 @@ object RowsOnlyQueries {
     }),
 
     "dedup_simhash" -> ((s, dir) => {
-      // 64-bit SimHash fingerprints + hamming distance of adjacent docs.
+      // SimHash fingerprints + hamming distance of adjacent docs.
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
       val a = docs.select(col("doc_id"), col("fp"))
       val b = docs.select((col("doc_id") - 1).as("doc_id"), col("fp").as("fp2"))
       a.join(b, "doc_id")
-        .select(col("doc_id"), Dedup.hamming64(col("fp"), col("fp2")).as("hamming"))
+        .select(col("doc_id"),
+          Dedup.hamming64(col("fp"), col("fp2")).cast("long").as("hamming"))
         .orderBy("doc_id")
     }),
 
@@ -254,6 +255,18 @@ object RowsOnlyQueries {
         """SELECT event_type AS config_task, count(*) AS metrics_n,
           |  round(avg(value), 4) AS metrics_mean_value
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "dedup_simhash" ->
+        s"""WITH fps AS (
+           |  SELECT doc_id, ${graft.ops.Dedup.simhashSql("text")} AS fp
+           |  FROM documents)
+           |SELECT a.doc_id, CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+           |FROM fps a JOIN fps b ON b.doc_id = a.doc_id + 1
+           |ORDER BY a.doc_id""".stripMargin,
+
+      "text_fingerprint" ->
+        s"""SELECT doc_id, ${graft.ops.TextOps.rollingFingerprintSql("text")} AS fp
+           |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     )
   }
 }
