@@ -105,18 +105,23 @@ object Similarity {
         (if (centroidsByHash) xxhash64(col(id)) else col(id)).as("h"))
       .orderBy("h").limit(nCells).drop("h")
       .withColumn("cnorm", norm(col("cvec")))
+    val centroidData = centroidRows.collect()
     val centroids = corpus.sparkSession.createDataFrame(
-      java.util.Arrays.asList(centroidRows.collect(): _*), centroidRows.schema)
+      java.util.Arrays.asList(centroidData: _*), centroidRows.schema)
     val corpusN = corpus.select(col(id), col(vec)).withColumn("vnorm", norm(col(vec)))
-    // nearest-centroid assignment as a map-side-combinable min_by (ties →
-    // lowest cell_id), not a window sort: the shuffle carries ONE row per
-    // corpus vector instead of nCells copies.
-    val assigned = corpusN.join(broadcast(centroids))
-      .withColumn("d", -dot(col(vec), col("cvec")) / (col("vnorm") * col("cnorm")))
-      .groupBy(col(id))
-      .agg(min_by(col("cell_id"), struct(col("d"), col("cell_id"))).as("cell_id"),
-        first(col(vec)).as(vec), first(col("vnorm")).as("vnorm"))
-      .select(col(id), col(vec), col("vnorm"), col("cell_id"))
+    // nearest-centroid assignment as a NARROW map: the centroids are
+    // driver-side literals, so argmin is `least` over nCells codegen'd
+    // (d, cell_id) structs — no join, no shuffle, nothing wide. Ties →
+    // lowest cell_id via the struct's field order.
+    val cellStructs = centroidData.map { r =>
+      val cellId = r.get(0)
+      val cvec = typedLit(r.getSeq[Double](1))
+      val cnorm = r.getDouble(2)
+      struct((-dot(col(vec), cvec) / (col("vnorm") * lit(cnorm))).as("d"),
+        lit(cellId).as("cell_id"))
+    }
+    val assigned = corpusN
+      .withColumn("cell_id", least(cellStructs.toIndexedSeq: _*).getField("cell_id"))
     val queriesN = queries.withColumn("qnorm", norm(col(qvec)))
     val probes = queriesN.join(broadcast(centroids))
       .withColumn("d", -dot(col(qvec), col("cvec")) / (col("qnorm") * col("cnorm")))

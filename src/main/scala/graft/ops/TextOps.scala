@@ -38,13 +38,23 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
   )
 
-  def languageId(text: Column): Column = {
+  /** Lower-cased whitespace tokens — compute ONCE per row (a separate
+    * projection; regex tokenization is the dominant per-row cost) and feed
+    * [[languageIdFromTokens]], instead of re-splitting per language. */
+  def languageTokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def languageIdFromTokens(toks: Column): Column = {
+    val n = size(toks)
     val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      struct(stopwordRatio(text, markers).as("score"), lit(lang).as("lang"))
+      val hits = size(filter(toks, t => t.isin(markers.map(lit): _*)))
+      struct(when(n > 0, hits.cast("double") / n).otherwise(0.0).as("score"),
+        lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  def languageId(text: Column): Column = languageIdFromTokens(languageTokens(text))
 
   /** Quality-scoring feature bundle (struct): n_chars, n_tokens,
     * mean token length, punctuation ratio, digit ratio, uppercase ratio,

@@ -72,7 +72,8 @@ object DedupTextQueries {
 
     "text_lang_id" -> ((s, dir) =>
       table(s, dir, "documents")
-        .withColumn("lang_pred", TextOps.languageId(col("text")))
+        .withColumn("__toks", TextOps.languageTokens(col("text")))
+        .withColumn("lang_pred", TextOps.languageIdFromTokens(col("__toks")))
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_pred")),
   )
