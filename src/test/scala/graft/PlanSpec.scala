@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SimpleMode
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards: the scale properties the engine is
+  * designed around (broadcast dim joins, parquet pushdown + pruning,
+  * top-k pushdown, narrow robustness ops, no stray wide exchanges) must
+  * survive refactors — a correct-but-reshuffling plan is a regression
+  * even when results match. Asserted on sf0.001 (plan shape is
+  * data-size-independent below the broadcast threshold). */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.explainString(SimpleMode)
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(SimpleMode)
+
+  test("q_join_dims: every dim join broadcasts; filters/pruning reach the scans") {
+    val p = plan("q_join_dims")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    assert(!p.contains("SortMergeJoin"))
+    // orders scan prunes to the 2 needed columns and pushes the join-key null filter
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_totalprice:double>"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_custkey)]"))
+  }
+
+  test("dedup_jaccard_pairs: id predicate pushed to parquet, schema pruned") {
+    val p = plan("dedup_jaccard_pairs")
+    assert(p.contains("LessThan(doc_id,120)"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("q_topk: limit collapses into TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("ann_ivf: no sort-merge join; per-query top-k is group-limited; cell assignment is narrow") {
+    val p = plan("ann_ivf")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p) // rank<=k pushed below the window
+    // the ONLY wide exchanges: final per-query top-k window hash,
+    // presentation sort, and the probe-ranking window over the Q-row
+    // query table (tiny side) — corpus-side assignment (centroid
+    // argmin) adds none
+    val wide = "Exchange (hash|range|Single)".r.findAllIn(p).size
+    assert(wide <= 3, s"expected <=3 wide exchanges, got $wide:\n$p")
+  }
+
+  test("robustness degradations are narrow: zero exchanges over an in-memory frame") {
+    val wins = Seq((1L, Seq(Seq(1.0), Seq(2.0))), (2L, Seq(Seq(3.0), Seq(4.0))))
+      .toDF("win_id", "window")
+    val p = planOf(wins.select(
+      graft.ops.Robustness.packetLoss(col("window"), col("win_id"), 0.3, 42L).as("d1"),
+      graft.ops.Robustness.drift(col("window"), col("win_id"), 0.2, 42L).as("d2")))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("label encode transform broadcasts the dictionary") {
+    val df = Seq("a", "b", "a").toDF("cls")
+    val enc = graft.ops.Labels.fitLabelEncoder(df, "cls")
+    val p = planOf(graft.ops.Labels.encodeLabel(df, enc, "cls"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("rocCurve: the only full-data pass is the map-side-combined groupBy(score)") {
+    val p = planOf(graft.ops.Curves.rocCurve(
+      graft.queries.Q.scoredEvents(spark, dir), col("y_true"), col("score")))
+    // partial_sum before the exchange = map-side combine on the raw scan
+    assert(p.contains("partial_sum"), p)
+    // the cumulative window runs on the aggregated curve (single partition
+    // of D distinct scores), downstream of the aggregate — by construction
+    // there is exactly one hash exchange of the full data
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+}
