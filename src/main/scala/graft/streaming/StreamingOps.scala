@@ -43,6 +43,22 @@ object StreamingOps {
   def scoreStream(scored: DataFrame, scoreCol: String, threshold: Double): DataFrame =
     scored.withColumn("y_pred", (col(scoreCol) >= threshold).cast("int"))
 
+  /** Streaming exact dedup (the online form of `Dedup.dedupExact`):
+    * first-seen row per content hash wins, duplicates within the
+    * watermark horizon are dropped. State = one (hash, ts) entry per
+    * distinct document inside the horizon — bounded by the watermark,
+    * partitioned by hash across executors. `dropDuplicatesWithinWatermark`
+    * evicts state once the hash's event time passes the watermark (an
+    * unbounded-retention variant would use `dropDuplicates`, whose state
+    * grows with corpus cardinality). */
+  def dedupExactStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__dup_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__dup_hash")
+      .drop("__dup_hash")
+
   final case class Event(entity: String, ts: Timestamp, yTrue: Int, yPred: Int)
   final case class EpisodeState(startMs: Long, firstDetMs: Long, anyDetected: Boolean)
   final case class Episode(entity: String, startMs: Long, detected: Boolean, delayMs: Long)
