@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{DotProduct, L2Norm}
+import org.apache.spark.sql.graft.{DotProduct, JaccardSim, L2Norm, MinHashSig, WordShingles}
 
 /** SparkSessionExtensions registering the engine's native expressions as
   * SQL functions, so `spark.sql("SELECT graft_dot(a, b) …")` works and
@@ -29,5 +29,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "graft_l2norm(array)")
         L2Norm(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_shingles(text, nWords)")
+        WordShingles(children.head, GraftExtensions.intLit(children(1), "nWords"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_minhash(shingles, numHashes)")
+        MinHashSig(children.head, GraftExtensions.intLit(children(1), "numHashes"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[JaccardSim].getName, "graft_jaccard"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_jaccard(arrayA, arrayB)")
+        JaccardSim(children.head, children(1))
+      }))
+  }
+}
+
+object GraftExtensions {
+  /** Extract a literal int argument (e.g. `graft_minhash(sh, 32)`). */
+  private[functions] def intLit(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(s"$name must be an int, got $other")
+    }
   }
 }

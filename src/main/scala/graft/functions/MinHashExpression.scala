@@ -1,0 +1,179 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash signature: `sig[p] = min over shingles s of xxhash64(s, p)`
+  * for p in [0, numHashes), bit-identical to the HOF form
+  * `transform(sequence(0, n-1), p -> array_min(transform(sh, s -> xxhash64(s, p))))`
+  * because Spark's `xxhash64(s, p)` chains as
+  * `hashInt(p, hashUTF8String(s, 42))` — so the (expensive) string hash is
+  * computed ONCE per shingle here and each permutation is one integer mix,
+  * in a tight codegen'd loop. The HOF form re-hashes every shingle string
+  * per permutation through the interpreted lambda evaluator — measured
+  * ~100× slower at 32 hashes (SCALE.md).
+  *
+  * Empty or all-null shingle arrays yield the all-Long.MaxValue sentinel
+  * signature (the "no shingles" marker the LSH layer filters on). */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numHashes >= 1, "numHashes must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(a: Any): Any = {
+    val sh = a.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      if (!sh.isNullAt(i)) {
+        val base = XXH64.hashUTF8String(sh.getUTF8String(i), 42L)
+        var p = 0
+        while (p < numHashes) {
+          val v = XXH64.hashInt(p, base)
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val base = ctx.freshName("base")
+      val v = ctx.freshName("v")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    long $base = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+         |    for (int $p = 0; $p < $numHashes; $p++) {
+         |      long $v = $xxh.hashInt($p, $base);
+         |      if ($v < $mins[$p]) $mins[$p] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Native word-n-gram shingles: whitespace-tokenize the (space-trimmed)
+  * text, join each run of `nWords` tokens with " ", distinct preserving
+  * first occurrence. Bit-compatible with the HOF form
+  * `array_distinct(transform(sequence(1, count), i -> array_join(slice(split(trim(text), "\\s+"), i, n), " ")))`
+  * — which re-evaluates the regex split of the WHOLE document once per
+  * shingle through the interpreted lambda evaluator (O(tokens²) regex
+  * work per document; measured dominant in the minhash path, SCALE.md).
+  * Here the document is split once. Blank text → empty array. */
+case class WordShingles(child: Expression, nWords: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(nWords >= 1, "nWords must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(a: Any): Any = {
+    // trim SPACES only (Spark's trim()), not Java's String.trim (<= 0x20)
+    val s = a.asInstanceOf[UTF8String].trim().toString
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val toks = s.split("\\s+", -1) // limit -1: Spark's split keeps trailing empties
+    val count = toks.length - (nWords - 1)
+    if (count < 1) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](count * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < nWords) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Native set-Jaccard over two string arrays:
+  * |set(a) ∩ set(b)| / |set(a) ∪ set(b)| — value-identical to
+  * `size(array_intersect(a, b)) / size(array_union(a, b))` (both dedupe),
+  * but one hash-set pass instead of two interpreted array walks per pair.
+  * The LSH verification step evaluates this once per candidate pair — the
+  * dominant cost when duplicate groups are large. Both empty → NaN
+  * (0.0/0.0), matching the division form. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val setA = new java.util.HashSet[UTF8String](xs.numElements() * 2)
+    var i = 0
+    while (i < xs.numElements()) {
+      if (!xs.isNullAt(i)) setA.add(xs.getUTF8String(i))
+      i += 1
+    }
+    val setB = new java.util.HashSet[UTF8String](ys.numElements() * 2)
+    var inter = 0
+    var j = 0
+    while (j < ys.numElements()) {
+      if (!ys.isNullAt(j)) {
+        val s = ys.getUTF8String(j)
+        if (setB.add(s) && setA.contains(s)) inter += 1
+      }
+      j += 1
+    }
+    val union = setA.size() + setB.size() - inter
+    inter.toDouble / union.toDouble
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashShim {
+  def minhashCol(shingles: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingles), numHashes))
+  def shinglesCol(text: Column, nWords: Int): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), nWords))
+  def jaccardCol(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaccardSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

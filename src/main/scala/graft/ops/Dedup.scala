@@ -20,18 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of a whitespace-tokenized text column.
-    * Blank text → empty array (split of "" yields [""], which must not
-    * become a shingle — caught by the ScalaCheck shingle-count law). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    val count = size(toks) - (n - 1)
-    // sequence(a, b) DESCENDS when a > b — guard the empty case explicitly.
-    when(length(trim(text)) > 0 && count >= 1,
-      array_distinct(transform(sequence(lit(1), count), i =>
-        array_join(slice(toks, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles of a whitespace-tokenized text column — the
+    * native [[org.apache.spark.sql.graft.WordShingles]] expression (one
+    * tokenization per document; the HOF transform/slice/join form
+    * re-split the whole document once per shingle). Blank text → empty
+    * array (caught by the ScalaCheck shingle-count law). */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.MinHashShim.shinglesCol(text, n)
 
   /** Exact duplicate groups: rows sharing md5(text). Returns
     * (dup_hash, n_copies, keeper_id, doc_ids) for groups with >1 member. */
@@ -49,43 +44,29 @@ object Dedup {
   }
 
   /** MinHash signature expression: for permutation p in 0 until numHashes,
-    * min over shingles of xxhash64(shingle, p). Narrow, per-row — but the
-    * shingle array is re-evaluated per permutation by codegen, so prefer
-    * [[minhashSignatures]] (the exploded aggregation form) for anything
-    * beyond a handful of hashes. */
-  def minhashSignature(text: Column, numShingleWords: Int, numHashes: Int): Column = {
-    val sh = shingles(text, numShingleWords)
-    transform(sequence(lit(0), lit(numHashes - 1)), p =>
-      coalesce(
-        array_min(transform(sh, s => xxhash64(s, p))),
-        lit(Long.MaxValue)))
-  }
+    * min over shingles of xxhash64(shingle, p) — the native codegen
+    * [[org.apache.spark.sql.graft.MinHashSig]] expression: each shingle
+    * string is hashed ONCE and each permutation is one integer mix inside
+    * a tight generated loop. Bit-identical to the HOF form (Spark's
+    * xxhash64(s, p) = hashInt(p, hashUTF8String(s, 42))). */
+  def minhashSignature(text: Column, numShingleWords: Int, numHashes: Int): Column =
+    org.apache.spark.sql.graft.MinHashShim.minhashCol(
+      shingles(text, numShingleWords), numHashes)
 
   /** MinHash signatures as a table: (id, sig array<long>).
     *
-    * Distributed shape: explode shingles × permutations, `groupBy(id, p)`
-    * `min` (map-side combinable — the shuffle carries one minimum per
-    * (doc, perm), never the shingles), then reassemble the signature in
-    * permutation order. This is the 100 TB form: cost is one shuffle of
-    * |docs|·numHashes tiny rows, and each shingle is hashed exactly
-    * numHashes times in one streaming pass. Docs with no shingles get the
-    * empty-signature sentinel (Long.MaxValue everywhere). */
+    * Distributed shape: a single NARROW projection — no explode, no
+    * shuffle, nothing wide; the per-row native expression does
+    * |shingles| string hashes + |shingles|·numHashes integer mixes.
+    * (An earlier exploded groupBy(id, perm) form shuffled
+    * |docs|·|shingles|·numHashes rows — measured ~100× slower, SCALE.md.)
+    * Docs with no shingles get the sentinel signature (Long.MaxValue
+    * everywhere). */
   def minhashSignatures(df: DataFrame, id: String, text: String,
-      numShingleWords: Int, numHashes: Int): DataFrame = {
-    val exploded = df
-      .select(col(id), explode(shingles(col(text), numShingleWords)).as("__sh"))
-      .select(col(id), col("__sh"), explode(sequence(lit(0), lit(numHashes - 1))).as("__p"))
-    val mins = exploded.groupBy(col(id), col("__p"))
-      .agg(min(xxhash64(col("__sh"), col("__p"))).as("__mh"))
-    val sigs = mins.groupBy(col(id))
-      .agg(transform(sort_array(collect_list(struct(col("__p"), col("__mh")))),
-        s => s.getField("__mh")).as("sig"))
-    // docs whose shingle set is empty fall out of the explode — restore
-    // them with the sentinel signature so downstream joins keep every id.
-    df.select(col(id)).join(sigs, Seq(id), "left")
-      .withColumn("sig", coalesce(col("sig"),
-        array_repeat(lit(Long.MaxValue), numHashes)))
-  }
+      numShingleWords: Int, numHashes: Int): DataFrame =
+    df.select(col(id), shingles(col(text), numShingleWords).as("__sh"))
+      .select(col(id),
+        org.apache.spark.sql.graft.MinHashShim.minhashCol(col("__sh"), numHashes).as("sig"))
 
   /** MinHash + LSH banding: signature of `numBands·rowsPerBand` hashes,
     * split into bands; emit one (band_idx, band_hash) bucket key per band.
@@ -126,8 +107,7 @@ object Dedup {
       .join(docs.toDF("id_a", "sh_a"), Seq("id_a"))
       .join(docs.toDF("id_b", "sh_b"), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        org.apache.spark.sql.graft.MinHashShim.jaccardCol(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -140,8 +120,8 @@ object Dedup {
       .crossJoin(docs.toDF("id_b", "sh_b"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        org.apache.spark.sql.graft.MinHashShim.jaccardCol(col("sh_a"), col("sh_b"))
+          .as("jaccard"))
   }
 
   /** Embedding-cosine near-duplicates: candidate pairs from multi-table

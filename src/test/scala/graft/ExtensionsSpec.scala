@@ -21,8 +21,50 @@ class ExtensionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
-  test("GraftExtensions injects both functions into a SparkSessionExtensions instance") {
+  test("GraftExtensions injects the functions into a SparkSessionExtensions instance") {
     val ext = new SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext) // must not throw
+  }
+
+  test("native shingles/minhash are bit-identical to the HOF forms") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+      "a b", "", "  one  two   three four  ").toDF("text")
+    // HOF reference forms (the pre-native implementations)
+    def hofShingles(text: org.apache.spark.sql.Column, n: Int) = {
+      val toks = split(trim(text), "\\s+")
+      val count = size(toks) - (n - 1)
+      when(length(trim(text)) > 0 && count >= 1,
+        array_distinct(transform(sequence(lit(1), count), i =>
+          array_join(slice(toks, i, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))
+    }
+    def hofMinhash(sh: org.apache.spark.sql.Column, numHashes: Int) =
+      transform(sequence(lit(0), lit(numHashes - 1)), p =>
+        coalesce(array_min(transform(sh, s => xxhash64(s, p))), lit(Long.MaxValue)))
+    val rows = df.select(
+      graft.ops.Dedup.shingles(col("text"), 3).as("nat_sh"),
+      hofShingles(col("text"), 3).as("hof_sh"),
+      graft.ops.Dedup.minhashSignature(col("text"), 3, 8).as("nat_sig"),
+      hofMinhash(hofShingles(col("text"), 3), 8).as("hof_sig")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), "shingles diverge")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), "minhash diverges")
+    }
+  }
+
+  test("native jaccard equals the array_intersect/array_union form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("b")),
+      (Seq("x", "x", "y"), Seq("y", "z", "z"))).toDF("a", "b")
+    val rows = df.select(
+      org.apache.spark.sql.graft.MinHashShim.jaccardCol(col("a"), col("b")).as("nat"),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b")))).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 }
