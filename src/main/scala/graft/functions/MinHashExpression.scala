@@ -10,6 +10,8 @@ import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+import graft.ops.IntHash
+
 /** Native MinHash signature: `sig[p] = min over shingles s of xxhash64(s, p)`
   * for p in [0, numHashes), bit-identical to the HOF form
   * `transform(sequence(0, n-1), p -> array_min(transform(sh, s -> xxhash64(s, p))))`
@@ -169,6 +171,73 @@ case class JaccardSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native form of [[graft.ops.IntHash.stringHash]]: the 31-bit affine
+  * chain over UTF-16 code units + xorshift-multiply scramble, in one
+  * tight loop (the Column form folds `split(s, "")` through the
+  * interpreted lambda evaluator — one eval-tree walk per character).
+  * Bit-identical: Spark's `split(s, "")`/`ascii` iterate UTF-16 units
+  * via charAt, exactly what this loop does. */
+case class StringHash31(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_stringhash31"
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (IntHash.A * h + IntHash.B + s.charAt(i).toLong) % IntHash.M
+      i += 1
+    }
+    IntHash.scrambleLong(h)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StringHash31 =
+    copy(child = newChild)
+}
+
+/** Native SimHash vote fold: fingerprint bit b is set iff
+  * `Σ_hashes (bit b set ? +1 : −1) > 0`, over `nBits` bits — one pass
+  * over the hash array instead of nBits interpreted array folds. */
+case class SimHashVotes(child: Expression, nBits: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(nBits >= 1 && nBits <= 63, "nBits in [1, 63]")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_votes"
+
+  override def nullSafeEval(a: Any): Any = {
+    val hs = a.asInstanceOf[ArrayData]
+    val votes = new Array[Int](nBits)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var b = 0
+        while (b < nBits) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < nBits) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashVotes =
+    copy(child = newChild)
+}
+
 object MinHashShim {
   def minhashCol(shingles: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingles), numHashes))
@@ -176,4 +245,8 @@ object MinHashShim {
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), nWords))
   def jaccardCol(a: Column, b: Column): Column =
     ExpressionUtils.column(JaccardSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def stringHash31Col(s: Column): Column =
+    ExpressionUtils.column(StringHash31(ExpressionUtils.expression(s)))
+  def simhashVotesCol(hashes: Column, nBits: Int): Column =
+    ExpressionUtils.column(SimHashVotes(ExpressionUtils.expression(hashes), nBits))
 }

@@ -165,14 +165,10 @@ object Dedup {
   def simhash(text: Column): Column = {
     val toks = split(trim(text), "\\s+")
     val hashes = transform(toks, t => IntHash.stringHash(t))
-    aggregate(
-      sequence(lit(0), lit(30)),
-      lit(0L),
-      (acc, b) => {
-        val vote = aggregate(hashes, lit(0),
-          (v, h) => v + when(call_function("getbit", h, b) === 1, 1).otherwise(-1))
-        acc + when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)
-      })
+    // native vote fold: one pass over the token hashes for all 31 bits
+    // (the per-bit aggregate form walked the hash array 31 times,
+    // interpreted)
+    org.apache.spark.sql.graft.MinHashShim.simhashVotesCol(hashes, 31)
   }
 
   /** DuckDB twin of [[simhash]]. */

@@ -41,13 +41,19 @@ object IntHash {
   def mix(seed: Column, keys: Seq[Column]): Column =
     scramble(chain(pmod(seed.cast("long"), lit(M)), keys))
 
-  /** 31-bit string hash: affine chain over the codepoints, scrambled.
-    * (`split(s, "")` yields one-char tokens; `ascii` their codepoint.) */
+  /** Scalar twin of [[scramble]] for native expressions / driver code. */
+  def scrambleLong(h: Long): Long = {
+    val s1 = ((h ^ (h >> 16)) * C1) % M
+    val s2 = ((s1 ^ (s1 >> 11)) * C2) % M
+    s2 ^ (s2 >> 14)
+  }
+
+  /** 31-bit string hash: affine chain over the UTF-16 code units,
+    * scrambled — the native StringHash31 expression (one tight loop; the
+    * HOF fold over `split(s, "")` walks the interpreted lambda evaluator
+    * once per character, bit-identical but far slower). */
   def stringHash(s: Column): Column =
-    scramble(aggregate(
-      transform(split(s, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (h, cp) => pmod(lit(A) * h + lit(B) + cp, lit(M))))
+    org.apache.spark.sql.graft.MinHashShim.stringHash31Col(s)
 
   // ---- DuckDB twins (same arithmetic, textual expressions) ----
 

@@ -54,6 +54,38 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("native stringHash31/simhash equal the HOF forms") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.IntHash
+    val df = Seq("hello", "", "a b c", "the quick brown fox", "ümlaut töken").toDF("t")
+    // NB: guarded for "" — `split("", "")` yields [""] (one bogus fold
+    // step), whereas the native loop and the DuckDB twin (range over
+    // length 0) fold zero characters. The native behavior is the
+    // spec'd one; empty tokens never reach stringHash in the operators.
+    def hofStringHash(s: org.apache.spark.sql.Column) =
+      when(length(s) === 0, lit(IntHash.scrambleLong(0L)))
+        .otherwise(IntHash.scramble(aggregate(
+          transform(split(s, ""), c => ascii(c).cast("long")),
+          lit(0L),
+          (h, cp) => pmod(lit(IntHash.A) * h + lit(IntHash.B) + cp, lit(IntHash.M)))))
+    def hofSimhash(text: org.apache.spark.sql.Column) = {
+      val hashes = transform(split(trim(text), "\\s+"), t => hofStringHash(t))
+      aggregate(sequence(lit(0), lit(30)), lit(0L), (acc, b) => {
+        val vote = aggregate(hashes, lit(0),
+          (v, h) => v + when(call_function("getbit", h, b) === 1, 1).otherwise(-1))
+        acc + when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)
+      })
+    }
+    val rows = df.select(
+      IntHash.stringHash(col("t")).as("nat_h"), hofStringHash(col("t")).as("hof_h"),
+      graft.ops.Dedup.simhash(col("t")).as("nat_s"), hofSimhash(col("t")).as("hof_s")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "stringHash diverges")
+      assert(r.getLong(2) == r.getLong(3), "simhash diverges")
+    }
+  }
+
   test("native jaccard equals the array_intersect/array_union form") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
