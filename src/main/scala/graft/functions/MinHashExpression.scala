@@ -238,6 +238,38 @@ case class SimHashVotes(child: Expression, nBits: Int)
     copy(child = newChild)
 }
 
+/** Native marker-hit counter: number of array elements contained in the
+  * literal `markers` set (exact string equality) — replaces
+  * `size(filter(toks, t -> t.isin(markers)))`, which walks the
+  * interpreted lambda evaluator per token with a linear isin scan.
+  * Language-ID runs this once per language per document. */
+case class MarkerHits(child: Expression, markers: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_marker_hits"
+
+  @transient private lazy val markerSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](markers.size * 2)
+    markers.foreach(m => s.add(UTF8String.fromString(m)))
+    s
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    var hits = 0
+    var i = 0
+    while (i < xs.numElements()) {
+      if (!xs.isNullAt(i) && markerSet.contains(xs.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerHits =
+    copy(child = newChild)
+}
+
 object MinHashShim {
   def minhashCol(shingles: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingles), numHashes))
@@ -249,4 +281,6 @@ object MinHashShim {
     ExpressionUtils.column(StringHash31(ExpressionUtils.expression(s)))
   def simhashVotesCol(hashes: Column, nBits: Int): Column =
     ExpressionUtils.column(SimHashVotes(ExpressionUtils.expression(hashes), nBits))
+  def markerHitsCol(tokens: Column, markers: Seq[String]): Column =
+    ExpressionUtils.column(MarkerHits(ExpressionUtils.expression(tokens), markers))
 }

@@ -25,7 +25,7 @@ object TextOps {
     * that are in `markers` (lower-cased exact match). */
   def stopwordRatio(text: Column, markers: Seq[String]): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    val hits = size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    val hits = org.apache.spark.sql.graft.MinHashShim.markerHitsCol(toks, markers)
     when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(0.0)
   }
 
@@ -46,7 +46,7 @@ object TextOps {
   def languageIdFromTokens(toks: Column): Column = {
     val n = size(toks)
     val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      val hits = size(filter(toks, t => t.isin(markers.map(lit): _*)))
+      val hits = org.apache.spark.sql.graft.MinHashShim.markerHitsCol(toks, markers)
       struct(when(n > 0, hits.cast("double") / n).otherwise(0.0).as("score"),
         lit(lang).as("lang"))
     }
