@@ -270,6 +270,63 @@ case class MarkerHits(child: Expression, markers: Seq[String])
     copy(child = newChild)
 }
 
+/** Native one-pass character/subword statistics:
+  * struct(n_punct, n_digit, n_upper, n_subwords) — replaces three
+  * `regexp_replace` passes (punct/digit/upper char-class removal) plus a
+  * `regexp_extract_all` count per document with a single code-point walk.
+  *
+  * Exact parity notes: the punct class is the quality regex's literal
+  * ASCII set (which deliberately EXCLUDES backslash — so does the DuckDB
+  * oracle twin); subwords follow `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` with
+  * Java's ASCII-only `\s`, i.e. letter runs, digit runs, and one piece
+  * per other non-space code point. */
+case class TextCharStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_digit", IntegerType, nullable = false),
+    StructField("n_upper", IntegerType, nullable = false),
+    StructField("n_subwords", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_charstats"
+
+  private def isPunct(cp: Int): Boolean =
+    (cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+      (cp >= 91 && cp <= 96 && cp != 92) || (cp >= 123 && cp <= 126)
+  private def isSpace(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[UTF8String].toString
+    var punct, digit, upper, subwords = 0
+    var state = 0 // 0 = none, 1 = in letter run, 2 = in digit run
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (isPunct(cp)) punct += 1
+      if (cp >= '0' && cp <= '9') digit += 1
+      if (cp >= 'A' && cp <= 'Z') upper += 1
+      if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) {
+        if (state != 1) subwords += 1
+        state = 1
+      } else if (cp >= '0' && cp <= '9') {
+        if (state != 2) subwords += 1
+        state = 2
+      } else if (isSpace(cp)) {
+        state = 0
+      } else {
+        subwords += 1
+        state = 0
+      }
+      i += Character.charCount(cp)
+    }
+    org.apache.spark.sql.catalyst.InternalRow(punct, digit, upper, subwords)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextCharStats =
+    copy(child = newChild)
+}
+
 object MinHashShim {
   def minhashCol(shingles: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingles), numHashes))
@@ -283,4 +340,6 @@ object MinHashShim {
     ExpressionUtils.column(SimHashVotes(ExpressionUtils.expression(hashes), nBits))
   def markerHitsCol(tokens: Column, markers: Seq[String]): Column =
     ExpressionUtils.column(MarkerHits(ExpressionUtils.expression(tokens), markers))
+  def charStatsCol(text: Column): Column =
+    ExpressionUtils.column(TextCharStats(ExpressionUtils.expression(text)))
 }

@@ -15,11 +15,12 @@ object TextOps {
     when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish subword count estimate: letter-runs, digit-runs, and single
-    * non-space punctuation — the classic GPT-2-style pre-tokenizer shape.
-    * Counts pieces, not learned merges. (RE2-compatible pattern — no
-    * lookarounds — so the same regex runs on any engine.) */
+    * non-space punctuation — the classic GPT-2-style pre-tokenizer shape
+    * (`[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`, counted by the native one-pass
+    * [[org.apache.spark.sql.graft.TextCharStats]]; the SQL twin keeps the
+    * RE2-portable regex form). Counts pieces, not learned merges. */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    org.apache.spark.sql.graft.MinHashShim.charStatsCol(text).getField("n_subwords")
 
   /** Stopword hit ratio for a language's marker words: fraction of tokens
     * that are in `markers` (lower-cased exact match). */
@@ -62,18 +63,20 @@ object TextOps {
   def qualityFeatures(text: Column): Column = {
     val n = length(text).cast("double")
     val toks = split(trim(text), "\\s+")
-    def ratio(pattern: String): Column =
-      when(n > 0, (n - length(regexp_replace(text, pattern, ""))) / n).otherwise(0.0)
+    // one native pass counts the punct/digit/upper classes (the ASCII
+    // punct set of the former regexp_replace form, backslash excluded)
+    val stats = org.apache.spark.sql.graft.MinHashShim.charStatsCol(text)
+    def ratio(cnt: Column): Column =
+      when(n > 0, cnt.cast("double") / n).otherwise(0.0)
     struct(
       length(text).as("n_chars"),
       tokenCount(text).as("n_tokens"),
       when(size(toks) > 0,
         aggregate(toks, lit(0), (a, t) => a + length(t)).cast("double") / size(toks))
         .otherwise(0.0).as("mean_token_len"),
-      // explicit ASCII punct class (== \p{Punct}), RE2-portable
-      ratio("[!\"#$%&'()*+,\\-./:;<=>?@\\[\\]^_`{|}~]").as("punct_ratio"),
-      ratio("[0-9]").as("digit_ratio"),
-      ratio("[A-Z]").as("upper_ratio"),
+      ratio(stats.getField("n_punct")).as("punct_ratio"),
+      ratio(stats.getField("n_digit")).as("digit_ratio"),
+      ratio(stats.getField("n_upper")).as("upper_ratio"),
       stopwordRatio(text, LangMarkers("en")).as("stopword_ratio_en"),
       coalesce(array_max(transform(toks, t => length(t))), lit(0)).as("max_token_len"))
   }

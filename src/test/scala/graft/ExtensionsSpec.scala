@@ -86,6 +86,33 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("native charstats equal the regex forms") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("Hello, World! 123", "", "a.b,c;d", "NO punct HERE 9",
+      "weird  \t spacing !!", "ümlaut's 42nd-str").toDF("t")
+    val n = length(col("t")).cast("double")
+    def ratio(p: String) = when(n > 0,
+      (n - length(regexp_replace(col("t"), p, ""))) / n).otherwise(0.0)
+    val stats = org.apache.spark.sql.graft.MinHashShim.charStatsCol(col("t"))
+    val rows = df.select(
+      stats.getField("n_punct").as("np"),
+      (n - length(regexp_replace(col("t"), "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\]^_`{|}~]", ""))).cast("int").as("rp"),
+      stats.getField("n_digit").as("nd"),
+      (n - length(regexp_replace(col("t"), "[0-9]", ""))).cast("int").as("rd"),
+      stats.getField("n_upper").as("nu"),
+      (n - length(regexp_replace(col("t"), "[A-Z]", ""))).cast("int").as("ru"),
+      stats.getField("n_subwords").as("ns"),
+      size(regexp_extract_all(col("t"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("rs"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"punct: $r")
+      assert(r.getInt(2) == r.getInt(3), s"digit: $r")
+      assert(r.getInt(4) == r.getInt(5), s"upper: $r")
+      assert(r.getInt(6) == r.getInt(7), s"subwords: $r")
+    }
+  }
+
   test("native jaccard equals the array_intersect/array_union form") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
