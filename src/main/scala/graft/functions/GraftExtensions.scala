@@ -54,6 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Visible-to-shim variant of [[intLit]]. */
+  def intLitPublic(e: Expression, name: String): Int = intLit(e, name)
+
   /** Extract a literal int argument (e.g. `graft_minhash(sh, 32)`). */
   private[functions] def intLit(e: Expression, name: String): Int = {
     require(e.foldable, s"$name must be a literal integer")

@@ -42,6 +42,21 @@ object VectorShim {
     reg.createOrReplaceTempFunction("graft_l2norm",
       exprs => { require(exprs.size == 1, "graft_l2norm(array)"); L2Norm(exprs.head) },
       "scala_udf")
+    reg.createOrReplaceTempFunction("graft_jaccard",
+      exprs => { require(exprs.size == 2, "graft_jaccard(arrayA, arrayB)"); JaccardSim(exprs.head, exprs(1)) },
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      exprs => {
+        require(exprs.size == 2, "graft_shingles(text, nWords)")
+        WordShingles(exprs.head, graft.functions.GraftExtensions.intLitPublic(exprs(1), "nWords"))
+      },
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      exprs => {
+        require(exprs.size == 2, "graft_minhash(shingles, numHashes)")
+        MinHashSig(exprs.head, graft.functions.GraftExtensions.intLitPublic(exprs(1), "numHashes"))
+      },
+      "scala_udf")
   }
 }
 

@@ -19,6 +19,13 @@ class ExtensionsSpec extends SparkSpec {
     // null propagation through the native expressions
     val n = spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D))").head()
     assert(n.isNullAt(0))
+    // text-side natives are SQL-callable too
+    val t = spark.sql(
+      """SELECT graft_jaccard(array('a','b'), array('b','c')) AS j,
+        |       size(graft_shingles('a b c d', 2)) AS ns,
+        |       size(graft_minhash(graft_shingles('a b c d', 2), 16)) AS nh""".stripMargin).head()
+    assert(approx(t.getDouble(0), 1.0 / 3))
+    assert(t.getInt(1) == 3 && t.getInt(2) == 16)
   }
 
   test("GraftExtensions injects the functions into a SparkSessionExtensions instance") {
