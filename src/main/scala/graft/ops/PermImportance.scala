@@ -1,7 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** R5 — permutation feature importance over window tensors.
@@ -15,10 +14,13 @@ import org.apache.spark.sql.functions._
   *
   * Distributed permutation: "shuffle one column independently" has no
   * Spark built-in (SURVEY §4.2). We explode windows to (cell_id, value)
-  * for the target feature, assign each cell a random rank with
-  * `row_number over orderBy(seededUniform)`, and join ranks-to-ranks —
-  * i.e. value at permuted position k replaces value at position k. Cost:
-  * one sort + one shuffle join per (feature × repeat) — the reference's
+  * for the target feature, assign each cell a random rank by ordering on
+  * a deterministic hash-uniform, and join ranks-to-ranks — i.e. value at
+  * permuted position k replaces value at position k. Both rank
+  * assignments use [[SlidingWindows.withGlobalIndex]] (range-repartition
+  * + partition offsets), so there is NO single-partition row_number
+  * stage anywhere — every step is fully parallel. Cost: two range
+  * exchanges + one shuffle join per (feature × repeat) — the reference's
   * own algorithmic cost, made explicit. Callers batch features per pass
   * when F is large.
   */
@@ -29,18 +31,20 @@ object PermImportance {
     * input with `window` rebuilt. */
   def permuteFeature(df: DataFrame, winId: String, window: String,
       featureIdx: Int, seed: Long): DataFrame = {
-    val cells = df.select(col(winId),
-        posexplode(transform(col(window), r => element_at(r, featureIdx + 1)))
-          .as(Seq("t", "v")))
-      .withColumn("cell_rank",
-        row_number().over(Window.orderBy(col(winId), col("t"))))
+    val exploded = df.select(col(winId),
+      posexplode(transform(col(window), r => element_at(r, featureIdx + 1)))
+        .as(Seq("t", "v")))
+    val cells = SlidingWindows.withGlobalIndex(exploded,
+      Seq(col(winId), col("t")), "cell_rank")
     // Random permutation: rank cells by a deterministic hash-uniform, then
     // carry the value from permuted rank k to the cell holding rank k.
-    val permuted = cells
-      .withColumn("perm_rank", row_number().over(
-        Window.orderBy(Robustness.seededUniform(seed, col(winId), col("t")),
-          col(winId), col("t"))))
-      .select(col("perm_rank").as("cell_rank"), col("v").as("v_perm"))
+    // (Same total order as a global row_number — ties broken by (id, t) —
+    // but computed with the parallel global index.)
+    val permuted = SlidingWindows.withGlobalIndex(
+        exploded.withColumn("__u",
+          Robustness.seededUniform(seed, col(winId), col("t"))),
+        Seq(col("__u"), col(winId), col("t")), "cell_rank")
+      .select(col("cell_rank"), col("v").as("v_perm"))
     val replaced = cells.drop("v").join(permuted, Seq("cell_rank"))
     // Re-assemble the permuted series per window, ordered by timestep.
     val series = replaced.groupBy(winId)
