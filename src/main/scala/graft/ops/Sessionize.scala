@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** G12 — time-to-detect episode statistics (sessionization).
@@ -12,28 +11,30 @@ import org.apache.spark.sql.functions._
   * episode is DETECTED if any y_pred==1 occurs inside it, with delay =
   * (first-detection-position − start-position) · hop_seconds.
   *
-  * Spark-first: gaps-and-islands — `lag` flags episode starts, a running
-  * `sum` numbers the islands, one `groupBy(episode)` computes start /
-  * first-detection. Two window passes + one aggregation; the sequence
-  * order column must be total (pass a unique index).
+  * Spark-first: gaps-and-islands — previous-row flags via a position
+  * self-join on the parallel global index, island numbering via the
+  * distributed prefix sum ([[SlidingWindows.withRunningTotal]]), one
+  * `groupBy(episode)`. NO single-partition lag/cumsum window — every
+  * stage is fully parallel (the scored-event stream can be huge).
   */
 object Sessionize {
 
   /** Per-episode table: (episode, start_idx, det_idx|null, delay_windows|null). */
   def episodes(df: DataFrame, order: Column, yTrue: Column, yPred: Column,
       episodeId: Column): DataFrame = {
-    val w = Window.orderBy(col("idx"))
-    val attacks = df
-      .select(order.as("idx"), yTrue.cast("int").as("yt"), yPred.cast("int").as("yp"),
-        episodeId.cast("string").as("ep"))
-      .withColumn("prev_yt", lag("yt", 1).over(w))
-      .withColumn("prev_ep", lag("ep", 1).over(w))
+    val base = df.select(order.as("idx"), yTrue.cast("int").as("yt"),
+      yPred.cast("int").as("yp"), episodeId.cast("string").as("ep"))
+    val indexed = SlidingWindows.withGlobalIndex(base, Seq(col("idx")), "i")
+    val prev = indexed.select((col("i") + 1).as("i"),
+      col("yt").as("prev_yt"), col("ep").as("prev_ep"))
+    val flagged = indexed.join(prev, Seq("i"), "left")
       // episode start: y flips to 1, or the id changes inside a run of 1s
       .withColumn("is_start",
         (col("yt") === 1 &&
           (col("prev_yt").isNull || col("prev_yt") =!= 1 || col("prev_ep") =!= col("ep")))
           .cast("int"))
-      .withColumn("episode", sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val attacks = SlidingWindows
+      .withRunningTotal(flagged, Seq(col("i")), col("is_start"), "episode")
       .where(col("yt") === 1)
     attacks.groupBy("episode")
       .agg(

@@ -136,6 +136,34 @@ object SlidingWindows {
     df.sparkSession.createDataFrame(indexed, schema)
   }
 
+  /** Distributed running total of `value` in global `orderCols` order —
+    * the prefix-sum companion of [[withGlobalIndex]]: range-repartition +
+    * in-partition sort, per-partition totals collected once, then one
+    * parallel pass adds the partition offset to the local running sum.
+    * No single-partition cumulative window anywhere. */
+  def withRunningTotal(df: DataFrame, orderCols: Seq[Column], value: Column,
+      out: String, numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val prepped = df.withColumn("__rt_v", value.cast("long"))
+    val sorted = prepped.repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val rdd = sorted.rdd
+    val vIdx = sorted.schema.fieldIndex("__rt_v")
+    val sums = rdd.mapPartitionsWithIndex((i, it) =>
+        Iterator((i, it.map(_.getLong(vIdx)).sum)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val withTotal = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    df.sparkSession.createDataFrame(withTotal, schema).drop("__rt_v")
+  }
+
   /** The fully-parallel physical form of [[slideGlobal]] for long windows
     * and large data: global index via [[withGlobalIndex]] (no
     * single-partition stage anywhere), chunk assignment with `seqLen−1`

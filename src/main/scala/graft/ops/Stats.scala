@@ -64,32 +64,34 @@ object Stats {
     * normalized by lag 0 (func_plot.py:43-54):
     * acf[k] = Σ (x_t−μ)(x_{t+k}−μ) / Σ (x_t−μ)².
     *
-    * Distributed shape: instead of a python loop over lags, explode each
-    * row into its (lag, pair) contributions via one `lag(x, k)` window per
-    * k — k windows share ONE sort. maxLag is small (plots), data can be big.
+    * Distributed shape: compacted global position via the parallel
+    * global index (range exchange + partition offsets — no
+    * single-partition `lag` window), then lag-k pairs as an equi-join of
+    * position i against positions i+1..i+maxLag (the right side exploded
+    * maxLag ways), aggregated per lag in one pass. Every stage is fully
+    * parallel; maxLag is small (plots), data can be big.
     */
   def acf(df: DataFrame, order: Column, value: Column, maxLag: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("o"))
     // The reference drops NaNs and compacts the series (x = x[~isnan(x)])
     // BEFORE centering: lag-k pairs are adjacency in the compacted order,
     // and mu is the mean of the surviving values only.
     val clean = df.where(value.isNotNull && !isnan(value.cast("double")))
     val mu = clean.agg(avg(value)).head().getDouble(0)
-    val centered = clean.select((value - mu).as("x"), order.as("o"))
-    val withLags = (1 to maxLag).foldLeft(centered) { (d, k) =>
-      d.withColumn(s"x_$k", lag("x", k).over(w))
-    }
-    // one aggregation pass: the lag-0 numerator IS the normalizer
-    val numerators = (0 to maxLag).map { k =>
-      val c = if (k == 0) col("x") * col("x") else col("x") * col(s"x_$k")
-      sum(c).as(s"num_$k")
-    }
+    val centered = SlidingWindows.withGlobalIndex(
+      clean.select((value - mu).as("x"), order.as("o")), Seq(col("o")), "i")
+      .select("i", "x")
+    val laggedRight = centered.select(
+        col("x").as("xk"),
+        explode(sequence(lit(1), lit(maxLag))).as("lagk"),
+        col("i").as("ik"))
+      .withColumn("i", col("ik") - col("lagk"))
+    val nums = centered.join(laggedRight, Seq("i"))
+      .groupBy("lagk").agg(sum(col("x") * col("xk")).as("num"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val denom = centered.agg(sum(col("x") * col("x"))).head().getDouble(0)
     val spark = df.sparkSession
     import spark.implicits._
-    val nums = withLags.agg(numerators.head, numerators.tail: _*).head()
-    val denom = nums.getAs[Double]("num_0")
-    (0 to maxLag).map(k => (k, nums.getAs[Double](s"num_$k") / denom))
+    ((0, 1.0) +: (1 to maxLag).map(k => (k, nums.getOrElse(k, 0.0) / denom)))
       .toDF("lag", "acf")
   }
 }
