@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** G12 — time-to-detect episode statistics (sessionization).
   *
@@ -11,32 +12,85 @@ import org.apache.spark.sql.functions._
   * episode is DETECTED if any y_pred==1 occurs inside it, with delay =
   * (first-detection-position − start-position) · hop_seconds.
   *
-  * Spark-first: gaps-and-islands — previous-row flags via a position
-  * self-join on the parallel global index, island numbering via the
-  * distributed prefix sum ([[SlidingWindows.withRunningTotal]]), one
-  * `groupBy(episode)`. NO single-partition lag/cumsum window — every
-  * stage is fully parallel (the scored-event stream can be huge).
+  * Spark-first at scale: ONE range exchange + in-partition sort, then the
+  * classic boundary-chained scan — pass 1 collects a tiny per-partition
+  * summary (first/last (y, episode-id) and the internal episode-start
+  * count), the driver chains boundaries across partitions (skipping empty
+  * ones), pass 2 numbers the islands in parallel with per-partition
+  * offsets. No single-partition lag/cumsum stage, no join; the
+  * scored-event stream can be huge. (`mapPartitions` is the documented
+  * exception for per-partition imperative logic; the shuffle files of the
+  * range exchange are reused between the two passes.)
   */
 object Sessionize {
 
-  /** Per-episode table: (episode, start_idx, det_idx|null, delay_windows|null). */
+  private final case class PartSummary(i: Int, n: Long, firstYt: Int,
+      firstEp: String, lastYt: Int, lastEp: String, internalStarts: Long)
+
+  /** Per-episode table: (episode, start_idx, det_idx|null, delay_windows|null).
+    * Episode numbering equals the running count of episode starts in
+    * global `order` — identical to the gaps-and-islands cumsum form. */
   def episodes(df: DataFrame, order: Column, yTrue: Column, yPred: Column,
       episodeId: Column): DataFrame = {
+    val spark = df.sparkSession
     val base = df.select(order.as("idx"), yTrue.cast("int").as("yt"),
       yPred.cast("int").as("yp"), episodeId.cast("string").as("ep"))
-    val indexed = SlidingWindows.withGlobalIndex(base, Seq(col("idx")), "i")
-    val prev = indexed.select((col("i") + 1).as("i"),
-      col("yt").as("prev_yt"), col("ep").as("prev_ep"))
-    val flagged = indexed.join(prev, Seq("i"), "left")
-      // episode start: y flips to 1, or the id changes inside a run of 1s
-      .withColumn("is_start",
-        (col("yt") === 1 &&
-          (col("prev_yt").isNull || col("prev_yt") =!= 1 || col("prev_ep") =!= col("ep")))
-          .cast("int"))
-    val attacks = SlidingWindows
-      .withRunningTotal(flagged, Seq(col("i")), col("is_start"), "episode")
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = base.repartitionByRange(parts, col("idx"))
+      .sortWithinPartitions(col("idx"))
+    val rdd = sorted.rdd
+    val (ytI, epI) = (sorted.schema.fieldIndex("yt"), sorted.schema.fieldIndex("ep"))
+
+    def starts(yt: Int, prevYt: Int, prevEp: String, ep: String, isFirstEver: Boolean): Boolean =
+      yt == 1 && (isFirstEver || prevYt != 1 || prevEp != ep)
+
+    // pass 1: tiny per-partition summary
+    val summaries = rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = 0L; var internal = 0L
+      var firstYt = 0; var firstEp: String = null
+      var prevYt = 0; var prevEp: String = null
+      it.foreach { r =>
+        val yt = r.getInt(ytI); val ep = r.getString(epI)
+        if (n == 0L) { firstYt = yt; firstEp = ep }
+        else if (starts(yt, prevYt, prevEp, ep, isFirstEver = false)) internal += 1
+        prevYt = yt; prevEp = ep; n += 1
+      }
+      Iterator(PartSummary(i, n, firstYt, firstEp, prevYt, prevEp, internal))
+    }.collect().sortBy(_.i)
+
+    // driver: chain boundaries across (possibly empty) partitions
+    // (range partitioner may materialize fewer than `parts` partitions)
+    val nParts = rdd.getNumPartitions
+    val prevLast = new Array[(Int, String, Boolean)](nParts) // (yt, ep, isFirstEver)
+    val offsets = new Array[Long](nParts)
+    var carryYt = 0; var carryEp: String = null; var firstEver = true
+    var episodesSoFar = 0L
+    summaries.foreach { s =>
+      prevLast(s.i) = (carryYt, carryEp, firstEver)
+      offsets(s.i) = episodesSoFar
+      if (s.n > 0) {
+        val firstStart = if (starts(s.firstYt, carryYt, carryEp, s.firstEp, firstEver)) 1L else 0L
+        episodesSoFar += firstStart + s.internalStarts
+        carryYt = s.lastYt; carryEp = s.lastEp; firstEver = false
+      }
+    }
+
+    // pass 2: number the islands in parallel (shuffle-file reuse)
+    val numbered = rdd.mapPartitionsWithIndex { (i, it) =>
+      var (prevYt, prevEp, isFirst) = prevLast(i)
+      var episode = offsets(i)
+      it.map { r =>
+        val yt = r.getInt(ytI); val ep = r.getString(epI)
+        if (starts(yt, prevYt, prevEp, ep, isFirst)) episode += 1
+        prevYt = yt; prevEp = ep; isFirst = false
+        Row.fromSeq(r.toSeq :+ episode)
+      }
+    }
+    val schema = StructType(sorted.schema.fields :+
+      StructField("episode", LongType, nullable = false))
+    spark.createDataFrame(numbered, schema)
       .where(col("yt") === 1)
-    attacks.groupBy("episode")
+      .groupBy("episode")
       .agg(
         first("ep").as("episode_id"),
         min("idx").as("start_idx"),

@@ -77,21 +77,64 @@ object Stats {
     // and mu is the mean of the surviving values only.
     val clean = df.where(value.isNotNull && !isnan(value.cast("double")))
     val mu = clean.agg(avg(value)).head().getDouble(0)
-    val centered = SlidingWindows.withGlobalIndex(
-      clean.select((value - mu).as("x"), order.as("o")), Seq(col("o")), "i")
-      .select("i", "x")
-    val laggedRight = centered.select(
-        col("x").as("xk"),
-        explode(sequence(lit(1), lit(maxLag))).as("lagk"),
-        col("i").as("ik"))
-      .withColumn("i", col("ik") - col("lagk"))
-    val nums = centered.join(laggedRight, Seq("i"))
-      .groupBy("lagk").agg(sum(col("x") * col("xk")).as("num"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val denom = centered.agg(sum(col("x") * col("x"))).head().getDouble(0)
     val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = clean.select((value - mu).cast("double").as("x"), order.as("o"))
+      .repartitionByRange(parts, col("o")).sortWithinPartitions(col("o"))
+    val xI = sorted.schema.fieldIndex("x")
+    val K = maxLag
+    // ONE parallel pass: per partition, within-partition lag products via a
+    // ring buffer of the last K values, plus the first/last K values for
+    // driver-side cross-boundary products (O(parts·K²) scalar work).
+    val partials = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      val sums = new Array[Double](K + 1)
+      val ring = new Array[Double](math.max(K, 1))
+      val firstK = new scala.collection.mutable.ArrayBuffer[Double](K)
+      var m = 0L
+      it.foreach { r =>
+        val v = r.getDouble(xI)
+        sums(0) += v * v
+        var k = 1
+        while (k <= K && k <= m) {
+          sums(k) += v * ring(((m - k) % K).toInt)
+          k += 1
+        }
+        if (m < K) firstK += v
+        if (K > 0) ring((m % K).toInt) = v
+        m += 1
+      }
+      // last min(m, K) values in chronological order
+      val nLast = math.min(m, K.toLong).toInt
+      val lastK = new Array[Double](nLast)
+      var j = 0
+      while (j < nLast) {
+        lastK(j) = ring(((m - nLast + j) % K).toInt)
+        j += 1
+      }
+      Iterator((i, m, firstK.toArray, lastK, sums))
+    }.collect().sortBy(_._1)
+
+    // driver: cross-boundary products against the carried tail of the
+    // previous partitions (handles short/empty partitions by chaining)
+    val totals = new Array[Double](K + 1)
+    var tail = Vector.empty[Double]
+    partials.foreach { case (_, n, firstK, lastK, sums) =>
+      var k = 0
+      while (k <= K) { totals(k) += sums(k); k += 1 }
+      var j = 0
+      while (j < firstK.length) {
+        var lag = j + 1
+        while (lag <= K && (lag - j) <= tail.length) {
+          if (lag > j) totals(lag) += firstK(j) * tail(tail.length - (lag - j))
+          lag += 1
+        }
+        j += 1
+      }
+      if (n >= K) tail = lastK.toVector
+      else tail = (tail ++ firstK).takeRight(K)
+    }
     import spark.implicits._
-    ((0, 1.0) +: (1 to maxLag).map(k => (k, nums.getOrElse(k, 0.0) / denom)))
+    ((0, 1.0) +: (1 to K).map(k => (k, totals(k) / totals(0))))
       .toDF("lag", "acf")
   }
 }
