@@ -1,4 +1,6 @@
 package graft
+// (withGlobalIndex / withRunningTotal primitives are specced at the
+// bottom of this file alongside the windower laws they power)
 
 import org.apache.spark.sql.functions._
 import graft.ops.SlidingWindows
@@ -75,5 +77,24 @@ class SlidingWindowsSpec extends SparkSpec {
     assert(approx(r.getDouble(1), math.sqrt(8.0 / 3))) // population std of 1,3,5
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 5.0)
     assert(approx(r.getDouble(4), 20.0))
+  }
+
+  test("withGlobalIndex / withRunningTotal equal their single-partition window forms") {
+    import org.apache.spark.sql.expressions.Window
+    // shuffled input across several partitions; order key with gaps
+    val df = spark.range(0, 500).toDF("n")
+      .select((col("n") * 7 % 500).as("o"), (col("n") % 5).cast("long").as("v"))
+      .repartition(7)
+    val w = Window.orderBy(col("o"))
+    val expected = df
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("rt", sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("o", "i", "rt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gi = SlidingWindows.withGlobalIndex(df, Seq(col("o")), "i")
+    val got = SlidingWindows.withRunningTotal(gi, Seq(col("o")), col("v"), "rt")
+      .select("o", "i", "rt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
   }
 }
