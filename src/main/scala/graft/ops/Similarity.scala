@@ -122,6 +122,14 @@ object Similarity {
     }
     val assigned = corpusN
       .withColumn("cell_id", least(cellStructs.toIndexedSeq: _*).getField("cell_id"))
+    searchCells(assigned, centroids, queries, id, vec, qid, qvec, k, nProbe)
+  }
+
+  /** Probe + scan + per-query top-k over a (centroids, assigned) pair —
+    * the shared tail of [[ivfTopK]] and [[ivfTopKFromIndex]]. */
+  private def searchCells(assigned: DataFrame, centroids: DataFrame,
+      queries: DataFrame, id: String, vec: String, qid: String, qvec: String,
+      k: Int, nProbe: Int): DataFrame = {
     val queriesN = queries.withColumn("qnorm", norm(col(qvec)))
     val probes = queriesN.join(broadcast(centroids))
       .withColumn("d", -dot(col(qvec), col("cvec")) / (col("qnorm") * col("cnorm")))
@@ -135,5 +143,42 @@ object Similarity {
     candidates.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(qid), col(id), col("cos"), col("rank"))
+  }
+
+  /** Persist an IVF index: `path/centroids` (nCells rows) and
+    * `path/assigned` parquet PARTITIONED BY cell_id — the on-disk
+    * inverted file. A probe against the index reads only its nProbe
+    * cells' files: the broadcast probe join on the partition column gives
+    * dynamic partition pruning, so query cost is O(N·nProbe/nCells) I/O,
+    * not a full scan. Build once, query many. */
+  def buildIvfIndex(corpus: DataFrame, id: String, vec: String, nCells: Int,
+      path: String, centroidsByHash: Boolean = true): Unit = {
+    val centroidRows = corpus
+      .select(col(id).as("cell_id"), col(vec).as("cvec"),
+        (if (centroidsByHash) xxhash64(col(id)) else col(id)).as("h"))
+      .orderBy("h").limit(nCells).drop("h")
+      .withColumn("cnorm", norm(col("cvec")))
+    val centroidData = centroidRows.collect()
+    val centroids = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centroidData: _*), centroidRows.schema)
+    val cellStructs = centroidData.map { r =>
+      val cvec = typedLit(r.getSeq[Double](1))
+      struct((-dot(col(vec), cvec) / (col("vnorm") * lit(r.getDouble(2)))).as("d"),
+        lit(r.get(0)).as("cell_id"))
+    }
+    val assigned = corpus.select(col(id), col(vec)).withColumn("vnorm", norm(col(vec)))
+      .withColumn("cell_id", least(cellStructs.toIndexedSeq: _*).getField("cell_id"))
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/assigned")
+  }
+
+  /** Query a persisted IVF index (see [[buildIvfIndex]]). Result equals
+    * [[ivfTopK]] with the same parameters on the indexed corpus. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, id: String, vec: String, qid: String, qvec: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val assigned = spark.read.parquet(s"$path/assigned")
+    searchCells(assigned, centroids, queries, id, vec, qid, qvec, k, nProbe)
   }
 }

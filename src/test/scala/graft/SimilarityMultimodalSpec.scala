@@ -72,4 +72,20 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(perDoc.forall(_ == 4)) // frames 0,4,8,12
     assert(frames.where(length(col("frame")) === 0).count() == 0)
   }
+
+  test("persisted IVF index answers queries identically to the in-memory path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val e = graft.queries.Q.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    Similarity.buildIvfIndex(e, "vec_id", "v", nCells = 16, dir, centroidsByHash = false)
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, dir, queries,
+        "vec_id", "v", "qid", "qv", k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val inMemory = Similarity.ivfTopK(e, queries, "vec_id", "v", "qid", "qv",
+        k = 3, nCells = 16, nProbe = 4, centroidsByHash = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(fromIndex == inMemory && fromIndex.nonEmpty)
+  }
 }
