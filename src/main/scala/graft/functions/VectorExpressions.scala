@@ -31,6 +31,21 @@ object VectorShim {
   def l2normCol(a: Column): Column =
     ExpressionUtils.column(L2Norm(ExpressionUtils.expression(a)))
 
+  /** Unwrap a `.asc` SortOrder column into its projectable child (needed by
+    * the distributed-index primitives, which must evaluate order keys as
+    * real columns before the range exchange); descending keys are rejected
+    * — not an index/windower use case. */
+  def unwrapAscending(c: Column): Column = {
+    import org.apache.spark.sql.internal.{SortOrder => SortNode}
+    c.node match {
+      case so: SortNode =>
+        require(so.sortDirection == SortNode.Ascending,
+          "only ascending order columns are supported")
+        Column(so.child)
+      case _ => c
+    }
+  }
+
   /** Register the SQL functions on an EXISTING session (extensions via
     * `spark.sql.extensions` only apply to sessions created after the
     * config is set — `getOrCreate` against a live session ignores them). */

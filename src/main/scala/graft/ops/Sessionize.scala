@@ -38,7 +38,13 @@ object Sessionize {
     val parts = spark.sessionState.conf.numShufflePartitions
     val sorted = base.repartitionByRange(parts, col("idx"))
       .sortWithinPartitions(col("idx"))
-    val rdd = sorted.rdd
+    // Both passes NEED the in-partition order (adjacency), so unlike
+    // withGlobalIndex the sort can't be hoisted out of either — cache the
+    // sorted 4-column projection instead so it runs once. The projection
+    // is narrow (idx, yt, yp, ep) regardless of input width, spills to
+    // disk under pressure, and is unpersisted by the ContextCleaner when
+    // the returned plan is released.
+    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (ytI, epI) = (sorted.schema.fieldIndex("yt"), sorted.schema.fieldIndex("ep"))
 
     def starts(yt: Int, prevYt: Int, prevEp: String, ep: String, isFirstEver: Boolean): Boolean =

@@ -104,115 +104,191 @@ object SlidingWindows {
       .drop("__chunk")
   }
 
-  /** Distributed global row index: range-repartition on the order
-    * columns, sort within partitions, then add partition-offset +
-    * local-position — the classic parallel zipWithIndex. Two passes over
-    * the data (per-partition counts, then indexing), both fully
-    * parallel — this removes the single-partition `row_number` from the
-    * global-order path entirely. RDD used deliberately: per-partition
-    * imperative logic is the documented exception (builder brief). */
+  /** Materialize order expressions as concrete `__ord_i` columns so both
+    * the range exchange and the in-partition comparator see identical,
+    * evaluate-once values (an expression like `monotonically_increasing_id`
+    * must not be re-evaluated after a shuffle). */
+  private def materializeOrder(df: DataFrame, orderCols: Seq[Column]): (DataFrame, Seq[String]) = {
+    val names = orderCols.indices.map(i => s"__ord_$i")
+    // a `.asc` Column wraps a SortOrder, which is not projectable — unwrap
+    val plain = orderCols.map(org.apache.spark.sql.graft.VectorShim.unwrapAscending)
+    (plain.zip(names).foldLeft(df) { case (d, (c, n)) => d.withColumn(n, c) }, names)
+  }
+
+  /** Ascending nulls-first comparator over the given field positions.
+    * Order keys must be atomic `Comparable` types (numeric / string /
+    * timestamp — what every call site uses); note Java string order is
+    * UTF-16, which diverges from Spark's UTF-8 order only beyond the BMP. */
+  private def rowOrdering(ordIdx: Seq[Int]): Ordering[org.apache.spark.sql.Row] =
+    (a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row) => {
+      var i = 0; var c = 0
+      while (c == 0 && i < ordIdx.length) {
+        val (va, vb) = (a.get(ordIdx(i)), b.get(ordIdx(i)))
+        c = if (va == null && vb == null) 0
+          else if (va == null) -1
+          else if (vb == null) 1
+          else va.asInstanceOf[Comparable[Any]].compareTo(vb)
+        i += 1
+      }
+      c
+    }
+
+  /** Distributed global row index — the classic parallel zipWithIndex,
+    * fused to a single in-partition sort: range-repartition on the order
+    * columns, a count pass that needs NO sort (partition sizes are
+    * order-independent, so pass 1 only streams the shuffle files), then one
+    * pass that sorts each partition once and emits partition-offset +
+    * local-position. Both jobs share the one range exchange (shuffle-file
+    * reuse skips the map stage on the second job). NOT cached: nothing is
+    * computed twice anymore. Partitions are sorted in executor memory —
+    * size them via `numPartitions` (the range partitioner balances rows);
+    * RDD used deliberately: per-partition imperative logic is the
+    * documented exception (builder brief). */
   def withGlobalIndex(df: DataFrame, orderCols: Seq[Column], out: String,
       numPartitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(parts, orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-    // NOT cached: both jobs share the RDD lineage, so the range-exchange
-    // map stage is skipped on the second job (shuffle-file reuse); only
-    // the in-partition sort re-runs. Caching here would pin a full copy
-    // of the dataset with no unpersist point (the caller owns the
-    // returned plan's lifetime).
-    val rdd = sorted.rdd
+    val (withOrd, ordNames) = materializeOrder(df, orderCols)
+    val ranged = withOrd.repartitionByRange(parts, ordNames.map(col): _*)
+    val rdd = ranged.rdd
+    // pass 1 — counts only, unsorted (order-independent)
     val counts = rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
       .collect().sortBy(_._1).map(_._2.toLong)
     val offsets = counts.scanLeft(0L)(_ + _)
+    val ord = rowOrdering(ordNames.map(ranged.schema.fieldIndex))
+    // pass 2 — the only sort, then index
     val indexed = rdd.mapPartitionsWithIndex { (i, it) =>
+      val arr = it.toArray
+      java.util.Arrays.sort(arr, ord)
       var k = offsets(i)
-      it.map { r => k += 1; Row.fromSeq(r.toSeq :+ k) }
+      arr.iterator.map { r => k += 1; Row.fromSeq(r.toSeq :+ k) }
     }
-    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
-    df.sparkSession.createDataFrame(indexed, schema)
+    val schema = StructType(ranged.schema.fields :+ StructField(out, LongType, nullable = false))
+    df.sparkSession.createDataFrame(indexed, schema).drop(ordNames: _*)
   }
 
   /** Distributed running total of `value` in global `orderCols` order —
-    * the prefix-sum companion of [[withGlobalIndex]]: range-repartition +
-    * in-partition sort, per-partition totals collected once, then one
-    * parallel pass adds the partition offset to the local running sum.
-    * No single-partition cumulative window anywhere. */
+    * the prefix-sum companion of [[withGlobalIndex]], same fused shape:
+    * per-partition totals are order-independent (sum is commutative), so
+    * pass 1 streams the shuffle files unsorted; pass 2 does the one
+    * in-partition sort and adds the partition offset to the local running
+    * sum. No single-partition cumulative window anywhere. */
   def withRunningTotal(df: DataFrame, orderCols: Seq[Column], value: Column,
       out: String, numPartitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val prepped = df.withColumn("__rt_v", value.cast("long"))
-    val sorted = prepped.repartitionByRange(parts, orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-    val rdd = sorted.rdd
-    val vIdx = sorted.schema.fieldIndex("__rt_v")
+    val (withOrd, ordNames) = materializeOrder(
+      df.withColumn("__rt_v", value.cast("long")), orderCols)
+    val ranged = withOrd.repartitionByRange(parts, ordNames.map(col): _*)
+    val rdd = ranged.rdd
+    val vIdx = ranged.schema.fieldIndex("__rt_v")
     val sums = rdd.mapPartitionsWithIndex((i, it) =>
         Iterator((i, it.map(_.getLong(vIdx)).sum)))
       .collect().sortBy(_._1).map(_._2)
     val offsets = sums.scanLeft(0L)(_ + _)
+    val ord = rowOrdering(ordNames.map(ranged.schema.fieldIndex))
     val withTotal = rdd.mapPartitionsWithIndex { (i, it) =>
+      val arr = it.toArray
+      java.util.Arrays.sort(arr, ord)
       var acc = offsets(i)
-      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+      arr.iterator.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
     }
-    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
-    df.sparkSession.createDataFrame(withTotal, schema).drop("__rt_v")
+    val schema = StructType(ranged.schema.fields :+ StructField(out, LongType, nullable = false))
+    df.sparkSession.createDataFrame(withTotal, schema).drop("__rt_v").drop(ordNames: _*)
   }
 
   /** The fully-parallel physical form of [[slideGlobal]] for long windows
-    * and large data: global index via [[withGlobalIndex]] (no
-    * single-partition stage anywhere), chunk assignment with `seqLen−1`
-    * overlap, then an iterator ring buffer per chunk — O(n + windows·T)
-    * work instead of collect_list's O(n·T) frame materialization, and no
-    * per-row array allocation for rows that aren't window ends.
-    * Byte-equal to [[slideGlobal]] (spec-enforced). */
+    * and large data — the range partitions ARE the chunks, so the whole
+    * operator is ONE exchange, ONE in-partition sort, two jobs:
+    *
+    *  - pass 1 (unsorted — streams the shuffle files): per-partition row
+    *    count + the `seqLen−1` order-largest (order, feature) pairs via a
+    *    bounded heap (O(n·log seqLen), O(seqLen) memory). The driver chains
+    *    tails across short/empty partitions so each partition knows the
+    *    `seqLen−1` feature values that precede it, and prefix-sums the
+    *    counts into global offsets.
+    *  - pass 2 (shuffle-file reuse): sort each partition once, seed an
+    *    iterator ring buffer with the broadcast carry-in, emit windows —
+    *    O(n + windows·T) work, no per-row frame materialization, no second
+    *    repartition anywhere.
+    *
+    * Driver/broadcast footprint: `partitions · (seqLen−1)` feature values —
+    * the same boundary-chaining budget as [[Sessionize]]. Byte-equal to
+    * [[slideGlobal]] (spec-enforced). */
   def slideGlobalStreaming(df: DataFrame, orderCols: Seq[Column], features: Column,
-      seqLen: Int, step: Int, chunkSize: Int = 65536, rangePartitions: Int = 0): DataFrame = {
-    require(chunkSize >= seqLen, "chunkSize must be >= seqLen")
+      seqLen: Int, step: Int, rangePartitions: Int = 0): DataFrame = {
+    require(seqLen >= 1 && step >= 1, "seqLen and step must be >= 1")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
     val spark = df.sparkSession
-    val withFeat = df.withColumn("__feat", features)
-    val indexed = withGlobalIndex(withFeat, orderCols, "__rn", rangePartitions)
-    val home = indexed.withColumn("__chunk", ((col("__rn") - 1) / chunkSize).cast("long"))
-    val tail = indexed
-      .where(pmod(col("__rn") - 1, lit(chunkSize)) >= chunkSize - (seqLen - 1))
-      .withColumn("__chunk", ((col("__rn") - 1) / chunkSize).cast("long") + 1)
-    val chunked = (if (seqLen == 1) home else home.unionByName(tail))
-      .repartition(col("__chunk"))
-      .sortWithinPartitions(col("__chunk"), col("__rn"))
-    val inSchema = chunked.schema
+    val parts = if (rangePartitions > 0) rangePartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val (withOrd, ordNames) = materializeOrder(df.withColumn("__feat", features), orderCols)
+    val ranged = withOrd.repartitionByRange(parts, ordNames.map(col): _*)
+    val rdd = ranged.rdd
+    val inSchema = ranged.schema
     val featIdx = inSchema.fieldIndex("__feat")
-    val rnIdx = inSchema.fieldIndex("__rn")
-    val chunkIdx = inSchema.fieldIndex("__chunk")
-    val keepIdx = inSchema.fields.indices
-      .filterNot(i => i == featIdx || i == rnIdx || i == chunkIdx)
+    val ordIdx = ordNames.map(inSchema.fieldIndex)
+    val ord = rowOrdering(ordIdx)
+    val tailKeep = seqLen - 1
+
+    // pass 1 — counts + per-partition tail features (no sort: a bounded
+    // min-heap keeps the seqLen−1 largest rows by order)
+    val infos = rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = 0L
+      val heap = new scala.collection.mutable.PriorityQueue[Row]()(ord.reverse)
+      it.foreach { r =>
+        n += 1
+        if (tailKeep > 0) {
+          heap.enqueue(r)
+          if (heap.size > tailKeep) heap.dequeue()
+        }
+      }
+      Iterator((i, n, heap.toArray.sorted(ord).map(_.get(featIdx))))
+    }.collect().sortBy(_._1)
+    val offsets = infos.map(_._2).scanLeft(0L)(_ + _)
+    // driver chain: carry-in for partition i = last seqLen−1 features over
+    // ALL predecessors (short partitions contribute everything they have)
+    val carries: Array[Array[Any]] = Array.tabulate(infos.length) { i =>
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var j = i - 1
+      while (j >= 0 && acc.length < tailKeep) {
+        val t = infos(j)._3
+        var k = t.length - 1
+        while (k >= 0 && acc.length < tailKeep) { acc += t(k); k -= 1 }
+        j -= 1
+      }
+      acc.reverse.toArray
+    }
+    val carriesB = spark.sparkContext.broadcast(carries)
+
+    val keepIdx = inSchema.fields.indices.filterNot(i => i == featIdx || ordIdx.contains(i))
     val outSchema = StructType(
       keepIdx.map(inSchema.fields).toArray :+
         StructField("win_id", LongType, nullable = false) :+
         StructField("window", ArrayType(inSchema.fields(featIdx).dataType), nullable = false))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    val cs = chunkSize.toLong
-    chunked.mapPartitions { it =>
-      var curChunk = Long.MinValue
+
+    // pass 2 — the one sort + ring-buffer emit (shuffle-file reuse)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      val arr = it.toArray
+      java.util.Arrays.sort(arr, ord)
       val buf = new scala.collection.mutable.ArrayDeque[Any](seqLen)
-      it.flatMap { r =>
-        val chunk = r.getLong(chunkIdx)
-        if (chunk != curChunk) { curChunk = chunk; buf.clear() }
-        val rn = r.getLong(rnIdx)
+      carriesB.value(i).foreach(buf.append)
+      var pos = offsets(i)
+      arr.iterator.flatMap { r =>
+        pos += 1
         buf.append(r.get(featIdx))
         if (buf.size > seqLen) buf.removeHead()
-        val isHome = (rn - 1) / cs == chunk
-        if (isHome && rn >= seqLen && (rn - seqLen) % step == 0)
-          Some(Row.fromSeq(keepIdx.map(r.get) :+ rn :+ buf.toSeq))
+        if (pos >= seqLen && (pos - seqLen) % step == 0)
+          Some(Row.fromSeq(keepIdx.map(r.get) :+ pos :+ buf.toSeq))
         else None
       }
-    }(enc)
+    }
+    spark.createDataFrame(out, outSchema)
   }
 
   /** G6 — per-window summary stats over the window array, computed with

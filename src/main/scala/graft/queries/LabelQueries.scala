@@ -100,7 +100,65 @@ object LabelQueries {
         .select(col("cls"), round(col("weight"), 6).as("weight"))
         .orderBy("cls")
     }),
+
+    // P3 parity over EVERY reference spelling (func_preproc.py:48-94):
+    // all 32 map keys + strip/lower variants + unknown pass-throughs. The
+    // oracle is the hand-transcribed expected table, so a hash match proves
+    // the Scala map reproduces the reference's normalization verbatim.
+    "p3_group_map_full" -> ((s, dir) => {
+      import s.implicits._
+      AttackSpellings.toDF("attack")
+        .withColumn("grp", Labels.attackGroup(col("attack")))
+        .orderBy("attack")
+    }),
+
+    // P4 parity: the network preproc's full labeling chain
+    // (pipeline_trainingmodels_network.py:222-238) over every LABEL_MAPPING
+    // key + unmapped raws (exact-match fallback, scenario "Benign" default,
+    // null attack id).
+    "p4_network_labels" -> ((s, dir) => {
+      import s.implicits._
+      NetworkRawLabels.toDF("label_mul_raw")
+        .transform(Labels.networkLabels(_))
+        .orderBy("label_mul_raw")
+    }),
   )
+
+  /** Every spelling map_attack_to_group recognizes, plus strip()/lower()
+    * variants and unknown names (which must pass through unchanged). */
+  private val AttackSpellings: Seq[String] = Seq(
+    "  SYN-Flood ", "0", "Backdoor", "NONE (ie. Benign)", "OS-Scan",
+    "Upd-Flood", "aggressive-scan", "backdoor", "benign", "cryptojacking",
+    "dos", "icmp-flood", "icmp-fragmentation", "icmp-fragmentation_old",
+    "none", "none (ie. benign)", "os-fingerprinting", "os-fingerpriting",
+    "os-scan", "port-scan", "pshack-flood", "push-ack-flood",
+    "serice-detection", "service-detection", "service-detection-scan",
+    "service-version-detection", "slowloris-scan", "syn-flood",
+    "syn-stealth", "syn-stealth-scan", "synonymous-ip-flood",
+    "synonymousip-flood", "tcp-flood", "tcp-port-scan", "udp-flood",
+    "upd-flood", "vuln-scan", "vulnerability-scan", "weird-new-attack")
+
+  /** Every LABEL_MAPPING key + unmapped raw labels (exact-match semantics:
+    * the trailing-space variant must NOT map). */
+  private val NetworkRawLabels: Seq[String] = Seq(
+    "Charging Benign", "Charging Benign ", "MaliciousEV aggressive scan",
+    "MaliciousEV os fingerprinting", "MaliciousEV port scan",
+    "MaliciousEV service detection", "MaliciousEV syn stealth scan",
+    "MaliciousEV vulnerability scan", "charging Aggressive scan",
+    "charging aggressive scan", "charging icmp flood",
+    "charging icmp fragmentation", "charging os fingerprinting",
+    "charging port scan", "charging portscan", "charging push ack flood",
+    "charging service detection", "charging service detection scan",
+    "charging slowLoris scan", "charging syn flood", "charging syn stealth",
+    "charging synonymous ip", "charging synonymous ip flood",
+    "charging tcp flood", "charging udp flood", "charging vulnerability scan",
+    "idle aggressive scan", "idle benign", "idle icmp flood",
+    "idle icmp fragmentation", "idle mystery probe", "idle os fingerprinting",
+    "idle port scan", "idle portscan", "idle push ack flood",
+    "idle service detection", "idle slowloris scan", "idle syn flood",
+    "idle syn stealth scan", "idle synonymous ip",
+    "idle synonymous ip flood", "idle tcp flood", "idle udp flood",
+    "idle vulnerability scan", "standalone")
 
   val oracle: Map[String, String] = Map(
     "p2_binary_label" ->
@@ -168,5 +226,82 @@ object LabelQueries {
         |     t AS (SELECT sum(n_c) AS n, count(*) AS k FROM c)
         |SELECT cls, round(least(CAST(n AS DOUBLE) / (k * n_c), 10.0), 6) AS weight
         |FROM c, t ORDER BY cls""".stripMargin,
+
+    // Expected table transcribed from func_aux/func_preproc.py:48-94.
+    "p3_group_map_full" ->
+      """SELECT * FROM (VALUES
+        |('  SYN-Flood ', 'DoS'), ('0', 'none'), ('Backdoor', 'host-attack'),
+        |('NONE (ie. Benign)', 'none'), ('OS-Scan', 'recon'),
+        |('Upd-Flood', 'DoS'), ('aggressive-scan', 'recon'),
+        |('backdoor', 'host-attack'), ('benign', 'none'),
+        |('cryptojacking', 'host-attack'), ('dos', 'dos'),
+        |('icmp-flood', 'DoS'), ('icmp-fragmentation', 'DoS'),
+        |('icmp-fragmentation_old', 'DoS'), ('none', 'none'),
+        |('none (ie. benign)', 'none'), ('os-fingerprinting', 'recon'),
+        |('os-fingerpriting', 'recon'), ('os-scan', 'recon'),
+        |('port-scan', 'recon'), ('pshack-flood', 'DoS'),
+        |('push-ack-flood', 'DoS'), ('serice-detection', 'recon'),
+        |('service-detection', 'recon'), ('service-detection-scan', 'recon'),
+        |('service-version-detection', 'recon'), ('slowloris-scan', 'DoS'),
+        |('syn-flood', 'DoS'), ('syn-stealth', 'DoS'),
+        |('syn-stealth-scan', 'DoS'), ('synonymous-ip-flood', 'DoS'),
+        |('synonymousip-flood', 'DoS'), ('tcp-flood', 'DoS'),
+        |('tcp-port-scan', 'recon'), ('udp-flood', 'DoS'),
+        |('upd-flood', 'DoS'), ('vuln-scan', 'recon'),
+        |('vulnerability-scan', 'recon'),
+        |('weird-new-attack', 'weird-new-attack')
+        |) AS t(attack, grp) ORDER BY attack""".stripMargin,
+
+    // Expected table transcribed from
+    // pipeline_trainingmodels_network.py:65-155 (+ the :222-238 chain).
+    "p4_network_labels" ->
+      """SELECT * FROM (VALUES
+        |('Charging Benign', 'None', 'Benign', 0, 0, 0),
+        |('Charging Benign ', 'Charging Benign ', 'Benign', CAST(NULL AS INT), 0, 1),
+        |('MaliciousEV aggressive scan', 'aggressive-scan', 'Recon', 1, 1, 1),
+        |('MaliciousEV os fingerprinting', 'os-fingerpriting', 'Recon', 4, 1, 1),
+        |('MaliciousEV port scan', 'TCP-port-scan', 'Recon', 5, 1, 1),
+        |('MaliciousEV service detection', 'service-version-detection', 'Recon', 7, 1, 1),
+        |('MaliciousEV syn stealth scan', 'syn-stealth-scan', 'Recon', 10, 1, 1),
+        |('MaliciousEV vulnerability scan', 'vulnerability-scan', 'Recon', 14, 1, 1),
+        |('charging Aggressive scan', 'aggressive-scan', 'Recon', 1, 1, 1),
+        |('charging aggressive scan', 'aggressive-scan', 'Recon', 1, 1, 1),
+        |('charging icmp flood', 'icmp-flood', 'DoS', 2, 2, 1),
+        |('charging icmp fragmentation', 'icmp-fragmentation', 'DoS', 3, 2, 1),
+        |('charging os fingerprinting', 'os-fingerpriting', 'Recon', 4, 1, 1),
+        |('charging port scan', 'TCP-port-scan', 'Recon', 5, 1, 1),
+        |('charging portscan', 'TCP-port-scan', 'Recon', 5, 1, 1),
+        |('charging push ack flood', 'pshack-flood', 'DoS', 6, 2, 1),
+        |('charging service detection', 'service-version-detection', 'Recon', 7, 1, 1),
+        |('charging service detection scan', 'service-version-detection', 'Recon', 7, 1, 1),
+        |('charging slowLoris scan', 'slowloris-scan', 'DoS', 8, 2, 1),
+        |('charging syn flood', 'syn-flood', 'DoS', 9, 2, 1),
+        |('charging syn stealth', 'syn-stealth-scan', 'Recon', 10, 1, 1),
+        |('charging synonymous ip', 'synonymousIP-flood', 'DoS', 11, 2, 1),
+        |('charging synonymous ip flood', 'synonymousIP-flood', 'DoS', 11, 2, 1),
+        |('charging tcp flood', 'TCP-flood', 'DoS', 12, 2, 1),
+        |('charging udp flood', 'upd-flood', 'DoS', 13, 2, 1),
+        |('charging vulnerability scan', 'vulnerability-scan', 'Recon', 14, 1, 1),
+        |('idle aggressive scan', 'aggressive-scan', 'Recon', 1, 1, 1),
+        |('idle benign', 'None', 'Benign', 0, 0, 0),
+        |('idle icmp flood', 'icmp-flood', 'DoS', 2, 2, 1),
+        |('idle icmp fragmentation', 'icmp-fragmentation', 'DoS', 3, 2, 1),
+        |('idle mystery probe', 'idle mystery probe', 'Benign', CAST(NULL AS INT), 0, 1),
+        |('idle os fingerprinting', 'os-fingerpriting', 'Recon', 4, 1, 1),
+        |('idle port scan', 'TCP-port-scan', 'Recon', 5, 1, 1),
+        |('idle portscan', 'TCP-port-scan', 'Recon', 5, 1, 1),
+        |('idle push ack flood', 'pshack-flood', 'DoS', 6, 2, 1),
+        |('idle service detection', 'service-version-detection', 'Recon', 7, 1, 1),
+        |('idle slowloris scan', 'slowloris-scan', 'DoS', 8, 2, 1),
+        |('idle syn flood', 'syn-flood', 'DoS', 9, 2, 1),
+        |('idle syn stealth scan', 'syn-stealth-scan', 'Recon', 10, 1, 1),
+        |('idle synonymous ip', 'synonymousIP-flood', 'DoS', 11, 2, 1),
+        |('idle synonymous ip flood', 'synonymousIP-flood', 'DoS', 11, 2, 1),
+        |('idle tcp flood', 'TCP-flood', 'DoS', 12, 2, 1),
+        |('idle udp flood', 'upd-flood', 'DoS', 13, 2, 1),
+        |('idle vulnerability scan', 'vulnerability-scan', 'Recon', 14, 1, 1),
+        |('standalone', 'standalone', 'Benign', CAST(NULL AS INT), 0, 1)
+        |) AS t(label_mul_raw, attack, scenario_str, label_mul_id, scenario_id, label)
+        |ORDER BY label_mul_raw""".stripMargin,
   )
 }

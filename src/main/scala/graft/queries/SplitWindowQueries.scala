@@ -65,7 +65,7 @@ object SplitWindowQueries {
       // frame materialization) against the same oracle as w1.
       val ev = scoredEvents(s, dir)
       SlidingWindows.slideGlobalStreaming(ev, ord, col("value"), seqLen = 5, step = 7,
-          chunkSize = 512, rangePartitions = 8)
+          rangePartitions = 8)
         .select(col("win_id").cast("long").as("win_id") +: winCols(5) :+
           col("y_true").as("y") :+ col("event_id").as("end_event_id"): _*)
         .orderBy("win_id")

@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.ops.{Labels, Stats}
@@ -31,8 +30,10 @@ object Sources {
     * `timestamp` double.
     *
     * Returns (df, eventCols). The row-index timestamp needs a total order:
-    * the reference uses file order — reproduced here with one global
-    * row_number over the original line order via a monotonic id. */
+    * the reference uses file order — reproduced with the distributed
+    * zipWithIndex ([[graft.ops.SlidingWindows.withGlobalIndex]]) over the
+    * scan's monotonic id, so the load never funnels through one partition
+    * (the id encodes (partition, offset), i.e. file order). */
   def loadHost(spark: SparkSession, path: String): (DataFrame, Seq[String]) = {
     val raw = spark.read.option("header", "true").csv(path)
     val names = raw.schema.fieldNames.toSeq
@@ -46,13 +47,20 @@ object Sources {
     }
     val constant = Stats.constantColumns(coerced, eventCandidates)
     val eventCols = eventCandidates.filterNot(constant.contains)
-    val cleaned = coerced
-      .drop(constant: _*)
+    val cleaned = rowIndexTimestamp(coerced.drop(constant: _*))
       .withColumn("state_bin", Labels.stateBin(col("State")))
-      .withColumn("timestamp",
-        (row_number().over(Window.orderBy(monotonically_increasing_id())) - 1).cast(DoubleType))
     (cleaned, eventCols)
   }
+
+  /** Row-index `timestamp` double (0-based original line order) without a
+    * single-partition stage: distributed global index over the scan's
+    * monotonic id. */
+  private def rowIndexTimestamp(df: DataFrame): DataFrame =
+    graft.ops.SlidingWindows
+      .withGlobalIndex(df.withColumn("__mid", monotonically_increasing_id()),
+        Seq(col("__mid")), "__ridx")
+      .withColumn("timestamp", (col("__ridx") - 1).cast(DoubleType))
+      .drop("__mid", "__ridx")
 
   /** S3 — network multi-file merge: read every csv in the dirs, tag
     * filename-derived label + evse + source_file, union, drop text cols,
@@ -82,8 +90,7 @@ object Sources {
       else if (names.contains("bidirectional_first_seen_ms"))
         df.withColumn("timestamp", col("bidirectional_first_seen_ms").try_cast(DoubleType))
       else if (names.contains("timestamp")) df.withColumn("timestamp", col("timestamp").try_cast(DoubleType))
-      else df.withColumn("timestamp",
-        (row_number().over(Window.orderBy(monotonically_increasing_id())) - 1).cast(DoubleType))
+      else rowIndexTimestamp(df)
     withTime.orderBy("timestamp")
   }
 

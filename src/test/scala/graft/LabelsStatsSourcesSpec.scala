@@ -21,6 +21,30 @@ class LabelsStatsSourcesSpec extends SparkSpec {
     assert(out.toSeq == Seq("DoS", "host-attack", "recon", "weird-new-attack"))
   }
 
+  test("attackGroup: dataset typos, '0', _old variants, and null → reference groups") {
+    val df = Seq("os-fingerpriting", "serice-detection", "upd-flood", "0",
+      "icmp-fragmentation_old", "push-ack-flood", "dos", null).toDF("a")
+    val out = df.select(Labels.attackGroup(col("a"))).collect().map(_.getString(0))
+    // "dos" is NOT a reference spelling → passes through; null → "none"
+    assert(out.toSeq == Seq("recon", "recon", "DoS", "none", "DoS", "DoS", "dos", "none"))
+  }
+
+  test("networkLabels: full chain — exact-match mapping, Benign fallback, null id") {
+    val df = Seq("charging syn flood", "Charging Benign", "charging syn flood ", "idle portscan")
+      .toDF("label_mul_raw")
+    val out = Labels.networkLabels(df)
+      .select("attack", "scenario_str", "label_mul_id", "scenario_id", "label")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(out.toSeq == Seq(
+      ("syn-flood", "DoS", 9, 2, 1),
+      ("None", "Benign", 0, 0, 0),
+      // trailing space: LABEL_MAPPING is exact-match → raw passes through
+      ("charging syn flood ", "Benign", -1, 0, 1),
+      ("TCP-port-scan", "Recon", 5, 1, 1)))
+  }
+
   test("filenameLabel: stem tokens from the 3rd, joined; short stems fall back whole") {
     val df = Seq("/data/evseA/EVSE-A-icmp-flood-1.csv", "x/a-b-c.csv", "a-b.csv").toDF("f")
     val out = df.select(Labels.filenameLabel(col("f"))).collect().map(_.getString(0))

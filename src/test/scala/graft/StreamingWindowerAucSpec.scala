@@ -23,18 +23,21 @@ class StreamingWindowerAucSpec extends SparkSpec {
     for {
       seqLen <- Seq(1, 5, 12)
       step <- Seq(1, 4)
-      chunk <- Seq(16, 64, 4096)
+      // 19 range partitions of ~9 rows with seqLen=12 forces carry-in
+      // chains across MULTIPLE short predecessors; 1 partition is the
+      // degenerate serial case
+      rangeParts <- Seq(1, 4, 19)
     } {
       val expected = SlidingWindows.slideGlobal(df, Seq(col("t")), col("x"), seqLen, step)
         .select(col("win_id").cast("long"), col("window"), col("lab"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList, r.getString(2)))
         .sortBy(_._1)
       val got = SlidingWindows.slideGlobalStreaming(df, Seq(col("t")), col("x"),
-          seqLen, step, chunk, rangePartitions = 4)
+          seqLen, step, rangePartitions = rangeParts)
         .select(col("win_id"), col("window"), col("lab"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList, r.getString(2)))
         .sortBy(_._1)
-      assert(got.toSeq == expected.toSeq, s"seqLen=$seqLen step=$step chunk=$chunk")
+      assert(got.toSeq == expected.toSeq, s"seqLen=$seqLen step=$step rangeParts=$rangeParts")
     }
   }
 
