@@ -134,4 +134,48 @@ object Curves {
     }.reduce(_ unionByName _)
     perClass.agg(avg("roc_auc").as("roc_auc_macro"))
   }
+
+  /** One-vs-rest per-class cumulative curve over a proba array in ONE pass
+    * over the data: posexplode the k probabilities to (class, score,
+    * indicator) pairs, groupBy (class, threshold), then cumulative windows
+    * PARTITIONED BY class — the window input is the D·k curve table, never
+    * the data, and the per-class partitions parallelize. */
+  private def ovrCurve(df: DataFrame, yTrue: Column, proba: Column): DataFrame = {
+    val pairs = df.select(yTrue.as("yt"), posexplode(proba))
+      .select(col("pos").as("cls"), col("col").cast("double").as("threshold"),
+        (col("yt") === col("pos")).cast("int").as("y"))
+    val byScore = pairs.groupBy("cls", "threshold")
+      .agg(sum(col("y")).as("pos_n"), sum(lit(1) - col("y")).as("neg_n"))
+    val w = Window.partitionBy("cls").orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy("cls")
+    byScore
+      .withColumn("tps", sum("pos_n").over(w))
+      .withColumn("fps", sum("neg_n").over(w))
+      .withColumn("recall", col("tps") / max("tps").over(tot))
+  }
+
+  /** `average_precision_score(y_onehot, proba, average="macro")`
+    * (func_aux/func_test.py:84-88): per-class AP over the one-vs-rest
+    * curves, then the unweighted class mean. Returns 1 row (pr_auc_macro). */
+  def prAucMacro(df: DataFrame, yTrue: Column, proba: Column): DataFrame = {
+    val w = Window.partitionBy("cls").orderBy(col("threshold").desc)
+    ovrCurve(df, yTrue, proba)
+      .withColumn("precision", col("tps") / (col("tps") + col("fps")))
+      .withColumn("recall_prev", coalesce(lag("recall", 1).over(w), lit(0.0)))
+      .groupBy("cls")
+      .agg(sum((col("recall") - col("recall_prev")) * col("precision")).as("ap"))
+      .agg(avg("ap").as("pr_auc_macro"))
+  }
+
+  /** `average_precision_score(y_onehot, proba, average="micro")`
+    * (func_aux/func_test.py:80-83): ALL (row, class) pairs ranked as one
+    * binary problem. Returns 1 row (pr_auc_micro). */
+  def prAucMicro(df: DataFrame, yTrue: Column, proba: Column): DataFrame = {
+    val pairs = df.select(yTrue.as("yt"), posexplode(proba))
+      .select(col("col").cast("double").as("score"),
+        (col("yt") === col("pos")).cast("int").as("y"))
+    averagePrecision(pairs, col("y"), col("score"))
+      .select(col("average_precision").as("pr_auc_micro"))
+  }
 }

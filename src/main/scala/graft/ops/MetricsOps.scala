@@ -58,6 +58,24 @@ object MetricsOps {
     multiclassMetricsPerGroup(df.withColumn("__g", lit(1)), "__g", yTrue, yPred, labels)
       .drop("grp")
 
+  /** G13, the reference's FULL dict (func_aux/func_test.py:61-171): from a
+    * probability-matrix column. `y_pred = argmax(proba)` (first max wins,
+    * numpy parity), the confusion-derived suite as above, PLUS the
+    * probability-ranked fields `pr_auc_micro` / `pr_auc_macro`
+    * ([[Curves.prAucMicro]]/[[Curves.prAucMacro]]) and `roc_auc_macro`
+    * ([[Curves.rocAucMacro]]). One row; the three AUC singletons are
+    * literal-size cross joins. */
+  def multiclassMetrics(df: DataFrame, yTrue: String, proba: Column, labels: Seq[Int]): DataFrame = {
+    val withPred = df.withColumn("__proba", proba)
+      .withColumn("__y_pred",
+        (array_position(col("__proba"), array_max(col("__proba"))) - 1).cast("int"))
+    val base = multiclassMetrics(withPred, yTrue, "__y_pred", labels)
+    base
+      .crossJoin(Curves.prAucMicro(withPred, col(yTrue), col("__proba")))
+      .crossJoin(Curves.prAucMacro(withPred, col(yTrue), col("__proba")))
+      .crossJoin(Curves.rocAucMacro(withPred, col(yTrue), col("__proba"), labels.size))
+  }
+
   /** G13, grouped (F10 per-state slices,
     * pipeline_trainingmodels_power.py:235-311): the full multiclass suite
     * computed per value of `groupCol` in ONE pass — a groupBy over

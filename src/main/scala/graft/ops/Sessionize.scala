@@ -81,26 +81,51 @@ object Sessionize {
       }
     }
 
-    // pass 2: number the islands in parallel (shuffle-file reuse)
-    val numbered = rdd.mapPartitionsWithIndex { (i, it) =>
+    // pass 2: number the islands in parallel (cache read) and PARTIALLY
+    // aggregate per (episode) inside the scan — rows arrive in idx order,
+    // so an episode's first row in this partition carries its local min
+    // idx, and the first yp==1 row its local min detection idx. The final
+    // shuffle then moves one row per (partition, episode) — episodes that
+    // span a partition boundary contribute one partial per side — instead
+    // of every attack row. At 100 TB that turns the widest exchange of the
+    // operator into a per-episode trickle.
+    val (idxI, ypI) = (sorted.schema.fieldIndex("idx"), sorted.schema.fieldIndex("yp"))
+    val idxType = sorted.schema("idx").dataType
+    val partials = rdd.mapPartitionsWithIndex { (i, it) =>
       var (prevYt, prevEp, isFirst) = prevLast(i)
       var episode = offsets(i)
-      it.map { r =>
+      var curEpisode = -1L; var curEp: String = null
+      var curStart: Any = null; var curDet: Any = null
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      def flush(): Unit =
+        if (curEpisode >= 0) { out += Row(curEpisode, curEp, curStart, curDet); () }
+      it.foreach { r =>
         val yt = r.getInt(ytI); val ep = r.getString(epI)
         if (starts(yt, prevYt, prevEp, ep, isFirst)) episode += 1
         prevYt = yt; prevEp = ep; isFirst = false
-        Row.fromSeq(r.toSeq :+ episode)
+        if (yt == 1) {
+          if (episode != curEpisode) {
+            flush()
+            curEpisode = episode; curEp = ep
+            curStart = r.get(idxI); curDet = null
+          }
+          if (curDet == null && r.getInt(ypI) == 1) curDet = r.get(idxI)
+        }
       }
+      flush()
+      out.iterator
     }
-    val schema = StructType(sorted.schema.fields :+
-      StructField("episode", LongType, nullable = false))
-    spark.createDataFrame(numbered, schema)
-      .where(col("yt") === 1)
+    val schema = StructType(Seq(
+      StructField("episode", LongType, nullable = false),
+      StructField("ep", sorted.schema("ep").dataType),
+      StructField("idx_min", idxType),
+      StructField("det_min", idxType)))
+    spark.createDataFrame(partials, schema)
       .groupBy("episode")
       .agg(
         first("ep").as("episode_id"),
-        min("idx").as("start_idx"),
-        min(when(col("yp") === 1, col("idx"))).as("det_idx"))
+        min("idx_min").as("start_idx"),
+        min("det_min").as("det_idx"))
       .withColumn("delay_windows", col("det_idx") - col("start_idx"))
   }
 

@@ -52,6 +52,25 @@ object MetricQueries {
       m.select(m.columns.map(c => round(col(c), 6).as(c)): _*)
     }),
 
+    "g13_pr_auc" -> ((s, dir) => {
+      // The probability-ranked G13 fields: a deterministic per-class score
+      // matrix (integer hash of event_id per class + 0.75 mass on the true
+      // class — tie-free across classes by construction), through the full
+      // proba overload of multiclassMetrics. The expressions are pure
+      // integer arithmetic + one division, so Spark and DuckDB agree
+      // bit-for-bit on every score; round(6) absorbs cumsum order.
+      val (df, k) = multiclassFrame(s, dir)
+      val proba = array((0 until k).map { j =>
+        (col("event_id").cast("long") * (2 * j + 3)) % 97 / lit(97.0) +
+          lit(0.001) * lit(j) +
+          when(col("y_true") === j, lit(0.75)).otherwise(lit(0.0))
+      }: _*)
+      MetricsOps.multiclassMetrics(df, "y_true", proba, 0 until k)
+        .select(round(col("pr_auc_micro"), 6).as("pr_auc_micro"),
+          round(col("pr_auc_macro"), 6).as("pr_auc_macro"),
+          round(col("roc_auc_macro"), 6).as("roc_auc_macro"))
+    }),
+
     "f10_metrics_per_group" -> ((s, dir) => {
       // Per-slice metric suite in ONE shuffle (F10 per-state slices) —
       // user_id % 2 plays the charging/idle state mask.
@@ -252,6 +271,48 @@ object MetricQueries {
            |    coalesce(lag(tpr) OVER (ORDER BY threshold DESC), 0) AS tpr_prev
            |  FROM curve)
            |SELECT round(sum((fpr - fpr_prev) * (tpr + tpr_prev) / 2), 6) AS roc_auc FROM pts""".stripMargin,
+
+      "g13_pr_auc" ->
+        s"""WITH mc AS ($multiclassSql),
+           |classes AS (SELECT CAST(row_number() OVER (ORDER BY class) - 1 AS BIGINT) AS j
+           |            FROM (SELECT DISTINCT event_type AS class FROM events) d),
+           |pairs AS (
+           |  SELECT classes.j AS cls,
+           |    (CAST(event_id AS BIGINT) * (2*classes.j + 3)) % 97 / 97.0 + 0.001 * classes.j
+           |      + CASE WHEN y_true = classes.j THEN 0.75 ELSE 0.0 END AS s,
+           |    CASE WHEN y_true = classes.j THEN 1 ELSE 0 END AS y
+           |  FROM mc, classes),
+           |mcurve AS (
+           |  SELECT s AS threshold, sum(y) AS pos, sum(1-y) AS neg FROM pairs GROUP BY 1),
+           |mcum AS (
+           |  SELECT threshold,
+           |    sum(pos) OVER w AS tps, sum(neg) OVER w AS fps,
+           |    sum(pos) OVER () AS p_tot
+           |  FROM mcurve WINDOW w AS (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)),
+           |mpts AS (
+           |  SELECT tps*1.0/(tps+fps) AS precision, tps*1.0/p_tot AS recall,
+           |    coalesce(lag(tps*1.0/p_tot) OVER (ORDER BY threshold DESC), 0) AS recall_prev
+           |  FROM mcum),
+           |micro AS (SELECT sum((recall - recall_prev) * precision) AS pr_auc_micro FROM mpts),
+           |ccurve AS (SELECT cls, s AS threshold, sum(y) AS pos, sum(1-y) AS neg FROM pairs GROUP BY 1,2),
+           |ccum AS (
+           |  SELECT cls, threshold,
+           |    sum(pos) OVER w AS tps, sum(neg) OVER w AS fps,
+           |    sum(pos) OVER (PARTITION BY cls) AS p_tot,
+           |    sum(neg) OVER (PARTITION BY cls) AS n_tot
+           |  FROM ccurve WINDOW w AS (PARTITION BY cls ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)),
+           |cpts AS (
+           |  SELECT cls, tps*1.0/(tps+fps) AS precision, tps*1.0/p_tot AS recall,
+           |    coalesce(lag(tps*1.0/p_tot) OVER wc, 0) AS recall_prev,
+           |    fps*1.0/n_tot AS fpr,
+           |    coalesce(lag(fps*1.0/n_tot) OVER wc, 0) AS fpr_prev
+           |  FROM ccum WINDOW wc AS (PARTITION BY cls ORDER BY threshold DESC)),
+           |cap AS (SELECT cls, sum((recall - recall_prev) * precision) AS ap,
+           |        sum((fpr - fpr_prev) * (recall + recall_prev) / 2) AS auc
+           |        FROM cpts GROUP BY 1),
+           |macro AS (SELECT avg(ap) AS pr_auc_macro, avg(auc) AS roc_auc_macro FROM cap)
+           |SELECT round(pr_auc_micro, 6) AS pr_auc_micro, round(pr_auc_macro, 6) AS pr_auc_macro,
+           |  round(roc_auc_macro, 6) AS roc_auc_macro FROM micro, macro""".stripMargin,
 
       "g14_average_precision" ->
         s"""WITH curve AS ($rocCurveSql),

@@ -85,6 +85,26 @@ class MetricsCurvesSpec extends SparkSpec {
     assert(approx(get("f1_weighted"), (0.5 * 2 + 0.8 * 2 + 2.0 / 3 * 2) / 6))
   }
 
+  test("proba overload: argmax y_pred (first max wins) + AUC fields on a hand fixture") {
+    // 2 classes, probas hand-picked: row 3 ties (0.5, 0.5) → numpy argmax
+    // picks class 0 (first max)
+    val df = Seq(
+      (0, Seq(0.9, 0.1)), (0, Seq(0.4, 0.6)), (1, Seq(0.2, 0.8)), (1, Seq(0.5, 0.5)))
+      .toDF("yt", "p")
+    val m = MetricsOps.multiclassMetrics(df, "yt", col("p"), Seq(0, 1)).head()
+    // y_pred = argmax = [0, 1, 1, 0] → accuracy 2/4
+    assert(approx(m.getAs[Double]("accuracy"), 0.5))
+    // class-1 scores [.1,.6,.8,.5] labels [0,0,1,1]: ranked desc .8(1) .6(0)
+    // .5(1) .1(0) → AP_1 = 1/2·1 + 1/2·(2/3)... wait R steps at .8 and .5:
+    // AP = (0.5-0)·1 + (1.0-0.5)·(2/3) = 5/6. class-0 scores [.9,.4,.2,.5]
+    // labels [1,1,0,0]: desc .9(1) .5(0) .4(1) .2(0) → AP = 0.5·1 + 0.5·(2/3) = 5/6.
+    assert(approx(m.getAs[Double]("pr_auc_macro"), 5.0 / 6))
+    // ROC per class: class0 pairs — pos {.9,.4} neg {.5,.2}: of 4 pairs,
+    // .9>.5, .9>.2, .4<.5, .4>.2 → AUC 3/4; class1 symmetric 3/4.
+    assert(approx(m.getAs[Double]("roc_auc_macro"), 0.75))
+    assert(m.getAs[Double]("pr_auc_micro") > 0 && m.getAs[Double]("pr_auc_micro") <= 1)
+  }
+
   test("zero_division=0: class never predicted gets precision 0") {
     val df = Seq((0, 1), (1, 1)).toDF("yt", "yp") // class 0 never predicted
     val m = MetricsOps.multiclassMetrics(df, "yt", "yp", Seq(0, 1)).head()
