@@ -80,13 +80,16 @@ object Multimodal {
   }
 
   /** Test/demo helper: deterministic synthetic media table derived from any
-    * id column (payload = utf8 bytes of a seeded hash chain). */
+    * id column (payload = utf8 bytes of a hash chain). md5 + sha256 only —
+    * both exist in DuckDB with identical hex output, so the oracle can
+    * rebuild the exact payload and check feature CONTENT, not just counts. */
   def syntheticMedia(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame =
     ids.select(
       col(idCol).cast(LongType).as("media_id"),
       (when(pmod(col(idCol), lit(3)) === 0, "image")
         .when(pmod(col(idCol), lit(3)) === 1, "audio").otherwise("video")).as("kind"),
-      encode(concat_ws("-", col(idCol), xxhash64(col(idCol)),
+      encode(concat_ws("-", col(idCol).cast(StringType),
+        md5(col(idCol).cast(StringType)),
         sha2(col(idCol).cast(StringType), 256)), "UTF-8").as("payload"),
       struct(lit(64).as("width"), lit(64).as("height"),
         lit(16000).as("sample_rate"), lit(16).as("n_frames")).as("meta"))

@@ -137,9 +137,11 @@ object MetricQueries {
 
     "g16_operational" -> ((s, dir) => {
       // Binary operational composite: calibrate on even event_ids (val),
-      // score odd event_ids (test), fpr_target=0.1, hop=1s. The CP CIs are
-      // computed (driver-side Beta quantiles) but checked in ScalaTest;
-      // the oracle covers the relational core.
+      // score odd event_ids (test), fpr_target=0.1, hop=1s. The oracle now
+      // covers the relational core PLUS the operational tail (normal-approx
+      // FPR CI, FP/hour, benign/total hours — func_test.py:358-403); only
+      // the Clopper-Pearson Beta quantiles stay ScalaTest-checked (no
+      // beta_inv in DuckDB).
       val ev = scoredEvents(s, dir)
       val valDf = ev.where(col("event_id") % 2 === 0)
       val testDf = ev.where(col("event_id") % 2 === 1)
@@ -147,12 +149,16 @@ object MetricQueries {
         fprTarget = 0.1, hopSeconds = 1.0)
       val spark = s
       import spark.implicits._
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       Seq((m.threshold, m.tn, m.fp, m.fn, m.tp,
-        BigDecimal(m.fpr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(m.tpr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(m.precision).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(m.f1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-        .toDF("threshold", "tn", "fp", "fn", "tp", "fpr", "tpr", "precision", "f1")
+        r6(m.fpr), r6(m.tpr), r6(m.precision), r6(m.f1),
+        r6(m.fprCiNormalLow), r6(m.fprCiNormalHigh),
+        r4(m.falsePositivesPerHour), r6((m.tn + m.fp) * 1.0 / 3600.0),
+        r6(m.totalHoursTest)))
+        .toDF("threshold", "tn", "fp", "fn", "tp", "fpr", "tpr", "precision", "f1",
+          "fpr_ci_normal_low", "fpr_ci_normal_high", "fp_per_hour",
+          "hours_benign", "total_hours_test")
     }),
   )
 
@@ -410,7 +416,16 @@ object MetricQueries {
            |  round(tp / (tp + fp + 1e-12), 6) AS precision,
            |  round(CASE WHEN (tp / (tp + fp + 1e-12)) + (tp / (tp + fn + 1e-12)) = 0 THEN 0
            |    ELSE 2 * (tp / (tp + fp + 1e-12)) * (tp / (tp + fn + 1e-12)) /
-           |         ((tp / (tp + fp + 1e-12)) + (tp / (tp + fn + 1e-12))) END, 6) AS f1
+           |         ((tp / (tp + fp + 1e-12)) + (tp / (tp + fn + 1e-12))) END, 6) AS f1,
+           |  round(greatest(0.0, (fp * 1.0 / (tn + fp)) -
+           |    1.96 * sqrt((fp * 1.0 / (tn + fp)) * (1 - fp * 1.0 / (tn + fp)) / (tn + fp))), 6)
+           |    AS fpr_ci_normal_low,
+           |  round(least(1.0, (fp * 1.0 / (tn + fp)) +
+           |    1.96 * sqrt((fp * 1.0 / (tn + fp)) * (1 - fp * 1.0 / (tn + fp)) / (tn + fp))), 6)
+           |    AS fpr_ci_normal_high,
+           |  round(fp / ((tn + fp) * 1.0 / 3600.0), 4) AS fp_per_hour,
+           |  round((tn + fp) * 1.0 / 3600.0, 6) AS hours_benign,
+           |  round((tn + fp + fn + tp) * 1.0 / 3600.0, 6) AS total_hours_test
            |FROM cells""".stripMargin,
     )
   }

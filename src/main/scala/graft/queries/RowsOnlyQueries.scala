@@ -147,14 +147,28 @@ object RowsOnlyQueries {
 
     "mm_features" -> ((s, dir) => {
       // Multimodal plumbing: synthetic media from doc ids → per-partition
-      // batched "decode" → feature aggregation by kind.
+      // batched "decode" → feature aggregation by kind. The payload is a
+      // DuckDB-reproducible hash chain, so the oracle pins feature CONTENT
+      // (byte mean/std/min/max/first/last), not just counts — everything
+      // except the JVM-hash 8th feature.
       val media = Multimodal.syntheticMedia(s, table(s, dir, "documents"), "doc_id")
       Multimodal.extractFeatures(media, "payload")
-        .select(col("kind"), element_at(col("features"), 1).as("f_len"),
-          element_at(col("features"), 2).as("f_mean"))
+        .select(col("kind"),
+          element_at(col("features"), 1).as("f_len"),
+          element_at(col("features"), 2).as("f_mean"),
+          element_at(col("features"), 3).as("f_std"),
+          element_at(col("features"), 4).as("f_min"),
+          element_at(col("features"), 5).as("f_max"),
+          element_at(col("features"), 6).as("f_first"),
+          element_at(col("features"), 7).as("f_last"))
         .groupBy("kind")
         .agg(count(lit(1)).as("n"), round(avg("f_len"), 2).as("avg_len"),
-          round(avg("f_mean"), 2).as("avg_byte_mean"))
+          round(avg("f_mean"), 2).as("avg_byte_mean"),
+          round(avg("f_std"), 2).as("avg_byte_std"),
+          min("f_min").cast("long").as("min_byte"),
+          max("f_max").cast("long").as("max_byte"),
+          round(avg("f_first"), 2).as("avg_first"),
+          round(avg("f_last"), 2).as("avg_last"))
         .orderBy("kind")
     }),
 
@@ -181,6 +195,16 @@ object RowsOnlyQueries {
   /** Left-fold sum matching `aggregate(xs, 0.0, _+_)` bit-for-bit
     * (0.0 + x0 == x0, and both engines fold left). */
   private def foldSum(listExpr: String) = s"list_reduce($listExpr, (a, b) -> a + b)"
+
+  /** DuckDB twin of [[Multimodal.syntheticMedia]]'s payload (md5 + sha256
+    * hash chain — identical hex in both engines). */
+  private val mediaSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS kind,
+      |  concat_ws('-', CAST(doc_id AS VARCHAR), md5(CAST(doc_id AS VARCHAR)),
+      |    sha256(CAST(doc_id AS VARCHAR))) AS payload
+      |FROM documents""".stripMargin
 
   val oracle: Map[String, String] = {
     val u_r1 = Robustness.seededUniformSql("42", Seq("win_id", "(i - 1)"))
@@ -267,6 +291,46 @@ object RowsOnlyQueries {
       "text_fingerprint" ->
         s"""SELECT doc_id, ${graft.ops.TextOps.rollingFingerprintSql("text")} AS fp
            |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+      // FakeDecoder twin: per-payload byte stats via a positions-table
+      // join (payload is ASCII, so ord(char) == byte). Float32 casts mirror
+      // the decoder's Array[Float]; round(2) absorbs avg order.
+      "mm_features" ->
+        s"""WITH media AS ($mediaSql),
+           |bytes AS (
+           |  SELECT m.media_id, m.kind, length(m.payload) AS n, p.range AS i,
+           |    ord(substr(m.payload, CAST(p.range AS INT), 1)) AS b
+           |  FROM media m JOIN range(1, 201) p ON p.range <= length(m.payload)),
+           |feat AS (
+           |  SELECT media_id, kind,
+           |    CAST(max(n) AS FLOAT) AS f_len,
+           |    CAST(sum(b) * 1.0 / max(n) AS FLOAT) AS f_mean,
+           |    CAST(sqrt(greatest(0.0, sum(CAST(b AS BIGINT)*b) * 1.0 / max(n) -
+           |      (sum(b) * 1.0 / max(n)) * (sum(b) * 1.0 / max(n)))) AS FLOAT) AS f_std,
+           |    CAST(min(b) AS FLOAT) AS f_min, CAST(max(b) AS FLOAT) AS f_max,
+           |    CAST(max(CASE WHEN i = 1 THEN b END) AS FLOAT) AS f_first,
+           |    CAST(max(CASE WHEN i = n THEN b END) AS FLOAT) AS f_last
+           |  FROM bytes GROUP BY 1, 2)
+           |SELECT kind, count(*) AS n, round(avg(f_len), 2) AS avg_len,
+           |  round(avg(f_mean), 2) AS avg_byte_mean, round(avg(f_std), 2) AS avg_byte_std,
+           |  CAST(min(f_min) AS BIGINT) AS min_byte, CAST(max(f_max) AS BIGINT) AS max_byte,
+           |  round(avg(f_first), 2) AS avg_first, round(avg(f_last), 2) AS avg_last
+           |FROM feat GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // sampleFrames twin: same substring arithmetic; trunc() mirrors
+      // Spark's toward-zero double→int cast (DuckDB CAST rounds).
+      "mm_frame_sample" ->
+        s"""WITH media AS ($mediaSql),
+           |frames AS (
+           |  SELECT m.kind,
+           |    substr(m.payload,
+           |      CAST(trunc(f.range * (length(m.payload) / 16.0) + 1) AS INT),
+           |      CAST(trunc(greatest(length(m.payload) / 16.0, 1)) AS INT)) AS frame
+           |  FROM media m JOIN range(0, 16) f ON f.range % 4 = 0
+           |  WHERE m.media_id < 50)
+           |SELECT kind, count(*) AS n_frames,
+           |  round(avg(length(frame)), 2) AS avg_frame_bytes
+           |FROM frames GROUP BY 1 ORDER BY 1""".stripMargin,
     )
   }
 }
