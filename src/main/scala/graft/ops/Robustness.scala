@@ -84,12 +84,24 @@ object Robustness {
     if (severity <= 0) window
     else missingVariables(window, winId, lit(severity), lit(seed))
 
-  /** R2, column-parameterized. */
+  /** R2, column-parameterized.
+    *
+    * The Bernoulli draw depends only on (window, feature), so the F draws
+    * are hoisted into one per-window mask array and bound as a LAMBDA
+    * VARIABLE via a single-element outer `transform` — a captured
+    * expression inside a HOF lambda is re-evaluated per element (T·F hash
+    * evaluations), a lambda variable is not (F evaluations). */
   def missingVariables(window: Column, winId: Column, severity: Column, seed: Column): Column =
-    when(severity <= 0, window).otherwise(
-      transform(window, row =>
-        transform(row, (x, j) =>
-          when(seededUniformC(seed, winId, j) < severity, lit(0.0)).otherwise(x))))
+    when(severity <= 0, window).otherwise {
+      val nF = size(element_at(window, 1))
+      val mask = transform(sequence(lit(0), nF - 1),
+        j => seededUniformC(seed, winId, j) < severity)
+      element_at(
+        transform(array(mask), m =>
+          transform(window, row =>
+            zip_with(row, m, (x, drop) => when(drop, lit(0.0)).otherwise(x)))),
+        1)
+    }
 
   /** R3 clock_offset — circular roll of the window's time axis by a
     * per-window uniform integer shift in [−⌊sev·T⌋, ⌊sev·T⌋].
@@ -114,14 +126,28 @@ object Robustness {
     if (severity <= 0) window
     else drift(window, winId, lit(severity), lit(seed))
 
-  /** R4, column-parameterized. */
+  /** R4, column-parameterized.
+    *
+    * The gaussian coefficient depends only on (window, feature) — the F
+    * Box–Muller draws are hoisted into one per-window coefficient array
+    * bound as a lambda variable (see [[missingVariables]]): F draws per
+    * window instead of T·F. */
   def drift(window: Column, winId: Column, severity: Column, seed: Column): Column =
     when(severity <= 0, window).otherwise {
       val t = size(window)
-      transform(window, (row, i) =>
-        transform(row, (x, j) =>
-          x + (i.cast("double") / (t - 1).cast("double")) *
-            seededNormalC(seed, winId, j) * severity))
+      val nF = size(element_at(window, 1))
+      val coefs = transform(sequence(lit(0), nF - 1),
+        j => seededNormalC(seed, winId, j) * severity)
+      element_at(
+        transform(array(coefs), cs =>
+          transform(window, (row, i) =>
+            // bind the per-timestep ramp once too — captured expressions
+            // (size(window) included) would otherwise re-evaluate per cell
+            element_at(
+              transform(array(i.cast("double") / (t - 1).cast("double")), ratio =>
+                zip_with(row, cs, (x, c) => x + ratio * c)),
+              1))),
+        1)
     }
 
   /** R6 — severity-sweep grid as a driver-side deterministic loop spec:

@@ -82,46 +82,86 @@ object Similarity {
       when(dot(vec, typedLit(pl)) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** IVF (inverted-file) ANN: centroids from a deterministic sample of the
-    * corpus; corpus vectors pre-assigned to nearest centroid (one narrow
-    * pass, broadcast centroids); each query probes its `nProbe` nearest
-    * cells. Returns approximate top-k per query. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-      qid: String, qvec: String, k: Int, nCells: Int, nProbe: Int,
-      centroidsByHash: Boolean = true): DataFrame = {
-    // Deterministic "centroid" sample: the nCells corpus rows with the
-    // smallest xxhash64(id) — stable across partitioning and cluster size.
-    // (centroidsByHash=false picks the lowest ids instead — useful when an
-    // external system must reproduce the cell assignment.)
-    // Norms are precomputed once per vector — the cosine against each of
-    // the nCells/nProbe candidates then costs one dot product, not three
-    // (higher-order array folds are interpreted, so redundant folds are
-    // the dominant cost at scale).
-    // Materialize the nCells centroid rows on the driver once: they are
-    // referenced by two broadcast joins, and leaving them lazy re-runs
-    // the scan+sort+limit job per broadcast build.
+  /** Literal-path threshold on nCells·dim (the generated argmin's term
+    * count): below it the nearest-centroid argmin is a narrow `least()`
+    * over literal structs — no join, NO shuffle, the best cluster shape
+    * when it JIT-compiles. Above it the single generated projection blows
+    * the JIT method budget (~8k bytecodes) and runs INTERPRETED — measured
+    * on 100k×dim-32 vectors: literal 2.2–45 s vs join 0.5–6 s from 512
+    * terms up, hard codegen failure by 131k terms — so the broadcast join
+    * + map-side-combined argmin takes over. The criterion uses nCells·dim,
+    * not nCells: a 768-dim embedding hits the budget at a handful of
+    * cells. The join path shuffles one (id, vec, argmin) row per corpus
+    * vector (map-side combined); if that one shuffle is the binding
+    * constraint on a cluster and nCells·dim is modest, raise the
+    * threshold explicitly. */
+  val DefaultMaxLiteralTerms = 256
+
+  /** Deterministic "centroid" sample: the nCells corpus rows with the
+    * smallest xxhash64(id) — stable across partitioning and cluster size.
+    * (byHash=false picks the lowest ids instead.) Materialized on the
+    * driver once: referenced by broadcast joins / literal plans, and
+    * leaving them lazy re-runs the scan+sort+limit job per use. */
+  private def sampleCentroids(corpus: DataFrame, id: String, vec: String,
+      nCells: Int, byHash: Boolean): (Array[org.apache.spark.sql.Row], DataFrame) = {
     val centroidRows = corpus
       .select(col(id).as("cell_id"), col(vec).as("cvec"),
-        (if (centroidsByHash) xxhash64(col(id)) else col(id)).as("h"))
+        (if (byHash) xxhash64(col(id)) else col(id)).as("h"))
       .orderBy("h").limit(nCells).drop("h")
       .withColumn("cnorm", norm(col("cvec")))
     val centroidData = centroidRows.collect()
-    val centroids = corpus.sparkSession.createDataFrame(
-      java.util.Arrays.asList(centroidData: _*), centroidRows.schema)
-    val corpusN = corpus.select(col(id), col(vec)).withColumn("vnorm", norm(col(vec)))
-    // nearest-centroid assignment as a NARROW map: the centroids are
-    // driver-side literals, so argmin is `least` over nCells codegen'd
-    // (d, cell_id) structs — no join, no shuffle, nothing wide. Ties →
-    // lowest cell_id via the struct's field order.
-    val cellStructs = centroidData.map { r =>
-      val cellId = r.get(0)
-      val cvec = typedLit(r.getSeq[Double](1))
-      val cnorm = r.getDouble(2)
-      struct((-dot(col(vec), cvec) / (col("vnorm") * lit(cnorm))).as("d"),
-        lit(cellId).as("cell_id"))
+    (centroidData, corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centroidData: _*), centroidRows.schema))
+  }
+
+  /** Nearest-centroid assignment, two physical strategies with identical
+    * results (spec-enforced):
+    *
+    *  - `nCells·dim <= maxLiteralTerms`: a NARROW map — argmin via
+    *    `least()` over nCells codegen'd (d, cell_id) literal structs. No
+    *    join, no shuffle. Ties → lowest cell_id via struct field order.
+    *  - above: broadcast-join the centroid table, dot products stay
+    *    codegen'd per (row, centroid) pair, then argmin by
+    *    `min(struct(d, cell_id))` — partial aggregation combines map-side,
+    *    so the one shuffle carries N argmin rows, not N·nCells pairs.
+    *
+    * Norms are precomputed once per vector either way — the cosine against
+    * each candidate costs one dot product, not three. */
+  private def assignCells(corpusN: DataFrame, id: String, vec: String,
+      centroidData: Array[org.apache.spark.sql.Row], centroids: DataFrame,
+      maxLiteralTerms: Int): DataFrame =
+    if (centroidData.isEmpty ||
+      centroidData.length.toLong * centroidData.head.getSeq[Double](1).size <= maxLiteralTerms) {
+      val cellStructs = centroidData.map { r =>
+        val cvec = typedLit(r.getSeq[Double](1))
+        struct((-dot(col(vec), cvec) / (col("vnorm") * lit(r.getDouble(2)))).as("d"),
+          lit(r.get(0)).as("cell_id"))
+      }
+      corpusN.withColumn("cell_id", least(cellStructs.toIndexedSeq: _*).getField("cell_id"))
+    } else {
+      val best = corpusN
+        .join(broadcast(centroids.select(col("cell_id").as("__cand"),
+          col("cvec"), col("cnorm"))))
+        .withColumn("d", -dot(col(vec), col("cvec")) / (col("vnorm") * col("cnorm")))
+        .groupBy(col(id))
+        .agg(
+          first(col(vec)).as(vec), first(col("vnorm")).as("vnorm"),
+          min(struct(col("d"), col("__cand"))).getField("__cand").as("cell_id"))
+      best.select(col(id), col(vec), col("vnorm"), col("cell_id"))
     }
-    val assigned = corpusN
-      .withColumn("cell_id", least(cellStructs.toIndexedSeq: _*).getField("cell_id"))
+
+  /** IVF (inverted-file) ANN: centroids from a deterministic sample of the
+    * corpus; corpus vectors pre-assigned to nearest centroid ([[assignCells]]
+    * — narrow literal argmin, or broadcast join above `maxLiteralTerms`);
+    * each query probes its `nProbe` nearest cells. Returns approximate
+    * top-k per query. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      qid: String, qvec: String, k: Int, nCells: Int, nProbe: Int,
+      centroidsByHash: Boolean = true,
+      maxLiteralTerms: Int = DefaultMaxLiteralTerms): DataFrame = {
+    val (centroidData, centroids) = sampleCentroids(corpus, id, vec, nCells, centroidsByHash)
+    val corpusN = corpus.select(col(id), col(vec)).withColumn("vnorm", norm(col(vec)))
+    val assigned = assignCells(corpusN, id, vec, centroidData, centroids, maxLiteralTerms)
     searchCells(assigned, centroids, queries, id, vec, qid, qvec, k, nProbe)
   }
 
@@ -152,22 +192,11 @@ object Similarity {
     * dynamic partition pruning, so query cost is O(N·nProbe/nCells) I/O,
     * not a full scan. Build once, query many. */
   def buildIvfIndex(corpus: DataFrame, id: String, vec: String, nCells: Int,
-      path: String, centroidsByHash: Boolean = true): Unit = {
-    val centroidRows = corpus
-      .select(col(id).as("cell_id"), col(vec).as("cvec"),
-        (if (centroidsByHash) xxhash64(col(id)) else col(id)).as("h"))
-      .orderBy("h").limit(nCells).drop("h")
-      .withColumn("cnorm", norm(col("cvec")))
-    val centroidData = centroidRows.collect()
-    val centroids = corpus.sparkSession.createDataFrame(
-      java.util.Arrays.asList(centroidData: _*), centroidRows.schema)
-    val cellStructs = centroidData.map { r =>
-      val cvec = typedLit(r.getSeq[Double](1))
-      struct((-dot(col(vec), cvec) / (col("vnorm") * lit(r.getDouble(2)))).as("d"),
-        lit(r.get(0)).as("cell_id"))
-    }
-    val assigned = corpus.select(col(id), col(vec)).withColumn("vnorm", norm(col(vec)))
-      .withColumn("cell_id", least(cellStructs.toIndexedSeq: _*).getField("cell_id"))
+      path: String, centroidsByHash: Boolean = true,
+      maxLiteralTerms: Int = DefaultMaxLiteralTerms): Unit = {
+    val (centroidData, centroids) = sampleCentroids(corpus, id, vec, nCells, centroidsByHash)
+    val corpusN = corpus.select(col(id), col(vec)).withColumn("vnorm", norm(col(vec)))
+    val assigned = assignCells(corpusN, id, vec, centroidData, centroids, maxLiteralTerms)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/assigned")
   }

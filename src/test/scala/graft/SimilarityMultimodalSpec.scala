@@ -38,6 +38,26 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("ivfTopK broadcast-join assignment path == literal least() path") {
+    // 60 vectors in 3 lobes, 8 cells; maxLiteralCells = 0 forces the join
+    // path — results (incl. rank ties) must be identical to the literal plan.
+    val corpus = (1 to 60).map { i =>
+      val lobe = i % 3
+      (i.toLong, Seq(
+        if (lobe == 0) 1.0 + i * 0.003 else 0.05 * lobe,
+        if (lobe == 1) 1.0 + i * 0.002 else 0.07,
+        if (lobe == 2) 1.0 + i * 0.001 else 0.11 * (lobe + 1)))
+    }.toDF("id", "v")
+    val queries = Seq((3L, Seq(1.0, 0.1, 0.2)), (4L, Seq(0.1, 1.0, 0.1)),
+      (5L, Seq(0.1, 0.1, 1.0))).toDF("qid", "qv")
+    def run(maxTerms: Int) =
+      Similarity.ivfTopK(corpus, queries, "id", "v", "qid", "qv",
+        k = 5, nCells = 8, nProbe = 3, maxLiteralTerms = maxTerms)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(run(0) == run(Int.MaxValue), "join-path assignment must equal literal-path")
+  }
+
   test("randomHyperplaneLsh: similar vectors collide more than dissimilar") {
     val df = Seq(
       (1L, Seq(1.0, 0.0, 0.5, 0.2)), (2L, Seq(0.99, 0.01, 0.5, 0.2)),
