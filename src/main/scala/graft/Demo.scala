@@ -54,7 +54,9 @@ object Demo {
 
     val gen = Pipeline3.leaveOneAttackOut(r.windows, Scorers.Logistic(maxIter = 15), Seq("syn-flood"))
     val g = gen.head()
-    println(s"""{"stage":"pipeline3B","held_out":"${g.getString(0)}","acc_held":${g.getDouble(1)},"acc_rest":${g.getDouble(2)}}""")
+    println(s"""{"stage":"pipeline3B","held_out":"${g.getString(0)}",""" +
+      s""""acc_held":${g.getAs[Double]("accuracy_on_held_out")},""" +
+      s""""acc_rest":${g.getAs[Double]("accuracy_on_rest")}}""")
 
     val wins = r.windows.where(col("split") === "test")
       .withColumn("weight", lit(1.0))

@@ -19,6 +19,11 @@ trait WindowScorer {
   /** Fit on (window array<array<double>>, y int); return a transformer
     * adding `proba: array<double>` (class-indexed) and `y_pred: int`. */
   def fit(train: DataFrame, windowCol: String = "window", yCol: String = "y"): WindowModel
+
+  /** Re-seeded copy for repeat loops (the reference's `seeds = [seed + i]`
+    * runs, pipeline_tests_power.py:569); deterministic scorers return
+    * themselves. */
+  def seeded(seed: Long): WindowScorer = this
 }
 
 trait WindowModel extends Serializable {
@@ -77,6 +82,7 @@ object Scorers {
   /** Gradient-boosted trees (binary only) — the XGBoost stand-in
     * (SURVEY §2.10: MLlib GBT ≈ XGBClassifier, non-bit-compatible). */
   final case class GBT(maxIter: Int = 20, maxDepth: Int = 5, seed: Long = 42L) extends WindowScorer {
+    override def seeded(s: Long): WindowScorer = copy(seed = s)
     def fit(train: DataFrame, windowCol: String, yCol: String): WindowModel = {
       val prepared = train.withColumn("__features", features(windowCol))
         .withColumn("__label", col(yCol).cast("double"))

@@ -248,25 +248,42 @@ object Pipeline3 {
 
   /** 3B: leave-one-attack-out generalization — drop one attack from
     * train/val windows, retrain, evaluate on (a) windows of the held-out
-    * attack, (b) the rest (pipeline_tests_power.py:484-785). */
+    * attack, (b) the rest (pipeline_tests_power.py:484-785).
+    *
+    * `seeds` reproduces the reference's repeat loop
+    * (`seeds = [seed + i for i in range(n_repeats)]`,
+    * pipeline_tests_power.py:569): each held-out attack is re-trained once
+    * per seed via [[graft.model.WindowScorer.seeded]] and the per-repeat
+    * accuracies are aggregated mean ± std (ddof=1, 0.0 for a single
+    * repeat — G7 semantics). Deterministic scorers (Logistic) make the
+    * repeats identical (std 0); stochastic ones (GBT seed, future
+    * stand-ins) get real error bars. */
   def leaveOneAttackOut(windows: DataFrame, scorer: WindowScorer,
-      attacks: Seq[String]): DataFrame = {
+      attacks: Seq[String], seeds: Seq[Long] = Seq(42L)): DataFrame = {
     val spark = windows.sparkSession
     import spark.implicits._
-    val rows = attacks.map { held =>
+    require(seeds.nonEmpty, "at least one seed")
+    val rows = for (held <- attacks; seed <- seeds) yield {
       val train = windows.where(col("split") === "train" && col("attack") =!= held)
-      val model = scorer.fit(train)
+      val model = scorer.seeded(seed).fit(train)
       val test = model.transform(windows.where(col("split") === "test"))
       // both slices in ONE aggregation job (conditional averages) — the
-      // test windows are scored once per held-out attack, not twice
+      // test windows are scored once per (held-out attack, seed), not twice
       val hit = (col("y_pred") === col("y")).cast("double")
       val r = test.agg(
         avg(when(col("attack") === held, hit)).as("held"),
         avg(when(col("attack") =!= held, hit)).as("rest")).head()
-      (held,
+      (held, seed,
         if (r.isNullAt(0)) Double.NaN else r.getDouble(0),
         if (r.isNullAt(1)) Double.NaN else r.getDouble(1))
     }
-    rows.toDF("held_out_attack", "accuracy_on_held_out", "accuracy_on_rest")
+    rows.toDF("held_out_attack", "seed", "acc_held", "acc_rest")
+      .groupBy("held_out_attack")
+      .agg(
+        avg("acc_held").as("accuracy_on_held_out"),
+        coalesce(stddev_samp(col("acc_held")), lit(0.0)).as("accuracy_on_held_out_std"),
+        avg("acc_rest").as("accuracy_on_rest"),
+        coalesce(stddev_samp(col("acc_rest")), lit(0.0)).as("accuracy_on_rest_std"),
+        count(lit(1)).as("n_repeats"))
   }
 }

@@ -110,7 +110,35 @@ class PipelineSpec extends SparkSpec {
       Seq("syn-flood"))
     val r = out.head()
     assert(r.getString(0) == "syn-flood")
-    assert(!r.getDouble(2).isNaN)
+    assert(!r.getAs[Double]("accuracy_on_rest").isNaN)
+    assert(r.getAs[Long]("n_repeats") == 1L)
+    assert(r.getAs[Double]("accuracy_on_rest_std") == 0.0)
+  }
+
+  test("pipeline3B seeded repeats: deterministic scorer -> std 0; stochastic -> mean±std") {
+    // stochastic stand-in: predictions flip with a seed-keyed Bernoulli,
+    // so each seed yields a different accuracy — the repeat loop must
+    // surface that as a nonzero ddof=1 std over n_repeats runs.
+    import graft.model.{WindowModel, WindowScorer}
+    final case class Noisy(seed: Long = 0L) extends WindowScorer {
+      override def seeded(s: Long): WindowScorer = copy(seed = s)
+      def fit(train: org.apache.spark.sql.DataFrame, wc: String, yc: String): WindowModel =
+        new WindowModel {
+          def transform(df: org.apache.spark.sql.DataFrame, wc2: String): org.apache.spark.sql.DataFrame =
+            df.withColumn("y_pred",
+              when(graft.ops.Robustness.seededUniform(seed, col("win_id")) < 0.3,
+                lit(1) - col("y")).otherwise(col("y")).cast("int"))
+        }
+    }
+    val det = Pipeline3.leaveOneAttackOut(result.windows,
+      Scorers.Logistic(maxIter = 20), Seq("syn-flood"), seeds = Seq(1L, 2L, 3L)).head()
+    assert(det.getAs[Long]("n_repeats") == 3L)
+    assert(det.getAs[Double]("accuracy_on_rest_std") == 0.0)
+    val sto = Pipeline3.leaveOneAttackOut(result.windows,
+      Noisy(), Seq("syn-flood"), seeds = Seq(1L, 2L, 3L)).head()
+    assert(sto.getAs[Long]("n_repeats") == 3L)
+    assert(sto.getAs[Double]("accuracy_on_rest_std") > 0.0)
+    assert(sto.getAs[Double]("accuracy_on_rest") > 0.5) // 30% flips, mean still informative
   }
 
   test("host importance: permuting the informative feature raises loss most") {
