@@ -56,6 +56,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("min("), p) // map-side combine present
   }
 
+  test("Sources load paths contain no un-partitioned Window.orderBy (single-partition cliff)") {
+    // S2/S4 row-index timestamps must come from the distributed index, not
+    // a global row_number window — a SinglePartition exchange at LOAD time
+    // is the first stage to fall over at 100×. The distributed form's
+    // plans go through RDD passes, so simply assert the logical plans are
+    // free of Window operators with an empty partition spec.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_srcplan")
+    val csv = tmp.resolve("h.csv")
+    java.nio.file.Files.write(csv,
+      "a,b,State,time\n1,2,charging,9\n3,4,idle,10\n".getBytes)
+    val (host, _) = graft.sources.Sources.loadHost(spark, csv.toString)
+    // no time-ish column in the CSV → exercises the row-index fallback
+    val net = graft.sources.Sources.loadNetwork(spark, csv.toString, timeCol = "nope_absent")
+    for (df <- Seq(host, net)) {
+      val windows = df.queryExecution.analyzed.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"un-partitioned Window in load plan:\n${df.queryExecution.analyzed}")
+    }
+    // and the results still carry the dense 0-based row index
+    assert(host.select("timestamp").collect().map(_.getDouble(0)).sorted.toSeq == Seq(0.0, 1.0))
+  }
+
   test("robustness degradations are narrow: zero exchanges over an in-memory frame") {
     val wins = Seq((1L, Seq(Seq(1.0), Seq(2.0))), (2L, Seq(Seq(3.0), Seq(4.0))))
       .toDF("win_id", "window")
