@@ -125,14 +125,22 @@ object Curves {
   /** Macro one-vs-rest ROC-AUC over a probability array column —
     * `roc_auc_score(y_onehot, proba, average="macro")`
     * (func_aux/func_test.py:92-97): mean over classes of the binary AUC of
-    * class-k indicator vs proba[k]. One groupBy per class on a k-way
-    * union — still one shuffle stage, k small. */
+    * class-k indicator vs proba[k]. ONE pass over the data via the shared
+    * [[ovrCurve]] (posexplode → per-class cumulative curve), trapezoid per
+    * class, then the unweighted class mean — k never multiplies the data
+    * scans. `nClasses` kept for signature stability (the explode derives
+    * classes from the array itself). */
   def rocAucMacro(df: DataFrame, yTrue: Column, proba: Column, nClasses: Int): DataFrame = {
-    val perClass = (0 until nClasses).map { k =>
-      rocAuc(df.select(yTrue.as("y"), proba.as("p")),
-        (col("y") === k).cast("int"), element_at(col("p"), k + 1))
-    }.reduce(_ unionByName _)
-    perClass.agg(avg("roc_auc").as("roc_auc_macro"))
+    val w = Window.partitionBy("cls").orderBy(col("threshold").desc)
+    val tot = Window.partitionBy("cls")
+    ovrCurve(df, yTrue, proba)
+      .withColumn("fpr", col("fps") / max("fps").over(tot))
+      .withColumn("fpr_prev", coalesce(lag("fpr", 1).over(w), lit(0.0)))
+      .withColumn("tpr_prev", coalesce(lag("recall", 1).over(w), lit(0.0)))
+      .groupBy("cls")
+      .agg(sum((col("fpr") - col("fpr_prev")) * (col("recall") + col("tpr_prev")) / 2)
+        .as("auc"))
+      .agg(avg("auc").as("roc_auc_macro"))
   }
 
   /** One-vs-rest per-class cumulative curve over a proba array in ONE pass

@@ -187,4 +187,52 @@ object Dedup {
   /** Hamming distance between two fingerprints (≤ 64 bits). */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Near-duplicate CLUSTERING: connected components over an undirected
+    * pair graph — the step after LSH that real dedup needs (keep one doc
+    * per CLUSTER, not per pair; A~B and B~C must collapse A,B,C together
+    * even when A~C was never emitted).
+    *
+    * Distributed shape: iterative min-label propagation. Each round joins
+    * the current labels onto the bidirected edge list, takes the min
+    * neighbor label per node (map-side combined — the shuffle carries one
+    * row per touched node), and lowers labels that improved. Converges in
+    * `diameter` rounds (near-dup clusters are shallow cliques, so 2–4
+    * rounds in practice; `maxIter` bounds pathological chains). Each
+    * round is ONE shuffle over the edge list + a counter action; rounds
+    * are cached and the previous round unpersisted, so lineage stays
+    * flat at any scale.
+    *
+    * Returns (id, component) for EVERY node (singletons keep their own
+    * id); component = min id reachable. `edges` may list each pair once
+    * in either orientation. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, id: String,
+      src: String, dst: String, maxIter: Int = 25): DataFrame = {
+    val bidir = edges.select(col(src).as("u"), col(dst).as("v"))
+      .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
+      .cache()
+    var labels = nodes.select(col(id).as("n"), col(id).as("comp")).cache()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = bidir.join(labels, col("v") === col("n"))
+        .groupBy(col("u")).agg(min(col("comp")).as("nbr"))
+      val updated = labels.join(nbrMin, col("n") === col("u"), "left")
+        .select(col("n"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          (col("nbr") < col("comp")).as("changed"))
+        .cache()
+      converged = updated.where(col("changed")).count() == 0
+      labels.unpersist()
+      labels = updated.drop("changed")
+      it += 1
+    }
+    bidir.unpersist()
+    labels.select(col("n").as(id), col("comp").as("component"))
+  }
+
+  /** Cluster-aware keep-list: one row per component (the min-id member),
+    * ready to semi-join the corpus. */
+  def dedupByComponent(components: DataFrame, id: String = "id"): DataFrame =
+    components.groupBy("component").agg(min(col(id)).as("keeper_id"))
 }

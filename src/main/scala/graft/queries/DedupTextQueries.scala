@@ -52,6 +52,18 @@ object DedupTextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_cc_clusters" -> ((s, dir) => {
+      // Near-dup CLUSTERING: connected components (iterative min-label
+      // propagation) over the brute Jaccard >= 0.9 pair graph; the oracle
+      // is the exact min-reachable-id per node via a recursive CTE.
+      val docs = table(s, dir, "documents").where(col("doc_id") < 120)
+      val pairs = Dedup.jaccardSimilarity(docs, "doc_id", "text", n = 1)
+        .where(col("jaccard") >= 0.9)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(docs, pairs, "doc_id", "id_a", "id_b")
+        .orderBy("doc_id")
+    }),
+
     "text_token_stats" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(col("lang"),
@@ -118,6 +130,28 @@ object DedupTextQueries {
          |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
          |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
          |ORDER BY 1, 2""".stripMargin,
+
+    // Exact components via recursive min-reachability: reach(n, comp)
+    // holds every (node, component-seed) pair the propagation can see;
+    // min(comp) per node is the component id (= min reachable doc_id),
+    // exactly what iterative min-label propagation converges to.
+    "dedup_cc_clusters" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, list_distinct($toks) AS sh
+         |  FROM documents WHERE doc_id < 120),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(n, comp) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.n)
+         |SELECT n AS doc_id, min(comp) AS component
+         |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
 
     "text_token_stats" ->
       s"""SELECT lang, count(*) AS n_docs,

@@ -103,4 +103,19 @@ class DedupTextSpec extends SparkSpec {
     val fps = df.select(TextOps.rollingFingerprint(col("t"))).collect().map(_.getLong(0))
     assert(fps(0) == fps(2) && fps(0) != fps(1))
   }
+
+  test("connectedComponents: chain collapses transitively, components split, singletons keep own id") {
+    // chain 1-2-3-4-5 (diameter 4 → needs >1 propagation round),
+    // pair {10,11}, singleton 20
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L), (10L, 11L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(nodes, edges, "id", "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    val keep = Dedup.dedupByComponent(
+      Dedup.connectedComponents(nodes, edges, "id", "a", "b"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep == Map(1L -> 1L, 10L -> 10L, 20L -> 20L))
+  }
 }
