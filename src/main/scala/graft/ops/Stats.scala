@@ -137,4 +137,19 @@ object Stats {
     ((0, 1.0) +: (1 to K).map(k => (k, totals(k) / totals(0))))
       .toDF("lag", "acf")
   }
+
+  /** Deterministic stratified sampler for training-data rebalancing
+    * (down-weight over-represented domains/languages): keep a row iff the
+    * engine-portable hash-uniform of (seed, idCol) is below its group's
+    * rate. No `rand()` — the decision is a pure function of the row key,
+    * so it is reproducible across partitioning, task retries, cluster
+    * sizes, AND engines (the DuckDB twin uses [[IntHash]]'s SQL form).
+    * Narrow (no shuffle); groups absent from `rates` fall back to
+    * `defaultRate`. */
+  def stratifiedSample(df: DataFrame, idCol: Column, groupCol: Column,
+      rates: Map[String, Double], defaultRate: Double, seed: Long): DataFrame = {
+    val rate = coalesce(element_at(typedLit(rates), groupCol.cast("string")),
+      lit(defaultRate))
+    df.where(Robustness.seededUniform(seed, idCol) < rate)
+  }
 }

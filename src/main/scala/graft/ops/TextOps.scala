@@ -112,4 +112,65 @@ object TextOps {
       s"list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform($toks, tok -> $th)), " +
         s"(a, b) -> (CAST(${IntHash.A} AS BIGINT) * a + ${IntHash.B} + b) % ${IntHash.M})")
   }
+
+  /** Gopher/C4-style repetition signals (struct):
+    *  - `dup_line_ratio`: 1 − distinct/total over non-blank lines;
+    *  - `top_word_ratio`: occurrences of the most frequent token / tokens
+    *    (computed as the longest equal-run of the SORTED token array — one
+    *    O(n log n) array_sort + one fold, no per-token scans);
+    *  - `dup_2gram_ratio`: 1 − distinct/total over word 2-grams (with
+    *    multiplicity — repetition is exactly what dedup'd shingles hide).
+    * Tokens are bound once via the single-element-transform let (captured
+    * expressions inside HOF lambdas re-evaluate per element). */
+  def repetitionStats(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val dupLine = when(size(lines) > 0,
+      lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
+      .otherwise(0.0)
+    val nTok = tokenCount(text)
+    val inner = element_at(transform(array(split(trim(text), "\\s+")), toks => {
+      val n = size(toks)
+      val g2 = transform(sequence(lit(1), n - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+      val best = aggregate(array_sort(toks),
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+        (acc, t) => {
+          val run = when(t === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+          struct(t.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      struct(
+        when(n > 1, lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2))
+          .otherwise(0.0).as("dup_2gram_ratio"),
+        best.as("top_run"))
+    }), 1)
+    struct(
+      dupLine.as("dup_line_ratio"),
+      when(nTok > 0, inner.getField("top_run").cast("double") / nTok)
+        .otherwise(0.0).as("top_word_ratio"),
+      inner.getField("dup_2gram_ratio").as("dup_2gram_ratio"))
+  }
+
+  /** PII redaction patterns — RE2-portable (no lookarounds), so the DuckDB
+    * twin applies the identical regexes. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val LongNumRe = "[0-9]{7,}"
+
+  /** PII scrub: URLs → `<URL>`, emails → `<EMAIL>`, 7+-digit runs →
+    * `<NUM>` (ids/phones). URL first (it may contain both of the others),
+    * digits last (the placeholders are digit-free). Pure regexp_replace —
+    * narrow, codegen'd, shuffle-free. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      LongNumRe, "<NUM>")
+
+  /** Pre-redaction PII hit counts (struct: n_emails, n_urls, n_longnums). */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_emails"),
+    size(regexp_extract_all(text, lit(UrlRe), lit(0))).as("n_urls"),
+    size(regexp_extract_all(text, lit(LongNumRe), lit(0))).as("n_longnums"))
 }

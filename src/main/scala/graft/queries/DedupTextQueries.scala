@@ -64,6 +64,52 @@ object DedupTextQueries {
         .orderBy("doc_id")
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      // Gopher-style repetition stats. The corpus is single-line word
+      // soup, so the query synthesizes a 3-line layout with a REAL
+      // duplicate line on every doc_id % 3 == 0 (both engines build the
+      // identical string).
+      val l1 = substring(col("text"), 1, 40)
+      val l2 = substring(col("text"), 41, 40)
+      val l3 = when(col("doc_id") % 3 === 0, l1).otherwise(substring(col("text"), 81, 40))
+      val text2 = concat_ws("\n", l1, l2, l3)
+      table(s, dir, "documents").where(col("doc_id") < 150)
+        .select(col("doc_id"), TextOps.repetitionStats(text2).as("r"))
+        .select(col("doc_id"),
+          round(col("r.dup_line_ratio"), 4).as("dup_line_ratio"),
+          round(col("r.top_word_ratio"), 4).as("top_word_ratio"),
+          round(col("r.dup_2gram_ratio"), 4).as("dup_2gram_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "text_pii_redact" -> ((s, dir) => {
+      // Inject deterministic PII (emails / urls / long ids) and pin BOTH
+      // the pre-redaction hit counts and the md5 of the redacted text.
+      val d = col("doc_id")
+      val text2 = concat(col("text"),
+        when(d % 3 === 0, concat(lit(" contact user"), d, lit("@example.com now"))).otherwise(lit("")),
+        when(d % 4 === 0, concat(lit(" see https://ex.org/p/"), d, lit(" ok"))).otherwise(lit("")),
+        when(d % 5 === 0, concat(lit(" id 12345678"), d)).otherwise(lit("")))
+      table(s, dir, "documents").where(d < 100)
+        .select(col("doc_id"), TextOps.piiCounts(text2).as("c"),
+          md5(TextOps.redactPii(text2)).as("redacted_md5"))
+        .select(col("doc_id"), col("c.n_emails").as("n_emails"),
+          col("c.n_urls").as("n_urls"), col("c.n_longnums").as("n_longnums"),
+          col("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "sample_stratified" -> ((s, dir) =>
+      // Deterministic hash sampling by language; content pinned by count +
+      // id-sum per kept group.
+      graft.ops.Stats.stratifiedSample(table(s, dir, "documents"),
+          col("doc_id"), col("lang"),
+          rates = Map("en" -> 0.5, "es" -> 0.25, "fr" -> 0.1),
+          defaultRate = 0.05, seed = 7L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"))
+        .orderBy("lang")),
+
     "text_token_stats" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(col("lang"),
@@ -152,6 +198,61 @@ object DedupTextQueries {
          |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.n)
          |SELECT n AS doc_id, min(comp) AS component
          |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    concat_ws(chr(10), substr(text, 1, 40), substr(text, 41, 40),
+         |      CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 40)
+         |           ELSE substr(text, 81, 40) END) AS t
+         |  FROM documents WHERE doc_id < 150),
+         |tk AS (
+         |  SELECT doc_id, t, regexp_split_to_array(trim(t), '\\s+') AS toks,
+         |    list_filter(string_split(t, chr(10)), l -> len(trim(l)) > 0) AS lines
+         |  FROM base),
+         |top AS (
+         |  SELECT doc_id, max(c) AS top_run FROM (
+         |    SELECT tk.doc_id, u.w, count(*) AS c
+         |    FROM tk, UNNEST(tk.toks) AS u(w) GROUP BY 1, 2) GROUP BY 1),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(lines) > 0
+         |      THEN 1.0 - len(list_distinct(lines)) * 1.0 / len(lines) ELSE 0.0 END AS dup_line_ratio,
+         |    CASE WHEN len(toks) > 1 THEN
+         |      1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+         |        i -> toks[i] || ' ' || toks[i + 1]))) * 1.0 / (len(toks) - 1)
+         |      ELSE 0.0 END AS dup_2gram_ratio,
+         |    CASE WHEN len(trim(t)) = 0 THEN 0 ELSE len(toks) END AS n_tok
+         |  FROM tk)
+         |SELECT g.doc_id, round(dup_line_ratio, 4) AS dup_line_ratio,
+         |  round(CASE WHEN n_tok > 0 THEN top.top_run * 1.0 / n_tok ELSE 0.0 END, 4) AS top_word_ratio,
+         |  round(dup_2gram_ratio, 4) AS dup_2gram_ratio
+         |FROM g JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "text_pii_redact" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 0 THEN ' see https://ex.org/p/' || doc_id || ' ok' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' id 12345678' || doc_id ELSE '' END AS t
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${TextOps.EmailRe}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${TextOps.UrlRe}')) AS INT) AS n_urls,
+         |  CAST(len(regexp_extract_all(t, '${TextOps.LongNumRe}')) AS INT) AS n_longnums,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${TextOps.UrlRe}', '<URL>', 'g'),
+         |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextOps.LongNumRe}', '<NUM>', 'g')) AS redacted_md5
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT lang, count(*) AS n, sum(doc_id) AS sum_id
+         |FROM documents
+         |WHERE ${graft.ops.Robustness.seededUniformSql("7", Seq("doc_id"))} <
+         |  CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.1 ELSE 0.05 END
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_token_stats" ->
       s"""SELECT lang, count(*) AS n_docs,

@@ -104,6 +104,42 @@ class DedupTextSpec extends SparkSpec {
     assert(fps(0) == fps(2) && fps(0) != fps(1))
   }
 
+  test("repetitionStats: duplicate lines, dominant token, repeated 2-grams") {
+    val df = Seq(
+      ("same line\nother line\nsame line", 1L), // 1 dup line of 3
+      ("a a a a b", 2L), // top word 4/5; 2-grams: "a a"×3, "a b" → dup 2/4
+      ("all distinct words here", 3L),
+      ("", 4L)).toDF("t", "id")
+    val out = df.select(col("id"), graft.ops.TextOps.repetitionStats(col("t")).as("r"))
+      .select(col("id"), col("r.dup_line_ratio"), col("r.top_word_ratio"), col("r.dup_2gram_ratio"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(math.abs(out(1L)._1 - (1.0 - 2.0 / 3)) < 1e-12)
+    assert(out(2L)._2 == 0.8 && out(2L)._3 == 0.5)
+    assert(out(3L) == ((0.0, 0.25, 0.0)))
+    assert(out(4L) == ((0.0, 0.0, 0.0)))
+  }
+
+  test("redactPii: urls, emails, long digit runs; short numbers survive") {
+    val df = Seq("mail me at a.b+c@x-y.co or visit https://x.y/z?q=1 id 123456789 pin 1234").toDF("t")
+    val out = df.select(graft.ops.TextOps.redactPii(col("t"))).head().getString(0)
+    assert(out == "mail me at <EMAIL> or visit <URL> id <NUM> pin 1234")
+    val c = df.select(graft.ops.TextOps.piiCounts(col("t")).as("c"))
+      .select("c.n_emails", "c.n_urls", "c.n_longnums").head()
+    assert((c.getInt(0), c.getInt(1), c.getInt(2)) == ((1, 1, 1)))
+  }
+
+  test("stratifiedSample: deterministic, rate-monotone, honors per-group rates") {
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "g")
+    def run(rates: Map[String, Double]) = graft.ops.Stats
+      .stratifiedSample(df, col("id"), col("g"), rates, defaultRate = 0.0, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    val half = run(Map("en" -> 0.5))
+    assert(run(Map("en" -> 0.5)) == half) // deterministic
+    assert(half.forall(_ % 2 == 0)) // default 0 drops 'de' entirely
+    assert(math.abs(half.size - 500) < 120) // ~0.5 of the 1000 'en' rows
+    assert(run(Map("en" -> 0.2)).subsetOf(half)) // nested: lower rate ⊂ higher
+  }
+
   test("connectedComponents: chain collapses transitively, components split, singletons keep own id") {
     // chain 1-2-3-4-5 (diameter 4 → needs >1 propagation round),
     // pair {10,11}, singleton 20
