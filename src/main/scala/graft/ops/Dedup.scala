@@ -235,4 +235,29 @@ object Dedup {
     * ready to semi-join the corpus. */
   def dedupByComponent(components: DataFrame, id: String = "id"): DataFrame =
     components.groupBy("component").agg(min(col(id)).as("keeper_id"))
+
+  /** Benchmark decontamination: count, per corpus doc, the distinct word
+    * n-grams it shares with an evaluation set — the train/test-leak scan
+    * every pretraining pipeline runs before training.
+    *
+    * Shape for 100 TB: the BENCHMARK side is small (eval suites are
+    * thousands of docs) — its distinct n-gram hashes broadcast; the corpus
+    * side explodes its distinct n-grams once (narrow), hashes each to
+    * [[IntHash]]'s engine-portable 31-bit space, and the broadcast join +
+    * per-doc count is the only wide stage (map-side combined, carries one
+    * row per contaminated doc). Both engines hash identically, so even
+    * hash collisions agree with the DuckDB oracle. Returns
+    * (id, n_shared_grams) for contaminated docs only. */
+  def decontaminate(corpus: DataFrame, id: String, text: String,
+      benchmark: DataFrame, benchText: String, n: Int): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(shingles(col(benchText), n)).as("g"))
+      .select(IntHash.stringHash(col("g")).as("h")).distinct()
+    corpus
+      .select(col(id), explode(shingles(col(text), n)).as("g"))
+      .select(col(id), IntHash.stringHash(col("g")).as("h")).distinct()
+      .join(broadcast(benchGrams), Seq("h"), "left_semi")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
 }

@@ -64,6 +64,17 @@ object DedupTextQueries {
         .orderBy("doc_id")
     }),
 
+    "decontaminate" -> ((s, dir) => {
+      // Train/eval leak scan: docs < 300 are the "corpus", docs 400-429
+      // the "benchmark"; per-doc count of shared distinct word 3-grams
+      // (IntHash-hashed — identical hash space in the oracle).
+      val docs = table(s, dir, "documents")
+      Dedup.decontaminate(
+          docs.where(col("doc_id") < 300), "doc_id", "text",
+          docs.where(col("doc_id") >= 400 && col("doc_id") < 430), "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     "text_repetition" -> ((s, dir) => {
       // Gopher-style repetition stats. The corpus is single-line word
       // soup, so the query synthesizes a 3-line layout with a REAL
@@ -198,6 +209,27 @@ object DedupTextQueries {
          |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.n)
          |SELECT n AS doc_id, min(comp) AS component
          |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" -> {
+      val grams = "list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])"
+      val h = graft.ops.IntHash.stringHashSql("u.g")
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |cg AS (
+         |  SELECT DISTINCT t.doc_id, $h AS h
+         |  FROM (SELECT doc_id, $grams AS gs FROM tok WHERE doc_id < 300) t,
+         |       UNNEST(t.gs) AS u(g)),
+         |bg AS (
+         |  SELECT DISTINCT $h AS h
+         |  FROM (SELECT $grams AS gs FROM tok
+         |        WHERE doc_id >= 400 AND doc_id < 430) t,
+         |       UNNEST(t.gs) AS u(g))
+         |SELECT cg.doc_id, count(*) AS n_shared_grams
+         |FROM cg JOIN bg ON cg.h = bg.h
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "text_repetition" ->
       s"""WITH base AS (

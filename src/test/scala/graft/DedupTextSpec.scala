@@ -140,6 +140,17 @@ class DedupTextSpec extends SparkSpec {
     assert(run(Map("en" -> 0.2)).subsetOf(half)) // nested: lower rate ⊂ higher
   }
 
+  test("decontaminate: counts distinct shared n-grams; clean docs absent") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"), // shares "the quick brown" + "quick brown fox"
+      (2L, "completely different words entirely"),
+      (3L, "quick brown fox quick brown fox")).toDF("id", "t") // dup grams count once
+    val bench = Seq("the quick brown fox runs").toDF("bt")
+    val out = Dedup.decontaminate(corpus, "id", "t", bench, "bt", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L)) // doc 2 clean → absent
+  }
+
   test("connectedComponents: chain collapses transitively, components split, singletons keep own id") {
     // chain 1-2-3-4-5 (diameter 4 → needs >1 propagation round),
     // pair {10,11}, singleton 20
