@@ -173,4 +173,23 @@ object TextOps {
     size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_emails"),
     size(regexp_extract_all(text, lit(UrlRe), lit(0))).as("n_urls"),
     size(regexp_extract_all(text, lit(LongNumRe), lit(0))).as("n_longnums"))
+
+  /** Training-sequence packing (concat-then-chunk): in global `orderCols`
+    * order, documents are conceptually concatenated and cut every
+    * `budgetTokens` tokens; each doc gets the sequence (`bin`) and
+    * in-sequence `offset` where it STARTS (long docs simply span bins).
+    * The cumulative token position is
+    * [[graft.ops.SlidingWindows.withRunningTotal]] — the distributed
+    * prefix sum, so packing a 100 TB corpus is one range exchange, no
+    * single-partition stage, and the assignment is a pure projection on
+    * top. Adds `n_tokens`, `bin`, `offset`. */
+  def packSequences(df: org.apache.spark.sql.DataFrame, text: Column,
+      orderCols: Seq[Column], budgetTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(budgetTokens >= 1, "budgetTokens must be >= 1")
+    val counted = df.withColumn("n_tokens", tokenCount(text).cast("long"))
+    SlidingWindows.withRunningTotal(counted, orderCols, col("n_tokens"), "__rt")
+      .withColumn("bin", floor((col("__rt") - col("n_tokens")) / budgetTokens).cast("long"))
+      .withColumn("offset", pmod(col("__rt") - col("n_tokens"), lit(budgetTokens.toLong)))
+      .drop("__rt")
+  }
 }

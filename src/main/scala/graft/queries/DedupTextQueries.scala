@@ -64,6 +64,14 @@ object DedupTextQueries {
         .orderBy("doc_id")
     }),
 
+    "pack_sequences" -> ((s, dir) =>
+      // Concat-then-chunk packing into 256-token training sequences in
+      // doc_id order — bin/offset from the distributed prefix sum.
+      TextOps.packSequences(table(s, dir, "documents"), col("text"),
+          Seq(col("doc_id")), budgetTokens = 256)
+        .select(col("doc_id"), col("n_tokens"), col("bin"), col("offset"))
+        .orderBy("doc_id")),
+
     "decontaminate" -> ((s, dir) => {
       // Train/eval leak scan: docs < 300 are the "corpus", docs 400-429
       // the "benchmark"; per-doc count of shared distinct word 3-grams
@@ -209,6 +217,21 @@ object DedupTextQueries {
          |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.n)
          |SELECT n AS doc_id, min(comp) AS component
          |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS prev
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  CAST(floor(prev / 256.0) AS BIGINT) AS bin,
+         |  prev % 256 AS "offset"
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "decontaminate" -> {
       val grams = "list_transform(range(1, len(toks) - 1), " +

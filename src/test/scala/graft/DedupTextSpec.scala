@@ -140,6 +140,18 @@ class DedupTextSpec extends SparkSpec {
     assert(run(Map("en" -> 0.2)).subsetOf(half)) // nested: lower rate ⊂ higher
   }
 
+  test("packSequences: bins cut every budget tokens; long docs span bins; empty docs zero-width") {
+    val df = Seq((1L, "a b c"), (2L, "d e"), (3L, ""), (4L, "f g h i j k"), (5L, "l"))
+      .toDF("id", "t") // token counts: 3, 2, 0, 6, 1 ; budget 4
+    val out = graft.ops.TextOps.packSequences(df, col("t"), Seq(col("id")), budgetTokens = 4)
+      .select("id", "n_tokens", "bin", "offset").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // prefix starts: 0, 3, 5, 5, 11
+    assert(out == Map(
+      1L -> ((3L, 0L, 0L)), 2L -> ((2L, 0L, 3L)), 3L -> ((0L, 1L, 1L)),
+      4L -> ((6L, 1L, 1L)), 5L -> ((1L, 2L, 3L))))
+  }
+
   test("decontaminate: counts distinct shared n-grams; clean docs absent") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps"), // shares "the quick brown" + "quick brown fox"
