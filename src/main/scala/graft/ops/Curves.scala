@@ -186,4 +186,56 @@ object Curves {
     averagePrecision(pairs, col("y"), col("score"))
       .select(col("average_precision").as("pr_auc_micro"))
   }
+
+  /** The probability-ranked G13 fields PER GROUP (F10 slices call the full
+    * metric dict per state, pipeline_trainingmodels_power.py:235-311):
+    * one row per `groupCol` value with `pr_auc_micro` / `pr_auc_macro` /
+    * `roc_auc_macro`. Same shape as the global forms with the group key
+    * prepended to every aggregation and window partition — thousands of
+    * slices cost the same two passes over the exploded pairs, never a
+    * driver loop. */
+  def multiclassAucPerGroup(df: DataFrame, groupCol: String,
+      yTrue: Column, proba: Column): DataFrame = {
+    val pairs = df.select(col(groupCol).as("grp"), yTrue.as("yt"), posexplode(proba))
+      .select(col("grp"), col("pos").as("cls"),
+        col("col").cast("double").as("threshold"),
+        (col("yt") === col("pos")).cast("int").as("y"))
+
+    // micro: all of a group's (row, class) pairs as one binary problem
+    val mw = Window.partitionBy("grp").orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val mtot = Window.partitionBy("grp")
+    val mlag = Window.partitionBy("grp").orderBy(col("threshold").desc)
+    val micro = pairs.groupBy("grp", "threshold")
+      .agg(sum(col("y")).as("pos_n"), sum(lit(1) - col("y")).as("neg_n"))
+      .withColumn("tps", sum("pos_n").over(mw))
+      .withColumn("fps", sum("neg_n").over(mw))
+      .withColumn("recall", col("tps") / max("tps").over(mtot))
+      .withColumn("precision", col("tps") / (col("tps") + col("fps")))
+      .withColumn("recall_prev", coalesce(lag("recall", 1).over(mlag), lit(0.0)))
+      .groupBy("grp")
+      .agg(sum((col("recall") - col("recall_prev")) * col("precision")).as("pr_auc_micro"))
+
+    // macro: per-(group, class) curves, AP + trapezoid AUC, class means
+    val cw = Window.partitionBy("grp", "cls").orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ctot = Window.partitionBy("grp", "cls")
+    val clag = Window.partitionBy("grp", "cls").orderBy(col("threshold").desc)
+    val macroDf = pairs.groupBy("grp", "cls", "threshold")
+      .agg(sum(col("y")).as("pos_n"), sum(lit(1) - col("y")).as("neg_n"))
+      .withColumn("tps", sum("pos_n").over(cw))
+      .withColumn("fps", sum("neg_n").over(cw))
+      .withColumn("recall", col("tps") / max("tps").over(ctot))
+      .withColumn("fpr", col("fps") / max("fps").over(ctot))
+      .withColumn("precision", col("tps") / (col("tps") + col("fps")))
+      .withColumn("recall_prev", coalesce(lag("recall", 1).over(clag), lit(0.0)))
+      .withColumn("fpr_prev", coalesce(lag("fpr", 1).over(clag), lit(0.0)))
+      .groupBy("grp", "cls")
+      .agg(sum((col("recall") - col("recall_prev")) * col("precision")).as("ap"),
+        sum((col("fpr") - col("fpr_prev")) * (col("recall") + col("recall_prev")) / 2).as("auc"))
+      .groupBy("grp")
+      .agg(avg("ap").as("pr_auc_macro"), avg("auc").as("roc_auc_macro"))
+
+    micro.join(macroDf, Seq("grp"))
+  }
 }

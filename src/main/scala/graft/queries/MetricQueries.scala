@@ -39,6 +39,14 @@ object MetricQueries {
       |      FROM (SELECT DISTINCT event_type AS class FROM events) d) m
       |  ON e.event_type = m.class""".stripMargin
 
+  /** Deterministic tie-free per-class score matrix shared by the g13 AUC
+    * queries (bit-identical in DuckDB: integer arithmetic + one division). */
+  private def probaMatrix(k: Int) = array((0 until k).map { j =>
+    (col("event_id").cast("long") * (2 * j + 3)) % 97 / lit(97.0) +
+      lit(0.001) * lit(j) +
+      when(col("y_true") === j, lit(0.75)).otherwise(lit(0.0))
+  }: _*)
+
   val queries: Map[String, QueryFn] = Map(
     "g9_confusion" -> ((s, dir) => {
       val (df, k) = multiclassFrame(s, dir)
@@ -60,15 +68,25 @@ object MetricQueries {
       // integer arithmetic + one division, so Spark and DuckDB agree
       // bit-for-bit on every score; round(6) absorbs cumsum order.
       val (df, k) = multiclassFrame(s, dir)
-      val proba = array((0 until k).map { j =>
-        (col("event_id").cast("long") * (2 * j + 3)) % 97 / lit(97.0) +
-          lit(0.001) * lit(j) +
-          when(col("y_true") === j, lit(0.75)).otherwise(lit(0.0))
-      }: _*)
-      MetricsOps.multiclassMetrics(df, "y_true", proba, 0 until k)
+      MetricsOps.multiclassMetrics(df, "y_true", probaMatrix(k), 0 until k)
         .select(round(col("pr_auc_micro"), 6).as("pr_auc_micro"),
           round(col("pr_auc_macro"), 6).as("pr_auc_macro"),
           round(col("roc_auc_macro"), 6).as("roc_auc_macro"))
+    }),
+
+    "g13_auc_per_group" -> ((s, dir) => {
+      // Per-slice probability-ranked fields (F10 slices get the FULL
+      // metric dict in the reference) — one pass over the exploded pairs
+      // regardless of slice count.
+      val (df, k) = multiclassFrame(s, dir)
+      val sliced = df.withColumn("state_slice",
+        when(col("user_id") % 2 === 0, "charging").otherwise("idle"))
+      Curves.multiclassAucPerGroup(sliced, "state_slice", col("y_true"), probaMatrix(k))
+        .select(col("grp"),
+          round(col("pr_auc_micro"), 6).as("pr_auc_micro"),
+          round(col("pr_auc_macro"), 6).as("pr_auc_macro"),
+          round(col("roc_auc_macro"), 6).as("roc_auc_macro"))
+        .orderBy("grp")
     }),
 
     "f10_metrics_per_group" -> ((s, dir) => {
@@ -319,6 +337,53 @@ object MetricQueries {
            |macro AS (SELECT avg(ap) AS pr_auc_macro, avg(auc) AS roc_auc_macro FROM cap)
            |SELECT round(pr_auc_micro, 6) AS pr_auc_micro, round(pr_auc_macro, 6) AS pr_auc_macro,
            |  round(roc_auc_macro, 6) AS roc_auc_macro FROM micro, macro""".stripMargin,
+
+      "g13_auc_per_group" ->
+        s"""WITH mc AS ($multiclassSql),
+           |classes AS (SELECT CAST(row_number() OVER (ORDER BY class) - 1 AS BIGINT) AS j
+           |            FROM (SELECT DISTINCT event_type AS class FROM events) d),
+           |pairs AS (
+           |  SELECT CASE WHEN user_id % 2 = 0 THEN 'charging' ELSE 'idle' END AS grp,
+           |    classes.j AS cls,
+           |    (CAST(event_id AS BIGINT) * (2*classes.j + 3)) % 97 / 97.0 + 0.001 * classes.j
+           |      + CASE WHEN y_true = classes.j THEN 0.75 ELSE 0.0 END AS s,
+           |    CASE WHEN y_true = classes.j THEN 1 ELSE 0 END AS y
+           |  FROM mc, classes),
+           |mcurve AS (
+           |  SELECT grp, s AS threshold, sum(y) AS pos, sum(1-y) AS neg FROM pairs GROUP BY 1, 2),
+           |mcum AS (
+           |  SELECT grp, threshold,
+           |    sum(pos) OVER w AS tps, sum(neg) OVER w AS fps,
+           |    sum(pos) OVER (PARTITION BY grp) AS p_tot
+           |  FROM mcurve WINDOW w AS (PARTITION BY grp ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)),
+           |mpts AS (
+           |  SELECT grp, tps*1.0/(tps+fps) AS precision, tps*1.0/p_tot AS recall,
+           |    coalesce(lag(tps*1.0/p_tot) OVER (PARTITION BY grp ORDER BY threshold DESC), 0) AS recall_prev
+           |  FROM mcum),
+           |micro AS (SELECT grp, sum((recall - recall_prev) * precision) AS pr_auc_micro
+           |          FROM mpts GROUP BY 1),
+           |ccurve AS (SELECT grp, cls, s AS threshold, sum(y) AS pos, sum(1-y) AS neg
+           |           FROM pairs GROUP BY 1, 2, 3),
+           |ccum AS (
+           |  SELECT grp, cls, threshold,
+           |    sum(pos) OVER w AS tps, sum(neg) OVER w AS fps,
+           |    sum(pos) OVER (PARTITION BY grp, cls) AS p_tot,
+           |    sum(neg) OVER (PARTITION BY grp, cls) AS n_tot
+           |  FROM ccurve WINDOW w AS (PARTITION BY grp, cls ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)),
+           |cpts AS (
+           |  SELECT grp, cls, tps*1.0/(tps+fps) AS precision, tps*1.0/p_tot AS recall,
+           |    coalesce(lag(tps*1.0/p_tot) OVER wc, 0) AS recall_prev,
+           |    fps*1.0/n_tot AS fpr,
+           |    coalesce(lag(fps*1.0/n_tot) OVER wc, 0) AS fpr_prev
+           |  FROM ccum WINDOW wc AS (PARTITION BY grp, cls ORDER BY threshold DESC)),
+           |cap AS (SELECT grp, cls, sum((recall - recall_prev) * precision) AS ap,
+           |        sum((fpr - fpr_prev) * (recall + recall_prev) / 2) AS auc
+           |        FROM cpts GROUP BY 1, 2),
+           |macro AS (SELECT grp, avg(ap) AS pr_auc_macro, avg(auc) AS roc_auc_macro
+           |          FROM cap GROUP BY 1)
+           |SELECT micro.grp, round(pr_auc_micro, 6) AS pr_auc_micro,
+           |  round(pr_auc_macro, 6) AS pr_auc_macro, round(roc_auc_macro, 6) AS roc_auc_macro
+           |FROM micro JOIN macro ON micro.grp = macro.grp ORDER BY 1""".stripMargin,
 
       "g14_average_precision" ->
         s"""WITH curve AS ($rocCurveSql),
