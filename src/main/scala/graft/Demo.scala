@@ -65,6 +65,20 @@ object Demo {
     val top = HostImportance.topK(imp, 1)
     println(s"""{"stage":"importance","top_feature":${top.head}}""")
 
+    // training-corpus curation funnel over the documents table (the
+    // LLM-data extension surface end-to-end: dedup → cluster →
+    // decontaminate → filter → sample → pack)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val curated = graft.pipelines.CorpusPipeline.curateCounted(
+      docs.where(col("doc_id") < 300), "doc_id", "text", col("lang"),
+      docs.where(col("doc_id") >= 400 && col("doc_id") < 430), "text",
+      graft.pipelines.CorpusPipeline.CurationConfig(
+        decontamN = 5, sampleRates = Map("en" -> 0.9),
+        defaultSampleRate = 0.5, packBudgetTokens = 512))
+    val funnelJson = curated.funnel
+      .map { case (st, n) => s""""$st":$n""" }.mkString(",")
+    println(s"""{"stage":"corpus_curation",$funnelJson}""")
+
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column-statistics operators: P10 standardize, F6/F7 column pruning,
@@ -136,6 +137,25 @@ object Stats {
     import spark.implicits._
     ((0, 1.0) +: (1 to K).map(k => (k, totals(k) / totals(0))))
       .toDF("lag", "acf")
+  }
+
+  /** Data-mixing weights: per-group sampling weight that reshapes the
+    * corpus toward a target group distribution —
+    * `weight(g) = target_frac(g) / actual_frac(g)` (groups absent from
+    * the target get 0; a weight > 1 means the group must be upsampled).
+    * One map-side-combined count aggregation; the k-row result is meant
+    * to broadcast back onto the corpus (or feed
+    * [[stratifiedSample]] rates after `min(1, w·scale)` capping). */
+  def mixtureWeights(df: DataFrame, groupCol: Column,
+      target: Map[String, Double]): DataFrame = {
+    val counts = df.groupBy(groupCol.cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"))
+    val total = Window.partitionBy()
+    counts
+      .withColumn("actual_frac", col("n") / sum("n").over(total))
+      .withColumn("target_frac",
+        coalesce(element_at(typedLit(target), col("grp")), lit(0.0)))
+      .withColumn("weight", col("target_frac") / col("actual_frac"))
   }
 
   /** Deterministic stratified sampler for training-data rebalancing

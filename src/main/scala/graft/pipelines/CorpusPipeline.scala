@@ -1,0 +1,113 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Stats, TextOps}
+
+/** End-to-end training-corpus curation — the 100 TB use case the
+  * training-data operators exist for, composed engine-native (every stage
+  * is one of the individually-oracled ops; nothing here is new math):
+  *
+  *  1. exact dedup — keep the lowest id per md5(content);
+  *  2. near-dup clustering — MinHash-LSH candidate pairs → verified
+  *     Jaccard → connected components → keep the BEST doc per cluster
+  *     (highest quality score, ties to lowest id);
+  *  3. benchmark decontamination — drop docs sharing ≥ `decontamMinShared`
+  *     word n-grams with the eval set;
+  *  4. quality + repetition filters (C4/Gopher-style);
+  *  5. deterministic stratified sampling toward per-group rates;
+  *  6. training-sequence packing (bin/offset per doc).
+  *
+  * Scale shape: stages 1–5 are the ops' documented one-shuffle forms;
+  * nothing materializes the corpus more than once per stage. The funnel
+  * counts in [[CurationResult.funnel]] are computed from ONE action per
+  * stage — skip [[curateCounted]] and use [[curate]] when the counts
+  * aren't worth the extra jobs.
+  */
+object CorpusPipeline {
+
+  final case class CurationConfig(
+      shingleWords: Int = 3,
+      lshBands: Int = 8,
+      lshRowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.8,
+      decontamN: Int = 8,
+      decontamMinShared: Long = 1L,
+      minQuality: Double = 0.3,
+      maxDupLineRatio: Double = 0.5,
+      maxTopWordRatio: Double = 0.5,
+      sampleRates: Map[String, Double] = Map.empty,
+      defaultSampleRate: Double = 1.0,
+      seed: Long = 7L,
+      packBudgetTokens: Int = 2048)
+
+  final case class CurationResult(packed: DataFrame, funnel: Seq[(String, Long)])
+
+  /** The curated, packed corpus (lazy — no actions). */
+  def curate(docs: DataFrame, id: String, text: String, group: Column,
+      benchmark: DataFrame, benchText: String,
+      cfg: CurationConfig = CurationConfig()): DataFrame =
+    stages(docs, id, text, group, benchmark, benchText, cfg).last._2
+
+  /** [[curate]] plus a per-stage row-count funnel (one count action per
+    * stage — diagnostic mode). */
+  def curateCounted(docs: DataFrame, id: String, text: String, group: Column,
+      benchmark: DataFrame, benchText: String,
+      cfg: CurationConfig = CurationConfig()): CurationResult = {
+    val st = stages(docs, id, text, group, benchmark, benchText, cfg)
+    CurationResult(st.last._2, st.map { case (n, df) => n -> df.count() })
+  }
+
+  private def stages(docs: DataFrame, id: String, text: String, group: Column,
+      benchmark: DataFrame, benchText: String,
+      cfg: CurationConfig): Seq[(String, DataFrame)] = {
+    // 1. exact dedup
+    val exact = Dedup.dedupExact(docs, id, text)
+
+    // 2. near-dup clusters → keep best-quality doc per component
+    val pairs = Dedup.minhashNearDuplicates(exact, id, text,
+      cfg.jaccardThreshold, cfg.shingleWords, cfg.lshBands, cfg.lshRowsPerBand)
+    val comps = Dedup.connectedComponents(exact, pairs, id, "id_a", "id_b")
+    val scored = exact.withColumn("__q", TextOps.qualityScore(col(text)))
+    val keepers = scored
+      .join(comps.withColumnRenamed(id, "__cid"), col(id) === col("__cid"))
+      .groupBy("component")
+      // highest quality wins; ties to the LOWEST id (negate for max)
+      .agg(max(struct(col("__q").as("q"), (-col(id)).cast("long").as("nid"))).as("best"))
+      .select((-col("best.nid")).as("__keep"))
+    val nearDeduped = scored
+      .join(broadcastIfSmall(keepers), col(id) === col("__keep"), "left_semi")
+
+    // 3. decontamination
+    val contaminated = Dedup
+      .decontaminate(nearDeduped, id, text, benchmark, benchText, cfg.decontamN)
+      .where(col("n_shared_grams") >= cfg.decontamMinShared)
+      .select(col(id))
+    val clean = nearDeduped.join(contaminated, Seq(id), "left_anti")
+
+    // 4. quality + repetition filters
+    val rep = TextOps.repetitionStats(col(text))
+    val filtered = clean
+      .where(col("__q") >= cfg.minQuality &&
+        rep.getField("dup_line_ratio") <= cfg.maxDupLineRatio &&
+        rep.getField("top_word_ratio") <= cfg.maxTopWordRatio)
+
+    // 5. stratified sampling
+    val sampled = Stats.stratifiedSample(filtered, col(id), group,
+      cfg.sampleRates, cfg.defaultSampleRate, cfg.seed)
+
+    // 6. packing
+    val packed = TextOps
+      .packSequences(sampled, col(text), Seq(col(id)), cfg.packBudgetTokens)
+      .drop("__q")
+
+    Seq("input" -> docs, "exact_dedup" -> exact, "near_dedup" -> nearDeduped,
+      "decontaminated" -> clean, "filtered" -> filtered,
+      "sampled" -> sampled, "packed" -> packed)
+  }
+
+  /** Keeper lists are one id per cluster — usually broadcastable; leave
+    * the decision to the planner (AQE converts to broadcast when small),
+    * but hint it for the common case. */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+}

@@ -118,6 +118,15 @@ object DedupTextQueries {
         .orderBy("doc_id")
     }),
 
+    "mixture_weights" -> ((s, dir) =>
+      // Data-mixing weights toward a target language distribution.
+      graft.ops.Stats.mixtureWeights(table(s, dir, "documents"), col("lang"),
+          Map("en" -> 0.6, "es" -> 0.3, "fr" -> 0.1))
+        .select(col("grp"), col("n"),
+          round(col("actual_frac"), 6).as("actual_frac"),
+          col("target_frac"), round(col("weight"), 6).as("weight"))
+        .orderBy("grp")),
+
     "sample_stratified" -> ((s, dir) =>
       // Deterministic hash sampling by language; content pinned by count +
       // id-sum per kept group.
@@ -301,6 +310,17 @@ object DedupTextQueries {
          |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
          |    '${TextOps.LongNumRe}', '<NUM>', 'g')) AS redacted_md5
          |FROM base ORDER BY doc_id""".stripMargin,
+
+    "mixture_weights" ->
+      s"""WITH c AS (SELECT CAST(lang AS VARCHAR) AS grp, count(*) AS n
+         |           FROM documents GROUP BY 1),
+         |t AS (SELECT sum(n) AS total FROM c)
+         |SELECT grp, n, round(n * 1.0 / total, 6) AS actual_frac,
+         |  CASE grp WHEN 'en' THEN 0.6 WHEN 'es' THEN 0.3 WHEN 'fr' THEN 0.1
+         |    ELSE 0.0 END AS target_frac,
+         |  round((CASE grp WHEN 'en' THEN 0.6 WHEN 'es' THEN 0.3 WHEN 'fr' THEN 0.1
+         |    ELSE 0.0 END) / (n * 1.0 / total), 6) AS weight
+         |FROM c, t ORDER BY grp""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT lang, count(*) AS n, sum(doc_id) AS sum_id

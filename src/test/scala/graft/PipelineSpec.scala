@@ -141,6 +141,40 @@ class PipelineSpec extends SparkSpec {
     assert(sto.getAs[Double]("accuracy_on_rest") > 0.5) // 30% flips, mean still informative
   }
 
+  test("corpus curation pipeline: exact dups, near-dup clusters, contamination, junk, packing") {
+    import graft.pipelines.CorpusPipeline
+    val prose = "the quick brown fox jumps over the lazy dog near a quiet river bank today"
+    val docs = Seq(
+      (1L, prose, "en"),
+      (2L, prose, "en"), // exact dup of 1 → dropped at stage 1
+      (3L, prose + " extra", "en"), // near-dup of 1 → same cluster, lower quality loses
+      (4L, "totally unrelated words about cooking pasta with garlic and fresh basil leaves", "en"),
+      (5L, "spam spam spam spam spam spam spam spam spam spam", "en"), // repetition junk
+      (6L, "the secret benchmark sentence that must never leak into training data at all", "en"))
+      .toDF("doc_id", "text", "lang")
+    val bench = Seq("we found the secret benchmark sentence that must never leak into training data at all ok")
+      .toDF("btext")
+    val cfg = CorpusPipeline.CurationConfig(
+      shingleWords = 3, jaccardThreshold = 0.5, decontamN = 8,
+      minQuality = 0.1, maxTopWordRatio = 0.5,
+      defaultSampleRate = 1.0, packBudgetTokens = 16)
+    val r = CorpusPipeline.curateCounted(docs, "doc_id", "text", col("lang"), bench, "btext", cfg)
+    val funnel = r.funnel.toMap
+    assert(funnel("input") == 6)
+    assert(funnel("exact_dedup") == 5) // doc 2 gone
+    assert(funnel("near_dedup") == 4) // 1/3 collapse (longer doc 3 has higher len-based quality or 1 wins — either way ONE survives)
+    assert(funnel("decontaminated") == 3) // doc 6 gone (8-gram overlap with bench)
+    assert(funnel("filtered") == 2) // doc 5 gone (top_word_ratio 1.0)
+    assert(funnel("sampled") == 2 && funnel("packed") == 2)
+    val packed = r.packed.select("doc_id", "n_tokens", "bin", "offset").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).sortBy(_._1)
+    // budget 16: first kept doc starts at (0,0); 14-token prose doc → next starts at offset 14
+    assert(packed.head._3 == 0L && packed.head._4 == 0L)
+    // deterministic end to end
+    val r2 = CorpusPipeline.curateCounted(docs, "doc_id", "text", col("lang"), bench, "btext", cfg)
+    assert(r2.funnel == r.funnel)
+  }
+
   test("host importance: permuting the informative feature raises loss most") {
     // weight = 1 everywhere; feature 0 and 1 both carry signal, a constant
     // third feature carries none.
