@@ -80,6 +80,22 @@ class PlanSpec extends SparkSpec {
     assert(host.select("timestamp").collect().map(_.getDouble(0)).sorted.toSeq == Seq(0.0, 1.0))
   }
 
+  test("decontaminate: benchmark side broadcasts; no sort-merge join") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // corpus scan prunes to (doc_id, text)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("sample_stratified: hash-filter is pushed into the scan stage (no pre-shuffle)") {
+    val p = plan("sample_stratified")
+    // the keep decision is a pure projection + filter — the ONLY wide
+    // exchanges are the final groupBy and presentation sort
+    val wide = "Exchange (hash|range|Single)".r.findAllIn(p).size
+    assert(wide <= 2, s"expected <=2 wide exchanges, got $wide:\n$p")
+  }
+
   test("robustness degradations are narrow: zero exchanges over an in-memory frame") {
     val wins = Seq((1L, Seq(Seq(1.0), Seq(2.0))), (2L, Seq(Seq(3.0), Seq(4.0))))
       .toDF("win_id", "window")

@@ -82,4 +82,39 @@ class StreamingSpec extends SparkSpec {
       assert(!rows("b").detected && rows("b").delayMs == -1L)
     } finally q.stop()
   }
+
+  test("curation ops compose with streams: redact + quality + stream-static decontamination") {
+    // The text/curation layer is pure projections + a stream-static
+    // broadcast semi-join, so it runs unchanged on a stream of documents —
+    // the shape of an ingest-time curation filter.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{Dedup, IntHash, TextOps}
+    val benchGrams = Seq("the secret benchmark sentence stays out").toDF("btext")
+      .select(explode(Dedup.shingles(col("btext"), 3)).as("g"))
+      .select(IntHash.stringHash(col("g")).as("h")).distinct()
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF.toDF("doc_id", "text")
+    val curated = docs
+      .withColumn("text", TextOps.redactPii(col("text")))
+      .withColumn("q", TextOps.qualityScore(col("text")))
+      .select(col("doc_id"), col("text"), col("q"),
+        explode_outer(Dedup.shingles(col("text"), 3)).as("g"))
+      .withColumn("h", IntHash.stringHash(col("g")))
+      .join(broadcast(benchGrams), Seq("h"), "left_anti")
+      .groupBy("doc_id").agg(first("text").as("text"), first("q").as("q"),
+        count(lit(1)).as("n_clean_grams"))
+    val q = curated.writeStream.format("memory").queryName("cur")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (1L, "a perfectly normal document about rivers and trees today mail me at a@b.co"),
+        (2L, "prefix words then the secret benchmark sentence stays out suffix"))
+      q.processAllAvailable()
+      val out = spark.table("cur").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+      assert(out(1L)._1.contains("<EMAIL>")) // redaction applied in-stream
+      // doc 2: 10 tokens → 8 3-grams, 4 shared with the benchmark → 4 clean
+      assert(out(2L)._2 == 4L)
+    } finally q.stop()
+  }
 }
