@@ -97,4 +97,41 @@ object LawsProps extends Properties("GraftLaws") {
       val expectedMax = math.max(0, tokens - n + 1)
       sh.size <= expectedMax && (tokens < n) == sh.isEmpty
     }
+
+  property("packing law: offsets < budget; bin*budget + offset == token prefix sum") =
+    Prop.forAll(Gen.choose(1, 40), Gen.choose(1, 64), Gen.choose(0L, 999L)) { (nDocs, budget, salt) =>
+      val docs = (1 to nDocs)
+        .map(i => (i.toLong, (0 until ((i * (salt + 3)) % 7).toInt).map(j => s"t$j").mkString(" ")))
+        .toDF("id", "t")
+      val out = graft.ops.TextOps
+        .packSequences(docs, col("t"), Seq(col("id")), budget)
+        .select("id", "n_tokens", "bin", "offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      val prefixes = out.map(_._2).scanLeft(0L)(_ + _).init
+      out.forall(_._4 < budget) &&
+        out.zip(prefixes).forall { case ((_, _, bin, off), pre) => bin * budget + off == pre }
+    }
+
+  property("connected components: component ids are class representatives (min member)") =
+    Prop.forAll(Gen.choose(2, 20), Gen.choose(0, 25), seedG) { (n, nEdges, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val edges = (0 until nEdges).map(_ => (1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+      val nodes = (1L to n.toLong).toDF("id")
+      val comp = Dedup.connectedComponents(nodes,
+          edges.toDF("a", "b"), "id", "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1 to n).map { i =>
+        val members = (1 to n).filter(j => find(j) == find(i))
+        i.toLong -> members.min.toLong
+      }.toMap
+      comp == expected
+    }
 }
