@@ -158,6 +158,24 @@ object Stats {
       .withColumn("weight", col("target_frac") / col("actual_frac"))
   }
 
+  /** Exact per-group quota: keep AT MOST `quota(g)` rows per group,
+    * chosen by ascending engine-portable hash of the row key — a
+    * deterministic "random" subset that is stable across partitioning,
+    * retries, engines, and RERUNS WITH DIFFERENT QUOTAS (a smaller quota
+    * selects a subset of a larger one, same as [[stratifiedSample]]'s
+    * nesting). One shuffle on the group key; the rank window
+    * parallelizes per group. */
+  def quotaPerGroup(df: DataFrame, idCol: Column, groupCol: Column,
+      quota: Map[String, Int], defaultQuota: Int, seed: Long): DataFrame = {
+    val q = coalesce(element_at(typedLit(quota), groupCol.cast("string")),
+      lit(defaultQuota))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(Robustness.seededUniform(seed, idCol).asc, idCol.asc)
+    df.withColumn("__qrank", row_number().over(w))
+      .where(col("__qrank") <= q)
+      .drop("__qrank")
+  }
+
   /** Deterministic stratified sampler for training-data rebalancing
     * (down-weight over-represented domains/languages): keep a row iff the
     * engine-portable hash-uniform of (seed, idCol) is below its group's

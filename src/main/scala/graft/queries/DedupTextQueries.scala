@@ -118,6 +118,16 @@ object DedupTextQueries {
         .orderBy("doc_id")
     }),
 
+    "sample_quota" -> ((s, dir) =>
+      // Exact per-language quotas, hash-ranked (nested under rate
+      // sampling's determinism guarantees).
+      graft.ops.Stats.quotaPerGroup(table(s, dir, "documents"),
+          col("doc_id"), col("lang"),
+          quota = Map("en" -> 40, "es" -> 25), defaultQuota = 10, seed = 7L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"))
+        .orderBy("lang")),
+
     "mixture_weights" -> ((s, dir) =>
       // Data-mixing weights toward a target language distribution.
       graft.ops.Stats.mixtureWeights(table(s, dir, "documents"), col("lang"),
@@ -310,6 +320,17 @@ object DedupTextQueries {
          |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
          |    '${TextOps.LongNumRe}', '<NUM>', 'g')) AS redacted_md5
          |FROM base ORDER BY doc_id""".stripMargin,
+
+    "sample_quota" ->
+      s"""WITH ranked AS (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${graft.ops.Robustness.seededUniformSql("7", Seq("doc_id"))} ASC,
+         |               doc_id ASC) AS rk
+         |  FROM documents)
+         |SELECT lang, count(*) AS n, sum(doc_id) AS sum_id FROM ranked
+         |WHERE rk <= CASE lang WHEN 'en' THEN 40 WHEN 'es' THEN 25 ELSE 10 END
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "mixture_weights" ->
       s"""WITH c AS (SELECT CAST(lang AS VARCHAR) AS grp, count(*) AS n
