@@ -36,4 +36,16 @@ object Calculators {
     val n = math.log(alpha) / math.log1p(-perEvent)
     n * hopSeconds / 3600.0
   }
+
+  /** Benign WINDOW count for the FPH bound — the reference's
+    * `required_negatives_for_sigma_fph` (func_test.py:628-647): the
+    * hours requirement converted at one window per `hopSeconds`. */
+  def minBenignWindowsZeroFp(fphTarget: Double, hopSeconds: Double,
+      alpha: Double = 0.05): Double = {
+    require(hopSeconds > 0)
+    // hours form uses the approx ln(1/alpha)/fph (the reference returns the
+    // approx in both branches of required_hours_for_sigma_fph)
+    val hours = math.log(1.0 / alpha) / fphTarget
+    hours * 3600.0 / hopSeconds
+  }
 }

@@ -180,5 +180,9 @@ class LabelsStatsSourcesSpec extends SparkSpec {
     assert(approx(Calculators.sigmaToAlpha(1.959963985), 0.05, 1e-6))
     val h = Calculators.minBenignHoursZeroFp(fphTarget = 1.0, hopSeconds = 1.0)
     assert(h > 2.9 && h < 3.1) // ~ln(1/.05) hours = 3.0
+    // window form: hours · 3600 / hop — the reference's
+    // required_negatives_for_sigma_fph with sigma→alpha applied
+    val w = Calculators.minBenignWindowsZeroFp(fphTarget = 1.0, hopSeconds = 60.0)
+    assert(approx(w, math.log(1.0 / 0.05) * 3600.0 / 60.0, 1e-9))
   }
 }
