@@ -163,15 +163,28 @@ object Stats {
     * deterministic "random" subset that is stable across partitioning,
     * retries, engines, and RERUNS WITH DIFFERENT QUOTAS (a smaller quota
     * selects a subset of a larger one, same as [[stratifiedSample]]'s
-    * nesting). One shuffle on the group key; the rank window
-    * parallelizes per group. */
+    * nesting).
+    *
+    * Physical shape: a single per-group rank window would funnel EVERY
+    * row of a group through one partition (4 languages at 100 TB = 4
+    * monster partitions), so this is the exact two-level tournament:
+    * top-q within (group, hash-bucket) — `numBuckets`-way parallel —
+    * then top-q of the ≤ numBuckets·q finalists per group. The global
+    * top-q is always contained in the union of per-bucket top-qs, so the
+    * result is IDENTICAL to the single-window form (the oracle pins it);
+    * bucketing only affects parallelism. */
   def quotaPerGroup(df: DataFrame, idCol: Column, groupCol: Column,
-      quota: Map[String, Int], defaultQuota: Int, seed: Long): DataFrame = {
+      quota: Map[String, Int], defaultQuota: Int, seed: Long,
+      numBuckets: Int = 256): DataFrame = {
     val q = coalesce(element_at(typedLit(quota), groupCol.cast("string")),
       lit(defaultQuota))
-    val w = Window.partitionBy(groupCol)
-      .orderBy(Robustness.seededUniform(seed, idCol).asc, idCol.asc)
-    df.withColumn("__qrank", row_number().over(w))
+    val u = Robustness.seededUniform(seed, idCol)
+    val bucket = pmod(xxhash64(idCol), lit(numBuckets))
+    val w1 = Window.partitionBy(groupCol, bucket).orderBy(u.asc, idCol.asc)
+    val w2 = Window.partitionBy(groupCol).orderBy(u.asc, idCol.asc)
+    df.withColumn("__qrank", row_number().over(w1))
+      .where(col("__qrank") <= q)
+      .withColumn("__qrank", row_number().over(w2))
       .where(col("__qrank") <= q)
       .drop("__qrank")
   }
