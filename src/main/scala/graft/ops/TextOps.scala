@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace token count. Empty/blank text → 0. */
+  /** Whitespace token count. Null/empty/blank text → 0 (Spark's
+    * `size(null)` is −1, which would silently corrupt downstream
+    * arithmetic like the packing prefix sum). */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+    when(coalesce(length(trim(text)), lit(0)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish subword count estimate: letter-runs, digit-runs, and single
     * non-space punctuation — the classic GPT-2-style pre-tokenizer shape

@@ -140,6 +140,26 @@ class DedupTextSpec extends SparkSpec {
     assert(run(Map("en" -> 0.2)).subsetOf(half)) // nested: lower rate ⊂ higher
   }
 
+  test("edge robustness: null text, empty edges, empty benchmark, empty quota input") {
+    val nullDoc = Seq((1L, null.asInstanceOf[String]), (2L, "a b")).toDF("id", "t")
+    // tokenCount(null) must be 0, not Spark's size(null) = -1
+    val packed = graft.ops.TextOps.packSequences(nullDoc, col("t"), Seq(col("id")), 4)
+      .select("id", "n_tokens", "offset").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(packed(1L) == ((0L, 0L)) && packed(2L) == ((2L, 0L)))
+    // no edges → all singletons
+    val nodes = Seq(1L, 2L).toDF("id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(nodes, noEdges, "id", "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 1L, 2L -> 2L))
+    // empty benchmark → nothing contaminated
+    assert(Dedup.decontaminate(Seq((1L, "a b c d")).toDF("id", "t"), "id", "t",
+      Seq.empty[String].toDF("bt"), "bt", 3).count() == 0)
+    // empty input → empty quota output
+    assert(graft.ops.Stats.quotaPerGroup(Seq.empty[(Long, String)].toDF("id", "g"),
+      col("id"), col("g"), Map("x" -> 1), 1, 7L).count() == 0)
+  }
+
   test("packSequences: bins cut every budget tokens; long docs span bins; empty docs zero-width") {
     val df = Seq((1L, "a b c"), (2L, "d e"), (3L, ""), (4L, "f g h i j k"), (5L, "l"))
       .toDF("id", "t") // token counts: 3, 2, 0, 6, 1 ; budget 4
