@@ -83,8 +83,10 @@ object SlidingWindows {
       step: Int,
       chunkSize: Int = 65536): DataFrame = {
     require(chunkSize >= seqLen, "chunkSize must be >= seqLen")
-    val ranked = df
-      .withColumn("__rn", row_number().over(Window.orderBy(orderCols: _*)))
+    // global rank via the fused distributed index (round 3) — this form
+    // now has NO single-partition stage either; it remains the
+    // collect_list-based comparison baseline for the streaming form
+    val ranked = withGlobalIndex(df, orderCols, "__rn")
     // Home chunk of each row, plus a copy into the NEXT chunk for rows in
     // the trailing seqLen-1 positions (they seed the next chunk's frames).
     val home = ranked.withColumn("__chunk", ((col("__rn") - 1) / chunkSize).cast("long"))

@@ -48,10 +48,12 @@ class SlidingWindowsSpec extends SparkSpec {
       chunk <- Seq(16, 32, 512) // incl. chunk > n (single-chunk edge)
     } {
       val a = SlidingWindows.slideGlobal(df, Seq(col("t")), col("x"), seqLen, step)
-        .select($"win_id", $"window").collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .select($"win_id".cast("long"), $"window").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
         .sortBy(_._1)
       val b = SlidingWindows.slideGlobalChunked(df, Seq(col("t")), col("x"), seqLen, step, chunk)
-        .select($"win_id", $"window").collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .select($"win_id".cast("long"), $"window").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
         .sortBy(_._1)
       assert(a.toSeq == b.toSeq, s"seqLen=$seqLen step=$step chunk=$chunk")
     }
