@@ -177,6 +177,36 @@ object TextOps {
     size(regexp_extract_all(text, lit(UrlRe), lit(0))).as("n_urls"),
     size(regexp_extract_all(text, lit(LongNumRe), lit(0))).as("n_longnums"))
 
+  /** Per-document top-k TF-IDF terms (smooth idf, sklearn-style:
+    * `idf = ln((1+N)/(1+df)) + 1`, score = tf·idf).
+    *
+    * Shape for 100 TB: one shuffle for (doc, term) counts (map-side
+    * combined), document frequencies aggregated from those counts and
+    * broadcast back (vocabulary-sized), then per-doc top-k through a
+    * WindowGroupLimit-prunable rank window partitioned by doc. Ties break
+    * by term string. Returns (id, term, tf, score, rank). */
+  def tfIdfTopTerms(df: org.apache.spark.sql.DataFrame, id: String,
+      text: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.count()
+    val termCounts = df
+      .select(col(id), explode(split(trim(text), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = termCounts.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log((lit(1.0) + nDocs) / (lit(1.0) + col("df"))) + 1.0)
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("score").desc, col("term").asc)
+    termCounts.join(broadcast(docFreq), Seq("term"))
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(id), col("term"), col("tf"), col("score"), col("rank"))
+  }
+
   /** Training-sequence packing (concat-then-chunk): in global `orderCols`
     * order, documents are conceptually concatenated and cut every
     * `budgetTokens` tokens; each doc gets the sequence (`bin`) and

@@ -118,6 +118,16 @@ object DedupTextQueries {
         .orderBy("doc_id")
     }),
 
+    "text_tfidf_topk" -> ((s, dir) =>
+      // Top-3 TF-IDF terms per doc (smooth idf); N fixed by the doc_id
+      // filter so both engines use the same corpus size.
+      TextOps.tfIdfTopTerms(
+          table(s, dir, "documents").where(col("doc_id") < 80), "doc_id",
+          col("text"), k = 3)
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("score"), 4).as("score"), col("rank").cast("long").as("rank"))
+        .orderBy("doc_id", "rank")),
+
     "sample_quota" -> ((s, dir) =>
       // Exact per-language quotas, hash-ranked (nested under rate
       // sampling's determinism guarantees).
@@ -320,6 +330,26 @@ object DedupTextQueries {
          |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
          |    '${TextOps.LongNumRe}', '<NUM>', 'g')) AS redacted_md5
          |FROM base ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf_topk" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),
+         |n AS (SELECT count(*) AS n_docs FROM corpus),
+         |tc AS (
+         |  SELECT c.doc_id, u.term, count(*) AS tf
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |        FROM corpus) c, UNNEST(c.toks) AS u(term)
+         |  WHERE len(u.term) > 0
+         |  GROUP BY 1, 2),
+         |dfq AS (
+         |  SELECT term, ln((1.0 + n_docs) / (1.0 + count(*))) + 1.0 AS idf
+         |  FROM tc, n GROUP BY term, n_docs),
+         |ranked AS (
+         |  SELECT tc.doc_id, tc.term, tc.tf, tc.tf * dfq.idf AS score,
+         |    row_number() OVER (PARTITION BY tc.doc_id
+         |      ORDER BY tc.tf * dfq.idf DESC, tc.term ASC) AS rank
+         |  FROM tc JOIN dfq USING (term))
+         |SELECT doc_id, term, tf, round(score, 4) AS score, rank
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "sample_quota" ->
       s"""WITH ranked AS (

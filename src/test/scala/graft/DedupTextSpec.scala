@@ -140,6 +140,18 @@ class DedupTextSpec extends SparkSpec {
     assert(run(Map("en" -> 0.2)).subsetOf(half)) // nested: lower rate ⊂ higher
   }
 
+  test("tfIdfTopTerms: rare terms outscore common at equal tf; tf breaks through idf") {
+    val docs = Seq((1L, "alpha alpha rare"), (2L, "alpha beta"), (3L, "alpha beta")).toDF("id", "t")
+    val out = graft.ops.TextOps.tfIdfTopTerms(docs, "id", col("t"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) -> r.getString(1)).toMap
+    // N=3: idf(alpha, df=3) = ln(4/4)+1 = 1; idf(rare, df=1) = ln(2)+1 ≈ 1.69;
+    // idf(beta, df=2) = ln(4/3)+1 ≈ 1.29
+    // doc1: alpha tf=2 → 2.0 beats rare 1.69 → [alpha, rare]
+    assert(out((1L, 1)) == "alpha" && out((1L, 2)) == "rare")
+    // doc2: beta 1.29 beats alpha 1.0
+    assert(out((2L, 1)) == "beta" && out((2L, 2)) == "alpha")
+  }
+
   test("edge robustness: null text, empty edges, empty benchmark, empty quota input") {
     val nullDoc = Seq((1L, null.asInstanceOf[String]), (2L, "a b")).toDF("id", "t")
     // tokenCount(null) must be 0, not Spark's size(null) = -1
