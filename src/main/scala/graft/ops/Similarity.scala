@@ -165,6 +165,61 @@ object Similarity {
     searchCells(assigned, centroids, queries, id, vec, qid, qvec, k, nProbe)
   }
 
+  /** One Lloyd iteration over a centroid table: assign every corpus
+    * vector to its nearest centroid (cosine, [[assignCells]] semantics —
+    * broadcast join, map-side-combined argmin), then recompute each cell's
+    * centroid as the element-wise mean of its members. Returns the new
+    * (cell_id, cvec, cnorm) table (cells that lost all members disappear —
+    * standard Lloyd's on empty clusters).
+    *
+    * Scale shape: the mean is computed by exploding members to
+    * (cell, dim, value) — the shuffle carries one float per coordinate,
+    * map-side combined into (sum, count) partials — then the k·dim
+    * means reassemble with a sorted collect per cell (k·dim rows total,
+    * never data-sized). `posexplode` keeps coordinate order explicit. */
+  def kMeansStep(corpus: DataFrame, centroids: DataFrame, id: String,
+      vec: String): DataFrame = {
+    val corpusN = corpus.select(col(id), col(vec)).withColumn("vnorm", norm(col(vec)))
+    // materialize once: the centroid table is referenced by the broadcast
+    // join and must not re-run its (possibly iterative) lineage
+    val centroidData = centroids.collect()
+    val local = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centroidData: _*), centroids.schema)
+    val assigned = assignCells(corpusN, id, vec, centroidData, local, 0)
+    assigned
+      .select(col("cell_id"), posexplode(col(vec)))
+      .groupBy(col("cell_id"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy("cell_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
+      .select(col("cell_id"),
+        transform(col("dims"), d => d.getField("m")).as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
+  }
+
+  /** Train IVF centroids: hash-sampled seeds ([[sampleCentroids]]) refined
+    * by `iters` Lloyd iterations. Deterministic (no RNG — seeds are the
+    * nCells lowest-hash rows, iterations are pure aggregations). */
+  def trainIvfCentroids(corpus: DataFrame, id: String, vec: String,
+      nCells: Int, iters: Int, byHash: Boolean = true): DataFrame = {
+    val (_, seeds) = sampleCentroids(corpus, id, vec, nCells, byHash)
+    (1 to iters).foldLeft(seeds)((c, _) => kMeansStep(corpus, c, id, vec))
+  }
+
+  /** [[ivfTopK]] with EXTERNAL centroids (e.g. [[trainIvfCentroids]]'s
+    * output) instead of the raw hash sample. */
+  def ivfTopKWithCentroids(corpus: DataFrame, centroids: DataFrame,
+      queries: DataFrame, id: String, vec: String, qid: String, qvec: String,
+      k: Int, nProbe: Int,
+      maxLiteralTerms: Int = DefaultMaxLiteralTerms): DataFrame = {
+    val centroidData = centroids.collect()
+    val local = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centroidData: _*), centroids.schema)
+    val corpusN = corpus.select(col(id), col(vec)).withColumn("vnorm", norm(col(vec)))
+    val assigned = assignCells(corpusN, id, vec, centroidData, local, maxLiteralTerms)
+    searchCells(assigned, local, queries, id, vec, qid, qvec, k, nProbe)
+  }
+
   /** Probe + scan + per-query top-k over a (centroids, assigned) pair —
     * the shared tail of [[ivfTopK]] and [[ivfTopKFromIndex]]. */
   private def searchCells(assigned: DataFrame, centroids: DataFrame,

@@ -59,6 +59,18 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    "ann_kmeans_step" -> ((s, dir) => {
+      // One Lloyd iteration from the 4 lowest-id seed centroids (byHash =
+      // false keeps the seeds SQL-reproducible): emit the per-(cell, dim)
+      // refined means flattened to scalar rows (4 cells × 64 dims).
+      val e = emb(s, dir).where(col("vec_id") < 200)
+      Similarity.trainIvfCentroids(e, "vec_id", "v", nCells = 4, iters = 1,
+          byHash = false)
+        .select(col("cell_id"), posexplode(col("cvec")))
+        .select(col("cell_id"), col("pos"), round(col("col"), 6).as("m"))
+        .orderBy("cell_id", "pos")
+    }),
+
     "dedup_embedding_brute" -> ((s, dir) => {
       // Exact embedding-cosine near-dup pairs on the synthesized corpus —
       // the ground truth the LSH path (dedup_embedding_lsh) must recall.
@@ -117,6 +129,26 @@ object SimilarityQueries {
          |  round(avg(sqrt(list_dot_product(v, v))), 6) AS avg_norm,
          |  round(avg(list_dot_product(v, v)), 4) AS avg_self_dot
          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ann_kmeans_step" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, $vSql AS v,
+         |    sqrt(list_dot_product($vSql, $vSql)) AS vn
+         |  FROM embeddings WHERE vec_id < 200),
+         |seeds AS (
+         |  SELECT vec_id AS cell_id, v AS cv, vn AS cn FROM corpus
+         |  ORDER BY vec_id LIMIT 4),
+         |asn AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT c.vec_id, s.cell_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY -(list_dot_product(c.v, s.cv) / (c.vn * s.cn)) ASC,
+         |                 s.cell_id ASC) AS rk
+         |    FROM corpus c, seeds s) t WHERE rk = 1)
+         |SELECT asn.cell_id, CAST(p.range - 1 AS INT) AS pos,
+         |  round(avg(c.v[CAST(p.range AS INT)]), 6) AS m
+         |FROM asn JOIN corpus c USING (vec_id), range(1, 65) p
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ann_topk_brute" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),

@@ -58,6 +58,26 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(run(0) == run(Int.MaxValue), "join-path assignment must equal literal-path")
   }
 
+  test("kMeansStep converges to true cluster means; trained IVF matches brute force") {
+    // two tight, well-separated clusters around (1,0) and (0,1)
+    val corpus = ((1 to 30).map(i => (i.toLong, Seq(1.0 + (i % 5) * 0.01, 0.02 * (i % 3)))) ++
+      (31 to 60).map(i => (i.toLong, Seq(0.02 * (i % 3), 1.0 + (i % 5) * 0.01)))).toDF("id", "v")
+    val trained = Similarity.trainIvfCentroids(corpus, "id", "v", nCells = 2, iters = 3)
+      .collect().map(_.getSeq[Double](1)).sortBy(_.head)
+    assert(trained.length == 2)
+    // one centroid near (0,1)-ish, the other near (1,0)-ish
+    assert(trained(0)(1) > 0.9 && trained(0)(0) < 0.1)
+    assert(trained(1)(0) > 0.9 && trained(1)(1) < 0.1)
+    val queries = Seq((1L, Seq(1.0, 0.05)), (31L, Seq(0.05, 1.0))).toDF("qid", "qv")
+    val brute = Similarity.bruteForceTopK(corpus, queries, "id", "v", "qid", "qv", k = 3)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.trainIvfCentroids(corpus, "id", "v", nCells = 2, iters = 2)
+    val ivf = Similarity.ivfTopKWithCentroids(corpus, cents, queries,
+        "id", "v", "qid", "qv", k = 3, nProbe = 1)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == brute) // nProbe=1 suffices once centroids are trained
+  }
+
   test("randomHyperplaneLsh: similar vectors collide more than dissimilar") {
     val df = Seq(
       (1L, Seq(1.0, 0.0, 0.5, 0.2)), (2L, Seq(0.99, 0.01, 0.5, 0.2)),
