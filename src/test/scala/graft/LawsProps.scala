@@ -113,6 +113,23 @@ object LawsProps extends Properties("GraftLaws") {
         out.zip(prefixes).forall { case ((_, _, bin, off), pre) => bin * budget + off == pre }
     }
 
+  property("quota tournament == naive single-window top-k for any buckets/quota") =
+    Prop.forAll(Gen.choose(1, 200), Gen.choose(1, 12), Gen.choose(1, 9), seedG) {
+      (n, quota, buckets, seed) =>
+        val df = (1L to n.toLong).map(i => (i, (i % 3).toString)).toDF("id", "g")
+        val fast = Stats.quotaPerGroup(df, col("id"), col("g"),
+            Map("0" -> quota), quota + 1, seed, numBuckets = buckets)
+          .collect().map(_.getLong(0)).toSet
+        // naive reference: rank the whole group in one window
+        val u = Robustness.seededUniform(seed, col("id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(u.asc, col("id").asc)
+        val q = coalesce(element_at(typedLit(Map("0" -> quota)), col("g")), lit(quota + 1))
+        val naive = df.withColumn("rk", row_number().over(w)).where(col("rk") <= q)
+          .collect().map(_.getLong(0)).toSet
+        fast == naive
+    }
+
   property("connected components: component ids are class representatives (min member)") =
     Prop.forAll(Gen.choose(2, 20), Gen.choose(0, 25), seedG) { (n, nEdges, seed) =>
       val rnd = new scala.util.Random(seed)
