@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Joins
+import graft.queries.Q._
+
+/** Time-aware join surface (as-of / point-in-interval), oracled against
+  * DuckDB's native ASOF JOIN and a plain inequality join respectively.
+  * The Spark plans are the single-shuffle union-carry and the binned
+  * equi-join — see [[graft.ops.Joins]] for the 100 TB rationale.
+  */
+object JoinQueries {
+
+  private val HourUs = 3600L * 1000000L
+
+  val queries: Map[String, QueryFn] = Map(
+    "q_asof_join" -> ((s, dir) => {
+      // For every error event: the user's most recent purchase at-or-before
+      // it (value + time), left-outer when no prior purchase exists. The
+      // purchase side is deduped per (user, ts) so ties are deterministic.
+      val ev = table(s, dir, "events")
+      // Times travel as exact epoch-MICROsecond longs (`div`, not `/`:
+      // integer division — a double round-trip at 1e18 loses the tail).
+      // Micros, not nanos, because DuckDB truncates TIMESTAMP(NANOS)
+      // parquet to µs on read; the join itself also compares at µs so the
+      // two engines see identical orderings.
+      val evUs = ev.withColumn("ts_us", expr("ts div 1000"))
+      val purchases = evUs.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_us").agg(round(max("value"), 4).as("purchase_value"))
+        .withColumn("purchase_ts_us", col("ts_us"))
+      val errors = evUs.where(col("event_type") === "error")
+        .select("event_id", "user_id", "ts_us")
+      Joins.asofJoin(errors, purchases, Seq("user_id"), "ts_us", "ts_us",
+          Seq("purchase_value", "purchase_ts_us"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("purchase_value"), col("purchase_ts_us"))
+        .orderBy("event_id")
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      // Clicks landing inside the hour following each signup (any user):
+      // count + value sum per signup interval. Inner semantics — signups
+      // with no clicks in-window drop out on both sides.
+      // µs timestamps for the same reason as q_asof_join: boundary
+      // comparisons must be engine-identical, not just almost-always-equal.
+      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val intervals = ev.where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"),
+          col("ts_us").as("lo"), (col("ts_us") + HourUs).as("hi"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("ts_us").as("click_ts"), col("value"))
+      Joins.rangeJoin(clicks, "click_ts", intervals, "lo", "hi", HourUs.toDouble)
+        .groupBy("signup_id")
+        .agg(count(lit(1)).as("n_clicks"), round(sum("value"), 4).as("click_value"))
+        .orderBy("signup_id")
+    }),
+
+    "q_bloom_join" -> ((s, dir) => {
+      // Selective fact⋈dim join through the Bloom pre-filter: high-value
+      // orders only (~2% of orders), so most lineitem rows are dropped
+      // BEFORE the shuffle. The oracle is the PLAIN join — bloom false
+      // positives must be invisible in the result.
+      val li = table(s, dir, "lineitem")
+      val hot = table(s, dir, "orders").where(col("o_totalprice") > 450000)
+      Joins.bloomFilteredJoin(li, hot, "l_orderkey", "o_orderkey",
+          expectedItems = 100000L, fpp = 0.01)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH r AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         round(max(value), 4) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'error')
+        |SELECT l.event_id, l.user_id, l.ts_us,
+        |       r.purchase_value, r.ts_us AS purchase_ts_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT r.event_id AS signup_id, count(*) AS n_clicks,
+        |       round(sum(l.value), 4) AS click_value
+        |FROM events l JOIN events r
+        |  ON l.event_type = 'click' AND r.event_type = 'signup'
+        | AND epoch_us(l.ts) >= epoch_us(r.ts)
+        | AND epoch_us(l.ts) < epoch_us(r.ts) + 3600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}
