@@ -20,6 +20,8 @@ object SparkEntry {
     (DedupTextQueries.queries, DedupTextQueries.oracle),
     (SimilarityQueries.queries, SimilarityQueries.oracle),
     (RowsOnlyQueries.queries, RowsOnlyQueries.oracle),
+    (JoinQueries.queries, JoinQueries.oracle),
+    (AnalyticsQueries.queries, AnalyticsQueries.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -203,4 +203,80 @@ object Stats {
       lit(defaultRate))
     df.where(Robustness.seededUniform(seed, idCol) < rate)
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the `value`
+    * distributions of groups `a` and `b` — the standard train/serve (or
+    * split-vs-split) drift detector: `D = max_x |F_a(x) − F_b(x)|`.
+    *
+    * Physical shape: one groupBy(value) shrinks the data to its distinct
+    * values with per-group counts, then the empirical CDFs are the
+    * DISTRIBUTED prefix sum ([[SlidingWindows.withRunningTotal]] — range
+    * exchange + per-partition offsets, no global single-partition window)
+    * over value order, run once per group on the already-tiny distinct
+    * table. Exact integer cumulative counts divide to identical doubles on
+    * any engine, so D is bit-stable. Returns one row:
+    * (ks_stat, n_a, n_b). */
+  def ksStatistic(df: DataFrame, value: Column, group: Column,
+      a: String, b: String): DataFrame = {
+    val counts = df.where(group.isin(a, b))
+      .groupBy(value.as("v"))
+      .agg(sum(when(group === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(group === b, 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(sum("ca"), sum("cb")).collect()(0)
+    val (nA, nB) = (totals.getLong(0), totals.getLong(1))
+    val cum = SlidingWindows.withRunningTotal(
+      SlidingWindows.withRunningTotal(counts, Seq(col("v")), col("ca"), "cum_a"),
+      Seq(col("v")), col("cb"), "cum_b")
+    cum.agg(max(abs(col("cum_a") / lit(nA) - col("cum_b") / lit(nB))).as("ks_stat"))
+      .select(col("ks_stat"), lit(nA).as("n_a"), lit(nB).as("n_b"))
+  }
+
+  /** Welch's unequal-variance t-test between groups `a` and `b` on
+    * `value`: t statistic + Welch–Satterthwaite degrees of freedom (plus
+    * the group means). ONE map-side-combinable aggregation — conditional
+    * aggregates, no second pass, no shuffle beyond the 1-row combine. */
+  def welchTTest(df: DataFrame, value: Column, group: Column,
+      a: String, b: String): DataFrame = {
+    val va = when(group === a, value)
+    val vb = when(group === b, value)
+    df.agg(
+        avg(va).as("m1"), avg(vb).as("m2"),
+        var_samp(va).as("s1"), var_samp(vb).as("s2"),
+        count(va).as("n1"), count(vb).as("n2"))
+      .select(
+        ((col("m1") - col("m2")) /
+          sqrt(col("s1") / col("n1") + col("s2") / col("n2"))).as("t_stat"),
+        (pow(col("s1") / col("n1") + col("s2") / col("n2"), 2) /
+          (pow(col("s1") / col("n1"), 2) / (col("n1") - 1) +
+           pow(col("s2") / col("n2"), 2) / (col("n2") - 1))).as("dof"),
+        col("m1").as("mean_a"), col("m2").as("mean_b"),
+        col("n1").as("n_a"), col("n2").as("n_b"))
+  }
+
+  /** Mutual information I(X;Y) in nats between two discrete columns —
+    * the label↔feature dependence score used for feature selection
+    * (higher = more informative feature).
+    *
+    * `I = Σ_xy (n_xy/N) · ln(n_xy·N / (n_x·n_y))`, null treated as its
+    * own category.
+    *
+    * Physical shape: ONE shuffle — the joint `groupBy(x, y)` count; the
+    * marginals and N are re-aggregated FROM the tiny joint table (at most
+    * |X|·|Y| rows), so the raw data is scanned and shuffled exactly once
+    * no matter how wide N grows. The joint table is broadcast-joined back
+    * to its own marginals.
+    */
+  def mutualInfo(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val joint = df.groupBy(
+        coalesce(x.cast("string"), lit("§null§")).as("x"),
+        coalesce(y.cast("string"), lit("§null§")).as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = joint.groupBy("x").agg(sum("n_xy").as("n_x"))
+    val my = joint.groupBy("y").agg(sum("n_xy").as("n_y"))
+    val n = Window.partitionBy()
+    joint.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .withColumn("n", sum("n_xy").over(n))
+      .agg(sum(col("n_xy") / col("n") *
+        log(col("n_xy") * col("n") / (col("n_x") * col("n_y")))).as("mi_nats"))
+  }
 }

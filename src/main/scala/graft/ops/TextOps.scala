@@ -225,4 +225,35 @@ object TextOps {
       .withColumn("offset", pmod(col("__rt") - col("n_tokens"), lit(budgetTokens.toLong)))
       .drop("__rt")
   }
+
+  /** RAG-style document chunking: whitespace tokens cut into windows of
+    * `chunkSize` tokens every `stride` tokens (overlapping when
+    * `stride < chunkSize`); the tail chunk is truncated, empty documents
+    * produce no chunks. Emits one row per chunk:
+    * `(…doc cols…, chunk_idx, chunk_tokens, chunk_text)`.
+    *
+    * Narrow, shuffle-free: tokenize + `posexplode` over the in-row start
+    * sequence — each task chunks its own documents, so the op scales with
+    * input splits. A 100 TB corpus fans out to ≈ n/stride× rows, which is
+    * the output's intrinsic size, not an intermediate blow-up: Spark
+    * pipelines the explode straight into the downstream consumer (or
+    * parquet writer) without materializing per-doc state.
+    */
+  def chunkDocuments(df: org.apache.spark.sql.DataFrame, text: Column,
+      chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize >= 1 && stride >= 1, "chunkSize and stride must be >= 1")
+    val toks = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    val nChunks = ceil(size(col("__toks")) / lit(stride.toDouble)).cast("int")
+    df.withColumn("__toks", toks)
+      // explode of an EMPTY array (not sequence(0,-1), which counts DOWN)
+      // so zero-token documents drop out instead of emitting ghost chunks
+      .withColumn("chunk_idx", explode(when(nChunks > 0,
+        sequence(lit(0), nChunks - 1)).otherwise(array().cast("array<int>"))))
+      .withColumn("__chunk",
+        slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkSize)))
+      .withColumn("chunk_tokens", size(col("__chunk")).cast("long"))
+      .withColumn("chunk_text", array_join(col("__chunk"), " "))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .drop("__toks", "__chunk")
+  }
 }

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Stats, TextOps}
+import graft.queries.Q._
+
+/** Analytic surface beyond plain group-aggregate: exact percentiles,
+  * fixed-width histograms, ROLLUP super-aggregates, PIVOT, mutual
+  * information, and RAG document chunking. All hash-oracled.
+  */
+object AnalyticsQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+    "q_percentiles" -> ((s, dir) =>
+      // Exact linear-interpolation percentiles (sort-based `percentile`,
+      // not the t-digest approx) per group — the approx_percentile form is
+      // the 100 TB scale path; this pins the exact semantics.
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(avg("l_extendedprice"), 4).as("mean_price"))
+        .orderBy("l_returnflag")),
+
+    "q_histogram" -> ((s, dir) =>
+      // Fixed-width histogram as pure arithmetic: bin = floor(x/w) keeps
+      // the plan a single map-side-combinable aggregation (no sort, no
+      // per-bin subquery) at any scale.
+      table(s, dir, "orders")
+        .withColumn("bin", floor(col("o_totalprice") / lit(25000.0)).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 4).as("avg_price"))
+        .orderBy("bin")),
+
+    "q_rollup" -> ((s, dir) =>
+      // ROLLUP super-aggregates (status, priority) -> (status) -> () with a
+      // text sentinel so ordering is deterministic across engines.
+      table(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("revenue"))
+        .orderBy("status", "priority")),
+
+    "q_pivot" -> ((s, dir) =>
+      // PIVOT on the known status domain; the twin is conditional
+      // aggregation, which is also exactly the physical plan Spark lowers
+      // pivot to (no extra shuffle vs a plain groupBy).
+      table(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum("o_totalprice"), 2))
+        .withColumnRenamed("F", "revenue_f")
+        .withColumnRenamed("O", "revenue_o")
+        .withColumnRenamed("P", "revenue_p")
+        .orderBy("o_orderpriority")),
+
+    "g_mutual_info" -> ((s, dir) => {
+      // Feature scoring: MI(event_type; decile-binned value) in nats.
+      val ev = table(s, dir, "events")
+        .withColumn("vbin", floor(col("value") / lit(50.0)).cast("long"))
+      Stats.mutualInfo(ev, col("event_type"), col("vbin"))
+        .select(round(col("mi_nats"), 6).as("mi_nats"))
+    }),
+
+    "g_ks_drift" -> ((s, dir) => {
+      // Distribution-drift detector: two-sample KS between click and view
+      // event values (exact distributed ECDF gap; see Stats.ksStatistic).
+      val ev = table(s, dir, "events")
+      Stats.ksStatistic(ev, col("value"), col("event_type"), "click", "view")
+        .select(round(col("ks_stat"), 6).as("ks_stat"), col("n_a"), col("n_b"))
+    }),
+
+    "g_welch_ttest" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      Stats.welchTTest(ev, col("value"), col("event_type"), "click", "view")
+        .select(round(col("t_stat"), 6).as("t_stat"), round(col("dof"), 4).as("dof"),
+          round(col("mean_a"), 6).as("mean_a"), round(col("mean_b"), 6).as("mean_b"),
+          col("n_a"), col("n_b"))
+    }),
+
+    "text_chunks" -> ((s, dir) =>
+      TextOps.chunkDocuments(table(s, dir, "documents"), col("text"),
+          chunkSize = 32, stride = 24)
+        .select("doc_id", "chunk_idx", "chunk_tokens", "chunk_text")
+        .orderBy("doc_id", "chunk_idx")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(avg(l_extendedprice), 4) AS mean_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+        |  count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS revenue_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS revenue_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS revenue_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g_mutual_info" ->
+      """WITH j AS (
+        |  SELECT coalesce(CAST(event_type AS VARCHAR), '§null§') AS x,
+        |         coalesce(CAST(CAST(floor(value / 50.0) AS BIGINT) AS VARCHAR), '§null§') AS y,
+        |         count(*) AS n_xy
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM j GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM j GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM j)
+        |SELECT round(sum((n_xy / n) * ln((n_xy * n) / (n_x * n_y))), 6) AS mi_nats
+        |FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t""".stripMargin,
+
+    "g_ks_drift" ->
+      """WITH c AS (
+        |  SELECT value AS v,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |n AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        |cum AS (SELECT sum(ca) OVER (ORDER BY v) AS cka,
+        |               sum(cb) OVER (ORDER BY v) AS ckb FROM c)
+        |SELECT round(max(abs(CAST(cka AS DOUBLE) / na - CAST(ckb AS DOUBLE) / nb)), 6) AS ks_stat,
+        |       na AS n_a, nb AS n_b
+        |FROM cum CROSS JOIN n GROUP BY na, nb""".stripMargin,
+
+    "g_welch_ttest" ->
+      """WITH s AS (
+        |  SELECT avg(value) FILTER (WHERE event_type = 'click') AS m1,
+        |         avg(value) FILTER (WHERE event_type = 'view') AS m2,
+        |         var_samp(value) FILTER (WHERE event_type = 'click') AS s1,
+        |         var_samp(value) FILTER (WHERE event_type = 'view') AS s2,
+        |         count(value) FILTER (WHERE event_type = 'click') AS n1,
+        |         count(value) FILTER (WHERE event_type = 'view') AS n2
+        |  FROM events)
+        |SELECT round((m1 - m2) / sqrt(s1/n1 + s2/n2), 6) AS t_stat,
+        |       round(pow(s1/n1 + s2/n2, 2) /
+        |             (pow(s1/n1, 2) / (n1 - 1) + pow(s2/n2, 2) / (n2 - 1)), 4) AS dof,
+        |       round(m1, 6) AS mean_a, round(m2, 6) AS mean_b,
+        |       n1 AS n_a, n2 AS n_b
+        |FROM s""".stripMargin,
+
+    "text_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |n AS (SELECT doc_id, tk, CAST(ceil(len(tk) / 24.0) AS INT) AS nc FROM toks),
+        |s AS (SELECT CAST(i AS INT) AS i FROM generate_series(0, 4999) g(i))
+        |SELECT d.doc_id, CAST(s.i AS BIGINT) AS chunk_idx,
+        |       CAST(len(d.tk[s.i*24+1 : s.i*24+32]) AS BIGINT) AS chunk_tokens,
+        |       array_to_string(d.tk[s.i*24+1 : s.i*24+32], ' ') AS chunk_text
+        |FROM n d JOIN s ON s.i < d.nc
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+  )
+}

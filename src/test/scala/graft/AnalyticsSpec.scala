@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Stats, TextOps}
+
+/** Laws for the round-3 analytic ops: chunking coverage/overlap and
+  * mutual-information identities. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def chunks(text: String, size: Int, stride: Int): Seq[(Long, Long, String)] =
+    TextOps.chunkDocuments(Seq((1L, text)).toDF("doc_id", "text"), col("text"), size, stride)
+      .select("chunk_idx", "chunk_tokens", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sortBy(_._1)
+
+  test("chunkDocuments: empty and whitespace-only docs produce no chunks") {
+    assert(chunks("", 4, 4).isEmpty)
+    assert(chunks("   \n\t ", 4, 4).isEmpty)
+  }
+
+  test("chunkDocuments: short doc -> one truncated chunk") {
+    assert(chunks("a b c", 8, 8) == Seq((0L, 3L, "a b c")))
+  }
+
+  test("chunkDocuments: stride == size partitions the tokens exactly") {
+    val got = chunks((1 to 10).map(i => s"t$i").mkString(" "), 4, 4)
+    assert(got == Seq((0L, 4L, "t1 t2 t3 t4"), (1L, 4L, "t5 t6 t7 t8"), (2L, 2L, "t9 t10")))
+  }
+
+  test("chunkDocuments: overlapping chunks cover every token, tail truncated") {
+    val n = 25
+    val got = chunks((1 to n).map(i => s"t$i").mkString(" "), 8, 5)
+    assert(got.length == 5) // ceil(25/5)
+    // reconstruction: token i appears in chunk floor((i-1)/5) at least
+    val covered = got.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to n).map(i => s"t$i").toSet)
+    // every non-tail chunk is full-size
+    assert(got.dropRight(1).forall(_._2 == 8L))
+    // adjacent chunks overlap by size - stride = 3 tokens
+    assert(got(0)._3.split(" ").takeRight(3).toSeq == got(1)._3.split(" ").take(3).toSeq)
+  }
+
+  test("chunkDocuments: multi-whitespace runs collapse (no empty tokens)") {
+    assert(chunks("a   b\n\nc\td", 2, 2) == Seq((0L, 2L, "a b"), (1L, 2L, "c d")))
+  }
+
+  private def mi(rows: Seq[(String, String)]): Double =
+    Stats.mutualInfo(rows.toDF("x", "y"), col("x"), col("y"))
+      .collect()(0).getDouble(0)
+
+  test("mutualInfo: independent columns -> 0") {
+    val rows = for (x <- Seq("a", "b"); y <- Seq("u", "v", "w")) yield (x, y)
+    assert(approx(mi(rows ++ rows), 0.0))
+  }
+
+  test("mutualInfo: deterministic mapping -> H(X)") {
+    // y = f(x) bijective: MI = entropy of X = ln 3 for uniform 3 classes
+    val rows = Seq.fill(4)(Seq(("a", "1"), ("b", "2"), ("c", "3"))).flatten
+    assert(approx(mi(rows), math.log(3.0), 1e-12))
+  }
+
+  test("mutualInfo: hand-computed 2x2 joint") {
+    // joint counts: (a,u)=3 (a,v)=1 (b,u)=1 (b,v)=3, N=8
+    val rows = Seq.fill(3)(("a", "u")) ++ Seq(("a", "v")) ++
+      Seq(("b", "u")) ++ Seq.fill(3)(("b", "v"))
+    val expect = Seq((3.0, 4.0, 4.0), (1.0, 4.0, 4.0), (1.0, 4.0, 4.0), (3.0, 4.0, 4.0))
+      .map { case (nxy, nx, ny) => nxy / 8.0 * math.log(nxy * 8.0 / (nx * ny)) }.sum
+    assert(approx(mi(rows), expect, 1e-12))
+  }
+
+  private def ks(rows: Seq[(Double, String)]): Double =
+    Stats.ksStatistic(rows.toDF("v", "g"), col("v"), col("g"), "a", "b")
+      .collect()(0).getDouble(0)
+
+  test("ksStatistic: identical samples -> 0, disjoint supports -> 1") {
+    val xs = Seq(1.0, 2.0, 3.0, 4.0)
+    assert(approx(ks(xs.map((_, "a")) ++ xs.map((_, "b"))), 0.0))
+    assert(approx(ks(xs.map((_, "a")) ++ xs.map(x => (x + 100.0, "b"))), 1.0))
+  }
+
+  test("ksStatistic: hand-computed asymmetric case") {
+    // a = {1,2}, b = {2,3,4}: gaps at v=1: |1/2-0|=.5; v=2: |1-1/3|=2/3; v=3: |1-2/3|=1/3
+    val rows = Seq((1.0, "a"), (2.0, "a"), (2.0, "b"), (3.0, "b"), (4.0, "b"))
+    assert(approx(ks(rows), 2.0 / 3.0, 1e-12))
+  }
+
+  test("ksStatistic: unrelated groups are ignored") {
+    val rows = Seq((1.0, "a"), (2.0, "b"), (50.0, "noise"), (60.0, "noise"))
+    assert(approx(ks(rows), 1.0))
+  }
+
+  test("welchTTest: hand-computed statistic and dof") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0)
+    val b = Seq(2.0, 4.0, 6.0)
+    val rows = a.map((_, "a")) ++ b.map((_, "b"))
+    val r = Stats.welchTTest(rows.toDF("v", "g"), col("v"), col("g"), "a", "b").collect()(0)
+    val (m1, m2) = (a.sum / a.size, b.sum / b.size)
+    val s1 = a.map(x => (x - m1) * (x - m1)).sum / (a.size - 1)
+    val s2 = b.map(x => (x - m2) * (x - m2)).sum / (b.size - 1)
+    val se2 = s1 / a.size + s2 / b.size
+    val t = (m1 - m2) / math.sqrt(se2)
+    val dof = se2 * se2 /
+      (math.pow(s1 / a.size, 2) / (a.size - 1) + math.pow(s2 / b.size, 2) / (b.size - 1))
+    assert(approx(r.getAs[Double]("t_stat"), t, 1e-9))
+    assert(approx(r.getAs[Double]("dof"), dof, 1e-9))
+    assert(r.getAs[Long]("n_a") == 4 && r.getAs[Long]("n_b") == 3)
+  }
+
+  test("welchTTest: swapping groups flips the sign") {
+    val rows = Seq((1.0, "a"), (2.0, "a"), (5.0, "b"), (7.0, "b"))
+    val ab = Stats.welchTTest(rows.toDF("v", "g"), col("v"), col("g"), "a", "b")
+      .collect()(0).getAs[Double]("t_stat")
+    val ba = Stats.welchTTest(rows.toDF("v", "g"), col("v"), col("g"), "b", "a")
+      .collect()(0).getAs[Double]("t_stat")
+    assert(approx(ab, -ba, 1e-12) && ab < 0)
+  }
+
+  test("mutualInfo: nulls are their own category") {
+    val rows = Seq(("a", "1"), ("a", "1"), (null, "2"), (null, "2")).asInstanceOf[Seq[(String, String)]]
+    assert(approx(mi(rows), math.log(2.0), 1e-12)) // null<->2 is a perfect signal
+  }
+}
