@@ -85,6 +85,24 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "ann_pq_adc" -> ((s, dir) => {
+      // Product-quantization ADC search: 4 subspaces × 4 codes sampled
+      // from the lowest vec_ids (SQL-reproducible; real deployments use
+      // Pq.trainCodebooks — spec-covered). The corpus side of the search
+      // reads ONLY the 4-int codes column: the 100 TB memory-bound path.
+      import graft.ops.Pq
+      val e = emb(s, dir)
+      val cb = Pq.sampleCodebooks(e, "vec_id", "v", m = 4, k = 4)
+      val encoded = Pq.encode(e.select(col("vec_id"), col("v")), "v", cb)
+        .select("vec_id", "codes")
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      Pq.adcTopK(encoded, queries, "vec_id", "qid", "qv", cb, k = 5)
+        .select(col("qid"), col("vec_id"), round(col("adc"), 4).as("adc"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     "ann_ivf" -> ((s, dir) => {
       // IVF ANN: 16 lowest-id centroids, probe 4 cells, top-3 — the
       // 100 TB path (cell pre-assignment makes the per-query scan
@@ -170,6 +188,32 @@ object SimilarityQueries {
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, round(cos, 4) AS cos FROM p
          |WHERE cos >= 0.9 ORDER BY 1, 2""".stripMargin,
+
+    "ann_pq_adc" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+         |b AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+         |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+         |ss AS (SELECT CAST(i AS INT) AS s FROM generate_series(0, 3) g(i)),
+         |enc AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT a.vec_id, ss.s, b.code,
+         |      row_number() OVER (PARTITION BY a.vec_id, ss.s ORDER BY
+         |        list_dot_product(b.v[ss.s*16+1 : ss.s*16+16], b.v[ss.s*16+1 : ss.s*16+16])
+         |        - 2 * list_dot_product(a.v[ss.s*16+1 : ss.s*16+16], b.v[ss.s*16+1 : ss.s*16+16]) ASC,
+         |        b.code ASC) AS rk
+         |    FROM e a, ss, b) t WHERE rk = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+         |parts AS (
+         |  SELECT q.qid, enc.vec_id,
+         |    list_dot_product(q.qv[enc.s*16+1 : enc.s*16+16], q.qv[enc.s*16+1 : enc.s*16+16])
+         |    - 2 * list_dot_product(q.qv[enc.s*16+1 : enc.s*16+16], b.v[enc.s*16+1 : enc.s*16+16])
+         |    + list_dot_product(b.v[enc.s*16+1 : enc.s*16+16], b.v[enc.s*16+1 : enc.s*16+16]) AS pd
+         |  FROM enc JOIN b ON b.code = enc.code CROSS JOIN q),
+         |adc AS (SELECT qid, vec_id, sum(pd) AS adc FROM parts GROUP BY 1, 2),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |  ORDER BY adc ASC, vec_id ASC) AS rank FROM adc)
+         |SELECT qid, vec_id, round(adc, 4) AS adc, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
