@@ -59,6 +59,26 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("__dup_hash")
       .drop("__dup_hash")
 
+  /** Stream-stream interval join — the online form of
+    * [[graft.ops.Joins.rangeJoin]]: every `points` row pairs with the
+    * `intervals` rows of the same `key` whose start lies in
+    * `(pointTs − windowDur, pointTs]`, i.e. point ∈ [start, start +
+    * windowDur). Both sides are watermarked, so the join state Spark
+    * buffers (rows awaiting possible matches from the other stream) is
+    * evicted once event time passes `watermark + windowDur` — bounded,
+    * partitioned by key across executors. Timestamp columns must be named
+    * differently on the two sides; the duplicate key column is dropped. */
+  def intervalJoin(points: DataFrame, pointTs: String, intervals: DataFrame,
+      ivTs: String, key: String, windowDur: String,
+      watermark: String = "10 seconds"): DataFrame = {
+    require(pointTs != ivTs, "timestamp columns must have distinct names")
+    val l = points.withWatermark(pointTs, watermark).alias("l")
+    val r = intervals.withWatermark(ivTs, watermark).alias("r")
+    l.join(r, expr(
+        s"l.$key = r.$key AND l.$pointTs >= r.$ivTs AND l.$pointTs < r.$ivTs + interval $windowDur"))
+      .drop(col(s"r.$key"))
+  }
+
   final case class Event(entity: String, ts: Timestamp, yTrue: Int, yPred: Int)
   final case class EpisodeState(startMs: Long, firstDetMs: Long, anyDetected: Boolean)
   final case class Episode(entity: String, startMs: Long, detected: Boolean, delayMs: Long)

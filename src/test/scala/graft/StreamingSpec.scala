@@ -39,6 +39,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin pairs points with same-key intervals, online == batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val pts = MemoryStream[(String, Timestamp, Double)]
+    val ivs = MemoryStream[(String, Timestamp, Long)]
+    val joined = StreamingOps.intervalJoin(
+      pts.toDF.toDF("k", "pts", "value"),
+      "pts", ivs.toDF.toDF("k", "its", "ivid"), "its", "k", "5 seconds")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      ivs.addData(("a", ts(0), 100L), ("a", ts(10), 200L), ("b", ts(0), 300L))
+      pts.addData(
+        ("a", ts(1), 1.0),   // in [0,5) -> 100
+        ("a", ts(4), 2.0),   // in [0,5) -> 100
+        ("a", ts(5), 3.0),   // 5 is OUTSIDE [0,5) and outside [10,15) -> no match
+        ("a", ts(12), 4.0),  // in [10,15) -> 200
+        ("b", ts(3), 5.0),   // same window, other key -> 300
+        ("c", ts(1), 6.0))   // key with no intervals -> dropped (inner)
+      q.processAllAvailable()
+      val got = spark.table("ij").select("value", "ivid").collect()
+        .map(r => (r.getDouble(0), r.getLong(1))).toSet
+      assert(got == Set((1.0, 100L), (2.0, 100L), (4.0, 200L), (5.0, 300L)))
+    } finally q.stop()
+  }
+
   test("a batch-fitted model scores a live stream (projection-only transform)") {
     implicit val sqlCtx = spark.sqlContext
     // train on batch windows with a separable signal
