@@ -52,7 +52,10 @@ object SlidingWindows {
       else Window.partitionBy(partitionCols.map(col): _*)
     val w = part.orderBy(orderCols: _*)
     val frame = w.rowsBetween(-(seqLen - 1), 0)
-    df.withColumn("win_id", row_number().over(w))
+    // win_id is LONG in every windower form (chunked/streaming emit the
+    // 64-bit global index; a 32-bit rank here would overflow first and
+    // makes the forms schema-incompatible)
+    df.withColumn("win_id", row_number().over(w).cast("long"))
       .withColumn("window", collect_list(features).over(frame))
       .where(col("win_id") >= seqLen &&
         pmod(col("win_id") - seqLen, lit(step)) === 0)

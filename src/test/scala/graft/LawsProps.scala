@@ -34,10 +34,10 @@ object LawsProps extends Properties("GraftLaws") {
       val df = (1 to n).map(i => (i.toLong, i.toDouble)).toDF("t", "x").repartition(3)
       val a = SlidingWindows.slideGlobal(df, Seq(col("t")), col("x"), seqLen, step)
         .select("win_id", "window").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toList)).sortBy(_._1).toList
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).sortBy(_._1).toList
       val b = SlidingWindows.slideGlobalChunked(df, Seq(col("t")), col("x"), seqLen, step, chunk)
         .select("win_id", "window").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toList)).sortBy(_._1).toList
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).sortBy(_._1).toList
       a == b
     }
 

@@ -32,9 +32,9 @@ class SlidingWindowsSpec extends SparkSpec {
 
   test("window content is the trailing seqLen rows; label = last row") {
     val out = SlidingWindows.slideGlobal(series(10), Seq(col("t")), col("x"), 3, 2)
-      .select($"win_id", $"window", $"lab").collect().sortBy(_.getInt(0))
+      .select($"win_id", $"window", $"lab").collect().sortBy(_.getLong(0))
     // win ends at rn = 3, 5, 7, 9
-    assert(out.map(_.getInt(0)).toSeq == Seq(3, 5, 7, 9))
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L, 5L, 7L, 9L))
     assert(out.head.getSeq[Double](1) == Seq(1.0, 2.0, 3.0))
     assert(out.last.getSeq[Double](1) == Seq(7.0, 8.0, 9.0))
     assert(out.map(_.getString(2)).toSeq == Seq("lab3", "lab5", "lab7", "lab9"))
