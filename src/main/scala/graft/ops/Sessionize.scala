@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -137,4 +138,25 @@ object Sessionize {
         count(lit(1)).as("episodes_total"),
         count(col("det_idx")).as("episodes_detected"),
         avg(col("delay_windows") * hopSeconds).as("avg_ttd_seconds"))
+
+  /** Generic inactivity-gap sessionization per key: a new session starts
+    * at a key's first event and whenever the time since the key's
+    * previous event exceeds `gap` (same time unit as `t`). Adds
+    * `session_id` (1-based per key).
+    *
+    * Unlike [[episodes]]' single global sequence, the order here is
+    * per-key, so a plain PARTITIONED window (lag + running sum of session
+    * starts) is already the scale shape — work fans out across keys, no
+    * boundary chaining needed. Equal timestamps within a key are
+    * order-insensitive: dt = 0 never opens a session, so every equal-t
+    * row lands in the same session whichever sorts first. */
+  def byGap(df: DataFrame, key: Column, t: Column, gap: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(t)
+    val prev = lag(t, 1).over(w)
+    df.withColumn("__new",
+        when(prev.isNull || (t - prev) > gap, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new")
+  }
 }

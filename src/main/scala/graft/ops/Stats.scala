@@ -253,6 +253,25 @@ object Stats {
         col("n1").as("n_a"), col("n2").as("n_b"))
   }
 
+  /** Forward-fill resampling: evaluate each key's last-known payload on a
+    * regular time grid (`gridStart to gridEnd by step`, same unit as
+    * `t`) — the series-alignment op that turns irregular event streams
+    * into fixed-rate features. Grid points before a key's first event
+    * keep a null payload.
+    *
+    * Implemented as [[Joins.asofJoin]](grid, series): the grid is a
+    * narrow distinct-keys × sequence explode (nKeys · nPoints rows), and
+    * the fill is the single-shuffle union-carry — no per-point probe,
+    * no interpolation pass. */
+  def resampleFfill(series: DataFrame, keys: Seq[String], t: String,
+      payload: Seq[String], gridStart: Long, gridEnd: Long,
+      step: Long): DataFrame = {
+    require(step > 0 && gridEnd >= gridStart, "need step > 0, gridEnd >= gridStart")
+    val grid = series.select(keys.map(col): _*).distinct()
+      .withColumn(t, explode(sequence(lit(gridStart), lit(gridEnd), lit(step))))
+    Joins.asofJoin(grid, series, keys, t, t, payload)
+  }
+
   /** Mutual information I(X;Y) in nats between two discrete columns —
     * the label↔feature dependence score used for feature selection
     * (higher = more informative feature).

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Stats, TextOps}
+import graft.ops.{Sessionize, Stats, TextOps}
 import graft.queries.Q._
 
 /** Analytic surface beyond plain group-aggregate: exact percentiles,
@@ -84,6 +84,34 @@ object AnalyticsQueries {
           col("n_a"), col("n_b"))
     }),
 
+    "g_sessionize_gap" -> ((s, dir) => {
+      // Inactivity-gap sessions per user (6 h gap), one row per session.
+      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      Sessionize.byGap(ev, col("user_id"), col("ts_us"), gap = 21600000000L)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min("ts_us").as("first_us"),
+          max("ts_us").as("last_us"))
+        .withColumn("duration_us", col("last_us") - col("first_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    "g_resample_ffill" -> ((s, dir) => {
+      // Forward-fill each user's last event value onto a fixed 6-hour grid
+      // over January 2024 (the testdata span) — series alignment for
+      // fixed-rate features; grid points before a user's first event stay
+      // null. Grid bounds are constants so the DuckDB twin can reproduce
+      // the grid with generate_series.
+      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val series = ev.groupBy("user_id", "ts_us")
+        .agg(round(max("value"), 4).as("last_value"))
+        .withColumn("last_event_us", col("ts_us"))
+      Stats.resampleFfill(series, Seq("user_id"), "ts_us",
+          Seq("last_value", "last_event_us"),
+          gridStart = 1704067200000000L, gridEnd = 1706745600000000L,
+          step = 21600000000L)
+        .orderBy("user_id", "ts_us")
+    }),
+
     "text_chunks" -> ((s, dir) =>
       TextOps.chunkDocuments(table(s, dir, "documents"), col("text"),
           chunkSize = 32, stride = 24)
@@ -160,6 +188,32 @@ object AnalyticsQueries {
         |       round(m1, 6) AS mean_a, round(m2, 6) AS mean_b,
         |       n1 AS n_a, n2 AS n_b
         |FROM s""".stripMargin,
+
+    "g_sessionize_gap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |        CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 21600000000
+        |             THEN 1 ELSE 0 END AS nw
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (SELECT user_id, t,
+        |        CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY t
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events, min(t) AS first_us,
+        |       max(t) AS last_us, max(t) - min(t) AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g_resample_ffill" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |g AS (SELECT u.user_id, CAST(gs.g AS BIGINT) AS ts_us
+        |      FROM u CROSS JOIN generate_series(1704067200000000,
+        |        1706745600000000, 21600000000) gs(g)),
+        |r AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |        round(max(value), 4) AS last_value
+        |      FROM events GROUP BY 1, 2)
+        |SELECT g.user_id, g.ts_us, r.last_value, r.ts_us AS last_event_us
+        |FROM g ASOF LEFT JOIN r ON g.user_id = r.user_id AND g.ts_us >= r.ts_us
+        |ORDER BY 1, 2""".stripMargin,
 
     "text_chunks" ->
       """WITH toks AS (

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Stats, TextOps}
+import graft.ops.{Sessionize, Stats, TextOps}
 
 /** Laws for the round-3 analytic ops: chunking coverage/overlap and
   * mutual-information identities. */
@@ -42,6 +42,38 @@ class AnalyticsSpec extends SparkSpec {
 
   test("chunkDocuments: multi-whitespace runs collapse (no empty tokens)") {
     assert(chunks("a   b\n\nc\td", 2, 2) == Seq((0L, 2L, "a b"), (1L, 2L, "c d")))
+  }
+
+  test("byGap: sessions split on gaps > threshold, per key, 1-based") {
+    val rows = Seq(("a", 0L), ("a", 10L), ("a", 100L), ("a", 105L), ("a", 300L),
+      ("b", 7L)).toDF("k", "t")
+    val got = Sessionize.byGap(rows, col("k"), col("t"), gap = 50L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", 0L) -> 1L, ("a", 10L) -> 1L, ("a", 100L) -> 2L,
+      ("a", 105L) -> 2L, ("a", 300L) -> 3L, ("b", 7L) -> 1L))
+  }
+
+  test("byGap: equal timestamps share a session regardless of order") {
+    val rows = Seq(("a", 5L), ("a", 5L), ("a", 200L)).toDF("k", "t")
+    val ids = Sessionize.byGap(rows.repartition(3), col("k"), col("t"), gap = 50L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2))
+    assert(ids.filter(_._1 == 5L).map(_._2).toSet == Set(1L))
+    assert(ids.find(_._1 == 200L).get._2 == 2L)
+  }
+
+  test("resampleFfill: grid carries the last-known value, null before first event") {
+    val series = Seq(("a", 5L, 1.0), ("a", 25L, 2.0), ("b", 35L, 9.0))
+      .toDF("k", "t", "v")
+    val got = Stats.resampleFfill(series, Seq("k"), "t", Seq("v"), 0L, 40L, 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.getAs[Any]("v")).map(_.asInstanceOf[Double])).toMap
+    assert(got(("a", 0L)).isEmpty)          // before first event
+    assert(got(("a", 10L)).contains(1.0))
+    assert(got(("a", 20L)).contains(1.0))   // held between events
+    assert(got(("a", 30L)).contains(2.0))
+    assert(got(("a", 40L)).contains(2.0))   // held past the last event
+    assert(got(("b", 30L)).isEmpty && got(("b", 40L)).contains(9.0))
+    assert(got.size == 10)                  // 2 keys x 5 grid points
   }
 
   private def mi(rows: Seq[(String, String)]): Double =
