@@ -260,4 +260,79 @@ object Dedup {
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_shared_grams"))
   }
+
+  /** Corpus-internal duplicate-span profile (CCNet-style paragraph/span
+    * dedup adapted to token tiles): cut each document into NON-overlapping
+    * `w`-token tiles (full tiles only), count how many DISTINCT documents
+    * share each tile, and report per document how much of it is
+    * corpus-duplicated — the signal behind "remove spans that appear in
+    * ≥ N documents" boilerplate filtering.
+    *
+    * Shape for 100 TB: tiles are deduplicated PER DOCUMENT in-row
+    * (`array_distinct`, narrow — no explode of repeats), so the wide
+    * stages carry each (doc, distinct-tile) once: one shuffle for the
+    * tile→doc-frequency count (map-side combined, keyed on md5 of the
+    * tile, never the tile text), one join of distinct tiles against that
+    * frequency table, one groupBy(id) reassembly. Returns every input row:
+    * (id, n_tiles, n_distinct_tiles, n_dup_tiles, dup_ratio) where
+    * dup_ratio = dup/distinct (0 for tile-less short docs). */
+  def duplicateSpans(df: DataFrame, id: String, text: String,
+      w: Int, minDocs: Int): DataFrame = {
+    require(w >= 1 && minDocs >= 2, "need w >= 1, minDocs >= 2")
+    val toks = filter(split(trim(col(text)), "\\s+"), t => length(t) > 0)
+    val nTiles = (size(col("__toks")) / w).cast("int")
+    val tiled = df
+      .withColumn("__toks", toks)
+      .withColumn("__tiles", when(nTiles > 0,
+        transform(sequence(lit(0), nTiles - 1), i =>
+          md5(array_join(slice(col("__toks"), i * w + 1, lit(w)), " "))))
+        .otherwise(array().cast("array<string>")))
+      .select(col(id), size(col("__tiles")).as("n_tiles"),
+        array_distinct(col("__tiles")).as("__dtiles"))
+    val exploded = tiled.select(col(id), col("n_tiles"),
+      explode(col("__dtiles")).as("__tile"))
+    val freq = exploded.groupBy("__tile")
+      .agg(countDistinct(col(id)).as("__docs"))
+    val perDoc = exploded
+      .join(freq, "__tile")
+      .groupBy(col(id))
+      .agg(first(col("n_tiles")).as("n_tiles"),
+        count(lit(1)).as("n_distinct_tiles"),
+        sum(when(col("__docs") >= minDocs, 1L).otherwise(0L)).as("n_dup_tiles"))
+    df.select(col(id))
+      .join(perDoc, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_tiles"), lit(0)).as("n_tiles"),
+        coalesce(col("n_distinct_tiles"), lit(0L)).as("n_distinct_tiles"),
+        coalesce(col("n_dup_tiles"), lit(0L)).as("n_dup_tiles"),
+        when(coalesce(col("n_distinct_tiles"), lit(0L)) > 0,
+          col("n_dup_tiles").cast("double") / col("n_distinct_tiles"))
+          .otherwise(0.0).as("dup_ratio"))
+  }
+
+  /** Fuzzy (edit-distance) near-duplicate pairs over a string column:
+    * all distinct value pairs within Levenshtein distance `maxDist`.
+    *
+    * Blocking is LOSSLESS length banding — `lev(a,b) ≥ |len(a)−len(b)|`,
+    * so side A explodes to the 2·maxDist+1 length bands it could match
+    * and equi-joins side B on exact length: every qualifying ordered pair
+    * is produced exactly once (A's bands are distinct, B's length is one
+    * value), then `a < b` keeps one orientation and the exact
+    * `levenshtein` filter runs ONLY on banded candidates — never the
+    * all-pairs cross join. Returns (name_a, name_b, dist). */
+  def editDistancePairs(df: DataFrame, name: Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val names = df.select(name.cast("string").as("name_a"))
+      .where(col("name_a").isNotNull).distinct()
+    val bands = names.withColumn("__band",
+      explode(sequence(length(col("name_a")) - maxDist,
+        length(col("name_a")) + maxDist)))
+    val probe = names.select(col("name_a").as("name_b"),
+      length(col("name_a")).as("__band"))
+    bands.join(probe, "__band")
+      .where(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"))
+  }
 }

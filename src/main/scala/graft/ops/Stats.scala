@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Column-statistics operators: P10 standardize, F6/F7 column pruning,
   * G3 distinct counts, G8 time-bin downsampling, G17 ACF.
@@ -270,6 +271,120 @@ object Stats {
     val grid = series.select(keys.map(col): _*).distinct()
       .withColumn(t, explode(sequence(lit(gridStart), lit(gridEnd), lit(step))))
     Joins.asofJoin(grid, series, keys, t, t, payload)
+  }
+
+  /** Exponentially weighted moving average per group — the exact linear
+    * recurrence `y_1 = x_1; y_t = (1−α)·y_{t−1} + α·x_t` (pandas
+    * `ewm(alpha).mean()` with `adjust=False`), NOT the pow-weighted window
+    * sum (whose `(1−α)^{−t}` terms overflow doubles past a few hundred
+    * rows).
+    *
+    * A linear scan is the one shape Catalyst's window frames cannot
+    * express, so this is the justified `flatMapSortedGroups` case: ONE
+    * shuffle on the group key, one in-partition sort on (group, order),
+    * then an O(1)-state streaming fold per group — groups never
+    * materialize, so a single key spanning millions of rows still streams.
+    * Appends `out` (double) to the projected (group ++ order ++ value)
+    * columns. */
+  def ewma(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String, alpha: Double, out: String = "ewma"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val keep = (groupCol +: orderCols :+ valueCol).distinct
+    val proj = df.select(keep.map(col): _*)
+    val schema = proj.schema.add(out, DoubleType)
+    implicit val rowEnc: Encoder[Row] = Encoders.row(schema)
+    val gIdx = proj.schema.fieldIndex(groupCol)
+    val vIdx = proj.schema.fieldIndex(valueCol)
+    val decay = 1.0 - alpha
+    proj.groupByKey(r => String.valueOf(r.get(gIdx)))(Encoders.STRING)
+      .flatMapSortedGroups(orderCols.map(col): _*) { (_, it) =>
+        var y = 0.0
+        var first = true
+        it.map { r =>
+          val x = r.get(vIdx) match {
+            case n: java.lang.Number => n.doubleValue()
+            case _ => Double.NaN
+          }
+          y = if (first) x else decay * y + alpha * x
+          first = false
+          Row.fromSeq(r.toSeq :+ y)
+        }
+      }
+  }
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each row gets key `u^(1/w)` with
+    * `u = hash-uniform(seed, id)`; the k largest keys are the sample.
+    * Inclusion probability is proportional to weight, and — because `u`
+    * is the engine-portable [[IntHash]] uniform, not `rand()` — the
+    * selected set is a pure function of (seed, ids, weights): stable
+    * across partitioning, task retries, and engines.
+    *
+    * Physical shape: narrow key projection + `orderBy(...).limit(k)`,
+    * which Spark executes as TakeOrdered (per-partition top-k, driver
+    * merge of k·parts rows) — no global sort, safe for modest k at any
+    * input size. Rows with weight ≤ 0 are excluded. */
+  def weightedSample(df: DataFrame, idCol: Column, weight: Column, k: Int,
+      seed: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = Robustness.seededUniform(seed, idCol)
+    df.where(weight.cast("double") > 0.0)
+      .withColumn("__wkey", pow(u, lit(1.0) / weight.cast("double")))
+      .orderBy(col("__wkey").desc, idCol.asc)
+      .limit(k)
+      .drop("__wkey")
+  }
+
+  /** Fit k-quantile bin boundaries (exact linear-interpolation
+    * `percentile`, one aggregation pass, k−1 scalars to the driver).
+    * Boundaries are rounded to `roundTo` decimals — quantization makes
+    * the bin ASSIGNMENT ulp-robust (an interpolated cut differing in the
+    * last bit between engines/partitionings can no longer flip a
+    * comparison). `approx_percentile` is the documented 100 TB drop-in
+    * when exactness isn't required. */
+  def fitQuantileBins(df: DataFrame, value: Column, k: Int,
+      roundTo: Int = 6): Seq[Double] = {
+    require(k >= 2, "need k >= 2 bins")
+    val aggs = (1 until k).map(i =>
+      round(percentile(value, lit(i.toDouble / k)), roundTo).as(s"q$i"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    (0 until k - 1).map(row.getDouble)
+  }
+
+  /** Assign the bin id (0..|bounds|) for `value` against fitted
+    * boundaries: `bin = #{b : value > b}` — a pure branch-free projection
+    * (codegen'd), no join, no shuffle. */
+  def applyQuantileBins(value: Column, bounds: Seq[Double]): Column =
+    bounds.foldLeft(lit(0))((acc, b) =>
+      acc + when(value > lit(b), 1).otherwise(0))
+
+  /** Per-group outlier profile: row counts outside the z-score fence
+    * (`|x − μ| > z·σ`, population σ) and outside the Tukey IQR fence
+    * (`x < q1 − f·IQR` or `x > q3 + f·IQR`, exact quartiles). Two passes
+    * by necessity (fences are global statistics): one map-side-combined
+    * aggregation for the fences, broadcast back, one aggregation for the
+    * counts. Fences are rounded to `fenceRound` decimals for the same
+    * ulp-robustness as [[fitQuantileBins]]. */
+  def outlierStats(df: DataFrame, group: Column, value: Column,
+      z: Double = 3.0, iqrFactor: Double = 1.5, fenceRound: Int = 6): DataFrame = {
+    val v = value.cast("double")
+    val fences = df.groupBy(group.as("grp"))
+      .agg(avg(v).as("mu"), stddev_pop(v).as("sigma"),
+        percentile(v, lit(0.25)).as("q1"), percentile(v, lit(0.75)).as("q3"))
+      .select(col("grp"),
+        round(col("mu") - lit(z) * col("sigma"), fenceRound).as("z_lo"),
+        round(col("mu") + lit(z) * col("sigma"), fenceRound).as("z_hi"),
+        round(col("q1") - lit(iqrFactor) * (col("q3") - col("q1")), fenceRound).as("iqr_lo"),
+        round(col("q3") + lit(iqrFactor) * (col("q3") - col("q1")), fenceRound).as("iqr_hi"))
+    df.select(group.as("grp"), v.as("__v"))
+      .join(broadcast(fences), "grp")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__v") < col("z_lo") || col("__v") > col("z_hi"), 1L)
+          .otherwise(0L)).as("n_z_outliers"),
+        sum(when(col("__v") < col("iqr_lo") || col("__v") > col("iqr_hi"), 1L)
+          .otherwise(0L)).as("n_iqr_outliers"),
+        first("iqr_lo").as("iqr_lo"), first("iqr_hi").as("iqr_hi"))
   }
 
   /** Mutual information I(X;Y) in nats between two discrete columns —

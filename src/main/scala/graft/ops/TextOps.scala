@@ -207,6 +207,28 @@ object TextOps {
       .select(col(id), col("term"), col("tf"), col("score"), col("rank"))
   }
 
+  /** Corpus vocabulary builder: global token frequencies with document
+    * frequencies, thresholded at `minCount` and cut to the `topN` most
+    * frequent (ties broken by token string — deterministic across
+    * partitionings).
+    *
+    * Shape for 100 TB: ONE shuffle on token for the (tf, df) aggregation —
+    * `count` is map-side combined and the distinct-doc count is Spark's
+    * two-phase partial-distinct expand, never a per-token row collect;
+    * the `topN` cut is TakeOrdered (per-partition top-k + driver merge),
+    * not a global sort. Returns (token, tf, df_docs). */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      minCount: Long, topN: Int): org.apache.spark.sql.DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    df.select(id.as("__id"), explode(split(trim(text), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("__id")).as("df_docs"))
+      .where(col("tf") >= minCount)
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(topN)
+  }
+
   /** Training-sequence packing (concat-then-chunk): in global `orderCols`
     * order, documents are conceptually concatenated and cut every
     * `budgetTokens` tokens; each doc gets the sequence (`bin`) and

@@ -117,6 +117,58 @@ object AnalyticsQueries {
           chunkSize = 32, stride = 24)
         .select("doc_id", "chunk_idx", "chunk_tokens", "chunk_text")
         .orderBy("doc_id", "chunk_idx")),
+
+    "g_ewma" -> ((s, dir) => {
+      // Per-user EWMA of event values — the exact sequential recurrence,
+      // distributed (one shuffle + one in-partition sort; see Stats.ewma).
+      // The oracle replays the identical fold as a recursive CTE.
+      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      Stats.ewma(ev, "user_id", Seq("ts_us", "event_id"), "value", alpha = 0.3)
+        .select(col("user_id"), col("ts_us"), round(col("ewma"), 6).as("ewma"))
+        .orderBy("user_id", "ts_us")
+    }),
+
+    "g_outliers" -> ((s, dir) =>
+      // Per-event-type anomaly profile: z-score and Tukey-IQR fence counts
+      // (fences rounded to 6 inside the op for engine portability).
+      Stats.outlierStats(table(s, dir, "events"), col("event_type"), col("value"))
+        .orderBy("grp")),
+
+    "g_quantile_bins" -> ((s, dir) => {
+      // Decile feature discretization: exact quantile cuts fitted in one
+      // aggregation pass (9 scalars to the driver), assignment a pure
+      // branch-free projection.
+      val ev = table(s, dir, "events")
+      val bounds = Stats.fitQuantileBins(ev, col("value"), k = 10)
+      ev.withColumn("bin", Stats.applyQuantileBins(col("value"), bounds))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          round(min("value"), 6).as("lo"), round(max("value"), 6).as("hi"))
+        .orderBy("bin")
+    }),
+
+    "q_window_suite" -> ((s, dir) => {
+      // The general window-function surface in one plan: lag/lead +
+      // row_number/ntile per user over time, rank/dense_rank/percent_rank/
+      // cume_dist per event type over value. The user_id filter sits ABOVE
+      // both windows (it is not a partition key of the value window), so
+      // ranks are computed over the full table — same as the twin.
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val wU = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wT = Window.partitionBy("event_type").orderBy("value")
+      ev.select(col("event_id"), col("user_id"), col("ts_us"),
+          round(lag("value", 1).over(wU), 6).as("prev_value"),
+          round(lead("value", 1).over(wU), 6).as("next_value"),
+          row_number().over(wU).cast("long").as("rn"),
+          ntile(4).over(wU).cast("long").as("quartile"),
+          rank().over(wT).cast("long").as("rnk"),
+          dense_rank().over(wT).cast("long").as("drnk"),
+          round(percent_rank().over(wT), 6).as("pct_rank"),
+          round(cume_dist().over(wT), 6).as("cdist"))
+        .where(col("user_id") < 15)
+        .orderBy("event_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -214,6 +266,83 @@ object AnalyticsQueries {
         |SELECT g.user_id, g.ts_us, r.last_value, r.ts_us AS last_event_us
         |FROM g ASOF LEFT JOIN r ON g.user_id = r.user_id AND g.ts_us >= r.ts_us
         |ORDER BY 1, 2""".stripMargin,
+
+    "g_ewma" ->
+      s"""WITH RECURSIVE s AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM events),
+         |e AS (
+         |  SELECT user_id, ts_us, rn, value AS y FROM s WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.user_id, s.ts_us, s.rn, ${1.0 - 0.3} * e.y + ${0.3} * s.value
+         |  FROM s JOIN e ON s.user_id = e.user_id AND s.rn = e.rn + 1)
+         |SELECT user_id, ts_us, round(y, 6) AS ewma
+         |FROM e ORDER BY user_id, ts_us""".stripMargin,
+
+    "g_outliers" ->
+      """WITH f AS (
+        |  SELECT event_type AS grp,
+        |    round(avg(value) - 3.0 * stddev_pop(value), 6) AS z_lo,
+        |    round(avg(value) + 3.0 * stddev_pop(value), 6) AS z_hi,
+        |    round(quantile_cont(value, 0.25) - 1.5 *
+        |      (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 6) AS iqr_lo,
+        |    round(quantile_cont(value, 0.75) + 1.5 *
+        |      (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 6) AS iqr_hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type AS grp, count(*) AS n,
+        |  CAST(sum(CASE WHEN value < z_lo OR value > z_hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_z_outliers,
+        |  CAST(sum(CASE WHEN value < iqr_lo OR value > iqr_hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_iqr_outliers,
+        |  min(iqr_lo) AS iqr_lo, min(iqr_hi) AS iqr_hi
+        |FROM events e JOIN f ON e.event_type = f.grp
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g_quantile_bins" ->
+      """WITH b AS (
+        |  SELECT round(quantile_cont(value, 0.1), 6) AS q1,
+        |         round(quantile_cont(value, 0.2), 6) AS q2,
+        |         round(quantile_cont(value, 0.3), 6) AS q3,
+        |         round(quantile_cont(value, 0.4), 6) AS q4,
+        |         round(quantile_cont(value, 0.5), 6) AS q5,
+        |         round(quantile_cont(value, 0.6), 6) AS q6,
+        |         round(quantile_cont(value, 0.7), 6) AS q7,
+        |         round(quantile_cont(value, 0.8), 6) AS q8,
+        |         round(quantile_cont(value, 0.9), 6) AS q9
+        |  FROM events)
+        |SELECT bin, count(*) AS n, round(min(value), 6) AS lo,
+        |       round(max(value), 6) AS hi
+        |FROM (
+        |  SELECT value,
+        |    (CASE WHEN value > q1 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN value > q2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN value > q3 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN value > q4 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN value > q5 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN value > q6 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN value > q7 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN value > q8 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN value > q9 THEN 1 ELSE 0 END) AS bin
+        |  FROM events CROSS JOIN b)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_suite" ->
+      """SELECT * FROM (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    round(lag(value, 1) OVER wu, 6) AS prev_value,
+        |    round(lead(value, 1) OVER wu, 6) AS next_value,
+        |    row_number() OVER wu AS rn,
+        |    CAST(ntile(4) OVER wu AS BIGINT) AS quartile,
+        |    rank() OVER wt AS rnk,
+        |    dense_rank() OVER wt AS drnk,
+        |    round(percent_rank() OVER wt, 6) AS pct_rank,
+        |    round(cume_dist() OVER wt, 6) AS cdist
+        |  FROM events
+        |  WINDOW wu AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+        |         wt AS (PARTITION BY event_type ORDER BY value))
+        |WHERE user_id < 15 ORDER BY event_id""".stripMargin,
 
     "text_chunks" ->
       """WITH toks AS (

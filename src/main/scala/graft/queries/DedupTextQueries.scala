@@ -182,6 +182,49 @@ object DedupTextQueries {
         .withColumn("lang_pred", TextOps.languageIdFromTokens(col("__toks")))
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_pred")),
+
+    "text_vocabulary" -> ((s, dir) =>
+      // Corpus vocabulary: top-30 tokens by global frequency with document
+      // frequencies (min tf 50; ties broken by token string).
+      TextOps.vocabulary(table(s, dir, "documents"), col("doc_id"),
+          col("text"), minCount = 50L, topN = 30)
+        .orderBy(col("tf").desc, col("token").asc)),
+
+    "dedup_span_flags" -> ((s, dir) => {
+      // CCNet-style corpus-duplicated-span profile: 8-token tiles shared
+      // by >= 2 docs. Duplication is manufactured by unioning each doc
+      // with a copy truncated to its first 40 tokens — the copy's 5 tiles
+      // are shared, the original's tail tiles are not, so dup_ratio
+      // varies with doc length. Tiles travel as md5 hashes (identical in
+      // both engines).
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+        .where(col("doc_id") < 200)
+      val truncated = docs.select(
+        (col("doc_id") + IdShift).as("doc_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 40), " ").as("text"))
+      Dedup.duplicateSpans(docs.unionByName(truncated),
+          "doc_id", "text", w = 8, minDocs = 2)
+        .select(col("doc_id"), col("n_tiles"), col("n_distinct_tiles"),
+          col("n_dup_tiles"), round(col("dup_ratio"), 6).as("dup_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_edit_pairs" -> ((s, dir) =>
+      // Fuzzy near-dup pairs by edit distance <= 3 over part names —
+      // length-banded blocking + exact levenshtein; the twin is the
+      // unblocked all-pairs filter, so a green row proves the banding
+      // loses nothing.
+      Dedup.editDistancePairs(table(s, dir, "part"), col("p_name"), maxDist = 3)
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy("name_a", "name_b")),
+
+    "sample_weighted" -> ((s, dir) =>
+      // Deterministic weighted sampling (Efraimidis–Spirakis over the
+      // engine-portable hash-uniform): 50 docs, inclusion odds ~ n_chars.
+      graft.ops.Stats.weightedSample(table(s, dir, "documents"),
+          col("doc_id"), col("n_chars"), k = 50, seed = 11L)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
   )
 
   /** Shared SQL fragment: whitespace tokens of trimmed lower-cased text. */
@@ -414,5 +457,62 @@ object DedupTextQueries {
          |  FROM scored)
          |SELECT lang, lang_pred, count(*) AS n FROM pred
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_vocabulary" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(list_filter($toks, x -> x <> '')) AS token
+         |  FROM documents)
+         |SELECT token, CAST(count(*) AS BIGINT) AS tf,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+         |FROM t GROUP BY 1 HAVING count(*) >= 50
+         |ORDER BY tf DESC, token ASC LIMIT 30""".stripMargin,
+
+    "dedup_span_flags" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id + $IdShift AS doc_id,
+         |         array_to_string((list_filter($toks, x -> x <> ''))[1:40], ' ') AS text
+         |  FROM documents WHERE doc_id < 200),
+         |toks AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |    x -> x <> '') AS l
+         |  FROM corpus),
+         |tiles AS (
+         |  SELECT doc_id, CAST(len(l) // 8 AS INT) AS nt,
+         |    unnest(list_transform(range(0, len(l) // 8),
+         |      i -> md5(array_to_string(l[(i*8+1):(i*8+8)], ' ')))) AS tile
+         |  FROM toks WHERE len(l) // 8 > 0),
+         |dt AS (SELECT DISTINCT doc_id, nt, tile FROM tiles),
+         |freq AS (SELECT tile, count(DISTINCT doc_id) AS docs FROM dt GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id, min(nt) AS n_tiles, CAST(count(*) AS BIGINT) AS n_distinct_tiles,
+         |    CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_tiles
+         |  FROM dt JOIN freq USING (tile) GROUP BY 1)
+         |SELECT c.doc_id, CAST(coalesce(per.n_tiles, 0) AS INT) AS n_tiles,
+         |  coalesce(per.n_distinct_tiles, 0) AS n_distinct_tiles,
+         |  coalesce(per.n_dup_tiles, 0) AS n_dup_tiles,
+         |  round(CASE WHEN coalesce(per.n_distinct_tiles, 0) > 0
+         |    THEN per.n_dup_tiles * 1.0 / per.n_distinct_tiles ELSE 0.0 END, 6)
+         |    AS dup_ratio
+         |FROM corpus c LEFT JOIN per USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
+
+    "dedup_edit_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    "sample_weighted" ->
+      s"""SELECT doc_id, lang, n_chars FROM (
+         |  SELECT doc_id, lang, n_chars,
+         |    pow(${graft.ops.Robustness.seededUniformSql("11", Seq("doc_id"))},
+         |        1.0 / n_chars) AS k
+         |  FROM documents WHERE n_chars > 0
+         |  ORDER BY k DESC, doc_id ASC LIMIT 50)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

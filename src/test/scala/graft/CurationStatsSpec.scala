@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Stats, TextOps}
+
+/** Laws for the round-3 curation/stats additions: EWMA linear recurrence,
+  * weighted sampling, quantile binning, outlier fences, vocabulary,
+  * duplicate spans, and edit-distance blocking.
+  */
+class CurationStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- ewma ----
+
+  test("ewma: matches the hand-computed recurrence per group, ordered") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
+      ("b", 1L, 4.0), ("b", 2L, 8.0)).toDF("k", "t", "x")
+    val got = Stats.ewma(df, "k", Seq("t"), "x", alpha = 0.5)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(got === Array(
+      ("a", 1L, 10.0), ("a", 2L, 15.0), ("a", 3L, 22.5),
+      ("b", 1L, 4.0), ("b", 2L, 6.0)))
+  }
+
+  test("ewma: result is independent of input row order and partitioning") {
+    val rows = (1 to 500).map(i => (s"g${i % 7}", i.toLong, math.sin(i) * 10))
+    val df1 = rows.toDF("k", "t", "x").repartition(13)
+    val df2 = scala.util.Random.shuffle(rows).toDF("k", "t", "x").repartition(3)
+    val a = Stats.ewma(df1, "k", Seq("t"), "x", 0.3).orderBy("k", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSeq
+    val b = Stats.ewma(df2, "k", Seq("t"), "x", 0.3).orderBy("k", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(a == b)
+  }
+
+  test("ewma: alpha = 1 reproduces the input; constant series is fixpoint") {
+    val df = Seq(("a", 1L, 3.0), ("a", 2L, 7.0), ("a", 3L, 5.0)).toDF("k", "t", "x")
+    val idty = Stats.ewma(df, "k", Seq("t"), "x", 1.0).orderBy("t")
+      .collect().map(_.getDouble(3))
+    assert(idty.toSeq == Seq(3.0, 7.0, 5.0))
+    val const = Seq(("a", 1L, 2.5), ("a", 2L, 2.5), ("a", 3L, 2.5)).toDF("k", "t", "x")
+    val fix = Stats.ewma(const, "k", Seq("t"), "x", 0.2).collect().map(_.getDouble(3))
+    assert(fix.forall(_ == 2.5))
+  }
+
+  // ---- weightedSample ----
+
+  test("weightedSample: deterministic, size-capped, excludes weight <= 0") {
+    val df = (1 to 200).map(i => (i.toLong, if (i <= 5) 0.0 else i.toDouble))
+      .toDF("id", "w")
+    val s1 = Stats.weightedSample(df, col("id"), col("w"), k = 20, seed = 3L)
+      .select("id").as[Long].collect().sorted.toSeq
+    val s2 = Stats.weightedSample(df.repartition(7), col("id"), col("w"), 20, 3L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(s1 == s2 && s1.size == 20)
+    assert(s1.forall(_ > 5)) // zero-weight rows never selected
+  }
+
+  test("weightedSample: k >= population returns every positive-weight row") {
+    val df = (1 to 30).map(i => (i.toLong, 1.0)).toDF("id", "w")
+    val got = Stats.weightedSample(df, col("id"), col("w"), 100, 1L).count()
+    assert(got == 30)
+  }
+
+  test("weightedSample: heavier rows are selected more often across seeds") {
+    // ids 1..100 weight 1, ids 101..110 weight 50: over 40 seeds the heavy
+    // decile must dominate its population share in the k=10 sample.
+    val df = ((1 to 100).map(i => (i.toLong, 1.0)) ++
+      (101 to 110).map(i => (i.toLong, 50.0))).toDF("id", "w")
+    val heavyRate = (1 to 40).map { seed =>
+      val ids = Stats.weightedSample(df, col("id"), col("w"), 10, seed.toLong)
+        .select("id").as[Long].collect()
+      ids.count(_ > 100)
+    }.sum / 40.0
+    assert(heavyRate > 4.0, s"heavy picks/seed = $heavyRate") // ~8 expected, 1 if unweighted
+  }
+
+  // ---- quantile bins ----
+
+  test("fitQuantileBins/applyQuantileBins: sorted cuts, near-equal buckets") {
+    val df = (1 to 1000).map(i => i.toDouble).toDF("v")
+    val bounds = Stats.fitQuantileBins(df, col("v"), k = 4)
+    assert(bounds == bounds.sorted && bounds.size == 3)
+    val counts = df.withColumn("bin", Stats.applyQuantileBins(col("v"), bounds))
+      .groupBy("bin").count().orderBy("bin")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(counts.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(counts.forall { case (_, n) => n >= 240 && n <= 260 })
+  }
+
+  test("applyQuantileBins: boundary value goes to the LOWER bin (x > b rule)") {
+    val bin = Seq(5.0).toDF("v")
+      .select(Stats.applyQuantileBins(col("v"), Seq(5.0, 10.0)).as("b"))
+      .head().getInt(0)
+    assert(bin == 0)
+  }
+
+  // ---- outlierStats ----
+
+  test("outlierStats: plants z and IQR outliers where expected") {
+    // group "g": 100 values at 0 +- 1-ish, plus one extreme spike
+    val base = (1 to 100).map(i => ("g", (i % 10 - 4.5) / 3.0))
+    val df = (base :+ (("g", 1000.0))).toDF("k", "v")
+    val row = Stats.outlierStats(df, col("k"), col("v")).head()
+    assert(row.getAs[Long]("n") == 101)
+    assert(row.getAs[Long]("n_z_outliers") == 1)   // the spike
+    assert(row.getAs[Long]("n_iqr_outliers") == 1) // the spike again
+    assert(row.getAs[Double]("iqr_lo") < row.getAs[Double]("iqr_hi"))
+  }
+
+  test("outlierStats: clean uniform group has no z outliers") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val row = Stats.outlierStats(df, col("k"), col("v")).head()
+    assert(row.getAs[Long]("n_z_outliers") == 0)
+    assert(row.getAs[Long]("n_iqr_outliers") == 0)
+  }
+
+  // ---- vocabulary ----
+
+  test("vocabulary: tf/df counts, minCount cut, deterministic tie order") {
+    val df = Seq(
+      (1L, "apple apple pear"),
+      (2L, "apple pear  pear"),
+      (3L, "  plum ")).toDF("id", "text")
+    val got = TextOps.vocabulary(df, col("id"), col("text"), minCount = 2L, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // apple tf=3 df=2; pear tf=3 df=2 (tie broken by token); plum cut by minCount
+    assert(got == Seq(("apple", 3L, 2L), ("pear", 3L, 2L)))
+  }
+
+  test("vocabulary: topN cuts after ordering by tf desc") {
+    val df = Seq((1L, "a a a b b c")).toDF("id", "text")
+    val got = TextOps.vocabulary(df, col("id"), col("text"), 1L, 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a", "b"))
+  }
+
+  // ---- duplicateSpans ----
+
+  test("duplicateSpans: shared tiles flagged, unique tails not, short docs zero") {
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val df = Seq(
+      (1L, s"$eight u1 u2 u3 u4 u5 u6 u7 u8"), // tile1 shared, tile2 unique
+      (2L, s"$eight x1 x2 x3 x4 x5 x6 x7 x8"), // tile1 shared, tile2 unique
+      (3L, "short doc")).toDF("id", "text")    // 0 tiles
+    val got = Dedup.duplicateSpans(df, "id", "text", w = 8, minDocs = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got(0) == ((1L, 2, 2L, 1L, 0.5)))
+    assert(got(1) == ((2L, 2, 2L, 1L, 0.5)))
+    assert(got(2) == ((3L, 0, 0L, 0L, 0.0)))
+  }
+
+  test("duplicateSpans: within-doc repeats count once for doc frequency") {
+    val tile = "t1 t2 t3 t4"
+    val df = Seq((1L, s"$tile $tile"), (2L, "z1 z2 z3 z4")).toDF("id", "text")
+    val got = Dedup.duplicateSpans(df, "id", "text", w = 4, minDocs = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // doc 1 has 2 tiles but 1 distinct; no tile reaches 2 DOCS -> no dups
+    assert(got(0) == ((1L, 2, 1L, 0L)))
+    assert(got(1) == ((2L, 1, 1L, 0L)))
+  }
+
+  // ---- editDistancePairs ----
+
+  test("editDistancePairs: equals the brute-force all-pairs filter") {
+    val names = Seq("kitten", "sitting", "mitten", "bolt", "bolts", "volt",
+      "widget", "gadget", "a", "ab", "abc").map(Tuple1(_)).toDF("name")
+    val got = Dedup.editDistancePairs(names, col("name"), maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val vals = names.as[String].collect().distinct
+    val brute = (for {
+      a <- vals; b <- vals if a < b
+      d = {
+        // classic DP levenshtein
+        val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        m(a.length)(b.length)
+      } if d <= 2
+    } yield (a, b, d)).toSet
+    assert(got == brute)
+    assert(got.contains(("kitten", "mitten", 1)))
+    assert(got.contains(("bolt", "bolts", 1)))
+  }
+}
