@@ -207,6 +207,35 @@ object TextOps {
       .select(col(id), col("term"), col("tf"), col("score"), col("rank"))
   }
 
+  /** Unigram language-model fluency score — the CCNet/Gopher-style
+    * "perplexity under a reference LM" quality signal, with the LM being
+    * a Laplace-smoothed unigram model: `logp(tok) = ln((count(tok) + 1) /
+    * (total + |V|))`, per-doc score = mean token log-probability, plus
+    * `ppl = exp(−avg_logp)`. Here the model is self-trained on the same
+    * corpus (in-domain fluency); scoring against an external LM table is
+    * the identical join.
+    *
+    * Shape for 100 TB: one shuffle for token counts (map-side combined),
+    * TWO driver scalars (total, |V|), then one token-keyed join of the
+    * exploded corpus against the logprob table — deliberately NOT forced
+    * broadcast (web-scale vocabularies are cluster-sized; AQE broadcasts
+    * when small) — and one per-doc aggregation. Returns
+    * (id, n_tokens, avg_logp, ppl); zero-token docs drop out. */
+  def lmScore(df: org.apache.spark.sql.DataFrame, id: String,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(id), explode(split(trim(text), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt"), count(lit(1))).head()
+    val denom = (totals.getLong(0) + totals.getLong(1)).toDouble
+    val logp = counts.select(col("token"),
+      log((col("cnt") + 1.0) / lit(denom)).as("logp"))
+    toks.join(logp, "token")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"), avg("logp").as("avg_logp"))
+      .withColumn("ppl", exp(-col("avg_logp")))
+  }
+
   /** Corpus vocabulary builder: global token frequencies with document
     * frequencies, thresholded at `minCount` and cut to the `topN` most
     * frequent (ties broken by token string — deterministic across

@@ -147,6 +147,57 @@ object AnalyticsQueries {
         .orderBy("bin")
     }),
 
+    "q_rolling_median" -> ((s, dir) => {
+      // Rolling 5-row median of event value per user — robust time-series
+      // smoothing; exact percentile over a bounded rows frame (frame size
+      // is the constant 5, so per-row cost is O(frame), not O(history)).
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-4, 0)
+      ev.select(col("user_id"), col("ts_us"),
+          round(percentile(col("value"), lit(0.5)).over(w), 6).as("med5"))
+        .where(col("user_id") < 20)
+        .orderBy("user_id", "ts_us")
+    }),
+
+    "q_funnel" -> ((s, dir) => {
+      // Ordered-event funnel view -> click -> purchase: each stage is the
+      // user's FIRST qualifying event at-or-after the previous stage.
+      // Three map-side-combined aggregations + two user-keyed joins — no
+      // per-user event sorting, no collect.
+      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val tv = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t_view"))
+      val tc = ev.join(tv, "user_id")
+        .where(col("event_type") === "click" && col("ts_us") >= col("t_view"))
+        .groupBy("user_id").agg(min("ts_us").as("t_click"))
+      val tp = ev.join(tc, "user_id")
+        .where(col("event_type") === "purchase" && col("ts_us") >= col("t_click"))
+        .groupBy("user_id").agg(min("ts_us").as("t_purchase"))
+      tv.join(tc, Seq("user_id"), "left")
+        .join(tp, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_view"),
+          count(col("t_click")).as("n_click"),
+          count(col("t_purchase")).as("n_purchase"),
+          round(avg((col("t_purchase") - col("t_view")) / 1000000.0), 4)
+            .as("avg_delay_sec"))
+    }),
+
+    "q_cohort" -> ((s, dir) => {
+      // Weekly cohort retention: cohort = week of a user's first event,
+      // cell = distinct users of that cohort active `offset` weeks later.
+      // One aggregation for first-activity, one user-keyed join, one
+      // distinct-count aggregation.
+      val ev = table(s, dir, "events")
+        .withColumn("week", expr("(ts div 1000) div 604800000000"))
+      val firstW = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      ev.join(firstW, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     "q_window_suite" -> ((s, dir) => {
       // The general window-function surface in one plan: lag/lead +
       // row_number/ntile per user over time, rank/dense_rank/percent_rank/
@@ -327,6 +378,42 @@ object AnalyticsQueries {
         |    (CASE WHEN value > q9 THEN 1 ELSE 0 END) AS bin
         |  FROM events CROSS JOIN b)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rolling_median" ->
+      """SELECT user_id, ts_us, med5 FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    round(quantile_cont(value, 0.5) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+        |  FROM events)
+        |WHERE user_id < 20 ORDER BY user_id, ts_us""".stripMargin,
+
+    "q_funnel" ->
+      """WITH tv AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |tc AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+        |  FROM events e JOIN tv USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= tv.t_view
+        |  GROUP BY 1),
+        |tp AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+        |  FROM events e JOIN tc USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= tc.t_click
+        |  GROUP BY 1)
+        |SELECT count(*) AS n_view, count(t_click) AS n_click,
+        |  count(t_purchase) AS n_purchase,
+        |  round(avg((t_purchase - t_view) / 1000000.0), 4) AS avg_delay_sec
+        |FROM tv LEFT JOIN tc USING (user_id) LEFT JOIN tp USING (user_id)""".stripMargin,
+
+    "q_cohort" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_window_suite" ->
       """SELECT * FROM (

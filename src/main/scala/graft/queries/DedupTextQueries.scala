@@ -225,6 +225,16 @@ object DedupTextQueries {
           col("doc_id"), col("n_chars"), k = 50, seed = 11L)
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
+
+    "text_lm_score" -> ((s, dir) =>
+      // Unigram-LM fluency (perplexity proxy): model trained on the whole
+      // corpus, docs < 100 scored.
+      TextOps.lmScore(table(s, dir, "documents"), "doc_id", col("text"))
+        .where(col("doc_id") < 100)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logp"), 6).as("avg_logp"),
+          round(col("ppl"), 4).as("ppl"))
+        .orderBy("doc_id")),
   )
 
   /** Shared SQL fragment: whitespace tokens of trimmed lower-cased text. */
@@ -514,5 +524,19 @@ object DedupTextQueries {
          |  FROM documents WHERE n_chars > 0
          |  ORDER BY k DESC, doc_id ASC LIMIT 50)
          |ORDER BY doc_id""".stripMargin,
+
+    "text_lm_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(list_filter($toks, x -> x <> '')) AS token
+         |  FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) + count(*) AS denom FROM c),
+         |lp AS (SELECT token, ln((cnt + 1.0) / denom) AS logp
+         |       FROM c CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(avg(logp), 6) AS avg_logp,
+         |  round(exp(-avg(logp)), 4) AS ppl
+         |FROM t JOIN lp USING (token)
+         |WHERE doc_id < 100 GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -79,6 +79,45 @@ object StreamingOps {
       .drop(col(s"r.$key"))
   }
 
+  final case class Point(entity: String, ts: Timestamp, x: Double)
+  final case class EwmaState(y: Double, lastTsMs: Long)
+  final case class EwmaOut(entity: String, tsMs: Long, x: Double, ewma: Double)
+
+  /** Streaming EWMA — the online form of [[graft.ops.Stats.ewma]]: the
+    * same `y_1 = x_1; y_t = (1−α)·y + α·x` recurrence carried across
+    * micro-batches in per-entity state (2 scalars per entity, partitioned
+    * across executors by the groupByKey). Rows WITHIN a micro-batch are
+    * folded in event-time order; rows older than the entity's last
+    * processed timestamp (late arrivals across batches) are passed
+    * through with the CURRENT smoothed value rather than retro-folded —
+    * the standard online-smoothing tradeoff, matched by the spec against
+    * the batch op on in-order streams. */
+  object EwmaStream {
+    def run(points: Dataset[Point], alpha: Double): Dataset[EwmaOut] = {
+      require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+      import points.sparkSession.implicits._
+      val decay = 1.0 - alpha
+      points.groupByKey(_.entity)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (entity: String, rows: Iterator[Point], state: GroupState[EwmaState]) => {
+            var st = state.getOption
+            val out = rows.toSeq.sortBy(_.ts.getTime).map { p =>
+              val t = p.ts.getTime
+              st match {
+                case None =>
+                  st = Some(EwmaState(p.x, t))
+                case Some(s) if t >= s.lastTsMs =>
+                  st = Some(EwmaState(decay * s.y + alpha * p.x, t))
+                case Some(_) => () // late row: emit current y, don't fold
+              }
+              EwmaOut(entity, t, p.x, st.get.y)
+            }
+            st.foreach(state.update)
+            out.iterator
+          })
+    }
+  }
+
   final case class Event(entity: String, ts: Timestamp, yTrue: Int, yPred: Int)
   final case class EpisodeState(startMs: Long, firstDetMs: Long, anyDetected: Boolean)
   final case class Episode(entity: String, startMs: Long, detected: Boolean, delayMs: Long)

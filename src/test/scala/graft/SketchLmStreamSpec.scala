@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ops.{Stats, TextOps}
+import graft.streaming.StreamingOps
+
+/** Round-3 wave 2: unigram LM scoring, the streaming EWMA's parity with
+  * the batch recurrence, and the approximate-sketch surface (HLL distinct,
+  * t-digest percentiles, frequent items) checked against exact answers.
+  * Sketch results are engine-specific by construction (no DuckDB twin
+  * possible) — the specs pin error bounds and supersets instead.
+  */
+class SketchLmStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- lmScore ----
+
+  test("lmScore: hand-computed Laplace unigram log-probs") {
+    // corpus: "a a b" and "a c" -> counts a=3 b=1 c=1, total=5, V=3, denom=8
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("id", "text")
+    val got = TextOps.lmScore(df, "id", col("text"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val (lpA, lpB, lpC) =
+      (math.log(4.0 / 8), math.log(2.0 / 8), math.log(2.0 / 8))
+    assert(got(0)._2 == 3 && approx(got(0)._3, (2 * lpA + lpB) / 3))
+    assert(got(1)._2 == 2 && approx(got(1)._3, (lpA + lpC) / 2))
+  }
+
+  test("lmScore: repetitive in-vocabulary docs score lower perplexity than rare-token docs") {
+    val common = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
+    val rare = Seq((99L, "zyx qwv jkl pqr mno abc"))
+    val df = (common ++ rare).toDF("id", "text")
+    val ppl = TextOps.lmScore(df, "id", col("text"))
+      .select(col("id"), col("ppl")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(ppl(1L) < ppl(99L))
+  }
+
+  // ---- streaming EWMA ----
+
+  private def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+
+  test("EwmaStream: multi-batch stateful fold equals the batch ewma") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.Point]
+    val q = StreamingOps.EwmaStream.run(input.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ewmastream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamingOps.Point("a", ts(1), 10.0), StreamingOps.Point("a", ts(2), 20.0),
+        StreamingOps.Point("b", ts(1), 4.0))
+      q.processAllAvailable()
+      input.addData( // second batch: state carries across
+        StreamingOps.Point("a", ts(3), 30.0), StreamingOps.Point("b", ts(2), 8.0))
+      q.processAllAvailable()
+      val online = spark.table("ewmastream")
+        .select("entity", "tsMs", "ewma").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = Stats.ewma(
+        Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
+          ("b", 1L, 4.0), ("b", 2L, 8.0)).toDF("entity", "t", "x"),
+        "entity", Seq("t"), "x", alpha = 0.5)
+        .collect()
+        .map(r => (r.getString(0), 1700000000000L + r.getLong(1) * 1000L,
+          r.getDouble(3))).toSet
+      assert(online == batch)
+    } finally q.stop()
+  }
+
+  test("EwmaStream: within-batch rows fold in event-time order, not arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.Point]
+    val q = StreamingOps.EwmaStream.run(input.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ewmaorder")
+      .outputMode("append").start()
+    try {
+      input.addData( // deliberately shuffled arrival order
+        StreamingOps.Point("a", ts(3), 30.0), StreamingOps.Point("a", ts(1), 10.0),
+        StreamingOps.Point("a", ts(2), 20.0))
+      q.processAllAvailable()
+      val got = spark.table("ewmaorder").select("tsMs", "ewma").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).map(_._2).toSeq
+      assert(got == Seq(10.0, 15.0, 22.5))
+    } finally q.stop()
+  }
+
+  // ---- sketch surface ----
+
+  test("approx_count_distinct (HLL) lands within its rsd bound of exact") {
+    val df = (1 to 20000).map(i => (i % 4831).toLong).toDF("v")
+    val Array(approxN, exactN) = df
+      .agg(approx_count_distinct(col("v"), rsd = 0.02).as("a"),
+        countDistinct(col("v")).as("e"))
+      .head().toSeq.map(_.toString.toLong).toArray
+    assert(math.abs(approxN - exactN).toDouble / exactN < 0.08,
+      s"approx $approxN vs exact $exactN") // 4 sigma of the 2% rsd
+  }
+
+  test("approx_percentile (t-digest) tracks exact percentile on a skewed column") {
+    val df = (1 to 10000).map(i => math.pow(i.toDouble, 2)).toDF("v")
+    val row = df.agg(
+      percentile(col("v"), lit(0.9)).as("exact"),
+      percentile_approx(col("v"), lit(0.9), lit(1000)).as("approx")).head()
+    val (e, a) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(a - e) / e < 0.02, s"approx $a vs exact $e")
+  }
+
+  test("freqItems returns a superset of the true heavy hitters") {
+    // 3 values cover 75% of rows; support 0.1 must surface all of them
+    val df = ((1 to 2500).map(_ => "x") ++ (1 to 2500).map(_ => "y") ++
+      (1 to 2500).map(_ => "z") ++ (1 to 2500).map(i => s"rare$i")).toDF("v")
+    val items = df.stat.freqItems(Array("v"), 0.1)
+      .head().getSeq[String](0).toSet
+    assert(Set("x", "y", "z").subsetOf(items))
+  }
+}
