@@ -147,6 +147,42 @@ object AnalyticsQueries {
         .orderBy("bin")
     }),
 
+    "q_json_extract" -> ((s, dir) => {
+      // Semi-structured payloads: pull a typed field out of the JSON
+      // `props` column and aggregate it — narrow extraction (codegen'd
+      // path expression), one map-side-combined aggregation.
+      val ev = table(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          round(avg("k"), 4).as("avg_k"),
+          sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+        .orderBy("event_type")
+    }),
+
+    "q_time_rollup" -> ((s, dir) => {
+      // Calendar-dimension aggregation: (ISO weekday, hour-of-day) grid
+      // from the raw epoch-nanos column (UTC session). weekday() is
+      // Monday=0 — the twin uses DuckDB's isodow()-1.
+      val ev = table(s, dir, "events")
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      ev.groupBy(weekday(col("t")).as("dow"), hour(col("t")).as("hr"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .orderBy("dow", "hr")
+    }),
+
+    "q_cube" -> ((s, dir) =>
+      // CUBE super-aggregates: all 4 grouping sets of (status, priority)
+      // in one pass — same sentinel trick as q_rollup.
+      table(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("revenue"))
+        .orderBy("status", "priority")),
+
     "q_rolling_median" -> ((s, dir) => {
       // Rolling 5-row median of event value per user — robust time-series
       // smoothing; exact percentile over a bounded rows frame (frame size
@@ -378,6 +414,27 @@ object AnalyticsQueries {
         |    (CASE WHEN value > q9 THEN 1 ELSE 0 END) AS bin
         |  FROM events CROSS JOIN b)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 4) AS avg_k,
+        |  CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_time_rollup" ->
+      """SELECT CAST(isodow(ts) - 1 AS INT) AS dow, CAST(hour(ts) AS INT) AS hr,
+        |  count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_rolling_median" ->
       """SELECT user_id, ts_us, med5 FROM (

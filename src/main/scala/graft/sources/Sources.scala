@@ -127,6 +127,34 @@ object Sources {
       .option("pathGlobFilter", "*.json").json(root)
       .withColumn("run_dir", regexp_extract(input_file_name(), "^(.*)/[^/]+$", 1))
 
+  /** Bucketed-table sink — the co-located-join layout for 100 TB fact
+    * tables: hash-bucketed (and optionally sorted) by the join/agg key,
+    * so a join or aggregation between two tables bucketed the SAME way
+    * (same columns, same `numBuckets`) runs with NO shuffle exchange —
+    * the scan itself satisfies the partitioning requirement. The table
+    * registers in the session catalog at an explicit `path` (external
+    * table), because bucket metadata lives in the catalog, not the
+    * parquet footers. `BucketedJoinSpec` pins the exchange-free plan.
+    *
+    * The pre-write `repartition` on the bucket columns uses the SAME
+    * murmur3 hash as the bucketing, so each task holds exactly one
+    * bucket's rows → ONE file per bucket (not tasks×buckets small
+    * files). `sortCols` lays each bucket file out sorted — Spark elides
+    * the downstream sort only under the legacy
+    * `bucketedTableScan.outputOrdering` flag, but the layout also serves
+    * engines (and rowgroup skipping) that do exploit sorted buckets. */
+  def writeBucketedTable(df: DataFrame, name: String, path: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty && numBuckets > 0, "need bucket cols + buckets")
+    val w = df.repartition(numBuckets, bucketCols.map(col): _*)
+      .write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(name)
+  }
+
   /** S8 flattener — nested struct columns to flat `a_b_c` columns;
     * 2-element numeric arrays → `_low`/`_high` (func_plot.py:613-645). */
   def flattenStructs(df: DataFrame): DataFrame = {

@@ -151,4 +151,39 @@ object LawsProps extends Properties("GraftLaws") {
       }.toMap
       comp == expected
     }
+
+  property("ewma: matches the sequential fold for any alpha/series/partitioning") =
+    Prop.forAll(Gen.choose(1, 80), Gen.choose(0.05, 1.0), seedG) { (n, alpha, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val xs = Vector.fill(n)(rnd.nextDouble() * 100 - 50)
+      val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+        .toDF("k", "t", "x").repartition(1 + (n % 5))
+      val got = Stats.ewma(df, "k", Seq("t"), "x", alpha)
+        .orderBy("t").collect().map(_.getDouble(3)).toVector
+      val expected = xs.tail.scanLeft(xs.head)((y, x) => (1 - alpha) * y + alpha * x)
+      got == expected
+    }
+
+  property("quantile bins: assignment is monotone and spans 0..k-1 on distinct data") =
+    Prop.forAll(Gen.choose(20, 200), Gen.choose(2, 8)) { (n, k) =>
+      val df = (1 to n).map(i => i * 3.0).toDF("v")
+      val bounds = Stats.fitQuantileBins(df, col("v"), k)
+      val bins = df.withColumn("b", Stats.applyQuantileBins(col("v"), bounds))
+        .orderBy("v").collect().map(_.getInt(1)).toVector
+      bins == bins.sorted && bins.head == 0 && bins.last == k - 1
+    }
+
+  property("vocabulary: df_docs <= tf, and tf sums to the corpus token count") =
+    Prop.forAll(Gen.choose(1, 30), seedG) { (nDocs, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val words = Vector("a", "b", "c", "d", "e")
+      val docs = (1 to nDocs).map(i =>
+        (i.toLong, Vector.fill(1 + rnd.nextInt(12))(words(rnd.nextInt(5))).mkString(" ")))
+      val df = docs.toDF("id", "text")
+      val vocab = graft.ops.TextOps.vocabulary(df, col("id"), col("text"), 1L, 100)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val totalTokens = docs.map(_._2.split(" ").length).sum
+      vocab.forall { case (_, tf, dfd) => dfd <= tf && dfd >= 1 } &&
+        vocab.map(_._2).sum == totalTokens
+    }
 }
