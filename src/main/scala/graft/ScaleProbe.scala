@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Stats, TextOps}
+
+/** Scale-measurement probe: times one operator on synthetic data far
+  * beyond the sf testdata (the SCALE.md numbers). Synthetic inputs are
+  * deterministic hash soup, generated DISTRIBUTED (`spark.range`, no
+  * driver-side collections).
+  *
+  * Usage: sbt 'runMain graft.ScaleProbe <op> [n]'
+  *   ops: ewma | spans | wsample | lm | vocab | editpairs
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val op = args.headOption.getOrElse("ewma")
+    val n = args.lift(1).map(_.toLong).getOrElse(5000000L)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "24g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // ~30-token deterministic word-soup docs, generated in parallel
+    def docs(nDocs: Long): DataFrame = {
+      val words = typedLit((1 to 50).map(i => s"w$i"))
+      spark.range(nDocs).select(col("id"),
+        array_join(transform(sequence(lit(0), pmod(xxhash64(col("id")), lit(20)) + lit(20)),
+          i => element_at(words, pmod(xxhash64(col("id"), i), lit(50)).cast("int") + 1)), " ")
+          .as("text"))
+    }
+
+    def series(nRows: Long, nKeys: Int): DataFrame =
+      spark.range(nRows).select(
+        pmod(xxhash64(col("id")), lit(nKeys)).as("k"),
+        col("id").as("t"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(1000)) / 10.0).as("x"))
+
+    def time[A](label: String)(f: => A): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    op match {
+      case "ewma" =>
+        val df = series(n, 1000)
+        df.count() // materialize input cost separately
+        time(s"ewma n=$n keys=1000")(
+          Stats.ewma(df, "k", Seq("t"), "x", 0.3)
+            .agg(sum("ewma")).collect())
+      case "spans" =>
+        val d = docs(n)
+        d.count()
+        time(s"duplicateSpans n=$n w=8")(
+          Dedup.duplicateSpans(d, "id", "text", w = 8, minDocs = 2)
+            .agg(sum("n_dup_tiles")).collect())
+      case "wsample" =>
+        val df = spark.range(n).select(col("id"),
+          (pmod(xxhash64(col("id")), lit(100)) + 1).cast("double").as("w"))
+        df.count()
+        time(s"weightedSample n=$n k=10000")(
+          Stats.weightedSample(df, col("id"), col("w"), 10000, 7L).count())
+      case "lm" =>
+        val d = docs(n)
+        d.count()
+        time(s"lmScore n=$n")(
+          TextOps.lmScore(d, "id", col("text")).agg(sum("avg_logp")).collect())
+      case "vocab" =>
+        val d = docs(n)
+        d.count()
+        time(s"vocabulary n=$n")(
+          TextOps.vocabulary(d, col("id"), col("text"), 100L, 1000).count())
+      case "editpairs" =>
+        // distinct-name table: ~n unique synthetic names
+        val names = spark.range(n).select(
+          concat(lit("name"), pmod(xxhash64(col("id")), lit(n)).cast("string")).as("nm"))
+        names.count()
+        time(s"editDistancePairs distinct<=$n maxDist=2")(
+          Dedup.editDistancePairs(names, col("nm"), 2).count())
+      case other => sys.error(s"unknown probe op: $other")
+    }
+    spark.stop()
+  }
+}

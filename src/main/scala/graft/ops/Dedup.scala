@@ -271,41 +271,41 @@ object Dedup {
     * Shape for 100 TB: tiles are deduplicated PER DOCUMENT in-row
     * (`array_distinct`, narrow — no explode of repeats), so the wide
     * stages carry each (doc, distinct-tile) once: one shuffle for the
-    * tile→doc-frequency count (map-side combined, keyed on md5 of the
+    * tile→doc-frequency count (map-side combined, keyed on a hash of the
     * tile, never the tile text), one join of distinct tiles against that
-    * frequency table, one groupBy(id) reassembly. Returns every input row:
-    * (id, n_tiles, n_distinct_tiles, n_dup_tiles, dup_ratio) where
-    * dup_ratio = dup/distinct (0 for tile-less short docs). */
+    * frequency table, one groupBy(id) reassembly — `explode_outer` keeps
+    * tile-less short docs flowing through, so the input is scanned by
+    * this subtree only (no third pass to restore them). `tileHash`
+    * defaults to `xxhash64` (8-byte shuffle keys); the oracle twin passes
+    * md5 for engine portability — 4× the key bytes, same plan. Returns
+    * every input row: (id, n_tiles, n_distinct_tiles, n_dup_tiles,
+    * dup_ratio) where dup_ratio = dup/distinct (0 for tile-less docs). */
   def duplicateSpans(df: DataFrame, id: String, text: String,
-      w: Int, minDocs: Int): DataFrame = {
+      w: Int, minDocs: Int,
+      tileHash: Column => Column = xxhash64(_)): DataFrame = {
     require(w >= 1 && minDocs >= 2, "need w >= 1, minDocs >= 2")
     val toks = filter(split(trim(col(text)), "\\s+"), t => length(t) > 0)
     val nTiles = (size(col("__toks")) / w).cast("int")
-    val tiled = df
+    val exploded = df
       .withColumn("__toks", toks)
-      .withColumn("__tiles", when(nTiles > 0,
-        transform(sequence(lit(0), nTiles - 1), i =>
-          md5(array_join(slice(col("__toks"), i * w + 1, lit(w)), " "))))
-        .otherwise(array().cast("array<string>")))
+      .withColumn("__tiles", transform(
+        // guard the sequence, not the result: sequence(0, -1) counts DOWN,
+        // and an .otherwise(empty array) branch would pin the element type
+        when(nTiles > 0, sequence(lit(0), nTiles - 1))
+          .otherwise(array().cast("array<int>")),
+        i => tileHash(array_join(slice(col("__toks"), i * w + 1, lit(w)), " "))))
       .select(col(id), size(col("__tiles")).as("n_tiles"),
-        array_distinct(col("__tiles")).as("__dtiles"))
-    val exploded = tiled.select(col(id), col("n_tiles"),
-      explode(col("__dtiles")).as("__tile"))
-    val freq = exploded.groupBy("__tile")
-      .agg(countDistinct(col(id)).as("__docs"))
-    val perDoc = exploded
-      .join(freq, "__tile")
+        explode_outer(array_distinct(col("__tiles"))).as("__tile"))
+    val freq = exploded.where(col("__tile").isNotNull)
+      .groupBy("__tile").agg(countDistinct(col(id)).as("__docs"))
+    exploded
+      .join(freq, Seq("__tile"), "left")
       .groupBy(col(id))
       .agg(first(col("n_tiles")).as("n_tiles"),
-        count(lit(1)).as("n_distinct_tiles"),
+        count(col("__tile")).as("n_distinct_tiles"),
         sum(when(col("__docs") >= minDocs, 1L).otherwise(0L)).as("n_dup_tiles"))
-    df.select(col(id))
-      .join(perDoc, Seq(id), "left")
-      .select(col(id),
-        coalesce(col("n_tiles"), lit(0)).as("n_tiles"),
-        coalesce(col("n_distinct_tiles"), lit(0L)).as("n_distinct_tiles"),
-        coalesce(col("n_dup_tiles"), lit(0L)).as("n_dup_tiles"),
-        when(coalesce(col("n_distinct_tiles"), lit(0L)) > 0,
+      .select(col(id), col("n_tiles"), col("n_distinct_tiles"), col("n_dup_tiles"),
+        when(col("n_distinct_tiles") > 0,
           col("n_dup_tiles").cast("double") / col("n_distinct_tiles"))
           .otherwise(0.0).as("dup_ratio"))
   }

@@ -203,7 +203,7 @@ object DedupTextQueries {
         (col("doc_id") + IdShift).as("doc_id"),
         array_join(slice(split(trim(col("text")), "\\s+"), 1, 40), " ").as("text"))
       Dedup.duplicateSpans(docs.unionByName(truncated),
-          "doc_id", "text", w = 8, minDocs = 2)
+          "doc_id", "text", w = 8, minDocs = 2, tileHash = md5(_))
         .select(col("doc_id"), col("n_tiles"), col("n_distinct_tiles"),
           col("n_dup_tiles"), round(col("dup_ratio"), 6).as("dup_ratio"))
         .orderBy("doc_id")

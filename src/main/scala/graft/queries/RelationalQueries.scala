@@ -76,6 +76,35 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
+    "q_outer_join" -> ((s, dir) => {
+      // Full-outer join semantics: customers without orders AND orders
+      // whose customer key misses the filtered dim both survive with
+      // nulls; the shared key is coalesced. Aggregated per nation bucket.
+      val cust = table(s, dir, "customer").where(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ords = table(s, dir, "orders").where(col("o_totalprice") > 100000)
+        .select(col("o_custkey"), col("o_totalprice"))
+      cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+        .groupBy(coalesce(col("c_nationkey"), lit(-1L)).as("nation"))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_custkey")).as("n_with_order"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("nation")
+    }),
+
+    "q_intersect_except" -> ((s, dir) => {
+      // Set operations: customers present in BOTH halves of an order-key
+      // split (INTERSECT) and in the first but not the second (EXCEPT) —
+      // distinct-set semantics, not bag.
+      val ords = table(s, dir, "orders")
+      val lo = ords.where(col("o_orderkey") % 2 === 0).select("o_custkey")
+      val hi = ords.where(col("o_orderkey") % 2 === 1).select("o_custkey")
+      lo.intersect(hi).withColumn("op", lit("both"))
+        .unionByName(lo.except(hi).withColumn("op", lit("even_only")))
+        .groupBy("op").agg(count(lit(1)).as("n_customers"))
+        .orderBy("op")
+    }),
+
     "g2_group_counts" -> ((s, dir) =>
       table(s, dir, "orders").groupBy("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n")).orderBy("o_orderstatus", "o_orderpriority")),
@@ -172,6 +201,23 @@ object RelationalQueries {
         |  SELECT * FROM orders WHERE o_totalprice < 1000
         |  UNION ALL
         |  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_outer_join" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000),
+        |o AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000)
+        |SELECT CAST(coalesce(c_nationkey, -1) AS BIGINT) AS nation, count(*) AS n,
+        |  count(o_custkey) AS n_with_order, round(sum(o_totalprice), 2) AS revenue
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_intersect_except" ->
+      """WITH lo AS (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+        |hi AS (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT op, count(*) AS n_customers FROM (
+        |  SELECT 'both' AS op, o_custkey FROM (SELECT * FROM lo INTERSECT SELECT * FROM hi)
+        |  UNION ALL
+        |  SELECT 'even_only' AS op, o_custkey FROM (SELECT * FROM lo EXCEPT SELECT * FROM hi))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g2_group_counts" ->
