@@ -134,9 +134,32 @@ object Pq {
     * approximated ‖q − decode(codes)‖². */
   def adcTopK(encoded: DataFrame, queries: DataFrame, id: String,
       qid: String, qvec: String, cb: Codebooks, k: Int): DataFrame = {
-    val spark = encoded.sparkSession
+    val (qdf, lut) = queryArtifacts(encoded.sparkSession, queries, qid, qvec, cb)
+    rankAdc(encoded.crossJoin(broadcast(qdf)), lut, id, qid, cb, k)
+  }
+
+  /** ADC top-k restricted to IVF-probed cells: `encoded` must carry a
+    * `cell_id` column ([[graft.ops.Similarity.ivfPqTopK]] supplies it),
+    * `probes` is the tiny (qid, cell_id) table of each query's probe
+    * cells. The corpus-side scan is the broadcast probe join — only the
+    * probed cells' rows reach the distance lookups, so the per-query cost
+    * is O(N·nProbe/nCells) code rows, the FAISS IVFADC shape. */
+  def adcTopKProbed(encoded: DataFrame, queries: DataFrame, probes: DataFrame,
+      id: String, qid: String, qvec: String, cb: Codebooks, k: Int): DataFrame = {
+    val (qdf, lut) = queryArtifacts(encoded.sparkSession, queries, qid, qvec, cb)
+    val probeQ = probes.join(qdf, probes(qid) === qdf("__qid"))
+      .select(col("__qid"), col("__qi"), col("cell_id"))
+    rankAdc(encoded.join(broadcast(probeQ), "cell_id"), lut, id, qid, cb, k)
+  }
+
+  /** Driver-side query artifacts: the (qid → dense query index) mapping
+    * DataFrame and the flat per-(query, subspace, code) distance-table
+    * literal (key = (qIdx·m + s)·k + code). `queries` is collected
+    * driver-side (documented-tiny, like the IVF centroid set). */
+  private def queryArtifacts(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, qid: String, qvec: String,
+      cb: Codebooks): (DataFrame, Column) = {
     val qrows = queries.select(col(qid), col(qvec).cast("array<double>")).collect()
-    // dtable key = (qIdx·m + s)·k + code — one flat int-keyed literal map
     val dtable: Map[Int, Double] = qrows.zipWithIndex.flatMap { case (r, qi) =>
       val qv = r.getSeq[Double](1)
       for (s <- 0 until cb.m; c <- 0 until cb.k) yield {
@@ -152,12 +175,18 @@ object Pq {
         org.apache.spark.sql.types.StructField("__qid", queries.schema(qid).dataType),
         org.apache.spark.sql.types.StructField("__qi",
           org.apache.spark.sql.types.IntegerType, nullable = false))))
-    val lut = typedLit(dtable)
+    (qdf, typedLit(dtable))
+  }
+
+  /** Shared ADC ranking: m distance-table lookups per candidate row +
+    * per-query top-k window. */
+  private def rankAdc(candidates: DataFrame, lut: Column, id: String,
+      qid: String, cb: Codebooks, k: Int): DataFrame = {
     val adc = (0 until cb.m).map { s =>
       element_at(lut, (col("__qi") * cb.m + s) * cb.k + element_at(col("codes"), s + 1))
     }.reduce(_ + _)
     val w = Window.partitionBy("__qid").orderBy(col("adc").asc, col(id).asc)
-    encoded.crossJoin(broadcast(qdf))
+    candidates
       .withColumn("adc", adc)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -240,6 +240,35 @@ object Similarity {
       .select(col(qid), col(id), col("cos"), col("rank"))
   }
 
+  /** IVF-PQ (FAISS IVFADC layout): the inverted file prunes WHICH rows a
+    * query scans (nProbe/nCells of the corpus), product quantization
+    * shrinks WHAT the scan reads (m small ints per row instead of 4·dim
+    * bytes of floats) — composing the library's two ANN halves, each of
+    * which carries its own exact oracle.
+    *
+    * Plan shape: centroid sample + cell assignment as [[ivfTopK]]
+    * (narrow literal argmin or broadcast-join argmin), PQ encode as a
+    * narrow projection, per-query probe cells via the broadcast centroid
+    * join, then [[Pq.adcTopKProbed]] — the only data-sized stage reads
+    * (id, cell_id, codes) and touches only probed cells. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      qid: String, qvec: String, k: Int, nCells: Int, nProbe: Int,
+      cb: Pq.Codebooks, centroidsByHash: Boolean = true,
+      maxLiteralTerms: Int = DefaultMaxLiteralTerms): DataFrame = {
+    val (centroidData, centroids) = sampleCentroids(corpus, id, vec, nCells, centroidsByHash)
+    val corpusN = corpus.select(col(id), col(vec)).withColumn("vnorm", norm(col(vec)))
+    val assigned = assignCells(corpusN, id, vec, centroidData, centroids, maxLiteralTerms)
+    val encoded = Pq.encode(assigned, vec, cb).select(col(id), col("cell_id"), col("codes"))
+    val queriesN = queries.withColumn("qnorm", norm(col(qvec)))
+    val probes = queriesN.join(broadcast(centroids))
+      .withColumn("d", -dot(col(qvec), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(qid).orderBy(col("d").asc, col("cell_id").asc)))
+      .where(col("rnk") <= nProbe)
+      .select(col(qid), col("cell_id"))
+    Pq.adcTopKProbed(encoded, queries, probes, id, qid, qvec, cb, k)
+  }
+
   /** Persist an IVF index: `path/centroids` (nCells rows) and
     * `path/assigned` parquet PARTITIONED BY cell_id — the on-disk
     * inverted file. A probe against the index reads only its nProbe

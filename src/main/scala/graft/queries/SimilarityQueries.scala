@@ -116,6 +116,23 @@ object SimilarityQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+
+    "ann_ivfpq" -> ((s, dir) => {
+      // IVF-PQ (FAISS IVFADC): probe pruning × code compression in one
+      // search — 16 lowest-id cells, probe 4, 4×4 sampled codebooks,
+      // top-5 by ADC among probed cells only. Both halves' oracles
+      // compose into the twin.
+      import graft.ops.Pq
+      val e = emb(s, dir)
+      val cb = Pq.sampleCodebooks(e, "vec_id", "v", m = 4, k = 4)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      Similarity.ivfPqTopK(e, queries, "vec_id", "v", "qid", "qv",
+          k = 5, nCells = 16, nProbe = 4, cb = cb, centroidsByHash = false)
+        .select(col("qid"), col("vec_id"), round(col("adc"), 4).as("adc"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
   )
 
   /** embeddings ∪ a deterministic near-copy of each (v′ = v + 0.15·reverse(v),
@@ -241,5 +258,48 @@ object SimilarityQueries {
          |  FROM cand)
          |SELECT qid, vec_id, round(cos, 4) AS cos, rank
          |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "ann_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+         |asn AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT a.vec_id, b.cell_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        -(list_dot_product(a.v, b.cv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.cv, b.cv)))) ASC,
+         |        b.cell_id ASC) AS rnk
+         |    FROM e a, cent b) t WHERE rnk = 1),
+         |b AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+         |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+         |ss AS (SELECT CAST(i AS INT) AS s FROM generate_series(0, 3) g(i)),
+         |enc AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT a.vec_id, ss.s, b.code,
+         |      row_number() OVER (PARTITION BY a.vec_id, ss.s ORDER BY
+         |        list_dot_product(b.v[ss.s*16+1 : ss.s*16+16], b.v[ss.s*16+1 : ss.s*16+16])
+         |        - 2 * list_dot_product(a.v[ss.s*16+1 : ss.s*16+16], b.v[ss.s*16+1 : ss.s*16+16]) ASC,
+         |        b.code ASC) AS rk
+         |    FROM e a, ss, b) t WHERE rk = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+         |probes AS (
+         |  SELECT qid, cell_id FROM (
+         |    SELECT a.vec_id AS qid, b.cell_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        -(list_dot_product(a.v, b.cv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.cv, b.cv)))) ASC,
+         |        b.cell_id ASC) AS rnk
+         |    FROM e a, cent b WHERE a.vec_id < 3) t WHERE rnk <= 4),
+         |cand AS (SELECT p.qid, a.vec_id FROM asn a JOIN probes p USING (cell_id)),
+         |parts AS (
+         |  SELECT c.qid, c.vec_id,
+         |    list_dot_product(q.qv[enc.s*16+1 : enc.s*16+16], q.qv[enc.s*16+1 : enc.s*16+16])
+         |    - 2 * list_dot_product(q.qv[enc.s*16+1 : enc.s*16+16], b.v[enc.s*16+1 : enc.s*16+16])
+         |    + list_dot_product(b.v[enc.s*16+1 : enc.s*16+16], b.v[enc.s*16+1 : enc.s*16+16]) AS pd
+         |  FROM cand c JOIN enc ON enc.vec_id = c.vec_id
+         |  JOIN b ON b.code = enc.code JOIN q ON q.qid = c.qid),
+         |adc AS (SELECT qid, vec_id, sum(pd) AS adc FROM parts GROUP BY 1, 2),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |  ORDER BY adc ASC, vec_id ASC) AS rank FROM adc)
+         |SELECT qid, vec_id, round(adc, 4) AS adc, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
   )
 }

@@ -87,4 +87,31 @@ class PqSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(codes(1) == codes(7))
   }
+
+  test("ivfPqTopK with nProbe = nCells equals the full ADC scan") {
+    val cb = Pq.sampleCodebooks(clustered, "id", "v", m = 2, k = 4)
+    val queries = clustered.where(col("id") < 3)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val full = Pq.adcTopK(
+        Pq.encode(clustered, "v", cb).select("id", "codes"),
+        queries, "id", "qid", "qv", cb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val probed = Similarity.ivfPqTopK(clustered, queries, "id", "v", "qid", "qv",
+        k = 5, nCells = 6, nProbe = 6, cb = cb, centroidsByHash = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(probed == full)
+  }
+
+  test("ivfPqTopK recall: probing finds each query's own cluster members") {
+    val cb = Pq.trainCodebooks(clustered, "id", "v", m = 2, k = 3, iters = 4)
+    val queries = clustered.where(col("id") < 3)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val got = Similarity.ivfPqTopK(clustered, queries, "id", "v", "qid", "qv",
+        k = 10, nCells = 6, nProbe = 3, cb = cb, centroidsByHash = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // query i belongs to cluster i%3; its top-10 by ADC must be dominated
+    // by same-cluster ids (id % 3 == qid % 3)
+    val sameCluster = got.count { case (q, id) => id % 3 == q % 3 }
+    assert(sameCluster >= 27, s"same-cluster hits: $sameCluster/30")
+  }
 }
