@@ -387,6 +387,48 @@ object Stats {
         first("iqr_lo").as("iqr_lo"), first("iqr_hi").as("iqr_hi"))
   }
 
+  /** Pairwise Pearson correlation matrix over `cols` in ONE aggregation
+    * pass — k·(k−1)/2 `corr` aggregates evaluated in a single map-side-
+    * combined scan (never k² passes), stacked to tidy
+    * (col_a, col_b, corr) rows by an in-row explode of the 1-row result. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least 2 columns")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          col(s"${a}__${b}").as("corr"))
+      }: _*)).as("p"))
+      .select("p.*")
+  }
+
+  /** Time-weighted average per key: `Σ value·Δt / Σ Δt` with Δt the gap
+    * to the NEXT event (step-function integral — each value holds until
+    * superseded; the last event has no closing gap and is excluded).
+    * One per-key window (lead) + one aggregation. */
+  def timeWeightedAvg(df: DataFrame, key: Column, t: Column,
+      value: Column): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("__t"))
+    df.select(key.as("k"), t.as("__t"), value.as("__v"))
+      .withColumn("__dt", (lead(col("__t"), 1).over(w) - col("__t")).cast("double"))
+      .where(col("__dt").isNotNull)
+      .groupBy(col("k"))
+      .agg((sum(col("__v") * col("__dt")) / sum(col("__dt"))).as("twa"),
+        count(lit(1)).as("n_intervals"),
+        sum(col("__dt")).cast("long").as("span"))
+  }
+
+  /** Engine-portable k-fold assignment: fold = IntHash-mix(seed, id)
+    * mod k — a pure narrow projection (no shuffle, no rand()), stable
+    * across partitioning/retries/engines like [[stratifiedSample]];
+    * folds partition the data by construction. */
+  def foldAssign(idCol: Column, k: Int, seed: Long): Column = {
+    require(k >= 2, "need k >= 2 folds")
+    pmod(IntHash.mix(lit(seed), Seq(idCol)), lit(k.toLong)).cast("int")
+  }
+
   /** Mutual information I(X;Y) in nats between two discrete columns —
     * the label↔feature dependence score used for feature selection
     * (higher = more informative feature).

@@ -147,6 +147,35 @@ object AnalyticsQueries {
         .orderBy("bin")
     }),
 
+    "g_corr_matrix" -> ((s, dir) =>
+      // Feature-correlation screen: all pairwise Pearson r in ONE pass.
+      Stats.corrMatrix(table(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("col_a"), col("col_b"), round(col("corr"), 6).as("corr"))
+        .orderBy("col_a", "col_b")),
+
+    "g_time_weighted_avg" -> ((s, dir) => {
+      // Step-function time-weighted mean of each user's value signal —
+      // the irregular-sampling-robust aggregate (plain avg over-weights
+      // bursts).
+      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      Stats.timeWeightedAvg(ev, col("user_id"), col("ts_us"), col("value"))
+        .select(col("k").as("user_id"), round(col("twa"), 6).as("twa"),
+          col("n_intervals"), col("span"))
+        .orderBy("user_id")
+    }),
+
+    "g_kfold" -> ((s, dir) =>
+      // Engine-portable 5-fold assignment: per-fold sizes, id checksums,
+      // and class balance — the cross-validation split as a pure
+      // projection.
+      table(s, dir, "events")
+        .withColumn("fold", Stats.foldAssign(col("event_id"), k = 5, seed = 17L))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
+        .orderBy("fold")),
+
     "q_json_extract" -> ((s, dir) => {
       // Semi-structured payloads: pull a typed field out of the JSON
       // `props` column and aggregate it — narrow extraction (codegen'd
@@ -414,6 +443,36 @@ object AnalyticsQueries {
         |    (CASE WHEN value > q9 THEN 1 ELSE 0 END) AS bin
         |  FROM events CROSS JOIN b)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g_corr_matrix" ->
+      """WITH c AS (SELECT
+        |    corr(l_quantity, l_extendedprice) AS qe,
+        |    corr(l_quantity, l_discount) AS qd,
+        |    corr(l_extendedprice, l_discount) AS ed
+        |  FROM lineitem)
+        |SELECT col_a, col_b, corr FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(qe, 6) AS corr FROM c
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount', round(qd, 6) FROM c
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount', round(ed, 6) FROM c)
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    "g_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+        |d AS (SELECT user_id, value,
+        |        lead(t) OVER (PARTITION BY user_id ORDER BY t) - t AS dt
+        |      FROM e)
+        |SELECT user_id, round(sum(value * dt) / sum(dt), 6) AS twa,
+        |  count(*) AS n_intervals, CAST(sum(dt) AS BIGINT) AS span
+        |FROM d WHERE dt IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g_kfold" ->
+      s"""SELECT fold, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+         |FROM (SELECT *, CAST(${graft.ops.IntHash.mixSql("17", Seq("event_id"))} % 5 AS INT) AS fold
+         |      FROM events)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,

@@ -164,6 +164,48 @@ class CurationStatsSpec extends SparkSpec {
     assert(got(1) == ((2L, 1, 1L, 0L)))
   }
 
+  // ---- corrMatrix / timeWeightedAvg / foldAssign ----
+
+  test("corrMatrix: perfect positive/negative correlation and pair coverage") {
+    val df = (1 to 50).map(i => (i.toDouble, 2.0 * i + 3, -1.0 * i)).toDF("a", "b", "c")
+    val got = Stats.corrMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 3)
+    assert(approx(got(("a", "b")), 1.0, 1e-12))
+    assert(approx(got(("a", "c")), -1.0, 1e-12))
+    assert(approx(got(("b", "c")), -1.0, 1e-12))
+  }
+
+  test("timeWeightedAvg: hand-computed step integral; last event open-ended") {
+    // key g: value 10 holds [0,4), 2 holds [4,10); twa = (10*4 + 2*6)/10 = 5.2
+    val df = Seq(("g", 0L, 10.0), ("g", 4L, 2.0), ("g", 10L, 99.0)).toDF("k", "t", "v")
+    val row = Stats.timeWeightedAvg(df, col("k"), col("t"), col("v")).head()
+    assert(approx(row.getAs[Double]("twa"), 5.2, 1e-12))
+    assert(row.getAs[Long]("n_intervals") == 2 && row.getAs[Long]("span") == 10)
+  }
+
+  test("timeWeightedAvg: single-event keys drop out (no closing interval)") {
+    val df = Seq(("a", 1L, 5.0), ("b", 1L, 7.0), ("b", 3L, 9.0)).toDF("k", "t", "v")
+    val got = Stats.timeWeightedAvg(df, col("k"), col("t"), col("v"))
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("b"))
+  }
+
+  test("foldAssign: partitions ids, deterministic, roughly balanced") {
+    val df = (1L to 5000L).toDF("id")
+    val folds = df.withColumn("f", Stats.foldAssign(col("id"), k = 5, seed = 17L))
+    val counts = folds.groupBy("f").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0, 1, 2, 3, 4))
+    assert(counts.values.sum == 5000L)
+    assert(counts.values.forall(n => n > 800 && n < 1200))
+    // repartition-invariant
+    val again = df.repartition(7)
+      .withColumn("f", Stats.foldAssign(col("id"), 5, 17L))
+      .groupBy("f").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
   // ---- editDistancePairs ----
 
   test("editDistancePairs: equals the brute-force all-pairs filter") {
