@@ -74,6 +74,16 @@ object ScaleProbe {
         d.count()
         time(s"vocabulary n=$n")(
           TextOps.vocabulary(d, col("id"), col("text"), 100L, 1000).count())
+      case "sessionize" =>
+        // G12 episode sessionization: ~5% attack rows in ~1000-row episodes
+        val df = spark.range(n).select(col("id").as("idx"),
+          (pmod(xxhash64(col("id") / 1000), lit(20)) === 0).cast("int").as("yt"),
+          (pmod(xxhash64(col("id"), lit(1)), lit(10)) === 0).cast("int").as("yp"),
+          (col("id") / 1000).cast("string").as("ep"))
+        df.count()
+        time(s"sessionize n=$n")(
+          graft.ops.Sessionize.episodes(df, col("idx"), col("yt"), col("yp"), col("ep"))
+            .agg(count(lit(1))).collect())
       case "editpairs" =>
         // distinct-name table: ~n unique synthetic names
         val names = spark.range(n).select(

@@ -79,6 +79,14 @@ object StreamingOps {
       .drop(col(s"r.$key"))
   }
 
+  /** Stream-static enrichment: join a stream against a slowly-changing
+    * dimension table (labels, user attributes, model thresholds). The
+    * static side re-resolves per micro-batch (file-source dims pick up
+    * new files) and broadcasts — no stream-side state at all, unlike a
+    * stream-stream join. Left join keeps unmatched events flowing. */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   final case class Point(entity: String, ts: Timestamp, x: Double)
   final case class EwmaState(y: Double, lastTsMs: Long)
   final case class EwmaOut(entity: String, tsMs: Long, x: Double, ewma: Double)

@@ -88,6 +88,21 @@ class SketchLmStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream: stream-static broadcast join enriches per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("k", "label")
+    val q = StreamingOps.enrichStream(input.toDF.toDF("k", "v"), dim, "k")
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      input.addData(("a", 1.0), ("b", 2.0), ("c", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich").collect()
+        .map(r => (r.getString(0), Option(r.getString(2)))).toSet
+      assert(got == Set(("a", Some("alpha")), ("b", Some("beta")), ("c", None)))
+    } finally q.stop()
+  }
+
   // ---- sketch surface ----
 
   test("approx_count_distinct (HLL) lands within its rsd bound of exact") {
