@@ -261,6 +261,41 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Incremental exact dedup against a persisted fingerprint store — the
+    * production ingestion pattern: each arriving batch keeps only
+    * documents whose content hash is new BOTH within the batch (lowest
+    * id wins) and against every previously ingested batch, then appends
+    * its new hashes to the store.
+    *
+    * Scale shape: the store holds 16-byte hashes, not documents; the
+    * history check is one left-anti hash join (shuffle carries hashes +
+    * ids), and the store append is hash-only. A first call bootstraps an
+    * empty store. Returns the kept rows. */
+  def dedupExactIncremental(newDocs: DataFrame, id: String, text: String,
+      storePath: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val inBatch = dedupExact(newDocs, id, text).withColumn("__h", md5(col(text)))
+    val store =
+      try spark.read.parquet(storePath).select(col("__h"))
+      catch { case _: Exception =>
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__h",
+              org.apache.spark.sql.types.StringType))))
+      }
+    // Pin the result BEFORE mutating the store — and with a TRUNCATED
+    // lineage: a plain persist is not enough, because appending to
+    // storePath triggers CacheManager.recacheByPath, which recomputes any
+    // cached plan that reads that path — the anti-join would re-run
+    // against the just-updated store and filter this batch's own rows
+    // away. localCheckpoint replaces the plan with the materialized
+    // blocks (no path reference left).
+    val kept = inBatch.join(store, Seq("__h"), "left_anti")
+      .localCheckpoint(true)
+    kept.select("__h").write.mode("append").parquet(storePath)
+    kept.drop("__h")
+  }
+
   /** Corpus-internal duplicate-span profile (CCNet-style paragraph/span
     * dedup adapted to token tiles): cut each document into NON-overlapping
     * `w`-token tiles (full tiles only), count how many DISTINCT documents

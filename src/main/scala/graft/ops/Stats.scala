@@ -387,6 +387,36 @@ object Stats {
         first("iqr_lo").as("iqr_lo"), first("iqr_hi").as("iqr_hi"))
   }
 
+  /** Categorical-distribution drift: KL(P‖Q), KL(Q‖P) and Jensen–Shannon
+    * divergence (nats) between the `cat` distributions of the `isA` and
+    * `isB` row slices — the categorical complement of [[ksStatistic]]
+    * (which needs an ordered value). Laplace-smoothed over the observed
+    * category union so unseen-on-one-side categories stay finite.
+    *
+    * ONE conditional-aggregation pass over the data; the divergences are
+    * window sums over the |categories|-row count table (never a second
+    * scan, nothing collected). Returns one row:
+    * (kl_pq, kl_qp, js, n_a, n_b, n_categories). */
+  def categoricalDivergence(df: DataFrame, cat: Column, isA: Column,
+      isB: Column): DataFrame = {
+    val counts = df.where(isA || isB)
+      .groupBy(coalesce(cat.cast("string"), lit("§null§")).as("c"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("na"),
+        sum(when(isB, 1L).otherwise(0L)).as("nb"))
+    val all = Window.partitionBy()
+    val k = count(lit(1)).over(all)
+    val p = (col("na") + 1.0) / (sum("na").over(all) + k)
+    val q = (col("nb") + 1.0) / (sum("nb").over(all) + k)
+    val m = (p + q) / 2.0
+    counts
+      .select(col("na"), col("nb"),
+        (p * log(p / q)).as("t_pq"), (q * log(q / p)).as("t_qp"),
+        (p * log(p / m) / 2.0 + q * log(q / m) / 2.0).as("t_js"))
+      .agg(sum("t_pq").as("kl_pq"), sum("t_qp").as("kl_qp"),
+        sum("t_js").as("js"), sum("na").as("n_a"), sum("nb").as("n_b"),
+        count(lit(1)).as("n_categories"))
+  }
+
   /** Pairwise Pearson correlation matrix over `cols` in ONE aggregation
     * pass — k·(k−1)/2 `corr` aggregates evaluated in a single map-side-
     * combined scan (never k² passes), stacked to tidy

@@ -147,6 +147,32 @@ object AnalyticsQueries {
         .orderBy("bin")
     }),
 
+    "g_kl_drift" -> ((s, dir) => {
+      // Categorical drift between the first and second half of January:
+      // KL both ways + Jensen-Shannon over the event-type distribution
+      // (the categorical complement of g_ks_drift).
+      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val mid = 1705363200000000L // 2024-01-16 UTC
+      Stats.categoricalDivergence(ev, col("event_type"),
+          col("ts_us") < mid, col("ts_us") >= mid)
+        .select(round(col("kl_pq"), 6).as("kl_pq"),
+          round(col("kl_qp"), 6).as("kl_qp"), round(col("js"), 6).as("js"),
+          col("n_a"), col("n_b"), col("n_categories"))
+    }),
+
+    "g_sliding_distinct" -> ((s, dir) => {
+      // Sliding-window distinct users (6 h window, 3 h slide) — the batch
+      // twin of the streaming sliding aggregation; each event lands in
+      // exactly windowLen/slide = 2 windows.
+      val ev = table(s, dir, "events")
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      ev.groupBy(window(col("t"), "6 hours", "3 hours"))
+        .agg(countDistinct("user_id").as("u"), count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("win_start_s"),
+          col("u"), col("n"))
+        .orderBy("win_start_s")
+    }),
+
     "g_corr_matrix" -> ((s, dir) =>
       // Feature-correlation screen: all pairwise Pearson r in ONE pass.
       Stats.corrMatrix(table(s, dir, "lineitem"),
@@ -442,6 +468,33 @@ object AnalyticsQueries {
         |    (CASE WHEN value > q8 THEN 1 ELSE 0 END) +
         |    (CASE WHEN value > q9 THEN 1 ELSE 0 END) AS bin
         |  FROM events CROSS JOIN b)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g_kl_drift" ->
+      """WITH c AS (
+        |  SELECT coalesce(CAST(event_type AS VARCHAR), '§null§') AS c,
+        |    sum(CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN epoch_us(ts) >= 1705363200000000 THEN 1 ELSE 0 END) AS nb
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb,
+        |             CAST(count(*) AS BIGINT) AS k FROM c),
+        |d AS (SELECT (na + 1.0) / (ta + k) AS p, (nb + 1.0) / (tb + k) AS q,
+        |             ta, tb, k
+        |      FROM c CROSS JOIN t)
+        |SELECT round(sum(p * ln(p / q)), 6) AS kl_pq,
+        |  round(sum(q * ln(q / p)), 6) AS kl_qp,
+        |  round(sum(p * ln(p / ((p + q) / 2.0)) / 2.0 +
+        |            q * ln(q / ((p + q) / 2.0)) / 2.0), 6) AS js,
+        |  ta AS n_a, tb AS n_b, k AS n_categories
+        |FROM d GROUP BY ta, tb, k""".stripMargin,
+
+    "g_sliding_distinct" ->
+      """SELECT s AS win_start_s, CAST(count(DISTINCT user_id) AS BIGINT) AS u,
+        |  count(*) AS n
+        |FROM (SELECT user_id, unnest([
+        |        (epoch_us(ts) // 10800000000) * 10800,
+        |        ((epoch_us(ts) // 10800000000) - 1) * 10800]) AS s
+        |      FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g_corr_matrix" ->

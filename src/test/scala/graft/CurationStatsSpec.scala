@@ -206,6 +206,54 @@ class CurationStatsSpec extends SparkSpec {
     assert(again == counts)
   }
 
+  // ---- categoricalDivergence ----
+
+  test("categoricalDivergence: zero for identical slices, positive for drifted") {
+    val same = (1 to 200).map(i => (if (i <= 100) "A" else "B", s"c${i % 4}"))
+      .toDF("side", "cat")
+    val zero = Stats.categoricalDivergence(same, col("cat"),
+      col("side") === "A", col("side") === "B").head()
+    assert(approx(zero.getAs[Double]("kl_pq"), 0.0, 1e-12))
+    assert(approx(zero.getAs[Double]("js"), 0.0, 1e-12))
+    // drifted: side A all c0, side B all c1
+    val drifted = ((1 to 100).map(_ => ("A", "c0")) ++ (1 to 100).map(_ => ("B", "c1")))
+      .toDF("side", "cat")
+    val row = Stats.categoricalDivergence(drifted, col("cat"),
+      col("side") === "A", col("side") === "B").head()
+    assert(row.getAs[Double]("kl_pq") > 1.0 && row.getAs[Double]("js") > 0.3)
+    assert(row.getAs[Long]("n_categories") == 2)
+  }
+
+  test("categoricalDivergence: JS is symmetric, KL is not") {
+    val df = ((1 to 90).map(_ => ("A", "x")) ++ (1 to 10).map(_ => ("A", "y")) ++
+      (1 to 50).map(_ => ("B", "x")) ++ (1 to 50).map(_ => ("B", "y"))).toDF("side", "cat")
+    val ab = Stats.categoricalDivergence(df, col("cat"),
+      col("side") === "A", col("side") === "B").head()
+    val ba = Stats.categoricalDivergence(df, col("cat"),
+      col("side") === "B", col("side") === "A").head()
+    assert(approx(ab.getAs[Double]("js"), ba.getAs[Double]("js"), 1e-12))
+    assert(approx(ab.getAs[Double]("kl_pq"), ba.getAs[Double]("kl_qp"), 1e-12))
+    assert(math.abs(ab.getAs[Double]("kl_pq") - ab.getAs[Double]("kl_qp")) > 1e-3)
+  }
+
+  // ---- dedupExactIncremental ----
+
+  test("dedupExactIncremental: cross-batch dedup via the fingerprint store") {
+    val store = java.nio.file.Files.createTempDirectory("graft_dedup_store")
+      .resolve("hashes").toString
+    val b1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("id", "text")
+    val k1 = Dedup.dedupExactIncremental(b1, "id", "text", store)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(k1 == Seq(1L, 2L)) // in-batch dup 3 dropped (lowest id wins)
+    val b2 = Seq((10L, "alpha"), (11L, "gamma"), (12L, "beta"), (13L, "gamma"))
+      .toDF("id", "text")
+    val k2 = Dedup.dedupExactIncremental(b2, "id", "text", store)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(k2 == Seq(11L)) // alpha/beta already ingested; gamma once
+    val b3 = Seq((20L, "gamma")).toDF("id", "text")
+    assert(Dedup.dedupExactIncremental(b3, "id", "text", store).count() == 0)
+  }
+
   // ---- editDistancePairs ----
 
   test("editDistancePairs: equals the brute-force all-pairs filter") {
