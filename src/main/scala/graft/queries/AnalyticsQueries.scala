@@ -147,6 +147,30 @@ object AnalyticsQueries {
         .orderBy("bin")
     }),
 
+    "q_scd2" -> ((s, dir) => {
+      // Slowly-changing-dimension (type 2) interval builder: collapse each
+      // user's event-type signal into validity intervals [valid_from,
+      // valid_to) — gaps-and-islands (lag-change flag + running sum), one
+      // per-user window stack, no self-join. valid_to of the open run is
+      // null.
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+        .where(col("user_id") < 10)
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runs = ev
+        .withColumn("chg", when(lag("event_type", 1).over(w).isNull ||
+          lag("event_type", 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("run_id", sum("chg").over(cum))
+        .groupBy("user_id", "run_id")
+        .agg(min("event_type").as("event_type"), min("ts_us").as("valid_from"),
+          count(lit(1)).as("n_rows"))
+      val w2 = Window.partitionBy("user_id").orderBy("valid_from")
+      runs.withColumn("valid_to", lead("valid_from", 1).over(w2))
+        .select("user_id", "run_id", "event_type", "valid_from", "valid_to", "n_rows")
+        .orderBy("user_id", "valid_from")
+    }),
+
     "g_kl_drift" -> ((s, dir) => {
       // Categorical drift between the first and second half of January:
       // KL both ways + Jensen-Shannon over the event-type distribution
@@ -469,6 +493,28 @@ object AnalyticsQueries {
         |    (CASE WHEN value > q9 THEN 1 ELSE 0 END) AS bin
         |  FROM events CROSS JOIN b)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+        |  FROM events WHERE user_id < 10),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |r AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+        |    min(event_type) AS event_type, min(t) AS valid_from,
+        |    count(*) AS n_rows
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, run_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+        |  n_rows
+        |FROM g ORDER BY user_id, valid_from""".stripMargin,
 
     "g_kl_drift" ->
       """WITH c AS (

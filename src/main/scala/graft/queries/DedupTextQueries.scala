@@ -226,6 +226,22 @@ object DedupTextQueries {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    "dedup_entity_resolution" -> ((s, dir) => {
+      // Entity resolution capstone: fuzzy-match edges (levenshtein <= 2,
+      // length-banded) -> connected components -> canonical entity per
+      // cluster (min name) with the sorted member list. Composes two
+      // independently-oracled ops; the twin re-derives both.
+      val part = table(s, dir, "part")
+      val names = part.select(col("p_name").as("name"))
+        .where(col("name").isNotNull).distinct()
+      val pairs = Dedup.editDistancePairs(part, col("p_name"), maxDist = 2)
+      Dedup.connectedComponents(names, pairs, "name", "name_a", "name_b")
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"),
+          array_join(sort_array(collect_list(col("name"))), ",").as("members"))
+        .orderBy("component")
+    }),
+
     "text_lm_score" -> ((s, dir) =>
       // Unigram-LM fluency (perplexity proxy): model trained on the whole
       // corpus, docs < 100 scored.
@@ -524,6 +540,22 @@ object DedupTextQueries {
          |  FROM documents WHERE n_chars > 0
          |  ORDER BY k DESC, doc_id ASC LIMIT 50)
          |ORDER BY doc_id""".stripMargin,
+
+    "dedup_entity_resolution" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+        |p AS (
+        |  SELECT a.name AS na, b.name AS nb FROM n a JOIN n b ON a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |edges AS (SELECT na AS u, nb AS v FROM p UNION ALL SELECT nb, na FROM p),
+        |reach(x, comp) AS (
+        |  SELECT name, name FROM n
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.x),
+        |c AS (SELECT x AS name, min(comp) AS component FROM reach GROUP BY x)
+        |SELECT component, count(*) AS n_members,
+        |  string_agg(name, ',' ORDER BY name) AS members
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_lm_score" ->
       s"""WITH t AS (
