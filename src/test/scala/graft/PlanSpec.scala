@@ -113,6 +113,45 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("sample_weighted: top-k collapses into TakeOrderedAndProject (no global sort)") {
+    val p = plan("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("text_vocabulary: one map-side-combined count pass + TakeOrdered top-N") {
+    val p = plan("text_vocabulary")
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("g_ewma: exactly one full-data exchange (the group-key hash)") {
+    // Stats.ewma itself: hash exchange on the key + in-partition sort +
+    // MapGroups. The query's presentation orderBy adds a range exchange —
+    // assert on the op alone.
+    val ev = graft.queries.Q.table(spark, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+    val p = planOf(graft.ops.Stats.ewma(ev, "user_id", Seq("ts_us", "event_id"),
+      "value", 0.3))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("MapGroups"), p)
+  }
+
+  test("g_kfold / foldAssign: pure narrow projection (no exchange before the agg)") {
+    val df = (1L to 100L).toDF("id")
+    val p = planOf(df.withColumn("f",
+      graft.ops.Stats.foldAssign(col("id"), 5, 17L)))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q_cohort: first-activity join keys on user; no cartesian, no broadcast of the fact side") {
+    val p = plan("q_cohort")
+    assert(!p.contains("CartesianProduct"), p)
+    // events scan prunes to the two needed columns
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"), p)
+  }
+
   test("rocCurve: the only full-data pass is the map-side-combined groupBy(score)") {
     val p = planOf(graft.ops.Curves.rocCurve(
       graft.queries.Q.scoredEvents(spark, dir), col("y_true"), col("score")))
