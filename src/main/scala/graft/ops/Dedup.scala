@@ -112,6 +112,38 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-table fuzzy (MinHash-LSH) join — entity matching between two
+    * corpora: pairs (left id, right id) whose texts share an LSH bucket
+    * AND pass true n-gram Jaccard ≥ threshold. The same banding math as
+    * [[minhashNearDuplicates]], but as a LEFT×RIGHT equi-join on
+    * (band, bucket) instead of a self-join — no `left < right` dedup
+    * (the sides are distinct tables), candidates deduped on the id pair
+    * before the exact verification join. Quadratic cost exists only
+    * within shared buckets; everything else is hash equi-joins. Returns
+    * (idL, idR, jaccard). */
+  def fuzzyJoin(left: DataFrame, idL: String, textL: String,
+      right: DataFrame, idR: String, textR: String,
+      threshold: Double, numShingleWords: Int = 3,
+      numBands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val a = lshBuckets(left, idL, textL, numShingleWords, numBands, rowsPerBand)
+      .toDF("__ida", "band", "bucket")
+    val b = lshBuckets(right, idR, textR, numShingleWords, numBands, rowsPerBand)
+      .toDF("__idb", "band", "bucket")
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .select("__ida", "__idb").distinct()
+    val docsA = left.select(col(idL).as("__ida"),
+      shingles(col(textL), numShingleWords).as("__sha"))
+    val docsB = right.select(col(idR).as("__idb"),
+      shingles(col(textR), numShingleWords).as("__shb"))
+    pairs
+      .join(docsA, Seq("__ida"))
+      .join(docsB, Seq("__idb"))
+      .withColumn("jaccard",
+        org.apache.spark.sql.graft.MinHashShim.jaccardCol(col("__sha"), col("__shb")))
+      .where(col("jaccard") >= threshold)
+      .select(col("__ida").as(idL), col("__idb").as(idR), col("jaccard"))
+  }
+
   /** Brute-force n-gram Jaccard over all pairs (the LSH verifier / small-N
     * baseline; O(N²) — use [[minhashNearDuplicates]] at scale). */
   def jaccardSimilarity(df: DataFrame, id: String, text: String, n: Int): DataFrame = {

@@ -226,6 +226,22 @@ object DedupTextQueries {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    "dedup_fuzzy_join" -> ((s, dir) => {
+      // Cross-table fuzzy join (entity matching): docs 0-99 vs re-idded
+      // docs 50-149 — the 50-doc overlap has Jaccard 1 (identical
+      // signatures -> banding recall is deterministic, so the brute-force
+      // twin is exact); random word-trigram sets never approach the 0.9
+      // threshold.
+      val docs = table(s, dir, "documents")
+      val left = docs.where(col("doc_id") < 100).select("doc_id", "text")
+      val right = docs.where(col("doc_id") >= 50 && col("doc_id") < 150)
+        .select((col("doc_id") + 10000).as("rid"), col("text"))
+      Dedup.fuzzyJoin(left, "doc_id", "text", right, "rid", "text",
+          threshold = 0.9, numShingleWords = 3)
+        .select(col("doc_id"), col("rid"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_id", "rid")
+    }),
+
     "dedup_entity_resolution" -> ((s, dir) => {
       // Entity resolution capstone: fuzzy-match edges (levenshtein <= 2,
       // length-banded) -> connected components -> canonical entity per
@@ -540,6 +556,23 @@ object DedupTextQueries {
          |  FROM documents WHERE n_chars > 0
          |  ORDER BY k DESC, doc_id ASC LIMIT 50)
          |ORDER BY doc_id""".stripMargin,
+
+    "dedup_fuzzy_join" -> {
+      val grams = "list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))"
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |l AS (SELECT doc_id, $grams AS sh FROM tok WHERE doc_id < 100),
+         |r AS (SELECT doc_id + 10000 AS rid, $grams AS sh FROM tok
+         |      WHERE doc_id >= 50 AND doc_id < 150)
+         |SELECT l.doc_id, r.rid,
+         |  round(len(list_intersect(l.sh, r.sh)) * 1.0 /
+         |        len(list_distinct(list_concat(l.sh, r.sh))), 4) AS jaccard
+         |FROM l JOIN r ON len(list_intersect(l.sh, r.sh)) * 1.0 /
+         |      len(list_distinct(list_concat(l.sh, r.sh))) >= 0.9
+         |ORDER BY 1, 2""".stripMargin
+    },
 
     "dedup_entity_resolution" ->
       """WITH RECURSIVE n AS (

@@ -103,6 +103,38 @@ class SketchLmStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fuzzyJoin: cross-table LSH matching equals the brute-force pair set") {
+    val mk = (i: Int) => (1 to 30).map(j => s"w${(i * 13 + j * 7) % 40}").mkString(" ")
+    val left = (0 until 10).map(i => (i.toLong, mk(i))).toDF("lid", "text")
+    val right = ((5 until 10).map(i => (100L + i, mk(i))) ++
+      (50 until 55).map(i => (100L + i, mk(i)))).toDF("rid", "text")
+    val got = graft.ops.Dedup.fuzzyJoin(left, "lid", "text", right, "rid", "text",
+        threshold = 0.9, numShingleWords = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (5 until 10).map(i => (i.toLong, 100L + i)).toSet)
+  }
+
+  test("streaming ingestion: foreachBatch + incremental dedup across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest")
+    val (store, out) = (s"$tmp/store", s"$tmp/out")
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF.toDF("id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Dedup.dedupExactIncremental(batch, "id", "text", store)
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      input.addData((10L, "alpha"), (11L, "gamma"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 2L, 11L)) // cross-batch 'alpha' dropped
+    } finally q.stop()
+  }
+
   // ---- sketch surface ----
 
   test("approx_count_distinct (HLL) lands within its rsd bound of exact") {
