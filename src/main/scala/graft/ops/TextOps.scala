@@ -240,6 +240,25 @@ object TextOps {
       .withColumn("ppl", exp(-col("avg_logp")))
   }
 
+  /** Canonical text normalization for dedup/matching keys: lower-case,
+    * strip ASCII punctuation, collapse whitespace runs, trim. Pure
+    * codegen'd projections (RE2-portable regexes — the DuckDB twin
+    * applies the identical pattern). Normalize BEFORE hashing for
+    * near-dup keys; keep the raw text for display. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\]^_`{|}~]", " "),
+      "\\s+", " "))
+
+  /** Deterministic corpus shuffle: a stable pseudo-random training order
+    * as a pure sort key — `IntHash.mix(seed, id)` — reproducible across
+    * engines, retries, and cluster sizes (same contract as the sampling
+    * triad). Use as `df.orderBy(shuffleKey(...))` for a global order, or
+    * `repartitionByRange(n, shuffleKey(...))` to write shuffled shards
+    * without a driver-side sort. */
+  def shuffleKey(idCol: Column, seed: Long): Column =
+    IntHash.mix(lit(seed), Seq(idCol))
+
   /** Corpus vocabulary builder: global token frequencies with document
     * frequencies, thresholded at `minCount` and cut to the `topN` most
     * frequent (ties broken by token string — deterministic across

@@ -226,6 +226,25 @@ object DedupTextQueries {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    "text_normalize" -> ((s, dir) =>
+      // Canonicalization for match keys: md5 of the normalized text pins
+      // content; n_chars before/after pins the collapse arithmetic.
+      table(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          md5(TextOps.normalizeText(concat(col("text"),
+            lit("  X.Y;Z!!  tail   CASE")))).as("norm_md5"),
+          length(TextOps.normalizeText(concat(col("text"),
+            lit("  X.Y;Z!!  tail   CASE")))).cast("long").as("n_norm"))
+        .orderBy("doc_id")),
+
+    "sample_shuffle" -> ((s, dir) =>
+      // Deterministic global training order: first 20 docs under the
+      // engine-portable hash order (stable across engines/partitionings).
+      table(s, dir, "documents")
+        .orderBy(TextOps.shuffleKey(col("doc_id"), seed = 23L), col("doc_id"))
+        .select("doc_id", "lang")
+        .limit(20)),
+
     "dedup_fuzzy_join" -> ((s, dir) => {
       // Cross-table fuzzy join (entity matching): docs 0-99 vs re-idded
       // docs 50-149 — the 50-doc overlap has Jaccard 1 (identical
@@ -556,6 +575,21 @@ object DedupTextQueries {
          |  FROM documents WHERE n_chars > 0
          |  ORDER BY k DESC, doc_id ASC LIMIT 50)
          |ORDER BY doc_id""".stripMargin,
+
+    "text_normalize" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(text || '  X.Y;Z!!  tail   CASE'),
+         |    '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\]^_`{|}~]', ' ', 'g'),
+         |    '\\s+', ' ', 'g')) AS nt
+         |  FROM documents WHERE doc_id < 50)
+         |SELECT doc_id, md5(nt) AS norm_md5, length(nt) AS n_norm
+         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "sample_shuffle" ->
+      s"""SELECT doc_id, lang FROM documents
+         |ORDER BY ${graft.ops.IntHash.mixSql("23", Seq("doc_id"))}, doc_id
+         |LIMIT 20""".stripMargin,
 
     "dedup_fuzzy_join" -> {
       val grams = "list_distinct(list_transform(range(1, len(toks) - 1), " +
