@@ -79,6 +79,25 @@ object Demo {
       .map { case (st, n) => s""""$st":$n""" }.mkString(",")
     println(s"""{"stage":"corpus_curation",$funnelJson}""")
 
+    // retrieval + monitoring (round-3 surface): IVF-PQ ANN over the
+    // embeddings table, and a drift monitor pair (numeric KS +
+    // categorical JS) over the event stream halves.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cb = graft.ops.Pq.trainCodebooks(emb, "vec_id", "v", m = 4, k = 8, iters = 3)
+    val annHits = graft.ops.Similarity.ivfPqTopK(emb,
+      emb.where(col("vec_id") < 2).select(col("vec_id").as("qid"), col("v").as("qv")),
+      "vec_id", "v", "qid", "qv", k = 5, nCells = 16, nProbe = 4, cb = cb).count()
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+    val mid = ev.agg(percentile_approx(col("ts_us"), lit(0.5), lit(100))).head().getLong(0)
+    val ks = graft.ops.Stats.ksStatistic(
+      ev.withColumn("half", when(col("ts_us") < mid, "a").otherwise("b")),
+      col("value"), col("half"), "a", "b").head().getAs[Double]("ks_stat")
+    val js = graft.ops.Stats.categoricalDivergence(ev, col("event_type"),
+      col("ts_us") < mid, col("ts_us") >= mid).head().getAs[Double]("js")
+    println(s"""{"stage":"retrieval_monitoring","ann_hits":$annHits,"ks_drift":$ks,"js_drift":$js}""")
+
     spark.stop()
   }
 }
