@@ -74,6 +74,22 @@ object ScaleProbe {
         d.count()
         time(s"vocabulary n=$n")(
           TextOps.vocabulary(d, col("id"), col("text"), 100L, 1000).count())
+      case "corr" =>
+        // one-pass pairwise correlations over 4 columns (6 pairs)
+        val df = spark.range(n).select(col("id"),
+          (pmod(xxhash64(col("id")), lit(1000)) / 10.0).as("a"),
+          (pmod(xxhash64(col("id"), lit(1)), lit(1000)) / 10.0).as("b"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(1000)) / 10.0).as("c"),
+          (pmod(xxhash64(col("id"), lit(3)), lit(1000)) / 10.0).as("d"))
+        df.count()
+        time(s"corrMatrix n=$n cols=4")(
+          Stats.corrMatrix(df, Seq("a", "b", "c", "d")).collect())
+      case "fuzzyjoin" =>
+        val l = docs(n); val r = docs(n) // same generator -> every doc matches
+        l.count(); r.count()
+        time(s"fuzzyJoin n=$n x n=$n")(
+          Dedup.fuzzyJoin(l, "id", "text", r.withColumnRenamed("id", "rid"),
+            "rid", "text", threshold = 0.9).count())
       case "sessionize" =>
         // G12 episode sessionization: ~5% attack rows in ~1000-row episodes
         val df = spark.range(n).select(col("id").as("idx"),
