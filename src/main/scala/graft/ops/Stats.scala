@@ -159,6 +159,24 @@ object Stats {
       .withColumn("weight", col("target_frac") / col("actual_frac"))
   }
 
+  /** Temperature-based mixture weights — the multinomial-temperature
+    * reweighting used to flatten corpus domain/language mixes for
+    * training (T=1 keeps natural proportions, T→∞ approaches uniform):
+    * `target_frac(g) = n_g^(1/T) / Σ n^(1/T)`, weight = target/actual.
+    * Same single count pass as [[mixtureWeights]], but the target
+    * distribution is DERIVED from the data instead of supplied. */
+  def temperatureMixture(df: DataFrame, groupCol: Column,
+      temperature: Double): DataFrame = {
+    require(temperature > 0, "temperature must be > 0")
+    val all = Window.partitionBy()
+    val powN = pow(col("n").cast("double"), 1.0 / temperature)
+    df.groupBy(groupCol.cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("actual_frac", col("n") / sum("n").over(all))
+      .withColumn("target_frac", powN / sum(powN).over(all))
+      .withColumn("weight", col("target_frac") / col("actual_frac"))
+  }
+
   /** Exact per-group quota: keep AT MOST `quota(g)` rows per group,
     * chosen by ascending engine-portable hash of the row key — a
     * deterministic "random" subset that is stable across partitioning,
@@ -425,11 +443,19 @@ object Stats {
     require(cols.size >= 2, "need at least 2 columns")
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
       yield (cols(i), cols(j))
-    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }
+    // explicit covar/stddev instead of corr(): Spark 4's Corr divides by
+    // zero under ANSI mode when a column is constant — here a zero-
+    // variance pair yields null (matching DuckDB's corr), and the k
+    // stddevs are shared across the k(k-1)/2 pairs in the SAME single
+    // aggregation pass.
+    val aggs = cols.map(c => stddev_samp(col(c)).as(s"__sd_$c")) ++
+      pairs.map { case (a, b) => covar_samp(col(a), col(b)).as(s"__cv_${a}__${b}") }
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(pairs.map { case (a, b) =>
+        val (sa, sb) = (col(s"__sd_$a"), col(s"__sd_$b"))
         struct(lit(a).as("col_a"), lit(b).as("col_b"),
-          col(s"${a}__${b}").as("corr"))
+          when(sa > 0 && sb > 0, col(s"__cv_${a}__${b}") / (sa * sb))
+            .as("corr"))
       }: _*)).as("p"))
       .select("p.*")
   }

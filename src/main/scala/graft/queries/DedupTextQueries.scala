@@ -218,6 +218,17 @@ object DedupTextQueries {
         .withColumn("dist", col("dist").cast("long"))
         .orderBy("name_a", "name_b")),
 
+    "mixture_temperature" -> ((s, dir) =>
+      // Multinomial-temperature language rebalancing (T=2 flattens the
+      // mix toward uniform): target derived from the data, not supplied.
+      graft.ops.Stats.temperatureMixture(table(s, dir, "documents"),
+          col("lang"), temperature = 2.0)
+        .select(col("grp"), col("n"),
+          round(col("actual_frac"), 6).as("actual_frac"),
+          round(col("target_frac"), 6).as("target_frac"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy("grp")),
+
     "sample_weighted" -> ((s, dir) =>
       // Deterministic weighted sampling (Efraimidis–Spirakis over the
       // engine-portable hash-uniform): 50 docs, inclusion odds ~ n_chars.
@@ -566,6 +577,17 @@ object DedupTextQueries {
         |FROM n a JOIN n b ON a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 3
         |ORDER BY 1, 2""".stripMargin,
+
+    "mixture_temperature" ->
+      """WITH c AS (SELECT CAST(lang AS VARCHAR) AS grp, count(*) AS n
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |             sum(pow(CAST(n AS DOUBLE), 0.5)) AS powsum FROM c)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |  round(n * 1.0 / total, 6) AS actual_frac,
+        |  round(pow(CAST(n AS DOUBLE), 0.5) / powsum, 6) AS target_frac,
+        |  round((pow(CAST(n AS DOUBLE), 0.5) / powsum) / (n * 1.0 / total), 6) AS weight
+        |FROM c CROSS JOIN t ORDER BY grp""".stripMargin,
 
     "sample_weighted" ->
       s"""SELECT doc_id, lang, n_chars FROM (

@@ -254,6 +254,54 @@ class CurationStatsSpec extends SparkSpec {
     assert(Dedup.dedupExactIncremental(b3, "id", "text", store).count() == 0)
   }
 
+  // ---- temperatureMixture ----
+
+  test("temperatureMixture: T=1 is identity (weight 1); T=inf-ish flattens") {
+    val df = ((1 to 90).map(_ => "en") ++ (1 to 10).map(_ => "fr")).toDF("lang")
+    val t1 = Stats.temperatureMixture(df, col("lang"), 1.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+    assert(approx(t1("en"), 1.0, 1e-12) && approx(t1("fr"), 1.0, 1e-12))
+    val hot = Stats.temperatureMixture(df, col("lang"), 1000.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("target_frac")).toMap
+    assert(math.abs(hot("en") - 0.5) < 0.01 && math.abs(hot("fr") - 0.5) < 0.01)
+    // upweights the minority class at any T > 1
+    val t2 = Stats.temperatureMixture(df, col("lang"), 2.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+    assert(t2("fr") > 1.0 && t2("en") < 1.0)
+  }
+
+  // ---- edge cases across the round-3 ops ----
+
+  test("edge: ewma/corrMatrix/fuzzyJoin/outlierStats on empty or degenerate input") {
+    val emptyTs = spark.emptyDataset[(String, Long, Double)].toDF("k", "t", "x")
+    assert(Stats.ewma(emptyTs, "k", Seq("t"), "x", 0.5).count() == 0)
+
+    // constant column: Pearson r is undefined -> null/NaN row, not a crash
+    val const = (1 to 10).map(i => (i.toDouble, 5.0)).toDF("a", "b")
+    val r = Stats.corrMatrix(const, Seq("a", "b")).head()
+    assert(r.isNullAt(2) || r.getDouble(2).isNaN)
+
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("id", "text")
+    val noDocs = spark.emptyDataset[(Long, String)].toDF("rid", "text")
+    assert(graft.ops.Dedup.fuzzyJoin(docs, "id", "text", noDocs, "rid", "text",
+      0.5, numShingleWords = 2).count() == 0)
+
+    val one = Seq(("g", 1.0)).toDF("k", "v")
+    val row = Stats.outlierStats(one, col("k"), col("v")).head()
+    assert(row.getAs[Long]("n") == 1 && row.getAs[Long]("n_iqr_outliers") == 0)
+  }
+
+  test("edge: normalizeText on null/blank/punct-only text") {
+    val df = Seq((1L, null), (2L, "   "), (3L, "!!!..."), (4L, "A  b\tC"))
+      .toDF("id", "t")
+    val got = df.select(col("id"), graft.ops.TextOps.normalizeText(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).isEmpty)          // null propagates
+    assert(got(2L).contains(""))     // blank collapses to empty
+    assert(got(3L).contains(""))     // punct-only collapses to empty
+    assert(got(4L).contains("a b c"))
+  }
+
   // ---- editDistancePairs ----
 
   test("editDistancePairs: equals the brute-force all-pairs filter") {
