@@ -293,6 +293,26 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Triangle enumeration over an undirected edge list — the graph-
+    * quality diagnostic for near-dup/match graphs (triangle-dense
+    * components are real duplicate clusters; triangle-free stars are
+    * usually one hub record fuzzy-matching many unrelated ones).
+    *
+    * Canonicalizes to a<b edges, then the standard two-join enumeration
+    * ordered a<b<c so every triangle appears EXACTLY once: (a,b)⋈(b,c)
+    * closed by the (a,c) edge. Two hash equi-joins on node keys; the
+    * ordering constraint keeps the join output linear in the true
+    * wedge/triangle counts rather than 6× overcounted. */
+  def triangles(edges: DataFrame, u: String, v: String): DataFrame = {
+    val e = edges.select(least(col(u), col(v)).as("a"),
+        greatest(col(u), col(v)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull).distinct()
+    e.toDF("a", "b")
+      .join(e.toDF("b", "c"), "b")
+      .join(e.toDF("a", "c"), Seq("a", "c"))
+      .select("a", "b", "c")
+  }
+
   /** Incremental exact dedup against a persisted fingerprint store — the
     * production ingestion pattern: each arriving batch keeps only
     * documents whose content hash is new BOTH within the batch (lowest

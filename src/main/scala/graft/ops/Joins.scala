@@ -92,6 +92,32 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Interval-overlap join: pairs (a, b) whose intervals intersect —
+    * `a.lo < b.hi AND b.lo < a.hi` (half-open intervals). Completes the
+    * temporal-join family (as-of = point-to-latest, range = point-in-
+    * interval, this = interval-to-interval).
+    *
+    * Both sides explode into the fixed-width bins they span; the bin
+    * equi-join bounds candidates to co-binned intervals. A pair
+    * overlapping N shared bins would be produced N times, so the
+    * dedup-free trick assigns each candidate pair to exactly ONE bin —
+    * the bin of `greatest(a.lo, b.lo)` (the first bin where both are
+    * present) — instead of a distinct pass over the join output.
+    * Cost scales with span/binWidth replicas per interval. */
+  def overlapJoin(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      binWidth: Double, keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__bin", explode(sequence(
+        floor(col(lo).cast("double") / binWidth),
+        floor(col(hi).cast("double") / binWidth))))
+    binned(left, lLo, lHi).join(binned(right, rLo, rHi), "__bin" +: keys)
+      .where(col(lLo) < col(rHi) && col(rLo) < col(lHi) &&
+        col("__bin") === floor(greatest(col(lLo), col(rLo)).cast("double") / binWidth))
+      .drop("__bin")
+  }
+
   /** Bloom-filtered join: the middle path between broadcast-hash (small
     * side fits in executor memory) and plain sort-merge (shuffle both
     * sides in full). A Bloom filter of the small side's keys is built

@@ -272,6 +272,15 @@ object DedupTextQueries {
         .orderBy("doc_id", "rid")
     }),
 
+    "graph_triangles" -> ((s, dir) => {
+      // Triangle diagnostic over the fuzzy-match graph (levenshtein <= 3
+      // on part names): dense-cluster evidence vs hub-star noise.
+      val pairs = Dedup.editDistancePairs(table(s, dir, "part"),
+        col("p_name"), maxDist = 3)
+      Dedup.triangles(pairs, "name_a", "name_b")
+        .orderBy("a", "b", "c")
+    }),
+
     "dedup_entity_resolution" -> ((s, dir) => {
       // Entity resolution capstone: fuzzy-match edges (levenshtein <= 2,
       // length-banded) -> connected components -> canonical entity per
@@ -629,6 +638,16 @@ object DedupTextQueries {
          |      len(list_distinct(list_concat(l.sh, r.sh))) >= 0.9
          |ORDER BY 1, 2""".stripMargin
     },
+
+    "graph_triangles" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+        |e AS (
+        |  SELECT a.name AS a, b.name AS b FROM n a JOIN n b ON a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 3)
+        |SELECT e1.a, e1.b, e2.b AS c
+        |FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "dedup_entity_resolution" ->
       """WITH RECURSIVE n AS (

@@ -55,6 +55,23 @@ object JoinQueries {
         .orderBy("signup_id")
     }),
 
+    "q_interval_overlap" -> ((s, dir) => {
+      // Interval-interval overlap per user: 2-hour click windows crossing
+      // 2-hour purchase windows. Binned equi-join; each pair emitted
+      // exactly once via the greatest(lo)-bin assignment (no dedup pass).
+      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("c_lo"), (col("ts_us") + 2 * HourUs).as("c_hi"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("p_lo"), (col("ts_us") + 2 * HourUs).as("p_hi"))
+      Joins.overlapJoin(clicks, "c_lo", "c_hi", purchases, "p_lo", "p_hi",
+          binWidth = (2 * HourUs).toDouble, keys = Seq("user_id"))
+        .select("user_id", "click_id", "purchase_id")
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
     "q_bloom_join" -> ((s, dir) => {
       // Selective fact⋈dim join through the Bloom pre-filter: high-value
       // orders only (~2% of orders), so most lineitem rows are dropped
@@ -99,5 +116,19 @@ object JoinQueries {
         | AND epoch_us(l.ts) >= epoch_us(r.ts)
         | AND epoch_us(l.ts) < epoch_us(r.ts) + 3600000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS lo,
+        |         epoch_us(ts) + 7200000000 AS hi
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS lo,
+        |         epoch_us(ts) + 7200000000 AS hi
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, p.purchase_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.lo < p.hi AND p.lo < c.hi
+        |ORDER BY 1, 2, 3""".stripMargin,
   )
 }

@@ -103,4 +103,41 @@ class JoinsSpec extends SparkSpec {
     val got = Joins.rangeJoin(points, "t", ivs, "lo", "hi", 10.0).collect()
     assert(got.length == 1) // point in exactly one bin -> one pair, no dedup pass
   }
+
+  test("overlapJoin equals the unblocked inequality join for every bin width") {
+    val rnd = new scala.util.Random(5)
+    val l = (1 to 60).map { i =>
+      val lo = rnd.nextInt(1000).toLong; (i.toLong, lo, lo + 1 + rnd.nextInt(200))
+    }.toDF("lid", "llo", "lhi")
+    val r = (1 to 60).map { i =>
+      val lo = rnd.nextInt(1000).toLong; (i.toLong, lo, lo + 1 + rnd.nextInt(200))
+    }.toDF("rid", "rlo", "rhi")
+    val expected = l.crossJoin(r)
+      .where(col("llo") < col("rhi") && col("rlo") < col("lhi"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    for (w <- Seq(7.0, 50.0, 300.0, 5000.0)) {
+      val got = Joins.overlapJoin(l, "llo", "lhi", r, "rlo", "rhi", w)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      assert(got.sorted == expected.sorted, s"binWidth=$w")
+      assert(got.size == got.distinct.size, s"duplicates at binWidth=$w")
+    }
+  }
+
+  test("overlapJoin with keys joins within key only; wide spans emit each pair once") {
+    val l = Seq(("u1", 1L, 0L, 1000L), ("u2", 2L, 0L, 1000L)).toDF("k", "lid", "llo", "lhi")
+    val r = Seq(("u1", 10L, 500L, 600L)).toDF("k", "rid", "rlo", "rhi")
+    val got = Joins.overlapJoin(l, "llo", "lhi", r, "rlo", "rhi", 10.0, keys = Seq("k"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L))) // u2 never pairs; 100-bin span -> one row
+  }
+
+  test("triangles: matches brute-force enumeration, each triangle once") {
+    import graft.ops.Dedup
+    // K4 on {1,2,3,4} plus a pendant edge and a duplicate/reversed edge
+    val edges = Seq((1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (4, 5)).map { case (a, b) => (a.toLong, b.toLong) }.toDF("u", "v")
+    val got = Dedup.triangles(edges, "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
 }
