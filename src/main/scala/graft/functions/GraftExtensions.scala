@@ -15,6 +15,7 @@ import org.apache.spark.sql.graft.{DotProduct, JaccardSim, L2Norm, MinHashSig, W
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => JaccardSizeGuardRule)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
@@ -54,6 +55,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Install the optimizer rules on an already-built session (the
+    * `injectOptimizerRule` path requires configuring extensions at
+    * session build; live sessions use `experimental.extraOptimizations`). */
+  def installOptimizations(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(JaccardSizeGuardRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ JaccardSizeGuardRule
+
   /** Visible-to-shim variant of [[intLit]]. */
   def intLitPublic(e: Expression, name: String): Int = intLit(e, name)
 

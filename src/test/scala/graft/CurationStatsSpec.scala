@@ -302,6 +302,44 @@ class CurationStatsSpec extends SparkSpec {
     assert(got(4L).contains("a b c"))
   }
 
+  // ---- JaccardSizeGuardRule ----
+
+  test("jaccard size-guard rule: injected, result-preserving, idempotent, scoped") {
+    graft.functions.GraftExtensions.installOptimizations(spark)
+    org.apache.spark.sql.graft.VectorShim.register(spark)
+    // parquet-backed (a pure LocalRelation would be constant-folded away
+    // before the filter could be observed in the optimized plan)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jg").toString
+    Seq(
+      (1L, "a b c d e f", "a b c d e f"),      // identical -> J = 1
+      (2L, "a b c d e f", "a b"),              // size-mismatched -> guard prunes
+      (3L, "a b c d e f", "a b c d e g")).toDF("id", "x", "y")
+      .write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    df.createOrReplaceTempView("jg")
+    val q = "SELECT id FROM jg WHERE graft_jaccard(graft_shingles(x, 1), " +
+      "graft_shingles(y, 1)) >= 0.8"
+    val res = spark.sql(q)
+    // the guard is in the optimized plan exactly once (idempotent under
+    // the optimizer's fixpoint loop)
+    val opt = res.queryExecution.optimizedPlan.toString
+    assert("least\\(size\\(".r.findAllIn(opt).size == 1, opt)
+    // and the result is the unguarded truth
+    assert(res.as[Long].collect().sorted.toSeq == Seq(1L))
+    // scope: MATERIALIZED shingle columns (plain array references whose
+    // distinctness can't be proven — and no projection to collapse) are
+    // NOT rewritten. (An aliased-projection view IS rewritten: Catalyst
+    // collapses the projection into the filter first, re-exposing the
+    // WordShingles expression — the rule composes with CollapseProject.)
+    val pre = java.nio.file.Files.createTempDirectory("graft_jg_pre").toString
+    df.selectExpr("id", "graft_shingles(x, 1) AS sx", "graft_shingles(y, 1) AS sy")
+      .write.mode("overwrite").parquet(pre)
+    spark.read.parquet(pre).createOrReplaceTempView("jg_pre")
+    val refq = spark.sql("SELECT id FROM jg_pre WHERE graft_jaccard(sx, sy) >= 0.8")
+    assert(!refq.queryExecution.optimizedPlan.toString.contains("least(size("))
+    assert(refq.as[Long].collect().sorted.toSeq == Seq(1L)) // same answer, unguarded
+  }
+
   // ---- editDistancePairs ----
 
   test("editDistancePairs: equals the brute-force all-pairs filter") {
