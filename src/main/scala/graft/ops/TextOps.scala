@@ -300,6 +300,30 @@ object TextOps {
       .drop("__rt")
   }
 
+  /** Per-group sequence packing — [[packSequences]] with an independent
+    * bin space per `group` (pack within language/domain, the usual
+    * curriculum layout). Shape: ONE range exchange with the group as the
+    * LEADING order key (groups stay contiguous, so the single global
+    * prefix sum serves every group), then each group's start offset —
+    * `min(rt − n_tokens)` per group, a tiny broadcast — rebases the
+    * running total to a per-group prefix. No per-group windows, no
+    * second exchange. Adds `n_tokens`, `bin`, `offset` (bins numbered
+    * independently per group). */
+  def packSequencesByGroup(df: org.apache.spark.sql.DataFrame, group: String,
+      text: Column, orderCols: Seq[Column], budgetTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(budgetTokens >= 1, "budgetTokens must be >= 1")
+    val counted = df.withColumn("n_tokens", tokenCount(text).cast("long"))
+    val rt = SlidingWindows.withRunningTotal(counted,
+      col(group) +: orderCols, col("n_tokens"), "__rt")
+    val starts = rt.groupBy(col(group))
+      .agg(min(col("__rt") - col("n_tokens")).as("__g0"))
+    rt.join(broadcast(starts), Seq(group))
+      .withColumn("__p", col("__rt") - col("n_tokens") - col("__g0"))
+      .withColumn("bin", floor(col("__p") / budgetTokens).cast("long"))
+      .withColumn("offset", pmod(col("__p"), lit(budgetTokens.toLong)))
+      .drop("__rt", "__g0", "__p")
+  }
+
   /** RAG-style document chunking: whitespace tokens cut into windows of
     * `chunkSize` tokens every `stride` tokens (overlapping when
     * `stride < chunkSize`); the tail chunk is truncated, empty documents

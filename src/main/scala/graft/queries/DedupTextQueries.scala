@@ -218,6 +218,39 @@ object DedupTextQueries {
         .withColumn("dist", col("dist").cast("long"))
         .orderBy("name_a", "name_b")),
 
+    "pack_by_group" -> ((s, dir) =>
+      // Per-language sequence packing: independent 256-token bin spaces
+      // per lang from ONE global prefix sum (group-leading range order +
+      // per-group rebase — see TextOps.packSequencesByGroup).
+      TextOps.packSequencesByGroup(table(s, dir, "documents"), "lang",
+          col("text"), Seq(col("doc_id")), budgetTokens = 256)
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("bin"),
+          col("offset"))
+        .orderBy("lang", "doc_id")),
+
+    "q_top_coverage" -> ((s, dir) => {
+      // Coverage cutoff: per event type, the heaviest users that together
+      // carry 50% of the value mass (vocabulary-truncation-by-coverage
+      // shape). Runs on the aggregated (type, user) table — the window
+      // never sees raw events.
+      import org.apache.spark.sql.expressions.Window
+      val perUser = table(s, dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(sum("value").as("s"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("s").desc, col("user_id").asc)
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("event_type")
+      perUser
+        .withColumn("cum", sum("s").over(cum))
+        .withColumn("total", sum("s").over(tot))
+        .where(col("cum") - col("s") < col("total") * 0.5)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_top_users"),
+          round(max(col("cum") / col("total")), 6).as("coverage"))
+        .orderBy("event_type")
+    }),
+
     "mixture_temperature" -> ((s, dir) =>
       // Multinomial-temperature language rebalancing (T=2 flattens the
       // mix toward uniform): target derived from the data, not supplied.
@@ -586,6 +619,36 @@ object DedupTextQueries {
         |FROM n a JOIN n b ON a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 3
         |ORDER BY 1, 2""".stripMargin,
+
+    "pack_by_group" ->
+      s"""WITH t AS (
+         |  SELECT lang, doc_id,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS prev
+         |  FROM t)
+         |SELECT lang, doc_id, n_tokens,
+         |  CAST(floor(prev / 256.0) AS BIGINT) AS bin,
+         |  prev % 256 AS "offset"
+         |FROM c ORDER BY lang, doc_id""".stripMargin,
+
+    "q_top_coverage" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id, sum(value) AS s FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, user_id, s,
+        |    sum(s) OVER (PARTITION BY event_type ORDER BY s DESC, user_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(s) OVER (PARTITION BY event_type) AS total
+        |  FROM u)
+        |SELECT event_type, count(*) AS n_top_users,
+        |  round(max(cum / total), 6) AS coverage
+        |FROM c WHERE cum - s < total * 0.5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "mixture_temperature" ->
       """WITH c AS (SELECT CAST(lang AS VARCHAR) AS grp, count(*) AS n
