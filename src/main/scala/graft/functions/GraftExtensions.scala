@@ -51,6 +51,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_jaccard(arrayA, arrayB)")
         JaccardSim(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.JaroWinkler].getName,
+        "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_jaro_winkler(a, b)")
+        org.apache.spark.sql.graft.JaroWinkler(children.head, children(1))
+      }))
   }
 }
 

@@ -327,7 +327,70 @@ case class TextCharStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Native Jaro–Winkler string similarity — Spark ships levenshtein only;
+  * this fills the fuzzy-name-matching gap with DuckDB-identical
+  * semantics (pinned by the `dedup_jaro_pairs` oracle):
+  * either side empty → 0.0; match window ⌊max/2⌋−1; transpositions =
+  * mismatched matched chars / 2; Winkler prefix boost (p=0.1, prefix
+  * capped at 4) applied only when jaro > 0.7. Operates on UTF-16 code
+  * units (== code points == bytes on ASCII data; both engines agree
+  * wherever the strings are BMP text). */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val s1 = a.asInstanceOf[UTF8String].toString
+    val s2 = b.asInstanceOf[UTF8String].toString
+    val (n1, n2) = (s1.length, s2.length)
+    if (n1 == 0 || n2 == 0) return 0.0
+    val window = math.max(math.max(n1, n2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](n1)
+    val m2 = new Array[Boolean](n2)
+    var matches = 0
+    var i = 0
+    while (i < n1) {
+      val hi = math.min(n2 - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var mismatched = 0
+    var k = 0
+    i = 0
+    while (i < n1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) mismatched += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    val jaro = (m / n1 + m / n2 + (m - mismatched / 2.0) / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(math.min(n1, n2), 4)
+    while (l < maxL && s1.charAt(l) == s2.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): JaroWinkler = copy(left = newLeft, right = newRight)
+}
+
 object MinHashShim {
+  def jaroWinklerCol(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaroWinkler(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def minhashCol(shingles: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingles), numHashes))
   def shinglesCol(text: Column, nWords: Int): Column =

@@ -72,6 +72,12 @@ object VectorShim {
         MinHashSig(exprs.head, graft.functions.GraftExtensions.intLitPublic(exprs(1), "numHashes"))
       },
       "scala_udf")
+    reg.createOrReplaceTempFunction("graft_jaro_winkler",
+      exprs => {
+        require(exprs.size == 2, "graft_jaro_winkler(a, b)")
+        JaroWinkler(exprs.head, exprs(1))
+      },
+      "scala_udf")
   }
 }
 

@@ -293,6 +293,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Jaro–Winkler fuzzy pairs over a string column: all distinct value
+    * pairs with similarity ≥ `minSim` (the prefix-boosted name-matching
+    * metric — unlike levenshtein it rewards shared prefixes and is
+    * length-normalized). Candidates are pre-filtered by the LOSSLESS
+    * length-ratio bound `jw ≤ 0.2·(min/max) + 0.8` (from m ≤ min(|a|,|b|)
+    * and the maximal prefix boost), i.e. for `minSim > 0.8` only pairs
+    * with `min/max ≥ (minSim − 0.8)/0.2` reach the exact similarity.
+    * Candidate generation is the all-pairs join on distinct values —
+    * small-domain verifier like [[jaccardSimilarity]]; block with
+    * [[lshBuckets]]/[[fuzzyJoin]] first at corpus scale. */
+  def jaroWinklerPairs(df: DataFrame, name: Column, minSim: Double): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0, "minSim in (0, 1]")
+    val names = df.select(name.cast("string").as("name_a"))
+      .where(col("name_a").isNotNull).distinct()
+    val jw = org.apache.spark.sql.graft.MinHashShim
+      .jaroWinklerCol(col("name_a"), col("name_b"))
+    val ratio = least(length(col("name_a")), length(col("name_b"))).cast("double") /
+      greatest(length(col("name_a")), length(col("name_b")))
+    val prefilter =
+      if (minSim > 0.8) ratio >= lit((minSim - 0.8) / 0.2) else lit(true)
+    names.crossJoin(names.select(col("name_a").as("name_b")))
+      .where(col("name_a") < col("name_b") && prefilter)
+      .withColumn("jw", jw)
+      .where(col("jw") >= minSim)
+      .select(col("name_a"), col("name_b"), col("jw"))
+  }
+
   /** Triangle enumeration over an undirected edge list — the graph-
     * quality diagnostic for near-dup/match graphs (triangle-dense
     * components are real duplicate clusters; triangle-free stars are

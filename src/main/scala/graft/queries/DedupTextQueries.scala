@@ -305,6 +305,15 @@ object DedupTextQueries {
         .orderBy("doc_id", "rid")
     }),
 
+    "dedup_jaro_pairs" -> ((s, dir) =>
+      // Prefix-boosted fuzzy name pairs: the native JaroWinkler expression
+      // vs DuckDB's jaro_winkler_similarity — an exact cross-engine
+      // semantic pin (window, transpositions, 0.7 boost gate, p=0.1).
+      Dedup.jaroWinklerPairs(table(s, dir, "part"), col("p_name"),
+          minSim = 0.87)
+        .select(col("name_a"), col("name_b"), round(col("jw"), 6).as("jw"))
+        .orderBy("name_a", "name_b")),
+
     "graph_triangles" -> ((s, dir) => {
       // Triangle diagnostic over the fuzzy-match graph (levenshtein <= 3
       // on part names): dense-cluster evidence vs hub-star noise.
@@ -701,6 +710,14 @@ object DedupTextQueries {
          |      len(list_distinct(list_concat(l.sh, r.sh))) >= 0.9
          |ORDER BY 1, 2""".stripMargin
     },
+
+    "dedup_jaro_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.87
+        |ORDER BY 1, 2""".stripMargin,
 
     "graph_triangles" ->
       """WITH n AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),

@@ -302,6 +302,43 @@ class CurationStatsSpec extends SparkSpec {
     assert(got(4L).contains("a b c"))
   }
 
+  // ---- JaroWinkler ----
+
+  test("JaroWinkler: textbook values, empty/zero-match edges, boost gating") {
+    val jw = (a: String, b: String) =>
+      Seq((a, b)).toDF("x", "y")
+        .select(org.apache.spark.sql.graft.MinHashShim
+          .jaroWinklerCol(col("x"), col("y")))
+        .head().getDouble(0)
+    // values pinned against DuckDB's jaro_winkler_similarity
+    assert(approx(jw("martha", "marhta"), 0.9611111111, 1e-9))
+    assert(approx(jw("dixon", "dicksonx"), 0.8133333333, 1e-9))
+    assert(approx(jw("dwayne", "duane"), 0.84, 1e-9))
+    assert(approx(jw("abcd", "abdc"), 0.9333333333, 1e-9))
+    assert(jw("", "abc") == 0.0 && jw("", "") == 0.0) // DuckDB: empty -> 0
+    assert(jw("ab", "ba") == 0.0)                     // window 0, no matches
+    assert(jw("abc", "abc") == 1.0)
+    // boost gated at jaro > 0.7: shared prefix but low jaro stays unboosted
+    assert(approx(jw("abcdef", "abzzzz"), 0.5555555556, 1e-9))
+  }
+
+  test("jaroWinklerPairs: length-ratio prefilter is lossless") {
+    val names = Seq("johnson", "johnsen", "jon", "smith", "smyth", "x")
+      .map(Tuple1(_)).toDF("name")
+    val got = Dedup.jaroWinklerPairs(names, col("name"), minSim = 0.87)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // brute force without the prefilter
+    val jwCol = org.apache.spark.sql.graft.MinHashShim
+      .jaroWinklerCol(col("name_a"), col("name_b"))
+    val n = names.select(col("name").as("name_a")).distinct()
+    val brute = n.crossJoin(n.select(col("name_a").as("name_b")))
+      .where(col("name_a") < col("name_b"))
+      .where(jwCol >= 0.87)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == brute)
+    assert(got.contains(("johnsen", "johnson")) && got.contains(("smith", "smyth")))
+  }
+
   // ---- JaccardSizeGuardRule ----
 
   test("jaccard size-guard rule: injected, result-preserving, idempotent, scoped") {
