@@ -76,6 +76,43 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
+    "q_subqueries" -> ((s, dir) => {
+      // The SQL-parser surface: correlated EXISTS, IN, and a scalar
+      // subquery in one statement — Catalyst lowers these to semi joins
+      // and a broadcast scalar, exercised through spark.sql rather than
+      // the DataFrame API.
+      table(s, dir, "customer").createOrReplaceTempView("customer_v")
+      table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_mktsegment,
+               count(*) AS n,
+               sum(CASE WHEN c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)
+                        THEN 1 ELSE 0 END) AS n_above_avg
+        FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 150000)
+          AND c_nationkey IN (SELECT c_nationkey FROM customer_v
+                              GROUP BY 1 HAVING count(*) >= 3)
+        GROUP BY 1 ORDER BY 1""")
+    }),
+
+    "q_range_frame" -> ((s, dir) => {
+      // RANGE window frame (value-based, not row-based): for each order,
+      // revenue of all orders within 5000 of its price — frame bounds in
+      // the ORDER BY value domain. The un-partitioned window runs on the
+      // keymod-filtered slice (documented-tiny, like the curve tables);
+      // partition by a real key for the 100 TB form.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("o_totalprice"))
+        .rangeBetween(-5000L, Window.currentRow)
+      table(s, dir, "orders").where(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          round(sum("o_totalprice").over(w), 2).as("nearby_revenue"),
+          count(lit(1)).over(w).cast("long").as("nearby_n"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_outer_join" -> ((s, dir) => {
       // Full-outer join semantics: customers without orders AND orders
       // whose customer key misses the filtered dim both survive with
@@ -202,6 +239,26 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_subqueries" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CASE WHEN c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        |  AND c_nationkey IN (SELECT c_nationkey FROM customer
+        |                      GROUP BY 1 HAVING count(*) >= 3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_range_frame" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  round(sum(o_totalprice) OVER w, 2) AS nearby_revenue,
+        |  count(*) OVER w AS nearby_n
+        |FROM (SELECT * FROM orders WHERE o_orderkey % 20 = 0)
+        |WINDOW w AS (ORDER BY o_totalprice
+        |  RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_outer_join" ->
       """WITH c AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000),
