@@ -239,6 +239,18 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    "q_date_arith" -> ((s, dir) =>
+      // Calendar arithmetic over a native TIMESTAMP column: monthly
+      // revenue trend + order age in days against a fixed reference date.
+      table(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("revenue"),
+          round(avg(datediff(lit("1999-12-31").cast("date"),
+            col("o_orderdate").cast("date"))), 4).as("avg_age_days"))
+        .orderBy("yr", "mo")),
+
     "q_time_rollup" -> ((s, dir) => {
       // Calendar-dimension aggregation: (ISO weekday, hour-of-day) grid
       // from the raw epoch-nanos column (UTC session). weekday() is
@@ -581,6 +593,14 @@ object AnalyticsQueries {
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_date_arith" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue,
+        |  round(avg(date_diff('day', CAST(o_orderdate AS DATE),
+        |    DATE '1999-12-31')), 4) AS avg_age_days
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_time_rollup" ->
       """SELECT CAST(isodow(ts) - 1 AS INT) AS dow, CAST(hour(ts) AS INT) AS hr,
