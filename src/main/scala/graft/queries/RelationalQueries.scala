@@ -76,6 +76,21 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
+    "q_supplier_stats" -> ((s, dir) => {
+      // Supplier -> nation -> region star rollup (the last untouched
+      // testdata table): two broadcast dim hops, one aggregation.
+      val sup = table(s, dir, "supplier")
+      val nat = table(s, dir, "nation")
+      val reg = table(s, dir, "region")
+      sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(avg("s_acctbal"), 4).as("avg_bal"),
+          round(max("s_acctbal"), 2).as("max_bal"))
+        .orderBy("r_name")
+    }),
+
     "q_subqueries" -> ((s, dir) => {
       // The SQL-parser surface: correlated EXISTS, IN, and a scalar
       // subquery in one statement — Catalyst lowers these to semi joins
@@ -238,6 +253,13 @@ object RelationalQueries {
         |  SELECT * FROM orders WHERE o_totalprice < 1000
         |  UNION ALL
         |  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_supplier_stats" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        |  round(avg(s_acctbal), 4) AS avg_bal, round(max(s_acctbal), 2) AS max_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_subqueries" ->
