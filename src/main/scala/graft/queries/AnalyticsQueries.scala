@@ -274,6 +274,23 @@ object AnalyticsQueries {
           col("n"), col("revenue"))
         .orderBy("status", "priority")),
 
+    "g_rolling_zscore" -> ((s, dir) => {
+      // Online-style anomaly score: z of each event against the PREVIOUS
+      // 10 events of its user (frame excludes the current row — no
+      // self-contamination). Nulls until 2 prior points exist.
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-10, -1)
+      val mu = avg("value").over(w)
+      val sd = stddev_samp(col("value")).over(w)
+      ev.select(col("user_id"), col("ts_us"),
+          round(when(sd > 0, (col("value") - mu) / sd), 6).as("z"),
+          when(sd > 0, (abs(col("value") - mu) / sd) > 3).as("is_anomaly"))
+        .where(col("user_id") < 15)
+        .orderBy("user_id", "ts_us")
+    }),
+
     "q_rolling_median" -> ((s, dir) => {
       // Rolling 5-row median of event value per user — robust time-series
       // smoothing; exact percentile over a bounded rows frame (frame size
@@ -613,6 +630,18 @@ object AnalyticsQueries {
         |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY 1, 2""".stripMargin,
+
+    "g_rolling_zscore" ->
+      """SELECT user_id, ts_us,
+        |  round(CASE WHEN sd > 0 THEN (value - mu) / sd END, 6) AS z,
+        |  CASE WHEN sd > 0 THEN abs(value - mu) / sd > 3 END AS is_anomaly
+        |FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |    avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |WHERE user_id < 15 ORDER BY user_id, ts_us""".stripMargin,
 
     "q_rolling_median" ->
       """SELECT user_id, ts_us, med5 FROM (
