@@ -152,6 +152,24 @@ object LawsProps extends Properties("GraftLaws") {
       comp == expected
     }
 
+  property("overlapJoin == brute inequality join for any intervals/width/key") =
+    Prop.forAll(Gen.choose(5, 40), Gen.choose(1.0, 500.0), seedG) { (n, width, seed) =>
+      val rnd = new scala.util.Random(seed)
+      def mk = (1 to n).map { i =>
+        val lo = rnd.nextInt(800).toLong
+        (s"k${i % 3}", i.toLong, lo, lo + 1 + rnd.nextInt(150))
+      }
+      val l = mk.toDF("k", "lid", "llo", "lhi")
+      val r = mk.toDF("k", "rid", "rlo", "rhi")
+      val got = graft.ops.Joins.overlapJoin(l, "llo", "lhi", r, "rlo", "rhi",
+          width, keys = Seq("k"))
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      val want = l.join(r, Seq("k"))
+        .where(col("llo") < col("rhi") && col("rlo") < col("lhi"))
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      got.sorted == want.sorted && got.size == got.distinct.size
+    }
+
   property("ewma: matches the sequential fold for any alpha/series/partitioning") =
     Prop.forAll(Gen.choose(1, 80), Gen.choose(0.05, 1.0), seedG) { (n, alpha, seed) =>
       val rnd = new scala.util.Random(seed)
