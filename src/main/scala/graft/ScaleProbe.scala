@@ -20,7 +20,10 @@ object ScaleProbe {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "24g")
+      // NOTE: driver heap cannot be set here — in local mode the JVM is
+      // already running, so spark.driver.memory would be a silent no-op.
+      // Launch with the heap instead:
+      //   SBT_OPTS="-Xmx24g" sbt 'runMain graft.ScaleProbe <op> <n>'
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -55,13 +55,16 @@ object Typed {
   /** Example typed aggregate: detection rate + mean delay over episodes —
     * written against case-class fields, not column strings. */
   def detectionSummary(ds: Dataset[EpisodeRow]): (Double, Option[Double]) = {
+    // fold (not reduce): an empty episodes Dataset yields the zero
+    // summary instead of UnsupportedOperationException.
     val (total, detected, delaySum, delayN) = ds
       .map(e => (1L, if (e.det_idx.isDefined) 1L else 0L,
         e.delay_windows.getOrElse(0L), if (e.delay_windows.isDefined) 1L else 0L))(
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
           Encoders.scalaLong, Encoders.scalaLong))
-      .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
-    (detected.toDouble / total,
+      .rdd.fold((0L, 0L, 0L, 0L))((a, b) =>
+        (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+    (if (total == 0) 0.0 else detected.toDouble / total,
       if (delayN > 0) Some(delaySum.toDouble / delayN) else None)
   }
 }

@@ -120,7 +120,8 @@ object Dedup {
     * (the sides are distinct tables), candidates deduped on the id pair
     * before the exact verification join. Quadratic cost exists only
     * within shared buckets; everything else is hash equi-joins. Returns
-    * (idL, idR, jaccard). */
+    * (idL, idR, jaccard); if idL == idR the outputs are suffixed
+    * `_left`/`_right` to stay unambiguous. */
   def fuzzyJoin(left: DataFrame, idL: String, textL: String,
       right: DataFrame, idR: String, textR: String,
       threshold: Double, numShingleWords: Int = 3,
@@ -141,7 +142,13 @@ object Dedup {
       .withColumn("jaccard",
         org.apache.spark.sql.graft.MinHashShim.jaccardCol(col("__sha"), col("__shb")))
       .where(col("jaccard") >= threshold)
-      .select(col("__ida").as(idL), col("__idb").as(idR), col("jaccard"))
+      // When both tables use the same id name (the common case, "id"),
+      // emitting two identically-named columns makes the result ambiguous
+      // downstream — suffix them instead.
+      .select(
+        col("__ida").as(if (idL == idR) s"${idL}_left" else idL),
+        col("__idb").as(if (idL == idR) s"${idR}_right" else idR),
+        col("jaccard"))
   }
 
   /** Brute-force n-gram Jaccard over all pairs (the LSH verifier / small-N
@@ -354,14 +361,19 @@ object Dedup {
       storePath: String): DataFrame = {
     val spark = newDocs.sparkSession
     val inBatch = dedupExact(newDocs, id, text).withColumn("__h", md5(col(text)))
+    // Bootstrap-empty ONLY when the store path genuinely doesn't exist yet
+    // (checked via the filesystem, not by catching reader exceptions): a
+    // transient IO error or corrupt footer must fail loudly, not silently
+    // disable the history anti-join and re-admit past duplicates.
+    val hPath = new org.apache.hadoop.fs.Path(storePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val store =
-      try spark.read.parquet(storePath).select(col("__h"))
-      catch { case _: Exception =>
+      if (fs.exists(hPath)) spark.read.parquet(storePath).select(col("__h"))
+      else
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("__h",
               org.apache.spark.sql.types.StringType))))
-      }
     // Pin the result BEFORE mutating the store — and with a TRUNCATED
     // lineage: a plain persist is not enough, because appending to
     // storePath triggers CacheManager.recacheByPath, which recomputes any

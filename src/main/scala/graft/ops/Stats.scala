@@ -314,7 +314,10 @@ object Stats {
     val gIdx = proj.schema.fieldIndex(groupCol)
     val vIdx = proj.schema.fieldIndex(valueCol)
     val decay = 1.0 - alpha
-    proj.groupByKey(r => String.valueOf(r.get(gIdx)))(Encoders.STRING)
+    // Collision-free grouping key: a NULL group and the literal string
+    // "null" must NOT fold into one EWMA series.
+    proj.groupByKey(r =>
+      if (r.isNullAt(gIdx)) " " else "v" + r.get(gIdx))(Encoders.STRING)
       .flatMapSortedGroups(orderCols.map(col): _*) { (_, it) =>
         var y = 0.0
         var first = true

@@ -425,7 +425,7 @@ object DedupTextQueries {
          |  FROM t)
          |SELECT doc_id, n_tokens,
          |  CAST(floor(prev / 256.0) AS BIGINT) AS bin,
-         |  prev % 256 AS "offset"
+         |  CAST(prev % 256 AS BIGINT) AS "offset"
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "decontaminate" -> {
@@ -524,7 +524,7 @@ object DedupTextQueries {
          |      ORDER BY ${graft.ops.Robustness.seededUniformSql("7", Seq("doc_id"))} ASC,
          |               doc_id ASC) AS rk
          |  FROM documents)
-         |SELECT lang, count(*) AS n, sum(doc_id) AS sum_id FROM ranked
+         |SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM ranked
          |WHERE rk <= CASE lang WHEN 'en' THEN 40 WHEN 'es' THEN 25 ELSE 10 END
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -533,14 +533,14 @@ object DedupTextQueries {
          |           FROM documents GROUP BY 1),
          |t AS (SELECT sum(n) AS total FROM c)
          |SELECT grp, n, round(n * 1.0 / total, 6) AS actual_frac,
-         |  CASE grp WHEN 'en' THEN 0.6 WHEN 'es' THEN 0.3 WHEN 'fr' THEN 0.1
-         |    ELSE 0.0 END AS target_frac,
+         |  CAST(CASE grp WHEN 'en' THEN 0.6 WHEN 'es' THEN 0.3 WHEN 'fr' THEN 0.1
+         |    ELSE 0.0 END AS DOUBLE) AS target_frac,
          |  round((CASE grp WHEN 'en' THEN 0.6 WHEN 'es' THEN 0.3 WHEN 'fr' THEN 0.1
          |    ELSE 0.0 END) / (n * 1.0 / total), 6) AS weight
          |FROM c, t ORDER BY grp""".stripMargin,
 
     "sample_stratified" ->
-      s"""SELECT lang, count(*) AS n, sum(doc_id) AS sum_id
+      s"""SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id
          |FROM documents
          |WHERE ${graft.ops.Robustness.seededUniformSql("7", Seq("doc_id"))} <
          |  CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.1 ELSE 0.05 END
@@ -642,7 +642,7 @@ object DedupTextQueries {
          |  FROM t)
          |SELECT lang, doc_id, n_tokens,
          |  CAST(floor(prev / 256.0) AS BIGINT) AS bin,
-         |  prev % 256 AS "offset"
+         |  CAST(prev % 256 AS BIGINT) AS "offset"
          |FROM c ORDER BY lang, doc_id""".stripMargin,
 
     "q_top_coverage" ->

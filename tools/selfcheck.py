@@ -11,7 +11,27 @@ import json, math, subprocess, sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
+
+
+def norm_type(t):
+    """Normalize representation-only differences so the comparison is
+    strict on semantics (int64 vs HUGEINT/decimal128 FAILS) but tolerant
+    of encoding (large_string vs string, tz-annotated vs naive us
+    timestamps, list field names/nullability)."""
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_timestamp(t):
+        return pa.timestamp("us")
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return pa.list_(norm_type(t.value_type))
+    if pa.types.is_struct(t):
+        return pa.struct([pa.field(f.name, norm_type(f.type))
+                          for f in t])
+    return t
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -44,18 +64,29 @@ for name, sql in sorted(oracle.items()):
         continue
     pdir = Path(OUT) / name
     try:
-        spark_df = con.sql(f"SELECT * FROM '{pdir}/*.parquet'").df()
+        spark_tbl = con.sql(f"SELECT * FROM '{pdir}/*.parquet'").arrow()
     except Exception as e:
         results[name] = f"NO SPARK OUTPUT: {e}"; continue
     try:
-        duck_df = con.sql(sql).df()
+        duck_tbl = con.sql(sql).arrow()
     except Exception as e:
         results[name] = f"ORACLE SQL ERROR: {e}"; continue
 
+    spark_df, duck_df = spark_tbl.to_pandas(), duck_tbl.to_pandas()
     s = spark_df[sorted(spark_df.columns)]
     d = duck_df[sorted(duck_df.columns)]
     if list(s.columns) != list(d.columns):
         results[name] = f"SCHEMA MISMATCH spark={list(s.columns)} duck={list(d.columns)}"
+        continue
+    # Dtype gate: the driver hashes typed values, so an arrow-type drift
+    # (e.g. DuckDB sum(BIGINT) -> HUGEINT/decimal128 vs Spark BIGINT)
+    # is a real failure even when pandas value equality passes.
+    stypes = {f.name: norm_type(f.type) for f in spark_tbl.schema}
+    dtypes = {f.name: norm_type(f.type) for f in duck_tbl.schema}
+    drift = [f"{c}: spark={stypes[c]} duck={dtypes[c]}"
+             for c in s.columns if stypes[c] != dtypes[c]]
+    if drift:
+        results[name] = "DTYPE MISMATCH " + "; ".join(drift)
         continue
     if len(s) != len(d):
         results[name] = f"ROWCOUNT MISMATCH spark={len(s)} duck={len(d)}"
