@@ -38,7 +38,12 @@ object Demo {
       Pipeline1.Config(task = "binary", seqLen = 10, step = 5, fprTarget = 0.05, chunkSize = 8192))
 
     Sources.writeWindows(r.windows, s"$outDir/windows")
-    Sources.writeMetricsJson(r.multiclass, s"$outDir/metrics_multiclass")
+    Sources.writeMetricsJson(
+      r.multiclass
+        .withColumn("training_time_seconds", lit(r.timing.trainingTimeSeconds))
+        .withColumn("avg_inference_latency_per_window_sec",
+          lit(r.timing.avgInferenceLatencyPerWindowSec)),
+      s"$outDir/metrics_multiclass")
     val op = r.operational.getOrElse(sys.error(
       "no operational metrics: the input yielded a single label class " +
         "(binary evaluation needs both attack and benign rows)"))

@@ -34,6 +34,15 @@ object Pipeline1 {
       valFrac: Double = 0.15,
       chunkSize: Int = 65536)
 
+  /** Wall-clock measurements the reference records into every run's
+    * metrics.json (pipeline_trainingmodels_power.py:160-192,328-329;
+    * func_test.py:317-327 divides predict wall-clock by n test windows;
+    * latency is NaN when the test split is empty, as there). */
+  final case class Timing(
+      trainingTimeSeconds: Double,
+      avgInferenceLatencyPerWindowSec: Double,
+      nTestWindows: Long)
+
   final case class Result(
       windows: DataFrame,
       scored: DataFrame,
@@ -42,7 +51,8 @@ object Pipeline1 {
       multiclass: DataFrame,
       confusion: DataFrame,
       operational: Option[BinaryOperational.OperationalMetrics],
-      perState: DataFrame)
+      perState: DataFrame,
+      timing: Timing)
 
   /** Train pipeline on a labeled time series.
     *
@@ -101,13 +111,28 @@ object Pipeline1 {
       // done (mirrors the reference persisting windows.npz once)
       .cache()
 
-    // 6. train + score
+    // 6. train + score. Force the window cache BEFORE the fit timer so
+    //    training_time_seconds measures the fit alone (the reference fits
+    //    on pre-materialized npz arrays, func_models.py:339).
+    windows.count()
+    val tTrain0 = System.nanoTime()
     val model = scorer.fit(windows.where(col("split") === "train"))
+    val trainingTimeSeconds = (System.nanoTime() - tTrain0) / 1e9
     val scored = model.transform(windows)
 
     // 7. metrics: G9/G13 on test; G16 operational for binary; F10 per-state
     val k = encoder.count().toInt
     val test = scored.where(col("split") === "test")
+    // Inference latency: wall-clock of ONE forced scoring pass over the
+    // test windows / their count (func_test.py:317-327). The aggregate
+    // reads proba so Catalyst cannot prune the scoring expressions away
+    // (a bare count() would).
+    val tPred0 = System.nanoTime()
+    val nTestWindows = test
+      .agg(count(lit(1)), sum(element_at(col("proba"), 1))).head().getLong(0)
+    val predSeconds = (System.nanoTime() - tPred0) / 1e9
+    val avgLatency =
+      if (nTestWindows > 0) predSeconds / nTestWindows else Double.NaN
     val confusion = MetricsOps.confusionMatrix(test, "y", "y_pred", 0 until k)
     val multiclass = MetricsOps.multiclassMetrics(test, "y", "y_pred", 0 until k)
     val operational =
@@ -128,7 +153,78 @@ object Pipeline1 {
         when(col("state_bin_last") >= 0.5, "charging").otherwise("idle")),
       "state_slice", "y", "y_pred", 0 until k)
 
-    Result(windows, scored, encoder, model, multiclass, confusion, operational, perState)
+    Result(windows, scored, encoder, model, multiclass, confusion, operational,
+      perState, Timing(trainingTimeSeconds, avgLatency, nTestWindows))
+  }
+
+  final case class GridCell(
+      name: String,
+      task: String,
+      model: String,
+      seqLen: Int,
+      step: Int,
+      outcome: scala.util.Try[Result])
+
+  /** Experiment-grid driver with per-cell failure isolation — the
+    * reference's entry-point loop (run_pipeline_train_network.py:48-71,
+    * run_pipeline_train_power.py:36-73): iterate task × model × seq_len ×
+    * step, try/except each cell so one bad config cannot kill the sweep,
+    * and give every run its own artifact directory.
+    *
+    * Per successful cell (when `outputRoot` is set) writes
+    * `<root>/<task>_<model>_seq<L>_step<S>/{metrics.json,config.json}` in
+    * the `{"metrics": {...}}` / `{"config": {...}}` shape that
+    * [[graft.sources.Sources.harvestJson]] + `flattenStructs` re-ingest
+    * (S8/J3) — the grid's output is its own harvestable run tree.
+    * metrics.json carries the multiclass row plus `training_time_seconds`
+    * and `avg_inference_latency_per_window_sec` (NaN-sanitized to null).
+    *
+    * Memory at grid scale: each cell's window cache is released once its
+    * artifacts are written (126 concurrent caches would pin the cluster);
+    * a returned Result's `windows` recomputes lazily if re-used. */
+  def runGrid(spark: SparkSession, df: DataFrame, features: Seq[String],
+      attackCol: String, stateCol: String, orderCols: Seq[Column],
+      tasks: Seq[String], scorers: Seq[(String, WindowScorer)],
+      seqLens: Seq[Int], stepsFor: Int => Seq[Int] = l => Seq(1, l).distinct,
+      outputRoot: Option[String] = None, base: Config = Config()): Seq[GridCell] = {
+    val cells = for {
+      task <- tasks
+      (scorerName, scorer) <- scorers
+      seqLen <- seqLens
+      step <- stepsFor(seqLen)
+    } yield (task, scorerName, scorer, seqLen, step)
+    cells.map { case (task, scorerName, scorer, seqLen, step) =>
+      val name = s"${task}_${scorerName}_seq${seqLen}_step$step"
+      val outcome = scala.util.Try {
+        val res = run(spark, df, features, attackCol, stateCol, orderCols,
+          scorer, base.copy(task = task, seqLen = seqLen, step = step))
+        outputRoot.foreach { root =>
+          val runDir = java.nio.file.Paths.get(root, name)
+          java.nio.file.Files.createDirectories(runDir)
+          val metricsDoc = graft.sources.Sources.sanitizeDoubles(
+            res.multiclass
+              .withColumn("training_time_seconds",
+                lit(res.timing.trainingTimeSeconds))
+              .withColumn("avg_inference_latency_per_window_sec",
+                lit(res.timing.avgInferenceLatencyPerWindowSec))
+              .withColumn("n_test_windows", lit(res.timing.nTestWindows)))
+            .toJSON.head()
+          java.nio.file.Files.writeString(runDir.resolve("metrics.json"),
+            s"""{"metrics": $metricsDoc}""")
+          java.nio.file.Files.writeString(runDir.resolve("config.json"),
+            s"""{"config": {"task": "$task", "model": "$scorerName", """ +
+              s""""seq_len": $seqLen, "step": $step, """ +
+              s""""fpr_target": ${base.fprTarget}}}""")
+        }
+        res.windows.unpersist(blocking = false)
+        res
+      }
+      outcome.failed.foreach { e =>
+        println(s"[runGrid][error] $name failed: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+      GridCell(name, task, scorerName, seqLen, step, outcome)
+    }
   }
 }
 

@@ -73,6 +73,65 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pipeline1 timing: training time and per-window inference latency recorded") {
+    val t = result.timing
+    assert(t.trainingTimeSeconds >= 0.0 &&
+      java.lang.Double.isFinite(t.trainingTimeSeconds))
+    assert(t.avgInferenceLatencyPerWindowSec >= 0.0 &&
+      java.lang.Double.isFinite(t.avgInferenceLatencyPerWindowSec))
+    assert(t.nTestWindows ==
+      result.windows.where(col("split") === "test").count())
+  }
+
+  test("pipeline1 grid: a poisoned cell fails in isolation; the rest complete and persist artifacts") {
+    import graft.model.{WindowModel, WindowScorer}
+    // Poisoned config: blows up only when fit sees seqLen-10 windows, so
+    // exactly one cell of the 3x2 grid fails (mirrors the reference's
+    // try/except-per-cell runner, run_pipeline_train_network.py:55-71).
+    final case class PoisonAt(failLen: Int) extends WindowScorer {
+      def fit(train: org.apache.spark.sql.DataFrame, wc: String, yc: String): WindowModel = {
+        if (train.select(size(col(wc))).head().getInt(0) == failLen)
+          throw new IllegalStateException(s"poisoned config seqLen=$failLen")
+        Scorers.Logistic(maxIter = 10).fit(train, wc, yc)
+      }
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_grid").toString
+    val cells = Pipeline1.runGrid(spark, power, Seq("current_ma", "power_mw"),
+      "Attack", "State", Seq(col("t")),
+      tasks = Seq("binary"),
+      scorers = Seq("logit" -> Scorers.Logistic(maxIter = 10), "poison" -> PoisonAt(10)),
+      seqLens = Seq(8, 10, 12), stepsFor = _ => Seq(5),
+      outputRoot = Some(root),
+      base = Pipeline1.Config(fprTarget = 0.05, chunkSize = 256))
+    assert(cells.length == 6)
+    val (ok, bad) = cells.partition(_.outcome.isSuccess)
+    assert(bad.map(_.name) == Seq("binary_poison_seq10_step5"))
+    ok.foreach { c =>
+      val dir = java.nio.file.Paths.get(root, c.name)
+      assert(java.nio.file.Files.exists(dir.resolve("metrics.json")), c.name)
+      assert(java.nio.file.Files.exists(dir.resolve("config.json")), c.name)
+    }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "binary_poison_seq10_step5", "metrics.json")))
+    // The grid's run tree is its own S8/J3 surface: harvest + flatten +
+    // metrics-config join over run_dir, timing fields finite/non-negative.
+    import graft.sources.Sources
+    val h = Sources.flattenStructs(Sources.harvestJson(spark, root))
+    val m = h.where(col("metrics_training_time_seconds").isNotNull)
+      .select(col("run_dir"), col("metrics_training_time_seconds"),
+        col("metrics_avg_inference_latency_per_window_sec"))
+    val cfg = h.where(col("config_model").isNotNull)
+      .select(col("run_dir"), col("config_model"), col("config_seq_len"))
+    val joined = m.join(cfg, "run_dir").collect()
+    assert(joined.length == 5)
+    joined.foreach { r =>
+      val t = r.getAs[Double]("metrics_training_time_seconds")
+      val l = r.getAs[Double]("metrics_avg_inference_latency_per_window_sec")
+      assert(t >= 0.0 && java.lang.Double.isFinite(t))
+      assert(l >= 0.0 && java.lang.Double.isFinite(l))
+    }
+  }
+
   test("pipeline2: surrogate tree imitates the base model above chance") {
     val p2 = Pipeline2.run(result.scored, nFeatures = 2)
     val agreement = p2.agreement.head().getAs[Double]("agreement")
