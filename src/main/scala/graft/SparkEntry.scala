@@ -20,6 +20,7 @@ object SparkEntry {
     (DedupTextQueries.queries, DedupTextQueries.oracle),
     (SimilarityQueries.queries, SimilarityQueries.oracle),
     (RowsOnlyQueries.queries, RowsOnlyQueries.oracle),
+    (SourceQueries.queries, SourceQueries.oracle),
     (JoinQueries.queries, JoinQueries.oracle),
     (AnalyticsQueries.queries, AnalyticsQueries.oracle),
   )

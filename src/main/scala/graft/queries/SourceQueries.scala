@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.Q._
+import graft.sources.Sources
+
+/** S1/S3/S4 load semantics as oracle-checked queries (round-4 promotion of
+  * the spec-only scan rows): each query materializes a deterministic CSV
+  * fixture DERIVED FROM the events table (the s8_harvest_join pattern —
+  * fixture values are reproducible in DuckDB from the same parquet), runs
+  * the real `Sources` loader over it, and reduces to a small ordered
+  * aggregate. The oracle replays the derivation + the loader's parse
+  * semantics (time parsing, state_bin, filename labels, coalesce fallback,
+  * dropna) in SQL over `events`.
+  *
+  * Fixtures are bounded by `event_id <` filters, so the driver-side write
+  * stays a few hundred rows at any SF.
+  */
+object SourceQueries {
+
+  /** Collect (deterministically ordered) rows and write one CSV file. */
+  private def writeCsv(path: java.nio.file.Path, header: String,
+      lines: Seq[String]): Unit = {
+    java.nio.file.Files.createDirectories(path.getParent)
+    java.nio.file.Files.writeString(path, (header +: lines).mkString("", "\n", "\n"))
+  }
+
+  private def fmt2(n: Long): String = f"${n}%02d"
+
+  val queries: Map[String, QueryFn] = Map(
+    // S1: power CSV scan — `time` string → timestamp, state_bin from a
+    // messy State column (case + whitespace), global time order. The
+    // output's first/last times are format-parse round-trips, so the
+    // comparison pins to_timestamp's semantics, not a timezone epoch.
+    "s1_load" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_s1")
+      val rows = table(s, dir, "events").where(col("event_id") < 200)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id").collect()
+      val lines = rows.map { r =>
+        val id = r.getLong(0)
+        val time = s"2024-01-15 ${fmt2(id % 24)}:${fmt2(id * 7 % 60)}:${fmt2(id * 13 % 60)}"
+        val state = if (r.getString(1) == "error") " Charging " else "Idle"
+        s"$time,$state,${r.getDouble(2)}"
+      }
+      writeCsv(base.resolve("power/part-0.csv"), "time,State,value", lines.toSeq)
+      Sources.loadPower(s, base.resolve("power").toString)
+        .groupBy("state_bin")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"),
+          min(date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss")).as("first_time"),
+          max(date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss")).as("last_time"))
+        .orderBy("state_bin")
+    }),
+
+    // S3: multi-file merge — per-event-type CSVs in two EVSE dirs, label
+    // from the file name (P6 stem rule), union, drop text cols, dropna
+    // (value blank when event_id % 97 == 0 → null → row dropped).
+    "s3_merge" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_s3")
+      val rows = table(s, dir, "events").where(col("event_id") < 300)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id").collect()
+      for (evse <- Seq("A", "B"); (t, rs) <- rows.groupBy(_.getString(1))) {
+        val lines = rs.sortBy(_.getLong(0)).map { r =>
+          val v = if (r.getLong(0) % 97 == 0) "" else r.getDouble(2).toString
+          s"${r.getLong(0)},$v"
+        }
+        writeCsv(base.resolve(s"evse$evse/net-cap-$t.csv"), "event_id,value",
+          lines.toSeq)
+      }
+      Sources.mergeNetworkCsvs(s, base.resolve("evseA").toString,
+          base.resolve("evseB").toString, dropCols = Seq("source_file"))
+        .groupBy(col("label_mul_raw"), col("evse"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("label_mul_raw", "evse")
+    }),
+
+    // S4: time-column fallback chain — the preferred column is absent, so
+    // the loader must coalesce to bidirectional_first_seen_ms.
+    "s4_fallback" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_s4")
+      val rows = table(s, dir, "events").where(col("event_id") < 250)
+        .select("event_id", "value")
+        .orderBy("event_id").collect()
+      val lines = rows.map(r =>
+        s"${r.getLong(0)},${r.getLong(0) * 131 + 7},${r.getDouble(1)}")
+      writeCsv(base.resolve("net/flows.csv"),
+        "flow_id,bidirectional_first_seen_ms,value", lines.toSeq)
+      Sources.loadNetwork(s, base.resolve("net").toString, timeCol = "flow_start")
+        .groupBy((col("flow_id") % 7).cast("int").as("g"))
+        .agg(count(lit(1)).as("n"), min("timestamp").as("min_ts"),
+          max("timestamp").as("max_ts"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("g")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s1_load" ->
+      """WITH fix AS (
+        |  SELECT '2024-01-15 ' || lpad(CAST(event_id % 24 AS VARCHAR), 2, '0') ||
+        |         ':' || lpad(CAST(event_id * 7 % 60 AS VARCHAR), 2, '0') ||
+        |         ':' || lpad(CAST(event_id * 13 % 60 AS VARCHAR), 2, '0') AS t,
+        |    CASE WHEN event_type = 'error' THEN ' Charging ' ELSE 'Idle' END AS state,
+        |    value
+        |  FROM events WHERE event_id < 200)
+        |SELECT CASE WHEN lower(trim(state)) = 'charging' THEN 1 ELSE 0 END AS state_bin,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value,
+        |  min(t) AS first_time, max(t) AS last_time
+        |FROM fix GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s3_merge" ->
+      """WITH f AS (
+        |  SELECT event_type AS label_mul_raw, e.evse, value
+        |  FROM events CROSS JOIN (SELECT unnest(['A', 'B']) AS evse) e
+        |  WHERE event_id < 300 AND event_id % 97 <> 0)
+        |SELECT label_mul_raw, evse, count(*) AS n,
+        |  round(sum(value), 4) AS sum_value
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s4_fallback" ->
+      """SELECT CAST(event_id % 7 AS INTEGER) AS g, count(*) AS n,
+        |  min(CAST(event_id * 131 + 7 AS DOUBLE)) AS min_ts,
+        |  max(CAST(event_id * 131 + 7 AS DOUBLE)) AS max_ts,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events WHERE event_id < 250 GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

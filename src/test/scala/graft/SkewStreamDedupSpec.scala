@@ -59,4 +59,59 @@ class SkewStreamDedupSpec extends SparkSpec {
       assert(kept == Set(1L, 2L, 5L))
     } finally q.stop()
   }
+
+  test("streaming curation composes: dedupExactStream -> quality/repetition filter -> pack equals batch curate") {
+    import graft.ops.TextOps
+    import graft.pipelines.CorpusPipeline
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val prose1 = "the quick brown fox jumps over the lazy dog near a quiet river bank today"
+    val prose3 = "cooking pasta with garlic and fresh basil is a joy every single evening at home"
+    val prose5 = "a completely different document about mountain hiking and quiet autumn weather patterns"
+    val junk4 = "spam spam spam spam spam spam spam spam spam spam"
+    // No near-dups and an empty benchmark, so the batch pipeline's
+    // cluster/decontam stages are pass-throughs and curate reduces to the
+    // streamable composition: exact dedup -> quality+repetition filter ->
+    // sample(1.0) -> pack.
+    val cfg = CorpusPipeline.CurationConfig(
+      jaccardThreshold = 0.99, minQuality = 0.1, maxTopWordRatio = 0.5,
+      defaultSampleRate = 1.0, packBudgetTokens = 16)
+    val batchDocs = Seq((1L, prose1), (2L, prose1), (3L, prose3),
+      (4L, junk4), (5L, prose5)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val expected = CorpusPipeline.curate(batchDocs, "doc_id", "text",
+        col("lang"), Seq.empty[String].toDF("btext"), "btext", cfg)
+      .select("doc_id", "n_tokens", "bin", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val streamed = StreamingOps.dedupExactStream(
+      input.toDF.toDF("doc_id", "ts", "text"), "ts", "text", "1 minute")
+    // quality + repetition are row-local expressions -> stream-native;
+    // packing needs a global prefix sum -> composed via foreachBatch
+    val rep = TextOps.repetitionStats(col("text"))
+    val filtered = streamed.where(
+      TextOps.qualityScore(col("text")) >= cfg.minQuality &&
+        rep.getField("dup_line_ratio") <= cfg.maxDupLineRatio &&
+        rep.getField("top_word_ratio") <= cfg.maxTopWordRatio)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = filtered.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= TextOps
+          .packSequences(batch, col("text"), Seq(col("doc_id")), cfg.packBudgetTokens)
+          .select("doc_id", "n_tokens", "bin", "offset").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        ()
+      }.start()
+    try {
+      // all keepers arrive in batch 1; batch 2 is only the cross-batch dup
+      input.addData((1L, ts(0), prose1), (3L, ts(1), prose3),
+        (4L, ts(2), junk4), (5L, ts(3), prose5))
+      q.processAllAvailable()
+      input.addData((2L, ts(4), prose1))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expected)
+    assert(got.map(_._1).toSet == Set(1L, 3L, 5L)) // dup 2 and junk 4 gone
+  }
 }
