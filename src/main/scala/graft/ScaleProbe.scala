@@ -10,7 +10,8 @@ import graft.ops.{Dedup, Stats, TextOps}
   * driver-side collections).
   *
   * Usage: sbt 'runMain graft.ScaleProbe <op> [n]'
-  *   ops: ewma | spans | wsample | lm | vocab | editpairs
+  *   ops: ewma | spans | wsample | lm | vocab | editpairs | corr |
+  *        fuzzyjoin | sessionize | pagerank
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -87,6 +88,16 @@ object ScaleProbe {
         df.count()
         time(s"corrMatrix n=$n cols=4")(
           Stats.corrMatrix(df, Seq("a", "b", "c", "d")).collect())
+      case "pagerank" =>
+        // n edges over n/10 nodes, hash-soup topology; 5 iterations
+        val nNodes = math.max(n / 10, 10L)
+        val edges = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(nNodes)).as("s"),
+          pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("d"))
+        edges.count()
+        time(s"pageRank edges=$n nodes=$nNodes iters=5")(
+          graft.ops.Graph.pageRank(edges, "s", "d", iterations = 5)
+            .agg(sum("rank")).collect())
       case "fuzzyjoin" =>
         val l = docs(n); val r = docs(n) // same generator -> every doc matches
         l.count(); r.count()

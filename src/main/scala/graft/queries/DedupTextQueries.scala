@@ -323,6 +323,21 @@ object DedupTextQueries {
         .orderBy("a", "b", "c")
     }),
 
+    "graph_pagerank" -> ((s, dir) => {
+      // PageRank (3 iterations, d=0.85, dangling redistribution) over a
+      // deterministic 40-node link graph derived from events; the twin
+      // unrolls the same iterations in SQL. The edge recipe guarantees
+      // v != u and leaves some nodes sink-only, so the dangling-mass
+      // path is actually exercised.
+      val edges = table(s, dir, "events").where(col("event_id") < 3000)
+        .select((col("user_id") % 40).as("u"),
+          (col("user_id") % 40 + 1 + col("event_id") % 11) % 40 as "v")
+        .distinct()
+      graft.ops.Graph.pageRank(edges, "u", "v", iterations = 3)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
+
     "dedup_entity_resolution" -> ((s, dir) => {
       // Entity resolution capstone: fuzzy-match edges (levenshtein <= 2,
       // length-banded) -> connected components -> canonical entity per
@@ -718,6 +733,44 @@ object DedupTextQueries {
         |FROM n a JOIN n b ON a.name < b.name
         |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.87
         |ORDER BY 1, 2""".stripMargin,
+
+    // 3 unrolled PageRank iterations; double literals via e0 exponents so
+    // DuckDB doesn't fall into DECIMAL arithmetic; round(…,6) absorbs
+    // summation-order ULP drift.
+    "graph_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id % 40 AS u,
+        |    (user_id % 40 + 1 + event_id % 11) % 40 AS v
+        |  FROM events WHERE event_id < 3000),
+        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT u, count(*) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT node, 1.0e0 / n AS rank FROM nodes CROSS JOIN nn),
+        |d1 AS (SELECT coalesce(sum(rank), 0.0e0) AS dm FROM r0
+        |       WHERE node NOT IN (SELECT u FROM deg)),
+        |c1 AS (SELECT e.v AS node, sum(r0.rank / deg.d) AS c
+        |       FROM e JOIN r0 ON r0.node = e.u JOIN deg ON deg.u = e.u GROUP BY 1),
+        |r1 AS (SELECT nodes.node,
+        |         (1.0e0 - 0.85e0) / nn.n + 0.85e0 * (coalesce(c1.c, 0.0e0) + d1.dm / nn.n) AS rank
+        |       FROM nodes LEFT JOIN c1 ON c1.node = nodes.node
+        |       CROSS JOIN nn CROSS JOIN d1),
+        |d2 AS (SELECT coalesce(sum(rank), 0.0e0) AS dm FROM r1
+        |       WHERE node NOT IN (SELECT u FROM deg)),
+        |c2 AS (SELECT e.v AS node, sum(r1.rank / deg.d) AS c
+        |       FROM e JOIN r1 ON r1.node = e.u JOIN deg ON deg.u = e.u GROUP BY 1),
+        |r2 AS (SELECT nodes.node,
+        |         (1.0e0 - 0.85e0) / nn.n + 0.85e0 * (coalesce(c2.c, 0.0e0) + d2.dm / nn.n) AS rank
+        |       FROM nodes LEFT JOIN c2 ON c2.node = nodes.node
+        |       CROSS JOIN nn CROSS JOIN d2),
+        |d3 AS (SELECT coalesce(sum(rank), 0.0e0) AS dm FROM r2
+        |       WHERE node NOT IN (SELECT u FROM deg)),
+        |c3 AS (SELECT e.v AS node, sum(r2.rank / deg.d) AS c
+        |       FROM e JOIN r2 ON r2.node = e.u JOIN deg ON deg.u = e.u GROUP BY 1),
+        |r3 AS (SELECT nodes.node,
+        |         (1.0e0 - 0.85e0) / nn.n + 0.85e0 * (coalesce(c3.c, 0.0e0) + d3.dm / nn.n) AS rank
+        |       FROM nodes LEFT JOIN c3 ON c3.node = nodes.node
+        |       CROSS JOIN nn CROSS JOIN d3)
+        |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
 
     "graph_triangles" ->
       """WITH n AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),

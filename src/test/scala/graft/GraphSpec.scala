@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** PageRank unit semantics (the oracle query `graph_pagerank` pins the
+  * distributed parity; these pin the math on graphs small enough to
+  * reason about by hand). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: 2-cycle is the uniform fixed point; ranks sum to 1") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val r = Graph.pageRank(edges, "s", "d", iterations = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(approx(r(1L), 0.5, 1e-12) && approx(r(2L), 0.5, 1e-12))
+  }
+
+  test("pageRank: dangling node redistributes mass; sink outranks source") {
+    // 1 -> 2, 2 has no out-edges (dangling)
+    val edges = Seq((1L, 2L)).toDF("s", "d")
+    val rows = Graph.pageRank(edges, "s", "d", iterations = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // iter 1: dm = 0.5; r(1) = 0.075 + 0.85*(0 + 0.25); r(2) = 0.075 + 0.85*(0.5 + 0.25)
+    assert(approx(rows(1L), 0.2875, 1e-12))
+    assert(approx(rows(2L), 0.7125, 1e-12))
+    assert(approx(rows.values.sum, 1.0, 1e-9))
+  }
+
+  test("pageRank: hub target accumulates rank; total mass conserved over iterations") {
+    // star: 1..5 all point at 10
+    val edges = (1L to 5L).map(i => (i, 10L)).toDF("s", "d")
+    val r = Graph.pageRank(edges, "s", "d", iterations = 4)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(approx(r.values.sum, 1.0, 1e-9))
+    assert((1L to 5L).forall(i => r(10L) > r(i)))
+  }
+}
