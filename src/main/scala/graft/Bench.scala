@@ -29,7 +29,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // a query's retained cache must not occupy memory (and skew GC)
+      // for the 130+ queries after it
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      (name, dt, ok)
     }
     // Millisecond precision keeps the JSON line ~2.5x shorter (the driver
     // snapshots a bounded tail of stdout; full doubles overflowed it and

@@ -300,6 +300,42 @@ object TextOps {
       .drop("__rt")
   }
 
+  /** [[packSequences]] with BOUNDARY SPLITTING — the physical layout a
+    * trainer actually consumes: documents crossing a `budgetTokens`
+    * boundary are cut into per-bin pieces, so every bin is exactly full
+    * (except the corpus tail) and every emitted piece lies inside one
+    * training sequence.
+    *
+    * Doc with global token interval `[rt−n, rt)` spans bins
+    * `floor((rt−n)/B) .. floor((rt−1)/B)`; the piece in bin `b` covers
+    * `[max(bB, rt−n), min((b+1)B, rt))`. Same scale shape as
+    * [[packSequences]] — the distributed prefix sum, then a NARROW
+    * per-row `sequence + explode` whose fan-out is output-sized (total
+    * pieces ≤ docs + corpus_tokens/B). Empty docs (n_tokens = 0) emit a
+    * zero-length piece at their position so no document disappears.
+    *
+    * Adds `n_tokens`, `bin`, `offset` (piece start within the bin),
+    * `piece_len`, `token_start` (piece start within the doc). */
+  def packSequencesSplit(df: org.apache.spark.sql.DataFrame, text: Column,
+      orderCols: Seq[Column], budgetTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(budgetTokens >= 1, "budgetTokens must be >= 1")
+    val b = lit(budgetTokens.toLong)
+    val counted = df.withColumn("n_tokens", tokenCount(text).cast("long"))
+    SlidingWindows.withRunningTotal(counted, orderCols, col("n_tokens"), "__rt")
+      .withColumn("__start", col("__rt") - col("n_tokens"))
+      // bins this doc touches; greatest(rt-1, start) keeps empty docs on
+      // their own single (zero-length) piece instead of sequence(x, x-1)
+      .withColumn("bin",
+        explode(sequence(floor(col("__start") / b),
+          floor(greatest(col("__rt") - 1, col("__start")) / b))))
+      .withColumn("__pstart", greatest(col("bin") * b, col("__start")))
+      .withColumn("__pend", least((col("bin") + 1) * b, col("__rt")))
+      .withColumn("offset", col("__pstart") - col("bin") * b)
+      .withColumn("piece_len", col("__pend") - col("__pstart"))
+      .withColumn("token_start", col("__pstart") - col("__start"))
+      .drop("__rt", "__start", "__pstart", "__pend")
+  }
+
   /** Per-group sequence packing — [[packSequences]] with an independent
     * bin space per `group` (pack within language/domain, the usual
     * curriculum layout). Shape: ONE range exchange with the group as the

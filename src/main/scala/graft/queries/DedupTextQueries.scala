@@ -72,6 +72,16 @@ object DedupTextQueries {
         .select(col("doc_id"), col("n_tokens"), col("bin"), col("offset"))
         .orderBy("doc_id")),
 
+    "pack_split" -> ((s, dir) =>
+      // Boundary-splitting packing: docs crossing a 256-token sequence
+      // boundary are cut into per-bin pieces (the layout a trainer
+      // consumes; every bin exactly full except the corpus tail).
+      TextOps.packSequencesSplit(table(s, dir, "documents"), col("text"),
+          Seq(col("doc_id")), budgetTokens = 256)
+        .select(col("doc_id"), col("n_tokens"), col("bin"), col("offset"),
+          col("piece_len"), col("token_start"))
+        .orderBy("doc_id", "bin")),
+
     "decontaminate" -> ((s, dir) => {
       // Train/eval leak scan: docs < 300 are the "corpus", docs 400-429
       // the "benchmark"; per-doc count of shared distinct word 3-grams
@@ -427,6 +437,29 @@ object DedupTextQueries {
          |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.n)
          |SELECT n AS doc_id, min(comp) AS component
          |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+
+    // rt CAST early: the window sum is HUGEINT in DuckDB, and every
+    // derived column would inherit it (the round-3 dtype-drift lesson).
+    "pack_split" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rt
+         |  FROM t),
+         |p AS (SELECT doc_id, n_tokens, rt, rt - n_tokens AS st FROM c),
+         |x AS (
+         |  SELECT p.*, u.b AS bin
+         |  FROM p, LATERAL unnest(range(CAST(floor(st / 256.0) AS BIGINT),
+         |    CAST(floor(greatest(rt - 1, st) / 256.0) AS BIGINT) + 1)) AS u(b))
+         |SELECT doc_id, n_tokens, bin,
+         |  greatest(bin * 256, st) - bin * 256 AS "offset",
+         |  least((bin + 1) * 256, rt) - greatest(bin * 256, st) AS piece_len,
+         |  greatest(bin * 256, st) - st AS token_start
+         |FROM x ORDER BY doc_id, bin""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH t AS (

@@ -184,6 +184,44 @@ class DedupTextSpec extends SparkSpec {
       4L -> ((6L, 1L, 1L)), 5L -> ((1L, 2L, 3L))))
   }
 
+  test("packSequencesSplit: boundary pieces cover each doc exactly; bins full except the tail") {
+    val df = Seq((1L, "a b c"), (2L, "d e"), (3L, ""), (4L, "f g h i j k"), (5L, "l"))
+      .toDF("id", "t") // token counts: 3, 2, 0, 6, 1 ; budget 4; total 12
+    val out = graft.ops.TextOps
+      .packSequencesSplit(df, col("t"), Seq(col("id")), budgetTokens = 4)
+      .select("id", "bin", "offset", "piece_len", "token_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    // doc2 [3,5) splits at 4: (bin0 off3 len1 ts0), (bin1 off0 len1 ts1);
+    // doc4 [5,11) splits at 8: (bin1 off1 len3 ts0), (bin2 off0 len3 ts3);
+    // doc3 is empty → one zero-length piece at its position (bin1 off1)
+    assert(out == Seq(
+      (1L, 0L, 0L, 3L, 0L),
+      (2L, 0L, 3L, 1L, 0L), (2L, 1L, 0L, 1L, 1L),
+      (3L, 1L, 1L, 0L, 0L),
+      (4L, 1L, 1L, 3L, 0L), (4L, 2L, 0L, 3L, 3L),
+      (5L, 2L, 3L, 1L, 0L)))
+    // laws: pieces of a doc sum to its token count and chain contiguously;
+    // every bin except the last is exactly full
+    val byDoc = out.groupBy(_._1)
+    val nTok = Map(1L -> 3L, 2L -> 2L, 3L -> 0L, 4L -> 6L, 5L -> 1L)
+    byDoc.foreach { case (id, ps) =>
+      assert(ps.map(_._4).sum == nTok(id), s"doc $id")
+      assert(ps.map(_._5).min == 0L)
+    }
+    val byBin = out.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(byBin == Map(0L -> 4L, 1L -> 4L, 2L -> 4L))
+    // first piece of each doc agrees with packSequences' (bin, offset)
+    val plain = graft.ops.TextOps
+      .packSequences(df, col("t"), Seq(col("id")), budgetTokens = 4)
+      .select("id", "bin", "offset").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    byDoc.foreach { case (id, ps) =>
+      val first = ps.minBy(_._2)
+      assert(plain(id) == ((first._2, first._3)), s"doc $id first piece")
+    }
+  }
+
   test("decontaminate: counts distinct shared n-grams; clean docs absent") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps"), // shares "the quick brown" + "quick brown fox"
