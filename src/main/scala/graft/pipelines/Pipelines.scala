@@ -52,7 +52,8 @@ object Pipeline1 {
       confusion: DataFrame,
       operational: Option[BinaryOperational.OperationalMetrics],
       perState: DataFrame,
-      timing: Timing)
+      timing: Timing,
+      scaler: Map[String, (Double, Double)])
 
   /** Train pipeline on a labeled time series.
     *
@@ -154,7 +155,7 @@ object Pipeline1 {
       "state_slice", "y", "y_pred", 0 until k)
 
     Result(windows, scored, encoder, model, multiclass, confusion, operational,
-      perState, Timing(trainingTimeSeconds, avgLatency, nTestWindows))
+      perState, Timing(trainingTimeSeconds, avgLatency, nTestWindows), scaler)
   }
 
   final case class GridCell(
@@ -215,6 +216,15 @@ object Pipeline1 {
             s"""{"config": {"task": "$task", "model": "$scorerName", """ +
               s""""seq_len": $seqLen, "step": $step, """ +
               s""""fpr_target": ${base.fprTarget}}}""")
+          // S7 artifacts per run (the reference persists model + encoder +
+          // scaler alongside metrics); models that don't expose an MLlib
+          // transformer (custom scorers) have nothing portable to save
+          graft.model.ModelIO.saveEncoder(res.encoder,
+            runDir.resolve("encoder").toString)
+          graft.model.ModelIO.saveScaler(res.scaler,
+            runDir.resolve("scaler").toString)
+          if (res.model.isInstanceOf[graft.model.HasMlModel])
+            graft.model.ModelIO.saveModel(res.model, runDir.resolve("model").toString)
         }
         res.windows.unpersist(blocking = false)
         res

@@ -110,6 +110,22 @@ class PipelineSpec extends SparkSpec {
       val dir = java.nio.file.Paths.get(root, c.name)
       assert(java.nio.file.Files.exists(dir.resolve("metrics.json")), c.name)
       assert(java.nio.file.Files.exists(dir.resolve("config.json")), c.name)
+      assert(java.nio.file.Files.exists(dir.resolve("encoder")), c.name)
+      assert(java.nio.file.Files.exists(dir.resolve("scaler")), c.name)
+      assert(java.nio.file.Files.exists(dir.resolve("model")), c.name)
+    }
+    // S7 roundtrip out of a grid cell: artifacts reload and re-score
+    locally {
+      import graft.model.ModelIO
+      val cell = java.nio.file.Paths.get(root, ok.head.name)
+      val enc = ModelIO.loadEncoder(spark, cell.resolve("encoder").toString)
+      assert(enc.count() == 2) // binary task: attack / benign
+      val sc = ModelIO.loadScaler(cell.resolve("scaler").toString)
+      assert(sc.keySet == Set("current_ma", "power_mw"))
+      val m = ModelIO.loadModel(spark, cell.resolve("model").toString)
+      val rescored = m.transform(
+        ok.head.outcome.get.windows.where(col("split") === "test"))
+      assert(rescored.where(col("y_pred").isNull).count() == 0)
     }
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "binary_poison_seq10_step5", "metrics.json")))
