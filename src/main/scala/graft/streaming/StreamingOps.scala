@@ -43,6 +43,24 @@ object StreamingOps {
   def scoreStream(scored: DataFrame, scoreCol: String, threshold: Double): DataFrame =
     scored.withColumn("y_pred", (col(scoreCol) >= threshold).cast("int"))
 
+  /** Gap-based sessionization on a stream — the online form of
+    * `Sessionize.byGap`, expressed with Spark's native `session_window`
+    * (dynamic, merging event-time sessions; a session closes once event
+    * time passes its end + watermark). State is one open session per
+    * entity, partitioned by key across executors — no global order, no
+    * growing state. Emits (entity, session_start, session_end, n_events,
+    * sum_value) per closed session. */
+  def sessionizeStream(events: DataFrame, tsCol: String, entityCol: String,
+      valueCol: String, gap: String, watermark: String = "10 seconds"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(entityCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"), sum(valueCol).as("sum_value"))
+      .select(col(entityCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup (the online form of `Dedup.dedupExact`):
     * first-seen row per content hash wins, duplicates within the
     * watermark horizon are dropped. State = one (hash, ts) entry per

@@ -60,6 +60,37 @@ class SkewStreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream: gap sessions merge, close at the watermark, and carry aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val sessions = StreamingOps.sessionizeStream(
+      input.toDF.toDF("user", "ts", "value"), "ts", "user",
+      "value", gap = "5 seconds", watermark = "2 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // u1: events at 0,3,6 chain into ONE session (each within 5s of the
+      // previous); u2: 0 and 20 are two sessions
+      input.addData(("u1", ts(0), 1.0), ("u1", ts(3), 2.0), ("u1", ts(6), 4.0),
+        ("u2", ts(0), 8.0), ("u2", ts(20), 16.0))
+      q.processAllAvailable()
+      // advance event time far past every session end + watermark so all
+      // sessions finalize and emit
+      input.addData(("u3", ts(300), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_stream")
+        .select("user", "session_start", "session_end", "n_events", "sum_value")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got == Set(
+        ("u1", ts(0), ts(11), 3L, 7.0),   // merged chain: last event 6 + 5s gap
+        ("u2", ts(0), ts(5), 1L, 8.0),
+        ("u2", ts(20), ts(25), 1L, 16.0)))
+    } finally q.stop()
+  }
+
   test("streaming curation composes: dedupExactStream -> quality/repetition filter -> pack equals batch curate") {
     import graft.ops.TextOps
     import graft.pipelines.CorpusPipeline
