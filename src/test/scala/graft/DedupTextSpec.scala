@@ -222,6 +222,17 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: 3000-node chain converges inside default maxIter (pointer jumping)") {
+    // diameter 2999 — O(diameter) label propagation could NOT finish in 25
+    // rounds; path halving must (O(log d)), labeling everything node 0
+    val n = 3000
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(nodes, edges, "id", "a", "b")
+      .select("component").distinct().collect().map(_.getLong(0))
+    assert(comps.toSeq == Seq(0L))
+  }
+
   test("decontaminate: counts distinct shared n-grams; clean docs absent") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps"), // shares "the quick brown" + "quick brown fox"
