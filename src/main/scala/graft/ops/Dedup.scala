@@ -402,6 +402,57 @@ object Dedup {
     kept.drop("__h")
   }
 
+  /** [[dedupExactIncremental]] with a PERSISTED BLOOM PREFILTER — the
+    * 100 TB ingestion shape: with billions of hashes in the store, the
+    * history anti-join is the cost, and for a mostly-new batch almost
+    * none of it is necessary. A Bloom filter over every previously
+    * ingested hash rides next to the store; rows the filter has
+    * definitely never seen skip the anti-join entirely (no false
+    * negatives — Bloom guarantees), so the shuffle carries only the
+    * Bloom-positive sliver (true dups + `fpp` of the batch). The batch's
+    * new hashes are merged into the filter after each call (same
+    * `expectedItems`/`fpp` every batch → compatible `mergeInPlace`;
+    * size `expectedItems` to the store's lifetime capacity, since the
+    * effective fpp degrades past it).
+    *
+    * Results are identical to [[dedupExactIncremental]] for any fpp. */
+  def dedupExactIncrementalBloom(newDocs: DataFrame, id: String, text: String,
+      storePath: String, expectedItems: Long = 10000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = newDocs.sparkSession
+    val inBatch = dedupExact(newDocs, id, text).withColumn("__h", md5(col(text)))
+    val hPath = new org.apache.hadoop.fs.Path(storePath)
+    val bloomPath = new org.apache.hadoop.fs.Path(storePath + "_bloom")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bf =
+      if (fs.exists(bloomPath)) {
+        val in = fs.open(bloomPath)
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+      } else org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val maybeSeen = org.apache.spark.sql.functions.udf(
+      (h: String) => h != null && bc.value.mightContainString(h))
+    val kept =
+      if (fs.exists(hPath)) {
+        val store = spark.read.parquet(storePath).select(col("__h"))
+        val flagged = inBatch.withColumn("__maybe", maybeSeen(col("__h")))
+        // definitely-new rows never touch the history join
+        flagged.where(!col("__maybe"))
+          .unionByName(flagged.where(col("__maybe"))
+            .join(store, Seq("__h"), "left_anti"))
+          .drop("__maybe")
+          .localCheckpoint(true)
+      } else inBatch.localCheckpoint(true)
+    kept.select("__h").write.mode("append").parquet(storePath)
+    // fold this batch's hashes into the filter (built with the same
+    // parameters, so the bit arrays are merge-compatible)
+    val batchBf = kept.stat.bloomFilter("__h", expectedItems, fpp)
+    bf.mergeInPlace(batchBf)
+    val out = fs.create(bloomPath, true)
+    try bf.writeTo(out) finally out.close()
+    kept.drop("__h")
+  }
+
   /** Corpus-internal duplicate-span profile (CCNet-style paragraph/span
     * dedup adapted to token tiles): cut each document into NON-overlapping
     * `w`-token tiles (full tiles only), count how many DISTINCT documents

@@ -135,6 +135,28 @@ class SketchLmStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom-prefiltered incremental dedup matches the plain anti-join across batches") {
+    val tmpA = java.nio.file.Files.createTempDirectory("graft_bloom_a")
+    val tmpB = java.nio.file.Files.createTempDirectory("graft_bloom_b")
+    val batches = Seq(
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")),
+      Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma")),
+      Seq((20L, "beta"), (21L, "delta")))
+    val (plain, bloom) = batches.map { rows =>
+      val df = rows.toDF("id", "text")
+      val p = graft.ops.Dedup.dedupExactIncremental(df, "id", "text", s"$tmpA/store")
+        .select("id").as[Long].collect().toSet
+      val b = graft.ops.Dedup.dedupExactIncrementalBloom(df, "id", "text",
+          s"$tmpB/store", expectedItems = 1000L)
+        .select("id").as[Long].collect().toSet
+      (p, b)
+    }.unzip
+    assert(plain == bloom)
+    assert(plain == Seq(Set(1L, 2L), Set(11L), Set(21L)))
+    // filter artifact persisted next to the store
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmpB/store_bloom")))
+  }
+
   // ---- sketch surface ----
 
   test("approx_count_distinct (HLL) lands within its rsd bound of exact") {
