@@ -47,6 +47,19 @@ object AnalyticsQueries {
           col("n"), col("revenue"))
         .orderBy("status", "priority")),
 
+    "q_unpivot" -> ((s, dir) =>
+      // UNPIVOT/melt (the inverse of q_pivot): wide per-part measures to
+      // (part, measure, value) long form — a narrow per-row expansion
+      // (stack/unpivot lowers to Generate, no shuffle before the agg).
+      table(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice").cast("double").as("retail"),
+          col("p_size").cast("double").as("size_v"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("retail"), col("size_v")), "measure", "value")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("measure")),
+
     "q_pivot" -> ((s, dir) =>
       // PIVOT on the known status domain; the twin is conditional
       // aggregation, which is also exactly the physical plan Spark lowers
@@ -387,6 +400,15 @@ object AnalyticsQueries {
         |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH long AS (
+        |  SELECT p_partkey, 'retail' AS measure, CAST(p_retailprice AS DOUBLE) AS value
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'size_v', CAST(p_size AS DOUBLE) FROM part)
+        |SELECT measure, count(*) AS n, round(sum(value), 2) AS total
+        |FROM long GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,

@@ -72,6 +72,17 @@ object DedupTextQueries {
         .select(col("doc_id"), col("n_tokens"), col("bin"), col("offset"))
         .orderBy("doc_id")),
 
+    "text_regex_extract" -> ((s, dir) =>
+      // regexp_extract_all + explode: the extract-all-matches table (RE2-
+      // portable pattern, so both engines tokenize identically); top-20
+      // matched substrings with a deterministic tie-break.
+      table(s, dir, "documents").where(col("doc_id") < 150)
+        .select(explode(regexp_extract_all(col("text"),
+          lit("[aeiou][a-z]{3}"), lit(0))).as("m"))
+        .groupBy("m").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("m"))
+        .limit(20)),
+
     "pack_split" -> ((s, dir) =>
       // Boundary-splitting packing: docs crossing a 256-token sequence
       // boundary are cut into per-bin pieces (the layout a trainer
@@ -437,6 +448,12 @@ object DedupTextQueries {
          |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.n)
          |SELECT n AS doc_id, min(comp) AS component
          |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+
+    "text_regex_extract" ->
+      """SELECT m, count(*) AS n FROM (
+        |  SELECT unnest(regexp_extract_all(text, '[aeiou][a-z]{3}')) AS m
+        |  FROM documents WHERE doc_id < 150)
+        |GROUP BY 1 ORDER BY n DESC, m LIMIT 20""".stripMargin,
 
     // rt CAST early: the window sum is HUGEINT in DuckDB, and every
     // derived column would inherit it (the round-3 dtype-drift lesson).
