@@ -52,6 +52,32 @@ object SourceQueries {
         .orderBy("state_bin")
     }),
 
+    // S2: host CSV scan+clean — positional schema (every column left of
+    // State is an event counter, `time` excluded), numeric coercion
+    // (malformed → null), constant-column drop (ev_const vanishes,
+    // proven by n_event_cols = 2), row-index timestamp in file order.
+    "s2_host_load" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_s2")
+      val rows = table(s, dir, "events").where(col("event_id") < 240)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id").collect()
+      val lines = rows.map { r =>
+        val id = r.getLong(0)
+        val v = r.getDouble(2)
+        val evB = if (id % 53 == 0) s"x$id" else (v * 2).toString
+        val state = if (r.getString(1) == "error") "CHARGING" else "idle"
+        s"${v},$evB,1,$id,$state"
+      }
+      writeCsv(base.resolve("host/part-0.csv"),
+        "ev_a,ev_b,ev_const,time,State", lines.toSeq)
+      val (cleaned, eventCols) = Sources.loadHost(s, base.resolve("host").toString)
+      cleaned.groupBy("state_bin")
+        .agg(count(lit(1)).as("n"), round(sum("ev_a"), 4).as("sum_a"),
+          round(sum("ev_b"), 4).as("sum_b"), max(col("timestamp")).as("max_ts"))
+        .withColumn("n_event_cols", lit(eventCols.length))
+        .orderBy("state_bin")
+    }),
+
     // S3: multi-file merge — per-event-type CSVs in two EVSE dirs, label
     // from the file name (P6 stem rule), union, drop text cols, dropna
     // (value blank when event_id % 97 == 0 → null → row dropped).
@@ -106,6 +132,23 @@ object SourceQueries {
         |SELECT CASE WHEN lower(trim(state)) = 'charging' THEN 1 ELSE 0 END AS state_bin,
         |  count(*) AS n, round(sum(value), 4) AS sum_value,
         |  min(t) AS first_time, max(t) AS last_time
+        |FROM fix GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // n_event_cols is the LOADER's computed count (ev_const dropped as
+    // constant, time excluded by name) — the literal 2 here is the
+    // expected value, not a tautology.
+    "s2_host_load" ->
+      """WITH fix AS (
+        |  SELECT event_id, value,
+        |    CASE WHEN event_id % 53 = 0 THEN NULL ELSE value * 2 END AS ev_b,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS state_bin,
+        |    CAST(row_number() OVER (ORDER BY event_id) - 1 AS DOUBLE) AS ts
+        |  FROM events WHERE event_id < 240)
+        |SELECT state_bin, count(*) AS n,
+        |  round(sum(value), 4) AS sum_a,
+        |  round(sum(ev_b), 4) AS sum_b,
+        |  max(ts) AS max_ts,
+        |  2 AS n_event_cols
         |FROM fix GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s3_merge" ->
