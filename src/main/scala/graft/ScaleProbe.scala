@@ -11,7 +11,7 @@ import graft.ops.{Dedup, Stats, TextOps}
   *
   * Usage: sbt 'runMain graft.ScaleProbe <op> [n]'
   *   ops: ewma | spans | wsample | lm | vocab | editpairs | corr |
-  *        fuzzyjoin | sessionize | pagerank
+  *        fuzzyjoin | sessionize | pagerank | cc
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -88,6 +88,15 @@ object ScaleProbe {
         df.count()
         time(s"corrMatrix n=$n cols=4")(
           Stats.corrMatrix(df, Seq("a", "b", "c", "d")).collect())
+      case "cc" =>
+        // worst case for label propagation: ONE path of n nodes
+        // (diameter n−1) — pointer jumping must finish in O(log n) rounds
+        val nodes = spark.range(n).select(col("id"))
+        val chain = spark.range(n - 1).select(col("id").as("a"), (col("id") + 1).as("b"))
+        nodes.count(); chain.count()
+        time(s"connectedComponents chain n=$n (diameter ${n - 1})")(
+          Dedup.connectedComponents(nodes, chain, "id", "a", "b")
+            .select(countDistinct("component")).collect())
       case "pagerank" =>
         // n edges over n/10 nodes, hash-soup topology; 5 iterations
         val nNodes = math.max(n / 10, 10L)
