@@ -32,7 +32,8 @@ object Graph {
     val nodes = e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node"))).distinct().cache()
     val nTotal = nodes.count().toDouble
-    val outDeg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+    // cached: the dangling-mass anti-join re-reads it every iteration
+    val outDeg = e.groupBy("u").agg(count(lit(1)).as("deg")).cache()
     val withDeg = e.join(outDeg, "u").cache()
     withDeg.count()
     var ranks = nodes.withColumn("rank", lit(1.0 / nTotal)).cache()
@@ -53,6 +54,7 @@ object Graph {
       ranks = updated
     }
     nodes.unpersist(blocking = false)
+    outDeg.unpersist(blocking = false)
     withDeg.unpersist(blocking = false)
     ranks
   }
