@@ -43,6 +43,24 @@ object StreamingOps {
   def scoreStream(scored: DataFrame, scoreCol: String, threshold: Double): DataFrame =
     scored.withColumn("y_pred", (col(scoreCol) >= threshold).cast("int"))
 
+  /** Streaming heavy hitters — the online G10 value_counts: per
+    * event-time tumbling window, keys whose count reaches `minCount`.
+    * Append mode emits each window's final counts once the watermark
+    * passes its end; state is (window × distinct keys), bounded by the
+    * watermark horizon. The count is exact per window (not sketched) —
+    * at 1000 executors the groupBy partial-aggregates map-side, so the
+    * shuffle carries one row per (window, key). */
+  def heavyHittersStream(events: DataFrame, tsCol: String, keyCol: String,
+      windowDur: String, minCount: Long,
+      watermark: String = "10 seconds"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol), col("n"))
+
   /** Gap-based sessionization on a stream — the online form of
     * `Sessionize.byGap`, expressed with Spark's native `session_window`
     * (dynamic, merging event-time sessions; a session closes once event

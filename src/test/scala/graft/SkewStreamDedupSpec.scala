@@ -60,6 +60,28 @@ class SkewStreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHittersStream: per-window exact counts, threshold filter, close at watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val input = MemoryStream[(String, Timestamp)]
+    val hh = StreamingOps.heavyHittersStream(
+      input.toDF.toDF("key", "ts"), "ts", "key",
+      windowDur = "10 seconds", minCount = 2L, watermark = "2 seconds")
+    val q = hh.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("append").start()
+    try {
+      // window [0,10): a x3, b x1; window [10,20): b x2
+      input.addData(("a", ts(1)), ("a", ts(2)), ("b", ts(3)), ("a", ts(4)),
+        ("b", ts(11)), ("b", ts(12)))
+      q.processAllAvailable()
+      input.addData(("c", ts(60))) // advance watermark, close both windows
+      q.processAllAvailable()
+      val got = spark.table("hh_stream").select("key", "n", "window_start")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2))).toSet
+      assert(got == Set(("a", 3L, ts(0)), ("b", 2L, ts(10)))) // b@[0,10) below support
+    } finally q.stop()
+  }
+
   test("sessionizeStream: gap sessions merge, close at the watermark, and carry aggregates") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
