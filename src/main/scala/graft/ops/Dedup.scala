@@ -453,6 +453,30 @@ object Dedup {
     kept.drop("__h")
   }
 
+  /** Compact the incremental-dedup fingerprint store. Every
+    * [[dedupExactIncremental]]/[[dedupExactIncrementalBloom]] batch
+    * APPENDS a few part files, so a long-running ingestion accumulates
+    * thousands of tiny files and every history anti-join pays the
+    * open-a-file tax. Rewrites the store into `targetPartitions` files
+    * via a temp directory + rename (run it between batches — the swap is
+    * not atomic under concurrent readers; a production deployment on a
+    * table format would get that for free). Hash content — and therefore
+    * dedup behavior — is unchanged; the Bloom sidecar is untouched. */
+  def compactFingerprintStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, targetPartitions: Int = 32): Unit = {
+    require(targetPartitions >= 1, "targetPartitions must be >= 1")
+    val hPath = new org.apache.hadoop.fs.Path(storePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hPath), s"no store at $storePath")
+    val tmp = new org.apache.hadoop.fs.Path(storePath + "_compact_tmp")
+    spark.read.parquet(storePath)
+      .repartition(targetPartitions)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hPath, true)
+    if (!fs.rename(tmp, hPath))
+      throw new java.io.IOException(s"rename $tmp -> $hPath failed")
+  }
+
   /** Corpus-internal duplicate-span profile (CCNet-style paragraph/span
     * dedup adapted to token tiles): cut each document into NON-overlapping
     * `w`-token tiles (full tiles only), count how many DISTINCT documents

@@ -157,6 +157,27 @@ class SketchLmStreamSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmpB/store_bloom")))
   }
 
+  test("compactFingerprintStore: fewer files, same hashes, dedup behavior preserved") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+    val store = s"$tmp/store"
+    // three appends -> at least three part files
+    Seq(Seq((1L, "alpha"), (2L, "beta")), Seq((3L, "gamma")), Seq((4L, "delta")))
+      .foreach(rows => graft.ops.Dedup.dedupExactIncremental(
+        rows.toDF("id", "text"), "id", "text", store))
+    def partFiles = new java.io.File(store).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(partFiles >= 3)
+    val before = spark.read.parquet(store).as[String].collect().sorted.toSeq
+    graft.ops.Dedup.compactFingerprintStore(spark, store, targetPartitions = 1)
+    assert(partFiles == 1)
+    assert(spark.read.parquet(store).as[String].collect().sorted.toSeq == before)
+    // history still effective after the rewrite
+    val kept = graft.ops.Dedup.dedupExactIncremental(
+      Seq((10L, "alpha"), (11L, "epsilon")).toDF("id", "text"), "id", "text", store)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(11L))
+  }
+
   // ---- sketch surface ----
 
   test("approx_count_distinct (HLL) lands within its rsd bound of exact") {
