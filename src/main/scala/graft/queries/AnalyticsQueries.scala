@@ -47,6 +47,22 @@ object AnalyticsQueries {
           col("n"), col("revenue"))
         .orderBy("status", "priority")),
 
+    "q_grouping_sets" -> ((s, dir) => {
+      // GROUPING SETS — the explicit-sets sibling of q_cube/q_rollup:
+      // per-type, per-user-bucket, and grand-total rows in ONE pass
+      // (Spark expands sets into a single Expand + aggregate, no
+      // re-scan per set).
+      table(s, dir, "events")
+        .withColumn("user_bucket", (col("user_id") % 4).cast("int"))
+        .createOrReplaceTempView("ev_gs")
+      s.sql("""
+        SELECT event_type, user_bucket, count(*) AS n,
+               round(sum(value), 2) AS total
+        FROM ev_gs
+        GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+        ORDER BY event_type NULLS LAST, user_bucket NULLS LAST""")
+    }),
+
     "q_unpivot" -> ((s, dir) =>
       // UNPIVOT/melt (the inverse of q_pivot): wide per-part measures to
       // (part, measure, value) long form — a narrow per-row expansion
@@ -400,6 +416,13 @@ object AnalyticsQueries {
         |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT event_type, CAST(user_id % 4 AS INTEGER) AS user_bucket,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 4 AS INTEGER)), ())
+        |ORDER BY event_type NULLS LAST, user_bucket NULLS LAST""".stripMargin,
 
     "q_unpivot" ->
       """WITH long AS (
