@@ -115,6 +115,24 @@ object StreamingOps {
       .drop(col(s"r.$key"))
   }
 
+  /** LEFT OUTER [[intervalJoin]]: points with no covering interval still
+    * emit (interval columns null) — but only once the watermark proves no
+    * match can arrive, so unmatched rows surface with watermark latency.
+    * Same bounded state as the inner form; Spark requires the time-range
+    * condition on both sides for outer stream-stream joins, which the
+    * interval predicate supplies. */
+  def intervalJoinOuter(points: DataFrame, pointTs: String, intervals: DataFrame,
+      ivTs: String, key: String, windowDur: String,
+      watermark: String = "10 seconds"): DataFrame = {
+    require(pointTs != ivTs, "timestamp columns must have distinct names")
+    val l = points.withWatermark(pointTs, watermark).alias("l")
+    val r = intervals.withWatermark(ivTs, watermark).alias("r")
+    l.join(r, expr(
+        s"l.$key = r.$key AND l.$pointTs >= r.$ivTs AND l.$pointTs < r.$ivTs + interval $windowDur"),
+      "left_outer")
+      .drop(col(s"r.$key"))
+  }
+
   /** Stream-static enrichment: join a stream against a slowly-changing
     * dimension table (labels, user attributes, model thresholds). The
     * static side re-resolves per micro-batch (file-source dims pick up

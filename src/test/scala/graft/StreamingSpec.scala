@@ -64,6 +64,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinOuter: unmatched points emit with nulls once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val pts = MemoryStream[(String, Timestamp, Double)]
+    val ivs = MemoryStream[(String, Timestamp, Long)]
+    val joined = StreamingOps.intervalJoinOuter(
+      pts.toDF.toDF("k", "pts", "value"),
+      "pts", ivs.toDF.toDF("k", "its", "ivid"), "its", "k", "5 seconds",
+      watermark = "2 seconds")
+    val q = joined.writeStream.format("memory").queryName("ijo")
+      .outputMode("append").start()
+    try {
+      ivs.addData(("a", ts(0), 100L))
+      pts.addData(
+        ("a", ts(1), 1.0),  // covered -> 100
+        ("a", ts(7), 2.0),  // outside [0,5) -> null match
+        ("c", ts(1), 6.0))  // key with no intervals -> null match
+      q.processAllAvailable()
+      // push both watermarks far forward so unmatched rows finalize
+      ivs.addData(("z", ts(300), 0L))
+      pts.addData(("z", ts(300), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ijo").select("k", "value", "ivid")
+        .where(col("k").isin("a", "c"))
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(got == Set(("a", 1.0, 100L), ("a", 2.0, -1L), ("c", 6.0, -1L)))
+    } finally q.stop()
+  }
+
   test("a batch-fitted model scores a live stream (projection-only transform)") {
     implicit val sqlCtx = spark.sqlContext
     // train on batch windows with a separable signal
