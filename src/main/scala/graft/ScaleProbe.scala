@@ -11,7 +11,7 @@ import graft.ops.{Dedup, Stats, TextOps}
   *
   * Usage: sbt 'runMain graft.ScaleProbe <op> [n]'
   *   ops: ewma | spans | wsample | lm | vocab | editpairs | corr |
-  *        fuzzyjoin | sessionize | pagerank | cc
+  *        fuzzyjoin | sessionize | pagerank | cc | packsplit
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -88,6 +88,12 @@ object ScaleProbe {
         df.count()
         time(s"corrMatrix n=$n cols=4")(
           Stats.corrMatrix(df, Seq("a", "b", "c", "d")).collect())
+      case "packsplit" =>
+        val d = docs(n)
+        d.count()
+        time(s"packSequencesSplit n=$n budget=2048")(
+          TextOps.packSequencesSplit(d, col("text"), Seq(col("id")), 2048)
+            .agg(sum("piece_len")).collect())
       case "cc" =>
         // worst case for label propagation: ONE path of n nodes
         // (diameter n−1) — pointer jumping must finish in O(log n) rounds
