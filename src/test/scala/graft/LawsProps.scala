@@ -113,6 +113,47 @@ object LawsProps extends Properties("GraftLaws") {
         out.zip(prefixes).forall { case ((_, _, bin, off), pre) => bin * budget + off == pre }
     }
 
+  property("split packing law: pieces cover each doc exactly; every bin but the last is full") =
+    Prop.forAll(Gen.choose(1, 40), Gen.choose(1, 64), Gen.choose(0L, 999L)) { (nDocs, budget, salt) =>
+      val docs = (1 to nDocs)
+        .map(i => (i.toLong, (0 until ((i * (salt + 3)) % 7).toInt).map(j => s"t$j").mkString(" ")))
+        .toDF("id", "t")
+      val out = graft.ops.TextOps
+        .packSequencesSplit(docs, col("t"), Seq(col("id")), budget)
+        .select("id", "n_tokens", "bin", "offset", "piece_len", "token_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      val perDoc = out.groupBy(_._1)
+      val coverage = perDoc.values.forall { ps =>
+        val sorted = ps.toSeq.sortBy(_._6)
+        sorted.map(_._5).sum == sorted.head._2 && // piece lengths sum to n_tokens
+          sorted.head._6 == 0L && // first piece starts at token 0
+          sorted.sliding(2).forall { // contiguous token ranges
+            case Seq(a, b) => a._6 + a._5 == b._6
+            case _ => true
+          }
+      }
+      val byBin = out.groupBy(_._3).view.mapValues(_.map(_._5).sum).toMap
+      val lastBin = if (byBin.isEmpty) -1L else byBin.keys.max
+      val fullBins = byBin.forall { case (b, tok) =>
+        if (b == lastBin) tok <= budget else tok == budget
+      }
+      coverage && fullBins && out.forall(p => p._4 >= 0 && p._4 + p._5 <= budget)
+    }
+
+  property("pageRank law: ranks sum to 1 and respect the (1-d)/n floor on any digraph") =
+    Prop.forAll(Gen.choose(2, 12), Gen.choose(1, 30), Gen.choose(0L, 999L), Gen.choose(0, 4)) {
+      (nNodes, nEdges, salt, iters) =>
+        val edges = (1 to nEdges)
+          .map(i => (((i * (salt + 7)) % nNodes).toLong, ((i * i + salt) % nNodes).toLong))
+          .toDF("s", "d")
+        val ranks = graft.ops.Graph.pageRank(edges, "s", "d", iters)
+          .collect().map(_.getDouble(1))
+        val n = ranks.length
+        math.abs(ranks.sum - 1.0) < 1e-9 &&
+          ranks.forall(_ >= (1.0 - 0.85) / n - 1e-12)
+    }
+
   property("quota tournament == naive single-window top-k for any buckets/quota") =
     Prop.forAll(Gen.choose(1, 200), Gen.choose(1, 12), Gen.choose(1, 9), seedG) {
       (n, quota, buckets, seed) =>
