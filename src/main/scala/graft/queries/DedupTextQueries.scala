@@ -159,6 +159,27 @@ object DedupTextQueries {
         .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"))
         .orderBy("lang")),
 
+    "text_url_domains" -> ((s, dir) => {
+      // Web-corpus domain capping: synthesize deterministic doc URLs,
+      // extract the host with Spark's parse_url, cap each domain at 5
+      // docs (the per-domain quota every web-scale curation run applies)
+      // — the twin recomputes the host from the synthesis rule and
+      // replays the hash-ranked quota.
+      val docs = table(s, dir, "documents")
+        .withColumn("url", concat(lit("https://site"),
+          (col("doc_id") % 37).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")))
+        .withColumn("host", expr("parse_url(url, 'HOST')"))
+      val kept = graft.ops.Stats.quotaPerGroup(docs, col("doc_id"), col("host"),
+        quota = Map.empty, defaultQuota = 5, seed = 7L)
+      docs.groupBy("host").agg(count(lit(1)).as("n_docs"))
+        .join(kept.groupBy("host")
+          .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_sum")), Seq("host"))
+        .select(col("host"), col("n_docs"), col("n_kept"),
+          col("kept_sum").cast("long").as("kept_sum"))
+        .orderBy("host")
+    }),
+
     "mixture_weights" -> ((s, dir) =>
       // Data-mixing weights toward a target language distribution.
       graft.ops.Stats.mixtureWeights(table(s, dir, "documents"), col("lang"),
@@ -581,6 +602,24 @@ object DedupTextQueries {
          |  FROM tc JOIN dfq USING (term))
          |SELECT doc_id, term, tf, round(score, 4) AS score, rank
          |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "text_url_domains" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT host, doc_id,
+         |    row_number() OVER (PARTITION BY host
+         |      ORDER BY ${graft.ops.Robustness.seededUniformSql("7", Seq("doc_id"))} ASC,
+         |               doc_id ASC) AS rk
+         |  FROM d),
+         |k AS (SELECT host, count(*) AS n_kept,
+         |        CAST(sum(doc_id) AS BIGINT) AS kept_sum
+         |      FROM ranked WHERE rk <= 5 GROUP BY 1),
+         |a AS (SELECT host, count(*) AS n_docs FROM d GROUP BY 1)
+         |SELECT a.host, a.n_docs, k.n_kept, k.kept_sum
+         |FROM a JOIN k USING (host) ORDER BY host""".stripMargin,
 
     "sample_quota" ->
       s"""WITH ranked AS (
