@@ -526,6 +526,58 @@ object Dedup {
           .otherwise(0.0).as("dup_ratio"))
   }
 
+  /** REMOVAL companion of [[duplicateSpans]] — CCNet actually deletes the
+    * duplicated spans, it doesn't just score them: cut each doc into
+    * non-overlapping `w`-token tiles, drop every tile that appears in
+    * `>= minDocs` distinct docs (at all its positions), and rebuild the
+    * text from the surviving tiles plus the sub-tile tail. Rebuilt text
+    * is whitespace-normalized (single spaces), like every tokenized path
+    * here.
+    *
+    * Scale shape: one posexplode of per-doc tile TEXTS (output-sized —
+    * removal must carry the text, unlike the flags op which shuffles only
+    * hashes), one map-side-combined frequency pass over tile hashes, one
+    * groupBy(id) ordered reassembly. Returns (id, text_clean,
+    * n_tiles_removed). */
+  def removeDuplicateSpans(df: DataFrame, id: String, text: String,
+      w: Int, minDocs: Int,
+      tileHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(w >= 1 && minDocs >= 2, "need w >= 1, minDocs >= 2")
+    val toks = filter(split(trim(col(text)), "\\s+"), t => length(t) > 0)
+    val nTiles = (size(col("__toks")) / w).cast("int")
+    val tiled = df
+      .withColumn("__toks", toks)
+      .withColumn("__tail",
+        // exact remainder length: a huge sentinel length overflows
+        // slice's start+length int arithmetic and yields an empty slice
+        array_join(slice(col("__toks"), nTiles * w + 1,
+          size(col("__toks")) - nTiles * w), " "))
+      .withColumn("__tileTexts", transform(
+        when(nTiles > 0, sequence(lit(0), nTiles - 1))
+          .otherwise(array().cast("array<int>")),
+        i => array_join(slice(col("__toks"), i * w + 1, lit(w)), " ")))
+      .select(col(id), col("__tail"),
+        posexplode_outer(col("__tileTexts")).as(Seq("__pos", "__tileText")))
+      .withColumn("__tile", tileHash(col("__tileText")))
+    val freq = tiled.where(col("__tile").isNotNull)
+      .groupBy("__tile").agg(countDistinct(col(id)).as("__docs"))
+    tiled
+      .join(freq, Seq("__tile"), "left")
+      .withColumn("__keep", col("__tile").isNull || col("__docs") < minDocs)
+      .groupBy(col(id))
+      .agg(
+        sort_array(collect_list(when(col("__keep") && col("__tile").isNotNull,
+          struct(col("__pos"), col("__tileText"))))).as("__keptTiles"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_tiles_removed"),
+        first(col("__tail")).as("__t"))
+      .select(col(id),
+        array_join(filter(
+          concat(transform(col("__keptTiles"), x => x.getField("__tileText")),
+            array(col("__t"))),
+          x => length(x) > 0), " ").as("text_clean"),
+        col("n_tiles_removed"))
+  }
+
   /** Fuzzy (edit-distance) near-duplicate pairs over a string column:
     * all distinct value pairs within Levenshtein distance `maxDist`.
     *

@@ -251,6 +251,25 @@ object DedupTextQueries {
         .orderBy("doc_id")
     }),
 
+    "dedup_span_remove" -> ((s, dir) => {
+      // Removal companion of dedup_span_flags on the SAME manufactured
+      // corpus: cross-doc duplicated 8-token tiles are deleted and the
+      // text rebuilt from surviving tiles + the sub-tile tail; compared
+      // by md5 of the rebuilt text (whitespace-normalized) + counts.
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+        .where(col("doc_id") < 200)
+      val truncated = docs.select(
+        (col("doc_id") + IdShift).as("doc_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 40), " ").as("text"))
+      Dedup.removeDuplicateSpans(docs.unionByName(truncated),
+          "doc_id", "text", w = 8, minDocs = 2, tileHash = md5(_))
+        .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_tiles_removed"),
+          size(filter(split(trim(col("text_clean")), "\\s+"),
+            t => length(t) > 0)).cast("long").as("n_tokens_clean"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_edit_pairs" -> ((s, dir) =>
       // Fuzzy near-dup pairs by edit distance <= 3 over part names —
       // length-banded blocking + exact levenshtein; the twin is the
@@ -693,6 +712,49 @@ object DedupTextQueries {
          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
          |FROM t GROUP BY 1 HAVING count(*) >= 50
          |ORDER BY tf DESC, token ASC LIMIT 30""".stripMargin,
+
+    "dedup_span_remove" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id + $IdShift AS doc_id,
+         |         array_to_string((list_filter($toks, x -> x <> ''))[1:40], ' ') AS text
+         |  FROM documents WHERE doc_id < 200),
+         |tk AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |    x -> x <> '') AS l
+         |  FROM corpus),
+         |base AS (
+         |  -- out-of-range list slice is NULL in DuckDB, not [] -> coalesce
+         |  SELECT doc_id, l, CAST(len(l) // 8 AS INT) AS nt,
+         |    coalesce(array_to_string(
+         |      l[(CAST(len(l) // 8 AS INT) * 8 + 1):len(l)], ' '), '') AS tail
+         |  FROM tk),
+         |tiles AS (
+         |  SELECT b.doc_id, u.i AS pos,
+         |    array_to_string(b.l[(u.i * 8 + 1):(u.i * 8 + 8)], ' ') AS tiletext
+         |  FROM base b, LATERAL unnest(range(0, b.nt)) AS u(i)),
+         |freq AS (SELECT md5(tiletext) AS tile, count(DISTINCT doc_id) AS docs
+         |         FROM tiles GROUP BY 1),
+         |flg AS (SELECT t.doc_id, t.pos, t.tiletext, f.docs
+         |        FROM tiles t JOIN freq f ON f.tile = md5(t.tiletext)),
+         |agg AS (SELECT doc_id,
+         |          list(tiletext ORDER BY pos) FILTER (WHERE docs < 2) AS keptlist,
+         |          CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS nrem
+         |        FROM flg GROUP BY 1),
+         |fin AS (
+         |  -- array_to_string([]) is NULL in DuckDB, not '' -> coalesce
+         |  SELECT b.doc_id,
+         |    coalesce(array_to_string(list_filter(
+         |      list_append(coalesce(a.keptlist, []), b.tail),
+         |      x -> len(x) > 0), ' '), '') AS clean,
+         |    CAST(coalesce(a.nrem, 0) AS BIGINT) AS n_tiles_removed
+         |  FROM base b LEFT JOIN agg a USING (doc_id))
+         |SELECT doc_id, md5(clean) AS clean_md5, n_tiles_removed,
+         |  CAST(CASE WHEN trim(clean) = '' THEN 0
+         |    ELSE len(list_filter(regexp_split_to_array(trim(clean), '\\s+'),
+         |      x -> x <> '')) END AS BIGINT) AS n_tokens_clean
+         |FROM fin ORDER BY doc_id""".stripMargin,
 
     "dedup_span_flags" ->
       s"""WITH corpus AS (

@@ -222,6 +222,22 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("removeDuplicateSpans: shared tiles deleted everywhere, unique tiles and tails survive") {
+    val shared = "a b c d e f g h" // one exact 8-token tile
+    val docs = Seq(
+      (1L, s"$shared i j k l m n o p q r"), // shared tile + unique tile + 2-token tail
+      (2L, s"$shared z y"),                 // shared tile + 2-token tail
+      (3L, "entirely different words that never repeat anywhere at all ok")) // 10 tokens: 1 tile + tail
+      .toDF("id", "t")
+    val out = graft.ops.Dedup
+      .removeDuplicateSpans(docs, "id", "t", w = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("i j k l m n o p q r", 1L))) // shared tile gone, rest intact
+    assert(out(2L) == (("z y", 1L)))
+    assert(out(3L)._2 == 0L) // nothing removed
+    assert(out(3L)._1 == "entirely different words that never repeat anywhere at all ok")
+  }
+
   test("connectedComponents: 3000-node chain converges inside default maxIter (pointer jumping)") {
     // diameter 2999 — O(diameter) label propagation could NOT finish in 25
     // rounds; path halving must (O(log d)), labeling everything node 0
