@@ -39,7 +39,13 @@ object CorpusPipeline {
       sampleRates: Map[String, Double] = Map.empty,
       defaultSampleRate: Double = 1.0,
       seed: Long = 7L,
-      packBudgetTokens: Int = 2048)
+      packBudgetTokens: Int = 2048,
+      // CCNet delete step: Some(w) removes w-token tiles duplicated
+      // across >= spanRemovalMinDocs docs BEFORE the quality filters
+      // (repetition is then judged on the cleaned text; the near-dup
+      // quality rank keeps the pre-removal score)
+      spanRemovalTileWords: Option[Int] = None,
+      spanRemovalMinDocs: Int = 2)
 
   final case class CurationResult(packed: DataFrame, funnel: Seq[(String, Long)])
 
@@ -85,9 +91,20 @@ object CorpusPipeline {
       .select(col(id))
     val clean = nearDeduped.join(contaminated, Seq(id), "left_anti")
 
+    // 3.5 optional in-document duplicate-span removal (CCNet delete step)
+    val spanned = cfg.spanRemovalTileWords match {
+      case Some(w) =>
+        val removed = Dedup
+          .removeDuplicateSpans(clean, id, text, w, cfg.spanRemovalMinDocs)
+          .select(col(id), col("text_clean"))
+        clean.drop(text).join(removed, Seq(id))
+          .withColumnRenamed("text_clean", text)
+      case None => clean
+    }
+
     // 4. quality + repetition filters
     val rep = TextOps.repetitionStats(col(text))
-    val filtered = clean
+    val filtered = spanned
       .where(col("__q") >= cfg.minQuality &&
         rep.getField("dup_line_ratio") <= cfg.maxDupLineRatio &&
         rep.getField("top_word_ratio") <= cfg.maxTopWordRatio)
@@ -102,8 +119,10 @@ object CorpusPipeline {
       .drop("__q")
 
     Seq("input" -> docs, "exact_dedup" -> exact, "near_dedup" -> nearDeduped,
-      "decontaminated" -> clean, "filtered" -> filtered,
-      "sampled" -> sampled, "packed" -> packed)
+      "decontaminated" -> clean) ++
+      (if (cfg.spanRemovalTileWords.isDefined) Seq("span_removed" -> spanned)
+       else Seq.empty) ++
+      Seq("filtered" -> filtered, "sampled" -> sampled, "packed" -> packed)
   }
 
   /** Keeper lists are one id per cluster — usually broadcastable; leave

@@ -250,6 +250,28 @@ class PipelineSpec extends SparkSpec {
     assert(r2.funnel == r.funnel)
   }
 
+  test("corpus curation with span removal: boilerplate tile deleted, packing sees shorter docs") {
+    import graft.pipelines.CorpusPipeline
+    val boiler = "subscribe to our newsletter for more updates today" // 8 tokens
+    val docs = Seq(
+      (1L, s"$boiler unique alpha content about rivers and mountains here", "en"),
+      (2L, s"$boiler other beta writing about cooking and gardens there", "en"),
+      (3L, "standalone gamma text with no shared spans at all present", "en"))
+      .toDF("doc_id", "text", "lang")
+    val cfg = CorpusPipeline.CurationConfig(
+      shingleWords = 3, jaccardThreshold = 0.95, decontamN = 8,
+      minQuality = 0.0, maxTopWordRatio = 1.0, defaultSampleRate = 1.0,
+      packBudgetTokens = 64, spanRemovalTileWords = Some(8))
+    val r = CorpusPipeline.curateCounted(docs, "doc_id", "text", col("lang"),
+      Seq.empty[String].toDF("btext"), "btext", cfg)
+    assert(r.funnel.map(_._1).contains("span_removed"))
+    assert(r.funnel.toMap.apply("packed") == 3) // all docs survive
+    val toks = r.packed.select("doc_id", "n_tokens").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // docs 1 and 2 lost the 8-token boilerplate tile; doc 3 untouched
+    assert(toks(1L) == 8L && toks(2L) == 8L && toks(3L) == 10L)
+  }
+
   test("host importance: permuting the informative feature raises loss most") {
     // weight = 1 everywhere; feature 0 and 1 both carry signal, a constant
     // third feature carries none.
