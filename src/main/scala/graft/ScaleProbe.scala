@@ -11,7 +11,7 @@ import graft.ops.{Dedup, Stats, TextOps}
   *
   * Usage: sbt 'runMain graft.ScaleProbe <op> [n]'
   *   ops: ewma | spans | wsample | lm | vocab | editpairs | corr |
-  *        fuzzyjoin | sessionize | pagerank | cc | packsplit
+  *        fuzzyjoin | sessionize | pagerank | cc | packsplit | spanremove
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -88,6 +88,12 @@ object ScaleProbe {
         df.count()
         time(s"corrMatrix n=$n cols=4")(
           Stats.corrMatrix(df, Seq("a", "b", "c", "d")).collect())
+      case "spanremove" =>
+        val d = docs(n)
+        d.count()
+        time(s"removeDuplicateSpans n=$n w=8")(
+          Dedup.removeDuplicateSpans(d, "id", "text", w = 8, minDocs = 2)
+            .agg(sum("n_tiles_removed"), sum(length(col("text_clean")))).collect())
       case "packsplit" =>
         val d = docs(n)
         d.count()
