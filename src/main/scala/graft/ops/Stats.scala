@@ -438,6 +438,36 @@ object Stats {
         count(lit(1)).as("n_categories"))
   }
 
+  /** One-pass column profiler — the first query anyone runs on a new
+    * table: per column, row/null/distinct counts, min/max/mean, in ONE
+    * aggregation over the scan (k·6 aggregate expressions, never k
+    * passes). Exact `countDistinct` over several columns costs one
+    * Expand (rows × k before partial aggregation) — set `exact = false`
+    * at 100 TB for HLL `approx_count_distinct` (one pass, no Expand, ±2%).
+    * Returns k tidy rows (col_name, n_rows, n_nulls, n_distinct, min_v,
+    * max_v, mean_v); the collect is the 1-row aggregate. */
+  def profileTable(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val spark = df.sparkSession
+    val nd: Column => Column =
+      if (exact) countDistinct(_) else c => approx_count_distinct(c)
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+      nd(col(c)).as(s"${c}__distinct"),
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max"),
+      avg(col(c)).as(s"${c}__mean")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getAs[Long]("__n")
+    import spark.implicits._
+    cols.map(c => (c, n, r.getAs[Long](s"${c}__nulls"),
+        r.getAs[Long](s"${c}__distinct"), r.getAs[Double](s"${c}__min"),
+        r.getAs[Double](s"${c}__max"), r.getAs[Double](s"${c}__mean")))
+      .toDF("col_name", "n_rows", "n_nulls", "n_distinct",
+        "min_v", "max_v", "mean_v")
+  }
+
   /** Pairwise Pearson correlation matrix over `cols` in ONE aggregation
     * pass — k·(k−1)/2 `corr` aggregates evaluated in a single map-side-
     * combined scan (never k² passes), stacked to tidy

@@ -47,6 +47,17 @@ object AnalyticsQueries {
           col("n"), col("revenue"))
         .orderBy("status", "priority")),
 
+    "q_profile" -> ((s, dir) =>
+      // One-pass table profiler over three lineitem measures (exact
+      // distinct counts; the approx path is the documented 100 TB form).
+      graft.ops.Stats.profileTable(table(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), round(col("min_v"), 4).as("min_v"),
+          round(col("max_v"), 4).as("max_v"),
+          round(col("mean_v"), 4).as("mean_v"))
+        .orderBy("col_name")),
+
     "q_grouping_sets" -> ((s, dir) => {
       // GROUPING SETS — the explicit-sets sibling of q_cube/q_rollup:
       // per-type, per-user-bucket, and grand-total rows in ONE pass
@@ -416,6 +427,19 @@ object AnalyticsQueries {
         |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  round(CAST(min($c) AS DOUBLE), 4) AS min_v,
+           |  round(CAST(max($c) AS DOUBLE), 4) AS max_v,
+           |  round(avg($c), 4) AS mean_v
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     "q_grouping_sets" ->
       """SELECT event_type, CAST(user_id % 4 AS INTEGER) AS user_bucket,
