@@ -50,9 +50,14 @@ object Bench {
     println(line)
     // Belt-and-braces: persist the full line where tail truncation can't
     // reach it (committed per round for round-over-round comparison).
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // Path comes from the environment or the working directory — a
+    // hardcoded absolute path would silently skip the artifact on any
+    // other checkout; and a failed write is WARNed, not swallowed.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_FULL.json"))
+    try java.nio.file.Files.writeString(outPath, line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"WARN: could not write $outPath: $e") }
     spark.stop()
   }
 }

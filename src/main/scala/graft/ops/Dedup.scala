@@ -428,6 +428,14 @@ object Dedup {
       if (fs.exists(bloomPath)) {
         val in = fs.open(bloomPath)
         try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+      } else if (fs.exists(hPath)) {
+        // Store exists but the sidecar is gone (built by the non-Bloom
+        // variant, or lost in a partial copy). An empty filter here would
+        // mark every row "definitely new" and silently skip the history
+        // anti-join — the exact silent-history-loss mode the fs.exists
+        // bootstrap check exists to prevent. Rebuild from the store: one
+        // scan, and results stay identical for any fpp.
+        spark.read.parquet(storePath).stat.bloomFilter("__h", expectedItems, fpp)
       } else org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val maybeSeen = org.apache.spark.sql.functions.udf(
@@ -472,9 +480,19 @@ object Dedup {
     spark.read.parquet(storePath)
       .repartition(targetPartitions)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(hPath, true)
-    if (!fs.rename(tmp, hPath))
-      throw new java.io.IOException(s"rename $tmp -> $hPath failed")
+    // Swap by renaming the live store ASIDE first: deleting it before the
+    // tmp->store rename would mean a failed rename (quota, permissions,
+    // cross-FS tmp) loses every past hash and re-admits all historical
+    // duplicates. This order leaves the original recoverable at _old.
+    val old = new org.apache.hadoop.fs.Path(storePath + "_compact_old")
+    fs.delete(old, true)
+    if (!fs.rename(hPath, old))
+      throw new java.io.IOException(s"rename $hPath -> $old failed")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(old, hPath) // restore the original store
+      throw new java.io.IOException(s"rename $tmp -> $hPath failed; original restored")
+    }
+    fs.delete(old, true)
   }
 
   /** Corpus-internal duplicate-span profile (CCNet-style paragraph/span
@@ -558,7 +576,13 @@ object Dedup {
         i => array_join(slice(col("__toks"), i * w + 1, lit(w)), " ")))
       .select(col(id), col("__tail"),
         posexplode_outer(col("__tileTexts")).as(Seq("__pos", "__tileText")))
-      .withColumn("__tile", tileHash(col("__tileText")))
+      // guard on the TEXT, not the hash: xxhash64(null) is not null — it
+      // ignores null inputs and returns the seed — so the outer-explode
+      // placeholder row of every sub-w-token doc would otherwise become a
+      // real shared "tile" (one phantom frequency group, and
+      // n_tiles_removed = 1 for every short doc once >= minDocs exist)
+      .withColumn("__tile",
+        when(col("__tileText").isNotNull, tileHash(col("__tileText"))))
     val freq = tiled.where(col("__tile").isNotNull)
       .groupBy("__tile").agg(countDistinct(col(id)).as("__docs"))
     tiled

@@ -459,11 +459,19 @@ object Stats {
       max(col(c)).cast("double").as(s"${c}__max"),
       avg(col(c)).as(s"${c}__mean")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    val n = r.getAs[Long]("__n")
+    val n = r.getAs[Long]("__n") // count(*): never null, even on empty input
     import spark.implicits._
-    cols.map(c => (c, n, r.getAs[Long](s"${c}__nulls"),
-        r.getAs[Long](s"${c}__distinct"), r.getAs[Double](s"${c}__min"),
-        r.getAs[Double](s"${c}__max"), r.getAs[Double](s"${c}__mean")))
+    // Read every other aggregate through Option: min/max/mean (and sum on
+    // an empty table) are SQL NULL for an all-null column, and
+    // getAs[Double] would silently unbox that to 0.0 — a profiler
+    // reporting min=max=mean=0.0 for a column it never saw a value of is
+    // worse than no profiler.
+    def optL(name: String): Option[Long] =
+      Option(r.getAs[java.lang.Long](name)).map(_.toLong)
+    def optD(name: String): Option[Double] =
+      Option(r.getAs[java.lang.Double](name)).map(_.toDouble)
+    cols.map(c => (c, n, optL(s"${c}__nulls"), optL(s"${c}__distinct"),
+        optD(s"${c}__min"), optD(s"${c}__max"), optD(s"${c}__mean")))
       .toDF("col_name", "n_rows", "n_nulls", "n_distinct",
         "min_v", "max_v", "mean_v")
   }

@@ -151,4 +151,20 @@ class AnalyticsSpec extends SparkSpec {
     val rows = Seq(("a", "1"), ("a", "1"), (null, "2"), (null, "2")).asInstanceOf[Seq[(String, String)]]
     assert(approx(mi(rows), math.log(2.0), 1e-12)) // null<->2 is a perfect signal
   }
+
+  test("profileTable: all-null column reports null min/max/mean, never 0.0") {
+    // Regression: getAs[Double] unboxed SQL NULL to 0.0, so a column the
+    // profiler never saw a value of read as min=max=mean=0.0.
+    val df = Seq((1L, Option.empty[Double]), (2L, None), (3L, None))
+      .toDF("id", "v")
+    val rows = Stats.profileTable(df, Seq("id", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val v = rows("v")
+    assert(v.getAs[Long]("n_nulls") == 3L && v.getAs[Long]("n_distinct") == 0L)
+    assert(v.isNullAt(v.fieldIndex("min_v")) && v.isNullAt(v.fieldIndex("max_v"))
+      && v.isNullAt(v.fieldIndex("mean_v")))
+    val id = rows("id")
+    assert(id.getAs[Double]("min_v") == 1.0 && id.getAs[Double]("max_v") == 3.0
+      && id.getAs[Double]("mean_v") == 2.0)
+  }
 }

@@ -238,6 +238,26 @@ class DedupTextSpec extends SparkSpec {
     assert(out(3L)._1 == "entirely different words that never repeat anywhere at all ok")
   }
 
+  test("removeDuplicateSpans: sub-w-token docs are untouched under the DEFAULT hash") {
+    // Regression: xxhash64(null) is the seed, not null — the outer-explode
+    // placeholder row of each tile-less doc used to hash to the same
+    // phantom "tile" and, with >= minDocs such docs, each reported
+    // n_tiles_removed = 1. The guard must be on the tile TEXT.
+    val docs = Seq(
+      (1L, "only three tokens"),       // < w: no tiles
+      (2L, "two tokens"),              // < w: no tiles
+      (3L, "also quite short here"),   // < w: no tiles
+      (4L, "a b c d e f g h i"))       // one full tile + 1-token tail
+      .toDF("id", "t")
+    val out = graft.ops.Dedup
+      .removeDuplicateSpans(docs, "id", "t", w = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("only three tokens", 0L)))
+    assert(out(2L) == (("two tokens", 0L)))
+    assert(out(3L) == (("also quite short here", 0L)))
+    assert(out(4L) == (("a b c d e f g h i", 0L)))
+  }
+
   test("connectedComponents: 3000-node chain converges inside default maxIter (pointer jumping)") {
     // diameter 2999 — O(diameter) label propagation could NOT finish in 25
     // rounds; path halving must (O(log d)), labeling everything node 0

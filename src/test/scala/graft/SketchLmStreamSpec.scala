@@ -157,6 +157,24 @@ class SketchLmStreamSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmpB/store_bloom")))
   }
 
+  test("bloom incremental dedup: lost sidecar is rebuilt from the store, not an empty filter") {
+    // Store built by the NON-Bloom variant (no sidecar ever existed) — an
+    // empty filter would mark every row "definitely new", skip the history
+    // anti-join, and silently re-admit past duplicates.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_lost")
+    val store = s"$tmp/store"
+    graft.ops.Dedup.dedupExactIncremental(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text"), "id", "text", store)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"${store}_bloom")))
+    val kept = graft.ops.Dedup.dedupExactIncrementalBloom(
+      Seq((10L, "alpha"), (11L, "gamma")).toDF("id", "text"), "id", "text",
+      store, expectedItems = 1000L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(11L)) // 'alpha' from history still dropped
+    // and the rebuilt sidecar now exists for the next batch
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"${store}_bloom")))
+  }
+
   test("compactFingerprintStore: fewer files, same hashes, dedup behavior preserved") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
     val store = s"$tmp/store"
