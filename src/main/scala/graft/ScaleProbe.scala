@@ -136,12 +136,21 @@ object ScaleProbe {
           graft.ops.Sessionize.episodes(df, col("idx"), col("yt"), col("yp"), col("ep"))
             .agg(count(lit(1))).collect())
       case "editpairs" =>
-        // distinct-name table: ~n unique synthetic names
-        val names = spark.range(n).select(
-          concat(lit("name"), pmod(xxhash64(col("id")), lit(n)).cast("string")).as("nm"))
+        // Varied random names (8-16 base36 chars) + a 1% injected twin set
+        // at edit distance 1, so the TRUE answer is ~n/100 pairs (linear)
+        // and the timing measures the blocking, not output size. A
+        // constant-prefix uniform-length generator would instead make the
+        // true pair count itself quadratic-ish — no blocking can beat the
+        // size of its own answer.
+        def nm(idc: org.apache.spark.sql.Column) =
+          concat(conv(xxhash64(idc), 10, 36), conv(xxhash64(idc, lit(1)), 10, 36))
+            .substr(lit(1), (lit(8) + pmod(xxhash64(idc, lit(2)), lit(9))).cast("int"))
+        val base = spark.range(n).select(nm(col("id")).as("nm"))
+        val twins = spark.range(n / 100).select(concat(nm(col("id")), lit("x")).as("nm"))
+        val names = base.unionByName(twins)
         names.count()
-        time(s"editDistancePairs distinct<=$n maxDist=2")(
-          Dedup.editDistancePairs(names, col("nm"), 2).count())
+        time(s"editDistancePairs distinct<=${n + n / 100} maxDist=2")(
+          println("pairs=" + Dedup.editDistancePairs(names, col("nm"), 2).count()))
       case other => sys.error(s"unknown probe op: $other")
     }
     spark.stop()

@@ -605,24 +605,76 @@ object Dedup {
   /** Fuzzy (edit-distance) near-duplicate pairs over a string column:
     * all distinct value pairs within Levenshtein distance `maxDist`.
     *
-    * Blocking is LOSSLESS length banding — `lev(a,b) ≥ |len(a)−len(b)|`,
-    * so side A explodes to the 2·maxDist+1 length bands it could match
-    * and equi-joins side B on exact length: every qualifying ordered pair
-    * is produced exactly once (A's bands are distinct, B's length is one
-    * value), then `a < b` keeps one orientation and the exact
-    * `levenshtein` filter runs ONLY on banded candidates — never the
-    * all-pairs cross join. Returns (name_a, name_b, dist). */
+    * Blocking is a LOSSLESS segment prefilter (PassJoin-style pigeonhole):
+    * split each string into `maxDist+1` contiguous segments — `maxDist`
+    * edits can touch at most `maxDist` of them, so any partner within
+    * distance `maxDist` contains at least one segment VERBATIM, at a
+    * start position shifted by at most `maxDist` (the shift is the net
+    * insert/delete count before the untouched segment). Each value
+    * publishes its segments keyed by (length, segment index, xxhash64 of
+    * the segment); each value also probes with every substring that could
+    * be such a segment of a SHORTER-OR-EQUAL partner in its −maxDist
+    * length range (the longer side always probes, so each unordered pair
+    * is generated once — twice only on equal lengths, collapsed by the
+    * distinct). The equi-join on that 3-part key replaces length banding,
+    * whose candidate set is quadratic in band population: segment keys are
+    * ~len/(maxDist+1) chars, buckets stay near-singleton, and candidates
+    * stay near-linear in the true match count. Hash collisions can only
+    * ADD candidates — the exact `levenshtein` verify filters them, so the
+    * result set is identical to the unblocked all-pairs filter.
+    * Returns (name_a, name_b, dist). */
   def editDistancePairs(df: DataFrame, name: Column, maxDist: Int): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
-    val names = df.select(name.cast("string").as("name_a"))
-      .where(col("name_a").isNotNull).distinct()
-    val bands = names.withColumn("__band",
-      explode(sequence(length(col("name_a")) - maxDist,
-        length(col("name_a")) + maxDist)))
-    val probe = names.select(col("name_a").as("name_b"),
-      length(col("name_a")).as("__band"))
-    bands.join(probe, "__band")
-      .where(col("name_a") < col("name_b"))
+    val d = maxDist
+    val k = d + 1
+    val names = df.select(name.cast("string").as("nm"))
+      .where(col("nm").isNotNull).distinct()
+    // Even partition of a length-l string into k segments: the first
+    // k-(l mod k) take floor(l/k) chars, the rest one more. All arithmetic
+    // is on int columns; floor-div via double division is exact here
+    // (l, k >= 0 and far below 2^52).
+    def base(l: Column) = floor(l / k).cast("int")
+    def rem(l: Column) = l % k
+    def segLen(l: Column, j: Column) =
+      base(l) + when(j >= lit(k) - rem(l), 1).otherwise(0)
+    def segStart(l: Column, j: Column) =
+      j * base(l) + greatest(lit(0), j - (lit(k) - rem(l))) + 1
+    val js = sequence(lit(0), lit(d))
+    val segs = names.select(col("nm").as("name_s"),
+        explode(transform(js, j => struct(
+          length(col("nm")).as("l"), j.as("j"),
+          xxhash64(col("nm").substr(segStart(length(col("nm")), j),
+            segLen(length(col("nm")), j))).as("sig")))).as("g"))
+      .select(col("name_s"), col("g.l").as("l"), col("g.j").as("j"),
+        col("g.sig").as("sig"))
+    val lenP = length(col("nm"))
+    val probes = names.select(col("nm").as("name_p"),
+        explode(array_distinct(flatten(transform(
+          // partner lengths this value probes for: only <= its own, so the
+          // longer side of every pair does the probing (see scaladoc)
+          sequence(greatest(lenP - d, lit(0)), lenP),
+          l => flatten(transform(js, j => {
+            val sl = segLen(l, j)
+            val ps = segStart(l, j)
+            // candidate starts of segment j's image inside this string:
+            // the publisher's start shifted by at most d, clamped in-range
+            val lo = greatest(ps - d, lit(1))
+            val hi = least(ps + d, lenP - sl + 1)
+            when(sl === 0,
+              array(struct(l.as("l"), j.as("j"), xxhash64(lit("")).as("sig"))))
+            .otherwise(transform(
+              // sequence(lo, hi) with hi < lo would count DOWN — guard
+              when(hi >= lo, sequence(lo, hi)).otherwise(array().cast("array<int>")),
+              st => struct(l.as("l"), j.as("j"),
+                xxhash64(col("nm").substr(st, sl)).as("sig"))))
+          })))))).as("g"))
+      .select(col("name_p"), col("g.l").as("l"), col("g.j").as("j"),
+        col("g.sig").as("sig"))
+    probes.join(segs, Seq("l", "j", "sig"))
+      .where(col("name_p") =!= col("name_s"))
+      .select(least(col("name_p"), col("name_s")).as("name_a"),
+        greatest(col("name_p"), col("name_s")).as("name_b"))
+      .distinct()
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .where(col("dist") <= maxDist)
       .select(col("name_a"), col("name_b"), col("dist"))
