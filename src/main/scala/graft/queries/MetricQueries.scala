@@ -178,6 +178,35 @@ object MetricQueries {
           "fpr_ci_normal_low", "fpr_ci_normal_high", "fp_per_hour",
           "hours_benign", "total_hours_test")
     }),
+
+    "g18_calculators" -> ((s, dir) => {
+      // G18 sample-size calculators on a literal (alpha, fpr, sigma,
+      // fph, hop) grid — pure scalars, evaluated by the actual Calculators
+      // implementation on the driver (their designed home) and re-derived
+      // as scalar SQL by the twin. The sigma->alpha map is commons-math
+      // erf here vs Abramowitz-Stegun 7.1.26 in DuckDB (no erf there);
+      // the approximation error (1.5e-7) rounds identically at 6 decimals
+      // on this grid, and every ceil() quotient sits far from an integer
+      // boundary (verified offline; the grid is fixed).
+      import graft.ops.Calculators
+      val spark = s
+      import spark.implicits._
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows = for {
+        alpha <- Seq(0.05, 0.01)
+        fpr <- Seq(0.001, 0.01, 0.05)
+        sigma <- Seq(1.0, 1.5, 2.0, 2.5, 3.0)
+        (fph, hop) <- Seq((0.1, 60.0), (1.0, 60.0), (0.1, 1.0))
+      } yield (alpha, fpr, sigma, fph, hop,
+        Calculators.minSamplesZeroFpExact(fpr, alpha),
+        Calculators.minSamplesZeroFpApprox(fpr, alpha),
+        r6(Calculators.sigmaToAlpha(sigma)),
+        r6(Calculators.minBenignHoursZeroFp(fph, hop, alpha)),
+        r6(Calculators.minBenignWindowsZeroFp(fph, hop, alpha)))
+      rows.toDF("alpha", "fpr", "sigma", "fph", "hop", "n_exact", "n_approx",
+          "alpha_sigma", "hours_zero_fp", "windows_zero_fp")
+        .orderBy("alpha", "fpr", "sigma", "fph", "hop")
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -492,6 +521,32 @@ object MetricQueries {
            |  round((tn + fp) * 1.0 / 3600.0, 6) AS hours_benign,
            |  round((tn + fp + fn + tp) * 1.0 / 3600.0, 6) AS total_hours_test
            |FROM cells""".stripMargin,
+
+      // Scalar re-derivation of the G18 calculators; erf via
+      // Abramowitz-Stegun 7.1.26 (|eps| <= 1.5e-7 — rounds identically to
+      // commons-math erf at 6 decimals on this fixed grid).
+      "g18_calculators" ->
+        """WITH grid AS (
+          |  SELECT a.alpha, f.fpr, s.sigma, fh.fph, fh.hop
+          |  FROM (VALUES (0.05e0), (0.01e0)) a(alpha)
+          |  CROSS JOIN (VALUES (0.001e0), (0.01e0), (0.05e0)) f(fpr)
+          |  CROSS JOIN (VALUES (1.0e0), (1.5e0), (2.0e0), (2.5e0), (3.0e0)) s(sigma)
+          |  CROSS JOIN (VALUES (0.1e0, 60.0e0), (1.0e0, 60.0e0), (0.1e0, 1.0e0)) fh(fph, hop)),
+          |pre AS (
+          |  SELECT *, sigma / sqrt(2.0e0) AS x,
+          |    1.0e0 / (1.0e0 + 0.3275911e0 * sigma / sqrt(2.0e0)) AS t,
+          |    fph * hop / 3600.0e0 AS p
+          |  FROM grid)
+          |SELECT alpha, fpr, sigma, fph, hop,
+          |  CAST(ceil(ln(alpha) / ln(1.0e0 - fpr)) AS BIGINT) AS n_exact,
+          |  CAST(ceil(ln(1.0e0 / alpha) / fpr) AS BIGINT) AS n_approx,
+          |  round((0.254829592e0 * t - 0.284496736e0 * t * t
+          |    + 1.421413741e0 * t * t * t - 1.453152027e0 * t * t * t * t
+          |    + 1.061405429e0 * t * t * t * t * t) * exp(-x * x), 6) AS alpha_sigma,
+          |  round(ln(alpha) / ln(1.0e0 - p) * hop / 3600.0e0, 6) AS hours_zero_fp,
+          |  round(ln(1.0e0 / alpha) / fph * 3600.0e0 / hop, 6) AS windows_zero_fp
+          |FROM pre
+          |ORDER BY alpha, fpr, sigma, fph, hop""".stripMargin,
     )
   }
 }
