@@ -118,6 +118,49 @@ object SourceQueries {
           max("timestamp").as("max_ts"), round(sum("value"), 4).as("sum_value"))
         .orderBy("g")
     }),
+
+    // S5: windows parquet sink/source GOLDEN-FILE roundtrip — the fixture
+    // goes through the real writeWindows (split-partitioned parquet) and
+    // readWindows, and the query emits the re-read content; the twin
+    // computes the same content straight from events. A green row proves
+    // the sink bytes preserve every value and type end-to-end, including
+    // the array column and the partition-directory `split` column.
+    "s5_windows_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_s5")
+      val fixture = table(s, dir, "events").where(col("event_id") < 2000)
+        .select(col("event_id").as("wid"),
+          array((col("event_id") * 7 % 101) / lit(101.0),
+            (col("event_id") * 13 % 89) / lit(89.0)).as("features"),
+          col("event_type").as("attack"),
+          when(col("event_id") % 10 < 7, "train")
+            .when(col("event_id") % 10 < 9, "val").otherwise("test").as("split"))
+      Sources.writeWindows(fixture, base.resolve("windows").toString)
+      Sources.readWindows(s, base.resolve("windows").toString)
+        .select("wid", "features", "attack", "split")
+        .orderBy("wid")
+    }),
+
+    // S6: JSON metric sink GOLDEN-FILE roundtrip — doubles carrying
+    // NaN/+Inf/-Inf are sanitized to null by the sink (JSON has no tokens
+    // for them; func_preproc.py:481-534 semantics), written as a JSON doc,
+    // read back, and emitted; non-double columns pass through untouched.
+    // The twin applies the same NaN/Inf -> NULL map directly over events.
+    "s6_json_sanitize" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_s6")
+      val fixture = table(s, dir, "events").where(col("event_id") < 1000)
+        .select(col("event_id").as("id"),
+          when(col("event_id") % 4 === 0, lit(Double.NaN))
+            .when(col("event_id") % 4 === 1, lit(Double.PositiveInfinity))
+            .when(col("event_id") % 4 === 2, lit(Double.NegativeInfinity))
+            .otherwise((col("event_id") * 31 % 97) / lit(97.0)).as("metric"),
+          col("event_type").as("label"),
+          (col("event_id") * 3).as("count_events"))
+      val out = base.resolve("metrics").toString
+      Sources.writeMetricsJson(fixture, out)
+      s.read.json(out)
+        .select("id", "metric", "label", "count_events")
+        .orderBy("id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -166,5 +209,21 @@ object SourceQueries {
         |  max(CAST(event_id * 131 + 7 AS DOUBLE)) AS max_ts,
         |  round(sum(value), 4) AS sum_value
         |FROM events WHERE event_id < 250 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s5_windows_roundtrip" ->
+      """SELECT event_id AS wid,
+        |  [(event_id * 7 % 101) / 101.0e0, (event_id * 13 % 89) / 89.0e0] AS features,
+        |  event_type AS attack,
+        |  CASE WHEN event_id % 10 < 7 THEN 'train'
+        |       WHEN event_id % 10 < 9 THEN 'val' ELSE 'test' END AS split
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
+    "s6_json_sanitize" ->
+      """SELECT event_id AS id,
+        |  CASE WHEN event_id % 4 IN (0, 1, 2) THEN NULL
+        |       ELSE (event_id * 31 % 97) / 97.0e0 END AS metric,
+        |  event_type AS label,
+        |  event_id * 3 AS count_events
+        |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
   )
 }
