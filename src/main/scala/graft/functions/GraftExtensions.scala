@@ -59,6 +59,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_jaro_winkler(a, b)")
         org.apache.spark.sql.graft.JaroWinkler(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_beta_inv"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.BetaInv].getName,
+        "graft_beta_inv"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_beta_inv(p, a, b)")
+        org.apache.spark.sql.graft.BetaInv(children.head, children(1), children(2))
+      }))
   }
 }
 

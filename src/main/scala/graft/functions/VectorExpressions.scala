@@ -78,6 +78,9 @@ object VectorShim {
         JaroWinkler(exprs.head, exprs(1))
       },
       "scala_udf")
+    reg.createOrReplaceTempFunction("graft_beta_inv",
+      exprs => { require(exprs.size == 3, "graft_beta_inv(p, a, b)"); BetaInv(exprs.head, exprs(1), exprs(2)) },
+      "scala_udf")
   }
 }
 

@@ -15,4 +15,11 @@ object VectorFunctions {
   /** dot(a,b) / (|a|·|b|). For repeated use against many candidates,
     * precompute the norms once per side instead. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Regularized incomplete-beta inverse (scipy `beta.ppf(p, a, b)`),
+    * whole-stage-codegen'd; NaN outside the domain. The primitive behind
+    * distributed Clopper–Pearson CIs (see
+    * [[graft.ops.BinaryOperational]]). */
+  def betaInv(p: Column, a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.StatShim.betaInvCol(p, a, b)
 }

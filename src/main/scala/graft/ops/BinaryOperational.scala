@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
   * Clopper–Pearson CIs on FPR, FP-per-hour conversions, plus TTD (G12).
   *
   * Distributed shape: ONE aggregation over the thresholded test scores
-  * yields the four confusion cells; everything after is scalar math on the
-  * driver (4 numbers), including the Beta quantiles — exactly where the
-  * reference computes them, and the right call at any scale.
+  * yields the four confusion cells AND the Clopper–Pearson Beta quantiles
+  * (native graft_beta_inv expression, evaluated on executors); the
+  * remaining scalar algebra runs on the driver over 6 fetched values.
   */
 object BinaryOperational {
 
-  /** Clopper–Pearson CI on a binomial proportion via Beta quantiles.
+  /** Clopper–Pearson CI on a binomial proportion via Beta quantiles —
+    * driver-side scalar form, kept as the cross-check for the distributed
+    * column form below.
     * Ref: clopper_pearson_ci, func_aux/func_test.py:179-193 (scipy
     * beta.ppf ≡ commons-math3 inverseCumulativeProbability). */
   def clopperPearson(fp: Long, nNeg: Long, alpha: Double = 0.05): (Double, Double) = {
@@ -33,6 +35,24 @@ object BinaryOperational {
       if (fp == nNeg) 1.0
       else new BetaDistribution((fp + 1).toDouble, (nNeg - fp).toDouble)
         .inverseCumulativeProbability(1 - alpha / 2.0)
+    (lower, upper)
+  }
+
+  /** Column form of [[clopperPearson]] via the native `graft_beta_inv`
+    * expression — the bounds evaluate on executors, so a per-group CI
+    * (one row per detector/tenant/day) needs no driver loop. Returns
+    * (lower, upper) columns; edge cases mirror the scalar form:
+    * `nNeg = 0 → NaN`, `fp = 0 → lower 0`, `fp = nNeg → upper 1`. */
+  def clopperPearsonCols(fp: Column, nNeg: Column, alpha: Double = 0.05): (Column, Column) = {
+    import graft.functions.VectorFunctions.betaInv
+    val fpD = fp.cast("double")
+    val nD = nNeg.cast("double")
+    val lower = when(nNeg === 0, lit(Double.NaN))
+      .when(fp === 0, lit(0.0))
+      .otherwise(betaInv(lit(alpha / 2.0), fpD, nD - fpD + 1.0))
+    val upper = when(nNeg === 0, lit(Double.NaN))
+      .when(fp === nNeg, lit(1.0))
+      .otherwise(betaInv(lit(1.0 - alpha / 2.0), fpD + 1.0, nD - fpD))
     (lower, upper)
   }
 
@@ -53,6 +73,11 @@ object BinaryOperational {
     val thrRow = Curves.thresholdAtFpr(curve, fprTarget).head()
     val thr = thrRow.getDouble(0)
 
+    // One aggregation yields the confusion cells; the Clopper–Pearson Beta
+    // quantiles ride the same plan via the native graft_beta_inv expression
+    // (distributed — nothing numeric happens on the driver but the final
+    // scalar algebra on 6 fetched values).
+    val (cpLo, cpHi) = clopperPearsonCols(col("fp"), col("tn") + col("fp"))
     val cells = testDf
       .select(label.cast("int").as("y"), (score >= thr).cast("int").as("p"))
       .agg(
@@ -60,9 +85,12 @@ object BinaryOperational {
         sum(when(col("y") === 0 && col("p") === 1, 1).otherwise(0)).as("fp"),
         sum(when(col("y") === 1 && col("p") === 0, 1).otherwise(0)).as("fn"),
         sum(when(col("y") === 1 && col("p") === 1, 1).otherwise(0)).as("tp"))
+      .select(col("tn"), col("fp"), col("fn"), col("tp"),
+        cpLo.as("fpr_ci_cp_low"), cpHi.as("fpr_ci_cp_high"))
       .head()
     val (tn, fp, fn, tp) =
       (cells.getLong(0), cells.getLong(1), cells.getLong(2), cells.getLong(3))
+    val (ciLowCp, ciHighCp) = (cells.getDouble(4), cells.getDouble(5))
 
     val nNeg = tn + fp
     val eps = 1e-12 // smoothing constants exactly as func_test.py:358-361
@@ -82,7 +110,6 @@ object BinaryOperational {
         val se = math.sqrt(fpr * (1 - fpr) / nNeg)
         (math.max(0.0, fpr - z * se), math.min(1.0, fpr + z * se))
       } else (Double.NaN, Double.NaN)
-    val (ciLowCp, ciHighCp) = clopperPearson(fp, nNeg)
     val hoursBenign = nNeg * hopSeconds / 3600.0
     val fph = if (hoursBenign > 0) fp / hoursBenign else Double.NaN
     val totalHours = (tn + fp + fn + tp) * hopSeconds / 3600.0

@@ -120,6 +120,56 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("native beta_inv equals driver-side commons-math on a quantile grid") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.apache.commons.math3.distribution.BetaDistribution
+    // quantile grid: CP-shaped (integer a,b) and fractional shapes,
+    // tails included — exact equality expected (same library, executors
+    // vs driver).
+    val grid = for {
+      p <- Seq(0.001, 0.025, 0.25, 0.5, 0.75, 0.975, 0.999)
+      (a, b) <- Seq((1.0, 1.0), (5.0, 96.0), (6.0, 95.0), (0.5, 0.5), (2.5, 7.5), (100.0, 1.0))
+    } yield (p, a, b)
+    val rows = grid.toDF("p", "a", "b")
+      .select(col("p"), col("a"), col("b"),
+        graft.functions.VectorFunctions.betaInv(col("p"), col("a"), col("b")).as("q"))
+      .collect()
+    rows.foreach { r =>
+      val expected = new BetaDistribution(null, r.getDouble(1), r.getDouble(2))
+        .inverseCumulativeProbability(r.getDouble(0))
+      assert(r.getDouble(3) == expected, s"beta_inv diverges at $r")
+    }
+    // endpoints and scipy-style domain: p outside [0,1] or a,b <= 0 -> NaN
+    val e = Seq((0.0, 2.0, 3.0), (1.0, 2.0, 3.0), (-0.1, 2.0, 3.0),
+      (1.1, 2.0, 3.0), (0.5, 0.0, 3.0), (0.5, 2.0, -1.0)).toDF("p", "a", "b")
+      .select(graft.functions.VectorFunctions.betaInv(col("p"), col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(e(0) == 0.0 && e(1) == 1.0)
+    assert(e.drop(2).forall(_.isNaN))
+    // SQL-callable + null propagation
+    org.apache.spark.sql.graft.VectorShim.register(spark)
+    val s = spark.sql(
+      "SELECT graft_beta_inv(0.5D, 2.0D, 2.0D), graft_beta_inv(CAST(NULL AS DOUBLE), 2.0D, 2.0D)").head()
+    assert(s.getDouble(0) == 0.5 && s.isNullAt(1))
+  }
+
+  test("distributed Clopper-Pearson columns equal the driver scalar form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.BinaryOperational
+    val cases = Seq((0L, 50L), (5L, 100L), (50L, 50L), (3L, 7L), (0L, 0L))
+    val (lo, hi) = BinaryOperational.clopperPearsonCols(col("fp"), col("n"))
+    val got = cases.toDF("fp", "n").select(col("fp"), col("n"), lo.as("lo"), hi.as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    got.foreach { case (fp, n, gLo, gHi) =>
+      val (eLo, eHi) = BinaryOperational.clopperPearson(fp, n)
+      assert((gLo == eLo || (gLo.isNaN && eLo.isNaN)) &&
+        (gHi == eHi || (gHi.isNaN && eHi.isNaN)),
+        s"CP diverges at fp=$fp n=$n: ($gLo,$gHi) vs ($eLo,$eHi)")
+    }
+  }
+
   test("native jaccard equals the array_intersect/array_union form") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
