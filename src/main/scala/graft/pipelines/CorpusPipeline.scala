@@ -129,4 +129,37 @@ object CorpusPipeline {
     * the decision to the planner (AQE converts to broadcast when small),
     * but hint it for the common case. */
   private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+
+  /** Stream-native front of the curation funnel — the stages whose state
+    * is bounded without seeing the whole corpus, as ONE composable stage
+    * over a streaming DataFrame:
+    *
+    *  1. watermarked exact dedup (first-seen doc per content hash wins;
+    *     state = one hash per distinct doc inside the watermark horizon,
+    *     evicted as event time advances — [[graft.streaming.StreamingOps.dedupExactStream]]);
+    *  2. quality + repetition filters (row-local expressions — identical
+    *     columns to the batch stage 4, zero streaming state).
+    *
+    * The output is an append-safe stream (no aggregation), so it feeds
+    * `writeStream` directly. The rest of the batch funnel needs
+    * corpus-global state and stays downstream: near-dup clustering and
+    * decontamination join across the corpus, sampling/packing need global
+    * prefix sums — run them as a batch stage over this stream's sink, or
+    * per micro-batch via `foreachBatch` where batch-local packing is
+    * acceptable (the parity spec demonstrates both).
+    *
+    * Batch parity: on an in-order stream with no near-dups and an empty
+    * benchmark, sinking this stage and batch-packing the result equals
+    * [[curate]] exactly (spec-verified by
+    * "CorpusPipeline.curateStream equals batch curate").
+    */
+  def curateStream(docs: DataFrame, tsCol: String, text: String,
+      cfg: CurationConfig = CurationConfig(),
+      watermark: String = "10 minutes"): DataFrame = {
+    val deduped = graft.streaming.StreamingOps.dedupExactStream(docs, tsCol, text, watermark)
+    val rep = TextOps.repetitionStats(col(text))
+    deduped.where(TextOps.qualityScore(col(text)) >= cfg.minQuality &&
+      rep.getField("dup_line_ratio") <= cfg.maxDupLineRatio &&
+      rep.getField("top_word_ratio") <= cfg.maxTopWordRatio)
+  }
 }

@@ -113,7 +113,7 @@ class SkewStreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming curation composes: dedupExactStream -> quality/repetition filter -> pack equals batch curate") {
+  test("CorpusPipeline.curateStream equals batch curate") {
     import graft.ops.TextOps
     import graft.pipelines.CorpusPipeline
     implicit val sqlCtx = spark.sqlContext
@@ -138,15 +138,10 @@ class SkewStreamDedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
 
     val input = MemoryStream[(Long, Timestamp, String)]
-    val streamed = StreamingOps.dedupExactStream(
-      input.toDF.toDF("doc_id", "ts", "text"), "ts", "text", "1 minute")
-    // quality + repetition are row-local expressions -> stream-native;
-    // packing needs a global prefix sum -> composed via foreachBatch
-    val rep = TextOps.repetitionStats(col("text"))
-    val filtered = streamed.where(
-      TextOps.qualityScore(col("text")) >= cfg.minQuality &&
-        rep.getField("dup_line_ratio") <= cfg.maxDupLineRatio &&
-        rep.getField("top_word_ratio") <= cfg.maxTopWordRatio)
+    // the stream-native stage: watermarked exact dedup + quality/repetition
+    // filters; packing needs a global prefix sum -> composed via foreachBatch
+    val filtered = CorpusPipeline.curateStream(
+      input.toDF.toDF("doc_id", "ts", "text"), "ts", "text", cfg, "1 minute")
     val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     val q = filtered.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
