@@ -151,10 +151,28 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Small-domain cap for the all-pairs verifiers ([[jaccardSimilarity]],
+    * [[jaroWinklerPairs]]): 20k rows ≈ 2·10⁸ pairs, the edge of what a
+    * verifier should ever chew. The guard costs one limit-probe job and
+    * turns a mistaken corpus-scale call into a loud error instead of an
+    * N² stage; raise it deliberately via the `maxDomain` parameter. */
+  val DefaultMaxVerifierDomain: Int = 20000
+
+  private def requireSmallDomain(df: DataFrame, maxDomain: Int, op: String, alt: String): Unit = {
+    val probed = df.limit(maxDomain + 1).count()
+    require(probed <= maxDomain,
+      s"$op is an all-pairs small-domain verifier and its input exceeds " +
+        s"maxDomain=$maxDomain rows; use $alt at corpus scale, or pass a " +
+        s"deliberate maxDomain to raise the cap")
+  }
+
   /** Brute-force n-gram Jaccard over all pairs (the LSH verifier / small-N
-    * baseline; O(N²) — use [[minhashNearDuplicates]] at scale). */
-  def jaccardSimilarity(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    * baseline; O(N²) — use [[minhashNearDuplicates]] at scale; inputs past
+    * `maxDomain` rows fail loudly). */
+  def jaccardSimilarity(df: DataFrame, id: String, text: String, n: Int,
+      maxDomain: Int = DefaultMaxVerifierDomain): DataFrame = {
     val docs = df.select(col(id).as("id"), shingles(col(text), n).as("sh"))
+    requireSmallDomain(docs, maxDomain, "jaccardSimilarity", "minhashNearDuplicates")
     docs.toDF("id_a", "sh_a")
       .crossJoin(docs.toDF("id_b", "sh_b"))
       .where(col("id_a") < col("id_b"))
@@ -324,11 +342,14 @@ object Dedup {
     * with `min/max ≥ (minSim − 0.8)/0.2` reach the exact similarity.
     * Candidate generation is the all-pairs join on distinct values —
     * small-domain verifier like [[jaccardSimilarity]]; block with
-    * [[lshBuckets]]/[[fuzzyJoin]] first at corpus scale. */
-  def jaroWinklerPairs(df: DataFrame, name: Column, minSim: Double): DataFrame = {
+    * [[lshBuckets]]/[[fuzzyJoin]] first at corpus scale (domains past
+    * `maxDomain` distinct values fail loudly). */
+  def jaroWinklerPairs(df: DataFrame, name: Column, minSim: Double,
+      maxDomain: Int = DefaultMaxVerifierDomain): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0, "minSim in (0, 1]")
     val names = df.select(name.cast("string").as("name_a"))
       .where(col("name_a").isNotNull).distinct()
+    requireSmallDomain(names, maxDomain, "jaroWinklerPairs", "lshBuckets/fuzzyJoin blocking")
     val jw = org.apache.spark.sql.graft.MinHashShim
       .jaroWinklerCol(col("name_a"), col("name_b"))
     val ratio = least(length(col("name_a")), length(col("name_b"))).cast("double") /

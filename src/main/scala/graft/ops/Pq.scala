@@ -133,8 +133,9 @@ object Pq {
     * `adc = Σ_s (‖q_s‖² − 2·q_s·c(code_s) + ‖c(code_s)‖²)` — the full
     * approximated ‖q − decode(codes)‖². */
   def adcTopK(encoded: DataFrame, queries: DataFrame, id: String,
-      qid: String, qvec: String, cb: Codebooks, k: Int): DataFrame = {
-    val (qdf, lut) = queryArtifacts(encoded.sparkSession, queries, qid, qvec, cb)
+      qid: String, qvec: String, cb: Codebooks, k: Int,
+      maxQueries: Int = DefaultMaxQueries): DataFrame = {
+    val (qdf, lut) = queryArtifacts(encoded.sparkSession, queries, qid, qvec, cb, maxQueries)
     rankAdc(encoded.crossJoin(broadcast(qdf)), lut, id, qid, cb, k)
   }
 
@@ -145,12 +146,21 @@ object Pq {
     * probed cells' rows reach the distance lookups, so the per-query cost
     * is O(N·nProbe/nCells) code rows, the FAISS IVFADC shape. */
   def adcTopKProbed(encoded: DataFrame, queries: DataFrame, probes: DataFrame,
-      id: String, qid: String, qvec: String, cb: Codebooks, k: Int): DataFrame = {
-    val (qdf, lut) = queryArtifacts(encoded.sparkSession, queries, qid, qvec, cb)
+      id: String, qid: String, qvec: String, cb: Codebooks, k: Int,
+      maxQueries: Int = DefaultMaxQueries): DataFrame = {
+    val (qdf, lut) = queryArtifacts(encoded.sparkSession, queries, qid, qvec, cb, maxQueries)
     val probeQ = probes.join(qdf, probes(qid) === qdf("__qid"))
       .select(col("__qid"), col("__qi"), col("cell_id"))
     rankAdc(encoded.join(broadcast(probeQ), "cell_id"), lut, id, qid, cb, k)
   }
+
+  /** The query side is collected to the driver and its distance table
+    * ships as a literal (nQ·m·k doubles) — a BATCH of queries, not a
+    * data-sized table. The cap makes a misuse (joining the corpus to
+    * itself as "queries") fail loudly at the collect instead of as a
+    * silent driver OOM; raise it deliberately via the `maxQueries`
+    * parameter when a larger batch is intended. */
+  val DefaultMaxQueries: Int = 4096
 
   /** Driver-side query artifacts: the (qid → dense query index) mapping
     * DataFrame and the flat per-(query, subspace, code) distance-table
@@ -158,8 +168,15 @@ object Pq {
     * driver-side (documented-tiny, like the IVF centroid set). */
   private def queryArtifacts(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, qid: String, qvec: String,
-      cb: Codebooks): (DataFrame, Column) = {
-    val qrows = queries.select(col(qid), col(qvec).cast("array<double>")).collect()
+      cb: Codebooks, maxQueries: Int): (DataFrame, Column) = {
+    // limit-probe BEFORE the collect: one row past the cap proves the
+    // violation without ever materializing an unbounded query side
+    val qrows = queries.select(col(qid), col(qvec).cast("array<double>"))
+      .limit(maxQueries + 1).collect()
+    require(qrows.length <= maxQueries,
+      s"PQ query side exceeds maxQueries=$maxQueries rows; ADC collects queries " +
+        s"to the driver and ships an nQ*m*k-entry distance table as a literal — " +
+        s"pass a deliberate maxQueries to raise the cap for a larger batch")
     val dtable: Map[Int, Double] = qrows.zipWithIndex.flatMap { case (r, qi) =>
       val qv = r.getSeq[Double](1)
       for (s <- 0 until cb.m; c <- 0 until cb.k) yield {

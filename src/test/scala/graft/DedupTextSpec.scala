@@ -34,6 +34,24 @@ class DedupTextSpec extends SparkSpec {
     assert(approx(sims((1L, 3L)), 0.0))
   }
 
+  test("all-pairs verifiers refuse domains past maxDomain (loud, not an N-squared stage)") {
+    val docs = (1 to 10).map(i => (i.toLong, s"w$i x$i y$i")).toDF("id", "t")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.jaccardSimilarity(docs, "id", "t", 1, maxDomain = 5)
+    }
+    assert(e1.getMessage.contains("maxDomain"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.jaroWinklerPairs(docs, col("t"), 0.9, maxDomain = 5)
+    }
+    assert(e2.getMessage.contains("maxDomain"))
+    // the jaro guard counts DISTINCT values, not input rows: 100 rows
+    // over 5 names pass a maxDomain of 5
+    val dupes = (1 to 100).map(i => s"name${i % 5}").toDF("t")
+    assert(Dedup.jaroWinklerPairs(dupes, col("t"), 0.5, maxDomain = 5).count() > 0)
+    // raising the cap deliberately works
+    assert(Dedup.jaccardSimilarity(docs, "id", "t", 1, maxDomain = 10).count() == 45)
+  }
+
   test("minhash LSH finds high-jaccard pairs (recall) without false positives after verify") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

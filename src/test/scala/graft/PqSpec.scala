@@ -79,6 +79,19 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("adcTopK refuses a query side past maxQueries (loud, not a driver OOM)") {
+    val cb = Pq.sampleCodebooks(clustered, "id", "v", m = 2, k = 4)
+    val encoded = Pq.encode(clustered, "v", cb).select("id", "codes")
+    val queries = clustered.select(col("id").as("qid"), col("v").as("qv"))
+    val e = intercept[IllegalArgumentException] {
+      Pq.adcTopK(encoded, queries, "id", "qid", "qv", cb, k = 3, maxQueries = 5)
+    }
+    assert(e.getMessage.contains("maxQueries"))
+    // a deliberately raised cap admits the batch
+    val ok = Pq.adcTopK(encoded, queries, "id", "qid", "qv", cb, k = 1, maxQueries = 90)
+    assert(ok.count() == 90)
+  }
+
   test("encode is deterministic across partitioning") {
     val cb = Pq.trainCodebooks(clustered, "id", "v", m = 4, k = 3, iters = 4)
     def codes(parts: Int) =
