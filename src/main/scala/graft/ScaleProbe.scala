@@ -11,7 +11,8 @@ import graft.ops.{Dedup, Stats, TextOps}
   *
   * Usage: sbt 'runMain graft.ScaleProbe <op> [n]'
   *   ops: ewma | spans | wsample | lm | vocab | editpairs | corr |
-  *        fuzzyjoin | sessionize | pagerank | cc | packsplit | spanremove
+  *        fuzzyjoin | sessionize | ttd | entityres | pagerank | cc |
+  *        packsplit | spanremove
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -135,6 +136,37 @@ object ScaleProbe {
         time(s"sessionize n=$n")(
           graft.ops.Sessionize.episodes(df, col("idx"), col("yt"), col("yp"), col("ep"))
             .agg(count(lit(1))).collect())
+      case "ttd" =>
+        // the full g12_ttd shape: episodes + detection flag + avg TTD
+        // over a single global order (boundary-chained partials)
+        val df = spark.range(n).select(col("id").as("idx"),
+          (pmod(xxhash64(col("id") / 1000), lit(20)) === 0).cast("int").as("yt"),
+          (pmod(xxhash64(col("id"), lit(1)), lit(10)) === 0).cast("int").as("yp"),
+          (col("id") / 1000).cast("string").as("ep"))
+        df.count()
+        time(s"ttdStats n=$n")(
+          graft.ops.Sessionize.ttdStats(df, col("idx"), col("yt"), col("yp"),
+            col("ep"), hopSeconds = 1.0).collect())
+      case "entityres" =>
+        // the dedup_entity_resolution capstone at scale: segment-prefiltered
+        // edit-distance edges over varied names (+1% twins, as editpairs)
+        // -> pointer-jumping CC -> canonical entity per cluster
+        def nm(idc: org.apache.spark.sql.Column) =
+          concat(conv(xxhash64(idc), 10, 36), conv(xxhash64(idc, lit(1)), 10, 36))
+            .substr(lit(1), (lit(8) + pmod(xxhash64(idc, lit(2)), lit(9))).cast("int"))
+        val base = spark.range(n).select(nm(col("id")).as("nm"))
+        val twins = spark.range(n / 100).select(concat(nm(col("id")), lit("x")).as("nm"))
+        val recs = base.unionByName(twins)
+        recs.count()
+        time(s"entityResolution records<=${n + n / 100} maxDist=2") {
+          val names = recs.select(col("nm").as("name")).where(col("name").isNotNull).distinct()
+          val pairs = Dedup.editDistancePairs(recs, col("nm"), maxDist = 2)
+          val out = Dedup.connectedComponents(names, pairs, "name", "name_a", "name_b")
+            .groupBy("component")
+            .agg(count(lit(1)).as("n_members"))
+            .agg(count(lit(1)), sum("n_members")).collect()
+          println("clusters/members=" + out.mkString)
+        }
       case "editpairs" =>
         // Varied random names (8-16 base36 chars) + a 1% injected twin set
         // at edit distance 1, so the TRUE answer is ~n/100 pairs (linear)

