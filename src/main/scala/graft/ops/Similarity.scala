@@ -294,4 +294,36 @@ object Similarity {
     val assigned = spark.read.parquet(s"$path/assigned")
     searchCells(assigned, centroids, queries, id, vec, qid, qvec, k, nProbe)
   }
+
+  /** Two-stage retrieval — [[ivfPqTopK]] shortlist refined by an EXACT
+    * cosine rerank (the standard FAISS deployment shape: the compressed
+    * scan proposes `shortlistFactor · k` candidates per query, the full
+    * vectors re-score only those). Recovers the recall that PQ's code
+    * resolution loses at the cost of ONE extra corpus probe that reads
+    * full vectors for Q·shortlistFactor·k ids (broadcast semi-join into
+    * the scan — the corpus is never shuffled, and column pruning keeps
+    * the probe to (id, vec)). Output ranks by exact cosine, ties to
+    * lowest id, like [[bruteForceTopK]]. */
+  def ivfPqTopKReranked(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, qid: String, qvec: String, k: Int, nCells: Int, nProbe: Int,
+      cb: Pq.Codebooks, shortlistFactor: Int = 4,
+      centroidsByHash: Boolean = true,
+      maxLiteralTerms: Int = DefaultMaxLiteralTerms): DataFrame = {
+    require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
+    val shortlist = ivfPqTopK(corpus, queries, id, vec, qid, qvec,
+        k * shortlistFactor, nCells, nProbe, cb, centroidsByHash, maxLiteralTerms)
+      .select(col(qid), col(id))
+    val vecs = corpus.select(col(id), col(vec).cast("array<double>").as("__v"))
+      .withColumn("__vn", norm(col("__v")))
+    val queriesN = queries
+      .select(col(qid), col(qvec).cast("array<double>").as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+    val w = Window.partitionBy(qid).orderBy(col("cos").desc, col(id).asc)
+    vecs.join(broadcast(shortlist), Seq(id))
+      .join(broadcast(queriesN), Seq(qid))
+      .withColumn("cos", dot(col("__qv"), col("__v")) / (col("__qn") * col("__vn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qid), col(id), col("cos"), col("rank"))
+  }
 }

@@ -133,6 +133,24 @@ object SimilarityQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+
+    "ann_ivfpq_rerank" -> ((s, dir) => {
+      // Two-stage retrieval: the ann_ivfpq shortlist (2x over-fetch) re-
+      // scored by EXACT cosine on full vectors — the FAISS refine step.
+      // Twin = the ivfpq twin with rank <= 10, joined back to the raw
+      // vectors and re-ranked.
+      import graft.ops.Pq
+      val e = emb(s, dir)
+      val cb = Pq.sampleCodebooks(e, "vec_id", "v", m = 4, k = 4)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      Similarity.ivfPqTopKReranked(e, queries, "vec_id", "v", "qid", "qv",
+          k = 5, nCells = 16, nProbe = 4, cb = cb, shortlistFactor = 2,
+          centroidsByHash = false)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
   )
 
   /** embeddings ∪ a deterministic near-copy of each (v′ = v + 0.15·reverse(v),
@@ -260,6 +278,30 @@ object SimilarityQueries {
          |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "ann_ivfpq" ->
+      s"""$ivfPqCoreSql
+         |SELECT qid, vec_id, round(adc, 4) AS adc, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "ann_ivfpq_rerank" ->
+      s"""$ivfPqCoreSql,
+         |short AS (SELECT qid, vec_id FROM ranked WHERE rank <= 10),
+         |rer AS (
+         |  SELECT s.qid, s.vec_id,
+         |    list_dot_product(q.qv, a.v) /
+         |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cos
+         |  FROM short s JOIN e a ON a.vec_id = s.vec_id JOIN q ON q.qid = s.qid),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |  ORDER BY cos DESC, vec_id ASC) AS rank FROM rer)
+         |SELECT qid, vec_id, round(cos, 4) AS cos, rank
+         |FROM rr WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+  )
+
+  /** Shared CTE stack of the IVF-PQ twins: cell assignment, 4x4 sampled
+    * codebooks, encode, probes, per-candidate ADC, rank-by-ADC. Ends at
+    * the `ranked` CTE so callers append either the plain top-5 SELECT or
+    * the rerank tail. (A `def`, not a `val`: the `oracle` map above is
+    * initialized first and would capture null otherwise.) */
+  private def ivfPqCoreSql: String =
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
          |cent AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
          |asn AS (
@@ -298,8 +340,5 @@ object SimilarityQueries {
          |  JOIN b ON b.code = enc.code JOIN q ON q.qid = c.qid),
          |adc AS (SELECT qid, vec_id, sum(pd) AS adc FROM parts GROUP BY 1, 2),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
-         |  ORDER BY adc ASC, vec_id ASC) AS rank FROM adc)
-         |SELECT qid, vec_id, round(adc, 4) AS adc, rank
-         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
-  )
+         |  ORDER BY adc ASC, vec_id ASC) AS rank FROM adc)""".stripMargin
 }

@@ -100,4 +100,26 @@ class AnnRecallSpec extends SparkSpec {
     assert(fine > coarse, s"finer codebooks should raise recall ($coarse -> $fine)")
     assert(fine >= 0.60, s"ivfpq recall $fine")
   }
+
+  test("exact rerank recovers the recall PQ's code resolution loses") {
+    val cb = Pq.trainCodebooks(corpus, "id", "vec", m = 4, k = 16, iters = 3)
+    val plain = recallAt10(Similarity.ivfPqTopK(
+      corpus, queries, "id", "vec", "qid", "qvec", k, nCells = nCenters, nProbe = 8, cb))
+    val reranked = Similarity.ivfPqTopKReranked(
+      corpus, queries, "id", "vec", "qid", "qvec", k, nCells = nCenters, nProbe = 8, cb,
+      shortlistFactor = 8)
+    val r = recallAt10(reranked)
+    info(f"ivfpq m=4/k=16 at nProbe=8: plain $plain%.3f, reranked(x8) $r%.3f")
+    assert(r > plain, s"rerank should raise recall ($plain -> $r)")
+    assert(r >= 0.85, s"reranked recall $r")
+    // the rerank is EXACT: every returned cosine equals the brute-force
+    // cosine for that (query, doc) pair (same expression, same vectors)
+    val bruteCos = Similarity.bruteForceTopK(corpus, queries, "id", "vec", "qid", "qvec", 200)
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1)) -> r2.getDouble(2)).toMap
+    reranked.collect().foreach { row =>
+      val key = (row.getLong(0), row.getLong(1))
+      bruteCos.get(key).foreach(expected =>
+        assert(row.getDouble(2) == expected, s"rerank cosine diverges at $key"))
+    }
+  }
 }
