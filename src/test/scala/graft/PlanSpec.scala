@@ -56,6 +56,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("min("), p) // map-side combine present
   }
 
+  test("ann_ivfpq_rerank: the full-vector rerank probe broadcasts the shortlist, never shuffling the corpus") {
+    val p = plan("ann_ivfpq_rerank")
+    assert(!p.contains("SortMergeJoin"), p)
+    // the rerank's corpus probe must be a broadcast hash join (shortlist
+    // side), not an exchange of the embeddings scan
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("WindowGroupLimit"), p) // rank<=k pushed below the window
+  }
+
   test("Sources load paths contain no un-partitioned Window.orderBy (single-partition cliff)") {
     // S2/S4 row-index timestamps must come from the distributed index, not
     // a global row_number window — a SinglePartition exchange at LOAD time
