@@ -668,29 +668,38 @@ object Dedup {
             segLen(length(col("nm")), j))).as("sig")))).as("g"))
       .select(col("name_s"), col("g.l").as("l"), col("g.j").as("j"),
         col("g.sig").as("sig"))
-    val lenP = length(col("nm"))
-    val probes = names.select(col("nm").as("name_p"),
-        explode(array_distinct(flatten(transform(
-          // partner lengths this value probes for: only <= its own, so the
-          // longer side of every pair does the probing (see scaladoc)
-          sequence(greatest(lenP - d, lit(0)), lenP),
-          l => flatten(transform(js, j => {
-            val sl = segLen(l, j)
-            val ps = segStart(l, j)
-            // candidate starts of segment j's image inside this string:
-            // the publisher's start shifted by at most d, clamped in-range
-            val lo = greatest(ps - d, lit(1))
-            val hi = least(ps + d, lenP - sl + 1)
-            when(sl === 0,
-              array(struct(l.as("l"), j.as("j"), xxhash64(lit("")).as("sig"))))
-            .otherwise(transform(
-              // sequence(lo, hi) with hi < lo would count DOWN — guard
-              when(hi >= lo, sequence(lo, hi)).otherwise(array().cast("array<int>")),
-              st => struct(l.as("l"), j.as("j"),
-                xxhash64(col("nm").substr(st, sl)).as("sig"))))
-          })))))).as("g"))
-      .select(col("name_p"), col("g.l").as("l"), col("g.j").as("j"),
-        col("g.sig").as("sig"))
+    // Probe side, FLAT: the (partner-length delta, segment index, start
+    // shift) grid — (d+1)²·(2d+1) entries, all tiny — is a LITERAL array
+    // exploded to rows, so each candidate key is one plain-projection
+    // xxhash64(substr). The previous nested transform∘flatten∘transform
+    // HOF literal compiled into one enormous whole-stage-codegen method
+    // whose one-shot JIT cost dominated the whole operator (driver bench
+    // 8.1s→26.4s while warm runs stayed ~3s). The generated (l, j, sig)
+    // key set is IDENTICAL: dl ∈ [0,d] with l = len−dl ≥ 0 spans the same
+    // partner lengths, sh ∈ [−d,d] clamped in-range spans the same
+    // candidate starts. Duplicate keys from repeated substrings (formerly
+    // array_distinct'ed per name) now survive to the join and are
+    // collapsed by the pair-level distinct below — they can only
+    // duplicate candidates, never add or drop a pair.
+    val grid = typedLit(for (dl <- 0 to d; j <- 0 to d; sh <- -d to d)
+      yield (dl, j, sh))
+    val lenP = length(col("name_p"))
+    val probes = names.select(col("nm").as("name_p"), explode(grid).as("__g"))
+      .select(col("name_p"), (lenP - col("__g._1")).as("l"),
+        col("__g._2").as("j"), col("__g._3").as("sh"))
+      .withColumn("sl", segLen(col("l"), col("j")))
+      // candidate start of segment j's image inside this string: the
+      // publisher's start shifted by at most d (the net insert/delete
+      // count before the untouched segment), kept in-range by the filter
+      .withColumn("st", segStart(col("l"), col("j")) + col("sh"))
+      .where(col("l") >= 0 && (
+        (col("sl") === 0 && col("sh") === 0) ||
+        (col("sl") > 0 && col("st") >= 1 &&
+          col("st") <= lenP - col("sl") + 1)))
+      .select(col("name_p"), col("l"), col("j"),
+        when(col("sl") === 0, xxhash64(lit("")))
+          .otherwise(xxhash64(col("name_p").substr(col("st"), col("sl"))))
+          .as("sig"))
     probes.join(segs, Seq("l", "j", "sig"))
       .where(col("name_p") =!= col("name_s"))
       .select(least(col("name_p"), col("name_s")).as("name_a"),

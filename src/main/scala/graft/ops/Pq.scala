@@ -149,7 +149,12 @@ object Pq {
       id: String, qid: String, qvec: String, cb: Codebooks, k: Int,
       maxQueries: Int = DefaultMaxQueries): DataFrame = {
     val (qdf, lut) = queryArtifacts(encoded.sparkSession, queries, qid, qvec, cb, maxQueries)
-    val probeQ = probes.join(qdf, probes(qid) === qdf("__qid"))
+    // broadcast BOTH sides of the tiny probe⋈query-index join: qdf comes
+    // from a statsless 1-partition parallelize, so without the hint the
+    // planner emits a SortMergeJoin[qid,__qid] that shuffles the decoded
+    // candidate set by qid at corpus scale (both sides are ≤ maxQueries·
+    // nProbe rows by construction — PlanSpec pins the broadcast)
+    val probeQ = probes.join(broadcast(qdf), probes(qid) === qdf("__qid"))
       .select(col("__qid"), col("__qi"), col("cell_id"))
     rankAdc(encoded.join(broadcast(probeQ), "cell_id"), lut, id, qid, cb, k)
   }

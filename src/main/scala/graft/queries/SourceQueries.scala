@@ -124,7 +124,10 @@ object SourceQueries {
     // readWindows, and the query emits the re-read content; the twin
     // computes the same content straight from events. A green row proves
     // the sink bytes preserve every value and type end-to-end, including
-    // the array column and the partition-directory `split` column.
+    // the array column and the partition-directory `split` column. The
+    // array roundtrips internally but the COMPARISON projection is the
+    // scalar elements f0/f1 — the external harness sorts result frames
+    // over all columns and an array column is unhashable there.
     "s5_windows_roundtrip" -> ((s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("graft_s5")
       val fixture = table(s, dir, "events").where(col("event_id") < 2000)
@@ -136,7 +139,8 @@ object SourceQueries {
             .when(col("event_id") % 10 < 9, "val").otherwise("test").as("split"))
       Sources.writeWindows(fixture, base.resolve("windows").toString)
       Sources.readWindows(s, base.resolve("windows").toString)
-        .select("wid", "features", "attack", "split")
+        .select(col("wid"), col("features").getItem(0).as("f0"),
+          col("features").getItem(1).as("f1"), col("attack"), col("split"))
         .orderBy("wid")
     }),
 
@@ -212,7 +216,8 @@ object SourceQueries {
 
     "s5_windows_roundtrip" ->
       """SELECT event_id AS wid,
-        |  [(event_id * 7 % 101) / 101.0e0, (event_id * 13 % 89) / 89.0e0] AS features,
+        |  (event_id * 7 % 101) / 101.0e0 AS f0,
+        |  (event_id * 13 % 89) / 89.0e0 AS f1,
         |  event_type AS attack,
         |  CASE WHEN event_id % 10 < 7 THEN 'train'
         |       WHEN event_id % 10 < 9 THEN 'val' ELSE 'test' END AS split

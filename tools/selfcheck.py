@@ -91,14 +91,19 @@ for name, sql in sorted(oracle.items()):
     if len(s) != len(d):
         results[name] = f"ROWCOUNT MISMATCH spark={len(s)} duck={len(d)}"
         continue
-    # Sort by scalar columns only (array cells aren't hashable/orderable);
-    # queries with array columns must order deterministically themselves.
-    keys = [c for c in s.columns
-            if not any(hasattr(v, "__len__") and not isinstance(v, str)
+    # Mirror the driver harness: it pandas-sorts over ALL columns, and an
+    # array (ndarray/list) cell makes that sort raise "unhashable type" —
+    # flag it here so the failure shows locally, not only in the driver.
+    arrayish = [c for c in s.columns
+                if any(hasattr(v, "__len__") and not isinstance(v, str)
                        for v in s[c].head(3))]
-    if keys:
-        s = s.sort_values(by=keys, ignore_index=True)
-        d = d.sort_values(by=keys, ignore_index=True)
+    if arrayish:
+        results[name] = ("ARRAY COLUMN (driver-harness unsortable): "
+                         + ", ".join(arrayish)
+                         + " — project scalar elements or array_to_string")
+        continue
+    s = s.sort_values(by=list(s.columns), ignore_index=True)
+    d = d.sort_values(by=list(d.columns), ignore_index=True)
     bad = None
     for c in s.columns:
         for i, (a, b) in enumerate(zip(s[c], d[c])):
