@@ -11,8 +11,8 @@ import graft.ops.{Dedup, Stats, TextOps}
   *
   * Usage: sbt 'runMain graft.ScaleProbe <op> [n]'
   *   ops: ewma | spans | wsample | lm | vocab | editpairs | corr |
-  *        fuzzyjoin | sessionize | ttd | entityres | pagerank | cc |
-  *        packsplit | spanremove
+  *        fuzzyjoin | sessionize | ttd | entityres | editskew | pagerank |
+  *        cc | packsplit | spanremove
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -182,6 +182,40 @@ object ScaleProbe {
         val names = base.unionByName(twins)
         names.count()
         time(s"editDistancePairs distinct<=${n + n / 100} maxDist=2")(
+          println("pairs=" + Dedup.editDistancePairs(names, col("nm"), 2).count()))
+      case "editskew" =>
+        // LOW-ENTROPY vocabulary stress: TPC-H-style names are a few words
+        // drawn from a ~100-word vocabulary, so fixed-position PassJoin
+        // segments collide across many names and the near-singleton-bucket
+        // argument from random names does NOT apply. Reports the blocking's
+        // candidate (pre-verify) pair count, the true pair count, and the
+        // candidate count plain length-banding would have produced (from
+        // the length histogram) — the safe-regime numbers for SCALE.md.
+        val vocab = (0 until 100).map { i =>
+          val s = java.lang.Long.toString((i * 2654435761L + 11) & 0xFFFFFFFFFL, 36)
+          ("aeioubcdfg".charAt(i % 10) + s).take(4 + i % 6)
+        }
+        val words = typedLit(vocab)
+        def pick(idc: org.apache.spark.sql.Column, j: Int) =
+          element_at(words, pmod(xxhash64(idc, lit(j)), lit(100)).cast("int") + 1)
+        def lowNm(idc: org.apache.spark.sql.Column) =
+          concat_ws(" ", (0 until 5).map(j => pick(idc, j)): _*)
+        val base = spark.range(n).select(lowNm(col("id")).as("nm"))
+        val twins = spark.range(n / 100).select(
+          concat(lowNm(col("id")), lit("x")).as("nm"))
+        val names = base.unionByName(twins)
+        names.count()
+        val lenHist = names.distinct()
+          .groupBy(length(col("nm")).as("l")).count()
+          .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+        val banding = (for ((la, ca) <- lenHist; (lb, cb) <- lenHist
+            if la <= lb && lb - la <= 2)
+          yield if (la == lb) ca * (ca - 1) / 2 else ca * cb).sum
+        println(s"[probe] length-banding candidates = $banding")
+        time(s"editskew candidates distinct<=${n + n / 100} maxDist=2")(
+          println("candidates=" +
+            Dedup.editDistanceCandidates(names, col("nm"), 2).count()))
+        time(s"editskew verified pairs")(
           println("pairs=" + Dedup.editDistancePairs(names, col("nm"), 2).count()))
       case other => sys.error(s"unknown probe op: $other")
     }

@@ -114,7 +114,10 @@ object Curves {
     val candidates = curve.where(col("fpr") <= fprTarget)
       .orderBy(col("fpr").desc, col("threshold").asc).limit(1)
       .select(col("threshold"), col("fpr"), col("tpr"))
-    val picked = candidates.collect() // one job; anchor only if empty
+    // driver-side collect is bounded by the limit(1) above — at most ONE
+    // row crosses, regardless of curve size (same loud-guard convention
+    // as the PQ maxQueries / all-pairs maxDomain caps)
+    val picked = candidates.collect()
     val rows =
       if (picked.nonEmpty) picked
       else Array(org.apache.spark.sql.Row(Double.PositiveInfinity, 0.0, 0.0))

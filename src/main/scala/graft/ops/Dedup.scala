@@ -644,7 +644,18 @@ object Dedup {
     * ADD candidates — the exact `levenshtein` verify filters them, so the
     * result set is identical to the unblocked all-pairs filter.
     * Returns (name_a, name_b, dist). */
-  def editDistancePairs(df: DataFrame, name: Column, maxDist: Int): DataFrame = {
+  def editDistancePairs(df: DataFrame, name: Column, maxDist: Int): DataFrame =
+    editDistanceCandidates(df, name, maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"))
+
+  /** The candidate (pre-`levenshtein`-verify) distinct pairs of
+    * [[editDistancePairs]] — exposed so scale probes can measure the
+    * blocking's selectivity (candidate count vs true pair count) without
+    * paying for the verify. */
+  private[graft] def editDistanceCandidates(df: DataFrame, name: Column,
+      maxDist: Int): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
     val d = maxDist
     val k = d + 1
@@ -705,8 +716,5 @@ object Dedup {
       .select(least(col("name_p"), col("name_s")).as("name_a"),
         greatest(col("name_p"), col("name_s")).as("name_b"))
       .distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .where(col("dist") <= maxDist)
-      .select(col("name_a"), col("name_b"), col("dist"))
   }
 }
