@@ -18,6 +18,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    TsContract.check(spark, sfDir)
     // Untimed warmup: JVM/codegen via one real query, plus a scan of every
     // table so no timed query absorbs first-reader footer/metadata costs.
     try {

@@ -28,7 +28,7 @@ object Demo {
 
     // events → power-shaped: event_type plays Attack ('error' = the
     // attack), user_id bucket plays State, (ts, event_id) is the order.
-    val power = spark.read.parquet(s"$sfDir/events.parquet")
+    val power = graft.queries.Q.table(spark, sfDir, "events")
       .withColumn("Attack", when(col("event_type") === "error", lit("syn-flood")).otherwise(lit("none")))
       .withColumn("State", when(pmod(col("user_id"), lit(2)) === 0, "charging").otherwise("idle"))
       .withColumn("v2", col("value") * 0.5 + col("event_id") % 7)
@@ -93,8 +93,8 @@ object Demo {
     val annHits = graft.ops.Similarity.ivfPqTopK(emb,
       emb.where(col("vec_id") < 2).select(col("vec_id").as("qid"), col("v").as("qv")),
       "vec_id", "v", "qid", "qv", k = 5, nCells = 16, nProbe = 4, cb = cb).count()
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = graft.queries.Q.table(spark, sfDir, "events")
+      .withColumn("ts_us", col("ts"))
     val mid = ev.agg(percentile_approx(col("ts_us"), lit(0.5), lit(100))).head().getLong(0)
     val ks = graft.ops.Stats.ksStatistic(
       ev.withColumn("half", when(col("ts_us") < mid, "a").otherwise("b")),

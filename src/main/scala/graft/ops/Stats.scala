@@ -317,7 +317,7 @@ object Stats {
     // Collision-free grouping key: a NULL group and the literal string
     // "null" must NOT fold into one EWMA series.
     proj.groupByKey(r =>
-      if (r.isNullAt(gIdx)) " " else "v" + r.get(gIdx))(Encoders.STRING)
+      if (r.isNullAt(gIdx)) "\u0000" else "v" + r.get(gIdx))(Encoders.STRING)
       .flatMapSortedGroups(orderCols.map(col): _*) { (_, it) =>
         var y = 0.0
         var first = true

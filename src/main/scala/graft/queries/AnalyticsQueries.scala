@@ -126,7 +126,7 @@ object AnalyticsQueries {
 
     "g_sessionize_gap" -> ((s, dir) => {
       // Inactivity-gap sessions per user (6 h gap), one row per session.
-      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = table(s, dir, "events").withColumn("ts_us", col("ts"))
       Sessionize.byGap(ev, col("user_id"), col("ts_us"), gap = 21600000000L)
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"), min("ts_us").as("first_us"),
@@ -141,7 +141,7 @@ object AnalyticsQueries {
       // fixed-rate features; grid points before a user's first event stay
       // null. Grid bounds are constants so the DuckDB twin can reproduce
       // the grid with generate_series.
-      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = table(s, dir, "events").withColumn("ts_us", col("ts"))
       val series = ev.groupBy("user_id", "ts_us")
         .agg(round(max("value"), 4).as("last_value"))
         .withColumn("last_event_us", col("ts_us"))
@@ -162,7 +162,7 @@ object AnalyticsQueries {
       // Per-user EWMA of event values — the exact sequential recurrence,
       // distributed (one shuffle + one in-partition sort; see Stats.ewma).
       // The oracle replays the identical fold as a recursive CTE.
-      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = table(s, dir, "events").withColumn("ts_us", col("ts"))
       Stats.ewma(ev, "user_id", Seq("ts_us", "event_id"), "value", alpha = 0.3)
         .select(col("user_id"), col("ts_us"), round(col("ewma"), 6).as("ewma"))
         .orderBy("user_id", "ts_us")
@@ -194,7 +194,7 @@ object AnalyticsQueries {
       // per-user window stack, no self-join. valid_to of the open run is
       // null.
       import org.apache.spark.sql.expressions.Window
-      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = table(s, dir, "events").withColumn("ts_us", col("ts"))
         .where(col("user_id") < 10)
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -215,7 +215,7 @@ object AnalyticsQueries {
       // Categorical drift between the first and second half of January:
       // KL both ways + Jensen-Shannon over the event-type distribution
       // (the categorical complement of g_ks_drift).
-      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = table(s, dir, "events").withColumn("ts_us", col("ts"))
       val mid = 1705363200000000L // 2024-01-16 UTC
       Stats.categoricalDivergence(ev, col("event_type"),
           col("ts_us") < mid, col("ts_us") >= mid)
@@ -229,7 +229,7 @@ object AnalyticsQueries {
       // twin of the streaming sliding aggregation; each event lands in
       // exactly windowLen/slide = 2 windows.
       val ev = table(s, dir, "events")
-        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+        .withColumn("t", timestamp_micros(col("ts")))
       ev.groupBy(window(col("t"), "6 hours", "3 hours"))
         .agg(countDistinct("user_id").as("u"), count(lit(1)).as("n"))
         .select(col("window.start").cast("long").as("win_start_s"),
@@ -248,7 +248,7 @@ object AnalyticsQueries {
       // Step-function time-weighted mean of each user's value signal —
       // the irregular-sampling-robust aggregate (plain avg over-weights
       // bursts).
-      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = table(s, dir, "events").withColumn("ts_us", col("ts"))
       Stats.timeWeightedAvg(ev, col("user_id"), col("ts_us"), col("value"))
         .select(col("k").as("user_id"), round(col("twa"), 6).as("twa"),
           col("n_intervals"), col("span"))
@@ -296,7 +296,7 @@ object AnalyticsQueries {
       // from the raw epoch-nanos column (UTC session). weekday() is
       // Monday=0 — the twin uses DuckDB's isodow()-1.
       val ev = table(s, dir, "events")
-        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+        .withColumn("t", timestamp_micros(col("ts")))
       ev.groupBy(weekday(col("t")).as("dow"), hour(col("t")).as("hr"))
         .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
         .orderBy("dow", "hr")
@@ -319,7 +319,7 @@ object AnalyticsQueries {
       // 10 events of its user (frame excludes the current row — no
       // self-contamination). Nulls until 2 prior points exist.
       import org.apache.spark.sql.expressions.Window
-      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = table(s, dir, "events").withColumn("ts_us", col("ts"))
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
         .rowsBetween(-10, -1)
       val mu = avg("value").over(w)
@@ -336,7 +336,7 @@ object AnalyticsQueries {
       // smoothing; exact percentile over a bounded rows frame (frame size
       // is the constant 5, so per-row cost is O(frame), not O(history)).
       import org.apache.spark.sql.expressions.Window
-      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = table(s, dir, "events").withColumn("ts_us", col("ts"))
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
         .rowsBetween(-4, 0)
       ev.select(col("user_id"), col("ts_us"),
@@ -350,7 +350,7 @@ object AnalyticsQueries {
       // user's FIRST qualifying event at-or-after the previous stage.
       // Three map-side-combined aggregations + two user-keyed joins — no
       // per-user event sorting, no collect.
-      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = table(s, dir, "events").withColumn("ts_us", col("ts"))
       val tv = ev.where(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts_us").as("t_view"))
       val tc = ev.join(tv, "user_id")
@@ -374,7 +374,7 @@ object AnalyticsQueries {
       // One aggregation for first-activity, one user-keyed join, one
       // distinct-count aggregation.
       val ev = table(s, dir, "events")
-        .withColumn("week", expr("(ts div 1000) div 604800000000"))
+        .withColumn("week", expr("ts div 604800000000"))
       val firstW = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
       ev.join(firstW, "user_id")
         .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
@@ -389,7 +389,7 @@ object AnalyticsQueries {
       // both windows (it is not a partition key of the value window), so
       // ranks are computed over the full table — same as the twin.
       import org.apache.spark.sql.expressions.Window
-      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = table(s, dir, "events").withColumn("ts_us", col("ts"))
       val wU = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       val wT = Window.partitionBy("event_type").orderBy("value")
       ev.select(col("event_id"), col("user_id"), col("ts_us"),

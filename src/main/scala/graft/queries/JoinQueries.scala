@@ -24,7 +24,7 @@ object JoinQueries {
       // Micros, not nanos, because DuckDB truncates TIMESTAMP(NANOS)
       // parquet to µs on read; the join itself also compares at µs so the
       // two engines see identical orderings.
-      val evUs = ev.withColumn("ts_us", expr("ts div 1000"))
+      val evUs = ev.withColumn("ts_us", col("ts"))
       val purchases = evUs.where(col("event_type") === "purchase")
         .groupBy("user_id", "ts_us").agg(round(max("value"), 4).as("purchase_value"))
         .withColumn("purchase_ts_us", col("ts_us"))
@@ -43,7 +43,7 @@ object JoinQueries {
       // with no clicks in-window drop out on both sides.
       // µs timestamps for the same reason as q_asof_join: boundary
       // comparisons must be engine-identical, not just almost-always-equal.
-      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = table(s, dir, "events").withColumn("ts_us", col("ts"))
       val intervals = ev.where(col("event_type") === "signup")
         .select(col("event_id").as("signup_id"),
           col("ts_us").as("lo"), (col("ts_us") + HourUs).as("hi"))
@@ -59,7 +59,7 @@ object JoinQueries {
       // Interval-interval overlap per user: 2-hour click windows crossing
       // 2-hour purchase windows. Binned equi-join; each pair emitted
       // exactly once via the greatest(lo)-bin assignment (no dedup pass).
-      val ev = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = table(s, dir, "events").withColumn("ts_us", col("ts"))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           col("ts_us").as("c_lo"), (col("ts_us") + 2 * HourUs).as("c_hi"))

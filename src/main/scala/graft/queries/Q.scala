@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Shared plumbing for the oracle-checked query surface (SparkEntry).
   *
@@ -19,16 +20,43 @@ object Q {
 
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.ansi.enabled", "false")
-    // The testdata writer emits TIMESTAMP(NANOS) parquet, which Spark's
-    // vectorized reader rejects; read nanos as long (epoch ns) and convert
-    // at use sites with [[tsSeconds]].
+    // Naive timestamps in the testdata are wall-clock UTC; pin the session
+    // zone so TIMESTAMP_NTZ → epoch conversion is deterministic.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    // Some testdata generations emit TIMESTAMP(NANOS) parquet, which
+    // Spark's vectorized reader rejects; read those as epoch-nanos long
+    // (a no-op flag for micros files) and normalize below.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
   }
 
-  /** Epoch-nanos long (see nanosAsLong above) → epoch seconds double.
-    * DuckDB twin: `epoch(ts)` (+ fractional part via epoch_ns). */
-  def tsSeconds(c: Column): Column = c.cast("double") / 1e9
+  /** Canonicalize a `ts` column to an epoch-MICROSECONDS long, whatever
+    * physical encoding the parquet writer chose. The testdata generator
+    * has emitted both TIMESTAMP(NANOS) (arrives as epoch-nanos long under
+    * `nanosAsLong`) and TIMESTAMP(MICROS) tz-naive (arrives as
+    * TIMESTAMP_NTZ); downstream queries must not care. DuckDB twins use
+    * `epoch_us(ts)`, which matches this canonical value for every
+    * encoding. Unknown encodings fail loudly here — one diagnostic line
+    * instead of a scatter of analysis errors at 18 use sites. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case None => df
+      case Some(LongType) =>
+        df.withColumn("ts", expr("ts div 1000"))
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)))
+      case Some(other) =>
+        throw new IllegalStateException(
+          s"events.ts arrived as $other — expected epoch-nanos LONG, " +
+            "TIMESTAMP, or TIMESTAMP_NTZ parquet. The testdata schema " +
+            "drifted again; teach Q.normalizeTs the new encoding.")
+    }
+
+  /** Canonical epoch-µs long (see [[normalizeTs]]) → epoch seconds double.
+    * DuckDB twin: `epoch(ts)`. */
+  def tsSeconds(c: Column): Column = c.cast("double") / 1e6
 
   /** events + derived deterministic scoring columns shared by the metric
     * queries: y_true = 1 for 'error' events, score = a fixed arithmetic

@@ -139,7 +139,7 @@ class PlanSpec extends SparkSpec {
     // MapGroups. The query's presentation orderBy adds a range exchange —
     // assert on the op alone.
     val ev = graft.queries.Q.table(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", col("ts"))
     val p = planOf(graft.ops.Stats.ewma(ev, "user_id", Seq("ts_us", "event_id"),
       "value", 0.3))
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
@@ -157,8 +157,11 @@ class PlanSpec extends SparkSpec {
   test("q_cohort: first-activity join keys on user; no cartesian, no broadcast of the fact side") {
     val p = plan("q_cohort")
     assert(!p.contains("CartesianProduct"), p)
-    // events scan prunes to the two needed columns
-    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"), p)
+    // events scan prunes to the two needed columns (the ts physical type
+    // varies by testdata generation — see Q.normalizeTs — the pin here is
+    // the PRUNING, not the encoding)
+    assert("ReadSchema: struct<ts:[a-z_]+,user_id:bigint>".r
+      .findFirstIn(p).isDefined, p)
   }
 
   test("rocCurve: the only full-data pass is the map-side-combined groupBy(score)") {
