@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType}
 
 /** Training-data deduplication operators (engine extension beyond the
   * reference — BASELINE.json north star): exact, MinHash+LSH, SimHash,
@@ -265,13 +266,46 @@ object Dedup {
     * plan would double every round), so lineage stays flat at any
     * scale.
     *
+    * SMALL-GRAPH REGIME: when the edge list fits a bounded driver budget
+    * (`localEdgeThreshold`, default 2^18 rows ≈ tens of MB of endpoint
+    * strings), the iterative plan is the wrong tool — each round costs a
+    * fixed ~0.5–1s in shuffle scheduling + eager checkpoint regardless of
+    * data volume, so a 64-node entity graph pays seconds of pure
+    * overhead. A `limit`-probed collect detects the regime WITHOUT a
+    * separate count action, union-find with path compression resolves the
+    * components on the driver (microseconds), and the result rejoins the
+    * node table by BROADCAST — two narrow scans of `nodes`, zero
+    * shuffles, identical output (component = min reachable member OF
+    * `nodes`, string minima compared as UTF-8 bytes exactly like Spark's
+    * `min`). Graphs past the threshold, or with a non-integral/non-string
+    * id type, take the distributed loop unchanged — the probe's partial
+    * evaluation is kept (the edge projection is persisted before probing)
+    * so the big-graph path pays nothing extra.
+    *
     * Returns (id, component) for EVERY node (singletons keep their own
     * id); component = min id reachable. `edges` may list each pair once
     * in either orientation. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, id: String,
-      src: String, dst: String, maxIter: Int = 25): DataFrame = {
-    val bidir = edges.select(col(src).as("u"), col(dst).as("v"))
-      .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
+      src: String, dst: String, maxIter: Int = 25,
+      localEdgeThreshold: Int = 1 << 18): DataFrame = {
+    val e2 = edges.select(col(src).as("u"), col(dst).as("v")).persist()
+    val idType = nodes.schema(id).dataType
+    val localizable = idType match {
+      case _: LongType | _: IntegerType | _: ShortType | _: StringType => true
+      case _ => false
+    }
+    val probe =
+      if (localizable && localEdgeThreshold > 0)
+        e2.limit(localEdgeThreshold + 1).collect()
+      else Array.empty[Row]
+    if (localizable && localEdgeThreshold > 0 &&
+        probe.length <= localEdgeThreshold) {
+      val out = localComponents(nodes, probe, id, idType)
+      e2.unpersist()
+      return out
+    }
+    val bidir = e2
+      .unionByName(e2.select(col("v").as("u"), col("u").as("v")))
       .cache()
     var labels = nodes.select(col(id).as("n"), col(id).as("comp")).cache()
     var converged = false
@@ -300,7 +334,91 @@ object Dedup {
       it += 1
     }
     bidir.unpersist()
+    e2.unpersist()
     labels.select(col("n").as(id), col("comp").as("component"))
+  }
+
+  /** Driver-side finish for [[connectedComponents]]'s small-graph regime:
+    * union-find with path compression over the collected (u, v) edge
+    * rows, exact distributed semantics — endpoints ABSENT from `nodes`
+    * neither bridge nor label (the iterative loop's label join drops
+    * them), and the component label is the minimum member present in
+    * `nodes`, with strings compared as UTF-8 bytes like Spark's `min`.
+    * Driver memory is bounded by the caller's edge threshold (≤ 2·|edges|
+    * endpoint values); `nodes` itself is never collected — membership of
+    * the (bounded) endpoint set is resolved with one broadcast semi-join
+    * scan, and the final label map rejoins by broadcast. */
+  private def localComponents(nodes: DataFrame, edgeRows: Array[Row],
+      id: String, idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = nodes.sparkSession
+    import scala.collection.mutable
+    def utf8Less(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(xb.length, yb.length)
+        var i = 0
+        while (i < n) {
+          val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        xb.length < yb.length
+      case (x: Long, y: Long) => x < y
+      case (x: Int, y: Int) => x < y
+      case (x: Short, y: Short) => x < y
+      case _ => sys.error(s"unsupported local CC id: $a")
+    }
+    // index the endpoint universe
+    val index = mutable.HashMap.empty[Any, Int]
+    val vals = mutable.ArrayBuffer.empty[Any]
+    def idx(a: Any): Int = index.getOrElseUpdate(a, { vals += a; vals.length - 1 })
+    val es = edgeRows.iterator
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (idx(r.get(0)), idx(r.get(1)))).toArray
+    // which endpoints exist in `nodes` (bounded: ≤ |endpoints|)
+    val epField = org.apache.spark.sql.types.StructField("__ep", idType)
+    val epDf = spark.createDataFrame(
+      java.util.Arrays.asList(vals.map(Row(_)).toArray: _*),
+      org.apache.spark.sql.types.StructType(Seq(epField)))
+    val present = new Array[Boolean](vals.length)
+    nodes.join(broadcast(epDf), col(id) === col("__ep"), "left_semi")
+      .select(col(id)).distinct().collect()
+      .foreach(r => index.get(r.get(0)).foreach(present(_) = true))
+    // union-find over edges whose BOTH endpoints are present
+    val parent = Array.tabulate(vals.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    es.foreach { case (a, b) =>
+      if (present(a) && present(b)) {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(rb) = ra
+      }
+    }
+    // min present member per root → (endpoint, component) label map
+    val minOfRoot = mutable.HashMap.empty[Int, Any]
+    vals.indices.foreach { i =>
+      if (present(i)) {
+        val r = find(i)
+        val cur = minOfRoot.get(r)
+        if (cur.isEmpty || utf8Less(vals(i), cur.get)) minOfRoot(r) = vals(i)
+      }
+    }
+    val mapRows = vals.indices.collect {
+      case i if present(i) => Row(vals(i), minOfRoot(find(i)))
+    }
+    val mapDf = spark.createDataFrame(
+      java.util.Arrays.asList(mapRows.toArray: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        epField, org.apache.spark.sql.types.StructField("__comp", idType))))
+    nodes.select(col(id))
+      .join(broadcast(mapDf), col(id) === col("__ep"), "left")
+      .select(col(id), coalesce(col("__comp"), col(id)).as("component"))
   }
 
   /** Cluster-aware keep-list: one row per component (the min-id member),

@@ -282,9 +282,39 @@ class DedupTextSpec extends SparkSpec {
     val n = 3000
     val nodes = (0L until n.toLong).toDF("id")
     val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
-    val comps = Dedup.connectedComponents(nodes, edges, "id", "a", "b")
+    val comps = Dedup.connectedComponents(nodes, edges, "id", "a", "b",
+        localEdgeThreshold = 0) // pin the DISTRIBUTED loop — this test is about pointer jumping
       .select("component").distinct().collect().map(_.getLong(0))
     assert(comps.toSeq == Seq(0L))
+  }
+
+  test("connectedComponents: local union-find fast path == distributed loop (parity)") {
+    // seeded pseudo-random graph: 60 nodes, 45 edges → mixed components
+    val nodes = (0L until 60L).toDF("id")
+    val edges = (0 until 45)
+      .map(i => ((i * 37 + 11) % 60L, (i * 53 + 29) % 60L))
+      .filter(e => e._1 != e._2).toDF("a", "b")
+    val local = Dedup.connectedComponents(nodes, edges, "id", "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(nodes, edges, "id", "a", "b",
+        localEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+  }
+
+  test("connectedComponents: local path drops edges with endpoints absent from nodes (parity)") {
+    // edge 1—99 has 99 ∉ nodes: it must neither bridge nor label; edge
+    // 99—3 must not connect 1 and 3 transitively through the absent 99.
+    // String ids also pin the UTF-8 min comparison.
+    val nodes = Seq("a1", "a2", "a3", "b1").toDF("id")
+    val edges = Seq(("a1", "zz"), ("zz", "a3"), ("a1", "a2")).toDF("a", "b")
+    for (thr <- Seq(0, 1 << 18)) {
+      val got = Dedup.connectedComponents(nodes, edges, "id", "a", "b",
+          localEdgeThreshold = thr)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map("a1" -> "a1", "a2" -> "a1", "a3" -> "a3", "b1" -> "b1"),
+        s"threshold $thr")
+    }
   }
 
   test("decontaminate: counts distinct shared n-grams; clean docs absent") {
