@@ -27,6 +27,21 @@ class GraphSpec extends SparkSpec {
     assert(approx(rows.values.sum, 1.0, 1e-9))
   }
 
+  test("pageRank: local fast path == distributed loop (parity, incl. multi-edges + dangling)") {
+    // seeded pseudo-random multigraph with parallel edges, dangling nodes
+    // and self-avoiding targets — every semantic branch exercised
+    val edges = (0 until 80)
+      .map(i => ((i * 37 + 11) % 23L, (i * 53 + 29) % 31L)).toDF("s", "d")
+    val local = Graph.pageRank(edges, "s", "d", iterations = 4)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val dist = Graph.pageRank(edges, "s", "d", iterations = 4,
+        localEdgeThreshold = 0)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(local.keySet == dist.keySet)
+    local.foreach { case (k, v) => assert(approx(v, dist(k), 1e-12), s"node $k") }
+    assert(approx(local.values.sum, 1.0, 1e-9))
+  }
+
   test("pageRank: hub target accumulates rank; total mass conserved over iterations") {
     // star: 1..5 all point at 10
     val edges = (1L to 5L).map(i => (i, 10L)).toDF("s", "d")
