@@ -26,6 +26,19 @@ object TsContract {
     System.err.println(s"[ts-contract] events.ts arrives as ${tsType.getOrElse("<absent>")}; " +
       "normalizing to epoch-us long (Q.normalizeTs)")
     graft.queries.Q.normalizeTs(raw) // throws with a one-line diagnosis on drift
-    ()
+    // one compact schema line per table: the next generator drift (a
+    // retyped id, a renamed column) should be diagnosable from the log
+    // of the FIRST failing round, not reverse-engineered from 17
+    // scattered AnalysisExceptions like the ts switch was
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try {
+        val sch = spark.read.parquet(s"$sfDir/$t.parquet").schema
+          .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+        System.err.println(s"[ts-contract] $t{$sch}")
+      } catch { case e: Throwable =>
+        System.err.println(s"[ts-contract] $t unreadable: ${e.getMessage}")
+      }
+    }
   }
 }
