@@ -23,8 +23,7 @@ object Bench {
     // table so no timed query absorbs first-reader footer/metadata costs.
     try {
       SparkEntry.queries("q1_agg")(spark, sfDir).count()
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings")
+      graft.queries.Q.tableNames
         .foreach(t => graft.queries.Q.table(spark, sfDir, t).count())
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

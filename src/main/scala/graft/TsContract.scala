@@ -30,8 +30,7 @@ object TsContract {
     // retyped id, a renamed column) should be diagnosable from the log
     // of the FIRST failing round, not reverse-engineered from 17
     // scattered AnalysisExceptions like the ts switch was
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
+    graft.queries.Q.tableNames.foreach { t =>
       try {
         val sch = spark.read.parquet(s"$sfDir/$t.parquet").schema
           .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")

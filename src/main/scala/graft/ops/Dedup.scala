@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** Training-data deduplication operators (engine extension beyond the
   * reference — BASELINE.json north star): exact, MinHash+LSH, SimHash,
@@ -291,22 +291,21 @@ object Dedup {
     val e2 = edges.select(col(src).as("u"), col(dst).as("v")).persist()
     val idType = nodes.schema(id).dataType
     val localizable = idType match {
-      case _: LongType | _: IntegerType | _: ShortType | _: StringType => true
+      case LongType | IntegerType | ShortType | StringType => true
       case _ => false
     }
-    val probe =
-      if (localizable && localEdgeThreshold > 0)
-        e2.limit(localEdgeThreshold + 1).collect()
-      else Array.empty[Row]
-    if (localizable && localEdgeThreshold > 0 &&
-        probe.length <= localEdgeThreshold) {
-      val out = localComponents(nodes, probe, id, idType)
-      e2.unpersist()
-      return out
+    if (localizable && localEdgeThreshold > 0) {
+      val probe = e2.limit(localEdgeThreshold + 1).collect()
+      if (probe.length <= localEdgeThreshold) {
+        val out = localComponents(nodes, probe, id, idType)
+        e2.unpersist()
+        return out
+      }
     }
+    // narrow re-projection of the persisted e2 each round — NOT cached
+    // itself, so the edge list is stored once, not twice
     val bidir = e2
       .unionByName(e2.select(col("v").as("u"), col("u").as("v")))
-      .cache()
     var labels = nodes.select(col(id).as("n"), col(id).as("comp")).cache()
     var converged = false
     var it = 0
@@ -333,7 +332,6 @@ object Dedup {
       labels = updated.drop("changed")
       it += 1
     }
-    bidir.unpersist()
     e2.unpersist()
     labels.select(col("n").as(id), col("comp").as("component"))
   }
@@ -349,7 +347,7 @@ object Dedup {
     * the (bounded) endpoint set is resolved with one broadcast semi-join
     * scan, and the final label map rejoins by broadcast. */
   private def localComponents(nodes: DataFrame, edgeRows: Array[Row],
-      id: String, idType: org.apache.spark.sql.types.DataType): DataFrame = {
+      id: String, idType: DataType): DataFrame = {
     val spark = nodes.sparkSession
     import scala.collection.mutable
     def utf8Less(a: Any, b: Any): Boolean = (a, b) match {
@@ -377,10 +375,10 @@ object Dedup {
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .map(r => (idx(r.get(0)), idx(r.get(1)))).toArray
     // which endpoints exist in `nodes` (bounded: ≤ |endpoints|)
-    val epField = org.apache.spark.sql.types.StructField("__ep", idType)
+    val epField = StructField("__ep", idType)
     val epDf = spark.createDataFrame(
       java.util.Arrays.asList(vals.map(Row(_)).toArray: _*),
-      org.apache.spark.sql.types.StructType(Seq(epField)))
+      StructType(Seq(epField)))
     val present = new Array[Boolean](vals.length)
     nodes.join(broadcast(epDf), col(id) === col("__ep"), "left_semi")
       .select(col(id)).distinct().collect()
@@ -414,8 +412,7 @@ object Dedup {
     }
     val mapDf = spark.createDataFrame(
       java.util.Arrays.asList(mapRows.toArray: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        epField, org.apache.spark.sql.types.StructField("__comp", idType))))
+      StructType(Seq(epField, StructField("__comp", idType))))
     nodes.select(col(id))
       .join(broadcast(mapDf), col(id) === col("__ep"), "left")
       .select(col(id), coalesce(col("__comp"), col(id)).as("component"))

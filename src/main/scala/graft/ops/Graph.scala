@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Iterative graph analytics beyond connectivity
   * ([[Dedup.connectedComponents]]): PageRank with proper dangling-mass
@@ -59,7 +60,8 @@ object Graph {
     // cached: the dangling-mass anti-join re-reads it every iteration
     val outDeg = e.groupBy("u").agg(count(lit(1)).as("deg")).cache()
     val withDeg = e.join(outDeg, "u").cache()
-    withDeg.count()
+    withDeg.count() // materializes withDeg AND outDeg's cache; e0 no longer needed
+    e0.unpersist(blocking = false)
     var ranks = nodes.withColumn("rank", lit(1.0 / nTotal)).cache()
     for (_ <- 0 until iterations) {
       val danglingMass = ranks
@@ -80,15 +82,16 @@ object Graph {
     nodes.unpersist(blocking = false)
     outDeg.unpersist(blocking = false)
     withDeg.unpersist(blocking = false)
-    e0.unpersist(blocking = false)
     ranks
   }
+
+  private val rankSchema = StructType(Seq(
+    StructField("node", LongType), StructField("rank", DoubleType)))
 
   /** Driver-side power iteration for [[pageRank]]'s small-graph regime:
     * the same update rule over the collected edge rows. Memory is bounded
     * by the caller's edge threshold. */
-  private def localPageRank(spark: org.apache.spark.sql.SparkSession,
-      edgeRows: Array[org.apache.spark.sql.Row],
+  private def localPageRank(spark: SparkSession, edgeRows: Array[Row],
       iterations: Int, damping: Double): DataFrame = {
     import scala.collection.mutable
     val index = mutable.HashMap.empty[Long, Int]
@@ -99,10 +102,7 @@ object Graph {
       .map(r => (idx(r.getLong(0)), idx(r.getLong(1)))).toArray
     val n = ids.length
     if (n == 0)
-      return spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.DoubleType))))
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), rankSchema)
     val deg = new Array[Long](n)
     es.foreach { case (u, _) => deg(u) += 1 }
     var ranks = Array.fill(n)(1.0 / n)
@@ -115,12 +115,7 @@ object Graph {
       val base = (1.0 - damping) / n + damping * danglingMass / n
       ranks = Array.tabulate(n)(j => base + damping * contrib(j))
     }
-    val rows: Seq[org.apache.spark.sql.Row] =
-      ids.indices.map(i => org.apache.spark.sql.Row(ids(i), ranks(i)))
-    spark.createDataFrame(
-      java.util.Arrays.asList(rows.toArray: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.DoubleType))))
+    val rows = ids.indices.map(i => Row(ids(i), ranks(i)))
+    spark.createDataFrame(java.util.Arrays.asList(rows.toArray: _*), rankSchema)
   }
 }

@@ -18,6 +18,12 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 object Q {
   type QueryFn = (SparkSession, String) => DataFrame
 
+  /** Every parquet table the driver generates (TESTDATA.md) — the single
+    * source for warmup scans and the schema-contract log. */
+  val tableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.ansi.enabled", "false")
     // Naive timestamps in the testdata are wall-clock UTC; pin the session

@@ -8,6 +8,8 @@ import org.apache.spark.sql.SparkSession
   * serial bench run. Usage:
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *     sbt 'runMain graft.tools.ProfileQuery q_join_dims r1_packet_loss [reps]'
+  * Set SPARK_GRAFT_NO_WARMUP=1 to skip the warmup and measure the
+  * fresh-JVM one-shot cost a driver bench's first query pays.
   */
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
@@ -21,10 +23,9 @@ object ProfileQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // same warmup as graft.Bench: JVM/codegen + every table's footer
-    try {
+    if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) try {
       graft.SparkEntry.queries("q1_agg")(spark, sfDir).count()
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings")
+      graft.queries.Q.tableNames
         .foreach(t => graft.queries.Q.table(spark, sfDir, t).count())
     } catch { case _: Throwable => () }
     names.foreach { name =>
