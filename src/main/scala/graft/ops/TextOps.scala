@@ -373,6 +373,64 @@ object TextOps {
     * pipelines the explode straight into the downstream consumer (or
     * parquet writer) without materializing per-doc state.
     */
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling" —
+    * public method): score every document by the log-likelihood ratio of
+    * its hashed word-n-gram features under the TARGET distribution
+    * (rows where `isTarget`) vs the RAW distribution (the remaining
+    * rows), with add-`alpha` smoothing over `numBuckets` hash buckets:
+    *
+    *   weight(d) = Σ_{g ∈ grams(d)} [ ln (t_b(g)+α)/(T+αB)
+    *                                − ln (r_b(g)+α)/(R+αB) ]
+    *
+    * High-weight documents look like the target corpus; feed the weights
+    * to [[Stats.weightedSample]] (Efraimidis–Spirakis) for the actual
+    * resampling step.
+    *
+    * Distributed shape for 100 TB: TWO corpus passes, both narrow until
+    * a bounded aggregation. Pass 1 explodes n-grams to (bucket, side)
+    * counts — map-side combined into ≤ `numBuckets` rows (the feature
+    * distribution is a MODEL, tiny by construction). Pass 2 re-explodes
+    * and broadcast-joins the bucket→log-ratio table (numBuckets rows),
+    * then sums per document — one shuffle keyed by doc id. Nothing
+    * materializes the exploded grams; at extreme scale run pass 1 on a
+    * sample (the distributions converge long before full coverage — the
+    * published method does exactly this).
+    *
+    * Hashing is [[IntHash.stringHash]] (engine-portable), so the whole
+    * computation has an exact DuckDB twin. Documents with fewer than `n`
+    * tokens have no features and are omitted (no evidence → no weight).
+    * Returns (id, n_grams, weight). */
+  def dsirWeights(df: DataFrame, id: String, text: Column, isTarget: Column,
+      n: Int = 2, numBuckets: Int = 8192, alpha: Double = 1.0): DataFrame = {
+    require(n >= 1 && numBuckets >= 2, "need n >= 1 and numBuckets >= 2")
+    // NON-distinct n-grams — DSIR features are occurrence counts, so
+    // [[Dedup.shingles]] (a LinkedHashSet, built for set-Jaccard) is the
+    // wrong primitive here: "a b a b" has three bigram occurrences, two
+    // distinct.
+    val toks = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    val nGrams = greatest(size(toks) - lit(n - 1), lit(0))
+    val gramArr = when(nGrams > 0,
+      transform(sequence(lit(1), nGrams),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val grams = df.select(col(id), isTarget.as("__t"),
+        explode(gramArr).as("__g"))
+      .select(col(id), col("__t"),
+        pmod(IntHash.stringHash(col("__g")), lit(numBuckets)).as("__b"))
+    val dist = grams.groupBy("__b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("__rc"))
+    val tot = dist.agg(sum("__tc").as("__T"), sum("__rc").as("__R"))
+    val ratios = dist.crossJoin(broadcast(tot)).select(col("__b"),
+      (log((col("__tc") + lit(alpha)) / (col("__T") + lit(alpha * numBuckets))) -
+       log((col("__rc") + lit(alpha)) / (col("__R") + lit(alpha * numBuckets))))
+        .as("__lr"))
+    grams.join(broadcast(ratios), Seq("__b"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__lr")).as("weight"))
+  }
+
   def chunkDocuments(df: org.apache.spark.sql.DataFrame, text: Column,
       chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
     require(chunkSize >= 1 && stride >= 1, "chunkSize and stride must be >= 1")

@@ -424,6 +424,20 @@ object DedupTextQueries {
           round(col("avg_logp"), 6).as("avg_logp"),
           round(col("ppl"), 4).as("ppl"))
         .orderBy("doc_id")),
+
+    "dsir_weights" -> ((s, dir) =>
+      // DSIR importance weights: hashed-bigram log-likelihood ratio of
+      // every doc under the English (target) vs non-English (raw)
+      // distributions, over 1024 IntHash buckets. Distributions come
+      // from the WHOLE corpus; the output is the bounded doc_id < 200
+      // slice. High weight = looks like the target corpus; feeds
+      // Stats.weightedSample for the resampling step.
+      TextOps.dsirWeights(table(s, dir, "documents"), "doc_id", col("text"),
+          col("lang") === "en", n = 2, numBuckets = 1024)
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("weight"), 4).as("weight"))
+        .orderBy("doc_id")),
   )
 
   /** Shared SQL fragment: whitespace tokens of trimmed lower-cased text. */
@@ -962,5 +976,31 @@ object DedupTextQueries {
          |  round(exp(-avg(logp)), 4) AS ppl
          |FROM t JOIN lp USING (token)
          |WHERE doc_id < 100 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dsir_weights" -> {
+      val h = graft.ops.IntHash.stringHashSql("u.g")
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT t.doc_id, t.lang, ($h) % 1024 AS b
+         |  FROM (SELECT doc_id, lang,
+         |          list_transform(range(1, len(toks)),
+         |            i -> toks[i] || ' ' || toks[i + 1]) AS gs
+         |        FROM tok) t,
+         |       UNNEST(t.gs) AS u(g)),
+         |dist AS (
+         |  SELECT b, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc,
+         |         sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS rc
+         |  FROM g GROUP BY b),
+         |lr AS (
+         |  SELECT b, ln((tc + 1.0) / (tt + 1024.0)) - ln((rc + 1.0) / (rt + 1024.0)) AS lr
+         |  FROM dist CROSS JOIN
+         |       (SELECT sum(tc) AS tt, sum(rc) AS rt FROM dist) tot)
+         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  round(sum(lr.lr), 4) AS weight
+         |FROM g JOIN lr USING (b)
+         |WHERE g.doc_id < 200 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
   )
 }

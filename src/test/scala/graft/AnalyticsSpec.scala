@@ -13,6 +13,26 @@ class AnalyticsSpec extends SparkSpec {
       .select("chunk_idx", "chunk_tokens", "chunk_text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sortBy(_._1)
 
+  test("dsirWeights: target-vocab docs score positive, raw-vocab negative, featureless omitted") {
+    // disjoint vocabularies: target docs speak only {a b c}, raw docs only
+    // {x y z}; doc 5 mixes both; doc 6 has a single token (no bigrams)
+    val docs = Seq(
+      (1L, "a b c a b", true), (2L, "b c a b c", true),
+      (3L, "x y z x y", false), (4L, "y z x y z", false),
+      (5L, "a b x y", true), (6L, "solo", false)
+    ).toDF("id", "text", "tgt")
+    val out = TextOps.dsirWeights(docs, "id", col("text"), col("tgt"),
+        n = 2, numBuckets = 1024)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(6L)) // no evidence -> no weight
+    assert(out(1L)._1 == 4 && out(3L)._1 == 4 && out(5L)._1 == 3) // len-1 bigrams
+    // target-vocab bigrams are frequent under target, absent under raw
+    assert(out(1L)._2 > 0 && out(2L)._2 > 0, out.toString)
+    assert(out(3L)._2 < 0 && out(4L)._2 < 0, out.toString)
+    // the mixed doc sits strictly between the pure docs
+    assert(out(5L)._2 < out(1L)._2 && out(5L)._2 > out(3L)._2)
+  }
+
   test("chunkDocuments: empty and whitespace-only docs produce no chunks") {
     assert(chunks("", 4, 4).isEmpty)
     assert(chunks("   \n\t ", 4, 4).isEmpty)
