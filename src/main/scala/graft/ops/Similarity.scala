@@ -326,4 +326,49 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col(qid), col(id), col("cos"), col("rank"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" — public method): cluster
+    * the embedding space with the deterministic Lloyd trainer
+    * ([[trainIvfCentroids]]), then flag within-cluster semantic
+    * duplicates — a row is a duplicate iff a LOWER-id cluster-mate sits
+    * at cosine ≥ `simThreshold` (one deterministic representative per
+    * semantic ball; the paper keeps one point per ε-ball, with the
+    * keep-choice a free parameter).
+    *
+    * Scale shape: clustering IS the blocking — the pairwise cosine join
+    * is quadratic only WITHIN a cell (one shuffle of (cell, id, vec),
+    * join keyed by cell). Pick `nCells ≈ N/1e4` so cells stay ~1e4 rows
+    * — exactly the published recipe (they run k-means with large k for
+    * this reason); the assignment pass is the IVF narrow/broadcast
+    * argmin, and the final flag join is a broadcast of the (usually
+    * small) duplicate-id set when AQE sees it fit, else a key shuffle.
+    *
+    * Returns (id, cell_id, is_dup) for every input row; downstream keeps
+    * `!is_dup` (compose with [[Dedup.dedupByComponent]]-style keep-lists
+    * or a plain filter). */
+  def semanticDedup(corpus: DataFrame, id: String, vec: String,
+      nCells: Int, iters: Int, simThreshold: Double,
+      byHash: Boolean = true,
+      maxLiteralTerms: Int = DefaultMaxLiteralTerms): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, id, vec, nCells, iters, byHash)
+    val centroidData = centroids.collect()
+    val local = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centroidData: _*), centroids.schema)
+    val corpusN = corpus.select(col(id), col(vec)).withColumn("vnorm", norm(col(vec)))
+    val assigned = assignCells(corpusN, id, vec, centroidData, local, maxLiteralTerms)
+    val a = assigned.select(col("cell_id"), col(id).as("__ia"),
+      col(vec).as("__va"), col("vnorm").as("__na"))
+    val b = assigned.select(col("cell_id"), col(id).as("__ib"),
+      col(vec).as("__vb"), col("vnorm").as("__nb"))
+    val dupIds = a.join(b, Seq("cell_id"))
+      .where(col("__ib") > col("__ia") &&
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= simThreshold)
+      .select(col("__ib").as(id)).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.select(col(id), col("cell_id"))
+      .join(dupIds, Seq(id), "left")
+      .select(col(id), col("cell_id"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
 }

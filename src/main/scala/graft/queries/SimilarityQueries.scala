@@ -85,6 +85,16 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup over the synthesized near-dup corpus: 4 seed centroids
+      // (iters = 0, byHash = false → the 4 lowest-id corpus rows, exact
+      // doubles — no averaged centroids, so the discrete assignment is
+      // bit-stable across engines; refined-iteration behavior is
+      // spec-covered), within-cell duplicate flag at cosine >= 0.96.
+      Similarity.semanticDedup(nearDupCorpus(s, dir), "vec_id", "v",
+          nCells = 4, iters = 0, simThreshold = 0.96, byHash = false)
+        .orderBy("vec_id")),
+
     "ann_pq_adc" -> ((s, dir) => {
       // Product-quantization ADC search: 4 subspaces × 4 codes sampled
       // from the lowest vec_ids (SQL-reproducible; real deployments use
@@ -202,6 +212,32 @@ object SimilarityQueries {
          |  round(avg(c.v[CAST(p.range AS INT)]), 6) AS m
          |FROM asn JOIN corpus c USING (vec_id), range(1, 65) p
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn
+         |  FROM ($nearDupCorpusSql)),
+         |seeds AS (
+         |  SELECT vec_id AS cell_id, v AS cv, vn AS cn FROM corpus
+         |  ORDER BY vec_id LIMIT 4),
+         |asn AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT c.vec_id, s.cell_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY -(list_dot_product(c.v, s.cv) / (c.vn * s.cn)) ASC,
+         |                 s.cell_id ASC) AS rk
+         |    FROM corpus c, seeds s) t WHERE rk = 1),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM asn a JOIN asn b USING (cell_id)
+         |  JOIN corpus ca ON ca.vec_id = a.vec_id
+         |  JOIN corpus cb ON cb.vec_id = b.vec_id
+         |  WHERE b.vec_id > a.vec_id
+         |    AND list_dot_product(ca.v, cb.v) / (ca.vn * cb.vn) >= 0.96)
+         |SELECT asn.vec_id, asn.cell_id,
+         |  (d.vec_id IS NOT NULL) AS is_dup
+         |FROM asn LEFT JOIN dups d ON d.vec_id = asn.vec_id
+         |ORDER BY asn.vec_id""".stripMargin,
 
     "ann_topk_brute" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),

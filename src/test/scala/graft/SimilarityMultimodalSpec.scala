@@ -78,6 +78,25 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(ivf == brute) // nProbe=1 suffices once centroids are trained
   }
 
+  test("semanticDedup: near-copies flagged within cluster, representatives kept, distant points clean") {
+    // two tight clusters around orthogonal directions + a near-copy in
+    // each; one Lloyd iteration refines the seed centroids (the
+    // averaged-centroid regime the oracle query deliberately avoids)
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.999, 0.01, 0.0)), // pair A
+      (3L, Seq(0.0, 1.0, 0.0)), (4L, Seq(0.01, 0.999, 0.0)), // pair B
+      (5L, Seq(0.7, 0.7, 0.2))                               // mixed, no dup
+    ).toDF("vec_id", "v")
+    val out = Similarity.semanticDedup(vecs, "vec_id", "v",
+        nCells = 2, iters = 1, simThreshold = 0.99, byHash = false)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // the lower id of each semantic ball is the kept representative
+    assert(!out(1L) && out(2L), out.toString)
+    assert(!out(3L) && out(4L), out.toString)
+    assert(!out(5L), out.toString)
+  }
+
   test("randomHyperplaneLsh: similar vectors collide more than dissimilar") {
     val df = Seq(
       (1L, Seq(1.0, 0.0, 0.5, 0.2)), (2L, Seq(0.99, 0.01, 0.5, 0.2)),
