@@ -83,14 +83,18 @@ case class MinHashSig(child: Expression, numHashes: Int)
 }
 
 /** Native word-n-gram shingles: whitespace-tokenize the (space-trimmed)
-  * text, join each run of `nWords` tokens with " ", distinct preserving
-  * first occurrence. Bit-compatible with the HOF form
-  * `array_distinct(transform(sequence(1, count), i -> array_join(slice(split(trim(text), "\\s+"), i, n), " ")))`
+  * text, join each run of `nWords` tokens with " ". With `distinct`
+  * (default — the set-similarity form MinHash/Jaccard need) shingles
+  * dedupe preserving first occurrence; with `distinct = false` every
+  * occurrence survives (the bag-of-features form count-based scoring
+  * like DSIR needs). Bit-compatible with the HOF form
+  * `[array_distinct](transform(sequence(1, count), i -> array_join(slice(split(trim(text), "\\s+"), i, n), " ")))`
   * — which re-evaluates the regex split of the WHOLE document once per
   * shingle through the interpreted lambda evaluator (O(tokens²) regex
   * work per document; measured dominant in the minhash path, SCALE.md).
   * Here the document is split once. Blank text → empty array. */
-case class WordShingles(child: Expression, nWords: Int)
+case class WordShingles(child: Expression, nWords: Int,
+    distinct: Boolean = true)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   require(nWords >= 1, "nWords must be >= 1")
 
@@ -105,7 +109,9 @@ case class WordShingles(child: Expression, nWords: Int)
     val toks = s.split("\\s+", -1) // limit -1: Spark's split keeps trailing empties
     val count = toks.length - (nWords - 1)
     if (count < 1) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](count * 2)
+    val acc: java.util.Collection[String] =
+      if (distinct) new java.util.LinkedHashSet[String](count * 2)
+      else new java.util.ArrayList[String](count)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < count) {
@@ -116,11 +122,11 @@ case class WordShingles(child: Expression, nWords: Int)
         sb.append(toks(i + j))
         j += 1
       }
-      seen.add(sb.toString)
+      acc.add(sb.toString)
       i += 1
     }
-    val out = new Array[Any](seen.size())
-    val it = seen.iterator()
+    val out = new Array[Any](acc.size())
+    val it = acc.iterator()
     var k = 0
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(out)
@@ -395,6 +401,8 @@ object MinHashShim {
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingles), numHashes))
   def shinglesCol(text: Column, nWords: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), nWords))
+  def shinglesAllCol(text: Column, nWords: Int): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), nWords, distinct = false))
   def jaccardCol(a: Column, b: Column): Column =
     ExpressionUtils.column(JaccardSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def stringHash31Col(s: Column): Column =

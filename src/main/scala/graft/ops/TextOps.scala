@@ -404,18 +404,15 @@ object TextOps {
   def dsirWeights(df: DataFrame, id: String, text: Column, isTarget: Column,
       n: Int = 2, numBuckets: Int = 8192, alpha: Double = 1.0): DataFrame = {
     require(n >= 1 && numBuckets >= 2, "need n >= 1 and numBuckets >= 2")
-    // NON-distinct n-grams — DSIR features are occurrence counts, so
-    // [[Dedup.shingles]] (a LinkedHashSet, built for set-Jaccard) is the
-    // wrong primitive here: "a b a b" has three bigram occurrences, two
-    // distinct.
-    val toks = filter(split(trim(text), "\\s+"), t => length(t) > 0)
-    val nGrams = greatest(size(toks) - lit(n - 1), lit(0))
-    val gramArr = when(nGrams > 0,
-      transform(sequence(lit(1), nGrams),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // NON-distinct n-grams — DSIR features are occurrence counts: "a b
+    // a b" has three bigram occurrences, two distinct. The native
+    // WordShingles(distinct = false) splits each document once; the HOF
+    // slice-per-gram form re-walked the token array through the
+    // interpreted lambda evaluator (measured 4.1 s → 0.6 s warm on the
+    // sf0.1 corpus).
     val grams = df.select(col(id), isTarget.as("__t"),
-        explode(gramArr).as("__g"))
+        explode(org.apache.spark.sql.graft.MinHashShim.shinglesAllCol(text, n))
+          .as("__g"))
       .select(col(id), col("__t"),
         pmod(IntHash.stringHash(col("__g")), lit(numBuckets)).as("__b"))
     val dist = grams.groupBy("__b").agg(

@@ -59,6 +59,22 @@ class ExtensionsSpec extends SparkSpec {
       assert(r.getSeq[String](0) == r.getSeq[String](1), "shingles diverge")
       assert(r.getSeq[Long](2) == r.getSeq[Long](3), "minhash diverges")
     }
+    // non-distinct form (DSIR's bag-of-features): same HOF minus the
+    // array_distinct — duplicates survive in first-occurrence order
+    def hofShinglesAll(text: org.apache.spark.sql.Column, n: Int) = {
+      val toks = split(trim(text), "\\s+")
+      val count = size(toks) - (n - 1)
+      when(length(trim(text)) > 0 && count >= 1,
+        transform(sequence(lit(1), count), i =>
+          array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+    val dupDf = Seq("a b a b a", "x x x", "one", "").toDF("text")
+    dupDf.select(
+      org.apache.spark.sql.graft.MinHashShim.shinglesAllCol(col("text"), 2).as("nat"),
+      hofShinglesAll(col("text"), 2).as("hof")).collect()
+      .foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+        "non-distinct shingles diverge"))
   }
 
   test("native stringHash31/simhash equal the HOF forms") {
