@@ -79,6 +79,15 @@ object ScaleProbe {
         d.count()
         time(s"vocabulary n=$n")(
           TextOps.vocabulary(d, col("id"), col("text"), 100L, 1000).count())
+      case "dsir" =>
+        // ~30-token docs, 1/3 "target": both passes scan the corpus, the
+        // model stays ≤ numBuckets rows however large n grows
+        val d = docs(n)
+        d.count()
+        time(s"dsirWeights n=$n buckets=8192")(
+          TextOps.dsirWeights(d, "id", col("text"),
+              pmod(xxhash64(col("id"), lit(7)), lit(3)) === 0)
+            .agg(sum("weight"), sum("n_grams")).collect())
       case "corr" =>
         // one-pass pairwise correlations over 4 columns (6 pairs)
         val df = spark.range(n).select(col("id"),

@@ -418,10 +418,17 @@ object TextOps {
     val dist = grams.groupBy("__b").agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
       sum(when(!col("__t"), 1L).otherwise(0L)).as("__rc"))
-    val tot = dist.agg(sum("__tc").as("__T"), sum("__rc").as("__R"))
-    val ratios = dist.crossJoin(broadcast(tot)).select(col("__b"),
-      (log((col("__tc") + lit(alpha)) / (col("__T") + lit(alpha * numBuckets))) -
-       log((col("__rc") + lit(alpha)) / (col("__R") + lit(alpha * numBuckets))))
+    // totals via a whole-frame window over the DIST table — bounded by
+    // numBuckets, so the unpartitioned window is a ≤8k-row pass, and the
+    // dist subtree (a full corpus scan + explode) is computed ONCE; a
+    // separate agg + crossJoin re-evaluated it per reference
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val ratios = dist.select(col("__b"),
+      (log((col("__tc") + lit(alpha)) /
+          (sum("__tc").over(wAll) + lit(alpha * numBuckets))) -
+       log((col("__rc") + lit(alpha)) /
+          (sum("__rc").over(wAll) + lit(alpha * numBuckets))))
         .as("__lr"))
     grams.join(broadcast(ratios), Seq("__b"))
       .groupBy(col(id))

@@ -36,6 +36,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("dsir_weights: ratio table broadcasts; dist subtree computed once; scans pruned per pass") {
+    val p = plan("dsir_weights")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the bucket->log-ratio model joins by BROADCAST — the gram stream
+    // must never shuffle on the bucket key
+    assert(p.contains("BroadcastHashJoin"), p)
+    // scoring pass reads (doc_id, text) with the output filter PUSHED
+    // THROUGH the per-doc aggregate to the scan; distribution pass reads
+    // (text, lang) only — doc_id pruned out
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,200)]"), p)
+    assert(p.contains("ReadSchema: struct<text:string,lang:string>"), p)
+    // the totals ride a window over the bounded dist table, so the
+    // corpus-scanning dist subtree appears exactly once (3 scans total:
+    // 1 scoring + 1 distribution + 0 duplicated totals)
+    assert("FileScan parquet".r.findAllIn(p).size == 2, p)
+  }
+
+  test("dedup_semantic: literal argmin assignment is narrow; pairwise join keyed by cell, no cartesian") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // 4 cells x dim 64 = 256 <= DefaultMaxLiteralTerms: the assignment
+    // must take the narrow literal least() path (no assignment join —
+    // the only joins are the cell-keyed pairwise and the dup-flag
+    // rejoin, which AQE sizes at runtime)
+    assert(p.contains("least("), p)
+  }
+
   test("q_topk: limit collapses into TakeOrderedAndProject (no global sort)") {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
