@@ -435,6 +435,47 @@ object TextOps {
       .agg(count(lit(1)).as("n_grams"), sum(col("__lr")).as("weight"))
   }
 
+  /** Train-once / score-forever form of [[dsirWeights]]: fit the hashed
+    * n-gram distributions on a batch corpus, collect the bucket →
+    * log-ratio model (≤ `numBuckets` rows — it is a MODEL, bounded by
+    * construction), and return a scoring COLUMN builder. The returned
+    * column is a stateless per-row projection (native shingles → literal
+    * map lookups → in-row sum), so it applies unchanged to batch frames
+    * AND Structured Streaming frames — no join, no state store, exactly
+    * how a production pipeline ships a selection model to its ingest
+    * stream. Buckets unseen at fit time fall back to the smoothed
+    * zero-count ratio; docs with no n-grams score 0.0 (no evidence —
+    * [[dsirWeights]] omits such docs instead). */
+  def dsirScorer(corpus: DataFrame, text: Column, isTarget: Column,
+      n: Int = 2, numBuckets: Int = 8192,
+      alpha: Double = 1.0): Column => Column = {
+    require(n >= 1 && numBuckets >= 2, "need n >= 1 and numBuckets >= 2")
+    val dist = corpus.select(isTarget.as("__t"),
+        explode(org.apache.spark.sql.graft.MinHashShim.shinglesAllCol(text, n))
+          .as("__g"))
+      .select(col("__t"),
+        pmod(IntHash.stringHash(col("__g")), lit(numBuckets)).as("__b"))
+      .groupBy("__b").agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__rc"))
+      .collect() // bounded: <= numBuckets rows
+    val tTot = dist.map(_.getLong(1)).sum.toDouble + alpha * numBuckets
+    val rTot = dist.map(_.getLong(2)).sum.toDouble + alpha * numBuckets
+    def lr(tc: Long, rc: Long): Double =
+      math.log((tc + alpha) / tTot) - math.log((rc + alpha) / rTot)
+    val model: Map[Long, Double] =
+      dist.map(r => r.getLong(0) -> lr(r.getLong(1), r.getLong(2))).toMap
+    val unseen = lr(0L, 0L)
+    val modelCol = typedLit(model)
+    textCol => aggregate(
+      transform(
+        org.apache.spark.sql.graft.MinHashShim.shinglesAllCol(textCol, n),
+        g => coalesce(
+          element_at(modelCol, pmod(IntHash.stringHash(g), lit(numBuckets))),
+          lit(unseen))),
+      lit(0.0), _ + _)
+  }
+
   def chunkDocuments(df: org.apache.spark.sql.DataFrame, text: Column,
       chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
     require(chunkSize >= 1 && stride >= 1, "chunkSize and stride must be >= 1")

@@ -116,6 +116,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch-fitted DSIR scorer scores a live stream; stream == batch weights") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.TextOps
+    import org.apache.spark.sql.functions.{col, round => sround}
+    val corpus = Seq(
+      (1L, "a b c a b", true), (2L, "b c a b c", true),
+      (3L, "x y z x y", false), (4L, "y z x y z", false),
+      (5L, "a b x y", true)).toDF("id", "text", "tgt")
+    val score = TextOps.dsirScorer(corpus, col("text"), col("tgt"),
+      n = 2, numBuckets = 1024)
+    // batch reference: the joined/aggregated form over the same corpus
+    val batch = TextOps.dsirWeights(corpus, "id", col("text"), col("tgt"),
+        n = 2, numBuckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // stream NEW docs (incl. an unseen-vocab one) through the fitted model
+    val input = MemoryStream[(Long, String)]
+    val scored = input.toDF.toDF("id", "text")
+      .select(col("id"), sround(score(col("text")), 9).as("w"))
+    val q = scored.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a b c a b"), (3L, "x y z x y"), (9L, "qq ww ee"))
+      q.processAllAvailable()
+      val got = spark.table("dsir_stream").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // known docs: the stateless projection reproduces the batch weights
+      assert(approx(got(1L), batch(1L), 1e-6), s"$got vs $batch")
+      assert(approx(got(3L), batch(3L), 1e-6), s"$got vs $batch")
+      // unseen vocabulary: finite smoothed fallback, not NaN/null
+      assert(!got(9L).isNaN && !got(9L).isInfinite)
+    } finally q.stop()
+  }
+
   test("EpisodeDetector: episodes open/close per entity, delay measured to first detection") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.Event]
