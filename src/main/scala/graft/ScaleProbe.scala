@@ -79,6 +79,26 @@ object ScaleProbe {
         d.count()
         time(s"vocabulary n=$n")(
           TextOps.vocabulary(d, col("id"), col("text"), 100L, 1000).count())
+      case "semdedup" =>
+        // n/2 base vectors (dim 16 hash soup) + n/2 planted near-copies
+        // (cos ≈ 0.999); nCells ≈ n/10k per the published recipe, so the
+        // within-cell pairwise stage stays bounded as n grows
+        val half = n / 2
+        val dims = sequence(lit(0), lit(15))
+        val base = spark.range(half).select(col("id"),
+          transform(dims, i =>
+            pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 1000.0 + 0.001)
+            .as("v"))
+        val recs = base.unionByName(
+          base.select((col("id") + half).as("id"),
+            transform(col("v"), x => x * 1.001 + 0.0003).as("v")))
+        recs.count()
+        val nCells = math.max(4, (n / 10000).toInt)
+        time(s"semanticDedup n=$n nCells=$nCells dim=16") {
+          val out = graft.ops.Similarity.semanticDedup(recs, "id", "v",
+            nCells = nCells, iters = 1, simThreshold = 0.999)
+          println("dups=" + out.where(col("is_dup")).count())
+        }
       case "dsir" =>
         // ~30-token docs, 1/3 "target": both passes scan the corpus, the
         // model stays ≤ numBuckets rows however large n grows
