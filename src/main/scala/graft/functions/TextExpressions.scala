@@ -178,11 +178,15 @@ case class JaccardSim(left: Expression, right: Expression)
 }
 
 /** Native form of [[graft.ops.IntHash.stringHash]]: the 31-bit affine
-  * chain over UTF-16 code units + xorshift-multiply scramble, in one
-  * tight loop (the Column form folds `split(s, "")` through the
+  * chain over Unicode CODE POINTS + xorshift-multiply scramble, in one
+  * tight loop (the HOF Column form folds `split(s, "")` through the
   * interpreted lambda evaluator — one eval-tree walk per character).
-  * Bit-identical: Spark's `split(s, "")`/`ascii` iterate UTF-16 units
-  * via charAt, exactly what this loop does. */
+  * Code points — not UTF-16 units — are the engine-portable alphabet:
+  * Spark's `split(s, "")` splits per code point (Java regex boundaries
+  * are code-point aware) and the DuckDB twin's `unicode(s[i])` yields
+  * code points, so a charAt-based loop would silently diverge from BOTH
+  * on supplementary-plane characters (emoji). Identical values for all
+  * BMP text (every committed oracle row). */
 case class StringHash31(child: Expression)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -194,8 +198,9 @@ case class StringHash31(child: Expression)
     var h = 0L
     var i = 0
     while (i < s.length) {
-      h = (IntHash.A * h + IntHash.B + s.charAt(i).toLong) % IntHash.M
-      i += 1
+      val cp = s.codePointAt(i)
+      h = (IntHash.A * h + IntHash.B + cp.toLong) % IntHash.M
+      i += Character.charCount(cp)
     }
     IntHash.scrambleLong(h)
   }

@@ -81,7 +81,11 @@ class ExtensionsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.ops.IntHash
-    val df = Seq("hello", "", "a b c", "the quick brown fox", "ümlaut töken").toDF("t")
+    // incl. supplementary-plane chars: the hash alphabet is CODE POINTS
+    // (what Spark's split("")/ascii and DuckDB's unicode() both yield) —
+    // a UTF-16 charAt loop would diverge on the emoji rows
+    val df = Seq("hello", "", "a b c", "the quick brown fox", "ümlaut töken",
+      "😀 emoji", "数据 🎉 test").toDF("t")
     // NB: guarded for "" — `split("", "")` yields [""] (one bogus fold
     // step), whereas the native loop and the DuckDB twin (range over
     // length 0) fold zero characters. The native behavior is the
