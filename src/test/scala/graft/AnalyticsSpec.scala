@@ -33,6 +33,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(5L)._2 < out(1L)._2 && out(5L)._2 > out(3L)._2)
   }
 
+  test("dsirWeights laws: duplication-invariant; target/raw swap negates weights") {
+    val docs = Seq(
+      (1L, "a b c a b", true), (2L, "b c a b c", true),
+      (3L, "x y z x y", false), (4L, "a b x y", false)
+    ).toDF("id", "text", "tgt")
+    def weights(df: org.apache.spark.sql.DataFrame, tgt: org.apache.spark.sql.Column) =
+      TextOps.dsirWeights(df, "id", col("text"), tgt, n = 2, numBuckets = 256)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val base = weights(docs, col("tgt"))
+    // duplicating the whole corpus scales every bucket count AND both
+    // totals by 2 — with alpha fixed the ratios shift only by the
+    // smoothing, so weights stay equal in the alpha->relative sense;
+    // assert the exact invariant instead with alpha scaled alongside
+    val doubled = docs.unionByName(docs.withColumn("id", col("id") + 100L))
+    val w2 = TextOps.dsirWeights(doubled, "id", col("text"), col("tgt"),
+        n = 2, numBuckets = 256, alpha = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    base.foreach { case (k, v) => assert(approx(w2(k), v, 1e-9),
+      s"duplication+alpha-scaling should preserve weights: $k $v ${w2(k)}") }
+    // swapping which side is "target" exactly negates every weight
+    val swapped = weights(docs, !col("tgt"))
+    base.foreach { case (k, v) => assert(approx(swapped(k), -v, 1e-9),
+      s"swap should negate: $k $v ${swapped(k)}") }
+  }
+
   test("chunkDocuments: empty and whitespace-only docs produce no chunks") {
     assert(chunks("", 4, 4).isEmpty)
     assert(chunks("   \n\t ", 4, 4).isEmpty)
