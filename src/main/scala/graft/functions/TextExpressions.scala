@@ -343,9 +343,14 @@ case class TextCharStats(child: Expression)
   * semantics (pinned by the `dedup_jaro_pairs` oracle):
   * either side empty → 0.0; match window ⌊max/2⌋−1; transpositions =
   * mismatched matched chars / 2; Winkler prefix boost (p=0.1, prefix
-  * capped at 4) applied only when jaro > 0.7. Operates on UTF-16 code
-  * units (== code points == bytes on ASCII data; both engines agree
-  * wherever the strings are BMP text). */
+  * capped at 4) applied only when jaro > 0.7. Operates on UTF-8 BYTES —
+  * the alphabet DuckDB's `jaro_winkler_similarity` uses (verified
+  * empirically: über/uber → 0.7833 byte-wise, ≠ 0.8333 code-point-wise)
+  * — so the oracle compare holds for ANY string, not just ASCII. A
+  * UTF-16 charAt loop matched DuckDB only on ASCII and silently
+  * diverged on every non-ASCII name, including BMP text. Code-point
+  * libraries (python jellyfish et al.) differ from both on non-ASCII;
+  * the gate's engine pair is what must agree. */
 case class JaroWinkler(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
@@ -353,8 +358,8 @@ case class JaroWinkler(left: Expression, right: Expression)
   override def prettyName: String = "graft_jaro_winkler"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val s1 = a.asInstanceOf[UTF8String].toString
-    val s2 = b.asInstanceOf[UTF8String].toString
+    val s1 = a.asInstanceOf[UTF8String].getBytes
+    val s2 = b.asInstanceOf[UTF8String].getBytes
     val (n1, n2) = (s1.length, s2.length)
     if (n1 == 0 || n2 == 0) return 0.0
     val window = math.max(math.max(n1, n2) / 2 - 1, 0)
@@ -367,7 +372,7 @@ case class JaroWinkler(left: Expression, right: Expression)
       var j = math.max(0, i - window)
       var found = false
       while (j <= hi && !found) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && s1(i) == s2(j)) {
           m1(i) = true; m2(j) = true; matches += 1; found = true
         }
         j += 1
@@ -381,7 +386,7 @@ case class JaroWinkler(left: Expression, right: Expression)
     while (i < n1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) mismatched += 1
+        if (s1(i) != s2(k)) mismatched += 1
         k += 1
       }
       i += 1
@@ -391,7 +396,7 @@ case class JaroWinkler(left: Expression, right: Expression)
     if (jaro <= 0.7) return jaro
     var l = 0
     val maxL = math.min(math.min(n1, n2), 4)
-    while (l < maxL && s1.charAt(l) == s2.charAt(l)) l += 1
+    while (l < maxL && s1(l) == s2(l)) l += 1
     jaro + l * 0.1 * (1.0 - jaro)
   }
 

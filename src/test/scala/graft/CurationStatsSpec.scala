@@ -320,6 +320,13 @@ class CurationStatsSpec extends SparkSpec {
     assert(jw("abc", "abc") == 1.0)
     // boost gated at jaro > 0.7: shared prefix but low jaro stays unboosted
     assert(approx(jw("abcdef", "abzzzz"), 0.5555555556, 1e-9))
+    // NON-ASCII: the alphabet is UTF-8 BYTES, like DuckDB's
+    // jaro_winkler_similarity (values below measured from DuckDB
+    // directly) — a UTF-16 loop gives 0.8333/0.6667/0.0 here instead
+    assert(approx(jw("über", "uber"), 0.7833333333333333, 1e-12))
+    assert(approx(jw("数据", "数扰"), 0.8666666666666666, 1e-12))
+    assert(approx(jw("😀a", "a😀"), 0.8666666666666667, 1e-12))
+    assert(jw("üa", "aü") == 0.0)
   }
 
   test("jaroWinklerPairs: length-ratio prefilter is lossless") {
