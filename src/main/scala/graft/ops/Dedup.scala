@@ -746,7 +746,15 @@ object Dedup {
     * edits can touch at most `maxDist` of them, so any partner within
     * distance `maxDist` contains at least one segment VERBATIM, at a
     * start position shifted by at most `maxDist` (the shift is the net
-    * insert/delete count before the untouched segment). Each value
+    * insert/delete count before the untouched segment).
+    *
+    * ALPHABET NOTE: blocking (substr/length) and verification (Spark's
+    * `levenshtein`) both operate on Unicode CODE POINTS, so the lossless
+    * pigeonhole guarantee holds for any string. DuckDB's `levenshtein`
+    * is BYTE-based — identical on ASCII (every oracle corpus) but
+    * divergent on non-ASCII text, so a non-ASCII oracle would need a
+    * code-point-aware distance on the DuckDB side (pinned by the
+    * alphabet spec in CurationStatsSpec). Each value
     * publishes its segments keyed by (length, segment index, xxhash64 of
     * the segment); each value also probes with every substring that could
     * be such a segment of a SHORTER-OR-EQUAL partner in its −maxDist

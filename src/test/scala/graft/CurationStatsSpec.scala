@@ -329,6 +329,21 @@ class CurationStatsSpec extends SparkSpec {
     assert(jw("üa", "aü") == 0.0)
   }
 
+  test("edit-distance alphabet: Spark levenshtein is code-point-based (≠ DuckDB bytes off-ASCII)") {
+    // editDistancePairs' blocking AND verify both use code points, so
+    // the lossless guarantee holds for any string; DuckDB's levenshtein
+    // counts BYTES (über→uber = 2 there, 1 here). This pin documents the
+    // deliberate divergence: oracles for edit-distance ops are exact on
+    // ASCII corpora; a non-ASCII oracle needs a code-point distance on
+    // the DuckDB side.
+    val d = (a: String, b: String) =>
+      Seq((a, b)).toDF("x", "y")
+        .select(levenshtein(col("x"), col("y"))).head().getInt(0)
+    assert(d("über", "uber") == 1)    // DuckDB: 2 (byte-based)
+    assert(d("数据", "数扰") == 1)     // DuckDB: 2
+    assert(d("kitten", "sitting") == 3) // ASCII: engines agree
+  }
+
   test("jaroWinklerPairs: length-ratio prefilter is lossless") {
     val names = Seq("johnson", "johnsen", "jon", "smith", "smyth", "x")
       .map(Tuple1(_)).toDF("name")
