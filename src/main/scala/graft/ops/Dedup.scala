@@ -288,6 +288,7 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, edges: DataFrame, id: String,
       src: String, dst: String, maxIter: Int = 25,
       localEdgeThreshold: Int = 1 << 18): DataFrame = {
+    require(maxIter >= 1, "maxIter must be >= 1")
     val e2 = edges.select(col(src).as("u"), col(dst).as("v")).persist()
     val idType = nodes.schema(id).dataType
     val localizable = idType match {
@@ -333,6 +334,14 @@ object Dedup {
       it += 1
     }
     e2.unpersist()
+    // returning un-converged labels would be SILENTLY WRONG components —
+    // the one failure mode worse than failing. With pointer jumping,
+    // maxIter = 25 covers any graph of diameter ≲ 2^25; hitting the cap
+    // means either a pathological structure or a too-small maxIter, and
+    // the caller must decide, not inherit partial labels.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "raise maxIter (rounds are O(log diameter) under path halving)")
     labels.select(col("n").as(id), col("comp").as("component"))
   }
 

@@ -288,6 +288,17 @@ class DedupTextSpec extends SparkSpec {
     assert(comps.toSeq == Seq(0L))
   }
 
+  test("connectedComponents: hitting maxIter un-converged throws instead of returning partial labels") {
+    // diameter-9 chain cannot converge in one round even with halving
+    val nodes = (0L until 10L).toDF("id")
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, edges, "id", "a", "b",
+        maxIter = 1, localEdgeThreshold = 0).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("connectedComponents: local union-find fast path == distributed loop (parity)") {
     // seeded pseudo-random graph: 60 nodes, 45 edges → mixed components
     val nodes = (0L until 60L).toDF("id")
