@@ -47,6 +47,11 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // Emitted TWICE: once here (ahead of Spark shutdown logs + the sbt
+    // footer, which can push a single tail copy out of the driver's
+    // bounded stdout snapshot — BENCH_r06/r07 both came back
+    // "parsed": null) and once after spark.stop() as the final line, so
+    // a full copy survives truncation from either end.
     println(line)
     // Belt-and-braces: persist the full line where tail truncation can't
     // reach it (committed per round for round-over-round comparison).
@@ -59,5 +64,6 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"WARN: could not write $outPath: $e") }
     spark.stop()
+    println(line)
   }
 }

@@ -32,7 +32,10 @@ import org.apache.spark.sql.types.DoubleType
 object JaccardSizeGuardRule extends Rule[LogicalPlan] {
 
   private def provablyDistinct(e: Expression): Boolean = e match {
-    case _: WordShingles => true
+    // Only the set-semantic form: with distinct=false (MinHashShim
+    // .shinglesAllCol) the output carries duplicates and the size-ratio
+    // bound is unsound (A=[x,x,x,x], B=[x] has J=1.0 but fails the guard).
+    case w: WordShingles if w.distinct => true
     case ArrayDistinct(_) => true
     case _ => false
   }

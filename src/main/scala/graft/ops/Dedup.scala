@@ -289,8 +289,14 @@ object Dedup {
       src: String, dst: String, maxIter: Int = 25,
       localEdgeThreshold: Int = 1 << 18): DataFrame = {
     require(maxIter >= 1, "maxIter must be >= 1")
-    val e2 = edges.select(col(src).as("u"), col(dst).as("v")).persist()
     val idType = nodes.schema(id).dataType
+    // cast edge endpoints to the NODE id type: the distributed loop's
+    // equality joins would coerce implicitly (INT edges vs BIGINT nodes),
+    // but the local regime collects raw edge values and must see them in
+    // the node type, or the broadcast rejoin/min comparisons miscompare
+    val e2 = edges
+      .select(col(src).cast(idType).as("u"), col(dst).cast(idType).as("v"))
+      .persist()
     val localizable = idType match {
       case LongType | IntegerType | ShortType | StringType => true
       case _ => false

@@ -43,7 +43,12 @@ object Graph {
       localEdgeThreshold: Int = 1 << 18): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(damping > 0.0 && damping < 1.0, "damping in (0, 1)")
+    // null / uncastable endpoints are dropped BEFORE the regime split so
+    // both paths see the same node universe (the local path skips them
+    // while building its index; without this filter the distributed path
+    // would keep a null node in nodes.distinct() and nTotal)
     val e0 = edges.select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
       .persist()
     if (localEdgeThreshold > 0) {
       val probe = e0.limit(localEdgeThreshold + 1).collect()

@@ -48,7 +48,7 @@ object IntHash {
     s2 ^ (s2 >> 14)
   }
 
-  /** 31-bit string hash: affine chain over the UTF-16 code units,
+  /** 31-bit string hash: affine chain over the Unicode code points,
     * scrambled — the native StringHash31 expression (one tight loop; the
     * HOF fold over `split(s, "")` walks the interpreted lambda evaluator
     * once per character, bit-identical but far slower). */

@@ -399,6 +399,25 @@ class CurationStatsSpec extends SparkSpec {
     assert(refq.as[Long].collect().sorted.toSeq == Seq(1L)) // same answer, unguarded
   }
 
+  test("jaccard size-guard rule: non-distinct shingles are NOT guarded (size bound unsound on multisets)") {
+    graft.functions.GraftExtensions.installOptimizations(spark)
+    import org.apache.spark.sql.graft.MinHashShim
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jg_nd").toString
+    // JaccardSim computes SET Jaccard, so ["x","x","x","x"] vs ["x"] has
+    // J = 1.0 — but their sizes (4 vs 1) fail the least>=t*greatest guard.
+    // A rule firing on the distinct=false form would silently prune it.
+    Seq((1L, "x x x x", "x")).toDF("id", "x", "y")
+      .write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val res = df.where(
+      MinHashShim.jaccardCol(
+        MinHashShim.shinglesAllCol(col("x"), 1),
+        MinHashShim.shinglesAllCol(col("y"), 1)) >= 0.8)
+      .select("id")
+    assert(!res.queryExecution.optimizedPlan.toString.contains("least(size("))
+    assert(res.as[Long].collect().toSeq == Seq(1L))
+  }
+
   // ---- editDistancePairs ----
 
   test("editDistancePairs: equals the brute-force all-pairs filter") {

@@ -328,6 +328,22 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: INT edge columns against BIGINT node ids (both regimes)") {
+    // the r7 advisor: the local regime collected raw edge values, so an
+    // INT edge against BIGINT nodes hit a ClassCastException where the
+    // distributed loop's joins coerced implicitly — endpoints now cast to
+    // the node id type before the regime split
+    val nodes = (0L until 6L).toDF("id") // BIGINT
+    val edges = Seq((0, 1), (1, 2), (4, 5)).toDF("a", "b") // INT
+    for (thr <- Seq(0, 1 << 18)) {
+      val got = Dedup.connectedComponents(nodes, edges, "id", "a", "b",
+          localEdgeThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L, 5L -> 4L),
+        s"threshold $thr")
+    }
+  }
+
   test("decontaminate: counts distinct shared n-grams; clean docs absent") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps"), // shares "the quick brown" + "quick brown fox"

@@ -42,6 +42,21 @@ class GraphSpec extends SparkSpec {
     assert(approx(local.values.sum, 1.0, 1e-9))
   }
 
+  test("pageRank: null endpoints dropped identically in both regimes") {
+    // a null endpoint must not become a node in either regime (the r7
+    // advisor found the distributed path kept it in nodes/nTotal)
+    val edges = Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)),
+      (Some(3L), None), (None, Some(3L))).toDF("s", "d")
+    val local = Graph.pageRank(edges, "s", "d", iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val dist = Graph.pageRank(edges, "s", "d", iterations = 3,
+        localEdgeThreshold = 0)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(local.keySet == Set(1L, 2L))
+    assert(local.keySet == dist.keySet)
+    local.foreach { case (k, v) => assert(approx(v, dist(k), 1e-12), s"node $k") }
+  }
+
   test("pageRank: hub target accumulates rank; total mass conserved over iterations") {
     // star: 1..5 all point at 10
     val edges = (1L to 5L).map(i => (i, 10L)).toDF("s", "d")

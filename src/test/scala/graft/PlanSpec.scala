@@ -50,7 +50,7 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,200)]"), p)
     assert(p.contains("ReadSchema: struct<text:string,lang:string>"), p)
     // the totals ride a window over the bounded dist table, so the
-    // corpus-scanning dist subtree appears exactly once (3 scans total:
+    // corpus-scanning dist subtree appears exactly once (2 scans total:
     // 1 scoring + 1 distribution + 0 duplicated totals)
     assert("FileScan parquet".r.findAllIn(p).size == 2, p)
   }
