@@ -137,28 +137,45 @@ object CorpusPipeline {
     *  1. watermarked exact dedup (first-seen doc per content hash wins;
     *     state = one hash per distinct doc inside the watermark horizon,
     *     evicted as event time advances — [[graft.streaming.StreamingOps.dedupExactStream]]);
-    *  2. quality + repetition filters (row-local expressions — identical
+    *  2. watermarked MinHash-LSH near-dup dedup when `nearDupId` names the
+    *     doc-id column (first-seen doc per near-dup cluster wins, verified
+    *     Jaccard at `cfg.jaccardThreshold` with `cfg.shingleWords`/
+    *     `cfg.lshBands`/`cfg.lshRowsPerBand` — the online form of batch
+    *     stage 2, [[graft.streaming.StreamingOps.nearDupStream]]; state =
+    *     shingle-hash sets inside the retention horizon, keyed by LSH
+    *     bucket. This stage narrows the stream to (id, ts, text));
+    *  3. quality + repetition filters (row-local expressions — identical
     *     columns to the batch stage 4, zero streaming state).
     *
     * The output is an append-safe stream (no aggregation), so it feeds
     * `writeStream` directly. The rest of the batch funnel needs
-    * corpus-global state and stays downstream: near-dup clustering and
-    * decontamination join across the corpus, sampling/packing need global
-    * prefix sums — run them as a batch stage over this stream's sink, or
-    * per micro-batch via `foreachBatch` where batch-local packing is
-    * acceptable (the parity spec demonstrates both).
+    * corpus-global state and stays downstream: decontamination joins
+    * across the corpus, sampling/packing need global prefix sums — run
+    * them as a batch stage over this stream's sink, or per micro-batch
+    * via `foreachBatch` where batch-local packing is acceptable (the
+    * parity spec demonstrates both).
     *
     * Batch parity: on an in-order stream with no near-dups and an empty
     * benchmark, sinking this stage and batch-packing the result equals
     * [[curate]] exactly (spec-verified by
-    * "CorpusPipeline.curateStream equals batch curate").
+    * "CorpusPipeline.curateStream equals batch curate"); with `nearDupId`
+    * set, the survivor set equals the batch keep-FIRST near-dedup (the
+    * "curateStream with near-dup" spec).
     */
   def curateStream(docs: DataFrame, tsCol: String, text: String,
       cfg: CurationConfig = CurationConfig(),
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      nearDupId: Option[String] = None,
+      nearDupRetentionMs: Long = 60L * 60 * 1000): DataFrame = {
     val deduped = graft.streaming.StreamingOps.dedupExactStream(docs, tsCol, text, watermark)
+    val nearDeduped = nearDupId match {
+      case Some(idCol) => graft.streaming.StreamingOps.nearDupStream(
+        deduped, tsCol, idCol, text, cfg.jaccardThreshold, cfg.shingleWords,
+        cfg.lshBands, cfg.lshRowsPerBand, watermark, nearDupRetentionMs)
+      case None => deduped
+    }
     val rep = TextOps.repetitionStats(col(text))
-    deduped.where(TextOps.qualityScore(col(text)) >= cfg.minQuality &&
+    nearDeduped.where(TextOps.qualityScore(col(text)) >= cfg.minQuality &&
       rep.getField("dup_line_ratio") <= cfg.maxDupLineRatio &&
       rep.getField("top_word_ratio") <= cfg.maxTopWordRatio)
   }

@@ -180,6 +180,159 @@ object StreamingOps {
     }
   }
 
+  final case class NearDupBucketRow(band: Int, bucket: Long, id: Long,
+      ts: Timestamp, text: String, sh: Array[Long])
+  final case class NearDupEntry(docId: Long, tsMs: Long, sh: Array[Long])
+  final case class NearDupBucketState(entries: Seq[NearDupEntry])
+  final case class NearDupVerdict(id: Long, ts: Timestamp, text: String, hit: Boolean)
+  final case class NearDupGatherState(seen: Int, hit: Boolean, tsMs: Long, text: String)
+  final case class NearDupOut(id: Long, ts: Timestamp, text: String)
+
+  /** Streaming MinHash-LSH near-duplicate dedup — the online form of the
+    * batch `minhashNearDuplicates → connectedComponents → keep-first`
+    * funnel stage: the FIRST-seen document of each near-dup cluster
+    * survives; later documents whose verified n-gram Jaccard against ANY
+    * retained document reaches `threshold` are dropped.
+    *
+    * Shape (two chained append-mode `flatMapGroupsWithState` operators —
+    * Spark supports multiple arbitrary stateful operators when all are in
+    * append mode):
+    *
+    *  1. the same banding math as [[graft.ops.Dedup.lshBuckets]] (native
+    *     [[org.apache.spark.sql.graft.MinHashSig]] signature, one bucket
+    *     hash per band) as a NARROW projection, exploded to one row per
+    *     (band, bucket);
+    *  2. state keyed by (band, bucket): the xxhash64'd shingle SETS of
+    *     every document seen in that bucket inside the retention horizon.
+    *     Each arriving document is verified (exact set Jaccard over the
+    *     64-bit shingle hashes) against the bucket's retained entries and
+    *     emits one per-band verdict. Documents are retained EVEN WHEN
+    *     DROPPED — a doc near-dup to a dropped doc joins the same batch
+    *     connected component, so comparing against dropped docs is what
+    *     reproduces the batch funnel's transitive clustering (chain
+    *     A—B—C with J(A,C) < t still collapses to {A}). State is evicted
+    *     two ways: entries older than `watermark − retentionMs` are
+    *     pruned on access, and idle buckets time out wholesale via
+    *     EventTimeTimeout — bounded by (docs in horizon) × numBands.
+    *  3. state keyed by doc id: OR the `numBands` per-band verdicts
+    *     (drop iff ANY band found a verified near-dup — the batch
+    *     candidate semantics, where sharing one bucket suffices). All of
+    *     a doc's verdicts are produced in the micro-batch it arrives in,
+    *     so this state is transient (written only under re-delivery of a
+    *     partial band set, which micro-batch execution doesn't produce).
+    *
+    * Per-doc cost matches the batch path (|bucket members| verifications
+    * per band, quadratic only within buckets); at 1000 executors state is
+    * partitioned by bucket hash — no global structure. Documents with no
+    * shingles (blank/short) are never LSH candidates in batch and bypass
+    * here unchanged. Output columns: (id, ts, text) survivors only —
+    * project other columns back by joining the source on id downstream.
+    *
+    * Exact-hash parity caveat: verification runs over xxhash64(shingle)
+    * sets, not shingle strings — identical to string-set Jaccard unless
+    * two distinct shingles collide in 64 bits (~2⁻⁶⁴ per pair).
+    *
+    * CONF: chained arbitrary-stateful operators trip Spark's static
+    * global-watermark correctness check (the generic risk: an upstream
+    * stateful op may emit rows a downstream WATERMARK-FILTERING stateful
+    * op would discard as late). The gather stage here never discards —
+    * NoTimeout, no watermark predicate, it folds whatever arrives — so
+    * the flagged failure mode cannot occur, and this method takes the
+    * programming-guide escape hatch: it sets
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+    * on the session (a static-analysis toggle only; it changes no runtime
+    * behavior of any query). */
+  def nearDupStream(docs: DataFrame, tsCol: String, idCol: String,
+      textCol: String, threshold: Double = 0.8, numShingleWords: Int = 3,
+      numBands: Int = 8, rowsPerBand: Int = 4,
+      watermark: String = "10 minutes",
+      retentionMs: Long = 60L * 60 * 1000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    require(numBands >= 1 && rowsPerBand >= 1, "bands/rows >= 1")
+    val spark = docs.sparkSession
+    // safe for THIS operator chain — see the scaladoc CONF paragraph
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    import spark.implicits._
+    import org.apache.spark.sql.graft.MinHashShim
+    val projected = docs.select(col(idCol).cast("long").as("id"),
+      col(tsCol).as("ts"), col(textCol).as("text"))
+    // an upstream stage (e.g. curateStream's exact dedup) may already have
+    // watermarked the ts column; re-defining it downstream of a stateful
+    // operator is disallowed under multiple-stateful-operator propagation
+    val base = (if (docs.schema(tsCol).metadata.contains("spark.watermarkDelayMs"))
+        projected
+      else projected.withWatermark("ts", watermark))
+      .withColumn("__sh", MinHashShim.shinglesCol(col("text"), numShingleWords))
+    def out(df: DataFrame): DataFrame = df.select(col("id").as(idCol),
+      col("ts").as(tsCol), col("text").as(textCol))
+    val zeroShingle = base.where(size(col("__sh")) === 0)
+    val bucketed = base.where(size(col("__sh")) > 0)
+      .withColumn("__sig",
+        MinHashShim.minhashCol(col("__sh"), numBands * rowsPerBand))
+      .select(col("id"), col("ts"), col("text"),
+        transform(col("__sh"), s => xxhash64(s)).as("sh"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+          xxhash64(array_join(transform(
+            slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string")), ","), b)))
+          .as(Seq("band", "bucket")))
+      .as[NearDupBucketRow]
+    val verdicts = bucketed.groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long), rows: Iterator[NearDupBucketRow],
+            state: GroupState[NearDupBucketState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val buf = scala.collection.mutable.ArrayBuffer.empty[NearDupEntry]
+            state.getOption.foreach(_.entries
+              .foreach(e => if (e.tsMs + retentionMs > wm) buf += e))
+            val outRows = rows.toSeq.sortBy(r => (r.ts.getTime, r.id)).map { r =>
+              val hit = buf.exists(e =>
+                e.docId != r.id && hashSetJaccard(e.sh, r.sh) >= threshold)
+              buf += NearDupEntry(r.id, r.ts.getTime, r.sh)
+              NearDupVerdict(r.id, r.ts, r.text, hit)
+            }
+            state.update(NearDupBucketState(buf.toSeq))
+            state.setTimeoutTimestamp(
+              math.max(buf.iterator.map(_.tsMs).max + retentionMs, wm + 1))
+            outRows.iterator
+          }
+        })
+    val survivors = verdicts.groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: Long, rows: Iterator[NearDupVerdict],
+            state: GroupState[NearDupGatherState]) => {
+          val prior = state.getOption.getOrElse(NearDupGatherState(0, false, 0L, ""))
+          var seen = prior.seen
+          var hit = prior.hit
+          var tsMs = prior.tsMs
+          var text = prior.text
+          rows.foreach { v =>
+            seen += 1; hit = hit || v.hit; tsMs = v.ts.getTime; text = v.text
+          }
+          if (seen >= numBands) {
+            if (state.exists) state.remove()
+            if (hit) Iterator.empty
+            else Iterator.single(NearDupOut(id, new Timestamp(tsMs), text))
+          } else { state.update(NearDupGatherState(seen, hit, tsMs, text)); Iterator.empty }
+        })
+    out(survivors.toDF()).unionByName(out(zeroShingle))
+  }
+
+  /** Exact set Jaccard over two duplicate-free Long arrays (the
+    * xxhash64'd shingle sets [[nearDupStream]] stores in bucket state). */
+  private[streaming] def hashSetJaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val sa = new java.util.HashSet[Long](a.length * 2)
+    a.foreach(x => sa.add(x))
+    var inter = 0
+    b.foreach(x => if (sa.contains(x)) inter += 1)
+    val union = sa.size + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   final case class Event(entity: String, ts: Timestamp, yTrue: Int, yPred: Int)
   final case class EpisodeState(startMs: Long, firstDetMs: Long, anyDetected: Boolean)
   final case class Episode(entity: String, startMs: Long, detected: Boolean, delayMs: Long)

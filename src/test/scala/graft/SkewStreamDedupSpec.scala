@@ -113,6 +113,82 @@ class SkewStreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupStream: stream == batch near-dedup keep-first; chains collapse across micro-batches") {
+    import graft.ops.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    // A ~ B (1 word changed), B ~ C (3 words changed from A) with
+    // J(A, C) below threshold — the chain only collapses to {A} if the
+    // stream also compares against DROPPED docs (batch CC transitivity)
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val tB = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo mike"
+    val tC = "yank zulu charlie delta echo foxtrot golf hotel india juliet kilo mike"
+    val tD = "a completely unrelated document about mountain hiking and autumn weather"
+    val tF = "cooking pasta with garlic and fresh basil is a joy every evening"
+    val tE = "tiny" // zero 2-shingles -> never an LSH candidate, bypasses
+    val fixture = Seq((1L, ts(0), tA), (2L, ts(1), tB), (3L, ts(2), tD),
+      (4L, ts(3), tA), (5L, ts(4), tC), (6L, ts(5), tE), (7L, ts(6), tF))
+    val (thr, w, bands, rows) = (0.6, 2, 8, 2)
+
+    // batch reference: verified pairs -> connected components -> keep the
+    // lowest id (= first-seen, ids ordered by ts) per component
+    val batchDf = fixture.toDF("id", "ts", "text")
+    val pairs = Dedup.minhashNearDuplicates(batchDf, "id", "text", thr, w, bands, rows)
+    val comps = Dedup.connectedComponents(batchDf, pairs, "id", "id_a", "id_b")
+    // fixture sanity: the chain is one component (A~B and B~C candidated
+    // and verified) even though J(A, C) < thr
+    val pairSet = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((1L, 2L)) && pairSet.contains((2L, 5L)), pairSet)
+    assert(!pairSet.contains((1L, 5L)), pairSet)
+    val expected = comps.where(col("component") === col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(expected == Set(1L, 3L, 6L, 7L), expected)
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingOps.nearDupStream(input.toDF.toDF("id", "ts", "text"),
+      "ts", "id", "text", thr, w, bands, rows, watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("nd")
+      .outputMode("append").start()
+    try {
+      // chunk 1: A, B (same-batch near-dup), D, A-copy; chunk 2: C (near
+      // dup of the DROPPED B, across the batch boundary), E, F
+      input.addData(fixture.take(4).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(fixture.drop(4).toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("nd").select("id").as[Long].collect().toSet
+      assert(got == expected, s"stream $got vs batch $expected")
+    } finally q.stop()
+  }
+
+  test("curateStream with nearDupId: exact + near dups and junk dropped in one stream stage") {
+    import graft.pipelines.CorpusPipeline
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val prose = "the quick brown fox jumps over the lazy dog near a quiet river bank today"
+    val proseNear = "the quick brown fox jumps over the lazy dog near a quiet river bank tonight"
+    val other = "cooking pasta with garlic and fresh basil is a joy every single evening at home"
+    val junk = "spam spam spam spam spam spam spam spam spam spam"
+    val cfg = CorpusPipeline.CurationConfig(
+      shingleWords = 2, jaccardThreshold = 0.6, minQuality = 0.1)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val curated = CorpusPipeline.curateStream(
+      input.toDF.toDF("doc_id", "ts", "text"), "ts", "text", cfg, "1 minute",
+      nearDupId = Some("doc_id"))
+    val q = curated.writeStream.format("memory").queryName("cur_nd")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), prose), (2L, ts(1), prose), // exact dup
+        (3L, ts(2), junk), (4L, ts(3), other))
+      q.processAllAvailable()
+      input.addData((5L, ts(4), proseNear)) // near dup across batches
+      q.processAllAvailable()
+      val got = spark.table("cur_nd").select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 4L), got)
+    } finally q.stop()
+  }
+
   test("CorpusPipeline.curateStream equals batch curate") {
     import graft.ops.TextOps
     import graft.pipelines.CorpusPipeline
