@@ -23,19 +23,43 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * exception for per-partition imperative logic; the shuffle files of the
   * range exchange are reused between the two passes.)
   */
-object Sessionize {
+// Serializable: the boundary-chained executor closures call the shared
+// `starts` method, which captures the module reference
+object Sessionize extends Serializable {
 
   private final case class PartSummary(i: Int, n: Long, firstYt: Int,
       firstEp: String, lastYt: Int, lastEp: String, internalStarts: Long)
 
+  /** An episode starts at a yt==1 row that doesn't continue a yt==1 run
+    * with the same episode id (shared by both regimes of [[episodes]]). */
+  private def starts(yt: Int, prevYt: Int, prevEp: String, ep: String,
+      isFirstEver: Boolean): Boolean =
+    yt == 1 && (isFirstEver || prevYt != 1 || prevEp != ep)
+
   /** Per-episode table: (episode, start_idx, det_idx|null, delay_windows|null).
     * Episode numbering equals the running count of episode starts in
-    * global `order` — identical to the gaps-and-islands cumsum form. */
+    * global `order` — identical to the gaps-and-islands cumsum form.
+    *
+    * SMALL-INPUT REGIME (the [[Dedup.connectedComponents]]/
+    * [[Graph.pageRank]] split, round 8): the boundary-chained two-pass
+    * scan costs ~4 fixed driver actions (probe-free summaries collect +
+    * partials + final agg) regardless of volume — multi-second scheduling
+    * floor on an sf0.1 input. When the projected (idx, yt, yp, ep) rows
+    * fit `localRowThreshold` (default 2^18, detected by a limit-probed
+    * collect that early-exits on big inputs — no count job), the rows are
+    * fetched ONCE in the exact distributed order (`orderBy(idx, ep, yt,
+    * yp)` — Spark's own type ordering, so any orderable idx type
+    * behaves identically) and the identical single scan runs on the
+    * driver; the per-episode result (bounded by the row threshold)
+    * parallelizes back. Larger inputs take the two-pass path unchanged. */
   def episodes(df: DataFrame, order: Column, yTrue: Column, yPred: Column,
-      episodeId: Column): DataFrame = {
+      episodeId: Column, localRowThreshold: Int = 1 << 18): DataFrame = {
     val spark = df.sparkSession
     val base = df.select(order.as("idx"), yTrue.cast("int").as("yt"),
       yPred.cast("int").as("yp"), episodeId.cast("string").as("ep"))
+    if (localRowThreshold > 0 &&
+        base.limit(localRowThreshold + 1).count() <= localRowThreshold)
+      return localEpisodes(base)
     val parts = spark.sessionState.conf.numShufflePartitions
     // The tiebreakers make the in-partition order a function of row
     // CONTENT, so the two passes below see identical sequences even
@@ -54,9 +78,6 @@ object Sessionize {
     // Java-serializes Row objects to disk — a cliff, not a slope.)
     val rdd = sorted.rdd
     val (ytI, epI) = (sorted.schema.fieldIndex("yt"), sorted.schema.fieldIndex("ep"))
-
-    def starts(yt: Int, prevYt: Int, prevEp: String, ep: String, isFirstEver: Boolean): Boolean =
-      yt == 1 && (isFirstEver || prevYt != 1 || prevEp != ep)
 
     // pass 1: tiny per-partition summary
     val summaries = rdd.mapPartitionsWithIndex { (i, it) =>
@@ -134,6 +155,46 @@ object Sessionize {
         first("ep").as("episode_id"),
         min("idx_min").as("start_idx"),
         min("det_min").as("det_idx"))
+      .withColumn("delay_windows", col("det_idx") - col("start_idx"))
+  }
+
+  /** Driver-side finish for [[episodes]]' small-input regime: the same
+    * `starts` scan over rows fetched in the distributed passes' exact
+    * order, producing complete episodes in one sweep (no partition
+    * boundaries to chain). `delay_windows` is applied as the same Column
+    * expression so result types match the distributed path bit-for-bit. */
+  private def localEpisodes(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    val rows = base.orderBy(col("idx"), col("ep"), col("yt"), col("yp")).collect()
+    val (idxI, ytI, ypI, epI) = (0, 1, 2, 3)
+    var prevYt = 0; var prevEp: String = null; var firstEver = true
+    var episode = 0L
+    var curEpisode = -1L; var curEp: String = null
+    var curStart: Any = null; var curDet: Any = null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    def flush(): Unit =
+      if (curEpisode >= 0) { out += Row(curEpisode, curEp, curStart, curDet); () }
+    rows.foreach { r =>
+      val yt = r.getInt(ytI); val ep = r.getString(epI)
+      if (starts(yt, prevYt, prevEp, ep, firstEver)) episode += 1
+      prevYt = yt; prevEp = ep; firstEver = false
+      if (yt == 1) {
+        if (episode != curEpisode) {
+          flush()
+          curEpisode = episode; curEp = ep
+          curStart = r.get(idxI); curDet = null
+        }
+        if (curDet == null && r.getInt(ypI) == 1) curDet = r.get(idxI)
+      }
+    }
+    flush()
+    val idxType = base.schema("idx").dataType
+    val schema = StructType(Seq(
+      StructField("episode", LongType, nullable = false),
+      StructField("episode_id", base.schema("ep").dataType),
+      StructField("start_idx", idxType),
+      StructField("det_idx", idxType)))
+    spark.createDataFrame(java.util.Arrays.asList(out.toArray: _*), schema)
       .withColumn("delay_windows", col("det_idx") - col("start_idx"))
   }
 

@@ -152,6 +152,28 @@ class MetricsCurvesSpec extends SparkSpec {
     assert(approx(stats.getDouble(2), 2.0)) // mean(1,1)*hop2
   }
 
+  test("TTD sessionization: local fast path == distributed boundary-chained scan (parity)") {
+    // seeded pseudo-random sequence: episodes of varying length, id
+    // changes inside yt==1 runs (forces the prevEp boundary), detections
+    // scattered — wide enough to span several range partitions
+    val rows = (1 to 4000).map { i =>
+      val yt = if ((i * 2654435761L % 7) < 4) 1 else 0
+      val yp = if (i * 40503L % 11 == 0) 1 else 0
+      val ep = s"e${i * 69069L % 13 / 4}"
+      (i.toLong, yt, yp, ep)
+    }
+    val df = rows.toDF("idx", "yt", "yp", "ep")
+    def run(thr: Int) = Sessionize
+      .episodes(df, col("idx"), col("yt"), col("yp"), col("ep"), localRowThreshold = thr)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    val local = run(1 << 18)
+    val dist = run(0)
+    assert(local == dist)
+    assert(local.nonEmpty && local.exists(_._4 == -1L) && local.exists(_._4 > 0L))
+  }
+
   test("clopperPearson matches independent beta-quantile reference values") {
     // Reference: bisection on the regularized incomplete beta (Numerical
     // Recipes continued fraction), CP interval for 5 successes of 100.
