@@ -199,11 +199,115 @@ object Similarity {
 
   /** Train IVF centroids: hash-sampled seeds ([[sampleCentroids]]) refined
     * by `iters` Lloyd iterations. Deterministic (no RNG — seeds are the
-    * nCells lowest-hash rows, iterations are pure aggregations). */
+    * nCells lowest-hash rows, iterations are pure aggregations).
+    *
+    * SMALL-CORPUS REGIME (the [[Dedup.connectedComponents]] split,
+    * round 8): each distributed [[kMeansStep]] costs a centroid collect
+    * plus an exploded groupBy chain — a fixed ~0.5 s of job scheduling
+    * per iteration regardless of volume, the dominant cost of `ann_ivf`
+    * at sf0.1. When the (id, vec) projection fits a driver element
+    * budget (`localElementBudget` array cells ≈ 64 MB of doubles at the
+    * default, detected by a limit-probed collect — no count job), the
+    * IDENTICAL Lloyd iteration runs on the driver: same cosine argmin
+    * with the same (distance, cell_id) tie order and NaN-greatest
+    * semantics, same drop-empty-cells rule, same sequentially-exact
+    * per-dimension mean (partial-sum order cannot diverge for inputs
+    * whose sums are FP-associative, e.g. float32-representable
+    * embeddings — pinned by the local==distributed parity spec). Larger
+    * corpora take the per-iteration aggregation path unchanged. */
   def trainIvfCentroids(corpus: DataFrame, id: String, vec: String,
-      nCells: Int, iters: Int, byHash: Boolean = true): DataFrame = {
-    val (_, seeds) = sampleCentroids(corpus, id, vec, nCells, byHash)
+      nCells: Int, iters: Int, byHash: Boolean = true,
+      localElementBudget: Long = 1L << 23): DataFrame = {
+    val (seedData, seeds) = sampleCentroids(corpus, id, vec, nCells, byHash)
+    if (iters == 0 || seedData.isEmpty) return seeds
+    val dim = seedData.head.getSeq[Double](1).size
+    val rowThr = (localElementBudget / math.max(dim, 1)).min(Int.MaxValue - 1).toInt
+    if (rowThr > 0) {
+      val probe = corpus.select(col(id), col(vec)).limit(rowThr + 1).collect()
+      if (probe.length <= rowThr)
+        return localLloyd(corpus.sparkSession, probe, seedData, iters, seeds.schema)
+    }
     (1 to iters).foldLeft(seeds)((c, _) => kMeansStep(corpus, c, id, vec))
+  }
+
+  /** Driver-side finish for [[trainIvfCentroids]]' small-corpus regime:
+    * `iters` Lloyd iterations with [[assignCells]]/[[kMeansStep]]
+    * semantics — cosine argmin breaking ties to the lowest cell_id with
+    * NaN distances greatest (Spark's struct-min order), null vectors
+    * contributing to no cell (posexplode emits nothing for them), empty
+    * cells dropped. Driver memory is bounded by the caller's element
+    * budget. */
+  private def localLloyd(spark: org.apache.spark.sql.SparkSession,
+      corpusRows: Array[org.apache.spark.sql.Row],
+      seedData: Array[org.apache.spark.sql.Row], iters: Int,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    def idLess(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x < y
+      case (x: Int, y: Int) => x < y
+      case (x: Short, y: Short) => x < y
+      case (x: Double, y: Double) => x < y
+      case (x: String, y: String) => x < y
+      case _ => sys.error(s"unsupported local Lloyd cell id: $a")
+    }
+    val vecs = corpusRows.iterator.filter(r => !r.isNullAt(1))
+      .map(_.getSeq[Double](1).toArray).toArray
+    val vnorms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    var cells: Array[Any] = seedData.map(_.get(0))
+    var cvecs: Array[Array[Double]] = seedData.map(_.getSeq[Double](1).toArray)
+    var cnorms: Array[Double] = seedData.map(_.getDouble(2))
+    for (_ <- 1 to iters) {
+      val k = cells.length
+      val sums = Array.fill(k)(new Array[Double](cvecs.headOption.map(_.length).getOrElse(0)))
+      val counts = new Array[Long](k)
+      var vi = 0
+      while (vi < vecs.length) {
+        val v = vecs(vi)
+        var best = -1; var bestD = 0.0
+        var c = 0
+        while (c < k) {
+          var dp = 0.0
+          val cv = cvecs(c)
+          val n = math.min(v.length, cv.length)
+          var j = 0
+          while (j < n) { dp += v(j) * cv(j); j += 1 }
+          // the distributed path runs under ANSI SQL and throws
+          // DIVIDE_BY_ZERO on a zero-norm vector or centroid — stay
+          // equally loud instead of silently argmin-ing NaN distances
+          if (vnorms(vi) * cnorms(c) == 0.0) throw new ArithmeticException(
+            "zero-norm vector or centroid in cosine Lloyd (the distributed " +
+              "regime raises ANSI DIVIDE_BY_ZERO on the same input)")
+          val d = -dp / (vnorms(vi) * cnorms(c))
+          // struct-min order: smaller d wins; NaN greatest; ties -> lower id
+          val wins = best < 0 ||
+            java.lang.Double.compare(d, bestD) < 0 ||
+            (java.lang.Double.compare(d, bestD) == 0 && idLess(cells(c), cells(best)))
+          if (wins) { best = c; bestD = d }
+          c += 1
+        }
+        if (best >= 0 && sums(best).length == v.length) {
+          val s = sums(best)
+          var j = 0
+          while (j < v.length) { s(j) += v(j); j += 1 }
+          counts(best) += 1
+        } else if (best >= 0 && counts(best) == 0L && v.length > 0) {
+          // first member defines the cell's dimensionality when it
+          // differs from the seed's (matches the exploded avg, which is
+          // per-(cell, pos) — mixed dims would diverge there too; the
+          // library contract is uniform dims, this keeps ragged input
+          // from crashing the scan)
+          sums(best) = v.clone()
+          counts(best) = 1
+        }
+        vi += 1
+      }
+      val keep = (0 until k).filter(counts(_) > 0L)
+      cells = keep.map(cells).toArray
+      cvecs = keep.map(i => sums(i).map(_ / counts(i))).toArray
+      cnorms = cvecs.map(cv => math.sqrt(cv.map(x => x * x).sum))
+    }
+    val rows = cells.indices.map(i => org.apache.spark.sql.Row(
+      cells(i), cvecs(i).toIndexedSeq, cnorms(i)))
+    spark.createDataFrame(java.util.Arrays.asList(rows.toArray: _*), schema)
   }
 
   /** [[ivfTopK]] with EXTERNAL centroids (e.g. [[trainIvfCentroids]]'s

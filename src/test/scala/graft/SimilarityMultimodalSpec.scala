@@ -78,6 +78,29 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(ivf == brute) // nProbe=1 suffices once centroids are trained
   }
 
+  test("trainIvfCentroids: driver-local Lloyd == distributed kMeansStep chain (parity)") {
+    // dyadic-rational coordinates -> every per-dim sum is FP-exact in any
+    // association, so local and distributed means are bit-identical.
+    // 3 clusters, uneven sizes, ids shuffled so byHash seeds are
+    // nontrivial. (Zero vectors are out of contract: the distributed
+    // regime raises ANSI DIVIDE_BY_ZERO and the local regime throws the
+    // matching ArithmeticException.)
+    val corpus = ((1 to 40).map(i => (i.toLong, Seq(1.0 + (i % 8) / 64.0, (i % 4) / 32.0, 0.0))) ++
+      (41 to 70).map(i => (i.toLong, Seq((i % 4) / 32.0, 1.0 + (i % 8) / 64.0, 0.25))) ++
+      (71 to 90).map(i => (i.toLong, Seq(0.5, (i % 8) / 64.0, 1.0 + (i % 4) / 32.0)))).toDF("id", "v")
+    def collectCents(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList, r.getDouble(2)))
+        .sortBy(_._1).toList
+    for (iters <- Seq(1, 3); byHash <- Seq(true, false)) {
+      val local = collectCents(Similarity.trainIvfCentroids(
+        corpus, "id", "v", nCells = 5, iters = iters, byHash = byHash))
+      val dist = collectCents(Similarity.trainIvfCentroids(
+        corpus, "id", "v", nCells = 5, iters = iters, byHash = byHash,
+        localElementBudget = 0L))
+      assert(local == dist, s"iters=$iters byHash=$byHash\n$local\nvs\n$dist")
+    }
+  }
+
   test("semanticDedup: near-copies flagged within cluster, representatives kept, distant points clean") {
     // two tight clusters around orthogonal directions + a near-copy in
     // each; one Lloyd iteration refines the seed centroids (the
