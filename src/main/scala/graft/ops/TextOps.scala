@@ -394,16 +394,24 @@ object TextOps {
     * and broadcast-joins the bucket→log-ratio table (numBuckets rows),
     * then sums per document — one shuffle keyed by doc id. Nothing
     * materializes the exploded grams; at extreme scale run pass 1 on a
-    * sample (the distributions converge long before full coverage — the
-    * published method does exactly this).
+    * sample via `fitFraction` (the distributions converge long before
+    * full coverage — the published method does exactly this): a
+    * DETERMINISTIC per-document hash sample ([[Robustness.seededUniform]]
+    * on the doc id, the [[Stats.stratifiedSample]] mechanism — stable
+    * across partitioning/cluster size and engine-portable), applied to
+    * the DISTRIBUTION pass only. Every document is still scored in pass
+    * 2; with `fitFraction = 1.0` (default) the result is bit-identical
+    * to the unsampled form.
     *
     * Hashing is [[IntHash.stringHash]] (engine-portable), so the whole
     * computation has an exact DuckDB twin. Documents with fewer than `n`
     * tokens have no features and are omitted (no evidence → no weight).
     * Returns (id, n_grams, weight). */
   def dsirWeights(df: DataFrame, id: String, text: Column, isTarget: Column,
-      n: Int = 2, numBuckets: Int = 8192, alpha: Double = 1.0): DataFrame = {
+      n: Int = 2, numBuckets: Int = 8192, alpha: Double = 1.0,
+      fitFraction: Double = 1.0, fitSeed: Long = 11L): DataFrame = {
     require(n >= 1 && numBuckets >= 2, "need n >= 1 and numBuckets >= 2")
+    require(fitFraction > 0.0 && fitFraction <= 1.0, "fitFraction in (0, 1]")
     // NON-distinct n-grams — DSIR features are occurrence counts: "a b
     // a b" has three bigram occurrences, two distinct. The native
     // WordShingles(distinct = false) splits each document once; the HOF
@@ -415,9 +423,24 @@ object TextOps {
           .as("__g"))
       .select(col(id), col("__t"),
         pmod(IntHash.stringHash(col("__g")), lit(numBuckets)).as("__b"))
-    val dist = grams.groupBy("__b").agg(
-      sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
-      sum(when(!col("__t"), 1L).otherwise(0L)).as("__rc"))
+    // sampled pass 1: the gram subtree re-evaluates under the doc filter
+    // (narrow — the filter pushes to the scan), pass 2 keeps every doc
+    val fitGrams =
+      if (fitFraction >= 1.0) grams
+      else grams.where(Robustness.seededUniform(fitSeed, col(id)) < fitFraction)
+    // DENSIFIED over the full bucket domain (numBuckets rows — bounded):
+    // under a sampled fit, a scored gram can land in a bucket the sample
+    // never saw; the scoring join must then apply the smoothed zero-count
+    // ratio (exactly [[dsirScorer]]'s unseen fallback), not silently drop
+    // the gram (an inner join on a sparse model table did just that).
+    // Zero rows change neither total, and with fitFraction = 1 every
+    // scored bucket is fitted, so the dense form is result-identical.
+    val spark = df.sparkSession
+    val dist = spark.range(numBuckets).select(col("id").as("__b"))
+      .join(fitGrams.groupBy("__b").agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__rc")), Seq("__b"), "left")
+      .na.fill(0L, Seq("__tc", "__rc"))
     // totals via a whole-frame window over the DIST table — bounded by
     // numBuckets, so the unpartitioned window is a ≤8k-row pass, and the
     // dist subtree (a full corpus scan + explode) is computed ONCE; a
@@ -445,12 +468,24 @@ object TextOps {
     * how a production pipeline ships a selection model to its ingest
     * stream. Buckets unseen at fit time fall back to the smoothed
     * zero-count ratio; docs with no n-grams score 0.0 (no evidence —
-    * [[dsirWeights]] omits such docs instead). */
+    * [[dsirWeights]] omits such docs instead).
+    *
+    * `fitFraction < 1` fits the distributions on a deterministic hash
+    * sample of the corpus (keyed by [[IntHash.stringHash]] of the text —
+    * the scorer has no id column; content-keyed sampling is stable
+    * across partitioning and re-runs). The returned scoring column is
+    * unaffected in shape — only the fitted counts change. */
   def dsirScorer(corpus: DataFrame, text: Column, isTarget: Column,
       n: Int = 2, numBuckets: Int = 8192,
-      alpha: Double = 1.0): Column => Column = {
+      alpha: Double = 1.0, fitFraction: Double = 1.0,
+      fitSeed: Long = 11L): Column => Column = {
     require(n >= 1 && numBuckets >= 2, "need n >= 1 and numBuckets >= 2")
-    val dist = corpus.select(isTarget.as("__t"),
+    require(fitFraction > 0.0 && fitFraction <= 1.0, "fitFraction in (0, 1]")
+    val fitCorpus =
+      if (fitFraction >= 1.0) corpus
+      else corpus.where(
+        Robustness.seededUniform(fitSeed, IntHash.stringHash(text)) < fitFraction)
+    val dist = fitCorpus.select(isTarget.as("__t"),
         explode(org.apache.spark.sql.graft.MinHashShim.shinglesAllCol(text, n))
           .as("__g"))
       .select(col("__t"),

@@ -58,6 +58,47 @@ class AnalyticsSpec extends SparkSpec {
       s"swap should negate: $k $v ${swapped(k)}") }
   }
 
+  test("dsirWeights fitFraction: sampled fit converges to the full fit (correlation); 1.0 is bit-identical") {
+    // 400 seeded pseudo-random docs: target docs speak ~75% target vocab,
+    // raw docs ~25% — real distributional signal (a perfectly periodic
+    // fixture makes every bucket equi-frequent and the full fit constant),
+    // with enough redundancy that half the corpus pins the same model
+    val tgtVocab = Seq("alpha", "beta", "gamma", "delta")
+    val rawVocab = Seq("xray", "yankee", "zulu", "whiskey")
+    val docs = (1 to 400).map { i =>
+      val tgt = i % 3 == 0
+      val toks = (0 until 12).map { j =>
+        val h = math.floorMod(i * 2654435761L + j * 40503L + i.toLong * j, 100L)
+        val useTgt = if (tgt) h < 75 else h < 25
+        if (useTgt) tgtVocab(math.floorMod(i * 7 + j * 13, 4))
+        else rawVocab(math.floorMod(i * 11 + j * 5, 4))
+      }
+      (i.toLong, toks.mkString(" "), tgt)
+    }.toDF("id", "text", "tgt")
+    def weights(frac: Double) = TextOps.dsirWeights(docs, "id", col("text"),
+        col("tgt"), n = 2, numBuckets = 512, fitFraction = frac)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val full = weights(1.0)
+    val half = weights(0.5)
+    // every doc still scored — sampling touches only the distribution fit
+    assert(half.keySet == full.keySet)
+    // deterministic: the hash sample is content-of-id-keyed, not RNG
+    assert(weights(0.5) == half)
+    // Pearson correlation of the weight values (the fixture has heavy
+    // text duplication, so rank-based measures degenerate under ties)
+    val ks = full.keys.toSeq
+    val (xs, ys) = (ks.map(full), ks.map(half))
+    def mean(v: Seq[Double]) = v.sum / v.size
+    val (mx, my) = (mean(xs), mean(ys))
+    val cov = ks.indices.map(i => (xs(i) - mx) * (ys(i) - my)).sum
+    val r = cov / math.sqrt(
+      xs.map(x => (x - mx) * (x - mx)).sum * ys.map(y => (y - my) * (y - my)).sum)
+    assert(r > 0.95, s"weight correlation $r")
+    // and the orderings agree where weights are far apart: the most
+    // target-like and most raw-like docs keep their sign
+    assert(ks.count(k => math.signum(full(k)) == math.signum(half(k))).toDouble / ks.size > 0.9)
+  }
+
   test("chunkDocuments: empty and whitespace-only docs produce no chunks") {
     assert(chunks("", 4, 4).isEmpty)
     assert(chunks("   \n\t ", 4, 4).isEmpty)
