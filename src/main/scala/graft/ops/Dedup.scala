@@ -695,6 +695,89 @@ object Dedup {
           .otherwise(0.0).as("dup_ratio"))
   }
 
+  /** Cross-document duplicated SUBSTRINGS at ARBITRARY token offsets —
+    * the Lee et al. 2022 (arXiv:2107.06499) exact-substring guarantee
+    * re-expressed for Spark, closing [[duplicateSpans]]' alignment gap:
+    * its w-token tiles are cut at positions 0, w, 2w…, so a duplicated
+    * run shorter than 2w−1 tokens can straddle every tile boundary and
+    * go unseen (a 49-token copy at offset 1 is invisible to 50-token
+    * tiles). Here EVERY token position starts a window (stride 1), so
+    * any cross-doc duplicated run of ≥ `w + stride − 1` tokens contains
+    * at least one emitted window verbatim and is caught (≥ `w` at the
+    * stride-1 default).
+    *
+    * Pipeline: per doc, hash the w-token window at each start position
+    * (`windowHash` of the joined tokens — xxhash64 by default, md5 for
+    * the engine-portable oracle); count DISTINCT docs per window hash;
+    * windows shared by ≥ `minDocs` docs are duplicated; per doc, merge
+    * overlapping-or-adjacent duplicated windows (gap ≤ w) into maximal
+    * spans. Returns one row per (doc, span): (id, span_start, span_end,
+    * n_windows) — token indices, end exclusive.
+    *
+    * Scale shape: the window table is ~one row per TOKEN (grain 1) —
+    * the honest cost of exact-substring recall (Lee et al. pay the same
+    * via suffix arrays). `grain > 1` keeps only windows whose PORTABLE
+    * content hash ([[IntHash.stringHash]]) ≡ 0 (mod grain) — 1/grain of
+    * the volume. Selection must be CONTENT-keyed, not position-keyed: a
+    * positional stride on both sides only matches when the two copies'
+    * offsets are congruent mod the stride, so it misses most unaligned
+    * runs ENTIRELY regardless of length; content-keyed selection picks
+    * the same windows of a shared run in every doc (Manber'94/Broder-
+    * style fingerprint sampling). The trade is probabilistic recall: a
+    * shared run with k = L−w+1 windows is missed with probability
+    * ≈ (1−1/grain)^k, and island boundaries coarsen by up to ~grain
+    * tokens at each edge. One map-side-combined frequency pass over
+    * window hashes, one hash join back (only DUPLICATED windows reach
+    * the island stage — output-sized, not corpus-sized), islands via a
+    * per-doc window function (state bounded by a doc's duplicated
+    * windows); with grain > 1 islands merge at gap ≤ w + grain so
+    * sampled chains don't fragment. WITHIN-doc repeats don't count
+    * toward `minDocs` (distinct-doc frequency); in-document repetition
+    * is [[graft.ops.TextOps.repetitionStats]]' domain. */
+  def substringDuplicates(df: DataFrame, id: String, text: String,
+      w: Int, minDocs: Int = 2, grain: Int = 1,
+      windowHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(w >= 1 && minDocs >= 2 && grain >= 1,
+      "need w >= 1, minDocs >= 2, grain >= 1")
+    val toks = filter(split(trim(col(text)), "\\s+"), t => length(t) > 0)
+    val nWin = size(col("__toks")) - w + 1
+    val winTexts = transform(
+      when(nWin > 0, sequence(lit(0), nWin - 1))
+        .otherwise(array().cast("array<int>")),
+      j => struct(j.cast("long").as("pos"),
+        array_join(slice(col("__toks"), j + 1, lit(w)), " ").as("wt")))
+    val selected =
+      if (grain == 1) winTexts
+      else filter(winTexts,
+        x => pmod(IntHash.stringHash(x.getField("wt")), lit(grain)) === 0)
+    val wins = df
+      .withColumn("__toks", toks)
+      .withColumn("__w", explode(transform(selected,
+        x => struct(x.getField("pos").as("pos"),
+          windowHash(x.getField("wt")).as("h")))))
+      .select(col(id), col("__w.pos").as("__pos"), col("__w.h").as("__h"))
+    val dupHashes = wins.groupBy("__h")
+      .agg(countDistinct(col(id)).as("__docs"))
+      .where(col("__docs") >= minDocs)
+      .select("__h")
+    val dup = wins.join(dupHashes, Seq("__h"))
+    val byDoc = Window.partitionBy(col(id)).orderBy(col("__pos"))
+    // islands merge at gap <= w (+ the expected selection gap under
+    // grain sampling, so sampled chains don't fragment)
+    val mergeGap = w + (grain - 1)
+    dup
+      .withColumn("__new", when(
+        lag(col("__pos"), 1).over(byDoc).isNull ||
+          col("__pos") - lag(col("__pos"), 1).over(byDoc) > mergeGap, 1L).otherwise(0L))
+      .withColumn("__island",
+        sum(col("__new")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(id), col("__island"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + w).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(id), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   /** REMOVAL companion of [[duplicateSpans]] — CCNet actually deletes the
     * duplicated spans, it doesn't just score them: cut each doc into
     * non-overlapping `w`-token tiles, drop every tile that appears in

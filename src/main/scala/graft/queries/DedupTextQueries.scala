@@ -270,6 +270,23 @@ object DedupTextQueries {
         .orderBy("doc_id")
     }),
 
+    "dedup_substring" -> ((s, dir) => {
+      // Cross-doc duplicated substrings at ARBITRARY offsets (Lee et al.
+      // 2022 style): stride-1 8-token window hashes + distinct-doc
+      // frequency + per-doc island merge. Duplication is manufactured by
+      // unioning each doc with a MISALIGNED copy (tokens 4..43 — offset
+      // 3, which 8-token tiles can straddle but windows cannot miss).
+      // Windows travel as md5 (identical in both engines).
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+        .where(col("doc_id") < 200)
+      val offsetCopy = docs.select(
+        (col("doc_id") + IdShift).as("doc_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 4, 40), " ").as("text"))
+      Dedup.substringDuplicates(docs.unionByName(offsetCopy),
+          "doc_id", "text", w = 8, minDocs = 2, windowHash = md5(_))
+        .orderBy("doc_id", "span_start")
+    }),
+
     "dedup_edit_pairs" -> ((s, dir) =>
       // Fuzzy near-dup pairs by edit distance <= 3 over part names —
       // length-banded blocking + exact levenshtein; the twin is the
@@ -800,6 +817,41 @@ object DedupTextQueries {
          |    AS dup_ratio
          |FROM corpus c LEFT JOIN per USING (doc_id)
          |ORDER BY c.doc_id""".stripMargin,
+
+    "dedup_substring" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id + $IdShift AS doc_id,
+         |         array_to_string((list_filter($toks, x -> x <> ''))[4:43], ' ') AS text
+         |  FROM documents WHERE doc_id < 200),
+         |tk AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |    x -> x <> '') AS l
+         |  FROM corpus),
+         |wins AS (
+         |  SELECT doc_id,
+         |    CAST(unnest(range(0, greatest(len(l) - 7, 0))) AS BIGINT) AS pos,
+         |    unnest(list_transform(range(0, greatest(len(l) - 7, 0)),
+         |      i -> md5(array_to_string(l[(i+1):(i+8)], ' ')))) AS h
+         |  FROM tk),
+         |freq AS (
+         |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS docs
+         |                 FROM wins GROUP BY 1) WHERE docs >= 2),
+         |dup AS (SELECT doc_id, pos FROM wins JOIN freq USING (h)),
+         |lagged AS (
+         |  SELECT doc_id, pos,
+         |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM dup),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM lagged)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_windows
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
 
     "dedup_edit_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)

@@ -344,6 +344,50 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("substringDuplicates: catches unaligned cross-doc runs that tiles provably miss; exact boundaries") {
+    // doc 1: tokens a1..a100. doc 2: 3 unrelated tokens + a2..a50 (a
+    // 49-token shared run starting at offset 1 in doc 1, offset 3 in doc
+    // 2) + unrelated tail. 50-token tiles cut doc 1 at [0,50)/[50,100)
+    // and doc 2 at [0,50): no tile is shared -> duplicateSpans is blind.
+    val a = (1 to 100).map(i => s"a$i")
+    val doc1 = a.mkString(" ")
+    val doc2 = (Seq("x1", "x2", "x3") ++ a.slice(1, 50) ++ Seq("z1", "z2")).mkString(" ")
+    val df = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val tiles = Dedup.duplicateSpans(df, "doc_id", "text", w = 50, minDocs = 2)
+      .where(col("n_dup_tiles") > 0).count()
+    assert(tiles == 0L, "50-token tiles must miss the offset run (the documented gap)")
+    // stride-1 windows of w=10: every >= 10-token shared run is caught
+    val spans = Dedup.substringDuplicates(df, "doc_id", "text", w = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 1: windows at pos 1..40 are shared (tokens a2..a50 = [1, 50));
+    // doc 2: the run occupies token positions [3, 52) -> windows 3..42
+    assert(spans == Set((1L, 1L, 50L, 40L), (2L, 3L, 52L, 40L)), spans.toString)
+  }
+
+  test("substringDuplicates: content-keyed grain; within-doc repeats don't count; separate islands stay separate") {
+    val shared = (1 to 30).map(i => s"s$i")
+    val df = Seq(
+      (1L, (shared ++ Seq("p", "q", "r") ++ shared.map(t => t + "x")).mkString(" ")),
+      (2L, (Seq("u", "v") ++ shared ++ Seq("w") ++ shared.map(t => t + "x")).mkString(" ")),
+      // doc 3 repeats its own phrase but shares nothing cross-doc
+      (3L, (Seq("m1", "m2", "m3", "m4", "m5", "m6", "m7", "m8", "m9", "m10") ++
+        Seq("m1", "m2", "m3", "m4", "m5", "m6", "m7", "m8", "m9", "m10")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringDuplicates(df, "doc_id", "text", w = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // two distinct shared runs per doc (gap > w between them) -> two islands each
+    assert(spans == Set((1L, 0L, 30L), (1L, 33L, 63L), (2L, 2L, 32L), (2L, 33L, 63L)),
+      spans.toString)
+    // a doc-internal repeat alone never reaches minDocs
+    assert(!spans.exists(_._1 == 3L))
+    // content-keyed grain 5 keeps ~1/5 of windows yet still catches the
+    // 30-token runs (21 windows each; selection is offset-invariant, so
+    // both docs keep the SAME windows of a shared run)
+    val coarse = Dedup.substringDuplicates(df, "doc_id", "text", w = 10, grain = 5)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(coarse == Set(1L, 2L))
+  }
+
   test("decontaminate: counts distinct shared n-grams; clean docs absent") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps"), // shares "the quick brown" + "quick brown fox"
