@@ -80,11 +80,15 @@ object ScaleProbe {
         time(s"vocabulary n=$n")(
           TextOps.vocabulary(d, col("id"), col("text"), 100L, 1000).count())
       case "semdedup" =>
-        // n/2 base vectors (dim 16 hash soup) + n/2 planted near-copies
-        // (cos ≈ 0.999); nCells ≈ n/10k per the published recipe, so the
-        // within-cell pairwise stage stays bounded as n grows
+        // n/2 base vectors (hash-soup, dim from argv[2], default 16) +
+        // n/2 planted near-copies (cos ≈ 0.999); nCells ≈ n/10k per the
+        // published recipe, so the within-cell pairwise stage stays
+        // bounded as n grows. At 10M/dim-64 this is 1000 cells × 64 dims
+        // — well past maxLiteralTerms, exercising the broadcast-join
+        // assignment path.
+        val dim = args.lift(2).map(_.toInt).getOrElse(16)
         val half = n / 2
-        val dims = sequence(lit(0), lit(15))
+        val dims = sequence(lit(0), lit(dim - 1))
         val base = spark.range(half).select(col("id"),
           transform(dims, i =>
             pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 1000.0 + 0.001)
@@ -94,7 +98,7 @@ object ScaleProbe {
             transform(col("v"), x => x * 1.001 + 0.0003).as("v")))
         recs.count()
         val nCells = math.max(4, (n / 10000).toInt)
-        time(s"semanticDedup n=$n nCells=$nCells dim=16") {
+        time(s"semanticDedup n=$n nCells=$nCells dim=$dim") {
           val out = graft.ops.Similarity.semanticDedup(recs, "id", "v",
             nCells = nCells, iters = 1, simThreshold = 0.999)
           println("dups=" + out.where(col("is_dup")).count())

@@ -866,9 +866,15 @@ object Dedup {
     * result set is identical to the unblocked all-pairs filter.
     * Returns (name_a, name_b, dist). */
   def editDistancePairs(df: DataFrame, name: Column, maxDist: Int): DataFrame =
+    // verify with the THRESHOLD form of levenshtein (Spark ≥3.5): banded
+    // O(len·maxDist) DP that bails as soon as the band exceeds maxDist and
+    // returns −1 — on low-entropy vocabularies where blocking admits many
+    // near-miss candidates, the verify stage is the dominant cost and the
+    // band cuts it from O(len²) per pair. For dist ≤ maxDist the returned
+    // value equals the unbounded distance, so output parity is exact.
     editDistanceCandidates(df, name, maxDist)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .where(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .where(col("dist") >= 0)
       .select(col("name_a"), col("name_b"), col("dist"))
 
   /** The candidate (pre-`levenshtein`-verify) distinct pairs of

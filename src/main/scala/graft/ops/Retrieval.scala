@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse-lexical retrieval over a document corpus — Okapi BM25 top-k,
+  * the standard keyword-search scorer (Robertson & Zaragoza 2009, "The
+  * Probabilistic Relevance Framework: BM25 and Beyond"; idf in the
+  * Lucene `ln(1 + (N − df + 0.5)/(df + 0.5))` non-negative form).
+  *
+  * In an LLM data pipeline this is the workhorse for targeted corpus
+  * probes: finding training documents that match benchmark prompts
+  * (contamination auditing beyond exact n-gram hits), pulling topical
+  * slices for mixture tuning, and serving as the sparse half of hybrid
+  * (BM25 + dense ANN) retrieval next to [[Similarity.bruteForceTopK]].
+  *
+  * Scale shape (the query side is assumed small — it is broadcast):
+  *  - ONE full-corpus scan computes, row-locally, the per-doc token list
+  *    and its length `dl` (no shuffle — `dl` is `size(split(...))`).
+  *    Tokens are immediately filtered to the query-term set (a literal
+  *    `isin` over the handful of distinct query terms, applied before the
+  *    explode output leaves the stage), so the only corpus-sized shuffle
+  *    — the `(doc, term)` tf aggregation — carries matched tokens only,
+  *    not the whole corpus.
+  *  - A SECOND narrow scan aggregates corpus stats `N` (docs with ≥1
+  *    token) and `avgdl` to one row, joined back via broadcast. Document
+  *    frequency `df` is a group-by over the already-tiny matched tf
+  *    table, broadcast back likewise.
+  *  - Scoring is a `groupBy(qid, doc)` sum over at most
+  *    |matched postings| rows, then a per-query top-k window over docs
+  *    that matched at least one term — bounded by matches, not N.
+  *
+  * Tokenization is `lower(trim(text))` split on whitespace with empty
+  * tokens dropped — byte-identical to the SQL twin
+  * (`string_split_regex(lower(trim(text)), '\s+')`). Docs with zero
+  * tokens are absent from `N`, `avgdl`, and the result. Query terms are
+  * DEDUPLICATED per query (each distinct term contributes once,
+  * regardless of its multiplicity in the query string).
+  *
+  * Returns (qid, doc id, score, rank), rank 1..k per qid by score desc,
+  * ties to the lowest doc id. Reference has no retrieval operator — this
+  * extends the curation surface (SURVEY §2.12).
+  */
+object Retrieval {
+
+  private def toks(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= lit(""))
+
+  def bm25TopK(docs: DataFrame, id: String, text: Column,
+      queries: Seq[(String, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(queries.nonEmpty, "queries must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // distinct (qid, term) pairs — driver-side, the query set is literal
+    val qterms: Seq[(String, String)] = queries
+      .flatMap { case (qid, qtext) =>
+        qtext.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+          .map(qid -> _)
+      }.distinct
+    require(qterms.nonEmpty, "queries contain no tokens")
+    val termSet = qterms.map(_._2).distinct
+
+    // pass 1 (corpus-sized): matched postings with row-local dl.
+    // The isin filter on the exploded term keeps the shuffle input at
+    // |matched tokens|; dl rides along as part of the group key (it is
+    // functionally determined by the doc id).
+    val arr = toks(text)
+    val tf = docs
+      .select(col(id).as("__doc"), size(arr).as("dl"), explode(arr).as("term"))
+      .where(col("term").isin(termSet: _*))
+      .groupBy("__doc", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+
+    // pass 2 (narrow): corpus size and average doc length, one row
+    val stats = docs.select(size(toks(text)).as("dl")).where(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+
+    // document frequency per matched term — tiny, broadcast back
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val qdf = qterms.toDF("qid", "term")
+    val contrib = tf
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(qdf), "term")
+      .join(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * col("tf") * (k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("__doc").asc)
+    contrib.groupBy("qid", "__doc")
+      .agg(sum("w").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("__doc").as(id), col("score"), col("rank"))
+  }
+
+  /** Query-term-coverage top-k: rank documents by how many DISTINCT query
+    * terms they contain (ties to the lowest doc id) — the simplest
+    * Boolean-ish lexical ranking, used here as an independent signal for
+    * [[rrfFuse]]. Same tokenization and scale shape as [[bm25TopK]] minus
+    * the corpus-stats pass (coverage needs no N/avgdl/df).
+    * Returns (qid, doc id, n_terms, rank). */
+  def coverageTopK(docs: DataFrame, id: String, text: Column,
+      queries: Seq[(String, String)], k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, qtext) =>
+      qtext.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+        .map(qid -> _)
+    }.distinct
+    require(qterms.nonEmpty, "queries contain no tokens")
+    val termSet = qterms.map(_._2).distinct
+    val matched = docs
+      .select(col(id).as("__doc"), explode(toks(text)).as("term"))
+      .where(col("term").isin(termSet: _*)).distinct()
+      .join(broadcast(qterms.toDF("qid", "term")), "term")
+    val w = Window.partitionBy("qid").orderBy(col("n_terms").desc, col("__doc").asc)
+    matched.groupBy("qid", "__doc")
+      .agg(count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("__doc").as(id), col("n_terms"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): combine
+    * any per-query rankings — e.g. BM25 and a dense ANN list — into one,
+    * scoring each doc Σᵢ 1/(kRrf + rankᵢ). Docs missing from a ranking
+    * simply contribute nothing for it (the standard convention). Inputs
+    * are already top-k-per-query tables, so everything here is
+    * post-retrieval small: a union + one tiny aggregation + window.
+    * Each input must carry columns (`qid`, `id`, `rank`).
+    * Returns (qid, id, score, rank) with ties to the lowest id. */
+  def rrfFuse(rankings: Seq[DataFrame], qid: String, id: String, k: Int,
+      kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 1 && kRrf >= 1, "k and kRrf must be >= 1")
+    val parts = rankings.map(_.select(col(qid), col(id),
+      (lit(1.0) / (lit(kRrf.toDouble) + col("rank"))).as("__c")))
+    val w = Window.partitionBy(qid).orderBy(col("score").desc, col(id).asc)
+    parts.reduce(_ unionByName _)
+      .groupBy(qid, id)
+      .agg(sum("__c").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qid), col(id), col("score"), col("rank"))
+  }
+}

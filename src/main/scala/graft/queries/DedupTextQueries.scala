@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Dedup, Retrieval, TextOps}
 import graft.queries.Q._
 
 /** Training-data pipeline operators over `documents`: deduplication
@@ -137,6 +137,40 @@ object DedupTextQueries {
           col("c.n_urls").as("n_urls"), col("c.n_longnums").as("n_longnums"),
           col("redacted_md5"))
         .orderBy("doc_id")
+    }),
+
+    "text_bm25_topk" -> ((s, dir) =>
+      // Okapi BM25 keyword retrieval: three literal queries over the
+      // first 200 docs; corpus stats (N, avgdl) are fixed by the same
+      // doc_id filter so both engines agree on the collection.
+      Retrieval.bm25TopK(
+          table(s, dir, "documents").where(col("doc_id") < 200), "doc_id",
+          col("text"),
+          queries = Seq("q1" -> "spark join merge",
+            "q2" -> "window sort batch stream", "q3" -> "customer the data"),
+          k = 10)
+        .select(col("qid"), col("doc_id"),
+          round(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")),
+
+    "retrieval_rrf" -> ((s, dir) => {
+      // Hybrid-retrieval shape: reciprocal-rank fusion of two independent
+      // lexical rankings (BM25 and distinct-term coverage) over the same
+      // literal queries — the post-retrieval stage is rankings-sized, not
+      // corpus-sized.
+      val docs = table(s, dir, "documents").where(col("doc_id") < 200)
+      val qs = Seq("q1" -> "spark join merge",
+        "q2" -> "window sort batch stream", "q3" -> "customer the data")
+      val bm = Retrieval.bm25TopK(docs, "doc_id", col("text"), qs, k = 20)
+      val cov = Retrieval.coverageTopK(docs, "doc_id", col("text"), qs, k = 20)
+      Retrieval.rrfFuse(
+          Seq(bm.select("qid", "doc_id", "rank"),
+            cov.select("qid", "doc_id", "rank")), "qid", "doc_id", k = 10)
+        .select(col("qid"), col("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
     }),
 
     "text_tfidf_topk" -> ((s, dir) =>
@@ -632,6 +666,93 @@ object DedupTextQueries {
          |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
          |    '${TextOps.LongNumRe}', '<NUM>', 'g')) AS redacted_md5
          |FROM base ORDER BY doc_id""".stripMargin,
+
+    "text_bm25_topk" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         |toks AS (
+         |  SELECT c.doc_id, u.term
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |        FROM corpus) c, UNNEST(c.t) AS u(term)
+         |  WHERE len(u.term) > 0),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |q(qid, qtext) AS (VALUES ('q1', 'spark join merge'),
+         |  ('q2', 'window sort batch stream'), ('q3', 'customer the data')),
+         |qt AS (
+         |  SELECT DISTINCT qid, u.term
+         |  FROM (SELECT qid, regexp_split_to_array(lower(trim(qtext)), '\\s+') AS t
+         |        FROM q) x, UNNEST(x.t) AS u(term)
+         |  WHERE len(u.term) > 0),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT qt.qid, tf.doc_id,
+         |    sum(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+         |    JOIN dl USING (doc_id) CROSS JOIN stats s
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, doc_id, score,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM scored)
+         |SELECT qid, doc_id, round(score, 4) AS score, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "retrieval_rrf" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         |toks AS (
+         |  SELECT c.doc_id, u.term
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |        FROM corpus) c, UNNEST(c.t) AS u(term)
+         |  WHERE len(u.term) > 0),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |q(qid, qtext) AS (VALUES ('q1', 'spark join merge'),
+         |  ('q2', 'window sort batch stream'), ('q3', 'customer the data')),
+         |qt AS (
+         |  SELECT DISTINCT qid, u.term
+         |  FROM (SELECT qid, regexp_split_to_array(lower(trim(qtext)), '\\s+') AS t
+         |        FROM q) x, UNNEST(x.t) AS u(term)
+         |  WHERE len(u.term) > 0),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT qt.qid, tf.doc_id,
+         |    sum(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+         |    JOIN dl USING (doc_id) CROSS JOIN stats s
+         |  GROUP BY 1, 2),
+         |bmk AS (
+         |  SELECT * FROM (
+         |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
+         |  WHERE rank <= 20),
+         |covscore AS (
+         |  SELECT qt.qid, td.doc_id, count(*) AS n_terms
+         |  FROM (SELECT DISTINCT doc_id, term FROM toks
+         |        WHERE term IN (SELECT term FROM qt)) td
+         |  JOIN qt USING (term) GROUP BY 1, 2),
+         |covk AS (
+         |  SELECT * FROM (
+         |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY n_terms DESC, doc_id ASC) AS rank FROM covscore)
+         |  WHERE rank <= 20),
+         |unioned AS (
+         |  SELECT qid, doc_id, 1.0 / (60 + rank) AS c FROM bmk
+         |  UNION ALL SELECT qid, doc_id, 1.0 / (60 + rank) FROM covk),
+         |fused AS (SELECT qid, doc_id, sum(c) AS score FROM unioned GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, doc_id ASC) AS rank FROM fused)
+         |SELECT qid, doc_id, round(score, 6) AS score, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "text_tfidf_topk" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),

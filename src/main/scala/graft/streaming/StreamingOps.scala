@@ -376,4 +376,36 @@ object StreamingOps {
           })
     }
   }
+
+  /** Streaming train/test-leak scan — [[graft.ops.Dedup.decontaminate]]'s
+    * semantics applied at ingest time: per arriving corpus doc, the count
+    * of distinct word n-gram hashes it shares with a STATIC benchmark
+    * set. Emits (ts, id, n_shared_grams) for contaminated docs only, as
+    * the watermark closes each doc's event time (append mode).
+    *
+    * Scale shape: the benchmark side collapses to distinct 31-bit gram
+    * hashes ONCE (static subplan, broadcast into the stream-static
+    * left-semi join — no state); the per-doc distinct is row-local
+    * (`array_distinct` over the hashed shingle array, identical collision
+    * behavior to batch's (id, hash) distinct); the only stateful operator
+    * is the watermarked (ts, id) count over matched grams, whose state is
+    * bounded by matches inside the watermark, not by the corpus. Batch
+    * parity: run on a batch frame, the same plan reproduces
+    * `decontaminate` plus the ts column (spec-pinned). */
+  def decontaminateStream(docs: DataFrame, tsCol: String, idCol: String,
+      textCol: String, benchmark: DataFrame, benchText: String, n: Int,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.ops.{Dedup, IntHash}
+    val benchGrams = benchmark
+      .select(explode(Dedup.shingles(col(benchText), n)).as("g"))
+      .select(IntHash.stringHash(col("g")).as("h")).distinct()
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(idCol), explode(array_distinct(
+        transform(Dedup.shingles(col(textCol), n),
+          g => IntHash.stringHash(g)))).as("h"))
+      .join(broadcast(benchGrams), Seq("h"), "left_semi")
+      .groupBy(col(tsCol), col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
 }

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Retrieval
+
+/** BM25 / coverage / RRF retrieval laws: parity with a from-scratch
+  * Scala reimplementation on a fixture, plus edge-case and determinism
+  * properties. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick quick fox"),
+    (2L, "lazy dog sleeps"),
+    (3L, "brown bear eats honey"),
+    (4L, "fox fox fox fox fox"),
+    (5L, "   "), // zero tokens — excluded from N/avgdl and results
+    (6L, "A Quick DOG"), // case-folded
+    (7L, "completely unrelated words here"))
+
+  private val queries = Seq("qa" -> "quick fox", "qb" -> "lazy dog dog")
+
+  /** From-scratch BM25 (double arithmetic identical to the operator's). */
+  private def bruteBm25(k1: Double = 1.2, b: Double = 0.75): Map[(String, Long), Double] = {
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    }.toMap
+    val withTok = toks.filter(_._2.nonEmpty)
+    val n = withTok.size.toDouble
+    val avgdl = withTok.values.map(_.size).sum.toDouble / n
+    val qt = queries.flatMap { case (q, t) => t.split("\\s+").distinct.map(q -> _) }
+    (for {
+      (q, term) <- qt
+      (doc, ts) <- withTok
+      tf = ts.count(_ == term).toDouble
+      if tf > 0
+    } yield {
+      val df = withTok.values.count(_.contains(term)).toDouble
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val w = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * ts.size / avgdl))
+      (q, doc) -> w
+    }).groupBy(_._1).map { case (k, ws) => k -> ws.map(_._2).sum }
+  }
+
+  test("bm25TopK matches the from-scratch scorer, ranks by score desc / id asc") {
+    val docs = corpus.toDF("id", "text")
+    val got = Retrieval.bm25TopK(docs, "id", col("text"), queries, k = 10)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2), r.getInt(3)))
+    val want = bruteBm25()
+    assert(got.map(_._1).toSet === want.keySet)
+    got.foreach { case (key, score, _) => assert(approx(score, want(key))) }
+    // ranks are 1..m per query, ordered by (score desc, id asc)
+    for (q <- queries.map(_._1)) {
+      val rows = got.filter(_._1._1 == q).sortBy(_._3)
+      assert(rows.map(_._3).toSeq === (1 to rows.length))
+      val resorted = rows.sortBy { case ((_, id), s, _) => (-s, id) }
+      assert(resorted.toSeq === rows.toSeq)
+    }
+  }
+
+  test("bm25TopK: k truncates; empty-token docs never appear") {
+    val docs = corpus.toDF("id", "text")
+    val got = Retrieval.bm25TopK(docs, "id", col("text"), queries, k = 2)
+    assert(got.groupBy("qid").count().collect().map(_.getLong(1)).forall(_ <= 2))
+    assert(got.where(col("id") === 5L).count() === 0)
+  }
+
+  test("bm25TopK: result independent of input partitioning") {
+    val a = Retrieval.bm25TopK(corpus.toDF("id", "text").repartition(7),
+      "id", col("text"), queries, k = 10).orderBy("qid", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSeq
+    val b = Retrieval.bm25TopK(corpus.toDF("id", "text").coalesce(1),
+      "id", col("text"), queries, k = 10).orderBy("qid", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(a === b)
+  }
+
+  test("coverageTopK counts DISTINCT matched terms (multiplicity ignored)") {
+    val docs = corpus.toDF("id", "text")
+    val got = Retrieval.coverageTopK(docs, "id", col("text"), queries, k = 10)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    // doc 4 = "fox"×5 matches qa's {quick, fox} on 1 distinct term
+    assert(got(("qa", 4L)) === 1L)
+    // doc 1 matches both quick and fox
+    assert(got(("qa", 1L)) === 2L)
+    // qb = "lazy dog dog" has 2 distinct terms; doc 0 contains both
+    assert(got(("qb", 0L)) === 2L)
+    // case-folded: doc 6 "A Quick DOG" matches qb's dog
+    assert(got(("qb", 6L)) === 1L)
+  }
+
+  test("rrfFuse: score is sum of 1/(kRrf+rank) across rankings; missing docs contribute nothing") {
+    val r1 = Seq(("qa", 10L, 1), ("qa", 20L, 2)).toDF("qid", "id", "rank")
+    val r2 = Seq(("qa", 20L, 1), ("qa", 30L, 2)).toDF("qid", "id", "rank")
+    val got = Retrieval.rrfFuse(Seq(r1, r2), "qid", "id", k = 10, kRrf = 60)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(_._3)
+    // doc 20: 1/62 + 1/61 tops doc 10: 1/61 and doc 30: 1/62
+    assert(got.map(_._1).toSeq === Seq(20L, 10L, 30L))
+    assert(approx(got(0)._2, 1.0 / 62 + 1.0 / 61))
+    assert(approx(got(1)._2, 1.0 / 61))
+    assert(approx(got(2)._2, 1.0 / 62))
+  }
+
+  test("rrfFuse of a ranking with itself preserves its order at doubled score") {
+    val r = Seq(("qa", 1L, 1), ("qa", 2L, 2), ("qa", 3L, 3)).toDF("qid", "id", "rank")
+    val got = Retrieval.rrfFuse(Seq(r, r), "qid", "id", k = 3)
+      .orderBy("rank").collect()
+      .map(x => (x.getLong(1), x.getDouble(2)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    got.zip(Seq(1, 2, 3)).foreach { case ((_, s), rk) =>
+      assert(approx(s, 2.0 / (60 + rk)))
+    }
+  }
+}

@@ -238,4 +238,41 @@ class SkewStreamDedupSpec extends SparkSpec {
     assert(got.toSet == expected)
     assert(got.map(_._1).toSet == Set(1L, 3L, 5L)) // dup 2 and junk 4 gone
   }
+
+  test("decontaminateStream == batch decontaminate (per-doc shared-gram counts)") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val bench = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs").toDF("btext")
+    val corpusRows = Seq(
+      (1L, "we saw the quick brown fox jumps high today"), // shares 3-grams
+      (2L, "totally clean document with no overlap at all"),
+      (3L, "pack my box with care and five dozen liquor jugs inside"),
+      (4L, "the quick brown fox jumps over the lazy dog verbatim copy"),
+      (5L, "ok")) // too short for 3-grams
+    val batchWant = graft.ops.Dedup.decontaminate(
+        corpusRows.toDF("doc_id", "text"), "doc_id", "text",
+        bench, "btext", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val flagged = StreamingOps.decontaminateStream(
+      input.toDF.toDF("doc_id", "ts", "text"), "ts", "doc_id", "text",
+      bench, "btext", n = 3, watermark = "1 minute")
+    val q = flagged.writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(corpusRows.take(3).zipWithIndex.map { case ((id, t), i) => (id, ts(i), t) }: _*)
+      q.processAllAvailable()
+      input.addData(corpusRows.drop(3).zipWithIndex.map { case ((id, t), i) => (id, ts(10 + i), t) }: _*)
+      q.processAllAvailable()
+      input.addData((99L, ts(600), "watermark advancer")) // close all doc groups
+      q.processAllAvailable()
+      val got = spark.table("decon_stream").select("doc_id", "n_shared_grams")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === batchWant)
+      assert(got.keySet === Set(1L, 3L, 4L)) // 2 clean, 5 shingle-free
+    } finally q.stop()
+  }
 }
