@@ -10,9 +10,10 @@ import graft.ops.{Dedup, Stats, TextOps}
   * driver-side collections).
   *
   * Usage: sbt 'runMain graft.ScaleProbe <op> [n]'
-  *   ops: ewma | spans | wsample | lm | vocab | editpairs | corr |
-  *        fuzzyjoin | sessionize | ttd | entityres | editskew | pagerank |
-  *        cc | packsplit | spanremove
+  *   ops: ewma | spans | substr | bm25 | wsample | lm | vocab |
+  *        editpairs | corr | fuzzyjoin | sessionize | ttd | entityres |
+  *        editskew | pagerank | cc | packsplit | spanremove | semdedup |
+  *        dsir
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -63,6 +64,29 @@ object ScaleProbe {
         time(s"duplicateSpans n=$n w=8")(
           Dedup.duplicateSpans(d, "id", "text", w = 8, minDocs = 2)
             .agg(sum("n_dup_tiles")).collect())
+      case "substr" =>
+        // stride-1 window volume is ~tokens-per-doc × docs (vs ~1/w of
+        // that for tiles); grain (argv[2], default 4) content-samples it
+        // back down — the documented scale recipe for substringDuplicates
+        val grain = args.lift(2).map(_.toInt).getOrElse(4)
+        val d = docs(n)
+        d.count()
+        time(s"substringDuplicates n=$n w=8 grain=$grain")(
+          Dedup.substringDuplicates(d, "id", "text", w = 8, minDocs = 2,
+              grain = grain)
+            .agg(count(lit(1)), sum(col("span_end") - col("span_start"))).collect())
+      case "bm25" =>
+        // 3 queries over hash-soup docs; every term is in the 50-word
+        // vocabulary, so the matched-postings shuffle is the corpus's
+        // full token stream — the WORST case for the isin prefilter
+        // (real queries match a tiny fraction; this bounds it from above)
+        val d = docs(n)
+        d.count()
+        time(s"bm25TopK n=$n queries=3 k=10")(
+          graft.ops.Retrieval.bm25TopK(d, "id", col("text"),
+              Seq("q1" -> "w1 w7 w13", "q2" -> "w2 w25", "q3" -> "w3 w30 w44 w49"),
+              k = 10)
+            .agg(count(lit(1)), sum("score")).collect())
       case "wsample" =>
         val df = spark.range(n).select(col("id"),
           (pmod(xxhash64(col("id")), lit(100)) + 1).cast("double").as("w"))

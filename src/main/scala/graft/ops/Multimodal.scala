@@ -93,4 +93,102 @@ object Multimodal {
         sha2(col(idCol).cast(StringType), 256)), "UTF-8").as("payload"),
       struct(lit(64).as("width"), lit(64).as("height"),
         lit(16000).as("sample_rate"), lit(16).as("n_frames")).as("meta"))
+
+  /** Perceptual hash over the raw payload bytes — the aHash recipe
+    * (average hash: pool the signal into `nBits` blocks, set bit g when
+    * block g's mean exceeds the global mean) applied to the byte stream
+    * the [[FakeDecoder]] contract exposes. A real deployment pools the
+    * DECODED luma grid instead of raw bytes; the pooling → threshold →
+    * bit-pack shape (and everything downstream — banding, hamming
+    * verify) is identical, so this is the honest Spark-side plumbing
+    * with only the codec stubbed, like [[extractFeatures]].
+    *
+    * Runs in the same partition-parallel batched transform as
+    * [[extractFeatures]] (no shuffle; one O(len) pass per payload). The
+    * bit test is exact integer cross-multiplication
+    * (`blockSum * n > totalSum * blockLen`), so an oracle can reproduce
+    * the signature without float-comparison hazards. Block g covers byte
+    * positions [g·n/nBits, (g+1)·n/nBits) (0-based, floor arithmetic —
+    * every byte lands in exactly one block; blocks differ in size by at
+    * most one byte). Payloads with fewer bytes than `nBits` leave the
+    * high blocks empty (empty block → bit 0); null/empty payloads hash
+    * to 0. */
+  def perceptualHash(df: DataFrame, payloadCol: String,
+      out: String = "phash", nBits: Int = 32): DataFrame = {
+    require(nBits >= 1 && nBits <= 63, "nBits in [1, 63]")
+    val outSchema = StructType(df.schema.fields :+
+      StructField(out, LongType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](idx)
+        val sig: Long =
+          if (p == null || p.isEmpty) 0L
+          else {
+            val n = p.length
+            val blockSum = new Array[Long](nBits)
+            var total = 0L
+            var i = 0
+            while (i < n) {
+              val v = (p(i) & 0xff).toLong
+              // block of position i: floor(i * nBits / n)
+              blockSum((i.toLong * nBits / n).toInt) += v
+              total += v
+              i += 1
+            }
+            var s = 0L
+            var g = 0
+            while (g < nBits) {
+              // block length: #{i : floor(i*nBits/n) = g}
+              val lo = (g.toLong * n + nBits - 1) / nBits // ceil(g*n/nBits)
+              val hi = ((g + 1).toLong * n + nBits - 1) / nBits
+              val len = hi - lo
+              // exact mean comparison: blockSum/len > total/n
+              if (len > 0 && blockSum(g) * n > total * len) s |= (1L << g)
+              g += 1
+            }
+            s
+          }
+        Row.fromSeq(r.toSeq :+ sig)
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate media pairs by perceptual-hash hamming distance —
+    * the multimodal twin of SimHash text dedup. Band the `nBits`
+    * signature into `maxDist + 1` contiguous bands: any pair within
+    * hamming distance `maxDist` has at least one band with ZERO
+    * differing bits (pigeonhole), so the (band, band-bits) bucket
+    * equi-join is LOSSLESS — exactly the PassJoin-style guarantee, no
+    * recall knob. Quadratic work only within buckets (payloads sharing a
+    * band pattern); the hamming verify on candidates is one xor +
+    * bit_count. Returns (id_a, id_b, hamming), id_a < id_b, each pair
+    * once (distinct across bands). */
+  def phashNearDuplicates(media: DataFrame, idCol: String,
+      payloadCol: String, maxDist: Int, nBits: Int = 32): DataFrame = {
+    require(maxDist >= 0 && maxDist < nBits, "need 0 <= maxDist < nBits")
+    val nBands = maxDist + 1
+    val base = math.max(1, nBits / nBands) // band widths differ by <= 1
+    val hashed = perceptualHash(
+      media.select(col(idCol), col(payloadCol)), payloadCol, "__ph", nBits)
+    val bands = (0 until nBands).map { bIdx =>
+      val lo = bIdx * base
+      val hi = if (bIdx == nBands - 1) nBits else (bIdx + 1) * base
+      struct(lit(bIdx).as("band"),
+        shiftright(col("__ph"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
+          .as("bits"))
+    }
+    val buckets = hashed
+      .select(col(idCol), col("__ph"), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("__ph"), col("bb.band"), col("bb.bits"))
+    val a = buckets.toDF("id_a", "ph_a", "band", "bits")
+    val b = buckets.toDF("id_b", "ph_b", "band", "bits")
+    a.join(b, Seq("band", "bits"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.hamming64(col("ph_a"), col("ph_b")).cast(LongType).as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
+  }
 }

@@ -475,4 +475,34 @@ object Similarity {
       .select(col(id), col("cell_id"),
         coalesce(col("__dup"), lit(false)).as("is_dup"))
   }
+
+  /** Cluster-balanced corpus sampling (topic diversity): Lloyd-cluster
+    * the embedding space, assign every vector to its nearest-cosine
+    * cell, then keep AT MOST `quota` rows per cell via the deterministic
+    * seeded-hash tournament of [[Stats.quotaPerGroup]] — the embedding
+    * analogue of per-language quotas, flattening over-represented
+    * semantic regions instead of over-represented languages (the cluster
+    * step of cluster-then-balance data curation; cf. the k-means
+    * blocking [[semanticDedup]] shares).
+    *
+    * Scale shape = SemDeDup's: centroid training is the only iterative
+    * part (bounded model, collected to the driver), assignment is the
+    * narrow literal/broadcast argmin, and the quota is the two-level
+    * tournament — no per-cell single-partition funnel. Deterministic
+    * across partitioning, reruns, and engines; a smaller quota selects a
+    * subset of a larger one. Returns the KEPT rows as (id, cell_id). */
+  def clusterBalancedSample(corpus: DataFrame, id: String, vec: String,
+      nCells: Int, quota: Int, iters: Int = 1, seed: Long = 42L,
+      byHash: Boolean = true,
+      maxLiteralTerms: Int = DefaultMaxLiteralTerms): DataFrame = {
+    require(quota >= 1, "quota must be >= 1")
+    val centroids = trainIvfCentroids(corpus, id, vec, nCells, iters, byHash)
+    val centroidData = centroids.collect()
+    val local = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centroidData: _*), centroids.schema)
+    val corpusN = corpus.select(col(id), col(vec)).withColumn("vnorm", norm(col(vec)))
+    val assigned = assignCells(corpusN, id, vec, centroidData, local, maxLiteralTerms)
+    Stats.quotaPerGroup(assigned.select(col(id), col("cell_id")),
+      col(id), col("cell_id"), Map.empty, quota, seed)
+  }
 }

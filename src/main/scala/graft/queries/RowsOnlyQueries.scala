@@ -9,9 +9,11 @@ import graft.queries.Q._
   * ([[Robustness.seededUniformSql]]), the LSH paths are oracled against
   * their brute-force ground truth (a 100%-recall proof on this corpus —
   * deterministic, since the hashes are fixed), and the harvest join's
-  * fixture values are a plain aggregate. Only the mm_* queries stay
-  * rows-only (JVM-side byte decode has no SQL twin); their semantics are
-  * ScalaTest-covered.
+  * fixture values are a plain aggregate. The mm_* queries are oracled
+  * too: the synthetic payload is an md5/sha256 hash chain both engines
+  * produce byte-identically, so DuckDB rebuilds the exact bytes via a
+  * positions-table join (mm_features, mm_phash_dedup) or substring
+  * arithmetic (mm_frame_sample).
   *
   * Every query returns a deterministically-ordered aggregate (not raw
   * blobs) so reruns are diffable.
@@ -185,6 +187,26 @@ object RowsOnlyQueries {
           round(avg(length(col("frame"))), 2).as("avg_frame_bytes"))
         .orderBy("kind")
     }),
+
+    "mm_phash_dedup" -> ((s, dir) => {
+      // Perceptual-hash (aHash) near-dup media pairs: originals + planted
+      // 4-byte perturbations (+100000) + exact copies (+200000, every 7th
+      // id). The banding join is pigeonhole-LOSSLESS at maxDist = 4 and
+      // the bit test is exact integer cross-multiplication, so the oracle
+      // replays the whole thing brute-force and must agree pair-for-pair.
+      val base = Multimodal.syntheticMedia(s,
+          table(s, dir, "documents").where(col("doc_id") < 300), "doc_id")
+        .select(col("media_id"), col("payload"))
+      def pstr = decode(col("payload"), "UTF-8")
+      val near = base.select((col("media_id") + 100000).as("media_id"),
+        encode(concat(substring(pstr, 1, 4), lit("zzzz"),
+          pstr.substr(lit(9), length(pstr))), "UTF-8").as("payload"))
+      val exact = base.where(pmod(col("media_id"), lit(7)) === 0)
+        .select((col("media_id") + 200000).as("media_id"), col("payload"))
+      val media = base.unionByName(near).unionByName(exact)
+      Multimodal.phashNearDuplicates(media, "media_id", "payload", maxDist = 4)
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   /** SQL twin of [[wins]]: tumbling seq_len=8 windows over the scored
@@ -321,6 +343,42 @@ object RowsOnlyQueries {
            |  CAST(min(f_min) AS BIGINT) AS min_byte, CAST(max(f_max) AS BIGINT) AS max_byte,
            |  round(avg(f_first), 2) AS avg_first, round(avg(f_last), 2) AS avg_last
            |FROM feat GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // perceptualHash twin: positions-table bytes → 32 pooled blocks
+      // (0-based floor((i-1)*32/n), matching the JVM loop), bit g on
+      // exact integer cross-multiplication, brute all-pairs hamming.
+      "mm_phash_dedup" ->
+        s"""WITH m0 AS (
+           |  SELECT media_id, payload FROM ($mediaSql) WHERE media_id < 300),
+           |media AS (
+           |  SELECT media_id, payload FROM m0
+           |  UNION ALL
+           |  SELECT media_id + 100000,
+           |    concat(substr(payload, 1, 4), 'zzzz', substr(payload, 9))
+           |  FROM m0
+           |  UNION ALL
+           |  SELECT media_id + 200000, payload FROM m0 WHERE media_id % 7 = 0),
+           |bytes AS (
+           |  SELECT m.media_id, length(m.payload) AS n, p.range AS i,
+           |    ord(substr(m.payload, CAST(p.range AS INT), 1)) AS b
+           |  FROM media m JOIN range(1, 301) p ON p.range <= length(m.payload)),
+           |blocks AS (
+           |  SELECT media_id, ((i - 1) * 32) // n AS g,
+           |    sum(b) AS bsum, count(*) AS blen, max(n) AS n
+           |  FROM bytes GROUP BY 1, 2),
+           |tot AS (SELECT media_id, sum(b) AS total FROM bytes GROUP BY 1),
+           |ph AS (
+           |  SELECT b.media_id,
+           |    sum(CASE WHEN b.bsum * b.n > t.total * b.blen
+           |        THEN (CAST(1 AS BIGINT) << CAST(b.g AS INT))
+           |        ELSE CAST(0 AS BIGINT) END) AS sig
+           |  FROM blocks b JOIN tot t USING (media_id) GROUP BY 1),
+           |pairs AS (
+           |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+           |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+           |  FROM ph a JOIN ph b ON a.media_id < b.media_id)
+           |SELECT id_a, id_b, hamming FROM pairs
+           |WHERE hamming <= 4 ORDER BY 1, 2""".stripMargin,
 
       // sampleFrames twin: same substring arithmetic; trunc() mirrors
       // Spark's toward-zero double→int cast (DuckDB CAST rounds).

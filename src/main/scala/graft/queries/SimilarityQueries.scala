@@ -95,6 +95,50 @@ object SimilarityQueries {
           nCells = 4, iters = 0, simThreshold = 0.96, byHash = false)
         .orderBy("vec_id")),
 
+    "sample_cluster_quota" -> ((s, dir) => {
+      // Cluster-balanced (topic-diversity) sampling: 4 seed-centroid
+      // cells (iters = 0, byHash = false — exact-row centroids keep the
+      // discrete assignment bit-stable across engines, like
+      // dedup_semantic) + at-most-10-per-cell deterministic hash quota.
+      val e = emb(s, dir).where(col("vec_id") < 200)
+      Similarity.clusterBalancedSample(e.select(col("vec_id"), col("v")),
+          "vec_id", "v", nCells = 4, quota = 10, iters = 0, seed = 7L,
+          byHash = false)
+        .groupBy("cell_id")
+        .agg(count(lit(1)).as("n"), sum("vec_id").as("sum_id"))
+        .orderBy("cell_id")
+    }),
+
+    "retrieval_hybrid" -> ((s, dir) => {
+      // Hybrid retrieval capstone: sparse BM25 over `documents` fused by
+      // reciprocal-rank fusion with a dense cosine ranking over the
+      // id-aligned `embeddings` (doc_id ≡ vec_id) — the standard
+      // production sparse+dense shape (RRF k0 = 60). Both legs are
+      // corpus-scan-bounded (BM25's only corpus-sized shuffle carries
+      // matched postings; the dense leg broadcasts 3 query vectors);
+      // fusion is rankings-sized. Exact in SQL, so the oracle replays
+      // all three stages.
+      import graft.ops.Retrieval
+      val docs = table(s, dir, "documents").where(col("doc_id") < 200)
+      val qs = Seq("q1" -> "spark join merge",
+        "q2" -> "window sort batch stream", "q3" -> "customer the data")
+      val sparse = Retrieval.bm25TopK(docs, "doc_id", col("text"), qs, k = 20)
+      val e = emb(s, dir).where(col("vec_id") < 200)
+      val dq = e.where(col("vec_id") < 3)
+        .select(concat(lit("q"), (col("vec_id") + 1).cast("string")).as("qid"),
+          col("v").as("qv"))
+      val dense = Similarity.bruteForceTopK(e, dq, "vec_id", "v", "qid", "qv",
+          k = 20, excludeSelf = false)
+        .withColumnRenamed("vec_id", "doc_id")
+      Retrieval.rrfFuse(
+          Seq(sparse.select("qid", "doc_id", "rank"),
+            dense.select("qid", "doc_id", "rank")), "qid", "doc_id", k = 10)
+        .select(col("qid"), col("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     "ann_pq_adc" -> ((s, dir) => {
       // Product-quantization ADC search: 4 subspaces × 4 codes sampled
       // from the lowest vec_ids (SQL-reproducible; real deployments use
@@ -180,6 +224,84 @@ object SimilarityQueries {
        |FROM (SELECT vec_id, $vSql AS v FROM embeddings WHERE vec_id < 400)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sample_cluster_quota" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, $vSql AS v,
+         |    sqrt(list_dot_product($vSql, $vSql)) AS vn
+         |  FROM embeddings WHERE vec_id < 200),
+         |seeds AS (
+         |  SELECT vec_id AS cell_id, v AS cv, vn AS cn FROM corpus
+         |  ORDER BY vec_id LIMIT 4),
+         |asn AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT c.vec_id, s.cell_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY -(list_dot_product(c.v, s.cv) / (c.vn * s.cn)) ASC,
+         |                 s.cell_id ASC) AS rk
+         |    FROM corpus c, seeds s) t WHERE rk = 1),
+         |ranked AS (
+         |  SELECT cell_id, vec_id,
+         |    row_number() OVER (PARTITION BY cell_id
+         |      ORDER BY ${graft.ops.Robustness.seededUniformSql("7", Seq("vec_id"))} ASC,
+         |               vec_id ASC) AS rk
+         |  FROM asn)
+         |SELECT cell_id, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS sum_id
+         |FROM ranked WHERE rk <= 10 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "retrieval_hybrid" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         |toks AS (
+         |  SELECT c.doc_id, u.term
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |        FROM corpus) c, UNNEST(c.t) AS u(term)
+         |  WHERE len(u.term) > 0),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |q(qid, qtext) AS (VALUES ('q1', 'spark join merge'),
+         |  ('q2', 'window sort batch stream'), ('q3', 'customer the data')),
+         |qt AS (
+         |  SELECT DISTINCT qid, u.term
+         |  FROM (SELECT qid, regexp_split_to_array(lower(trim(qtext)), '\\s+') AS t
+         |        FROM q) x, UNNEST(x.t) AS u(term)
+         |  WHERE len(u.term) > 0),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT qt.qid, tf.doc_id,
+         |    sum(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+         |    JOIN dl USING (doc_id) CROSS JOIN stats s
+         |  GROUP BY 1, 2),
+         |bmk AS (
+         |  SELECT * FROM (
+         |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
+         |  WHERE rank <= 20),
+         |e AS (SELECT vec_id, $vSql AS v FROM embeddings WHERE vec_id < 200),
+         |dense AS (
+         |  SELECT 'q' || CAST(b.vec_id + 1 AS VARCHAR) AS qid,
+         |    a.vec_id AS doc_id, $cosSql AS cos
+         |  FROM e a JOIN e b ON b.vec_id < 3),
+         |dk AS (
+         |  SELECT * FROM (
+         |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, doc_id ASC) AS rank FROM dense)
+         |  WHERE rank <= 20),
+         |fused AS (
+         |  SELECT qid, doc_id, sum(1.0 / (60 + rank)) AS score
+         |  FROM (SELECT qid, doc_id, rank FROM bmk
+         |        UNION ALL SELECT qid, doc_id, rank FROM dk) u
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM fused)
+         |SELECT qid, doc_id, round(score, 6) AS score, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
     "sim_cosine_adjacent" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings)
          |SELECT a.vec_id, round($cosSql, 6) AS cos

@@ -170,4 +170,59 @@ class SimilarityMultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(fromIndex == inMemory && fromIndex.nonEmpty)
   }
+
+  test("clusterBalancedSample: at most quota per cell, smaller quota nests, both cells kept") {
+    val corpus = ((1 to 30).map(i => (i.toLong, Seq(1.0 + i * 0.001, 0.1))) ++
+      (31 to 40).map(i => (i.toLong, Seq(0.1, 1.0 + i * 0.001)))).toDF("id", "v")
+    val kept5 = Similarity.clusterBalancedSample(corpus, "id", "v",
+      nCells = 2, quota = 5, iters = 1, seed = 7L, byHash = false)
+    val perCell = kept5.groupBy("cell_id").count().collect().map(_.getLong(1))
+    assert(perCell.length == 2 && perCell.forall(_ <= 5))
+    // the over-represented cluster is capped, the small one survives
+    val kept3 = Similarity.clusterBalancedSample(corpus, "id", "v",
+      nCells = 2, quota = 3, iters = 1, seed = 7L, byHash = false)
+    val s5 = kept5.select("id").collect().map(_.getLong(0)).toSet
+    val s3 = kept3.select("id").collect().map(_.getLong(0)).toSet
+    assert(s3.subsetOf(s5)) // quota nesting, like stratifiedSample
+  }
+
+  test("perceptualHash: hand-computed aHash bits, empty/null payload -> 0") {
+    // "aaZZ" bytes 97,97,90,90; nBits=2 -> blocks [194, 180], total 374.
+    // bit0: 194*4 > 374*2 (776 > 748) -> 1; bit1: 720 > 748 -> 0. sig = 1.
+    val df = Seq((1L, "aaZZ"), (2L, "")).toDF("id", "s")
+      .select(col("id"), encode(col("s"), "UTF-8").as("payload"))
+      .unionByName(Seq(3L).toDF("id")
+        .select(col("id"), lit(null).cast("binary").as("payload")))
+    val out = Multimodal.perceptualHash(df, "payload", nBits = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.length - 1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("phashNearDuplicates: banding equals brute force (pigeonhole losslessness)") {
+    val ids = (0L until 60L).toDF("doc_id")
+    val base = Multimodal.syntheticMedia(spark, ids, "doc_id")
+      .select(col("media_id"), col("payload"))
+    def pstr = decode(col("payload"), "UTF-8")
+    val near = base.select((col("media_id") + 1000).as("media_id"),
+      encode(concat(substring(pstr, 1, 4), lit("zzzz"),
+        pstr.substr(lit(9), length(pstr))), "UTF-8").as("payload"))
+    val exact = base.where(col("media_id") < 10)
+      .select((col("media_id") + 2000).as("media_id"), col("payload"))
+    val media = base.unionByName(near).unionByName(exact)
+    val maxDist = 4
+    val banded = Multimodal.phashNearDuplicates(media, "media_id", "payload", maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ph = Multimodal.perceptualHash(media, "payload", "ph")
+    val a = ph.select(col("media_id").as("id_a"), col("ph").as("pa"))
+    val b = ph.select(col("media_id").as("id_b"), col("ph").as("pb"))
+    val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.ops.Dedup.hamming64(col("pa"), col("pb")).cast("long").as("h"))
+      .where(col("h") <= maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+    // every planted exact copy is found at hamming 0
+    val zeroPairs = banded.filter(_._3 == 0L).map(p => (p._1, p._2))
+    assert((0L until 10L).forall(i => zeroPairs.contains((i, i + 2000))))
+  }
 }
