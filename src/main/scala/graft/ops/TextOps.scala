@@ -528,4 +528,206 @@ object TextOps {
       .withColumn("chunk_idx", col("chunk_idx").cast("long"))
       .drop("__toks", "__chunk")
   }
+
+  // ---------------------------------------------------------------------
+  // Byte-pair encoding (Sennrich, Haddow & Birch 2016, "Neural Machine
+  // Translation of Rare Words with Subword Units") — the expensive half
+  // of tokenizer fitting, re-expressed for Spark.
+
+  /** Initial BPE symbol sequence of a word: its characters plus the
+    * end-of-word marker as a trailing symbol (the paper's formulation —
+    * the marker lets merges distinguish word-final from word-internal
+    * subwords). */
+  private[graft] def bpeInitSyms(w: String): Array[String] =
+    w.toCharArray.map(_.toString) :+ "</w>"
+
+  /** One merge rule applied to one word, left-to-right non-overlapping
+    * (`a b a b` with rule (a,b) → `ab ab`; `a a a` with (a,a) → `aa a`). */
+  private[graft] def bpeMergeWord(syms: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** UTF-8 byte-order comparison on (a, b) pairs — the tie-break must
+    * match Spark's string ordering (binary UTF-8), not Java's UTF-16
+    * `compareTo`, so the driver regime is bit-compatible with the
+    * distributed `orderBy`. */
+  private def utf8PairLess(x: (String, String), y: (String, String)): Boolean = {
+    def less(a: String, b: String): Int = {
+      val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(ab.length, bb.length)
+      var i = 0
+      while (i < n) {
+        val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      ab.length - bb.length
+    }
+    val c = less(x._1, y._1)
+    if (c != 0) c < 0 else less(x._2, y._2) < 0
+  }
+
+  /** BPE merge-rule training: learn the first `nMerges` merge rules from
+    * a corpus. Returns the ordered rule list — the MODEL, driver-sized
+    * like IVF centroids or the DSIR bucket table (a tokenizer is ~30k
+    * rules; each is two short strings).
+    *
+    * Scale shape: the corpus collapses FIRST to the distinct-word
+    * frequency table (ONE map-side-combined corpus-sized shuffle — even
+    * 100 TB of text holds ~10⁷–10⁸ distinct words), and every merge
+    * iteration then touches only that bounded table: count adjacent
+    * symbol pairs weighted by word frequency, take the most frequent
+    * pair — ties to the lexicographically (UTF-8) smallest, a
+    * determinism contract the textbook algorithm leaves unspecified —
+    * merge it in every word, repeat.
+    *
+    * Two regimes like connectedComponents/trainIvfCentroids: word
+    * tables within `localWordThreshold` (limit-probed, no count job)
+    * run the identical loop on the driver — at test scale each
+    * distributed iteration costs a fixed scheduling floor that would
+    * dwarf the arithmetic. Larger tables iterate distributed: explode
+    * pairs → map-side-combined sum → 1-row collect, then a narrow
+    * mapPartitions merge pass (the per-word merge is genuinely
+    * imperative — left-to-right with skip — same justification as the
+    * Multimodal decode), with periodic localCheckpoint so lineage
+    * doesn't grow by one mapPartitions per rule. Local == distributed
+    * merge-for-merge (parity spec). */
+  def bpeTrain(df: DataFrame, text: Column, nMerges: Int,
+      localWordThreshold: Int = 1 << 18): Seq[(String, String)] = {
+    require(nMerges >= 0, "nMerges must be >= 0")
+    val spark = df.sparkSession
+    val words = df
+      .select(explode(filter(split(trim(text), "\\s+"), t => length(t) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .persist()
+    try {
+      val probe = words.limit(localWordThreshold + 1).collect()
+      if (probe.length <= localWordThreshold) {
+        bpeTrainLocal(probe.map(r => (r.getString(0), r.getLong(1))), nMerges)
+      } else {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val symSchema = StructType(Seq(
+          StructField("freq", LongType, nullable = false),
+          StructField("syms", ArrayType(StringType, containsNull = false))))
+        val enc = org.apache.spark.sql.Encoders.row(symSchema)
+        var cur = words
+          .select(col("freq"),
+            concat(split(col("w"), ""), array(lit("</w>"))).as("syms"))
+          .localCheckpoint(true)
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var k = 0
+        var exhausted = false
+        while (k < nMerges && !exhausted) {
+          val top = cur
+            .select(col("freq"), explode(when(size(col("syms")) >= 2,
+                transform(sequence(lit(0), size(col("syms")) - 2),
+                  i => struct(element_at(col("syms"), i + 1).as("a"),
+                    element_at(col("syms"), i + 2).as("b"))))
+              .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+            .groupBy("p").agg(sum("freq").as("n"))
+            .orderBy(col("n").desc, col("p").asc)
+            .limit(1).collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val p = top(0).getStruct(0)
+            val (a, b) = (p.getString(0), p.getString(1))
+            merges += ((a, b))
+            cur = cur.mapPartitions { rows =>
+              rows.map { r =>
+                Row(r.getLong(0),
+                  bpeMergeWord(r.getSeq[String](1).toArray, a, b).toSeq)
+              }
+            }(enc)
+            // flat lineage: without this the plan grows one mapPartitions
+            // (and its closure) per learned rule
+            if ((merges.length % 8) == 0) cur = cur.localCheckpoint(true)
+            k += 1
+          }
+        }
+        merges.toSeq
+      }
+    } finally words.unpersist()
+  }
+
+  /** Driver regime of [[bpeTrain]]: the identical count → argmax →
+    * merge loop over the collected word table. */
+  private def bpeTrainLocal(words: Array[(String, Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    var tbl: Array[(Array[String], Long)] =
+      words.map { case (w, f) => (bpeInitSyms(w), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var k = 0
+    var exhausted = false
+    while (k < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      tbl.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val key = (syms(i), syms(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { kv =>
+          if (best == null || kv._2 > best._2 ||
+            (kv._2 == best._2 && utf8PairLess(kv._1, best._1))) best = kv
+        }
+        val (a, b) = best._1
+        merges += ((a, b))
+        tbl = tbl.map { case (s, f) => (bpeMergeWord(s, a, b), f) }
+      }
+      k += 1
+    }
+    merges.toSeq
+  }
+
+  /** Apply a learned BPE rule list: tokenize each document into subword
+    * units (rules applied per word, in training order). The rule list
+    * rides in the closure — a broadcast-sized model projection exactly
+    * like [[dsirScorer]], so this applies to batch or streaming frames
+    * with no join and no state. Appends `out` (array of subword tokens)
+    * and `out_n` (count). Narrow; the per-word rule loop is imperative
+    * (same mapPartitions justification as [[bpeTrain]]'s merge pass). */
+  def bpeEncode(df: DataFrame, text: Column, merges: Seq[(String, String)],
+      out: String = "bpe_tokens"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val withTxt = df.withColumn("__bpe_txt", text)
+    val idx = withTxt.schema.fieldIndex("__bpe_txt")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField(out, ArrayType(StringType, containsNull = false)),
+      StructField(out + "_n", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val rules = merges.toArray
+    withTxt.mapPartitions { rows =>
+      rows.map { r =>
+        val t = r.getString(idx)
+        val toks: Array[String] =
+          if (t == null) Array.empty
+          else t.trim.split("\\s+").filter(_.nonEmpty).flatMap { w =>
+            var syms = bpeInitSyms(w)
+            var j = 0
+            while (j < rules.length) {
+              syms = bpeMergeWord(syms, rules(j)._1, rules(j)._2)
+              j += 1
+            }
+            syms
+          }
+        Row.fromSeq(r.toSeq.dropRight(1) ++ Seq(toks.toSeq, toks.length.toLong))
+      }
+    }(enc)
+  }
 }

@@ -173,6 +173,27 @@ object DedupTextQueries {
         .orderBy("qid", "rank")
     }),
 
+    "text_bpe_pairs" -> ((s, dir) => {
+      // BPE round-1 statistics: adjacent symbol-pair frequencies over
+      // the distinct-word table (chars + '</w>' marker), weighted by
+      // word frequency — the aggregation every bpeTrain iteration runs,
+      // oracled exactly. The iterated merge loop is spec-covered
+      // (Sennrich fixture + local==distributed parity in BpeSpec).
+      val words = table(s, dir, "documents").where(col("doc_id") < 300)
+        .select(explode(filter(split(trim(col("text")), "\\s+"),
+          t => length(t) > 0)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      def syms = concat(split(col("w"), ""), array(lit("</w>")))
+      words.select(col("freq"),
+          explode(transform(sequence(lit(0), size(syms) - 2),
+            i => struct(element_at(syms, i + 1).as("a"),
+              element_at(syms, i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
+
     "text_tfidf_topk" -> ((s, dir) =>
       // Top-3 TF-IDF terms per doc (smooth idf); N fixed by the doc_id
       // filter so both engines use the same corpus size.
@@ -753,6 +774,25 @@ object DedupTextQueries {
          |    ORDER BY score DESC, doc_id ASC) AS rank FROM fused)
          |SELECT qid, doc_id, round(score, 6) AS score, rank
          |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "text_bpe_pairs" ->
+      s"""WITH corpus AS (SELECT text FROM documents WHERE doc_id < 300),
+         |words AS (
+         |  SELECT u.w, count(*) AS freq
+         |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+         |        FROM corpus) c, UNNEST(c.t) AS u(w)
+         |  WHERE len(u.w) > 0 GROUP BY 1),
+         |syms AS (
+         |  SELECT freq, list_concat(
+         |    list_transform(range(1, length(w) + 1), i -> w[i]), ['</w>']) AS s
+         |  FROM words),
+         |pairs AS (
+         |  SELECT y.s[CAST(p.range AS INT)] AS a,
+         |    y.s[CAST(p.range AS INT) + 1] AS b, y.freq
+         |  FROM syms y JOIN range(1, 200) p ON p.range <= len(y.s) - 1)
+         |SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
+         |FROM pairs GROUP BY 1, 2
+         |ORDER BY n DESC, a ASC, b ASC LIMIT 20""".stripMargin,
 
     "text_tfidf_topk" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),

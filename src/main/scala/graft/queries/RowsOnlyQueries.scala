@@ -188,6 +188,21 @@ object RowsOnlyQueries {
         .orderBy("kind")
     }),
 
+    "text_bpe_encode" -> ((s, dir) => {
+      // End-to-end BPE: train 30 merge rules on the sub-corpus, re-encode
+      // it, count subword tokens per source. Rows-only by design — the
+      // iterated merge loop has no SQL twin (BpeSpec's Sennrich fixture
+      // and local==distributed parity pin the semantics; the round-1
+      // aggregation is oracled as text_bpe_pairs).
+      val docs = table(s, dir, "documents").where(col("doc_id") < 300)
+      val merges = TextOps.bpeTrain(docs, col("text"), nMerges = 30)
+      TextOps.bpeEncode(docs.select("doc_id", "text", "source"),
+          col("text"), merges)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("bpe_tokens_n").as("n_subwords"))
+        .orderBy("source")
+    }),
+
     "mm_phash_dedup" -> ((s, dir) => {
       // Perceptual-hash (aHash) near-dup media pairs: originals + planted
       // 4-byte perturbations (+100000) + exact copies (+200000, every 7th
