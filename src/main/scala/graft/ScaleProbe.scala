@@ -125,6 +125,7 @@ object ScaleProbe {
         time(s"semanticDedup n=$n nCells=$nCells dim=$dim") {
           val out = graft.ops.Similarity.semanticDedup(recs, "id", "v",
             nCells = nCells, iters = 1, simThreshold = 0.999)
+          if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) out.explain("formatted")
           println("dups=" + out.where(col("is_dup")).count())
         }
       case "dsir" =>

@@ -115,18 +115,32 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment, two physical strategies with identical
-    * results (spec-enforced):
+    * results (spec-enforced) — BOTH narrow (no join, no shuffle, no
+    * aggregate):
     *
-    *  - `nCells·dim <= maxLiteralTerms`: a NARROW map — argmin via
-    *    `least()` over nCells codegen'd (d, cell_id) literal structs. No
-    *    join, no shuffle. Ties → lowest cell_id via struct field order.
-    *  - above: broadcast-join the centroid table, dot products stay
-    *    codegen'd per (row, centroid) pair, then argmin by
-    *    `min(struct(d, cell_id))` — partial aggregation combines map-side,
-    *    so the one shuffle carries N argmin rows, not N·nCells pairs.
+    *  - `nCells·dim <= maxLiteralTerms`: argmin via `least()` over
+    *    nCells codegen'd (d, cell_id) literal structs — the dot products
+    *    unroll into whole-stage codegen, fastest at small nCells.
+    *  - above: a per-row FOLD over three CONSTANT-FOLDED literal arrays
+    *    (centroid vectors / norms / ids — `array(lit…)` of foldables
+    *    collapses to one Literal each, so the plan size is
+    *    nCells-independent), `least()`-combining (d, cell_id) structs
+    *    exactly like the unrolled form. Evaluated, not codegen'd — the
+    *    price of not unrolling — but strictly per-row.
     *
-    * Norms are precomputed once per vector either way — the cosine against
-    * each candidate costs one dot product, not three. */
+    *    The previous strategy here (broadcast-join the centroid table +
+    *    `groupBy(id)` argmin) was quadratic in DISK at scale: the
+    *    aggregation buffer carried the row's vector (`first(vec)`) and
+    *    an argmin struct, both of which force SORT-based aggregation, so
+    *    Spark sorted N·nCells joined rows — measured 65 GB of spill and
+    *    an executor OOM at 10M×16d×1000 cells, for a 1.3 GB corpus. The
+    *    fold computes the same math per row and never materializes the
+    *    (row × centroid) expansion.
+    *
+    * Ties → lowest cell_id; NaN distances order greatest (Spark struct
+    * ordering in both forms). Norms are precomputed once per vector
+    * either way — the cosine against each candidate costs one dot
+    * product, not three. */
   private def assignCells(corpusN: DataFrame, id: String, vec: String,
       centroidData: Array[org.apache.spark.sql.Row], centroids: DataFrame,
       maxLiteralTerms: Int): DataFrame =
@@ -139,15 +153,28 @@ object Similarity {
       }
       corpusN.withColumn("cell_id", least(cellStructs.toIndexedSeq: _*).getField("cell_id"))
     } else {
-      val best = corpusN
-        .join(broadcast(centroids.select(col("cell_id").as("__cand"),
-          col("cvec"), col("cnorm"))))
-        .withColumn("d", -dot(col(vec), col("cvec")) / (col("vnorm") * col("cnorm")))
-        .groupBy(col(id))
-        .agg(
-          first(col(vec)).as(vec), first(col("vnorm")).as("vnorm"),
-          min(struct(col("d"), col("__cand"))).getField("__cand").as("cell_id"))
-      best.select(col(id), col(vec), col("vnorm"), col("cell_id"))
+      // array(...) of foldable children constant-folds to ONE Literal per
+      // array — built once, shipped once, never re-evaluated per row
+      val vecs = array(centroidData.map(r => typedLit(r.getSeq[Double](1))): _*)
+      val norms = array(centroidData.map(r => lit(r.getDouble(2))): _*)
+      val ids = array(centroidData.map(r => lit(r.get(0))): _*)
+      val idType = centroids.schema("cell_id").dataType
+      val folded = aggregate(
+        sequence(lit(0), lit(centroidData.length - 1)),
+        struct(lit(Double.NaN).as("d"),
+          lit(null).cast(idType).as("cell_id")),
+        (acc, i) => {
+          val cand = struct(
+            (-dot(col(vec), element_at(vecs, i + 1)) /
+              (col("vnorm") * element_at(norms, i + 1))).as("d"),
+            element_at(ids, i + 1).as("cell_id"))
+          // first iteration seeds the accumulator; afterwards least()
+          // keeps the smaller (d, cell_id) struct — identical ordering
+          // (incl. NaN-greatest and tie→lowest id) to the unrolled path
+          when(acc.getField("cell_id").isNull, cand)
+            .otherwise(least(acc, cand))
+        })
+      corpusN.withColumn("cell_id", folded.getField("cell_id"))
     }
 
   /** IVF (inverted-file) ANN: centroids from a deterministic sample of the
@@ -460,7 +487,12 @@ object Similarity {
     val local = corpus.sparkSession.createDataFrame(
       java.util.Arrays.asList(centroidData: _*), centroids.schema)
     val corpusN = corpus.select(col(id), col(vec)).withColumn("vnorm", norm(col(vec)))
+    // persisted: the plan below consumes `assigned` THREE times (both
+    // sides of the within-cell self-join + the final flag rejoin) —
+    // without the cache each consumer re-runs the nCells-way argmin over
+    // the whole corpus
     val assigned = assignCells(corpusN, id, vec, centroidData, local, maxLiteralTerms)
+      .persist()
     val a = assigned.select(col("cell_id"), col(id).as("__ia"),
       col(vec).as("__va"), col("vnorm").as("__na"))
     val b = assigned.select(col("cell_id"), col(id).as("__ib"),

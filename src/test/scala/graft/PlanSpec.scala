@@ -71,19 +71,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("ann_ivf: no sort-merge join; per-query top-k is group-limited; assignment is map-side-combined") {
+  test("ann_ivf: no sort-merge join; per-query top-k is group-limited; assignment is narrow") {
     val p = plan("ann_ivf")
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("WindowGroupLimit"), p) // rank<=k pushed below the window
-    // wide exchanges: the broadcast-join argmin's per-id hash (its partial
-    // aggregate combines map-side, so it carries one row per corpus
-    // vector), final per-query top-k window hash, presentation sort, and
-    // the probe-ranking window over the Q-row query table (tiny side).
     // 16 cells × dim 32 = 512 terms > DefaultMaxLiteralTerms, so the
-    // join-path assignment is the intended plan here (SCALE.md table).
+    // assignment takes the literal-array FOLD path: strictly per-row, no
+    // join/shuffle/aggregate (the former broadcast-join + groupBy argmin
+    // sort-aggregated N·nCells rows — the 10M-probe OOM, SCALE.md). The
+    // only wide exchanges left are the per-query top-k window hash, the
+    // presentation sort, and the probe-ranking window over the Q-row
+    // query table (tiny side).
+    assert(p.contains("aggregate("), p) // the fold argmin, in a Project
     val wide = "Exchange (hash|range|Single)".r.findAllIn(p).size
-    assert(wide <= 4, s"expected <=4 wide exchanges, got $wide:\n$p")
-    assert(p.contains("partial_min") || p.contains("min("), p) // map-side combine present
+    assert(wide <= 3, s"expected <=3 wide exchanges, got $wide:\n$p")
   }
 
   test("ann_ivfpq_rerank: the full-vector rerank probe broadcasts the shortlist, never shuffling the corpus") {
