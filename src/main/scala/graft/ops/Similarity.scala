@@ -508,6 +508,63 @@ object Similarity {
         coalesce(col("__dup"), lit(false)).as("is_dup"))
   }
 
+  /** Approximate k-NN JOIN: the k nearest `right` rows for EVERY `left`
+    * row by cosine — the two-corpus generalization of [[ivfTopK]], whose
+    * query side must be broadcast-small. This is the semantic-similarity
+    * join at corpus × corpus scale: cross-lingual document alignment,
+    * semantic decontamination of a training set against a whole eval
+    * corpus, embedding-based record linkage.
+    *
+    * Scale shape: centroids train on `right` (bounded model, collected
+    * once); `right` assigns narrowly ([[assignCells]]' fold — no
+    * shuffle); each `left` row ranks its `nProbe` nearest cells IN-ROW
+    * (transform + `array_sort` over the same constant-folded literal
+    * arrays — still narrow) and explodes to nProbe rows. The ONLY
+    * corpus-sized shuffle is the cell-keyed equi-join of left×nProbe
+    * against right, and the per-left top-k runs as a WindowGroupLimit
+    * window. Each right row lives in exactly one cell, so candidate
+    * pairs are already distinct — no dedup pass.
+    *
+    * `nProbe >= nCells` degenerates to exact brute force (the oracle
+    * pins this); smaller nProbe trades recall exactly like IVF search.
+    * `lid` and `rid` must differ (both appear in the output). Returns
+    * (lid, rid, cos, rank), rank 1..k by cosine desc, ties to the
+    * lowest right id. */
+  def knnJoin(left: DataFrame, lid: String, lvec: String,
+      right: DataFrame, rid: String, rvec: String, k: Int, nCells: Int,
+      nProbe: Int, iters: Int = 1, byHash: Boolean = true,
+      maxLiteralTerms: Int = DefaultMaxLiteralTerms): DataFrame = {
+    require(k >= 1 && nProbe >= 1, "k and nProbe must be >= 1")
+    require(lid != rid, s"left and right id columns must differ (both '$lid')")
+    val centroids = trainIvfCentroids(right, rid, rvec, nCells, iters, byHash)
+    val centroidData = centroids.collect()
+    require(centroidData.nonEmpty, "right corpus is empty — no centroids")
+    val local = right.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centroidData: _*), centroids.schema)
+    val rightN = right.select(col(rid), col(rvec)).withColumn("vnorm", norm(col(rvec)))
+    val rightAssigned = assignCells(rightN, rid, rvec, centroidData, local, maxLiteralTerms)
+      .select(col("cell_id"), col(rid), col(rvec).as("__rv"), col("vnorm").as("__rn"))
+    val vecs = array(centroidData.map(r => typedLit(r.getSeq[Double](1))): _*)
+    val norms = array(centroidData.map(r => lit(r.getDouble(2))): _*)
+    val ids = array(centroidData.map(r => lit(r.get(0))): _*)
+    val nC = centroidData.length
+    val cand = transform(sequence(lit(0), lit(nC - 1)), i =>
+      struct((-dot(col(lvec), element_at(vecs, i + 1)) /
+          (col("__ln") * element_at(norms, i + 1))).as("d"),
+        element_at(ids, i + 1).as("cell_id")))
+    val probed = left.select(col(lid), col(lvec))
+      .withColumn("__ln", norm(col(lvec)))
+      .withColumn("__probe", explode(slice(array_sort(cand), 1, math.min(nProbe, nC))))
+      .select(col(lid), col(lvec), col("__ln"),
+        col("__probe").getField("cell_id").as("cell_id"))
+    val w = Window.partitionBy(lid).orderBy(col("cos").desc, col(rid).asc)
+    probed.join(rightAssigned, Seq("cell_id"))
+      .withColumn("cos", dot(col(lvec), col("__rv")) / (col("__ln") * col("__rn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(lid), col(rid), col("cos"), col("rank"))
+  }
+
   /** Cluster-balanced corpus sampling (topic diversity): Lloyd-cluster
     * the embedding space, assign every vector to its nearest-cosine
     * cell, then keep AT MOST `quota` rows per cell via the deterministic

@@ -95,6 +95,24 @@ object SimilarityQueries {
           nCells = 4, iters = 0, simThreshold = 0.96, byHash = false)
         .orderBy("vec_id")),
 
+    "ann_knn_join" -> ((s, dir) => {
+      // Corpus×corpus k-NN join: 30 query rows against a 150-row right
+      // corpus, seed-centroid cells (iters = 0, byHash = false). With
+      // nProbe = nCells the blocking is EXHAUSTIVE, so the oracle is the
+      // plain brute-force top-3 — pinning that the cell routing loses
+      // nothing when every cell is probed (recall < 1 only ever comes
+      // from nProbe < nCells, spec-covered).
+      val e = emb(s, dir)
+      val right = e.where(col("vec_id") < 150).select(col("vec_id"), col("v"))
+      val left = e.where(col("vec_id") >= 150 && col("vec_id") < 180)
+        .select(col("vec_id").as("qid"), col("v"))
+      Similarity.knnJoin(left, "qid", "v", right, "vec_id", "v", k = 3,
+          nCells = 4, nProbe = 4, iters = 0, byHash = false)
+        .select(col("qid"), col("vec_id"),
+          round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     "sample_cluster_quota" -> ((s, dir) => {
       // Cluster-balanced (topic-diversity) sampling: 4 seed-centroid
       // cells (iters = 0, byHash = false — exact-row centroids keep the
@@ -224,6 +242,20 @@ object SimilarityQueries {
        |FROM (SELECT vec_id, $vSql AS v FROM embeddings WHERE vec_id < 400)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ann_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+         |pairs AS (
+         |  SELECT b.qid, a.vec_id, $cosSql AS cos
+         |  FROM (SELECT vec_id, v FROM e WHERE vec_id < 150) a
+         |  CROSS JOIN (SELECT vec_id AS qid, v FROM e
+         |              WHERE vec_id >= 150 AND vec_id < 180) b),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM pairs)
+         |SELECT qid, vec_id, round(cos, 4) AS cos, rank
+         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
     "sample_cluster_quota" ->
       s"""WITH corpus AS (
          |  SELECT vec_id, $vSql AS v,

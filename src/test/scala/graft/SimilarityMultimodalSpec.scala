@@ -171,6 +171,27 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(fromIndex == inMemory && fromIndex.nonEmpty)
   }
 
+  test("knnJoin: nProbe = nCells equals brute force; nProbe = 1 stays in the query's lobe") {
+    val right = ((1 to 20).map(i => (i.toLong, Seq(1.0 + i * 0.001, 0.1))) ++
+      (21 to 40).map(i => (i.toLong, Seq(0.1, 1.0 + i * 0.001)))).toDF("id", "v")
+    val left = Seq((101L, Seq(1.0, 0.1)), (102L, Seq(0.1, 1.0))).toDF("qid", "v")
+    val exact = Similarity.knnJoin(left, "qid", "v", right, "id", "v", k = 3,
+        nCells = 2, nProbe = 2, iters = 1, byHash = false)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(right,
+        left.select(col("qid"), col("v").as("qv")), "id", "v", "qid", "qv",
+        k = 3, excludeSelf = false)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exact == brute && exact.nonEmpty)
+    val probe1 = Similarity.knnJoin(left, "qid", "v", right, "id", "v", k = 3,
+        nCells = 2, nProbe = 1, iters = 1, byHash = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe1.count(_._1 == 101L) == 3 && probe1.count(_._1 == 102L) == 3)
+    assert(probe1.forall { case (q, id) => if (q == 101L) id <= 20 else id >= 21 })
+  }
+
   test("clusterBalancedSample: at most quota per cell, smaller quota nests, both cells kept") {
     val corpus = ((1 to 30).map(i => (i.toLong, Seq(1.0 + i * 0.001, 0.1))) ++
       (31 to 40).map(i => (i.toLong, Seq(0.1, 1.0 + i * 0.001)))).toDF("id", "v")
