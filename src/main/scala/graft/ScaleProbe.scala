@@ -128,6 +128,20 @@ object ScaleProbe {
           if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) out.explain("formatted")
           println("dups=" + out.where(col("is_dup")).count())
         }
+      case "annivf" =>
+        // phase timing of the ann_ivf bench line on the REAL sf0.1 table
+        val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val e = graft.queries.Q.table(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        e.count() // warm the scan
+        val queries = e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        time("ann_ivf warm full")(
+          graft.ops.Similarity.ivfTopK(e, queries, "vec_id", "v", "qid", "qv",
+            k = 3, nCells = 16, nProbe = 4, centroidsByHash = false).count())
+        time("ann_ivf second run")(
+          graft.ops.Similarity.ivfTopK(e, queries, "vec_id", "v", "qid", "qv",
+            k = 3, nCells = 16, nProbe = 4, centroidsByHash = false).count())
       case "dsir" =>
         // ~30-token docs, 1/3 "target": both passes scan the corpus, the
         // model stays ≤ numBuckets rows however large n grows

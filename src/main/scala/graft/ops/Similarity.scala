@@ -83,18 +83,19 @@ object Similarity {
     }.reduce(_ + _)
 
   /** Literal-path threshold on nCells·dim (the generated argmin's term
-    * count): below it the nearest-centroid argmin is a narrow `least()`
-    * over literal structs — no join, NO shuffle, the best cluster shape
-    * when it JIT-compiles. Above it the single generated projection blows
-    * the JIT method budget (~8k bytecodes) and runs INTERPRETED — measured
-    * on 100k×dim-32 vectors: literal 2.2–45 s vs join 0.5–6 s from 512
-    * terms up, hard codegen failure by 131k terms — so the broadcast join
-    * + map-side-combined argmin takes over. The criterion uses nCells·dim,
-    * not nCells: a 768-dim embedding hits the budget at a handful of
-    * cells. The join path shuffles one (id, vec, argmin) row per corpus
-    * vector (map-side combined); if that one shuffle is the binding
-    * constraint on a cluster and nCells·dim is modest, raise the
-    * threshold explicitly. */
+    * count): below it the nearest-centroid argmin is an UNROLLED
+    * `least()` over literal structs — whole-stage-codegen'd, the fastest
+    * form when it JIT-compiles. Above it the single generated projection
+    * blows the JIT method budget (~8k bytecodes) and runs INTERPRETED —
+    * measured on 100k×dim-32 vectors: unrolled 2.2–45 s from 512 terms
+    * up, hard codegen failure by 131k terms. The criterion uses
+    * nCells·dim, not nCells: a 768-dim embedding hits the budget at a
+    * handful of cells. Past the threshold the literal-array FOLD takes
+    * over (see [[assignCells]]) — still narrow and per-row, evaluated
+    * rather than codegen'd, with plan size independent of nCells (it
+    * replaced the round-7 broadcast-join + groupBy argmin, whose
+    * struct-buffered aggregation sort-aggregated N·nCells rows — 65 GB
+    * of spill at the 10M×1000-cell probe). */
   val DefaultMaxLiteralTerms = 256
 
   /** Deterministic "centroid" sample: the nCells corpus rows with the
@@ -179,7 +180,8 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: centroids from a deterministic sample of the
     * corpus; corpus vectors pre-assigned to nearest centroid ([[assignCells]]
-    * — narrow literal argmin, or broadcast join above `maxLiteralTerms`);
+    * — narrow unrolled argmin, or the literal-array fold above
+    * `maxLiteralTerms`);
     * each query probes its `nProbe` nearest cells. Returns approximate
     * top-k per query. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
@@ -378,7 +380,7 @@ object Similarity {
     * which carries its own exact oracle.
     *
     * Plan shape: centroid sample + cell assignment as [[ivfTopK]]
-    * (narrow literal argmin or broadcast-join argmin), PQ encode as a
+    * (narrow unrolled argmin or literal-array fold), PQ encode as a
     * narrow projection, per-query probe cells via the broadcast centroid
     * join, then [[Pq.adcTopKProbed]] — the only data-sized stage reads
     * (id, cell_id, codes) and touches only probed cells. */
