@@ -944,4 +944,53 @@ object Dedup {
         greatest(col("name_p"), col("name_s")).as("name_b"))
       .distinct()
   }
+
+  /** Paragraph-level deduplication (the RefinedWeb / Dolma curation
+    * stage): split every document on `sep`, keep only the globally-FIRST
+    * occurrence of each distinct paragraph (first = smallest (id, pos)
+    * within the corpus), and reassemble each document from its surviving
+    * paragraphs in original order. Boilerplate shared across documents
+    * (headers, footers, licence blocks, syndicated snippets) survives in
+    * exactly one place; a document whose every paragraph was seen earlier
+    * collapses to the empty string (kept as a row so the caller can drop
+    * or floor-filter it).
+    *
+    * Paragraphs are trimmed and empty segments are dropped BEFORE
+    * dedup, so separator runs / leading separators don't manufacture
+    * phantom "" paragraphs that would all collide into one group.
+    *
+    * Scale shape: two shuffles, both on fine keys — one window over
+    * md5(paragraph) for the global first-occurrence rank (paragraph-hash
+    * keys: high cardinality, no skew beyond true boilerplate groups,
+    * which is exactly the data's own skew), one groupBy on the doc id for
+    * reassembly. The shuffled payload carries each paragraph once per
+    * occurrence — never the whole corpus per reducer — and there is no
+    * driver-side work at all. Content keyed by md5 (128-bit,
+    * engine-portable → exact DuckDB twin `dedup_paragraph`).
+    *
+    * Returns (id, text_clean, n_paras, n_kept) — one row per input row
+    * with at least one non-empty paragraph. */
+  def dedupParagraphs(df: DataFrame, id: String, text: String,
+      sep: String = "\n\n"): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val paras = df
+      .select(col(id), posexplode(
+        split(col(text), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__para")))
+      .withColumn("__para", trim(col("__para")))
+      .where(length(col("__para")) > 0)
+    val w = Window.partitionBy(md5(col("__para")))
+      .orderBy(col(id), col("__pos"))
+    paras
+      .withColumn("__keep", row_number().over(w) === 1)
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__para"))))),
+          x => x.getField("__para")), sep).as("text_clean"))
+      .select(col(id), col("text_clean"), col("n_paras"), col("n_kept"))
+  }
 }

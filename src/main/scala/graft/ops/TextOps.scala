@@ -360,6 +360,81 @@ object TextOps {
       .drop("__rt", "__g0", "__p")
   }
 
+  /** Greedy per-group token-budget selection — the data-mixing primitive
+    * that fills each domain's slot in a training mix: within every
+    * `group`, keep documents in `score`-DESCENDING order (ties broken by
+    * ascending `id` — deterministic across engines) while the cumulative
+    * whitespace-token count stays ≤ `budgetTokens` (inclusive: the
+    * document that lands exactly on the budget is kept; the one that
+    * would cross it is the first dropped, along with everything below
+    * it).
+    *
+    * Distributed shape: the cumulative count is ONE global distributed
+    * prefix sum ([[SlidingWindows.withRunningTotal]] — range exchange +
+    * per-partition offsets) over (group, −score, id) order, rebased
+    * per group by a tiny broadcast of group-start offsets (the
+    * [[packSequencesByGroup]] mechanism). No per-group single-reducer
+    * window: a domain with billions of documents still sorts in
+    * parallel range partitions. Scores must be non-null and non-NaN
+    * (NaN breaks the total order the greedy semantics need).
+    *
+    * Returns the kept rows plus (n_tokens, cum_tokens). */
+  def selectByTokenBudget(df: org.apache.spark.sql.DataFrame, group: String,
+      score: Column, id: Column, text: Column,
+      budgetTokens: Long): org.apache.spark.sql.DataFrame = {
+    require(budgetTokens >= 1, "budgetTokens must be >= 1")
+    val counted = df.withColumn("n_tokens", tokenCount(text).cast("long"))
+    val rt = SlidingWindows.withRunningTotal(counted,
+      Seq(col(group), -score, id), col("n_tokens"), "__rt")
+    val starts = rt.groupBy(col(group))
+      .agg(min(col("__rt") - col("n_tokens")).as("__g0"))
+    rt.join(broadcast(starts), Seq(group))
+      .withColumn("cum_tokens", col("__rt") - col("__g0"))
+      .where(col("cum_tokens") <= budgetTokens)
+      .drop("__rt", "__g0")
+  }
+
+  /** Pairwise n-gram-set Jaccard similarity BETWEEN groups (sources,
+    * domains, languages, snapshot dates …) — the corpus-level overlap
+    * matrix that answers "how much does domain A's content overlap
+    * domain B's?" before mixing them. `n = 1` compares vocabularies;
+    * larger `n` compares phrase inventories (more discriminating).
+    *
+    * Shape: the corpus collapses to distinct (group, shingle) pairs first
+    * (native distinct [[Dedup.shingles]] in-row before the explode, then
+    * ONE distinct shuffle — the pair table is bounded by Σ per-group
+    * shingle vocabulary, not corpus size); intersections come from the
+    * pair table's self-join on shingle (each shingle contributes at most
+    * |groups|²/2 pairs, so the join output is vocab × G² worst-case — G
+    * is small by construction for a grouping column); set sizes
+    * re-aggregate from the SAME tiny pair table and broadcast back.
+    * Group pairs with an empty intersection are absent from the output
+    * (their Jaccard is 0). For thousands of groups, switch to MinHash
+    * signatures per group ([[Dedup]]) — this is the exact form.
+    *
+    * Returns (group_a, group_b, n_a, n_b, n_inter, jaccard), a < b. */
+  def groupJaccard(df: org.apache.spark.sql.DataFrame, group: Column,
+      text: Column, n: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val gt = df.select(group.as("g"),
+      explode(Dedup.shingles(text, n)).as("tok")).distinct()
+    val sizes = gt.groupBy("g").agg(count(lit(1)).as("n"))
+    val inter = gt.as("a")
+      .join(gt.as("b"),
+        col("a.tok") === col("b.tok") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("group_a"), col("b.g").as("group_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("g").as("group_a"), col("n").as("n_a"))),
+        Seq("group_a"))
+      .join(broadcast(sizes.select(col("g").as("group_b"), col("n").as("n_b"))),
+        Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+  }
+
   /** RAG-style document chunking: whitespace tokens cut into windows of
     * `chunkSize` tokens every `stride` tokens (overlapping when
     * `stride < chunkSize`); the tail chunk is truncated, empty documents

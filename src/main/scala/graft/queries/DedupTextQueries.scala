@@ -497,6 +497,50 @@ object DedupTextQueries {
           round(col("ppl"), 4).as("ppl"))
         .orderBy("doc_id")),
 
+    "dedup_paragraph" -> ((s, dir) => {
+      // Paragraph-level dedup: the sf docs are single-paragraph, so the
+      // fixture manufactures two-paragraph documents deterministically —
+      // doc k's text = text(k) + "\n\n" + text(k+1) (last doc gets only
+      // its own). Every original text then appears as a paragraph in two
+      // consecutive constructed docs; the keeper rule (globally-first
+      // (id, pos) occurrence) keeps doc 0 intact, keeps exactly the
+      // second paragraph of every middle doc, and empties the last doc.
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val partner = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("t2"))
+      val paired = docs.join(partner, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n\n"), coalesce(col("t2"), lit("")))
+            .as("text"))
+      Dedup.dedupParagraphs(paired, "doc_id", "text")
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("text_clean")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "sample_token_budget" -> ((s, dir) => {
+      // Greedy per-source token-budget fill: longest (n_chars) docs
+      // first, ties by doc_id, stop at 800 cumulative tokens inclusive.
+      val docs = table(s, dir, "documents")
+      TextOps.selectByTokenBudget(docs, "source", col("n_chars"),
+          col("doc_id"), col("text"), budgetTokens = 800L)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy("source", "doc_id")
+    }),
+
+    "corpus_group_jaccard" -> ((s, dir) => {
+      // Corpus-level overlap matrix: pairwise bigram-set Jaccard between
+      // sources (bounded doc slice keeps the twin's all-pairs join cheap;
+      // bigrams discriminate where the shared tiny vocab makes 1-gram
+      // Jaccard degenerate 1.0).
+      val docs = table(s, dir, "documents").where(col("doc_id") < 200)
+      TextOps.groupJaccard(docs, col("source"), col("text"), n = 2)
+        .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+          col("n_inter"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("group_a", "group_b")
+    }),
+
     "dsir_weights" -> ((s, dir) =>
       // DSIR importance weights: hashed-bigram log-likelihood ratio of
       // every doc under the English (target) vs non-English (raw)
@@ -521,6 +565,65 @@ object DedupTextQueries {
     s"CASE WHEN len($toksLower) > 0 THEN len(list_filter($toksLower, t -> list_contains(${markerList(lang)}, t))) * 1.0 / len($toksLower) ELSE 0.0 END"
 
   val oracle: Map[String, String] = Map(
+    "dedup_paragraph" ->
+      s"""WITH paired AS (
+         |  SELECT d1.doc_id,
+         |         d1.text || chr(10) || chr(10) || coalesce(d2.text, '') AS text
+         |  FROM documents d1 LEFT JOIN documents d2 ON d2.doc_id = d1.doc_id + 1),
+         |paras AS (
+         |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos,
+         |         trim(unnest(l)) AS para
+         |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l
+         |        FROM paired)),
+         |np AS (SELECT doc_id, pos, para FROM paras WHERE length(para) > 0),
+         |kept AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, pos, para,
+         |           row_number() OVER (PARTITION BY md5(para)
+         |                              ORDER BY doc_id, pos) AS rn
+         |    FROM np) t WHERE rn = 1)
+         |SELECT p.doc_id, count(*) AS n_paras,
+         |  CAST(coalesce(sum(CASE WHEN k.para IS NOT NULL THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS n_kept,
+         |  md5(coalesce(string_agg(k.para, chr(10) || chr(10) ORDER BY p.pos),
+         |               '')) AS text_md5
+         |FROM np p LEFT JOIN kept k ON k.doc_id = p.doc_id AND k.pos = p.pos
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sample_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |      AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |         ORDER BY n_chars DESC, doc_id
+         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT source, doc_id, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 800 ORDER BY source, doc_id""".stripMargin,
+
+    "corpus_group_jaccard" ->
+      s"""WITH tok AS (
+         |  SELECT source AS g, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents WHERE doc_id < 200),
+         |gt AS (
+         |  SELECT DISTINCT g, unnest(list_distinct(list_transform(
+         |    range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS tok
+         |  FROM tok),
+         |sz AS (SELECT g, count(*) AS n FROM gt GROUP BY 1),
+         |it AS (
+         |  SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_inter
+         |  FROM gt a JOIN gt b ON a.tok = b.tok AND a.g < b.g
+         |  GROUP BY 1, 2)
+         |SELECT group_a, group_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+         |  round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
+         |FROM it JOIN sz sa ON sa.g = group_a JOIN sz sb ON sb.g = group_b
+         |ORDER BY 1, 2""".stripMargin,
+
     "dedup_exact_groups" ->
       s"""WITH doubled AS (
          |  SELECT doc_id, text FROM documents

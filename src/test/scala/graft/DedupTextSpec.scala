@@ -26,6 +26,83 @@ class DedupTextSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L))
   }
 
+  test("dedupParagraphs: global first occurrence wins, within-doc repeats collapse, reassembly preserves order") {
+    val df = Seq(
+      (1L, "intro text\n\nshared footer\n\nintro text"), // within-doc repeat
+      (2L, "shared footer\n\nunique body"),              // cross-doc dup of footer
+      (3L, "shared footer"),                             // fully emptied
+      (4L, "\n\n  \n\nlast one\n\n")                     // empty/ws segments dropped
+    ).toDF("id", "t")
+    val out = Dedup.dedupParagraphs(df, "id", "t").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 3 paragraphs, the repeated "intro text" kept once (pos 0),
+    // footer's first global occurrence is (1, 1) so it stays
+    assert(out(1L).getAs[Long]("n_paras") == 3)
+    assert(out(1L).getAs[Long]("n_kept") == 2)
+    assert(out(1L).getAs[String]("text_clean") == "intro text\n\nshared footer")
+    // doc 2: footer already seen at (1,1) -> only the unique body survives
+    assert(out(2L).getAs[String]("text_clean") == "unique body")
+    assert(out(2L).getAs[Long]("n_kept") == 1)
+    // doc 3: everything seen before -> empty text, row kept
+    assert(out(3L).getAs[String]("text_clean") == "")
+    assert(out(3L).getAs[Long]("n_kept") == 0)
+    // doc 4: whitespace-only segments never become paragraphs
+    assert(out(4L).getAs[Long]("n_paras") == 1)
+    assert(out(4L).getAs[String]("text_clean") == "last one")
+  }
+
+  test("selectByTokenBudget: greedy fill per group, inclusive boundary, ties by id") {
+    val df = Seq(
+      (1L, "g1", 5.0, "a b c"),    // 3 tokens
+      (2L, "g1", 9.0, "a b c d"),  // 4 tokens, highest score -> first
+      (3L, "g1", 5.0, "a b"),      // 2 tokens, ties doc 1 on score -> after id 1
+      (4L, "g2", 1.0, "x"),        // other group: independent budget
+      (5L, "g1", 0.5, "z z z z z z z z z")
+    ).toDF("id", "g", "score", "t")
+    val out = TextOps.selectByTokenBudget(df, "g", col("score"), col("id"),
+        col("t"), budgetTokens = 9L)
+      .select("id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // g1 order: id2 (4), id1 (3, cum 7), id3 (2, cum 9 == budget, kept
+    // inclusively), id5 would cross -> dropped with everything after
+    assert(out == Map(2L -> 4L, 1L -> 7L, 3L -> 9L, 4L -> 1L))
+  }
+
+  test("groupJaccard: exact set overlap, ordering, empty-intersection pairs absent") {
+    val df = Seq(
+      ("A", "a b c"), ("A", "c d"),      // A tokens: {a,b,c,d}
+      ("B", "c d e"),                    // B tokens: {c,d,e}
+      ("C", "q r")                       // C disjoint from both
+    ).toDF("g", "t")
+    val rows = TextOps.groupJaccard(df, col("g"), col("t")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(rows.keySet == Set(("A", "B"))) // C pairs have empty intersections
+    val (na, nb, ni, j) = rows(("A", "B"))
+    assert(na == 4 && nb == 3 && ni == 2)
+    assert(approx(j, 2.0 / 5.0))
+  }
+
+  test("groupJaccard: n-gram form discriminates where 1-gram saturates") {
+    val df = Seq(
+      ("A", "a b c"), ("B", "c b a") // same vocab, different order
+    ).toDF("g", "t")
+    val j1 = TextOps.groupJaccard(df, col("g"), col("t"), n = 1)
+      .select("jaccard").collect()(0).getDouble(0)
+    assert(approx(j1, 1.0))
+    // bigrams: A={a b, b c}, B={c b, b a} -> disjoint -> pair absent
+    assert(TextOps.groupJaccard(df, col("g"), col("t"), n = 2).count() == 0)
+  }
+
+  test("dedupParagraphs: custom separator and id-order keeper tie-break") {
+    val df = Seq((10L, "A|B"), (5L, "B|C")).toDF("id", "t")
+    val out = Dedup.dedupParagraphs(df, "id", "t", sep = "|").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("text_clean")).toMap
+    // B first occurs in doc 5 (smaller id), so doc 10 loses it
+    assert(out(5L) == "B|C")
+    assert(out(10L) == "A")
+  }
+
   test("jaccard similarity on known sets") {
     val df = Seq((1L, "a b c"), (2L, "b c d"), (3L, "x y z")).toDF("id", "t")
     val sims = Dedup.jaccardSimilarity(df, "id", "t", 1).collect()
