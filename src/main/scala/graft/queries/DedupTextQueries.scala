@@ -541,6 +541,25 @@ object DedupTextQueries {
         .orderBy("group_a", "group_b")
     }),
 
+    "quality_classifier" -> ((s, dir) => {
+      // FastText-style quality classifier: 2 full-batch GD epochs of
+      // logistic regression on hashed bag-of-words (512 IntHash buckets,
+      // lr 4.0) against the "looks like English" target, then score via
+      // the shipped literal-map projection. The twin replays both epochs
+      // closed-form (epoch 1 from sigma(0) = 0.5 exactly; 9-dp weight
+      // rounding on both sides kills summation-order ulp drift between
+      // epochs).
+      val docs = table(s, dir, "documents")
+      val y = (col("lang") === "en").cast("int")
+      val model = graft.ops.LinearModel.trainTextClassifier(docs, "doc_id",
+        col("text"), y, numBuckets = 512, epochs = 2, lr = 4.0)
+      docs.select(col("doc_id"), y.as("y"),
+          round(graft.ops.LinearModel.scorer(model)(col("text")), 6)
+            .as("score"))
+        .where(col("doc_id") < 300)
+        .orderBy("doc_id")
+    }),
+
     "dsir_weights" -> ((s, dir) =>
       // DSIR importance weights: hashed-bigram log-likelihood ratio of
       // every doc under the English (target) vs non-English (raw)
@@ -623,6 +642,47 @@ object DedupTextQueries {
          |  round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
          |FROM it JOIN sz sa ON sa.g = group_a JOIN sz sb ON sb.g = group_b
          |ORDER BY 1, 2""".stripMargin,
+
+    "quality_classifier" -> {
+      val h = graft.ops.IntHash.stringHashSql("tk")
+      val LR = "4.0"
+      s"""WITH tok AS (
+         |  SELECT doc_id, CAST(lang = 'en' AS INT) AS y,
+         |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |                t -> len(t) > 0) AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, y, len(toks) AS n FROM tok),
+         |nn AS (SELECT count(*) AS nd FROM d),
+         |u AS (SELECT doc_id, unnest(toks) AS tk FROM tok),
+         |f AS (SELECT u.doc_id, ($h) % 512 AS b, count(*) AS cnt
+         |      FROM u GROUP BY 1, 2),
+         |fx AS (SELECT f.doc_id, b, cnt * 1.0 / d.n AS x
+         |       FROM f JOIN d USING (doc_id)),
+         |g1 AS (SELECT b,
+         |         round(-($LR * sum((0.5 - y) * x)) / (SELECT nd FROM nn), 9) AS w
+         |       FROM fx JOIN d USING (doc_id) GROUP BY b),
+         |b1 AS (SELECT round(-($LR * sum(0.5 - y)) / count(*), 9) AS bias FROM d),
+         |dot1 AS (SELECT fx.doc_id, sum(fx.x * g1.w) AS dot
+         |         FROM fx JOIN g1 USING (b) GROUP BY 1),
+         |e2 AS (SELECT d.doc_id, d.y,
+         |         1.0 / (1.0 + exp(-((SELECT bias FROM b1)
+         |           + coalesce(dot1.dot, 0)))) - d.y AS e
+         |       FROM d LEFT JOIN dot1 USING (doc_id)),
+         |g2 AS (SELECT fx.b,
+         |         round(any_value(g1.w)
+         |           - $LR * sum(e2.e * fx.x) / (SELECT nd FROM nn), 9) AS w
+         |       FROM fx JOIN e2 USING (doc_id) JOIN g1 ON g1.b = fx.b
+         |       GROUP BY fx.b),
+         |b2 AS (SELECT round((SELECT bias FROM b1)
+         |         - $LR * sum(e) / (SELECT nd FROM nn), 9) AS bias FROM e2),
+         |dot2 AS (SELECT fx.doc_id, sum(fx.x * g2.w) AS dot
+         |         FROM fx JOIN g2 USING (b) GROUP BY 1)
+         |SELECT d.doc_id, d.y,
+         |  round(1.0 / (1.0 + exp(-((SELECT bias FROM b2)
+         |    + coalesce(dot2.dot, 0)))), 6) AS score
+         |FROM d LEFT JOIN dot2 USING (doc_id)
+         |WHERE d.doc_id < 300 ORDER BY d.doc_id""".stripMargin
+    },
 
     "dedup_exact_groups" ->
       s"""WITH doubled AS (
