@@ -53,4 +53,65 @@ object Skew {
       explode(sequence(lit(0L), lit(nSalts - 1L))))
     bigS.join(smallS, keys :+ "__salt").drop("__salt")
   }
+
+  /** Z-order (Morton) interleaving key over integer dimension columns —
+    * the multi-dimensional data-layout primitive: sorting/range-
+    * partitioning 100 TB of parquet by this key keeps the per-file
+    * min/max footer ranges tight on EVERY dimension at once, so a scan
+    * filtered on any single dimension prunes most files (a single-column
+    * sort only prunes on that column). This is the layout trick behind
+    * Delta/Iceberg `ZORDER BY`, expressed as a plain deterministic
+    * column: bit j of dimension i lands at interleaved position
+    * `j * dims + i`.
+    *
+    * Each dimension is masked to its low `bits` bits first (callers
+    * rank/bucket raw values into [0, 2^bits) — e.g.
+    * `ntile`/[[Stats.applyQuantileBins]] for continuous columns; the
+    * mask keeps negative/overflowing inputs well-defined: two's-
+    * complement low bits, identical across engines). The expression is
+    * a pure `bits × dims`-term shift/AND/OR sum — codegen'd, no UDF,
+    * and with an exact DuckDB twin ([[zorderKeySql]], oracle
+    * `layout_zorder`). `bits × dims` must fit a signed long (≤ 62). */
+  def zorderKey(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty && bits >= 1 && bits * dims.size <= 62,
+      "need >= 1 dims and bits * dims <= 62")
+    val k = dims.size
+    val terms = for {
+      j <- 0 until bits
+      i <- dims.indices
+    } yield shiftleft(
+      shiftright(dims(i).cast("long"), j).bitwiseAND(lit(1L)),
+      j * k + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** DuckDB twin of [[zorderKey]]: the same shift/AND/OR sum as SQL text
+    * over per-dimension expressions. */
+  def zorderKeySql(dims: Seq[String], bits: Int): String = {
+    require(dims.nonEmpty && bits >= 1 && bits * dims.size <= 62,
+      "need >= 1 dims and bits * dims <= 62")
+    val k = dims.size
+    val terms = for {
+      j <- 0 until bits
+      i <- dims.indices
+    } yield s"(((CAST(${dims(i)} AS BIGINT) >> $j) & 1) << ${j * k + i})"
+    terms.mkString("(", " | ", ")")
+  }
+
+  /** Write `df` as parquet z-ordered on `dims`: range-partition by the
+    * Morton key into `numFiles` tasks, sort within each, one file per
+    * task. Every output file then covers a compact hyper-rectangle-ish
+    * region of the dim space — its parquet column min/max footers are
+    * tight on all dims, which is what downstream scan pruning reads.
+    * (The ZOrderLayoutSpec asserts the locality property directly on the
+    * partition ranges.) */
+  def writeZOrdered(df: DataFrame, path: String, dims: Seq[Column],
+      bits: Int, numFiles: Int): Unit = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val keyed = df.withColumn("__z", zorderKey(dims, bits))
+    keyed.repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -11,6 +11,19 @@ import graft.queries.Q._
 object AnalyticsQueries {
 
   val queries: Map[String, QueryFn] = Map(
+    "layout_zorder" -> ((s, dir) => {
+      // Morton z-order key over two bucketed event dimensions — the
+      // multi-dim layout key (sort 100 TB by this; every file's footer
+      // stays tight on BOTH dims). Top-100 keyed rows pin the exact
+      // interleaving arithmetic against the DuckDB twin.
+      val e = table(s, dir, "events")
+      val x = col("user_id") % 256
+      val y = floor(col("value") * 100).cast("long") % 256
+      e.select(col("event_id"),
+          graft.ops.Skew.zorderKey(Seq(x, y), 8).as("zkey"))
+        .orderBy(col("zkey"), col("event_id")).limit(100)
+    }),
+
     "q_percentiles" -> ((s, dir) =>
       // Exact linear-interpolation percentiles (sort-based `percentile`,
       // not the t-digest approx) per group — the approx_percentile form is
@@ -407,6 +420,13 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "layout_zorder" -> {
+      val z = graft.ops.Skew.zorderKeySql(
+        Seq("user_id % 256", "CAST(floor(value * 100) AS BIGINT) % 256"), 8)
+      s"""SELECT event_id, $z AS zkey FROM events
+         |ORDER BY zkey, event_id LIMIT 100""".stripMargin
+    },
+
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
