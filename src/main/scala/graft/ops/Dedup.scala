@@ -945,6 +945,90 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental NEAR-duplicate dedup against a persisted LSH signature
+    * store — the batch twin of
+    * [[graft.streaming.StreamingOps.nearDupStream]], for ingestion that
+    * arrives in batches instead of a stream. Each call keeps the rows of
+    * `newDocs` that are near-duplicates of NOTHING seen before:
+    *
+    *  - a document is a duplicate iff some EARLIER document (smaller id
+    *    in this batch, or any document from a previous batch) shares an
+    *    LSH bucket with it AND has exact hashed-shingle-set Jaccard ≥
+    *    `threshold` — the stream's exact contract (earlier documents
+    *    count even if they were themselves dropped as duplicates, and
+    *    every analyzed document enters the store, duplicate or not);
+    *  - documents with no shingles (blank / shorter than the shingle
+    *    width) pass through unexamined and unstored — their near-dup
+    *    Jaccard is 0/0; exact-blank dedup is
+    *    [[dedupExactIncremental]]'s job.
+    *
+    * The store holds one row per analyzed doc: (id, minhash signature,
+    * xxhash64'd shingle set) — signatures re-explode to bucket keys on
+    * read (narrow), so history candidates are ONE (band, bucket)
+    * equi-join, quadratic only within shared buckets, and verification
+    * touches candidates only. Store maintenance (append-only part
+    * files) composes with [[compactFingerprintStore]]'s pattern. Result
+    * is localCheckpoint-pinned before the store append (same
+    * recacheByPath hazard as [[dedupExactIncremental]]). */
+  def nearDupIncremental(newDocs: DataFrame, id: String, text: String,
+      storePath: String, threshold: Double, numShingleWords: Int = 3,
+      numBands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val spark = newDocs.sparkSession
+    val shim = org.apache.spark.sql.graft.MinHashShim
+    val base = newDocs.withColumn("__sh0", shingles(col(text), numShingleWords))
+    val zero = base.where(size(col("__sh0")) === 0).drop("__sh0")
+    val withSh = base.where(size(col("__sh0")) > 0)
+      .withColumn("__sh", transform(col("__sh0"), s => xxhash64(s)))
+      .withColumn("__sig", shim.minhashCol(col("__sh0"), numBands * rowsPerBand))
+      .drop("__sh0")
+    def buckets(df: DataFrame): DataFrame = df.select(col(id), col("__sh"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+        xxhash64(array_join(transform(
+          slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+          _.cast("string")), ","), b)))
+        .as(Seq("band", "bucket")))
+    def jac(a: Column, b: Column): Column = {
+      val inter = size(array_intersect(a, b)).cast("double")
+      inter / (size(a) + size(b) - inter)
+    }
+    val batchStore = withSh.select(col(id), col("__sig"), col("__sh"))
+    val hPath = new org.apache.hadoop.fs.Path(storePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bootstrap-empty ONLY on a genuinely absent store (cf.
+    // dedupExactIncremental: IO errors must fail loudly)
+    val store =
+      if (fs.exists(hPath)) spark.read.parquet(storePath)
+      else batchStore.limit(0)
+    val batchBuckets = buckets(withSh)
+    // candidate ids (batch doc, earlier doc) from both regimes, deduped
+    // BEFORE the shingle-set verification join (the candidate table
+    // carries ids only — shingle arrays join back once per unique pair)
+    val histCands = batchBuckets.select(col(id), col("band"), col("bucket"))
+      .join(buckets(store).select(col(id).as("__eid"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
+      .select(col(id), col("__eid"))
+    val inBatchCands = batchBuckets.select(col(id), col("band"), col("bucket"))
+      .join(batchBuckets.select(col(id).as("__eid"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
+      .where(col("__eid") < col(id))
+      .select(col(id), col("__eid"))
+    val cands = histCands.unionByName(inBatchCands).distinct()
+    val earlier = withSh.select(col(id).as("__eid"), col("__sh").as("__esh"))
+      .unionByName(store.select(col(id).as("__eid"), col("__sh").as("__esh")))
+    val dupIds = cands
+      .join(withSh.select(col(id), col("__sh")), Seq(id))
+      .join(earlier, Seq("__eid"))
+      .where(jac(col("__sh"), col("__esh")) >= threshold)
+      .select(col(id)).distinct()
+    val kept = withSh.join(dupIds, Seq(id), "left_anti")
+      .drop("__sh", "__sig")
+      .unionByName(zero)
+      .localCheckpoint(true)
+    batchStore.write.mode("append").parquet(storePath)
+    kept
+  }
+
   /** Paragraph-level deduplication (the RefinedWeb / Dolma curation
     * stage): split every document on `sep`, keep only the globally-FIRST
     * occurrence of each distinct paragraph (first = smallest (id, pos)

@@ -91,6 +91,33 @@ object RowsOnlyQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_neardup_incremental" -> ((s, dir) => {
+      // Two-batch incremental near-dup ingestion through a fresh persisted
+      // signature store: batch 1 = docs 0..59, batch 2 = docs 60..119 plus
+      // id-shifted exact copies of docs 0..29 (cross-batch dups). Kept =
+      // docs with no EARLIER neighbor at Jaccard >= 0.8 (earlier = prior
+      // batch, or smaller id in-batch; dropped dups still count — the
+      // greedy stream rule, not CC). Same banding params as
+      // dedup_minhash_lsh, whose oracle already certifies 100% candidate
+      // recall on this corpus, so the brute all-pairs twin is ground
+      // truth here too.
+      val docs = table(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id", "text")
+      val store = java.nio.file.Files.createTempDirectory("ndinc_q")
+        .toString + "/store"
+      def run(batch: org.apache.spark.sql.DataFrame) =
+        Dedup.nearDupIncremental(batch, "doc_id", "text", store,
+          threshold = 0.8, numShingleWords = 1, numBands = 16, rowsPerBand = 2)
+      val kept1 = run(docs.where(col("doc_id") < 60))
+      val b2 = docs.where(col("doc_id") >= 60).unionByName(
+        docs.where(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val kept2 = run(b2)
+      kept1.select(lit(1).as("batch"), col("doc_id"))
+        .unionByName(kept2.select(lit(2).as("batch"), col("doc_id")))
+        .orderBy("batch", "doc_id")
+    }),
+
     "dedup_embedding_lsh" -> ((s, dir) => {
       // Multi-table hyperplane-LSH near-dup pairs on the same synthesized
       // corpus as dedup_embedding_brute — the scale path (bucketed join).
@@ -312,6 +339,30 @@ object RowsOnlyQueries {
       // per true pair, and the hashes are fixed — so 100% recall on this
       // corpus is a deterministic fact, proven by the oracle match.
       "dedup_minhash_lsh" -> DedupTextQueries.oracle("dedup_jaccard_pairs"),
+
+      // greedy earlier-wins near-dup over two ingestion batches: the
+      // brute all-pairs twin is ground truth because candidate recall is
+      // 100% on this corpus at these banding params (certified by the
+      // dedup_minhash_lsh oracle above)
+      "dedup_neardup_incremental" ->
+        """WITH al AS (
+          |  SELECT doc_id, text, 1 AS batch, CAST(doc_id AS BIGINT) AS ord
+          |  FROM documents WHERE doc_id < 60
+          |  UNION ALL SELECT doc_id, text, 2, doc_id
+          |  FROM documents WHERE doc_id >= 60 AND doc_id < 120
+          |  UNION ALL SELECT doc_id + 1000000, text, 2, doc_id + 1000000
+          |  FROM documents WHERE doc_id < 30),
+          |sh AS (SELECT doc_id, batch, ord,
+          |  list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+          |  FROM al),
+          |dup AS (
+          |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b
+          |  ON (a.batch < b.batch OR (a.batch = b.batch AND a.ord < b.ord))
+          |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+          |        len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+          |SELECT batch, al.doc_id FROM al
+          |WHERE al.doc_id NOT IN (SELECT doc_id FROM dup)
+          |ORDER BY 1, 2""".stripMargin,
       "dedup_embedding_lsh" -> SimilarityQueries.oracle("dedup_embedding_brute"),
 
       // The harvest fixture derives per-run metrics.json values from the

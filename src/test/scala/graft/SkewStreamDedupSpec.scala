@@ -162,6 +162,30 @@ class SkewStreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupIncremental: persisted-store batch ingestion == stream semantics across batches") {
+    import graft.ops.Dedup
+    // same chain fixture as the nearDupStream parity test: A ~ B, B ~ C,
+    // J(A, C) < thr — C must still drop because the DROPPED B is in the
+    // store (every analyzed doc is stored, duplicate or not)
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val tB = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo mike"
+    val tC = "yank zulu charlie delta echo foxtrot golf hotel india juliet kilo mike"
+    val tD = "a completely unrelated document about mountain hiking and autumn weather"
+    val tF = "cooking pasta with garlic and fresh basil is a joy every evening"
+    val tE = "tiny" // zero 2-shingles: bypasses unexamined and unstored
+    val (thr, w, bands, rows) = (0.6, 2, 8, 2)
+    val store = java.nio.file.Files.createTempDirectory("ndinc").toString + "/store"
+    def run(docs: Seq[(Long, String)]): Set[Long] =
+      Dedup.nearDupIncremental(docs.toDF("id", "text"), "id", "text",
+        store, thr, w, bands, rows).select("id").as[Long].collect().toSet
+    // batch 1: A, B (in-batch near-dup), D, A-copy
+    assert(run(Seq((1L, tA), (2L, tB), (3L, tD), (4L, tA))) == Set(1L, 3L))
+    // batch 2: C (near-dup of the dropped B, cross-batch), E (bypass), F
+    assert(run(Seq((5L, tC), (6L, tE), (7L, tF))) == Set(6L, 7L))
+    // batch 3: exact re-ingestion of a past survivor and a past dup both drop
+    assert(run(Seq((8L, tA), (9L, tC))) == Set.empty[Long])
+  }
+
   test("curateStream with nearDupId: exact + near dups and junk dropped in one stream stage") {
     import graft.pipelines.CorpusPipeline
     implicit val sqlCtx = spark.sqlContext
