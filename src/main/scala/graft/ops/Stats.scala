@@ -552,4 +552,39 @@ object Stats {
       .agg(sum(col("n_xy") / col("n") *
         log(col("n_xy") * col("n") / (col("n_x") * col("n_y")))).as("mi_nats"))
   }
+
+  /** Pre-aggregated MERGEABLE distinct-count sketch table — the 100 TB
+    * pattern for interactive "distinct X by any dim subset" questions:
+    * scan the raw data ONCE into per-fine-group HyperLogLog sketches
+    * (Apache DataSketches HLL via Spark's `hll_sketch_agg`), persist the
+    * tiny sketch table, and answer every coarser rollup by UNIONING
+    * sketches (`hll_union_agg`) — no second scan of the raw data, ever.
+    * HLL sketches are mergeable with bounded error: the union estimate
+    * is not bit-identical to sketching the raw data at the coarse grain
+    * (sparse→dense promotion differs along the two paths), but both stay
+    * within the sketch's relative-error bound of the exact count —
+    * SketchRollupSpec pins ≤2% on its fixture, with `n_rows` exact.
+    *
+    * Returns (dims…, hll binary, n_rows). Persist with plain parquet;
+    * re-aggregate any dim subset with [[rollupHllSketches]]. */
+  def buildHllSketches(df: DataFrame, dims: Seq[String], value: Column,
+      lgConfigK: Int = 12): DataFrame = {
+    require(dims.nonEmpty, "need at least one dim")
+    df.groupBy(dims.map(col): _*)
+      .agg(hll_sketch_agg(value, lit(lgConfigK)).as("hll"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Roll a sketch table up to a coarser dim subset: union the sketches,
+    * estimate, and sum the exact row counts. One aggregation over the
+    * SKETCH table (bounded by the fine-grain group count — never the raw
+    * data). */
+  def rollupHllSketches(sketches: DataFrame, dims: Seq[String]): DataFrame = {
+    val gb = if (dims.isEmpty) sketches.groupBy()
+      else sketches.groupBy(dims.map(col): _*)
+    gb.agg(
+      hll_sketch_estimate(hll_union_agg(col("hll"), lit(false)))
+        .as("n_distinct_est"),
+      sum("n_rows").as("n_rows"))
+  }
 }
