@@ -13,7 +13,8 @@ import graft.ops.{Dedup, Stats, TextOps}
   *   ops: ewma | spans | substr | bm25 | wsample | lm | vocab |
   *        editpairs | corr | fuzzyjoin | sessionize | ttd | entityres |
   *        editskew | pagerank | cc | packsplit | spanremove | semdedup |
-  *        dsir
+  *        dsir | paradedup | tokenbudget | groupjac | ndinc |
+  *        qclassifier | zorder
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -289,6 +290,84 @@ object ScaleProbe {
             Dedup.editDistanceCandidates(names, col("nm"), 2).count()))
         time(s"editskew verified pairs")(
           println("pairs=" + Dedup.editDistancePairs(names, col("nm"), 2).count()))
+      case "paradedup" =>
+        // multi-paragraph docs drawing 3 paragraphs each from a pool of
+        // n/2 distinct paragraph strings (~6x duplication) — the
+        // boilerplate-heavy shape dedupParagraphs exists for
+        val words = typedLit((1 to 50).map(i => s"w$i"))
+        def para(seed: org.apache.spark.sql.Column) =
+          array_join(transform(sequence(lit(0), lit(9)),
+            i => element_at(words, pmod(xxhash64(seed, i), lit(50)).cast("int") + 1)), " ")
+        val pool = lit((n / 2).max(1L))
+        val d = spark.range(n).select(col("id"),
+          concat_ws("\n\n",
+            para(pmod(xxhash64(col("id"), lit(1)), pool)),
+            para(pmod(xxhash64(col("id"), lit(2)), pool)),
+            para(pmod(xxhash64(col("id"), lit(3)), pool))).as("text"))
+        d.count()
+        time(s"dedupParagraphs n=$n pool=${n / 2}")(
+          Dedup.dedupParagraphs(d, "id", "text")
+            .agg(sum("n_paras"), sum("n_kept")).collect())
+      case "tokenbudget" =>
+        val d = docs(n).select(col("id"),
+          pmod(xxhash64(col("id"), lit(9)), lit(100)).as("g"),
+          pmod(xxhash64(col("id"), lit(8)), lit(100000)).cast("double").as("s"),
+          col("text"))
+        d.count()
+        time(s"selectByTokenBudget n=$n groups=100")(
+          TextOps.selectByTokenBudget(d, "g", col("s"), col("id"), col("text"),
+              budgetTokens = n / 50)
+            .agg(count(lit(1)), sum("cum_tokens")).collect())
+      case "groupjac" =>
+        val d = docs(n).select(
+          pmod(xxhash64(col("id"), lit(5)), lit(20)).as("g"), col("text"))
+        d.count()
+        time(s"groupJaccard n=$n groups=20 bigrams")(
+          TextOps.groupJaccard(d, col("g"), col("text"), n = 2)
+            .agg(count(lit(1)), sum("n_inter")).collect())
+      case "ndinc" =>
+        // batch 1: n distinct docs; batch 2: n/2 docs of which ~10% are
+        // near-copies of batch-1 docs (one word appended)
+        val store = java.nio.file.Files.createTempDirectory("ndinc_probe")
+          .toString + "/store"
+        val b1 = docs(n)
+        // batch-2 fresh docs come from a DISJOINT id range (the generator
+        // derives text from the id, so same-range ids are exact copies)
+        val words = typedLit((1 to 50).map(i => s"w$i"))
+        val b2raw = spark.range(2 * n, 2 * n + n / 2).select(col("id"),
+          array_join(transform(
+            sequence(lit(0), pmod(xxhash64(col("id")), lit(20)) + lit(20)),
+            i => element_at(words, pmod(xxhash64(col("id"), i), lit(50)).cast("int") + 1)), " ")
+            .as("text"))
+        val copies = docs(n / 10).select((col("id") + 4 * n).as("id"),
+          concat(col("text"), lit(" zz")).as("text"))
+        val b2 = b2raw.unionByName(copies)
+        b1.count(); b2.count()
+        time(s"nearDupIncremental batch1 n=$n")(
+          println("kept1=" + Dedup.nearDupIncremental(b1, "id", "text",
+            store, 0.8, 3, 8, 4).count()))
+        time(s"nearDupIncremental batch2 n=${n / 2 + n / 10} (10% near-dups)")(
+          println("kept2=" + Dedup.nearDupIncremental(b2, "id", "text",
+            store, 0.8, 3, 8, 4).count()))
+      case "qclassifier" =>
+        val d = docs(n).select(col("id"), col("text"),
+          (pmod(xxhash64(col("id"), lit(3)), lit(2)) === 0).cast("int").as("y"))
+        d.count()
+        time(s"trainTextClassifier n=$n buckets=4096 epochs=3")(
+          println("nnz=" + graft.ops.LinearModel.trainTextClassifier(
+            d, "id", col("text"), col("y"),
+            numBuckets = 4096, epochs = 3, lr = 1.0).weights.size))
+      case "zorder" =>
+        val d = spark.range(n).select(col("id"),
+          pmod(xxhash64(col("id")), lit(65536)).as("x"),
+          pmod(xxhash64(col("id"), lit(2)), lit(65536)).as("y"))
+        d.count()
+        time(s"zorder repartition+sort n=$n bits=16")(
+          println("rows=" + d.withColumn("z",
+              graft.ops.Skew.zorderKey(Seq(col("x"), col("y")), 16))
+            .repartitionByRange(64, col("z"))
+            .sortWithinPartitions(col("z"))
+            .count()))
       case other => sys.error(s"unknown probe op: $other")
     }
     spark.stop()
