@@ -406,8 +406,10 @@ object TextOps {
     * shingle vocabulary, not corpus size); intersections come from the
     * pair table's self-join on shingle (each shingle contributes at most
     * |groups|²/2 pairs, so the join output is vocab × G² worst-case — G
-    * is small by construction for a grouping column); set sizes
-    * re-aggregate from the SAME tiny pair table and broadcast back.
+    * is small by construction for a grouping column); set sizes ride the
+    * SAME pair table as a per-group window count, so the whole op is TWO
+    * corpus passes (the self-join's two sides) and nothing else rescans
+    * the input.
     * Group pairs with an empty intersection are absent from the output
     * (their Jaccard is 0). For thousands of groups, switch to MinHash
     * signatures per group ([[Dedup]]) — this is the exact form.
@@ -416,19 +418,20 @@ object TextOps {
   def groupJaccard(df: org.apache.spark.sql.DataFrame, group: Column,
       text: Column, n: Int = 1): org.apache.spark.sql.DataFrame = {
     require(n >= 1, "n must be >= 1")
+    // per-group set size as a window over the distinct pair table — one
+    // extra exchange of the (tiny) vocab table instead of a third and
+    // fourth corpus-scanning aggregation subtree (Spark does not share
+    // common subtrees, so `sizes` as a separate agg re-scanned the input)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val gt = df.select(group.as("g"),
-      explode(Dedup.shingles(text, n)).as("tok")).distinct()
-    val sizes = gt.groupBy("g").agg(count(lit(1)).as("n"))
-    val inter = gt.as("a")
+        explode(Dedup.shingles(text, n)).as("tok")).distinct()
+      .withColumn("n", count(lit(1)).over(wg))
+    gt.as("a")
       .join(gt.as("b"),
         col("a.tok") === col("b.tok") && col("a.g") < col("b.g"))
       .groupBy(col("a.g").as("group_a"), col("b.g").as("group_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(broadcast(sizes.select(col("g").as("group_a"), col("n").as("n_a"))),
-        Seq("group_a"))
-      .join(broadcast(sizes.select(col("g").as("group_b"), col("n").as("n_b"))),
-        Seq("group_b"))
+      .agg(first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"),
+        count(lit(1)).as("n_inter"))
       .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
         col("n_inter"),
         (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
