@@ -596,4 +596,44 @@ object Similarity {
     Stats.quotaPerGroup(assigned.select(col(id), col("cell_id")),
       col(id), col("cell_id"), Map.empty, quota, seed)
   }
+
+  /** Per-group embedding centroids — the domain-prototype table behind
+    * centroid-distance quality pruning (flag vectors far from their
+    * group's prototype — likely noise/outliers/mislabels) and corpus
+    * drift dashboards.
+    *
+    * Shape: posexplode to (group, dim, x) — a ×dim fan-out that
+    * map-side combines straight down to |groups|·dim partial means, so
+    * the shuffle carries partials, not vectors — then one re-group to
+    * array form. Components are rounded to `roundTo` decimals (the
+    * [[Stats.outlierStats]] fence pattern) so downstream distances are
+    * ulp-robust across engines/partitionings. Returns
+    * (group, centroid array<double>, n). */
+  def groupCentroids(df: DataFrame, group: Column, vec: Column,
+      roundTo: Int = 6): DataFrame =
+    df.select(group.as("group"), posexplode(vec.cast("array<double>"))
+        .as(Seq("__i", "__x")))
+      .groupBy(col("group"), col("__i"))
+      .agg(avg(col("__x")).as("__m"), count(lit(1)).as("__n"))
+      .groupBy(col("group"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("__i"), col("__m")))),
+          s => round(s.getField("__m"), roundTo)).as("centroid"),
+        max(col("__n")).as("n"))
+
+  /** Cosine similarity of every vector to ITS OWN group's centroid —
+    * join the (tiny, broadcast) [[groupCentroids]] table back and score
+    * in-row. Low similarity = far from the group prototype: the
+    * SemDeDup-family quality-pruning signal, but per labeled group
+    * instead of per discovered cluster. Returns the input plus
+    * (cos_to_centroid). */
+  def centroidSimilarity(df: DataFrame, group: Column, vec: Column,
+      roundTo: Int = 6): DataFrame = {
+    val cents = groupCentroids(df, group, vec, roundTo)
+    df.withColumn("group", group)
+      .join(broadcast(cents.select(col("group"), col("centroid"))), Seq("group"))
+      .withColumn("cos_to_centroid",
+        cosine(vec.cast("array<double>"), col("centroid")))
+      .drop("centroid")
+  }
 }

@@ -553,6 +553,49 @@ object Stats {
         log(col("n_xy") * col("n") / (col("n_x") * col("n_y")))).as("mi_nats"))
   }
 
+  /** Population Stability Index between a reference slice and a current
+    * slice of `value` — the standard production drift monitor for model
+    * inputs/scores: decile-ish bins are fitted on the REFERENCE slice
+    * only ([[fitQuantileBins]] — one aggregation pass, k−1 driver
+    * scalars), both slices are binned by the same branch-free projection,
+    * and PSI = Σ_bins (p_b − q_b)·ln(p_b / q_b) with add-`alpha`
+    * smoothing over the k-bin domain (empty bins must not produce ±∞ —
+    * same Laplace treatment as [[categoricalDivergence]]).
+    *
+    * Shape: one fit aggregation over the reference + ONE conditional
+    * binned aggregation over both slices (map-side combined to ≤ k
+    * rows); the k-row bin table densifies over `spark.range(k)` and
+    * folds to the scalar. Rule of thumb: PSI < 0.1 stable, 0.1–0.25
+    * moderate shift, > 0.25 action. Returns one row
+    * (psi, n_ref, n_cur). */
+  def psi(df: DataFrame, value: Column, group: Column, ref: String,
+      cur: String, k: Int = 10, alpha: Double = 0.5): DataFrame = {
+    require(k >= 2, "need k >= 2 bins")
+    require(alpha > 0.0, "alpha must be > 0 (zero bins otherwise blow up)")
+    val bounds = fitQuantileBins(df.where(group === ref), value, k)
+    val binned = df.where(group.isin(ref, cur))
+      .select(group.as("__g"), applyQuantileBins(value, bounds).as("bin"))
+      .groupBy("bin").agg(
+        sum(when(col("__g") === ref, 1L).otherwise(0L)).as("nr"),
+        sum(when(col("__g") === cur, 1L).otherwise(0L)).as("nc"))
+    val dense = df.sparkSession.range(k)
+      .select(col("id").cast("int").as("bin"))
+      .join(binned, Seq("bin"), "left")
+      .na.fill(0L, Seq("nr", "nc"))
+    val wAll = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    dense
+      .withColumn("__tr", sum("nr").over(wAll))
+      .withColumn("__tc", sum("nc").over(wAll))
+      .withColumn("__p",
+        (col("nr") + lit(alpha)) / (col("__tr") + lit(alpha * k)))
+      .withColumn("__q",
+        (col("nc") + lit(alpha)) / (col("__tc") + lit(alpha * k)))
+      .agg(
+        sum((col("__p") - col("__q")) * log(col("__p") / col("__q")))
+          .as("psi"),
+        first("__tr").as("n_ref"), first("__tc").as("n_cur"))
+  }
+
   /** Pre-aggregated MERGEABLE distinct-count sketch table — the 100 TB
     * pattern for interactive "distinct X by any dim subset" questions:
     * scan the raw data ONCE into per-fine-group HyperLogLog sketches

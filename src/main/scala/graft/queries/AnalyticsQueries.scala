@@ -24,6 +24,14 @@ object AnalyticsQueries {
         .orderBy(col("zkey"), col("event_id")).limit(100)
     }),
 
+    "g_psi" -> ((s, dir) =>
+      // Population Stability Index of `value` between the view (reference)
+      // and error (current) event slices — decile bins fitted on the
+      // reference only, Laplace alpha = 0.5 over the 10-bin domain.
+      Stats.psi(table(s, dir, "events"), col("value"), col("event_type"),
+          ref = "view", cur = "error", k = 10, alpha = 0.5)
+        .select(round(col("psi"), 6).as("psi"), col("n_ref"), col("n_cur"))),
+
     "q_percentiles" -> ((s, dir) =>
       // Exact linear-interpolation percentiles (sort-based `percentile`,
       // not the t-digest approx) per group — the approx_percentile form is
@@ -425,6 +433,29 @@ object AnalyticsQueries {
         Seq("user_id % 256", "CAST(floor(value * 100) AS BIGINT) % 256"), 8)
       s"""SELECT event_id, $z AS zkey FROM events
          |ORDER BY zkey, event_id LIMIT 100""".stripMargin
+    },
+
+    "g_psi" -> {
+      val qs = (1 to 9).map(i =>
+        s"round(quantile_cont(value, 0.$i), 6) AS q$i").mkString(", ")
+      val bins = (1 to 9).map(i =>
+        s"(CASE WHEN value > q$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH b AS (SELECT $qs FROM events WHERE event_type = 'view'),
+         |binned AS (
+         |  SELECT $bins AS bin,
+         |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nr,
+         |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS nc
+         |  FROM events CROSS JOIN b
+         |  WHERE event_type IN ('view', 'error') GROUP BY 1),
+         |dense AS (SELECT r.b AS bin, coalesce(nr, 0) AS nr,
+         |                 coalesce(nc, 0) AS nc
+         |          FROM range(10) r(b) LEFT JOIN binned ON binned.bin = r.b),
+         |t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM dense)
+         |SELECT round(sum((p - q) * ln(p / q)), 6) AS psi,
+         |  CAST(max(tr) AS BIGINT) AS n_ref, CAST(max(tc) AS BIGINT) AS n_cur
+         |FROM (SELECT (nr + 0.5) / (tr + 5.0) AS p,
+         |             (nc + 0.5) / (tc + 5.0) AS q, tr, tc
+         |      FROM dense, t)""".stripMargin
     },
 
     "q_percentiles" ->

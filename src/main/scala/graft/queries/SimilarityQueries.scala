@@ -25,6 +25,23 @@ object SimilarityQueries {
     "(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))"
 
   val queries: Map[String, QueryFn] = Map(
+    "embedding_outliers" -> ((s, dir) => {
+      // Centroid-distance quality pruning: per-label prototype (rounded
+      // per-dim mean), then the 5 vectors farthest from their own
+      // prototype per label. Rank on the ROUNDED cosine (+ id tiebreak)
+      // so cross-engine ulp noise can't flip neighboring ranks.
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir).where(col("vec_id") < 300)
+      val scored = graft.ops.Similarity
+        .centroidSimilarity(e, col("label"), col("v"))
+        .withColumn("cos", round(col("cos_to_centroid"), 4))
+      val w = Window.partitionBy("group").orderBy(col("cos"), col("vec_id"))
+      scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+        .select(col("group").as("label"), col("vec_id"), col("cos"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("label", "rk")
+    }),
+
     "sim_cosine_adjacent" -> ((s, dir) => {
       // Cosine between consecutive vec_ids — exercises the zip_with/
       // aggregate dot-product expressions, one narrow self-join.
@@ -242,6 +259,25 @@ object SimilarityQueries {
        |FROM (SELECT vec_id, $vSql AS v FROM embeddings WHERE vec_id < 400)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "embedding_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label, $vSql AS v
+         |           FROM embeddings WHERE vec_id < 300),
+         |x AS (SELECT label, vec_id, generate_subscripts(v, 1) AS i,
+         |             unnest(v) AS x FROM e),
+         |c AS (SELECT label, list(mr ORDER BY i) AS cent FROM (
+         |        SELECT label, i, round(avg(x), 6) AS mr
+         |        FROM x GROUP BY 1, 2) GROUP BY 1),
+         |s AS (SELECT e.vec_id, e.label,
+         |        round(list_dot_product(e.v, c.cent) /
+         |          (sqrt(list_dot_product(e.v, e.v)) *
+         |           sqrt(list_dot_product(c.cent, c.cent))), 4) AS cos
+         |      FROM e JOIN c USING (label)),
+         |r AS (SELECT label, vec_id, cos,
+         |        row_number() OVER (PARTITION BY label
+         |          ORDER BY cos ASC, vec_id ASC) AS rk FROM s)
+         |SELECT label, vec_id, cos, rk FROM r WHERE rk <= 5
+         |ORDER BY label, rk""".stripMargin,
+
     "ann_knn_join" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
          |pairs AS (

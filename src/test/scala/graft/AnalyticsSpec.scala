@@ -8,6 +8,27 @@ import graft.ops.{Sessionize, Stats, TextOps}
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("psi: identical slices -> exactly 0; shifted slice -> actionable; degenerate bins finite") {
+    val same = ((1 to 500).map(i => (i * 0.01, "a")) ++
+      (1 to 500).map(i => (i * 0.01, "b"))).toDF("v", "g")
+    val p0 = Stats.psi(same, col("v"), col("g"), "a", "b")
+      .collect()(0)
+    assert(p0.getDouble(0) == 0.0) // equal counts per bin -> p == q -> 0
+    assert(p0.getLong(1) == 500 && p0.getLong(2) == 500)
+    val shifted = ((1 to 500).map(i => (i * 0.01, "a")) ++
+      (1 to 500).map(i => (i * 0.01 + 4.0, "b"))).toDF("v", "g")
+    val p1 = Stats.psi(shifted, col("v"), col("g"), "a", "b")
+      .collect()(0).getDouble(0)
+    assert(p1 > 0.25, s"fully shifted distribution should alarm: $p1")
+    assert(!p1.isInfinite) // Laplace alpha keeps empty bins finite
+    // constant reference: every cut collapses to the same value
+    val const = ((1 to 100).map(_ => (1.0, "a")) ++
+      (1 to 100).map(i => (i * 1.0, "b"))).toDF("v", "g")
+    val p2 = Stats.psi(const, col("v"), col("g"), "a", "b")
+      .collect()(0).getDouble(0)
+    assert(!p2.isNaN && !p2.isInfinite)
+  }
+
   private def chunks(text: String, size: Int, stride: Int): Seq[(Long, Long, String)] =
     TextOps.chunkDocuments(Seq((1L, text)).toDF("doc_id", "text"), col("text"), size, stride)
       .select("chunk_idx", "chunk_tokens", "chunk_text")

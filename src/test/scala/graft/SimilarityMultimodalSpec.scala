@@ -6,6 +6,25 @@ import graft.ops.{Multimodal, Similarity}
 class SimilarityMultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("groupCentroids: exact per-dim means in dim order; centroidSimilarity flags the outlier") {
+    val df = Seq(
+      (1L, "a", Seq(1.0, 0.0)), (2L, "a", Seq(0.0, 1.0)),   // centroid (.5, .5)
+      (3L, "a", Seq(0.5, 0.5)),                             // on the centroid
+      (4L, "a", Seq(-1.0, -1.0)),                           // antipodal outlier
+      (5L, "b", Seq(2.0, 0.0))                              // own group
+    ).toDF("id", "g", "v")
+    val cents = Similarity.groupCentroids(df, col("g"), col("v")).collect()
+      .map(r => r.getString(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
+    assert(cents("a")._1 == Seq(0.125, 0.125) && cents("a")._2 == 4L)
+    assert(cents("b")._1 == Seq(2.0, 0.0) && cents("b")._2 == 1L)
+    val sims = Similarity.centroidSimilarity(df, col("g"), col("v")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("cos_to_centroid")).toMap
+    assert(approx(sims(3L), 1.0, 1e-9))  // exactly on the prototype
+    assert(approx(sims(4L), -1.0, 1e-9)) // antipodal
+    assert(sims(4L) < sims(1L) && sims(4L) < sims(2L))
+    assert(approx(sims(5L), 1.0, 1e-9))  // singleton group: self-centroid
+  }
+
   test("cosine: parallel = 1, orthogonal = 0, antiparallel = -1") {
     val df = Seq(
       (Seq(1.0, 0.0), Seq(2.0, 0.0)),
