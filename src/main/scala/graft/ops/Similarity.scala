@@ -597,6 +597,28 @@ object Similarity {
       col(id), col("cell_id"), Map.empty, quota, seed)
   }
 
+  /** Semantic (embedding-space) decontamination — the similarity twin of
+    * [[Dedup.decontaminate]]'s n-gram overlap scan: flag every corpus row
+    * whose NEAREST benchmark/eval embedding is at cosine ≥ `threshold`
+    * (paraphrased or lightly-reworded contamination that shares no long
+    * n-gram). A [[knnJoin]] composition with the bench side as the
+    * (small) indexed right: centroids train on the bench set, the corpus
+    * streams through cell routing — the corpus is never shuffled beyond
+    * its per-row top-1 window, and `nProbe >= nCells` makes the scan
+    * exact (the oracle regime; lower nProbe trades recall like IVF).
+    * Returns (corpus id, bench_id of the nearest match, cos) for flagged
+    * rows only. */
+  def decontaminateSemantic(corpus: DataFrame, cid: String, cvec: String,
+      bench: DataFrame, bid: String, bvec: String, threshold: Double,
+      nCells: Int, nProbe: Int, iters: Int = 1,
+      byHash: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    knnJoin(corpus, cid, cvec, bench, bid, bvec, k = 1, nCells, nProbe,
+        iters, byHash)
+      .where(col("cos") >= threshold)
+      .select(col(cid), col(bid), col("cos"))
+  }
+
   /** Per-group embedding centroids — the domain-prototype table behind
     * centroid-distance quality pruning (flag vectors far from their
     * group's prototype — likely noise/outliers/mislabels) and corpus

@@ -42,6 +42,31 @@ object SimilarityQueries {
         .orderBy("label", "rk")
     }),
 
+    "decontaminate_semantic" -> ((s, dir) => {
+      // Embedding-space decontamination: bench = 30 perturbed copies of
+      // corpus rows (paraphrase stand-ins, cos ~0.9+) + 20 unrelated
+      // vectors; flag corpus rows whose nearest bench vector is >= 0.9.
+      // Seed centroids (iters = 0, byHash = false) + nProbe = nCells
+      // make the scan exact and bit-stable, so the brute twin is the
+      // oracle.
+      val corpus = emb(s, dir).where(col("vec_id") < 200)
+        .select(col("vec_id"), col("v"))
+      val perturbed = emb(s, dir).where(col("vec_id") < 30)
+        .select((col("vec_id") + 100000).as("bench_id"),
+          transform(col("v"), (x, i) =>
+            x + lit(0.15) * element_at(col("v"), size(col("v")) - i)).as("bv"))
+      val clean = emb(s, dir)
+        .where(col("vec_id") >= 300 && col("vec_id") < 320)
+        .select((col("vec_id") + 200000).as("bench_id"), col("v").as("bv"))
+      val bench = perturbed.unionByName(clean)
+      graft.ops.Similarity.decontaminateSemantic(corpus, "vec_id", "v",
+          bench, "bench_id", "bv", threshold = 0.9,
+          nCells = 4, nProbe = 4, iters = 0, byHash = false)
+        .select(col("vec_id"), col("bench_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("vec_id")
+    }),
+
     "sim_cosine_adjacent" -> ((s, dir) => {
       // Cosine between consecutive vec_ids — exercises the zip_with/
       // aggregate dot-product expressions, one narrow self-join.
@@ -259,6 +284,28 @@ object SimilarityQueries {
        |FROM (SELECT vec_id, $vSql AS v FROM embeddings WHERE vec_id < 400)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "decontaminate_semantic" ->
+      s"""WITH corpus AS (SELECT vec_id, $vSql AS v
+         |                FROM embeddings WHERE vec_id < 200),
+         |bench AS (
+         |  SELECT vec_id + 100000 AS bench_id,
+         |    list_transform(range(1, len(v) + 1),
+         |      i -> v[i] + 0.15 * v[len(v) + 1 - i]) AS bv
+         |  FROM (SELECT vec_id, $vSql AS v FROM embeddings WHERE vec_id < 30)
+         |  UNION ALL
+         |  SELECT vec_id + 200000, $vSql FROM embeddings
+         |  WHERE vec_id >= 300 AND vec_id < 320),
+         |p AS (SELECT c.vec_id, b.bench_id,
+         |        list_dot_product(c.v, b.bv) /
+         |          (sqrt(list_dot_product(c.v, c.v)) *
+         |           sqrt(list_dot_product(b.bv, b.bv))) AS cos
+         |      FROM corpus c CROSS JOIN bench b),
+         |r AS (SELECT vec_id, bench_id, cos,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, bench_id ASC) AS rk FROM p)
+         |SELECT vec_id, bench_id, round(cos, 4) AS cos FROM r
+         |WHERE rk = 1 AND cos >= 0.9 ORDER BY vec_id""".stripMargin,
+
     "embedding_outliers" ->
       s"""WITH e AS (SELECT vec_id, label, $vSql AS v
          |           FROM embeddings WHERE vec_id < 300),

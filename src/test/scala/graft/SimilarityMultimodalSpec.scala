@@ -25,6 +25,22 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(approx(sims(5L), 1.0, 1e-9))  // singleton group: self-centroid
   }
 
+  test("decontaminateSemantic: planted paraphrase flagged with its bench id, clean rows pass") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0)), (4L, Seq(1.0, 1.0, 0.0))
+    ).toDF("id", "v")
+    val bench = Seq(
+      (100L, Seq(0.99, 0.05, 0.0)), // ~ corpus 1 (a paraphrase stand-in)
+      (101L, Seq(0.0, -1.0, 0.0))   // antiparallel to 2: NOT contamination
+    ).toDF("bid", "bv")
+    val out = Similarity.decontaminateSemantic(corpus, "id", "v",
+        bench, "bid", "bv", threshold = 0.95, nCells = 2, nProbe = 2,
+        iters = 0, byHash = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 100L), s"got $out")
+  }
+
   test("cosine: parallel = 1, orthogonal = 0, antiparallel = -1") {
     val df = Seq(
       (Seq(1.0, 0.0), Seq(2.0, 0.0)),
