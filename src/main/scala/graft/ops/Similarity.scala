@@ -597,6 +597,40 @@ object Similarity {
       col(id), col("cell_id"), Map.empty, quota, seed)
   }
 
+  /** Signed random projection (Achlioptas 2003 / JL-sketch with ±1
+    * entries — public method): project a `dim`-vector to `outDim`
+    * components, out_j = (1/√outDim) · Σ_i v_i · s(j,i), where s(j,i) ∈
+    * {−1, +1} comes from the engine-portable [[IntHash.mix]] — the
+    * projection "matrix" is a HASH, so there is nothing to broadcast,
+    * nothing to store, and every row projects identically on any
+    * cluster/engine (exact DuckDB twin `embedding_srp`). The cheap
+    * pre-step that makes 100 TB ANN/clustering tractable: distances are
+    * preserved within JL distortion at a dim/outDim cost reduction.
+    *
+    * A pure per-row expression (outDim × dim multiply-adds folded in
+    * index order — deterministic FP), no shuffle, no UDF. */
+  def randomProjection(vec: Column, outDim: Int, seed: Long): Column = {
+    require(outDim >= 1, "outDim must be >= 1")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(
+        transform(vec, (x, i) =>
+          x * when(pmod(IntHash.mix(lit(seed), Seq(j, i)), lit(2)) === 0,
+            lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), _ + _) * lit(scale))
+  }
+
+  /** DuckDB twin of [[randomProjection]] over a double-list SQL
+    * expression `v` (1-based list indexing → the hash sees `i − 1`). */
+  def randomProjectionSql(v: String, outDim: Int, seed: Long): String = {
+    val sign = IntHash.mixSql(seed.toString, Seq("j", "(i - 1)"))
+    s"""list_transform(range(0, $outDim), j ->
+       |  list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+       |    list_transform(range(1, len($v) + 1), i ->
+       |      $v[i] * (CASE WHEN ($sign) % 2 = 0 THEN 1.0 ELSE -1.0 END))),
+       |    (a, b) -> a + b) / sqrt(CAST($outDim AS DOUBLE)))""".stripMargin
+  }
+
   /** Semantic (embedding-space) decontamination — the similarity twin of
     * [[Dedup.decontaminate]]'s n-gram overlap scan: flag every corpus row
     * whose NEAREST benchmark/eval embedding is at cosine ≥ `threshold`

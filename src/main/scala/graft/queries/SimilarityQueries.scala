@@ -67,6 +67,20 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    "embedding_srp" -> ((s, dir) => {
+      // Signed random projection 64 -> 4 dims: the hash IS the projection
+      // matrix, so both engines rebuild it from (seed, j, i) — exact twin.
+      val e = emb(s, dir).where(col("vec_id") < 50)
+      val p = graft.ops.Similarity.randomProjection(col("v"), 4, seed = 7L)
+      e.withColumn("p", p)
+        .select(col("vec_id"),
+          round(element_at(col("p"), 1), 4).as("o0"),
+          round(element_at(col("p"), 2), 4).as("o1"),
+          round(element_at(col("p"), 3), 4).as("o2"),
+          round(element_at(col("p"), 4), 4).as("o3"))
+        .orderBy("vec_id")
+    }),
+
     "sim_cosine_adjacent" -> ((s, dir) => {
       // Cosine between consecutive vec_ids — exercises the zip_with/
       // aggregate dot-product expressions, one narrow self-join.
@@ -284,6 +298,16 @@ object SimilarityQueries {
        |FROM (SELECT vec_id, $vSql AS v FROM embeddings WHERE vec_id < 400)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "embedding_srp" -> {
+      val proj = graft.ops.Similarity.randomProjectionSql("v", 4, 7L)
+      s"""SELECT vec_id, round(p[1], 4) AS o0, round(p[2], 4) AS o1,
+         |  round(p[3], 4) AS o2, round(p[4], 4) AS o3
+         |FROM (SELECT vec_id, ($proj) AS p
+         |      FROM (SELECT vec_id, $vSql AS v FROM embeddings
+         |            WHERE vec_id < 50))
+         |ORDER BY vec_id""".stripMargin
+    },
+
     "decontaminate_semantic" ->
       s"""WITH corpus AS (SELECT vec_id, $vSql AS v
          |                FROM embeddings WHERE vec_id < 200),

@@ -25,6 +25,34 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(approx(sims(5L), 1.0, 1e-9))  // singleton group: self-centroid
   }
 
+  test("randomProjection: JL norm preservation in expectation, linearity, seed sensitivity") {
+    val rnd = new scala.util.Random(3)
+    val vecs = (1 to 200).map(i => (i.toLong, Seq.fill(64)(rnd.nextGaussian())))
+    val df = vecs.toDF("id", "v")
+    val p = Similarity.randomProjection(col("v"), 16, seed = 7L)
+    val ratios = df.select(
+        (aggregate(p, lit(0.0), (a, x) => a + x * x) /
+         aggregate(col("v"), lit(0.0), (a, x) => a + x * x)).as("r"))
+      .collect().map(_.getDouble(0))
+    val meanR = ratios.sum / ratios.length
+    // E[||Pv||^2] = ||v||^2 for the 1/sqrt(k)-scaled sign projection
+    assert(math.abs(meanR - 1.0) < 0.15, s"mean norm ratio $meanR")
+    // linearity: P(a + b) == P(a) + P(b) (same hash signs)
+    val two = Seq((Seq(1.0, 2.0, 3.0), Seq(0.5, -1.0, 4.0))).toDF("a", "b")
+    val lin = two.select(
+      Similarity.randomProjection(zip_with(col("a"), col("b"), _ + _), 4, 7L).as("pab"),
+      zip_with(Similarity.randomProjection(col("a"), 4, 7L),
+        Similarity.randomProjection(col("b"), 4, 7L), _ + _).as("papb"))
+      .collect()(0)
+    lin.getSeq[Double](0).zip(lin.getSeq[Double](1))
+      .foreach { case (x, y) => assert(approx(x, y, 1e-9)) }
+    // different seed -> different projection
+    val d = df.limit(1).select(
+      Similarity.randomProjection(col("v"), 16, 7L).as("p7"),
+      Similarity.randomProjection(col("v"), 16, 8L).as("p8")).collect()(0)
+    assert(d.getSeq[Double](0) != d.getSeq[Double](1))
+  }
+
   test("decontaminateSemantic: planted paraphrase flagged with its bench id, clean rows pass") {
     val corpus = Seq(
       (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0)),
