@@ -553,6 +553,98 @@ object Stats {
         log(col("n_xy") * col("n") / (col("n_x") * col("n_y")))).as("mi_nats"))
   }
 
+  /** Poisson(1) cumulative probabilities c_0..c_8 (shared by the Column
+    * ladder and the SQL twin — identical Double literals on both
+    * engines). */
+  private[graft] val PoissonCum: Seq[Double] = {
+    val probs = (0 to 8).scanLeft(math.exp(-1.0)) {
+      case (p, k) => p / (k + 1)
+    }.take(9)
+    probs.scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Inverse-CDF Poisson(1) draw from a uniform: the replicate weight of
+    * the Poisson bootstrap. Ladder-truncated at 9 (P ≈ 1e-7, identical
+    * rule in the SQL twin). */
+  private def poissonWeight(u: Column): Column =
+    PoissonCum.zipWithIndex.reverse.foldLeft(lit(9): Column) {
+      case (acc, (c, k)) => when(u < lit(c), lit(k)).otherwise(acc)
+    }
+
+  /** SQL twin of [[poissonWeight]] over a uniform SQL expression. */
+  private def poissonWeightSql(u: String): String =
+    PoissonCum.zipWithIndex.reverse.foldLeft("9") {
+      case (acc, (c, k)) => s"(CASE WHEN $u < $c THEN $k ELSE $acc END)"
+    }
+
+  /** Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    * for massive data streams" — public method): a `level` confidence
+    * interval for the mean of `value` without resampling rows. Each of
+    * the `b` replicates weights every row by an independent Poisson(1)
+    * draw — here a DETERMINISTIC inverse-CDF draw from the
+    * engine-portable hash-uniform on (`seed`, `key`, replicate), so the
+    * interval is reproducible across partitionings, retries, and engines
+    * (exact DuckDB twin `g_bootstrap_ci`).
+    *
+    * Shape: ONE map-side-combined aggregation computing all 2·b
+    * replicate sums (the q_profile wide-agg pattern — b ≤ a few hundred
+    * keeps codegen happy), a 1-row collect, and a b-value driver
+    * percentile (quantile_cont interpolation — the model is b numbers,
+    * the data never moves). This is THE way to put error bars on
+    * 100 TB aggregates: the classic bootstrap's k full resamples are
+    * unrunnable; the Poisson weights ride the existing scan. Returns
+    * one row (mean, ci_lo, ci_hi, n, b). */
+  def bootstrapMeanCI(df: DataFrame, value: Column, key: Column,
+      b: Int = 100, seed: Long = 7L, level: Double = 0.95): DataFrame = {
+    require(b >= 10, "need b >= 10 replicates")
+    require(level > 0.0 && level < 1.0, "level in (0, 1)")
+    val base = df.select(value.cast("double").as("__x"), key.as("__k"))
+    def w(r: Int): Column =
+      poissonWeight(Robustness.seededUniform(seed, col("__k"), lit(r)))
+    val aggs = (0 until b).flatMap(r => Seq(
+      sum(w(r) * col("__x")).as(s"s$r"),
+      sum(w(r).cast("long")).as(s"n$r"))) ++
+      Seq(avg(col("__x")).as("m"), count(lit(1)).as("n"))
+    val row = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // replicate means rounded to 9 dp: float-summation-order noise is
+    // below that, so the interval is bit-stable across partitionings and
+    // engines (the LinearModel round9 pattern; the SQL twin rounds too)
+    val means = (0 until b).map(r => math.rint(
+      row.getAs[Double](s"s$r") / row.getAs[Long](s"n$r") * 1e9) / 1e9).sorted
+    def q(p: Double): Double = { // quantile_cont interpolation over b values
+      val h = p * (b - 1)
+      val lo = math.floor(h).toInt
+      val hi = math.min(lo + 1, b - 1)
+      means(lo) + (h - lo) * (means(hi) - means(lo))
+    }
+    val a = (1.0 - level) / 2.0
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((row.getAs[Double]("m"), q(a), q(1.0 - a), row.getAs[Long]("n"),
+      b)).toDF("mean", "ci_lo", "ci_hi", "n", "b")
+  }
+
+  /** SQL twin of [[bootstrapMeanCI]] for the oracle: `table` must expose
+    * (`valueSql`, `keySql`); replicates via a range cross join. */
+  def bootstrapMeanCISql(tableSql: String, valueSql: String, keySql: String,
+      b: Int, seed: Long, level: Double): String = {
+    val u = Robustness.seededUniformSql(seed.toString, Seq(keySql, "t.r"))
+    val a = (1.0 - level) / 2.0
+    s"""WITH reps AS (
+       |  SELECT t.r,
+       |    round(sum((${poissonWeightSql(u)}) * $valueSql) /
+       |      sum(${poissonWeightSql(u)}), 9) AS m
+       |  FROM ($tableSql) src CROSS JOIN range($b) t(r)
+       |  GROUP BY t.r),
+       |base AS (SELECT avg($valueSql) AS mean, count(*) AS n
+       |         FROM ($tableSql) src)
+       |SELECT round(base.mean, 6) AS mean,
+       |  round((SELECT quantile_cont(m, $a) FROM reps), 6) AS ci_lo,
+       |  round((SELECT quantile_cont(m, ${1.0 - a}) FROM reps), 6) AS ci_hi,
+       |  CAST(base.n AS BIGINT) AS n, $b AS b
+       |FROM base""".stripMargin
+  }
+
   /** Population Stability Index between a reference slice and a current
     * slice of `value` — the standard production drift monitor for model
     * inputs/scores: decile-ish bins are fitted on the REFERENCE slice

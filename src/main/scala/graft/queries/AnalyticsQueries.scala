@@ -32,6 +32,16 @@ object AnalyticsQueries {
           ref = "view", cur = "error", k = 10, alpha = 0.5)
         .select(round(col("psi"), 6).as("psi"), col("n_ref"), col("n_cur"))),
 
+    "g_bootstrap_ci" -> ((s, dir) =>
+      // Poisson-bootstrap 95% CI for mean(value): 50 hash-deterministic
+      // replicates in ONE wide aggregation pass, driver percentile over
+      // the 50 replicate means.
+      Stats.bootstrapMeanCI(table(s, dir, "events"), col("value"),
+          col("event_id"), b = 50, seed = 7L, level = 0.95)
+        .select(round(col("mean"), 6).as("mean"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"), col("n"), col("b"))),
+
     "q_percentiles" -> ((s, dir) =>
       // Exact linear-interpolation percentiles (sort-based `percentile`,
       // not the t-digest approx) per group — the approx_percentile form is
@@ -434,6 +444,10 @@ object AnalyticsQueries {
       s"""SELECT event_id, $z AS zkey FROM events
          |ORDER BY zkey, event_id LIMIT 100""".stripMargin
     },
+
+    "g_bootstrap_ci" -> Stats.bootstrapMeanCISql(
+      "SELECT value, event_id FROM events", "value", "event_id",
+      b = 50, seed = 7L, level = 0.95),
 
     "g_psi" -> {
       val qs = (1 to 9).map(i =>

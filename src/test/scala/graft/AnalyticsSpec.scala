@@ -8,6 +8,23 @@ import graft.ops.{Sessionize, Stats, TextOps}
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bootstrapMeanCI: brackets the mean, shrinks with n, partitioning-invariant") {
+    def mk(n: Int) = (1 to n).map(i => (i.toLong, (i % 100) * 0.1)).toDF("id", "x")
+    val small = Stats.bootstrapMeanCI(mk(500), col("x"), col("id"), b = 60)
+      .collect()(0)
+    val (m, lo, hi) = (small.getDouble(0), small.getDouble(1), small.getDouble(2))
+    assert(lo < m && m < hi, s"CI [$lo, $hi] must bracket mean $m")
+    assert(approx(m, 4.95, 0.1))
+    val big = Stats.bootstrapMeanCI(mk(8000), col("x"), col("id"), b = 60)
+      .collect()(0)
+    assert(big.getDouble(2) - big.getDouble(1) < (hi - lo),
+      "16x data should narrow the interval")
+    val a = Stats.bootstrapMeanCI(mk(500).repartition(7), col("x"), col("id"),
+      b = 60).collect()(0)
+    assert(a.getDouble(1) == lo && a.getDouble(2) == hi,
+      "hash-keyed weights: identical CI on any partitioning")
+  }
+
   test("psi: identical slices -> exactly 0; shifted slice -> actionable; degenerate bins finite") {
     val same = ((1 to 500).map(i => (i * 0.01, "a")) ++
       (1 to 500).map(i => (i * 0.01, "b"))).toDF("v", "g")
