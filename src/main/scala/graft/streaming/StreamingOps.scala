@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -407,5 +407,46 @@ object StreamingOps {
       .join(broadcast(benchGrams), Seq("h"), "left_semi")
       .groupBy(col(tsCol), col(idCol))
       .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Streaming PSI drift monitor — [[graft.ops.Stats.psi]]'s production
+    * deployment shape: fit the bin model ONCE on a batch reference
+    * (quantile bounds + Laplace-smoothed reference proportions — a
+    * k-bin model, collected to literals), then emit one PSI per
+    * event-time window of the stream. The whole stream side is a single
+    * watermarked window aggregation with k conditional counters and a
+    * literal fold for the PSI formula — no join, no second stateful
+    * stage, state bounded by the watermark horizon. Batch parity:
+    * a window's PSI equals `Stats.psi(reference ∪ window-slice)` with
+    * the same k/alpha (spec-pinned). Returns
+    * (window, n, psi) per closed window. */
+  def psiStream(stream: DataFrame, tsCol: String, value: Column,
+      reference: DataFrame, refValue: Column, k: Int = 10,
+      alpha: Double = 0.5, windowDur: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.ops.Stats
+    require(k >= 2 && alpha > 0.0, "need k >= 2 and alpha > 0")
+    val bounds = Stats.fitQuantileBins(reference, refValue, k)
+    val refCounts = reference
+      .select(Stats.applyQuantileBins(refValue, bounds).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // <= k rows
+    val nRef = refCounts.values.sum.toDouble
+    def p(b: Int): Double =
+      (refCounts.getOrElse(b, 0L) + alpha) / (nRef + alpha * k)
+    val bin = Stats.applyQuantileBins(value, bounds)
+    val cnts = (0 until k).map(b =>
+      sum(when(bin === b, 1L).otherwise(0L)).as(s"__c$b"))
+    val total = (0 until k).map(b => col(s"__c$b")).reduce(_ + _)
+    def psiExpr: Column = (0 until k).map { b =>
+      val q = (col(s"__c$b") + lit(alpha)) / (col("__n") + lit(alpha * k))
+      (lit(p(b)) - q) * log(lit(p(b)) / q)
+    }.reduce(_ + _)
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(cnts.head, cnts.tail: _*)
+      .withColumn("__n", total)
+      .select(col("window"), col("__n").as("n"), psiExpr.as("psi"))
   }
 }

@@ -12,6 +12,41 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
 
+  test("psiStream: per-window drift vs a batch-fitted reference == batch psi; shift alarms") {
+    import graft.ops.Stats
+    implicit val sqlCtx = spark.sqlContext
+    def tmin(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val ref = (1 to 200).map(i => (i % 100) * 0.1).toDF("v")
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = StreamingOps.psiStream(input.toDF.toDF("ts", "v"), "ts",
+      col("v"), ref, col("v"), k = 5, alpha = 0.5,
+      windowDur = "10 minutes", watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("psi_stream")
+      .outputMode("append").start()
+    try {
+      val w1 = (1 to 100).map(i => (tmin(1), (i % 100) * 0.1))
+      val w2 = (1 to 100).map(i => (tmin(11), (i % 100) * 0.1 + 50.0))
+      input.addData(w1: _*); input.addData(w2: _*)
+      input.addData((tmin(40), 0.0)) // advance the watermark: close both
+      q.processAllAvailable()
+      val got = spark.table("psi_stream")
+        .select(col("window.start").cast("long").as("s"), col("n"), col("psi"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val (n1, psi1) = got(1699999800L) // 10-min windows align to epoch
+      val (n2, psi2) = got(1700000400L)
+      assert(n1 == 100 && n2 == 100)
+      // batch parity: same bins, same alpha, ref as 'a', the window slice as 'b'
+      def batchPsi(slice: Seq[Double]): Double = Stats.psi(
+        ref.select(col("v"), lit("a").as("g")).unionByName(
+          slice.map(v => (v, "b")).toDF("v", "g")),
+        col("v"), col("g"), "a", "b", k = 5, alpha = 0.5)
+        .collect()(0).getDouble(0)
+      assert(approx(psi1, batchPsi(w1.map(_._2)), 1e-9), s"$psi1")
+      assert(approx(psi2, batchPsi(w2.map(_._2)), 1e-9), s"$psi2")
+      assert(psi1 < 0.1 && psi2 > 0.25, s"stable $psi1, shifted $psi2")
+    } finally q.stop()
+  }
+
   test("slidingFeatureWindows aggregates per entity over event-time windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Double)]
