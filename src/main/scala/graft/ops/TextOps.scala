@@ -438,6 +438,57 @@ object TextOps {
           .as("jaccard"))
   }
 
+  /** One-call corpus data card — the summary table a curation pipeline
+    * publishes with every snapshot: size, token statistics, vocabulary,
+    * exact-duplicate rate, and the `group` (language/source/domain)
+    * distribution entropy. Returns a skinny (metric, value) frame so
+    * downstream dashboards/diffs are schema-stable as metrics grow.
+    *
+    * Shape: THREE corpus passes, each map-side combined — (1) one wide
+    * aggregation over per-doc projections (token counts, md5, char
+    * lengths: doc-count, token sum/avg/median, dup rate, empty rate),
+    * (2) one distinct-count over exploded lower-cased tokens (vocab),
+    * (3) one count per `group` (entropy over the ≤|groups|-row table).
+    * Exact percentile is the sf-scale choice; swap `percentile` for
+    * `approx_percentile` at extreme scale (same contract as
+    * [[Stats.outlierStats]]'s documented path). */
+  def corpusReport(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, group: Column): org.apache.spark.sql.DataFrame = {
+    val perDoc = df.select(
+      tokenCount(text).cast("long").as("__nt"),
+      md5(text).as("__h"),
+      coalesce(length(text), lit(0)).cast("long").as("__nc"))
+    val base = perDoc.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum("__nt").cast("double").as("n_tokens"),
+      avg("__nt").as("avg_tokens"),
+      percentile(col("__nt"), lit(0.5)).as("p50_tokens"),
+      (lit(1.0) - count_distinct(col("__h")).cast("double") / count(lit(1)))
+        .as("exact_dup_rate"),
+      avg((col("__nt") === 0).cast("double")).as("empty_rate"),
+      avg("__nc").as("avg_chars"))
+    val vocab = df.select(explode(filter(
+        split(lower(trim(text)), "\\s+"), t => length(t) > 0)).as("t"))
+      .agg(count_distinct(col("t")).cast("double").as("vocab_size"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val entropy = df.groupBy(group.as("g")).agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n") / sum("n").over(wAll))
+      .agg(sum(-col("p") * log(col("p"))).as("group_entropy"))
+    // unpivot via map-explode: ONE evaluation of the aggregation subtree
+    // per source (a per-metric select-union would re-run the corpus scan
+    // once per metric — Spark does not share common subtrees)
+    def skinny(src: org.apache.spark.sql.DataFrame,
+        metrics: Seq[String]): org.apache.spark.sql.DataFrame =
+      src.select(explode(map(metrics.flatMap(m =>
+          Seq(lit(m), col(m).cast("double"))): _*))
+        .as(Seq("metric", "value")))
+    skinny(base, Seq("n_docs", "n_tokens", "avg_tokens", "p50_tokens",
+        "exact_dup_rate", "empty_rate", "avg_chars"))
+      .unionByName(skinny(vocab, Seq("vocab_size")))
+      .unionByName(skinny(entropy, Seq("group_entropy")))
+  }
+
   /** RAG-style document chunking: whitespace tokens cut into windows of
     * `chunkSize` tokens every `stride` tokens (overlapping when
     * `stride < chunkSize`); the tail chunk is truncated, empty documents

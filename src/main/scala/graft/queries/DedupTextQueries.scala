@@ -541,6 +541,14 @@ object DedupTextQueries {
         .orderBy("group_a", "group_b")
     }),
 
+    "corpus_report" -> ((s, dir) =>
+      // One-call corpus data card: size/token stats, vocab, exact-dup
+      // rate, language-mix entropy as a skinny (metric, value) frame.
+      TextOps.corpusReport(table(s, dir, "documents"), col("doc_id"),
+          col("text"), col("lang"))
+        .select(col("metric"), round(col("value"), 4).as("value"))
+        .orderBy("metric")),
+
     "quality_classifier" -> ((s, dir) => {
       // FastText-style quality classifier: 2 full-batch GD epochs of
       // logistic regression on hashed bag-of-words (512 IntHash buckets,
@@ -642,6 +650,42 @@ object DedupTextQueries {
          |  round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
          |FROM it JOIN sz sa ON sa.g = group_a JOIN sz sb ON sb.g = group_b
          |ORDER BY 1, 2""".stripMargin,
+
+    "corpus_report" ->
+      s"""WITH t AS (
+         |  SELECT text, lang,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |      AS BIGINT) AS nt,
+         |    md5(text) AS h, coalesce(length(text), 0) AS nc
+         |  FROM documents),
+         |base AS (
+         |  SELECT count(*) * 1.0 AS n_docs, sum(nt) * 1.0 AS n_tokens,
+         |    avg(nt) AS avg_tokens, quantile_cont(nt, 0.5) AS p50_tokens,
+         |    1.0 - count(DISTINCT h) * 1.0 / count(*) AS exact_dup_rate,
+         |    avg(CASE WHEN nt = 0 THEN 1.0 ELSE 0.0 END) AS empty_rate,
+         |    avg(nc) AS avg_chars
+         |  FROM t),
+         |vocab AS (
+         |  SELECT count(DISTINCT tok) * 1.0 AS vocab_size FROM (
+         |    SELECT unnest(list_filter(
+         |      regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |      x -> len(x) > 0)) AS tok FROM t)),
+         |ent AS (
+         |  SELECT sum(-(n * 1.0 / tot) * ln(n * 1.0 / tot)) AS group_entropy
+         |  FROM (SELECT n, sum(n) OVER () AS tot
+         |        FROM (SELECT lang, count(*) AS n FROM t GROUP BY 1)))
+         |SELECT metric, round(value, 4) AS value FROM (
+         |  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+         |  UNION ALL SELECT 'n_tokens', n_tokens FROM base
+         |  UNION ALL SELECT 'avg_tokens', avg_tokens FROM base
+         |  UNION ALL SELECT 'p50_tokens', p50_tokens FROM base
+         |  UNION ALL SELECT 'exact_dup_rate', exact_dup_rate FROM base
+         |  UNION ALL SELECT 'empty_rate', empty_rate FROM base
+         |  UNION ALL SELECT 'avg_chars', avg_chars FROM base
+         |  UNION ALL SELECT 'vocab_size', vocab_size FROM vocab
+         |  UNION ALL SELECT 'group_entropy', group_entropy FROM ent)
+         |ORDER BY metric""".stripMargin,
 
     "quality_classifier" -> {
       val h = graft.ops.IntHash.stringHashSql("tk")

@@ -51,6 +51,21 @@ class DedupTextSpec extends SparkSpec {
     assert(out(4L).getAs[String]("text_clean") == "last one")
   }
 
+  test("corpusReport: hand-checked metrics on a tiny corpus") {
+    val df = Seq(
+      (1L, "a b c", "en"), (2L, "a b c", "en"),   // exact dup pair
+      (3L, "d E", "de"), (4L, "", "de")           // empty doc
+    ).toDF("id", "t", "g")
+    val m = TextOps.corpusReport(df, col("id"), col("t"), col("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("n_docs") == 4.0 && m("n_tokens") == 8.0)
+    assert(m("avg_tokens") == 2.0 && m("empty_rate") == 0.25)
+    assert(approx(m("exact_dup_rate"), 0.25)) // 3 distinct of 4
+    assert(m("vocab_size") == 5.0)            // a b c d e (lower-cased)
+    // two equal groups: entropy = ln 2
+    assert(approx(m("group_entropy"), math.log(2.0), 1e-9))
+  }
+
   test("selectByTokenBudget: greedy fill per group, inclusive boundary, ties by id") {
     val df = Seq(
       (1L, "g1", 5.0, "a b c"),    // 3 tokens
