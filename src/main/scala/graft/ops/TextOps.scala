@@ -240,6 +240,44 @@ object TextOps {
       .withColumn("ppl", exp(-col("avg_logp")))
   }
 
+  /** Bigram-LM fluency — [[lmScore]]'s context-aware upgrade: per-doc
+    * mean log-probability and perplexity under a self-trained add-1
+    * bigram model, p(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V), with V the
+    * unigram vocabulary size. Word-salad that sails through a unigram
+    * model (every word common, orders scrambled) scores poorly here —
+    * the standard cheap fluency filter before a real LM.
+    *
+    * Shape: the corpus collapses to the distinct-bigram count table
+    * (map-side combined; prefix counts re-aggregate from that same
+    * table, never the corpus), V is one distinct-count scalar, and
+    * scoring is one bigram-keyed join back (AQE picks broadcast when
+    * the model fits). Native non-distinct [[org.apache.spark.sql.graft.
+    * WordShingles]] does the bigram explode — one tokenization per doc.
+    * Docs with < 2 tokens have no bigrams and are omitted (no evidence,
+    * same contract as [[dsirWeights]]). Exact DuckDB twin
+    * `text_bigram_lm`. */
+  def bigramLmScore(df: org.apache.spark.sql.DataFrame, id: String,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val bi = df.select(col(id),
+      explode(org.apache.spark.sql.graft.MinHashShim.shinglesAllCol(text, 2))
+        .as("bg"))
+    val counts = bi.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val pref = counts.groupBy("w1").agg(sum("cnt").as("pcnt"))
+    val vocabSize = df
+      .select(explode(filter(split(trim(text), "\\s+"),
+        t => length(t) > 0)).as("t"))
+      .agg(count_distinct(col("t"))).head().getLong(0)
+    val logp = counts.join(pref, "w1")
+      .select(col("bg"),
+        log((col("cnt") + 1.0) / (col("pcnt") + lit(vocabSize.toDouble)))
+          .as("logp"))
+    bi.join(logp, "bg")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), avg("logp").as("avg_logp"))
+      .withColumn("ppl", exp(-col("avg_logp")))
+  }
+
   /** Canonical text normalization for dedup/matching keys: lower-case,
     * strip ASCII punctuation, collapse whitespace runs, trim. Pure
     * codegen'd projections (RE2-portable regexes — the DuckDB twin

@@ -541,6 +541,16 @@ object DedupTextQueries {
         .orderBy("group_a", "group_b")
     }),
 
+    "text_bigram_lm" -> ((s, dir) =>
+      // Context-aware fluency: add-1 bigram LM perplexity per doc.
+      TextOps.bigramLmScore(table(s, dir, "documents"), "doc_id",
+          col("text"))
+        .where(col("doc_id") < 100)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logp"), 6).as("avg_logp"),
+          round(col("ppl"), 4).as("ppl"))
+        .orderBy("doc_id")),
+
     "corpus_report" -> ((s, dir) =>
       // One-call corpus data card: size/token stats, vocab, exact-dup
       // rate, language-mix entropy as a skinny (metric, value) frame.
@@ -650,6 +660,25 @@ object DedupTextQueries {
          |  round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
          |FROM it JOIN sz sa ON sa.g = group_a JOIN sz sb ON sb.g = group_b
          |ORDER BY 1, 2""".stripMargin,
+
+    "text_bigram_lm" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
+         |    '\\s+'), x -> x <> '') AS toks FROM documents),
+         |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |         i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM tok),
+         |c AS (SELECT bg, count(*) AS cnt FROM bi GROUP BY 1),
+         |cw AS (SELECT bg, cnt, split_part(bg, ' ', 1) AS w1 FROM c),
+         |p AS (SELECT w1, sum(cnt) AS pcnt FROM cw GROUP BY 1),
+         |v AS (SELECT count(DISTINCT u) AS vs FROM
+         |        (SELECT unnest(toks) AS u FROM tok)),
+         |lp AS (SELECT bg, ln((cnt + 1.0) / (pcnt + vs)) AS logp
+         |       FROM cw JOIN p USING (w1) CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(avg(logp), 6) AS avg_logp,
+         |  round(exp(-avg(logp)), 4) AS ppl
+         |FROM bi JOIN lp USING (bg)
+         |WHERE doc_id < 100 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_report" ->
       s"""WITH t AS (

@@ -51,6 +51,27 @@ class DedupTextSpec extends SparkSpec {
     assert(out(4L).getAs[String]("text_clean") == "last one")
   }
 
+  test("bigramLmScore: fluent repeats outrank scrambles; short docs omitted; hand-checked probability") {
+    val df = Seq(
+      (1L, "a b a b a b"),  // fluent under the corpus model
+      (2L, "b a b a a"),    // contains the rare 'a a' transition
+      (3L, "a")             // no bigrams
+    ).toDF("id", "t")
+    val out = TextOps.bigramLmScore(df, "id", col("t")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(3L))
+    assert(out(1L)._1 == 5 && out(2L)._1 == 4)
+    assert(out(1L)._2 > out(2L)._2, s"$out")
+    // hand check one probability: c(a b)=3+... corpus bigrams:
+    // doc1: ab ba ab ba ab; doc2: ba ab ba aa -> c(ab)=4? no: doc2 'b a b a a'
+    // gives ba, ab, ba, aa -> c(ab)=4, c(ba)=4, c(aa)=1; prefix a: ab+aa=5,
+    // prefix b: 4; V=2. p(b|a)=(4+1)/(5+2)=5/7.
+    val lpAb = math.log(5.0 / 7.0)
+    val lpBa = math.log((4.0 + 1.0) / (4.0 + 2.0))
+    val exp1 = (lpAb * 3 + lpBa * 2) / 5
+    assert(approx(out(1L)._2, exp1, 1e-9))
+  }
+
   test("corpusReport: hand-checked metrics on a tiny corpus") {
     val df = Seq(
       (1L, "a b c", "en"), (2L, "a b c", "en"),   // exact dup pair
