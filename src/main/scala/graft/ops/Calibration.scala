@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-calibration and label-quality diagnostics for the training-data
+  * pipeline (extensions beyond the reference — SURVEY §2.12): equal-width
+  * reliability tables, ECE/MCE/Brier (Naeini et al. 2015; Guo et al. 2017),
+  * Cohen's kappa inter-rater agreement, and confident-learning label-noise
+  * detection (Northcutt et al. 2021).
+  *
+  * Scale shape: every operator here collapses the corpus in ONE map-side-
+  * combined aggregation (to `bins` or `k`/`k²` keys); everything downstream
+  * runs on that bounded frame. `labelNoise` broadcasts its k-row threshold
+  * model back as a literal array — no join, so it applies unchanged to a
+  * streaming projection.
+  */
+object Calibration {
+
+  /** Equal-width reliability table over score ∈ [0, 1]: per bin, the row
+    * count, mean confidence (score), empirical accuracy (positive rate) and
+    * the summed squared error (for Brier). Scores ≥ 1 clamp into the last
+    * bin (sklearn `calibration_curve` convention). One `bins`-key groupBy
+    * with map-side combine — the only pass over the data. */
+  def reliabilityTable(df: DataFrame, yTrue: Column, score: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val bin = least(floor(score * bins), lit(bins - 1)).cast("int")
+    val y = yTrue.cast("double")
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        avg(score).as("confidence"),
+        avg(y).as("accuracy"),
+        sum((score - y) * (score - y)).as("sq_err"))
+  }
+
+  /** Expected / maximum calibration error + Brier score, from the
+    * reliability table (so: one corpus pass total).
+    * ECE = Σ_b n_b/N · |acc_b − conf_b|; MCE = max_b |acc_b − conf_b|;
+    * Brier = Σ_b sq_err_b / N. Returns one row (ece, mce, brier). */
+  def calibrationErrors(df: DataFrame, yTrue: Column, score: Column,
+      bins: Int = 10): DataFrame = {
+    val gap = abs(col("accuracy") - col("confidence"))
+    reliabilityTable(df, yTrue, score, bins).agg(
+      (sum(col("n") * gap) / sum(col("n"))).as("ece"),
+      max(gap).as("mce"),
+      (sum(col("sq_err")) / sum(col("n"))).as("brier"))
+  }
+
+  /** Cohen's kappa: chance-corrected agreement between two integer label
+    * columns. One k²-key groupBy over the data; marginals and the final
+    * scalar are derived from that bounded cell table (k classes — the
+    * joins below touch only k-row frames).
+    * Returns one row (po, pe, kappa). */
+  def cohensKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.groupBy(a.as("t"), b.as("p"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = cells.agg(
+      sum(when(col("t") === col("p"), col("cnt")).otherwise(0L)).as("diag"),
+      sum(col("cnt")).as("n"))
+    val rowM = cells.groupBy("t").agg(sum("cnt").as("rn"))
+    val colM = cells.groupBy("p").agg(sum("cnt").as("cn"))
+    val pe = rowM.join(colM, col("t") === col("p")) // class absent from one
+      .agg(sum(col("rn") * col("cn")).as("rc"))     // marginal contributes 0
+    totals.crossJoin(pe).select(
+      (col("diag") / col("n")).as("po"),
+      (col("rc") / (col("n") * col("n"))).as("pe"),
+      ((col("diag") / col("n") - col("rc") / (col("n") * col("n"))) /
+        (lit(1.0) - col("rc") / (col("n") * col("n")))).as("kappa"))
+  }
+
+  /** Confident-learning label-noise detection (Northcutt et al. 2021,
+    * "Confident Learning"): flag rows whose out-of-class predicted
+    * probability clears that class's mean self-confidence threshold.
+    *
+    * Pass 1 (narrow, k-row result): t_j = mean of p_j over rows labeled j,
+    * rounded to 9 dp for engine-portable comparisons, collected and
+    * re-broadcast as a LITERAL array — no join, so the scoring pass is a
+    * stateless projection (streaming-safe, like `dsirScorer`).
+    * Pass 2: per row, candidate classes are {j ≠ y : p_j ≥ t_j}; the
+    * suggestion is the argmax-probability candidate (ties broken by larger
+    * j via struct ordering — the fixture's score matrix is tie-free).
+    * Rows with no candidate are dropped (they are "clean").
+    *
+    * A class never seen as a given label gets threshold +∞ (never
+    * suggested) — matching the SQL twin's inner join on fitted thresholds.
+    *
+    * Returns (id, y_given, y_suggested, margin) where margin =
+    * p_suggested − p_given, rounded to 6 dp. */
+  def labelNoise(df: DataFrame, id: Column, y: Column, proba: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.select(id.as("id"), y.cast("int").as("y"), proba.as("p"))
+    val fitted = base.groupBy(col("y"))
+      .agg(avg(element_at(col("p"), col("y") + 1)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val thr = array((0 until k).map(j =>
+      lit(fitted.get(j).map(r9).getOrElse(Double.PositiveInfinity))): _*)
+    val cand = filter(
+      transform(col("p"), (pj, j) =>
+        struct(pj.as("pv"), j.as("j"),
+          (pj >= element_at(thr, j + 1)).as("ok"))),
+      x => x("ok") && x("j") =!= col("y"))
+    val best = array_max(transform(cand, x =>
+      struct(x("pv").as("pv"), x("j").as("j"))))
+    base.withColumn("best", best)
+      .where(col("best").isNotNull)
+      .select(col("id"), col("y").as("y_given"),
+        col("best.j").as("y_suggested"),
+        round(col("best.pv") - element_at(col("p"), col("y") + 1), 6)
+          .as("margin"))
+  }
+}

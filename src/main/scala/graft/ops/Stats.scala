@@ -722,4 +722,40 @@ object Stats {
         .as("n_distinct_est"),
       sum("n_rows").as("n_rows"))
   }
+
+  /** Quantile twin of [[buildHllSketches]]: one raw scan into per-group
+    * mergeable KLL doubles sketches (Karnin–Lang–Liberty 2016; Spark 4
+    * ships DataSketches HLL but not KLL — `graft_kll_agg` is the native
+    * TypedImperativeAggregate in functions/SketchExpressions.scala).
+    * Sketches are O(k log n) bytes; the shuffle carries sketches, not
+    * rows (map-side combine). Exact while a group holds ≤ k items;
+    * ±~1.7%/√(k/200) normalized-rank error above (KllSketchSpec pins
+    * both). Returns (dims…, kll binary, n_rows). */
+  def buildKllSketches(df: DataFrame, dims: Seq[String], value: Column,
+      k: Int = 200): DataFrame = {
+    require(dims.nonEmpty, "need at least one dim")
+    df.groupBy(dims.map(col): _*)
+      .agg(org.apache.spark.sql.graft.SketchShim.kllAgg(value.cast(DoubleType), k)
+          .as("kll"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Roll a KLL sketch table up to a coarser dim subset and read the
+    * requested quantiles: one aggregation over the SKETCH table (bounded
+    * by the fine-grain group count), never the raw data. Returns
+    * (dims…, quantiles array<double> — one entry per requested rank —
+    * and exact n_rows). */
+  def rollupKllSketches(sketches: DataFrame, dims: Seq[String],
+      ranks: Seq[Double], k: Int = 200): DataFrame = {
+    require(ranks.nonEmpty, "need at least one rank")
+    val shim = org.apache.spark.sql.graft.SketchShim
+    val gb = if (dims.isEmpty) sketches.groupBy()
+      else sketches.groupBy(dims.map(col): _*)
+    gb.agg(shim.kllMerge(col("kll"), k).as("kll"),
+        sum("n_rows").as("n_rows"))
+      .select(dims.map(col) ++ Seq(
+        array(ranks.map(r => shim.kllQuantile(col("kll"), lit(r))): _*)
+          .as("quantiles"),
+        col("n_rows")): _*)
+  }
 }

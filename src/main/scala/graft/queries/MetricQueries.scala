@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{BinaryOperational, Curves, MetricsOps, Sessionize}
+import graft.ops.{BinaryOperational, Calibration, Curves, MetricsOps, Sessionize}
 import graft.queries.Q._
 
 /** Classification-metric operators bound to the oracle tables (SURVEY
@@ -206,6 +206,41 @@ object MetricQueries {
       rows.toDF("alpha", "fpr", "sigma", "fph", "hop", "n_exact", "n_approx",
           "alpha_sigma", "hours_zero_fp", "windows_zero_fp")
         .orderBy("alpha", "fpr", "sigma", "fph", "hop")
+    }),
+
+    "g_reliability" -> ((s, dir) => {
+      // Equal-width 10-bin reliability table on the deterministic score —
+      // one map-side-combined groupBy (Calibration.reliabilityTable).
+      val ev = scoredEvents(s, dir)
+      Calibration.reliabilityTable(ev, col("y_true"), col("score"), bins = 10)
+        .select(col("bin"), col("n"),
+          round(col("confidence"), 6).as("confidence"),
+          round(col("accuracy"), 6).as("accuracy"),
+          round(col("sq_err"), 6).as("sq_err"))
+        .orderBy("bin")
+    }),
+
+    "g_calibration_errors" -> ((s, dir) => {
+      val ev = scoredEvents(s, dir)
+      Calibration.calibrationErrors(ev, col("y_true"), col("score"), bins = 10)
+        .select(round(col("ece"), 6).as("ece"), round(col("mce"), 6).as("mce"),
+          round(col("brier"), 6).as("brier"))
+    }),
+
+    "g_cohens_kappa" -> ((s, dir) => {
+      val (df, _) = multiclassFrame(s, dir)
+      Calibration.cohensKappa(df, col("y_true"), col("y_pred"))
+        .select(round(col("po"), 6).as("po"), round(col("pe"), 6).as("pe"),
+          round(col("kappa"), 6).as("kappa"))
+    }),
+
+    "g_label_noise" -> ((s, dir) => {
+      // Confident-learning sweep over the deterministic proba matrix:
+      // k-row threshold model broadcast as literals, then one projection.
+      val (df, k) = multiclassFrame(s, dir)
+      Calibration.labelNoise(df.withColumn("proba", probaMatrix(k)),
+          col("event_id"), col("y_true"), col("proba"), k)
+        .orderBy("id")
     }),
   )
 
@@ -547,6 +582,66 @@ object MetricQueries {
           |  round(ln(1.0e0 / alpha) / fph * 3600.0e0 / hop, 6) AS windows_zero_fp
           |FROM pre
           |ORDER BY alpha, fpr, sigma, fph, hop""".stripMargin,
+
+      "g_reliability" ->
+        s"""SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+           |  count(*) AS n,
+           |  round(avg(score), 6) AS confidence,
+           |  round(avg(y_true), 6) AS accuracy,
+           |  round(sum((score - y_true) * (score - y_true)), 6) AS sq_err
+           |FROM (${Q.scoredEventsSql}) se
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "g_calibration_errors" ->
+        s"""WITH rel AS (
+           |  SELECT least(floor(score * 10), 9) AS bin, count(*) AS n,
+           |    avg(score) AS conf, avg(y_true) AS acc,
+           |    sum((score - y_true) * (score - y_true)) AS sq
+           |  FROM (${Q.scoredEventsSql}) se GROUP BY 1)
+           |SELECT
+           |  round(sum(n * abs(acc - conf)) / sum(n), 6) AS ece,
+           |  round(max(abs(acc - conf)), 6) AS mce,
+           |  round(sum(sq) / sum(n), 6) AS brier
+           |FROM rel""".stripMargin,
+
+      "g_cohens_kappa" ->
+        s"""WITH mc AS ($multiclassSql),
+           |cells AS (SELECT y_true AS t, y_pred AS p, count(*) AS cnt
+           |          FROM mc GROUP BY 1, 2),
+           |tot AS (SELECT sum(CASE WHEN t = p THEN cnt ELSE 0 END) AS diag,
+           |               sum(cnt) AS n FROM cells),
+           |rm AS (SELECT t, sum(cnt) AS rn FROM cells GROUP BY 1),
+           |cm AS (SELECT p, sum(cnt) AS cn FROM cells GROUP BY 1),
+           |pe AS (SELECT sum(rn * cn) AS rc FROM rm JOIN cm ON rm.t = cm.p)
+           |SELECT round(diag * 1.0 / n, 6) AS po,
+           |  round(rc * 1.0 / (n * n), 6) AS pe,
+           |  round((diag * 1.0 / n - rc * 1.0 / (n * n))
+           |        / (1 - rc * 1.0 / (n * n)), 6) AS kappa
+           |FROM tot, pe""".stripMargin,
+
+      "g_label_noise" ->
+        s"""WITH mc AS ($multiclassSql),
+           |classes AS (SELECT CAST(row_number() OVER (ORDER BY class) - 1 AS BIGINT) AS j
+           |            FROM (SELECT DISTINCT event_type AS class FROM events) d),
+           |pairs AS (
+           |  SELECT event_id, y_true, CAST(classes.j AS INT) AS j,
+           |    (CAST(event_id AS BIGINT) * (2*classes.j + 3)) % 97 / 97.0 + 0.001 * classes.j
+           |      + CASE WHEN y_true = classes.j THEN 0.75 ELSE 0.0 END AS p
+           |  FROM mc, classes),
+           |thr AS (SELECT j, round(avg(p), 9) AS t FROM pairs
+           |        WHERE y_true = j GROUP BY 1),
+           |cand AS (
+           |  SELECT pr.event_id, pr.y_true, pr.j, pr.p,
+           |    row_number() OVER (PARTITION BY pr.event_id
+           |                       ORDER BY pr.p DESC, pr.j DESC) AS rk
+           |  FROM pairs pr JOIN thr ON pr.j = thr.j
+           |  WHERE pr.p >= thr.t AND pr.j <> pr.y_true),
+           |giv AS (SELECT event_id, p AS p_given FROM pairs WHERE j = y_true)
+           |SELECT c.event_id AS id, c.y_true AS y_given, c.j AS y_suggested,
+           |  round(c.p - g.p_given, 6) AS margin
+           |FROM cand c JOIN giv g ON c.event_id = g.event_id
+           |WHERE c.rk = 1
+           |ORDER BY 1""".stripMargin,
     )
   }
 }

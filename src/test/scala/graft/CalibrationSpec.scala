@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Calibration
+
+/** Hand-computed fixtures for the calibration / label-quality suite
+  * (reliability table, ECE/MCE/Brier, Cohen's kappa, confident-learning
+  * label noise). */
+class CalibrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val scored = Seq((1, 0.9), (0, 0.8), (1, 0.7), (1, 0.6), (0, 0.4), (0, 0.3))
+    .toDF("y", "s")
+
+  test("reliabilityTable bins, counts, confidence, accuracy by hand") {
+    val rows = Calibration.reliabilityTable(scored, col("y"), col("s"), bins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // each score lands alone in its own bin: floor(s*10)
+    assert(rows.toSeq == Seq(
+      (3, 1L, 0.3, 0.0), (4, 1L, 0.4, 0.0), (6, 1L, 0.6, 1.0),
+      (7, 1L, 0.7, 1.0), (8, 1L, 0.8, 0.0), (9, 1L, 0.9, 1.0)))
+  }
+
+  test("reliabilityTable clamps score = 1.0 into the last bin") {
+    val df = Seq((1, 1.0), (0, 0.0)).toDF("y", "s")
+    val bins = Calibration.reliabilityTable(df, col("y"), col("s"), bins = 4)
+      .select("bin").as[Int].collect().sorted
+    assert(bins.toSeq == Seq(0, 3))
+  }
+
+  test("ECE / MCE / Brier match hand computation at 2 bins") {
+    // bin0: (.4,0) (.3,0) -> conf .35 acc 0, gap .35 ; bin1: (.9,1)(.8,0)(.7,1)(.6,1)
+    // -> conf .75 acc .75, gap 0.  ECE = 2/6*.35 ; MCE = .35
+    // Brier = (0.01+0.64+0.09+0.16+0.16+0.09)/6 = 1.15/6
+    val r = Calibration.calibrationErrors(scored, col("y"), col("s"), bins = 2).head()
+    assert(approx(r.getDouble(0), 0.35 / 3, 1e-12), s"ece=${r.getDouble(0)}")
+    assert(approx(r.getDouble(1), 0.35, 1e-12))
+    assert(approx(r.getDouble(2), 1.15 / 6, 1e-12))
+  }
+
+  test("cohensKappa matches the textbook 2x2 example") {
+    // cells: (0,0)=20 (0,1)=5 (1,0)=10 (1,1)=15 -> po=.7, pe=.5, kappa=.4
+    val rows = Seq.fill(20)((0, 0)) ++ Seq.fill(5)((0, 1)) ++
+      Seq.fill(10)((1, 0)) ++ Seq.fill(15)((1, 1))
+    val df = rows.toDF("a", "b")
+    val r = Calibration.cohensKappa(df, col("a"), col("b")).head()
+    assert(approx(r.getDouble(0), 0.7, 1e-12))
+    assert(approx(r.getDouble(1), 0.5, 1e-12))
+    assert(approx(r.getDouble(2), 0.4, 1e-12))
+  }
+
+  test("cohensKappa is 1 on perfect agreement, 0 at chance") {
+    val perfect = Seq((0, 0), (1, 1), (2, 2), (0, 0)).toDF("a", "b")
+    assert(approx(Calibration.cohensKappa(perfect, col("a"), col("b"))
+      .head().getDouble(2), 1.0, 1e-12))
+    // independent uniform marginals: po == pe -> kappa 0
+    val chance = (for (i <- 0 until 2; j <- 0 until 2) yield (i, j)).toDF("a", "b")
+    assert(approx(Calibration.cohensKappa(chance, col("a"), col("b"))
+      .head().getDouble(2), 0.0, 1e-12))
+  }
+
+  test("labelNoise flags exactly the threshold-clearing off-class rows") {
+    // t0 = (.9+.5)/2 = .7 ; t1 = (.7+.1)/2 = .4 ; t2 = .8
+    val df = Seq(
+      (1L, 0, Seq(0.9, 0.05, 0.05)),
+      (2L, 0, Seq(0.5, 0.45, 0.05)),   // p1 .45 >= t1 -> suggest 1
+      (3L, 1, Seq(0.2, 0.7, 0.1)),
+      (4L, 1, Seq(0.85, 0.1, 0.05)),   // p0 .85 >= t0 -> suggest 0
+      (5L, 2, Seq(0.1, 0.1, 0.8))
+    ).toDF("id", "y", "p")
+    val out = Calibration.labelNoise(df, col("id"), col("y"), col("p"), k = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((2L, 0, 1, -0.05), (4L, 1, 0, 0.75)))
+  }
+
+  test("labelNoise never suggests a class unseen as a given label") {
+    // class 1 has no self-labeled rows -> threshold +inf -> no flags
+    val df = Seq(
+      (1L, 0, Seq(0.6, 0.4)),
+      (2L, 0, Seq(0.3, 0.7))
+    ).toDF("id", "y", "p")
+    assert(Calibration.labelNoise(df, col("id"), col("y"), col("p"), k = 2).count() == 0)
+  }
+
+  test("labelNoise picks the argmax candidate when several classes clear") {
+    // single class-0 row, thresholds t1 = .2, t2 = .3 from self-labeled rows
+    val df = Seq(
+      (1L, 1, Seq(0.5, 0.2, 0.3)),
+      (2L, 2, Seq(0.4, 0.3, 0.3)),
+      (3L, 0, Seq(0.2, 0.35, 0.45))    // both 1 and 2 clear; argmax = 2
+    ).toDF("id", "y", "p")
+    val out = Calibration.labelNoise(df, col("id"), col("y"), col("p"), k = 3)
+      .where(col("id") === 3L).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0, 2, 0.25)))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Stats
+
+/** KLL quantile-sketch tables (Stats.buildKllSketches/rollupKllSketches +
+  * the native graft_kll_* expressions): exact in the ≤k regime,
+  * error-bounded above it, mergeable, parquet-persistable. */
+class KllSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact regime: quantiles of 1..100 are the order statistics") {
+    val df = (1 to 100).map(i => ("a", i.toDouble)).toDF("g", "x")
+    val sk = Stats.buildKllSketches(df, Seq("g"), col("x"), k = 400)
+    val r = Stats.rollupKllSketches(sk, Seq("g"), Seq(0.0, 0.25, 0.5, 0.9, 1.0), k = 400)
+      .head()
+    assert(r.getString(0) == "a")
+    assert(r.getSeq[Double](1) == Seq(1.0, 25.0, 50.0, 90.0, 100.0))
+    assert(r.getLong(2) == 100L)
+  }
+
+  test("exact regime: rollup across groups equals quantiles of the union") {
+    // two groups of 100; merged sketch (200 < k=400) stays exact
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (101 to 200).map(i => ("b", i.toDouble))).toDF("g", "x")
+    val sk = Stats.buildKllSketches(df, Seq("g"), col("x"), k = 400)
+    val r = Stats.rollupKllSketches(sk, Seq.empty, Seq(0.25, 0.5, 0.75), k = 400).head()
+    assert(r.getSeq[Double](0) == Seq(50.0, 100.0, 150.0))
+    assert(r.getLong(1) == 200L)
+  }
+
+  test("approximate regime: 100k values, rank error within the k=200 bound") {
+    // x_i = i/n so value ~ normalized rank; KLL k=200 one-sided rank error
+    // is ~1.65% at 99% confidence — assert a loose 3%
+    val n = 100000
+    val df = spark.range(n).select(lit("a").as("g"),
+      (col("id") + 1).cast("double") / n as "x")
+    val sk = Stats.buildKllSketches(df, Seq("g"), col("x"), k = 200)
+    val qs = Stats.rollupKllSketches(sk, Seq("g"), Seq(0.1, 0.5, 0.9), k = 200)
+      .head().getSeq[Double](1)
+    Seq(0.1, 0.5, 0.9).zip(qs).foreach { case (want, got) =>
+      assert(math.abs(got - want) < 0.03, s"rank $want -> $got")
+    }
+  }
+
+  test("kllRank and kllN read the sketch; rank is inclusive") {
+    val shim = org.apache.spark.sql.graft.SketchShim
+    val df = (1 to 100).map(i => ("a", i.toDouble)).toDF("g", "x")
+    val sk = Stats.buildKllSketches(df, Seq("g"), col("x"), k = 400)
+    val r = sk.select(shim.kllRank(col("kll"), lit(50.0)).as("rk"),
+      shim.kllN(col("kll")).as("n")).head()
+    assert(approx(r.getDouble(0), 0.5, 1e-12))
+    assert(r.getLong(1) == 100L)
+  }
+
+  test("sketch table round-trips through parquet and still rolls up") {
+    val df = ((1 to 50).map(i => ("a", "x", i.toDouble)) ++
+      (51 to 100).map(i => ("a", "y", i.toDouble))).toDF("g", "h", "v")
+    val sk = Stats.buildKllSketches(df, Seq("g", "h"), col("v"), k = 400)
+    val path = java.nio.file.Files.createTempDirectory("kll").toString + "/sk"
+    sk.write.mode("overwrite").parquet(path)
+    val r = Stats.rollupKllSketches(spark.read.parquet(path), Seq("g"),
+      Seq(0.5, 1.0), k = 400).head()
+    assert(r.getString(0) == "a")
+    assert(r.getSeq[Double](1) == Seq(50.0, 100.0))
+    assert(r.getLong(2) == 100L)
+  }
+
+  test("empty-input sketch reads as NaN quantile, zero n") {
+    val shim = org.apache.spark.sql.graft.SketchShim
+    val df = Seq(("a", Option.empty[Double])).toDF("g", "x")
+    val sk = df.groupBy("g").agg(shim.kllAgg(col("x"), 200).as("kll"))
+    val r = sk.select(shim.kllQuantile(col("kll"), lit(0.5)).as("q"),
+      shim.kllN(col("kll")).as("n")).head()
+    assert(r.getDouble(0).isNaN)
+    assert(r.getLong(1) == 0L)
+  }
+}
