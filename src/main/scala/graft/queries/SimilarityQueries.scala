@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.Similarity
+import graft.ops.{Pca, Similarity}
 import graft.queries.Q._
 
 /** Similarity-search operators over `embeddings` (64-dim float vectors):
@@ -279,6 +279,28 @@ object SimilarityQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+
+    "embedding_pca_cov" -> ((s, dir) => {
+      // The oracle-checkable face of the PCA moment pass: sample
+      // covariance of the 64-dim embeddings, upper triangle. ONE corpus
+      // scan (payload posexplode → pos-keyed sum with map-side combine).
+      Pca.covarianceUpper(emb(s, dir), col("v"), d = 64)
+        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+        .orderBy("i", "j")
+    }),
+
+    "embedding_pca" -> ((s, dir) => {
+      // PCA projection onto the top 4 axes (rows-only driver check; the
+      // eigensolve itself is PcaSpec-verified — no eigen in DuckDB). The
+      // model is bit-stable: covariances are rounded to 9 dp before the
+      // deterministic Jacobi, so partitioning can't move the axes.
+      val e = emb(s, dir)
+      val m = Pca.pcaFit(e, col("v"), d = 64, nComponents = 4)
+      val p = Pca.pcaProject(col("v"), m)
+      e.select(col("vec_id"), round(p(0), 4).as("p0"), round(p(1), 4).as("p1"),
+          round(p(2), 4).as("p2"), round(p(3), 4).as("p3"))
+        .orderBy("vec_id")
+    }),
   )
 
   /** embeddings ∪ a deterministic near-copy of each (v′ = v + 0.15·reverse(v),
@@ -298,6 +320,23 @@ object SimilarityQueries {
        |FROM (SELECT vec_id, $vSql AS v FROM embeddings WHERE vec_id < 400)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "embedding_pca_cov" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+         |         CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+         |m AS (SELECT i, sum(x) AS s FROM ex GROUP BY 1),
+         |p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sp
+         |      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+         |      GROUP BY 1, 2)
+         |SELECT p.i, p.j,
+         |  round((sp - ma.s * mb.s / n.n) / (n.n - 1), 6) AS cov
+         |FROM p CROSS JOIN n
+         |JOIN m ma ON p.i = ma.i
+         |JOIN m mb ON p.j = mb.i
+         |ORDER BY 1, 2""".stripMargin,
+
     "embedding_srp" -> {
       val proj = graft.ops.Similarity.randomProjectionSql("v", 4, 7L)
       s"""SELECT vec_id, round(p[1], 4) AS o0, round(p[2], 4) AS o1,

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Pca
+
+/** Distributed PCA: Jacobi eigensolver laws, covariance parity with
+  * Spark's built-in covar_samp, fit axes on known geometry, projection
+  * isometry. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-random d-dim rows (hash-based, no RNG). */
+  private def fakeRows(n: Int, d: Int): Seq[(Long, Seq[Double])] =
+    (0 until n).map { r =>
+      (r.toLong, (0 until d).map { c =>
+        val h = (r * 2654435761L + c * 40503L + 7) % 1000003
+        (h % 2000 - 1000) / 500.0
+      })
+    }
+
+  test("jacobiEigen solves the textbook 2x2") {
+    val (eig, v) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val pairs = eig.zipWithIndex.sortBy(-_._1)
+    assert(approx(pairs(0)._1, 3.0, 1e-12) && approx(pairs(1)._1, 1.0, 1e-12))
+    val k = pairs(0)._2
+    // eigenvector for lambda=3 is +-[1,1]/sqrt(2)
+    assert(approx(math.abs(v(0)(k)), 1 / math.sqrt(2), 1e-12))
+    assert(approx(v(0)(k), v(1)(k), 1e-12))
+  }
+
+  test("covarianceUpper matches covar_samp / var_samp built-ins") {
+    val df = fakeRows(200, 3).toDF("id", "v")
+    val got = Pca.covarianceUpper(df, col("v"), 3).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val w = df.select((0 until 3).map(i => col("v")(i).as(s"x$i")): _*)
+    val exp = w.agg(
+      covar_samp(col("x0"), col("x0")), covar_samp(col("x0"), col("x1")),
+      covar_samp(col("x0"), col("x2")), covar_samp(col("x1"), col("x1")),
+      covar_samp(col("x1"), col("x2")), covar_samp(col("x2"), col("x2"))).head()
+    val want = Seq((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+    want.zipWithIndex.foreach { case (ij, k) =>
+      assert(approx(got(ij), exp.getDouble(k), 1e-9), s"$ij: ${got(ij)} vs ${exp.getDouble(k)}")
+    }
+  }
+
+  test("pcaFit recovers the dominant axis of a line + orthogonal noise") {
+    // points along [1,1,0]/sqrt2 with tiny orthogonal wiggle
+    val rows = (0 until 100).map { i =>
+      val tpos = (i - 50) / 5.0
+      val eps = ((i * 37) % 11 - 5) / 50.0
+      (i.toLong, Seq(tpos + eps, tpos - eps, eps / 2))
+    }
+    val m = Pca.pcaFit(rows.toDF("id", "v"), col("v"), d = 3, nComponents = 2)
+    val c0 = m.components(0)
+    val s = 1 / math.sqrt(2)
+    assert(approx(c0(0), s, 0.02) && approx(c0(1), s, 0.02) && math.abs(c0(2)) < 0.02,
+      s"c0=${c0.toSeq}")
+    assert(m.eigenvalues(0) > 10 * m.eigenvalues(1))
+    assert(m.explainedVarianceRatio(0) > 0.99)
+  }
+
+  test("components are orthonormal and satisfy C v = lambda v") {
+    val df = fakeRows(300, 6).toDF("id", "v")
+    val m = Pca.pcaFit(df, col("v"), d = 6, nComponents = 6)
+    // orthonormality
+    for (i <- 0 until 6; j <- i until 6) {
+      val dot = (0 until 6).map(k => m.components(i)(k) * m.components(j)(k)).sum
+      assert(approx(dot, if (i == j) 1.0 else 0.0, 1e-8), s"($i,$j) dot=$dot")
+    }
+    // eigen residual against the independently collected covariance
+    val cov = Array.ofDim[Double](6, 6)
+    Pca.covarianceUpper(df, col("v"), 6).collect().foreach { r =>
+      cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      cov(r.getInt(1))(r.getInt(0)) = r.getDouble(2)
+    }
+    for (k <- 0 until 6) {
+      val w = m.components(k)
+      val res = (0 until 6).map { i =>
+        val cvi = (0 until 6).map(j => cov(i)(j) * w(j)).sum
+        math.abs(cvi - m.eigenvalues(k) * w(i))
+      }.max
+      assert(res < 1e-6, s"component $k residual $res")
+    }
+    // eigenvalues descending
+    assert(m.eigenvalues.toSeq == m.eigenvalues.sortBy(-_).toSeq)
+  }
+
+  test("sample variance of the first projected coordinate equals lambda1") {
+    val df = fakeRows(250, 4).toDF("id", "v")
+    val m = Pca.pcaFit(df, col("v"), d = 4, nComponents = 1)
+    val v1 = df.select(Pca.pcaProject(col("v"), m)(0).as("y"))
+      .agg(var_samp(col("y"))).head().getDouble(0)
+    assert(approx(v1, m.eigenvalues(0), 1e-6), s"$v1 vs ${m.eigenvalues(0)}")
+  }
+
+  test("full-rank projection is an isometry (pairwise distances preserved)") {
+    val df = fakeRows(50, 5).toDF("id", "v")
+    val m = Pca.pcaFit(df, col("v"), d = 5, nComponents = 5)
+    val proj = df.select(col("id"), Pca.pcaProject(col("v"), m).as("p"), col("v"))
+      .collect().map(r => (r.getSeq[Double](1), r.getSeq[Double](2)))
+    def dist(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    for (i <- 0 until 10; j <- i + 1 until 10) {
+      val dOrig = dist(proj(i)._2, proj(j)._2)
+      val dProj = dist(proj(i)._1, proj(j)._1)
+      assert(approx(dProj, dOrig, 1e-7), s"($i,$j): $dProj vs $dOrig")
+    }
+  }
+}
