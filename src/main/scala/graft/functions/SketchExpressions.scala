@@ -202,6 +202,156 @@ case class KllN(child: Expression)
     copy(child = newChild)
 }
 
+/** Frequent-items (heavy hitters) sketches — Misra–Gries style
+  * (Anderson et al., DataSketches `ItemsSketch<String>`): the third leg
+  * of the mergeable-sketch triad (HLL distinct / KLL quantiles / FI top
+  * items). `graft_freq_agg(item, maxMapSize)` folds strings into a
+  * compact image; `graft_freq_merge` unions images; `graft_freq_items`
+  * reads one as array<struct<item, estimate, lower, upper>> under
+  * NO_FALSE_NEGATIVES (every item with true count > ε·N is present).
+  * Exact (lower = upper = estimate) while distinct items ≤ ~maxMapSize·¾.
+  */
+object FreqImpl {
+  import org.apache.datasketches.common.ArrayOfStringsSerDe
+  import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+
+  private val serde = new ArrayOfStringsSerDe
+
+  def empty(maxMapSize: Int): ItemsSketch[String] = new ItemsSketch[String](maxMapSize)
+
+  def fromBytes(b: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(b), serde)
+
+  def toBytes(s: ItemsSketch[String]): Array[Byte] = s.toByteArray(serde)
+
+  /** Rows sorted (estimate desc, item asc) for deterministic output. */
+  def items(b: Array[Byte]): Array[(String, Long, Long, Long)] =
+    fromBytes(b).getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+      .sortBy { case (item, est, _, _) => (-est, item) }
+
+  def read(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    new GenericArrayData(items(b).map { case (item, est, lb, ub) =>
+      InternalRow(UTF8String.fromString(item), est, lb, ub)
+    }.toArray[Any])
+  }
+}
+
+/** Builds a frequent-items sketch from a string column. */
+case class FreqItemsAgg(
+    child: Expression,
+    maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.frequencies.ItemsSketch[String]]
+  with UnaryLike[Expression] with ExpectsInputTypes {
+  require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+    s"maxMapSize must be a power of two >= 8, got $maxMapSize")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_freq_agg"
+
+  override def createAggregationBuffer() = FreqImpl.empty(maxMapSize)
+
+  override def update(buffer: org.apache.datasketches.frequencies.ItemsSketch[String],
+      input: InternalRow) = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.toString)
+    buffer
+  }
+
+  override def merge(buffer: org.apache.datasketches.frequencies.ItemsSketch[String],
+      other: org.apache.datasketches.frequencies.ItemsSketch[String]) =
+    buffer.merge(other)
+
+  override def eval(buffer: org.apache.datasketches.frequencies.ItemsSketch[String]): Any =
+    FreqImpl.toBytes(buffer)
+
+  override def serialize(buffer: org.apache.datasketches.frequencies.ItemsSketch[String]): Array[Byte] =
+    FreqImpl.toBytes(buffer)
+
+  override def deserialize(bytes: Array[Byte]) = FreqImpl.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqItemsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqItemsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): FreqItemsAgg =
+    copy(child = newChild)
+}
+
+/** Unions persisted frequent-items sketch images. */
+case class FreqMergeAgg(
+    child: Expression,
+    maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.frequencies.ItemsSketch[String]]
+  with UnaryLike[Expression] with ExpectsInputTypes {
+  require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+    s"maxMapSize must be a power of two >= 8, got $maxMapSize")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_freq_merge"
+
+  override def createAggregationBuffer() = FreqImpl.empty(maxMapSize)
+
+  override def update(buffer: org.apache.datasketches.frequencies.ItemsSketch[String],
+      input: InternalRow) = {
+    val v = child.eval(input)
+    if (v != null) buffer.merge(FreqImpl.fromBytes(v.asInstanceOf[Array[Byte]]))
+    else buffer
+  }
+
+  override def merge(buffer: org.apache.datasketches.frequencies.ItemsSketch[String],
+      other: org.apache.datasketches.frequencies.ItemsSketch[String]) =
+    buffer.merge(other)
+
+  override def eval(buffer: org.apache.datasketches.frequencies.ItemsSketch[String]): Any =
+    FreqImpl.toBytes(buffer)
+
+  override def serialize(buffer: org.apache.datasketches.frequencies.ItemsSketch[String]): Array[Byte] =
+    FreqImpl.toBytes(buffer)
+
+  override def deserialize(bytes: Array[Byte]) = FreqImpl.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): FreqMergeAgg =
+    copy(child = newChild)
+}
+
+/** `graft_freq_items(sketch)` → array<struct<item,estimate,lower,upper>>,
+  * estimate-descending (item-asc tiebreak), NO_FALSE_NEGATIVES. */
+case class FreqItemsRead(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("estimate", LongType, nullable = false),
+    StructField("lower", LongType, nullable = false),
+    StructField("upper", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_freq_items"
+
+  override def nullSafeEval(sketch: Any): Any =
+    FreqImpl.read(sketch.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"org.apache.spark.sql.graft.FreqImpl.read($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): FreqItemsRead =
+    copy(child = newChild)
+}
+
 object SketchShim {
   def kllAgg(value: Column, k: Int): Column =
     ExpressionUtils.column(
@@ -221,4 +371,15 @@ object SketchShim {
 
   def kllN(sketch: Column): Column =
     ExpressionUtils.column(KllN(ExpressionUtils.expression(sketch)))
+
+  def freqAgg(item: Column, maxMapSize: Int): Column =
+    ExpressionUtils.column(
+      FreqItemsAgg(ExpressionUtils.expression(item), maxMapSize).toAggregateExpression())
+
+  def freqMerge(sketch: Column, maxMapSize: Int): Column =
+    ExpressionUtils.column(
+      FreqMergeAgg(ExpressionUtils.expression(sketch), maxMapSize).toAggregateExpression())
+
+  def freqItems(sketch: Column): Column =
+    ExpressionUtils.column(FreqItemsRead(ExpressionUtils.expression(sketch)))
 }

@@ -758,4 +758,38 @@ object Stats {
           .as("quantiles"),
         col("n_rows")): _*)
   }
+
+  /** Heavy-hitters leg of the sketch triad: one raw scan into per-group
+    * Misra–Gries frequent-items sketches (DataSketches `ItemsSketch`,
+    * via the native `graft_freq_agg`). Exact while a group's distinct
+    * items fit the map (≲ ¾·maxMapSize); above that, NO_FALSE_NEGATIVES
+    * with error ≤ 3.5/maxMapSize·N. Returns (dims…, freq binary,
+    * n_rows). */
+  def buildFreqSketches(df: DataFrame, dims: Seq[String], item: Column,
+      maxMapSize: Int = 64): DataFrame = {
+    require(dims.nonEmpty, "need at least one dim")
+    df.groupBy(dims.map(col): _*)
+      .agg(org.apache.spark.sql.graft.SketchShim.freqAgg(item, maxMapSize)
+          .as("freq"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Roll a frequent-items sketch table up to a coarser dim subset and
+    * explode the heavy hitters: (dims…, item, estimate, lower, upper,
+    * n_rows), estimate-descending per group, `minCount`-filtered. One
+    * aggregation over the SKETCH table — never the raw data. */
+  def rollupFreqSketches(sketches: DataFrame, dims: Seq[String],
+      maxMapSize: Int = 64, minCount: Long = 1): DataFrame = {
+    val shim = org.apache.spark.sql.graft.SketchShim
+    val gb = if (dims.isEmpty) sketches.groupBy()
+      else sketches.groupBy(dims.map(col): _*)
+    gb.agg(shim.freqMerge(col("freq"), maxMapSize).as("freq"),
+        sum("n_rows").as("n_rows"))
+      .select(dims.map(col) ++ Seq(
+        explode(shim.freqItems(col("freq"))).as("hit"), col("n_rows")): _*)
+      .select(dims.map(col) ++ Seq(col("hit.item").as("item"),
+        col("hit.estimate").as("estimate"), col("hit.lower").as("lower"),
+        col("hit.upper").as("upper"), col("n_rows")): _*)
+      .where(col("estimate") >= minCount)
+  }
 }

@@ -435,6 +435,21 @@ object AnalyticsQueries {
         .where(col("user_id") < 15)
         .orderBy("event_id")
     }),
+
+    "sketch_freq_rollup" -> ((s, dir) => {
+      // Heavy-hitters sketch table in its exact regime: build per
+      // (event_type, user bucket) frequent-items sketches over a
+      // 50-value item domain, roll up to event_type by UNIONING sketches
+      // (raw data scanned once). 50 distinct << 3/4 * 256 map slots, so
+      // estimates are exact and DuckDB's GROUP BY count is the twin.
+      val ev = table(s, dir, "events")
+        .withColumn("item", (col("user_id") % 50).cast("string"))
+        .withColumn("bucket", col("user_id") % 10)
+      val sk = Stats.buildFreqSketches(ev, Seq("event_type", "bucket"),
+        col("item"), maxMapSize = 256)
+      Stats.rollupFreqSketches(sk, Seq("event_type"), maxMapSize = 256)
+        .orderBy("event_type", "item")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -841,5 +856,14 @@ object AnalyticsQueries {
         |       array_to_string(d.tk[s.i*24+1 : s.i*24+32], ' ') AS chunk_text
         |FROM n d JOIN s ON s.i < d.nc
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "sketch_freq_rollup" ->
+      """SELECT event_type, CAST(user_id % 50 AS VARCHAR) AS item,
+        |  count(*) AS estimate, count(*) AS lower, count(*) AS upper,
+        |  (SELECT count(*) FROM events e2 WHERE e2.event_type = e.event_type)
+        |    AS n_rows
+        |FROM events e
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
   )
 }
