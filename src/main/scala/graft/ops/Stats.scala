@@ -792,4 +792,120 @@ object Stats {
         col("hit.upper").as("upper"), col("n_rows")): _*)
       .where(col("estimate") >= minCount)
   }
+
+  /** CUSUM change-point statistics (Page 1954, "Continuous Inspection
+    * Schemes" — the classic sequential drift detector). Appends to every
+    * row the two one-sided CUSUM statistics and their alarm flags:
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + (x_t − target − slack))   (upward shift)
+    *   S⁻_t = max(0, S⁻_{t−1} + (target − x_t − slack))   (downward)
+    *
+    * The recursion LOOKS inherently sequential, but has the prefix-scan
+    * closed form S_t = C_t − min(0, min_{j≤t} C_j) with C = running sum
+    * of the drift terms — so the whole thing is TWO same-spec window
+    * passes (one sort, no mapPartitions, no driver loop), shuffling once
+    * on the partition keys exactly like `g_ewma`. With empty
+    * `partitionCols` the series is a single global partition (document
+    * why before using at scale; per-key monitoring is the 100 TB shape).
+    *
+    * Ordering must be unique per partition (pass tie-breakers in
+    * `orderCols`) or the statistic is not well-defined. Determinism note:
+    * when `value`, `target` and `slack` are integral-valued (e.g. counts,
+    * or a metric pre-scaled to integer cents), every C_t is an exact
+    * integer in double precision and the output is bit-identical across
+    * partitionings AND engines regardless of window summation order —
+    * the `g_cusum` oracle runs in that regime. */
+  def cusum(df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column],
+      value: Column, target: Double, slack: Double = 0.0,
+      threshold: Double = Double.PositiveInfinity): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    require(slack >= 0.0, "slack must be >= 0")
+    val base = if (partitionCols.isEmpty) Window.orderBy(orderCols: _*)
+      else Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = value.cast("double")
+    df.withColumn("__c_up", sum(x - lit(target) - lit(slack)).over(w))
+      .withColumn("__c_dn", sum(lit(target) - x - lit(slack)).over(w))
+      .withColumn("cusum_up",
+        col("__c_up") - least(lit(0.0), min(col("__c_up")).over(w)))
+      .withColumn("cusum_dn",
+        col("__c_dn") - least(lit(0.0), min(col("__c_dn")).over(w)))
+      .withColumn("alarm_up", col("cusum_up") > threshold)
+      .withColumn("alarm_dn", col("cusum_dn") > threshold)
+      .drop("__c_up", "__c_dn")
+  }
+
+  /** DoReMi domain-mixture reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
+    * public method). Input: one row per document with a domain key, a
+    * proxy-model loss, and a reference-model loss. The per-domain excess
+    * loss λ_d = avg(max(loss − ref_loss, 0)) drives `steps` rounds of
+    * the paper's exponentiated-gradient update from the uniform mix:
+    *
+    *   α′_d ∝ α_d · exp(η · λ_d)   (normalized),
+    *   α_d ← (1 − c) · α′_d + c / k    (uniform smoothing, c =
+    *   `smoothing`),
+    *
+    * and the published final mix is the AVERAGE of α over the steps
+    * (`weight_avg`), with the last iterate kept as `weight_final`.
+    * (The full paper interleaves updates with Group-DRO proxy training;
+    * with a fixed pair of scored corpora the loss signal is static and
+    * the update becomes this closed-form iteration — the pipeline-side
+    * half of the recipe, matching how DSIR ships importance weights
+    * without shipping a trainer.)
+    *
+    * Distributed shape: ONE map-side-combined aggregation collapses the
+    * corpus to k = #domains rows (λ_d and n_d); the iteration runs on
+    * the driver over that k-row model (bounded by a loud `require`,
+    * default ≤ 65536 — domains are labels, not data) and the k-row
+    * result is meant to broadcast back onto the corpus as sampling
+    * weights. At 100 TB the cost is exactly one narrow scan.
+    *
+    * Determinism: λ_d and every α iterate are rounded to 9 decimals —
+    * distributed-sum order noise and cross-engine exp() ulps sit far
+    * below that, so the whole trajectory is bit-stable across
+    * partitionings AND engines (the `mixture_doremi` oracle replays all
+    * steps in DuckDB). Domains iterate in sorted-key order. */
+  def doremiWeights(df: DataFrame, domainCol: Column, lossCol: Column,
+      refLossCol: Column, steps: Int = 8, eta: Double = 0.5,
+      smoothing: Double = 0.01, maxDomains: Int = 65536): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    require(eta > 0.0, "eta must be > 0")
+    require(smoothing >= 0.0 && smoothing < 1.0, "smoothing must be in [0, 1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def round9(x: Double): Double = math.rint(x * 1e9) / 1e9
+    val lam = df
+      .groupBy(domainCol.cast("string").as("domain"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(greatest(lossCol - refLossCol, lit(0.0))), 9)
+          .as("excess_loss"))
+      .collect() // bounded: k = #domains rows (the model, not the data)
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(lam.nonEmpty, "empty input frame")
+    require(lam.length <= maxDomains,
+      s"${lam.length} domains exceeds maxDomains=$maxDomains — domain " +
+        "cardinality is data-sized, not label-sized; aggregate first")
+    val k = lam.length
+    var alpha = Array.fill(k)(round9(1.0 / k))
+    val accum = Array.fill(k)(0.0)
+    for (_ <- 1 to steps) {
+      val unnorm = Array.tabulate(k)(i =>
+        alpha(i) * math.exp(eta * lam(i)._3))
+      val z = unnorm.sum
+      alpha = Array.tabulate(k)(i =>
+        round9((1.0 - smoothing) * unnorm(i) / z + smoothing / k))
+      var i = 0
+      while (i < k) { accum(i) += alpha(i); i += 1 }
+    }
+    // weight_avg is NOT re-rounded: the α iterates are exact 1e-9
+    // multiples, so their mean lands exactly on .5 at the 9th decimal
+    // and half-even (JVM) vs half-away (SQL round) would disagree.
+    // Instead both engines sum the bit-identical rounded iterates in
+    // the same order and divide — bit-identical without rounding.
+    lam.indices.map { i =>
+      (lam(i)._1, lam(i)._2, lam(i)._3, alpha(i), accum(i) / steps)
+    }.toDF("domain", "n", "excess_loss", "weight_final", "weight_avg")
+  }
 }

@@ -96,6 +96,80 @@ object TextOps {
     round((lenScore * 0.4 + punctPenalty * 0.2 + digitPenalty * 0.2 + stopBonus * 0.2), 6)
   }
 
+  /** Gopher document-quality rule suite (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", Appendix A — public method; the same rule family ships in
+    * Dolma/RefinedWeb curation). Unlike [[qualityScore]]'s single
+    * condensed scalar, this emits the named PER-RULE flags a curation
+    * pipeline filters and audits on:
+    *
+    *  - `ok_word_count`:     minWords ≤ #words ≤ maxWords (paper: 50..100k)
+    *  - `ok_mean_word_len`:  3 ≤ mean word length ≤ 10
+    *  - `ok_symbol_ratio`:   (#'#' + #'...' + #'…') / #words ≤ 0.1
+    *  - `ok_bullet_lines`:   ≤ 90% of non-blank lines start with a bullet
+    *  - `ok_ellipsis_lines`: ≤ 30% of non-blank lines end with an ellipsis
+    *  - `ok_alpha_words`:    ≥ 80% of words contain an alphabetic char
+    *  - `ok_stopwords`:      ≥ 2 of the 8 required stopwords appear
+    *  - `pass`: conjunction of all seven.
+    *
+    * Pure per-row native HOF column (struct) — no shuffle, no state,
+    * codegen-friendly, applies unchanged to batch and streaming frames.
+    * Flags compare UNROUNDED exact-rational ratios (integer counts over
+    * integer counts, identical IEEE division in any engine), so the
+    * decision is engine-portable; the reported ratio columns are rounded
+    * for display only. Zero-word/zero-line docs take ratio 0 and fail
+    * only the word-count rule. */
+  def gopherRules(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column = {
+    val toks = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    val nW = size(toks)
+    val nWd = nW.cast("double")
+    def overWords(c: Column): Column =
+      when(nW > 0, c.cast("double") / nWd).otherwise(0.0)
+    val meanLen =
+      overWords(aggregate(toks, lit(0), (a, t) => a + length(t)))
+    val nHash = length(text) - length(replace(text, lit("#"), lit("")))
+    val nDots =
+      (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+    val nUniEll = length(text) - length(replace(text, lit("…"), lit("")))
+    val symbolRatio = overWords(nHash + nDots + nUniEll)
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nL = size(lines)
+    def overLines(c: Column): Column =
+      when(nL > 0, c.cast("double") / nL.cast("double")).otherwise(0.0)
+    val bulletRatio = overLines(size(filter(lines, l =>
+      substring(ltrim(l), 1, 1).isin("-", "*", "•"))))
+    val ellipsisRatio = overLines(size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))))
+    val alphaRatio =
+      overWords(size(filter(toks, t => t.rlike("[A-Za-z]"))))
+    val lowToks = transform(toks, t => lower(t))
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = size(filter(array(required.map(lit): _*),
+      w => array_contains(lowToks, w)))
+    val okWc = nW >= minWords && nW <= maxWords
+    val okMl = meanLen >= 3.0 && meanLen <= 10.0
+    val okSym = symbolRatio <= 0.1
+    val okBul = bulletRatio <= 0.9
+    val okEll = ellipsisRatio <= 0.3
+    val okAlpha = alphaRatio >= 0.8
+    val okStop = nStop >= 2
+    struct(
+      nW.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(bulletRatio, 6).as("bullet_ratio"),
+      round(ellipsisRatio, 6).as("ellipsis_ratio"),
+      round(alphaRatio, 6).as("alpha_word_ratio"),
+      nStop.as("n_req_stopwords"),
+      okWc.as("ok_word_count"), okMl.as("ok_mean_word_len"),
+      okSym.as("ok_symbol_ratio"), okBul.as("ok_bullet_lines"),
+      okEll.as("ok_ellipsis_lines"), okAlpha.as("ok_alpha_words"),
+      okStop.as("ok_stopwords"),
+      (okWc && okMl && okSym && okBul && okEll && okAlpha && okStop)
+        .as("pass"))
+  }
+
   /** Rolling document fingerprint over whitespace tokens: a Rabin–Karp
     * style left fold h' = (A·h + B + hash(token)) mod 2^31, scrambled —
     * order-sensitive, unlike a bag-of-words hash. Mod-M arithmetic never

@@ -199,6 +199,25 @@ object AnalyticsQueries {
         .orderBy("user_id", "ts_us")
     }),
 
+    "g_cusum" -> ((s, dir) => {
+      // CUSUM drift detector per event type, run in the exact-integer
+      // regime (value pre-scaled to cents) so the prefix-scan form is
+      // bit-identical across engines and partitionings. target 40.00,
+      // slack 5.00, threshold 500.00 — in cents: 4000 / 500 / 50000.
+      val ev = table(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      Stats.cusum(ev, Seq(col("event_type")), Seq(col("ts"), col("event_id")),
+          col("cents"), target = 4000.0, slack = 500.0, threshold = 50000.0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(max("cusum_up") / 100.0, 2).as("max_cusum_up"),
+          round(max("cusum_dn") / 100.0, 2).as("max_cusum_dn"),
+          sum(when(col("alarm_up"), 1L).otherwise(0L)).as("n_alarm_up"),
+          sum(when(col("alarm_dn"), 1L).otherwise(0L)).as("n_alarm_dn"),
+          min(when(col("alarm_up"), col("event_id"))).as("first_alarm_id"))
+        .orderBy("event_type")
+    }),
+
     "g_outliers" -> ((s, dir) =>
       // Per-event-type anomaly profile: z-score and Tukey-IQR fence counts
       // (fences rounded to 6 inside the op for engine portability).
@@ -624,6 +643,34 @@ object AnalyticsQueries {
          |  FROM s JOIN e ON s.user_id = e.user_id AND s.rn = e.rn + 1)
          |SELECT user_id, ts_us, round(y, 6) AS ewma
          |FROM e ORDER BY user_id, ts_us""".stripMargin,
+
+    "g_cusum" ->
+      s"""WITH e AS (
+         |  SELECT event_type, event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS cents,
+         |    epoch_us(ts) AS ts_us
+         |  FROM events),
+         |c AS (
+         |  SELECT event_type, event_id, ts_us,
+         |    sum(cents - 4000.0 - 500.0) OVER w AS c_up,
+         |    sum(4000.0 - cents - 500.0) OVER w AS c_dn
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+         |               ROWS UNBOUNDED PRECEDING)),
+         |s AS (
+         |  SELECT event_type, event_id,
+         |    c_up - least(0.0, min(c_up) OVER w) AS s_up,
+         |    c_dn - least(0.0, min(c_dn) OVER w) AS s_dn
+         |  FROM c
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+         |               ROWS UNBOUNDED PRECEDING))
+         |SELECT event_type, count(*) AS n,
+         |  round(max(s_up) / 100.0, 2) AS max_cusum_up,
+         |  round(max(s_dn) / 100.0, 2) AS max_cusum_dn,
+         |  CAST(sum(CASE WHEN s_up > 50000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_up,
+         |  CAST(sum(CASE WHEN s_dn > 50000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_dn,
+         |  min(CASE WHEN s_up > 50000.0 THEN event_id END) AS first_alarm_id
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g_outliers" ->
       """WITH f AS (

@@ -273,6 +273,17 @@ object DedupTextQueries {
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    "text_gopher_rules" -> ((s, dir) => {
+      // Gopher rule-suite audit (Rae et al. 2021 App. A): per-rule flags
+      // + metrics for doc_id < 200, with a relaxed word-count floor (the
+      // synthetic docs are short) so the flag is discriminative.
+      val g = TextOps.gopherRules(col("text"), minWords = 12).as("g")
+      table(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), g)
+        .select(col("doc_id"), col("g.*"))
+        .orderBy("doc_id")
+    }),
+
     "text_lang_id" -> ((s, dir) =>
       table(s, dir, "documents")
         .withColumn("__toks", TextOps.languageTokens(col("text")))
@@ -394,6 +405,20 @@ object DedupTextQueries {
           round(col("target_frac"), 6).as("target_frac"),
           round(col("weight"), 6).as("weight"))
         .orderBy("grp")),
+
+    "mixture_doremi" -> ((s, dir) =>
+      // DoReMi domain reweighting: per-source excess loss (deterministic
+      // synthetic proxy/reference losses derived from n_chars) drives 4
+      // exponentiated-gradient steps from the uniform mix; the oracle
+      // replays the whole trajectory (9-dp rounding at every iterate
+      // kills summation-order/exp ulp drift between engines).
+      graft.ops.Stats.doremiWeights(
+          table(s, dir, "documents")
+            .withColumn("loss", (col("n_chars") % 97) / lit(10.0))
+            .withColumn("ref_loss", (col("n_chars") % 89) / lit(10.0)),
+          col("source"), col("loss"), col("ref_loss"),
+          steps = 4, eta = 0.5, smoothing = 0.01)
+        .orderBy("domain")),
 
     "sample_weighted" -> ((s, dir) =>
       // Deterministic weighted sampling (Efraimidis–Spirakis over the
@@ -1090,6 +1115,34 @@ object DedupTextQueries {
          |    ELSE 0.0 END) / (n * 1.0 / total), 6) AS weight
          |FROM c, t ORDER BY grp""".stripMargin,
 
+    "mixture_doremi" -> {
+      // Replays all 4 exponentiated-gradient steps: each step's
+      // unnormalized scores in u<t>, the rounded smoothed iterate in
+      // s<t>. Must round to 9 dp at exactly the same points as
+      // Stats.doremiWeights.
+      val steps = 4; val eta = 0.5; val c = 0.01
+      val stepCtes = (1 to steps).map { t =>
+        s"""u$t AS (SELECT l.domain, s${t - 1}.alpha * exp($eta * l.excess_loss) AS x
+           |     FROM lam l JOIN s${t - 1} USING (domain)),
+           |s$t AS (SELECT domain, round((1 - $c) * x / (SELECT sum(x) FROM u$t)
+           |     + $c / (SELECT k FROM kk), 9) AS alpha FROM u$t)""".stripMargin
+      }.mkString(",\n")
+      val avgExpr = (1 to steps).map(t => s"s$t.alpha").mkString(" + ")
+      val joins = (1 to steps).map(t => s"JOIN s$t USING (domain)").mkString(" ")
+      s"""WITH lam AS (
+         |  SELECT CAST(source AS VARCHAR) AS domain, count(*) AS n,
+         |    round(avg(greatest((n_chars % 97) / 10.0
+         |      - (n_chars % 89) / 10.0, 0.0)), 9) AS excess_loss
+         |  FROM documents GROUP BY 1),
+         |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM lam),
+         |s0 AS (SELECT domain, round(1.0 / (SELECT k FROM kk), 9) AS alpha FROM lam),
+         |$stepCtes
+         |SELECT lam.domain, lam.n, lam.excess_loss,
+         |  s$steps.alpha AS weight_final,
+         |  ($avgExpr) / $steps AS weight_avg
+         |FROM lam $joins ORDER BY lam.domain""".stripMargin
+    },
+
     "sample_stratified" ->
       s"""SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id
          |FROM documents
@@ -1140,6 +1193,55 @@ object DedupTextQueries {
          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
          |FROM t GROUP BY 1 HAVING count(*) >= 50
          |ORDER BY tf DESC, token ASC LIMIT 30""".stripMargin,
+
+    "text_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS toks,
+         |    list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines
+         |  FROM documents WHERE doc_id < 200),
+         |m AS (
+         |  SELECT doc_id, len(toks) AS n_words, len(lines) AS n_lines,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks)
+         |      ELSE 0.0 END AS mean_word_len,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      ((length(text) - length(replace(text, '#', '')))
+         |       + (length(text) - length(replace(text, '...', ''))) / 3
+         |       + (length(text) - length(replace(text, '…', '')))) / len(toks)
+         |      ELSE 0.0 END AS symbol_ratio,
+         |    CASE WHEN len(lines) > 0 THEN
+         |      len(list_filter(lines, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+         |        * 1.0 / len(lines) ELSE 0.0 END AS bullet_ratio,
+         |    CASE WHEN len(lines) > 0 THEN
+         |      len(list_filter(lines, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))
+         |        * 1.0 / len(lines) ELSE 0.0 END AS ellipsis_ratio,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+         |        * 1.0 / len(toks) ELSE 0.0 END AS alpha_word_ratio,
+         |    len(list_filter(['the','be','to','of','and','that','have','with'],
+         |      w -> list_contains(list_transform(toks, x -> lower(x)), w)))
+         |      AS n_req_stopwords
+         |  FROM t)
+         |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+         |  round(mean_word_len, 4) AS mean_word_len,
+         |  round(symbol_ratio, 6) AS symbol_ratio,
+         |  round(bullet_ratio, 6) AS bullet_ratio,
+         |  round(ellipsis_ratio, 6) AS ellipsis_ratio,
+         |  round(alpha_word_ratio, 6) AS alpha_word_ratio,
+         |  CAST(n_req_stopwords AS INT) AS n_req_stopwords,
+         |  n_words BETWEEN 12 AND 100000 AS ok_word_count,
+         |  mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+         |  symbol_ratio <= 0.1 AS ok_symbol_ratio,
+         |  bullet_ratio <= 0.9 AS ok_bullet_lines,
+         |  ellipsis_ratio <= 0.3 AS ok_ellipsis_lines,
+         |  alpha_word_ratio >= 0.8 AS ok_alpha_words,
+         |  n_req_stopwords >= 2 AS ok_stopwords,
+         |  (n_words BETWEEN 12 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+         |    AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+         |    AND n_req_stopwords >= 2 AS pass
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "dedup_span_remove" ->
       s"""WITH corpus AS (

@@ -291,4 +291,85 @@ class AnalyticsSpec extends SparkSpec {
     assert(id.getAs[Double]("min_v") == 1.0 && id.getAs[Double]("max_v") == 3.0
       && id.getAs[Double]("mean_v") == 2.0)
   }
+
+  test("doremiWeights: shifts mass to high-excess domains, uniform fixed points, partition-invariant") {
+    // domain a: excess 2.0, b: excess 0 (loss below ref clamps), c: excess 0.5
+    val df = ((1 to 40).map(i => (i.toLong, "a", 3.0, 1.0)) ++
+      (1 to 40).map(i => (i.toLong + 100, "b", 1.0, 5.0)) ++
+      (1 to 40).map(i => (i.toLong + 200, "c", 1.5, 1.0)))
+      .toDF("id", "dom", "loss", "ref")
+    val w = Stats.doremiWeights(df, col("dom"), col("loss"), col("ref"),
+        steps = 6, eta = 0.5, smoothing = 0.01)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(w("a")._2 == 2.0 && w("b")._2 == 0.0 && w("c")._2 == 0.5)
+    assert(w.values.forall(_._1 == 40L))
+    assert(w("a")._3 > w("c")._3 && w("c")._3 > w("b")._3,
+      "final weight order must follow excess loss")
+    assert(w("a")._4 > w("c")._4 && w("c")._4 > w("b")._4)
+    assert(approx(w.values.map(_._3).sum, 1.0, 1e-6), "final weights ~sum to 1")
+    assert(approx(w.values.map(_._4).sum, 1.0, 1e-6), "avg weights ~sum to 1")
+    assert(w.values.forall(_._3 >= 0.01 / 3 - 1e-9),
+      "smoothing floors every domain at c/k")
+
+    // equal excess everywhere -> exp factors cancel -> uniform every step
+    val flat = (1 to 30).map(i =>
+      (i.toLong, if (i % 2 == 0) "x" else "y", 2.0, 1.0)).toDF("id", "dom", "loss", "ref")
+    val fw = Stats.doremiWeights(flat, col("dom"), col("loss"), col("ref"),
+      steps = 5).collect()
+    fw.foreach { r =>
+      assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 0.5,
+        "uniform is a fixed point under equal losses")
+    }
+
+    // 9-dp rounding at every iterate: identical on any partitioning
+    val w7 = Stats.doremiWeights(df.repartition(7), col("dom"), col("loss"),
+        col("ref"), steps = 6, eta = 0.5, smoothing = 0.01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    w.foreach { case (d, (_, _, wf, wa)) =>
+      assert(w7(d)._1 == wf && w7(d)._2 == wa, s"partitioning changed $d")
+    }
+
+    intercept[IllegalArgumentException] {
+      Stats.doremiWeights(df, col("id"), col("loss"), col("ref"),
+        maxDomains = 2).collect()
+    }
+  }
+
+  test("cusum: prefix-scan form equals the sequential recursion; detects shifts; partition-invariant") {
+    // hand series with a level shift at t=6
+    val xs = Seq(10.0, 9.0, 11.0, 10.0, 8.0, 30.0, 31.0, 29.0, 32.0, 30.0)
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, "k", v) }
+      .toDF("t", "key", "x")
+    val out = Stats.cusum(df, Seq(col("key")), Seq(col("t")), col("x"),
+        target = 10.0, slack = 2.0, threshold = 30.0)
+      .orderBy("t").collect()
+    // local replay of the textbook recursion
+    var sUp = 0.0; var sDn = 0.0
+    xs.zip(out).foreach { case (x, r) =>
+      sUp = math.max(0.0, sUp + (x - 10.0 - 2.0))
+      sDn = math.max(0.0, sDn + (10.0 - x - 2.0))
+      assert(r.getAs[Double]("cusum_up") == sUp, s"t=${r.getLong(0)} up")
+      assert(r.getAs[Double]("cusum_dn") == sDn, s"t=${r.getLong(0)} dn")
+    }
+    assert(out.take(5).forall(!_.getAs[Boolean]("alarm_up")),
+      "no alarm before the shift")
+    assert(out.last.getAs[Boolean]("alarm_up"), "sustained +20 shift alarms")
+    assert(out.forall(!_.getAs[Boolean]("alarm_dn")))
+
+    // integral regime: identical on any partitioning
+    val big = (1 to 400).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", (i % 37).toDouble))
+      .toDF("t", "key", "x")
+    val one = Stats.cusum(big, Seq(col("key")), Seq(col("t")), col("x"),
+        target = 18.0, slack = 1.0, threshold = 40.0)
+      .orderBy("key", "t").collect()
+    val par = Stats.cusum(big.repartition(7), Seq(col("key")), Seq(col("t")),
+        col("x"), target = 18.0, slack = 1.0, threshold = 40.0)
+      .orderBy("key", "t").collect()
+    one.zip(par).foreach { case (a, b) =>
+      assert(a.getAs[Double]("cusum_up") == b.getAs[Double]("cusum_up"))
+      assert(a.getAs[Double]("cusum_dn") == b.getAs[Double]("cusum_dn"))
+    }
+  }
 }

@@ -526,4 +526,49 @@ class DedupTextSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(keep == Map(1L -> 1L, 10L -> 10L, 20L -> 20L))
   }
+
+  test("gopherRules: each rule trips on its designed violation and only then") {
+    val good = "the cat and dog have been out to the park with all " +
+      "their friends that day for fun walks near home fields"
+    val docs = Seq(
+      (1L, good),                                            // passes all
+      (2L, "the of and to " + ("x " * 20)),                  // short-token mean < 3
+      (3L, good + " ### ##"),                                // symbol ratio
+      (4L, "- the cat\n- and dog\n- have fun\n- to play\n- of it"), // bullets
+      (5L, "the cat and...\nthe dog have...\nto the park..."),      // ellipsis
+      (6L, "the of " + (1 to 20).map(_.toString).mkString(" ")),    // non-alpha
+      (7L, good.replaceAll("\\b(the|and|to|of|have|that|with)\\b", "zz")), // stopwords
+      (8L, ""))                                              // empty
+      .toDF("doc_id", "text")
+    val g = docs.select(col("doc_id"),
+        TextOps.gopherRules(col("text"), minWords = 5).as("g"))
+      .select(col("doc_id"), col("g.*"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(g(1L).getAs[Boolean]("pass"), "clean doc passes every rule")
+    def failsOnly(id: Long, rule: String): Unit = {
+      val r = g(id)
+      assert(!r.getAs[Boolean](rule), s"doc $id should fail $rule")
+      assert(!r.getAs[Boolean]("pass"))
+    }
+    failsOnly(2L, "ok_mean_word_len")
+    failsOnly(3L, "ok_symbol_ratio")
+    failsOnly(4L, "ok_bullet_lines")
+    assert(g(4L).getAs[Double]("bullet_ratio") == 1.0)
+    failsOnly(5L, "ok_ellipsis_lines")
+    assert(g(5L).getAs[Double]("ellipsis_ratio") == 1.0)
+    failsOnly(6L, "ok_alpha_words")
+    failsOnly(7L, "ok_stopwords")
+    // empty doc: zero words/lines -> ratio rules pass vacuously, word count fails
+    val e = g(8L)
+    assert(e.getAs[Int]("n_words") == 0 && !e.getAs[Boolean]("ok_word_count"))
+    assert(e.getAs[Boolean]("ok_symbol_ratio") && e.getAs[Boolean]("ok_bullet_lines"))
+    assert(!e.getAs[Boolean]("pass"))
+    // unicode ellipsis and bullet count too
+    val u = Seq((9L, "• the cat…\nthe dog and fox have to go…"))
+      .toDF("doc_id", "text")
+    val ur = u.select(TextOps.gopherRules(col("text"), minWords = 1).as("g"))
+      .select(col("g.*")).collect()(0)
+    assert(ur.getAs[Double]("bullet_ratio") == 0.5)
+    assert(ur.getAs[Double]("ellipsis_ratio") == 1.0)
+  }
 }
