@@ -180,6 +180,44 @@ object StreamingOps {
     }
   }
 
+  final case class CusumState(sUp: Double, sDn: Double, lastTsMs: Long)
+  final case class CusumOut(entity: String, tsMs: Long, x: Double,
+      cusumUp: Double, cusumDn: Double, alarmUp: Boolean, alarmDn: Boolean)
+
+  /** Streaming CUSUM — the online form of [[graft.ops.Stats.cusum]]:
+    * the textbook recursion `S⁺ = max(0, S⁺ + x − target − slack)` /
+    * `S⁻ = max(0, S⁻ + target − x − slack)` carried across micro-batches
+    * in per-entity state (2 scalars + a watermark timestamp per entity —
+    * the batch op's prefix-scan trick isn't needed online because the
+    * recursion IS the online form). Rows within a micro-batch fold in
+    * event-time order; late arrivals (older than the entity's last
+    * processed timestamp) emit the current statistics without folding,
+    * the same tradeoff [[EwmaStream]] documents. The parity spec pins
+    * stream == batch on in-order streams in the exact-integer regime. */
+  object CusumStream {
+    def run(points: Dataset[Point], target: Double, slack: Double = 0.0,
+        threshold: Double = Double.PositiveInfinity): Dataset[CusumOut] = {
+      require(slack >= 0.0, "slack must be >= 0")
+      import points.sparkSession.implicits._
+      points.groupByKey(_.entity)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (entity: String, rows: Iterator[Point], state: GroupState[CusumState]) => {
+            var st = state.getOption.getOrElse(CusumState(0.0, 0.0, Long.MinValue))
+            val out = rows.toSeq.sortBy(_.ts.getTime).map { p =>
+              val t = p.ts.getTime
+              if (t >= st.lastTsMs)
+                st = CusumState(
+                  math.max(0.0, st.sUp + (p.x - target - slack)),
+                  math.max(0.0, st.sDn + (target - p.x - slack)), t)
+              CusumOut(entity, t, p.x, st.sUp, st.sDn,
+                st.sUp > threshold, st.sDn > threshold)
+            }
+            state.update(st)
+            out.iterator
+          })
+    }
+  }
+
   final case class NearDupBucketRow(band: Int, bucket: Long, id: Long,
       ts: Timestamp, text: String, sh: Array[Long])
   final case class NearDupEntry(docId: Long, tsMs: Long, sh: Array[Long])

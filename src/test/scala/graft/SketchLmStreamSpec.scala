@@ -88,6 +88,44 @@ class SketchLmStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CusumStream: multi-batch stateful recursion equals the batch prefix-scan cusum") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.Point]
+    val q = StreamingOps.CusumStream.run(input.toDS(), target = 10.0,
+        slack = 2.0, threshold = 15.0)
+      .writeStream.format("memory").queryName("cusumstream")
+      .outputMode("append").start()
+    try {
+      input.addData( // shuffled arrival within batch 1
+        StreamingOps.Point("a", ts(2), 9.0), StreamingOps.Point("a", ts(1), 10.0),
+        StreamingOps.Point("b", ts(1), 1.0))
+      q.processAllAvailable()
+      input.addData( // batch 2: state carries; "a" shifts upward
+        StreamingOps.Point("a", ts(3), 30.0), StreamingOps.Point("a", ts(4), 31.0),
+        StreamingOps.Point("b", ts(2), 2.0))
+      q.processAllAvailable()
+      val online = spark.table("cusumstream")
+        .select("entity", "tsMs", "cusumUp", "cusumDn", "alarmUp", "alarmDn")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getBoolean(4), r.getBoolean(5))).toSet
+      val batch = Stats.cusum(
+        Seq(("a", 1L, 10.0), ("a", 2L, 9.0), ("a", 3L, 30.0), ("a", 4L, 31.0),
+          ("b", 1L, 1.0), ("b", 2L, 2.0)).toDF("entity", "t", "x"),
+        Seq(col("entity")), Seq(col("t")), col("x"),
+        target = 10.0, slack = 2.0, threshold = 15.0)
+        .collect()
+        .map(r => (r.getString(0), 1700000000000L + r.getLong(1) * 1000L,
+          r.getAs[Double]("cusum_up"), r.getAs[Double]("cusum_dn"),
+          r.getAs[Boolean]("alarm_up"), r.getAs[Boolean]("alarm_dn"))).toSet
+      assert(online == batch)
+      // the sustained upward shift in "a" must actually alarm
+      assert(online.exists(o => o._1 == "a" && o._5))
+      // "b" sits far below target: downward stat grows, upward stays 0
+      assert(online.filter(_._1 == "b").forall(o => o._3 == 0.0 && o._4 > 0.0))
+    } finally q.stop()
+  }
+
   test("enrichStream: stream-static broadcast join enriches per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
