@@ -404,6 +404,46 @@ case class JaroWinkler(left: Expression, right: Expression)
       newRight: Expression): JaroWinkler = copy(left = newLeft, right = newRight)
 }
 
+/** Native deflate compression ratio: `deflate(utf8(text)).length /
+  * utf8(text).length` at zlib level `level` — the classic cheap
+  * repetitiveness signal (Gopher/Dolma-adjacent curation: highly
+  * compressible pages are boilerplate/template farms; incompressible
+  * ones are often binary junk or hash dumps). Empty text → 1.0.
+  *
+  * One `java.util.zip.Deflater` per expression instance, reset between
+  * rows (each task deserializes its own plan copy, so the instance is
+  * thread-confined); the output is DISCARDED in fixed-size chunks —
+  * only the byte count survives, so memory is O(chunk), not O(doc).
+  * Deterministic for a fixed level and zlib build (the JDK bundles
+  * its own), which holds across executors of one cluster — but NOT a
+  * cross-engine contract, so this op is spec-verified rather than
+  * DuckDB-oracled. */
+case class DeflateRatio(child: Expression, level: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(level >= 0 && level <= 9, "deflate level in [0, 9]")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_deflate_ratio"
+
+  @transient private lazy val deflater = new java.util.zip.Deflater(level)
+  @transient private lazy val chunk = new Array[Byte](8192)
+
+  override def nullSafeEval(a: Any): Any = {
+    val raw = a.asInstanceOf[UTF8String].getBytes
+    if (raw.length == 0) return 1.0
+    deflater.reset()
+    deflater.setInput(raw)
+    deflater.finish()
+    var compressed = 0L
+    while (!deflater.finished()) compressed += deflater.deflate(chunk)
+    compressed.toDouble / raw.length
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}
+
 object MinHashShim {
   def jaroWinklerCol(a: Column, b: Column): Column =
     ExpressionUtils.column(JaroWinkler(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
@@ -423,4 +463,6 @@ object MinHashShim {
     ExpressionUtils.column(MarkerHits(ExpressionUtils.expression(tokens), markers))
   def charStatsCol(text: Column): Column =
     ExpressionUtils.column(TextCharStats(ExpressionUtils.expression(text)))
+  def deflateRatioCol(text: Column, level: Int): Column =
+    ExpressionUtils.column(DeflateRatio(ExpressionUtils.expression(text), level))
 }

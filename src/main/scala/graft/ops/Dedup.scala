@@ -44,6 +44,51 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Soft dedup: DOWN-WEIGHT duplicates instead of dropping them
+    * (He et al. 2024, "SoftDedup" — reweighting preserves the loss
+    * signal of common text while removing its over-representation;
+    * every sampled-training loader consumes a weight column anyway).
+    * Each row gains (n_copies, sample_weight = n_copies^(−beta)):
+    * beta = 1 makes every duplicate SET contribute total weight 1
+    * (exact-dedup-equivalent in expectation); beta = 0 keeps raw
+    * weights; intermediate beta interpolates.
+    *
+    * One window over md5(text) — the same single hash-keyed shuffle as
+    * [[dedupExact]] (hashes + ids move, documents don't re-shuffle:
+    * the window carries the row). Weight is rounded to 9 dp so the
+    * value is bit-stable across engines. */
+  def softDedupWeights(df: DataFrame, id: String, text: String,
+      beta: Double = 1.0): DataFrame = {
+    require(beta >= 0.0, "beta must be >= 0")
+    val w = Window.partitionBy(md5(col(text)))
+    df.withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("sample_weight",
+        round(pow(col("n_copies").cast("double"), lit(-beta)), 9))
+  }
+
+  /** Corpus snapshot diff — the dataset-versioning primitive: classify
+    * every document id across two corpus snapshots as `added` (only in
+    * `next`), `removed` (only in `prev`), `changed` (both, different
+    * md5(text)), or `unchanged`. Returns (id, status).
+    *
+    * Scale shape: both sides collapse to (id, md5) BEFORE the join —
+    * the full-outer join shuffles 16-byte hashes keyed by id, never
+    * document bodies; at 100 TB this is two narrow column scans + one
+    * id-keyed exchange. Ids must be unique per snapshot (it's a diff of
+    * keyed snapshots, not a multiset) — enforce upstream with
+    * [[dedupExact]] or a key constraint. */
+  def corpusDiff(prev: DataFrame, next: DataFrame, id: String,
+      text: String): DataFrame = {
+    val p = prev.select(col(id).as("__pid"), md5(col(text)).as("__ph"))
+    val n = next.select(col(id).as("__nid"), md5(col(text)).as("__nh"))
+    p.join(n, col("__pid") === col("__nid"), "full_outer")
+      .select(coalesce(col("__pid"), col("__nid")).as(id),
+        when(col("__pid").isNull, "added")
+          .when(col("__nid").isNull, "removed")
+          .when(col("__ph") =!= col("__nh"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** MinHash signature expression: for permutation p in 0 until numHashes,
     * min over shingles of xxhash64(shingle, p) — the native codegen
     * [[org.apache.spark.sql.graft.MinHashSig]] expression: each shingle

@@ -170,6 +170,62 @@ object TextOps {
         .as("pass"))
   }
 
+  /** C4 line-level clean + page-level filter (Raffel et al. 2020,
+    * "Exploring the Limits of Transfer Learning…", §2.2 — the heuristics
+    * behind the C4 corpus, complementing [[gopherRules]]'s page-level
+    * suite). C4 is a TRANSFORM as much as a filter: lines are kept only
+    * when they (a) end in terminal punctuation (`.` `!` `?` `"`),
+    * (b) carry ≥ `minWordsPerLine` whitespace words (paper: 5 — later
+    * than the 3-word draft), and (c) don't mention "javascript"
+    * (case-insensitive — the cookie/JS-warning boilerplate marker); the
+    * page is then dropped when it contained "lorem ipsum", a curly
+    * brace (code), or the CLEANED text has fewer than `minSentences`
+    * sentences (terminal-punctuation runs).
+    *
+    * Emits struct(cleaned_text, n_lines, n_lines_kept, n_sentences,
+    * has_lorem_ipsum, has_curly_brace, ok_sentences, pass) — pure
+    * per-row HOF column: no shuffle, no state, applies unchanged to
+    * batch and streaming frames. Sentence counting is a `[.!?]+` run
+    * count over the cleaned text (exact integer, engine-portable).
+    * The bad-words list is policy, not mechanism — pass the caller's
+    * list through [[gopherRules]]-style marker filters or a broadcast
+    * blocklist join; none ships here. */
+  def c4Clean(text: Column, minWordsPerLine: Int = 5,
+      minSentences: Int = 3): Column = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      val words = filter(split(t, "\\s+"), w => length(w) > 0)
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+        size(words) >= minWordsPerLine &&
+        !lower(t).contains("javascript")
+    })
+    val cleaned = array_join(kept, "\n")
+    val nSentences = size(regexp_extract_all(cleaned, lit("[.!?]+"), lit(0)))
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    val okSent = nSentences >= minSentences
+    struct(
+      cleaned.as("cleaned_text"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_lines_kept"),
+      nSentences.as("n_sentences"),
+      hasLorem.as("has_lorem_ipsum"),
+      hasBrace.as("has_curly_brace"),
+      okSent.as("ok_sentences"),
+      (!hasLorem && !hasBrace && okSent).as("pass"))
+  }
+
+  /** Deflate compression ratio of the UTF-8 text at zlib level `level` —
+    * the cheap repetitiveness signal (near-0 = template/boilerplate farm,
+    * near-or-above-1 = high-entropy junk; natural prose sits ~0.3–0.6).
+    * Pure per-row native expression
+    * ([[org.apache.spark.sql.graft.DeflateRatio]]): no shuffle, O(chunk)
+    * memory, streams as-is. Deterministic per zlib build (the JDK's own),
+    * hence spec-verified, not DuckDB-oracled. */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    org.apache.spark.sql.graft.MinHashShim.deflateRatioCol(text, level)
+
   /** Rolling document fingerprint over whitespace tokens: a Rabin–Karp
     * style left fold h' = (A·h + B + hash(token)) mod 2^31, scrambled —
     * order-sensitive, unlike a bag-of-words hash. Mod-M arithmetic never

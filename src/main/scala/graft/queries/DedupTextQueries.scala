@@ -284,6 +284,63 @@ object DedupTextQueries {
         .orderBy("doc_id")
     }),
 
+    "text_c4_clean" -> ((s, dir) => {
+      // C4 line-clean + page filter (Raffel et al. 2020 §2.2) on
+      // manufactured multi-line pages: the corpus is single-line word
+      // soup, so each page is built from token slices with one designed
+      // violation per rule — a short line (< 5 words), a line without
+      // terminal punctuation, a javascript-boilerplate line, a
+      // lorem-ipsum page (doc_id % 5), and a curly-brace code page
+      // (doc_id % 7, which also drops the page below 3 sentences).
+      val toks = filter(split(trim(col("text")), "\\s+"), t => length(t) > 0)
+      val l1 = concat(array_join(slice(toks, 1, 6), " "), lit("."))
+      val l2 = concat(array_join(slice(toks, 1, 3), " "), lit("!"))
+      val l3 = array_join(slice(toks, 7, 6), " ")
+      val l4 = lit("Please enable JavaScript to view the comments powered by widgets.")
+      val l5 = when(col("doc_id") % 5 === 0,
+        lit("Lorem ipsum dolor sit amet consectetur adipiscing elit.")).otherwise(l1)
+      val l6 = when(col("doc_id") % 7 === 0, lit("function f() { return 1; }"))
+        .otherwise(concat(array_join(slice(toks, 4, 7), " "), lit("?")))
+      val page = concat_ws("\n", l1, l2, l3, l4, l5, l6)
+      val c = TextOps.c4Clean(page).as("c")
+      table(s, dir, "documents").where(col("doc_id") < 150)
+        .select(col("doc_id"), c)
+        .select(col("doc_id"), col("c.n_lines"), col("c.n_lines_kept"),
+          col("c.n_sentences"), col("c.has_lorem_ipsum"),
+          col("c.has_curly_brace"), col("c.ok_sentences"), col("c.pass"),
+          col("c.cleaned_text"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_soft_weights" -> ((s, dir) => {
+      // Soft dedup: copies manufactured at three multiplicities (all docs
+      // once, evens twice, multiples of 4 thrice) so n_copies ∈ {1,2,3}
+      // and the weight column is discriminative. beta = 1 (the
+      // exact-IEEE-division regime; other betas are spec-covered).
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val multi = docs
+        .unionByName(docs.where(col("doc_id") % 2 === 0)
+          .withColumn("doc_id", col("doc_id") + IdShift))
+        .unionByName(docs.where(col("doc_id") % 4 === 0)
+          .withColumn("doc_id", col("doc_id") + 2 * IdShift))
+      Dedup.softDedupWeights(multi, "doc_id", "text")
+        .select(col("doc_id"), col("n_copies"), col("sample_weight"))
+        .orderBy("doc_id")
+    }),
+
+    "corpus_diff" -> ((s, dir) => {
+      // Snapshot diff: prev = ids < 300, next = ids 150–449 with every
+      // 7th text edited -> all four statuses appear (removed <150,
+      // added >=300, changed = 150–299 % 7, else unchanged).
+      val docs = table(s, dir, "documents")
+      val prev = docs.where(col("doc_id") < 300).select(col("doc_id"), col("text"))
+      val next = docs.where(col("doc_id") >= 150 && col("doc_id") < 450)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      Dedup.corpusDiff(prev, next, "doc_id", "text").orderBy("doc_id")
+    }),
+
     "text_lang_id" -> ((s, dir) =>
       table(s, dir, "documents")
         .withColumn("__toks", TextOps.languageTokens(col("text")))
@@ -1242,6 +1299,81 @@ object DedupTextQueries {
          |    AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
          |    AND n_req_stopwords >= 2 AS pass
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_c4_clean" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS l
+         |  FROM documents WHERE doc_id < 150),
+         |seed AS (
+         |  SELECT doc_id,
+         |    coalesce(array_to_string(l[1:6], ' '), '') || '.' AS l1,
+         |    coalesce(array_to_string(l[1:3], ' '), '') || '!' AS l2,
+         |    coalesce(array_to_string(l[7:12], ' '), '') AS l3,
+         |    'Please enable JavaScript to view the comments powered by widgets.' AS l4,
+         |    coalesce(array_to_string(l[4:10], ' '), '') || '?' AS l6a
+         |  FROM t),
+         |pg AS (
+         |  SELECT doc_id, concat_ws(chr(10), l1, l2, l3, l4,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN 'Lorem ipsum dolor sit amet consectetur adipiscing elit.'
+         |      ELSE l1 END,
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN 'function f() { return 1; }' ELSE l6a END) AS page
+         |  FROM seed),
+         |cl AS (
+         |  SELECT doc_id, page, string_split(page, chr(10)) AS lines,
+         |    list_filter(string_split(page, chr(10)), ln ->
+         |      substr(trim(ln), -1, 1) IN ('.', '!', '?', '"')
+         |      AND len(list_filter(regexp_split_to_array(trim(ln), '\\s+'),
+         |        w -> w <> '')) >= 5
+         |      AND NOT contains(lower(trim(ln)), 'javascript')) AS kept
+         |  FROM pg),
+         |m AS (
+         |  SELECT doc_id, page, len(lines) AS n_lines, len(kept) AS n_lines_kept,
+         |    array_to_string(kept, chr(10)) AS cleaned_text,
+         |    len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]+'))
+         |      AS n_sentences,
+         |    contains(lower(page), 'lorem ipsum') AS has_lorem_ipsum,
+         |    contains(page, '{') AS has_curly_brace
+         |  FROM cl)
+         |SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+         |  CAST(n_lines_kept AS INT) AS n_lines_kept,
+         |  CAST(n_sentences AS INT) AS n_sentences,
+         |  has_lorem_ipsum, has_curly_brace,
+         |  n_sentences >= 3 AS ok_sentences,
+         |  (NOT has_lorem_ipsum) AND (NOT has_curly_brace)
+         |    AND n_sentences >= 3 AS pass,
+         |  cleaned_text
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "dedup_soft_weights" ->
+      s"""WITH multi AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $IdShift, text FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT doc_id + ${2 * IdShift}, text FROM documents WHERE doc_id % 4 = 0)
+         |SELECT doc_id,
+         |  count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+         |  round(power(count(*) OVER (PARTITION BY md5(text)), -1.0), 9)
+         |    AS sample_weight
+         |FROM multi ORDER BY doc_id""".stripMargin,
+
+    "corpus_diff" ->
+      s"""WITH prev AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 300),
+         |nxt AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id >= 150 AND doc_id < 450)
+         |SELECT coalesce(p.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN p.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN md5(p.text) <> md5(n.text) THEN 'changed'
+         |       ELSE 'unchanged' END AS status
+         |FROM prev p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_span_remove" ->
       s"""WITH corpus AS (

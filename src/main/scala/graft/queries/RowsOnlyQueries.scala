@@ -230,6 +230,20 @@ object RowsOnlyQueries {
         .orderBy("source")
     }),
 
+    "text_compression_ratio" -> ((s, dir) =>
+      // Deflate-ratio repetitiveness signal, aggregated per source so
+      // reruns are diffable. Rows-only by design: the ratio is
+      // deterministic per zlib build (the JDK's own — all executors of a
+      // cluster agree) but not a cross-engine contract; DeflateSpec pins
+      // the values against an independent in-test Deflater and the
+      // repetitive < prose < random ordering.
+      table(s, dir, "documents")
+        .select(col("source"), TextOps.compressionRatio(col("text")).as("r"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), round(avg("r"), 6).as("avg_ratio"),
+          round(min("r"), 6).as("min_ratio"), round(max("r"), 6).as("max_ratio"))
+        .orderBy("source")),
+
     "mm_phash_dedup" -> ((s, dir) => {
       // Perceptual-hash (aHash) near-dup media pairs: originals + planted
       // 4-byte perturbations (+100000) + exact copies (+200000, every 7th

@@ -571,4 +571,115 @@ class DedupTextSpec extends SparkSpec {
     assert(ur.getAs[Double]("bullet_ratio") == 0.5)
     assert(ur.getAs[Double]("ellipsis_ratio") == 1.0)
   }
+
+  test("c4Clean: line rules (terminal punct, min words, javascript) and sentence count") {
+    val page = Seq(
+      "This line has enough words and ends well.", // kept
+      "Too short line.",                           // 3 words -> dropped
+      "this line has plenty of words but no terminal punctuation", // dropped
+      "Please enable JavaScript to continue reading this article.", // dropped
+      "Is this a proper question line?",           // kept
+      "\"A quoted line with five words here.\""    // ends with quote -> kept
+    ).mkString("\n")
+    val r = Seq(page).toDF("t")
+      .select(TextOps.c4Clean(col("t")).as("c")).select("c.*").head()
+    assert(r.getAs[Int]("n_lines") == 6)
+    assert(r.getAs[Int]("n_lines_kept") == 3)
+    assert(r.getAs[String]("cleaned_text") ==
+      Seq("This line has enough words and ends well.",
+        "Is this a proper question line?",
+        "\"A quoted line with five words here.\"").mkString("\n"))
+    // runs of [.!?]+ in the CLEANED text: '.', '?', '.' (the closing
+    // quote splits the final run)
+    assert(r.getAs[Int]("n_sentences") == 3)
+    assert(!r.getAs[Boolean]("has_lorem_ipsum"))
+    assert(!r.getAs[Boolean]("has_curly_brace"))
+    assert(r.getAs[Boolean]("ok_sentences") && r.getAs[Boolean]("pass"))
+  }
+
+  test("c4Clean: each page-level rule fails on its own violation") {
+    val good = Seq(
+      "The first sentence here is fine and real.",
+      "The second sentence here is fine and real.",
+      "The third sentence here is fine and real.").mkString("\n")
+    def flags(t: String) = Seq(t).toDF("t")
+      .select(TextOps.c4Clean(col("t")).as("c")).select("c.*").head()
+    assert(flags(good).getAs[Boolean]("pass"))
+    val lorem = flags(good + "\nLOREM Ipsum dolor sit amet text.")
+    assert(lorem.getAs[Boolean]("has_lorem_ipsum") && !lorem.getAs[Boolean]("pass"))
+    // the brace line is itself dropped (no terminal punct) but still
+    // poisons the page flag
+    val brace = flags(good + "\nvar config = { a: 1 }")
+    assert(brace.getAs[Boolean]("has_curly_brace") && !brace.getAs[Boolean]("pass"))
+    assert(brace.getAs[Int]("n_lines_kept") == 3)
+    val short = flags(good.split("\n").take(2).mkString("\n"))
+    assert(short.getAs[Int]("n_sentences") == 2)
+    assert(!short.getAs[Boolean]("ok_sentences") && !short.getAs[Boolean]("pass"))
+    // empty page: nothing kept, every count 0, only the sentence rule fails
+    val e = flags("")
+    assert(e.getAs[Int]("n_lines_kept") == 0 && e.getAs[String]("cleaned_text") == "")
+    assert(!e.getAs[Boolean]("pass") && !e.getAs[Boolean]("has_curly_brace"))
+  }
+
+  test("softDedupWeights: weight = n^(-beta), beta regimes") {
+    val df = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "z")).toDF("id", "t")
+    def w(beta: Double) = Dedup.softDedupWeights(df, "id", "t", beta)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_copies"), r.getAs[Double]("sample_weight"))).toMap
+    val b1 = w(1.0)
+    assert(b1(1L) == (3L, 0.333333333) && b1(2L) == (3L, 0.333333333))
+    assert(b1(4L) == (1L, 1.0))
+    // beta = 0: everything keeps weight 1 (counts still reported)
+    assert(w(0.0)(1L) == (3L, 1.0))
+    // beta = 0.5: 3^-0.5 rounded to 9 dp
+    assert(w(0.5)(1L)._2 == BigDecimal(1.0 / math.sqrt(3.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // total weight of a dup set at beta = 1 is 1.0 (exact-dedup parity
+    // in expectation)
+    assert(math.abs(b1(1L)._2 * 3 - 1.0) < 1e-8)
+  }
+
+  test("corpusDiff: added/removed/changed/unchanged partition the id universe") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
+    val next = Seq((2L, "b"), (3L, "c prime"), (4L, "d")).toDF("id", "t")
+    val out = Dedup.corpusDiff(prev, next, "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("compressionRatio: exact Deflater parity, ordering, empty-text edge") {
+    // comparable byte lengths (~2.5 KB each): at short lengths the fixed
+    // deflate header dominates and every ratio collapses toward 1
+    val prose = (1 to 40).map(i =>
+      s"Sentence number $i talks about the quick brown fox and the lazy dog by river $i.")
+      .mkString(" ")
+    val repetitive = "ab " * 800
+    val highEntropy = (1 to 80).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .mkString(" ")
+    def expected(s: String, level: Int = 6): Double = {
+      val raw = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(level)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      n.toDouble / raw.length
+    }
+    val rows = Seq(prose, repetitive, highEntropy, "").toDF("t")
+      .select(TextOps.compressionRatio(col("t")).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(rows(0) == expected(prose))
+    assert(rows(1) == expected(repetitive))
+    assert(rows(2) == expected(highEntropy))
+    assert(rows(3) == 1.0)
+    assert(rows(1) < rows(0) && rows(0) < rows(2))
+    // non-default level flows through
+    val r1 = Seq(prose).toDF("t")
+      .select(TextOps.compressionRatio(col("t"), level = 1)).head().getDouble(0)
+    assert(r1 == expected(prose, 1))
+  }
 }
