@@ -26,7 +26,12 @@ object Bench {
       graft.queries.Q.tableNames
         .foreach(t => graft.queries.Q.table(spark, sfDir, t).count())
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: run only these queries (local profiling — the
+    // driver always invokes with no args, timing the full surface)
+    val only: Set[String] = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9

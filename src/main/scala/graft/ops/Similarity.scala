@@ -50,6 +50,40 @@ object Similarity {
       .select(col(qid), col(id), col("cos"), col("rank"))
   }
 
+  /** ColBERT-style late-interaction MaxSim score (Khattab & Zaharia
+    * 2020, "ColBERT: Efficient and Effective Passage Search…"): for two
+    * `array<array<double>>` token-vector columns,
+    * `Σ over query tokens of max over doc tokens of cosine`. Pure
+    * per-pair HOF projection — no shuffle, no state; the inner
+    * dot/norm are the native codegen'd vector expressions, the
+    * transform/aggregate loops interpreted. Per-pair cost is
+    * |Q|·|D| dot products, so at scale apply it as the RERANK stage
+    * after ANN pruning on pooled vectors (the production ColBERT
+    * shape), not corpus-wide. Docs with zero token vectors score
+    * null. */
+  def maxSimScore(qToks: Column, dToks: Column): Column =
+    aggregate(qToks, lit(0.0), (acc, qt) =>
+      acc + array_max(transform(dToks, dt => cosine(qt, dt))))
+
+  /** Late-interaction top-k retrieval — the multi-vector analogue of
+    * [[bruteForceTopK]]: brute MaxSim of each query's token vectors
+    * against every doc's, same broadcast shape (queries broadcast, the
+    * corpus never shuffled beyond the per-query k-row window). Ranks on
+    * the ROUNDED score with an id tiebreak so cross-engine ulp noise
+    * cannot flip neighboring ranks. Compose with [[ivfTopK]] over
+    * pooled (e.g. mean) vectors for candidate generation at 100 TB. */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      toks: String, qid: String, qToks: String, k: Int,
+      scoreRound: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val joined = corpus.join(broadcast(queries))
+      .withColumn("score", round(maxSimScore(col(qToks), col(toks)), scoreRound))
+    val filtered = if (excludeSelf) joined.where(col(id) =!= col(qid)) else joined
+    val w = Window.partitionBy(qid).orderBy(col("score").desc, col(id).asc)
+    filtered.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qid), col(id), col("score"), col("rank"))
+  }
+
   /** Deterministic Gaussian hyperplane grid: splitmix64-hashed (plane,
     * dim) coordinates Box–Muller-mapped to N(0,1) — computed ONCE on the
     * driver and shipped as literals, so the per-row cost is nBits

@@ -379,6 +379,30 @@ object Stats {
     bounds.foldLeft(lit(0))((acc, b) =>
       acc + when(value > lit(b), 1).otherwise(0))
 
+  /** Winsorization: clip `value` at the [lowerQ, upperQ] EXACT-quantile
+    * fences fitted on `df` itself — the standard heavy-tail guard before
+    * scaling/averaging (outlier-robust cousin of
+    * [[fitStandardScaler]]; [[outlierStats]] REPORTS tail rows, this
+    * REPAIRS them). Two passes by necessity (the fences are global
+    * statistics): one percentile aggregation, fences collected (2
+    * scalars), then a pure branch-free clip projection. Fences are
+    * rounded like [[fitQuantileBins]] for ulp-robust cross-engine
+    * comparison. Exact `percentile` buffers values per partition — at
+    * extreme scale substitute the KLL sketch table's quantiles
+    * ([[buildKllSketches]]) for the fit pass. Adds column `out`. */
+  def winsorize(df: DataFrame, value: Column, lowerQ: Double = 0.01,
+      upperQ: Double = 0.99, out: String = "winsorized",
+      fenceRound: Int = 6): DataFrame = {
+    require(lowerQ >= 0.0 && lowerQ < upperQ && upperQ <= 1.0,
+      "need 0 <= lowerQ < upperQ <= 1")
+    val v = value.cast("double")
+    val row = df.agg(
+      round(percentile(v, lit(lowerQ)), fenceRound).as("lo"),
+      round(percentile(v, lit(upperQ)), fenceRound).as("hi")).head()
+    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+    df.withColumn(out, greatest(least(v, lit(hi)), lit(lo)))
+  }
+
   /** Per-group outlier profile: row counts outside the z-score fence
     * (`|x − μ| > z·σ`, population σ) and outside the Tukey IQR fence
     * (`x < q1 − f·IQR` or `x > q3 + f·IQR`, exact quartiles). Two passes

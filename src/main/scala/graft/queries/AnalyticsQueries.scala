@@ -32,6 +32,20 @@ object AnalyticsQueries {
           ref = "view", cur = "error", k = 10, alpha = 0.5)
         .select(round(col("psi"), 6).as("psi"), col("n_ref"), col("n_cur"))),
 
+    "g_winsorize" -> ((s, dir) => {
+      // Winsorize `value` at the exact 5%/95% quantile fences, then
+      // per-type moments of the clipped column — the heavy-tail guard
+      // before scaling (fences fitted once on the whole frame).
+      val w = Stats.winsorize(table(s, dir, "events"), col("value"),
+        lowerQ = 0.05, upperQ = 0.95)
+      w.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg("winsorized"), 6).as("avg_w"),
+          round(min("winsorized"), 6).as("min_w"),
+          round(max("winsorized"), 6).as("max_w"))
+        .orderBy("event_type")
+    }),
+
     "g_bootstrap_ci" -> ((s, dir) =>
       // Poisson-bootstrap 95% CI for mean(value): 50 hash-deterministic
       // replicates in ONE wide aggregation pass, driver percentile over
@@ -505,6 +519,17 @@ object AnalyticsQueries {
          |             (nc + 0.5) / (tc + 5.0) AS q, tr, tc
          |      FROM dense, t)""".stripMargin
     },
+
+    "g_winsorize" ->
+      """WITH f AS (
+        |  SELECT round(quantile_cont(value, 0.05), 6) AS lo,
+        |         round(quantile_cont(value, 0.95), 6) AS hi
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  round(avg(greatest(least(value, hi), lo)), 6) AS avg_w,
+        |  round(min(greatest(least(value, hi), lo)), 6) AS min_w,
+        |  round(max(greatest(least(value, hi), lo)), 6) AS max_w
+        |FROM events CROSS JOIN f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

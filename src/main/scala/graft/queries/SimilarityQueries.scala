@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.ops.{Pca, Similarity}
 import graft.queries.Q._
@@ -111,6 +112,23 @@ object SimilarityQueries {
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       Similarity.bruteForceTopK(e, queries, "vec_id", "v", "qid", "qv", k = 5)
         .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    "retrieval_maxsim" -> ((s, dir) => {
+      // ColBERT-style late interaction: token vectors manufactured by
+      // slicing each 64-dim embedding into 8 contiguous 8-dim
+      // sub-vectors (both engines replay the same slicing), then brute
+      // MaxSim top-5 for 3 queries. Rank on the rounded score + id.
+      val e = emb(s, dir).where(col("vec_id") < 300)
+      def toks(v: Column) =
+        transform(sequence(lit(0), lit(7)), i => slice(v, i * 8 + 1, lit(8)))
+      val docs = e.select(col("vec_id"), toks(col("v")).as("dt"))
+      val qs = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), toks(col("v")).as("qt"))
+      Similarity.maxSimTopK(docs, qs, "vec_id", "dt", "qid", "qt", k = 5)
+        .select(col("qid"), col("vec_id"), col("score"),
           col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
@@ -320,6 +338,31 @@ object SimilarityQueries {
        |FROM (SELECT vec_id, $vSql AS v FROM embeddings WHERE vec_id < 400)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "retrieval_maxsim" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, $vSql AS v
+         |  FROM embeddings WHERE vec_id < 300),
+         |tk AS (
+         |  SELECT vec_id, list_transform(range(8), i -> v[(i*8+1):(i*8+8)]) AS t
+         |  FROM e),
+         |q AS (SELECT vec_id AS qid, t AS qt FROM tk WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.qid, tk.vec_id,
+         |    round(list_reduce(list_transform(q.qt, qv ->
+         |      list_max(list_transform(tk.t, dv ->
+         |        list_dot_product(qv, dv) /
+         |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(dv, dv)))))),
+         |      (a, b) -> a + b), 4) AS score
+         |  FROM tk CROSS JOIN q
+         |  WHERE tk.vec_id <> q.qid),
+         |rk AS (
+         |  SELECT qid, vec_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)
+         |      AS rank
+         |  FROM scored)
+         |SELECT qid, vec_id, score, rank FROM rk WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+
     "embedding_pca_cov" ->
       s"""WITH ex AS (
          |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,

@@ -372,4 +372,18 @@ class AnalyticsSpec extends SparkSpec {
       assert(a.getAs[Double]("cusum_dn") == b.getAs[Double]("cusum_dn"))
     }
   }
+
+  test("winsorize: exact interpolated fences clip tails, interior untouched") {
+    import spark.implicits._
+    val df = (1 to 10).map(_.toDouble).toDF("x")
+    // exact percentile of 1..10: q(p) = 1 + 9p -> lo = 1.45, hi = 9.55
+    val out = Stats.winsorize(df, col("x"), lowerQ = 0.05, upperQ = 0.95)
+      .collect().map(r => r.getAs[Double]("x") -> r.getAs[Double]("winsorized")).toMap
+    assert(out(1.0) == 1.45 && out(10.0) == 9.55)
+    (2 to 9).foreach(i => assert(out(i.toDouble) == i.toDouble))
+    // degenerate quantile order rejected loudly
+    intercept[IllegalArgumentException] {
+      Stats.winsorize(df, col("x"), lowerQ = 0.9, upperQ = 0.1)
+    }
+  }
 }

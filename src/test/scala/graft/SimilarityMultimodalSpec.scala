@@ -309,4 +309,42 @@ class SimilarityMultimodalSpec extends SparkSpec {
     val zeroPairs = banded.filter(_._3 == 0L).map(p => (p._1, p._2))
     assert((0L until 10L).forall(i => zeroPairs.contains((i, i + 2000))))
   }
+
+  test("maxSimScore: per-query-token best match sums; orthogonal tokens add nothing") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), Seq(Seq(1.0, 0.0))),
+      (2L, Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), Seq(Seq(2.0, 0.0), Seq(0.0, 3.0))),
+      (3L, Seq(Seq(1.0, 1.0)), Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))))
+      .toDF("id", "qt", "dt")
+    val out = rows.select(col("id"),
+        round(Similarity.maxSimScore(col("qt"), col("dt")), 6).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // q1 matches the single doc token exactly, q2 is orthogonal to it
+    assert(out(1L) == 1.0)
+    // scale-invariant cosine: both query tokens find a perfect match
+    assert(out(2L) == 2.0)
+    // [1,1] vs axis tokens: max cosine = 1/sqrt(2) either way
+    assert(out(3L) == BigDecimal(1.0 / math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("maxSimTopK: ranks by rounded score, excludes self, ties break by id") {
+    import spark.implicits._
+    def tok(xs: (Double, Double)*) = xs.map(x => Seq(x._1, x._2))
+    val corpus = Seq(
+      (10L, tok((1.0, 0.0), (0.0, 1.0))), // perfect on both query tokens
+      (11L, tok((1.0, 0.0))),             // perfect on q1, zero on q2 -> 1.0
+      (12L, tok((1.0, 0.1))),             // ~0.995 on q1 PLUS ~0.0995 on q2 -> ~1.0945
+      (13L, tok((-1.0, 0.0), (0.0, -1.0))), // anti-aligned
+      (99L, tok((1.0, 0.0), (0.0, 1.0)))  // the query itself (excluded)
+    ).toDF("id", "dt")
+    val qs = Seq((99L, tok((1.0, 0.0), (0.0, 1.0)))).toDF("qid", "qt")
+    val out = Similarity.maxSimTopK(corpus, qs, "id", "dt", "qid", "qt", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"), r.getAs[Int]("rank")))
+    assert(out.map(_._1).toSeq == Seq(10L, 12L, 11L))
+    assert(out(0)._2 == 2.0)
+    assert(!out.map(_._1).contains(99L))
+  }
 }
