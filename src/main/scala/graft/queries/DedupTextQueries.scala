@@ -569,6 +569,36 @@ object DedupTextQueries {
         .orderBy("component")
     }),
 
+    "linkage_fellegi_sunter" -> ((s, dir) => {
+      // Probabilistic record linkage (Fellegi–Sunter, EM-fitted with NO
+      // labels): within-brand candidate pairs over part, three
+      // comparison fields (type equality, size ±2, retail price ±10 —
+      // thresholds chosen so all 8 γ-patterns occur). 2 EM iterations
+      // (the oracle unrolls both with the same 9-dp iterate rounding);
+      // output = the 8-pattern table with fitted posterior + weight.
+      val p = table(s, dir, "part").where(col("p_partkey") < 300)
+      val a = p.select(col("p_partkey").as("id_a"), col("p_brand").as("brand"),
+        col("p_type").as("type_a"), col("p_size").as("size_a"),
+        col("p_retailprice").as("price_a"))
+      val b = p.select(col("p_partkey").as("id_b"), col("p_brand").as("brand_b"),
+        col("p_type").as("type_b"), col("p_size").as("size_b"),
+        col("p_retailprice").as("price_b"))
+      val pairs = a.join(b,
+          col("brand") === col("brand_b") && col("id_a") < col("id_b"))
+        .select(
+          (col("type_a") === col("type_b")).as("g_type"),
+          (abs(col("size_a") - col("size_b")) <= 2).as("g_size"),
+          (abs(col("price_a") - col("price_b")) <= 10.0).as("g_price"))
+      graft.ops.RecordLinkage
+        .fellegiSunter(pairs, Seq("g_type", "g_size", "g_price"),
+          lambda0 = 0.1, iters = 2)
+        .groupBy("g_type", "g_size", "g_price")
+        .agg(count(lit(1)).as("n"),
+          round(first("match_prob"), 6).as("match_prob"),
+          round(first("match_weight"), 4).as("match_weight"))
+        .orderBy("g_type", "g_size", "g_price")
+    }),
+
     "text_lm_score" -> ((s, dir) =>
       // Unigram-LM fluency (perplexity proxy): model trained on the whole
       // corpus, docs < 100 scored.
@@ -1171,6 +1201,60 @@ object DedupTextQueries {
          |  round((CASE grp WHEN 'en' THEN 0.6 WHEN 'es' THEN 0.3 WHEN 'fr' THEN 0.1
          |    ELSE 0.0 END) / (n * 1.0 / total), 6) AS weight
          |FROM c, t ORDER BY grp""".stripMargin,
+
+    "linkage_fellegi_sunter" -> {
+      // Replays BOTH EM iterations from the deterministic start
+      // (m = 0.9, u = 0.1, lam = 0.1), rounding every new parameter to
+      // 9 dp at exactly the same points as RecordLinkage.fellegiSunterFit
+      // (the (1 - x) forms mirror the Scala arithmetic — DO NOT fold
+      // them to literals, 1 - 0.1 is a different double than 0.9 in
+      // general even though they coincide here).
+      def pm(p: String) =
+        s"((CASE WHEN g1 THEN $p.m1 ELSE 1 - $p.m1 END) * " +
+          s"(CASE WHEN g2 THEN $p.m2 ELSE 1 - $p.m2 END) * " +
+          s"(CASE WHEN g3 THEN $p.m3 ELSE 1 - $p.m3 END))"
+      def pu(p: String) =
+        s"((CASE WHEN g1 THEN $p.u1 ELSE 1 - $p.u1 END) * " +
+          s"(CASE WHEN g2 THEN $p.u2 ELSE 1 - $p.u2 END) * " +
+          s"(CASE WHEN g3 THEN $p.u3 ELSE 1 - $p.u3 END))"
+      def wExpr(p: String) =
+        s"$p.lam * ${pm(p)} / ($p.lam * ${pm(p)} + (1 - $p.lam) * ${pu(p)})"
+      def mStep(t: Int) =
+        s"""p$t AS (
+           |  SELECT
+           |    round(sum(CASE WHEN g1 THEN w * n ELSE 0 END) / sum(w * n), 9) AS m1,
+           |    round(sum(CASE WHEN g2 THEN w * n ELSE 0 END) / sum(w * n), 9) AS m2,
+           |    round(sum(CASE WHEN g3 THEN w * n ELSE 0 END) / sum(w * n), 9) AS m3,
+           |    round(sum(CASE WHEN g1 THEN (1 - w) * n ELSE 0 END) / sum((1 - w) * n), 9) AS u1,
+           |    round(sum(CASE WHEN g2 THEN (1 - w) * n ELSE 0 END) / sum((1 - w) * n), 9) AS u2,
+           |    round(sum(CASE WHEN g3 THEN (1 - w) * n ELSE 0 END) / sum((1 - w) * n), 9) AS u3,
+           |    round(sum(w * n) / sum(n), 9) AS lam
+           |  FROM w$t)""".stripMargin
+      s"""WITH p AS (
+         |  SELECT p_partkey AS id, p_brand AS brand, p_type AS type,
+         |    p_size AS size, p_retailprice AS price
+         |  FROM part WHERE p_partkey < 300),
+         |pr AS (
+         |  SELECT (a.type = b.type) AS g1, (abs(a.size - b.size) <= 2) AS g2,
+         |    (abs(a.price - b.price) <= 10.0) AS g3
+         |  FROM p a JOIN p b ON a.brand = b.brand AND a.id < b.id),
+         |pat AS (SELECT g1, g2, g3, CAST(count(*) AS DOUBLE) AS n
+         |        FROM pr GROUP BY 1, 2, 3),
+         |p0 AS (SELECT CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
+         |  CAST(0.9 AS DOUBLE) AS m3, CAST(0.1 AS DOUBLE) AS u1,
+         |  CAST(0.1 AS DOUBLE) AS u2, CAST(0.1 AS DOUBLE) AS u3,
+         |  CAST(0.1 AS DOUBLE) AS lam),
+         |w1 AS (SELECT pat.*, ${wExpr("p")} AS w FROM pat CROSS JOIN p0 p),
+         |${mStep(1)},
+         |w2 AS (SELECT pat.*, ${wExpr("p")} AS w FROM pat CROSS JOIN p1 p),
+         |${mStep(2)}
+         |SELECT g1 AS g_type, g2 AS g_size, g3 AS g_price,
+         |  CAST(n AS BIGINT) AS n,
+         |  round(${wExpr("p")}, 6) AS match_prob,
+         |  round(log2(${pm("p")} / ${pu("p")}), 4) AS match_weight
+         |FROM pat CROSS JOIN p2 p
+         |ORDER BY g_type, g_size, g_price""".stripMargin
+    },
 
     "mixture_doremi" -> {
       // Replays all 4 exponentiated-gradient steps: each step's

@@ -648,6 +648,62 @@ class DedupTextSpec extends SparkSpec {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("fellegiSunter: EM recovers m >> u on planted match structure") {
+    import graft.ops.RecordLinkage
+    // 1000 candidate pairs, 10% planted matches. Matches agree on field
+    // 1 90% / field 2 80% of the time; non-matches 5% / 10%. Field 3 is
+    // a coin on both sides (uninformative).
+    val pairs = (0 until 1000).map { i =>
+      val isMatch = i < 100
+      val g1 = if (isMatch) i % 10 != 0 else i % 20 == 0
+      val g2 = if (isMatch) i % 5 != 0 else i % 10 == 0
+      val g3 = i % 2 == 0
+      (g1, g2, g3)
+    }.toDF("g1", "g2", "g3")
+    val model = RecordLinkage.fellegiSunterFit(pairs, Seq("g1", "g2", "g3"),
+      lambda0 = 0.1, iters = 30)
+    // informative fields separate strongly; the coin field separates
+    // LESS than either (the modular fixture induces some g2–g3
+    // correlation in the non-match class, so it isn't exactly zero)
+    assert(model.m(0) > 0.6 && model.u(0) < 0.2, model)
+    assert(model.m(1) > 0.6 && model.u(1) < 0.3, model)
+    assert(model.m(2) - model.u(2) < model.m(0) - model.u(0), model)
+    assert(model.m(2) - model.u(2) < model.m(1) - model.u(1), model)
+    assert(model.lambda > 0.02 && model.lambda < 0.4, model)
+    // posterior orders patterns sensibly: full agreement >> full disagreement
+    val scored = RecordLinkage.fellegiSunterScore(pairs, model)
+      .groupBy("g1", "g2").agg(avg("match_prob").as("p")).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getDouble(2)).toMap
+    assert(scored((true, true)) > scored((false, false)), scored)
+  }
+
+  test("fellegiSunter: partition-invariant fit, null gammas = disagreement, literal-projection score parity") {
+    import graft.ops.RecordLinkage
+    val pairs = (0 until 400).map { i =>
+      (i < 40 || i % 7 == 0, i % 3 == 0, i % 2 == 0)
+    }.toDF("g1", "g2", "g3")
+    val m1 = RecordLinkage.fellegiSunterFit(pairs, Seq("g1", "g2", "g3"), iters = 5)
+    val m2 = RecordLinkage.fellegiSunterFit(pairs.repartition(7), Seq("g1", "g2", "g3"), iters = 5)
+    assert(m1 == m2)
+    // null comparison = disagreement (the conservative missing-field rule)
+    val withNull = Seq((Some(true), true, true), (None, true, true))
+      .toDF("g1", "g2", "g3")
+    val s = RecordLinkage.fellegiSunterScore(withNull, m1)
+      .select("match_weight").collect().map(_.getDouble(0))
+    val asFalse = RecordLinkage.fellegiSunterScore(
+      Seq((false, true, true)).toDF("g1", "g2", "g3"), m1)
+      .select("match_weight").head().getDouble(0)
+    assert(s(1) == asFalse && s(0) != s(1))
+    // the score is the closed-form literal fold
+    val expected = {
+      def t(g: Boolean, v: Double) = if (g) v else 1.0 - v
+      val pm = t(false, m1.m(0)) * t(true, m1.m(1)) * t(true, m1.m(2))
+      val pu = t(false, m1.u(0)) * t(true, m1.u(1)) * t(true, m1.u(2))
+      math.log(pm / pu) / math.log(2.0)
+    }
+    assert(math.abs(asFalse - expected) < 1e-12)
+  }
+
   test("compressionRatio: exact Deflater parity, ordering, empty-text edge") {
     // comparable byte lengths (~2.5 KB each): at short lengths the fixed
     // deflate header dominates and every ratio collapses toward 1
