@@ -14,7 +14,7 @@ import graft.ops.{Dedup, Stats, TextOps}
   *        editpairs | corr | fuzzyjoin | sessionize | ttd | entityres |
   *        editskew | pagerank | cc | packsplit | spanremove | semdedup |
   *        dsir | paradedup | tokenbudget | groupjac | ndinc |
-  *        qclassifier | zorder
+  *        qclassifier | zorder | maxsim | linkage | corpusdiff
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -368,6 +368,46 @@ object ScaleProbe {
             .repartitionByRange(64, col("z"))
             .sortWithinPartitions(col("z"))
             .count()))
+      case "maxsim" =>
+        // late-interaction brute scan: n docs × 3 queries × 8×8-dim
+        // token vectors = n·3·64 native dot products + the per-query
+        // k-row window; corpus never shuffled
+        def toks(seed: Int) = transform(sequence(lit(0), lit(7)), t =>
+          transform(sequence(lit(0), lit(7)), j =>
+            pmod(xxhash64(col("id"), t * 8 + j, lit(seed)), lit(1000))
+              .cast("double") / 500.0 - 1.0))
+        val d = spark.range(n).select(col("id"), toks(0).as("dt"))
+        val q = spark.range(3).select(col("id").as("qid"), toks(1).as("qt"))
+        d.count()
+        time(s"maxSimTopK n=$n q=3 tokens=8x8 k=10")(
+          graft.ops.Similarity.maxSimTopK(d, q, "id", "dt", "qid", "qt", k = 10)
+            .agg(sum("score")).collect())
+      case "linkage" =>
+        // Fellegi–Sunter fit: the corpus pass is ONE map-side-combined
+        // groupBy over k=4 booleans (16 patterns); EM is driver-side
+        val pairs = spark.range(n).select(
+          (pmod(xxhash64(col("id")), lit(10)) < 3).as("g1"),
+          (pmod(xxhash64(col("id"), lit(1)), lit(10)) < 5).as("g2"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(10)) < 2).as("g3"),
+          (pmod(xxhash64(col("id"), lit(3)), lit(10)) < 6).as("g4"))
+        pairs.count()
+        time(s"fellegiSunter fit+score n=$n k=4 iters=5") {
+          val m = graft.ops.RecordLinkage.fellegiSunterFit(
+            pairs, Seq("g1", "g2", "g3", "g4"), iters = 5)
+          graft.ops.RecordLinkage.fellegiSunterScore(pairs, m)
+            .agg(sum("match_weight")).collect()
+        }
+      case "corpusdiff" =>
+        // two n-row snapshots: 10% of ids edited, 5% only in prev, 5%
+        // only in next — hash-keyed full-outer join over (id, md5) only
+        val prev = docs(n).where(pmod(xxhash64(col("id"), lit(9)), lit(20)) =!= 0)
+        val next = docs(n).where(pmod(xxhash64(col("id"), lit(9)), lit(20)) =!= 1)
+          .withColumn("text", when(pmod(xxhash64(col("id"), lit(8)), lit(10)) === 0,
+            concat(col("text"), lit(" edit"))).otherwise(col("text")))
+        prev.count(); next.count()
+        time(s"corpusDiff n=$n (10% changed, 5% add/remove)")(
+          Dedup.corpusDiff(prev, next, "id", "text")
+            .groupBy("status").count().collect().foreach(r => println("  " + r)))
       case other => sys.error(s"unknown probe op: $other")
     }
     spark.stop()
