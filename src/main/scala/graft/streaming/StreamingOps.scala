@@ -371,6 +371,52 @@ object StreamingOps {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  final case class QuotaDoc(group: String, ts: Timestamp, id: Long,
+      nTokens: Long, text: String)
+  final case class QuotaState(used: Long, closed: Boolean)
+  final case class QuotaOut(group: String, ts: Timestamp, id: Long,
+      nTokens: Long, cumTokens: Long, text: String)
+
+  /** Streaming per-group token-budget admission — ingest-time
+    * enforcement of a data-mixing budget, the online counterpart of
+    * [[graft.ops.TextOps.selectByTokenBudget]]. Batch selection orders
+    * by score and takes the best prefix; a stream cannot reorder the
+    * future, so admission is ARRIVAL-ORDER PREFIX semantics: docs are
+    * admitted while the group's running total stays ≤ `budgetTokens`
+    * (inclusive, the batch op's boundary rule); the first doc that
+    * would overflow CLOSES the group — nothing later is admitted, even
+    * if it would fit. (Skip-and-continue would admit a different SET
+    * than the batch prefix on the same order; closing keeps
+    * stream == batch-prefix parity exact, which the spec pins across
+    * micro-batches.)
+    *
+    * State = one (used, closed) pair per group — bounded by group
+    * cardinality, partitioned across executors by the groupByKey; rows
+    * within a micro-batch fold in (ts, id) order. */
+  object QuotaAdmission {
+    def run(docs: Dataset[QuotaDoc], budgetTokens: Long): Dataset[QuotaOut] = {
+      require(budgetTokens > 0, "budgetTokens must be > 0")
+      import docs.sparkSession.implicits._
+      docs.groupByKey(_.group)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (group: String, rows: Iterator[QuotaDoc], state: GroupState[QuotaState]) => {
+            var st = state.getOption.getOrElse(QuotaState(0L, closed = false))
+            val out = scala.collection.mutable.Buffer[QuotaOut]()
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.id)).foreach { d =>
+              if (!st.closed) {
+                val cum = st.used + d.nTokens
+                if (cum <= budgetTokens) {
+                  st = QuotaState(cum, closed = false)
+                  out += QuotaOut(group, d.ts, d.id, d.nTokens, cum, d.text)
+                } else st = st.copy(closed = true)
+              }
+            }
+            state.update(st)
+            out.iterator
+          })
+    }
+  }
+
   final case class Event(entity: String, ts: Timestamp, yTrue: Int, yPred: Int)
   final case class EpisodeState(startMs: Long, firstDetMs: Long, anyDetected: Boolean)
   final case class Episode(entity: String, startMs: Long, detected: Boolean, delayMs: Long)

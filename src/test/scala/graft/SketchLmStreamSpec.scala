@@ -126,6 +126,45 @@ class SketchLmStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("QuotaAdmission: multi-batch prefix admission equals the batch prefix rule; overflow closes the group") {
+    implicit val sqlCtx = spark.sqlContext
+    def d(g: String, s: Int, id: Long, n: Long) =
+      StreamingOps.QuotaDoc(g, ts(s), id, n, s"doc$id")
+    val input = MemoryStream[StreamingOps.QuotaDoc]
+    val q = StreamingOps.QuotaAdmission.run(input.toDS(), budgetTokens = 100L)
+      .writeStream.format("memory").queryName("quotastream")
+      .outputMode("append").start()
+    try {
+      // batch 1: a gets 40 + 40 (cum 80); shuffled arrival re-sorts by ts
+      input.addData(d("a", 2, 11L, 40L), d("a", 1, 10L, 40L), d("b", 1, 20L, 99L))
+      q.processAllAvailable()
+      // batch 2: a's 30 overflows (80+30 > 100) and CLOSES the group —
+      // the later 10-token doc would fit but must NOT be admitted;
+      // b's 1-token doc hits the budget exactly (inclusive boundary)
+      input.addData(d("a", 3, 12L, 30L), d("a", 4, 13L, 10L), d("b", 2, 21L, 1L))
+      q.processAllAvailable()
+      val online = spark.table("quotastream")
+        .select("group", "id", "cumTokens").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(online == Set(("a", 10L, 40L), ("a", 11L, 80L),
+        ("b", 20L, 99L), ("b", 21L, 100L)))
+      // batch twin: the same docs in (ts, id) order, window prefix sum,
+      // admitted = the longest prefix with cum <= budget
+      import org.apache.spark.sql.expressions.Window
+      val all = Seq(("a", 1L, 10L, 40L), ("a", 2L, 11L, 40L), ("a", 3L, 12L, 30L),
+        ("a", 4L, 13L, 10L), ("b", 1L, 20L, 99L), ("b", 2L, 21L, 1L))
+        .toDF("group", "t", "id", "n")
+      val w = Window.partitionBy("group").orderBy("t", "id")
+      val batch = all.withColumn("cum", sum("n").over(w))
+        .withColumn("bad", max(when(col("cum") > 100L, col("t"))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("cum") <= 100L && col("bad").isNull)
+        .select("group", "id", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(online == batch)
+    } finally q.stop()
+  }
+
   test("enrichStream: stream-static broadcast join enriches per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
