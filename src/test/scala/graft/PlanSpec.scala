@@ -195,6 +195,36 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("retrieval_maxsim: queries broadcast to the corpus; corpus only shuffles for the per-query window") {
+    val p = plan("retrieval_maxsim")
+    // the 3-query side is the broadcast build; the corpus is never the
+    // build side and never sort-merge-joined
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // both scans prune to (vec_id, embedding) with the id filter pushed
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,300)]"), p)
+  }
+
+  test("linkage_fellegi_sunter: blocking join broadcasts; record scan pruned + pushed") {
+    val p = plan("linkage_fellegi_sunter")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(p_partkey), LessThan(p_partkey,300), IsNotNull(p_brand)]"), p)
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_brand:string,p_type:string,p_size:int,p_retailprice:double>"), p)
+    // the pattern collapse partial-aggregates map-side before its exchange
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("corpus_diff: snapshots collapse to (id, md5) before the full-outer join") {
+    val p = plan("corpus_diff")
+    // full-outer cannot broadcast — the sort-merge join is the correct
+    // scale shape, and both scans read only (doc_id, text)
+    assert("SortMergeJoin .*FullOuter".r.findFirstIn(p).isDefined, p)
+    assert("ReadSchema: struct<doc_id:bigint,text:string>".r.findAllIn(p).size == 2, p)
+    assert(p.contains("GreaterThanOrEqual(doc_id,150)"), p)
+  }
+
   test("rocCurve: the only full-data pass is the map-side-combined groupBy(score)") {
     val p = planOf(graft.ops.Curves.rocCurve(
       graft.queries.Q.scoredEvents(spark, dir), col("y_true"), col("score")))
