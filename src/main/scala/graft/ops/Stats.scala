@@ -379,6 +379,43 @@ object Stats {
     bounds.foldLeft(lit(0))((acc, b) =>
       acc + when(value > lit(b), 1).otherwise(0))
 
+  /** k-anonymity profile over quasi-identifier columns — the privacy
+    * audit a dataset card needs before release: every QI combination's
+    * row count plus its `at_risk` flag (`n < k` — individuals in such a
+    * combination are re-identifiable within a group smaller than k).
+    * ONE map-side-combined aggregation; suppress or generalize the
+    * flagged combinations upstream (e.g. coarsen a column and re-run). */
+  def kAnonymity(df: DataFrame, quasi: Seq[Column], k: Int): DataFrame = {
+    require(quasi.nonEmpty && k >= 2, "need QI columns and k >= 2")
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < k)
+  }
+
+  /** ε-differentially-private group counts via the Laplace mechanism
+    * (Dwork et al. 2006) with the PORTABLE seeded hash RNG: noise is
+    * the inverse-CDF Laplace(sensitivity/ε) draw from
+    * [[Robustness.seededUniform]] keyed on the group value, so the
+    * released counts are deterministic per (seed, group) — reproducible
+    * across engines, partitionings, and reruns (publish each release
+    * under a FRESH seed; a reused seed reuses its noise). One
+    * map-side-combined aggregation + a pure projection. Keeps `n_true`
+    * alongside `n_noisy` for in-pipeline auditing — drop it before
+    * publishing. */
+  def dpGroupCounts(df: DataFrame, group: Column, epsilon: Double,
+      seed: Long, sensitivity: Double = 1.0): DataFrame = {
+    require(epsilon > 0.0 && sensitivity > 0.0, "need epsilon, sensitivity > 0")
+    val b = sensitivity / epsilon
+    val u0 = Robustness.seededUniform(seed,
+      IntHash.stringHash(col("grp").cast("string")))
+    val u = greatest(least(u0, lit(1.0 - 1e-12)), lit(1e-12))
+    val noise = when(u < 0.5, lit(b) * log(lit(2.0) * u))
+      .otherwise(-lit(b) * log(lit(2.0) * (lit(1.0) - u)))
+    df.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("n_noisy", col("n_true") + noise)
+  }
+
   /** Winsorization: clip `value` at the [lowerQ, upperQ] EXACT-quantile
     * fences fitted on `df` itself — the standard heavy-tail guard before
     * scaling/averaging (outlier-robust cousin of

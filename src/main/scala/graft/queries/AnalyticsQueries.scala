@@ -32,6 +32,23 @@ object AnalyticsQueries {
           ref = "view", cur = "error", k = 10, alpha = 0.5)
         .select(round(col("psi"), 6).as("psi"), col("n_ref"), col("n_cur"))),
 
+    "g_k_anonymity" -> ((s, dir) =>
+      // Privacy audit: (lang, source) quasi-identifier combos with the
+      // under-k re-identification flag (k = 8 so both flag values occur).
+      Stats.kAnonymity(table(s, dir, "documents"),
+          Seq(col("lang"), col("source")), k = 8)
+        .orderBy("lang", "source")),
+
+    "g_dp_counts" -> ((s, dir) =>
+      // ε-DP per-source counts: Laplace(1/ε) noise from the portable
+      // seeded hash RNG keyed on the group value — deterministic per
+      // (seed, group), exactly replayable in the twin.
+      Stats.dpGroupCounts(table(s, dir, "documents"), col("source"),
+          epsilon = 0.5, seed = 11L)
+        .select(col("grp").as("source"), col("n_true"),
+          round(col("n_noisy"), 6).as("n_noisy"))
+        .orderBy("source")),
+
     "g_winsorize" -> ((s, dir) => {
       // Winsorize `value` at the exact 5%/95% quantile fences, then
       // per-type moments of the clipped column — the heavy-tail guard
@@ -518,6 +535,25 @@ object AnalyticsQueries {
          |FROM (SELECT (nr + 0.5) / (tr + 5.0) AS p,
          |             (nc + 0.5) / (tc + 5.0) AS q, tr, tc
          |      FROM dense, t)""".stripMargin
+    },
+
+    "g_k_anonymity" ->
+      """SELECT lang, source, count(*) AS n, count(*) < 8 AS at_risk
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g_dp_counts" -> {
+      val b = 1.0 / 0.5
+      val u0 = graft.ops.Robustness.seededUniformSql("11",
+        Seq(graft.ops.IntHash.stringHashSql("gs")))
+      s"""WITH c AS (SELECT source AS grp, count(*) AS n_true
+         |           FROM documents GROUP BY 1),
+         |g AS (SELECT grp, n_true, CAST(grp AS VARCHAR) AS gs FROM c),
+         |u AS (SELECT grp, n_true,
+         |        greatest(least($u0, 1.0 - 1e-12), 1e-12) AS u FROM g)
+         |SELECT grp AS source, n_true,
+         |  round(n_true + CASE WHEN u < 0.5 THEN $b * ln(2.0 * u)
+         |    ELSE -$b * ln(2.0 * (1.0 - u)) END, 6) AS n_noisy
+         |FROM u ORDER BY source""".stripMargin
     },
 
     "g_winsorize" ->

@@ -373,6 +373,40 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("kAnonymity: under-k combos flagged, one aggregation") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("en", "a")) ++ Seq(("en", "b")) ++
+      Seq.fill(3)(("fr", "a"))).toDF("lang", "src")
+    val out = Stats.kAnonymity(df, Seq(col("lang"), col("src")), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(("en", "a")) == (5L, false))
+    assert(out(("en", "b")) == (1L, true))
+    assert(out(("fr", "a")) == (3L, false))
+    intercept[IllegalArgumentException](Stats.kAnonymity(df, Seq.empty, 3))
+  }
+
+  test("dpGroupCounts: per-(seed, group) deterministic Laplace noise, fresh seed fresh noise") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (s"g${i % 20}", i)).toDF("g", "x")
+    def run(seed: Long) = Stats.dpGroupCounts(df, col("g"), epsilon = 0.5, seed = seed)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val a = run(7L); val b = run(7L); val c = run(8L)
+    assert(a == b)                       // reproducible release
+    assert(a.keySet == c.keySet && a != c) // a fresh seed redraws noise
+    assert(a.values.forall(_._1 == 10L))
+    // noise is keyed on the GROUP VALUE: the same group in a different
+    // frame draws the same noise
+    val other = Seq(("g3", 1), ("g3", 2), ("g3", 3)).toDF("g", "x")
+    val o = Stats.dpGroupCounts(other, col("g"), epsilon = 0.5, seed = 7L)
+      .head()
+    // (n + noise) - n re-rounds differently per n, so compare to ulp scale
+    assert(math.abs((o.getDouble(2) - o.getLong(1)) -
+      (a("g3")._2 - a("g3")._1)) < 1e-12)
+    // 20 group draws are distinct (the RNG isn't collapsing)
+    assert(a.values.map(v => v._2 - v._1).toSet.size == 20)
+  }
+
   test("winsorize: exact interpolated fences clip tails, interior untouched") {
     import spark.implicits._
     val df = (1 to 10).map(_.toDouble).toDF("x")
