@@ -408,6 +408,29 @@ object TextOps {
       .withColumn("ppl", exp(-col("avg_logp")))
   }
 
+  /** CCNet-style perplexity tiering (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets…"): score every doc
+    * with the add-1 bigram LM ([[bigramLmScore]]), then label
+    * head/middle/tail by the corpus's own perplexity TERCILES — the
+    * standard quality-tiering step before mixing (train mostly on head,
+    * sample middle, drop or inspect tail). Perplexities are rounded to
+    * 4 dp before the tercile fit so the fences are ulp-robust across
+    * engines (the [[Stats.fitQuantileBins]] treatment); the scored
+    * frame is persisted because the fence fit and the output scan would
+    * otherwise evaluate the LM join lineage twice. Generalize to other
+    * k / an external reference LM by composing [[bigramLmScore]] with
+    * [[Stats.fitQuantileBins]] directly. */
+  def perplexityBuckets(df: org.apache.spark.sql.DataFrame, id: String,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val scored = bigramLmScore(df, id, text)
+      .withColumn("ppl_r", round(col("ppl"), 4)).persist()
+    val bounds = Stats.fitQuantileBins(scored, col("ppl_r"), 3)
+    val bucket = Stats.applyQuantileBins(col("ppl_r"), bounds)
+    scored.withColumn("ppl_bucket",
+      when(bucket === 0, "head").when(bucket === 1, "middle")
+        .otherwise("tail"))
+  }
+
   /** Canonical text normalization for dedup/matching keys: lower-case,
     * strip ASCII punctuation, collapse whitespace runs, trim. Pure
     * codegen'd projections (RE2-portable regexes — the DuckDB twin

@@ -653,6 +653,16 @@ object DedupTextQueries {
         .orderBy("group_a", "group_b")
     }),
 
+    "text_ppl_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail tiering: terciles fitted on the WHOLE
+      // corpus's rounded perplexities, sliced output.
+      TextOps.perplexityBuckets(table(s, dir, "documents"), "doc_id",
+          col("text"))
+        .where(col("doc_id") < 120)
+        .select(col("doc_id"), col("n_bigrams"), col("ppl_r").as("ppl"),
+          col("ppl_bucket"))
+        .orderBy("doc_id")),
+
     "text_bigram_lm" -> ((s, dir) =>
       // Context-aware fluency: add-1 bigram LM perplexity per doc.
       TextOps.bigramLmScore(table(s, dir, "documents"), "doc_id",
@@ -772,6 +782,32 @@ object DedupTextQueries {
          |  round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
          |FROM it JOIN sz sa ON sa.g = group_a JOIN sz sb ON sb.g = group_b
          |ORDER BY 1, 2""".stripMargin,
+
+    "text_ppl_buckets" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
+         |    '\\s+'), x -> x <> '') AS toks FROM documents),
+         |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |         i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM tok),
+         |c AS (SELECT bg, count(*) AS cnt FROM bi GROUP BY 1),
+         |cw AS (SELECT bg, cnt, split_part(bg, ' ', 1) AS w1 FROM c),
+         |p AS (SELECT w1, sum(cnt) AS pcnt FROM cw GROUP BY 1),
+         |v AS (SELECT count(DISTINCT u) AS vs FROM
+         |        (SELECT unnest(toks) AS u FROM tok)),
+         |lp AS (SELECT bg, ln((cnt + 1.0) / (pcnt + vs)) AS logp
+         |       FROM cw JOIN p USING (w1) CROSS JOIN v),
+         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        round(exp(-avg(logp)), 4) AS ppl
+         |      FROM bi JOIN lp USING (bg) GROUP BY 1),
+         |f AS (SELECT round(quantile_cont(ppl, CAST(1 AS DOUBLE) / 3), 6) AS q1,
+         |        round(quantile_cont(ppl, CAST(2 AS DOUBLE) / 3), 6) AS q2
+         |      FROM d)
+         |SELECT doc_id, n_bigrams, ppl,
+         |  CASE (CASE WHEN ppl > q1 THEN 1 ELSE 0 END
+         |      + CASE WHEN ppl > q2 THEN 1 ELSE 0 END)
+         |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END
+         |    AS ppl_bucket
+         |FROM d CROSS JOIN f WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
 
     "text_bigram_lm" ->
       s"""WITH tok AS (

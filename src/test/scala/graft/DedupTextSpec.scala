@@ -648,6 +648,23 @@ class DedupTextSpec extends SparkSpec {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("perplexityBuckets: corpus terciles label head/middle/tail consistently with ppl") {
+    val docs = (0 until 9).map { i =>
+      // doc i repeats a common phrase and adds i rare words -> spread ppl
+      val common = Seq.fill(9 - i)("the cat sat").mkString(" ")
+      val rare = (0 until i).map(j => s"zq${i}_$j").mkString(" ")
+      (i.toLong, s"$common $rare".trim)
+    }.toDF("doc_id", "text")
+    val out = TextOps.perplexityBuckets(docs, "doc_id", col("text"))
+      .select("doc_id", "ppl_r", "ppl_bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.map(_._3).toSet == Set("head", "middle", "tail"), out.mkString(","))
+    // labels are monotone in perplexity (the fences ARE ppl terciles)
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    val sorted = out.sortBy(_._2).map(t => order(t._3))
+    assert(sorted.sameElements(sorted.sorted), out.mkString(","))
+  }
+
   test("fellegiSunter: EM recovers m >> u on planted match structure") {
     import graft.ops.RecordLinkage
     // 1000 candidate pairs, 10% planted matches. Matches agree on field
