@@ -440,6 +440,28 @@ object Stats {
     df.withColumn(out, greatest(least(v, lit(hi)), lit(lo)))
   }
 
+  /** Robust z-score scaling: `(x − median) / (1.4826 · MAD)` — the
+    * outlier-resistant cousin of [[fitStandardScaler]] (mean/σ are
+    * dragged by the very tails you're scaling against; median/MAD are
+    * 50%-breakdown robust, and 1.4826 makes the unit match σ under
+    * normality). Two fit passes by necessity (MAD needs the median
+    * first), each a single exact-percentile aggregation with the
+    * [[fitQuantileBins]] rounding; then a pure projection. At extreme
+    * scale substitute KLL sketch quantiles for both fits. Fails loudly
+    * on MAD = 0 (over half the values identical — scaling is
+    * meaningless; winsorize or dedup first). */
+  def robustScale(df: DataFrame, value: Column, out: String = "robust_z",
+      fenceRound: Int = 6): DataFrame = {
+    val v = value.cast("double")
+    val med = df.agg(round(percentile(v, lit(0.5)), fenceRound)).head().getDouble(0)
+    val mad = df.agg(round(percentile(abs(v - lit(med)), lit(0.5)), fenceRound))
+      .head().getDouble(0)
+    require(mad > 0.0,
+      s"MAD is 0 (median $med): over half the values are identical — " +
+        "robust scaling is undefined; dedup or winsorize first")
+    df.withColumn(out, (v - lit(med)) / lit(1.4826 * mad))
+  }
+
   /** Per-group outlier profile: row counts outside the z-score fence
     * (`|x − μ| > z·σ`, population σ) and outside the Tukey IQR fence
     * (`x < q1 − f·IQR` or `x > q3 + f·IQR`, exact quartiles). Two passes

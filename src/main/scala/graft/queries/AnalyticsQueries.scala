@@ -32,6 +32,17 @@ object AnalyticsQueries {
           ref = "view", cur = "error", k = 10, alpha = 0.5)
         .select(round(col("psi"), 6).as("psi"), col("n_ref"), col("n_cur"))),
 
+    "g_robust_scale" -> ((s, dir) => {
+      // Median/MAD robust z-scores of `value`, per-type moments of the
+      // scaled column (fences fitted once on the whole frame).
+      val z = Stats.robustScale(table(s, dir, "events"), col("value"))
+      z.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg("robust_z"), 6).as("avg_z"),
+          round(max(abs(col("robust_z"))), 6).as("max_abs_z"))
+        .orderBy("event_type")
+    }),
+
     "g_k_anonymity" -> ((s, dir) =>
       // Privacy audit: (lang, source) quasi-identifier combos with the
       // under-k re-identification flag (k = 8 so both flag values occur).
@@ -536,6 +547,17 @@ object AnalyticsQueries {
          |             (nc + 0.5) / (tc + 5.0) AS q, tr, tc
          |      FROM dense, t)""".stripMargin
     },
+
+    "g_robust_scale" ->
+      """WITH m AS (SELECT round(quantile_cont(value, 0.5), 6) AS med
+        |           FROM events),
+        |d AS (SELECT round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+        |      FROM events CROSS JOIN m)
+        |SELECT event_type, count(*) AS n,
+        |  round(avg((value - med) / (1.4826 * mad)), 6) AS avg_z,
+        |  round(max(abs((value - med) / (1.4826 * mad))), 6) AS max_abs_z
+        |FROM events CROSS JOIN m CROSS JOIN d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g_k_anonymity" ->
       """SELECT lang, source, count(*) AS n, count(*) < 8 AS at_risk

@@ -373,6 +373,24 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("robustScale: median/MAD z-scores resist the outlier, MAD=0 fails loudly") {
+    import spark.implicits._
+    // median 5, |x - 5| = {4,3,2,1,0,1,2,3,995} -> MAD 2
+    val df = (1 to 8).map(_.toDouble).toDF("x")
+      .union(Seq(1000.0).toDF("x"))
+    val out = Stats.robustScale(df, col("x"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(out(5.0) == 0.0)
+    assert(math.abs(out(7.0) - 2.0 / (1.4826 * 2.0)) < 1e-12)
+    // the outlier lands far out but doesn't drag the scale: interior
+    // points keep |z| < 1.5
+    assert((2 to 8).forall(i => math.abs(out(i.toDouble)) < 1.5))
+    assert(out(1000.0) > 300)
+    intercept[IllegalArgumentException] {
+      Stats.robustScale(Seq(3.0, 3.0, 3.0, 9.0).toDF("x"), col("x"))
+    }
+  }
+
   test("kAnonymity: under-k combos flagged, one aggregation") {
     import spark.implicits._
     val df = (Seq.fill(5)(("en", "a")) ++ Seq(("en", "b")) ++
