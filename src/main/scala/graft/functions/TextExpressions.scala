@@ -444,6 +444,38 @@ case class DeflateRatio(child: Expression, level: Int)
     copy(child = newChild)
 }
 
+/** Unicode normalization to the given form (NFC / NFD / NFKC / NFKD)
+  * via `java.text.Normalizer` — the tokenizer-pipeline prerequisite
+  * (byte-level BPE and hash-based dedup both treat "ﬁ" vs "fi" or
+  * composed vs decomposed accents as distinct unless the corpus is
+  * normalized first; NFKC is the standard choice, folding
+  * compatibility forms like ligatures, full-width ASCII, and the μ
+  * sign). Already-normalized text short-circuits without allocating
+  * (`Normalizer.isNormalized` is a cheap scan — the overwhelmingly
+  * common case on clean corpora). JVM-deterministic (the Unicode
+  * tables ship with the JDK); DuckDB exposes only NFC, so this is
+  * spec-verified rather than DuckDB-oracled. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    "form must be one of NFC, NFD, NFKC, NFKD")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_unicode_normalize"
+
+  @transient private lazy val nform = java.text.Normalizer.Form.valueOf(form)
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, nform)) a
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, nform))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
 object MinHashShim {
   def jaroWinklerCol(a: Column, b: Column): Column =
     ExpressionUtils.column(JaroWinkler(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
@@ -465,4 +497,6 @@ object MinHashShim {
     ExpressionUtils.column(TextCharStats(ExpressionUtils.expression(text)))
   def deflateRatioCol(text: Column, level: Int): Column =
     ExpressionUtils.column(DeflateRatio(ExpressionUtils.expression(text), level))
+  def unicodeNormalizeCol(text: Column, form: String): Column =
+    ExpressionUtils.column(UnicodeNormalize(ExpressionUtils.expression(text), form))
 }

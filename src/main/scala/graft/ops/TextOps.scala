@@ -431,6 +431,16 @@ object TextOps {
         .otherwise("tail"))
   }
 
+  /** Unicode normalization (default NFKC — folds ligatures, full-width
+    * ASCII, compatibility forms; the standard tokenizer-pipeline
+    * prerequisite). Pure per-row native expression
+    * ([[org.apache.spark.sql.graft.UnicodeNormalize]]) with an
+    * already-normalized fast path; JVM-deterministic, spec-verified
+    * (DuckDB exposes NFC only). Apply BEFORE [[normalizeText]] /
+    * hashing so "ﬁne" and "fine" share a dedup key. */
+  def unicodeNormalize(text: Column, form: String = "NFKC"): Column =
+    org.apache.spark.sql.graft.MinHashShim.unicodeNormalizeCol(text, form)
+
   /** Canonical text normalization for dedup/matching keys: lower-case,
     * strip ASCII punctuation, collapse whitespace runs, trim. Pure
     * codegen'd projections (RE2-portable regexes — the DuckDB twin

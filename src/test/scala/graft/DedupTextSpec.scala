@@ -648,6 +648,31 @@ class DedupTextSpec extends SparkSpec {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("unicodeNormalize: NFKC folds compatibility forms; NFC composes; bad form rejected") {
+    val rows = Seq(
+      "ﬁne print",            // ligature fi
+      "ｈｅｌｌｏ",             // full-width ASCII
+      "café",           // decomposed accent
+      "already plain")
+      .toDF("t")
+      .select(col("t"),
+        TextOps.unicodeNormalize(col("t")).as("nfkc"),
+        TextOps.unicodeNormalize(col("t"), "NFC").as("nfc"))
+      .collect()
+    assert(rows(0).getString(1) == "fine print")
+    assert(rows(0).getString(2) == "ﬁne print") // NFC keeps the ligature
+    assert(rows(1).getString(1) == "hello")
+    assert(rows(2).getString(1) == "café" && rows(2).getString(2) == "café")
+    assert(rows(3).getString(1) == "already plain")
+    // the dedup-key motivation: distinct raw bytes, one key after NFKC
+    val keys = Seq("ﬁne", "fine").toDF("t")
+      .select(md5(TextOps.unicodeNormalize(col("t")))).distinct().count()
+    assert(keys == 1L)
+    intercept[IllegalArgumentException] {
+      Seq("x").toDF("t").select(TextOps.unicodeNormalize(col("t"), "XXX")).collect()
+    }
+  }
+
   test("perplexityBuckets: corpus terciles label head/middle/tail consistently with ppl") {
     val docs = (0 until 9).map { i =>
       // doc i repeats a common phrase and adds i rare words -> spread ppl
