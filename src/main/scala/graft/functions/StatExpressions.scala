@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.commons.math3.distribution.BetaDistribution
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -27,6 +27,8 @@ object StatShim {
       ExpressionUtils.expression(p),
       ExpressionUtils.expression(a),
       ExpressionUtils.expression(b)))
+  def poissonWeightsCol(key: Column, seed: Long, b: Int): Column =
+    ExpressionUtils.column(PoissonWeights(ExpressionUtils.expression(key), seed, b))
 }
 
 object BetaInvImpl {
@@ -38,6 +40,61 @@ object BetaInvImpl {
     else if (p == 0.0) 0.0
     else if (p == 1.0) 1.0
     else new BetaDistribution(null, a, b).inverseCumulativeProbability(p)
+}
+
+object PoissonWeightsImpl {
+  import graft.ops.IntHash
+  private val Cum: Array[Double] = graft.ops.Stats.PoissonCum.toArray
+
+  /** The b inverse-CDF Poisson(1) draws for one row — bit-identical to
+    * the Column form `poissonWeight(seededUniform(seed, key, lit(r)))`
+    * (the affine chain's key step is computed ONCE and reused across
+    * replicates; the chain is associative-free left-to-right so the
+    * shared prefix is exact, and every intermediate is non-negative so
+    * plain `%` equals `pmod`). */
+  def compute(key: Long, seed: Long, b: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val M = IntHash.M
+    val km = ((key % M) + M) % M
+    val sm = ((seed % M) + M) % M
+    val h1 = (IntHash.A * sm + IntHash.B + km) % M
+    val out = new Array[Int](b)
+    var r = 0
+    while (r < b) {
+      val h2 = (IntHash.A * h1 + IntHash.B + r) % M
+      val u = IntHash.scrambleLong(h2).toDouble / M.toDouble
+      var k = 0
+      while (k < Cum.length && u >= Cum(k)) k += 1
+      out(r) = if (k < Cum.length) k else 9
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Array of `b` deterministic Poisson(1) bootstrap weights for a row
+  * key — the hot inner loop of [[graft.ops.Stats.bootstrapMeanCI]] as
+  * ONE native expression. The declarative form (b independent
+  * hash-chain + CASE-ladder column trees) generated methods past the
+  * JIT's HugeMethodLimit at b = 50, running the whole aggregation
+  * de-optimized; this is a tight compiled loop with the key's chain
+  * step hoisted out of the replicate loop. */
+case class PoissonWeights(child: Expression, seed: Long, b: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(b >= 1, "b >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_poisson_weights"
+
+  override def nullSafeEval(key: Any): Any =
+    PoissonWeightsImpl.compute(key.asInstanceOf[Long], seed, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, k =>
+      s"${ev.value} = org.apache.spark.sql.graft.PoissonWeightsImpl.compute($k, ${seed}L, $b);")
+
+  override protected def withNewChildInternal(newChild: Expression): PoissonWeights =
+    copy(child = newChild)
 }
 
 case class BetaInv(first: Expression, second: Expression, third: Expression)

@@ -637,9 +637,9 @@ object Stats {
   }
 
   /** Poisson(1) cumulative probabilities c_0..c_8 (shared by the Column
-    * ladder and the SQL twin — identical Double literals on both
-    * engines). */
-  private[graft] val PoissonCum: Seq[Double] = {
+    * ladder, the native PoissonWeights expression, and the SQL twin —
+    * identical Double literals everywhere). */
+  val PoissonCum: Seq[Double] = {
     val probs = (0 to 8).scanLeft(math.exp(-1.0)) {
       case (p, k) => p / (k + 1)
     }.take(9)
@@ -648,8 +648,10 @@ object Stats {
 
   /** Inverse-CDF Poisson(1) draw from a uniform: the replicate weight of
     * the Poisson bootstrap. Ladder-truncated at 9 (P ≈ 1e-7, identical
-    * rule in the SQL twin). */
-  private def poissonWeight(u: Column): Column =
+    * rule in the SQL twin). The declarative reference form — the hot
+    * path uses the bit-identical native PoissonWeights array expression
+    * (parity spec-pinned against this). */
+  private[graft] def poissonWeight(u: Column): Column =
     PoissonCum.zipWithIndex.reverse.foldLeft(lit(9): Column) {
       case (acc, (c, k)) => when(u < lit(c), lit(k)).otherwise(acc)
     }
@@ -682,13 +684,22 @@ object Stats {
     require(b >= 10, "need b >= 10 replicates")
     require(level > 0.0 && level < 1.0, "level in (0, 1)")
     val base = df.select(value.cast("double").as("__x"), key.as("__k"))
-    def w(r: Int): Column =
-      poissonWeight(Robustness.seededUniform(seed, col("__k"), lit(r)))
+    // ALL b hash draws ride one native-expression array (bit-identical
+    // to the declarative poissonWeight(seededUniform(..)) per-column
+    // form — parity spec-pinned), so each of the 2·b aggregate updates
+    // is a plain array load. The declarative form inlined b full
+    // hash-chain + CASE-ladder trees into the aggregate and generated
+    // methods past the JIT's HugeMethodLimit: the whole aggregation ran
+    // de-optimized (measured 17 s at b = 50 over sf0.1 events; 2.4 s
+    // native, cold solo run).
+    val withW = base.withColumn("__ws",
+      org.apache.spark.sql.graft.StatShim.poissonWeightsCol(
+        col("__k").cast("long"), seed, b))
     val aggs = (0 until b).flatMap(r => Seq(
-      sum(w(r) * col("__x")).as(s"s$r"),
-      sum(w(r).cast("long")).as(s"n$r"))) ++
+      sum(element_at(col("__ws"), r + 1) * col("__x")).as(s"s$r"),
+      sum(element_at(col("__ws"), r + 1).cast("long")).as(s"n$r"))) ++
       Seq(avg(col("__x")).as("m"), count(lit(1)).as("n"))
-    val row = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = withW.agg(aggs.head, aggs.tail: _*).collect()(0)
     // replicate means rounded to 9 dp: float-summation-order noise is
     // below that, so the interval is bit-stable across partitionings and
     // engines (the LinearModel round9 pattern; the SQL twin rounds too)

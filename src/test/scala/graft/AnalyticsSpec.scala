@@ -373,6 +373,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("PoissonWeights native array is bit-identical to the declarative ladder") {
+    import spark.implicits._
+    import graft.ops.Robustness
+    val keys = Seq(0L, 1L, 17L, 123456789L, -5L, Long.MaxValue, Long.MinValue + 1)
+      .toDF("k")
+    val b = 50
+    val native = keys.select(col("k"),
+        org.apache.spark.sql.graft.StatShim.poissonWeightsCol(col("k"), 7L, b).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val declared = keys.select(col("k") +: (0 until b).map(r =>
+        Stats.poissonWeight(Robustness.seededUniform(7L, col("k"), lit(r))).as(s"w$r")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to b).map(r.getInt)).toMap
+    keys.collect().map(_.getLong(0)).foreach { k =>
+      assert(native(k) == declared(k), s"key $k")
+    }
+    // weights are genuinely Poisson-ish: mostly 0/1/2, mean near 1
+    val flat = native.values.flatten.toSeq
+    assert(flat.count(w => w <= 2) > flat.size * 0.9)
+    assert(math.abs(flat.sum.toDouble / flat.size - 1.0) < 0.25)
+  }
+
   test("robustScale: median/MAD z-scores resist the outlier, MAD=0 fails loudly") {
     import spark.implicits._
     // median 5, |x - 5| = {4,3,2,1,0,1,2,3,995} -> MAD 2
