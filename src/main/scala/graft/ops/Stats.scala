@@ -609,6 +609,46 @@ object Stats {
     pmod(IntHash.mix(lit(seed), Seq(idCol)), lit(k.toLong)).cast("int")
   }
 
+  /** Leakage-safe fractional split assignment: every GROUP — near-dup
+    * cluster id, document family, user, whatever unit must never
+    * straddle train/val/test — maps to ONE split by the portable
+    * hash-uniform against cumulative fraction boundaries. Row-level
+    * random splits leak: two near-identical documents land on opposite
+    * sides and the eval set grades memorization; assigning by the
+    * cluster id from [[Dedup.connectedComponents]] (or any grouping
+    * key) closes that. The group is hashed via its STRING form
+    * ([[IntHash.stringHash]]), so any key type works and the assignment
+    * is reproducible across engines, partitionings, and reruns — a pure
+    * projection, no shuffle, no state (streams as-is).
+    *
+    * `splits` are (name, fraction) in order; fractions must sum to 1.
+    * Expected sizes are proportional; exact per-group placement is the
+    * hash's. */
+  def splitAssign(group: Column, splits: Seq[(String, Double)],
+      seed: Long): Column = {
+    require(splits.size >= 2 && splits.forall(_._2 > 0.0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "need >= 2 splits with positive fractions summing to 1")
+    val u = Robustness.seededUniform(seed,
+      IntHash.stringHash(group.cast("string")))
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    splits.init.zip(cums.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), c), acc) => when(u < lit(c), name).otherwise(acc)
+    }
+  }
+
+  /** DuckDB twin of [[splitAssign]] over a string SQL expression (the
+    * group's string form). */
+  def splitAssignSql(groupSql: String, splits: Seq[(String, Double)],
+      seed: Long): String = {
+    val u = Robustness.seededUniformSql(seed.toString,
+      Seq(IntHash.stringHashSql(groupSql)))
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    splits.init.zip(cums.init).foldRight(s"'${splits.last._1}'") {
+      case (((name, _), c), acc) => s"(CASE WHEN $u < $c THEN '$name' ELSE $acc END)"
+    }
+  }
+
   /** Mutual information I(X;Y) in nats between two discrete columns —
     * the label↔feature dependence score used for feature selection
     * (higher = more informative feature).

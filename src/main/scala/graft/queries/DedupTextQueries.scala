@@ -630,6 +630,19 @@ object DedupTextQueries {
         .orderBy("doc_id")
     }),
 
+    "sample_group_split" -> ((s, dir) => {
+      // Leakage-safe split: whole SOURCES assigned to train/val/test by
+      // the portable hash — no source straddles two splits (the
+      // n_sources counts sum to the 20 distinct sources).
+      table(s, dir, "documents")
+        .withColumn("split", graft.ops.Stats.splitAssign(col("source"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("source")).as("n_sources"))
+        .orderBy("split")
+    }),
+
     "sample_token_budget" -> ((s, dir) => {
       // Greedy per-source token-budget fill: longest (n_chars) docs
       // first, ties by doc_id, stop at 800 cumulative tokens inclusive.
@@ -1237,6 +1250,15 @@ object DedupTextQueries {
          |  round((CASE grp WHEN 'en' THEN 0.6 WHEN 'es' THEN 0.3 WHEN 'fr' THEN 0.1
          |    ELSE 0.0 END) / (n * 1.0 / total), 6) AS weight
          |FROM c, t ORDER BY grp""".stripMargin,
+
+    "sample_group_split" -> {
+      val splitSql = graft.ops.Stats.splitAssignSql("source",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L)
+      s"""SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT source) AS n_sources
+         |FROM (SELECT source, $splitSql AS split FROM documents)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "linkage_fellegi_sunter" -> {
       // Replays BOTH EM iterations from the deterministic start

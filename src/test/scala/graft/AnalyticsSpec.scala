@@ -373,6 +373,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("splitAssign: groups are atomic across splits, fractions roughly honored, bad args rejected") {
+    import spark.implicits._
+    val rows = (0 until 5000).map(i => (s"grp${i % 500}", i)).toDF("g", "x")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val tagged = rows.withColumn("split", Stats.splitAssign(col("g"), splits, 7L))
+    // every group lands in exactly one split
+    val perGroup = tagged.groupBy("g")
+      .agg(countDistinct("split").as("k")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L))
+    // fractions approximately honored over 500 groups
+    val byName = tagged.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName("train") > 3000 && byName("val") > 100 && byName("test") > 100)
+    // deterministic across frames: the same group value gets the same split
+    val single = Seq(("grp7", 0)).toDF("g", "x")
+      .select(Stats.splitAssign(col("g"), splits, 7L)).head().getString(0)
+    val inBig = tagged.where(col("g") === "grp7").select("split").head().getString(0)
+    assert(single == inBig)
+    intercept[IllegalArgumentException] {
+      Stats.splitAssign(col("g"), Seq("a" -> 0.5, "b" -> 0.4), 7L)
+    }
+  }
+
   test("PoissonWeights native array is bit-identical to the declarative ladder") {
     import spark.implicits._
     import graft.ops.Robustness
