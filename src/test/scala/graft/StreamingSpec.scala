@@ -184,6 +184,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch-fitted Fellegi-Sunter model scores a live pair stream; stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.RecordLinkage
+    import org.apache.spark.sql.functions.{col, round => sround}
+    val pairs = (0 until 300).map(i =>
+      (i.toLong, i < 30 || i % 9 == 0, i % 3 == 0, i % 2 == 0))
+      .toDF("pid", "g1", "g2", "g3")
+    val model = RecordLinkage.fellegiSunterFit(pairs, Seq("g1", "g2", "g3"), iters = 4)
+    val batch = RecordLinkage.fellegiSunterScore(pairs, model)
+      .select(col("pid"), sround(col("match_prob"), 9).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the literal-projection scorer applies to a stream with no state
+    val input = MemoryStream[(Long, Boolean, Boolean, Boolean)]
+    val scored = RecordLinkage.fellegiSunterScore(
+        input.toDF.toDF("pid", "g1", "g2", "g3"), model)
+      .select(col("pid"), sround(col("match_prob"), 9).as("p"))
+    val q = scored.writeStream.format("memory").queryName("fs_stream")
+      .outputMode("append").start()
+    try {
+      // gammas replicate batch pids 5 (T,F,F) and 100 (F,F,T) exactly
+      input.addData((5L, true, false, false), (100L, false, false, true))
+      q.processAllAvailable()
+      val got = spark.table("fs_stream").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got(5L) == batch(5L) && got(100L) == batch(100L), s"$got vs $batch")
+    } finally q.stop()
+  }
+
   test("EpisodeDetector: episodes open/close per entity, delay measured to first detection") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.Event]
