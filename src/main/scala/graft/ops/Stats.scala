@@ -177,6 +177,57 @@ object Stats {
       .withColumn("weight", col("target_frac") / col("actual_frac"))
   }
 
+  /** UniMax epoch-capped budget allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling…"): divide a
+    * token `budget` across groups as uniformly as possible, capping
+    * every group at `maxEpochs` passes over its own `size` — the
+    * mixing rule that stops low-resource domains being over-epoched
+    * (temperature sampling's failure mode) without starving them.
+    * Allocation is the waterfilling solution `alloc_g = min(size_g ·
+    * maxEpochs, λ)` with λ chosen so the allocations spend the budget
+    * (when the budget exceeds every cap, all groups allocate their cap
+    * and the residual goes unspent — UniMax's own rule).
+    *
+    * The sequential waterfill has a CLOSED FORM over the
+    * ascending-capacity order: with capacities c_1 ≤ … ≤ c_k and
+    * prefix sums, λ_i = (B − Σ_{j<i} c_j)/(k − i + 1), and the
+    * waterline is λ at the FIRST i with λ_i ≤ c_i — so the whole
+    * computation is one count aggregation + window functions over the
+    * k-row group table (no driver loop; the DuckDB twin runs the
+    * identical expressions). The k-row window is single-partition by
+    * construction — bounded by group cardinality like every mixture
+    * table here.
+    *
+    * Returns (grp, size, capacity, allocation, epochs); feed
+    * `allocation` into [[TextOps.selectByTokenBudget]] (budget per
+    * group) or weights = allocation/size into [[weightedSample]]. */
+  def unimaxAllocation(df: DataFrame, groupCol: Column, sizeCol: Column,
+      budget: Double, maxEpochs: Double): DataFrame = {
+    require(budget > 0.0 && maxEpochs > 0.0, "budget, maxEpochs > 0")
+    val sizes = df.groupBy(groupCol.cast("string").as("grp"))
+      .agg(sum(sizeCol.cast("long")).as("size"))
+      .withColumn("capacity", col("size").cast("double") * lit(maxEpochs))
+    val asc = Window.partitionBy().orderBy(col("capacity").asc, col("grp").asc)
+    val all = Window.partitionBy()
+    val withLambda = sizes
+      .withColumn("__i", row_number().over(asc))
+      .withColumn("__k", count(lit(1)).over(all))
+      .withColumn("__cumBefore", coalesce(
+        sum("capacity").over(asc.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0.0)))
+      .withColumn("__lambda",
+        (lit(budget) - col("__cumBefore")) / (col("__k") - col("__i") + 1))
+    val firstI = min(when(col("__lambda") <= col("capacity"), col("__i"))).over(all)
+    val waterline = max(when(col("__i") === firstI, col("__lambda"))).over(all)
+    withLambda
+      .withColumn("allocation", round(
+        when(firstI.isNull || col("__i") < firstI, col("capacity"))
+          .otherwise(waterline), 6))
+      .withColumn("epochs",
+        round(col("allocation") / col("size").cast("double"), 6))
+      .select("grp", "size", "capacity", "allocation", "epochs")
+  }
+
   /** Exact per-group quota: keep AT MOST `quota(g)` rows per group,
     * chosen by ascending engine-portable hash of the row key — a
     * deterministic "random" subset that is stable across partitioning,

@@ -630,6 +630,14 @@ object DedupTextQueries {
         .orderBy("doc_id")
     }),
 
+    "mixture_unimax" -> ((s, dir) =>
+      // UniMax waterfilling over language sizes (sum of n_chars):
+      // budget 160k at 1.5 epochs caps de/fr/es, puts zh/en on the
+      // shared waterline (en far below its own cap) — all regimes.
+      graft.ops.Stats.unimaxAllocation(table(s, dir, "documents"),
+          col("lang"), col("n_chars"), budget = 160000.0, maxEpochs = 1.5)
+        .orderBy("grp")),
+
     "sample_group_split" -> ((s, dir) => {
       // Leakage-safe split: whole SOURCES assigned to train/val/test by
       // the portable hash — no source straddles two splits (the
@@ -1250,6 +1258,39 @@ object DedupTextQueries {
          |  round((CASE grp WHEN 'en' THEN 0.6 WHEN 'es' THEN 0.3 WHEN 'fr' THEN 0.1
          |    ELSE 0.0 END) / (n * 1.0 / total), 6) AS weight
          |FROM c, t ORDER BY grp""".stripMargin,
+
+    "mixture_unimax" ->
+      s"""WITH sizes AS (
+         |  SELECT CAST(lang AS VARCHAR) AS grp,
+         |    CAST(sum(n_chars) AS BIGINT) AS size,
+         |    CAST(sum(n_chars) AS DOUBLE) * 1.5 AS capacity
+         |  FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT grp, size, capacity,
+         |    row_number() OVER asc_w AS i,
+         |    count(*) OVER () AS k,
+         |    coalesce(sum(capacity) OVER (asc_w
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+         |      AS cum_before
+         |  FROM sizes
+         |  WINDOW asc_w AS (ORDER BY capacity ASC, grp ASC)),
+         |l AS (
+         |  SELECT w.*, (160000.0 - cum_before) / (k - i + 1) AS lambda
+         |  FROM w),
+         |f AS (
+         |  SELECT min(CASE WHEN lambda <= capacity THEN i END) AS first_i
+         |  FROM l),
+         |wl AS (
+         |  SELECT max(CASE WHEN l.i = f.first_i THEN l.lambda END) AS waterline
+         |  FROM l CROSS JOIN f)
+         |SELECT grp, size, capacity,
+         |  round(CASE WHEN f.first_i IS NULL OR l.i < f.first_i
+         |    THEN capacity ELSE wl.waterline END, 6) AS allocation,
+         |  round(round(CASE WHEN f.first_i IS NULL OR l.i < f.first_i
+         |    THEN capacity ELSE wl.waterline END, 6)
+         |    / CAST(size AS DOUBLE), 6) AS epochs
+         |FROM l CROSS JOIN f CROSS JOIN wl
+         |ORDER BY grp""".stripMargin,
 
     "sample_group_split" -> {
       val splitSql = graft.ops.Stats.splitAssignSql("source",

@@ -373,6 +373,30 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("unimaxAllocation: waterfilling caps small groups, spends the budget, degenerates correctly") {
+    import spark.implicits._
+    // 4 groups: sizes 10, 20, 100, 100 tokens; E=2 -> caps 20/40/200/200
+    val df = (Seq.fill(10)("a") ++ Seq.fill(20)("b") ++
+      Seq.fill(100)("c") ++ Seq.fill(100)("d")).map((_, 1L)).toDF("g", "tok")
+    def run(budget: Double) = Stats.unimaxAllocation(df, col("g"), col("tok"),
+        budget, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        r.getAs[Double]("allocation"), r.getAs[Double]("epochs"))).toMap
+    // budget 200: a capped at 20 (2 epochs), b capped at 40; c, d split
+    // the rest at the 70-token waterline (0.7 epochs each)
+    val m = run(200.0)
+    assert(m("a") == (10L, 20.0, 2.0), m)
+    assert(m("b") == (20L, 40.0, 2.0), m)
+    assert(m("c")._2 == 70.0 && m("d")._2 == 70.0, m)
+    assert(m.values.map(_._2).sum == 200.0)
+    // budget above every cap: all groups take their cap, residual unspent
+    val big = run(10000.0)
+    assert(big.values.map(_._2).toSeq.sorted == Seq(20.0, 40.0, 200.0, 200.0))
+    // tiny budget: nobody hits a cap, uniform split
+    val tiny = run(40.0)
+    assert(tiny.values.forall(_._2 == 10.0), tiny)
+  }
+
   test("splitAssign: groups are atomic across splits, fractions roughly honored, bad args rejected") {
     import spark.implicits._
     val rows = (0 until 5000).map(i => (s"grp${i % 500}", i)).toDF("g", "x")
