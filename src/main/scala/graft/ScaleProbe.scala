@@ -14,7 +14,8 @@ import graft.ops.{Dedup, Stats, TextOps}
   *        editpairs | corr | fuzzyjoin | sessionize | ttd | entityres |
   *        editskew | pagerank | cc | packsplit | spanremove | semdedup |
   *        dsir | paradedup | tokenbudget | groupjac | ndinc |
-  *        qclassifier | zorder | maxsim | linkage | corpusdiff
+  *        qclassifier | zorder | maxsim | linkage | corpusdiff |
+  *        bootstrap
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -368,6 +369,15 @@ object ScaleProbe {
             .repartitionByRange(64, col("z"))
             .sortWithinPartitions(col("z"))
             .count()))
+      case "bootstrap" =>
+        // the native-weights Poisson bootstrap at scale: b=100 replicate
+        // sums over n rows in ONE map-side-combined aggregation
+        val df = spark.range(n).select(col("id"),
+          (pmod(xxhash64(col("id")), lit(1000)) / 10.0).as("x"))
+        df.count()
+        time(s"bootstrapMeanCI n=$n b=100")(
+          println(Stats.bootstrapMeanCI(df, col("x"), col("id"), b = 100)
+            .collect().mkString))
       case "maxsim" =>
         // late-interaction brute scan: n docs × 3 queries × 8×8-dim
         // token vectors = n·3·64 native dot products + the per-query
