@@ -457,8 +457,11 @@ object Stats {
       seed: Long, sensitivity: Double = 1.0): DataFrame = {
     require(epsilon > 0.0 && sensitivity > 0.0, "need epsilon, sensitivity > 0")
     val b = sensitivity / epsilon
+    // null group = its own group (groupBy semantics); hash its empty
+    // string so the noise is non-null and deterministic, not silently
+    // null-propagated
     val u0 = Robustness.seededUniform(seed,
-      IntHash.stringHash(col("grp").cast("string")))
+      IntHash.stringHash(coalesce(col("grp").cast("string"), lit(""))))
     val u = greatest(least(u0, lit(1.0 - 1e-12)), lit(1e-12))
     val noise = when(u < 0.5, lit(b) * log(lit(2.0) * u))
       .otherwise(-lit(b) * log(lit(2.0) * (lit(1.0) - u)))
@@ -680,8 +683,11 @@ object Stats {
     require(splits.size >= 2 && splits.forall(_._2 > 0.0) &&
       math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "need >= 2 splits with positive fractions summing to 1")
+    // null groups hash as "" — they land together in ONE deterministic
+    // split instead of silently falling through every `when` to the
+    // last one
     val u = Robustness.seededUniform(seed,
-      IntHash.stringHash(group.cast("string")))
+      IntHash.stringHash(coalesce(group.cast("string"), lit(""))))
     val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     splits.init.zip(cums.init).foldRight(lit(splits.last._1): Column) {
       case (((name, _), c), acc) => when(u < lit(c), name).otherwise(acc)
@@ -689,11 +695,12 @@ object Stats {
   }
 
   /** DuckDB twin of [[splitAssign]] over a string SQL expression (the
-    * group's string form). */
+    * group's string form; nulls coalesce to '' like the Column form —
+    * pass a simple column reference, it is spliced into `coalesce`). */
   def splitAssignSql(groupSql: String, splits: Seq[(String, Double)],
       seed: Long): String = {
     val u = Robustness.seededUniformSql(seed.toString,
-      Seq(IntHash.stringHashSql(groupSql)))
+      Seq(IntHash.stringHashSql(s"coalesce(CAST($groupSql AS VARCHAR), '')")))
     val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     splits.init.zip(cums.init).foldRight(s"'${splits.last._1}'") {
       case (((name, _), c), acc) => s"(CASE WHEN $u < $c THEN '$name' ELSE $acc END)"

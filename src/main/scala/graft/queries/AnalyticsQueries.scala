@@ -569,7 +569,8 @@ object AnalyticsQueries {
         Seq(graft.ops.IntHash.stringHashSql("gs")))
       s"""WITH c AS (SELECT source AS grp, count(*) AS n_true
          |           FROM documents GROUP BY 1),
-         |g AS (SELECT grp, n_true, CAST(grp AS VARCHAR) AS gs FROM c),
+         |g AS (SELECT grp, n_true,
+         |        coalesce(CAST(grp AS VARCHAR), '') AS gs FROM c),
          |u AS (SELECT grp, n_true,
          |        greatest(least($u0, 1.0 - 1e-12), 1e-12) AS u FROM g)
          |SELECT grp AS source, n_true,

@@ -418,6 +418,12 @@ class AnalyticsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Stats.splitAssign(col("g"), Seq("a" -> 0.5, "b" -> 0.4), 7L)
     }
+    // null groups land together in one deterministic split (hashed as
+    // ""), never in a silent fall-through
+    val nulls = Seq(Option.empty[String], None, Some("")).toDF("g")
+      .select(Stats.splitAssign(col("g"), splits, 7L).as("s"))
+      .collect().map(_.getString(0))
+    assert(nulls.toSet.size == 1)
   }
 
   test("PoissonWeights native array is bit-identical to the declarative ladder") {
