@@ -129,6 +129,33 @@ object Retrieval {
       .select(col("qid"), col("__doc").as(id), col("n_terms"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive retrieval/embedding training
+    * (the ANCE/DPR data-prep step, Xiong et al. 2021): for every query,
+    * the top-k most-similar corpus documents that are NOT among that
+    * query's labeled positives — harder than random negatives, cheaper
+    * than exhaustive. `neighbors` is any scored-neighbor table
+    * (`qid`, `id`, score column, e.g. [[Similarity.bruteForceTopK]]
+    * exact or `ivfTopK` at scale — fetch MORE than k so the positive
+    * removals can't starve the list); `positives` is the labeled
+    * (`qid`, `id`) pair table. One left-anti join (positives are
+    * per-query small — broadcast) + the per-query re-rank window.
+    * Ranks on the rounded score with an id tiebreak, the engine's
+    * usual ulp-robust ordering. Returns (qid, id, score, rank). */
+  def mineHardNegatives(neighbors: DataFrame, positives: DataFrame,
+      qid: String, id: String, score: String, k: Int,
+      scoreRound: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(qid)
+      .orderBy(col("__s").desc, col(id).asc)
+    neighbors
+      .join(broadcast(positives.select(col(qid), col(id))),
+        Seq(qid, id), "left_anti")
+      .withColumn("__s", round(col(score), scoreRound))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qid), col(id), col("__s").as(score), col("rank"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): combine
     * any per-query rankings — e.g. BM25 and a dense ANN list — into one,
     * scoring each doc Σᵢ 1/(kRrf + rankᵢ). Docs missing from a ranking

@@ -116,6 +116,25 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    "retrieval_hard_negatives" -> ((s, dir) => {
+      // ANCE/DPR-style mining: fetch top-12 exact neighbors per query,
+      // treat each query's top-2 as its labeled positives, emit the
+      // top-5 NON-positive neighbors (ranks 3.. re-ranked on the
+      // rounded cosine) — the anti-join provably changes the output.
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val neighbors = Similarity.bruteForceTopK(
+        e, queries, "vec_id", "v", "qid", "qv", k = 12)
+      val positives = neighbors.where(col("rank") <= 2)
+        .select(col("qid"), col("vec_id"))
+      graft.ops.Retrieval.mineHardNegatives(neighbors, positives,
+          "qid", "vec_id", "cos", k = 5)
+        .select(col("qid"), col("vec_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     "retrieval_maxsim" -> ((s, dir) => {
       // ColBERT-style late interaction: token vectors manufactured by
       // slicing each 64-dim embedding into 8 contiguous 8-dim
@@ -338,6 +357,28 @@ object SimilarityQueries {
        |FROM (SELECT vec_id, $vSql AS v FROM embeddings WHERE vec_id < 400)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "retrieval_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+         |pairs AS (
+         |  SELECT b.vec_id AS qid, a.vec_id, $cosSql AS cos
+         |  FROM e a JOIN e b ON b.vec_id < 3 AND a.vec_id != b.vec_id),
+         |nb AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM pairs),
+         |top AS (SELECT qid, vec_id, cos FROM nb WHERE rank <= 12),
+         |pos AS (SELECT qid, vec_id FROM nb WHERE rank <= 2),
+         |neg AS (
+         |  SELECT t.qid, t.vec_id, round(t.cos, 4) AS cos FROM top t
+         |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+         |    WHERE p.qid = t.qid AND p.vec_id = t.vec_id)),
+         |rk AS (
+         |  SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM neg)
+         |SELECT qid, vec_id, cos, rank FROM rk WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+
     "retrieval_maxsim" ->
       s"""WITH e AS (
          |  SELECT vec_id, $vSql AS v

@@ -112,4 +112,21 @@ class RetrievalSpec extends SparkSpec {
       assert(approx(s, 2.0 / (60 + rk)))
     }
   }
+
+  test("mineHardNegatives: positives removed, remainder re-ranked, rounded-score ties to lowest id") {
+    val neighbors = Seq(
+      ("q1", 10L, 0.99), ("q1", 11L, 0.95), ("q1", 12L, 0.90),
+      ("q1", 13L, 0.85), ("q1", 14L, 0.80), ("q1", 15L, 0.80),
+      ("q2", 10L, 0.70), ("q2", 20L, 0.60))
+      .toDF("qid", "vec_id", "cos")
+    val positives = Seq(("q1", 10L), ("q1", 12L), ("q2", 99L))
+      .toDF("qid", "vec_id")
+    val got = Retrieval.mineHardNegatives(neighbors, positives,
+        "qid", "vec_id", "cos", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    // q1: 10 and 12 are positives; survivors re-rank 11, 13, then the
+    // 0.80 tie breaks to the lower id 14
+    assert(got == Set(("q1", 11L, 1), ("q1", 13L, 2), ("q1", 14L, 3),
+      ("q2", 10L, 1), ("q2", 20L, 2)), got)
+  }
 }
