@@ -156,6 +156,51 @@ object Retrieval {
       .select(col(qid), col(id), col("__s").as(score), col("rank"))
   }
 
+  /** Retrieval evaluation at cutoff k — recall@k, MRR@k, and nDCG@k
+    * (Järvelin & Kekäläinen 2002) per query, the standard scorecard for
+    * any ranking this module (or the ANN family) produces:
+    *
+    *  - `recall_at_k` = |relevant ∩ top-k| / |relevant| (ALL relevant,
+    *    not capped at k — the honest denominator);
+    *  - `mrr_at_k` = 1/rank of the first relevant in the top-k (0 when
+    *    none);
+    *  - `ndcg_at_k` = Σ_{i≤k} (2^rel − 1)/log2(i+1) over the retrieved
+    *    order, normalized by the same sum over the IDEAL order of that
+    *    query's own judgments (graded `rel`; binary 0/1 works as-is).
+    *
+    * `ranking` carries (`qid`, `id`, `rank`); `qrels` carries (`qid`,
+    * `id`, `relCol`) with rel ≤ 0 meaning judged-irrelevant. Queries
+    * WITHOUT positive judgments are excluded (no ground truth to grade
+    * against); queries whose top-k missed everything still appear with
+    * zeros. Scale shape: one broadcast-able join of the top-k slice
+    * against the judgments + two per-query aggregations; the ideal-DCG
+    * window partitions by query over the judgment table only. */
+  def retrievalMetrics(ranking: DataFrame, qrels: DataFrame, qid: String,
+      id: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val rel = qrels.where(col(relCol) > 0)
+      .select(col(qid), col(id), col(relCol).cast("double").as("__rel"))
+    def gain(r: Column): Column = pow(lit(2.0), r) - 1.0
+    val hits = ranking.where(col("rank") <= k)
+      .join(rel, Seq(qid, id))
+      .groupBy(qid).agg(
+        count(lit(1)).as("__hits"),
+        min(col("rank")).as("__first"),
+        sum(gain(col("__rel")) / log2(col("rank") + 1)).as("__dcg"))
+    val wIdeal = Window.partitionBy(qid).orderBy(col("__rel").desc, col(id).asc)
+    val perQuery = rel.withColumn("__rn", row_number().over(wIdeal))
+      .groupBy(qid).agg(
+        count(lit(1)).as("n_rel"),
+        sum(when(col("__rn") <= k, gain(col("__rel")) / log2(col("__rn") + 1))
+          .otherwise(0.0)).as("__idcg"))
+    perQuery.join(hits, Seq(qid), "left")
+      .select(col(qid), col("n_rel"),
+        round(coalesce(col("__hits").cast("double"), lit(0.0)) / col("n_rel"), 6)
+          .as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("mrr_at_k"),
+        round(coalesce(col("__dcg") / col("__idcg"), lit(0.0)), 6).as("ndcg_at_k"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): combine
     * any per-query rankings — e.g. BM25 and a dense ANN list — into one,
     * scoring each doc Σᵢ 1/(kRrf + rankᵢ). Docs missing from a ranking

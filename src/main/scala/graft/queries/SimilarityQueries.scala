@@ -135,6 +135,26 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    "retrieval_metrics" -> ((s, dir) => {
+      // recall@10 / MRR@10 / nDCG@10 against graded judgments built
+      // from the exact ranking itself: top-3 graded 3/2/1 (inside the
+      // cutoff) plus ranks 15–18 graded 1 (outside it) — so recall < 1,
+      // MRR = 1, and nDCG is a non-trivial ratio, all deterministic.
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val nb = Similarity.bruteForceTopK(
+        e, queries, "vec_id", "v", "qid", "qv", k = 20)
+      val qrels = nb
+        .where(col("rank") <= 3 || (col("rank") >= 15 && col("rank") <= 18))
+        .select(col("qid"), col("vec_id"),
+          when(col("rank") <= 3, lit(4) - col("rank"))
+            .otherwise(lit(1)).as("rel"))
+      graft.ops.Retrieval.retrievalMetrics(nb, qrels,
+          "qid", "vec_id", "rel", k = 10)
+        .orderBy("qid")
+    }),
+
     "retrieval_maxsim" -> ((s, dir) => {
       // ColBERT-style late interaction: token vectors manufactured by
       // slicing each 64-dim embedding into 8 contiguous 8-dim
@@ -357,6 +377,37 @@ object SimilarityQueries {
        |FROM (SELECT vec_id, $vSql AS v FROM embeddings WHERE vec_id < 400)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "retrieval_metrics" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+         |pairs AS (
+         |  SELECT b.vec_id AS qid, a.vec_id, $cosSql AS cos
+         |  FROM e a JOIN e b ON b.vec_id < 3 AND a.vec_id != b.vec_id),
+         |nb AS (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM pairs),
+         |rel AS (
+         |  SELECT qid, vec_id, CAST(CASE WHEN rank <= 3 THEN 4 - rank
+         |    ELSE 1 END AS DOUBLE) AS r
+         |  FROM nb WHERE rank <= 3 OR rank BETWEEN 15 AND 18),
+         |hits AS (
+         |  SELECT n.qid, count(*) AS h, min(n.rank) AS fr,
+         |    sum((pow(2.0, r) - 1.0) / log2(n.rank + 1)) AS dcg
+         |  FROM nb n JOIN rel USING (qid, vec_id)
+         |  WHERE n.rank <= 10 GROUP BY 1),
+         |ideal AS (
+         |  SELECT qid, count(*) AS n_rel,
+         |    sum(CASE WHEN rn <= 10
+         |      THEN (pow(2.0, r) - 1.0) / log2(rn + 1) ELSE 0.0 END) AS idcg
+         |  FROM (SELECT qid, vec_id, r, row_number() OVER (PARTITION BY qid
+         |          ORDER BY r DESC, vec_id ASC) AS rn FROM rel)
+         |  GROUP BY 1)
+         |SELECT i.qid, CAST(n_rel AS BIGINT) AS n_rel,
+         |  round(coalesce(CAST(h AS DOUBLE), 0.0) / n_rel, 6) AS recall_at_k,
+         |  round(coalesce(CAST(1 AS DOUBLE) / fr, 0.0), 6) AS mrr_at_k,
+         |  round(coalesce(dcg / idcg, 0.0), 6) AS ndcg_at_k
+         |FROM ideal i LEFT JOIN hits USING (qid) ORDER BY qid""".stripMargin,
+
     "retrieval_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
          |pairs AS (

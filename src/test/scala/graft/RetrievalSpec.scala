@@ -113,6 +113,29 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("retrievalMetrics: recall/MRR/nDCG hand-computed; zero-hit zeros; unjudged queries excluded") {
+    val ranking = Seq(
+      ("qa", 1L, 1), ("qa", 2L, 2), ("qa", 3L, 3),
+      ("qb", 1L, 1), ("qb", 2L, 2),
+      ("qc", 5L, 1)).toDF("qid", "id", "rank")
+    val qrels = Seq(
+      ("qa", 2L, 2), ("qa", 9L, 1), // one hit at rank 2, one missed
+      ("qb", 9L, 1),                // judged but nothing retrieved hits
+      ("qd", 5L, 3))                // judged query never retrieved
+      .toDF("qid", "id", "rel")
+    val got = Retrieval.retrievalMetrics(ranking, qrels, "qid", "id", "rel", k = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // qc has no positive judgments -> excluded; qd judged-only -> zeros
+    assert(got.keySet == Set("qa", "qb", "qd"))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dcg = 3.0 / (math.log(3.0) / math.log(2.0))
+    val idcg = 3.0 / 1.0 + 1.0 / (math.log(3.0) / math.log(2.0))
+    assert(got("qa") == (2L, 0.5, 0.5, r6(dcg / idcg)), got)
+    assert(got("qb") == (1L, 0.0, 0.0, 0.0))
+    assert(got("qd") == (1L, 0.0, 0.0, 0.0))
+  }
+
   test("mineHardNegatives: positives removed, remainder re-ranked, rounded-score ties to lowest id") {
     val neighbors = Seq(
       ("q1", 10L, 0.99), ("q1", 11L, 0.95), ("q1", 12L, 0.90),
