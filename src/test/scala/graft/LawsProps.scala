@@ -245,4 +245,37 @@ object LawsProps extends Properties("GraftLaws") {
       vocab.forall { case (_, tf, dfd) => dfd <= tf && dfd >= 1 } &&
         vocab.map(_._2).sum == totalTokens
     }
+
+  property("c4Clean is idempotent: every line of the cleaned text passes the line filter") =
+    Prop.forAll(Gen.choose(1, 12), seedG) { (nLines, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val words = Vector("alpha", "beta", "gamma", "delta", "JavaScript", "x")
+      val lines = (1 to nLines).map { _ =>
+        val n = 1 + rnd.nextInt(8)
+        val tail = if (rnd.nextBoolean()) "." else ""
+        Vector.fill(n)(words(rnd.nextInt(words.size))).mkString(" ") + tail
+      }
+      val df = Seq(lines.mkString("\n")).toDF("t")
+      val once = df.select(graft.ops.TextOps.c4Clean(col("t"))
+        .getField("cleaned_text").as("c"))
+      val twice = once.select(graft.ops.TextOps.c4Clean(col("c")).as("r"))
+        .select(col("r.cleaned_text"), col("r.n_lines"), col("r.n_lines_kept"))
+        .head()
+      val c1 = once.head().getString(0)
+      // re-cleaning keeps every surviving line and changes nothing
+      twice.getString(0) == c1 &&
+        (c1.isEmpty || twice.getInt(2) == twice.getInt(1))
+    }
+
+  property("softDedupWeights at beta=1: total weight = #distinct texts") =
+    Prop.forAll(Gen.choose(1, 40), seedG) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val texts = Vector("t one", "t two", "t three", "t four")
+      val df = (1 to n).map(i => (i.toLong, texts(rnd.nextInt(texts.size))))
+        .toDF("id", "t")
+      val distinct = df.select("t").distinct().count()
+      val total = Dedup.softDedupWeights(df, "id", "t")
+        .agg(sum("sample_weight")).head().getDouble(0)
+      math.abs(total - distinct) < 1e-6
+    }
 }
