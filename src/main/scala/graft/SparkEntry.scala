@@ -44,4 +44,17 @@ object SparkEntry {
       "duplicate oracle names across query groups")
     merged
   }
+
+  /** Data-dependent oracles (literal-replay at fit time): the SQL twin
+    * embeds a model fitted on the given sfDir (PCA components, BPE merge
+    * rules), so it must be generated with a live session against the same
+    * data the queries read. Verify merges these into oracle_sql.json
+    * alongside [[oracleSql]]; all fits are deterministic, so the twin a
+    * Verify run writes matches the model the query run fits. */
+  def dynamicOracleSql: Map[String, (SparkSession, String) => String] = {
+    val merged = SimilarityQueries.dynamicOracle ++ RowsOnlyQueries.dynamicOracle
+    require(merged.keySet.intersect(oracleSql.keySet).isEmpty,
+      "dynamic oracle would shadow a static oracle")
+    merged
+  }
 }

@@ -50,7 +50,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Literal-replay oracles: fit the (deterministic) model on THIS sfDir
+    // and interpolate it into the twin. A failed fit is WARNed and the
+    // entry dropped — the query then gets the weaker rows-only check
+    // instead of a spurious hash mismatch against a half-written twin.
+    val dynamic = SparkEntry.dynamicOracleSql.flatMap { case (name, fn) =>
+      try Some(name -> fn(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracle $name failed: ${e.getMessage}")
+        None
+      }
+    }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

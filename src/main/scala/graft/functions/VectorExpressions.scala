@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 
@@ -30,6 +30,14 @@ object VectorShim {
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def l2normCol(a: Column): Column =
     ExpressionUtils.column(L2Norm(ExpressionUtils.expression(a)))
+  def nearestCentroidCol(vec: Column, vnorm: Column,
+      cvecs: Array[Array[Double]], cnorms: Array[Double]): Column =
+    ExpressionUtils.column(NearestCentroid(ExpressionUtils.expression(vec),
+      ExpressionUtils.expression(vnorm), cvecs, cnorms))
+  def nearestCellsCol(vec: Column, vnorm: Column,
+      cvecs: Array[Array[Double]], cnorms: Array[Double], nProbe: Int): Column =
+    ExpressionUtils.column(NearestCells(ExpressionUtils.expression(vec),
+      ExpressionUtils.expression(vnorm), cvecs, cnorms, nProbe))
 
   /** Unwrap a `.asc` SortOrder column into its projectable child (needed by
     * the distributed-index primitives, which must evaluate order keys as
@@ -153,4 +161,131 @@ case class L2Norm(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): L2Norm =
     copy(child = newChild)
+}
+
+/** Per-row nearest-centroid argmin over a CONSTANT centroid matrix — the
+  * scale form of the IVF cell assignment (graft.ops.Similarity
+  * `assignCells`). Returns the winning centroid's INDEX (the caller maps
+  * index → cell id via a literal array in the same order).
+  *
+  * Centroids must be supplied in ascending-cell-id order: the loop keeps
+  * the FIRST index whose distance strictly beats the incumbent
+  * (`Double.compare < 0`), which reproduces `least()`-struct semantics
+  * exactly — ties → earliest visited = lowest id, NaN distances greatest
+  * (never win against a number, and an all-NaN row keeps the lowest id).
+  *
+  * vs the previous literal-array `aggregate` fold: same math, but the
+  * matrix rides as ONE referenced `double[][]` (plan size independent of
+  * nCells) and the loop is a static primitive method invoked from inside
+  * whole-stage codegen — measured ~5× faster than the interpreted
+  * higher-order fold at 16 cells × dim 64 (the fold evaluates its lambda
+  * through boxed `Literal` element_at calls per (row, cell)). */
+object NearestCentroidImpl {
+  def compute(v: ArrayData, vnorm: Double, cvecs: Array[Array[Double]],
+      cnorms: Array[Double]): Int = {
+    var best = -1
+    var bestD = 0.0
+    var c = 0
+    while (c < cvecs.length) {
+      val cv = cvecs(c)
+      val n = math.min(v.numElements(), cv.length)
+      var dp = 0.0
+      var j = 0
+      while (j < n) { dp += v.getDouble(j) * cv(j); j += 1 }
+      val d = -dp / (vnorm * cnorms(c))
+      if (best < 0 || java.lang.Double.compare(d, bestD) < 0) {
+        best = c; bestD = d
+      }
+      c += 1
+    }
+    best
+  }
+}
+
+/** Top-`nProbe` nearest centroids by cosine (indices in (distance asc,
+  * id asc) order — centroids supplied ascending by id, like
+  * [[NearestCentroid]]). The probe-selection twin of the argmin: one
+  * native call per QUERY row replaces a 2·nCells-literal `array_sort`
+  * projection whose typedLit forest taxed every Catalyst pass of the ANN
+  * plans (round-9 profile: ~0.8 s driver-side per ann_ivf run even with
+  * warm codegen). */
+object NearestCellsImpl {
+  def compute(v: ArrayData, vnorm: Double, cvecs: Array[Array[Double]],
+      cnorms: Array[Double], nProbe: Int): ArrayData = {
+    val k = cvecs.length
+    val d = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cv = cvecs(c)
+      val n = math.min(v.numElements(), cv.length)
+      var dp = 0.0
+      var j = 0
+      while (j < n) { dp += v.getDouble(j) * cv(j); j += 1 }
+      d(c) = -dp / (vnorm * cnorms(c))
+      c += 1
+    }
+    val idx = Array.range(0, k).sortWith { (a, b) =>
+      val cd = java.lang.Double.compare(d(a), d(b))
+      if (cd != 0) cd < 0 else a < b
+    }
+    new GenericArrayData(idx.take(math.min(nProbe, k)))
+  }
+}
+
+case class NearestCells(vec: Expression, vnorm: Expression,
+    cvecs: Array[Array[Double]], cnorms: Array[Double], nProbe: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(cvecs.nonEmpty && cvecs.length == cnorms.length && nProbe >= 1,
+    "need >=1 centroid, one norm per centroid, nProbe >= 1")
+  override def left: Expression = vec
+  override def right: Expression = vnorm
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), DoubleType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NearestCellsImpl.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[Double], cvecs, cnorms, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cv = ctx.addReferenceObj("cvecs", cvecs, "double[][]")
+    val cn = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, n) =>
+      s"${ev.value} = org.apache.spark.sql.graft.NearestCellsImpl" +
+        s".compute($v, $n, $cv, $cn, $nProbe);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): NearestCells =
+    copy(vec = newLeft, vnorm = newRight)
+}
+
+case class NearestCentroid(vec: Expression, vnorm: Expression,
+    cvecs: Array[Array[Double]], cnorms: Array[Double])
+    extends BinaryExpression with ExpectsInputTypes {
+  require(cvecs.nonEmpty && cvecs.length == cnorms.length,
+    "need at least one centroid and one norm per centroid")
+  override def left: Expression = vec
+  override def right: Expression = vnorm
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), DoubleType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NearestCentroidImpl.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[Double], cvecs, cnorms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cv = ctx.addReferenceObj("cvecs", cvecs, "double[][]")
+    val cn = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, n) =>
+      s"${ev.value} = org.apache.spark.sql.graft.NearestCentroidImpl" +
+        s".compute($v, $n, $cv, $cn);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): NearestCentroid =
+    copy(vec = newLeft, vnorm = newRight)
 }

@@ -12,6 +12,18 @@ object VectorFunctions {
   /** √(Σ a[i]²) — whole-stage-codegen'd. */
   def l2norm(a: Column): Column = VectorShim.l2normCol(a)
 
+  /** Index of the nearest centroid by cosine (constant matrix, ascending-
+    * cell-id order required — see NearestCentroid in VectorExpressions). */
+  def nearestCentroid(vec: Column, vnorm: Column,
+      cvecs: Array[Array[Double]], cnorms: Array[Double]): Column =
+    VectorShim.nearestCentroidCol(vec, vnorm, cvecs, cnorms)
+
+  /** Top-nProbe nearest-centroid indices, (distance asc, id asc) order
+    * (same ascending-cell-id contract). */
+  def nearestCells(vec: Column, vnorm: Column, cvecs: Array[Array[Double]],
+      cnorms: Array[Double], nProbe: Int): Column =
+    VectorShim.nearestCellsCol(vec, vnorm, cvecs, cnorms, nProbe)
+
   /** dot(a,b) / (|a|·|b|). For repeated use against many candidates,
     * precompute the norms once per side instead. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))

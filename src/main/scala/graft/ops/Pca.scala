@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * SURVEY §2.12): dimensionality reduction / whitening for the ANN and
   * semantic-dedup paths.
   *
-  * Scale shape — the only thing that ever touches the corpus is ONE
-  * narrow aggregation: each row emits `1 + d + d(d+1)/2` (count, per-dim
-  * sums, upper-triangular product sums) via a nested-transform payload,
-  * posexplode, and a pos-keyed groupBy with map-side combine — so the
-  * shuffle carries ≤ `1+d+d(d+1)/2` partials per partition, never rows.
+  * Scale shape — the only thing that ever touches the corpus is two
+  * narrow aggregations (mean pass, then centered moment pass): each
+  * partition folds its rows into ONE flat buffer of `1 + d + d(d+1)/2`
+  * doubles (count, centered sums, upper-triangular centered product sums)
+  * via a native TypedImperativeAggregate — zero row fan-out, and the
+  * shuffle carries one buffer per partition, never rows.
   * The collected moment vector (d ≤ 512 ⇒ ≤ ~131k doubles) feeds a
   * deterministic driver-side cyclic Jacobi eigensolver (O(d³) on ≤512²
   * matrices — trivially driver-sized; covariances are rounded to 9 dp
@@ -37,25 +38,61 @@ object Pca {
       "(the d(d+1)/2 moment vector and the O(d^3) driver eigensolve are " +
       "sized for embedding-width matrices, not feature explosions)")
 
-  /** One corpus scan → (pos, s) moment frame: pos 0 = row count,
-    * pos 1..d = per-dim sums, pos d+1.. = upper-triangular Σ x_i·x_j in
-    * row-major (i, j≥i) order. */
-  private def momentsFrame(df: DataFrame, vec: Column, d: Int): DataFrame = {
-    val v = transform(vec, x => x.cast("double"))
+  /** Exploded parity baseline of [[centeredMoments]]: posexplode of the
+    * `1 + d + d(d+1)/2` payload (count, centered sums, upper-triangular
+    * centered products in row-major (i, j≥i) order) → pos-keyed groupBy
+    * with map-side combine. Same numbers as the zero-fan-out aggregate
+    * (bit-equal on a single partition where both reduce to one
+    * sequential row-order fold — PcaSpec); kept only as the spec
+    * baseline, the aggregate is the production path. */
+  private[graft] def centeredMomentsExploded(df: DataFrame, vec: Column,
+      d: Int, mean: Array[Double]): Array[Double] = {
+    val mu = typedLit(mean.toSeq)
+    val v = transform(vec, (x, i) => x.cast("double") - element_at(mu, i + 1))
     val tri = flatten(transform(v, (xi, i) =>
       transform(slice(v, i + 1, lit(d) - i), xj => xi * xj)))
-    df.select(posexplode(concat(array(lit(1.0)), v, tri)).as(Seq("pos", "x")))
-      .groupBy("pos").agg(sum("x").as("s"))
-  }
-
-  /** Collected moments: (n, sums(d), triangular product sums). */
-  private def moments(df: DataFrame, vec: Column, d: Int): (Double, Array[Double], Array[Double]) = {
     val nTri = d * (d + 1) / 2
     val flat = new Array[Double](1 + d + nTri)
-    momentsFrame(df, vec, d).collect().foreach { r =>
-      flat(r.getInt(0)) = r.getDouble(1)
-    }
-    (flat(0), flat.slice(1, 1 + d), flat.slice(1 + d, 1 + d + nTri))
+    df.select(posexplode(concat(array(lit(1.0)), v, tri)).as(Seq("pos", "x")))
+      .groupBy("pos").agg(sum("x").as("s"))
+      .collect().foreach(r => flat(r.getInt(0)) = r.getDouble(1))
+    flat
+  }
+
+  /** One corpus scan → flat centered moments (count, Σc_i, Σc_i·c_j upper
+    * triangle, c = x − mean) via the zero-fan-out
+    * [[org.apache.spark.sql.graft.CenteredMomentsAgg]] — no generated
+    * rows, one `1+d+d(d+1)/2`-double buffer per partition. */
+  private[graft] def centeredMoments(df: DataFrame, vec: Column, d: Int,
+      mean: Array[Double]): Array[Double] = {
+    val v = transform(vec, x => x.cast("double"))
+    df.agg(org.apache.spark.sql.graft.MomentShim
+        .centeredMomentsCol(v, d, mean.toSeq, withTri = true).as("m"))
+      .head().getSeq[Double](0).toArray
+  }
+
+  /** Mean-estimation first pass: (n, per-dim means). Same aggregate with
+    * the triangle disabled — a `1 + d`-double buffer. */
+  private[graft] def meanPass(df: DataFrame, vec: Column, d: Int): (Double, Array[Double]) = {
+    val v = transform(vec, x => x.cast("double"))
+    val flat = df.agg(org.apache.spark.sql.graft.MomentShim
+        .centeredMomentsCol(v, d, Seq.fill(d)(0.0), withTri = false).as("m"))
+      .head().getSeq[Double](0).toArray
+    val n = flat(0)
+    (n, Array.tabulate(d)(i => flat(1 + i) / n))
+  }
+
+  /** Two-pass centered moments: (n, mean, centered sums, centered
+    * triangular product sums). The covariance face
+    * `(P_ij − S_i·S_j/n)/(n−1)` over CENTERED values is algebraically the
+    * sample covariance (the S_i ≈ 0 correction keeps it exact for any
+    * centering point) but free of the raw-moment cancellation, so 6-dp
+    * rounding no longer flips on summation order between engines. */
+  private def moments(df: DataFrame, vec: Column, d: Int): (Double, Array[Double], Array[Double], Array[Double]) = {
+    val (n, mean) = meanPass(df, vec, d)
+    require(n > 1, s"need at least 2 rows to fit moments, got $n")
+    val flat = centeredMoments(df, vec, d, mean)
+    (n, mean, flat.slice(1, 1 + d), flat.drop(1 + d))
   }
 
   private def triIndex(d: Int, i: Int, j: Int): Int =
@@ -63,30 +100,29 @@ object Pca {
 
   /** Sample covariance (ddof=1) of the upper triangle as a DataFrame
     * (i, j ≥ i, cov) — the oracle-checkable face of the moment pass.
-    * The arithmetic (S_ij − s_i·s_j/n)/(n−1) textually matches the DuckDB
-    * twin so the engines differ only in summation order. */
+    * Two-pass centered: both engines compute
+    * (Σc_i·c_j − Σc_i·Σc_j/n)/(n−1) on c = x − mean, so the ~1e-13
+    * summation-order wobble lands on values of covariance magnitude (not
+    * raw-moment magnitude) and survives 6-dp rounding. */
   def covarianceUpper(df: DataFrame, vec: Column, d: Int): DataFrame = {
     checkDim(d)
     val spark = df.sparkSession
     import spark.implicits._
-    val (n, s, p) = moments(df, vec, d)
-    require(n > 1, s"need at least 2 rows to fit a covariance, got $n")
+    val (n, _, s, p) = moments(df, vec, d)
     val rows = for { i <- 0 until d; j <- i until d }
       yield (i, j, (p(triIndex(d, i, j)) - s(i) * s(j) / n) / (n - 1))
     rows.toDF("i", "j", "cov")
   }
 
-  /** Fit PCA: one corpus scan (the moment pass) + driver Jacobi on the
-    * 9-dp-rounded covariance. */
+  /** Fit PCA: two corpus scans (mean pass + centered moment pass) +
+    * driver Jacobi on the 9-dp-rounded covariance. */
   def pcaFit(df: DataFrame, vec: Column, d: Int, nComponents: Int): PcaModel = {
     checkDim(d)
     require(nComponents > 0 && nComponents <= d,
       s"nComponents must be in [1, $d], got $nComponents")
-    val (n, s, p) = moments(df, vec, d)
-    require(n > 1, s"need at least 2 rows to fit PCA, got $n")
+    val (n, mean, s, p) = moments(df, vec, d)
     def r9(x: Double): Double =
       BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val mean = s.map(_ / n)
     val cov = Array.tabulate(d, d) { (i, j) =>
       val (a, b) = if (i <= j) (i, j) else (j, i)
       r9((p(triIndex(d, a, b)) - s(a) * s(b) / n) / (n - 1))
@@ -113,6 +149,22 @@ object Pca {
       graft.functions.VectorFunctions.dot(v, lit(w)) - lit(b)
     }: _*)
   }
+
+  /** DuckDB twin of [[pcaProject]] for a FITTED model (the
+    * `dsirScorer`/`bootstrapMeanCISql` literal-replay pattern): the
+    * components and centering constants are interpolated as literals, and
+    * the dot product is a left-to-right `list_dot_product` over the same
+    * double-cast inputs — bit-identical fold order, so even 4-dp rounding
+    * of the projections is stable across engines. `vecSql` must be a
+    * DuckDB expression yielding `DOUBLE[]`. Doubles are rendered with
+    * shortest round-trip repr (`Double.toString`), which DuckDB parses
+    * back to the identical bits. */
+  def pcaProjectSql(vecSql: String, model: PcaModel): Seq[String] =
+    model.components.map { w =>
+      val b = w.indices.map(i => w(i) * model.mean(i)).sum
+      val lits = w.mkString("[", ", ", "]")
+      s"(list_dot_product($vecSql, $lits) - ($b))"
+    }.toSeq
 
   /** Deterministic cyclic Jacobi eigendecomposition of a symmetric
     * matrix. Returns (eigenvalues, eigenvector matrix with eigenvectors

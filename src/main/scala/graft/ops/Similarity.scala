@@ -188,29 +188,36 @@ object Similarity {
       }
       corpusN.withColumn("cell_id", least(cellStructs.toIndexedSeq: _*).getField("cell_id"))
     } else {
-      // array(...) of foldable children constant-folds to ONE Literal per
-      // array — built once, shipped once, never re-evaluated per row
-      val vecs = array(centroidData.map(r => typedLit(r.getSeq[Double](1))): _*)
-      val norms = array(centroidData.map(r => lit(r.getDouble(2))): _*)
-      val ids = array(centroidData.map(r => lit(r.get(0))): _*)
-      val idType = centroids.schema("cell_id").dataType
-      val folded = aggregate(
-        sequence(lit(0), lit(centroidData.length - 1)),
-        struct(lit(Double.NaN).as("d"),
-          lit(null).cast(idType).as("cell_id")),
-        (acc, i) => {
-          val cand = struct(
-            (-dot(col(vec), element_at(vecs, i + 1)) /
-              (col("vnorm") * element_at(norms, i + 1))).as("d"),
-            element_at(ids, i + 1).as("cell_id"))
-          // first iteration seeds the accumulator; afterwards least()
-          // keeps the smaller (d, cell_id) struct — identical ordering
-          // (incl. NaN-greatest and tie→lowest id) to the unrolled path
-          when(acc.getField("cell_id").isNull, cand)
-            .otherwise(least(acc, cand))
-        })
-      corpusN.withColumn("cell_id", folded.getField("cell_id"))
+      // native argmin: centroids sorted ascending by id so the strict
+      // first-wins compare reproduces least()'s tie→lowest-id and
+      // NaN-greatest ordering (see NearestCentroid); the matrix rides as
+      // one referenced double[][] — plan size independent of nCells, and
+      // the loop is a primitive static call inside whole-stage codegen
+      // (replacing the interpreted higher-order fold, which was the
+      // dominant per-row cost of ann_ivf at sf0.1)
+      val sorted = centroidData.sortWith((a, b) => cellIdLess(a.get(0), b.get(0)))
+      val cvecs = sorted.map(_.getSeq[Double](1).toArray)
+      val cnorms = sorted.map(_.getDouble(2))
+      val ids = array(sorted.map(r => lit(r.get(0))): _*)
+      val idx = graft.functions.VectorFunctions
+        .nearestCentroid(col(vec), col("vnorm"), cvecs, cnorms)
+      corpusN.withColumn("cell_id", element_at(ids, idx + 1))
     }
+
+  /** Ascending order on centroid ids, matching Spark's own orderings
+    * (strings compare as UTF-8 bytes, like the distributed `least()`
+    * struct form did). Loud on unsupported id types — a silently wrong
+    * sort would silently break the tie rule. */
+  private def cellIdLess(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Int, y: Int) => x < y
+    case (x: Short, y: Short) => x < y
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y) < 0
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+    case _ => sys.error(s"unsupported centroid id type: ${a.getClass}")
+  }
 
   /** IVF (inverted-file) ANN: centroids from a deterministic sample of the
     * corpus; corpus vectors pre-assigned to nearest centroid ([[assignCells]]
@@ -225,7 +232,7 @@ object Similarity {
     val (centroidData, centroids) = sampleCentroids(corpus, id, vec, nCells, centroidsByHash)
     val corpusN = corpus.select(col(id), col(vec)).withColumn("vnorm", norm(col(vec)))
     val assigned = assignCells(corpusN, id, vec, centroidData, centroids, maxLiteralTerms)
-    searchCells(assigned, centroids, queries, id, vec, qid, qvec, k, nProbe)
+    searchCells(assigned, centroidData, queries, id, vec, qid, qvec, k, nProbe)
   }
 
   /** One Lloyd iteration over a centroid table: assign every corpus
@@ -384,20 +391,43 @@ object Similarity {
       java.util.Arrays.asList(centroidData: _*), centroids.schema)
     val corpusN = corpus.select(col(id), col(vec)).withColumn("vnorm", norm(col(vec)))
     val assigned = assignCells(corpusN, id, vec, centroidData, local, maxLiteralTerms)
-    searchCells(assigned, local, queries, id, vec, qid, qvec, k, nProbe)
+    searchCells(assigned, centroidData, queries, id, vec, qid, qvec, k, nProbe)
+  }
+
+  /** Per-query nProbe nearest cells as a NARROW projection: one native
+    * [[graft.functions.VectorFunctions.nearestCells]] call per query row
+    * ((d asc, cell_id asc) probe order, NaN-greatest), indices mapped to
+    * ids through one constant-folded literal array, exploded. Replaces
+    * the former broadcast(centroids) join + window rank (an extra
+    * exchange + window stage per search) — and its literal-array
+    * `array_sort` successor, whose 2·nCells typedLit forest measurably
+    * taxed every Catalyst pass of the ANN plans. Appends `cell_id` to
+    * queriesN (which must already carry `qnorm`). */
+  private def probeCellsNarrow(queriesN: DataFrame, qvec: String,
+      centroidData: Array[org.apache.spark.sql.Row], nProbe: Int): DataFrame = {
+    val sorted = centroidData.sortWith((a, b) => cellIdLess(a.get(0), b.get(0)))
+    val cvecs = sorted.map(_.getSeq[Double](1).toArray)
+    val cnorms = sorted.map(_.getDouble(2))
+    val ids = array(sorted.map(r => lit(r.get(0))): _*)
+    val idxs = graft.functions.VectorFunctions.nearestCells(
+      col(qvec), col("qnorm"), cvecs, cnorms, nProbe)
+    queriesN.withColumn("cell_id",
+      explode(transform(idxs, i => element_at(ids, i + 1))))
   }
 
   /** Probe + scan + per-query top-k over a (centroids, assigned) pair —
     * the shared tail of [[ivfTopK]] and [[ivfTopKFromIndex]]. */
-  private def searchCells(assigned: DataFrame, centroids: DataFrame,
+  private def searchCells(assigned: DataFrame, centroidData: Array[org.apache.spark.sql.Row],
       queries: DataFrame, id: String, vec: String, qid: String, qvec: String,
       k: Int, nProbe: Int): DataFrame = {
     val queriesN = queries.withColumn("qnorm", norm(col(qvec)))
-    val probes = queriesN.join(broadcast(centroids))
-      .withColumn("d", -dot(col(qvec), col("cvec")) / (col("qnorm") * col("cnorm")))
-      .withColumn("rnk", row_number().over(Window.partitionBy(qid).orderBy(col("d").asc, col("cell_id").asc)))
-      .where(col("rnk") <= nProbe)
-      .select(col(qid), col(qvec), col("qnorm"), col("cell_id"))
+    val probes =
+      if (centroidData.isEmpty)
+        queriesN.where(lit(false))
+          .withColumn("cell_id", lit(null).cast(assigned.schema("cell_id").dataType))
+          .select(col(qid), col(qvec), col("qnorm"), col("cell_id"))
+      else probeCellsNarrow(queriesN, qvec, centroidData, nProbe)
+        .select(col(qid), col(qvec), col("qnorm"), col("cell_id"))
     val candidates = assigned.join(broadcast(probes), Seq("cell_id"))
       .where(col(id) =!= col(qid))
       .withColumn("cos", dot(col(qvec), col(vec)) / (col("qnorm") * col("vnorm")))
@@ -427,12 +457,12 @@ object Similarity {
     val assigned = assignCells(corpusN, id, vec, centroidData, centroids, maxLiteralTerms)
     val encoded = Pq.encode(assigned, vec, cb).select(col(id), col("cell_id"), col("codes"))
     val queriesN = queries.withColumn("qnorm", norm(col(qvec)))
-    val probes = queriesN.join(broadcast(centroids))
-      .withColumn("d", -dot(col(qvec), col("cvec")) / (col("qnorm") * col("cnorm")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(qid).orderBy(col("d").asc, col("cell_id").asc)))
-      .where(col("rnk") <= nProbe)
-      .select(col(qid), col("cell_id"))
+    val probes =
+      if (centroidData.isEmpty) queriesN.where(lit(false))
+        .withColumn("cell_id", lit(null).cast(centroids.schema("cell_id").dataType))
+        .select(col(qid), col("cell_id"))
+      else probeCellsNarrow(queriesN, qvec, centroidData, nProbe)
+        .select(col(qid), col("cell_id"))
     Pq.adcTopKProbed(encoded, queries, probes, id, qid, qvec, cb, k)
   }
 
@@ -457,9 +487,12 @@ object Similarity {
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, id: String, vec: String, qid: String, qvec: String,
       k: Int, nProbe: Int): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    // nCells rows — collecting them feeds the narrow probe projection and
+    // keeps the probe join a pure partition-prune on `assigned`
+    val centroidData = spark.read.parquet(s"$path/centroids")
+      .select(col("cell_id"), col("cvec"), col("cnorm")).collect()
     val assigned = spark.read.parquet(s"$path/assigned")
-    searchCells(assigned, centroids, queries, id, vec, qid, qvec, k, nProbe)
+    searchCells(assigned, centroidData, queries, id, vec, qid, qvec, k, nProbe)
   }
 
   /** Two-stage retrieval — [[ivfPqTopK]] shortlist refined by an EXACT

@@ -1060,4 +1060,35 @@ object TextOps {
       }
     }(enc)
   }
+
+  /** DuckDB twin of [[bpeEncode]] for a FITTED merge list (the
+    * literal-replay oracle pattern): returns an expression over `wordSql`
+    * (one whitespace-free word) yielding the encoded symbol sequence as a
+    * `chr(31)`-delimited string, each symbol rendered `␟sym␟`.
+    *
+    * Replay is exact because both sides are the same algorithm: the
+    * symbol list is a string with every token wrapped in U+001F markers,
+    * and each learned rule (a, b) is one `replace(s, '␟a␟␟b␟', '␟ab␟')` —
+    * DuckDB's `replace` is left-to-right non-overlapping, which is
+    * [[bpeMergeWord]]'s contract, and the marker wrapping makes a token-
+    * boundary-safe needle ('␟a␟␟b␟' can't match inside a longer symbol,
+    * and adjacent matches share no characters). One pass per rule is a
+    * fixpoint: a merge produces a NEW symbol, so it can't create fresh
+    * (a, b) adjacencies for its own rule. Token count of the result =
+    * `(length(s) − length(replace(s, chr(31), ''))) // 2`.
+    *
+    * Symbols must not contain U+001F (true of any whitespace-split corpus
+    * word — enforced loudly). */
+  def bpeEncodeSqlExpr(wordSql: String, merges: Seq[(String, String)]): String = {
+    require(merges.forall { case (a, b) => !a.contains('\u001f') && !b.contains('\u001f') },
+      "BPE symbols must not contain the U+001F delimiter")
+    val S = "chr(31)"
+    def strLit(s: String) = "'" + s.replace("'", "''") + "'"
+    def wrap(tok: String) = s"$S || ${strLit(tok)} || $S"
+    val init = s"$S || array_to_string(string_split($wordSql, ''), $S || $S)" +
+      s" || $S || $S || '</w>' || $S"
+    merges.foldLeft(init) { case (e, (a, b)) =>
+      s"replace($e, ${wrap(a)} || ${wrap(b)}, ${wrap(a + b)})"
+    }
+  }
 }

@@ -217,10 +217,11 @@ object RowsOnlyQueries {
 
     "text_bpe_encode" -> ((s, dir) => {
       // End-to-end BPE: train 30 merge rules on the sub-corpus, re-encode
-      // it, count subword tokens per source. Rows-only by design — the
-      // iterated merge loop has no SQL twin (BpeSpec's Sennrich fixture
-      // and local==distributed parity pin the semantics; the round-1
-      // aggregation is oracled as text_bpe_pairs).
+      // it, count subword tokens per source. Fully oracled via the
+      // literal-replay twin in [[dynamicOracle]]: training is
+      // deterministic (UTF-8 tie-break), so Verify refits the same rule
+      // list and DuckDB replays the encode as an unrolled replace() chain
+      // (TextOps.bpeEncodeSqlExpr).
       val docs = table(s, dir, "documents").where(col("doc_id") < 300)
       val merges = TextOps.bpeTrain(docs, col("text"), nMerges = 30)
       TextOps.bpeEncode(docs.select("doc_id", "text", "source"),
@@ -476,4 +477,33 @@ object RowsOnlyQueries {
            |FROM frames GROUP BY 1 ORDER BY 1""".stripMargin,
     )
   }
+
+  /** Data-dependent oracle (literal-replay at fit time): Verify retrains
+    * the same 30 deterministic merge rules the query trains, then the
+    * DuckDB twin replays the encode per word as an unrolled
+    * boundary-safe `replace()` chain and counts subword tokens. Docs
+    * with null/blank text keep n_docs membership via the LEFT JOIN
+    * (matching bpeEncode's 0-token rows). */
+  val dynamicOracle: Map[String, (org.apache.spark.sql.SparkSession, String) => String] = Map(
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").where(col("doc_id") < 300)
+      val merges = TextOps.bpeTrain(docs, col("text"), nMerges = 30)
+      val enc = TextOps.bpeEncodeSqlExpr("w", merges)
+      s"""WITH d AS (SELECT doc_id, source, text FROM documents WHERE doc_id < 300),
+         |w AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      x -> x <> '')) AS w
+         |  FROM d),
+         |e AS (SELECT doc_id, $enc AS s FROM w),
+         |per AS (
+         |  SELECT doc_id,
+         |    sum((length(s) - length(replace(s, chr(31), ''))) // 2) AS nt
+         |  FROM e GROUP BY 1)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(coalesce(sum(per.nt), 0) AS BIGINT) AS n_subwords
+         |FROM d LEFT JOIN per USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
+  )
 }

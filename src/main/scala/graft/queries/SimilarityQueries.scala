@@ -347,10 +347,11 @@ object SimilarityQueries {
     }),
 
     "embedding_pca" -> ((s, dir) => {
-      // PCA projection onto the top 4 axes (rows-only driver check; the
-      // eigensolve itself is PcaSpec-verified — no eigen in DuckDB). The
-      // model is bit-stable: covariances are rounded to 9 dp before the
-      // deterministic Jacobi, so partitioning can't move the axes.
+      // PCA projection onto the top 4 axes. Fully oracled via the
+      // literal-replay twin in [[dynamicOracle]]: the model is bit-stable
+      // (covariances rounded to 9 dp before the deterministic Jacobi, so
+      // partitioning can't move the axes), Verify refits it and
+      // interpolates the components into the DuckDB SQL as literals.
       val e = emb(s, dir)
       val m = Pca.pcaFit(e, col("v"), d = 64, nComponents = 4)
       val p = Pca.pcaProject(col("v"), m)
@@ -455,15 +456,26 @@ object SimilarityQueries {
          |SELECT qid, vec_id, score, rank FROM rk WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
 
+    // Two-pass centered covariance, mirroring Pca.covarianceUpper: center
+    // each dimension at its mean FIRST, then apply the same
+    // (P − S_i·S_j/n)/(n−1) face to the centered values. Each engine
+    // centers at its own computed mean (they differ by ~1e-15; the S
+    // correction term keeps the result exact for any centering point), so
+    // the residual cross-engine wobble is ~1e-13 RELATIVE TO THE
+    // COVARIANCE — far below the 6-dp rounding grid, unlike the raw-moment
+    // form whose Σxy − Σx·Σy/n cancellation flipped boundary cells.
     "embedding_pca_cov" ->
       s"""WITH ex AS (
          |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
          |         CAST(unnest(embedding) AS DOUBLE) AS x
          |  FROM embeddings),
          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
-         |m AS (SELECT i, sum(x) AS s FROM ex GROUP BY 1),
-         |p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sp
-         |      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+         |mu AS (SELECT i, avg(x) AS mu FROM ex GROUP BY 1),
+         |cx AS (SELECT ex.vec_id, ex.i, ex.x - mu.mu AS c
+         |       FROM ex JOIN mu USING (i)),
+         |m AS (SELECT i, sum(c) AS s FROM cx GROUP BY 1),
+         |p AS (SELECT a.i AS i, b.i AS j, sum(a.c * b.c) AS sp
+         |      FROM cx a JOIN cx b ON a.vec_id = b.vec_id AND b.i >= a.i
          |      GROUP BY 1, 2)
          |SELECT p.i, p.j,
          |  round((sp - ma.s * mb.s / n.n) / (n.n - 1), 6) AS cov
@@ -765,6 +777,25 @@ object SimilarityQueries {
          |  ORDER BY cos DESC, vec_id ASC) AS rank FROM rer)
          |SELECT qid, vec_id, round(cos, 4) AS cos, rank
          |FROM rr WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+  )
+
+  /** Data-dependent oracles (the `dsirScorer`/`bootstrapMeanCISql`
+    * literal-replay pattern, lifted to fit-time): Verify fits the SAME
+    * deterministic model the query fits (9-dp-rounded covariance +
+    * deterministic Jacobi — partitioning can't move the axes) on the SAME
+    * sfDir, then interpolates the components/centering constants into the
+    * twin as shortest-round-trip double literals. `list_dot_product`'s
+    * left-to-right fold matches `graft_dot` bit-for-bit on identical
+    * inputs, so the 4-dp rounding is stable. */
+  val dynamicOracle: Map[String, (org.apache.spark.sql.SparkSession, String) => String] = Map(
+    "embedding_pca" -> ((s, dir) => {
+      val m = Pca.pcaFit(emb(s, dir), col("v"), d = 64, nComponents = 4)
+      val p = Pca.pcaProjectSql("v", m)
+      s"""SELECT vec_id, round(${p(0)}, 4) AS p0, round(${p(1)}, 4) AS p1,
+         |  round(${p(2)}, 4) AS p2, round(${p(3)}, 4) AS p3
+         |FROM (SELECT vec_id, $vSql AS v FROM embeddings)
+         |ORDER BY vec_id""".stripMargin
+    }),
   )
 
   /** Shared CTE stack of the IVF-PQ twins: cell assignment, 4x4 sampled

@@ -43,6 +43,26 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("zero-fan-out moment aggregate matches the exploded baseline") {
+    val df = fakeRows(400, 5).toDF("id", "v")
+    val (n, mean) = Pca.meanPass(df, col("v"), 5)
+    assert(n == 400.0)
+    // single partition: both forms reduce to one sequential row-order
+    // fold, so the TypedImperativeAggregate must be BIT-equal to the
+    // posexplode/groupBy baseline
+    val one = df.coalesce(1)
+    val a = Pca.centeredMoments(one, col("v"), 5, mean)
+    val b = Pca.centeredMomentsExploded(one, col("v"), 5, mean)
+    assert(a.length == b.length && a.length == 1 + 5 + 15)
+    a.indices.foreach(i => assert(a(i) == b(i), s"pos $i: ${a(i)} vs ${b(i)}"))
+    // multi-partition: only the cross-partition merge order may differ
+    val c = Pca.centeredMoments(df.repartition(8), col("v"), 5, mean)
+    a.indices.foreach { i =>
+      assert(approx(c(i), a(i), 1e-9 * math.max(1.0, math.abs(a(i)))),
+        s"pos $i: ${c(i)} vs ${a(i)}")
+    }
+  }
+
   test("pcaFit recovers the dominant axis of a line + orthogonal noise") {
     // points along [1,1,0]/sqrt2 with tiny orthogonal wiggle
     val rows = (0 until 100).map { i =>

@@ -76,15 +76,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("WindowGroupLimit"), p) // rank<=k pushed below the window
     // 16 cells × dim 32 = 512 terms > DefaultMaxLiteralTerms, so the
-    // assignment takes the literal-array FOLD path: strictly per-row, no
+    // assignment takes the native argmin path: strictly per-row, no
     // join/shuffle/aggregate (the former broadcast-join + groupBy argmin
-    // sort-aggregated N·nCells rows — the 10M-probe OOM, SCALE.md). The
-    // only wide exchanges left are the per-query top-k window hash, the
-    // presentation sort, and the probe-ranking window over the Q-row
-    // query table (tiny side).
-    assert(p.contains("aggregate("), p) // the fold argmin, in a Project
+    // sort-aggregated N·nCells rows — the 10M-probe OOM, SCALE.md; the
+    // round-8 interpreted literal-array fold was ~5× slower per row).
+    // The only wide exchanges left are the per-query top-k window hash
+    // and the presentation sort — probe ranking is now a narrow
+    // array_sort projection over the query rows, not a window.
+    assert(p.contains("graft_nearest_centroid"), p) // native argmin, in a Project
     val wide = "Exchange (hash|range|Single)".r.findAllIn(p).size
-    assert(wide <= 3, s"expected <=3 wide exchanges, got $wide:\n$p")
+    assert(wide <= 2, s"expected <=2 wide exchanges, got $wide:\n$p")
   }
 
   test("ann_ivfpq_rerank: the full-vector rerank probe broadcasts the shortlist, never shuffling the corpus") {
