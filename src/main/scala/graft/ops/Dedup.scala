@@ -1014,10 +1014,23 @@ object Dedup {
     * touches candidates only. Store maintenance (append-only part
     * files) composes with [[compactFingerprintStore]]'s pattern. Result
     * is localCheckpoint-pinned before the store append (same
-    * recacheByPath hazard as [[dedupExactIncremental]]). */
+    * recacheByPath hazard as [[dedupExactIncremental]]).
+    *
+    * Two regimes (the [[connectedComponents]]/[[graft.ops.TextOps.bpeTrain]]
+    * split): when limit-probes show BOTH the batch and the store fit
+    * `localRowThreshold` signature rows, the identical greedy scan runs
+    * on the driver over the collected signatures — same band/bucket
+    * candidate keys (sig-slice equality ⟺ the distributed join's
+    * hashed-key equality), same `array_intersect` Jaccard arithmetic,
+    * same ascending-id "earlier" order — and the store append reuses the
+    * collected rows (3 jobs per batch vs ~14: the distributed fixture
+    * run was pure scheduling floor, 28 jobs / 75 ms each at sf0.1).
+    * Larger batches or stores take the distributed path unchanged;
+    * parity is spec-pinned. */
   def nearDupIncremental(newDocs: DataFrame, id: String, text: String,
       storePath: String, threshold: Double, numShingleWords: Int = 3,
-      numBands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+      numBands: Int = 8, rowsPerBand: Int = 4,
+      localRowThreshold: Int = 1 << 14): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     val spark = newDocs.sparkSession
     val shim = org.apache.spark.sql.graft.MinHashShim
@@ -1042,9 +1055,37 @@ object Dedup {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // bootstrap-empty ONLY on a genuinely absent store (cf.
     // dedupExactIncremental: IO errors must fail loudly)
+    val storeExists = fs.exists(hPath)
     val store =
-      if (fs.exists(hPath)) spark.read.parquet(storePath)
+      if (storeExists) spark.read.parquet(storePath)
       else batchStore.limit(0)
+    // small regime: limit-probe the batch, then the store (no probe job
+    // at all on a bootstrap-absent store)
+    val batchProbe = batchStore.limit(localRowThreshold + 1).collect()
+    if (batchProbe.length <= localRowThreshold) {
+      val storeProbe =
+        if (!storeExists) Array.empty[org.apache.spark.sql.Row]
+        else store.select(col(id), col("__sig"), col("__sh"))
+          .limit(localRowThreshold + 1).collect()
+      if (storeProbe.length <= localRowThreshold) {
+        val dupIds = localGreedyNearDups(batchProbe, storeProbe, threshold,
+          numBands, rowsPerBand)
+        // append the already-collected signatures — no recompute, and the
+        // result below carries NO store read in its lineage, so a lazy
+        // evaluation after this append cannot self-match
+        spark.createDataFrame(
+            java.util.Arrays.asList(batchProbe: _*), batchStore.schema)
+          .write.mode("append").parquet(storePath)
+        val dupF = spark.createDataFrame(
+          java.util.Arrays.asList(dupIds.toSeq.map(v =>
+            org.apache.spark.sql.Row(v)).toArray: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(id, newDocs.schema(id).dataType))))
+        return withSh.join(broadcast(dupF), Seq(id), "left_anti")
+          .drop("__sh", "__sig")
+          .unionByName(zero)
+      }
+    }
     val batchBuckets = buckets(withSh)
     // candidate ids (batch doc, earlier doc) from both regimes, deduped
     // BEFORE the shingle-set verification join (the candidate table
@@ -1072,6 +1113,54 @@ object Dedup {
       .localCheckpoint(true)
     batchStore.write.mode("append").parquet(storePath)
     kept
+  }
+
+  /** Driver regime of [[nearDupIncremental]]: the identical greedy
+    * earlier-wins scan over collected (id, sig, hashed-shingles) rows.
+    * Bucket keys are (band, raw sig slice) — equal slices iff the
+    * distributed form's xxhash64'd join keys are equal (the string-cast
+    * join of distinct longs is injective; the hash only compresses it).
+    * Jaccard replays `size(array_intersect(a,b)) / (|a|+|b|−inter)`
+    * exactly: distinct common values over raw lengths. Batch docs are
+    * visited ascending by id (Spark's own type orderings via
+    * [[Similarity.cellIdLess]]), and every analyzed doc — kept or
+    * dropped — becomes "earlier" for the rest, the stream contract. */
+  private def localGreedyNearDups(batch: Array[org.apache.spark.sql.Row],
+      storeRows: Array[org.apache.spark.sql.Row], threshold: Double,
+      numBands: Int, rowsPerBand: Int): Set[Any] = {
+    final case class Doc(idVal: Any, rawLen: Int, shSet: Set[Long])
+    val docs = scala.collection.mutable.ArrayBuffer.empty[Doc]
+    val buckets = scala.collection.mutable.HashMap
+      .empty[(Int, Seq[Long]), scala.collection.mutable.ArrayBuffer[Int]]
+    def bandKeys(sig: Seq[Long]): IndexedSeq[(Int, Seq[Long])] =
+      (0 until numBands).map(b =>
+        (b, sig.slice(b * rowsPerBand, b * rowsPerBand + rowsPerBand)))
+    def add(r: org.apache.spark.sql.Row): Unit = {
+      val sh = r.getSeq[Long](2)
+      val di = docs.length
+      docs += Doc(r.get(0), sh.length, sh.toSet)
+      bandKeys(r.getSeq[Long](1)).foreach(k =>
+        buckets.getOrElseUpdate(k,
+          scala.collection.mutable.ArrayBuffer.empty[Int]) += di)
+    }
+    storeRows.foreach(add)
+    def isDupOf(me: Doc, other: Doc): Boolean = {
+      var inter = 0
+      me.shSet.foreach(h => if (other.shSet.contains(h)) inter += 1)
+      inter.toDouble / (me.rawLen + other.rawLen - inter) >= threshold
+    }
+    val dup = scala.collection.mutable.HashSet.empty[Any]
+    batch.sortWith((x, y) => Similarity.cellIdLess(x.get(0), y.get(0)))
+      .foreach { r =>
+        val sh = r.getSeq[Long](2)
+        val me = Doc(r.get(0), sh.length, sh.toSet)
+        val cand = scala.collection.mutable.HashSet.empty[Int]
+        bandKeys(r.getSeq[Long](1)).foreach(k =>
+          buckets.get(k).foreach(_.foreach(cand += _)))
+        if (cand.exists(ci => isDupOf(me, docs(ci)))) dup += me.idVal
+        add(r)
+      }
+    dup.toSet
   }
 
   /** Paragraph-level deduplication (the RefinedWeb / Dolma curation

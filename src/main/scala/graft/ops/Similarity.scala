@@ -207,8 +207,10 @@ object Similarity {
   /** Ascending order on centroid ids, matching Spark's own orderings
     * (strings compare as UTF-8 bytes, like the distributed `least()`
     * struct form did). Loud on unsupported id types — a silently wrong
-    * sort would silently break the tie rule. */
-  private def cellIdLess(a: Any, b: Any): Boolean = (a, b) match {
+    * sort would silently break the tie rule. (Shared with
+    * [[Dedup.nearDupIncremental]]'s driver regime, whose "earlier in
+    * batch" order is the same contract.) */
+  private[graft] def cellIdLess(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Long) => x < y
     case (x: Int, y: Int) => x < y
     case (x: Short, y: Short) => x < y

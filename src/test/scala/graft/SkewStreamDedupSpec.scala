@@ -186,6 +186,32 @@ class SkewStreamDedupSpec extends SparkSpec {
     assert(run(Seq((8L, tA), (9L, tC))) == Set.empty[Long])
   }
 
+  test("nearDupIncremental: driver regime == distributed regime, batch for batch") {
+    import graft.ops.Dedup
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val tB = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo mike"
+    val tC = "yank zulu charlie delta echo foxtrot golf hotel india juliet kilo mike"
+    val tD = "a completely unrelated document about mountain hiking and autumn weather"
+    val tF = "cooking pasta with garlic and fresh basil is a joy every evening"
+    val tE = "tiny"
+    val batches = Seq(
+      Seq((1L, tA), (2L, tB), (3L, tD), (4L, tA)),
+      Seq((5L, tC), (6L, tE), (7L, tF)),
+      Seq((8L, tA), (9L, tC), (10L, tD)))
+    val sLocal = java.nio.file.Files.createTempDirectory("ndinc_l").toString + "/s"
+    val sDist = java.nio.file.Files.createTempDirectory("ndinc_d").toString + "/s"
+    def run(store: String, thr: Int)(docs: Seq[(Long, String)]): Set[Long] =
+      Dedup.nearDupIncremental(docs.toDF("id", "text"), "id", "text",
+        store, 0.6, 2, 8, 2, localRowThreshold = thr)
+        .select("id").as[Long].collect().toSet
+    batches.foreach { b =>
+      // localRowThreshold = 0 forces the distributed path on any input
+      val local = run(sLocal, 1 << 14)(b)
+      val dist = run(sDist, 0)(b)
+      assert(local == dist, s"batch $b: local $local vs distributed $dist")
+    }
+  }
+
   test("curateStream with nearDupId: exact + near dups and junk dropped in one stream stage") {
     import graft.pipelines.CorpusPipeline
     implicit val sqlCtx = spark.sqlContext
