@@ -407,6 +407,107 @@ object ScaleProbe {
           graft.ops.RecordLinkage.fellegiSunterScore(pairs, m)
             .agg(sum("match_weight")).collect()
         }
+      case "kll" =>
+        // quantile fences at n rows: exact value-buffering percentile vs
+        // the mergeable KLL(200) sketch path (Stats.fitQuantiles) —
+        // identical call shape, one aggregation pass each
+        val df = spark.range(n).select(
+          (pmod(xxhash64(col("id")), lit(1000000)) / 1000000.0).as("x"))
+        df.count()
+        var exact: Seq[Double] = Nil
+        var sk: Seq[Double] = Nil
+        time(s"winsorize-fit KLL(200) n=$n") {
+          sk = graft.ops.Stats.fitQuantiles(df, col("x"), Seq(0.01, 0.5, 0.99), 6, 200)
+        }
+        println(s"  sketch=$sk")
+        // the exact path BUFFERS every value per partition — expected to
+        // OOM well before 100M rows on this heap; that failure is the row
+        try {
+          time(s"winsorize-fit exact n=$n") {
+            exact = graft.ops.Stats.fitQuantiles(df, col("x"), Seq(0.01, 0.5, 0.99), 6, 0)
+          }
+          println(s"  exact=$exact maxAbsErr=" +
+            exact.zip(sk).map { case (e, s) => math.abs(e - s) }.max)
+        } catch { case e: Throwable =>
+          println(s"  exact path FAILED (expected at this n): ${e.getClass.getSimpleName}")
+        }
+      case "pcamoments" =>
+        // centered moment pass at n rows × dim 256: the zero-fan-out
+        // TypedImperativeAggregate vs the posexplode parity baseline
+        // (1 + d + d(d+1)/2 = 33 153 generated rows per input row)
+        val d = 256
+        val df = spark.range(n).select(col("id"),
+          transform(sequence(lit(0), lit(d - 1)),
+            i => (pmod(xxhash64(col("id"), i), lit(2000)) - 1000) / 500.0).as("v"))
+          .persist()
+        df.count()
+        val (cnt, mean) = graft.ops.Pca.meanPass(df, col("v"), d)
+        println(s"  meanPass n=$cnt")
+        time(s"centered moments AGGREGATE n=$n d=$d")(
+          graft.ops.Pca.centeredMoments(df, col("v"), d, mean))
+        time(s"centered moments EXPLODED n=$n d=$d")(
+          graft.ops.Pca.centeredMomentsExploded(df, col("v"), d, mean))
+        df.unpersist()
+      case "curatestream" =>
+        // end-to-end ingest admission: curateAdmitStream (exact dedup →
+        // near-dup LSH → quality filters → per-group quota) over a
+        // MemoryStream, n docs in 4 micro-batches — ~10% exact dups and
+        // ~5% near-dups, 5-minute near-dup retention so bucket state
+        // reaches steady state instead of growing with n
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = spark.sqlContext
+        import spark.implicits._
+        def rnd(i: Long, j: Long): Long = { // splitmix64-style driver hash
+          var z = i * 0x9E3779B97F4A7C15L + (j + 1) * 0xC2B2AE3D27D4EB4FL
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        def soup(seedId: Long): String = {
+          val len = 20 + math.floorMod(rnd(seedId, 0), 20).toInt
+          (0 until len).map(t => "w" + math.floorMod(rnd(seedId, t + 1), 5000))
+            .mkString(" ")
+        }
+        def text(i: Long): String = {
+          val m = math.floorMod(rnd(i, 99), 100)
+          if (m < 10 && i > 0) soup(i - 1) // exact dup of a neighbor's base
+          else if (m < 15 && i > 1) soup(i - 2) + " w1 w2" // near dup
+          else soup(i)
+        }
+        // the default HDFSBackedStateStoreProvider keeps every loaded
+        // version ON HEAP — at 1M docs the ~2M-row LSH bucket state OOMs
+        // a 24g driver. RocksDB is the production provider at this state
+        // size (off-heap + spill-to-disk, incremental checkpoints).
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val t0 = 1700000000000L
+        val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+        val admitted = graft.pipelines.CorpusPipeline.curateAdmitStream(
+          input.toDF.toDF("doc_id", "ts", "text"), "ts", "doc_id", "text",
+          group = pmod(col("doc_id"), lit(100)).cast("string"),
+          budgetTokens = Long.MaxValue / 4,
+          watermark = "10 seconds", nearDupRetentionMs = 300000L)
+        var survivors = 0L
+        val q = admitted.toDF().writeStream
+          .foreachBatch { (b: DataFrame, _: Long) => survivors += b.count(); () }
+          .start()
+        val nBatches = 4
+        val per = n / nBatches
+        val tStart = System.nanoTime()
+        (0 until nBatches).foreach { b =>
+          val lo = b * per
+          input.addData((lo until lo + per).map(i =>
+            (i, new java.sql.Timestamp(t0 + i), text(i))))
+          time(s"micro-batch ${b + 1}/$nBatches ($per docs)")(
+            q.processAllAvailable())
+        }
+        val secs = (System.nanoTime() - tStart) / 1e9
+        println(f"[probe] curatestream n=$n total=$secs%.1f s " +
+          f"(${n / secs}%.0f docs/s), survivors=$survivors")
+        val so = q.lastProgress.stateOperators
+        so.foreach(s => println(s"  state op ${s.operatorName}: " +
+          s"rows=${s.numRowsTotal} mem=${s.memoryUsedBytes / (1 << 20)} MiB"))
+        q.stop()
       case "corpusdiff" =>
         // two n-row snapshots: 10% of ids edited, 5% only in prev, 5%
         // only in next — hash-keyed full-outer join over (id, md5) only

@@ -158,6 +158,33 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-split leakage audit: near-duplicate pairs whose members sit in
+    * DIFFERENT splits (train vs validation/test) — the split-level form
+    * of benchmark decontamination. A near-dup of a training document
+    * inside the eval split silently inflates every metric computed on it;
+    * this surfaces exactly those pairs so the caller can re-assign or
+    * drop them (conventionally the eval-side doc moves to train, keeping
+    * the eval set honest).
+    *
+    * Same banded LSH shape as [[minhashNearDuplicates]] (never all-pairs)
+    * plus two id-keyed joins against the skinny (id, split) projection —
+    * broadcast-sized relative to the corpus only if the caller bounded
+    * the input; left as hash joins so the op holds at corpus scale.
+    * Returns (id_a, id_b, split_a, split_b, jaccard), id_a < id_b,
+    * cross-split rows only. */
+  def splitLeakage(df: DataFrame, id: String, text: String, split: String,
+      threshold: Double, numShingleWords: Int = 3,
+      numBands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val pairs = minhashNearDuplicates(df, id, text, threshold,
+      numShingleWords, numBands, rowsPerBand)
+    val splits = df.select(col(id), col(split))
+    pairs
+      .join(splits.toDF("id_a", "split_a"), Seq("id_a"))
+      .join(splits.toDF("id_b", "split_b"), Seq("id_b"))
+      .where(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+  }
+
   /** Cross-table fuzzy (MinHash-LSH) join — entity matching between two
     * corpora: pairs (left id, right id) whose texts share an LSH bucket
     * AND pass true n-gram Jaccard ≥ threshold. The same banding math as

@@ -417,14 +417,17 @@ object TextOps {
     * 4 dp before the tercile fit so the fences are ulp-robust across
     * engines (the [[Stats.fitQuantileBins]] treatment); the scored
     * frame is persisted because the fence fit and the output scan would
-    * otherwise evaluate the LM join lineage twice. Generalize to other
+    * otherwise evaluate the LM join lineage twice. `sketchK > 0` fits
+    * the terciles from a mergeable KLL sketch instead of the
+    * value-buffering exact percentile — the 100 TB path
+    * ([[Stats.fitQuantiles]]). Generalize to other
     * k / an external reference LM by composing [[bigramLmScore]] with
     * [[Stats.fitQuantileBins]] directly. */
   def perplexityBuckets(df: org.apache.spark.sql.DataFrame, id: String,
-      text: Column): org.apache.spark.sql.DataFrame = {
+      text: Column, sketchK: Int = 0): org.apache.spark.sql.DataFrame = {
     val scored = bigramLmScore(df, id, text)
       .withColumn("ppl_r", round(col("ppl"), 4)).persist()
-    val bounds = Stats.fitQuantileBins(scored, col("ppl_r"), 3)
+    val bounds = Stats.fitQuantileBins(scored, col("ppl_r"), 3, sketchK = sketchK)
     val bucket = Stats.applyQuantileBins(col("ppl_r"), bounds)
     scored.withColumn("ppl_bucket",
       when(bucket === 0, "head").when(bucket === 1, "middle")
@@ -645,20 +648,30 @@ object TextOps {
     * distribution entropy. Returns a skinny (metric, value) frame so
     * downstream dashboards/diffs are schema-stable as metrics grow.
     *
-    * Shape: THREE corpus passes, each map-side combined — (1) one wide
-    * aggregation over per-doc projections (token counts, md5, char
-    * lengths: doc-count, token sum/avg/median, dup rate, empty rate),
-    * (2) one distinct-count over exploded lower-cased tokens (vocab),
-    * (3) one count per `group` (entropy over the ≤|groups|-row table).
-    * Exact percentile is the sf-scale choice; swap `percentile` for
-    * `approx_percentile` at extreme scale (same contract as
-    * [[Stats.outlierStats]]'s documented path). */
+    * Shape: ONE corpus scan. The text is projected once into a skinny
+    * cached frame (token count, md5, char length, group, lower-cased
+    * token array — the text itself is dropped), then the three
+    * aggregations — (1) the wide per-doc stats, (2) the distinct-count
+    * over exploded tokens (vocab), (3) the per-`group` counts feeding
+    * the entropy — all read the cache instead of re-scanning and
+    * re-tokenizing the corpus (pre-fusion this was three full scans and
+    * the bench's 4th-slowest line). The cache is the projection, not the
+    * corpus: ~tokens+40 bytes per doc, partition-local, and at 100 TB
+    * the same plan holds with `StorageLevel.DISK_ONLY` or by writing the
+    * projection to a scratch table — the projection is what every
+    * downstream pass wants anyway. Exact percentile is the sf-scale
+    * choice; swap `percentile` for `approx_percentile` at extreme scale
+    * (same contract as [[Stats.outlierStats]]'s documented path). */
   def corpusReport(df: org.apache.spark.sql.DataFrame, id: Column,
       text: Column, group: Column): org.apache.spark.sql.DataFrame = {
     val perDoc = df.select(
       tokenCount(text).cast("long").as("__nt"),
       md5(text).as("__h"),
-      coalesce(length(text), lit(0)).cast("long").as("__nc"))
+      coalesce(length(text), lit(0)).cast("long").as("__nc"),
+      group.as("__g"),
+      filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+        .as("__toks"))
+      .persist()
     val base = perDoc.agg(
       count(lit(1)).cast("double").as("n_docs"),
       sum("__nt").cast("double").as("n_tokens"),
@@ -668,12 +681,11 @@ object TextOps {
         .as("exact_dup_rate"),
       avg((col("__nt") === 0).cast("double")).as("empty_rate"),
       avg("__nc").as("avg_chars"))
-    val vocab = df.select(explode(filter(
-        split(lower(trim(text)), "\\s+"), t => length(t) > 0)).as("t"))
+    val vocab = perDoc.select(explode(col("__toks")).as("t"))
       .agg(count_distinct(col("t")).cast("double").as("vocab_size"))
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    val entropy = df.groupBy(group.as("g")).agg(count(lit(1)).as("n"))
+    val entropy = perDoc.groupBy(col("__g").as("g")).agg(count(lit(1)).as("n"))
       .withColumn("p", col("n") / sum("n").over(wAll))
       .agg(sum(-col("p") * log(col("p"))).as("group_entropy"))
     // unpivot via map-explode: ONE evaluation of the aggregation subtree

@@ -179,4 +179,51 @@ object CorpusPipeline {
       rep.getField("dup_line_ratio") <= cfg.maxDupLineRatio &&
       rep.getField("top_word_ratio") <= cfg.maxTopWordRatio)
   }
+
+  /** The full ingest-time admission pipeline: [[curateStream]] (exact
+    * dedup → optional near-dup dedup → quality/repetition filters)
+    * composed with per-group token-budget admission
+    * ([[graft.streaming.StreamingOps.QuotaAdmission]]) — four chained
+    * append-mode stateful operators in ONE streaming query, the shape a
+    * 100 TB ingest firehose runs continuously: duplicates never reach
+    * the quota counters, and over-budget groups stop accumulating at the
+    * source instead of in a nightly batch sweep.
+    *
+    * `group` must be computable from the curated columns (`idCol`,
+    * `tsCol`, `textCol`) — e.g. a language-ID or source-prefix expression
+    * over the text — because the near-dup stage narrows the stream to
+    * those three columns; join wider metadata back on `idCol`
+    * downstream. Token counts use [[TextOps.tokenCount]], matching the
+    * batch [[TextOps.selectByTokenBudget]] accounting; admission is
+    * arrival-order prefix-with-close semantics (see [[StreamingOps.QuotaAdmission]]).
+    *
+    * State at scale = (docs-in-horizon × bands) shingle sets for the
+    * near-dup stage + one hash per distinct doc in the watermark horizon
+    * + one (used, closed) pair per group — each partitioned by its own
+    * key across executors; nothing global. */
+  def curateAdmitStream(docs: DataFrame, tsCol: String, idCol: String,
+      textCol: String, group: Column, budgetTokens: Long,
+      cfg: CurationConfig = CurationConfig(),
+      watermark: String = "10 minutes",
+      nearDup: Boolean = true,
+      nearDupRetentionMs: Long = 60L * 60 * 1000)
+      : org.apache.spark.sql.Dataset[graft.streaming.StreamingOps.QuotaOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // chained stateful ops trip the same static check nearDupStream
+    // documents (its CONF paragraph); quota's gather never filters by
+    // watermark, so the flagged failure mode cannot occur here either
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val curated = curateStream(docs, tsCol, textCol, cfg, watermark,
+      nearDupId = if (nearDup) Some(idCol) else None, nearDupRetentionMs)
+    val qdocs = curated.select(
+        group.cast("string").as("group"),
+        col(tsCol).as("ts"),
+        col(idCol).cast("long").as("id"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("nTokens"),
+        col(textCol).as("text"))
+      .as[graft.streaming.StreamingOps.QuotaDoc]
+    graft.streaming.StreamingOps.QuotaAdmission.run(qdocs, budgetTokens)
+  }
 }

@@ -74,6 +74,25 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    "g_winsorize_sketch" -> ((s, dir) => {
+      // Same contract as g_winsorize, fences fitted on the mergeable
+      // KLL(16384) sketch path — the 100 TB fit (one sketch per
+      // partition through the shuffle instead of every value buffered).
+      // At the verify SF (10k rows) n <= k keeps the sketch in its EXACT
+      // regime: fences are inclusive-rank order statistics, which is
+      // precisely DuckDB's quantile_disc — a deterministic twin. Past k
+      // the sketch is error-bounded (KllSketchSpec) but order-dependent,
+      // so only the exact regime is hash-oracled.
+      val w = Stats.winsorize(table(s, dir, "events"), col("value"),
+        lowerQ = 0.05, upperQ = 0.95, sketchK = 16384)
+      w.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg("winsorized"), 6).as("avg_w"),
+          round(min("winsorized"), 6).as("min_w"),
+          round(max("winsorized"), 6).as("max_w"))
+        .orderBy("event_type")
+    }),
+
     "g_bootstrap_ci" -> ((s, dir) =>
       // Poisson-bootstrap 95% CI for mean(value): 50 hash-deterministic
       // replicates in ONE wide aggregation pass, driver percentile over
@@ -583,6 +602,19 @@ object AnalyticsQueries {
       """WITH f AS (
         |  SELECT round(quantile_cont(value, 0.05), 6) AS lo,
         |         round(quantile_cont(value, 0.95), 6) AS hi
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  round(avg(greatest(least(value, hi), lo)), 6) AS avg_w,
+        |  round(min(greatest(least(value, hi), lo)), 6) AS min_w,
+        |  round(max(greatest(least(value, hi), lo)), 6) AS max_w
+        |FROM events CROSS JOIN f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // quantile_disc = inclusive-rank order statistic = the KLL sketch's
+    // EXACT-regime answer (n <= k at this SF) — see the query's comment
+    "g_winsorize_sketch" ->
+      """WITH f AS (
+        |  SELECT round(quantile_disc(CAST(value AS DOUBLE), 0.05), 6) AS lo,
+        |         round(quantile_disc(CAST(value AS DOUBLE), 0.95), 6) AS hi
         |  FROM events)
         |SELECT event_type, count(*) AS n,
         |  round(avg(greatest(least(value, hi), lo)), 6) AS avg_w,

@@ -52,6 +52,23 @@ object DedupTextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_split_leakage" -> ((s, dir) => {
+      // Cross-split contamination audit: LSH-banded near-dup pairs
+      // (verified Jaccard >= 0.8) that straddle a deterministic 80/20
+      // train/eval split — eval docs whose near-dup sits in train.
+      // Candidate recall at these banding params is certified by the
+      // dedup_minhash_lsh oracle on this same corpus, so the brute
+      // all-pairs twin is ground truth here too.
+      val docs = table(s, dir, "documents").where(col("doc_id") < 120)
+        .withColumn("split",
+          when(pmod(col("doc_id"), lit(10)) < 8, "train").otherwise("eval"))
+      Dedup.splitLeakage(docs, "doc_id", "text", "split", threshold = 0.8,
+          numShingleWords = 1, numBands = 16, rowsPerBand = 2)
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_cc_clusters" -> ((s, dir) => {
       // Near-dup CLUSTERING: connected components (iterative min-label
       // propagation) over the brute Jaccard >= 0.9 pair graph; the oracle
@@ -956,6 +973,21 @@ object DedupTextQueries {
          |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
          |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+         |ORDER BY 1, 2""".stripMargin,
+
+    "dedup_split_leakage" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, list_distinct($toks) AS sh,
+         |    CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'eval' END AS split
+         |  FROM documents WHERE doc_id < 120)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.split AS split_a, b.split AS split_b,
+         |  round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+         |  AND a.split <> b.split
          |ORDER BY 1, 2""".stripMargin,
 
     // Exact components via recursive min-reachability: reach(n, comp)

@@ -26,6 +26,23 @@ class DedupTextSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L))
   }
 
+  test("splitLeakage: only cross-split verified near-dup pairs survive") {
+    // 1 ~ 2 (near-dups, different splits -> LEAK), 1 ~ 3 (near-dups, SAME
+    // split -> excluded), 4 unrelated, 5 cross-split but below threshold
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon", "train"),
+      (2L, "alpha beta gamma delta zeta", "eval"),   // J(1,2)=4/6
+      (3L, "alpha beta gamma delta eta", "train"),   // J(1,3)=4/6, same split
+      (4L, "completely different words here now", "eval"),
+      (5L, "alpha beta unrelated tail words", "eval") // J(1,5)=2/8
+    ).toDF("id", "t", "split")
+    val got = Dedup.splitLeakage(df, "id", "t", "split", threshold = 0.6,
+        numShingleWords = 1, numBands = 16, rowsPerBand = 1)
+      .select("id_a", "id_b", "split_a", "split_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.toSet == Set((1L, 2L, "train", "eval"), (2L, 3L, "eval", "train")), got.toSeq)
+  }
+
   test("dedupParagraphs: global first occurrence wins, within-doc repeats collapse, reassembly preserves order") {
     val df = Seq(
       (1L, "intro text\n\nshared footer\n\nintro text"), // within-doc repeat

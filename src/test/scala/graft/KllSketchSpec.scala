@@ -43,6 +43,43 @@ class KllSketchSpec extends SparkSpec {
     }
   }
 
+  test("sketchK path: winsorize/robustScale/fitQuantileBins exact while n <= k") {
+    // n = 150 <= sketchK = 400: the sketch holds every value, so fences
+    // are exact ORDER STATISTICS; the clip/scale outputs must agree with
+    // hand-computed fences (the interpolating exact percentile differs by
+    // definition, not by error — so compare against order statistics)
+    val xs = (1 to 150).map(_.toDouble)
+    val df = xs.map(Tuple1(_)).toDF("x")
+    // 1%/99% fences of 1..150: inclusive-rank order stats = 2.0 and 149.0
+    val w = Stats.winsorize(df, col("x"), 0.01, 0.99, sketchK = 400)
+      .agg(min("winsorized"), max("winsorized")).head()
+    assert(w.getDouble(0) == 2.0 && w.getDouble(1) == 149.0, w.toString)
+    val bounds = Stats.fitQuantileBins(df, col("x"), 3, sketchK = 400)
+    assert(bounds == Seq(50.0, 100.0), bounds)
+    // median 75 (inclusive order stat at rank .5), MAD of |x-75| similarly
+    val rs = Stats.robustScale(df, col("x"), sketchK = 400)
+    val med = 75.0
+    val z75 = rs.where(col("x") === med).select("robust_z").head().getDouble(0)
+    assert(z75 == 0.0, s"z(median) = $z75")
+  }
+
+  test("sketchK path: error-bounded parity with the exact fit at 100k rows") {
+    // uniform values = normalized ranks, so |sketch fence − exact fence|
+    // IS the rank error; KLL k=200 one-sided error ~1.65% @99% — loose 3%
+    val n = 100000
+    val df = spark.range(n).select(((col("id") + 1).cast("double") / n).as("x"))
+    val exact = Stats.fitQuantiles(df, col("x"), Seq(0.01, 0.5, 0.99), 6, 0)
+    val sketch = Stats.fitQuantiles(df, col("x"), Seq(0.01, 0.5, 0.99), 6, 200)
+    exact.zip(sketch).foreach { case (e, s) =>
+      assert(math.abs(e - s) <= 0.03, s"exact $e vs sketch $s")
+    }
+    // and the winsorize face composes the same fit
+    val w = Stats.winsorize(df, col("x"), 0.01, 0.99, sketchK = 200)
+      .agg(min("winsorized"), max("winsorized")).head()
+    assert(math.abs(w.getDouble(0) - 0.01) <= 0.03 &&
+      math.abs(w.getDouble(1) - 0.99) <= 0.03, w.toString)
+  }
+
   test("kllRank and kllN read the sketch; rank is inclusive") {
     val shim = org.apache.spark.sql.graft.SketchShim
     val df = (1 to 100).map(i => ("a", i.toDouble)).toDF("g", "x")

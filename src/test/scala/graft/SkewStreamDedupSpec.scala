@@ -239,6 +239,42 @@ class SkewStreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateAdmitStream: near-dup + quality + quota admission in ONE streaming query") {
+    import graft.pipelines.CorpusPipeline
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val prose = "the quick brown fox jumps over the lazy dog near a quiet river bank today" // 15 tokens
+    val proseNear = "the quick brown fox jumps over the lazy dog near a quiet river bank tonight"
+    val otherA = "cooking pasta with garlic and fresh basil is a joy every single evening at home" // 15
+    val otherB = "a completely different document about mountain hiking and quiet autumn weather patterns" // 12
+    val junk = "spam spam spam spam spam spam spam spam spam spam"
+    val cfg = CorpusPipeline.CurationConfig(
+      shingleWords = 2, jaccardThreshold = 0.6, minQuality = 0.1)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    // group = doc_id parity; budget 30 tokens per group (inclusive prefix)
+    val admitted = CorpusPipeline.curateAdmitStream(
+      input.toDF.toDF("doc_id", "ts", "text"), "ts", "doc_id", "text",
+      group = pmod(col("doc_id"), lit(2)).cast("string"), budgetTokens = 30,
+      cfg = cfg, watermark = "1 minute")
+    val q = admitted.toDF().writeStream.format("memory").queryName("cur_admit")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), prose), (2L, ts(1), prose), // 2 = exact dup
+        (3L, ts(2), junk), (4L, ts(3), otherB))
+      q.processAllAvailable()
+      input.addData((5L, ts(4), proseNear), // near-dup of 1, cross-batch
+        (7L, ts(5), otherA), (9L, ts(6), otherB)) // 9 overflows group "1"
+      q.processAllAvailable()
+      val got = spark.table("cur_admit")
+        .select("id", "cumTokens").as[(Long, Long)].collect().toMap
+      // group "1" (odd): 1 admitted (cum 15), junk 3 filtered, near-dup 5
+      // dropped, 7 admitted (cum 30 — inclusive boundary), 9 would
+      // overflow -> group closes. group "0" (even): dup 2 dropped by
+      // exact dedup BEFORE it could consume quota, 4 admitted (cum 12).
+      assert(got == Map(1L -> 15L, 7L -> 30L, 4L -> 12L), got)
+    } finally q.stop()
+  }
+
   test("CorpusPipeline.curateStream equals batch curate") {
     import graft.ops.TextOps
     import graft.pipelines.CorpusPipeline
