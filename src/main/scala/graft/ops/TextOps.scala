@@ -216,6 +216,27 @@ object TextOps {
       (!hasLorem && !hasBrace && okSent).as("pass"))
   }
 
+  /** Bad-words blocklist filter — the C4 stage this module's [[c4Clean]]
+    * deliberately leaves out (Raffel 2020 §2.2 drops any page containing
+    * a word from a public blocklist; the list itself is corpus policy,
+    * so it's a parameter here). Counts lower-cased, punctuation-stripped
+    * whitespace tokens present in `words`; `pass` = zero hits.
+    *
+    * Row-local: Catalyst's OptimizeIn rewrites the membership test into
+    * a hashed InSet, so the per-row cost is O(tokens) regardless of
+    * blocklist size — no shuffle, applies to streaming ingest as-is.
+    * For blocklists too large to inline as a literal (≫10⁵ entries),
+    * explode tokens and broadcast-join the list instead. */
+  def wordlistHits(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "empty blocklist")
+    val w = words.map(_.toLowerCase)
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    val stripped = transform(toks, t =>
+      regexp_replace(t, "^[^a-z0-9]+|[^a-z0-9]+$", ""))
+    val hits = size(filter(stripped, t => t.isin(w: _*)))
+    struct(hits.as("n_hits"), (hits === 0).as("pass"))
+  }
+
   /** Deflate compression ratio of the UTF-8 text at zlib level `level` —
     * the cheap repetitiveness signal (near-0 = template/boilerplate farm,
     * near-or-above-1 = high-entropy junk; natural prose sits ~0.3–0.6).

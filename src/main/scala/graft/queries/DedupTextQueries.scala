@@ -301,6 +301,19 @@ object DedupTextQueries {
         .orderBy("doc_id")
     }),
 
+    "text_wordlist_filter" -> ((s, dir) => {
+      // C4's bad-words page filter (the stage c4Clean parameterizes out):
+      // occurrence count + pass flag against a blocklist; "slow" and
+      // "drop" occur in this corpus's vocabulary, "zzz_absent" never does.
+      val h = TextOps.wordlistHits(col("text"),
+        Seq("slow", "drop", "zzz_absent")).as("h")
+      table(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), h)
+        .select(col("doc_id"), col("h.n_hits").cast("long").as("n_hits"),
+          col("h.pass"))
+        .orderBy("doc_id")
+    }),
+
     "text_c4_clean" -> ((s, dir) => {
       // C4 line-clean + page filter (Raffel et al. 2020 §2.2) on
       // manufactured multi-line pages: the corpus is single-line word
@@ -1514,6 +1527,20 @@ object DedupTextQueries {
          |    AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
          |    AND n_req_stopwords >= 2 AS pass
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_wordlist_filter" ->
+      s"""SELECT doc_id,
+         |  len(list_filter(
+         |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |    t -> list_contains(['slow', 'drop', 'zzz_absent'],
+         |      regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g'))))
+         |    AS n_hits,
+         |  len(list_filter(
+         |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |    t -> list_contains(['slow', 'drop', 'zzz_absent'],
+         |      regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g')))) = 0
+         |    AS pass
+         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     "text_c4_clean" ->
       s"""WITH t AS (

@@ -26,6 +26,20 @@ class DedupTextSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L))
   }
 
+  test("wordlistHits: case-insensitive, punctuation-stripped occurrence counts") {
+    val df = Seq(
+      "The BAD word and another bad, word.", // 'bad' twice (case, punct)
+      "perfectly clean text here",
+      "",
+      "bad-ly is not the word bad is") // inner '-' survives the edge
+      // strip, so 'bad-ly' is no hit; bare 'bad' is -> 1
+      .toDF("t")
+    val got = df.select(graft.ops.TextOps.wordlistHits(col("t"), Seq("bad", "evil")).as("h"))
+      .select("h.n_hits", "h.pass").collect()
+      .map(r => (r.getInt(0), r.getBoolean(1)))
+    assert(got.toSeq == Seq((2, false), (0, true), (0, true), (1, false)), got.toSeq)
+  }
+
   test("splitLeakage: only cross-split verified near-dup pairs survive") {
     // 1 ~ 2 (near-dups, different splits -> LEAK), 1 ~ 3 (near-dups, SAME
     // split -> excluded), 4 unrelated, 5 cross-split but below threshold
