@@ -254,6 +254,80 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Brute-force n-gram CONTAINMENT over all ORDERED pairs:
+    * C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| — the
+    * asymmetric overlap that catches a short document embedded in a long
+    * one, which Jaccard (and therefore MinHash-LSH) structurally
+    * underweights: J = |A∩B|/|A∪B| → 0 as |B|/|A| grows even when A ⊆ B.
+    * Directed: (a, b) and (b, a) are distinct findings. Small-domain
+    * verifier (fails loudly past `maxDomain`) — [[containmentJoin]] is
+    * the scale path, [[duplicateSpans]]/[[dedupSubstrings]] the
+    * grain-level alternative. */
+  def containmentPairs(df: DataFrame, id: String, text: String, n: Int,
+      threshold: Double, maxDomain: Int = DefaultMaxVerifierDomain): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val docs = df.select(col(id).as("id"), shingles(col(text), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    requireSmallDomain(docs, maxDomain, "containmentPairs", "containmentJoin")
+    docs.toDF("id_a", "sh_a").crossJoin(docs.toDF("id_b", "sh_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .where(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
+  /** Distributed containment join via PREFIX FILTERING (the ssjoin /
+    * PPJoin family, Chaudhuri et al. 2006; Xiao et al. 2008) — the scale
+    * path of [[containmentPairs]], LOSSLESS by the pigeonhole argument:
+    * C(A→B) ≥ t needs |A∩B| ≥ ⌈t·|A|⌉, i.e. A misses at most
+    * |A| − ⌈t·|A|⌉ of its shingles from B, so among A's
+    * |A| − ⌈t·|A|⌉ + 1 globally RAREST shingles (rarest-first minimizes
+    * candidates; ties broken by shingle for determinism) at least one
+    * must occur in B — indexing only those prefixes against the full
+    * posting list finds every qualifying pair. The ceil is taken with a
+    * 1e-6 slack because IEEE t·|A| can land an ulp ABOVE the exact
+    * integer (0.8·5 → 4.0000000000000002 → ⌈·⌉ = 5 would cut the prefix
+    * to nothing at exactly c = t); the slack can only LENGTHEN the
+    * prefix — a few extra candidates for the verifier, never lost
+    * recall (the boundary-pair spec pins this).
+    *
+    * Shape: one explode + global shingle-frequency count (map-side
+    * combined), one per-doc rank (id-keyed window), one prefix⋈postings
+    * equi-join on the shingle, then exact verification on the deduped
+    * candidates. Everything is linear in data size except the candidate
+    * join, whose quadratic term is bounded per shingle by that shingle's
+    * document frequency — the rarest-prefix choice keeps exactly that
+    * small. Returns directed (id_a, id_b, containment). */
+  def containmentJoin(df: DataFrame, id: String, text: String, n: Int,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val docs = df.select(col(id).as("id"), shingles(col(text), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    val toks = docs.select(col("id"), size(col("sh")).as("__sz"),
+      explode(col("sh")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("__f"))
+    val prefix = toks.join(freq, Seq("tok"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("__f"), col("tok"))))
+      .where(col("__rn") <= col("__sz") -
+        ceil(lit(threshold) * col("__sz") - lit(1e-6)) + 1)
+      .select(col("id").as("id_a"), col("tok"))
+    val candidates = prefix
+      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(docs.toDF("id_a", "sh_a"), Seq("id_a"))
+      .join(docs.toDF("id_b", "sh_b"), Seq("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .where(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Embedding-cosine near-duplicates: candidate pairs from multi-table
     * random-hyperplane LSH (a pair with angle θ collides in one table
     * with probability (1 − θ/π)^nBits; over nTables independent tables

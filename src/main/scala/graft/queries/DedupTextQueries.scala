@@ -69,6 +69,31 @@ object DedupTextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_containment" -> ((s, dir) => {
+      // Directed containment C(A→B) = |sh(A)∩sh(B)|/|sh(A)| via the
+      // prefix-filter join (the SCALE path — lossless by pigeonhole, see
+      // Dedup.containmentJoin), certified here against the brute
+      // all-ordered-pairs DuckDB twin: a green hash match IS the 100%
+      // recall proof on this corpus. Corpus = docs 0..99 plus a prefix
+      // EXCERPT (first ⌈len/3⌉ tokens, id+100000) of each doc < 40 — a
+      // contiguous prefix keeps its bigrams, so C(excerpt→original) = 1
+      // while their Jaccard is far below any LSH threshold: exactly the
+      // short-in-long case Jaccard misses.
+      val base = table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          filter(split(trim(col("text")), "\\s+"), t => length(t) > 0).as("toks"))
+      val corpus = base
+        .select(col("doc_id"), array_join(col("toks"), " ").as("text"))
+        .unionByName(base.where(col("doc_id") < 40).select(
+          (col("doc_id") + 100000).as("doc_id"),
+          array_join(slice(col("toks"), lit(1), greatest(lit(2),
+            floor(size(col("toks")) / lit(3)).cast("int"))), " ").as("text")))
+      Dedup.containmentJoin(corpus, "doc_id", "text", n = 2, threshold = 0.6)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_cc_clusters" -> ((s, dir) => {
       // Near-dup CLUSTERING: connected components (iterative min-label
       // propagation) over the brute Jaccard >= 0.9 pair graph; the oracle
@@ -987,6 +1012,28 @@ object DedupTextQueries {
          |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
          |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
          |ORDER BY 1, 2""".stripMargin,
+
+    // brute ALL-ordered-pairs twin — the prefix-filter join must find
+    // every pair this finds (losslessness certificate)
+    "dedup_containment" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents WHERE doc_id < 100),
+         |corpus AS (
+         |  SELECT doc_id, toks FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 100000,
+         |    toks[1:greatest(2, CAST(floor(len(toks)/3.0) AS INT))]
+         |  FROM base WHERE doc_id < 40),
+         |docs AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS sh
+         |  FROM corpus WHERE len(toks) >= 2)
+         |SELECT id_a, id_b, round(c, 4) AS containment FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) AS c
+         |  FROM docs a JOIN docs b ON a.doc_id <> b.doc_id)
+         |WHERE c >= 0.6 ORDER BY 1, 2""".stripMargin,
 
     "dedup_split_leakage" ->
       s"""WITH docs AS (

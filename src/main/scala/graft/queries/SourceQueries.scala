@@ -119,6 +119,37 @@ object SourceQueries {
         .orderBy("g")
     }),
 
+    // S10: JSONL corpus load with corrupt-record quarantine — valid lines
+    // parse against the explicit schema; every doc_id % 10 == 3 line is
+    // malformed (invalid token BEFORE any field, so Spark's PERMISSIVE
+    // partial-result parse can't populate anything) and must surface via
+    // the corrupt flag with the raw line retained, never dropped. The
+    // doc_id of corrupt rows is recovered from the quarantined raw text
+    // for a deterministic ordering.
+    "s10_jsonl_load" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_s10")
+      val rows = table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"), md5(col("text")).as("h"), col("n_chars"))
+        .orderBy("doc_id").collect()
+      val lines = rows.map { r =>
+        val id = r.getLong(0)
+        if (id % 10 == 3) s"""{"n": oops, "doc_id": $id}"""
+        else s"""{"doc_id": $id, "h": "${r.getString(1)}", "n": ${r.getLong(2)}}"""
+      }
+      val f = base.resolve("docs.jsonl")
+      java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("h", org.apache.spark.sql.types.StringType)
+        .add("n", org.apache.spark.sql.types.LongType)
+      Sources.readJsonl(s, f.toString, schema)
+        .select(
+          coalesce(col("doc_id"), regexp_extract(col("_corrupt_record"),
+            "\"doc_id\": (\\d+)", 1).cast("long")).as("doc_id"),
+          col("h"), col("n"), col("corrupt"))
+        .orderBy("doc_id")
+    }),
+
     // S5: windows parquet sink/source GOLDEN-FILE roundtrip — the fixture
     // goes through the real writeWindows (split-partitioned parquet) and
     // readWindows, and the query emits the re-read content; the twin
@@ -213,6 +244,15 @@ object SourceQueries {
         |  max(CAST(event_id * 131 + 7 AS DOUBLE)) AS max_ts,
         |  round(sum(value), 4) AS sum_value
         |FROM events WHERE event_id < 250 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replay of the fixture derivation, not of the file: the twin computes
+    // what a lossless quarantine-load must surface per doc
+    "s10_jsonl_load" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 3 THEN NULL ELSE md5(text) END AS h,
+        |  CASE WHEN doc_id % 10 = 3 THEN NULL ELSE n_chars END AS n,
+        |  doc_id % 10 = 3 AS corrupt
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     "s5_windows_roundtrip" ->
       """SELECT event_id AS wid,

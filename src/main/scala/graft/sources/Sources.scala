@@ -119,6 +119,36 @@ object Sources {
   def writeMetricsJson(df: DataFrame, path: String): Unit =
     sanitizeDoubles(df).coalesce(1).write.mode("overwrite").json(path)
 
+  /** S10 — newline-delimited JSON (JSONL) corpus reader with
+    * corrupt-record quarantine: the standard interchange format for
+    * web-scale text corpora (each line one document). PERMISSIVE parse
+    * against the caller's schema; malformed lines land intact in
+    * `_corrupt_record` with a `corrupt` flag — quarantine them to a dead
+    * letter sink instead of silently dropping (a corpus loader that eats
+    * lines biases every downstream count).
+    *
+    * Scale shape: one splittable TEXT scan + a per-line `from_json`
+    * against the EXPLICIT schema — no inference pre-pass over 100 TB,
+    * and no re-read for the quarantine path. (The direct
+    * `spark.read.json` form hits Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    * restriction the moment a consumer filters on `corrupt` and selects
+    * only the raw line — exactly the dead-letter flow — and the
+    * documented workaround is caching the parse, a non-starter at
+    * corpus scale. `from_json` has no such restriction, and Catalyst's
+    * OptimizeJsonExprs still prunes the parse schema to the consumed
+    * fields.) */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema must not pre-declare _corrupt_record")
+    val full = schema.add("_corrupt_record", StringType)
+    spark.read.text(path)
+      .select(from_json(col("value"), full, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt_record")).as("__p"))
+      .select(col("__p.*"))
+      .withColumn("corrupt", col("_corrupt_record").isNotNull)
+  }
+
   /** S8 — metrics harvest scan: recursive JSON glob + run_dir from the file
     * name, ready to join metrics ⋈ config by directory (J3).
     * Ref: load_all_metrics_flat, func_aux/func_plot.py:648-697. */

@@ -40,6 +40,44 @@ class DedupTextSpec extends SparkSpec {
     assert(got.toSeq == Seq((2, false), (0, true), (0, true), (1, false)), got.toSeq)
   }
 
+  test("containment: short-in-long found at C=1 where Jaccard is tiny; join == brute; directed") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")         // 39 bigrams
+    val short = (1 to 5).map(i => s"w$i").mkString(" ")         // 4 bigrams, all in long
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, long), (2L, short), (3L, other)).toDF("id", "t")
+    // Jaccard(short, long) = 4/39 ≈ 0.10 — invisible to any LSH threshold
+    val j = Dedup.jaccardSimilarity(df, "id", "t", n = 2)
+      .where(col("id_a") === 1 && col("id_b") === 2)
+      .select("jaccard").head().getDouble(0)
+    assert(j < 0.15, s"jaccard $j")
+    val brute = Dedup.containmentPairs(df, "id", "t", n = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute == Set((2L, 1L, 1.0))) // directed: short ⊆ long only
+    val joined = Dedup.containmentJoin(df, "id", "t", n = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(joined == brute)
+  }
+
+  test("containmentJoin == containmentPairs on a randomized overlapping corpus (losslessness)") {
+    // 60 docs over a 12-word vocab: heavy shingle sharing stresses the
+    // prefix filter's recall at several thresholds
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 60L).map { i =>
+      val len = 4 + rnd.nextInt(12)
+      (i, Seq.fill(len)(s"w${rnd.nextInt(12)}").mkString(" "))
+    }
+    val df = docs.toDF("id", "t")
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val brute = Dedup.containmentPairs(df, "id", "t", n = 1, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9))).toSet
+      val joined = Dedup.containmentJoin(df, "id", "t", n = 1, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9))).toSet
+      assert(joined == brute, s"threshold $t: ${joined.size} vs ${brute.size}")
+    }
+  }
+
   test("splitLeakage: only cross-split verified near-dup pairs survive") {
     // 1 ~ 2 (near-dups, different splits -> LEAK), 1 ~ 3 (near-dups, SAME
     // split -> excluded), 4 unrelated, 5 cross-split but below threshold

@@ -141,6 +141,33 @@ class LabelsStatsSourcesSpec extends SparkSpec {
     assert(h.where(col("ev3").isNull).count() == 1)
   }
 
+  test("S10 readJsonl: valid lines parse, malformed lines quarantine with raw text, none dropped") {
+    val dir = Files.createTempDirectory("graft_jsonl").toFile
+    val f = new java.io.File(dir, "docs.jsonl")
+    Files.writeString(f.toPath,
+      """{"id": 1, "text": "hello world"}
+        |{"id": oops
+        |{"id": 3, "text": "third"}
+        |not json at all
+        |""".stripMargin)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    val got = Sources.readJsonl(spark, f.getPath, schema)
+    assert(got.count() == 4) // quarantine, never drop
+    val good = got.where(!col("corrupt")).orderBy("id")
+      .select("id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(good.toSeq == Seq((1L, "hello world"), (3L, "third")))
+    val bad = got.where(col("corrupt")).select("_corrupt_record")
+      .collect().map(_.getString(0)).toSet
+    assert(bad == Set("{\"id\": oops", "not json at all")) // raw lines intact
+    // declaring _corrupt_record in the caller schema is a contract error
+    intercept[IllegalArgumentException] {
+      Sources.readJsonl(spark, f.getPath,
+        schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+    }
+  }
+
   test("S3 network merge: filename labels, evse tag, union, dropna") {
     val dir = Files.createTempDirectory("graft_net").toFile
     val a = new java.io.File(dir, "a"); a.mkdirs()
