@@ -448,6 +448,30 @@ object ScaleProbe {
         time(s"centered moments EXPLODED n=$n d=$d")(
           graft.ops.Pca.centeredMomentsExploded(df, col("v"), d, mean))
         df.unpersist()
+      case "containment" =>
+        // prefix-filter containment join at n base docs + n/10 planted
+        // prefix excerpts. Token ids are POWER-LAW skewed (u^3 over a
+        // 50k vocab) like real text — the rarest-prefix filter depends
+        // on rare shingles existing; a flat synthetic vocab would be the
+        // adversarial worst case, not the representative one.
+        val words = transform(
+          sequence(lit(0), pmod(xxhash64(col("id")), lit(20)) + lit(20)),
+          i => concat(lit("w"), floor(
+            pow(pmod(xxhash64(col("id"), i), lit(1000000)) / 1e6, 3.0)
+              * 50000).cast("long")))
+        val base = spark.range(n).select(col("id"), array_join(words, " ").as("text"))
+        val corpus = base.unionByName(
+          base.where(col("id") < n / 10).select((col("id") + n).as("id"),
+            array_join(slice(split(col("text"), " "), 1, 8), " ").as("text")))
+          .persist()
+        corpus.count()
+        var found = 0L
+        time(s"containmentJoin n=$n (+${n / 10} excerpts) t=0.9") {
+          found = graft.ops.Dedup.containmentJoin(corpus, "id", "text",
+            n = 3, threshold = 0.9).count()
+        }
+        println(s"  pairs found: $found (planted: ${n / 10} excerpt→base)")
+        corpus.unpersist()
       case "curatestream" =>
         // end-to-end ingest admission: curateAdmitStream (exact dedup →
         // near-dup LSH → quality filters → per-group quota) over a

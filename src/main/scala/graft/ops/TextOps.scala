@@ -723,6 +723,81 @@ object TextOps {
       .unionByName(skinny(entropy, Seq("group_entropy")))
   }
 
+  /** One mergeable corpus-stats snapshot row per (ingest batch, group) —
+    * the incremental form of [[corpusReport]] for corpora that grow by
+    * appends: each batch is scanned ONCE at ingest, and the corpus-wide
+    * data card is re-derived from the bounded snapshot table
+    * ([[corpusStatsReport]]) without ever rescanning history. At 100 TB
+    * the snapshot table is |batches|·|groups| rows of counters + compact
+    * sketches — dashboard-sized.
+    *
+    * Exact fields (counts, token/char sums, empties) merge losslessly;
+    * cross-batch DISTINCT facts (dup rate, vocabulary) can't be merged
+    * exactly from per-batch scalars by information-theoretic necessity,
+    * so they ride mergeable sketches: a DataSketches HLL per batch over
+    * doc md5s / lower-cased tokens, and a KLL over per-doc token counts
+    * for quantiles. */
+  def corpusStatsSnapshot(df: org.apache.spark.sql.DataFrame, text: Column,
+      group: Column, batchId: Long, lgConfigK: Int = 12,
+      kllK: Int = 200): org.apache.spark.sql.DataFrame = {
+    val shim = org.apache.spark.sql.graft.SketchShim
+    val perDoc = df.select(group.as("g"), md5(text).as("__h"),
+      tokenCount(text).cast("long").as("__nt"),
+      coalesce(length(text), lit(0)).cast("long").as("__nc"),
+      filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+        .as("__toks"))
+      .persist()
+    val base = perDoc.groupBy("g").agg(
+      count(lit(1)).as("n_docs"),
+      sum("__nt").as("n_tokens"),
+      sum("__nc").as("n_chars"),
+      sum((col("__nt") === 0).cast("long")).as("n_empty"),
+      hll_sketch_agg(col("__h"), lit(lgConfigK)).as("doc_hll"),
+      shim.kllAgg(col("__nt").cast("double"), kllK).as("nt_kll"))
+    val vocab = perDoc.select(col("g"), explode(col("__toks")).as("t"))
+      .groupBy("g").agg(hll_sketch_agg(col("t"), lit(lgConfigK)).as("vocab_hll"))
+    base.join(vocab, Seq("g"), "left").withColumn("batch_id", lit(batchId))
+  }
+
+  /** Corpus-wide data card from the snapshot table — same skinny
+    * (metric, value) contract as [[corpusReport]]. Exact metrics carry
+    * the same names (bit-equal to a whole-corpus [[corpusReport]] run —
+    * spec-pinned); sketch-backed metrics carry an `_est` suffix
+    * (deterministic per input, but DataSketches-determined, so
+    * spec-bounded rather than DuckDB-oracled — the HLL-rollup stance).
+    * Two aggregations over the BOUNDED snapshot table, never the raw
+    * corpus. */
+  def corpusStatsReport(snapshots: org.apache.spark.sql.DataFrame,
+      kllK: Int = 200): org.apache.spark.sql.DataFrame = {
+    val shim = org.apache.spark.sql.graft.SketchShim
+    val g = snapshots.agg(
+      sum("n_docs").cast("double").as("n_docs"),
+      sum("n_tokens").cast("double").as("n_tokens"),
+      (sum("n_tokens") / sum("n_docs")).as("avg_tokens"),
+      (sum("n_chars") / sum("n_docs")).as("avg_chars"),
+      (sum("n_empty") / sum("n_docs").cast("double")).as("empty_rate"),
+      (lit(1.0) - hll_sketch_estimate(hll_union_agg(col("doc_hll"), lit(false)))
+        / sum("n_docs")).as("exact_dup_rate_est"),
+      hll_sketch_estimate(hll_union_agg(col("vocab_hll"), lit(false)))
+        .cast("double").as("vocab_size_est"),
+      shim.kllQuantile(shim.kllMerge(col("nt_kll"), kllK), lit(0.5))
+        .as("p50_tokens_est"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val entropy = snapshots.groupBy("g").agg(sum("n_docs").as("n"))
+      .withColumn("p", col("n") / sum("n").over(wAll))
+      .agg(sum(-col("p") * log(col("p"))).as("group_entropy"))
+    def skinny(src: org.apache.spark.sql.DataFrame,
+        metrics: Seq[String]): org.apache.spark.sql.DataFrame =
+      src.select(explode(map(metrics.flatMap(m =>
+          Seq(lit(m), col(m).cast("double"))): _*))
+        .as(Seq("metric", "value")))
+    skinny(g, Seq("n_docs", "n_tokens", "avg_tokens", "avg_chars",
+        "empty_rate", "exact_dup_rate_est", "vocab_size_est",
+        "p50_tokens_est"))
+      .unionByName(skinny(entropy, Seq("group_entropy")))
+  }
+
   /** RAG-style document chunking: whitespace tokens cut into windows of
     * `chunkSize` tokens every `stride` tokens (overlapping when
     * `stride < chunkSize`); the tail chunk is truncated, empty documents

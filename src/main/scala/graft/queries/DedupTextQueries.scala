@@ -757,6 +757,24 @@ object DedupTextQueries {
         .select(col("metric"), round(col("value"), 4).as("value"))
         .orderBy("metric")),
 
+    "corpus_report_incremental" -> ((s, dir) => {
+      // The incremental data card: three ingest batches (doc_id % 3),
+      // one mergeable snapshot row per (batch, lang), report re-derived
+      // from the bounded snapshot table — history never rescanned. The
+      // EXACT metrics must equal the whole-corpus numbers (this oracle);
+      // the sketch-backed *_est metrics are spec-bounded
+      // (CurationStatsSpec) and excluded here.
+      val docs = table(s, dir, "documents")
+      val snaps = (0 until 3).map(b => TextOps.corpusStatsSnapshot(
+          docs.where(pmod(col("doc_id"), lit(3)) === b),
+          col("text"), col("lang"), b))
+        .reduce(_ unionByName _)
+      TextOps.corpusStatsReport(snaps)
+        .where(!col("metric").endsWith("_est"))
+        .select(col("metric"), round(col("value"), 4).as("value"))
+        .orderBy("metric")
+    }),
+
     "quality_classifier" -> ((s, dir) => {
       // FastText-style quality classifier: 2 full-batch GD epochs of
       // logistic regression on hashed bag-of-words (512 IntHash buckets,
@@ -903,6 +921,35 @@ object DedupTextQueries {
          |  round(exp(-avg(logp)), 4) AS ppl
          |FROM bi JOIN lp USING (bg)
          |WHERE doc_id < 100 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // whole-corpus replay of the EXACT metrics — merging per-batch
+    // counters must lose nothing
+    "corpus_report_incremental" ->
+      s"""WITH t AS (
+         |  SELECT text, lang,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |      AS BIGINT) AS nt,
+         |    coalesce(length(text), 0) AS nc
+         |  FROM documents),
+         |base AS (
+         |  SELECT count(*) * 1.0 AS n_docs, sum(nt) * 1.0 AS n_tokens,
+         |    sum(nt) * 1.0 / count(*) AS avg_tokens,
+         |    sum(nc) * 1.0 / count(*) AS avg_chars,
+         |    avg(CASE WHEN nt = 0 THEN 1.0 ELSE 0.0 END) AS empty_rate
+         |  FROM t),
+         |ent AS (
+         |  SELECT sum(-(n * 1.0 / tot) * ln(n * 1.0 / tot)) AS group_entropy
+         |  FROM (SELECT n, sum(n) OVER () AS tot
+         |        FROM (SELECT lang, count(*) AS n FROM t GROUP BY 1)))
+         |SELECT metric, round(value, 4) AS value FROM (
+         |  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+         |  UNION ALL SELECT 'n_tokens', n_tokens FROM base
+         |  UNION ALL SELECT 'avg_tokens', avg_tokens FROM base
+         |  UNION ALL SELECT 'avg_chars', avg_chars FROM base
+         |  UNION ALL SELECT 'empty_rate', empty_rate FROM base
+         |  UNION ALL SELECT 'group_entropy', group_entropy FROM ent)
+         |ORDER BY metric""".stripMargin,
 
     "corpus_report" ->
       s"""WITH t AS (

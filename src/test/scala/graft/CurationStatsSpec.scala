@@ -10,6 +10,39 @@ import graft.ops.{Dedup, Stats, TextOps}
 class CurationStatsSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- incremental corpus stats ----
+
+  test("corpusStatsSnapshot/Report: exact metrics equal whole-corpus corpusReport; estimates bounded; parquet roundtrip") {
+    val docs = (1L to 300L).map { i =>
+      val g = if (i % 3 == 0) "en" else "de"
+      val text =
+        if (i % 17 == 0) "" // empties
+        else if (i % 5 == 0) s"dup doc body ${i % 4}" // cross-batch exact dups
+        else (0 until (3 + (i % 7)).toInt).map(t => s"w${(i * 31 + t * 7) % 40}").mkString(" ")
+      (i, text, g)
+    }.toDF("id", "text", "g")
+    val whole = TextOps.corpusReport(docs, col("id"), col("text"), col("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // three ingest batches, snapshots through a parquet store (the real flow)
+    val store = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    (0 until 3).foreach(b => TextOps.corpusStatsSnapshot(
+        docs.where(col("id") % 3 === b), col("text"), col("g"), b)
+      .write.mode("append").parquet(store))
+    val report = TextOps.corpusStatsReport(spark.read.parquet(store))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // exact metrics: bit-equal to the whole-corpus card
+    for (m <- Seq("n_docs", "n_tokens", "avg_tokens", "avg_chars",
+        "empty_rate", "group_entropy"))
+      assert(report(m) == whole(m), s"$m: ${report(m)} vs ${whole(m)}")
+    // sketch-backed estimates: within HLL lgK=12 error (~2.5%) / KLL rank error
+    assert(math.abs(report("exact_dup_rate_est") - whole("exact_dup_rate"))
+      <= 0.03, s"dup ${report("exact_dup_rate_est")} vs ${whole("exact_dup_rate")}")
+    assert(math.abs(report("vocab_size_est") / whole("vocab_size") - 1.0)
+      <= 0.03, s"vocab ${report("vocab_size_est")} vs ${whole("vocab_size")}")
+    assert(math.abs(report("p50_tokens_est") - whole("p50_tokens")) <= 1.0,
+      s"p50 ${report("p50_tokens_est")} vs ${whole("p50_tokens")}")
+  }
+
   // ---- ewma ----
 
   test("ewma: matches the hand-computed recurrence per group, ordered") {

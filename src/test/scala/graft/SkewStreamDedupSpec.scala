@@ -325,6 +325,48 @@ class SkewStreamDedupSpec extends SparkSpec {
     assert(got.map(_._1).toSet == Set(1L, 3L, 5L)) // dup 2 and junk 4 gone
   }
 
+  test("streaming incremental data card: per-micro-batch snapshots == batch card of the curated survivors") {
+    import graft.ops.TextOps
+    import graft.pipelines.CorpusPipeline
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val prose1 = "the quick brown fox jumps over the lazy dog near a quiet river bank today"
+    val prose2 = "cooking pasta with garlic and fresh basil is a joy every single evening at home"
+    val prose3 = "a completely different document about mountain hiking and quiet autumn weather patterns"
+    val junk = "spam spam spam spam spam spam spam spam spam spam"
+    val cfg = CorpusPipeline.CurationConfig(minQuality = 0.1, maxTopWordRatio = 0.5)
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val curated = CorpusPipeline.curateStream(
+      input.toDF.toDF("doc_id", "ts", "text", "lang"), "ts", "text", cfg, "1 minute")
+    val store = java.nio.file.Files.createTempDirectory("graft_scard").toString
+    val q = curated.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        TextOps.corpusStatsSnapshot(batch, col("text"), col("lang"), id)
+          .write.mode("append").parquet(store)
+        ()
+    }.start()
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    try {
+      input.addData((1L, ts(0), prose1, "en"), (2L, ts(1), prose1, "en"), // dup
+        (3L, ts(2), junk, "en"), (4L, ts(3), prose2, "de"))
+      q.processAllAvailable()
+      input.addData((5L, ts(4), prose3, "de"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamCard = TextOps.corpusStatsReport(spark.read.parquet(store))
+      .where(!col("metric").endsWith("_est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // batch truth: the same survivors (1, 4, 5), carded in one shot
+    val batchCard = TextOps.corpusReport(
+        Seq((1L, prose1, "en"), (4L, prose2, "de"), (5L, prose3, "de"))
+          .toDF("doc_id", "text", "lang"),
+        col("doc_id"), col("text"), col("lang"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (m <- Seq("n_docs", "n_tokens", "avg_tokens", "avg_chars",
+        "empty_rate", "group_entropy"))
+      assert(streamCard(m) == batchCard(m), s"$m: ${streamCard(m)} vs ${batchCard(m)}")
+  }
+
   test("decontaminateStream == batch decontaminate (per-doc shared-gram counts)") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
