@@ -237,6 +237,41 @@ object TextOps {
     struct(hits.as("n_hits"), (hits === 0).as("pass"))
   }
 
+  /** Salt key for the masking RNG stream (independent of the dropout
+    * stream at the same seed — same mechanism as Robustness.U2Salt). */
+  private val MaskSalt: Long = 905157L
+
+  /** Deterministic token-level text augmentation for robustness
+    * training: word DROPOUT (Iyyer et al. 2015 — each token kept with
+    * prob 1−dropRate) and BERT-style token MASKING (Devlin et al. 2019 —
+    * each token replaced by `maskToken` with prob maskRate, independent
+    * stream). Draws come from the engine's portable hash RNG keyed on
+    * (doc id, token position) — reproducible across engines,
+    * partitionings and retries, and exactly replayable in SQL (the
+    * R1–R5 degradation stance; keys must be non-negative). Pure
+    * row-local array expressions — no shuffle, no UDF, streams as-is.
+    * Returns a struct (n_tokens, dropped_text, n_kept, masked_text,
+    * n_masked); n_masked counts `maskToken` occurrences in the output,
+    * so pre-existing literal mask tokens in the input count too. */
+  def tokenAugment(id: Column, text: Column, dropRate: Double,
+      maskRate: Double, seed: Long, maskToken: String = "<mask>"): Column = {
+    require(dropRate >= 0.0 && dropRate <= 1.0, "dropRate in [0, 1]")
+    require(maskRate >= 0.0 && maskRate <= 1.0, "maskRate in [0, 1]")
+    val toks = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    val dropped = filter(transform(toks, (t, i) =>
+      when(Robustness.seededUniform(seed, id, i) >= dropRate, t)),
+      x => x.isNotNull)
+    val masked = transform(toks, (t, i) =>
+      when(Robustness.seededUniform(seed, id, i, lit(MaskSalt)) < maskRate,
+        lit(maskToken)).otherwise(t))
+    struct(
+      size(toks).cast("long").as("n_tokens"),
+      array_join(dropped, " ").as("dropped_text"),
+      size(dropped).cast("long").as("n_kept"),
+      array_join(masked, " ").as("masked_text"),
+      size(filter(masked, t => t === maskToken)).cast("long").as("n_masked"))
+  }
+
   /** Deflate compression ratio of the UTF-8 text at zlib level `level` —
     * the cheap repetitiveness signal (near-0 = template/boilerplate farm,
     * near-or-above-1 = high-entropy junk; natural prose sits ~0.3–0.6).
@@ -523,6 +558,73 @@ object TextOps {
       .withColumn("bin", floor((col("__rt") - col("n_tokens")) / budgetTokens).cast("long"))
       .withColumn("offset", pmod(col("__rt") - col("n_tokens"), lit(budgetTokens.toLong)))
       .drop("__rt")
+  }
+
+  /** WHOLE-DOCUMENT greedy packing — the SFT/instruction-tuning layout
+    * where documents must never be truncated or split: docs are taken in
+    * `orderCols` order and appended to the current bin while they fit;
+    * the first doc that would overflow opens a new bin (docs longer than
+    * `budgetTokens` get a bin of their own, overflowing it alone;
+    * zero-token docs never open bins). Unlike [[packSequences]]/
+    * [[packSequencesSplit]] this leaves real per-bin slack — that waste
+    * is the price of unsplit documents, and bin fill is auditable from
+    * the output (max offset+n_tokens per bin).
+    *
+    * Scale shape: greedy assignment is inherently sequential, so the
+    * corpus is cut into contiguous CHUNKS of `budgetTokens·chunkBins`
+    * tokens by the ONE distributed prefix sum
+    * ([[SlidingWindows.withRunningTotal]] — no single-reducer window),
+    * and each chunk is packed exactly and independently on executors
+    * (`flatMapGroups`, the sanctioned per-group imperative form). Bins
+    * never cross chunks: waste vs the global sequential greedy is at
+    * most one partial bin per chunk, and with `chunkBins` at its default
+    * a ≤ 2²²-token corpus is ONE chunk — bit-exact global greedy (the
+    * oracle face). Bin ids are globally unique and monotone
+    * (chunk · (2·chunkBins + 2) + local) but not dense across chunks.
+    * `id` must be a non-null numeric column. Adds (n_tokens, bin,
+    * offset). */
+  def packSequencesWhole(df: org.apache.spark.sql.DataFrame, id: String,
+      text: Column, orderCols: Seq[Column], budgetTokens: Int,
+      chunkBins: Int = 1 << 14): org.apache.spark.sql.DataFrame = {
+    require(budgetTokens >= 1, "budgetTokens must be >= 1")
+    require(chunkBins >= 1, "chunkBins must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counted = df.withColumn("n_tokens", tokenCount(text).cast("long"))
+    val withRt = SlidingWindows.withRunningTotal(
+      counted, orderCols, col("n_tokens"), "__rt")
+    val chunkTokens = budgetTokens.toLong * chunkBins
+    val maxBins = 2L * chunkBins + 2
+    val budget = budgetTokens.toLong
+    val assign = withRt.select(col(id).cast("long").as("_id"),
+        col("__rt").as("_rt"), col("n_tokens").as("_n"),
+        floor((col("__rt") - col("n_tokens")) / chunkTokens).cast("long")
+          .as("_chunk"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._4)
+      .flatMapGroups { (chunk: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+        // deterministic in-chunk order: prefix-sum position, id on the
+        // zero-token ties (a 0-token doc shares __rt with its neighbor)
+        val rows = it.toArray.sortBy(r => (r._2, r._1))
+        var bin = 0L
+        var fill = 0L
+        rows.iterator.map { case (docId, _, n, _) =>
+          // n > 0: a zero-token doc always "fits" — even in a bin an
+          // oversize doc has already overflowed (fill > budget)
+          if (n > 0 && fill + n > budget && fill > 0) { bin += 1; fill = 0 }
+          require(bin < maxBins - 1,
+            s"chunk $chunk exceeded the $maxBins-bin stride — impossible " +
+              "under greedy (bins hold >= 1 doc or > budget/2 tokens); " +
+              "data or arithmetic corruption")
+          val off = fill
+          fill += n
+          (docId, chunk * maxBins + bin, off)
+        }
+      }
+      .toDF(s"__${id}_a", "bin", "offset")
+    withRt.drop("__rt")
+      .join(assign, col(id).cast("long") === col(s"__${id}_a"))
+      .drop(s"__${id}_a")
   }
 
   /** [[packSequences]] with BOUNDARY SPLITTING — the physical layout a

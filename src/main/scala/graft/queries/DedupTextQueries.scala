@@ -326,6 +326,20 @@ object DedupTextQueries {
         .orderBy("doc_id")
     }),
 
+    "text_token_augment" -> ((s, dir) => {
+      // Deterministic augmentation: 15% word dropout + 20% token masking
+      // from the portable hash RNG keyed on (doc_id, position) — the
+      // R1-R5 exact-replay stance applied to training-text augmentation.
+      val a = TextOps.tokenAugment(col("doc_id"), col("text"),
+        dropRate = 0.15, maskRate = 0.2, seed = 42L).as("a")
+      table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"), a)
+        .select(col("doc_id"), col("a.n_tokens"), col("a.n_kept"),
+          col("a.n_masked"), md5(col("a.dropped_text")).as("h_dropped"),
+          md5(col("a.masked_text")).as("h_masked"))
+        .orderBy("doc_id")
+    }),
+
     "text_wordlist_filter" -> ((s, dir) => {
       // C4's bad-words page filter (the stage c4Clean parameterizes out):
       // occurrence count + pass flag against a blocklist; "slow" and
@@ -757,6 +771,17 @@ object DedupTextQueries {
         .select(col("metric"), round(col("value"), 4).as("value"))
         .orderBy("metric")),
 
+    "pack_whole" -> ((s, dir) =>
+      // Whole-document greedy packing (SFT layout — no truncation): at
+      // this corpus size the default chunk covers everything, so the
+      // result is the bit-exact GLOBAL sequential greedy, replayed in
+      // the twin as a linear recursive CTE.
+      TextOps.packSequencesWhole(
+          table(s, dir, "documents").where(col("doc_id") < 300),
+          "doc_id", col("text"), Seq(col("doc_id")), budgetTokens = 128)
+        .select(col("doc_id"), col("n_tokens"), col("bin"), col("offset"))
+        .orderBy("doc_id")),
+
     "corpus_report_incremental" -> ((s, dir) => {
       // The incremental data card: three ingest batches (doc_id % 3),
       // one mergeable snapshot row per (batch, lang), report re-derived
@@ -921,6 +946,32 @@ object DedupTextQueries {
          |  round(exp(-avg(logp)), 4) AS ppl
          |FROM bi JOIN lp USING (bg)
          |WHERE doc_id < 100 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the greedy recurrence as a linear recursive CTE (state =
+    // (bin, fill) walked doc by doc in order)
+    "pack_whole" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |      AS BIGINT) AS nt,
+         |    row_number() OVER (ORDER BY doc_id) AS rn
+         |  FROM documents WHERE doc_id < 300),
+         |g AS (
+         |  SELECT rn, doc_id, nt, CAST(0 AS BIGINT) AS bin,
+         |    CAST(0 AS BIGINT) AS off, nt AS fill
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.doc_id, d.nt,
+         |    CASE WHEN d.nt > 0 AND g.fill + d.nt > 128 AND g.fill > 0
+         |      THEN g.bin + 1 ELSE g.bin END,
+         |    CASE WHEN d.nt > 0 AND g.fill + d.nt > 128 AND g.fill > 0
+         |      THEN CAST(0 AS BIGINT) ELSE g.fill END,
+         |    CASE WHEN d.nt > 0 AND g.fill + d.nt > 128 AND g.fill > 0
+         |      THEN d.nt ELSE g.fill + d.nt END
+         |  FROM g JOIN d ON d.rn = g.rn + 1)
+         |SELECT doc_id, nt AS n_tokens, bin, off AS offset
+         |FROM g ORDER BY doc_id""".stripMargin,
 
     // whole-corpus replay of the EXACT metrics — merging per-batch
     // counters must lose nothing
@@ -1621,6 +1672,33 @@ object DedupTextQueries {
          |    AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
          |    AND n_req_stopwords >= 2 AS pass
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    // exact replay of both RNG streams; 905157 = TextOps.MaskSalt (the
+    // independent masking stream's extra key)
+    "text_token_augment" -> {
+      val uDrop = graft.ops.Robustness.seededUniformSql("42",
+        Seq("doc_id", "(i - 1)"))
+      val uMask = graft.ops.Robustness.seededUniformSql("42",
+        Seq("doc_id", "(i - 1)", "905157"))
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(
+         |    regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS toks
+         |  FROM documents WHERE doc_id < 100),
+         |aug AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    list_filter(list_transform(range(1, len(toks) + 1),
+         |      i -> CASE WHEN $uDrop >= 0.15 THEN toks[i] END),
+         |      x -> x IS NOT NULL) AS dropped,
+         |    list_transform(range(1, len(toks) + 1),
+         |      i -> CASE WHEN $uMask < 0.2 THEN '<mask>' ELSE toks[i] END) AS masked
+         |  FROM t)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(len(dropped) AS BIGINT) AS n_kept,
+         |  CAST(len(list_filter(masked, x -> x = '<mask>')) AS BIGINT) AS n_masked,
+         |  md5(array_to_string(dropped, ' ')) AS h_dropped,
+         |  md5(array_to_string(masked, ' ')) AS h_masked
+         |FROM aug ORDER BY doc_id""".stripMargin
+    },
 
     "text_wordlist_filter" ->
       s"""SELECT doc_id,

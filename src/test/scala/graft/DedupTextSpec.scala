@@ -26,6 +26,64 @@ class DedupTextSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L))
   }
 
+  test("packSequencesWhole: greedy fill, oversize-alone, zero-token docs, chunked waste bound") {
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // budget 10: [5, 4] fill bin0 (9); 3 overflows -> bin1; 12 oversize
+    // alone -> bin2; 0-token rides bin2; 6 -> bin3 (12+6 > 10)
+    val df = Seq((1L, doc(5)), (2L, doc(4)), (3L, doc(3)), (4L, doc(12)),
+      (5L, ""), (6L, doc(6))).toDF("id", "t")
+    val got = TextOps.packSequencesWhole(df, "id", col("t"),
+        Seq(col("id")), budgetTokens = 10)
+      .select("id", "bin", "offset").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 5L), (3L, 1L, 0L),
+      (4L, 2L, 0L), (5L, 2L, 12L), (6L, 3L, 0L)), got.toSeq)
+    // chunked regime: tiny chunks force splits; every doc stays whole,
+    // per-bin fill never exceeds the budget (except oversize-alone bins),
+    // and the bin count exceeds the global greedy by <= 1 bin per chunk
+    val many = (1L to 200L).map(i => (i, doc(1 + (i % 7).toInt))).toDF("id", "t")
+    def binsOf(chunkBins: Int) = TextOps.packSequencesWhole(many, "id",
+        col("t"), Seq(col("id")), budgetTokens = 10, chunkBins = chunkBins)
+      .select("id", "n_tokens", "bin", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val global = binsOf(1 << 14)
+    val chunked = binsOf(4) // chunks of 40 tokens
+    assert(chunked.groupBy(_._3).values.forall(rows =>
+      rows.map(_._2).sum <= 10 || rows.length == 1), "bin overflow")
+    val nChunks = math.ceil(global.map(_._2).sum / 40.0)
+    assert(chunked.map(_._3).distinct.length <=
+      global.map(_._3).distinct.length + nChunks, "waste bound")
+    // order preserved: offsets within a bin increase with id
+    chunked.groupBy(_._3).values.foreach { rows =>
+      assert(rows.sortBy(_._1).map(_._4).toSeq == rows.map(_._4).sorted.toSeq)
+    }
+  }
+
+  test("tokenAugment: rate-0 identity, rate-1 total, deterministic, independent streams") {
+    val df = Seq((7L, "a b c d e f g h i j"), (8L, "")).toDF("id", "t")
+    def run(drop: Double, mask: Double) = df
+      .select(col("id"), graft.ops.TextOps.tokenAugment(col("id"), col("t"),
+        drop, mask, seed = 5L).as("a"))
+      .orderBy("id").collect()
+      .map(r => (r.getStruct(1).getLong(0), r.getStruct(1).getString(1),
+        r.getStruct(1).getLong(2), r.getStruct(1).getString(3),
+        r.getStruct(1).getLong(4)))
+    val identity = run(0.0, 0.0)
+    assert(identity(0) == ((10L, "a b c d e f g h i j", 10L, "a b c d e f g h i j", 0L)))
+    assert(identity(1) == ((0L, "", 0L, "", 0L)))
+    val total = run(1.0, 1.0)
+    assert(total(0)._3 == 0L && total(0)._2 == "")
+    assert(total(0)._5 == 10L && total(0)._4 == Seq.fill(10)("<mask>").mkString(" "))
+    // deterministic across runs; a mid rate drops SOME but not all; the
+    // two streams are independent (different sets at the same seed/rate)
+    val r1 = run(0.4, 0.4); val r2 = run(0.4, 0.4)
+    assert(r1.toSeq == r2.toSeq)
+    assert(r1(0)._3 > 0L && r1(0)._3 < 10L, r1(0))
+    val keptTokens = r1(0)._2.split(" ").toSet
+    val unmasked = r1(0)._4.split(" ").filter(_ != "<mask>").toSet
+    assert(keptTokens != unmasked, "dropout and mask streams should differ")
+  }
+
   test("wordlistHits: case-insensitive, punctuation-stripped occurrence counts") {
     val df = Seq(
       "The BAD word and another bad, word.", // 'bad' twice (case, punct)
