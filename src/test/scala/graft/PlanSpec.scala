@@ -236,4 +236,34 @@ class PlanSpec extends SparkSpec {
     // there is exactly one hash exchange of the full data
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("dedup_containment: candidate join is hash-keyed on the shingle — no cartesian; per-doc rank window is id-partitioned") {
+    val df = SparkEntry.queries("dedup_containment")(spark, dir)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-doc rarest-first rank must not be a global (un-partitioned)
+    // window — same cliff the source loaders guard against
+    val windows = df.queryExecution.analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty), p)
+  }
+
+  test("dedup_split_leakage / text_token_augment / text_wordlist_filter: doc_id predicate pushed to the scan") {
+    for (q <- Seq("dedup_split_leakage", "text_token_augment", "text_wordlist_filter")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert("LessThan\\(doc_id,(120|100|200)\\)".r.findFirstIn(p).isDefined, s"$q: $p")
+    }
+  }
+
+  test("corpus_report: ONE cached projection feeds all three aggregation branches") {
+    val p = plan("corpus_report")
+    // all three union branches read the InMemoryRelation, not the parquet
+    // (explain prints the cached FileScan inside each InMemoryRelation
+    // definition, so the parquet line appearing per-branch is expected —
+    // the pin is that every branch goes through an InMemoryTableScan)
+    assert("InMemoryTableScan".r.findAllIn(p).size == 3, p)
+  }
 }
