@@ -448,6 +448,21 @@ object ScaleProbe {
         time(s"centered moments EXPLODED n=$n d=$d")(
           graft.ops.Pca.centeredMomentsExploded(df, col("v"), d, mean))
         df.unpersist()
+      case "packwhole" =>
+        // whole-doc greedy packing at n docs: ONE distributed prefix sum
+        // -> chunk-parallel exact greedy (flatMapGroups) -> rank join
+        val df = docs(n).persist()
+        df.count()
+        time(s"packSequencesWhole n=$n budget=2048") {
+          val out = graft.ops.TextOps.packSequencesWhole(
+            df, "id", col("text"), Seq(col("id")), budgetTokens = 2048)
+          val stats = out.agg(count(lit(1)), countDistinct(col("bin")),
+            sum("n_tokens")).head()
+          println(s"  docs=${stats.getLong(0)} bins=${stats.getLong(1)} " +
+            s"tokens=${stats.getLong(2)} (fill=" +
+            f"${stats.getLong(2).toDouble / (stats.getLong(1) * 2048L)}%.3f)")
+        }
+        df.unpersist()
       case "containment" =>
         // prefix-filter containment join at n base docs + n/10 planted
         // prefix excerpts. Token ids are POWER-LAW skewed (u^3 over a

@@ -159,6 +159,39 @@ object Stats {
       .withColumn("weight", col("target_frac") / col("actual_frac"))
   }
 
+  /** MATERIALIZE per-group mixture weights into a physically
+    * epoch-expanded corpus — the step that turns [[mixtureWeights]] /
+    * [[temperatureMixture]] / [[unimaxAllocation]] epochs / DoReMi
+    * outputs into actual training rows: each document of group g is
+    * emitted `⌊w_g⌋` times plus one more with probability `frac(w_g)`
+    * (stochastic rounding, so every group's EXPECTED row count is
+    * exactly `w_g · n_g` and no document is fractionally present). The
+    * Bernoulli draw comes from the portable hash RNG keyed on
+    * (seed, id) — deterministic across engines/partitionings/retries,
+    * exactly replayable in SQL. Adds `copy` (0-based copy index; vary
+    * the training shuffle key by it so repeats don't ride adjacent).
+    *
+    * Scale shape: the k-row weights table broadcasts onto the corpus;
+    * the `sequence + explode` fan-out IS the output size (Σ w_g·n_g
+    * rows), pipelined straight into the downstream consumer — no
+    * intermediate blow-up, no shuffle. `id` must be a non-negative
+    * numeric column (the RNG key contract). Weights must be ≥ 0;
+    * groups absent from `weights` get 0 (dropped). */
+  def materializeMixture(df: DataFrame, id: Column, groupCol: Column,
+      weights: Map[String, Double], seed: Long): DataFrame = {
+    require(weights.values.forall(_ >= 0.0), "weights must be >= 0")
+    val w = coalesce(element_at(typedLit(weights),
+      groupCol.cast("string")), lit(0.0))
+    val extra = (Robustness.seededUniform(seed, id) < (w - floor(w)))
+      .cast("long")
+    val copies = (floor(w).cast("long") + extra).as("__n_copies")
+    df.withColumn("__n_copies", copies)
+      .where(col("__n_copies") > 0)
+      .withColumn("copy",
+        explode(sequence(lit(0L), col("__n_copies") - 1)))
+      .drop("__n_copies")
+  }
+
   /** Temperature-based mixture weights — the multinomial-temperature
     * reweighting used to flatten corpus domain/language mixes for
     * training (T=1 keeps natural proportions, T→∞ approaches uniform):

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Retrieval, TextOps}
+import graft.ops.{Dedup, Retrieval, Stats, TextOps}
 import graft.queries.Q._
 
 /** Training-data pipeline operators over `documents`: deduplication
@@ -771,6 +771,18 @@ object DedupTextQueries {
         .select(col("metric"), round(col("value"), 4).as("value"))
         .orderBy("metric")),
 
+    "mixture_materialize" -> ((s, dir) =>
+      // Physical epoch expansion of mixture weights: src0 upsampled 2.5x
+      // (2 copies + hash-Bernoulli(0.5) third), src1 kept, src2 kept with
+      // prob 0.25, src3 dropped, all other sources absent -> dropped.
+      Stats.materializeMixture(
+          table(s, dir, "documents").where(col("doc_id") < 200),
+          col("doc_id"), col("source"),
+          Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25, "src3" -> 0.0),
+          seed = 13L)
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy("doc_id", "copy")),
+
     "pack_whole" -> ((s, dir) =>
       // Whole-document greedy packing (SFT layout — no truncation): at
       // this corpus size the default chunk covers everything, so the
@@ -946,6 +958,24 @@ object DedupTextQueries {
          |  round(exp(-avg(logp)), 4) AS ppl
          |FROM bi JOIN lp USING (bg)
          |WHERE doc_id < 100 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact replay: same weight CASE + same hash-Bernoulli for the
+    // fractional copy, expanded via range()
+    "mixture_materialize" -> {
+      val u = graft.ops.Robustness.seededUniformSql("13", Seq("doc_id"))
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+         |      WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.0 ELSE 0.0 END AS w
+         |  FROM documents WHERE doc_id < 200),
+         |n AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor(w) AS BIGINT) +
+         |    CASE WHEN $u < w - floor(w) THEN 1 ELSE 0 END AS n_copies
+         |  FROM d)
+         |SELECT doc_id, source, unnest(range(0, n_copies)) AS copy
+         |FROM n WHERE n_copies > 0 ORDER BY doc_id, copy""".stripMargin
+    },
 
     // the greedy recurrence as a linear recursive CTE (state =
     // (bin, fill) walked doc by doc in order)

@@ -43,6 +43,30 @@ class CurationStatsSpec extends SparkSpec {
       s"p50 ${report("p50_tokens_est")} vs ${whole("p50_tokens")}")
   }
 
+  // ---- mixture materialization ----
+
+  test("materializeMixture: integer weights exact, fractional stochastic-rounded, zero dropped, deterministic") {
+    val df = (1L to 400L).map(i =>
+      (i, if (i <= 100) "a" else if (i <= 200) "b" else if (i <= 300) "c" else "d"))
+      .toDF("id", "g")
+    val out = Stats.materializeMixture(df, col("id"), col("g"),
+      Map("a" -> 3.0, "b" -> 0.5, "c" -> 0.0), seed = 7L)
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG("a") == 300L) // exactly 3 copies each
+    assert(byG.get("c").isEmpty && byG.get("d").isEmpty) // 0-weight + absent dropped
+    // Bernoulli(0.5) over 100 docs: deterministic per seed, near half
+    assert(byG("b") > 25L && byG("b") < 75L, byG("b"))
+    val again = Stats.materializeMixture(df, col("id"), col("g"),
+      Map("a" -> 3.0, "b" -> 0.5, "c" -> 0.0), seed = 7L)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == byG)
+    // copy indices are dense 0..n-1 per doc
+    val copies = out.where(col("g") === "a" && col("id") === 1L)
+      .select("copy").collect().map(_.getLong(0)).sorted.toSeq
+    assert(copies == Seq(0L, 1L, 2L))
+  }
+
   // ---- ewma ----
 
   test("ewma: matches the hand-computed recurrence per group, ordered") {
