@@ -24,17 +24,22 @@ case class TextLinearModel(weights: Map[Long, Double], bias: Double,
   * engine-portable, so one full training epoch has an exact DuckDB twin,
   * `quality_classifier`). Model: p(d) = σ(bias + w·x(d)).
   *
-  * Distributed shape, per epoch: ONE broadcast join of the cached
-  * (id, bucket, x) feature table against the ≤`numBuckets`-row weight
-  * table + a doc-keyed aggregation for margins, then one feature-keyed
-  * aggregation for the gradient, collected to the driver (≤
-  * `numBuckets`+1 rows — the model update is driver-side because the
-  * model is tiny, the DATA never is). The bias gradient rides the same
-  * aggregation as pseudo-bucket −1 (constant feature 1.0), so each epoch
-  * is exactly one collect. Nothing quadratic, nothing single-partition;
-  * at 100 TB the per-epoch cost is two shuffles of the (doc, bucket)
-  * table, and the published recipe fits on a sample anyway (compose with
-  * [[Stats.stratifiedSample]]).
+  * Distributed shape, per epoch: margins come from the SCORER-style
+  * literal-map projection (the current weights interpolated as a
+  * `typedLit` map, the same shipping shape as [[scorer]]) — a fully
+  * NARROW pass over the cached tokenized frame, no join, no doc-keyed
+  * shuffle — and the gradient is ONE map-side-combined
+  * `groupBy(bucket)` over the per-token contributions err/n (the
+  * partial aggregates collapse to ≤ numBuckets+1 rows per partition
+  * before the exchange), collected to the driver (the model update is
+  * driver-side because the model is tiny, the DATA never is). The bias
+  * gradient rides the same aggregation as pseudo-bucket −1 (constant
+  * feature 1.0), so each epoch is exactly one tiny shuffle + one
+  * collect. (The pre-round-9 form joined a broadcast weight table and
+  * re-joined per-doc errors — 2 joins + 2 wide aggregations per epoch;
+  * the literal-map margin makes both joins unnecessary.) Nothing
+  * quadratic, nothing single-partition; the published recipe fits on a
+  * sample anyway (compose with [[Stats.stratifiedSample]]).
   *
   * Determinism: weights are rounded to 9 decimals after every update —
   * the float-summation-order noise of a distributed gradient is below
@@ -75,31 +80,40 @@ object LinearModel {
       label: Column, numBuckets: Int = 1024, epochs: Int = 5,
       lr: Double = 1.0): TextLinearModel = {
     require(epochs >= 1 && lr > 0.0, "need epochs >= 1 and lr > 0")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val docs = df.select(col(id).as("__id"),
-      label.cast("double").as("__y")).cache()
-    val fx = hashedFeatures(df, id, text, numBuckets)
-      .withColumnRenamed(id, "__id").cache()
-    // bias as pseudo-bucket −1 with constant feature 1.0: the bias
-    // gradient rides the same aggregation as the weight gradient
-    val gradInput = fx.unionByName(
-      docs.select(col("__id"), lit(-1L).as("__b"), lit(1.0).as("__x")))
-    val nDocs = docs.count().toDouble
+    val bucketOf: Column => Column = tk =>
+      pmod(IntHash.stringHash(tk), lit(numBuckets)).cast("long")
+    val base = df.select(col(id).as("__id"),
+        label.cast("double").as("__y"), toks(text).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .cache()
+    val nDocs = base.count().toDouble
     require(nDocs > 0, "empty training frame")
     var bias = 0.0
     var w = Map.empty[Long, Double]
     for (_ <- 1 to epochs) {
-      val dots =
-        if (w.isEmpty) docs.select(col("__id"), lit(0.0).as("__dot"))
-        else fx.join(broadcast(w.toSeq.toDF("__b", "__w")), Seq("__b"))
-          .groupBy("__id").agg(sum(col("__x") * col("__w")).as("__dot"))
-      val errs = docs.join(dots, Seq("__id"), "left")
-        .select(col("__id"),
-          (sigmoid(lit(bias) + coalesce(col("__dot"), lit(0.0))) - col("__y"))
-            .as("__e"))
-      val grads = gradInput.join(errs, Seq("__id"))
-        .groupBy("__b").agg(sum(col("__e") * col("__x")).as("__g"))
+      // margin via the literal-map scorer shape — narrow, no join;
+      // x_b = cnt_b/n means the per-token fold of w(bucket)/n is the
+      // same dot product (summation regrouped; the post-update 9-dp
+      // rounding absorbs the order noise, as the partitioning-
+      // determinism spec pins)
+      val dot =
+        if (w.isEmpty) lit(0.0)
+        else {
+          val wCol = typedLit(w)
+          when(col("__n") === 0, lit(0.0)).otherwise(
+            aggregate(col("__toks"), lit(0.0), (acc, tk) => acc +
+              coalesce(element_at(wCol, bucketOf(tk)), lit(0.0)))
+              / col("__n"))
+        }
+      val e = (sigmoid(lit(bias) + dot) - col("__y")).as("__e")
+      // bias as pseudo-bucket −1 with constant feature 1.0: the bias
+      // gradient rides the same aggregation as the weight gradient
+      val grads = base.select(col("__n"), col("__toks"), e)
+        .select(explode(concat(
+          transform(col("__toks"), tk => struct(bucketOf(tk).as("__b"),
+            (col("__e") / col("__n")).as("__g"))),
+          array(struct(lit(-1L).as("__b"), col("__e").as("__g"))))).as("__r"))
+        .groupBy(col("__r.__b").as("__b")).agg(sum(col("__r.__g")).as("__g"))
         .collect() // bounded: <= numBuckets + 1 rows (the model, not the data)
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
       bias = round9(bias - lr * grads.getOrElse(-1L, 0.0) / nDocs)
@@ -108,7 +122,7 @@ object LinearModel {
           lr * grads.getOrElse(b, 0.0) / nDocs)
       }.toMap
     }
-    docs.unpersist(); fx.unpersist()
+    base.unpersist()
     TextLinearModel(w, bias, numBuckets)
   }
 
