@@ -278,4 +278,54 @@ object LawsProps extends Properties("GraftLaws") {
         .agg(sum("sample_weight")).head().getDouble(0)
       math.abs(total - distinct) < 1e-6
     }
+
+  property("containment laws: join == brute at any threshold; threshold-monotone; self-contained prefixes found") =
+    Prop.forAll(Gen.choose(5, 25), Gen.choose(0.3, 1.0), seedG) { (n, t, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to n.toLong).map { i =>
+        val len = 2 + rnd.nextInt(8)
+        (i, Seq.fill(len)(s"w${rnd.nextInt(9)}").mkString(" "))
+      }
+      val df = docs.toDF("id", "t")
+      def pairsOf(th: Double) = Dedup.containmentJoin(df, "id", "t", 1, th)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = Dedup.containmentPairs(df, "id", "t", 1, t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val joined = pairsOf(t)
+      // lossless, and raising the threshold can only remove pairs
+      joined == brute && pairsOf(math.min(1.0, t + 0.2)).subsetOf(joined)
+    }
+
+  property("packSequencesWhole laws: no split, no overflow (except oversize-alone), order-preserving, all docs present") =
+    Prop.forAll(Gen.choose(1, 60), Gen.choose(3, 12), seedG) { (n, budget, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to n.toLong).map { i =>
+        val len = rnd.nextInt(2 * budget) // includes 0-token and oversize
+        (i, (1 to len).map(k => s"x$k").mkString(" "))
+      }
+      val out = graft.ops.TextOps.packSequencesWhole(docs.toDF("id", "t"),
+          "id", col("t"), Seq(col("id")), budget)
+        .select("id", "n_tokens", "bin", "offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val allPresent = out.map(_._1).sorted.toSeq == (1L to n.toLong)
+      val noOverflow = out.groupBy(_._3).values.forall { rows =>
+        val positive = rows.filter(_._2 > 0)
+        positive.map(_._2).sum <= budget || positive.length == 1
+      }
+      val ordered = out.sortBy(_._1).sliding(2).forall {
+        case Array(a, b) => a._3 < b._3 || (a._3 == b._3 && a._4 <= b._4)
+        case _ => true
+      }
+      allPresent && noOverflow && ordered
+    }
+
+  property("materializeMixture: integer weights are exact per-group multipliers") =
+    Prop.forAll(Gen.choose(1, 40), Gen.choose(0, 4), seedG) { (n, w, seed) =>
+      val df = (1L to n.toLong).map(i => (i, "g")).toDF("id", "g")
+      val out = Stats.materializeMixture(df, col("id"), col("g"),
+        Map("g" -> w.toDouble), seed)
+      out.count() == n.toLong * w
+    }
 }
