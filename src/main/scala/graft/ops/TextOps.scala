@@ -464,6 +464,52 @@ object TextOps {
       .withColumn("ppl", exp(-col("avg_logp")))
   }
 
+  /** Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; the
+    * interpolated fixed-discount form of Chen & Goodman 1999) — the
+    * smoothing family CCNet-class perplexity filters actually run
+    * (KenLM's default), upgrading [[bigramLmScore]]'s add-1:
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁•)
+    *            + D·N₁₊(w₁•)/c(w₁•) · N₁₊(•w₂)/N₁₊(••)
+    *
+    * where N₁₊ counts DISTINCT continuations/histories — the KN insight
+    * that a word's backoff mass should track how many contexts it
+    * completes, not its raw frequency ("San Francisco" makes
+    * "Francisco" frequent but a terrible novel-context guess).
+    *
+    * Same shape as [[bigramLmScore]]: the corpus collapses to the
+    * distinct-bigram count table; the left/right N₁₊ tables and c(w₁•)
+    * re-aggregate from THAT table (never the corpus); N₁₊(••) is one
+    * bounded count action; scoring is one bigram-keyed join back.
+    * Self-scoring (fit == score corpus), so every scored bigram has
+    * c ≥ 1 and the zero-count branch never fires — held-out scoring
+    * composes the same tables with an explicit unseen rule. Docs with
+    * < 2 tokens are omitted (no evidence). Exact DuckDB twin
+    * `text_kneser_ney`. */
+  def bigramKneserNeyScore(df: org.apache.spark.sql.DataFrame, id: String,
+      text: Column, discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount in (0, 1)")
+    val bi = df.select(col(id),
+      explode(org.apache.spark.sql.graft.MinHashShim.shinglesAllCol(text, 2))
+        .as("bg"))
+    val counts = bi.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val left = counts.groupBy("w1")
+      .agg(sum("cnt").as("c1"), count(lit(1)).as("nl"))
+    val right = counts.groupBy("w2").agg(count(lit(1)).as("nr"))
+    val nTypes = counts.count().toDouble // N1+(••): bounded model scalar
+    val logp = counts.join(left, "w1").join(right, "w2")
+      .select(col("bg"), log(
+        greatest(col("cnt") - lit(discount), lit(0.0)) / col("c1") +
+          (lit(discount) * col("nl") / col("c1")) *
+            (col("nr") / lit(nTypes))).as("logp"))
+    bi.join(logp, "bg")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), avg("logp").as("avg_logp"))
+      .withColumn("ppl", exp(-col("avg_logp")))
+  }
+
   /** CCNet-style perplexity tiering (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets…"): score every doc
     * with the add-1 bigram LM ([[bigramLmScore]]), then label

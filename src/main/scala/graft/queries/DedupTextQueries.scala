@@ -763,6 +763,17 @@ object DedupTextQueries {
           round(col("ppl"), 4).as("ppl"))
         .orderBy("doc_id")),
 
+    "text_kneser_ney" -> ((s, dir) =>
+      // Interpolated Kneser-Ney bigram perplexity (D = 0.75) — the
+      // KenLM-family smoothing behind CCNet-class quality filters.
+      TextOps.bigramKneserNeyScore(table(s, dir, "documents"), "doc_id",
+          col("text"))
+        .where(col("doc_id") < 100)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logp"), 6).as("avg_logp"),
+          round(col("ppl"), 4).as("ppl"))
+        .orderBy("doc_id")),
+
     "corpus_report" -> ((s, dir) =>
       // One-call corpus data card: size/token stats, vocab, exact-dup
       // rate, language-mix entropy as a skinny (metric, value) frame.
@@ -953,6 +964,29 @@ object DedupTextQueries {
          |        (SELECT unnest(toks) AS u FROM tok)),
          |lp AS (SELECT bg, ln((cnt + 1.0) / (pcnt + vs)) AS logp
          |       FROM cw JOIN p USING (w1) CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(avg(logp), 6) AS avg_logp,
+         |  round(exp(-avg(logp)), 4) AS ppl
+         |FROM bi JOIN lp USING (bg)
+         |WHERE doc_id < 100 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // KN replay: the distinct-bigram table feeds c(w1·), N1+(w1·),
+    // N1+(·w2), N1+(··) exactly as the op derives them
+    "text_kneser_ney" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
+         |    '\\s+'), x -> x <> '') AS toks FROM documents),
+         |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |         i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM tok),
+         |c AS (SELECT bg, count(*) AS cnt,
+         |        split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', -1) AS w2
+         |      FROM bi GROUP BY 1),
+         |l AS (SELECT w1, sum(cnt) AS c1, count(*) AS nl FROM c GROUP BY 1),
+         |r AS (SELECT w2, count(*) AS nr FROM c GROUP BY 1),
+         |t AS (SELECT count(*) * 1.0 AS n_types FROM c),
+         |lp AS (SELECT bg, ln(greatest(cnt - 0.75, 0.0) / c1 +
+         |         (0.75 * nl / c1) * (nr / n_types)) AS logp
+         |       FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  round(avg(logp), 6) AS avg_logp,
          |  round(exp(-avg(logp)), 4) AS ppl

@@ -26,6 +26,22 @@ class DedupTextSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L))
   }
 
+  test("bigramKneserNey: hand-computed probabilities; seen continuations sum to 1 per context") {
+    // corpus bigrams: "a b" x2, "a c" x1 -> c(a.)=3, N1+(a.)=2, N1+(.b)=1,
+    // N1+(.c)=1, N1+(..)=2; D=0.75:
+    //   P(b|a) = 1.25/3 + (0.75*2/3)(1/2) = 2/3;  P(c|a) = 0.25/3 + 0.25 = 1/3
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("id", "t")
+    val got = TextOps.bigramKneserNeyScore(df, "id", col("t"))
+      .select("id", "n_bigrams", "ppl").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._2).toSeq == Seq(1L, 1L, 1L))
+    assert(math.abs(got(0)._3 - 1.5) < 1e-9, got(0)) // 1/P(b|a)
+    assert(math.abs(got(2)._3 - 3.0) < 1e-9, got(2)) // 1/P(c|a)
+    // interpolated KN is a proper distribution over the seen vocabulary:
+    // here every continuation of 'a' is observed, so P(b|a)+P(c|a) = 1
+    assert(math.abs((1.0 / got(0)._3) + (1.0 / got(2)._3) - 1.0) < 1e-9)
+  }
+
   test("packSequencesWhole: greedy fill, oversize-alone, zero-token docs, chunked waste bound") {
     def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
     // budget 10: [5, 4] fill bin0 (9); 3 overflows -> bin1; 12 oversize
