@@ -880,6 +880,55 @@ object Dedup {
     * sampled chains don't fragment. WITHIN-doc repeats don't count
     * toward `minDocs` (distinct-doc frequency); in-document repetition
     * is [[graft.ops.TextOps.repetitionStats]]' domain. */
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    * — the MOSS algorithm): hash every k-token window, then in each
+    * sliding window of `w` consecutive hashes select the MINIMUM
+    * (rightmost position on ties). The selection is CONTENT-determined,
+    * so two documents sharing any token run of ≥ `w + k − 1` tokens are
+    * GUARANTEED to share a selected fingerprint hash (that run contains
+    * a full hash-window; its minimum hash is the same value in both
+    * docs) — the deterministic counterpart of [[substringDuplicates]]'
+    * mod-`grain` sampling, whose recall is probabilistic. Expected
+    * fingerprint density is 2/(w+1) of token positions.
+    *
+    * Returns the distinct (id, pos, h) fingerprint table — match docs by
+    * equi-joining on `h` (bucketed, never all-pairs), then verify with
+    * [[substringDuplicates]]/[[jaccardSimilarity]] as the task demands.
+    * Fully row-local until that join: the per-doc argmin scan is an
+    * in-row fold (O(positions · w) expression work — the honest cost of
+    * the guarantee; docs are bounded, corpora aren't). The default hash
+    * is the engine-portable [[IntHash.stringHash]] (31-bit — collision
+    * risk ~n²/2³² per doc pair; pass xxhash64 when cross-engine replay
+    * isn't needed). */
+  def winnowingFingerprints(df: DataFrame, id: String, text: String,
+      k: Int = 3, w: Int = 4,
+      windowHash: Column => Column = c => IntHash.stringHash(c)): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    val toks = filter(split(trim(col(text)), "\\s+"), t => length(t) > 0)
+    val nGram = size(col("__toks")) - k + 1
+    val grams = transform(
+      when(nGram > 0, sequence(lit(0), nGram - 1))
+        .otherwise(array().cast("array<int>")),
+      j => windowHash(array_join(slice(col("__toks"), j + 1, lit(k)), " ")))
+    val nSel = size(col("__gh")) - w + 1
+    // per start s: (min hash, rightmost min position) over gh[s .. s+w-1]
+    val picks = transform(
+      when(nSel > 0, sequence(lit(0), nSel - 1))
+        .otherwise(array().cast("array<int>")),
+      s => aggregate(
+        zip_with(slice(col("__gh"), s + 1, lit(w)),
+          sequence(s, s + w - 1), (h, p) => struct(h.as("h"), p.as("pos"))),
+        struct(lit(Long.MaxValue).as("h"), lit(-1).as("pos")),
+        (acc, x) => when(x.getField("h") < acc.getField("h") ||
+            (x.getField("h") === acc.getField("h") &&
+              x.getField("pos") > acc.getField("pos")), x)
+          .otherwise(acc)))
+    df.withColumn("__toks", toks)
+      .withColumn("__gh", grams)
+      .select(col(id), explode(array_distinct(picks)).as("__f"))
+      .select(col(id), col("__f.pos").as("pos"), col("__f.h").as("h"))
+  }
+
   def substringDuplicates(df: DataFrame, id: String, text: String,
       w: Int, minDocs: Int = 2, grain: Int = 1,
       windowHash: Column => Column = xxhash64(_)): DataFrame = {

@@ -763,6 +763,17 @@ object DedupTextQueries {
           round(col("ppl"), 4).as("ppl"))
         .orderBy("doc_id")),
 
+    "text_winnowing" -> ((s, dir) =>
+      // MOSS winnowing fingerprints (k=3-token grams, window w=4):
+      // content-determined minima, so any shared >= w+k-1 = 6-token run
+      // is guaranteed a shared fingerprint hash. Portable 31-bit hash ->
+      // exact cross-engine replay.
+      Dedup.winnowingFingerprints(
+          table(s, dir, "documents").where(col("doc_id") < 100),
+          "doc_id", "text", k = 3, w = 4)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+        .orderBy("doc_id", "pos")),
+
     "text_kneser_ney" -> ((s, dir) =>
       // Interpolated Kneser-Ney bigram perplexity (D = 0.75) — the
       // KenLM-family smoothing behind CCNet-class quality filters.
@@ -969,6 +980,36 @@ object DedupTextQueries {
          |  round(exp(-avg(logp)), 4) AS ppl
          |FROM bi JOIN lp USING (bg)
          |WHERE doc_id < 100 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // winnowing replay: gram hashes at row level (the quality_classifier
+    // unnest pattern), re-assembled ordered per doc, then the same
+    // min-of-each-window selection with the rightmost-tie rule
+    "text_winnowing" -> {
+      val h = graft.ops.IntHash.stringHashSql("wt")
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
+         |    '\\s+'), x -> x <> '') AS toks
+         |  FROM documents WHERE doc_id < 100),
+         |gpos AS (
+         |  SELECT doc_id, j,
+         |    toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2] AS wt
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS j
+         |        FROM tok)),
+         |gho AS (SELECT doc_id, j, ($h) AS gh FROM gpos),
+         |ghl AS (SELECT doc_id, list(gh ORDER BY j) AS gh FROM gho GROUP BY 1),
+         |picks AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(gh) - 3, 0) + 1),
+         |    s -> struct_pack(
+         |      pos := s - 1 + list_max(list_transform(range(0, 4),
+         |        p -> CASE WHEN gh[s + p] = list_min(gh[s:s+3])
+         |             THEN p ELSE -1 END)),
+         |      h := list_min(gh[s:s+3])))) AS f
+         |  FROM ghl)
+         |SELECT DISTINCT doc_id, CAST(f.pos AS BIGINT) AS pos, f.h AS h
+         |FROM picks ORDER BY doc_id, pos""".stripMargin
+    },
 
     // KN replay: the distinct-bigram table feeds c(w1·), N1+(w1·),
     // N1+(·w2), N1+(··) exactly as the op derives them

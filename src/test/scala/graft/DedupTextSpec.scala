@@ -26,6 +26,28 @@ class DedupTextSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L))
   }
 
+  test("winnowing: shared >= w+k-1 run guarantees a shared fingerprint; disjoint docs share none; density ~ 2/(w+1)") {
+    val k = 3; val w = 4
+    val runA = (1 to 6).map(i => s"shared$i") // exactly w+k-1 = 6 tokens
+    val docA = ((1 to 20).map(i => s"a$i") ++ runA ++ (21 to 40).map(i => s"a$i")).mkString(" ")
+    val docB = ((1 to 20).map(i => s"b$i") ++ runA ++ (21 to 40).map(i => s"b$i")).mkString(" ")
+    val docC = (1 to 46).map(i => s"c$i").mkString(" ") // fully disjoint
+    val df = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("id", "t")
+    val fp = Dedup.winnowingFingerprints(df, "id", "t", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    def hs(id: Long) = fp.filter(_._1 == id).map(_._2).toSet
+    assert((hs(1) intersect hs(2)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((hs(1) intersect hs(3)).isEmpty && (hs(2) intersect hs(3)).isEmpty)
+    // expected density 2/(w+1) = 0.4 of gram positions; allow wide slack
+    val nGrams = 46 - k + 1
+    val d = fp.count(_._1 == 3).toDouble / nGrams
+    assert(d > 0.15 && d < 0.7, s"density $d")
+    // determinism
+    val again = Dedup.winnowingFingerprints(df, "id", "t", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(again == fp.sorted.toSeq)
+  }
+
   test("bigramKneserNey: hand-computed probabilities; seen continuations sum to 1 per context") {
     // corpus bigrams: "a b" x2, "a c" x1 -> c(a.)=3, N1+(a.)=2, N1+(.b)=1,
     // N1+(.c)=1, N1+(..)=2; D=0.75:
