@@ -464,6 +464,31 @@ object TextOps {
       .withColumn("ppl", exp(-col("avg_logp")))
   }
 
+  /** Per-document n-gram NOVELTY against the rest of the corpus: the
+    * fraction of a doc's distinct n-grams that occur in NO other
+    * document (corpus document frequency 1) — the cheap memorization /
+    * boilerplate signal: near-0 means the doc is assembled from
+    * corpus-common n-grams (template, near-dup residue), near-1 means
+    * genuinely novel text. Complements [[Dedup.substringDuplicates]]
+    * (which finds the shared spans; this scores docs by how little of
+    * them is shared).
+    *
+    * Shape: one distinct-(doc, gram) explode → ONE map-side-combined
+    * doc-frequency count over grams → one gram-keyed join back + per-doc
+    * aggregation. The shuffle carries gram hashes-of-strings, never
+    * documents. Docs with no n-grams (< n tokens) are omitted (no
+    * evidence). */
+  def ngramNovelty(df: org.apache.spark.sql.DataFrame, id: String,
+      text: Column, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val grams = df.select(col(id),
+      explode(Dedup.shingles(text, n)).as("__g"))
+    val docFreq = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
+    grams.join(docFreq, "__g")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        avg((col("__df") === 1).cast("double")).as("novel_ratio"))
+  }
+
   /** Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; the
     * interpolated fixed-discount form of Chen & Goodman 1999) — the
     * smoothing family CCNet-class perplexity filters actually run

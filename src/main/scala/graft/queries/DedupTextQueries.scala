@@ -763,6 +763,16 @@ object DedupTextQueries {
           round(col("ppl"), 4).as("ppl"))
         .orderBy("doc_id")),
 
+    "text_ngram_novelty" -> ((s, dir) =>
+      // Memorization/boilerplate signal: share of each doc's distinct
+      // trigrams found in no other document.
+      TextOps.ngramNovelty(
+          table(s, dir, "documents").where(col("doc_id") < 200),
+          "doc_id", col("text"), n = 3)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("novel_ratio"), 6).as("novel_ratio"))
+        .orderBy("doc_id")),
+
     "text_winnowing" -> ((s, dir) =>
       // MOSS winnowing fingerprints (k=3-token grams, window w=4):
       // content-determined minima, so any shared >= w+k-1 = 6-token run
@@ -980,6 +990,19 @@ object DedupTextQueries {
          |  round(exp(-avg(logp)), 4) AS ppl
          |FROM bi JOIN lp USING (bg)
          |WHERE doc_id < 100 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_ngram_novelty" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(toks) - 2, 0) + 1),
+         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS gr
+         |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
+         |          '\\s+'), x -> x <> '') AS toks
+         |        FROM documents WHERE doc_id < 200)),
+         |f AS (SELECT gr, count(*) AS df FROM g GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novel_ratio
+         |FROM g JOIN f USING (gr) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // winnowing replay: gram hashes at row level (the quality_classifier
     // unnest pattern), re-assembled ordered per doc, then the same

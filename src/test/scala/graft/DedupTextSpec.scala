@@ -26,6 +26,20 @@ class DedupTextSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L))
   }
 
+  test("ngramNovelty: exact copies score 0, disjoint docs 1, partial overlap in between; short docs omitted") {
+    val a = "one two three four five six"
+    val df = Seq((1L, a), (2L, a), // mutual copies: every trigram shared
+      (3L, "seven eight nine ten eleven"), // fully novel
+      (4L, "one two three zz yy xx"), // 1 of 4 trigrams shared with 1/2
+      (5L, "too short")).toDF("id", "t")
+    val got = TextOps.ngramNovelty(df, "id", col("t"), n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1) == ((4L, 0.0)) && got(2) == ((4L, 0.0)))
+    assert(got(3) == ((3L, 1.0)))
+    assert(got(4)._1 == 4L && math.abs(got(4)._2 - 0.75) < 1e-9)
+    assert(!got.contains(5L))
+  }
+
   test("winnowing: shared >= w+k-1 run guarantees a shared fingerprint; disjoint docs share none; density ~ 2/(w+1)") {
     val k = 3; val w = 4
     val runA = (1 to 6).map(i => s"shared$i") // exactly w+k-1 = 6 tokens
