@@ -175,6 +175,28 @@ object SourceQueries {
         .orderBy("wid")
     }),
 
+    // S11: ORC sink/source GOLDEN-FILE roundtrip — the same lossless-sink
+    // proof as S5 for the other columnar format Spark ships natively
+    // (warehouses hand corpora around as ORC too); values, types, and an
+    // array column must survive the bytes. Comparison projects the array
+    // to scalars (the harness sorts over all columns; arrays unhashable
+    // there, the s5 note).
+    "s11_orc_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_s11")
+      val fixture = table(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), md5(col("text")).as("h"),
+          array((col("doc_id") * 7 % 101) / lit(101.0),
+            (col("doc_id") * 13 % 89) / lit(89.0)).as("features"))
+      val path = base.resolve("docs_orc").toString
+      fixture.write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("h"), round(col("features").getItem(0), 6).as("f0"),
+          round(col("features").getItem(1), 6).as("f1"))
+        .orderBy("doc_id")
+    }),
+
     // S6: JSON metric sink GOLDEN-FILE roundtrip — doubles carrying
     // NaN/+Inf/-Inf are sanitized to null by the sink (JSON has no tokens
     // for them; func_preproc.py:481-534 semantics), written as a JSON doc,
@@ -262,6 +284,12 @@ object SourceQueries {
         |  CASE WHEN event_id % 10 < 7 THEN 'train'
         |       WHEN event_id % 10 < 9 THEN 'val' ELSE 'test' END AS split
         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
+    "s11_orc_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS h,
+        |  round((doc_id * 7 % 101) / 101.0e0, 6) AS f0,
+        |  round((doc_id * 13 % 89) / 89.0e0, 6) AS f1
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
 
     "s6_json_sanitize" ->
       """SELECT event_id AS id,

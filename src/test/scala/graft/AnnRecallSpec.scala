@@ -59,6 +59,38 @@ class AnnRecallSpec extends SparkSpec {
     (got intersect truth).size.toDouble / truth.size
   }
 
+  test("streaming queries against the persisted IVF index == batch index search") {
+    // the ingest-time retrieval shape: the index is built ONCE on disk;
+    // query vectors arrive as a stream and are scored per micro-batch
+    // via foreachBatch + ivfTopKFromIndex (the index is static state,
+    // so no stateful operator is needed — this pins the composition)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfix").toString
+    Similarity.buildIvfIndex(corpus, "id", "vec", nCells = 16, path)
+    val batchWant = Similarity.ivfTopKFromIndex(spark, path, queries,
+        "id", "vec", "qid", "qvec", k, nProbe = 4)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val qRows = queries.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val q = input.toDF.toDF("qid", "qvec").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= Similarity.ivfTopKFromIndex(spark, path, batch,
+            "id", "vec", "qid", "qvec", k, nProbe = 4)
+          .select("qid", "id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        ()
+      }.start()
+    try {
+      val (a, b) = qRows.splitAt(qRows.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == batchWant)
+  }
+
   test("ivfTopK recall@10 rises with nProbe and clears the stated bounds") {
     val sweep = Seq(1, 2, 4, 8).map { nProbe =>
       nProbe -> recallAt10(Similarity.ivfTopK(
