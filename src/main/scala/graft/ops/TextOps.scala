@@ -464,6 +464,40 @@ object TextOps {
       .withColumn("ppl", exp(-col("avg_logp")))
   }
 
+  /** Canonical URL normalization — the URL-keyed dedup prerequisite
+    * (crawl pipelines dedup by canonical URL before ever fetching):
+    * lowercase scheme+host, strip the fragment and default ports
+    * (http:80 / https:443), drop tracking parameters (`utm_*`,
+    * `fbclid`, `gclid`), sort the surviving query parameters, and
+    * normalize an empty path to `/`. Inputs without a `://` scheme pass
+    * through trimmed-only (not a URL — garbage-in must stay greppable,
+    * not get mangled). Pure RE2-portable projections — no UDF, streams
+    * as-is, exact DuckDB twin (`text_url_normalize`). */
+  def normalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val noFrag = regexp_replace(u, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = regexp_extract(rest, "^([^/?]*)", 1)
+    val afterHost = regexp_replace(rest, "^[^/?]*", "")
+    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keepPort = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_extract(afterHost, "^([^?]*)", 1)
+    val query = when(afterHost.contains("?"),
+      regexp_replace(afterHost, "^[^?]*\\?", "")).otherwise(lit(""))
+    val params = filter(split(query, "&"), p => length(p) > 0 &&
+      !lower(p).rlike("^(utm_[^=]*|fbclid|gclid)="))
+    val sortedQ = array_join(array_sort(params), "&")
+    val pathN = when(path === "", lit("/")).otherwise(path)
+    when(scheme === "", u).otherwise(concat(
+      scheme, lit("://"), host, keepPort, pathN,
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ))))
+  }
+
   /** Per-document n-gram NOVELTY against the rest of the corpus: the
     * fraction of a doc's distinct n-grams that occur in NO other
     * document (corpus document frequency 1) — the cheap memorization /

@@ -763,6 +763,28 @@ object DedupTextQueries {
           round(col("ppl"), 4).as("ppl"))
         .orderBy("doc_id")),
 
+    "text_url_normalize" -> ((s, dir) => {
+      // Canonical URL keys from manufactured messy URLs: mixed-case
+      // scheme/host, default vs explicit ports (http:80 strips, :8080
+      // and ftp:80 keep), tracking params out of order, fragments, and
+      // a non-URL passthrough row every 11th doc.
+      val raw = concat(
+        when(col("doc_id") % 3 === 0, "HTTP")
+          .when(col("doc_id") % 3 === 1, "https").otherwise("ftp"),
+        lit("://ExAmple"), (col("doc_id") % 7).cast("string"), lit(".COM"),
+        when(col("doc_id") % 4 === 0, ":80")
+          .when(col("doc_id") % 4 === 1, ":8080").otherwise(""),
+        lit("/p/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0, "?b=2&utm_source=x&a=1")
+          .otherwise("?a=1"),
+        lit("#frag"))
+      val url = when(col("doc_id") % 11 === 0, lit("  not a url  "))
+        .otherwise(raw)
+      table(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), TextOps.normalizeUrl(url).as("url"))
+        .orderBy("doc_id")
+    }),
+
     "text_ngram_novelty" -> ((s, dir) =>
       // Memorization/boilerplate signal: share of each doc's distinct
       // trigrams found in no other document.
@@ -990,6 +1012,49 @@ object DedupTextQueries {
          |  round(exp(-avg(logp)), 4) AS ppl
          |FROM bi JOIN lp USING (bg)
          |WHERE doc_id < 100 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full replay: same fixture CASE construction, same RE2 parse +
+    // list_filter/list_sort canonicalization
+    "text_url_normalize" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN '  not a url  ' ELSE
+         |    (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+         |      ELSE 'ftp' END) || '://ExAmple' || (doc_id % 7) || '.COM' ||
+         |    (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':8080'
+         |      ELSE '' END) || '/p/' || doc_id ||
+         |    (CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=x&a=1'
+         |      ELSE '?a=1' END) || '#frag' END AS u0
+         |  FROM documents WHERE doc_id < 200),
+         |s1 AS (SELECT doc_id, trim(u0) AS u,
+         |         regexp_replace(trim(u0), '#.*', '') AS nf FROM r),
+         |p AS (SELECT doc_id, u,
+         |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |  regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+         |  FROM s1),
+         |q AS (SELECT doc_id, u, scheme,
+         |  regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+         |  regexp_replace(rest, '^[^/?]*', '') AS afterhost FROM p),
+         |w AS (SELECT doc_id, u, scheme, afterhost,
+         |  lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+         |  regexp_extract(hostport, ':([0-9]+)$$', 1) AS port FROM q),
+         |x AS (SELECT doc_id, u, scheme, host,
+         |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+         |       OR (scheme = 'https' AND port = '443')
+         |    THEN '' ELSE ':' || port END AS keepport,
+         |  regexp_extract(afterhost, '^([^?]*)', 1) AS pth,
+         |  CASE WHEN contains(afterhost, '?')
+         |    THEN regexp_replace(afterhost, '^[^?]*\\?', '') ELSE '' END AS qs
+         |  FROM w),
+         |y AS (SELECT doc_id, u, scheme, host, keepport,
+         |  CASE WHEN pth = '' THEN '/' ELSE pth END AS pathn,
+         |  array_to_string(list_sort(list_filter(string_split(qs, '&'),
+         |    pp -> len(pp) > 0 AND NOT regexp_matches(lower(pp),
+         |      '^(utm_[^=]*|fbclid|gclid)='))), '&') AS sq
+         |  FROM x)
+         |SELECT doc_id, CASE WHEN scheme = '' THEN u
+         |  ELSE scheme || '://' || host || keepport || pathn ||
+         |    (CASE WHEN sq = '' THEN '' ELSE '?' || sq END) END AS url
+         |FROM y ORDER BY doc_id""".stripMargin,
 
     "text_ngram_novelty" ->
       s"""WITH g AS (

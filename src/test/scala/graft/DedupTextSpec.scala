@@ -26,6 +26,21 @@ class DedupTextSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L))
   }
 
+  test("normalizeUrl: case, default ports, tracking params, fragments, sorting, passthrough") {
+    val cases = Seq(
+      "HTTP://ExAmple.COM:80/Path?b=2&utm_source=x&a=1#frag"
+        -> "http://example.com/Path?a=1&b=2",
+      "https://a.com:443" -> "https://a.com/",
+      "https://a.com:8443/x" -> "https://a.com:8443/x",
+      "ftp://H.com:80/f" -> "ftp://h.com:80/f", // 80 not ftp's default
+      "https://a.com/?utm_medium=m&fbclid=z&gclid=g" -> "https://a.com/",
+      "  not a url  " -> "not a url", // passthrough, trimmed only
+      "https://a.com/p?a=1&A=2" -> "https://a.com/p?A=2&a=1") // byte sort
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.ops.TextOps.normalizeUrl(col("u"))).collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g == want, s"$g != $want") }
+  }
+
   test("ngramNovelty: exact copies score 0, disjoint docs 1, partial overlap in between; short docs omitted") {
     val a = "one two three four five six"
     val df = Seq((1L, a), (2L, a), // mutual copies: every trigram shared
