@@ -880,6 +880,27 @@ object Dedup {
     * sampled chains don't fragment. WITHIN-doc repeats don't count
     * toward `minDocs` (distinct-doc frequency); in-document repetition
     * is [[graft.ops.TextOps.repetitionStats]]' domain. */
+  /** Containment DEDUP — the actionable form of [[containmentJoin]]:
+    * drop every document CONTAINED in a bigger one (C(a→b) ≥ threshold
+    * with |sh(b)| > |sh(a)|, ties by shingle count to the lower id), keep
+    * the containers. This is the quote/excerpt collapse step: a tweet
+    * quoting an article, a chunk re-crawled inside its page — cases
+    * where keep-one-per-near-dup-cluster never fires because Jaccard
+    * stays low. Same scale shape as the join (banded by rare-prefix
+    * postings, never all-pairs) plus one id-keyed anti-join. */
+  def dedupByContainment(df: DataFrame, id: String, text: String, n: Int,
+      threshold: Double): DataFrame = {
+    val sizes = df.select(col(id).as("__cid"),
+      size(shingles(col(text), n)).as("__csz"))
+    val dropped = containmentJoin(df, id, text, n, threshold)
+      .join(sizes.toDF("id_a", "__sza"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "__szb"), Seq("id_b"))
+      .where(col("__szb") > col("__sza") ||
+        (col("__szb") === col("__sza") && col("id_b") < col("id_a")))
+      .select(col("id_a").as(id)).distinct()
+    df.join(dropped, Seq(id), "left_anti")
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
     * — the MOSS algorithm): hash every k-token window, then in each
     * sliding window of `w` consecutive hashes select the MINIMUM

@@ -94,6 +94,23 @@ object DedupTextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_containment_keep" -> ((s, dir) => {
+      // The actionable form on the same corpus as dedup_containment:
+      // every planted excerpt collapses into its original; survivors are
+      // the containers (+ docs in no containment relation).
+      val base = table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          filter(split(trim(col("text")), "\\s+"), t => length(t) > 0).as("toks"))
+      val corpus = base
+        .select(col("doc_id"), array_join(col("toks"), " ").as("text"))
+        .unionByName(base.where(col("doc_id") < 40).select(
+          (col("doc_id") + 100000).as("doc_id"),
+          array_join(slice(col("toks"), lit(1), greatest(lit(2),
+            floor(size(col("toks")) / lit(3)).cast("int"))), " ").as("text")))
+      Dedup.dedupByContainment(corpus, "doc_id", "text", n = 2, threshold = 0.6)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     "dedup_cc_clusters" -> ((s, dir) => {
       // Near-dup CLUSTERING: connected components (iterative min-label
       // propagation) over the brute Jaccard >= 0.9 pair graph; the oracle
@@ -1325,6 +1342,32 @@ object DedupTextQueries {
          |    len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) AS c
          |  FROM docs a JOIN docs b ON a.doc_id <> b.doc_id)
          |WHERE c >= 0.6 ORDER BY 1, 2""".stripMargin,
+
+    // same brute containment twin + the drop rule (bigger wins, ties to
+    // lower id), anti-joined
+    "dedup_containment_keep" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents WHERE doc_id < 100),
+         |corpus AS (
+         |  SELECT doc_id, toks FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 100000,
+         |    toks[1:greatest(2, CAST(floor(len(toks)/3.0) AS INT))]
+         |  FROM base WHERE doc_id < 40),
+         |docs AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS sh
+         |  FROM corpus WHERE len(toks) >= 2),
+         |dropped AS (
+         |  SELECT DISTINCT a.doc_id AS d
+         |  FROM docs a JOIN docs b ON a.doc_id <> b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) >= 0.6
+         |    AND (len(b.sh) > len(a.sh)
+         |      OR (len(b.sh) = len(a.sh) AND b.doc_id < a.doc_id)))
+         |SELECT doc_id FROM corpus
+         |WHERE doc_id NOT IN (SELECT d FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_split_leakage" ->
       s"""WITH docs AS (

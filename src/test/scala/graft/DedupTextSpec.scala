@@ -183,6 +183,17 @@ class DedupTextSpec extends SparkSpec {
     assert(joined == brute)
   }
 
+  test("dedupByContainment: contained docs drop, containers survive, exact dups keep lowest id") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (1 to 5).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, long), (2L, short), (3L, other), (4L, long)).toDF("id", "t")
+    val kept = Dedup.dedupByContainment(df, "id", "t", n = 2, threshold = 0.9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // 2 ⊂ 1 drops; 4 == 1 exactly, lowest id 1 survives; 3 unrelated
+    assert(kept == Set(1L, 3L), kept)
+  }
+
   test("containmentJoin == containmentPairs on a randomized overlapping corpus (losslessness)") {
     // 60 docs over a 12-word vocab: heavy shingle sharing stresses the
     // prefix filter's recall at several thresholds
