@@ -47,6 +47,59 @@ object Calibration {
       (sum(col("sq_err")) / sum(col("n"))).as("brier"))
   }
 
+  /** Fitted isotonic (monotone non-decreasing) calibration map as a
+    * per-bin step function: `calibrated(b)` is the corrected probability
+    * for scores binned into b (the [[reliabilityTable]] binning). */
+  case class IsotonicModel(bins: Int, calibrated: Array[Double])
+
+  private def round9c(x: Double): Double = math.rint(x * 1e9) / 1e9
+
+  /** Isotonic score calibration via Pool-Adjacent-Violators (Zadrozny &
+    * Elkan 2002 for calibration; the PAVA of Robertson, Wright & Dykstra
+    * 1988) over the BINNED reliability curve: the corpus collapses to
+    * ≤ `bins` (n, accuracy) rows in ONE map-side-combined pass; PAVA
+    * then runs driver-side over that bounded table (n-weighted), merging
+    * adjacent bins until empirical accuracy is monotone in score. Bins
+    * never observed inherit the nearest lower observed bin's value
+    * (leading gaps take the first observed value) — a total step
+    * function. Values rounded to 9 dp, so the model is bit-stable
+    * across partitionings and the [[isotonicApply]] projection replays
+    * exactly in SQL (the dsirScorer literal-replay pattern). Binned PAVA
+    * trades sklearn's per-distinct-score resolution for the one-pass
+    * corpus collapse — the right trade when N is 10¹² and `bins`
+    * resolution is all a mixing decision needs. */
+  def isotonicFit(df: DataFrame, yTrue: Column, score: Column,
+      bins: Int = 10): IsotonicModel = {
+    val rows = reliabilityTable(df, yTrue, score, bins)
+      .select(col("bin"), col("n"), col("accuracy"))
+      .collect().map(r => (r.getInt(0), r.getLong(1).toDouble, r.getDouble(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "empty input — nothing to calibrate")
+    val pools = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, List[Int])]
+    rows.foreach { case (b, w, v) =>
+      var cur = (w, v, List(b))
+      while (pools.nonEmpty && pools.last._2 > cur._2) {
+        val p = pools.remove(pools.length - 1)
+        val ws = p._1 + cur._1
+        cur = (ws, (p._1 * p._2 + cur._1 * cur._2) / ws, p._3 ++ cur._3)
+      }
+      pools += cur
+    }
+    val byBin = pools.iterator
+      .flatMap { case (_, v, bs) => bs.map(_ -> round9c(v)) }.toMap
+    val firstV = byBin(rows.head._1)
+    val arr = new Array[Double](bins)
+    var prev = firstV
+    for (b <- 0 until bins) { byBin.get(b).foreach(v => prev = v); arr(b) = prev }
+    IsotonicModel(bins, arr)
+  }
+
+  /** Apply a fitted isotonic map: pure literal-array projection
+    * (codegen'd, no join/state — streams as-is). */
+  def isotonicApply(score: Column, model: IsotonicModel): Column =
+    element_at(typedLit(model.calibrated.toSeq),
+      least(floor(score * model.bins), lit(model.bins - 1)).cast("int") + 1)
+
   /** Cohen's kappa: chance-corrected agreement between two integer label
     * columns. One k²-key groupBy over the data; marginals and the final
     * scalar are derived from that bounded cell table (k classes — the

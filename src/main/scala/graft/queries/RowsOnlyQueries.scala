@@ -71,6 +71,20 @@ object RowsOnlyQueries {
         .select(col("win_id"), winChecksum(col("degraded")).as("sum_after"))
         .orderBy("win_id")),
 
+    "g_isotonic" -> ((s, dir) => {
+      // Binned-PAVA isotonic calibration of the scored events: fit is
+      // one reliability pass + driver PAVA over <= 10 rows; application
+      // is a literal-array projection. Fully oracled via the fit-time
+      // literal-replay twin in [[dynamicOracle]].
+      val ev = graft.queries.Q.scoredEvents(s, dir)
+      val m = graft.ops.Calibration.isotonicFit(
+        ev, col("y_true"), col("score"), bins = 10)
+      ev.select(col("event_id"), col("score"),
+          round(graft.ops.Calibration.isotonicApply(col("score"), m), 6)
+            .as("calibrated"))
+        .orderBy("event_id")
+    }),
+
     "r5_perm_importance" -> ((s, dir) => {
       // Permute the single feature across all windows/timesteps; global
       // sum is preserved (permutation = reordering) — the per-window sums
@@ -485,6 +499,20 @@ object RowsOnlyQueries {
     * with null/blank text keep n_docs membership via the LEFT JOIN
     * (matching bpeEncode's 0-token rows). */
   val dynamicOracle: Map[String, (org.apache.spark.sql.SparkSession, String) => String] = Map(
+    // the fitted per-bin step function interpolated as a literal array;
+    // binning replayed identically (floor clamp into the last bin)
+    "g_isotonic" -> ((s, dir) => {
+      val ev = graft.queries.Q.scoredEvents(s, dir)
+      val m = graft.ops.Calibration.isotonicFit(
+        ev, col("y_true"), col("score"), bins = 10)
+      val arr = m.calibrated.mkString("[", ", ", "]")
+      s"""WITH s AS (${graft.queries.Q.scoredEventsSql})
+         |SELECT event_id, score,
+         |  round(CAST(($arr)[CAST(least(floor(score * 10), 9) AS INT) + 1]
+         |    AS DOUBLE), 6) AS calibrated
+         |FROM s ORDER BY event_id""".stripMargin
+    }),
+
     "text_bpe_encode" -> ((s, dir) => {
       val docs = table(s, dir, "documents").where(col("doc_id") < 300)
       val merges = TextOps.bpeTrain(docs, col("text"), nMerges = 30)

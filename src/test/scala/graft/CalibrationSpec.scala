@@ -7,6 +7,33 @@ import graft.ops.Calibration
   * (reliability table, ECE/MCE/Brier, Cohen's kappa, confident-learning
   * label noise). */
 class CalibrationSpec extends SparkSpec {
+
+  test("isotonicFit: hand-computed PAVA pools; apply is monotone and total") {
+    import graft.ops.Calibration
+    import spark.implicits._
+    // 4 populated bins of 10 rows with accuracies .1/.3/.2/.4 at bins
+    // 1/3/6/8 (gaps exercise carry-forward): PAVA pools bins 3+6 -> .25
+    def rows(score: Double, pos: Int): Seq[(Double, Int)] =
+      (0 until 10).map(i => (score, if (i < pos) 1 else 0))
+    val df = (rows(0.15, 1) ++ rows(0.35, 3) ++ rows(0.65, 2) ++ rows(0.85, 4))
+      .toDF("score", "y")
+    val m = Calibration.isotonicFit(df, col("y"), col("score"), bins = 10)
+    assert(m.calibrated(1) == 0.1 && m.calibrated(3) == 0.25 &&
+      m.calibrated(6) == 0.25 && m.calibrated(8) == 0.4, m.calibrated.toSeq)
+    // gaps: leading bins take the first observed value; others carry forward
+    assert(m.calibrated(0) == 0.1 && m.calibrated(2) == 0.1 &&
+      m.calibrated(4) == 0.25 && m.calibrated(7) == 0.25 &&
+      m.calibrated(9) == 0.4, m.calibrated.toSeq)
+    // the map is monotone non-decreasing — the isotonic contract
+    assert(m.calibrated.toSeq == m.calibrated.toSeq.sorted)
+    // application: literal projection matches the array at the bin
+    val applied = df.select(col("score"),
+        Calibration.isotonicApply(col("score"), m).as("c"))
+      .distinct().collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(applied(0.15) == 0.1 && applied(0.35) == 0.25 &&
+      applied(0.65) == 0.25 && applied(0.85) == 0.4)
+  }
+
   import spark.implicits._
 
   private lazy val scored = Seq((1, 0.9), (0, 0.8), (1, 0.7), (1, 0.6), (0, 0.4), (0, 0.3))
