@@ -67,6 +67,44 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic stand-in for a real image resize: nearest-neighbor
+    * BYTE subsampling to `outLen` bytes (out[i] = in[⌊i·len/outLen⌋]) —
+    * the contract (bytes in, target-geometry bytes out) is what a real
+    * codec-backed resizer slots into. */
+  object FakeResizer {
+    def resize(payload: Array[Byte], outLen: Int): Array[Byte] = {
+      if (payload == null || payload.isEmpty || outLen <= 0)
+        return Array.emptyByteArray
+      Array.tabulate(outLen)(i =>
+        payload((i.toLong * payload.length / outLen).toInt))
+    }
+  }
+
+  /** Batched per-partition resize → `resized` binary column + meta
+    * width/height rewritten to the target geometry. Partition-parallel,
+    * no shuffle — the same `mapInPandas` batch shape as
+    * [[extractFeatures]]; swap [[FakeResizer]] for a real codec in
+    * deployment. Requires the [[mediaSchema]] meta struct. */
+  def resizeMedia(df: DataFrame, payloadCol: String, targetW: Int,
+      targetH: Int, out: String = "resized"): DataFrame = {
+    require(targetW >= 1 && targetH >= 1, "target geometry must be >= 1")
+    val outLen = targetW * targetH
+    val outSchema = StructType(df.schema.fields :+
+      StructField(out, BinaryType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+
+          FakeResizer.resize(r.getAs[Array[Byte]](idx), outLen))
+      }
+    }(enc)
+      .withColumn("meta", struct(
+        lit(targetW).as("width"), lit(targetH).as("height"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.n_frames").as("n_frames")))
+  }
+
   /** Frame sampling contract for video-ish payloads: split the payload
     * into `nFrames` equal byte slices ("frames"), keep every `step`-th —
     * the Spark-side shape of frame-sample (explode → per-frame rows). */

@@ -193,6 +193,18 @@ object RowsOnlyQueries {
         .orderBy("config_task")
     }),
 
+    "mm_resize" -> ((s, dir) => {
+      // Resize contract: nearest-neighbor byte subsampling to a 6x4
+      // geometry; the ASCII hash-chain payload lets the oracle rebuild
+      // the EXACT resized bytes (md5) plus the rewritten meta geometry.
+      val media = Multimodal.syntheticMedia(
+        s, table(s, dir, "documents").where(col("doc_id") < 300), "doc_id")
+      Multimodal.resizeMedia(media, "payload", targetW = 6, targetH = 4)
+        .select(col("media_id"), col("kind"), md5(col("resized")).as("h"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy("media_id")
+    }),
+
     "mm_features" -> ((s, dir) => {
       // Multimodal plumbing: synthetic media from doc ids → per-partition
       // batched "decode" → feature aggregation by kind. The payload is a
@@ -417,6 +429,21 @@ object RowsOnlyQueries {
       // FakeDecoder twin: per-payload byte stats via a positions-table
       // join (payload is ASCII, so ord(char) == byte). Float32 casts mirror
       // the decoder's Array[Float]; round(2) absorbs avg order.
+      // rebuild the exact resized bytes: out[i] = payload[(i*len) // 24]
+      // (0-based) for i in 0..23, re-joined as a string (ASCII payload,
+      // so char ops == byte ops)
+      "mm_resize" ->
+        s"""WITH media AS (
+           |  SELECT media_id, kind, payload FROM ($mediaSql)
+           |  WHERE media_id < 300)
+           |SELECT media_id, kind,
+           |  md5(array_to_string(list_transform(range(0, 24), i ->
+           |    substr(payload,
+           |      CAST((i * length(payload)) // 24 AS INT) + 1, 1)), ''))
+           |    AS h,
+           |  6 AS width, 4 AS height
+           |FROM media ORDER BY media_id""".stripMargin,
+
       "mm_features" ->
         s"""WITH media AS ($mediaSql),
            |bytes AS (

@@ -218,6 +218,25 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(frames.where(length(col("frame")) === 0).count() == 0)
   }
 
+  test("resizeMedia: exact nearest-neighbor bytes, geometry rewritten, empty payload safe") {
+    val ids = (1L to 5L).toDF("doc_id")
+    val media = Multimodal.syntheticMedia(spark, ids, "doc_id")
+    val out = Multimodal.resizeMedia(media, "payload", targetW = 3, targetH = 2)
+    val rows = out.select("media_id", "payload", "resized", "meta.width", "meta.height")
+      .collect()
+    rows.foreach { r =>
+      val p = r.getAs[Array[Byte]](1)
+      val got = r.getAs[Array[Byte]](2)
+      val want = Array.tabulate(6)(i => p((i.toLong * p.length / 6).toInt))
+      assert(got.toSeq == want.toSeq)
+      assert(r.getInt(3) == 3 && r.getInt(4) == 2)
+    }
+    // degenerate payload
+    val empty = Multimodal.FakeResizer.resize(Array.emptyByteArray, 6)
+    assert(empty.isEmpty)
+    assert(Multimodal.FakeResizer.resize(null, 6).isEmpty)
+  }
+
   test("persisted IVF index answers queries identically to the in-memory path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     val e = graft.queries.Q.table(spark, "/root/testdata/sf0.001", "embeddings")
