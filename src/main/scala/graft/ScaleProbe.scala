@@ -448,6 +448,21 @@ object ScaleProbe {
         time(s"centered moments EXPLODED n=$n d=$d")(
           graft.ops.Pca.centeredMomentsExploded(df, col("v"), d, mean))
         df.unpersist()
+      case "kneserney" =>
+        // KN bigram LM at n docs: distinct-bigram table + three bounded
+        // re-aggregations + one scoring join back
+        val df = docs(n).persist(); df.count()
+        time(s"bigramKneserNeyScore n=$n")(
+          graft.ops.TextOps.bigramKneserNeyScore(df, "id", col("text"))
+            .agg(sum("n_bigrams"), avg("ppl")).collect())
+        df.unpersist()
+      case "novelty" =>
+        // n-gram novelty at n docs: one df count + one join back
+        val df = docs(n).persist(); df.count()
+        time(s"ngramNovelty n=$n")(
+          graft.ops.TextOps.ngramNovelty(df, "id", col("text"), 3)
+            .agg(avg("novel_ratio")).collect())
+        df.unpersist()
       case "packwhole" =>
         // whole-doc greedy packing at n docs: ONE distributed prefix sum
         // -> chunk-parallel exact greedy (flatMapGroups) -> rank join

@@ -321,6 +321,19 @@ object LawsProps extends Properties("GraftLaws") {
       allPresent && noOverflow && ordered
     }
 
+  property("tokenAugment: kept fraction concentrates near 1 - dropRate over many tokens") =
+    Prop.forAll(Gen.choose(0.1, 0.9), seedG) { (rate, seed) =>
+      val df = (1L to 50L).map(i => (i, (1 to 40).map(t => s"w$t").mkString(" ")))
+        .toDF("id", "t")
+      val r = df.select(graft.ops.TextOps.tokenAugment(col("id"), col("t"),
+          rate, 0.0, seed).as("a"))
+        .agg(sum(col("a.n_kept")), sum(col("a.n_tokens"))).head()
+      val kept = r.getLong(0).toDouble / r.getLong(1)
+      // 2000 Bernoulli draws: |kept - (1-rate)| within 5 sigma
+      val bound = 5 * math.sqrt(rate * (1 - rate) / 2000.0)
+      math.abs(kept - (1 - rate)) <= bound
+    }
+
   property("materializeMixture: integer weights are exact per-group multipliers") =
     Prop.forAll(Gen.choose(1, 40), Gen.choose(0, 4), seedG) { (n, w, seed) =>
       val df = (1L to n.toLong).map(i => (i, "g")).toDF("id", "g")
