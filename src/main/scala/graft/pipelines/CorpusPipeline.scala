@@ -45,7 +45,12 @@ object CorpusPipeline {
       // (repetition is then judged on the cleaned text; the near-dup
       // quality rank keeps the pre-removal score)
       spanRemovalTileWords: Option[Int] = None,
-      spanRemovalMinDocs: Int = 2)
+      spanRemovalMinDocs: Int = 2,
+      // Some(t): after near-dedup, ALSO drop docs contained (C >= t) in
+      // a bigger surviving doc — the quote/excerpt collapse Jaccard
+      // clustering never fires on (Dedup.dedupByContainment)
+      containmentThreshold: Option[Double] = None,
+      containmentShingleWords: Int = 3)
 
   final case class CurationResult(packed: DataFrame, funnel: Seq[(String, Long)])
 
@@ -84,12 +89,19 @@ object CorpusPipeline {
     val nearDeduped = scored
       .join(broadcastIfSmall(keepers), col(id) === col("__keep"), "left_semi")
 
+    // 2.5 optional containment collapse (short-in-long excerpts)
+    val contained = cfg.containmentThreshold match {
+      case Some(t) => Dedup.dedupByContainment(nearDeduped, id, text,
+        cfg.containmentShingleWords, t)
+      case None => nearDeduped
+    }
+
     // 3. decontamination
     val contaminated = Dedup
-      .decontaminate(nearDeduped, id, text, benchmark, benchText, cfg.decontamN)
+      .decontaminate(contained, id, text, benchmark, benchText, cfg.decontamN)
       .where(col("n_shared_grams") >= cfg.decontamMinShared)
       .select(col(id))
-    val clean = nearDeduped.join(contaminated, Seq(id), "left_anti")
+    val clean = contained.join(contaminated, Seq(id), "left_anti")
 
     // 3.5 optional in-document duplicate-span removal (CCNet delete step)
     val spanned = cfg.spanRemovalTileWords match {
@@ -118,8 +130,10 @@ object CorpusPipeline {
       .packSequences(sampled, col(text), Seq(col(id)), cfg.packBudgetTokens)
       .drop("__q")
 
-    Seq("input" -> docs, "exact_dedup" -> exact, "near_dedup" -> nearDeduped,
-      "decontaminated" -> clean) ++
+    Seq("input" -> docs, "exact_dedup" -> exact, "near_dedup" -> nearDeduped) ++
+      (if (cfg.containmentThreshold.isDefined)
+         Seq("containment_dedup" -> contained) else Seq.empty) ++
+      Seq("decontaminated" -> clean) ++
       (if (cfg.spanRemovalTileWords.isDefined) Seq("span_removed" -> spanned)
        else Seq.empty) ++
       Seq("filtered" -> filtered, "sampled" -> sampled, "packed" -> packed)

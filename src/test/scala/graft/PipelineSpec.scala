@@ -250,6 +250,31 @@ class PipelineSpec extends SparkSpec {
     assert(r2.funnel == r.funnel)
   }
 
+  test("corpus curation with containment stage: excerpt collapses into its container") {
+    import graft.pipelines.CorpusPipeline
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 8).map(i => s"w$i").mkString(" ") // prefix: C=1, Jaccard ~0.24
+    val other = (100 to 130).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, long, "en"), (2L, excerpt, "en"), (3L, other, "en"))
+      .toDF("doc_id", "text", "lang")
+    val bench = Seq.empty[String].toDF("btext")
+    val base = CorpusPipeline.CurationConfig(
+      shingleWords = 2, jaccardThreshold = 0.5, minQuality = 0.0,
+      maxTopWordRatio = 1.0, defaultSampleRate = 1.0)
+    // without the stage the excerpt SURVIVES (Jaccard too low to cluster)
+    val without = CorpusPipeline.curateCounted(docs, "doc_id", "text",
+      col("lang"), bench, "btext", base).funnel.toMap
+    assert(without("near_dedup") == 3 && !without.contains("containment_dedup"))
+    // with it the excerpt collapses into doc 1
+    val cfg = base.copy(containmentThreshold = Some(0.9),
+      containmentShingleWords = 2)
+    val r = CorpusPipeline.curateCounted(docs, "doc_id", "text",
+      col("lang"), bench, "btext", cfg)
+    val funnel = r.funnel.toMap
+    assert(funnel("near_dedup") == 3 && funnel("containment_dedup") == 2, funnel)
+    assert(r.packed.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("corpus curation with span removal: boilerplate tile deleted, packing sees shorter docs") {
     import graft.pipelines.CorpusPipeline
     val boiler = "subscribe to our newsletter for more updates today" // 8 tokens
