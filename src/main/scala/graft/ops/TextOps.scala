@@ -948,12 +948,17 @@ object TextOps {
       group: Column, batchId: Long, lgConfigK: Int = 12,
       kllK: Int = 200): org.apache.spark.sql.DataFrame = {
     val shim = org.apache.spark.sql.graft.SketchShim
+    // NO persist here, deliberately: a snapshot scans one bounded INGEST
+    // BATCH, and this op runs once per batch forever (foreachBatch) — a
+    // per-call cache would accumulate across micro-batches with nobody
+    // positioned to unpersist it. Two scans of the arriving batch is the
+    // leak-free trade (corpusReport, a one-shot over the whole corpus,
+    // keeps its cache).
     val perDoc = df.select(group.as("g"), md5(text).as("__h"),
       tokenCount(text).cast("long").as("__nt"),
       coalesce(length(text), lit(0)).cast("long").as("__nc"),
       filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
         .as("__toks"))
-      .persist()
     val base = perDoc.groupBy("g").agg(
       count(lit(1)).as("n_docs"),
       sum("__nt").as("n_tokens"),
