@@ -301,7 +301,15 @@ object Dedup {
     * document frequency — the rarest-prefix choice keeps exactly that
     * small. Returns directed (id_a, id_b, containment). */
   def containmentJoin(df: DataFrame, id: String, text: String, n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    containmentJoinWithSizes(df, id, text, n, threshold)
+      .select("id_a", "id_b", "containment")
+
+  /** [[containmentJoin]] carrying the shingle-set sizes the verify stage
+    * already computed — what [[dedupByContainment]]'s keep rule needs,
+    * saved from two redundant re-joins. */
+  private def containmentJoinWithSizes(df: DataFrame, id: String,
+      text: String, n: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     val docs = df.select(col(id).as("id"), shingles(col(text), n).as("sh"))
       .where(size(col("sh")) > 0)
@@ -325,7 +333,8 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(col("sh_a")))
       .where(col("containment") >= threshold)
-      .select("id_a", "id_b", "containment")
+      .select(col("id_a"), col("id_b"), col("containment"),
+        size(col("sh_a")).as("__sza"), size(col("sh_b")).as("__szb"))
   }
 
   /** Embedding-cosine near-duplicates: candidate pairs from multi-table
@@ -890,11 +899,7 @@ object Dedup {
     * postings, never all-pairs) plus one id-keyed anti-join. */
   def dedupByContainment(df: DataFrame, id: String, text: String, n: Int,
       threshold: Double): DataFrame = {
-    val sizes = df.select(col(id).as("__cid"),
-      size(shingles(col(text), n)).as("__csz"))
-    val dropped = containmentJoin(df, id, text, n, threshold)
-      .join(sizes.toDF("id_a", "__sza"), Seq("id_a"))
-      .join(sizes.toDF("id_b", "__szb"), Seq("id_b"))
+    val dropped = containmentJoinWithSizes(df, id, text, n, threshold)
       .where(col("__szb") > col("__sza") ||
         (col("__szb") === col("__sza") && col("id_b") < col("id_a")))
       .select(col("id_a").as(id)).distinct()
