@@ -267,7 +267,7 @@ object ScaleProbe {
         // the length histogram) — the safe-regime numbers for SCALE.md.
         val vocab = (0 until 100).map { i =>
           val s = java.lang.Long.toString((i * 2654435761L + 11) & 0xFFFFFFFFFL, 36)
-          ("aeioubcdfg".charAt(i % 10) + s).take(4 + i % 6)
+          s"${"aeioubcdfg".charAt(i % 10)}$s".take(4 + i % 6)
         }
         val words = typedLit(vocab)
         def pick(idc: org.apache.spark.sql.Column, j: Int) =
@@ -537,7 +537,7 @@ object ScaleProbe {
         val t0 = 1700000000000L
         val input = MemoryStream[(Long, java.sql.Timestamp, String)]
         val admitted = graft.pipelines.CorpusPipeline.curateAdmitStream(
-          input.toDF.toDF("doc_id", "ts", "text"), "ts", "doc_id", "text",
+          input.toDF().toDF("doc_id", "ts", "text"), "ts", "doc_id", "text",
           group = pmod(col("doc_id"), lit(100)).cast("string"),
           budgetTokens = Long.MaxValue / 4,
           watermark = "10 seconds", nearDupRetentionMs = 300000L)

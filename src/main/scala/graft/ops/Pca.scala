@@ -144,7 +144,7 @@ object Pca {
     * no join/state), returns array<double> of length nComponents. */
   def pcaProject(vec: Column, model: PcaModel): Column = {
     val v = transform(vec, x => x.cast("double"))
-    array(model.components.map { w =>
+    array(model.components.toIndexedSeq.map { w =>
       val b = w.indices.map(i => w(i) * model.mean(i)).sum
       graft.functions.VectorFunctions.dot(v, lit(w)) - lit(b)
     }: _*)

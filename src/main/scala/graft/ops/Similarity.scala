@@ -198,7 +198,7 @@ object Similarity {
       val sorted = centroidData.sortWith((a, b) => cellIdLess(a.get(0), b.get(0)))
       val cvecs = sorted.map(_.getSeq[Double](1).toArray)
       val cnorms = sorted.map(_.getDouble(2))
-      val ids = array(sorted.map(r => lit(r.get(0))): _*)
+      val ids = array(sorted.toIndexedSeq.map(r => lit(r.get(0))): _*)
       val idx = graft.functions.VectorFunctions
         .nearestCentroid(col(vec), col("vnorm"), cvecs, cnorms)
       corpusN.withColumn("cell_id", element_at(ids, idx + 1))
@@ -410,7 +410,7 @@ object Similarity {
     val sorted = centroidData.sortWith((a, b) => cellIdLess(a.get(0), b.get(0)))
     val cvecs = sorted.map(_.getSeq[Double](1).toArray)
     val cnorms = sorted.map(_.getDouble(2))
-    val ids = array(sorted.map(r => lit(r.get(0))): _*)
+    val ids = array(sorted.toIndexedSeq.map(r => lit(r.get(0))): _*)
     val idxs = graft.functions.VectorFunctions.nearestCells(
       col(qvec), col("qnorm"), cvecs, cnorms, nProbe)
     queriesN.withColumn("cell_id",
@@ -615,9 +615,9 @@ object Similarity {
     val rightN = right.select(col(rid), col(rvec)).withColumn("vnorm", norm(col(rvec)))
     val rightAssigned = assignCells(rightN, rid, rvec, centroidData, local, maxLiteralTerms)
       .select(col("cell_id"), col(rid), col(rvec).as("__rv"), col("vnorm").as("__rn"))
-    val vecs = array(centroidData.map(r => typedLit(r.getSeq[Double](1))): _*)
-    val norms = array(centroidData.map(r => lit(r.getDouble(2))): _*)
-    val ids = array(centroidData.map(r => lit(r.get(0))): _*)
+    val vecs = array(centroidData.toIndexedSeq.map(r => typedLit(r.getSeq[Double](1))): _*)
+    val norms = array(centroidData.toIndexedSeq.map(r => lit(r.getDouble(2))): _*)
+    val ids = array(centroidData.toIndexedSeq.map(r => lit(r.get(0))): _*)
     val nC = centroidData.length
     val cand = transform(sequence(lit(0), lit(nC - 1)), i =>
       struct((-dot(col(lvec), element_at(vecs, i + 1)) /

@@ -57,7 +57,7 @@ object MetricQueries {
     "g13_multiclass_metrics" -> ((s, dir) => {
       val (df, k) = multiclassFrame(s, dir)
       val m = MetricsOps.multiclassMetrics(df, "y_true", "y_pred", 0 until k)
-      m.select(m.columns.map(c => round(col(c), 6).as(c)): _*)
+      m.select(m.columns.toIndexedSeq.map(c => round(col(c), 6).as(c)): _*)
     }),
 
     "g13_pr_auc" -> ((s, dir) => {

@@ -189,7 +189,7 @@ object Sources {
     * 2-element numeric arrays → `_low`/`_high` (func_plot.py:613-645). */
   def flattenStructs(df: DataFrame): DataFrame = {
     def expand(schema: StructType, prefix: String): Seq[Column] =
-      schema.fields.flatMap { f =>
+      schema.fields.toIndexedSeq.flatMap { f =>
         val name = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
         val flat = (if (prefix.isEmpty) "" else prefix.replace(".", "_") + "_") + f.name
         f.dataType match {

@@ -62,7 +62,7 @@ object ProfileAnn {
     val corpusN = e.select(col("vec_id"), col("v"))
       .withColumn("vnorm", graft.functions.VectorFunctions.l2norm(col("v")))
     val assigned = corpusN.withColumn("cell_id",
-      element_at(array(sorted.map(r => lit(r.get(0))): _*),
+      element_at(array(sorted.toIndexedSeq.map(r => lit(r.get(0))): _*),
         graft.functions.VectorFunctions.nearestCentroid(col("v"), col("vnorm"), cvecs, cnorms) + 1))
     t("assigned.count") { assigned.count() }
     t("assigned.count again") { assigned.count() }

@@ -75,7 +75,7 @@ class AnnRecallSpec extends SparkSpec {
     val qRows = queries.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     val input = MemoryStream[(Long, Seq[Double])]
     val got = scala.collection.mutable.Set.empty[(Long, Long, Int)]
-    val q = input.toDF.toDF("qid", "qvec").writeStream
+    val q = input.toDF().toDF("qid", "qvec").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         got ++= Similarity.ivfTopKFromIndex(spark, path, batch,
             "id", "vec", "qid", "qvec", k, nProbe = 4)

@@ -75,7 +75,7 @@ class LinearModelSpec extends SparkSpec {
         round(LinearModel.scorer(m)(col("text")), 9).as("p"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val input = MemoryStream[(Long, String)]
-    val scored = input.toDF.toDF("id", "text")
+    val scored = input.toDF().toDF("id", "text")
       .select(col("id"), round(LinearModel.scorer(m)(col("text")), 9).as("p"))
     val q = scored.writeStream.format("memory").queryName("qc_stream")
       .outputMode("append").start()

@@ -169,7 +169,7 @@ class SketchLmStreamSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
     val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("k", "label")
-    val q = StreamingOps.enrichStream(input.toDF.toDF("k", "v"), dim, "k")
+    val q = StreamingOps.enrichStream(input.toDF().toDF("k", "v"), dim, "k")
       .writeStream.format("memory").queryName("enrich").outputMode("append").start()
     try {
       input.addData(("a", 1.0), ("b", 2.0), ("c", 3.0))
@@ -196,7 +196,7 @@ class SketchLmStreamSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ingest")
     val (store, out) = (s"$tmp/store", s"$tmp/out")
     val input = MemoryStream[(Long, String)]
-    val q = input.toDF.toDF("id", "text").writeStream
+    val q = input.toDF().toDF("id", "text").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         graft.ops.Dedup.dedupExactIncremental(batch, "id", "text", store)
           .write.mode("append").parquet(out)

@@ -45,7 +45,7 @@ class SkewStreamDedupSpec extends SparkSpec {
     def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
     val input = MemoryStream[(Long, Timestamp, String)]
     val deduped = StreamingOps.dedupExactStream(
-      input.toDF.toDF("doc_id", "ts", "text"), "ts", "text", "1 minute")
+      input.toDF().toDF("doc_id", "ts", "text"), "ts", "text", "1 minute")
     val q = deduped.writeStream.format("memory").queryName("dedup_stream")
       .outputMode("append").start()
     try {
@@ -65,7 +65,7 @@ class SkewStreamDedupSpec extends SparkSpec {
     def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
     val input = MemoryStream[(String, Timestamp)]
     val hh = StreamingOps.heavyHittersStream(
-      input.toDF.toDF("key", "ts"), "ts", "key",
+      input.toDF().toDF("key", "ts"), "ts", "key",
       windowDur = "10 seconds", minCount = 2L, watermark = "2 seconds")
     val q = hh.writeStream.format("memory").queryName("hh_stream")
       .outputMode("append").start()
@@ -87,7 +87,7 @@ class SkewStreamDedupSpec extends SparkSpec {
     def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
     val input = MemoryStream[(String, Timestamp, Double)]
     val sessions = StreamingOps.sessionizeStream(
-      input.toDF.toDF("user", "ts", "value"), "ts", "user",
+      input.toDF().toDF("user", "ts", "value"), "ts", "user",
       "value", gap = "5 seconds", watermark = "2 seconds")
     val q = sessions.writeStream.format("memory").queryName("sess_stream")
       .outputMode("append").start()
@@ -146,7 +146,7 @@ class SkewStreamDedupSpec extends SparkSpec {
     assert(expected == Set(1L, 3L, 6L, 7L), expected)
 
     val input = MemoryStream[(Long, Timestamp, String)]
-    val out = StreamingOps.nearDupStream(input.toDF.toDF("id", "ts", "text"),
+    val out = StreamingOps.nearDupStream(input.toDF().toDF("id", "ts", "text"),
       "ts", "id", "text", thr, w, bands, rows, watermark = "1 minute")
     val q = out.writeStream.format("memory").queryName("nd")
       .outputMode("append").start()
@@ -224,7 +224,7 @@ class SkewStreamDedupSpec extends SparkSpec {
       shingleWords = 2, jaccardThreshold = 0.6, minQuality = 0.1)
     val input = MemoryStream[(Long, Timestamp, String)]
     val curated = CorpusPipeline.curateStream(
-      input.toDF.toDF("doc_id", "ts", "text"), "ts", "text", cfg, "1 minute",
+      input.toDF().toDF("doc_id", "ts", "text"), "ts", "text", cfg, "1 minute",
       nearDupId = Some("doc_id"))
     val q = curated.writeStream.format("memory").queryName("cur_nd")
       .outputMode("append").start()
@@ -253,7 +253,7 @@ class SkewStreamDedupSpec extends SparkSpec {
     val input = MemoryStream[(Long, Timestamp, String)]
     // group = doc_id parity; budget 30 tokens per group (inclusive prefix)
     val admitted = CorpusPipeline.curateAdmitStream(
-      input.toDF.toDF("doc_id", "ts", "text"), "ts", "doc_id", "text",
+      input.toDF().toDF("doc_id", "ts", "text"), "ts", "doc_id", "text",
       group = pmod(col("doc_id"), lit(2)).cast("string"), budgetTokens = 30,
       cfg = cfg, watermark = "1 minute")
     val q = admitted.toDF().writeStream.format("memory").queryName("cur_admit")
@@ -303,7 +303,7 @@ class SkewStreamDedupSpec extends SparkSpec {
     // the stream-native stage: watermarked exact dedup + quality/repetition
     // filters; packing needs a global prefix sum -> composed via foreachBatch
     val filtered = CorpusPipeline.curateStream(
-      input.toDF.toDF("doc_id", "ts", "text"), "ts", "text", cfg, "1 minute")
+      input.toDF().toDF("doc_id", "ts", "text"), "ts", "text", cfg, "1 minute")
     val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     val q = filtered.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -337,7 +337,7 @@ class SkewStreamDedupSpec extends SparkSpec {
     val cfg = CorpusPipeline.CurationConfig(minQuality = 0.1, maxTopWordRatio = 0.5)
     val input = MemoryStream[(Long, Timestamp, String, String)]
     val curated = CorpusPipeline.curateStream(
-      input.toDF.toDF("doc_id", "ts", "text", "lang"), "ts", "text", cfg, "1 minute")
+      input.toDF().toDF("doc_id", "ts", "text", "lang"), "ts", "text", cfg, "1 minute")
     val store = java.nio.file.Files.createTempDirectory("graft_scard").toString
     val q = curated.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.DataFrame, id: Long) =>
@@ -386,7 +386,7 @@ class SkewStreamDedupSpec extends SparkSpec {
 
     val input = MemoryStream[(Long, Timestamp, String)]
     val flagged = StreamingOps.decontaminateStream(
-      input.toDF.toDF("doc_id", "ts", "text"), "ts", "doc_id", "text",
+      input.toDF().toDF("doc_id", "ts", "text"), "ts", "doc_id", "text",
       bench, "btext", n = 3, watermark = "1 minute")
     val q = flagged.writeStream.format("memory").queryName("decon_stream")
       .outputMode("append").start()

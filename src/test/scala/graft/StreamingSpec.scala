@@ -18,7 +18,7 @@ class StreamingSpec extends SparkSpec {
     def tmin(m: Int) = new Timestamp(1700000000000L + m * 60000L)
     val ref = (1 to 200).map(i => (i % 100) * 0.1).toDF("v")
     val input = MemoryStream[(Timestamp, Double)]
-    val out = StreamingOps.psiStream(input.toDF.toDF("ts", "v"), "ts",
+    val out = StreamingOps.psiStream(input.toDF().toDF("ts", "v"), "ts",
       col("v"), ref, col("v"), k = 5, alpha = 0.5,
       windowDur = "10 minutes", watermark = "0 seconds")
     val q = out.writeStream.format("memory").queryName("psi_stream")
@@ -51,7 +51,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Double)]
     val agg = StreamingOps.slidingFeatureWindows(
-      input.toDF.toDF("entity", "ts", "value"),
+      input.toDF().toDF("entity", "ts", "value"),
       "ts", "entity", "value", "10 seconds", "5 seconds")
     val q = agg.writeStream.format("memory").queryName("sw")
       .outputMode("complete").start()
@@ -79,8 +79,8 @@ class StreamingSpec extends SparkSpec {
     val pts = MemoryStream[(String, Timestamp, Double)]
     val ivs = MemoryStream[(String, Timestamp, Long)]
     val joined = StreamingOps.intervalJoin(
-      pts.toDF.toDF("k", "pts", "value"),
-      "pts", ivs.toDF.toDF("k", "its", "ivid"), "its", "k", "5 seconds")
+      pts.toDF().toDF("k", "pts", "value"),
+      "pts", ivs.toDF().toDF("k", "its", "ivid"), "its", "k", "5 seconds")
     val q = joined.writeStream.format("memory").queryName("ij")
       .outputMode("append").start()
     try {
@@ -104,8 +104,8 @@ class StreamingSpec extends SparkSpec {
     val pts = MemoryStream[(String, Timestamp, Double)]
     val ivs = MemoryStream[(String, Timestamp, Long)]
     val joined = StreamingOps.intervalJoinOuter(
-      pts.toDF.toDF("k", "pts", "value"),
-      "pts", ivs.toDF.toDF("k", "its", "ivid"), "its", "k", "5 seconds",
+      pts.toDF().toDF("k", "pts", "value"),
+      "pts", ivs.toDF().toDF("k", "its", "ivid"), "its", "k", "5 seconds",
       watermark = "2 seconds")
     val q = joined.writeStream.format("memory").queryName("ijo")
       .outputMode("append").start()
@@ -139,7 +139,7 @@ class StreamingSpec extends SparkSpec {
     val model = graft.model.Scorers.Logistic(maxIter = 20).fit(train)
     // stream windows through the fitted model
     val input = MemoryStream[(Long, Seq[Seq[Double]])]
-    val scored = model.transform(input.toDF.toDF("id", "window"))
+    val scored = model.transform(input.toDF().toDF("id", "window"))
     val q = scored.writeStream.format("memory").queryName("scored_stream")
       .outputMode("append").start()
     try {
@@ -167,7 +167,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     // stream NEW docs (incl. an unseen-vocab one) through the fitted model
     val input = MemoryStream[(Long, String)]
-    val scored = input.toDF.toDF("id", "text")
+    val scored = input.toDF().toDF("id", "text")
       .select(col("id"), sround(score(col("text")), 9).as("w"))
     val q = scored.writeStream.format("memory").queryName("dsir_stream")
       .outputMode("append").start()
@@ -198,7 +198,7 @@ class StreamingSpec extends SparkSpec {
     // the literal-projection scorer applies to a stream with no state
     val input = MemoryStream[(Long, Boolean, Boolean, Boolean)]
     val scored = RecordLinkage.fellegiSunterScore(
-        input.toDF.toDF("pid", "g1", "g2", "g3"), model)
+        input.toDF().toDF("pid", "g1", "g2", "g3"), model)
       .select(col("pid"), sround(col("match_prob"), 9).as("p"))
     val q = scored.writeStream.format("memory").queryName("fs_stream")
       .outputMode("append").start()
@@ -244,7 +244,7 @@ class StreamingSpec extends SparkSpec {
       .select(explode(Dedup.shingles(col("btext"), 3)).as("g"))
       .select(IntHash.stringHash(col("g")).as("h")).distinct()
     val input = MemoryStream[(Long, String)]
-    val docs = input.toDF.toDF("doc_id", "text")
+    val docs = input.toDF().toDF("doc_id", "text")
     val curated = docs
       .withColumn("text", TextOps.redactPii(col("text")))
       .withColumn("q", TextOps.qualityScore(col("text")))
