@@ -337,6 +337,24 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    "ann_sq8" -> ((s, dir) => {
+      // Int8 scalar-quantized ANN: per-dim min/max fit over the
+      // normalized corpus (ONE agg pass), encode to array<tinyint>
+      // (projection — the 100 TB scan reads 1 byte/dim), rank by exact
+      // cosine on the DEQUANTIZED codes (broadcast queries, window
+      // top-k). The twin replays fit+encode+rank in pure SQL: min/max
+      // are order-independent and the encode arithmetic is identical
+      // IEEE-754, so the codes match bit-for-bit with no literal replay.
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.ops.ScalarQuant.sq8TopK(e, queries, "vec_id", "v", "qid", "qv",
+          k = 5, dim = 64)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     "embedding_pca_cov" -> ((s, dir) => {
       // The oracle-checkable face of the PCA moment pass: sample
       // covariance of the 64-dim embeddings, upper triangle. ONE corpus
@@ -694,6 +712,37 @@ object SimilarityQueries {
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
          |  FROM pairs)
+         |SELECT qid, vec_id, round(cos, 4) AS cos, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // SQ8 twin: recompute the per-dim min/max fit (order-independent →
+    // exact), replay the clamp/floor encode and the affine dequant with
+    // the identical IEEE-754 arithmetic, then rank by the same
+    // dequantized cosine. Query side stays RAW (normalized inside the
+    // cosine) to mirror bruteForceTopK's expression shape exactly.
+    "ann_sq8" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+         |n AS (SELECT vec_id,
+         |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+         |      FROM e),
+         |mm AS (SELECT ix.i AS i, min(n.vn[ix.i]) AS mn,
+         |         (max(n.vn[ix.i]) - min(n.vn[ix.i])) / 255.0 AS sc
+         |       FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+         |       GROUP BY ix.i),
+         |m AS (SELECT list(mn ORDER BY i) AS mns, list(sc ORDER BY i) AS scs
+         |      FROM mm),
+         |dq AS (SELECT n.vec_id, list_transform(range(1, 65), i ->
+         |         mns[i] + scs[i] * CAST(least(255.0, greatest(0.0,
+         |           CASE WHEN scs[i] > 0 THEN floor((vn[i] - mns[i]) / scs[i] + 0.5)
+         |                ELSE 0.0 END)) AS BIGINT)) AS dv
+         |       FROM n CROSS JOIN m),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+         |pairs AS (SELECT q.qid, d.vec_id,
+         |            list_dot_product(q.qv, d.dv) /
+         |            (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(d.dv, d.dv))) AS cos
+         |          FROM dq d JOIN q ON d.vec_id != q.qid),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |             ORDER BY cos DESC, vec_id ASC) AS rank FROM pairs)
          |SELECT qid, vec_id, round(cos, 4) AS cos, rank
          |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 

@@ -154,4 +154,43 @@ class AnnRecallSpec extends SparkSpec {
         assert(row.getDouble(2) == expected, s"rerank cosine diverges at $key"))
     }
   }
+
+  test("sq8TopK: int8 codes keep recall@10 >= 0.95 at 1 byte/dim") {
+    import graft.ops.ScalarQuant
+    val r = recallAt10(ScalarQuant.sq8TopK(
+      corpus, queries, "id", "vec", "qid", "qvec", k, dim))
+    info(f"sq8 recall@10 $r%.3f (4x narrower corpus scan than float32)")
+    assert(r >= 0.95, s"sq8 recall $r")
+  }
+
+  test("sq8 encode contract: tinyint codes, dequant error <= scale/2, schema is 1 byte/dim") {
+    import graft.ops.ScalarQuant
+    val m = ScalarQuant.fitSq8(corpus, "vec", dim)
+    // an all-zero dimension stays zero after normalization → min = max
+    // → scale 0, and encode must not divide by it
+    val augmented = corpus.withColumn("vec",
+      concat(col("vec"), array(lit(0.0))))
+    val m2 = ScalarQuant.fitSq8(augmented, "vec", dim + 1)
+    assert(m2.scales.last == 0.0, "constant dim should fit scale 0")
+    val zeroCodes = ScalarQuant.encodeCorpus(augmented, "id", "vec", m2)
+      .select(element_at(col("codes"), dim + 1).as("c")).distinct().collect()
+    assert(zeroCodes.map(_.getByte(0)).toSeq == Seq(-128.toByte), "scale-0 dim encodes to code 0")
+    val enc = ScalarQuant.encodeCorpus(corpus, "id", "vec", m)
+    // storage width: the codes column is array<tinyint> — 1 byte/dim
+    assert(enc.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false),
+      enc.schema("codes").dataType.toString)
+    // roundtrip error per dimension is bounded by scale/2 (+1 ulp slack)
+    val maxScale = m.scales.max
+    val errs = enc
+      .select(ScalarQuant.dequantSq8(col("codes"), m).as("dv"), col("id"))
+      .join(corpus, "id")
+      .withColumn("__n", graft.functions.VectorFunctions.l2norm(col("vec")))
+      .select(aggregate(
+        zip_with(col("dv"), transform(col("vec"), x => x / col("__n")),
+          (a, b) => abs(a - b)),
+        lit(0.0), (acc, e) => greatest(acc, e)).as("maxerr"))
+      .agg(max("maxerr")).head().getDouble(0)
+    assert(errs <= maxScale / 2 + 1e-12, s"dequant error $errs vs scale/2 ${maxScale / 2}")
+  }
 }
