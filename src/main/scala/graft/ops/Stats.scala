@@ -307,6 +307,40 @@ object Stats {
     df.where(Robustness.seededUniform(seed, idCol) < rate)
   }
 
+  /** Distribution-matching rejection sampling — the curation move behind
+    * "make this corpus's language/length/domain profile look like a
+    * trusted reference slice": keep a hash-deterministic subset whose
+    * marginal over `groupCol` matches `target` (shares, need not sum
+    * to 1) while retaining as much data as possible. Per-group
+    * acceptance rate `r_g = (t_g/n_g) / max_h(t_h/n_h)` — the group
+    * that most under-shoots its target is kept whole (rate 1) and every
+    * other group is thinned proportionally, so the kept marginal has
+    * expectation exactly `target` over the targeted groups. Groups
+    * absent from `target` (and null groups) are dropped.
+    *
+    * Scale shape: the ONLY wide step is the tiny per-group count
+    * aggregate (map-side combined, k = |groups| rows collected — a
+    * bounded model collect); the keep decision itself is a narrow
+    * filter on [[Robustness.seededUniform]] of the row key, so it is
+    * reproducible across partitioning, retries, cluster sizes, and
+    * engines, and nests: lowering one group's target keeps a subset of
+    * the rows it kept before (same uniform, smaller rate). */
+  def matchDistribution(df: DataFrame, idCol: Column, groupCol: Column,
+      target: Map[String, Double], seed: Long): DataFrame = {
+    require(target.nonEmpty && target.values.forall(_ > 0.0),
+      "target shares must be positive")
+    val counts = df.groupBy(groupCol.cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
+    val ratios = counts.flatMap { case (g, n) =>
+      target.get(g).map(t => g -> t / n.toDouble) }
+    if (ratios.isEmpty) return df.where(lit(false))
+    val maxRatio = ratios.values.max
+    val rateMap = ratios.map { case (g, r) => g -> r / maxRatio }
+    df.where(Robustness.seededUniform(seed, idCol) <
+      coalesce(element_at(typedLit(rateMap), groupCol.cast("string")), lit(0.0)))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the `value`
     * distributions of groups `a` and `b` — the standard train/serve (or
     * split-vs-split) drift detector: `D = max_x |F_a(x) − F_b(x)|`.

@@ -571,6 +571,20 @@ object DedupTextQueries {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    "sample_match_dist" -> ((s, dir) =>
+      // Distribution-matching rejection sampling: thin the corpus so the
+      // language marginal matches a target profile (en-heavy corpus →
+      // balanced-ish target; zh is absent from the target so it drops
+      // entirely, fr most under-shoots so it is kept whole). The twin
+      // recomputes counts → ratios → rates in SQL with the identical
+      // double arithmetic and the same hash-uniform keep rule.
+      graft.ops.Stats.matchDistribution(table(s, dir, "documents"),
+          col("doc_id"), col("lang"),
+          target = Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2),
+          seed = 31L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     "text_normalize" -> ((s, dir) =>
       // Canonicalization for match keys: md5 of the normalized text pins
       // content; n_chars before/after pins the collapse arithmetic.
@@ -2191,6 +2205,19 @@ object DedupTextQueries {
          |  FROM documents WHERE n_chars > 0
          |  ORDER BY k DESC, doc_id ASC LIMIT 50)
          |ORDER BY doc_id""".stripMargin,
+
+    // e0-exponent literals force DOUBLE (not DECIMAL) so the
+    // ratio/rate arithmetic is bit-identical to the driver's
+    "sample_match_dist" ->
+      s"""WITH c AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY 1),
+         |t(g, t) AS (VALUES ('en', 0.4e0), ('de', 0.2e0), ('es', 0.2e0), ('fr', 0.2e0)),
+         |r AS (SELECT c.g, t.t / c.n AS ratio FROM c JOIN t USING (g)),
+         |mx AS (SELECT max(ratio) AS m FROM r),
+         |rates AS (SELECT g, ratio / m AS rate FROM r CROSS JOIN mx)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN rates ON rates.g = d.lang
+         |WHERE ${graft.ops.Robustness.seededUniformSql("31", Seq("d.doc_id"))} < rates.rate
+         |ORDER BY d.doc_id""".stripMargin,
 
     "text_normalize" ->
       s"""WITH n AS (

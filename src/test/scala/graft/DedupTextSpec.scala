@@ -476,6 +476,36 @@ class DedupTextSpec extends SparkSpec {
     assert(run(Map("en" -> 0.2)).subsetOf(half)) // nested: lower rate ⊂ higher
   }
 
+  test("matchDistribution: kept marginal tracks the target, surplus groups thin, absent groups drop") {
+    // 4000 'en', 1000 'de', 500 'fr', 500 'zh'; target en:de:fr = 2:1:1.
+    // fr most under-shoots (0.25/500 per-row ratio) → kept whole; en must
+    // thin to ~2x fr's count, de to ~1x; zh (no target) drops entirely.
+    val df = (1L to 6000L).map { i =>
+      val g = if (i <= 4000) "en" else if (i <= 5000) "de" else if (i <= 5500) "fr" else "zh"
+      (i, g)
+    }.toDF("id", "g")
+    def run(target: Map[String, Double]) = graft.ops.Stats
+      .matchDistribution(df, col("id"), col("g"), target, seed = 13L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val target = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
+    val kept = run(target)
+    val byG = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byG("fr") == 500, s"most-under-shot group kept whole: $byG")
+    assert(!byG.contains("zh"), "untargeted group must drop")
+    // expectation: en 1000, de 500 — allow 4-sigma-ish hash noise
+    assert(math.abs(byG("en") - 1000) < 120, byG.toString)
+    assert(math.abs(byG("de") - 500) < 90, byG.toString)
+    // deterministic under repartitioning
+    val repart = graft.ops.Stats
+      .matchDistribution(df.repartition(13), col("id"), col("g"), target, seed = 13L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(repart.toSet == kept.toSet)
+    // nesting: halving one group's target keeps a subset of its rows
+    val smaller = run(Map("en" -> 0.25, "de" -> 0.25, "fr" -> 0.25))
+      .filter(_._2 == "en").toSet
+    assert(smaller.subsetOf(kept.filter(_._2 == "en").toSet))
+  }
+
   test("tfIdfTopTerms: rare terms outscore common at equal tf; tf breaks through idf") {
     val docs = Seq((1L, "alpha alpha rare"), (2L, "alpha beta"), (3L, "alpha beta")).toDF("id", "t")
     val out = graft.ops.TextOps.tfIdfTopTerms(docs, "id", col("t"), k = 2)
