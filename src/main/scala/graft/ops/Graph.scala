@@ -90,6 +90,103 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007,
+    * "Near linear time algorithm to detect community structures…") made
+    * fully deterministic: every node starts labeled with its own id;
+    * each round, every node adopts the label that is MOST FREQUENT among
+    * its neighbors' current labels, ties broken by the smallest label;
+    * isolated nodes keep their own label. Edges are treated as
+    * undirected simple edges (symmetrized + distinct). Returns
+    * (node long, label long) after `iterations` synchronous rounds —
+    * label = community id.
+    *
+    * Scale shape per round: ONE shuffle join (symmetrized edges ⋈
+    * labels on src) + one map-side-combined `groupBy(node, label)` +
+    * a per-node window pick (each node's partition is its distinct
+    * neighbor-label set — bounded by degree, never the whole graph).
+    * Same two-regime split as [[pageRank]]: an edge list under
+    * `localEdgeThreshold` runs the identical rounds on the driver. */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+      iterations: Int, localEdgeThreshold: Int = 1 << 18): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val e0 = edges.select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+      .persist()
+    if (localEdgeThreshold > 0) {
+      val probe = e0.limit(localEdgeThreshold + 1).collect()
+      if (probe.length <= localEdgeThreshold) {
+        val out = localLabelProp(edges.sparkSession, probe, iterations)
+        e0.unpersist()
+        return out
+      }
+    }
+    import org.apache.spark.sql.expressions.Window
+    val sym = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v")).distinct().cache()
+    val nodes = sym.select(col("u").as("node")).distinct().cache()
+    nodes.count() // materializes sym's cache too; e0 no longer needed
+    e0.unpersist(blocking = false)
+    var labels = nodes.select(col("node"), col("node").as("label")).cache()
+    for (_ <- 0 until iterations) {
+      val counts = sym.join(labels, sym("u") === labels("node"))
+        .groupBy(sym("v").as("cnode"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("cnode").orderBy(col("c").desc, col("label").asc)
+      val picked = counts.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1).select(col("cnode"), col("label").as("newl"))
+      val updated = nodes.join(picked, col("node") === col("cnode"), "left")
+        .select(col("node"), coalesce(col("newl"), col("node")).as("label"))
+        .cache()
+      updated.count()
+      labels.unpersist(blocking = false)
+      labels = updated
+    }
+    sym.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    labels
+  }
+
+  private val labelSchema = StructType(Seq(
+    StructField("node", LongType), StructField("label", LongType)))
+
+  /** Driver-side rounds for [[labelPropagation]]'s small-graph regime:
+    * the identical synchronous update over the collected edge rows. */
+  private def localLabelProp(spark: SparkSession, edgeRows: Array[Row],
+      iterations: Int): DataFrame = {
+    import scala.collection.mutable
+    val index = mutable.HashMap.empty[Long, Int]
+    val ids = mutable.ArrayBuffer.empty[Long]
+    def idx(n: Long): Int = index.getOrElseUpdate(n, { ids += n; ids.length - 1 })
+    val adj = mutable.HashSet.empty[(Int, Int)]
+    edgeRows.foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        val (u, v) = (idx(r.getLong(0)), idx(r.getLong(1)))
+        if (u != v) { adj += ((u, v)); adj += ((v, u)) }
+      }
+    }
+    val n = ids.length
+    if (n == 0)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), labelSchema)
+    val neighbors = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
+    adj.foreach { case (u, v) => neighbors(v) += u } // v's in-neighbors = all neighbors (sym)
+    var labels = Array.tabulate(n)(i => ids(i))
+    for (_ <- 0 until iterations) {
+      labels = Array.tabulate(n) { v =>
+        if (neighbors(v).isEmpty) labels(v)
+        else {
+          val freq = mutable.HashMap.empty[Long, Int]
+          neighbors(v).foreach(u => freq(labels(u)) = freq.getOrElse(labels(u), 0) + 1)
+          freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+    }
+    // only nodes with at least one (non-self) edge exist in the
+    // distributed path's node set — mirror that here
+    val connected = (0 until n).filter(neighbors(_).nonEmpty)
+    val rows = connected.map(i => Row(ids(i), labels(i)))
+    spark.createDataFrame(java.util.Arrays.asList(rows.toArray: _*), labelSchema)
+  }
+
   private val rankSchema = StructType(Seq(
     StructField("node", LongType), StructField("rank", DoubleType)))
 

@@ -653,6 +653,20 @@ object DedupTextQueries {
         .orderBy("node")
     }),
 
+    "graph_label_prop" -> ((s, dir) => {
+      // Deterministic synchronous label propagation (3 rounds, min-label
+      // tie-break) over the same 40-node link graph as graph_pagerank —
+      // community detection for near-dup cluster labeling. The twin
+      // unrolls the 3 rounds; a per-round count + rank window in SQL
+      // mirrors the most-frequent-neighbor-label update exactly.
+      val edges = table(s, dir, "events").where(col("event_id") < 3000)
+        .select((col("user_id") % 40).as("u"),
+          (col("user_id") % 40 + 1 + col("event_id") % 11) % 40 as "v")
+        .distinct()
+      graft.ops.Graph.labelPropagation(edges, "u", "v", iterations = 3)
+        .orderBy("node")
+    }),
+
     "dedup_entity_resolution" -> ((s, dir) => {
       // Entity resolution capstone: fuzzy-match edges (levenshtein <= 2,
       // length-banded) -> connected components -> canonical entity per
@@ -2296,6 +2310,34 @@ object DedupTextQueries {
         |       FROM nodes LEFT JOIN c3 ON c3.node = nodes.node
         |       CROSS JOIN nn CROSS JOIN d3)
         |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
+
+    // 3 unrolled synchronous LPA rounds: symmetrized simple edges, each
+    // round = neighbor-label count + (count DESC, label ASC) pick.
+    "graph_label_prop" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT user_id % 40 AS u,
+        |    (user_id % 40 + 1 + event_id % 11) % 40 AS v
+        |  FROM events WHERE event_id < 3000),
+        |e AS (SELECT u, v FROM e0 WHERE u != v
+        |      UNION SELECT v, u FROM e0 WHERE u != v),
+        |nodes AS (SELECT DISTINCT u AS node FROM e),
+        |l0 AS (SELECT node, node AS label FROM nodes),
+        |n1 AS (SELECT e.v AS node, l.label, count(*) AS c
+        |       FROM e JOIN l0 l ON l.node = e.u GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY node
+        |           ORDER BY c DESC, label ASC) AS rk FROM n1) WHERE rk = 1),
+        |n2 AS (SELECT e.v AS node, l.label, count(*) AS c
+        |       FROM e JOIN l1 l ON l.node = e.u GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY node
+        |           ORDER BY c DESC, label ASC) AS rk FROM n2) WHERE rk = 1),
+        |n3 AS (SELECT e.v AS node, l.label, count(*) AS c
+        |       FROM e JOIN l2 l ON l.node = e.u GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY node
+        |           ORDER BY c DESC, label ASC) AS rk FROM n3) WHERE rk = 1)
+        |SELECT node, label FROM l3 ORDER BY node""".stripMargin,
 
     "graph_triangles" ->
       """WITH n AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),

@@ -65,4 +65,39 @@ class GraphSpec extends SparkSpec {
     assert(approx(r.values.sum, 1.0, 1e-9))
     assert((1L to 5L).forall(i => r(10L) > r(i)))
   }
+
+  test("labelPropagation: two cliques with a bridge converge to two communities") {
+    // K4 on 1..4, K4 on 11..14, one bridge 4-11; min-label tie-breaks
+    // pull each clique to its smallest member
+    def clique(ns: Seq[Long]) = for { a <- ns; b <- ns if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L))
+      :+ (4L, 11L)).toDF("s", "d")
+    val out = Graph.labelPropagation(edges, "s", "d", iterations = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(out).distinct.size == 1, out.toString)
+    assert(Seq(12L, 13L, 14L).map(out).distinct.size == 1, out.toString)
+    assert(out(1L) != out(12L), s"cliques must get distinct labels: $out")
+  }
+
+  test("labelPropagation: local fast path == distributed loop (multi-edges, self-loops, nulls)") {
+    val edges = ((0 until 90)
+      .map(i => (Some((i * 37 + 11) % 23L), Some((i * 53 + 29) % 23L)))
+      ++ Seq((Some(7L), Some(7L)), (Some(3L), None), (None, Some(5L)))).toDF("s", "d")
+    val local = Graph.labelPropagation(edges, "s", "d", iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val dist = Graph.labelPropagation(edges, "s", "d", iterations = 3,
+        localEdgeThreshold = 0)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(local.keySet == dist.keySet)
+    local.foreach { case (k, v) => assert(v == dist(k), s"node $k: $v vs ${dist(k)}") }
+  }
+
+  test("labelPropagation: zero iterations returns self-labels; empty input returns empty") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val out = Graph.labelPropagation(edges, "s", "d", iterations = 0)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    assert(Graph.labelPropagation(Seq.empty[(Long, Long)].toDF("s", "d"),
+      "s", "d", iterations = 2).count() == 0)
+  }
 }
