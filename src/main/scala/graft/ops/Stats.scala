@@ -536,6 +536,30 @@ object Stats {
       .withColumn("at_risk", col("n") < k)
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007, "l-Diversity:
+    * Privacy Beyond k-Anonymity"): a k-anonymous QI group whose
+    * SENSITIVE attribute is near-constant still leaks it. Per QI group:
+    * group size, number of distinct sensitive values (distinct
+    * l-diversity: `at_risk` when < l), and the Shannon entropy of the
+    * sensitive distribution computed as `ln(n) − Σ c·ln(c) / n` — the
+    * cancellation-free single-pass form (entropy l-diversity holds when
+    * entropy ≥ ln(l)). Null sensitive values count as their own value
+    * (groupBy semantics). Two map-side-combined aggregations — cells
+    * (QI, sensitive) then QI — never a distinct over raw rows. */
+  def lDiversity(df: DataFrame, quasi: Seq[String], sensitive: String,
+      l: Int): DataFrame = {
+    require(quasi.nonEmpty && l >= 2, "need QI columns and l >= 2")
+    val cells = df.groupBy((quasi :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    cells.groupBy(quasi.map(col): _*)
+      .agg(sum("__c").as("n"),
+        count(lit(1)).as("n_sensitive"),
+        sum(col("__c").cast("double") * log(col("__c").cast("double"))).as("__clc"))
+      .withColumn("entropy", log(col("n").cast("double")) - col("__clc") / col("n"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+      .drop("__clc")
+  }
+
   /** ε-differentially-private group counts via the Laplace mechanism
     * (Dwork et al. 2006) with the PORTABLE seeded hash RNG: noise is
     * the inverse-CDF Laplace(sensitivity/ε) draw from

@@ -50,6 +50,17 @@ object AnalyticsQueries {
           Seq(col("lang"), col("source")), k = 8)
         .orderBy("lang", "source")),
 
+    "g_l_diversity" -> ((s, dir) =>
+      // Beyond-k privacy audit: per-lang diversity of the `source`
+      // attribute — distinct-l flag (l = 18 so both flag values occur)
+      // plus the entropy form via the cancellation-free
+      // ln(n) − Σ c·ln(c)/n identity that both engines replay exactly.
+      Stats.lDiversity(table(s, dir, "documents"),
+          Seq("lang"), "source", l = 18)
+        .select(col("lang"), col("n"), col("n_sensitive"),
+          round(col("entropy"), 6).as("entropy"), col("at_risk"))
+        .orderBy("lang")),
+
     "g_dp_counts" -> ((s, dir) =>
       // ε-DP per-source counts: Laplace(1/ε) noise from the portable
       // seeded hash RNG keyed on the group value — deterministic per
@@ -581,6 +592,18 @@ object AnalyticsQueries {
     "g_k_anonymity" ->
       """SELECT lang, source, count(*) AS n, count(*) < 8 AS at_risk
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g_l_diversity" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS c
+        |               FROM documents GROUP BY 1, 2),
+        |g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+        |        count(*) AS n_sensitive,
+        |        sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clc
+        |      FROM cells GROUP BY 1)
+        |SELECT lang, n, n_sensitive,
+        |  round(ln(CAST(n AS DOUBLE)) - clc / n, 6) AS entropy,
+        |  n_sensitive < 18 AS at_risk
+        |FROM g ORDER BY lang""".stripMargin,
 
     "g_dp_counts" -> {
       val b = 1.0 / 0.5

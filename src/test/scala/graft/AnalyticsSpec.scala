@@ -478,6 +478,24 @@ class AnalyticsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Stats.kAnonymity(df, Seq.empty, 3))
   }
 
+  test("lDiversity: distinct-l flag and Shannon entropy per QI group") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("en", "a")) ++ Seq(("en", "b")) ++
+      Seq.fill(3)(("fr", "a"))).toDF("lang", "src")
+    val out = Stats.lDiversity(df, Seq("lang"), "src", l = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val (n, ns, h, risk) = out("en")
+    assert(n == 6L && ns == 2L && !risk)
+    // ln(6) − (5·ln5 + 1·ln1)/6
+    assert(math.abs(h - (math.log(6) - 5 * math.log(5) / 6)) < 1e-12)
+    // a constant sensitive column has zero entropy and trips distinct-l
+    val (nf, nsf, hf, riskf) = out("fr")
+    assert(nf == 3L && nsf == 1L && math.abs(hf) < 1e-12 && riskf)
+    intercept[IllegalArgumentException](Stats.lDiversity(df, Seq.empty, "src", 2))
+    intercept[IllegalArgumentException](Stats.lDiversity(df, Seq("lang"), "src", 1))
+  }
+
   test("dpGroupCounts: per-(seed, group) deterministic Laplace noise, fresh seed fresh noise") {
     import spark.implicits._
     val df = (1 to 200).map(i => (s"g${i % 20}", i)).toDF("g", "x")
