@@ -186,7 +186,13 @@ object Similarity {
         struct((-dot(col(vec), cvec) / (col("vnorm") * lit(r.getDouble(2)))).as("d"),
           lit(r.get(0)).as("cell_id"))
       }
-      corpusN.withColumn("cell_id", least(cellStructs.toIndexedSeq: _*).getField("cell_id"))
+      // least() rejects a single argument — a 1-centroid index (tiny
+      // training side, e.g. knnJoin against a 1-row corpus) assigns
+      // everything to that cell directly
+      val best =
+        if (cellStructs.length == 1) cellStructs.head
+        else least(cellStructs.toIndexedSeq: _*)
+      corpusN.withColumn("cell_id", best.getField("cell_id"))
     } else {
       // native argmin: centroids sorted ascending by id so the strict
       // first-wins compare reproduces least()'s tie→lowest-id and
@@ -720,6 +726,100 @@ object Similarity {
         iters, byHash)
       .where(col("cos") >= threshold)
       .select(col(cid), col(bid), col("cos"))
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining in Low-Resource Conditions" / Schwenk 2018 —
+    * public method): mine aligned (left, right) pairs from two embedding
+    * corpora (e.g. two languages' sentence embeddings) by RATIO margin —
+    * raw cosine divided by the mean cosine of each side's k-nearest
+    * neighborhood:
+    *
+    *   margin(x, y) = cos(x, y) / (avgF(x)/2 + avgB(y)/2)
+    *
+    * where avgF(x) = mean cosine of x's k-NN in `right` and avgB(y) =
+    * mean cosine of y's k-NN in `left`. The neighborhood normalizer
+    * cancels hubness: a vector that is "close to everything" has a high
+    * denominator, so raw-cosine false positives drop out — the reason
+    * margin mining beats absolute-threshold mining for parallel-corpus
+    * construction (ccMatrix/WikiMatrix shape).
+    *
+    * Candidates are the union of both directions' k-NN pairs; the "max"
+    * strategy keeps each left row's best candidate by margin (ties to the
+    * lowest right id), gated at `threshold`. Ranking and the gate use the
+    * margin ROUNDED to `marginRound` dp so cross-engine ulp noise cannot
+    * flip neighboring candidates (cf. [[maxSimTopK]]).
+    *
+    * Scale shape: two [[knnJoin]]s (each: narrow cell assignment + ONE
+    * cell-keyed shuffle + per-row top-k window), two k-NN-sized averages,
+    * and candidate-sized joins — never all-pairs. `nProbe >= nCells`
+    * makes both legs exact (the oracle regime); smaller nProbe trades
+    * recall exactly like IVF. Returns (lid, rid, cos, margin). */
+  def bitextMarginMine(left: DataFrame, lid: String, lvec: String,
+      right: DataFrame, rid: String, rvec: String, k: Int,
+      threshold: Double, nCells: Int, nProbe: Int, iters: Int = 1,
+      byHash: Boolean = true, marginRound: Int = 6): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val fwd = knnJoin(left, lid, lvec, right, rid, rvec, k, nCells, nProbe,
+      iters, byHash)
+    val bwd = knnJoin(right, rid, rvec, left, lid, lvec, k, nCells, nProbe,
+      iters, byHash)
+    val avgF = fwd.groupBy(lid).agg(avg("cos").as("__af"))
+    val avgB = bwd.groupBy(rid).agg(avg("cos").as("__ab"))
+    // forward and backward legs compute bit-equal cosines for the same
+    // pair (commutative per-element products, identical fold order), so
+    // the union-distinct cannot keep two copies of one pair
+    val cand = fwd.select(col(lid), col(rid), col("cos"))
+      .union(bwd.select(col(lid), col(rid), col("cos")))
+      .distinct()
+    val w = Window.partitionBy(lid).orderBy(col("margin").desc, col(rid).asc)
+    cand.join(avgF, lid).join(avgB, rid)
+      .withColumn("margin",
+        round(col("cos") / (col("__af") / 2 + col("__ab") / 2), marginRound))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1 && col("margin") >= threshold)
+      .select(col(lid), col(rid), col("cos"), col("margin"))
+  }
+
+  /** Centroid-based (simplified) silhouette over cosine distance
+    * (Rousseeuw 1987's silhouette with the standard centroid
+    * approximation — per-point cost O(nCells), not O(N), which is what
+    * makes the diagnostic computable on a 100 TB corpus): for each
+    * vector, a = 1 − cos to its OWN (nearest) centroid, b = 1 − cos to
+    * the second-nearest centroid, s = (b − a) / max(a, b) ∈ [−1, 1].
+    * High s = the point sits firmly inside its cluster; s near 0 = on a
+    * boundary; the per-cell mean is the standard cluster-quality score
+    * for picking nCells / auditing a clustered curation run.
+    *
+    * Scale shape: after the bounded centroid train/collect this is a
+    * PURE per-row projection — the nCells distances evaluate against
+    * literal centroid arrays (same constant-folded form as
+    * [[knnJoin]]'s probe ranking), sorted in-row; no join, no shuffle,
+    * no state. Assignment ties break to the lowest cell_id, matching
+    * the IVF argmin convention. Returns (id, cell_id, silhouette). */
+  def silhouette(corpus: DataFrame, id: String, vec: String, nCells: Int,
+      iters: Int = 1, byHash: Boolean = true): DataFrame = {
+    require(nCells >= 2, "silhouette needs >= 2 cells")
+    val centroidData =
+      trainIvfCentroids(corpus, id, vec, nCells, iters, byHash).collect()
+    require(centroidData.length >= 2,
+      s"got ${centroidData.length} trained cells — silhouette needs >= 2")
+    val nC = centroidData.length
+    val vecs = array(centroidData.toIndexedSeq.map(r => typedLit(r.getSeq[Double](1))): _*)
+    val norms = array(centroidData.toIndexedSeq.map(r => lit(r.getDouble(2))): _*)
+    val ids = array(centroidData.toIndexedSeq.map(r => lit(r.get(0))): _*)
+    val cand = transform(sequence(lit(0), lit(nC - 1)), i =>
+      struct((lit(1.0) - dot(col(vec), element_at(vecs, i + 1)) /
+          (col("__n") * element_at(norms, i + 1))).as("d"),
+        element_at(ids, i + 1).as("cell_id")))
+    val a = col("__s").getItem(0).getField("d")
+    val b = col("__s").getItem(1).getField("d")
+    corpus.select(col(id), col(vec))
+      .withColumn("__n", norm(col(vec)))
+      .withColumn("__s", slice(array_sort(cand), 1, 2))
+      .select(col(id), col("__s").getItem(0).getField("cell_id").as("cell_id"),
+        when(greatest(a, b) > 0, (b - a) / greatest(a, b))
+          .otherwise(lit(0.0)).as("silhouette"))
   }
 
   /** Per-group embedding centroids — the domain-prototype table behind

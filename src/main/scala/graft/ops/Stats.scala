@@ -390,6 +390,41 @@ object Stats {
         col("n1").as("n_a"), col("n2").as("n_b"))
   }
 
+  /** Benjamini–Hochberg FDR control (Benjamini & Hochberg 1995, "Controlling
+    * the False Discovery Rate" — public method) over a table of hypothesis
+    * tests (id, p-value): rank p ascending, reject every hypothesis up to
+    * the LARGEST rank i with p_i ≤ i·q/m, and report the BH-adjusted
+    * p-value (step-up running min of p_j·m/j from the largest rank down,
+    * clipped to 1). The multiple-testing gate for per-feature drift
+    * monitoring: when m features are each tested for drift, raw α-level
+    * cutoffs fire ~α·m false alarms per scan; BH bounds the EXPECTED
+    * false-discovery fraction at q.
+    *
+    * Scale note: the input is a table of TESTS — one row per feature /
+    * slice, schema-width- or cardinality-bounded (thousands, not a
+    * corpus) — so the unpartitioned rank window is deliberate; the
+    * corpus-sized work happened upstream in whatever produced the
+    * p-values (one aggregation per feature). Ties in p break by id.
+    * Returns (id, p, rank, p_adj, reject). */
+  def bhFdr(df: DataFrame, id: Column, p: Column, q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0, 1), got $q")
+    val wRank = Window.orderBy(col("p").asc, col("id").asc)
+    val wAll = Window.partitionBy()
+    val wSuffix = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(id.as("id"), p.cast("double").as("p"))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("p_adj",
+        least(lit(1.0), min(col("p") * col("__m") / col("rank")).over(wSuffix)))
+      .withColumn("__cut",
+        max(when(col("p") <= col("rank") * lit(q) / col("__m"), col("rank")))
+          .over(wAll))
+      .select(col("id"), col("p"), col("rank").cast("long").as("rank"),
+        col("p_adj"),
+        (col("__cut").isNotNull && col("rank") <= col("__cut")).as("reject"))
+  }
+
   /** Forward-fill resampling: evaluate each key's last-known payload on a
     * regular time grid (`gridStart to gridEnd by step`, same unit as
     * `t`) — the series-alignment op that turns irregular event streams

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (engine extension —
@@ -644,6 +645,74 @@ object TextOps {
       .where(col("tf") >= minCount)
       .orderBy(col("tf").desc, col("token").asc)
       .limit(topN)
+  }
+
+  /** Zipf rank–frequency fit (Zipf 1949; the classic corpus-health
+    * diagnostic): least-squares of ln(tf) on ln(rank) over the top
+    * `nRanks` vocabulary entries — natural language sits near slope −1;
+    * a much flatter or steeper tail flags template-heavy, synthetic, or
+    * boilerplate-dominated corpora before they reach training. Returns
+    * one row (n_ranks, slope, intercept, r2).
+    *
+    * Scale shape: the corpus-sized work is [[vocabulary]]'s single
+    * token-keyed aggregation + TakeOrdered top-N; the regression runs
+    * over nRanks points (bounded, one tiny window + one aggregate).
+    * The fit uses CENTERED sums (Σ(x−x̄)(y−ȳ) / Σ(x−x̄)²), not raw
+    * moments — same cancellation-avoidance rationale as
+    * [[graft.ops.Pca]] two-pass covariance. */
+  def zipfFit(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      nRanks: Int): org.apache.spark.sql.DataFrame = {
+    require(nRanks >= 3, "nRanks must be >= 3")
+    // rank window over the nRanks-row vocabulary cut — bounded by design
+    val w = Window.orderBy(col("tf").desc, col("token").asc)
+    val pts = vocabulary(df, id, text, minCount = 1L, topN = nRanks)
+      .withColumn("rank", row_number().over(w))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("tf").cast("double")).as("y"))
+    val m = pts.agg(count(lit(1)).as("n"), avg("x").as("mx"), avg("y").as("my"))
+      .head()
+    val (n, mx, my) = (m.getLong(0), m.getDouble(1), m.getDouble(2))
+    pts.agg(
+        sum((col("x") - mx) * (col("y") - my)).as("sxy"),
+        sum((col("x") - mx) * (col("x") - mx)).as("sxx"),
+        sum((col("y") - my) * (col("y") - my)).as("syy"))
+      .select(lit(n).as("n_ranks"),
+        (col("sxy") / col("sxx")).as("slope"),
+        (lit(my) - col("sxy") / col("sxx") * lit(mx)).as("intercept"),
+        (col("sxy") * col("sxy") / (col("sxx") * col("syy"))).as("r2"))
+  }
+
+  /** Padding-efficiency audit for fixed-shape training batches: assign
+    * each document the smallest sequence length in `seqLens` that holds
+    * its whitespace token count (documents longer than the largest are
+    * TRUNCATED to it — the standard fixed-shape contract), then report
+    * per bucket how many pad tokens that shape costs:
+    * (seq_len, n_docs, sum_tokens = tokens actually kept,
+    * pad_tokens = n_docs·seq_len − sum_tokens, efficiency = kept/slot).
+    * The batch-shape tuning table behind bucketed batching: if one
+    * bucket carries most documents at 40 % efficiency, its edge is
+    * mis-sized.
+    *
+    * All bucket logic is exact integer comparison against the literal
+    * edge list (NO log2/ceil — a float log at an exact power-of-two
+    * boundary rounds differently across engines); the only division is
+    * the final per-bucket efficiency. One groupBy on a handful of
+    * distinct seq_lens — map-side combined, no other shuffle. */
+  def paddingEfficiency(df: org.apache.spark.sql.DataFrame, text: Column,
+      seqLens: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(seqLens.nonEmpty && seqLens.forall(_ >= 1), "seqLens must be >= 1")
+    val edges = seqLens.distinct.sorted
+    val n = tokenCount(text).cast("long")
+    val bucket = edges.init.foldRight(lit(edges.last.toLong)) { (e, rest) =>
+      when(n <= e, lit(e.toLong)).otherwise(rest)
+    }
+    df.select(bucket.as("seq_len"), least(n, bucket).as("__kept"))
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"), sum("__kept").as("sum_tokens"))
+      .select(col("seq_len"), col("n_docs"), col("sum_tokens"),
+        (col("seq_len") * col("n_docs") - col("sum_tokens")).as("pad_tokens"),
+        (col("sum_tokens").cast("double") /
+          (col("seq_len") * col("n_docs"))).as("efficiency"))
   }
 
   /** Training-sequence packing (concat-then-chunk): in global `orderCols`

@@ -227,6 +227,34 @@ object AnalyticsQueries {
           col("n_a"), col("n_b"))
     }),
 
+    "g_bh_fdr" -> ((s, dir) => {
+      // Per-slice drift screen with multiple-testing control: 20 slices
+      // (event_type × user_id mod 4), Welch t between the first and
+      // second half of January 2024, two-sided distribution-free
+      // Chebyshev p-bound min(1, 1/t²) (conservative but exact rational
+      // arithmetic — no incomplete-beta, so both engines agree to the
+      // ulp), then Benjamini–Hochberg step-up at q = 0.2.
+      val cut = 1705363200000000L // 2024-01-16 00:00 UTC, epoch µs
+      val early = col("ts") < cut
+      val ev = table(s, dir, "events").withColumn("feature",
+        concat_ws("_", col("event_type"), pmod(col("user_id"), lit(4))))
+      val tests = ev.groupBy("feature")
+        .agg(avg(when(early, col("value"))).as("m1"),
+          avg(when(!early, col("value"))).as("m2"),
+          var_samp(when(early, col("value"))).as("s1"),
+          var_samp(when(!early, col("value"))).as("s2"),
+          count(when(early, col("value"))).as("n1"),
+          count(when(!early, col("value"))).as("n2"))
+        .withColumn("t", (col("m1") - col("m2")) /
+          sqrt(col("s1") / col("n1") + col("s2") / col("n2")))
+        .select(col("feature"),
+          least(lit(1.0), lit(1.0) / (col("t") * col("t"))).as("p"))
+      Stats.bhFdr(tests, col("feature"), col("p"), q = 0.2)
+        .select(col("id").as("feature"), round(col("p"), 6).as("p"),
+          col("rank"), round(col("p_adj"), 6).as("p_adj"), col("reject"))
+        .orderBy("rank")
+    }),
+
     "g_sessionize_gap" -> ((s, dir) => {
       // Inactivity-gap sessions per user (6 h gap), one row per session.
       val ev = table(s, dir, "events").withColumn("ts_us", col("ts"))
@@ -742,6 +770,34 @@ object AnalyticsQueries {
         |       round(m1, 6) AS mean_a, round(m2, 6) AS mean_b,
         |       n1 AS n_a, n2 AS n_b
         |FROM s""".stripMargin,
+
+    "g_bh_fdr" ->
+      """WITH ev AS (
+        |  SELECT event_type || '_' || CAST(user_id % 4 AS VARCHAR) AS feature,
+        |         value, epoch_us(ts) < 1705363200000000 AS early
+        |  FROM events),
+        |t AS (
+        |  SELECT feature,
+        |    avg(value) FILTER (early) AS m1, avg(value) FILTER (NOT early) AS m2,
+        |    var_samp(value) FILTER (early) AS s1, var_samp(value) FILTER (NOT early) AS s2,
+        |    count(value) FILTER (early) AS n1, count(value) FILTER (NOT early) AS n2
+        |  FROM ev GROUP BY 1),
+        |p AS (
+        |  SELECT feature, least(1.0, 1.0 /
+        |      (((m1 - m2) / sqrt(s1/n1 + s2/n2)) * ((m1 - m2) / sqrt(s1/n1 + s2/n2)))) AS p
+        |  FROM t),
+        |r AS (SELECT feature, p, row_number() OVER (ORDER BY p ASC, feature ASC) AS rank,
+        |             count(*) OVER () AS m FROM p),
+        |adj AS (
+        |  SELECT feature, p, rank, m,
+        |    least(1.0, min(p * m / rank) OVER (ORDER BY rank DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj,
+        |    CASE WHEN p <= rank * 0.2 / m THEN rank END AS hit
+        |  FROM r),
+        |cut AS (SELECT max(hit) AS c FROM adj)
+        |SELECT feature, round(p, 6) AS p, rank, round(p_adj, 6) AS p_adj,
+        |       (c IS NOT NULL AND rank <= c) AS reject
+        |FROM adj CROSS JOIN cut ORDER BY rank""".stripMargin,
 
     "g_sessionize_gap" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

@@ -131,6 +131,27 @@ object DedupTextQueries {
         .select(col("doc_id"), col("n_tokens"), col("bin"), col("offset"))
         .orderBy("doc_id")),
 
+    "text_zipf_fit" -> ((s, dir) =>
+      // Zipf rank–frequency health check: ln(tf) ~ ln(rank) least squares
+      // over the top-100 vocabulary (centered sums — no raw-moment
+      // cancellation); natural language sits near slope −1.
+      TextOps.zipfFit(table(s, dir, "documents"), col("doc_id"), col("text"),
+          nRanks = 100)
+        .select(col("n_ranks"), round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"))),
+
+    "pack_padding" -> ((s, dir) =>
+      // Padding-efficiency audit for fixed-shape batches: power-of-two
+      // sequence-length buckets 32..1024 (exact integer edge comparisons,
+      // no log2 — float logs flip at exact power-of-two boundaries),
+      // per-bucket pad-token cost and slot efficiency.
+      TextOps.paddingEfficiency(table(s, dir, "documents"), col("text"),
+          Seq(32, 64, 128, 256, 512, 1024))
+        .select(col("seq_len"), col("n_docs"), col("sum_tokens"),
+          col("pad_tokens"), round(col("efficiency"), 6).as("efficiency"))
+        .orderBy("seq_len")),
+
     "text_regex_extract" -> ((s, dir) =>
       // regexp_extract_all + explode: the extract-all-matches table (RE2-
       // portable pattern, so both engines tokenize identically); top-20
@@ -1477,6 +1498,46 @@ object DedupTextQueries {
          |  CAST(floor(prev / 256.0) AS BIGINT) AS bin,
          |  CAST(prev % 256 AS BIGINT) AS "offset"
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_zipf_fit" ->
+      s"""WITH t AS (
+         |  SELECT unnest(list_filter($toks, x -> x <> '')) AS token
+         |  FROM documents),
+         |v AS (SELECT token, count(*) AS tf FROM t GROUP BY 1
+         |      ORDER BY tf DESC, token ASC LIMIT 100),
+         |pts AS (
+         |  SELECT ln(CAST(row_number() OVER (ORDER BY tf DESC, token ASC) AS DOUBLE)) AS x,
+         |         ln(CAST(tf AS DOUBLE)) AS y
+         |  FROM v),
+         |m AS (SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my FROM pts),
+         |s AS (SELECT sum((x - mx) * (y - my)) AS sxy,
+         |             sum((x - mx) * (x - mx)) AS sxx,
+         |             sum((y - my) * (y - my)) AS syy
+         |      FROM pts CROSS JOIN m)
+         |SELECT (SELECT CAST(n AS BIGINT) FROM m) AS n_ranks,
+         |       round(sxy / sxx, 6) AS slope,
+         |       round((SELECT my FROM m) - sxy / sxx * (SELECT mx FROM m), 6) AS intercept,
+         |       round(sxy * sxy / (sxx * syy), 6) AS r2
+         |FROM s""".stripMargin,
+
+    "pack_padding" ->
+      s"""WITH t AS (
+         |  SELECT CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |    ELSE len($toks) END AS BIGINT) AS n
+         |  FROM documents),
+         |b AS (
+         |  SELECT CAST(CASE WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+         |    WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+         |    WHEN n <= 512 THEN 512 ELSE 1024 END AS BIGINT) AS seq_len, n
+         |  FROM t),
+         |g AS (
+         |  SELECT seq_len, count(*) AS n_docs,
+         |         CAST(sum(least(n, seq_len)) AS BIGINT) AS sum_tokens
+         |  FROM b GROUP BY 1)
+         |SELECT seq_len, n_docs, sum_tokens,
+         |       seq_len * n_docs - sum_tokens AS pad_tokens,
+         |       round(CAST(sum_tokens AS DOUBLE) / (seq_len * n_docs), 6) AS efficiency
+         |FROM g ORDER BY seq_len""".stripMargin,
 
     "decontaminate" -> {
       val grams = "list_transform(range(1, len(toks) - 1), " +

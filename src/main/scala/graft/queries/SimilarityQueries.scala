@@ -226,6 +226,36 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    "bitext_margin" -> ((s, dir) => {
+      // Margin-based bitext mining (Artetxe & Schwenk 2019): 30 "source"
+      // rows mined against a 150-row "target" corpus, ratio margin over
+      // k = 4 neighborhoods, exact regime (nProbe = nCells, seed
+      // centroids) so the oracle is the plain brute-force replay. Keeps
+      // each source's best-margin candidate at margin >= 1.0.
+      val e = emb(s, dir)
+      val right = e.where(col("vec_id") < 150).select(col("vec_id"), col("v"))
+      val left = e.where(col("vec_id") >= 150 && col("vec_id") < 180)
+        .select(col("vec_id").as("src_id"), col("v"))
+      Similarity.bitextMarginMine(left, "src_id", "v", right, "vec_id", "v",
+          k = 4, threshold = 1.0, nCells = 4, nProbe = 4, iters = 0,
+          byHash = false)
+        .select(col("src_id"), col("vec_id"),
+          round(col("cos"), 4).as("cos"), col("margin"))
+        .orderBy("src_id")
+    }),
+
+    "embedding_silhouette" -> ((s, dir) => {
+      // Centroid-based silhouette over cosine distance: 4 seed-centroid
+      // cells (iters = 0, byHash = false — exact-row centroids keep every
+      // distance bit-stable across engines), per-point s = (b − a)/max.
+      val e = emb(s, dir).where(col("vec_id") < 200)
+      Similarity.silhouette(e.select(col("vec_id"), col("v")), "vec_id", "v",
+          nCells = 4, iters = 0, byHash = false)
+        .select(col("vec_id"), col("cell_id"),
+          round(col("silhouette"), 6).as("sil"))
+        .orderBy("vec_id")
+    }),
+
     "sample_cluster_quota" -> ((s, dir) => {
       // Cluster-balanced (topic-diversity) sampling: 4 seed-centroid
       // cells (iters = 0, byHash = false — exact-row centroids keep the
@@ -566,6 +596,56 @@ object SimilarityQueries {
          |  FROM pairs)
          |SELECT qid, vec_id, round(cos, 4) AS cos, rank
          |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "bitext_margin" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+         |l AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id >= 150 AND vec_id < 180),
+         |r AS (SELECT vec_id, v FROM e WHERE vec_id < 150),
+         |pairs AS (
+         |  SELECT l.src_id, r.vec_id,
+         |    list_dot_product(l.v, r.v) /
+         |      (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) AS cos
+         |  FROM l, r),
+         |fwd AS (SELECT src_id, vec_id, cos, row_number() OVER (PARTITION BY src_id
+         |          ORDER BY cos DESC, vec_id ASC) AS rk FROM pairs),
+         |bwd AS (SELECT src_id, vec_id, cos, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, src_id ASC) AS rk FROM pairs),
+         |af AS (SELECT src_id, avg(cos) AS af FROM fwd WHERE rk <= 4 GROUP BY 1),
+         |ab AS (SELECT vec_id, avg(cos) AS ab FROM bwd WHERE rk <= 4 GROUP BY 1),
+         |cand AS (
+         |  SELECT DISTINCT src_id, vec_id, cos FROM (
+         |    SELECT src_id, vec_id, cos FROM fwd WHERE rk <= 4
+         |    UNION ALL SELECT src_id, vec_id, cos FROM bwd WHERE rk <= 4)),
+         |m AS (SELECT c.src_id, c.vec_id, c.cos,
+         |        round(c.cos / (af.af / 2 + ab.ab / 2), 6) AS margin
+         |      FROM cand c JOIN af USING (src_id) JOIN ab USING (vec_id)),
+         |best AS (SELECT src_id, vec_id, cos, margin, row_number() OVER (
+         |           PARTITION BY src_id ORDER BY margin DESC, vec_id ASC) AS rk
+         |         FROM m)
+         |SELECT src_id, vec_id, round(cos, 4) AS cos, margin
+         |FROM best WHERE rk = 1 AND margin >= 1.0 ORDER BY src_id""".stripMargin,
+
+    "embedding_silhouette" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, $vSql AS v,
+         |    sqrt(list_dot_product($vSql, $vSql)) AS vn
+         |  FROM embeddings WHERE vec_id < 200),
+         |seeds AS (
+         |  SELECT vec_id AS cell_id, v AS cv, vn AS cn FROM corpus
+         |  ORDER BY vec_id LIMIT 4),
+         |d AS (
+         |  SELECT c.vec_id, s.cell_id,
+         |    1.0 - list_dot_product(c.v, s.cv) / (c.vn * s.cn) AS d,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY 1.0 - list_dot_product(c.v, s.cv) / (c.vn * s.cn) ASC,
+         |               s.cell_id ASC) AS rk
+         |  FROM corpus c, seeds s),
+         |own AS (SELECT vec_id, cell_id, d AS a FROM d WHERE rk = 1),
+         |nxt AS (SELECT vec_id, d AS b FROM d WHERE rk = 2)
+         |SELECT o.vec_id, o.cell_id,
+         |  round(CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+         |        ELSE 0.0 END, 6) AS sil
+         |FROM own o JOIN nxt USING (vec_id) ORDER BY vec_id""".stripMargin,
 
     "sample_cluster_quota" ->
       s"""WITH corpus AS (

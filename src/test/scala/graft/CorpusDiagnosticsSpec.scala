@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Similarity, Stats, TextOps}
+
+/** Round-9 corpus-diagnostic operators: Benjamini–Hochberg FDR, Zipf
+  * rank–frequency fit, padding-efficiency audit, centroid silhouette,
+  * and margin-based bitext mining. */
+class CorpusDiagnosticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- bhFdr
+
+  // the worked example from Benjamini & Hochberg 1995 (§4): m = 15 tests,
+  // q = 0.05 rejects exactly the 4 smallest p-values
+  private val bh95 = Seq(
+    0.0001, 0.0004, 0.0019, 0.0095, 0.0201, 0.0278, 0.0298, 0.0344,
+    0.0459, 0.3240, 0.4262, 0.5719, 0.6528, 0.7590, 1.0000)
+
+  test("bhFdr reproduces the BH-1995 worked example (4 rejections at q=0.05)") {
+    val df = bh95.zipWithIndex.map { case (p, i) => (s"h${i + 1}", p) }
+      .toDF("id", "p")
+    val out = Stats.bhFdr(df, col("id"), col("p"), q = 0.05)
+      .orderBy("rank").collect()
+    assert(out.length == 15)
+    assert(out.map(_.getAs[Boolean]("reject")).toSeq ==
+      (Seq.fill(4)(true) ++ Seq.fill(11)(false)))
+    // ranks follow ascending p; ids carried through
+    assert(out.map(_.getAs[String]("id")).take(4).toSeq ==
+      Seq("h1", "h2", "h3", "h4"))
+    // adjusted p is the step-up running min, clipped at 1, and monotone
+    // non-decreasing in rank
+    val padj = out.map(_.getAs[Double]("p_adj"))
+    assert(approx(padj(3), 0.0095 * 15 / 4, 1e-12))
+    assert(padj.last == 1.0)
+    assert(padj.sliding(2).forall(w => w(0) <= w(1) + 1e-15))
+    // the standard equivalence: reject ⇔ p_adj <= q
+    out.foreach(r => assert(
+      r.getAs[Boolean]("reject") == (r.getAs[Double]("p_adj") <= 0.05 + 1e-15)))
+  }
+
+  test("bhFdr with nothing significant rejects nothing; cutoff null-safe") {
+    val df = Seq(("a", 0.4), ("b", 0.7), ("c", 0.9)).toDF("id", "p")
+    val out = Stats.bhFdr(df, col("id"), col("p"), q = 0.05).collect()
+    assert(out.forall(!_.getAs[Boolean]("reject")))
+  }
+
+  // -------------------------------------------------------------- zipfFit
+
+  test("zipfFit recovers slope -1 / r2 1 on an exact Zipf corpus") {
+    // tf(rank) = 840 / rank exactly for ranks 1..8 → ln tf = ln 840 − ln rank
+    val tfs = (1 to 8).map(r => (s"w$r", 840 / r))
+    val docs = tfs.zipWithIndex.map { case ((w, n), i) =>
+      (i.toLong, Seq.fill(n)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+    val row = TextOps.zipfFit(docs, col("doc_id"), col("text"), nRanks = 8).head()
+    assert(row.getAs[Long]("n_ranks") == 8L)
+    assert(approx(row.getAs[Double]("slope"), -1.0, 1e-9))
+    assert(approx(row.getAs[Double]("intercept"), math.log(840.0), 1e-9))
+    assert(approx(row.getAs[Double]("r2"), 1.0, 1e-9))
+  }
+
+  // ---------------------------------------------------- paddingEfficiency
+
+  test("paddingEfficiency buckets, truncates at the top edge, handles blanks") {
+    val docs = Seq(0, 10, 32, 33, 64, 2000).zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextOps.paddingEfficiency(docs, col("text"), Seq(32, 64))
+      .orderBy("seq_len").collect()
+    assert(out.length == 2)
+    val b32 = out(0); val b64 = out(1)
+    assert(b32.getAs[Long]("seq_len") == 32L)
+    assert(b32.getAs[Long]("n_docs") == 3L)       // 0, 10, 32 tokens
+    assert(b32.getAs[Long]("sum_tokens") == 42L)
+    assert(b32.getAs[Long]("pad_tokens") == 3 * 32 - 42)
+    assert(approx(b32.getAs[Double]("efficiency"), 42.0 / 96))
+    assert(b64.getAs[Long]("n_docs") == 3L)       // 33, 64, 2000(truncated)
+    assert(b64.getAs[Long]("sum_tokens") == 33 + 64 + 64)
+    assert(b64.getAs[Long]("pad_tokens") == 3 * 64 - 161)
+  }
+
+  // ------------------------------------------------------------ silhouette
+
+  private def ang(deg: Double): Seq[Double] = {
+    val r = math.toRadians(deg)
+    Seq(math.cos(r), math.sin(r))
+  }
+
+  test("silhouette: tight clusters near 1, seeds exactly 1, boundary point 0") {
+    // ids ordered so the two iters=0/byHash=false seeds are one per cluster
+    val pts = Seq(
+      (1L, ang(0)), (2L, ang(90)),            // seeds → cell 1, cell 2
+      (3L, ang(2)), (4L, ang(88)),            // firmly inside each cluster
+      (5L, ang(45)))                          // equidistant boundary point
+      .toDF("vec_id", "v")
+    val out = Similarity.silhouette(pts, "vec_id", "v", nCells = 2,
+        iters = 0, byHash = false)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cell_id"), r.getAs[Double]("silhouette"))).toMap
+    assert(out(1) == (1L, 1.0) && out(2) == (2L, 1.0)) // a = 0 at the seed
+    assert(out(3)._1 == 1L && out(3)._2 > 0.9)
+    assert(out(4)._1 == 2L && out(4)._2 > 0.9)
+    // equidistant: a == b → s = 0, tie-break to the lowest cell_id
+    assert(out(5)._1 == 1L && math.abs(out(5)._2) < 1e-9)
+  }
+
+  // ------------------------------------------------------ bitextMarginMine
+
+  test("bitextMarginMine matches a brute-force reference and cancels hubness") {
+    // left at 40°/50°; right has a "hub" at 41° (raw-cosine top-1 for the
+    // 40° source) that margin scoring demotes below the 38° candidate,
+    // because the hub's own neighborhood average is high.
+    val left = Seq((1L, ang(40)), (2L, ang(50))).toDF("src_id", "v")
+    val rightData = Seq((10L, ang(38)), (11L, ang(41)), (12L, ang(52)))
+    val right = rightData.toDF("vec_id", "v")
+    val k = 2
+    val out = Similarity.bitextMarginMine(left, "src_id", "v",
+        right, "vec_id", "v", k = k, threshold = 0.0, nCells = 2,
+        nProbe = 2, iters = 0, byHash = false)
+      .collect().map(r => r.getAs[Long]("src_id") ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("margin"))).toMap
+
+    // brute-force reference of the same semantics
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val lv = Map(1L -> ang(40), 2L -> ang(50))
+    val rv = rightData.toMap
+    def topK(c: Map[Long, Double]) = c.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+    val fwd = lv.map { case (l, v) => l -> topK(rv.map { case (r, w) => r -> cos(v, w) }) }
+    val bwd = rv.map { case (r, w) => r -> topK(lv.map { case (l, v) => l -> cos(v, w) }) }
+    val avgF = fwd.map { case (l, nn) => l -> nn.map(_._2).sum / k }
+    val avgB = bwd.map { case (r, nn) => r -> nn.map(_._2).sum / k }
+    val cand = fwd.flatMap { case (l, nn) => nn.map { case (r, c) => (l, r, c) } } ++
+      bwd.flatMap { case (r, nn) => nn.map { case (l, c) => (l, r, c) } }
+    val best = cand.toSeq.distinct
+      .map { case (l, r, c) => (l, r, c / (avgF(l) / 2 + avgB(r) / 2)) }
+      .groupBy(_._1).map { case (l, cs) =>
+        val (_, r, m) = cs.minBy { case (_, r, m) => (-m, r) }
+        l -> (r, m)
+      }
+    assert(out.keySet == best.keySet)
+    best.foreach { case (l, (r, m)) =>
+      assert(out(l)._1 == r, s"src $l mined ${out(l)._1}, expected $r")
+      assert(approx(out(l)._2, math.rint(m * 1e6) / 1e6, 1e-9))
+    }
+    // the hubness point: raw top-1 for src 1 is the hub (41°), but the
+    // mined pair is the 38° candidate
+    assert(fwd(1L).head._1 == 11L)
+    assert(out(1L)._1 == 10L)
+  }
+
+  test("bitextMarginMine threshold gates low-margin sources") {
+    val left = Seq((1L, ang(40))).toDF("src_id", "v")
+    val right = Seq((10L, ang(38)), (11L, ang(41))).toDF("vec_id", "v")
+    val hi = Similarity.bitextMarginMine(left, "src_id", "v", right,
+      "vec_id", "v", k = 2, threshold = 99.0, nCells = 2, nProbe = 2,
+      iters = 0, byHash = false)
+    assert(hi.count() == 0)
+  }
+}
