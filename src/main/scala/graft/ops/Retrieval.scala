@@ -223,4 +223,47 @@ object Retrieval {
       .where(col("rank") <= k)
       .select(col(qid), col(id), col("score"), col("rank"))
   }
+
+  /** Rank-biased overlap at evaluation depth k (Webber, Moffat & Zobel
+    * 2010, "A Similarity Measure for Indefinite Rankings" — the RBO_MIN
+    * prefix form: agreements beyond depth k count 0): per query,
+    *
+    *   rbo@k = (1 − p) · Σ_{d=1..k} p^{d−1} · |A_d ∩ B_d| / d
+    *
+    * where A_d/B_d are the two rankings' depth-d prefixes and p is the
+    * top-weightedness (p = 0.9 ≈ the canonical "first 10 ranks carry
+    * ~86 % of the weight"). The ranking-comparison metric for retrieval
+    * A/B tests and curation-reorder audits: unlike Kendall/Spearman it
+    * handles non-conjoint lists (docs present in only one ranking) and
+    * weights the head, which is what retrieval cares about.
+    *
+    * Scale shape: a doc in both top-k lists contributes to every depth
+    * d ≥ max(rank_A, rank_B), so its total weight is the PRECOMPUTED
+    * constant c(m) = Σ_{d=m..k} p^{d−1}/d — the rankings join ONCE on
+    * (qid, doc) with a literal k-entry lookup, no depth explosion.
+    * Queries present in either input but with disjoint prefixes score 0.
+    * Inputs carry (`qid`, `id`, `rank`); returns (qid, rbo). */
+  /** c(m) = Σ_{d=m..k} p^(d−1)/d at 1-based index m — the per-doc RBO
+    * weight for a doc first covered at depth m. Computed once on the
+    * driver (ascending-d fold); the SQL twin interpolates these exact
+    * doubles as literals, so both engines share one weight table. */
+  private[graft] def rboWeights(k: Int, p: Double): Array[Double] =
+    Array.tabulate(k)(i => (i + 1 to k)
+      .foldLeft(0.0)((acc, d) => acc + math.pow(p, d - 1) / d))
+
+  def rboTopK(a: DataFrame, b: DataFrame, qid: String, id: String, k: Int,
+      p: Double = 0.9): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(p > 0.0 && p < 1.0, s"p must be in (0, 1), got $p")
+    val cArr = array(rboWeights(k, p).toIndexedSeq.map(lit(_)): _*)
+    def prefix(df: DataFrame, r: String) = df.where(col("rank") <= k)
+      .select(col(qid), col(id), col("rank").as(r))
+    val hits = prefix(a, "__ra").join(prefix(b, "__rb"), Seq(qid, id))
+      .select(col(qid),
+        element_at(cArr, greatest(col("__ra"), col("__rb")).cast("int")).as("__w"))
+      .groupBy(qid).agg(sum("__w").as("__s"))
+    a.select(col(qid)).union(b.select(col(qid))).distinct()
+      .join(hits, Seq(qid), "left")
+      .select(col(qid), (coalesce(col("__s"), lit(0.0)) * (1 - p)).as("rbo"))
+  }
 }

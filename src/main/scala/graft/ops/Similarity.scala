@@ -822,6 +822,51 @@ object Similarity {
           .otherwise(lit(0.0)).as("silhouette"))
   }
 
+  /** Embedding-space distribution drift between two corpora via cluster
+    * occupancy (the histogram core of MAUVE, Pillutla et al. 2021, with
+    * k-means cells standing in for the quantized embedding space —
+    * public method): train centroids on the REFERENCE corpus `a`, assign
+    * both corpora to those shared cells, normalize the per-cell counts
+    * to distributions p (reference) and q (candidate), and report each
+    * cell's Jensen–Shannon term
+    * 0.5·p·ln(p/m) + 0.5·q·ln(q/m), m = (p+q)/2, with 0·ln 0 := 0.
+    * Σ terms = JS divergence in nats ∈ [0, ln 2]: ~0 = same embedding
+    * distribution; the per-cell table localizes WHERE the corpora
+    * diverge (which topics grew/vanished) — the embedding twin of the
+    * per-feature [[graft.ops.Stats.psi]].
+    *
+    * Scale shape: after the bounded centroid train/collect, each corpus
+    * makes ONE narrow assignment pass (the [[assignCells]] literal/
+    * native argmin — no join) into a map-side-combined nCells-row count;
+    * the JS arithmetic runs on 2·nCells rows. Returns
+    * (cell_id, n_a, n_b, js_term), cells with at least one member. */
+  def embeddingDriftJs(a: DataFrame, b: DataFrame, id: String, vec: String,
+      nCells: Int, iters: Int = 1, byHash: Boolean = true,
+      maxLiteralTerms: Int = DefaultMaxLiteralTerms): DataFrame = {
+    val centroids = trainIvfCentroids(a, id, vec, nCells, iters, byHash)
+    val centroidData = centroids.collect()
+    require(centroidData.nonEmpty, "reference corpus is empty — no centroids")
+    val local = a.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centroidData: _*), centroids.schema)
+    def cellCounts(df: DataFrame, out: String) = {
+      val n = df.select(col(id), col(vec)).withColumn("vnorm", norm(col(vec)))
+      assignCells(n, id, vec, centroidData, local, maxLiteralTerms)
+        .groupBy("cell_id").agg(count(lit(1)).as(out))
+    }
+    val joined = cellCounts(a, "n_a")
+      .join(cellCounts(b, "n_b"), Seq("cell_id"), "full_outer")
+      .select(col("cell_id"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+    val p = col("n_a").cast("double") / col("__ta")
+    val q = col("n_b").cast("double") / col("__tb")
+    val m = (p + q) / 2
+    def term(x: Column) = when(x > 0, x * log(x / m)).otherwise(lit(0.0))
+    joined.crossJoin(totals)
+      .select(col("cell_id"), col("n_a"), col("n_b"),
+        ((term(p) + term(q)) / 2).as("js_term"))
+  }
+
   /** Per-group embedding centroids — the domain-prototype table behind
     * centroid-distance quality pruning (flag vectors far from their
     * group's prototype — likely noise/outliers/mislabels) and corpus

@@ -715,6 +715,36 @@ object TextOps {
           (col("seq_len") * col("n_docs"))).as("efficiency"))
   }
 
+  /** Distinct-n n-gram diversity (Li et al. 2016's "distinct-1/-2"
+    * generalized to a corpus audit): per n, total word n-grams across the
+    * corpus, distinct n-grams, and their ratio — the standard lexical-
+    * diversity dial. Natural corpora sit well below 1 at n = 1 (Zipf
+    * head) and climb with n; a LOW distinct-3 flags template/boilerplate
+    * or decoding-loop synthetic text before it reaches training.
+    *
+    * Scale shape: one scan + one n-gram-keyed shuffle per requested n
+    * (the distinct count is Spark's two-phase partial-distinct — no
+    * per-gram row collect); n-grams come from the native codegen'd
+    * shingle expression in its MULTISET form (`shinglesAllCol`,
+    * distinct = false — [[Dedup.shingles]] dedups per doc for MinHash,
+    * which would undercount totals here). For approximate counts at
+    * 100 TB compose with [[Stats.buildHllSketches]] instead. Returns
+    * one row per n: (n, total_ngrams, distinct_ngrams, distinct_ratio). */
+  def distinctNgramStats(df: org.apache.spark.sql.DataFrame, text: Column,
+      ns: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must all be >= 1")
+    ns.distinct.sorted.map { n =>
+      df.select(explode(
+          org.apache.spark.sql.graft.MinHashShim.shinglesAllCol(text, n)).as("g"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("g")).as("distinct_ngrams"))
+        .select(lit(n).cast("int").as("n"), col("total_ngrams"),
+          col("distinct_ngrams"),
+          (col("distinct_ngrams").cast("double") / col("total_ngrams"))
+            .as("distinct_ratio"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Training-sequence packing (concat-then-chunk): in global `orderCols`
     * order, documents are conceptually concatenated and cut every
     * `budgetTokens` tokens; each doc gets the sequence (`bin`) and

@@ -152,6 +152,16 @@ object DedupTextQueries {
           col("pad_tokens"), round(col("efficiency"), 6).as("efficiency"))
         .orderBy("seq_len")),
 
+    "text_distinct_ngrams" -> ((s, dir) =>
+      // Lexical diversity (distinct-1/-2/-3): distinct vs total word
+      // n-grams corpus-wide — low distinct-3 flags template/boilerplate
+      // or decoding-loop synthetic text.
+      TextOps.distinctNgramStats(table(s, dir, "documents"), col("text"),
+          Seq(1, 2, 3))
+        .select(col("n"), col("total_ngrams"), col("distinct_ngrams"),
+          round(col("distinct_ratio"), 6).as("distinct_ratio"))
+        .orderBy("n")),
+
     "text_regex_extract" -> ((s, dir) =>
       // regexp_extract_all + explode: the extract-all-matches table (RE2-
       // portable pattern, so both engines tokenize identically); top-20
@@ -1519,6 +1529,28 @@ object DedupTextQueries {
          |       round((SELECT my FROM m) - sxy / sxx * (SELECT mx FROM m), 6) AS intercept,
          |       round(sxy * sxy / (sxx * syy), 6) AS r2
          |FROM s""".stripMargin,
+
+    "text_distinct_ngrams" -> {
+      def stats(src: String) =
+        s"""SELECT CAST(count(*) AS BIGINT) AS total_ngrams,
+           |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+           |  round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS distinct_ratio
+           |FROM $src""".stripMargin
+      s"""WITH tok AS (
+         |  SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE $toks END AS toks
+         |  FROM documents),
+         |g1 AS (SELECT unnest(toks) AS g FROM tok),
+         |g2 AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |         i -> toks[i] || ' ' || toks[i + 1])) AS g FROM tok),
+         |g3 AS (SELECT unnest(list_transform(range(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g FROM tok)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS INTEGER) AS n, * FROM (${stats("g1")})
+         |  UNION ALL SELECT CAST(2 AS INTEGER), * FROM (${stats("g2")})
+         |  UNION ALL SELECT CAST(3 AS INTEGER), * FROM (${stats("g3")}))
+         |ORDER BY n""".stripMargin
+    },
 
     "pack_padding" ->
       s"""WITH t AS (

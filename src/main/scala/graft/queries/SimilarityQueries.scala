@@ -300,6 +300,45 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    "retrieval_rbo" -> ((s, dir) => {
+      // Ranking-agreement audit: RBO@10 (p = 0.9, head-weighted) between
+      // the sparse BM25 leg and the dense cosine leg of the hybrid stack
+      // — how much the two retrieval systems agree per query. Handles
+      // non-conjoint lists (docs in only one ranking) by construction.
+      import graft.ops.Retrieval
+      val docs = table(s, dir, "documents").where(col("doc_id") < 200)
+      val qs = Seq("q1" -> "spark join merge",
+        "q2" -> "window sort batch stream", "q3" -> "customer the data")
+      val sparse = Retrieval.bm25TopK(docs, "doc_id", col("text"), qs, k = 10)
+      val e = emb(s, dir).where(col("vec_id") < 200)
+      val dq = e.where(col("vec_id") < 3)
+        .select(concat(lit("q"), (col("vec_id") + 1).cast("string")).as("qid"),
+          col("v").as("qv"))
+      val dense = Similarity.bruteForceTopK(e, dq, "vec_id", "v", "qid", "qv",
+          k = 10, excludeSelf = false)
+        .withColumnRenamed("vec_id", "doc_id")
+      Retrieval.rboTopK(sparse.select("qid", "doc_id", "rank"),
+          dense.select("qid", "doc_id", "rank"), "qid", "doc_id",
+          k = 10, p = 0.9)
+        .select(col("qid"), round(col("rbo"), 6).as("rbo"))
+        .orderBy("qid")
+    }),
+
+    "embedding_drift_js" -> ((s, dir) => {
+      // Embedding-space distribution drift (MAUVE-style cluster
+      // histogram): reference corpus = vec_id < 250, candidate =
+      // vec_id >= 250, 4 seed centroids from the reference (iters = 0,
+      // byHash = false → bit-stable assignment), per-cell JS terms.
+      val e = emb(s, dir)
+      val a = e.where(col("vec_id") < 250).select(col("vec_id"), col("v"))
+      val b = e.where(col("vec_id") >= 250).select(col("vec_id"), col("v"))
+      Similarity.embeddingDriftJs(a, b, "vec_id", "v", nCells = 4,
+          iters = 0, byHash = false)
+        .select(col("cell_id"), col("n_a"), col("n_b"),
+          round(col("js_term"), 6).as("js_term"))
+        .orderBy("cell_id")
+    }),
+
     "ann_pq_adc" -> ((s, dir) => {
       // Product-quantization ADC search: 4 subspaces × 4 codes sampled
       // from the lowest vec_ids (SQL-reproducible; real deployments use
@@ -670,6 +709,107 @@ object SimilarityQueries {
          |  FROM asn)
          |SELECT cell_id, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS sum_id
          |FROM ranked WHERE rk <= 10 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "retrieval_rbo" -> {
+      // shares the exact per-depth weight table with Retrieval.rboTopK
+      // (shortest round-trip double repr → identical bits in DuckDB)
+      val w = graft.ops.Retrieval.rboWeights(10, 0.9).mkString("[", ", ", "]")
+      val oneMinusP = (1 - 0.9).toString
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         |toks AS (
+         |  SELECT c.doc_id, u.term
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |        FROM corpus) c, UNNEST(c.t) AS u(term)
+         |  WHERE len(u.term) > 0),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |q(qid, qtext) AS (VALUES ('q1', 'spark join merge'),
+         |  ('q2', 'window sort batch stream'), ('q3', 'customer the data')),
+         |qt AS (
+         |  SELECT DISTINCT qid, u.term
+         |  FROM (SELECT qid, regexp_split_to_array(lower(trim(qtext)), '\\s+') AS t
+         |        FROM q) x, UNNEST(x.t) AS u(term)
+         |  WHERE len(u.term) > 0),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT qt.qid, tf.doc_id,
+         |    sum(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+         |    JOIN dl USING (doc_id) CROSS JOIN stats s
+         |  GROUP BY 1, 2),
+         |bmk AS (
+         |  SELECT * FROM (
+         |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
+         |  WHERE rank <= 10),
+         |e AS (SELECT vec_id, $vSql AS v FROM embeddings WHERE vec_id < 200),
+         |dense AS (
+         |  SELECT 'q' || CAST(b.vec_id + 1 AS VARCHAR) AS qid,
+         |    a.vec_id AS doc_id, $cosSql AS cos
+         |  FROM e a JOIN e b ON b.vec_id < 3),
+         |dk AS (
+         |  SELECT * FROM (
+         |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, doc_id ASC) AS rank FROM dense)
+         |  WHERE rank <= 10),
+         |hits AS (
+         |  SELECT bmk.qid, list_extract(CAST($w AS DOUBLE[]),
+         |    CAST(greatest(bmk.rank, dk.rank) AS INTEGER)) AS w
+         |  FROM bmk JOIN dk ON bmk.qid = dk.qid AND bmk.doc_id = dk.doc_id),
+         |qids AS (SELECT DISTINCT qid FROM (
+         |  SELECT qid FROM bmk UNION ALL SELECT qid FROM dk)),
+         |sw AS (SELECT qid, sum(w) AS s FROM hits GROUP BY 1)
+         |SELECT qids.qid,
+         |  round(COALESCE(s, 0.0) * CAST($oneMinusP AS DOUBLE), 6) AS rbo
+         |FROM qids LEFT JOIN sw USING (qid) ORDER BY qid""".stripMargin
+    },
+
+    "embedding_drift_js" ->
+      s"""WITH ea AS (
+         |  SELECT vec_id, $vSql AS v,
+         |    sqrt(list_dot_product($vSql, $vSql)) AS vn
+         |  FROM embeddings WHERE vec_id < 250),
+         |eb AS (
+         |  SELECT vec_id, $vSql AS v,
+         |    sqrt(list_dot_product($vSql, $vSql)) AS vn
+         |  FROM embeddings WHERE vec_id >= 250),
+         |seeds AS (
+         |  SELECT vec_id AS cell_id, v AS cv, vn AS cn FROM ea
+         |  ORDER BY vec_id LIMIT 4),
+         |asn_a AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT c.vec_id, s.cell_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY -(list_dot_product(c.v, s.cv) / (c.vn * s.cn)) ASC,
+         |                 s.cell_id ASC) AS rk
+         |    FROM ea c, seeds s) t WHERE rk = 1),
+         |asn_b AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT c.vec_id, s.cell_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY -(list_dot_product(c.v, s.cv) / (c.vn * s.cn)) ASC,
+         |                 s.cell_id ASC) AS rk
+         |    FROM eb c, seeds s) t WHERE rk = 1),
+         |ca AS (SELECT cell_id, count(*) AS n_a FROM asn_a GROUP BY 1),
+         |cb AS (SELECT cell_id, count(*) AS n_b FROM asn_b GROUP BY 1),
+         |j AS (
+         |  SELECT COALESCE(ca.cell_id, cb.cell_id) AS cell_id,
+         |    CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+         |    CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+         |  FROM ca FULL OUTER JOIN cb ON ca.cell_id = cb.cell_id),
+         |t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta,
+         |             CAST(sum(n_b) AS DOUBLE) AS tb FROM j)
+         |SELECT cell_id, n_a, n_b,
+         |  round(((CASE WHEN n_a > 0 THEN (n_a / ta) *
+         |            ln((n_a / ta) / ((n_a / ta + n_b / tb) / 2)) ELSE 0.0 END)
+         |       + (CASE WHEN n_b > 0 THEN (n_b / tb) *
+         |            ln((n_b / tb) / ((n_a / ta + n_b / tb) / 2)) ELSE 0.0 END)) / 2,
+         |    6) AS js_term
+         |FROM j CROSS JOIN t ORDER BY cell_id""".stripMargin,
 
     "retrieval_hybrid" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),

@@ -152,6 +152,68 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     assert(out(1L)._1 == 10L)
   }
 
+  // ---------------------------------------------------- distinctNgramStats
+
+  test("distinctNgramStats counts totals/distincts per n; blanks contribute 0") {
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.distinctNgramStats(docs, col("text"), Seq(1, 2, 3))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1) == (5L, 2L, 0.4))           // a×3, b×2
+    assert(out(2) == (3L, 2L, 2.0 / 3))       // "a b"×2, "b a"
+    assert(out(3) == (1L, 1L, 1.0))           // "a b a"
+  }
+
+  // --------------------------------------------------------------- rboTopK
+
+  private def ranking(rows: Seq[(String, Long, Int)]) =
+    rows.toDF("qid", "doc_id", "rank")
+
+  test("rboTopK: identical lists → 1 − p^k, disjoint → 0, known mixed case") {
+    val a = ranking((1 to 10).map(d => ("q", d.toLong, d)))
+    val same = graft.ops.Retrieval.rboTopK(a, a, "qid", "doc_id", k = 10, p = 0.9)
+      .head().getDouble(1)
+    assert(approx(same, 1.0 - math.pow(0.9, 10), 1e-12))
+    val b = ranking((1 to 10).map(d => ("q", d.toLong + 100, d)))
+    val disj = graft.ops.Retrieval.rboTopK(a, b, "qid", "doc_id", k = 10, p = 0.9)
+      .head().getDouble(1)
+    assert(disj == 0.0)
+    // A=[1,2,3], B=[1,3,2], k=3, p=0.5 → RBO = (1−p)(1·1 + 0.5·0.5 + 0.25·1)
+    val a3 = ranking(Seq(("q", 1L, 1), ("q", 2L, 2), ("q", 3L, 3)))
+    val b3 = ranking(Seq(("q", 1L, 1), ("q", 3L, 2), ("q", 2L, 3)))
+    val mixed = graft.ops.Retrieval.rboTopK(a3, b3, "qid", "doc_id", k = 3, p = 0.5)
+      .head().getDouble(1)
+    assert(approx(mixed, 0.75, 1e-12))
+  }
+
+  // ------------------------------------------------------ embeddingDriftJs
+
+  test("embeddingDriftJs: zero on identical corpora, per-cell JS terms on drift") {
+    val a = Seq((1L, ang(0)), (2L, ang(90)), (3L, ang(1))).toDF("vec_id", "v")
+    val zero = Similarity.embeddingDriftJs(a, a, "vec_id", "v", nCells = 2,
+        iters = 0, byHash = false)
+      .collect()
+    assert(zero.forall(r => math.abs(r.getAs[Double]("js_term")) < 1e-15))
+    // b sits entirely in cell 2: p = (2/3, 1/3), q = (0, 1)
+    val b = Seq((7L, ang(89)), (8L, ang(91))).toDF("vec_id", "v")
+    val out = Similarity.embeddingDriftJs(a, b, "vec_id", "v", nCells = 2,
+        iters = 0, byHash = false)
+      .collect().map(r => r.getAs[Long]("cell_id") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Double]("js_term"))).toMap
+    assert(out(1L)._1 == 2L && out(1L)._2 == 0L)
+    assert(out(2L)._1 == 1L && out(2L)._2 == 2L)
+    def jsTerm(p: Double, q: Double): Double = {
+      val m = (p + q) / 2
+      val tp = if (p > 0) p * math.log(p / m) else 0.0
+      val tq = if (q > 0) q * math.log(q / m) else 0.0
+      (tp + tq) / 2
+    }
+    assert(approx(out(1L)._3, jsTerm(2.0 / 3, 0.0), 1e-12))
+    assert(approx(out(2L)._3, jsTerm(1.0 / 3, 1.0), 1e-12))
+    // total JS is bounded by ln 2
+    assert(out.values.map(_._3).sum <= math.log(2.0) + 1e-12)
+  }
+
   test("bitextMarginMine threshold gates low-margin sources") {
     val left = Seq((1L, ang(40))).toDF("src_id", "v")
     val right = Seq((10L, ang(38)), (11L, ang(41))).toDF("vec_id", "v")
