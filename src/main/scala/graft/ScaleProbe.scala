@@ -573,6 +573,36 @@ object ScaleProbe {
         time(s"corpusDiff n=$n (10% changed, 5% add/remove)")(
           Dedup.corpusDiff(prev, next, "id", "text")
             .groupBy("status").count().collect().foreach(r => println("  " + r)))
+      case "bitext" =>
+        // two independent hash-soup corpora of n vectors each (dim
+        // argv[2], default 16); nCells = n/1000 (so the per-cell scan is
+        // ~1000 rows), nProbe = 5 — the production recall regime (the
+        // exact nProbe = nCells regime is the oracle's job). Candidate
+        // volume = 2 legs × n × nProbe × ~1000, streamed through the
+        // WindowGroupLimit partial top-k — never materialized.
+        val dim = args.lift(2).map(_.toInt).getOrElse(16)
+        val dims = sequence(lit(0), lit(dim - 1))
+        def evecs(seed: Int) = spark.range(n).select(col("id"),
+          transform(dims, i =>
+            pmod(xxhash64(col("id"), i, lit(seed)), lit(1000)).cast("double") / 1000.0 + 0.001)
+            .as("v"))
+        val l = evecs(1).withColumnRenamed("id", "src_id")
+        val r = evecs(2)
+        l.count(); r.count()
+        val nCells = math.max(4, (n / 1000).toInt)
+        time(s"bitextMarginMine n=${n}x$n dim=$dim nCells=$nCells k=4 nProbe=5")(
+          graft.ops.Similarity.bitextMarginMine(l, "src_id", "v", r, "id", "v",
+              k = 4, threshold = 0.0, nCells = nCells, nProbe = 5, iters = 1)
+            .agg(count(lit(1)), sum("margin")).collect()
+            .foreach(row => println("  " + row)))
+      case "distinctn" =>
+        // lexical-diversity stats over n hash-soup docs: one scan + one
+        // gram-keyed two-phase distinct per requested n
+        val d = docs(n)
+        d.count()
+        time(s"distinctNgramStats n=$n ns=1,2,3")(
+          TextOps.distinctNgramStats(d, col("text"), Seq(1, 2, 3))
+            .collect().foreach(row => println("  " + row)))
       case other => sys.error(s"unknown probe op: $other")
     }
     spark.stop()

@@ -621,19 +621,15 @@ object Similarity {
     val rightN = right.select(col(rid), col(rvec)).withColumn("vnorm", norm(col(rvec)))
     val rightAssigned = assignCells(rightN, rid, rvec, centroidData, local, maxLiteralTerms)
       .select(col("cell_id"), col(rid), col(rvec).as("__rv"), col("vnorm").as("__rn"))
-    val vecs = array(centroidData.toIndexedSeq.map(r => typedLit(r.getSeq[Double](1))): _*)
-    val norms = array(centroidData.toIndexedSeq.map(r => lit(r.getDouble(2))): _*)
-    val ids = array(centroidData.toIndexedSeq.map(r => lit(r.get(0))): _*)
+    // per-left-row probe cells via the native nearestCells expression
+    // (same (d asc, cell_id asc) order the literal array_sort form had) —
+    // the interpreted 2·nCells typedLit struct sort this replaces was the
+    // per-row bottleneck past a few hundred cells
     val nC = centroidData.length
-    val cand = transform(sequence(lit(0), lit(nC - 1)), i =>
-      struct((-dot(col(lvec), element_at(vecs, i + 1)) /
-          (col("__ln") * element_at(norms, i + 1))).as("d"),
-        element_at(ids, i + 1).as("cell_id")))
-    val probed = left.select(col(lid), col(lvec))
-      .withColumn("__ln", norm(col(lvec)))
-      .withColumn("__probe", explode(slice(array_sort(cand), 1, math.min(nProbe, nC))))
-      .select(col(lid), col(lvec), col("__ln"),
-        col("__probe").getField("cell_id").as("cell_id"))
+    val probed = probeCellsNarrow(
+        left.select(col(lid), col(lvec)).withColumn("qnorm", norm(col(lvec))),
+        lvec, centroidData, math.min(nProbe, nC))
+      .select(col(lid), col(lvec), col("qnorm").as("__ln"), col("cell_id"))
     val w = Window.partitionBy(lid).orderBy(col("cos").desc, col(rid).asc)
     probed.join(rightAssigned, Seq("cell_id"))
       .withColumn("cos", dot(col(lvec), col("__rv")) / (col("__ln") * col("__rn")))
