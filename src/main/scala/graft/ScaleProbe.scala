@@ -574,22 +574,32 @@ object ScaleProbe {
           Dedup.corpusDiff(prev, next, "id", "text")
             .groupBy("status").count().collect().foreach(r => println("  " + r)))
       case "bitext" =>
-        // two independent hash-soup corpora of n vectors each (dim
-        // argv[2], default 16); nCells = n/1000 (so the per-cell scan is
-        // ~1000 rows), nProbe = 5 — the production recall regime (the
-        // exact nProbe = nCells regime is the oracle's job). Candidate
-        // volume = 2 legs × n × nProbe × ~1000, streamed through the
-        // WindowGroupLimit partial top-k — never materialized.
+        // two corpora of n vectors each with 512 PLANTED shared topic
+        // clusters (cluster centroid from the hash, ±10% per-row jitter)
+        // — uniform hash-soup is the wrong fixture here: all-positive
+        // uniform vectors sit at cosine ≈ 0.75 from EVERYTHING, k-means
+        // collapses to one mega-cell, and the cell-keyed join degenerates
+        // to near-all-pairs (measured: the 300k probe died in one
+        // mega-cell shuffle). Real embeddings cluster; so does this.
+        // dim argv[2] (default 16); nCells = n/100 (~100-row cells),
+        // nProbe = 5 — the production recall regime (exact nProbe =
+        // nCells is the oracle's job). Candidate volume = 2 legs × n ×
+        // nProbe × ~100 scalar-only rows through the WindowGroupLimit
+        // partial top-k (knnJoin drops the vectors before the sort).
         val dim = args.lift(2).map(_.toInt).getOrElse(16)
         val dims = sequence(lit(0), lit(dim - 1))
         def evecs(seed: Int) = spark.range(n).select(col("id"),
-          transform(dims, i =>
-            pmod(xxhash64(col("id"), i, lit(seed)), lit(1000)).cast("double") / 1000.0 + 0.001)
-            .as("v"))
+          transform(dims, i => {
+            val cluster = pmod(xxhash64(pmod(col("id"), lit(512)), i), lit(1000))
+              .cast("double") / 1000.0
+            val jitter = pmod(xxhash64(col("id"), i, lit(seed)), lit(200))
+              .cast("double") / 1000.0
+            cluster + jitter + 0.001
+          }).as("v"))
         val l = evecs(1).withColumnRenamed("id", "src_id")
         val r = evecs(2)
         l.count(); r.count()
-        val nCells = math.max(4, (n / 1000).toInt)
+        val nCells = math.max(4, (n / 100).toInt)
         time(s"bitextMarginMine n=${n}x$n dim=$dim nCells=$nCells k=4 nProbe=5")(
           graft.ops.Similarity.bitextMarginMine(l, "src_id", "v", r, "id", "v",
               k = 4, threshold = 0.0, nCells = nCells, nProbe = 5, iters = 1)

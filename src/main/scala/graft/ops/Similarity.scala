@@ -633,6 +633,11 @@ object Similarity {
     val w = Window.partitionBy(lid).orderBy(col("cos").desc, col(rid).asc)
     probed.join(rightAssigned, Seq("cell_id"))
       .withColumn("cos", dot(col(lvec), col("__rv")) / (col("__ln") * col("__rn")))
+      // explicit projection BEFORE the top-k window: the candidate volume
+      // is |left|·nProbe·(N/nCells) rows, and the WindowGroupLimit sort
+      // must never carry the two dim-wide vectors through its spill —
+      // 3 scalar columns per candidate, not optimizer-dependent pruning
+      .select(col(lid), col(rid), col("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(lid), col(rid), col("cos"), col("rank"))

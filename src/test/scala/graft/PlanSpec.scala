@@ -258,6 +258,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bitext_margin: k-NN legs and the margin rank all group-limit; candidate sorts carry no vectors") {
+    val p = plan("bitext_margin")
+    assert(!p.contains("CartesianProduct"), p)
+    // 2 knnJoin legs + the rank-1-by-margin window, each with a
+    // partial+final WindowGroupLimit pair (rank<=k pushed below the sort)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 6, p)
+    // the explicit pre-window projection keeps the dim-wide vectors out
+    // of every top-k sort (the 300k-probe disk-blowup fix, SCALE.md) —
+    // no Sort step may list a vector column
+    val sortLines = p.linesIterator.filter(_.contains("+- Sort ")).toSeq
+    assert(sortLines.nonEmpty &&
+      sortLines.forall(l => !l.contains("__rv") && !l.contains("v#")), p)
+    // the candidate ⋈ per-side-average joins are corpus-sized on BOTH
+    // sides (one avg row per left/right row) — sort-merge is the CORRECT
+    // plan there, so no no-SMJ pin; the scale property is the group
+    // limits plus vector-free sorts above
+  }
+
+  test("embedding_drift_js: corpora reduce via narrow assignment scans; only cell-sized joins") {
+    val p = plan("embedding_drift_js")
+    assert(!p.contains("CartesianProduct"), p)
+    // each corpus folds straight into a cell-keyed count — no join or
+    // explode touches corpus rows before the aggregation
+    assert("HashAggregate\\(keys=\\[cell_id".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("posexplode"), p)
+    // the 1-row totals crossJoin broadcasts (everything after the counts
+    // is nCells-sized; the full-outer cell join cannot broadcast by
+    // definition and is bounded by nCells anyway)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("retrieval_rbo: prefix join is hash-keyed; no cartesian beyond the rankings") {
+    val p = plan("retrieval_rbo")
+    assert(!p.contains("CartesianProduct"), p)
+    // the (qid, doc) prefix intersection and the qid-universe left join
+    // both stay on already-top-k-sized inputs — group limits bound them
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("corpus_report: ONE cached projection feeds all three aggregation branches") {
     val p = plan("corpus_report")
     // all three union branches read the InMemoryRelation, not the parquet
