@@ -715,6 +715,98 @@ object TextOps {
           (col("seq_len") * col("n_docs"))).as("efficiency"))
   }
 
+  /** Heaps'-law fit (Heaps 1978; the companion dial to [[zipfFit]]):
+    * vocabulary growth V(N) ≈ K·N^β, measured at `nCheckpoints`
+    * equal-width id thresholds and fitted by centered least squares of
+    * ln V on ln N. Natural corpora sit at β ≈ 0.4–0.6; β near 0 means
+    * the vocabulary has saturated (templates, bounded generators), β
+    * near 1 means near-unbounded novelty (noise, hash dumps, OCR junk).
+    * Returns (n_checkpoints, beta, ln_k, r2).
+    *
+    * Scale shape: TWO corpus-sized aggregations, both map-side combined —
+    * (1) per-token first-appearance doc id (min over the exploded token
+    * stream), then V per checkpoint = nCheckpoints conditional counts in
+    * ONE pass over the vocabulary-sized table; (2) N per checkpoint =
+    * nCheckpoints conditional sums over per-doc token counts (narrow).
+    * No prefix-distinct pass per checkpoint — the first-appearance trick
+    * turns cumulative-distinct into a plain aggregate. The tiny min/max
+    * id probe is one 2-scalar collect. */
+  def heapsFit(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      nCheckpoints: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(nCheckpoints >= 3, "nCheckpoints must be >= 3")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bounds = df.agg(min(id).cast("long"), max(id).cast("long")).head()
+    require(!bounds.isNullAt(0), "corpus is empty")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // integer thresholds: lo + ceil(span·c/nCheckpoints) via exact
+    // integer arithmetic (no float boundary flips), last == hi
+    val thresholds = (1 to nCheckpoints)
+      .map(c => lo + ((hi - lo) * c.toLong + nCheckpoints - 1) / nCheckpoints)
+    val toks = df.select(id.cast("long").as("__id"),
+        explode(split(trim(text), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+    val firstSeen = toks.groupBy("token").agg(min("__id").as("first_id"))
+    val vCols = thresholds.map(t =>
+      count(when(col("first_id") <= t, 1)).as(s"v$t"))
+    val vRow = firstSeen.agg(vCols.head, vCols.tail: _*).head()
+    val counted = df.select(id.cast("long").as("__id"),
+      tokenCount(text).cast("long").as("__n"))
+    val nCols = thresholds.map(t =>
+      sum(when(col("__id") <= t, col("__n"))).as(s"n$t"))
+    val nRow = counted.agg(nCols.head, nCols.tail: _*).head()
+    val pts = thresholds.indices.map(i =>
+      (math.log(nRow.getLong(i).toDouble), math.log(vRow.getLong(i).toDouble)))
+    val mx = pts.map(_._1).sum / pts.size
+    val my = pts.map(_._2).sum / pts.size
+    val sxy = pts.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sxx = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+    val syy = pts.map { case (_, y) => (y - my) * (y - my) }.sum
+    val beta = sxy / sxx
+    Seq((nCheckpoints.toLong, beta, my - beta * mx, sxy * sxy / (sxx * syy)))
+      .toDF("n_checkpoints", "beta", "ln_k", "r2")
+  }
+
+  /** PMI collocation mining (Church & Hanks 1990, "Word Association
+    * Norms, Mutual Information, and Lexicography"): top-K adjacent word
+    * pairs by pointwise mutual information
+    * ln((c_ab/T) / ((c_a/U)·(c_b/U))), gated at `minCount` co-occurrences
+    * (raw PMI over-rewards hapax pairs — the count gate is the standard
+    * remedy). The multiword-expression / tokenizer-vocabulary dial:
+    * high-PMI pairs are the phrases worth single tokens.
+    *
+    * Scale shape: one bigram-keyed count + one unigram-keyed count (both
+    * map-side combined), two token-keyed joins of the (already
+    * minCount-filtered) bigram table against the vocabulary-sized
+    * unigram table, TakeOrdered top-K. Returns
+    * (token_a, token_b, n_pair, pmi). */
+  def pmiPairs(df: org.apache.spark.sql.DataFrame, text: Column,
+      minCount: Long, topK: Int): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1 && topK >= 1, "minCount and topK must be >= 1")
+    val uni = df.select(explode(
+        org.apache.spark.sql.graft.MinHashShim.shinglesAllCol(text, 1)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .persist()
+    val biAll = df.select(explode(
+        org.apache.spark.sql.graft.MinHashShim.shinglesAllCol(text, 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n_pair"))
+      .persist()
+    // totals over the UNFILTERED tables (p(ab) and p(a) are corpus
+    // probabilities, not filtered-table ones) — two driver scalars
+    val t = biAll.agg(sum("n_pair")).head().getLong(0).toDouble
+    val u = uni.agg(sum("c")).head().getLong(0).toDouble
+    val bi = biAll.where(col("n_pair") >= minCount)
+    bi.withColumn("token_a", split(col("g"), " ").getItem(0))
+      .withColumn("token_b", split(col("g"), " ").getItem(1))
+      .join(uni.select(col("t").as("token_a"), col("c").as("__ca")), Seq("token_a"))
+      .join(uni.select(col("t").as("token_b"), col("c").as("__cb")), Seq("token_b"))
+      .select(col("token_a"), col("token_b"), col("n_pair"),
+        log((col("n_pair") / lit(t)) /
+          ((col("__ca") / lit(u)) * (col("__cb") / lit(u)))).as("pmi"))
+      .orderBy(col("pmi").desc, col("token_a").asc, col("token_b").asc)
+      .limit(topK)
+  }
+
   /** Distinct-n n-gram diversity (Li et al. 2016's "distinct-1/-2"
     * generalized to a corpus audit): per n, total word n-grams across the
     * corpus, distinct n-grams, and their ratio — the standard lexical-

@@ -152,6 +152,25 @@ object DedupTextQueries {
           col("pad_tokens"), round(col("efficiency"), 6).as("efficiency"))
         .orderBy("seq_len")),
 
+    "text_heaps_fit" -> ((s, dir) =>
+      // Heaps'-law vocabulary growth V(N) ~ K·N^beta over 10 id-threshold
+      // checkpoints — cumulative distinct via the per-token
+      // first-appearance trick (two aggregations, no per-checkpoint pass).
+      TextOps.heapsFit(table(s, dir, "documents"), col("doc_id"),
+          col("text"), nCheckpoints = 10)
+        .select(col("n_checkpoints"), round(col("beta"), 6).as("beta"),
+          round(col("ln_k"), 6).as("ln_k"), round(col("r2"), 6).as("r2"))),
+
+    "text_pmi_pairs" -> ((s, dir) =>
+      // Collocation mining: top-20 adjacent pairs by PMI at >= 30
+      // co-occurrences (the count gate keeps hapax pairs out) — the
+      // multiword-expression / tokenizer-vocab dial.
+      TextOps.pmiPairs(table(s, dir, "documents"), col("text"),
+          minCount = 30L, topK = 20)
+        .select(col("token_a"), col("token_b"), col("n_pair"),
+          round(col("pmi"), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("token_a").asc, col("token_b").asc)),
+
     "text_distinct_ngrams" -> ((s, dir) =>
       // Lexical diversity (distinct-1/-2/-3): distinct vs total word
       // n-grams corpus-wide — low distinct-3 flags template/boilerplate
@@ -1529,6 +1548,57 @@ object DedupTextQueries {
          |       round((SELECT my FROM m) - sxy / sxx * (SELECT mx FROM m), 6) AS intercept,
          |       round(sxy * sxy / (sxx * syy), 6) AS r2
          |FROM s""".stripMargin,
+
+    "text_heaps_fit" ->
+      s"""WITH b AS (SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+         |                  CAST(max(doc_id) AS BIGINT) AS hi FROM documents),
+         |ck AS (SELECT lo + ((hi - lo) * c + 9) // 10 AS thr
+         |       FROM b, (SELECT unnest(range(1, 11)) AS c)),
+         |tok AS (SELECT doc_id, unnest(list_filter($toks, x -> x <> '')) AS token
+         |        FROM documents),
+         |fs AS (SELECT token, min(doc_id) AS first_id FROM tok GROUP BY 1),
+         |dc AS (SELECT doc_id, CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len($toks) END AS BIGINT) AS n FROM documents),
+         |pts AS (
+         |  SELECT ln(CAST((SELECT sum(n) FROM dc WHERE doc_id <= ck.thr) AS DOUBLE)) AS x,
+         |         ln(CAST((SELECT count(*) FROM fs WHERE first_id <= ck.thr) AS DOUBLE)) AS y
+         |  FROM ck),
+         |m AS (SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my FROM pts),
+         |s AS (SELECT sum((x - mx) * (y - my)) AS sxy,
+         |             sum((x - mx) * (x - mx)) AS sxx,
+         |             sum((y - my) * (y - my)) AS syy
+         |      FROM pts CROSS JOIN m)
+         |SELECT (SELECT CAST(n AS BIGINT) FROM m) AS n_checkpoints,
+         |       round(sxy / sxx, 6) AS beta,
+         |       round((SELECT my FROM m) - sxy / sxx * (SELECT mx FROM m), 6) AS ln_k,
+         |       round(sxy * sxy / (sxx * syy), 6) AS r2
+         |FROM s""".stripMargin,
+
+    "text_pmi_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE $toks END AS toks
+         |  FROM documents),
+         |uni AS (SELECT t, count(*) AS c FROM (SELECT unnest(toks) AS t FROM tok)
+         |        GROUP BY 1),
+         |bi AS (SELECT g, count(*) AS n_pair FROM (
+         |         SELECT unnest(list_transform(range(1, len(toks)),
+         |           i -> toks[i] || ' ' || toks[i + 1])) AS g FROM tok)
+         |       GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(n_pair) AS DOUBLE) FROM bi) AS t,
+         |               (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS u),
+         |j AS (
+         |  SELECT string_split(g, ' ')[1] AS token_a,
+         |         string_split(g, ' ')[2] AS token_b, n_pair
+         |  FROM bi WHERE n_pair >= 30),
+         |scored AS (
+         |  SELECT token_a, token_b, n_pair,
+         |    ln((n_pair / tot.t) / ((ca.c / tot.u) * (cb.c / tot.u))) AS pmi_raw
+         |  FROM j JOIN uni ca ON ca.t = j.token_a
+         |         JOIN uni cb ON cb.t = j.token_b CROSS JOIN tot)
+         |SELECT token_a, token_b, n_pair, round(pmi_raw, 6) AS pmi
+         |FROM scored
+         |ORDER BY pmi_raw DESC, token_a ASC, token_b ASC LIMIT 20""".stripMargin,
 
     "text_distinct_ngrams" -> {
       def stats(src: String) =

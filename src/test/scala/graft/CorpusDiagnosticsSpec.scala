@@ -164,6 +164,45 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     assert(out(3) == (1L, 1L, 1.0))           // "a b a"
   }
 
+  // -------------------------------------------------------------- heapsFit
+
+  test("heapsFit recovers beta on an exact power-law vocabulary growth") {
+    // doc i introduces exactly one NEW token and repeats old ones so that
+    // after d docs: V = d, N = d² → V = N^0.5 exactly (beta = 0.5,
+    // ln K = 0, r² = 1). Doc d has 2d−1 tokens: token "t<d>" once plus
+    // earlier tokens padded; simplest exact form: doc d = t1..t(d) with
+    // t(d) repeated d times? Use N(d) = d²: doc d carries 2d−1 tokens —
+    // one new token and 2d−2 copies of t1.
+    val docs = (1 to 20).map { d =>
+      val body = (s"t$d" +: Seq.fill(2 * d - 2)("t1")).mkString(" ")
+      (d.toLong, body)
+    }.toDF("doc_id", "text")
+    val row = TextOps.heapsFit(docs, col("doc_id"), col("text"),
+      nCheckpoints = 10).head()
+    assert(row.getAs[Long]("n_checkpoints") == 10L)
+    assert(approx(row.getAs[Double]("beta"), 0.5, 1e-9))
+    assert(approx(row.getAs[Double]("ln_k"), 0.0, 1e-9))
+    assert(approx(row.getAs[Double]("r2"), 1.0, 1e-9))
+  }
+
+  // -------------------------------------------------------------- pmiPairs
+
+  test("pmiPairs scores collocations; count gate filters hapax pairs") {
+    // "strong tea" always collocates; "weak tea" appears once (gated out)
+    val docs = (Seq.fill(5)("strong tea is strong tea") :+ "weak tea")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = TextOps.pmiPairs(docs, col("text"), minCount = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(!out.contains(("weak", "tea"))) // n_pair = 1 < minCount
+    // hand-check "strong tea": c_ab = 10, T = 21 bigrams,
+    // c_strong = 10, c_tea = 11, U = 27 tokens
+    val (n, pmi) = out(("strong", "tea"))
+    assert(n == 10L)
+    assert(approx(pmi, math.log((10.0 / 21) / ((10.0 / 27) * (11.0 / 27))), 1e-12))
+  }
+
   // --------------------------------------------------------------- rboTopK
 
   private def ranking(rows: Seq[(String, Long, Int)]) =
