@@ -533,4 +533,58 @@ object StreamingOps {
       .withColumn("__n", total)
       .select(col("window"), col("__n").as("n"), psiExpr.as("psi"))
   }
+
+  /** Streaming embedding-distribution drift —
+    * [[graft.ops.Similarity.embeddingDriftJs]]'s production deployment
+    * shape (the embedding twin of [[psiStream]]): train cells and the
+    * reference occupancy ONCE on a batch reference corpus (bounded model,
+    * collected to literals), then emit one Jensen–Shannon divergence per
+    * event-time window of the vector stream. The stream side is a single
+    * watermarked window aggregation: per row one native nearest-centroid
+    * argmin (same distance/tie contract as the batch assignment — the
+    * two regimes are spec-pinned identical), then nCells conditional
+    * counters and a literal fold for the JS formula — no join, no second
+    * stateful stage, state bounded by the watermark horizon. Batch
+    * parity: a window's js equals Σ js_term of
+    * `embeddingDriftJs(reference, window-slice)` with the same cell
+    * parameters (spec-pinned). Returns (window, n, js) per window;
+    * js ∈ [0, ln 2], alarm thresholds are corpus-specific. */
+  def embeddingDriftStream(stream: DataFrame, tsCol: String, vec: Column,
+      reference: DataFrame, refId: String, refVec: String, nCells: Int,
+      iters: Int = 1, byHash: Boolean = true,
+      windowDur: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.ops.Similarity
+    val centroidData = Similarity.trainIvfCentroids(reference, refId, refVec,
+      nCells, iters, byHash).collect()
+    require(centroidData.nonEmpty, "reference corpus is empty — no centroids")
+    val sorted = centroidData.sortWith((a, b) => Similarity.cellIdLess(a.get(0), b.get(0)))
+    val cvecs = sorted.map(_.getSeq[Double](1).toArray)
+    val cnorms = sorted.map(_.getDouble(2))
+    val nC = sorted.length
+    def idxOf(v: Column): Column = graft.functions.VectorFunctions
+      .nearestCentroid(v, graft.functions.VectorFunctions.l2norm(v), cvecs, cnorms)
+    val refCounts = reference.select(idxOf(col(refVec)).as("i"))
+      .groupBy("i").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nRef = refCounts.values.sum.toDouble
+    def p(i: Int): Double = refCounts.getOrElse(i, 0L) / nRef
+    val idx = idxOf(vec)
+    val cnts = (0 until nC).map(i =>
+      sum(when(idx === i, 1L).otherwise(0L)).as(s"__c$i"))
+    val total = (0 until nC).map(i => col(s"__c$i")).reduce(_ + _)
+    val jsExpr: Column = (0 until nC).map { i =>
+      val q = col(s"__c$i") / col("__n")
+      val m = (lit(p(i)) + q) / 2
+      val tp = if (p(i) > 0) lit(p(i)) * log(lit(p(i)) / m) else lit(0.0)
+      val tq = when(q > 0, q * log(q / m)).otherwise(lit(0.0))
+      (tp + tq) / 2
+    }.reduce(_ + _)
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(cnts.head, cnts.tail: _*)
+      .withColumn("__n", total)
+      .select(col("window"), col("__n").as("n"), jsExpr.as("js"))
+  }
 }

@@ -47,6 +47,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embeddingDriftStream: per-window JS vs a batch-fitted reference == batch embeddingDriftJs") {
+    import graft.ops.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    def tmin(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    def ang(deg: Double): Seq[Double] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r), math.sin(r))
+    }
+    // reference: two clear topic clusters (seeds = ids 1, 2)
+    val ref = Seq((1L, ang(0)), (2L, ang(90)), (3L, ang(2)), (4L, ang(88)),
+      (5L, ang(1)), (6L, ang(89))).toDF("vec_id", "v")
+    val input = MemoryStream[(Timestamp, Seq[Double])]
+    val out = StreamingOps.embeddingDriftStream(input.toDF().toDF("ts", "v"),
+      "ts", col("v"), ref, "vec_id", "v", nCells = 2, iters = 0,
+      byHash = false, windowDur = "10 minutes", watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("drift_stream")
+      .outputMode("append").start()
+    try {
+      // window 1 matches the reference mix; window 2 collapses to topic 2
+      val w1 = Seq(ang(1), ang(89), ang(3), ang(87))
+      val w2 = Seq(ang(88), ang(89), ang(90), ang(91))
+      input.addData(w1.map(v => (tmin(1), v)): _*)
+      input.addData(w2.map(v => (tmin(11), v)): _*)
+      input.addData((tmin(40), ang(45))) // advance watermark: close both
+      q.processAllAvailable()
+      val got = spark.table("drift_stream")
+        .select(col("window.start").cast("long").as("s"), col("n"), col("js"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val (n1, js1) = got(1699999800L)
+      val (n2, js2) = got(1700000400L)
+      assert(n1 == 4 && n2 == 4)
+      def batchJs(slice: Seq[Seq[Double]]): Double =
+        Similarity.embeddingDriftJs(ref,
+            slice.zipWithIndex.map { case (v, i) => (100L + i, v) }.toDF("vec_id", "v"),
+            "vec_id", "v", nCells = 2, iters = 0, byHash = false)
+          .agg(sum("js_term")).head().getDouble(0)
+      assert(approx(js1, batchJs(w1), 1e-12), s"$js1")
+      assert(approx(js2, batchJs(w2), 1e-12), s"$js2")
+      assert(js1 < 0.01 && js2 > 0.2, s"stable $js1, shifted $js2")
+    } finally q.stop()
+  }
+
   test("slidingFeatureWindows aggregates per entity over event-time windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Double)]
