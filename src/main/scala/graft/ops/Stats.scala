@@ -425,6 +425,44 @@ object Stats {
         (col("__cut").isNotNull && col("rank") <= col("__cut")).as("reject"))
   }
 
+  /** Retention-vs-threshold sweep for score-based corpus filtering (the
+    * DataComp/fastText-filter tuning table): for each candidate
+    * threshold, how many documents and how much token mass survive
+    * `score >= t`. The curve is what picks the operating point — "drop
+    * the bottom 30% by quality" is a threshold read off this table, and
+    * the doc-vs-token divergence exposes whether the filter
+    * preferentially kills long or short documents.
+    *
+    * ONE map-side-combined pass: 2·|thresholds| + 2 conditional
+    * aggregates over a 2-column projection; the per-threshold fractions
+    * are driver arithmetic on the collected scalars. Thresholds compare
+    * against the raw score column — pass a consistently-rounded score
+    * (e.g. [[graft.ops.TextOps.qualityScore]], 6 dp) when cross-engine
+    * boundary determinism matters. Returns one row per threshold:
+    * (threshold, n_kept, frac_docs, tokens_kept, frac_tokens). */
+  def retentionCurve(df: DataFrame, score: Column, weight: Column,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ts = thresholds.distinct.sorted
+    val base = df.select(score.cast("double").as("__s"),
+      weight.cast("long").as("__w"))
+    val aggs = Seq(count(lit(1)).as("n_total"), sum(col("__w")).as("w_total")) ++
+      ts.zipWithIndex.flatMap { case (t, i) =>
+        Seq(count(when(col("__s") >= t, 1)).as(s"n$i"),
+          sum(when(col("__s") >= t, col("__w"))).as(s"w$i"))
+      }
+    val row = base.agg(aggs.head, aggs.tail: _*).head()
+    require(row.getLong(0) > 0, "corpus is empty")
+    val (nTot, wTot) = (row.getLong(0), row.getLong(1))
+    ts.zipWithIndex.map { case (t, i) =>
+      val n = row.getLong(2 + 2 * i)
+      val w = if (row.isNullAt(3 + 2 * i)) 0L else row.getLong(3 + 2 * i)
+      (t, n, n.toDouble / nTot, w, w.toDouble / wTot)
+    }.toDF("threshold", "n_kept", "frac_docs", "tokens_kept", "frac_tokens")
+  }
+
   /** Forward-fill resampling: evaluate each key's last-known payload on a
     * regular time grid (`gridStart to gridEnd by step`, same unit as
     * `t`) — the series-alignment op that turns irregular event streams

@@ -382,6 +382,18 @@ object DedupTextQueries {
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    "quality_retention_curve" -> ((s, dir) =>
+      // Filter-tuning table: docs/tokens surviving quality >= t for a
+      // 0.0..0.9 threshold grid (the 6-dp-rounded score keeps boundary
+      // comparisons engine-portable).
+      Stats.retentionCurve(table(s, dir, "documents"),
+          TextOps.qualityScore(col("text")), TextOps.tokenCount(col("text")),
+          (0 to 9).map(_ / 10.0))
+        .select(col("threshold"), col("n_kept"),
+          round(col("frac_docs"), 6).as("frac_docs"), col("tokens_kept"),
+          round(col("frac_tokens"), 6).as("frac_tokens"))
+        .orderBy("threshold")),
+
     "text_gopher_rules" -> ((s, dir) => {
       // Gopher rule-suite audit (Rae et al. 2021 App. A): per-rule flags
       // + metrics for doc_id < 200, with a relaxed word-count floor (the
@@ -1002,6 +1014,21 @@ object DedupTextQueries {
     TextOps.LangMarkers(lang).map(m => s"'$m'").mkString("[", ",", "]")
   private def swRatio(lang: String): String =
     s"CASE WHEN len($toksLower) > 0 THEN len(list_filter($toksLower, t -> list_contains(${markerList(lang)}, t))) * 1.0 / len($toksLower) ELSE 0.0 END"
+
+  /** SQL twin of [[TextOps.qualityScore]] (6-dp rounded, like the Scala
+    * op — the rounding is what makes threshold comparisons on the score
+    * engine-portable). Shared by `text_quality` and
+    * `quality_retention_curve`. */
+  private val qualitySql: String =
+    s"""round(
+       |  least(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($toks) END / 20.0, 1.0) * 0.4 +
+       |  greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+       |    THEN (length(text) - length(regexp_replace(text, '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\]^_`{|}~]', '', 'g'))) * 1.0 / length(text)
+       |    ELSE 0.0 END) * 4) * 0.2 +
+       |  greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+       |    THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text)
+       |    ELSE 0.0 END) * 4) * 0.2 +
+       |  least(${swRatio("en")} * 5, 1.0) * 0.2, 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_paragraph" ->
@@ -2015,16 +2042,29 @@ object DedupTextQueries {
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_quality" ->
-      s"""SELECT doc_id, round(
-         |  least(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($toks) END / 20.0, 1.0) * 0.4 +
-         |  greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
-         |    THEN (length(text) - length(regexp_replace(text, '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\]^_`{|}~]', '', 'g'))) * 1.0 / length(text)
-         |    ELSE 0.0 END) * 4) * 0.2 +
-         |  greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
-         |    THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text)
-         |    ELSE 0.0 END) * 4) * 0.2 +
-         |  least(${swRatio("en")} * 5, 1.0) * 0.2, 6) AS quality
+      s"""SELECT doc_id, $qualitySql AS quality
          |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    "quality_retention_curve" -> {
+      val grid = (0 to 9).map(i => s"0.$i").mkString("[", ", ", "]")
+      s"""WITH s AS (
+         |  SELECT $qualitySql AS s,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE len($toks) END AS BIGINT) AS w
+         |  FROM documents),
+         |t AS (SELECT count(*) AS nt, CAST(sum(w) AS BIGINT) AS wt FROM s),
+         |g AS (SELECT CAST(unnest($grid) AS DOUBLE) AS threshold),
+         |sel AS (
+         |  SELECT g.threshold,
+         |    CAST(count(*) FILTER (s.s >= g.threshold) AS BIGINT) AS n_kept,
+         |    CAST(COALESCE(sum(s.w) FILTER (s.s >= g.threshold), 0) AS BIGINT) AS tokens_kept
+         |  FROM g CROSS JOIN s GROUP BY 1)
+         |SELECT threshold, n_kept,
+         |  round(CAST(n_kept AS DOUBLE) / t.nt, 6) AS frac_docs,
+         |  tokens_kept,
+         |  round(CAST(tokens_kept AS DOUBLE) / t.wt, 6) AS frac_tokens
+         |FROM sel CROSS JOIN t ORDER BY threshold""".stripMargin
+    },
 
     "text_lang_id" ->
       s"""WITH scored AS (

@@ -164,6 +164,21 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     assert(out(3) == (1L, 1L, 1.0))           // "a b a"
   }
 
+  // -------------------------------------------------------- retentionCurve
+
+  test("retentionCurve counts survivors and token mass per threshold") {
+    val docs = Seq((0.1, 10L), (0.5, 100L), (0.5, 20L), (0.9, 1L))
+      .toDF("score", "n_tokens")
+    val out = Stats.retentionCurve(docs, col("score"), col("n_tokens"),
+        Seq(0.0, 0.5, 0.8, 1.0))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(0.0) == (4L, 1.0, 131L, 1.0))
+    assert(out(0.5) == (3L, 0.75, 121L, 121.0 / 131))
+    assert(out(0.8) == (1L, 0.25, 1L, 1.0 / 131))
+    assert(out(1.0) == (0L, 0.0, 0L, 0.0)) // empty survivor set → 0, not null
+  }
+
   // -------------------------------------------------------------- heapsFit
 
   test("heapsFit recovers beta on an exact power-law vocabulary growth") {
