@@ -390,6 +390,46 @@ object Stats {
         col("n1").as("n_a"), col("n2").as("n_b"))
   }
 
+  /** Krippendorff's alpha, nominal data (Krippendorff 2004, "Content
+    * Analysis" §11 — public method): chance-corrected agreement over ANY
+    * number of raters with missing ratings allowed — the multi-rater /
+    * incomplete-panel generalization of Cohen's kappa for labeling-
+    * pipeline QA. Input is one row per RATING (item, label); rater
+    * identity is irrelevant for nominal alpha — only the per-item label
+    * multiset matters. Items with fewer than 2 ratings are excluded
+    * (they carry no agreement information).
+    *
+    * With r_ic = #ratings of label c on item i, n_i = Σ_c r_ic,
+    * n = Σ n_i, n_c = Σ_i r_ic:
+    *   observed off-diagonal mass  Do' = Σ_i (n_i² − Σ_c r_ic²)/(n_i − 1)
+    *   alpha = 1 − (n − 1) · Do' / (n² − Σ_c n_c²)
+    * Every term is exact integer arithmetic except the per-item division
+    * — engine-portable to the ulp. 1.0 = perfect agreement, 0 = chance,
+    * < 0 = systematic disagreement.
+    *
+    * Scale shape: one (item, label)-keyed count, one item-keyed
+    * reduction, two scalar aggregates — all map-side combined; nothing
+    * driver-side but 4 scalars. Returns (alpha, n_items, n_ratings). */
+  def krippendorffAlpha(df: DataFrame, item: Column, label: Column): DataFrame = {
+    val r = df.where(label.isNotNull)
+      .groupBy(item.as("__i"), label.as("__c"))
+      .agg(count(lit(1)).as("__r"))
+    val perItem = r.groupBy("__i")
+      .agg(sum("__r").as("__n"), sum(col("__r") * col("__r")).as("__r2"))
+      .where(col("__n") >= 2)
+    val obs = perItem.agg(
+      sum((col("__n") * col("__n") - col("__r2")).cast("double") /
+        (col("__n") - 1)).as("do_off"),
+      sum("__n").as("n"), count(lit(1)).as("n_items"))
+    val marg = r.join(perItem.select("__i"), Seq("__i")) // items with n_i >= 2 only
+      .groupBy("__c").agg(sum("__r").as("__nc"))
+      .agg(sum(col("__nc") * col("__nc")).as("nc2"))
+    obs.crossJoin(marg).select(
+      (lit(1.0) - (col("n") - 1) * col("do_off") /
+        (col("n") * col("n") - col("nc2"))).as("alpha"),
+      col("n_items"), col("n").as("n_ratings"))
+  }
+
   /** Benjamini–Hochberg FDR control (Benjamini & Hochberg 1995, "Controlling
     * the False Discovery Rate" — public method) over a table of hypothesis
     * tests (id, p-value): rank p ascending, reject every hypothesis up to

@@ -227,6 +227,17 @@ object AnalyticsQueries {
           col("n_a"), col("n_b"))
     }),
 
+    "g_krippendorff" -> ((s, dir) => {
+      // Multi-rater agreement QA: Krippendorff's nominal alpha over
+      // synthesized ratings (item = user bucket, label = value century
+      // bin) — exact rational arithmetic end to end.
+      val ev = table(s, dir, "events")
+      Stats.krippendorffAlpha(ev, pmod(col("user_id"), lit(200)),
+          floor(col("value") / lit(100.0)).cast("long"))
+        .select(round(col("alpha"), 6).as("alpha"), col("n_items"),
+          col("n_ratings"))
+    }),
+
     "g_bh_fdr" -> ((s, dir) => {
       // Per-slice drift screen with multiple-testing control: 20 slices
       // (event_type × user_id mod 4), Welch t between the first and
@@ -770,6 +781,23 @@ object AnalyticsQueries {
         |       round(m1, 6) AS mean_a, round(m2, 6) AS mean_b,
         |       n1 AS n_a, n2 AS n_b
         |FROM s""".stripMargin,
+
+    "g_krippendorff" ->
+      """WITH rat AS (
+        |  SELECT user_id % 200 AS i, CAST(floor(value / 100.0) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT i, c, count(*) AS r FROM rat GROUP BY 1, 2),
+        |pi AS (SELECT i, CAST(sum(r) AS BIGINT) AS n,
+        |              CAST(sum(r * r) AS BIGINT) AS r2
+        |       FROM r GROUP BY 1 HAVING sum(r) >= 2),
+        |obs AS (SELECT sum(CAST(n * n - r2 AS DOUBLE) / (n - 1)) AS do_off,
+        |               CAST(sum(n) AS BIGINT) AS n, count(*) AS n_items FROM pi),
+        |mg AS (SELECT CAST(sum(nc * nc) AS BIGINT) AS nc2 FROM (
+        |        SELECT r.c, CAST(sum(r.r) AS BIGINT) AS nc
+        |        FROM r JOIN pi USING (i) GROUP BY 1))
+        |SELECT round(1.0 - (obs.n - 1) * obs.do_off / (obs.n * obs.n - mg.nc2), 6) AS alpha,
+        |       CAST(obs.n_items AS BIGINT) AS n_items, obs.n AS n_ratings
+        |FROM obs CROSS JOIN mg""".stripMargin,
 
     "g_bh_fdr" ->
       """WITH ev AS (

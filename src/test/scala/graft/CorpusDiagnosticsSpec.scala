@@ -164,6 +164,24 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     assert(out(3) == (1L, 1L, 1.0))           // "a b a"
   }
 
+  // ---------------------------------------------------- krippendorffAlpha
+
+  test("krippendorffAlpha: perfect 1, chance 0, hand-computed mixed case") {
+    def alpha(ratings: Seq[(Int, String)]): Double =
+      Stats.krippendorffAlpha(ratings.toDF("item", "label"),
+        col("item"), col("label")).head().getDouble(0)
+    // both items unanimous → 1
+    assert(alpha(Seq(1 -> "a", 1 -> "a", 2 -> "b", 2 -> "b")) == 1.0)
+    // canonical chance case: Do == De → 0
+    assert(math.abs(alpha(Seq(1 -> "a", 1 -> "a", 2 -> "a", 2 -> "b"))) < 1e-12)
+    // (a,a,b) + (b,b,b): Do' = 2, n = 6, Σn_c² = 20 → 1 − 5·2/16 = 0.375
+    val m = alpha(Seq(1 -> "a", 1 -> "a", 1 -> "b", 2 -> "b", 2 -> "b", 2 -> "b"))
+    assert(approx(m, 0.375, 1e-12))
+    // single-rating items carry no information and are excluded
+    val withSingleton = alpha(Seq(1 -> "a", 1 -> "a", 2 -> "b", 2 -> "b", 3 -> "q"))
+    assert(withSingleton == 1.0)
+  }
+
   // -------------------------------------------------------- retentionCurve
 
   test("retentionCurve counts survivors and token mass per threshold") {
