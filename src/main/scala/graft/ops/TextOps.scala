@@ -767,6 +767,34 @@ object TextOps {
       .toDF("n_checkpoints", "beta", "ln_k", "r2")
   }
 
+  /** Unseen-vocabulary estimate: Chao1 richness (Chao 1984, "Nonparametric
+    * estimation of the number of classes in a population") +
+    * Good–Turing unseen probability mass (Good 1953) from the frequency-
+    * of-frequencies table — how much vocabulary the corpus has NOT seen
+    * yet, the forward-looking complement of [[heapsFit]]'s growth fit:
+    *   V_chao1 = V + f1·(f1 − 1) / (2·(f2 + 1))   (bias-corrected form,
+    *             defined even when f2 = 0)
+    *   P_unseen = f1 / N                           (Good–Turing mass)
+    * A corpus whose V_chao1 ≈ V has saturated its domain; P_unseen is
+    * the probability the NEXT token is novel — the token-budget dial for
+    * "will more data buy new vocabulary".
+    *
+    * Scale shape: one token-keyed count (map-side combined) + one
+    * 4-scalar aggregate over the vocabulary-sized table. Returns one row
+    * (n_tokens, vocab, f1, f2, v_chao1, p_unseen). */
+  def chao1(df: org.apache.spark.sql.DataFrame, text: Column): org.apache.spark.sql.DataFrame = {
+    df.select(explode(
+        org.apache.spark.sql.graft.MinHashShim.shinglesAllCol(text, 1)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        count(when(col("c") === 1, 1)).as("f1"),
+        count(when(col("c") === 2, 1)).as("f2"))
+      .select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        (col("vocab") + (col("f1") * (col("f1") - 1)).cast("double") /
+          ((col("f2") + 1) * 2)).as("v_chao1"),
+        (col("f1").cast("double") / col("n_tokens")).as("p_unseen"))
+  }
+
   /** PMI collocation mining (Church & Hanks 1990, "Word Association
     * Norms, Mutual Information, and Lexicography"): top-K adjacent word
     * pairs by pointwise mutual information

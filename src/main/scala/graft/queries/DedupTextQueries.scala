@@ -152,6 +152,14 @@ object DedupTextQueries {
           col("pad_tokens"), round(col("efficiency"), 6).as("efficiency"))
         .orderBy("seq_len")),
 
+    "text_chao1" -> ((s, dir) =>
+      // Unseen-vocabulary estimate: Chao1 richness + Good–Turing unseen
+      // mass from the frequency-of-frequencies table.
+      TextOps.chao1(table(s, dir, "documents"), col("text"))
+        .select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+          round(col("v_chao1"), 4).as("v_chao1"),
+          round(col("p_unseen"), 6).as("p_unseen"))),
+
     "text_heaps_fit" -> ((s, dir) =>
       // Heaps'-law vocabulary growth V(N) ~ K·N^beta over 10 id-threshold
       // checkpoints — cumulative distinct via the per-token
@@ -1574,6 +1582,22 @@ object DedupTextQueries {
          |       round(sxy / sxx, 6) AS slope,
          |       round((SELECT my FROM m) - sxy / sxx * (SELECT mx FROM m), 6) AS intercept,
          |       round(sxy * sxy / (sxx * syy), 6) AS r2
+         |FROM s""".stripMargin,
+
+    "text_chao1" ->
+      s"""WITH tok AS (
+         |  SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE $toks END AS toks
+         |  FROM documents),
+         |v AS (SELECT t, count(*) AS c FROM (SELECT unnest(toks) AS t FROM tok)
+         |      GROUP BY 1),
+         |s AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
+         |             count(*) FILTER (c = 1) AS f1,
+         |             count(*) FILTER (c = 2) AS f2 FROM v)
+         |SELECT n_tokens, CAST(vocab AS BIGINT) AS vocab,
+         |  CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+         |  round(vocab + CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1)), 4) AS v_chao1,
+         |  round(CAST(f1 AS DOUBLE) / n_tokens, 6) AS p_unseen
          |FROM s""".stripMargin,
 
     "text_heaps_fit" ->

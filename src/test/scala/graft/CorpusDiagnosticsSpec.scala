@@ -218,6 +218,22 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     assert(approx(row.getAs[Double]("r2"), 1.0, 1e-9))
   }
 
+  // ----------------------------------------------------------------- chao1
+
+  test("chao1 estimates unseen vocabulary from the frequency-of-frequencies") {
+    // tokens: a×3, b×2, c×1, d×1 → N=7, V=4, f1=2, f2=1
+    val docs = Seq((1L, "a a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val r = TextOps.chao1(docs, col("text")).head()
+    assert(r.getAs[Long]("n_tokens") == 7L && r.getAs[Long]("vocab") == 4L)
+    assert(r.getAs[Long]("f1") == 2L && r.getAs[Long]("f2") == 1L)
+    assert(approx(r.getAs[Double]("v_chao1"), 4 + 2.0 * 1 / (2 * 2), 1e-12))
+    assert(approx(r.getAs[Double]("p_unseen"), 2.0 / 7, 1e-12))
+    // saturated corpus: no hapax → v_chao1 == vocab, p_unseen == 0
+    val sat = TextOps.chao1(Seq((1L, "x x y y")).toDF("doc_id", "text"),
+      col("text")).head()
+    assert(sat.getAs[Double]("v_chao1") == 2.0 && sat.getAs[Double]("p_unseen") == 0.0)
+  }
+
   // -------------------------------------------------------------- pmiPairs
 
   test("pmiPairs scores collocations; count gate filters hapax pairs") {
