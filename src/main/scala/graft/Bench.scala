@@ -19,7 +19,8 @@ object Bench {
     "corpus_report", "pack_sequences", "sample_token_budget",
     "quality_classifier", "g_psi_drift", "graph_pagerank",
     "linkage_fellegi_sunter", "retrieval_hybrid",
-    "dedup_containment", "pack_whole", "corpus_report_incremental")
+    "dedup_containment", "pack_whole", "corpus_report_incremental",
+    "bitext_margin")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -605,6 +605,23 @@ object ScaleProbe {
               k = 4, threshold = 0.0, nCells = nCells, nProbe = 5, iters = 1)
             .agg(count(lit(1)), sum("margin")).collect()
             .foreach(row => println("  " + row)))
+      case "heaps" =>
+        // Heaps'-law fit over n hash-soup docs: min/max probe + one
+        // vocabulary first-appearance agg + one conditional-sum agg
+        val d = docs(n)
+        d.count()
+        time(s"heapsFit n=$n checkpoints=10")(
+          TextOps.heapsFit(d, col("id"), col("text"), nCheckpoints = 10)
+            .collect().foreach(row => println("  " + row)))
+      case "pmi" =>
+        // PMI collocations over n hash-soup docs: one bigram + one
+        // unigram count, vocab-sized joins, TakeOrdered top-k
+        val d = docs(n)
+        d.count()
+        time(s"pmiPairs n=$n minCount=1000 topK=20")(
+          TextOps.pmiPairs(d, col("text"), minCount = 1000L, topK = 20)
+            .agg(count(lit(1)), sum("pmi")).collect()
+            .foreach(row => println("  " + row)))
       case "distinctn" =>
         // lexical-diversity stats over n hash-soup docs: one scan + one
         // gram-keyed two-phase distinct per requested n
