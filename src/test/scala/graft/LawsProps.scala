@@ -341,4 +341,87 @@ object LawsProps extends Properties("GraftLaws") {
         Map("g" -> w.toDouble), seed)
       out.count() == n.toLong * w
     }
+
+  private val rankingG: Gen[Seq[Long]] =
+    Gen.choose(1, 20).flatMap(k => Gen.pick(k, 1L to 30L).map(_.toSeq))
+
+  property("rboTopK: self-identity 1 - p^k, symmetry, bounds") =
+    Prop.forAll(rankingG, rankingG, Gen.choose(0.05, 0.95)) { (a, b, p) =>
+      def rk(docs: Seq[Long]) = docs.zipWithIndex
+        .map { case (d, i) => ("q", d, i + 1) }.toDF("qid", "doc_id", "rank")
+      val k = 10
+      def rbo(x: Seq[Long], y: Seq[Long]): Double =
+        graft.ops.Retrieval.rboTopK(rk(x), rk(y), "qid", "doc_id", k, p)
+          .head().getDouble(1)
+      val self = rbo(a, a)
+      // self-RBO: per depth d the overlap is min(d, |a|) (rankings
+      // shorter than k keep contributing their full prefix)
+      val expected = (1 - p) * (1 to k)
+        .map(d => math.pow(p, d - 1) * math.min(d, a.size) / d).sum
+      val ident = math.abs(self - expected) < 1e-9
+      val ab = rbo(a, b)
+      ident && math.abs(ab - rbo(b, a)) < 1e-12 && ab >= 0.0 && ab <= self + 1e-12
+    }
+
+  property("bhFdr: rejections are a rank prefix; reject == (p_adj <= q); p_adj monotone") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0.0, 1.0)), Gen.choose(0.01, 0.5)) { (ps, q) =>
+      val df = ps.zipWithIndex.map { case (p, i) => (s"h$i", p) }.toDF("id", "p")
+      val out = Stats.bhFdr(df, col("id"), col("p"), q)
+        .orderBy("rank")
+        .select("p_adj", "reject").collect()
+        .map(r => (r.getDouble(0), r.getBoolean(1)))
+      val prefix = !out.map(_._2).dropWhile(identity).contains(true)
+      val equiv = out.forall { case (padj, rej) => rej == (padj <= q + 1e-15) }
+      val mono = out.map(_._1).sliding(2).forall(w => w.length < 2 || w(0) <= w(1) + 1e-15)
+      prefix && equiv && mono
+    }
+
+  property("retentionCurve: survivors monotone non-increasing; fractions in [0,1]") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(1L, 50L)))) { rows =>
+      val df = rows.toDF("s", "w")
+      val out = Stats.retentionCurve(df, col("s"), col("w"),
+          Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+        .orderBy("threshold").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+      val monotone = out.sliding(2).forall(w =>
+        w.length < 2 || (w(0)._1 >= w(1)._1 && w(0)._3 >= w(1)._3))
+      val bounds = out.forall(r => r._2 >= 0 && r._2 <= 1 && r._4 >= 0 && r._4 <= 1)
+      val keepAll = out.head._1 == rows.size.toLong // every score >= 0.0
+      monotone && bounds && keepAll
+    }
+
+  property("chao1: v_chao1 >= vocab; doubling the corpus kills hapaxes") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(1, 30))) { words =>
+      val text = words.map(w => s"w$w").mkString(" ")
+      val df = Seq((1L, text)).toDF("id", "t")
+      val one = graft.ops.TextOps.chao1(df, col("t")).head()
+      val both = graft.ops.TextOps.chao1(
+        Seq((1L, text), (2L, text)).toDF("id", "t"), col("t")).head()
+      one.getAs[Double]("v_chao1") >= one.getAs[Long]("vocab") &&
+        one.getAs[Double]("p_unseen") >= 0 && one.getAs[Double]("p_unseen") <= 1 &&
+        both.getAs[Long]("f1") == 0L &&
+        both.getAs[Double]("v_chao1") == both.getAs[Long]("vocab").toDouble
+    }
+
+  property("silhouette: centroid form is in [0, 1]; cell is the argmin centroid") =
+    Prop.forAll(Gen.choose(3, 25), seedG) { (n, seed) =>
+      def coord(i: Long, j: Int) =
+        1.0 + math.abs((i * 2654435761L + j * 40503L + seed) % 1000) / 1000.0
+      val pts = (1L to n.toLong).map(i => (i, Seq(coord(i, 0), coord(i, 1))))
+      val df = pts.toDF("id", "v")
+      val out = graft.ops.Similarity.silhouette(df, "id", "v", nCells = 2,
+          iters = 0, byHash = false)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val seeds = pts.take(2).map { case (i, v) => i -> v }.toMap
+      def cos(a: Seq[Double], b: Seq[Double]) = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      pts.forall { case (i, v) =>
+        val (cell, s) = out(i)
+        val best = seeds.toSeq.map { case (sid, sv) => (1.0 - cos(v, sv), sid) }
+          .minBy { case (d, sid) => (d, sid) }._2
+        s >= -1e-12 && s <= 1 + 1e-12 && cell == best
+      }
+    }
 }
