@@ -1630,4 +1630,72 @@ object TextOps {
       s"replace($e, ${wrap(a)} || ${wrap(b)}, ${wrap(a + b)})"
     }
   }
+
+  /** Canary contamination scan (Carlini et al. 2019, "The Secret Sharer"):
+    * exact-substring occurrence counts for a list of planted canary
+    * strings — the memorization-audit complement of [[redactPii]] (did a
+    * secret/canary survive curation?) and the positive control for
+    * decontamination (a canary that SHOULD have been removed).
+    *
+    * Occurrences are counted with the length-difference trick
+    * `(len(t) − len(replace(t, c, ''))) / len(c)` — `replace` is
+    * left-to-right non-overlapping in both engines, so counts are
+    * engine-portable. Every canary appears in the output even with zero
+    * hits (an audit table that silently drops clean canaries can't prove
+    * absence). Per-row cost O(canaries · |text|), fully row-local;
+    * the k-row aggregate is map-side combined. Canary lists beyond
+    * `maxCanaries` should be sharded across scans (each scan broadcasts
+    * its list inside the plan) — refused loudly. */
+  def canaryScan(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      canaries: Seq[String], maxCanaries: Int = 1000): org.apache.spark.sql.DataFrame = {
+    require(canaries.nonEmpty, "empty canary list")
+    require(canaries.size <= maxCanaries,
+      s"canaryScan: ${canaries.size} canaries > $maxCanaries — shard the list across scans")
+    require(canaries.forall(_.nonEmpty), "empty-string canary")
+    require(canaries.distinct.size == canaries.size, "duplicate canaries")
+    val hits = explode(array(canaries.map { c =>
+      val n = (length(text) - length(expr_replace(text, c))) / lit(c.length)
+      struct(lit(c).as("canary"), n.cast("long").as("n"))
+    }: _*)).as("hit")
+    df.select(id.as("_id"), hits)
+      .groupBy(col("hit.canary").as("canary"))
+      .agg(
+        sum(col("hit.n")).as("n_hits"),
+        count(when(col("hit.n") > 0, lit(1))).as("n_docs"),
+        min(when(col("hit.n") > 0, col("_id"))).as("first_doc"))
+  }
+
+  /** Literal (non-regex) remove-all: Spark's `replace` SQL function. */
+  private def expr_replace(text: Column, needle: String): Column =
+    call_function("replace", text, lit(needle), lit(""))
+
+  /** Tokenizer-vocabulary coverage: fit the top-`vocabSize` lower-cased
+    * whitespace tokens by (frequency desc, token asc) over the corpus,
+    * then score each document's out-of-vocabulary token count and rate —
+    * the coverage diagnostic run before committing to a tokenizer vocab
+    * (high OOV = the vocab was fit on a different distribution).
+    *
+    * Two passes: ONE map-side-combined token count fits the vocab (driver
+    * collect is bounded by `vocabSize`, refused loudly past 2^16), then
+    * scoring is a pure row-local projection — the vocab ships inside the
+    * plan as a hashed InSet (Catalyst OptimizeIn), O(tokens)/row
+    * regardless of vocab size, streams as-is. */
+  def oovRate(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0 && vocabSize <= 65536,
+      s"oovRate: vocabSize $vocabSize outside (0, 65536]")
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    val vocab = df.select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(vocabSize)
+      .collect().map(_.getString(0)).toSeq
+    val oov = size(filter(toks, t => !t.isin(vocab: _*)))
+    df.select(
+      id.as("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      oov.cast("long").as("n_oov"),
+      round(when(size(toks) > 0, oov.cast("double") / size(toks))
+        .otherwise(lit(0.0)), 6).as("oov_rate"))
+  }
 }

@@ -440,6 +440,25 @@ object DedupTextQueries {
         .orderBy("doc_id")
     }),
 
+    "text_canary_scan" -> ((s, dir) => {
+      // Secret-sharer canary audit (Carlini 2019): exact-substring
+      // occurrence counts per canary; "slow fast" and "table table" occur
+      // in this corpus's word soup, "zzz_canary_absent" never does — the
+      // audit table must still report the clean canary with zero hits.
+      TextOps.canaryScan(table(s, dir, "documents"), col("doc_id"),
+          col("text"), Seq("slow fast", "table table", "zzz_canary_absent"))
+        .orderBy("canary")
+    }),
+
+    "text_oov_rate" -> ((s, dir) => {
+      // Tokenizer-vocab coverage: vocab = top-20 corpus tokens (the corpus
+      // has 31 distinct words, so the 11 rarest really are OOV), then
+      // per-doc OOV count/rate as a row-local InSet projection.
+      TextOps.oovRate(table(s, dir, "documents").where(col("doc_id") < 200),
+          col("doc_id"), col("text"), vocabSize = 20)
+        .orderBy("doc_id")
+    }),
+
     "text_c4_clean" -> ((s, dir) => {
       // C4 line-clean + page filter (Raffel et al. 2020 §2.2) on
       // manufactured multi-line pages: the corpus is single-line word
@@ -2190,6 +2209,43 @@ object DedupTextQueries {
          |  md5(array_to_string(masked, ' ')) AS h_masked
          |FROM aug ORDER BY doc_id""".stripMargin
     },
+
+    "text_canary_scan" ->
+      s"""WITH c AS (
+         |  SELECT unnest(['slow fast', 'table table', 'zzz_canary_absent'])
+         |    AS canary),
+         |h AS (
+         |  SELECT c.canary,
+         |    (length(d.text) - length(replace(d.text, c.canary, '')))
+         |      // length(c.canary) AS n,
+         |    d.doc_id
+         |  FROM c CROSS JOIN documents d)
+         |SELECT canary, CAST(SUM(n) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(CASE WHEN n > 0 THEN 1 END) AS BIGINT) AS n_docs,
+         |  MIN(CASE WHEN n > 0 THEN doc_id END) AS first_doc
+         |FROM h GROUP BY canary ORDER BY canary""".stripMargin,
+
+    "text_oov_rate" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |    t -> len(t) > 0)) AS term
+         |  FROM documents WHERE doc_id < 200),
+         |vocab AS (
+         |  SELECT term FROM (
+         |    SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term)
+         |  ORDER BY cnt DESC, term LIMIT 20),
+         |scored AS (
+         |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         |    COUNT(CASE WHEN v.term IS NULL THEN 1 END) AS n_oov
+         |  FROM tok t LEFT JOIN vocab v USING (term) GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(s.n_oov, 0) AS BIGINT) AS n_oov,
+         |  round(CASE WHEN COALESCE(s.n_tokens, 0) > 0
+         |    THEN s.n_oov * 1.0 / s.n_tokens ELSE 0.0 END, 6) AS oov_rate
+         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+         |WHERE d.doc_id < 200 ORDER BY d.doc_id""".stripMargin,
 
     "text_wordlist_filter" ->
       s"""SELECT doc_id,

@@ -310,4 +310,71 @@ class CorpusDiagnosticsSpec extends SparkSpec {
       iters = 0, byHash = false)
     assert(hi.count() == 0)
   }
+
+  // ----------------------------------------------------------- canaryScan
+
+  test("canaryScan counts non-overlapping hits and keeps clean canaries") {
+    val docs = Seq(
+      (1L, "the canary sat on the canary tree"), // 2 hits of "canary"
+      (2L, "aaaa"),                              // "aa": non-overlap -> 2
+      (3L, "no secrets here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.canaryScan(docs, col("doc_id"), col("text"),
+        Seq("canary", "aa", "zzz_never"))
+      .orderBy("canary").collect()
+    assert(out.length == 3)
+    val byC = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(byC("canary") == ((2L, 1L, Some(1L))))
+    assert(byC("aa") == ((2L, 1L, Some(2L))))
+    // the clean canary still appears — with zero hits and a null first_doc
+    assert(byC("zzz_never") == ((0L, 0L, None)))
+  }
+
+  test("canaryScan refuses empty, duplicate, and oversized canary lists") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.canaryScan(docs, col("doc_id"), col("text"), Seq.empty) }
+    intercept[IllegalArgumentException] {
+      TextOps.canaryScan(docs, col("doc_id"), col("text"), Seq("a", "a")) }
+    intercept[IllegalArgumentException] {
+      TextOps.canaryScan(docs, col("doc_id"), col("text"), Seq("a", "")) }
+    intercept[IllegalArgumentException] {
+      TextOps.canaryScan(docs, col("doc_id"), col("text"),
+        (1 to 10).map("c" + _), maxCanaries = 5) }
+  }
+
+  // -------------------------------------------------------------- oovRate
+
+  test("oovRate: vocab fit by (freq desc, token asc), OOV scored per doc") {
+    // freqs: common x4, mid x2, rare x1, tie broken lexicographically
+    val docs = Seq(
+      (1L, "common common mid rare"),
+      (2L, "common common mid tie1"),
+      (3L, "tie2")
+    ).toDF("doc_id", "text")
+    // vocabSize 2 -> vocab = {common(4), mid(2)}; rare/tie1/tie2 OOV
+    val out = TextOps.oovRate(docs, col("doc_id"), col("text"), vocabSize = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 1L, 1L)))
+    assert(approx(out(0).getDouble(3), 0.25))
+    assert(approx(out(2).getDouble(3), 1.0))
+    // boundary tie at vocabSize 4: mid(2) in, then tie1 vs tie2 both
+    // count 1 -> lexicographic keeps tie1
+    val v4 = TextOps.oovRate(docs, col("doc_id"), col("text"), vocabSize = 4)
+      .orderBy("doc_id").collect()
+    assert(v4(1).getLong(2) == 0L)  // tie1 now in-vocab
+    assert(v4(2).getLong(2) == 1L)  // tie2 still OOV
+  }
+
+  test("oovRate handles token-free docs and refuses huge vocab requests") {
+    val docs = Seq((1L, "  "), (2L, "w")).toDF("doc_id", "text")
+    val out = TextOps.oovRate(docs, col("doc_id"), col("text"), vocabSize = 1)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 0L && out(0).getDouble(3) == 0.0)
+    assert(out(1).getLong(2) == 0L)
+    intercept[IllegalArgumentException] {
+      TextOps.oovRate(docs, col("doc_id"), col("text"), vocabSize = 100000) }
+  }
 }
