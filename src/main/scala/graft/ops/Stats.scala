@@ -673,6 +673,67 @@ object Stats {
       .drop("__clc")
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007, "t-Closeness:
+    * Privacy Beyond k-Anonymity and l-Diversity") — the third leg of the
+    * release triad after [[kAnonymity]] and [[lDiversity]]: an l-diverse
+    * QI group whose sensitive DISTRIBUTION differs sharply from the
+    * corpus-wide one still leaks (e.g. a group that is 90% one diagnosis
+    * in a 5%-base-rate table). Per QI group, two distances between the
+    * group's sensitive distribution p and the global q:
+    *   - `tvd` — total variation ½·Σ|p−q| (the paper's equal-distance
+    *     EMD for categorical sensitive attributes), and
+    *   - `emd` — ordered EMD Σ|cumsum(p−q)| / (m−1) over the m global
+    *     sensitive values in their natural sort order (the paper's
+    *     ordered-distance form for ordinal/numeric attributes).
+    * `at_risk` compares the distance picked by `ordered` against t.
+    * Both distances are rounded to 9 dp (summation-order-stable — the
+    * terms are ratios of counts, no large-number cancellation).
+    *
+    * Shape: one (QI, sensitive) cell count, one global sensitive count
+    * (m rows, broadcast), cells right-joined against the m-value domain
+    * per group so absent values contribute p=0 (a distance that skips
+    * them is wrong), then a per-group sort-window cumsum over m rows.
+    * Shuffles are on cell keys only — never raw rows past the first
+    * aggregation. m is the sensitive-attribute cardinality (small by
+    * definition for a privacy-released column); refused loudly past
+    * `maxDomain` because the group×domain expansion is m·|groups|. */
+  def tCloseness(df: DataFrame, quasi: Seq[String], sensitive: String,
+      t: Double, ordered: Boolean = false, maxDomain: Int = 10000): DataFrame = {
+    require(quasi.nonEmpty && t > 0.0 && t < 1.0, "need QI columns and 0 < t < 1")
+    val s = col(sensitive)
+    val cells = df.groupBy((quasi :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val global = df.groupBy(s.as("__sv"))
+      .agg(count(lit(1)).as("__gc"))
+    val m = global.count()
+    require(m <= maxDomain,
+      s"tCloseness: sensitive domain $m > $maxDomain — bin the attribute first")
+    val nTotal = df.count()
+    // group × domain grid (m rows per group; the global side is m rows —
+    // broadcast by construction), group cells left-joined in so absent
+    // sensitive values contribute p = 0
+    val groups = cells.groupBy(quasi.map(col): _*).agg(sum("__c").as("n"))
+    val grid = groups
+      .crossJoin(broadcast(global.withColumn("__q",
+        col("__gc").cast("double") / nTotal.toDouble)))
+      .join(cells.withColumnRenamed(sensitive, "__sv"),
+        quasi :+ "__sv", "left")
+      .withColumn("__p", coalesce(col("__c"), lit(0L)).cast("double") / col("n"))
+      .withColumn("__d", col("__p") - col("__q"))
+    val w = Window.partitionBy(quasi.map(col): _*)
+      .orderBy(col("__sv")).rowsBetween(Window.unboundedPreceding, 0)
+    val dist = grid
+      .withColumn("__cum", sum("__d").over(w))
+      .groupBy(quasi.map(col): _*)
+      .agg(
+        max("n").as("n"), // constant per group
+        round(sum(abs(col("__d"))) / 2.0, 9).as("tvd"),
+        round(if (m > 1) sum(abs(col("__cum"))) / (m - 1.0) else lit(0.0), 9)
+          .as("emd"))
+    val d = if (ordered) col("emd") else col("tvd")
+    dist.withColumn("at_risk", d > t)
+  }
+
   /** ε-differentially-private group counts via the Laplace mechanism
     * (Dwork et al. 2006) with the PORTABLE seeded hash RNG: noise is
     * the inverse-CDF Laplace(sensitivity/ε) draw from
@@ -961,6 +1022,96 @@ object Stats {
       .withColumn("n", sum("n_xy").over(n))
       .agg(sum(col("n_xy") / col("n") *
         log(col("n_xy") * col("n") / (col("n_x") * col("n_y")))).as("mi_nats"))
+  }
+
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) between groups
+    * `a` and `b` on `value` — the nonparametric complement of
+    * [[welchTTest]] for skewed pipeline metrics (latencies, doc lengths,
+    * quality scores) where a mean-based test is the wrong instrument.
+    * Midranks for ties; z is the normal approximation with the standard
+    * tie-corrected variance
+    *   Var(U) = n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1)))
+    * (report z against N(0,1); no p-value column — same convention as
+    * [[welchTTest]], which reports t + dof).
+    *
+    * Scale shape: rows collapse to ONE map-side-combined count per
+    * DISTINCT value (ca, cb, t) — ties are aggregated, never enumerated —
+    * then a single-partition window over the distinct values computes
+    * midranks (the same collapse-to-distinct-thresholds shape as the ROC
+    * curves: the window input is |distinct values|, not |rows|), and one
+    * scalar aggregate. Nulls and rows outside {a, b} are ignored. */
+  def mannWhitneyU(df: DataFrame, value: Column, group: Column,
+      a: String, b: String): DataFrame = {
+    val v = value.cast("double")
+    val cells = df.where(v.isNotNull && group.isin(a, b))
+      .groupBy(v.as("__v"))
+      .agg(
+        count(when(group === a, lit(1))).as("__ca"),
+        count(when(group === b, lit(1))).as("__cb"))
+      .withColumn("__t", col("__ca") + col("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells.withColumn("__rank",
+      coalesce(sum("__t").over(w), lit(0L)).cast("double") +
+        (col("__t") + 1).cast("double") / 2.0)
+    ranked.agg(
+        sum(col("__ca") * col("__rank")).as("__ra"),
+        sum("__ca").as("n_a"), sum("__cb").as("n_b"),
+        sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ties"))
+      .select(
+        (col("__ra") - col("n_a") * (col("n_a") + 1) / 2.0).as("u_a"),
+        col("n_a"), col("n_b"), col("__ties"))
+      .select(
+        round(col("u_a"), 6).as("u_a"),
+        round(col("n_a") * col("n_b") - col("u_a"), 6).as("u_b"),
+        round(
+          (col("u_a") - col("n_a") * col("n_b") / 2.0) /
+            sqrt(col("n_a") * col("n_b") / 12.0 *
+              ((col("n_a") + col("n_b") + 1) -
+                col("__ties") / ((col("n_a") + col("n_b")) *
+                  (col("n_a") + col("n_b") - 1)))), 9).as("z"),
+        col("n_a"), col("n_b"))
+  }
+
+  /** Chi-squared independence test on the (group × category) contingency
+    * table, plus Cramér's V effect size — the CATEGORICAL drift
+    * instrument next to [[psi]] (binned, reference-vs-live) and
+    * [[ksDrift]] (continuous): "did the label/source/lang mix shift
+    * across splits?". Expected counts are the usual n_g·n_c/N; empty
+    * grid cells contribute their full expected mass (a test that skips
+    * them understates the statistic). Returns ONE row
+    * (chi2, dof, cramers_v, n) — statistic + dof, no p-value, per the
+    * [[welchTTest]] convention.
+    *
+    * Scale shape: rows collapse to one (group, category) cell count;
+    * both marginals are cell-level aggregates; the dense grid is the
+    * r×c marginal cross-join (both sides broadcast; r·c is table-card
+    * squared, refused loudly past `maxCells`). */
+  def chi2Drift(df: DataFrame, group: Column, category: Column,
+      maxCells: Int = 1 << 20): DataFrame = {
+    val obs = df.groupBy(
+        coalesce(group.cast("string"), lit("§null§")).as("__g"),
+        coalesce(category.cast("string"), lit("§null§")).as("__c"))
+      .agg(count(lit(1)).as("__o"))
+    val mg = obs.groupBy("__g").agg(sum("__o").as("__ng"))
+    val mc = obs.groupBy("__c").agg(sum("__o").as("__nc"))
+    val (r, c) = (mg.count(), mc.count())
+    require(r >= 2 && c >= 2, s"chi2Drift: need >= 2 groups and categories, got ($r, $c)")
+    require(r * c <= maxCells,
+      s"chi2Drift: grid $r x $c > $maxCells cells — bin the inputs first")
+    val n = mg.agg(sum("__ng")).head().getLong(0)
+    val grid = broadcast(mg).crossJoin(broadcast(mc))
+      .join(obs, Seq("__g", "__c"), "left")
+      .withColumn("__e", col("__ng").cast("double") * col("__nc") / n.toDouble)
+    grid.agg(
+        sum(pow(coalesce(col("__o"), lit(0L)).cast("double") - col("__e"), 2)
+          / col("__e")).as("__chi2"))
+      .select(
+        round(col("__chi2"), 9).as("chi2"),
+        lit((r - 1) * (c - 1)).as("dof"),
+        round(sqrt(col("__chi2") / (n * (math.min(r, c) - 1.0))), 9)
+          .as("cramers_v"),
+        lit(n).as("n"))
   }
 
   /** Poisson(1) cumulative probabilities c_0..c_8 (shared by the Column

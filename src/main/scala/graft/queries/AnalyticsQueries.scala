@@ -61,6 +61,31 @@ object AnalyticsQueries {
           round(col("entropy"), 6).as("entropy"), col("at_risk"))
         .orderBy("lang")),
 
+    "g_t_closeness" -> ((s, dir) =>
+      // Third leg of the privacy triad: per-lang distance between the
+      // group's source distribution and the corpus-wide one — TVD
+      // (categorical) and ordered EMD over the 20 sources in sort order.
+      // at_risk gated on the ordered EMD, t = 0.04, so both flag values
+      // occur at sf0.01 (de/fr over, en/es/zh under).
+      Stats.tCloseness(table(s, dir, "documents"),
+          Seq("lang"), "source", t = 0.04, ordered = true)
+        .orderBy("lang")),
+
+    "g_mannwhitney" -> ((s, dir) =>
+      // Nonparametric two-sample test on skewed event values: click vs
+      // view, midranks on ties (6.5k distinct values over 4k rows), the
+      // tie-corrected normal z. Rows collapse to one count per distinct
+      // value before any window.
+      Stats.mannWhitneyU(table(s, dir, "events"), col("value"),
+        col("event_type"), a = "click", b = "view")),
+
+    "g_chi2_drift" -> ((s, dir) =>
+      // Categorical drift: is `source` independent of `lang`? Full 5×20
+      // contingency grid (empty cells contribute expected mass), chi2 +
+      // dof + Cramér's V.
+      Stats.chi2Drift(table(s, dir, "documents"),
+        col("lang"), col("source"))),
+
     "g_dp_counts" -> ((s, dir) =>
       // ε-DP per-source counts: Laplace(1/ε) noise from the portable
       // seeded hash RNG keyed on the group value — deterministic per
@@ -643,6 +668,81 @@ object AnalyticsQueries {
         |  round(ln(CAST(n AS DOUBLE)) - clc / n, 6) AS entropy,
         |  n_sensitive < 18 AS at_risk
         |FROM g ORDER BY lang""".stripMargin,
+
+    "g_t_closeness" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS c
+        |               FROM documents GROUP BY 1, 2),
+        |grp AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |gq AS (SELECT source,
+        |           count(*) * 1.0 / (SELECT count(*) FROM documents) AS q
+        |         FROM documents GROUP BY 1),
+        |grid AS (
+        |  SELECT g.lang, g.n, gl.source,
+        |    coalesce(c.c, 0) * 1.0 / g.n - gl.q AS d
+        |  FROM grp g CROSS JOIN gq gl
+        |  LEFT JOIN cells c ON c.lang = g.lang AND c.source = gl.source),
+        |cum AS (
+        |  SELECT lang, n, d,
+        |    sum(d) OVER (PARTITION BY lang ORDER BY source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+        |  FROM grid)
+        |SELECT lang, n,
+        |  round(sum(abs(d)) / 2.0, 9) AS tvd,
+        |  round(sum(abs(cd)) / ((SELECT count(*) FROM gq) - 1.0), 9) AS emd,
+        |  round(sum(abs(cd)) / ((SELECT count(*) FROM gq) - 1.0), 9) > 0.04
+        |    AS at_risk
+        |FROM cum GROUP BY 1, 2 ORDER BY lang""".stripMargin,
+
+    "g_mannwhitney" ->
+      """WITH cells AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS ca,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS cb
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |t AS (SELECT v, ca, cb, ca + cb AS tt FROM cells),
+        |r AS (SELECT ca, cb, tt,
+        |    coalesce(sum(tt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (tt + 1) / 2.0 AS rk
+        |  FROM t),
+        |s AS (SELECT sum(ca * rk) AS ra,
+        |    CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |    sum(tt * tt * tt - tt) AS ties FROM r),
+        |u AS (SELECT round(ra - n_a * (n_a + 1) / 2.0, 6) AS u_a,
+        |        n_a, n_b, ties FROM s)
+        |SELECT u_a, round(n_a * n_b - u_a, 6) AS u_b,
+        |  round((u_a - n_a * n_b / 2.0) /
+        |    sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1)
+        |      - ties / ((n_a + n_b) * (n_a + n_b - 1.0)))), 9) AS z,
+        |  n_a, n_b
+        |FROM u""".stripMargin,
+
+    "g_chi2_drift" ->
+      """WITH obs AS (
+        |  SELECT coalesce(CAST(lang AS VARCHAR), '§null§') AS g,
+        |    coalesce(CAST(source AS VARCHAR), '§null§') AS c,
+        |    count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |mg AS (SELECT g, sum(o) AS ng FROM obs GROUP BY 1),
+        |mc AS (SELECT c, sum(o) AS nc FROM obs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n FROM mg),
+        |grid AS (
+        |  SELECT CAST(mg.ng AS DOUBLE) * mc.nc / tot.n AS e,
+        |    coalesce(obs.o, 0) AS o
+        |  FROM mg CROSS JOIN mc CROSS JOIN tot
+        |  LEFT JOIN obs ON obs.g = mg.g AND obs.c = mc.c),
+        |agg AS (SELECT sum(pow(CAST(o AS DOUBLE) - e, 2) / e) AS chi2
+        |        FROM grid)
+        |SELECT round(chi2, 9) AS chi2,
+        |  ((SELECT count(*) FROM mg) - 1) *
+        |    ((SELECT count(*) FROM mc) - 1) AS dof,
+        |  round(sqrt(chi2 / ((SELECT n FROM tot) *
+        |    (least((SELECT count(*) FROM mg),
+        |           (SELECT count(*) FROM mc)) - 1.0))), 9) AS cramers_v,
+        |  (SELECT n FROM tot) AS n
+        |FROM agg""".stripMargin,
 
     "g_dp_counts" -> {
       val b = 1.0 / 0.5

@@ -496,6 +496,77 @@ class AnalyticsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Stats.lDiversity(df, Seq("lang"), "src", 1))
   }
 
+  test("tCloseness: TVD and ordered EMD vs the global sensitive distribution") {
+    import spark.implicits._
+    // g1 pure-A (4 rows), g2 uniform A/B/C (6 rows); global = (.6,.2,.2)
+    val df = (Seq.fill(4)(("g1", "A")) ++
+      Seq(("g2", "A"), ("g2", "A"), ("g2", "B"), ("g2", "B"),
+        ("g2", "C"), ("g2", "C"))).toDF("grp", "s")
+    val out = Stats.tCloseness(df, Seq("grp"), "s", t = 0.25, ordered = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // g1: d=(.4,-.2,-.2) -> tvd=.4, cum=(.4,.2,0) -> emd=.3
+    assert(out("g1") == ((4L, 0.4, 0.3, true)))
+    // g2: d=(-.266…,.133…,.133…) -> tvd=.266…, cum=(-.266…,-.133…,0) -> emd=.2
+    val (n2, tvd2, emd2, risk2) = out("g2")
+    assert(n2 == 6L && approx(tvd2, 0.266666667) && emd2 == 0.2 && !risk2)
+    // categorical gate flags on TVD instead
+    val cat = Stats.tCloseness(df, Seq("grp"), "s", t = 0.3)
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(cat("g1") && !cat("g2"))
+    intercept[IllegalArgumentException](Stats.tCloseness(df, Seq.empty, "s", 0.1))
+    intercept[IllegalArgumentException](Stats.tCloseness(df, Seq("grp"), "s", 1.5))
+    intercept[IllegalArgumentException](
+      Stats.tCloseness(df, Seq("grp"), "s", 0.1, maxDomain = 2))
+  }
+
+  test("mannWhitneyU: exact U on a separable sample; midranks + tie correction") {
+    import spark.implicits._
+    // fully separated: a = {1,2,3} < b = {4,5,6} -> U_a = 0
+    val sep = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r1 = Stats.mannWhitneyU(sep, col("v"), col("g"), "a", "b").head()
+    assert(r1.getDouble(0) == 0.0 && r1.getDouble(1) == 9.0)
+    // z = -4.5 / sqrt(9*7/12), no ties
+    assert(approx(r1.getDouble(2), -1.963961012))
+    assert(r1.getLong(3) == 3L && r1.getLong(4) == 3L)
+    // ties: a={1,2,2}, b={2,3}; midrank(2)=3 -> R_a=7, U_a=1;
+    // var = .5*(6 - 24/20) = 2.4 -> z = -2/sqrt(2.4)
+    val tied = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0),
+      ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val r2 = Stats.mannWhitneyU(tied, col("v"), col("g"), "a", "b").head()
+    assert(r2.getDouble(0) == 1.0 && r2.getDouble(1) == 5.0)
+    assert(approx(r2.getDouble(2), -2.0 / math.sqrt(2.4), 1e-8))
+    // rows outside {a,b} are ignored
+    val noisy = tied.union(Seq(("c", 9.0)).toDF("g", "v"))
+    assert(Stats.mannWhitneyU(noisy, col("v"), col("g"), "a", "b")
+      .head().getDouble(0) == 1.0)
+  }
+
+  test("chi2Drift: classic 2x2 statistic, empty cells carry expected mass") {
+    import spark.implicits._
+    val df = (Seq.fill(10)(("g1", "x")) ++ Seq.fill(20)(("g1", "y")) ++
+      Seq.fill(30)(("g2", "x")) ++ Seq.fill(40)(("g2", "y"))).toDF("g", "c")
+    val r = Stats.chi2Drift(df, col("g"), col("c")).head()
+    // e = (12,18,28,42) -> chi2 = 4/12+4/18+4/28+4/42
+    assert(approx(r.getDouble(0), 4.0 / 12 + 4.0 / 18 + 4.0 / 28 + 4.0 / 42, 1e-8))
+    assert(r.getLong(1) == 1L)
+    assert(approx(r.getDouble(2), math.sqrt(r.getDouble(0) / 100.0), 1e-9))
+    assert(r.getLong(3) == 100L)
+    // an empty grid cell still contributes its expected mass
+    val sparse = Seq(("g1", "x"), ("g1", "x"), ("g2", "x"), ("g2", "y"))
+      .toDF("g", "c")
+    val r2 = Stats.chi2Drift(sparse, col("g"), col("c")).head()
+    // e = (1.5,.5,1.5,.5); chi2 = .25/1.5 + .25/.5 + .25/1.5 + .25/.5
+    assert(approx(r2.getDouble(0), 4.0 / 3, 1e-9))
+    // degenerate tables rejected loudly
+    intercept[IllegalArgumentException](
+      Stats.chi2Drift(Seq(("g1", "x"), ("g1", "y")).toDF("g", "c"),
+        col("g"), col("c")))
+    intercept[IllegalArgumentException](
+      Stats.chi2Drift(df, col("g"), col("c"), maxCells = 2))
+  }
+
   test("dpGroupCounts: per-(seed, group) deterministic Laplace noise, fresh seed fresh noise") {
     import spark.implicits._
     val df = (1 to 200).map(i => (s"g${i % 20}", i)).toDF("g", "x")
