@@ -146,6 +146,199 @@ object Graph {
     labels
   }
 
+  /** k-core of the undirected simple graph (Seidman 1983, "Network
+    * structure and minimum degree"): the maximal subgraph in which every
+    * node has degree ≥ k — the standard link-graph spam/quality filter
+    * (a page cited only by a shallow fringe peels away; densely
+    * inter-cited cores survive) and the degree-pruning stage before
+    * community detection. Edges are symmetrized + de-duplicated and
+    * self-loops dropped. Returns the surviving nodes as
+    * (node long, deg long) with deg = the node's degree INSIDE the core.
+    * The k-core is unique, so the result is independent of peel order.
+    *
+    * Scale shape per sweep: one map-side-combined degree `groupBy` + one
+    * broadcast-able anti-join of the under-k node set against both edge
+    * endpoints; each sweep removes ALL currently under-k nodes at once
+    * (synchronized peeling), so real graphs converge in a few dozen
+    * sweeps, not O(n) — `maxSweeps` bounds the loop loudly. Same
+    * two-regime split as [[pageRank]]: an edge list under
+    * `localEdgeThreshold` peels on the driver. */
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int,
+      maxSweeps: Int = 100, localEdgeThreshold: Int = 1 << 18): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxSweeps >= 1, "maxSweeps must be >= 1")
+    val e0 = edges.select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+      .persist()
+    if (localEdgeThreshold > 0) {
+      val probe = e0.limit(localEdgeThreshold + 1).collect()
+      if (probe.length <= localEdgeThreshold) {
+        val out = localKCore(edges.sparkSession, probe, k, maxSweeps)
+        e0.unpersist()
+        return out
+      }
+    }
+    var cur = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v")).distinct().cache()
+    cur.count()
+    e0.unpersist(blocking = false)
+    var sweeps = 0
+    var done = false
+    while (!done) {
+      require(sweeps < maxSweeps,
+        s"kCore: no fixpoint after $maxSweeps sweeps — raise maxSweeps")
+      val under = cur.groupBy("u").agg(count(lit(1)).as("__d"))
+        .where(col("__d") < k).select(col("u").as("__bad"))
+      val next = cur
+        .join(under, cur("u") === col("__bad"), "left_anti")
+        .join(under, cur("v") === col("__bad"), "left_anti")
+        .cache()
+      // one action decides both progress and termination
+      val removed = cur.count() - next.count()
+      cur.unpersist(blocking = false)
+      cur = next
+      sweeps += 1
+      done = removed == 0L
+    }
+    val out = cur.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    cur.unpersist(blocking = false)
+    out
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in
+    * a hyperlinked environment"): `iterations` synchronous rounds of
+    *   a ← Σ over in-edges of h,   h ← Σ over out-edges of a,
+    * L1-normalizing both vectors each round (scores sum to 1 — the
+    * engine-portable normalization: no sqrt of a sum, so round-trip
+    * rounding is stable). The directed complement of [[pageRank]] for
+    * link-graph curation: authorities rank well-cited reference pages,
+    * hubs rank link farms / directory pages (a high-hub low-authority
+    * page is the classic spam signature). Multi-edges count per edge —
+    * `.distinct()` first for simple-graph semantics. Returns
+    * (node long, hub double, authority double) over all endpoint nodes.
+    *
+    * Scale shape per round: two shuffle joins (edges ⋈ scores on src,
+    * then on dst) each followed by a map-side-combined groupBy + one
+    * 2-scalar normalization aggregate; edges cached across rounds, same
+    * regime split as [[pageRank]]. */
+  def hits(edges: DataFrame, src: String, dst: String, iterations: Int,
+      localEdgeThreshold: Int = 1 << 18): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e0 = edges.select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+      .persist()
+    if (localEdgeThreshold > 0) {
+      val probe = e0.limit(localEdgeThreshold + 1).collect()
+      if (probe.length <= localEdgeThreshold) {
+        val out = localHits(edges.sparkSession, probe, iterations)
+        e0.unpersist()
+        return out
+      }
+    }
+    val e = e0
+    val nodes = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node"))).distinct().cache()
+    val n = nodes.count().toDouble
+    var scores = nodes.select(col("node"),
+      lit(1.0 / n).as("hub"), lit(1.0 / n).as("auth")).cache()
+    for (_ <- 0 until iterations) {
+      val auth0 = e.join(scores, e("u") === scores("node"))
+        .groupBy(e("v").as("anode")).agg(sum("hub").as("a0"))
+      val authN = nodes.join(auth0, col("node") === col("anode"), "left")
+        .select(col("node"), coalesce(col("a0"), lit(0.0)).as("a0"))
+      val hub0 = e.join(authN, e("v") === authN("node"))
+        .groupBy(e("u").as("hnode")).agg(sum("a0").as("h0"))
+      val joined = nodes
+        .join(auth0, col("node") === col("anode"), "left")
+        .join(hub0, col("node") === col("hnode"), "left")
+        .select(col("node"),
+          coalesce(col("h0"), lit(0.0)).as("h0"),
+          coalesce(col("a0"), lit(0.0)).as("a0"))
+        .cache()
+      val sums = joined.agg(sum("h0"), sum("a0")).head()
+      val (hs, as) = (sums.getDouble(0), sums.getDouble(1))
+      val updated = joined.select(col("node"),
+          (col("h0") / (if (hs == 0.0) 1.0 else hs)).as("hub"),
+          (col("a0") / (if (as == 0.0) 1.0 else as)).as("auth"))
+        .cache()
+      updated.count()
+      joined.unpersist(blocking = false)
+      scores.unpersist(blocking = false)
+      scores = updated
+    }
+    nodes.unpersist(blocking = false)
+    e0.unpersist(blocking = false)
+    scores
+  }
+
+  private val hitsSchema = StructType(Seq(
+    StructField("node", LongType), StructField("hub", DoubleType),
+    StructField("auth", DoubleType)))
+
+  /** Driver-side rounds for [[hits]]'s small-graph regime — the identical
+    * synchronous L1-normalized update over the collected edge rows. */
+  private def localHits(spark: SparkSession, edgeRows: Array[Row],
+      iterations: Int): DataFrame = {
+    import scala.collection.mutable
+    val index = mutable.HashMap.empty[Long, Int]
+    val ids = mutable.ArrayBuffer.empty[Long]
+    def idx(n: Long): Int = index.getOrElseUpdate(n, { ids += n; ids.length - 1 })
+    val es = edgeRows.iterator
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (idx(r.getLong(0)), idx(r.getLong(1)))).toArray
+    val n = ids.length
+    if (n == 0)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), hitsSchema)
+    var hub = Array.fill(n)(1.0 / n)
+    var auth = Array.fill(n)(1.0 / n)
+    for (_ <- 0 until iterations) {
+      val a0 = new Array[Double](n)
+      es.foreach { case (u, v) => a0(v) += hub(u) }
+      val h0 = new Array[Double](n)
+      es.foreach { case (u, v) => h0(u) += a0(v) }
+      val hs = h0.sum; val as = a0.sum
+      hub = h0.map(_ / (if (hs == 0.0) 1.0 else hs))
+      auth = a0.map(_ / (if (as == 0.0) 1.0 else as))
+    }
+    val rows = ids.indices.map(i => Row(ids(i), hub(i), auth(i)))
+    spark.createDataFrame(java.util.Arrays.asList(rows.toArray: _*), hitsSchema)
+  }
+
+  private val coreSchema = StructType(Seq(
+    StructField("node", LongType), StructField("deg", LongType)))
+
+  /** Driver-side synchronized peel for [[kCore]]'s small-graph regime —
+    * identical sweeps over the collected edge rows (the k-core is unique,
+    * so sweep order cannot change the result, only the sweep count). */
+  private def localKCore(spark: SparkSession, edgeRows: Array[Row],
+      k: Int, maxSweeps: Int): DataFrame = {
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.HashSet[Long]]
+    edgeRows.foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        val (u, v) = (r.getLong(0), r.getLong(1))
+        if (u != v) {
+          adj.getOrElseUpdate(u, mutable.HashSet.empty) += v
+          adj.getOrElseUpdate(v, mutable.HashSet.empty) += u
+        }
+      }
+    }
+    var sweeps = 0
+    var changed = true
+    while (changed) {
+      require(sweeps < maxSweeps,
+        s"kCore: no fixpoint after $maxSweeps sweeps — raise maxSweeps")
+      val bad = adj.iterator.collect { case (n, ns) if ns.size < k => n }.toArray
+      changed = bad.nonEmpty
+      bad.foreach { n =>
+        adj.remove(n).foreach(_.foreach(m => adj.get(m).foreach(_ -= n)))
+      }
+      sweeps += 1
+    }
+    val rows = adj.toSeq.sortBy(_._1).map { case (n, ns) => Row(n, ns.size.toLong) }
+    spark.createDataFrame(java.util.Arrays.asList(rows.toArray: _*), coreSchema)
+  }
+
   private val labelSchema = StructType(Seq(
     StructField("node", LongType), StructField("label", LongType)))
 

@@ -907,4 +907,44 @@ object Similarity {
         cosine(vec.cast("array<double>"), col("centroid")))
       .drop("centroid")
   }
+
+  /** Matryoshka truncation recall (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): for each prefix budget d in `dims`, rank
+    * the corpus by cosine over the FIRST d dimensions only and measure
+    * the overlap with the full-dimension exact top-k — the dial that
+    * decides how far an MRL embedding column can be truncated (4× fewer
+    * bytes per vector) before retrieval quality pays. Cosine over a
+    * prefix re-normalizes by the prefix norms, so no explicit renorm
+    * pass is needed. Returns one row per budget:
+    * (dim, n_hits, n_queries, recall) with recall = hits / (k·|queries|)
+    * — micro-averaged over queries, ties broken (cos desc, id asc) like
+    * [[bruteForceTopK]].
+    *
+    * Scale shape: |dims|+1 broadcast-join passes over the corpus (the
+    * query side is the broadcast side; the corpus is never shuffled
+    * beyond each per-query k-row window). This is the ground-truth EVAL
+    * harness — run it over a sampled corpus slice / query panel, the
+    * same regime as [[bruteForceTopK]]; production retrieval at the
+    * chosen budget then goes through the IVF/PQ paths. */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, qid: String, qvec: String, k: Int,
+      dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ > 0), "need positive dims")
+    require(dims.distinct.size == dims.size, "duplicate dims")
+    val nQ = queries.count()
+    require(nQ > 0, "empty query panel")
+    val full = bruteForceTopK(corpus, queries, id, vec, qid, qvec, k)
+      .select(col(qid), col(id)).cache()
+    val rows = dims.map { d =>
+      val tc = corpus.withColumn(vec, slice(col(vec), 1, d))
+      val tq = queries.withColumn(qvec, slice(col(qvec), 1, d))
+      bruteForceTopK(tc, tq, id, vec, qid, qvec, k)
+        .select(col(qid), col(id))
+        .join(full, Seq(qid, id), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d).as("dim"), col("n_hits"), lit(nQ).as("n_queries"),
+          round(col("n_hits").cast("double") / (k * nQ), 6).as("recall"))
+    }
+    rows.reduce(_.unionAll(_))
+  }
 }

@@ -756,6 +756,40 @@ object DedupTextQueries {
         .orderBy("node")
     }),
 
+    "graph_hits" -> ((s, dir) => {
+      // HITS (2 rounds, L1-normalized per round) over the graph_pagerank
+      // link graph — authorities vs hubs for link-graph curation. The
+      // twin unrolls both rounds; round(…,6) absorbs summation-order ULP.
+      val edges = table(s, dir, "events").where(col("event_id") < 3000)
+        .select((col("user_id") % 40).as("u"),
+          (col("user_id") % 40 + 1 + col("event_id") % 11) % 40 as "v")
+        .distinct()
+      graft.ops.Graph.hits(edges, "u", "v", iterations = 2)
+        .select(col("node"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))
+        .orderBy("node")
+    }),
+
+    "graph_kcore" -> ((s, dir) => {
+      // 2-core over a chain ∪ 10-cycle ∪ K7 ∪ bridge graph derived from
+      // events: the chain and bridge cascade away over 26 synchronized
+      // sweeps (each sweep exposes the next chain end), the cycle
+      // (deg 2) and clique (deg 6) survive. The twin peels the same
+      // sweeps in a recursive CTE with per-iteration degree windows.
+      val ev = table(s, dir, "events").where(col("event_id") < 1000)
+      val chain = ev.select((col("event_id") % 25).as("u"),
+        (col("event_id") % 25 + 1).as("v"))
+      val cycle = ev.select((lit(50) + col("event_id") % 10).as("u"),
+        (lit(50) + (col("event_id") % 10 + 1) % 10).as("v"))
+      val clique = ev.select((lit(100) + col("event_id") % 7).as("u"),
+        (lit(100) + col("user_id") % 7).as("v"))
+      val bridge = ev.limit(1).select(lit(25L).as("u"), lit(100L).as("v"))
+      val edges = chain.unionByName(cycle).unionByName(clique)
+        .unionByName(bridge).distinct()
+      graft.ops.Graph.kCore(edges, "u", "v", k = 2)
+        .orderBy("node")
+    }),
+
     "dedup_entity_resolution" -> ((s, dir) => {
       // Entity resolution capstone: fuzzy-match edges (levenshtein <= 2,
       // length-banded) -> connected components -> canonical entity per
@@ -2555,6 +2589,73 @@ object DedupTextQueries {
         |FROM n a JOIN n b ON a.name < b.name
         |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.87
         |ORDER BY 1, 2""".stripMargin,
+
+    // Two unrolled HITS rounds: a ← Σ_in h, h ← Σ_out a, both
+    // L1-normalized per round. Nodes without in/out edges carry 0 via
+    // the LEFT JOIN + coalesce, exactly like the engine's `nodes` frame.
+    "graph_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id % 40 AS u,
+        |    (user_id % 40 + 1 + event_id % 11) % 40 AS v
+        |  FROM events WHERE event_id < 3000),
+        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |a0 AS (SELECT v AS node, sum(1.0e0 / nn.n) AS s
+        |       FROM e CROSS JOIN nn GROUP BY v),
+        |h0 AS (SELECT e.u AS node, sum(coalesce(a0.s, 0.0e0)) AS s
+        |       FROM e LEFT JOIN a0 ON a0.node = e.v GROUP BY e.u),
+        |n1 AS (SELECT (SELECT sum(s) FROM h0) AS hs,
+        |              (SELECT sum(s) FROM a0) AS "as"),
+        |h1 AS (SELECT nodes.node, coalesce(h0.s, 0.0e0) / n1.hs AS hub
+        |       FROM nodes LEFT JOIN h0 ON h0.node = nodes.node CROSS JOIN n1),
+        |a1 AS (SELECT nodes.node, coalesce(a0.s, 0.0e0) / n1."as" AS auth
+        |       FROM nodes LEFT JOIN a0 ON a0.node = nodes.node CROSS JOIN n1),
+        |a2 AS (SELECT e.v AS node, sum(h1.hub) AS s
+        |       FROM e JOIN h1 ON h1.node = e.u GROUP BY e.v),
+        |h2 AS (SELECT e.u AS node, sum(coalesce(a2.s, 0.0e0)) AS s
+        |       FROM e LEFT JOIN a2 ON a2.node = e.v GROUP BY e.u),
+        |n2 AS (SELECT (SELECT sum(s) FROM h2) AS hs,
+        |              (SELECT sum(s) FROM a2) AS "as")
+        |SELECT nodes.node,
+        |  round(coalesce(h2.s, 0.0e0) / n2.hs, 6) AS hub,
+        |  round(coalesce(a2.s, 0.0e0) / n2."as", 6) AS auth
+        |FROM nodes LEFT JOIN h2 ON h2.node = nodes.node
+        |LEFT JOIN a2 ON a2.node = nodes.node CROSS JOIN n2
+        |ORDER BY nodes.node""".stripMargin,
+
+    // Synchronized k-core peel as a recursive CTE: each iteration keeps
+    // the edges whose BOTH endpoints have degree >= k in the previous
+    // iteration's edge set (degree = count() windows over the symmetrized
+    // working table), re-emitting stable rows with it+1. The fixture
+    // converges in 26 sweeps; depth 32 leaves margin, rows at it = 32 are
+    // the fixpoint.
+    "graph_kcore" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT event_id % 25 AS u, event_id % 25 + 1 AS v
+        |  FROM events WHERE event_id < 1000
+        |  UNION
+        |  SELECT 50 + event_id % 10, 50 + (event_id % 10 + 1) % 10
+        |  FROM events WHERE event_id < 1000
+        |  UNION
+        |  SELECT 100 + event_id % 7, 100 + user_id % 7
+        |  FROM events WHERE event_id < 1000
+        |  UNION
+        |  SELECT 25, 100),
+        |sym AS (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw)
+        |  WHERE u != v),
+        |alive AS (
+        |  SELECT u, v, 0 AS it FROM sym
+        |  UNION ALL
+        |  SELECT u, v, it + 1 FROM (
+        |    SELECT u, v, it,
+        |      count(*) OVER (PARTITION BY u) AS du,
+        |      count(*) OVER (PARTITION BY v) AS dv
+        |    FROM alive)
+        |  WHERE du >= 2 AND dv >= 2 AND it < 32)
+        |SELECT u AS node, count(*) AS deg
+        |FROM alive WHERE it = 32 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // 3 unrolled PageRank iterations; double literals via e0 exponents so
     // DuckDB doesn't fall into DECIMAL arithmetic; round(…,6) absorbs

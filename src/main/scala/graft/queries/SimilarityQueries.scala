@@ -116,6 +116,18 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    "embedding_matryoshka" -> ((s, dir) => {
+      // MRL truncation dial (Kusupati 2022): top-5 recall vs the full
+      // 64-dim exact neighbors when ranking on the first 4/8/16/32/64
+      // dims only — dim=64 must land at recall 1.0 by construction.
+      val e = emb(s, dir).select("vec_id", "v")
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      Similarity.matryoshkaRecall(e, queries, "vec_id", "v", "qid", "qv",
+          k = 5, dims = Seq(4, 8, 16, 32, 64))
+        .orderBy("dim")
+    }),
+
     "retrieval_hard_negatives" -> ((s, dir) => {
       // ANCE/DPR-style mining: fetch top-12 exact neighbors per query,
       // treat each query's top-2 as its labeled positives, emit the
@@ -934,6 +946,35 @@ object SimilarityQueries {
          |  FROM pairs)
          |SELECT qid, vec_id, round(cos, 4) AS cos, rank
          |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "embedding_matryoshka" -> {
+      val dims = Seq(4, 8, 16, 32, 64)
+      def cos(d: Int) = {
+        def sl(t: String) = s"$t.v[1:$d]"
+        s"""list_dot_product(${sl("a")}, ${sl("b")}) /
+           |      (sqrt(list_dot_product(${sl("a")}, ${sl("a")})) *
+           |       sqrt(list_dot_product(${sl("b")}, ${sl("b")})))""".stripMargin
+      }
+      def rankCte(name: String, d: Int) =
+        s"""$name AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT b.vec_id AS qid, a.vec_id, row_number() OVER (
+           |      PARTITION BY b.vec_id
+           |      ORDER BY ${cos(d)} DESC, a.vec_id ASC) AS rank
+           |    FROM e a JOIN e b ON b.vec_id < 3 AND a.vec_id != b.vec_id)
+           |  WHERE rank <= 5)""".stripMargin
+      val ctes = (s"e AS (SELECT vec_id, $vSql AS v FROM embeddings)" +:
+        rankCte("fullk", 64) +:
+        dims.map(d => rankCte(s"d$d", d))).mkString(",\n")
+      val rows = dims.map { d =>
+        s"""SELECT $d AS dim, count(*) AS n_hits,
+           |  CAST(3 AS BIGINT) AS n_queries,
+           |  round(count(*) / 15.0, 6) AS recall
+           |FROM d$d t JOIN fullk f
+           |  ON t.qid = f.qid AND t.vec_id = f.vec_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $ctes\nSELECT * FROM (\n$rows\n) ORDER BY dim"
+    },
 
     // SQ8 twin: recompute the per-dim min/max fit (order-independent →
     // exact), replay the clamp/floor encode and the affine dequant with

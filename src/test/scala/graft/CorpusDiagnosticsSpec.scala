@@ -377,4 +377,34 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextOps.oovRate(docs, col("doc_id"), col("text"), vocabSize = 100000) }
   }
+
+  // ----------------------------------------------------- matryoshkaRecall
+
+  test("matryoshkaRecall: prefix ranking recovers full top-k as dims grow") {
+    // q = e1; a duplicates q; b hides its mass in dim 3 (prefix-2 cosine
+    // ties with a at 1.0, full cosine ~0.0995); c is a near-duplicate.
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 10.0, 0.0)),
+      (3L, Seq(0.9, 0.1, 0.0, 0.0))
+    ).toDF("vec_id", "v")
+    val queries = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("qid", "qv")
+    val out = Similarity.matryoshkaRecall(corpus, queries, "vec_id", "v",
+        "qid", "qv", k = 2, dims = Seq(2, 4))
+      .orderBy("dim").collect()
+    // full top-2 = {1, 3}; prefix-2 top-2 = {1, 2} (tie at cos 1.0 broken
+    // by id) -> 1 hit of 2; prefix-4 = full -> 2 hits
+    assert(out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((2, 1L, 1L), (4, 2L, 1L)))
+    assert(out(0).getDouble(3) == 0.5 && out(1).getDouble(3) == 1.0)
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaRecall(corpus, queries, "vec_id", "v",
+        "qid", "qv", k = 2, dims = Seq.empty) }
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaRecall(corpus, queries, "vec_id", "v",
+        "qid", "qv", k = 2, dims = Seq(2, 2)) }
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaRecall(corpus, queries.limit(0), "vec_id", "v",
+        "qid", "qv", k = 2, dims = Seq(2)) }
+  }
 }
