@@ -630,6 +630,77 @@ object ScaleProbe {
         time(s"distinctNgramStats n=$n ns=1,2,3")(
           TextOps.distinctNgramStats(d, col("text"), Seq(1, 2, 3))
             .collect().foreach(row => println("  " + row)))
+      case "kcore" =>
+        // n edges over n/10 nodes, hash-soup topology, k tuned so the
+        // peel actually iterates; distributed regime forced
+        val nNodes = math.max(n / 10, 10L)
+        val edges = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(nNodes)).as("s"),
+          pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("d"))
+        edges.count()
+        val k = args.lift(2).map(_.toInt).getOrElse(18)
+        time(s"kCore edges=$n nodes=$nNodes k=$k (distributed)")(
+          graft.ops.Graph.kCore(edges, "s", "d", k = k,
+              localEdgeThreshold = 0)
+            .agg(count(lit(1)), sum("deg")).collect()
+            .foreach(row => println("  " + row)))
+      case "hits" =>
+        val nNodes = math.max(n / 10, 10L)
+        val edges = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(nNodes)).as("s"),
+          pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("d"))
+        edges.count()
+        time(s"hits edges=$n nodes=$nNodes iters=3 (distributed)")(
+          graft.ops.Graph.hits(edges, "s", "d", iterations = 3,
+              localEdgeThreshold = 0)
+            .agg(sum("hub"), sum("auth")).collect())
+      case "chi2" =>
+        // 100 groups x 50 categories over n rows: collapses to 5000
+        // cells in one map-side-combined pass
+        val df = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(100)).as("g"),
+          pmod(xxhash64(col("id"), lit(1)), lit(50)).as("c"))
+        df.count()
+        time(s"chi2Drift n=$n grid=100x50")(
+          Stats.chi2Drift(df, col("g"), col("c")).collect()
+            .foreach(row => println("  " + row)))
+      case "mannwhitney" =>
+        // heavy ties: values quantized to 10k distinct levels, so the
+        // rank window runs over 10k rows regardless of n
+        val df = spark.range(n).select(
+          when(pmod(xxhash64(col("id")), lit(2)) === 0, "a").otherwise("b").as("g"),
+          (pmod(xxhash64(col("id"), lit(1)), lit(10000)) / 7.0).as("v"))
+        df.count()
+        time(s"mannWhitneyU n=$n distinct=10000")(
+          Stats.mannWhitneyU(df, col("v"), col("g"), "a", "b").collect()
+            .foreach(row => println("  " + row)))
+      case "tcloseness" =>
+        // 1000 QI groups x 50 sensitive values over n rows: the grid is
+        // 50k rows, everything upstream map-side combined
+        val df = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(1000)).as("q"),
+          concat(lit("s"), pmod(xxhash64(col("id"), lit(1)), lit(50))).as("sv"))
+        df.count()
+        time(s"tCloseness n=$n groups=1000 domain=50")(
+          Stats.tCloseness(df, Seq("q"), "sv", t = 0.1, ordered = true)
+            .agg(count(lit(1)), sum(col("at_risk").cast("long")),
+              sum("emd")).collect()
+            .foreach(row => println("  " + row)))
+      case "matryoshka" =>
+        // n corpus vectors x dim 64, 16 query vectors, 4 prefix budgets:
+        // 5 broadcast brute passes over the corpus
+        val dim = 64
+        def vecs(rows: Long) = spark.range(rows).select(col("id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 500.0 - 1.0)
+            .as("v"))
+        val corpus = vecs(n).persist()
+        corpus.count()
+        val queries = vecs(16).select(col("id").as("qid"), col("v").as("qv"))
+        time(s"matryoshkaRecall n=$n dim=$dim k=10 dims=8,16,32,64")(
+          graft.ops.Similarity.matryoshkaRecall(corpus, queries, "id", "v",
+              "qid", "qv", k = 10, dims = Seq(8, 16, 32, 64))
+            .collect().foreach(row => println("  " + row)))
       case other => sys.error(s"unknown probe op: $other")
     }
     spark.stop()

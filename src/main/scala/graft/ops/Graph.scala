@@ -178,12 +178,17 @@ object Graph {
         return out
       }
     }
+    // localCheckpoint per sweep: the peel can run dozens of sweeps, and a
+    // cache alone keeps the whole anti-join lineage — the plan tree (and
+    // its analysis cost) would grow without bound. Checkpointing
+    // truncates lineage to the materialized blocks each sweep, so sweep
+    // cost stays flat no matter how long the cascade trickles.
     var cur = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-      .where(col("u") =!= col("v")).distinct().cache()
-    cur.count()
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    var curCount = cur.count()
     e0.unpersist(blocking = false)
     var sweeps = 0
-    var done = false
+    var done = curCount == 0L
     while (!done) {
       require(sweeps < maxSweeps,
         s"kCore: no fixpoint after $maxSweeps sweeps — raise maxSweeps")
@@ -192,17 +197,14 @@ object Graph {
       val next = cur
         .join(under, cur("u") === col("__bad"), "left_anti")
         .join(under, cur("v") === col("__bad"), "left_anti")
-        .cache()
-      // one action decides both progress and termination
-      val removed = cur.count() - next.count()
-      cur.unpersist(blocking = false)
+        .localCheckpoint()
+      val nextCount = next.count()
+      done = nextCount == curCount
       cur = next
+      curCount = nextCount
       sweeps += 1
-      done = removed == 0L
     }
-    val out = cur.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
-    cur.unpersist(blocking = false)
-    out
+    cur.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }
 
   /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in
@@ -244,9 +246,9 @@ object Graph {
     for (_ <- 0 until iterations) {
       val auth0 = e.join(scores, e("u") === scores("node"))
         .groupBy(e("v").as("anode")).agg(sum("hub").as("a0"))
-      val authN = nodes.join(auth0, col("node") === col("anode"), "left")
-        .select(col("node"), coalesce(col("a0"), lit(0.0)).as("a0"))
-      val hub0 = e.join(authN, e("v") === authN("node"))
+      // inner join is lossless here: every edge target has an in-edge by
+      // construction, so it appears in auth0 — no zero terms are dropped
+      val hub0 = e.join(auth0, e("v") === col("anode"))
         .groupBy(e("u").as("hnode")).agg(sum("a0").as("h0"))
       val joined = nodes
         .join(auth0, col("node") === col("anode"), "left")
