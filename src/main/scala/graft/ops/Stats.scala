@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /** Column-statistics operators: P10 standardize, F6/F7 column pruning,
   * G3 distinct counts, G8 time-bin downsampling, G17 ACF.
@@ -1112,6 +1112,114 @@ object Stats {
         round(sqrt(col("__chi2") / (n * (math.min(r, c) - 1.0))), 9)
           .as("cramers_v"),
         lit(n).as("n"))
+  }
+
+  /** Split-conformal interval radius (Vovk et al. 2005; Lei et al. 2018,
+    * "Distribution-Free Predictive Inference for Regression"): q̂ = the
+    * ⌈(n+1)(1−α)⌉-th smallest absolute residual |y − ŷ| on a held-out
+    * calibration set. Under exchangeability, ŷ ± q̂ covers the true y
+    * with probability ≥ 1 − α on fresh rows — the distribution-free
+    * uncertainty band for ANY point predictor (labeler-model QA, score
+    * thresholds with guarantees). The rank-k order statistic is taken
+    * EXACTLY (no interpolation): `percentile_disc` at p = (k−½)/n — the
+    * first value with cume_dist ≥ p, which is rank k robustly — so the
+    * fitted radius is the identical residual VALUE in any engine
+    * (rounded like every fitted fence here). One aggregation pass + one
+    * scalar; `sketchK > 0` takes the mergeable-KLL path at 100 TB
+    * calibration sizes (rank error ~1.65%, see [[fitQuantiles]]).
+    * Requires α > 1/(n+1) (else the guarantee needs an infinite band —
+    * refused loudly). */
+  def conformalFit(cal: DataFrame, yTrue: Column, yPred: Column,
+      alpha: Double, roundTo: Int = 9, sketchK: Int = 0): Double = {
+    require(alpha > 0.0 && alpha < 1.0, "need 0 < alpha < 1")
+    val nc = abs(yTrue.cast("double") - yPred.cast("double"))
+    val withNc = cal.select(nc.as("__nc")).where(col("__nc").isNotNull)
+    val n = withNc.count()
+    val k = math.ceil((n + 1) * (1.0 - alpha)).toLong
+    require(k <= n,
+      s"conformalFit: alpha=$alpha needs rank $k of $n residuals — " +
+        "an infinite band; collect more calibration rows or raise alpha")
+    val p = (k - 0.5) / n
+    val raw =
+      if (sketchK > 0) fitQuantiles(withNc, col("__nc"), Seq(p), roundTo, sketchK).head
+      else withNc
+        .agg(expr(s"percentile_disc(${java.lang.Double.toString(p)}) " +
+          "WITHIN GROUP (ORDER BY __nc)"))
+        .head().getDouble(0)
+    BigDecimal(raw).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Apply a fitted conformal radius: adds `<out>_lo`/`<out>_hi` =
+    * ŷ ∓ q̂ and `<out>_covered` (was the realized y inside the band —
+    * null y stays null). Pure projection, streams as-is. */
+  def conformalApply(df: DataFrame, yTrue: Column, yPred: Column,
+      qhat: Double, out: String = "conf"): DataFrame =
+    df.withColumn(s"${out}_lo", yPred.cast("double") - qhat)
+      .withColumn(s"${out}_hi", yPred.cast("double") + qhat)
+      .withColumn(s"${out}_covered",
+        abs(yTrue.cast("double") - yPred.cast("double")) <= qhat)
+
+  /** Bradley–Terry preference-strength fit (Bradley & Terry 1952) via
+    * the MM algorithm (Hunter 2004, "MM algorithms for generalized
+    * Bradley–Terry models") — the standard instrument over PAIRWISE
+    * PREFERENCE data (RLHF comparisons, annotator-vs-annotator QA,
+    * model arena matches): item strengths p with
+    * P(i beats j) = p_i / (p_i + p_j), fitted by `iterations` MM rounds
+    *   p_i ← W_i / Σ_{j≠i} n_ij / (p_i + p_j),   then L1-normalize,
+    * from a uniform start. Items that never win converge to 0 (the MLE
+    * boundary) — add pseudo-counts upstream if a prior is wanted.
+    *
+    * Scale shape: the comparison log (any size) collapses to ONE
+    * map-side-combined (winner, loser) count — the only shuffle; the
+    * matchup table (≤ items², guarded by `maxItems`, refused loudly) is
+    * collected and the k-item MM runs driver-side in deterministic
+    * sorted-item order, exactly the [[LinearModel]] / Fellegi–Sunter
+    * small-model regime. Returns (item, n_wins, n_games, score). */
+  def bradleyTerry(df: DataFrame, winner: Column, loser: Column,
+      iterations: Int, maxItems: Int = 1024): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val spark = df.sparkSession
+    val matchups = df
+      .select(winner.cast("string").as("w"), loser.cast("string").as("l"))
+      .where(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
+      .groupBy("w", "l").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val items = matchups.flatMap(m => Seq(m._1, m._2)).distinct.sorted
+    require(items.length <= maxItems,
+      s"bradleyTerry: ${items.length} items > $maxItems — this is a per-item " +
+        "model op; bucket the items or raise maxItems")
+    val idx = items.zipWithIndex.toMap
+    val k = items.length
+    if (k == 0)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(Seq(StructField("item", StringType),
+          StructField("n_wins", LongType), StructField("n_games", LongType),
+          StructField("score", DoubleType))))
+    val winsOver = Array.ofDim[Long](k, k) // winsOver(i)(j) = #times i beat j
+    matchups.foreach { case (w, l, n) => winsOver(idx(w))(idx(l)) += n }
+    val wins = Array.tabulate(k)(i => winsOver(i).sum)
+    val games = Array.tabulate(k, k)((i, j) => winsOver(i)(j) + winsOver(j)(i))
+    var p = Array.fill(k)(1.0 / k)
+    for (_ <- 0 until iterations) {
+      val p0 = Array.tabulate(k) { i =>
+        var den = 0.0
+        var j = 0
+        while (j < k) {
+          if (j != i && games(i)(j) > 0) den += games(i)(j) / (p(i) + p(j))
+          j += 1
+        }
+        if (den == 0.0) 0.0 else wins(i) / den
+      }
+      val s = p0.sum
+      p = if (s == 0.0) p0 else p0.map(_ / s)
+    }
+    val rows = items.indices.map { i =>
+      Row(items(i), wins(i), games(i).sum, p(i))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows.toArray: _*),
+      StructType(Seq(StructField("item", StringType),
+        StructField("n_wins", LongType), StructField("n_games", LongType),
+        StructField("score", DoubleType))))
   }
 
   /** Poisson(1) cumulative probabilities c_0..c_8 (shared by the Column

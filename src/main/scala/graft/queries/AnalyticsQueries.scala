@@ -61,6 +61,47 @@ object AnalyticsQueries {
           round(col("entropy"), 6).as("entropy"), col("at_risk"))
         .orderBy("lang")),
 
+    "g_conformal" -> ((s, dir) => {
+      // Split conformal: per-type mean model on the train third, q̂ =
+      // ceil((n+1)·0.875)-th smallest |residual| on the calibration
+      // third (α = 0.125 — exactly binary, no decimal-parse skew), bands
+      // applied + coverage audited on the test third.
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val model = ev.where(col("event_id") % 3 === 0)
+        .groupBy("event_type").agg(round(avg("value"), 6).as("yhat"))
+      def pred(df: org.apache.spark.sql.DataFrame) =
+        df.join(broadcast(model), "event_type")
+      val qhat = Stats.conformalFit(pred(ev.where(col("event_id") % 3 === 1)),
+        col("value"), col("yhat"), alpha = 0.125)
+      Stats.conformalApply(pred(ev.where(col("event_id") % 3 === 2)),
+          col("value"), col("yhat"), qhat)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("conf_covered").cast("long")).as("n_covered"),
+          round(avg(col("conf_covered").cast("double")), 6).as("coverage"))
+        .withColumn("qhat", round(lit(qhat), 6))
+        .orderBy("event_type")
+    }),
+
+    "g_bradley_terry" -> ((s, dir) => {
+      // BT preference strengths (20 MM rounds) from a synthetic arena
+      // whose ground truth IS Bradley–Terry: the integer-mod draw gives
+      // P(a beats b) = (a+1)/(a+b+2), i.e. strengths ∝ item index + 1.
+      // The dynamic twin replays the FINAL MM round in SQL from literal
+      // round-19 strengths over its own recomputed matchup counts.
+      val a = col("event_id") % 5
+      val b = (col("event_id") % 5 + 1 + col("user_id") % 4) % 5
+      val aw = col("user_id") % (a + b + lit(2)) < a + 1
+      val g = table(s, dir, "events").select(
+        concat(lit("m"), when(aw, a).otherwise(b)).as("w"),
+        concat(lit("m"), when(aw, b).otherwise(a)).as("l"))
+      Stats.bradleyTerry(g, col("w"), col("l"), iterations = 20)
+        .select(col("item"), col("n_wins"), col("n_games"),
+          round(col("score"), 6).as("score"))
+        .orderBy("item")
+    }),
+
     "g_t_closeness" -> ((s, dir) =>
       // Third leg of the privacy triad: per-lang distance between the
       // group's source distribution and the corpus-wide one — TVD
@@ -668,6 +709,30 @@ object AnalyticsQueries {
         |  round(ln(CAST(n AS DOUBLE)) - clc / n, 6) AS entropy,
         |  n_sensitive < 18 AS at_risk
         |FROM g ORDER BY lang""".stripMargin,
+
+    "g_conformal" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events),
+        |model AS (SELECT event_type, round(avg(value), 6) AS yhat
+        |          FROM ev WHERE event_id % 3 = 0 GROUP BY 1),
+        |cal AS (SELECT abs(e.value - m.yhat) AS nc
+        |        FROM ev e JOIN model m USING (event_type)
+        |        WHERE e.event_id % 3 = 1 AND e.value IS NOT NULL),
+        |nn AS (SELECT CAST(ceil((count(*) + 1) * 0.875) AS BIGINT) AS k
+        |       FROM cal),
+        |q AS (SELECT round(nc, 9) AS qhat FROM (
+        |        SELECT nc, row_number() OVER (ORDER BY nc) AS r FROM cal)
+        |      WHERE r = (SELECT k FROM nn)),
+        |test AS (SELECT e.event_type, e.value, m.yhat
+        |         FROM ev e JOIN model m USING (event_type)
+        |         WHERE e.event_id % 3 = 2)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN abs(value - yhat) <= q.qhat
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  round(avg(CASE WHEN abs(value - yhat) <= q.qhat
+        |    THEN 1.0 ELSE 0.0 END), 6) AS coverage,
+        |  round(q.qhat, 6) AS qhat
+        |FROM test CROSS JOIN q
+        |GROUP BY event_type, q.qhat ORDER BY event_type""".stripMargin,
 
     "g_t_closeness" ->
       """WITH cells AS (SELECT lang, source, count(*) AS c

@@ -567,6 +567,57 @@ class AnalyticsSpec extends SparkSpec {
       Stats.chi2Drift(df, col("g"), col("c"), maxCells = 2))
   }
 
+  test("conformalFit/Apply: exact rank-k residual radius, bands and coverage flags") {
+    import spark.implicits._
+    // residuals 1..9, alpha = 0.25 -> k = ceil(10 * 0.75) = 8 -> qhat = 8
+    val cal = (1 to 9).map(i => (i.toDouble, 0.0)).toDF("y", "yhat")
+    val q = Stats.conformalFit(cal, col("y"), col("yhat"), alpha = 0.25)
+    assert(q == 8.0)
+    val test = Seq((7.5, 0.0), (9.0, 0.0), (-8.0, 0.0)).toDF("y", "yhat")
+    val out = Stats.conformalApply(test, col("y"), col("yhat"), q)
+      .collect().map(r => (r.getDouble(0), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(out(0) == ((7.5, -8.0, 8.0, true)))   // inside
+    assert(out(1) == ((9.0, -8.0, 8.0, false)))  // outside
+    assert(out(2) == ((-8.0, -8.0, 8.0, true)))  // boundary is inclusive
+    // ties across the rank don't matter: the VALUE is what is returned
+    val tied = Seq(1.0, 5.0, 5.0, 5.0, 9.0).map((_, 0.0)).toDF("y", "yhat")
+    assert(Stats.conformalFit(tied, col("y"), col("yhat"), alpha = 0.4) == 5.0)
+    // alpha below 1/(n+1) needs an infinite band -> refused loudly
+    intercept[IllegalArgumentException] {
+      Stats.conformalFit(cal, col("y"), col("yhat"), alpha = 0.05) }
+    intercept[IllegalArgumentException] {
+      Stats.conformalFit(cal, col("y"), col("yhat"), alpha = 1.5) }
+  }
+
+  test("bradleyTerry: MM converges to the pairwise MLE; boundary and guards") {
+    import spark.implicits._
+    // A beats B 3-1: MLE has P(A beats B) = 3/4 -> scores (0.75, 0.25);
+    // MM reaches it in ONE round from uniform and stays fixed
+    val ab = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A"))).toDF("w", "l")
+    val r1 = Stats.bradleyTerry(ab, col("w"), col("l"), iterations = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(r1("A") == ((3L, 4L, 0.75)) && r1("B") == ((1L, 4L, 0.25)))
+    val r9 = Stats.bradleyTerry(ab, col("w"), col("l"), iterations = 9)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(approx(r9("A"), 0.75) && approx(r9("B"), 0.25))
+    // never-wins item sits on the MLE boundary at 0; scores stay L1-normed
+    val chain = (Seq.fill(2)(("A", "B")) ++ Seq.fill(2)(("B", "C"))).toDF("w", "l")
+    val rc = Stats.bradleyTerry(chain, col("w"), col("l"), iterations = 30)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rc("C") == 0.0 && rc("A") > rc("B") && rc("B") > 0.0)
+    assert(approx(rc.values.sum, 1.0))
+    // nulls and self-comparisons are dropped before counting
+    val noisy = ab.union(Seq(("A", "A")).toDF("w", "l"))
+      .union(Seq((null.asInstanceOf[String], "B")).toDF("w", "l"))
+    assert(Stats.bradleyTerry(noisy, col("w"), col("l"), 1)
+      .collect().map(r => r.getLong(2)).sum == 8L) // still 4 games x 2 sides
+    intercept[IllegalArgumentException](Stats.bradleyTerry(ab, col("w"), col("l"), 0))
+    intercept[IllegalArgumentException](
+      Stats.bradleyTerry(ab, col("w"), col("l"), 1, maxItems = 1))
+    assert(Stats.bradleyTerry(ab.limit(0), col("w"), col("l"), 1).count() == 0)
+  }
+
   test("dpGroupCounts: per-(seed, group) deterministic Laplace noise, fresh seed fresh noise") {
     import spark.implicits._
     val df = (1 to 200).map(i => (s"g${i % 20}", i)).toDF("g", "x")
