@@ -1123,8 +1123,11 @@ object Stats {
     * thresholds with guarantees). The rank-k order statistic is taken
     * EXACTLY (no interpolation): `percentile_disc` at p = (k−½)/n — the
     * first value with cume_dist ≥ p, which is rank k robustly — so the
-    * fitted radius is the identical residual VALUE in any engine
-    * (rounded like every fitted fence here). One aggregation pass + one
+    * fitted radius is the identical residual VALUE in any engine. The
+    * radius is then rounded UP at the 10^-roundTo grid (`ceil`, not
+    * half-up: rounding DOWN would shrink the band below the rank-k
+    * residual and void the finite-sample guarantee at the knife edge —
+    * a ScalaCheck law caught exactly that). One aggregation pass + one
     * scalar; `sketchK > 0` takes the mergeable-KLL path at 100 TB
     * calibration sizes (rank error ~1.65%, see [[fitQuantiles]]).
     * Requires α > 1/(n+1) (else the guarantee needs an infinite band —
@@ -1146,7 +1149,9 @@ object Stats {
         .agg(expr(s"percentile_disc(${java.lang.Double.toString(p)}) " +
           "WITHIN GROUP (ORDER BY __nc)"))
         .head().getDouble(0)
-    BigDecimal(raw).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ceil at the grid, as the IEEE formula BOTH engine twins replay
+    val grid = math.pow(10.0, roundTo)
+    math.ceil(raw * grid) / grid
   }
 
   /** Apply a fitted conformal radius: adds `<out>_lo`/`<out>_hi` =

@@ -719,7 +719,7 @@ object AnalyticsQueries {
         |        WHERE e.event_id % 3 = 1 AND e.value IS NOT NULL),
         |nn AS (SELECT CAST(ceil((count(*) + 1) * 0.875) AS BIGINT) AS k
         |       FROM cal),
-        |q AS (SELECT round(nc, 9) AS qhat FROM (
+        |q AS (SELECT ceil(nc * 1e9) / 1e9 AS qhat FROM (
         |        SELECT nc, row_number() OVER (ORDER BY nc) AS r FROM cal)
         |      WHERE r = (SELECT k FROM nn)),
         |test AS (SELECT e.event_type, e.value, m.yhat

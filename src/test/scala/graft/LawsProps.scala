@@ -403,6 +403,127 @@ object LawsProps extends Properties("GraftLaws") {
         both.getAs[Double]("v_chao1") == both.getAs[Long]("vocab").toDouble
     }
 
+  property("mannWhitneyU: U_a + U_b = n_a*n_b; swapping groups swaps U and negates z") =
+    Prop.forAll(Gen.choose(2, 40), Gen.choose(2, 40), seedG) { (na, nb, seed) =>
+      def v(i: Int) = math.abs((i * 2654435761L + seed) % 13).toDouble // heavy ties
+      val rows = (0 until na).map(i => ("a", v(i))) ++
+        (0 until nb).map(i => ("b", v(i + na)))
+      val df = rows.toDF("g", "x")
+      val f = Stats.mannWhitneyU(df, col("x"), col("g"), "a", "b").head()
+      val r = Stats.mannWhitneyU(df, col("x"), col("g"), "b", "a").head()
+      val (ua, ub, z) = (f.getDouble(0), f.getDouble(1), f.getDouble(2))
+      math.abs(ua + ub - na.toLong * nb) < 1e-9 &&
+        math.abs(r.getDouble(0) - ub) < 1e-9 &&
+        (z.isNaN && r.getDouble(2).isNaN || math.abs(r.getDouble(2) + z) < 1e-6) &&
+        f.getLong(3) == na && f.getLong(4) == nb
+    }
+
+  property("chi2Drift: zero on exact independence; chi2 >= 0, V in [0,1]") =
+    Prop.forAll(Gen.listOfN(3, Gen.choose(1, 3)), Gen.listOfN(3, Gen.choose(1, 3))) { (as, bs) =>
+      // cell (i, j) with multiplicity a_i*b_j IS the product distribution
+      val rows = for {
+        (a, i) <- as.zipWithIndex; (b, j) <- bs.zipWithIndex
+        _ <- 0 until a * b
+      } yield (s"g$i", s"c$j")
+      val r = Stats.chi2Drift(rows.toDF("g", "c"), col("g"), col("c")).head()
+      r.getDouble(0) >= 0 && r.getDouble(0) < 1e-9 &&
+        r.getDouble(2) >= 0 && r.getDouble(2) <= 1 &&
+        r.getLong(1) == 4L && r.getLong(3) == rows.size.toLong
+    }
+
+  property("tCloseness: a lone QI group sits at zero distance; distances in [0,1]") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0, 5)), Gen.choose(2, 4)) { (svs, nq) =>
+      val lone = svs.map(s => ("only", s"s$s")).toDF("q", "s")
+      val l = Stats.tCloseness(lone, Seq("q"), "s", t = 0.5).head()
+      val spread = svs.zipWithIndex.map { case (s, i) => (s"q${i % nq}", s"s$s") }
+        .toDF("q", "s")
+      val all = Stats.tCloseness(spread, Seq("q"), "s", t = 0.5).collect()
+      l.getDouble(2) == 0.0 && l.getDouble(3) == 0.0 && !l.getBoolean(4) &&
+        all.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1 &&
+          r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+    }
+
+  property("kCore: every core degree >= k; the (k+1)-core nests inside the k-core") =
+    Prop.forAll(Gen.choose(10, 60), Gen.choose(1, 4), seedG) { (ne, k, seed) =>
+      def n(i: Int, j: Int) = math.abs((i * 40503L + j * 2654435761L + seed) % 12)
+      val edges = (0 until ne).map(i => (n(i, 1), n(i, 2))).toDF("s", "d")
+      val core = graft.ops.Graph.kCore(edges, "s", "d", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val tighter = graft.ops.Graph.kCore(edges, "s", "d", k + 1)
+        .collect().map(r => r.getLong(0)).toSet
+      core.values.forall(_ >= k) && tighter.subsetOf(core.keySet)
+    }
+
+  property("hits: non-negative scores, both vectors L1-normalized") =
+    Prop.forAll(Gen.choose(5, 40), seedG) { (ne, seed) =>
+      def n(i: Int, j: Int) = math.abs((i * 48611L + j * 2654435761L + seed) % 9)
+      val edges = (0 until ne).map(i => (n(i, 1), n(i, 2)))
+        .filter { case (u, v) => u != v }
+      if (edges.isEmpty) Prop.passed
+      else {
+        val out = graft.ops.Graph.hits(edges.toDF("s", "d"), "s", "d", 2).collect()
+        Prop(out.forall(r => r.getDouble(1) >= 0 && r.getDouble(2) >= 0) &&
+          math.abs(out.map(_.getDouble(1)).sum - 1.0) < 1e-9 &&
+          math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+      }
+    }
+
+  property("bradleyTerry: L1-normalized, order-invariant, games symmetric") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 4), Gen.choose(0, 4)))
+        .map(_.filter(p => p._1 != p._2).map(p => (s"i${p._1}", s"i${p._2}"))),
+        Gen.choose(1, 6)) { (games, iters) =>
+      if (games.isEmpty) Prop.passed
+      else {
+        val a = Stats.bradleyTerry(games.toDF("w", "l"), col("w"), col("l"), iters)
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        val b = Stats.bradleyTerry(games.reverse.toDF("w", "l"), col("w"), col("l"), iters)
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        Prop(a.sortBy(_._1).sameElements(b.sortBy(_._1)) &&
+          math.abs(a.map(_._2._3).sum - 1.0) < 1e-9 &&
+          a.map(_._2._2).sum == 2L * games.size && // every game counted on both sides
+          a.forall { case (_, (w, g, p)) => w <= g && p >= 0 })
+      }
+    }
+
+  property("conformal: the band covers >= ceil((n+1)(1-alpha)) calibration rows") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-50.0, 50.0)),
+        Gen.choose(0.1, 0.6)) { (ys0, alpha) =>
+      val ys = 0.0 :: ys0 // n >= 2
+      val n = ys.size
+      val k = math.ceil((n + 1) * (1.0 - alpha)).toLong
+      if (k > n) Prop.passed // infinite-band regime is refused (specced)
+      else {
+        val cal = ys.map((_, 0.0)).toDF("y", "yhat")
+        val q = Stats.conformalFit(cal, col("y"), col("yhat"), alpha)
+        Prop(ys.count(y => math.abs(y) <= q) >= k)
+      }
+    }
+
+  property("canaryScan: planted occurrences are counted exactly, order-free") =
+    Prop.forAll(Gen.choose(0, 5), Gen.choose(1, 8), seedG) { (hits, nDocs, seed) =>
+      val docs = (0 until nDocs).map { i =>
+        val pad = s"w${math.abs((seed + i) % 97)}"
+        val body = if (i == 0) (Seq.fill(hits)("XCANARYX") ++ Seq(pad)).mkString(" ")
+          else s"$pad plain text"
+        (i.toLong, body)
+      }
+      val out = graft.ops.TextOps.canaryScan(docs.toDF("id", "t"), col("id"),
+          col("t"), Seq("XCANARYX")).head()
+      out.getLong(1) == hits.toLong &&
+        out.getLong(2) == (if (hits > 0) 1L else 0L)
+    }
+
+  property("oovRate: rates in [0,1], n_oov <= n_tokens; full vocab -> zero OOV") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(1, 9)), Gen.choose(1, 5)) { (ws, vs) =>
+      val docs = ws.zipWithIndex.map { case (w, i) => (i.toLong, s"w$w t${w % 3}") }
+      val df = docs.toDF("id", "t")
+      val out = graft.ops.TextOps.oovRate(df, col("id"), col("t"), vs).collect()
+      val full = graft.ops.TextOps.oovRate(df, col("id"), col("t"), 64).collect()
+      out.forall(r => r.getDouble(3) >= 0 && r.getDouble(3) <= 1 &&
+          r.getLong(2) <= r.getLong(1)) &&
+        full.forall(_.getLong(2) == 0L)
+    }
+
   property("silhouette: centroid form is in [0, 1]; cell is the argmin centroid") =
     Prop.forAll(Gen.choose(3, 25), seedG) { (n, seed) =>
       def coord(i: Long, j: Int) =
