@@ -701,6 +701,40 @@ object ScaleProbe {
           graft.ops.Similarity.matryoshkaRecall(corpus, queries, "id", "v",
               "qid", "qv", k = 10, dims = Seq(8, 16, 32, 64))
             .collect().foreach(row => println("  " + row)))
+      case "bradleyterry" =>
+        // n comparisons over 64 items, planted BT ground truth
+        // P(a beats b) = (a+1)/(a+b+2); the log collapses to <= 64^2
+        // matchup rows in one map-side-combined pass
+        val df = spark.range(n).select(col("id"),
+          pmod(xxhash64(col("id")), lit(64)).as("a"),
+          (pmod(xxhash64(col("id")), lit(64)) + 1 +
+            pmod(xxhash64(col("id"), lit(1)), lit(63))) % 64 as "b")
+          .withColumn("aw", pmod(xxhash64(col("id"), lit(2)),
+            col("a") + col("b") + 2) < col("a") + 1)
+          .select(
+            concat(lit("m"), when(col("aw"), col("a")).otherwise(col("b"))).as("w"),
+            concat(lit("m"), when(col("aw"), col("b")).otherwise(col("a"))).as("l"))
+        df.count()
+        time(s"bradleyTerry n=$n items=64 iters=20")(
+          Stats.bradleyTerry(df, col("w"), col("l"), iterations = 20)
+            .agg(count(lit(1)), sum("n_games")).collect()
+            .foreach(row => println("  " + row)))
+      case "conformal" =>
+        // n calibration residuals; exact rank-k via percentile_disc vs
+        // the KLL path (argv[2] = sketchK, default both)
+        val df = spark.range(n).select(
+          (pmod(xxhash64(col("id")), lit(100000)) / 7.0).as("y"),
+          lit(0.0).as("yhat"))
+        df.count()
+        time(s"conformalFit n=$n exact percentile_disc") {
+          val q = Stats.conformalFit(df, col("y"), col("yhat"), alpha = 0.125)
+          println(s"  qhat=$q")
+        }
+        time(s"conformalFit n=$n sketchK=200") {
+          val q = Stats.conformalFit(df, col("y"), col("yhat"), alpha = 0.125,
+            sketchK = 200)
+          println(s"  qhat=$q")
+        }
       case other => sys.error(s"unknown probe op: $other")
     }
     spark.stop()

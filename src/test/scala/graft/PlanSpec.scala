@@ -305,4 +305,34 @@ class PlanSpec extends SparkSpec {
     // the pin is that every branch goes through an InMemoryTableScan)
     assert("InMemoryTableScan".r.findAllIn(p).size == 3, p)
   }
+
+  test("g_mannwhitney: the rank window reads the distinct-value aggregate, never raw rows") {
+    val p = plan("g_mannwhitney")
+    // one Window only, and the sole full-data pass is the map-side-
+    // combined groupBy(value) feeding it — the ROC-curve collapse shape
+    assert("Window ".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val winAt = p.indexOf("Window")
+    val aggAt = p.lastIndexOf("HashAggregate")
+    assert(winAt >= 0 && aggAt > winAt, p) // aggregate below the window
+  }
+
+  test("g_chi2_drift / g_t_closeness: marginal grids broadcast; no sort-merge join") {
+    Seq("g_chi2_drift", "g_t_closeness").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+      // the domain cross-join is the broadcast of a cell-sized aggregate
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("embedding_matryoshka: queries broadcast to the corpus; every top-k is group-limited") {
+    val p = plan("embedding_matryoshka")
+    // the corpus side is only ever joined via the broadcast of the query
+    // panel (one BNLJ per budget + one for the full-dim reference)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
