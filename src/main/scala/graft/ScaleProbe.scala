@@ -735,6 +735,20 @@ object ScaleProbe {
             sketchK = 200)
           println(s"  qhat=$q")
         }
+      case "mondrian" =>
+        // n rows x 2 QI dims, k = n/2000 -> ~1000 leaves; distributed
+        // BFS regime forced (per round: two leaf-collected aggregations)
+        val df = spark.range(n).select(
+          (pmod(xxhash64(col("id")), lit(100000)) / 7.0).as("v1"),
+          pmod(xxhash64(col("id"), lit(1)), lit(9973)).cast("double").as("v2"))
+        df.count()
+        val k = math.max((n / 2000).toInt, 2)
+        time(s"mondrianFit n=$n dims=2 k=$k (distributed)") {
+          val m = graft.ops.Mondrian.fit(df, Seq("v1", "v2"), k = k,
+            localRowThreshold = 0)
+          println(s"  leaves=${m.nLeaves} rounds=${m.rounds.size} " +
+            s"minLeaf=${if (m.leaves.isEmpty) 0 else m.leaves.map(_._2).min}")
+        }
       case other => sys.error(s"unknown probe op: $other")
     }
     spark.stop()

@@ -102,6 +102,27 @@ object AnalyticsQueries {
         .orderBy("item")
     }),
 
+    "g_mondrian" -> ((s, dir) => {
+      // Mondrian k-anonymization over (value, user_id % 97), k = 100:
+      // the released leaf table — every box holds >= k rows by
+      // construction. The dynamic twin re-assigns every row to the
+      // literal leaf boxes in DuckDB and recomputes n / min / max — a
+      // mismatch would mean overlapping or leaky boxes.
+      val src = table(s, dir, "events").select(col("value"),
+        (col("user_id") % 97).cast("double").as("uid"))
+      val m = graft.ops.Mondrian.fit(src, Seq("value", "uid"), k = 100)
+      graft.ops.Mondrian(src, m)
+        .groupBy("pid", "value_lo", "value_hi", "uid_lo", "uid_hi")
+        .agg(count(lit(1)).as("n"))
+        .select(col("pid"), col("n"),
+          round(col("value_lo"), 6).as("value_lo"),
+          round(col("value_hi"), 6).as("value_hi"),
+          round(col("uid_lo"), 6).as("uid_lo"),
+          round(col("uid_hi"), 6).as("uid_hi"),
+          (col("n") >= 100).as("ok_k"))
+        .orderBy("pid")
+    }),
+
     "g_t_closeness" -> ((s, dir) =>
       // Third leg of the privacy triad: per-lang distance between the
       // group's source distribution and the corpus-wide one — TVD

@@ -526,6 +526,35 @@ object RowsOnlyQueries {
     * with null/blank text keep n_docs membership via the LEFT JOIN
     * (matching bpeEncode's 0-token rows). */
   val dynamicOracle: Map[String, (org.apache.spark.sql.SparkSession, String) => String] = Map(
+    // fitted leaf boxes interpolated as full-precision literals; DuckDB
+    // independently re-assigns EVERY row by box membership and
+    // recomputes counts and bounds — overlapping, leaky, or under-k
+    // boxes would all hash-mismatch
+    "g_mondrian" -> ((s, dir) => {
+      val src = table(s, dir, "events").select(col("value"),
+        (col("user_id") % 97).cast("double").as("uid"))
+      val m = graft.ops.Mondrian.fit(src, Seq("value", "uid"), k = 100)
+      val boxes = m.leaves.map { case (pid, _, bs) =>
+        val Seq((vlo, vhi), (ulo, uhi)) = bs
+        s"($pid, ${java.lang.Double.toString(vlo)}, ${java.lang.Double.toString(vhi)}, " +
+          s"${java.lang.Double.toString(ulo)}, ${java.lang.Double.toString(uhi)})"
+      }.mkString(", ")
+      s"""WITH src AS (
+         |  SELECT CAST(value AS DOUBLE) AS v,
+         |    CAST(user_id % 97 AS DOUBLE) AS u
+         |  FROM events WHERE value IS NOT NULL),
+         |boxes AS (SELECT * FROM (VALUES $boxes)
+         |          t(pid, vlo, vhi, ulo, uhi)),
+         |asn AS (
+         |  SELECT b.pid, s.v, s.u FROM src s JOIN boxes b
+         |  ON s.v BETWEEN b.vlo AND b.vhi AND s.u BETWEEN b.ulo AND b.uhi)
+         |SELECT CAST(pid AS BIGINT) AS pid, count(*) AS n,
+         |  round(min(v), 6) AS value_lo, round(max(v), 6) AS value_hi,
+         |  round(min(u), 6) AS uid_lo, round(max(u), 6) AS uid_hi,
+         |  count(*) >= 100 AS ok_k
+         |FROM asn GROUP BY pid ORDER BY pid""".stripMargin
+    }),
+
     // round-19 strengths interpolated as literals; DuckDB executes the
     // FINAL MM round (denominators, update, L1 normalization) over its
     // OWN recomputed matchup counts — the update math and the counts are
