@@ -534,6 +534,31 @@ object StreamingOps {
       .select(col("window"), col("__n").as("n"), psiExpr.as("psi"))
   }
 
+  /** Streaming conformal-coverage monitor —
+    * [[graft.ops.Stats.conformalFit]]'s production deployment shape:
+    * fit the radius q̂ ONCE on a batch calibration set, then audit each
+    * event-time window of the live stream for the fraction of rows whose
+    * realized y landed inside ŷ ± q̂. Under exchangeability coverage
+    * stays ≥ 1 − α; a window dropping below it is the distribution-shift
+    * alarm (the supervised complement of [[psiStream]], which watches
+    * the INPUT distribution — this watches the model's error
+    * distribution). One watermarked window aggregation over pure
+    * projections; q̂ ships as a literal, no join, no extra state.
+    * Returns (window, n, n_covered, coverage). */
+  def coverageStream(stream: DataFrame, tsCol: String, yTrue: Column,
+      yPred: Column, qhat: Double, windowDur: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(qhat >= 0.0, "need qhat >= 0")
+    val covered = abs(yTrue.cast("double") - yPred.cast("double")) <= qhat
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("n"),
+        sum(when(covered, 1L).otherwise(0L)).as("n_covered"))
+      .select(col("window"), col("n"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n"), 6).as("coverage"))
+  }
+
   /** Streaming embedding-distribution drift —
     * [[graft.ops.Similarity.embeddingDriftJs]]'s production deployment
     * shape (the embedding twin of [[psiStream]]): train cells and the

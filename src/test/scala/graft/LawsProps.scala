@@ -524,6 +524,16 @@ object LawsProps extends Properties("GraftLaws") {
         full.forall(_.getLong(2) == 0L)
     }
 
+  property("mondrian: every leaf >= k, leaves partition the input, boxes nest in bounds") =
+    Prop.forAll(Gen.choose(10, 200), Gen.choose(2, 12), seedG) { (n, k, seed) =>
+      def v(i: Int, j: Int) = ((i * 2654435761L + j * 40503L + seed) % 97).toDouble
+      val df = (0 until n).map(i => (v(i, 1), v(i, 2))).toDF("x", "y")
+      val m = graft.ops.Mondrian.fit(df, Seq("x", "y"), k)
+      m.leaves.forall(_._2 >= k) &&
+        m.leaves.map(_._2).sum == n.toLong &&
+        m.leaves.forall(_._3.forall { case (lo, hi) => lo <= hi })
+    }
+
   property("silhouette: centroid form is in [0, 1]; cell is the argmin centroid") =
     Prop.forAll(Gen.choose(3, 25), seedG) { (n, seed) =>
       def coord(i: Long, j: Int) =

@@ -47,6 +47,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("coverageStream: per-window band coverage == batch conformalApply; shift alarms") {
+    import graft.ops.Stats
+    implicit val sqlCtx = spark.sqlContext
+    def tmin(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // calibration residuals 1..40 around yhat = 0, alpha = 0.25
+    val cal = (1 to 40).map(i => (i.toDouble, 0.0)).toDF("y", "yhat")
+    val qhat = Stats.conformalFit(cal, col("y"), col("yhat"), alpha = 0.25)
+    val input = MemoryStream[(Timestamp, Double, Double)]
+    val out = StreamingOps.coverageStream(input.toDF().toDF("ts", "y", "yhat"),
+      "ts", col("y"), col("yhat"), qhat,
+      windowDur = "10 minutes", watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("cov_stream")
+      .outputMode("append").start()
+    try {
+      // window 1: same regime as calibration; window 2: residuals doubled
+      val w1 = (1 to 40).map(i => (tmin(1), i.toDouble, 0.0))
+      val w2 = (1 to 40).map(i => (tmin(11), 2.0 * i, 0.0))
+      input.addData(w1: _*); input.addData(w2: _*)
+      input.addData((tmin(40), 0.0, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("cov_stream")
+        .select(col("window.start").cast("long").as("s"), col("n"),
+          col("n_covered"), col("coverage"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      def batch(rows: Seq[(Timestamp, Double, Double)]): Long =
+        Stats.conformalApply(rows.map(t => (t._2, t._3)).toDF("y", "yhat"),
+          col("y"), col("yhat"), qhat)
+          .where(col("conf_covered")).count()
+      val (n1, c1, cov1) = got(1699999800L)
+      val (n2, c2, cov2) = got(1700000400L)
+      assert(n1 == 40 && n2 == 40) // the tmin(40) closer's own window never emits
+      assert(c1 == batch(w1) && cov1 >= 0.75) // the conformal guarantee regime
+      assert(c2 == batch(w2) && cov2 < cov1)  // doubled residuals alarm
+    } finally q.stop()
+  }
+
   test("embeddingDriftStream: per-window JS vs a batch-fitted reference == batch embeddingDriftJs") {
     import graft.ops.Similarity
     implicit val sqlCtx = spark.sqlContext
