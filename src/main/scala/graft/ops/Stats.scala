@@ -1154,6 +1154,37 @@ object Stats {
     math.ceil(raw * grid) / grid
   }
 
+  /** Group-conditional (Mondrian) split conformal (Vovk 2012 —
+    * "Conditional validity of inductive conformal predictors"): a
+    * per-group radius q̂_g from each group's own calibration residuals,
+    * giving the 1 − α guarantee WITHIN every group — the fix when error
+    * scale is heteroscedastic across sources/langs/models and one global
+    * band over-covers the easy group while under-covering the hard one.
+    * Same exact rank-⌈(n_g+1)(1−α)⌉ order statistic as [[conformalFit]],
+    * taken per group: one map-side-combined group count (broadcast back)
+    * + one group-partitioned rank window over the residuals — scales by
+    * groups, no single-partition stage. Groups too small for the rank
+    * (n_g + 1 ≤ rank ⇔ α ≤ 1/(n_g+1)) get a NULL radius — an infinite
+    * band the caller must handle, not a silently-shrunk one. Returns
+    * (group, n, qhat) with qhat ceil-rounded at the grid like
+    * [[conformalFit]]. */
+  def conformalFitGrouped(cal: DataFrame, group: Column, yTrue: Column,
+      yPred: Column, alpha: Double, roundTo: Int = 9): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "need 0 < alpha < 1")
+    val nc = abs(yTrue.cast("double") - yPred.cast("double"))
+    val base = cal.select(group.as("grp"), nc.as("__nc"))
+      .where(col("__nc").isNotNull)
+    val sizes = base.groupBy("grp").agg(count(lit(1)).as("n"))
+      .withColumn("__k", ceil((col("n") + 1) * lit(1.0 - alpha)).cast("long"))
+    val w = Window.partitionBy("grp").orderBy(col("__nc"))
+    val grid = math.pow(10.0, roundTo)
+    val hit = base.withColumn("__r", row_number().over(w))
+      .join(broadcast(sizes.select("grp", "__k")), "grp")
+      .where(col("__r") === col("__k"))
+      .select(col("grp"), (ceil(col("__nc") * grid) / grid).as("qhat"))
+    sizes.select("grp", "n").join(hit, Seq("grp"), "left")
+  }
+
   /** Apply a fitted conformal radius: adds `<out>_lo`/`<out>_hi` =
     * ŷ ∓ q̂ and `<out>_covered` (was the realized y inside the band —
     * null y stays null). Pure projection, streams as-is. */

@@ -84,6 +84,23 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    "g_conformal_grouped" -> ((s, dir) => {
+      // Group-conditional conformal: per-group rank-k radius from each
+      // group's own calibration residuals; `tiny` (event_id < 10, 3
+      // calibration rows) is too small for rank ceil((n+1)·0.875) and
+      // must surface a NULL radius, not a shrunk one.
+      val ev = table(s, dir, "events").select(col("event_id"),
+        when(col("event_id") < 10, "tiny").otherwise(col("event_type")).as("g"),
+        col("value"))
+      val model = ev.where(col("event_id") % 3 === 0)
+        .groupBy("g").agg(round(avg("value"), 6).as("yhat"))
+      val cal = ev.where(col("event_id") % 3 === 1).join(broadcast(model), "g")
+      Stats.conformalFitGrouped(cal, col("g"), col("value"), col("yhat"),
+          alpha = 0.125)
+        .select(col("grp").as("g"), col("n"), round(col("qhat"), 6).as("qhat"))
+        .orderBy("g")
+    }),
+
     "g_bradley_terry" -> ((s, dir) => {
       // BT preference strengths (20 MM rounds) from a synthetic arena
       // whose ground truth IS Bradley–Terry: the integer-mod draw gives
@@ -754,6 +771,28 @@ object AnalyticsQueries {
         |  round(q.qhat, 6) AS qhat
         |FROM test CROSS JOIN q
         |GROUP BY event_type, q.qhat ORDER BY event_type""".stripMargin,
+
+    "g_conformal_grouped" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id < 10 THEN 'tiny' ELSE event_type END AS g,
+        |    value
+        |  FROM events),
+        |model AS (SELECT g, round(avg(value), 6) AS yhat
+        |          FROM ev WHERE event_id % 3 = 0 GROUP BY 1),
+        |cal AS (SELECT e.g, abs(e.value - m.yhat) AS nc
+        |        FROM ev e JOIN model m USING (g)
+        |        WHERE e.event_id % 3 = 1 AND e.value IS NOT NULL),
+        |sizes AS (SELECT g, count(*) AS n,
+        |            CAST(ceil((count(*) + 1) * 0.875) AS BIGINT) AS k
+        |          FROM cal GROUP BY 1),
+        |ranked AS (SELECT g, nc,
+        |             row_number() OVER (PARTITION BY g ORDER BY nc) AS r
+        |           FROM cal),
+        |hit AS (SELECT r.g, ceil(r.nc * 1e9) / 1e9 AS qhat
+        |        FROM ranked r JOIN sizes s USING (g) WHERE r.r = s.k)
+        |SELECT s.g, s.n, round(h.qhat, 6) AS qhat
+        |FROM sizes s LEFT JOIN hit h USING (g) ORDER BY s.g""".stripMargin,
 
     "g_t_closeness" ->
       """WITH cells AS (SELECT lang, source, count(*) AS c

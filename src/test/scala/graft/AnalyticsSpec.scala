@@ -590,6 +590,26 @@ class AnalyticsSpec extends SparkSpec {
       Stats.conformalFit(cal, col("y"), col("yhat"), alpha = 1.5) }
   }
 
+  test("conformalFitGrouped: per-group rank-k radii; starved groups go null") {
+    import spark.implicits._
+    // group a: residuals 1..9 -> k = 8 -> qhat 8; group b: 10x scale ->
+    // qhat 80 (one global band would mis-cover both); group c: 2 rows,
+    // k = ceil(3 * 0.75) = 3 > 2 -> NULL radius, never a shrunk one
+    val cal = ((1 to 9).map(i => ("a", i.toDouble)) ++
+      (1 to 9).map(i => ("b", 10.0 * i)) ++
+      Seq(("c", 1.0), ("c", 2.0))).map { case (g, y) => (g, y, 0.0) }
+      .toDF("g", "y", "yhat")
+    val out = Stats.conformalFitGrouped(cal, col("g"), col("y"), col("yhat"),
+        alpha = 0.25)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(out("a") == ((9L, Some(8.0))))
+    assert(out("b") == ((9L, Some(80.0))))
+    assert(out("c") == ((2L, None)))
+    intercept[IllegalArgumentException] {
+      Stats.conformalFitGrouped(cal, col("g"), col("y"), col("yhat"), 0.0) }
+  }
+
   test("bradleyTerry: MM converges to the pairwise MLE; boundary and guards") {
     import spark.implicits._
     // A beats B 3-1: MLE has P(A beats B) = 3/4 -> scores (0.75, 0.25);
