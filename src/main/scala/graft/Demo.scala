@@ -103,6 +103,18 @@ object Demo {
       col("ts_us") < mid, col("ts_us") >= mid).head().getAs[Double]("js")
     println(s"""{"stage":"retrieval_monitoring","ann_hits":$annHits,"ks_drift":$ks,"js_drift":$js}""")
 
+    // privacy release (round-9 surface): audit the QI combination risk,
+    // then Mondrian-generalize the numeric QIs until every released row
+    // hides among >= k-1 others
+    val atRisk = graft.ops.Stats.kAnonymity(ev,
+      Seq(col("event_type"), col("user_id") % 50), k = 20)
+      .where(col("at_risk")).count()
+    val rel = ev.select(col("value"), (col("user_id") % 97).cast("double").as("uid"))
+    val model = graft.ops.Mondrian.fit(rel, Seq("value", "uid"), k = 50)
+    val minLeaf = if (model.leaves.isEmpty) 0L else model.leaves.map(_._2).min
+    println(s"""{"stage":"privacy_release","qi_combos_at_risk":$atRisk,""" +
+      s""""mondrian_leaves":${model.nLeaves},"min_leaf":$minLeaf}""")
+
     spark.stop()
   }
 }
