@@ -1195,6 +1195,85 @@ object Stats {
       .withColumn(s"${out}_covered",
         abs(yTrue.cast("double") - yPred.cast("double")) <= qhat)
 
+  /** Clustering-agreement suite — pair-counting precision / recall / F1,
+    * Rand index, Adjusted Rand (Hubert & Arabie 1985), plus the
+    * entropy-based homogeneity / completeness / V-measure (Rosenberg &
+    * Hirschberg 2007): THE eval for a dedup clustering or topic
+    * assignment against labeled truth ("did connectedComponents put the
+    * planted duplicates together, and nothing else?"). All terms derive
+    * from the (pred, truth) contingency cells:
+    *   TP = Σ_cells C(c,2),  P = Σ_pred C(n,2),  T = Σ_truth C(n,2),
+    *   ARI = (TP − P·T/C(n,2)) / ((P+T)/2 − P·T/C(n,2)),
+    * entropies in the cancellation-free `ln n − Σ c·ln c / n` form.
+    * Scale shape: ONE map-side-combined cell count, two cell-level
+    * marginals, five scalar aggregates — rows never pair up (the pair
+    * counts are algebra over cell sizes, never materialized pairs).
+    * Returns one row; degenerate faces (single cluster, n < 2) yield
+    * null for the affected ratios rather than a crash. */
+  def clusterAgreement(df: DataFrame, pred: Column, truth: Column): DataFrame = {
+    val cells = df.where(pred.isNotNull && truth.isNotNull)
+      .groupBy(pred.as("__p"), truth.as("__t"))
+      .agg(count(lit(1)).as("__c"))
+    def pairs(c: Column): Column = (c * (c - 1) / 2).cast("double")
+    def ent(cnt: Column): Column = cnt.cast("double") * log(cnt.cast("double"))
+    val mp = cells.groupBy("__p").agg(sum("__c").as("__n"))
+      .agg(sum(pairs(col("__n"))).as("pp"), sum(ent(col("__n"))).as("hp"))
+    val mt = cells.groupBy("__t").agg(sum("__c").as("__n"))
+      .agg(sum(pairs(col("__n"))).as("tp_"), sum(ent(col("__n"))).as("ht"))
+    val tot = cells.agg(sum("__c").as("n"),
+      sum(pairs(col("__c"))).as("tp"), sum(ent(col("__c"))).as("hc"))
+    val j = tot.crossJoin(mp).crossJoin(mt)
+    val n = col("n").cast("double")
+    val all = pairs(col("n"))
+    // H(T), H(P), H(T|P) in nats via the single-pass identity
+    val hT = log(n) - col("ht") / n
+    val hP = log(n) - col("hp") / n
+    val hTgP = (col("hp") - col("hc")) / n   // Σ n_p ln n_p − Σ c ln c, / n
+    val hPgT = (col("ht") - col("hc")) / n
+    val expected = col("pp") * col("tp_") / all
+    val homog = when(hT > 0, lit(1.0) - hTgP / hT)
+    val compl = when(hP > 0, lit(1.0) - hPgT / hP)
+    j.select(
+      col("n").cast("long").as("n"),
+      col("tp").cast("long").as("tp_pairs"),
+      round(when(col("pp") > 0, col("tp") / col("pp")), 9).as("precision"),
+      round(when(col("tp_") > 0, col("tp") / col("tp_")), 9).as("recall"),
+      round(when(col("pp") + col("tp_") > 0,
+        lit(2.0) * col("tp") / (col("pp") + col("tp_"))), 9).as("f1"),
+      round(when(all > 0, (all - col("pp") - col("tp_") + col("tp") * 2) / all), 9)
+        .as("rand"),
+      round(when(abs((col("pp") + col("tp_")) / 2 - expected) > 0,
+        (col("tp") - expected) / ((col("pp") + col("tp_")) / 2 - expected)), 9)
+        .as("ari"),
+      round(homog, 9).as("homogeneity"),
+      round(compl, 9).as("completeness"),
+      round(when(homog + compl > 0,
+        lit(2.0) * homog * compl / (homog + compl)), 9).as("v_measure"))
+  }
+
+  /** Effective sample size of an importance-weighted corpus (Kish 1965;
+    * the standard diagnostic printed next to DSIR / soft-dedup /
+    * mixture weights): ESS = (Σw)²/Σw², the equivalent count of
+    * equal-weight rows. `ess_ratio` near 1 = weights barely matter;
+    * near 0 = a few rows dominate (the resampled dataset is effectively
+    * tiny — fix the weight model before training on it). `max_w_share`
+    * is the single heaviest row's fraction of the total weight. ONE
+    * map-side-combined aggregation; zero/negative weights are refused
+    * loudly (they silently corrupt every downstream estimator). */
+  def effectiveSampleSize(df: DataFrame, weight: Column): DataFrame = {
+    val w = weight.cast("double")
+    val bad = df.where(w.isNotNull && w <= 0.0).limit(1).count()
+    require(bad == 0L, "effectiveSampleSize: non-positive weights present")
+    df.where(w.isNotNull).agg(
+        count(lit(1)).as("n"), sum(w).as("__s"), sum(w * w).as("__s2"),
+        max(w).as("__mx"))
+      .select(col("n"),
+        round(col("__s"), 6).as("sum_w"),
+        round(col("__s") * col("__s") / col("__s2"), 6).as("ess"),
+        round(col("__s") * col("__s") / col("__s2") / col("n"), 9).as("ess_ratio"),
+        round(col("__mx") / col("__s"), 9).as("max_w_share"))
+  }
+
   /** Bradley–Terry preference-strength fit (Bradley & Terry 1952) via
     * the MM algorithm (Hunter 2004, "MM algorithms for generalized
     * Bradley–Terry models") — the standard instrument over PAIRWISE

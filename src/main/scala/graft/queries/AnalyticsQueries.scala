@@ -61,6 +61,20 @@ object AnalyticsQueries {
           round(col("entropy"), 6).as("entropy"), col("at_risk"))
         .orderBy("lang")),
 
+    "g_cluster_eval" -> ((s, dir) =>
+      // Dedup-clustering eval: pred = user_id % 6 merges truth classes
+      // (user_id % 12) pairwise, so completeness = 1 (every truth class
+      // lives in one cluster) while homogeneity < 1 (each cluster holds
+      // two classes) — the asymmetry the V-measure exists to expose.
+      Stats.clusterAgreement(table(s, dir, "events"),
+        col("user_id") % 6, col("user_id") % 12)),
+
+    "g_ess" -> ((s, dir) =>
+      // Importance-weight diagnostics over a deterministic skewed weight
+      // column: Kish ESS, ESS ratio, and the heaviest row's weight share.
+      Stats.effectiveSampleSize(table(s, dir, "events"),
+        (lit(1) + col("event_id") % 9) / 3.0)),
+
     "g_conformal" -> ((s, dir) => {
       // Split conformal: per-type mean model on the train third, q̂ =
       // ceil((n+1)·0.875)-th smallest |residual| on the calibration
@@ -747,6 +761,56 @@ object AnalyticsQueries {
         |  round(ln(CAST(n AS DOUBLE)) - clc / n, 6) AS entropy,
         |  n_sensitive < 18 AS at_risk
         |FROM g ORDER BY lang""".stripMargin,
+
+    "g_cluster_eval" ->
+      """WITH cells AS (
+        |  SELECT user_id % 6 AS p, user_id % 12 AS t, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |mp AS (SELECT sum(nn * (nn - 1) / 2.0) AS pp,
+        |         sum(nn * ln(nn)) AS hp FROM (
+        |         SELECT CAST(sum(c) AS DOUBLE) AS nn FROM cells GROUP BY p)),
+        |mt AS (SELECT sum(nn * (nn - 1) / 2.0) AS tpp,
+        |         sum(nn * ln(nn)) AS ht FROM (
+        |         SELECT CAST(sum(c) AS DOUBLE) AS nn FROM cells GROUP BY t)),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |          sum(c * (c - 1) / 2.0) AS tp,
+        |          sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS hc
+        |        FROM cells),
+        |j AS (SELECT * FROM tot CROSS JOIN mp CROSS JOIN mt),
+        |f AS (SELECT n, tp, pp, tpp,
+        |        CAST(n AS DOUBLE) * (n - 1) / 2.0 AS np,
+        |        ln(CAST(n AS DOUBLE)) - ht / n AS h_t,
+        |        ln(CAST(n AS DOUBLE)) - hp / n AS h_p,
+        |        (hp - hc) / n AS h_t_p,
+        |        (ht - hc) / n AS h_p_t
+        |      FROM j),
+        |g AS (SELECT *,
+        |        CASE WHEN h_t > 0 THEN 1.0 - h_t_p / h_t END AS homog,
+        |        CASE WHEN h_p > 0 THEN 1.0 - h_p_t / h_p END AS compl,
+        |        pp * tpp / np AS expected
+        |      FROM f)
+        |SELECT n, CAST(tp AS BIGINT) AS tp_pairs,
+        |  round(CASE WHEN pp > 0 THEN tp / pp END, 9) AS precision,
+        |  round(CASE WHEN tpp > 0 THEN tp / tpp END, 9) AS recall,
+        |  round(CASE WHEN pp + tpp > 0 THEN 2.0 * tp / (pp + tpp) END, 9) AS f1,
+        |  round(CASE WHEN np > 0 THEN (np - pp - tpp + 2 * tp) / np END, 9) AS rand,
+        |  round(CASE WHEN abs((pp + tpp) / 2 - expected) > 0
+        |    THEN (tp - expected) / ((pp + tpp) / 2 - expected) END, 9) AS ari,
+        |  round(homog, 9) AS homogeneity,
+        |  round(compl, 9) AS completeness,
+        |  round(CASE WHEN homog + compl > 0
+        |    THEN 2.0 * homog * compl / (homog + compl) END, 9) AS v_measure
+        |FROM g""".stripMargin,
+
+    "g_ess" ->
+      """WITH w AS (
+        |  SELECT (1 + event_id % 9) / 3.0 AS w FROM events)
+        |SELECT count(*) AS n,
+        |  round(sum(w), 6) AS sum_w,
+        |  round(sum(w) * sum(w) / sum(w * w), 6) AS ess,
+        |  round(sum(w) * sum(w) / sum(w * w) / count(*), 9) AS ess_ratio,
+        |  round(max(w) / sum(w), 9) AS max_w_share
+        |FROM w""".stripMargin,
 
     "g_conformal" ->
       """WITH ev AS (SELECT event_id, event_type, value FROM events),

@@ -567,6 +567,43 @@ class AnalyticsSpec extends SparkSpec {
       Stats.chi2Drift(df, col("g"), col("c"), maxCells = 2))
   }
 
+  test("clusterAgreement: hand contingency; identity partition scores 1 everywhere") {
+    import spark.implicits._
+    // pred {a,a,b,b} vs truth {x,x,y,z}: TP=1, P=2, T=1 ->
+    // precision 1/2, recall 1, rand 5/6, ARI 4/7, homog 2/3, compl 1, V .8
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "z")).toDF("p", "t")
+    val r = Stats.clusterAgreement(df, col("p"), col("t")).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 1.0)
+    assert(approx(r.getDouble(4), 2.0 / 3, 1e-8))
+    assert(approx(r.getDouble(5), 5.0 / 6, 1e-8))
+    assert(approx(r.getDouble(6), 4.0 / 7, 1e-8))
+    assert(approx(r.getDouble(7), 2.0 / 3, 1e-8))
+    assert(r.getDouble(8) == 1.0)
+    assert(approx(r.getDouble(9), 0.8, 1e-8))
+    // identical partitions: every agreement metric is exactly 1
+    val same = Seq(("a", "a"), ("a", "a"), ("b", "b")).toDF("p", "t")
+    val s = Stats.clusterAgreement(same, col("p"), col("t")).head()
+    (2 to 9).foreach(i => assert(s.getDouble(i) == 1.0, s"field $i"))
+  }
+
+  test("effectiveSampleSize: Kish formula, uniform weights are lossless, guards") {
+    import spark.implicits._
+    val uni = Seq(1.0, 1.0, 1.0, 1.0).toDF("w")
+    val u = Stats.effectiveSampleSize(uni, col("w")).head()
+    assert(u.getLong(0) == 4L && u.getDouble(2) == 4.0 &&
+      u.getDouble(3) == 1.0 && u.getDouble(4) == 0.25)
+    // (3, 1): ESS = 16/10 = 1.6, heaviest row carries 75% of the mass
+    val skew = Seq(3.0, 1.0).toDF("w")
+    val k = Stats.effectiveSampleSize(skew, col("w")).head()
+    assert(k.getDouble(2) == 1.6 && k.getDouble(3) == 0.8 &&
+      k.getDouble(4) == 0.75)
+    intercept[IllegalArgumentException] {
+      Stats.effectiveSampleSize(Seq(1.0, 0.0).toDF("w"), col("w")) }
+    intercept[IllegalArgumentException] {
+      Stats.effectiveSampleSize(Seq(1.0, -2.0).toDF("w"), col("w")) }
+  }
+
   test("conformalFit/Apply: exact rank-k residual radius, bands and coverage flags") {
     import spark.implicits._
     // residuals 1..9, alpha = 0.25 -> k = ceil(10 * 0.75) = 8 -> qhat = 8
