@@ -735,6 +735,17 @@ object ScaleProbe {
             sketchK = 200)
           println(s"  qhat=$q")
         }
+      case "clustereval" =>
+        // n rows, 10k pred x 2-per-pred truth clusters: the pair counts
+        // are cell-size algebra — no pair is ever materialized
+        val df = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(10000)).as("p"),
+          (pmod(xxhash64(col("id")), lit(10000)) * 2 +
+            pmod(xxhash64(col("id"), lit(1)), lit(2))).as("t"))
+        df.count()
+        time(s"clusterAgreement n=$n cells<=20k")(
+          Stats.clusterAgreement(df, col("p"), col("t")).collect()
+            .foreach(row => println("  " + row)))
       case "mondrian" =>
         // n rows x 2 QI dims, k = n/2000 -> ~1000 leaves; distributed
         // BFS regime forced (per round: two leaf-collected aggregations)

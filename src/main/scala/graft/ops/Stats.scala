@@ -1230,7 +1230,9 @@ object Stats {
     val hP = log(n) - col("hp") / n
     val hTgP = (col("hp") - col("hc")) / n   // Σ n_p ln n_p − Σ c ln c, / n
     val hPgT = (col("ht") - col("hc")) / n
-    val expected = col("pp") * col("tp_") / all
+    // guarded: n = 1 has zero total pairs and must yield null metrics,
+    // not an ANSI DIVIDE_BY_ZERO (ScalaCheck found the face)
+    val expected = when(all > 0, col("pp") * col("tp_") / all)
     val homog = when(hT > 0, lit(1.0) - hTgP / hT)
     val compl = when(hP > 0, lit(1.0) - hPgT / hP)
     j.select(

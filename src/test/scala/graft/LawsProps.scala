@@ -524,6 +524,30 @@ object LawsProps extends Properties("GraftLaws") {
         full.forall(_.getLong(2) == 0L)
     }
 
+  property("clusterAgreement: identity partition scores 1; ARI in [-1,1], rates in [0,1]") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 4), Gen.choose(0, 4)))) { pairsIn =>
+      val df = pairsIn.map { case (p, t) => (s"p$p", s"t$t") }.toDF("p", "t")
+      val r = Stats.clusterAgreement(df, col("p"), col("t")).head()
+      val self = Stats.clusterAgreement(df, col("p"), col("p")).head()
+      val rates = Seq(2, 3, 4, 5, 7, 8, 9).forall { i =>
+        r.isNullAt(i) || (r.getDouble(i) >= -1e-12 && r.getDouble(i) <= 1 + 1e-12)
+      }
+      val ariBound = r.isNullAt(6) || (r.getDouble(6) >= -1 - 1e-12 && r.getDouble(6) <= 1 + 1e-12)
+      val selfPerfect = Seq(2, 3, 4, 5).forall(i =>
+        self.isNullAt(i) || self.getDouble(i) == 1.0)
+      rates && ariBound && selfPerfect
+    }
+
+  property("effectiveSampleSize: 1 <= ESS <= n; uniform weights give ESS = n") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(1, 50))) { ws =>
+      val df = ws.map(_.toDouble).toDF("w")
+      val r = Stats.effectiveSampleSize(df, col("w")).head()
+      val u = Stats.effectiveSampleSize(
+        ws.map(_ => 2.5).toDF("w"), col("w")).head()
+      r.getDouble(2) >= 1.0 - 1e-9 && r.getDouble(2) <= ws.size + 1e-9 &&
+        math.abs(u.getDouble(2) - ws.size) < 1e-6 && u.getDouble(3) == 1.0
+    }
+
   property("mondrian: every leaf >= k, leaves partition the input, boxes nest in bounds") =
     Prop.forAll(Gen.choose(10, 200), Gen.choose(2, 12), seedG) { (n, k, seed) =>
       def v(i: Int, j: Int) = ((i * 2654435761L + j * 40503L + seed) % 97).toDouble
