@@ -1195,6 +1195,38 @@ object Stats {
       .withColumn(s"${out}_covered",
         abs(yTrue.cast("double") - yPred.cast("double")) <= qhat)
 
+  /** Interval score (Gneiting & Raftery 2007, "Strictly Proper Scoring
+    * Rules, Prediction, and Estimation" §6.2) — the proper scoring rule
+    * for a central (1−α) prediction band, the metric that RANKS interval
+    * producers ([[conformalFit]] global vs [[conformalFitGrouped]] vs a
+    * model's own quantiles) where raw coverage alone can be gamed by
+    * infinite width:
+    *   IS_α = (hi − lo) + (2/α)·(lo − y)⁺ + (2/α)·(y − hi)⁺.
+    * Returns ONE row (n, coverage, mean_width, mean_interval_score) from
+    * one map-side-combined aggregation over pure projections. Rows with
+    * null y/lo/hi are excluded; inverted bands (hi < lo) are refused
+    * loudly (they would score as negative width). */
+  def intervalScore(df: DataFrame, yTrue: Column, lo: Column, hi: Column,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "need 0 < alpha < 1")
+    val (y, l, h) = (yTrue.cast("double"), lo.cast("double"), hi.cast("double"))
+    val rows = df.where(y.isNotNull && l.isNotNull && h.isNotNull)
+    val inverted = rows.where(h < l).limit(1).count()
+    require(inverted == 0L, "intervalScore: inverted bands (hi < lo) present")
+    val pen = lit(2.0 / alpha)
+    val score = (h - l) +
+      pen * greatest(l - y, lit(0.0)) + pen * greatest(y - h, lit(0.0))
+    rows.agg(
+        count(lit(1)).as("n"),
+        avg((y >= l && y <= h).cast("double")).as("__cov"),
+        avg(h - l).as("__w"),
+        avg(score).as("__is"))
+      .select(col("n"),
+        round(col("__cov"), 9).as("coverage"),
+        round(col("__w"), 6).as("mean_width"),
+        round(col("__is"), 6).as("mean_interval_score"))
+  }
+
   /** Clustering-agreement suite — pair-counting precision / recall / F1,
     * Rand index, Adjusted Rand (Hubert & Arabie 1985), plus the
     * entropy-based homogeneity / completeness / V-measure (Rosenberg &

@@ -61,6 +61,24 @@ object AnalyticsQueries {
           round(col("entropy"), 6).as("entropy"), col("at_risk"))
         .orderBy("lang")),
 
+    "g_interval_score" -> ((s, dir) => {
+      // Proper scoring of the g_conformal bands on the test third: the
+      // metric that ranks interval producers where coverage alone can be
+      // gamed by width. Same fixture as g_conformal (α = 0.125).
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val model = ev.where(col("event_id") % 3 === 0)
+        .groupBy("event_type").agg(round(avg("value"), 6).as("yhat"))
+      def pred(df: org.apache.spark.sql.DataFrame) =
+        df.join(broadcast(model), "event_type")
+      val qhat = Stats.conformalFit(pred(ev.where(col("event_id") % 3 === 1)),
+        col("value"), col("yhat"), alpha = 0.125)
+      val test = Stats.conformalApply(pred(ev.where(col("event_id") % 3 === 2)),
+        col("value"), col("yhat"), qhat)
+      Stats.intervalScore(test, col("value"), col("conf_lo"), col("conf_hi"),
+        alpha = 0.125)
+    }),
+
     "g_cluster_eval" -> ((s, dir) =>
       // Dedup-clustering eval: pred = user_id % 6 merges truth classes
       // (user_id % 12) pairwise, so completeness = 1 (every truth class
@@ -761,6 +779,33 @@ object AnalyticsQueries {
         |  round(ln(CAST(n AS DOUBLE)) - clc / n, 6) AS entropy,
         |  n_sensitive < 18 AS at_risk
         |FROM g ORDER BY lang""".stripMargin,
+
+    "g_interval_score" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events),
+        |model AS (SELECT event_type, round(avg(value), 6) AS yhat
+        |          FROM ev WHERE event_id % 3 = 0 GROUP BY 1),
+        |cal AS (SELECT abs(e.value - m.yhat) AS nc
+        |        FROM ev e JOIN model m USING (event_type)
+        |        WHERE e.event_id % 3 = 1 AND e.value IS NOT NULL),
+        |nn AS (SELECT CAST(ceil((count(*) + 1) * 0.875) AS BIGINT) AS k
+        |       FROM cal),
+        |q AS (SELECT ceil(nc * 1e9) / 1e9 AS qhat FROM (
+        |        SELECT nc, row_number() OVER (ORDER BY nc) AS r FROM cal)
+        |      WHERE r = (SELECT k FROM nn)),
+        |test AS (SELECT e.value AS y, m.yhat - q.qhat AS lo,
+        |           m.yhat + q.qhat AS hi
+        |         FROM ev e JOIN model m USING (event_type) CROSS JOIN q
+        |         WHERE e.event_id % 3 = 2),
+        |s AS (SELECT y, lo, hi,
+        |        (hi - lo) + (2.0 / 0.125) * greatest(lo - y, 0.0)
+        |                  + (2.0 / 0.125) * greatest(y - hi, 0.0) AS sc
+        |      FROM test WHERE y IS NOT NULL)
+        |SELECT count(*) AS n,
+        |  round(avg(CASE WHEN y >= lo AND y <= hi THEN 1.0 ELSE 0.0 END), 9)
+        |    AS coverage,
+        |  round(avg(hi - lo), 6) AS mean_width,
+        |  round(avg(sc), 6) AS mean_interval_score
+        |FROM s""".stripMargin,
 
     "g_cluster_eval" ->
       """WITH cells AS (

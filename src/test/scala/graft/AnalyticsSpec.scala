@@ -567,6 +567,23 @@ class AnalyticsSpec extends SparkSpec {
       Stats.chi2Drift(df, col("g"), col("c"), maxCells = 2))
   }
 
+  test("intervalScore: width + 2/alpha miss penalties; inverted bands refused") {
+    import spark.implicits._
+    // alpha = 0.5 -> penalty 4: inside scores width 10; miss-above by 2
+    // scores 10 + 8; miss-below by 1 scores 10 + 4 -> mean 14, coverage 1/3
+    val df = Seq((5.0, 0.0, 10.0), (12.0, 0.0, 10.0), (-1.0, 0.0, 10.0))
+      .toDF("y", "lo", "hi")
+    val r = Stats.intervalScore(df, col("y"), col("lo"), col("hi"), 0.5).head()
+    assert(r.getLong(0) == 3L)
+    assert(approx(r.getDouble(1), 1.0 / 3, 1e-9))
+    assert(r.getDouble(2) == 10.0 && r.getDouble(3) == 14.0)
+    intercept[IllegalArgumentException] {
+      Stats.intervalScore(Seq((1.0, 5.0, 2.0)).toDF("y", "lo", "hi"),
+        col("y"), col("lo"), col("hi"), 0.5) }
+    intercept[IllegalArgumentException] {
+      Stats.intervalScore(df, col("y"), col("lo"), col("hi"), 0.0) }
+  }
+
   test("clusterAgreement: hand contingency; identity partition scores 1 everywhere") {
     import spark.implicits._
     // pred {a,a,b,b} vs truth {x,x,y,z}: TP=1, P=2, T=1 ->
