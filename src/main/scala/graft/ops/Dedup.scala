@@ -44,6 +44,27 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Keep-BEST-per-cluster dedup — the RefinedWeb/FineWeb keeper rule:
+    * when near-dups collapse to a cluster, retain the highest-QUALITY
+    * copy, not the lowest id (the min-id keeper of [[dedupExact]] is
+    * arbitrary among byte-equal copies, but near-dup clusters mix good
+    * and mangled variants of the same content — boilerplate-stripped vs
+    * ad-ridden — and the keeper choice moves downstream model quality).
+    *
+    * `cluster` is any cluster assignment (typically
+    * [[connectedComponents]] over verified near-dup edges), `score` any
+    * engine-portable quality column (e.g. [[TextOps.qualityScore]], a
+    * classifier probability, or −perplexity). Keeps the max-score row
+    * per cluster, score ties to the lowest id. ONE window over the
+    * cluster key — the same single shuffle as [[dedupExact]]; the keeper
+    * decision rides with the row, nothing is re-joined. */
+  def keepBestPerCluster(df: DataFrame, id: String, cluster: Column,
+      score: Column): DataFrame = {
+    val w = Window.partitionBy(cluster).orderBy(score.desc, col(id))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
   /** Soft dedup: DOWN-WEIGHT duplicates instead of dropping them
     * (He et al. 2024, "SoftDedup" — reweighting preserves the loss
     * signal of common text while removing its over-representation;
@@ -1386,5 +1407,65 @@ object Dedup {
             struct(col("__pos"), col("__para"))))),
           x => x.getField("__para")), sep).as("text_clean"))
       .select(col(id), col("text_clean"), col("n_paras"), col("n_kept"))
+  }
+
+  /** MinHash-LSH banding parameter sweep (Leskovec, Rajaraman & Ullman,
+    * "Mining of Massive Datasets" §3.4.3, the S-curve analysis; the same
+    * integration datasketch's `_optimal_param` runs): for every divisor
+    * pair (bands b, rows r) with b·r = `numHashes`, the collision
+    * probability at Jaccard s is P(s) = 1 − (1 − s^r)^b. Against a target
+    * `threshold` t this yields
+    *
+    *  - false-positive area  ∫₀ᵗ P(s) ds      (sub-threshold pairs that
+    *    still collide → wasted verify work),
+    *  - false-negative area  ∫ₜ¹ (1 − P(s)) ds (true near-dups the
+    *    banding misses → lost recall),
+    *  - the S-curve inflection threshold (1/b)^(1/r),
+    *  - error = fnWeight·fn + (1 − fnWeight)·fp.
+    *
+    * Integrated on a fixed `steps`-cell midpoint grid — deterministic
+    * arithmetic, engine-portable. The minimal-error row is the (b, r) to
+    * deploy; at 100 TB this table is what turns "8 bands × 4 rows" from
+    * folklore into a measured choice (FN area is lost data, FP area is
+    * verify-join CPU). Pure expression over `spark.range(steps)` crossed
+    * with the ≤ d(numHashes) divisor rows — no data scan, no meaningful
+    * shuffle (one tiny final aggregation). */
+  def lshTune(spark: org.apache.spark.sql.SparkSession, numHashes: Int,
+      threshold: Double, steps: Int = 1000,
+      fnWeight: Double = 0.5): DataFrame = {
+    require(numHashes > 0 && numHashes <= 4096,
+      s"lshTune: numHashes $numHashes outside (0, 4096]")
+    require(threshold > 0 && threshold < 1,
+      s"lshTune: threshold $threshold outside (0, 1)")
+    require(steps >= 100, s"lshTune: steps $steps < 100")
+    require(fnWeight >= 0 && fnWeight <= 1,
+      s"lshTune: fnWeight $fnWeight outside [0, 1]")
+    import spark.implicits._
+    val pairs = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b)).toDF("bands", "rows_per_band")
+    // midpoint rule: s_i = (i + 0.5)/steps; the grid rides a row-local
+    // fold (sequence + aggregate) so the summation order is fixed and
+    // identical to the DuckDB twin's list_sum — no shuffle-order float
+    // nondeterminism near the 6-dp rounding face.
+    def area(include: Column => Column, term: Column => Column): Column = {
+      val ds = lit(1.0) / steps
+      aggregate(sequence(lit(0), lit(steps - 1)), lit(0.0), (acc, i) => {
+        val s = (i.cast("double") + lit(0.5)) * ds
+        acc + when(include(s), term(s) * ds).otherwise(lit(0.0))
+      })
+    }
+    def pCollide(s: Column): Column =
+      lit(1.0) - pow(lit(1.0) - pow(s, col("rows_per_band")), col("bands"))
+    pairs
+      .withColumn("fp_area", area(_ < threshold, pCollide))
+      .withColumn("fn_area", area(_ >= threshold, s => lit(1.0) - pCollide(s)))
+      .select(col("bands"), col("rows_per_band"),
+        round(pow(lit(1.0) / col("bands"),
+          lit(1.0) / col("rows_per_band")), 6).as("inflection"),
+        round(col("fp_area"), 6).as("fp_area"),
+        round(col("fn_area"), 6).as("fn_area"),
+        round(lit(fnWeight) * col("fn_area")
+          + lit(1.0 - fnWeight) * col("fp_area"), 6).as("error"))
+      .orderBy("bands")
   }
 }

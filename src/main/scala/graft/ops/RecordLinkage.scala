@@ -123,4 +123,60 @@ object RecordLinkage {
   def fellegiSunter(pairs: DataFrame, gammaCols: Seq[String],
       lambda0: Double = 0.1, iters: Int = 5): DataFrame =
     fellegiSunterScore(pairs, fellegiSunterFit(pairs, gammaCols, lambda0, iters))
+
+  /** Blocking-scheme quality audit (Christen 2012, "Data Matching" ch. 4
+    * — the standard RR / PC / PQ triple): given records carrying ONE
+    * blocking key each and a ground-truth match-pair table, report
+    *
+    *  - `n_candidates`  Σ_b n_b·(n_b−1)/2 — candidate pairs the scheme
+    *    would generate (disjoint blocks → exact COUNT ALGEBRA, the pairs
+    *    are never materialized),
+    *  - `reduction_ratio`  1 − candidates / allPairs — how much of the
+    *    quadratic comparison space the blocking removes,
+    *  - `pairs_completeness`  co-blocked truth pairs / truth pairs —
+    *    the recall the linkage can at best achieve under this blocking,
+    *  - `pairs_quality`  co-blocked truth pairs / candidates — the
+    *    precision proxy (how much verify work is wasted).
+    *
+    * THE dial to turn before [[fellegiSunterFit]] ever runs: at 100 TB
+    * the blocking decides the join size, and a scheme is chosen by
+    * maximizing completeness at an acceptable reduction ratio. Cost: one
+    * map-side-combined groupBy on the key + two id-keyed joins of the
+    * truth table against the skinny (id, key) projection — linear in
+    * records + truth pairs, no pair materialization anywhere. */
+  def blockingQuality(records: DataFrame, id: String, blockKey: Column,
+      truthPairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val keyed = records.select(col(id).as("__id"),
+      blockKey.cast("string").as("__bk"))
+    val blocks = keyed.groupBy("__bk").agg(count(lit(1)).as("__n"))
+    val base = blocks.agg(
+      sum(col("__n")).cast("long").as("n_records"),
+      count(lit(1)).as("n_blocks"),
+      max(col("__n")).cast("long").as("max_block"),
+      // n(n−1) is even, so the half is exact INTEGER arithmetic (a
+      // double division here would silently lose exactness past 2^53)
+      shiftright(sum(col("__n") * (col("__n") - 1)).cast("long"), 1)
+        .as("n_candidates"))
+    val truthKeyed = truthPairs
+      .join(keyed.select(col("__id"), col("__bk").as("__bk_a")),
+        col(idA) === col("__id")).drop("__id")
+      .join(keyed.select(col("__id"), col("__bk").as("__bk_b")),
+        col(idB) === col("__id")).drop("__id")
+    val truthAgg = truthKeyed.agg(
+      count(lit(1)).as("n_truth"),
+      sum(when(col("__bk_a") === col("__bk_b"), 1L).otherwise(0L))
+        .cast("long").as("n_truth_covered"))
+    base.crossJoin(truthAgg).select(
+      col("n_records"), col("n_blocks"), col("max_block"),
+      col("n_candidates"),
+      round(lit(1.0) - col("n_candidates").cast("double") /
+        (col("n_records").cast("double") * (col("n_records") - 1).cast("double") / 2),
+        6).as("reduction_ratio"),
+      col("n_truth"), col("n_truth_covered"),
+      round(col("n_truth_covered").cast("double")
+        / col("n_truth").cast("double"), 6).as("pairs_completeness"),
+      round(col("n_truth_covered").cast("double")
+        / col("n_candidates").cast("double"), 6).as("pairs_quality"))
+  }
 }

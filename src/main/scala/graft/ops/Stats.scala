@@ -761,6 +761,49 @@ object Stats {
       .withColumn("n_noisy", col("n_true") + noise)
   }
 
+  /** ε-DP per-group MEAN via the clipped-sum Laplace mechanism (Dwork et
+    * al. 2006 — the standard bounded-mean release recipe): each value is
+    * clipped to [lo, hi] (bounding per-row sensitivity), the budget is
+    * split ε/2 to the count (sensitivity 1) and ε/2 to the clipped sum
+    * (sensitivity max(|lo|, |hi|) in the add/remove-one model), both get
+    * inverse-CDF Laplace noise from the portable seeded hash RNG
+    * ([[Robustness.seededUniform]], INDEPENDENT streams via "c|"/"s|"
+    * salts on the group key), and the release is
+    * noisy_sum / max(1, noisy_count).
+    *
+    * Deterministic per (seed, group) — reproducible across engines,
+    * partitionings, reruns (publish under a FRESH seed each release).
+    * The clipped values are 6-dp-quantized and summed as DECIMAL, so the
+    * group sum is EXACT — no shuffle-order float drift at the rounding
+    * face. One map-side-combined aggregation + a pure projection; keeps
+    * the true count/sum alongside for in-pipeline auditing — drop both
+    * before publishing. */
+  def dpGroupMean(df: DataFrame, group: Column, value: Column,
+      lo: Double, hi: Double, epsilon: Double, seed: Long): DataFrame = {
+    require(epsilon > 0.0, "need epsilon > 0")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    val bCount = 2.0 / epsilon
+    val bSum = 2.0 * math.max(math.abs(lo), math.abs(hi)) / epsilon
+    val clipped = round(greatest(least(value.cast("double"), lit(hi)),
+      lit(lo)), 6).cast("decimal(18,6)")
+    def lap(salt: String, b: Double): Column = {
+      val grpStr = coalesce(col("grp").cast("string"), lit(""))
+      val u0 = Robustness.seededUniform(seed,
+        IntHash.stringHash(concat(lit(salt), grpStr)))
+      val u = greatest(least(u0, lit(1.0 - 1e-12)), lit(1e-12))
+      when(u < 0.5, lit(b) * log(lit(2.0) * u))
+        .otherwise(-lit(b) * log(lit(2.0) * (lit(1.0) - u)))
+    }
+    df.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(clipped).as("sum_true"))
+      .withColumn("n_noisy", col("n_true") + lap("c|", bCount))
+      .withColumn("sum_noisy",
+        col("sum_true").cast("double") + lap("s|", bSum))
+      .withColumn("mean_dp",
+        col("sum_noisy") / greatest(lit(1.0), col("n_noisy")))
+  }
+
   /** Winsorization: clip `value` at the [lowerQ, upperQ] EXACT-quantile
     * fences fitted on `df` itself — the standard heavy-tail guard before
     * scaling/averaging (outlier-robust cousin of

@@ -1698,4 +1698,77 @@ object TextOps {
       round(when(size(toks) > 0, oov.cast("double") / size(toks))
         .otherwise(lit(0.0)), 6).as("oov_rate"))
   }
+
+  /** Tokenizer fertility audit (Ács 2019; Rust et al. 2021, "How Good is
+    * Your Tokenizer?"): per-group subwords-per-word (fertility) and
+    * bytes-per-subword for a FITTED BPE merge list — the standard
+    * cross-lingual tokenizer-equity report (a vocab trained on English
+    * fragments other languages into many more pieces, inflating their
+    * effective sequence length and training cost; fertility per language
+    * is the dial).
+    *
+    * One [[bpeEncode]] scan + one map-side-combined aggregation; all
+    * summed facts are integers (word counts, subword counts, UTF-8
+    * bytes), so the group totals are exact and the two released ratios
+    * are single divisions of exact counts — engine-portable. */
+  def tokenizerFertility(df: DataFrame, text: Column,
+      merges: Seq[(String, String)], group: String): DataFrame = {
+    val enc = bpeEncode(df, text, merges)
+    enc.groupBy(col(group))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(text)).cast("long").as("n_words"),
+        sum(col("bpe_tokens_n")).cast("long").as("n_subwords"),
+        sum(octet_length(text).cast("long")).cast("long").as("n_bytes"))
+      .select(col(group), col("n_docs"), col("n_words"), col("n_subwords"),
+        col("n_bytes"),
+        when(col("n_words") > 0, round(col("n_subwords").cast("double")
+          / col("n_words").cast("double"), 6)).as("fertility"),
+        when(col("n_subwords") > 0, round(col("n_bytes").cast("double")
+          / col("n_subwords").cast("double"), 6)).as("bytes_per_subword"))
+  }
+
+  /** Flesch Reading Ease + Flesch–Kincaid grade level (Flesch 1948,
+    * "A new readability yardstick"; Kincaid et al. 1975) — the classic
+    * document-difficulty features, used in curation as a "textbook
+    * quality" signal alongside [[qualityScore]] (too-hard AND too-easy
+    * both correlate with junk in web corpora).
+    *
+    * Dictionary-free deterministic recipe, engine-portable (the same
+    * three counts any SQL engine reproduces):
+    *  - words: non-empty whitespace tokens;
+    *  - sentences: `[.!?]+` runs, floored at 1 for any doc with words
+    *    (headlines / fragments count as one sentence);
+    *  - syllables per word: vowel-group runs `[aeiouy]+` of the
+    *    lower-cased word, minus one for a silent trailing 'e'
+    *    (`[^aeiouy]e$`), floored at 1.
+    *
+    * FRE = 206.835 − 1.015·(W/S) − 84.6·(Syl/W);
+    * FK  = 0.39·(W/S) + 11.8·(Syl/W) − 15.59.
+    *
+    * Pure per-row native HOF projection (struct) — no shuffle, no state,
+    * streams as-is. Word-free docs take null scores (not 0 — a 0 FRE is
+    * a meaningful "very hard" reading, absence must stay distinct).
+    * Scores are rounded to 4 dp for display; the counts are exact. */
+  def readability(text: Column): Column = {
+    val toks = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    val nW = size(toks)
+    val sentenceRuns = size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))
+    val nS = when(nW > 0, greatest(lit(1), sentenceRuns)).otherwise(lit(0))
+    val syl = aggregate(toks, lit(0L), (acc, t) => {
+      val lw = lower(t)
+      val groups = size(regexp_extract_all(lw, lit("[aeiouy]+"), lit(0)))
+      val silentE = when(lw.rlike("[^aeiouy]e$"), lit(1)).otherwise(lit(0))
+      acc + greatest(lit(1), groups - silentE).cast("long")
+    })
+    val wps = nW.cast("double") / nS.cast("double")
+    val spw = syl.cast("double") / nW.cast("double")
+    val fre = lit(206.835) - lit(1.015) * wps - lit(84.6) * spw
+    val fk = lit(0.39) * wps + lit(11.8) * spw - lit(15.59)
+    struct(
+      nW.cast("long").as("n_words"),
+      nS.cast("long").as("n_sentences"),
+      when(nW > 0, syl).otherwise(lit(0L)).as("n_syllables"),
+      when(nW > 0, round(fre, 4)).as("fre"),
+      when(nW > 0, round(fk, 4)).as("fk_grade"))
+  }
 }

@@ -207,6 +207,19 @@ object AnalyticsQueries {
           round(col("n_noisy"), 6).as("n_noisy"))
         .orderBy("source")),
 
+    "g_dp_mean" -> ((s, dir) =>
+      // ε-DP per-event-type mean of `value`: clipped to [0, 50], budget
+      // split ε/2 count + ε/2 sum, independent salted noise streams —
+      // the bounded-mean release completing the dpGroupCounts family.
+      Stats.dpGroupMean(table(s, dir, "events"), col("event_type"),
+          col("value"), lo = 0.0, hi = 50.0, epsilon = 0.5, seed = 13L)
+        .select(col("grp").as("event_type"), col("n_true"),
+          round(col("sum_true").cast("double"), 6).as("sum_true"),
+          round(col("n_noisy"), 6).as("n_noisy"),
+          round(col("sum_noisy"), 6).as("sum_noisy"),
+          round(col("mean_dp"), 6).as("mean_dp"))
+        .orderBy("event_type")),
+
     "g_winsorize" -> ((s, dir) => {
       // Winsorize `value` at the exact 5%/95% quantile fences, then
       // per-type moments of the clipped column — the heavy-tail guard
@@ -992,6 +1005,39 @@ object AnalyticsQueries {
          |  round(n_true + CASE WHEN u < 0.5 THEN $b * ln(2.0 * u)
          |    ELSE -$b * ln(2.0 * (1.0 - u)) END, 6) AS n_noisy
          |FROM u ORDER BY source""".stripMargin
+    },
+
+    "g_dp_mean" -> {
+      val bC = 2.0 / 0.5                    // count noise scale
+      val bS = 2.0 * 50.0 / 0.5             // clipped-sum noise scale
+      // the salted key strings are precomputed columns: stringHashSql
+      // textually indexes its argument ($s[i]), and an inline '..' || ..
+      // expression would bind as 'c|' || (expr[i])
+      def uExpr(keyCol: String) = {
+        val u0 = graft.ops.Robustness.seededUniformSql("13",
+          Seq(graft.ops.IntHash.stringHashSql(keyCol)))
+        s"greatest(least($u0, 1.0 - 1e-12), 1e-12)"
+      }
+      s"""WITH c AS (SELECT event_type AS grp, count(*) AS n_true,
+         |  sum(CAST(round(greatest(least(value, 50.0), 0.0), 6)
+         |    AS DECIMAL(18,6))) AS sum_true
+         |  FROM events GROUP BY 1),
+         |k AS (SELECT grp, n_true, sum_true,
+         |  'c|' || coalesce(CAST(grp AS VARCHAR), '') AS kc,
+         |  's|' || coalesce(CAST(grp AS VARCHAR), '') AS ks FROM c),
+         |u AS (SELECT grp, n_true, sum_true,
+         |  ${uExpr("kc")} AS uc, ${uExpr("ks")} AS us FROM k),
+         |n AS (SELECT grp, n_true, sum_true,
+         |  n_true + CASE WHEN uc < 0.5 THEN $bC * ln(2.0 * uc)
+         |    ELSE -$bC * ln(2.0 * (1.0 - uc)) END AS n_noisy,
+         |  CAST(sum_true AS DOUBLE) + CASE WHEN us < 0.5 THEN $bS * ln(2.0 * us)
+         |    ELSE -$bS * ln(2.0 * (1.0 - us)) END AS sum_noisy
+         |  FROM u)
+         |SELECT grp AS event_type, n_true,
+         |  round(CAST(sum_true AS DOUBLE), 6) AS sum_true,
+         |  round(n_noisy, 6) AS n_noisy, round(sum_noisy, 6) AS sum_noisy,
+         |  round(sum_noisy / greatest(1.0, n_noisy), 6) AS mean_dp
+         |FROM n ORDER BY event_type""".stripMargin
     },
 
     "g_winsorize" ->

@@ -123,6 +123,25 @@ object DedupTextQueries {
         .orderBy("doc_id")
     }),
 
+    "dedup_keep_best" -> ((s, dir) => {
+      // Keep-best-per-cluster (the RefinedWeb keeper rule): same CC
+      // clustering as dedup_cc_clusters, keeper = max qualityScore per
+      // component, ties to the lowest id — the 6-dp-rounded score keeps
+      // the DESC comparison engine-portable.
+      val docs = table(s, dir, "documents").where(col("doc_id") < 120)
+      val pairs = Dedup.jaccardSimilarity(docs, "doc_id", "text", n = 1)
+        .where(col("jaccard") >= 0.9)
+        .select(col("id_a"), col("id_b"))
+      val comp = Dedup.connectedComponents(docs, pairs, "doc_id",
+        "id_a", "id_b")
+      val scored = docs.join(comp, "doc_id")
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+      Dedup.keepBestPerCluster(scored, "doc_id", col("component"),
+          col("quality"))
+        .select(col("doc_id"), col("component"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
     "pack_sequences" -> ((s, dir) =>
       // Concat-then-chunk packing into 256-token training sequences in
       // doc_id order — bin/offset from the distributed prefix sum.
@@ -389,6 +408,22 @@ object DedupTextQueries {
       table(s, dir, "documents").where(col("doc_id") < 50)
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+
+    "text_readability" -> ((s, dir) =>
+      // Flesch/FK difficulty features (Flesch 1948, Kincaid 1975):
+      // dictionary-free word/sentence/vowel-group counts, pure row-local
+      // projection — the "textbook quality" curation feature family.
+      table(s, dir, "documents").where(col("doc_id") < 400)
+        .select(col("doc_id"), TextOps.readability(col("text")).as("r"))
+        .select(col("doc_id"), col("r.*"))
+        .orderBy("doc_id")),
+
+    "dedup_lsh_tune" -> ((s, dir) =>
+      // S-curve banding sweep (MMDS §3.4.3): FP/FN areas for every
+      // (bands, rows) factorization of a 32-hash signature at t = 0.7 —
+      // the table that justifies the deployed 8×4 banding. No data scan;
+      // `dir` is unused by design (the sweep is pure math).
+      Dedup.lshTune(s, numHashes = 32, threshold = 0.7)),
 
     "quality_retention_curve" -> ((s, dir) =>
       // Filter-tuning table: docs/tokens surviving quality >= t for a
@@ -834,6 +869,22 @@ object DedupTextQueries {
           round(first("match_prob"), 6).as("match_prob"),
           round(first("match_weight"), 4).as("match_weight"))
         .orderBy("g_type", "g_size", "g_price")
+    }),
+
+    "linkage_blocking_quality" -> ((s, dir) => {
+      // Blocking audit (Christen 2012 ch. 4): brand-key blocking over
+      // part, scored against the (p_type, p_size)-equality truth pairs —
+      // RR / PC / PQ from count algebra, pairs never materialized.
+      val p = table(s, dir, "part")
+      val a = p.select(col("p_partkey").as("id_a"), col("p_type").as("t_a"),
+        col("p_size").as("sz_a"))
+      val b = p.select(col("p_partkey").as("id_b"), col("p_type").as("t_b"),
+        col("p_size").as("sz_b"))
+      val truth = a.join(b, col("t_a") === col("t_b")
+          && col("sz_a") === col("sz_b") && col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      graft.ops.RecordLinkage.blockingQuality(p, "p_partkey",
+        col("p_brand"), truth)
     }),
 
     "text_lm_score" -> ((s, dir) =>
@@ -1572,6 +1623,31 @@ object DedupTextQueries {
          |SELECT n AS doc_id, min(comp) AS component
          |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
 
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, list_distinct($toks) AS sh
+         |  FROM documents WHERE doc_id < 120),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(n, comp) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.n),
+         |cc AS (SELECT n AS doc_id, min(comp) AS component
+         |       FROM reach GROUP BY n),
+         |q AS (SELECT d.doc_id, cc.component, $qualitySql AS quality
+         |      FROM documents d JOIN cc ON d.doc_id = cc.doc_id),
+         |r AS (SELECT doc_id, component, quality, row_number() OVER (
+         |        PARTITION BY component ORDER BY quality DESC, doc_id) AS rn
+         |      FROM q)
+         |SELECT doc_id, component, quality FROM r
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "text_regex_extract" ->
       """SELECT m, count(*) AS n FROM (
         |  SELECT unnest(regexp_extract_all(text, '[aeiou][a-z]{3}')) AS m
@@ -2076,6 +2152,25 @@ object DedupTextQueries {
          |ORDER BY g_type, g_size, g_price""".stripMargin
     },
 
+    "linkage_blocking_quality" ->
+      s"""WITH blocks AS (SELECT p_brand AS bk, count(*) AS n FROM part GROUP BY 1),
+         |base AS (SELECT CAST(sum(n) AS BIGINT) AS n_records,
+         |  count(*) AS n_blocks, CAST(max(n) AS BIGINT) AS max_block,
+         |  CAST(sum(n * (n - 1)) // 2 AS BIGINT) AS n_candidates FROM blocks),
+         |truth AS (SELECT a.p_brand AS bk_a, b.p_brand AS bk_b
+         |  FROM part a JOIN part b ON a.p_type = b.p_type
+         |    AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey),
+         |ta AS (SELECT count(*) AS n_truth,
+         |  CAST(sum(CASE WHEN bk_a = bk_b THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_truth_covered FROM truth)
+         |SELECT n_records, n_blocks, max_block, n_candidates,
+         |  round(1.0 - CAST(n_candidates AS DOUBLE)
+         |    / (CAST(n_records AS DOUBLE) * (n_records - 1) / 2), 6) AS reduction_ratio,
+         |  n_truth, n_truth_covered,
+         |  round(CAST(n_truth_covered AS DOUBLE) / n_truth, 6) AS pairs_completeness,
+         |  round(CAST(n_truth_covered AS DOUBLE) / n_candidates, 6) AS pairs_quality
+         |FROM base CROSS JOIN ta""".stripMargin,
+
     "mixture_doremi" -> {
       // Replays all 4 exponentiated-gradient steps: each step's
       // unnormalized scores in u<t>, the rounded smoothed iterate in
@@ -2121,6 +2216,56 @@ object DedupTextQueries {
     "text_quality" ->
       s"""SELECT doc_id, $qualitySql AS quality
          |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    "text_readability" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      t -> len(t) > 0) AS toks,
+         |    len(regexp_extract_all(text, '[.!?]+')) AS runs
+         |  FROM documents WHERE doc_id < 400),
+         |k AS (
+         |  SELECT doc_id, len(toks) AS n_words,
+         |    CASE WHEN len(toks) > 0 THEN greatest(1, runs) ELSE 0 END AS n_sentences,
+         |    CASE WHEN len(toks) > 0 THEN COALESCE(list_sum(list_transform(toks,
+         |      t -> greatest(1, len(regexp_extract_all(lower(t), '[aeiouy]+'))
+         |        - CASE WHEN regexp_matches(lower(t), '[^aeiouy]e$$')
+         |          THEN 1 ELSE 0 END))), 0) ELSE 0 END AS n_syllables
+         |  FROM c)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(n_sentences AS BIGINT) AS n_sentences,
+         |  CAST(n_syllables AS BIGINT) AS n_syllables,
+         |  CASE WHEN n_words > 0 THEN round(206.835
+         |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) END AS fre,
+         |  CASE WHEN n_words > 0 THEN round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4) END AS fk_grade
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "dedup_lsh_tune" ->
+      // Midpoint-grid S-curve integration replay. The grid term mirrors
+      // the Spark fold exactly: s = (i + 0.5) * (1.0/1000) and each term
+      // is multiplied by the SAME precomputed ds double (not divided by
+      // 1000 — a different rounding), summed in list order.
+      s"""WITH p AS (
+         |  SELECT CAST(b AS INTEGER) AS bands, CAST(32 // b AS INTEGER) AS rows_per_band
+         |  FROM (SELECT unnest(generate_series(1, 32)) AS b) WHERE 32 % b = 0),
+         |a AS (
+         |  SELECT bands, rows_per_band,
+         |    list_sum(list_transform(generate_series(0, 999), i ->
+         |      CASE WHEN (i + 0.5) * (1.0/1000) < 0.7
+         |        THEN (1.0 - pow(1.0 - pow((i + 0.5) * (1.0/1000), rows_per_band), bands)) * (1.0/1000)
+         |        ELSE 0.0 END)) AS fp_area,
+         |    list_sum(list_transform(generate_series(0, 999), i ->
+         |      CASE WHEN (i + 0.5) * (1.0/1000) >= 0.7
+         |        THEN (1.0 - (1.0 - pow(1.0 - pow((i + 0.5) * (1.0/1000), rows_per_band), bands))) * (1.0/1000)
+         |        ELSE 0.0 END)) AS fn_area
+         |  FROM p)
+         |SELECT bands, rows_per_band,
+         |  round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS inflection,
+         |  round(fp_area, 6) AS fp_area, round(fn_area, 6) AS fn_area,
+         |  round(0.5 * fn_area + 0.5 * fp_area, 6) AS error
+         |FROM a ORDER BY bands""".stripMargin,
 
     "quality_retention_curve" -> {
       val grid = (0 to 9).map(i => s"0.$i").mkString("[", ", ", "]")

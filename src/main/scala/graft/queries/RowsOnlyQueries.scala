@@ -257,6 +257,18 @@ object RowsOnlyQueries {
         .orderBy("source")
     }),
 
+    "text_fertility" -> ((s, dir) => {
+      // Tokenizer-equity audit (Rust 2021): per-language fertility
+      // (subwords/word) and bytes/subword under the same 30-rule BPE fit
+      // as text_bpe_encode; all group totals are exact integer sums, the
+      // ratios one division each — replayed by the dynamic twin.
+      val docs = table(s, dir, "documents").where(col("doc_id") < 300)
+      val merges = TextOps.bpeTrain(docs, col("text"), nMerges = 30)
+      TextOps.tokenizerFertility(docs.select("doc_id", "lang", "text"),
+          col("text"), merges, "lang")
+        .orderBy("lang")
+    }),
+
     "text_compression_ratio" -> ((s, dir) =>
       // Deflate-ratio repetitiveness signal, aggregated per source so
       // reruns are diffable. Rows-only by design: the ratio is
@@ -631,6 +643,35 @@ object RowsOnlyQueries {
          |  FROM e GROUP BY 1)
          |SELECT d.source, count(*) AS n_docs,
          |  CAST(coalesce(sum(per.nt), 0) AS BIGINT) AS n_subwords
+         |FROM d LEFT JOIN per USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
+
+    "text_fertility" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").where(col("doc_id") < 300)
+      val merges = TextOps.bpeTrain(docs, col("text"), nMerges = 30)
+      val enc = TextOps.bpeEncodeSqlExpr("w", merges)
+      s"""WITH d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 300),
+         |w AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      x -> x <> '')) AS w
+         |  FROM d),
+         |e AS (SELECT doc_id, $enc AS s FROM w),
+         |per AS (
+         |  SELECT doc_id, count(*) AS nw,
+         |    sum((length(s) - length(replace(s, chr(31), ''))) // 2) AS nt
+         |  FROM e GROUP BY 1)
+         |SELECT d.lang, count(*) AS n_docs,
+         |  CAST(coalesce(sum(per.nw), 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(sum(per.nt), 0) AS BIGINT) AS n_subwords,
+         |  CAST(sum(strlen(d.text)) AS BIGINT) AS n_bytes,
+         |  CASE WHEN coalesce(sum(per.nw), 0) > 0
+         |    THEN round(CAST(coalesce(sum(per.nt), 0) AS DOUBLE)
+         |      / CAST(coalesce(sum(per.nw), 0) AS DOUBLE), 6) END AS fertility,
+         |  CASE WHEN coalesce(sum(per.nt), 0) > 0
+         |    THEN round(CAST(sum(strlen(d.text)) AS DOUBLE)
+         |      / CAST(coalesce(sum(per.nt), 0) AS DOUBLE), 6) END AS bytes_per_subword
          |FROM d LEFT JOIN per USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin
     }),

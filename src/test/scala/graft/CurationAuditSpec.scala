@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, RecordLinkage, Stats, TextOps}
+
+/** Session additions to the curation-audit family: readability features,
+  * the LSH banding parameter sweep, blocking-quality metrics, DP clipped
+  * means, keep-best-per-cluster dedup, and tokenizer fertility. */
+class CurationAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --------------------------------------------------------- readability
+
+  test("readability: hand-computed counts and scores") {
+    // "The cat sat on the mat." — 6 words, 1 sentence.
+    // Syllables (vowel-group − silent-e, floor 1): the→1 (e group, −1
+    // silent e → floor 1), cat→1, sat→1, on→1, the→1, mat.→1 ⇒ 6.
+    val df = Seq((1L, "The cat sat on the mat.")).toDF("doc_id", "text")
+    val r = df.select(TextOps.readability(col("text")).as("r"))
+      .select("r.*").head()
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(r.getAs[Long]("n_sentences") == 1L)
+    assert(r.getAs[Long]("n_syllables") == 6L)
+    // FRE = 206.835 − 1.015·6 − 84.6·1 = 116.145; FK = 0.39·6 + 11.8·1 − 15.59
+    assert(approx(r.getAs[Double]("fre"), 206.835 - 1.015 * 6 - 84.6, 1e-4))
+    assert(approx(r.getAs[Double]("fk_grade"), 0.39 * 6 + 11.8 - 15.59, 1e-4))
+  }
+
+  test("readability: multi-sentence, silent-e, vowel-free, blank edge cases") {
+    val df = Seq(
+      (1L, "Remote athlete! Where? Respite here."), // silent-e exercises
+      (2L, "xyz zz"),                               // vowel-free → 1 syl each
+      (3L, "   "),                                  // blank → zero row
+      (4L, "no terminal punctuation")               // sentences floor at 1
+    ).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"), TextOps.readability(col("text")).as("r"))
+      .select(col("doc_id"), col("r.*")).orderBy("doc_id").collect()
+    // tokens keep their punctuation, so the silent-e rule only fires on
+    // words ENDING in consonant+e: remote → 3 groups − 1 = 2;
+    // "athlete!" ends '!' → 3; "Where?" → 2; Respite → 3 − 1 = 2;
+    // "here." ends '.' → 2. Total 11.
+    assert(rows(0).getAs[Long]("n_sentences") == 3L)
+    assert(rows(0).getAs[Long]("n_syllables") == (2 + 3 + 2 + 2 + 2).toLong)
+    assert(rows(1).getAs[Long]("n_syllables") == 2L) // floor 1 per word
+    assert(rows(2).getAs[Long]("n_words") == 0L)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("fre")))
+    assert(rows(3).getAs[Long]("n_sentences") == 1L)
+  }
+
+  // ------------------------------------------------------------- lshTune
+
+  test("lshTune: divisor grid, probability laws, and the deployed 8x4 row") {
+    val out = Dedup.lshTune(spark, numHashes = 32, threshold = 0.7)
+      .orderBy("bands").collect()
+    // divisors of 32: 1,2,4,8,16,32
+    assert(out.map(_.getAs[Int]("bands")).toSeq == Seq(1, 2, 4, 8, 16, 32))
+    out.foreach { r =>
+      assert(r.getAs[Int]("bands") * r.getAs[Int]("rows_per_band") == 32)
+      val fp = r.getAs[Double]("fp_area"); val fn = r.getAs[Double]("fn_area")
+      assert(fp >= 0 && fp <= 0.7 + 1e-9, s"fp=$fp")
+      assert(fn >= 0 && fn <= 0.3 + 1e-9, s"fn=$fn")
+      val infl = r.getAs[Double]("inflection")
+      assert(infl > 0 && infl < 1 || r.getAs[Int]("bands") == 1)
+    }
+    // more bands (same hash budget) = more permissive: FP grows
+    // monotonically with b, FN shrinks
+    val byB = out.sortBy(_.getAs[Int]("bands"))
+    assert(byB.map(_.getAs[Double]("fp_area")).sliding(2)
+      .forall(w => w(0) <= w(1) + 1e-12))
+    assert(byB.map(_.getAs[Double]("fn_area")).sliding(2)
+      .forall(w => w(0) >= w(1) - 1e-12))
+    // b=1, r=32: collision needs the FULL signature equal — essentially
+    // zero FP; b=32, r=1: any of 32 single hashes — essentially zero FN
+    assert(byB.head.getAs[Double]("fp_area") < 1e-6)
+    assert(byB.last.getAs[Double]("fn_area") < 1e-3)
+    // the deployed 8x4 banding sits near the sweep's minimal error
+    val err = out.map(r => r.getAs[Int]("bands") -> r.getAs[Double]("error")).toMap
+    assert(err(8) <= err.values.min + 0.05)
+  }
+
+  test("lshTune: guards refuse bad budgets and thresholds") {
+    intercept[IllegalArgumentException](Dedup.lshTune(spark, 0, 0.5))
+    intercept[IllegalArgumentException](Dedup.lshTune(spark, 32, 1.0))
+    intercept[IllegalArgumentException](Dedup.lshTune(spark, 32, 0.5, steps = 10))
+  }
+
+  // ----------------------------------------------------- blockingQuality
+
+  test("blockingQuality: hand-computed RR/PC/PQ on a fixed fixture") {
+    // blocks: A={1,2,3}, B={4,5}, C={6} → candidates 3+1+0 = 4 of 15
+    val recs = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"),
+      (6L, "C")).toDF("id", "bk")
+    // truth: (1,2) co-blocked, (1,4) split, (4,5) co-blocked, (3,6) split
+    val truth = Seq((1L, 2L), (1L, 4L), (4L, 5L), (3L, 6L))
+      .toDF("id_a", "id_b")
+    val r = RecordLinkage.blockingQuality(recs, "id", col("bk"), truth).head()
+    assert(r.getAs[Long]("n_records") == 6L)
+    assert(r.getAs[Long]("n_blocks") == 3L)
+    assert(r.getAs[Long]("max_block") == 3L)
+    assert(r.getAs[Long]("n_candidates") == 4L)
+    assert(approx(r.getAs[Double]("reduction_ratio"), 1.0 - 4.0 / 15.0, 1e-6))
+    assert(r.getAs[Long]("n_truth") == 4L)
+    assert(r.getAs[Long]("n_truth_covered") == 2L)
+    assert(approx(r.getAs[Double]("pairs_completeness"), 0.5, 1e-9))
+    assert(approx(r.getAs[Double]("pairs_quality"), 0.5, 1e-9))
+  }
+
+  test("blockingQuality: the everyone-in-one-block scheme has RR 0, PC 1") {
+    val recs = (1L to 5L).map(i => (i, "X")).toDF("id", "bk")
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val r = RecordLinkage.blockingQuality(recs, "id", col("bk"), truth).head()
+    assert(r.getAs[Long]("n_candidates") == 10L)
+    assert(approx(r.getAs[Double]("reduction_ratio"), 0.0, 1e-9))
+    assert(approx(r.getAs[Double]("pairs_completeness"), 1.0, 1e-9))
+  }
+
+  // ----------------------------------------------------------- dpGroupMean
+
+  test("dpGroupMean: deterministic per seed, exact clipped sums, bounded use") {
+    val df = Seq(("a", 5.0), ("a", 500.0), ("a", -3.0), ("b", 10.0),
+      ("b", 20.0)).toDF("g", "v")
+    val run = () => Stats.dpGroupMean(df, col("g"), col("v"),
+      lo = 0.0, hi = 100.0, epsilon = 1.0, seed = 7L)
+      .orderBy("grp").collect()
+    val r1 = run(); val r2 = run()
+    // determinism: same seed → bit-equal release
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+    // clipping: a's true sum is 5 + 100 (clipped from 500) + 0 (from −3)
+    val a = r1(0)
+    assert(a.getAs[java.math.BigDecimal]("sum_true").doubleValue() == 105.0)
+    assert(a.getAs[Long]("n_true") == 3L)
+    // noise is real (a zero-noise draw has ~0 probability) but bounded
+    // in distribution: scale 2/ε = 2 for the count stream
+    assert(math.abs(a.getAs[Double]("n_noisy") - 3.0) > 1e-9)
+    assert(math.abs(a.getAs[Double]("n_noisy") - 3.0) < 60.0)
+    // the release is the noisy ratio
+    assert(approx(a.getAs[Double]("mean_dp"),
+      a.getAs[Double]("sum_noisy") / math.max(1.0, a.getAs[Double]("n_noisy")),
+      1e-12))
+    // a different seed draws different noise
+    val other = Stats.dpGroupMean(df, col("g"), col("v"), 0.0, 100.0, 1.0, 8L)
+      .orderBy("grp").collect()
+    assert(other(0).getAs[Double]("n_noisy") != a.getAs[Double]("n_noisy"))
+  }
+
+  test("dpGroupMean: guards") {
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException](
+      Stats.dpGroupMean(df, col("g"), col("v"), 0.0, 100.0, 0.0, 1L))
+    intercept[IllegalArgumentException](
+      Stats.dpGroupMean(df, col("g"), col("v"), 5.0, 5.0, 1.0, 1L))
+  }
+
+  // ------------------------------------------------- keepBestPerCluster
+
+  test("keepBestPerCluster: max score wins, ties to the lowest id") {
+    val df = Seq(
+      (1L, 10L, 0.5), (2L, 10L, 0.9), (3L, 10L, 0.9), // tie at 0.9 → id 2
+      (4L, 20L, 0.1),                                  // singleton survives
+      (5L, 30L, 0.0), (6L, 30L, 0.0)                   // all-zero tie → id 5
+    ).toDF("id", "cluster", "q")
+    val kept = Dedup.keepBestPerCluster(df, "id", col("cluster"), col("q"))
+      .orderBy("id").collect()
+    assert(kept.map(_.getAs[Long]("id")).toSeq == Seq(2L, 4L, 5L))
+    // schema passes through unchanged (no helper columns leak)
+    assert(kept.head.schema.fieldNames.toSeq == Seq("id", "cluster", "q"))
+  }
+
+  // ---------------------------------------------------- tokenizerFertility
+
+  test("tokenizerFertility: hand-computed counts under a tiny merge list") {
+    // bpeInitSyms appends the </w> end-of-word marker: "low" =
+    // [l,o,w,</w>] → (l,o) → [lo,w,</w>] → (lo,w) → [low,</w>]: 2 pieces.
+    val df = Seq((1L, "en", "low low"), (2L, "de", "wol")).toDF(
+      "doc_id", "lang", "text")
+    val out = TextOps.tokenizerFertility(df, col("text"),
+      Seq(("l", "o"), ("lo", "w")), "lang").orderBy("lang").collect()
+    val de = out(0); val en = out(1)
+    assert(en.getAs[String]("lang") == "en")
+    assert(en.getAs[Long]("n_words") == 2L)
+    assert(en.getAs[Long]("n_subwords") == 4L) // 2 pieces per "low"
+    assert(approx(en.getAs[Double]("fertility"), 2.0, 1e-9))
+    assert(en.getAs[Long]("n_bytes") == 7L)
+    assert(approx(en.getAs[Double]("bytes_per_subword"), 1.75, 1e-9))
+    // "wol" shares letters but not merge adjacency: [w,o,l,</w>] has no
+    // (l,o) pair → stays 4 pieces
+    assert(de.getAs[Long]("n_subwords") == 4L)
+    assert(approx(de.getAs[Double]("fertility"), 4.0, 1e-9))
+  }
+}
