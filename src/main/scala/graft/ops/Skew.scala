@@ -114,4 +114,45 @@ object Skew {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Key-skew diagnosis report — the measurement that decides BETWEEN
+    * this file's remedies (plain shuffle vs [[saltedJoin]] vs AQE skew
+    * handling) before a 100 TB join/groupBy is launched. One map-side-
+    * combined key count, then one aggregation over the (bounded-by-
+    * distinct-keys) count table:
+    *
+    *  - `n_rows`, `n_keys`, `max_key_rows`, `max_share` — the heaviest
+    *    key's fraction of all rows,
+    *  - `skew_ratio` — max key count over the MEAN key count (1 =
+    *    uniform; a shuffle partition is only as balanced as this allows),
+    *  - `top1_key` — the heaviest key (max-count, ties to the smallest
+    *    key string — deterministic),
+    *  - `suggested_salt` — ⌈max_key_rows / (n_rows / parallelism)⌉
+    *    clipped to ≥ 1: the replication factor that levels the heaviest
+    *    key across `parallelism` ideal partitions (the factor
+    *    [[saltedJoin]] takes).
+    *
+    * All released numbers are exact-integer counts or single divisions
+    * of them — engine-portable. */
+  def skewReport(df: DataFrame, key: Column, parallelism: Int): DataFrame = {
+    require(parallelism >= 1, "parallelism must be >= 1")
+    val counts = df.groupBy(key.cast("string").as("__k"))
+      .agg(count(lit(1)).as("__n"))
+    counts.agg(
+        sum(col("__n")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("__n")).cast("long").as("max_key_rows"),
+        min(struct((-col("__n")).as("neg"), col("__k").as("k")))
+          .getField("k").as("top1_key"))
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+        col("top1_key"),
+        round(col("max_key_rows").cast("double")
+          / col("n_rows").cast("double"), 6).as("max_share"),
+        round(col("max_key_rows").cast("double")
+          / (col("n_rows").cast("double") / col("n_keys").cast("double")),
+          6).as("skew_ratio"),
+        greatest(lit(1L), ceil(col("max_key_rows").cast("double")
+          / (col("n_rows").cast("double") / parallelism)).cast("long"))
+          .as("suggested_salt"))
+  }
 }

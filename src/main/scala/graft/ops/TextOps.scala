@@ -1771,4 +1771,95 @@ object TextOps {
       when(nW > 0, round(fre, 4)).as("fre"),
       when(nW > 0, round(fk, 4)).as("fk_grade"))
   }
+
+  /** Unicode-script character mix — the routing signal upstream of
+    * [[languageId]] (a stopword heuristic can only decide among
+    * languages of one script; the script split routes Cyrillic/CJK/
+    * Arabic text to their own pipelines and flags mixed-script docs, a
+    * spam/obfuscation signature). Counted per EXPLICIT codepoint range
+    * (`\x{…}` escapes parse identically in Java regex and RE2 — no
+    * dependence on the engines' Unicode-table versions):
+    * Latin (ASCII letters + Latin-1/Extended A-B), Cyrillic, Greek,
+    * Arabic, Hebrew, CJK unified, Kana, Hangul, digits, whitespace;
+    * `other` is the remainder. `dominant` = the max-count SCRIPT class
+    * (count ties resolve to the alphabetically-LAST name — the
+    * struct-max convention [[languageIdFromTokens]] already uses;
+    * "none" when no script char appears). Pure row-local projection
+    * (one regex pass per class), streams as-is. */
+  def scriptMix(text: Column): Column = {
+    val n = coalesce(length(text), lit(0))
+    def cnt(pattern: String): Column =
+      n - coalesce(length(regexp_replace(text, pattern, "")), lit(0))
+    val classes: Seq[(String, String)] = Seq(
+      "arabic" -> "[\\x{0600}-\\x{06FF}]",
+      "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+      "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+      "greek" -> "[\\x{0370}-\\x{03FF}]",
+      "hangul" -> "[\\x{AC00}-\\x{D7AF}]",
+      "hebrew" -> "[\\x{0590}-\\x{05FF}]",
+      "kana" -> "[\\x{3040}-\\x{30FF}]",
+      "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]")
+    val counted = classes.map { case (name, p) => name -> cnt(p) }
+    val nDigit = cnt("[0-9]")
+    val nSpace = cnt("\\s")
+    val scriptTotal = counted.map(_._2).reduce(_ + _)
+    val best = array_max(array(counted.map { case (name, c) =>
+      struct(c.as("n"), lit(name).as("s")) }: _*))
+    val fields =
+      Seq(n.cast("long").as("n_chars")) ++
+      counted.map { case (name, c) => c.cast("long").as(name) } ++
+      Seq(nDigit.cast("long").as("digit"), nSpace.cast("long").as("space"),
+        (n - scriptTotal - nDigit - nSpace).cast("long").as("other"),
+        when(best.getField("n") > 0, best.getField("s"))
+          .otherwise(lit("none")).as("dominant"))
+    struct(fields: _*)
+  }
+
+  /** HTML boilerplate strip — the pre-C4 stage for raw web crawl text:
+    * drops `<tag …>` runs (each replaced by one space so adjacent words
+    * don't fuse), decodes the six core entities (`&amp;` LAST — a
+    * double-decode would turn `&amp;lt;` into `<`), collapses
+    * whitespace, trims. Returns a struct (n_tags, text_clean); rows with
+    * n_tags = 0 pass through unchanged modulo whitespace collapse. Pure
+    * row-local regex/replace chain — portable (RE2-safe patterns),
+    * streams as-is. */
+  def stripHtml(text: Column): Column = {
+    val nTags = size(regexp_extract_all(text, lit("<[^>]*>"), lit(0)))
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (from, to)) =>
+      call_function("replace", c, lit(from), lit(to))
+    }
+    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    struct(
+      when(nTags >= 0, nTags).otherwise(lit(0)).cast("long").as("n_tags"),
+      clean.as("text_clean"))
+  }
+
+  /** Fenced-code-block stats — the code/prose router for mixed corpora
+    * (code wants different dedup grain, quality rules, and tokenizer
+    * than prose): count ``` fences, characters inside them (fences
+    * included), and the code fraction of the doc. `(?s)`-dotall +
+    * non-greedy — both Java regex and RE2 parse the pattern identically;
+    * an odd dangling fence is NOT a block (the regex needs the closing
+    * fence) and is reported via `dangling_fence`. Row-local, streams
+    * as-is. */
+  def codeFenceStats(text: Column): Column = {
+    val blocks = regexp_extract_all(text, lit("(?s)```.*?```"), lit(0))
+    val nBlocks = coalesce(size(blocks), lit(0))
+    val nB = when(nBlocks > 0, nBlocks).otherwise(lit(0))
+    val codeChars = coalesce(
+      aggregate(blocks, lit(0L), (a, b) => a + length(b)), lit(0L))
+    val nFences = size(regexp_extract_all(text, lit("```"), lit(0)))
+    val n = coalesce(length(text), lit(0))
+    struct(
+      nB.cast("long").as("n_blocks"),
+      codeChars.as("code_chars"),
+      when(n > 0, round(codeChars.cast("double") / n.cast("double"), 6))
+        .otherwise(lit(0.0)).as("code_frac"),
+      (when(nFences > 0, nFences).otherwise(lit(0)) - nB * 2 > 0)
+        .as("dangling_fence"))
+  }
 }

@@ -207,6 +207,13 @@ object AnalyticsQueries {
           round(col("n_noisy"), 6).as("n_noisy"))
         .orderBy("source")),
 
+    "g_skew_report" -> ((s, dir) =>
+      // Key-skew diagnosis before a big shuffle: exact per-key counts →
+      // heaviest key, its share, skew ratio vs the uniform mean, and the
+      // salt factor that would level it across 32-way parallelism.
+      graft.ops.Skew.skewReport(table(s, dir, "events"),
+        col("event_type"), parallelism = 32)),
+
     "g_dp_mean" -> ((s, dir) =>
       // ε-DP per-event-type mean of `value`: clipped to [0, 50], budget
       // split ε/2 count + ε/2 sum, independent salted noise streams —
@@ -1006,6 +1013,20 @@ object AnalyticsQueries {
          |    ELSE -$b * ln(2.0 * (1.0 - u)) END, 6) AS n_noisy
          |FROM u ORDER BY source""".stripMargin
     },
+
+    "g_skew_report" ->
+      """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS k, count(*) AS n
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |  CAST(max(n) AS BIGINT) AS max_key_rows,
+        |  (SELECT k FROM c ORDER BY n DESC, k LIMIT 1) AS top1_key FROM c)
+        |SELECT n_rows, n_keys, max_key_rows, top1_key,
+        |  round(CAST(max_key_rows AS DOUBLE) / n_rows, 6) AS max_share,
+        |  round(CAST(max_key_rows AS DOUBLE)
+        |    / (CAST(n_rows AS DOUBLE) / n_keys), 6) AS skew_ratio,
+        |  greatest(CAST(1 AS BIGINT), CAST(ceil(CAST(max_key_rows AS DOUBLE)
+        |    / (CAST(n_rows AS DOUBLE) / 32)) AS BIGINT)) AS suggested_salt
+        |FROM a""".stripMargin,
 
     "g_dp_mean" -> {
       val bC = 2.0 / 0.5                    // count noise scale

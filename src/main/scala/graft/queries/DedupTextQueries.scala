@@ -425,6 +425,51 @@ object DedupTextQueries {
       // `dir` is unused by design (the sweep is pure math).
       Dedup.lshTune(s, numHashes = 32, threshold = 0.7)),
 
+    "text_script_mix" -> ((s, dir) => {
+      // Script routing: the corpus is Latin-script, so deterministic
+      // non-Latin tails (Cyrillic / CJK / Greek / digit-heavy) are
+      // appended by doc_id residue before the explicit-range counts.
+      val tail = when(col("doc_id") % 7 === 0, lit(" Привет мир"))
+        .when(col("doc_id") % 7 === 1, lit(" 你好世界"))
+        .when(col("doc_id") % 7 === 2, lit(" αβγ δέλτα"))
+        .when(col("doc_id") % 7 === 3, lit(" 12345 67890"))
+        .otherwise(lit(""))
+      table(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"),
+          TextOps.scriptMix(concat(col("text"), tail)).as("m"))
+        .select(col("doc_id"), col("m.*"))
+        .orderBy("doc_id")
+    }),
+
+    "text_strip_html" -> ((s, dir) => {
+      // HTML strip: docs are wrapped in deterministic markup + the six
+      // core entities; the op must drop every tag, decode entities
+      // (&amp; last — no double decode), and collapse whitespace.
+      val html = concat(lit("<html><body class=\"x\">"), col("text"),
+        lit(" &amp;&nbsp;<b>bold</b>&lt;i&gt; &#39;q&quot;</body></html>"))
+      table(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), TextOps.stripHtml(html).as("h"))
+        .select(col("doc_id"), col("h.n_tags"),
+          length(col("h.text_clean")).cast("long").as("clean_len"),
+          md5(col("h.text_clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "text_code_fences" -> ((s, dir) => {
+      // Code/prose routing: fenced blocks appended for doc_id % 3 == 0,
+      // a dangling (unclosed) fence for % 3 == 1 — the dangling fence
+      // must NOT count as a block but must raise the flag.
+      val tail = when(col("doc_id") % 3 === 0,
+          lit("\n```py\nprint(1)\n```\nafter"))
+        .when(col("doc_id") % 3 === 1, lit("\n``` dangling"))
+        .otherwise(lit(""))
+      table(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"),
+          TextOps.codeFenceStats(concat(col("text"), tail)).as("c"))
+        .select(col("doc_id"), col("c.*"))
+        .orderBy("doc_id")
+    }),
+
     "quality_retention_curve" -> ((s, dir) =>
       // Filter-tuning table: docs/tokens surviving quality >= t for a
       // 0.0..0.9 threshold grid (the 6-dp-rounded score keeps boundary
@@ -2266,6 +2311,96 @@ object DedupTextQueries {
          |  round(fp_area, 6) AS fp_area, round(fn_area, 6) AS fn_area,
          |  round(0.5 * fn_area + 0.5 * fp_area, 6) AS error
          |FROM a ORDER BY bands""".stripMargin,
+
+    "text_script_mix" -> {
+      // per-class count: codepoints removed by the class regex. The
+      // dominant CASE checks classes in REVERSE-alphabetical order —
+      // the struct-max tie convention (alphabetically-last name wins).
+      val classes = Seq(
+        "arabic" -> "[\\x{0600}-\\x{06FF}]",
+        "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+        "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+        "greek" -> "[\\x{0370}-\\x{03FF}]",
+        "hangul" -> "[\\x{AC00}-\\x{D7AF}]",
+        "hebrew" -> "[\\x{0590}-\\x{05FF}]",
+        "kana" -> "[\\x{3040}-\\x{30FF}]",
+        "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]")
+      val cnt = classes.map { case (n, p) =>
+        s"CAST(length(tx) - length(regexp_replace(tx, '$p', '', 'g')) AS BIGINT) AS $n"
+      }.mkString(",\n|  ")
+      val names = classes.map(_._1)
+      val mx = s"greatest(${names.mkString(", ")})"
+      val dom = names.reverse.map(n => s"WHEN $n = mx THEN '$n'")
+        .mkString(" ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text || CASE
+         |    WHEN doc_id % 7 = 0 THEN ' Привет мир'
+         |    WHEN doc_id % 7 = 1 THEN ' 你好世界'
+         |    WHEN doc_id % 7 = 2 THEN ' αβγ δέλτα'
+         |    WHEN doc_id % 7 = 3 THEN ' 12345 67890'
+         |    ELSE '' END AS tx
+         |  FROM documents WHERE doc_id < 300),
+         |c AS (
+         |  SELECT doc_id, CAST(length(tx) AS BIGINT) AS n_chars,
+         |  $cnt,
+         |  CAST(length(tx) - length(regexp_replace(tx, '[0-9]', '', 'g')) AS BIGINT) AS digit,
+         |  CAST(length(tx) - length(regexp_replace(tx, '\\s', '', 'g')) AS BIGINT) AS space
+         |  FROM t),
+         |d AS (SELECT *, $mx AS mx FROM c)
+         |SELECT doc_id, n_chars, ${names.mkString(", ")}, digit, space,
+         |  n_chars - (${names.mkString(" + ")}) - digit - space AS other,
+         |  CASE WHEN mx <= 0 THEN 'none' $dom END AS dominant
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+
+    "text_strip_html" -> {
+      // replace chain order mirrors TextOps.stripHtml exactly (&amp;
+      // LAST); tags become one space each, then whitespace collapses.
+      val decoded = Seq(
+        "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&"
+      ).foldLeft("regexp_replace(tx, '<[^>]*>', ' ', 'g')") {
+        case (c, (from, to)) => s"replace($c, '$from', '$to')"
+      }
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    '<html><body class="x">' || text ||
+         |    ' &amp;&nbsp;<b>bold</b>&lt;i&gt; &#39;q&quot;</body></html>' AS tx
+         |  FROM documents WHERE doc_id < 300),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(tx, '<[^>]*>')) AS BIGINT) AS n_tags,
+         |    trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS clean
+         |  FROM t)
+         |SELECT doc_id, n_tags, CAST(length(clean) AS BIGINT) AS clean_len,
+         |  md5(clean) AS clean_md5
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "text_code_fences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text || CASE
+         |    WHEN doc_id % 3 = 0 THEN chr(10) || '```py' || chr(10) ||
+         |      'print(1)' || chr(10) || '```' || chr(10) || 'after'
+         |    WHEN doc_id % 3 = 1 THEN chr(10) || '``` dangling'
+         |    ELSE '' END AS tx
+         |  FROM documents WHERE doc_id < 300),
+         |c AS (
+         |  SELECT doc_id, tx,
+         |    regexp_extract_all(tx, '(?s)```.*?```') AS blocks,
+         |    len(regexp_extract_all(tx, '```')) AS n_fences
+         |  FROM t),
+         |k AS (
+         |  SELECT doc_id, tx, CAST(len(blocks) AS BIGINT) AS n_blocks,
+         |    CAST(coalesce(list_sum(list_transform(blocks,
+         |      b -> length(b))), 0) AS BIGINT) AS code_chars,
+         |    n_fences
+         |  FROM c)
+         |SELECT doc_id, n_blocks, code_chars,
+         |  CASE WHEN length(tx) > 0 THEN round(CAST(code_chars AS DOUBLE)
+         |    / length(tx), 6) ELSE 0.0 END AS code_frac,
+         |  (n_fences - n_blocks * 2) > 0 AS dangling_fence
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     "quality_retention_curve" -> {
       val grid = (0 to 9).map(i => s"0.$i").mkString("[", ", ", "]")

@@ -86,9 +86,101 @@ object JoinQueries {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy("o_orderpriority")
     }),
+
+    "scd2_build" -> ((s, dir) => {
+      // SCD Type-2 history build over the lineitem "change log": key =
+      // l_orderkey, version time = l_shipdate (l_linenumber disambiguates
+      // same-day lines), tracked attrs = (returnflag, linestatus). Rows
+      // whose flags equal the previous version's open NO new interval;
+      // the last interval per key is open-ended (is_current).
+      val li = table(s, dir, "lineitem").where(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_linenumber"),
+          col("l_returnflag"), col("l_linestatus"))
+      graft.ops.Changelog.scd2(li, "l_orderkey", "l_shipdate",
+          Seq("l_returnflag", "l_linestatus"), Seq(col("l_linenumber")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("valid_from"),
+          // the Kimball far-future close for open intervals (a NULL
+          // valid_to is also NaT-unsortable in the comparison harness)
+          coalesce(col("valid_to"),
+            lit(java.sql.Date.valueOf("9999-12-31"))).as("valid_to"),
+          col("is_current"), col("l_returnflag"), col("l_linestatus"))
+        .orderBy("l_orderkey", "valid_from", "l_linenumber")
+    }),
+
+    "cdc_merge" -> ((s, dir) => {
+      // Latest-wins CDC merge: base snapshot = each user's EARLIEST
+      // event; change log = every event of users < 80, with 'error' rows
+      // as delete tombstones. One window collapses the log, one outer
+      // join applies it.
+      val ev = table(s, dir, "events")
+      val base = ev.groupBy(col("user_id"))
+        .agg(min(struct(col("ts"), col("event_type"), col("value")))
+          .as("f"))
+        .select(col("user_id"), col("f.event_type").as("event_type"),
+          round(col("f.value"), 6).as("value"))
+      val log = ev.where(col("user_id") < 80)
+        .select(col("user_id"), col("ts"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("event_type"), round(col("value"), 6).as("value"))
+      graft.ops.Changelog.cdcMerge(base, log, "user_id", "ts", "op",
+          Seq("event_type", "value"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "scd2_build" ->
+      """WITH log AS (
+        |  SELECT l_orderkey, l_shipdate, l_linenumber, l_returnflag,
+        |         l_linestatus
+        |  FROM lineitem WHERE l_orderkey < 1000),
+        |m AS (
+        |  SELECT *, CASE WHEN row_number() OVER w = 1 THEN true
+        |    WHEN l_returnflag IS DISTINCT FROM lag(l_returnflag) OVER w
+        |      OR l_linestatus IS DISTINCT FROM lag(l_linestatus) OVER w
+        |    THEN true ELSE false END AS chg
+        |  FROM log
+        |  WINDOW w AS (PARTITION BY l_orderkey
+        |    ORDER BY l_shipdate, l_linenumber, l_returnflag, l_linestatus)),
+        |k AS (SELECT * FROM m WHERE chg),
+        |v AS (
+        |  SELECT l_orderkey, l_linenumber, l_shipdate AS valid_from,
+        |    lead(l_shipdate) OVER w2 AS valid_to, l_returnflag, l_linestatus
+        |  FROM k
+        |  WINDOW w2 AS (PARTITION BY l_orderkey
+        |    ORDER BY l_shipdate, l_linenumber, l_returnflag, l_linestatus))
+        |SELECT l_orderkey, l_linenumber, valid_from,
+        |  coalesce(valid_to, DATE '9999-12-31') AS valid_to,
+        |  valid_to IS NULL AS is_current, l_returnflag, l_linestatus
+        |FROM v ORDER BY l_orderkey, valid_from, l_linenumber""".stripMargin,
+
+    "cdc_merge" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_type,
+        |         round(value, 6) AS value
+        |  FROM events),
+        |base AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT user_id, event_type, value,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+        |    FROM e) WHERE rn = 1),
+        |log AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    event_type, value
+        |  FROM e WHERE user_id < 80),
+        |latest AS (
+        |  SELECT user_id AS lk, op, event_type AS le, value AS lv FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY t DESC) AS rn
+        |    FROM log) WHERE rn = 1)
+        |SELECT coalesce(b.user_id, l.lk) AS user_id,
+        |  CASE WHEN l.op = 'U' THEN l.le ELSE b.event_type END AS event_type,
+        |  CASE WHEN l.op = 'U' THEN l.lv ELSE b.value END AS value
+        |FROM base b FULL OUTER JOIN latest l ON b.user_id = l.lk
+        |WHERE coalesce(l.op, 'U') <> 'D'
+        |ORDER BY user_id""".stripMargin,
+
     "q_bloom_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -187,4 +187,64 @@ class CurationAuditSpec extends SparkSpec {
     assert(de.getAs[Long]("n_subwords") == 4L)
     assert(approx(de.getAs[Double]("fertility"), 4.0, 1e-9))
   }
+
+  // ------------------------------------------------------------ scriptMix
+
+  test("scriptMix: per-range counts, dominant, mixed-script doc") {
+    val df = Seq(
+      (1L, "abc Привет 你好 12 !"), // 3 latin, 6 cyr, 2 cjk, 2 digit
+      (2L, "½½½"),                  // no script chars at all
+      (3L, "ααα bb")                // greek 3 vs latin 2 → greek wins
+    ).toDF("id", "text")
+    val rows = df.select(col("id"), graft.ops.TextOps.scriptMix(col("text"))
+      .as("m")).select(col("id"), col("m.*")).orderBy("id").collect()
+    val r1 = rows(0)
+    assert(r1.getAs[Long]("latin") == 3L)
+    assert(r1.getAs[Long]("cyrillic") == 6L)
+    assert(r1.getAs[Long]("cjk") == 2L)
+    assert(r1.getAs[Long]("digit") == 2L)
+    assert(r1.getAs[Long]("space") == 4L)
+    assert(r1.getAs[Long]("other") == 1L) // the '!'
+    assert(r1.getAs[String]("dominant") == "cyrillic")
+    assert(rows(1).getAs[String]("dominant") == "none")
+    assert(rows(1).getAs[Long]("other") == 3L) // ½ is no script class
+    assert(rows(2).getAs[String]("dominant") == "greek")
+  }
+
+  // ------------------------------------------------------------ stripHtml
+
+  test("stripHtml: tags dropped, entities decoded once, whitespace collapsed") {
+    val df = Seq(
+      (1L, "<p>Hello <b>world</b></p> &amp;amp; &lt;kept&gt;"),
+      (2L, "plain   text,  no  tags")
+    ).toDF("id", "text")
+    val rows = df.select(col("id"), graft.ops.TextOps.stripHtml(col("text"))
+      .as("h")).select(col("id"), col("h.*")).orderBy("id").collect()
+    assert(rows(0).getAs[Long]("n_tags") == 4L)
+    // &amp;amp; decodes ONE level: "&amp;"; &lt;/&gt; become literal <>
+    assert(rows(0).getAs[String]("text_clean") == "Hello world &amp; <kept>")
+    assert(rows(1).getAs[Long]("n_tags") == 0L)
+    assert(rows(1).getAs[String]("text_clean") == "plain text, no tags")
+  }
+
+  // -------------------------------------------------------- codeFenceStats
+
+  test("codeFenceStats: blocks counted non-greedily, dangling fence flagged") {
+    val two = "a\n```x\ncode1\n```\nb\n```\ncode2\n```\nc"
+    val df = Seq((1L, two), (2L, "text ``` open"), (3L, "no fences"))
+      .toDF("id", "text")
+    val rows = df.select(col("id"),
+      graft.ops.TextOps.codeFenceStats(col("text")).as("c"))
+      .select(col("id"), col("c.*")).orderBy("id").collect()
+    assert(rows(0).getAs[Long]("n_blocks") == 2L) // non-greedy: 2, not 1
+    assert(!rows(0).getAs[Boolean]("dangling_fence"))
+    val blockChars = "```x\ncode1\n```".length + "```\ncode2\n```".length
+    assert(rows(0).getAs[Long]("code_chars") == blockChars.toLong)
+    assert(approx(rows(0).getAs[Double]("code_frac"),
+      blockChars.toDouble / two.length, 1e-6))
+    assert(rows(1).getAs[Long]("n_blocks") == 0L)
+    assert(rows(1).getAs[Boolean]("dangling_fence"))
+    assert(rows(2).getAs[Long]("n_blocks") == 0L)
+    assert(!rows(2).getAs[Boolean]("dangling_fence"))
+  }
 }

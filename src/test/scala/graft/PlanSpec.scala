@@ -335,4 +335,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("scd2_build: both windows share ONE key exchange; no join anywhere") {
+    val p = plan("scd2_build")
+    // lag (change detect) and lead (interval close) are both windows over
+    // the same (key, order) — the log must shuffle exactly once
+    assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).size == 1, p)
+    assert("Window ".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("cdc_merge: the log collapses under one window; one outer join applies it") {
+    val p = plan("cdc_merge")
+    assert("Window ".r.findAllIn(p).size == 1, p)
+    assert("FullOuter".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("g_skew_report: two aggregations, no window, no join — pure count algebra") {
+    val p = plan("g_skew_report")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // both stages map-side combine (the struct-min tiebreak downgrades
+    // the final stage to SortAggregate — still partial'd); only the
+    // grouping column is read from parquet
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_min(struct"), p)
+    assert(p.contains("ReadSchema: struct<event_type:string>"), p)
+  }
 }
