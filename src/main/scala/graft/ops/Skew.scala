@@ -134,6 +134,39 @@ object Skew {
     *
     * All released numbers are exact-integer counts or single divisions
     * of them — engine-portable. */
+  /** Pre-join cardinality audit — predict the equi-join's output WITHOUT
+    * running it: |a ⋈ b| = Σ_k n_a(k)·n_b(k) over the two per-key count
+    * tables (bounded by distinct keys, not rows). The "will this join
+    * explode" check that pairs with [[skewReport]]: a 100 TB join is
+    * cheap to predict and expensive to discover, and the per-key product
+    * also surfaces the hot key AQE will fight with. One groupBy per
+    * side + one count-table join; exact integers throughout. Returns one
+    * row: rows_a/b, output_rows, n_keys_joined, max_key_output,
+    * top1_key, and amplification = output / max(rows_a, rows_b). */
+  def joinCardinality(a: DataFrame, b: DataFrame, keyA: Column,
+      keyB: Column): DataFrame = {
+    val ca = a.groupBy(keyA.cast("string").as("__k"))
+      .agg(count(lit(1)).as("__na"))
+    val cb = b.groupBy(keyB.cast("string").as("__k"))
+      .agg(count(lit(1)).as("__nb"))
+    val prod = ca.join(cb, "__k")
+      .select(col("__k"), (col("__na") * col("__nb")).as("__p"))
+    val joined = prod.agg(
+      coalesce(sum(col("__p")), lit(0L)).cast("long").as("output_rows"),
+      count(lit(1)).as("n_keys_joined"),
+      coalesce(max(col("__p")), lit(0L)).cast("long").as("max_key_output"),
+      min(struct((-col("__p")).as("neg"), col("__k").as("k")))
+        .getField("k").as("top1_key"))
+    val na = a.agg(count(lit(1)).as("rows_a"))
+    val nb = b.agg(count(lit(1)).as("rows_b"))
+    na.crossJoin(nb).crossJoin(joined).select(
+      col("rows_a"), col("rows_b"), col("output_rows"),
+      col("n_keys_joined"), col("max_key_output"), col("top1_key"),
+      round(col("output_rows").cast("double")
+        / greatest(col("rows_a"), col("rows_b")).cast("double"), 6)
+        .as("amplification"))
+  }
+
   def skewReport(df: DataFrame, key: Column, parallelism: Int): DataFrame = {
     require(parallelism >= 1, "parallelism must be >= 1")
     val counts = df.groupBy(key.cast("string").as("__k"))

@@ -1780,4 +1780,83 @@ object Stats {
       (lam(i)._1, lam(i)._2, lam(i)._3, alpha(i), accum(i) / steps)
     }.toDF("domain", "n", "excess_loss", "weight_final", "weight_avg")
   }
+
+  /** Fixed-width histogram with EXPLICIT bounds — the mergeable numeric
+    * profile (unlike quantile bins, data-independent cells merge across
+    * corpora, engines, and ingest batches; the complement of
+    * [[fitQuantileBins]]): `bins` equal cells over [lo, hi), plus an
+    * underflow cell (bin −1, x < lo) and an overflow cell (bin = bins,
+    * x ≥ hi). Empty cells are emitted (a released histogram must have a
+    * fixed shape), null values are not counted. One map-side-combined
+    * groupBy + a broadcast (bins+2)-row spine left-join; bin edges are
+    * single IEEE ops on the raw value, identical in any engine. */
+  def histogram(df: DataFrame, value: Column, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 100000, s"histogram: bins $bins outside [1, 1e5]")
+    require(lo < hi, s"histogram: need lo < hi, got [$lo, $hi]")
+    val width = (hi - lo) / bins
+    val v = value.cast("double")
+    val idx = when(v < lo, lit(-1))
+      .when(v >= hi, lit(bins))
+      .otherwise(least(floor((v - lit(lo)) / lit(width)).cast("int"),
+        lit(bins - 1)))
+    val counts = df.where(v.isNotNull)
+      .groupBy(idx.as("bin")).agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    val spine = spark.range(-1L, bins + 1L)
+      .select(col("id").cast("int").as("bin"))
+    spine.join(broadcast(counts), Seq("bin"), "left")
+      .select(col("bin"),
+        when(col("bin") >= 0, lit(lo) + col("bin") * lit(width)).as("bin_lo"),
+        when(col("bin") < bins, lit(lo) + (col("bin") + 1) * lit(width))
+          .as("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("bin")
+  }
+
+  /** Ordered funnel conversion — the classic event-analytics funnel, here
+    * the acquisition audit of a data-collection pipeline (how many
+    * sources/users progress submit → validate → accept, and where they
+    * stall): for each entity, step k counts only if it happens AT OR
+    * AFTER the entity's step k−1 completion (earliest such event), and
+    * the whole path must fit within `maxSpan` time units of the step-1
+    * completion. Reports per-step entity counts + conversion vs step 1.
+    *
+    * Scale shape: NO window over raw events and no per-entity event
+    * buffering — step k is one filtered min-aggregate of the events
+    * joined to the (entity, t_{k−1}, deadline) frontier (id-keyed,
+    * frontier ≤ one row per entity, broadcast when small). k−1 joins
+    * total for a k-step funnel; events stream through each stage once. */
+  def funnel(df: DataFrame, entity: Column, ts: Column, step: Column,
+      steps: Seq[String], maxSpan: Double): DataFrame = {
+    require(steps.size >= 2, "funnel: need at least 2 steps")
+    require(steps.distinct.size == steps.size, "funnel: steps must be distinct")
+    require(maxSpan > 0.0, "funnel: maxSpan must be > 0")
+    val t = ts.cast("double")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s0 = df.where(step === steps.head)
+      .groupBy(entity.as("__e")).agg(min(t).as("__t"))
+      .withColumn("__deadline", col("__t") + maxSpan)
+    // each frontier is persisted before the next stage reads it, so the
+    // raw events feed every stage exactly once (without it, stage k's
+    // lineage would re-run stages 0..k−1 from the source)
+    val frontiers = steps.tail.scanLeft(s0.persist()) { (prev, name) =>
+      df.where(step === name)
+        .select(entity.as("__e2"), t.as("__tc"))
+        .join(prev, col("__e2") === col("__e"))
+        .where(col("__tc") >= col("__t") && col("__tc") <= col("__deadline"))
+        .groupBy(col("__e2").as("__e"))
+        .agg(min(col("__tc")).as("__t"), first(col("__deadline")).as("__deadline"))
+        .persist()
+    }
+    val counts = frontiers.map(f => f.agg(count(lit(1))).head().getLong(0))
+    frontiers.foreach(_.unpersist(blocking = false))
+    steps.indices.map { i =>
+      (i, steps(i), counts(i),
+        BigDecimal(if (counts.head == 0L) 0.0
+          else counts(i).toDouble / counts.head)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("step_idx", "step", "n_entities", "conversion")
+  }
 }

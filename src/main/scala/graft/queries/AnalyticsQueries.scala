@@ -207,6 +207,40 @@ object AnalyticsQueries {
           round(col("n_noisy"), 6).as("n_noisy"))
         .orderBy("source")),
 
+    "g_join_cardinality" -> ((s, dir) => {
+      // Pre-join explosion audit on the worst case: the events SELF-join
+      // on user_id — output = Σ n_u², predicted from the count tables
+      // without running the join.
+      val ev = table(s, dir, "events")
+      graft.ops.Skew.joinCardinality(ev, ev, col("user_id"), col("user_id"))
+    }),
+
+    "g_histogram" -> ((s, dir) =>
+      // Fixed-width released histogram of events.value: 20 cells over
+      // [0, 100) + underflow/overflow, empty cells emitted.
+      Stats.histogram(table(s, dir, "events"), col("value"),
+        lo = 0.0, hi = 100.0, bins = 20)),
+
+    "g_purged_split" -> ((s, dir) =>
+      // Purged 5-fold time split, eval fold 2, 12-hour embargo after the
+      // eval window — quantile fold bounds fitted in one pass, fold/role
+      // assignment a pure projection against the rounded literals.
+      graft.ops.ChronoSplit.purgedTimeSplit(
+          table(s, dir, "events").select(col("event_id"), col("ts")),
+          col("ts"), nFolds = 5, evalFold = 2,
+          embargo = 12.0 * 3600.0 * 1e6)
+        .select(col("event_id"), col("fold"), col("role"))
+        .orderBy("event_id")),
+
+    "g_funnel" -> ((s, dir) =>
+      // Ordered signup → click → purchase funnel within 72 hours of
+      // signup (discriminative at sf0.01: 150 → 128 → 70 users):
+      // per-step user counts + conversion vs step 1.
+      Stats.funnel(table(s, dir, "events"), col("user_id"), col("ts"),
+          col("event_type"), Seq("signup", "click", "purchase"),
+          maxSpan = 72.0 * 3600.0 * 1e6)
+        .orderBy("step_idx")),
+
     "g_skew_report" -> ((s, dir) =>
       // Key-skew diagnosis before a big shuffle: exact per-key counts →
       // heaviest key, its share, skew ratio vs the uniform mean, and the
@@ -1013,6 +1047,91 @@ object AnalyticsQueries {
          |    ELSE -$b * ln(2.0 * (1.0 - u)) END, 6) AS n_noisy
          |FROM u ORDER BY source""".stripMargin
     },
+
+    "g_join_cardinality" ->
+      """WITH ca AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS na
+        |            FROM events GROUP BY 1),
+        |cb AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS nb
+        |       FROM events GROUP BY 1),
+        |p AS (SELECT ca.k, ca.na * cb.nb AS pr FROM ca JOIN cb USING (k)),
+        |j AS (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS output_rows,
+        |  count(*) AS n_keys_joined,
+        |  CAST(coalesce(max(pr), 0) AS BIGINT) AS max_key_output,
+        |  (SELECT k FROM p ORDER BY pr DESC, k LIMIT 1) AS top1_key FROM p),
+        |t AS (SELECT count(*) AS rows_a FROM events),
+        |u AS (SELECT count(*) AS rows_b FROM events)
+        |SELECT rows_a, rows_b, output_rows, n_keys_joined, max_key_output,
+        |  top1_key,
+        |  round(CAST(output_rows AS DOUBLE)
+        |    / greatest(rows_a, rows_b), 6) AS amplification
+        |FROM t CROSS JOIN u CROSS JOIN j""".stripMargin,
+
+    "g_histogram" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN value < 0.0 THEN -1
+        |    WHEN value >= 100.0 THEN 20
+        |    ELSE least(CAST(floor((value - 0.0) / 5.0) AS INT), 19) END AS bin,
+        |    count(*) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |spine AS (SELECT CAST(unnest(generate_series(-1, 20)) AS INT) AS bin)
+        |SELECT s.bin,
+        |  CASE WHEN s.bin >= 0
+        |    THEN CAST(0.0 AS DOUBLE) + s.bin * CAST(5.0 AS DOUBLE) END AS bin_lo,
+        |  CASE WHEN s.bin < 20
+        |    THEN CAST(0.0 AS DOUBLE) + (s.bin + 1) * CAST(5.0 AS DOUBLE) END AS bin_hi,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM spine s LEFT JOIN c USING (bin)
+        |ORDER BY s.bin""".stripMargin,
+
+    "g_purged_split" ->
+      """WITH e AS (SELECT event_id, CAST(epoch_us(ts) AS DOUBLE) AS t
+        |           FROM events),
+        |b AS (SELECT round(quantile_cont(t, 0.2), 6) AS b1,
+        |             round(quantile_cont(t, 0.4), 6) AS b2,
+        |             round(quantile_cont(t, 0.6), 6) AS b3,
+        |             round(quantile_cont(t, 0.8), 6) AS b4 FROM e),
+        |f AS (SELECT event_id, t,
+        |  CAST(t > b1 AS INT) + CAST(t > b2 AS INT)
+        |    + CAST(t > b3 AS INT) + CAST(t > b4 AS INT) AS fold, b3
+        |  FROM e CROSS JOIN b)
+        |SELECT event_id, fold,
+        |  CASE WHEN fold = 2 THEN 'eval'
+        |       WHEN fold > 2 AND t <= b3 + 43200000000.0 THEN 'embargoed'
+        |       ELSE 'train' END AS role
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "g_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS DOUBLE) AS t,
+        |             event_type FROM events),
+        |s0 AS (SELECT user_id, min(t) AS t0 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.t) AS t1,
+        |         min(s0.t0 + 259200000000.0) AS d
+        |       FROM e JOIN s0 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.t >= s0.t0
+        |         AND e.t <= s0.t0 + 259200000000.0
+        |       GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t >= s1.t1
+        |         AND e.t <= s1.d
+        |       GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s0) AS n0,
+        |             (SELECT count(*) FROM s1) AS n1,
+        |             (SELECT count(*) FROM s2) AS n2)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INT) AS step_idx, 'signup' AS step,
+        |    CAST(n0 AS BIGINT) AS n_entities,
+        |    round(CASE WHEN n0 = 0 THEN 0.0
+        |      ELSE CAST(n0 AS DOUBLE) / n0 END, 6) AS conversion FROM c
+        |  UNION ALL
+        |  SELECT 1, 'click', CAST(n1 AS BIGINT),
+        |    round(CASE WHEN n0 = 0 THEN 0.0
+        |      ELSE CAST(n1 AS DOUBLE) / n0 END, 6) FROM c
+        |  UNION ALL
+        |  SELECT 2, 'purchase', CAST(n2 AS BIGINT),
+        |    round(CASE WHEN n0 = 0 THEN 0.0
+        |      ELSE CAST(n2 AS DOUBLE) / n0 END, 6) FROM c)
+        |ORDER BY step_idx""".stripMargin,
 
     "g_skew_report" ->
       """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS k, count(*) AS n

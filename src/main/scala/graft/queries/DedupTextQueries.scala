@@ -290,6 +290,22 @@ object DedupTextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")),
 
+    "retrieval_rm3" -> ((s, dir) =>
+      // RM3 pseudo-relevance feedback (Lavrenko & Croft 2001; Abdul-
+      // Jaleel 2004): BM25 top-5 feedback docs → 8 expansion terms →
+      // interpolated weighted rescore. Same corpus/queries as
+      // text_bm25_topk; every model face 9-dp-rounded for the replay.
+      Retrieval.rm3TopK(
+          table(s, dir, "documents").where(col("doc_id") < 200), "doc_id",
+          col("text"),
+          queries = Seq("q1" -> "spark join merge",
+            "q2" -> "window sort batch stream", "q3" -> "customer the data"),
+          k = 10, fbDocs = 5, fbTerms = 8, lambda = 0.5)
+        .select(col("qid"), col("doc_id"),
+          round(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")),
+
     "retrieval_rrf" -> ((s, dir) => {
       // Hybrid-retrieval shape: reciprocal-rank fusion of two independent
       // lexical rankings (BM25 and distinct-term coverage) over the same
@@ -1969,6 +1985,83 @@ object DedupTextQueries {
          |  FROM scored)
          |SELECT qid, doc_id, round(score, 4) AS score, rank
          |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "retrieval_rm3" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         |toks AS (
+         |  SELECT c.doc_id, u.term
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |        FROM corpus) c, UNNEST(c.t) AS u(term)
+         |  WHERE len(u.term) > 0),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |q(qid, qtext) AS (VALUES ('q1', 'spark join merge'),
+         |  ('q2', 'window sort batch stream'), ('q3', 'customer the data')),
+         |qt AS (
+         |  SELECT DISTINCT qid, u.term
+         |  FROM (SELECT qid, regexp_split_to_array(lower(trim(qtext)), '\\s+') AS t
+         |        FROM q) x, UNNEST(x.t) AS u(term)
+         |  WHERE len(u.term) > 0),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT qt.qid, tf.doc_id,
+         |    sum(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+         |    JOIN dl USING (doc_id) CROSS JOIN stats s
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, doc_id, score,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM scored),
+         |fb AS (SELECT qid, doc_id, score FROM ranked WHERE rank <= 5),
+         |pd AS (SELECT qid, doc_id,
+         |    round(score / sum(score) OVER (PARTITION BY qid), 9) AS pd
+         |  FROM fb),
+         |rm1 AS (
+         |  SELECT qid, term, round(sum(w), 9) AS rm1 FROM (
+         |    SELECT p.qid, p.doc_id, t.term,
+         |      CAST(count(*) AS DOUBLE) / min(d.dl) * min(p.pd) AS w
+         |    FROM pd p JOIN toks t ON t.doc_id = p.doc_id
+         |      JOIN dl d ON d.doc_id = p.doc_id
+         |    GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2),
+         |topt AS (SELECT qid, term, rm1 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rm1 DESC, term) AS r FROM rm1) WHERE r <= 8),
+         |qn AS (SELECT qid, count(*) AS nq FROM qt GROUP BY 1),
+         |orig AS (SELECT qt.qid, qt.term, 1.0 / qn.nq AS o
+         |         FROM qt JOIN qn USING (qid)),
+         |ex AS (
+         |  SELECT coalesce(t.qid, o.qid) AS qid,
+         |    coalesce(t.term, o.term) AS term,
+         |    round(coalesce(o.o, 0.0) * 0.5 + coalesce(t.rm1, 0.0) * 0.5, 9) AS wq
+         |  FROM topt t FULL OUTER JOIN orig o
+         |    ON t.qid = o.qid AND t.term = o.term),
+         |exf AS (SELECT * FROM ex WHERE wq > 0),
+         |tf2 AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN (SELECT DISTINCT term FROM exf) GROUP BY 1, 2),
+         |dfq2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+         |scored2 AS (
+         |  SELECT e.qid, tf2.doc_id,
+         |    sum(e.wq * ln(1 + (s.n_docs - dfq2.df + 0.5) / (dfq2.df + 0.5))
+         |      * tf2.tf * 2.2 / (tf2.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+         |  FROM tf2 JOIN dfq2 USING (term) JOIN exf e USING (term)
+         |    JOIN dl ON dl.doc_id = tf2.doc_id CROSS JOIN stats s
+         |  GROUP BY 1, 2),
+         |ranked2 AS (
+         |  SELECT qid, doc_id, score,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM scored2)
+         |SELECT qid, doc_id, round(score, 4) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ranked2 WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "retrieval_rrf" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),

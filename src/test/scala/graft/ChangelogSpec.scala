@@ -103,4 +103,135 @@ class ChangelogSpec extends SparkSpec {
     assert(r.getAs[Long]("suggested_salt") == 1L)
     assert(r.getAs[String]("top1_key") == "a")
   }
+
+  test("cdcMerge: incremental batch application == one-shot merge (per-key-ordered batches)") {
+    // the streaming deployment shape: foreachBatch applies each micro-
+    // batch onto the running snapshot; with batch boundaries respecting
+    // per-key ts order this must equal the one-shot merge of the full log
+    val b1 = Seq((1L, 10L, "U", "a1", 1.1), (2L, 10L, "D", "x", 0.0),
+      (4L, 10L, "U", "d", 4.0)).toDF("k", "ts", "op", "attr", "v")
+    val b2 = Seq((1L, 20L, "U", "a2", 1.2), (4L, 20L, "D", "x", 0.0),
+      (5L, 20L, "U", "e", 5.0)).toDF("k", "ts", "op", "attr", "v")
+    val incremental = Changelog.cdcMerge(
+      Changelog.cdcMerge(base, b1, "k", "ts", "op", Seq("attr", "v")),
+      b2, "k", "ts", "op", Seq("attr", "v")).orderBy("k").collect()
+    val oneShot = Changelog.cdcMerge(base, b1.unionByName(b2),
+      "k", "ts", "op", Seq("attr", "v")).orderBy("k").collect()
+    assert(incremental.map(_.toSeq).toSeq == oneShot.map(_.toSeq).toSeq)
+    assert(incremental.map(_.getAs[Long]("k")).toSeq == Seq(1L, 3L, 5L))
+  }
+
+  // ------------------------------------------------------ purgedTimeSplit
+
+  test("purgedTimeSplit: folds, eval slice, embargo zone, and the last-fold case") {
+    import graft.ops.ChronoSplit
+    // 100 rows at ts 1..100 → 5 folds of 20; eval fold 2 = (40, 60];
+    // embargo 5 ⇒ ts 61..65 embargoed
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "ts")
+    val out = ChronoSplit.purgedTimeSplit(df, col("ts"), nFolds = 5,
+      evalFold = 2, embargo = 5.0).collect()
+    val byRole = out.groupBy(_.getAs[String]("role"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("id")).sorted.toSeq }
+    assert(byRole("eval") == (41L to 60L))
+    assert(byRole("embargoed") == (61L to 65L))
+    assert(byRole("train") == ((1L to 40L) ++ (66L to 100L)))
+    // eval on the LAST fold has no after-zone: nothing embargoed
+    val last = ChronoSplit.purgedTimeSplit(df, col("ts"), nFolds = 5,
+      evalFold = 4, embargo = 5.0).collect()
+    assert(!last.exists(_.getAs[String]("role") == "embargoed"))
+    // fold sizes are the quantile split
+    assert(out.count(_.getAs[Int]("fold") == 0) == 20)
+  }
+
+  test("purgedTimeSplit: guards") {
+    import graft.ops.ChronoSplit
+    val df = Seq((1L, 1.0)).toDF("id", "ts")
+    intercept[IllegalArgumentException](
+      ChronoSplit.purgedTimeSplit(df, col("ts"), 1, 0, 0.0))
+    intercept[IllegalArgumentException](
+      ChronoSplit.purgedTimeSplit(df, col("ts"), 5, 5, 0.0))
+    intercept[IllegalArgumentException](
+      ChronoSplit.purgedTimeSplit(df, col("ts"), 5, 0, -1.0))
+  }
+
+  // ---------------------------------------------------------------- funnel
+
+  test("funnel: strict step order, span cutoff, hand-computed conversions") {
+    import graft.ops.Stats
+    val ev = Seq(
+      // u1 completes all three in order within span
+      (1L, 10L, "s"), (1L, 20L, "c"), (1L, 30L, "p"),
+      // u2: purchase BEFORE click → step 3 not reached
+      (2L, 10L, "s"), (2L, 30L, "c"), (2L, 20L, "p"),
+      // u3: click outside the span
+      (3L, 10L, "s"), (3L, 200L, "c"),
+      // u4: never signs up — not in the funnel at all
+      (4L, 10L, "c"), (4L, 20L, "p")
+    ).toDF("u", "ts", "et")
+    val out = Stats.funnel(ev, col("u"), col("ts"), col("et"),
+      Seq("s", "c", "p"), maxSpan = 50.0).orderBy("step_idx").collect()
+    assert(out.map(_.getAs[Long]("n_entities")).toSeq == Seq(3L, 2L, 1L))
+    assert(approx(out(1).getAs[Double]("conversion"), 2.0 / 3, 1e-6))
+    assert(approx(out(2).getAs[Double]("conversion"), 1.0 / 3, 1e-6))
+  }
+
+  // ------------------------------------------------------ joinCardinality
+
+  test("joinCardinality: predicts the exact join output without running it") {
+    val a = Seq((1L, "x"), (1L, "y"), (2L, "z"), (3L, "w")).toDF("k", "va")
+    val b = Seq((1L, "p"), (1L, "q"), (1L, "r"), (4L, "s")).toDF("k", "vb")
+    val r = Skew.joinCardinality(a, b, col("k"), col("k")).head()
+    // only key 1 joins: 2 × 3 = 6 output rows
+    assert(r.getAs[Long]("rows_a") == 4L && r.getAs[Long]("rows_b") == 4L)
+    assert(r.getAs[Long]("output_rows") == 6L)
+    assert(r.getAs[Long]("n_keys_joined") == 1L)
+    assert(r.getAs[Long]("max_key_output") == 6L)
+    assert(r.getAs[String]("top1_key") == "1")
+    assert(approx(r.getAs[Double]("amplification"), 1.5, 1e-9))
+    // the prediction equals the actual join size
+    assert(a.join(b, "k").count() == 6L)
+    // disjoint keys → zero output, no null top-key crash
+    val d = Skew.joinCardinality(a, b.where(col("k") === 4L),
+      col("k"), col("k")).head()
+    assert(d.getAs[Long]("output_rows") == 0L)
+  }
+
+  // ------------------------------------------------------------ histogram
+
+  test("histogram: fixed shape, under/overflow cells, empty bins emitted") {
+    import graft.ops.Stats
+    val df = Seq(-5.0, 0.0, 4.9, 5.0, 12.0, 100.0, 250.0, Double.NaN)
+      .toDF("v").where(!isnan(col("v")))
+    val out = Stats.histogram(df, col("v"), lo = 0.0, hi = 100.0, bins = 20)
+      .collect()
+    assert(out.length == 22) // 20 cells + underflow + overflow
+    val byBin = out.map(r => r.getAs[Int]("bin") -> r.getAs[Long]("n")).toMap
+    assert(byBin(-1) == 1L)            // -5
+    assert(byBin(0) == 2L)             // 0.0, 4.9
+    assert(byBin(1) == 1L)             // 5.0 lands in [5, 10)
+    assert(byBin(2) == 1L)             // 12
+    assert(byBin(20) == 2L)            // 100 (hi is exclusive) + 250
+    assert(byBin.values.sum == 7L)
+    // edges: underflow has null lo; overflow has null hi; cell 1 = [5, 10)
+    val cell1 = out.find(_.getAs[Int]("bin") == 1).get
+    assert(cell1.getAs[Double]("bin_lo") == 5.0)
+    assert(cell1.getAs[Double]("bin_hi") == 10.0)
+    assert(out.find(_.getAs[Int]("bin") == -1).get.isNullAt(1))
+    assert(out.find(_.getAs[Int]("bin") == 20).get.isNullAt(2))
+    intercept[IllegalArgumentException](
+      Stats.histogram(df, col("v"), 5.0, 5.0, 10))
+  }
+
+  test("funnel: same-timestamp step counts (inclusive order); empty step-1 → zero row") {
+    import graft.ops.Stats
+    val ev = Seq((1L, 10L, "s"), (1L, 10L, "c")).toDF("u", "ts", "et")
+    val out = Stats.funnel(ev, col("u"), col("ts"), col("et"),
+      Seq("s", "c"), maxSpan = 5.0).orderBy("step_idx").collect()
+    assert(out.map(_.getAs[Long]("n_entities")).toSeq == Seq(1L, 1L))
+    val none = Stats.funnel(ev.where(col("et") =!= "s"), col("u"),
+      col("ts"), col("et"), Seq("s", "c"), maxSpan = 5.0)
+      .orderBy("step_idx").collect()
+    assert(none.map(_.getAs[Long]("n_entities")).toSeq == Seq(0L, 0L))
+    assert(none.map(_.getAs[Double]("conversion")).toSeq == Seq(0.0, 0.0))
+  }
 }

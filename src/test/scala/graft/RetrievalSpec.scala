@@ -152,4 +152,48 @@ class RetrievalSpec extends SparkSpec {
     assert(got == Set(("q1", 11L, 1), ("q1", 13L, 2), ("q1", 14L, 3),
       ("q2", 10L, 1), ("q2", 20L, 2)), got)
   }
+
+  // ------------------------------------------------------------- rm3TopK
+
+  test("rm3TopK: expansion retrieves a doc sharing ZERO original query terms") {
+    // the whole point of pseudo-relevance feedback: "fox" docs talk
+    // about "burrow", so the burrow-only doc 21 becomes reachable from
+    // the query "fox" via the expanded vocabulary
+    val prf = Seq(
+      (10L, "fox burrow forest"), (11L, "fox burrow den"),
+      (12L, "fox burrow trail"),
+      (21L, "burrow burrow burrow"), // no 'fox' at all
+      (30L, "unrelated words entirely"), (31L, "other noise text")
+    ).toDF("doc_id", "text")
+    val base = Retrieval.bm25TopK(prf, "doc_id", col("text"),
+      Seq("q" -> "fox"), k = 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!base.contains(21L)) // literal BM25 cannot see doc 21
+    val rm3 = Retrieval.rm3TopK(prf, "doc_id", col("text"),
+      Seq("q" -> "fox"), k = 10, fbDocs = 3, fbTerms = 4, lambda = 0.5)
+    val got = rm3.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got.contains(21L), s"expansion should reach doc 21: $got")
+    assert(!got.contains(30L) && !got.contains(31L))
+  }
+
+  test("rm3TopK: lambda = 1 keeps the original-query BM25 RANKING") {
+    val qs = Seq("qa" -> "quick fox", "qb" -> "lazy dog dog")
+    val df = corpus.toDF("doc_id", "text")
+    val base = Retrieval.bm25TopK(df, "doc_id", col("text"), qs, k = 10)
+      .collect().map(r => (r.getString(0), r.getAs[Int]("rank")) -> r.getLong(1)).toMap
+    // λ=1: expansion weight (1−λ)·RM1 = 0 — only the uniform original
+    // terms score, i.e. BM25 scaled by 1/|q| per query: same order
+    val rm3 = Retrieval.rm3TopK(df, "doc_id", col("text"), qs, k = 10,
+      fbDocs = 3, fbTerms = 4, lambda = 1.0)
+      .collect().map(r => (r.getString(0), r.getAs[Int]("rank")) -> r.getLong(1)).toMap
+    assert(rm3 == base, s"base=$base rm3=$rm3")
+  }
+
+  test("rm3TopK: guards") {
+    val df = corpus.toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Retrieval.rm3TopK(df, "doc_id",
+      col("text"), Seq("q" -> "fox"), k = 0))
+    intercept[IllegalArgumentException](Retrieval.rm3TopK(df, "doc_id",
+      col("text"), Seq("q" -> "fox"), k = 5, lambda = 1.5))
+  }
 }
