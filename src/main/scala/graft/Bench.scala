@@ -21,7 +21,8 @@ object Bench {
     "linkage_fellegi_sunter", "retrieval_hybrid",
     "dedup_containment", "pack_whole", "corpus_report_incremental",
     "bitext_margin", "g_mondrian", "embedding_matryoshka", "graph_kcore",
-    "scd2_build", "g_funnel", "text_fertility")
+    "scd2_build", "g_funnel", "text_fertility", "retrieval_rm3",
+    "sft_flatten", "dq_constraints", "text_unigram_lm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

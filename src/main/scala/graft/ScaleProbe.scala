@@ -760,6 +760,74 @@ object ScaleProbe {
           println(s"  leaves=${m.nLeaves} rounds=${m.rounds.size} " +
             s"minLeaf=${if (m.leaves.isEmpty) 0 else m.leaves.map(_._2).min}")
         }
+      case "unigram" =>
+        // n docs × 20 words drawn from a ~200k-word synthetic vocabulary
+        // (base-26 hash strings, len 4-8 — Heaps-realistic, unlike the
+        // 50-word soup): the corpus collapses to its distinct word table
+        // once; seeding + every EM iteration run over that bounded table
+        val w = transform(sequence(lit(0), lit(19)), i => {
+          val wid = pmod(xxhash64(col("id"), i), lit(200000L))
+          array_join(transform(sequence(lit(0),
+            pmod(wid, lit(5)).cast("int") + lit(3)), j =>
+            char(pmod(xxhash64(wid, j), lit(26)) + lit(97))), "")
+        })
+        val d = spark.range(n).select(col("id"),
+          array_join(w, " ").as("text"))
+        d.count()
+        time(s"unigramTrain n=$n docs, vocab 2000, 2 EM iters") {
+          val m = graft.ops.UnigramLm.unigramTrain(d, col("text"),
+            vocabSize = 2000, maxPieceLen = 4, iters = 2, seedSize = 8000)
+          println(s"  pieces=${m.pieces.size}")
+          time(s"unigramScore n=$n docs")(
+            println("  scored=" + graft.ops.UnigramLm
+              .unigramScore(d, "id", col("text"), m)
+              .agg(sum("n_pieces")).head().get(0)))
+        }
+      case "dq" =>
+        // n-row table, 6 fused row-local rules + 1 FK anti-join against
+        // an n/10-key dimension: rules add COLUMNS to one aggregation,
+        // not scans
+        import graft.ops.DataQuality.Rule._
+        val t = spark.range(n).select(col("id"),
+          pmod(xxhash64(col("id")), lit(n / 10)).as("fk"),
+          (pmod(xxhash64(col("id"), lit(1)), lit(1000)) / 10.0).as("v"),
+          when(pmod(xxhash64(col("id"), lit(2)), lit(100)) === 0,
+            lit(null).cast("string")).otherwise(lit("ok")).as("s"))
+        val dim = spark.range(n / 10).select(col("id").as("k"))
+        t.count(); dim.count()
+        time(s"dataQuality n=$n rules=7 (+FK vs ${n / 10}-key dim)")(
+          graft.ops.DataQuality.check(t, Seq(
+            NotNull("id"), NotNull("s", minFrac = 0.95),
+            Unique(Seq("id")), InRange("v", 0.0, 99.0, minFrac = 0.95),
+            MatchesRegex("s", "^ok$", minFrac = 0.95),
+            RowCountBetween(1L, Long.MaxValue),
+            RefIntegrity("fk", dim, "k")))
+            .collect().foreach(r => println("  " + r)))
+      case "sft" =>
+        // n turns over n/8 conversations (8-turn dialogues): flatten +
+        // spans ride ONE conversation-keyed shuffle each; then n
+        // responses over n/16 prompts through the pref-pair aggregation
+        val t = docs(n).select(
+          pmod(col("id"), lit(n / 8)).as("conv"),
+          floor(col("id") / (n / 8)).cast("long").as("idx"),
+          when(floor(col("id") / (n / 8)).cast("long") % 2 === 0, "user")
+            .otherwise("assistant").as("role"),
+          col("text"))
+        t.count()
+        time(s"sft flatten+spans n=$n convs=${n / 8}") {
+          val f = graft.ops.Sft.flattenDialogues(t, "conv", "idx",
+            "role", "text").agg(sum("n_tokens")).collect()
+          val sp = graft.ops.Sft.lossSpans(t, "conv", "idx", "role",
+            "text").where(col("mask")).count()
+          println(s"  tokens=${f.head.get(0)} masked_turns=$sp")
+        }
+        val scored = spark.range(n).select(
+          pmod(col("id"), lit(n / 16)).as("p"), col("id").as("r"),
+          (pmod(xxhash64(col("id")), lit(1000000)) / 1000000.0).as("s"))
+        scored.count()
+        time(s"sft prefPairs n=$n prompts=${n / 16}")(
+          println("  pairs=" + graft.ops.Sft.preferencePairs(scored,
+            "p", "r", col("s"), minMargin = 0.1).count()))
       case "rm3" =>
         // n word-soup docs, 3 queries: feedback stage is queries×fbDocs,
         // the two corpus passes are the matched-postings scans

@@ -166,6 +166,36 @@ object Pca {
       s"(list_dot_product($vecSql, $lits) - ($b))"
     }.toSeq
 
+  /** PCA WHITENING (Su et al. 2021, "Whitening Sentence Representations
+    * for Better Semantics and Faster Retrieval" — the standard post-hoc
+    * fix for anisotropic embedding spaces): the [[pcaProject]] output
+    * scaled per-component to unit variance,
+    * z_k = (⟨x, w_k⟩ − ⟨mean, w_k⟩) / √(λ_k + eps).
+    * Decorrelates the axes AND equalizes their scales, which repairs
+    * cosine retrieval in collapsed embedding spaces. Same
+    * pure-projection shape as [[pcaProject]] (the scales are driver
+    * doubles baked into the plan); streams as-is. */
+  def pcaWhiten(vec: Column, model: PcaModel, eps: Double = 1e-9): Column = {
+    val v = transform(vec, x => x.cast("double"))
+    array(model.components.toIndexedSeq.zipWithIndex.map { case (w, k) =>
+      val b = w.indices.map(i => w(i) * model.mean(i)).sum
+      val s = 1.0 / math.sqrt(model.eigenvalues(k) + eps)
+      (graft.functions.VectorFunctions.dot(v, lit(w)) - lit(b)) * lit(s)
+    }: _*)
+  }
+
+  /** DuckDB twin of [[pcaWhiten]] (same literal-replay contract as
+    * [[pcaProjectSql]]; the per-axis scale is one extra literal
+    * multiplication, mirrored in the same position). */
+  def pcaWhitenSql(vecSql: String, model: PcaModel,
+      eps: Double = 1e-9): Seq[String] =
+    model.components.toIndexedSeq.zipWithIndex.map { case (w, k) =>
+      val b = w.indices.map(i => w(i) * model.mean(i)).sum
+      val s = 1.0 / math.sqrt(model.eigenvalues(k) + eps)
+      val lits = w.mkString("[", ", ", "]")
+      s"((list_dot_product($vecSql, $lits) - ($b)) * ($s))"
+    }
+
   /** Deterministic cyclic Jacobi eigendecomposition of a symmetric
     * matrix. Returns (eigenvalues, eigenvector matrix with eigenvectors
     * in COLUMNS, same index order as the eigenvalues — unsorted). Throws

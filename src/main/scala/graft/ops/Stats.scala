@@ -629,6 +629,37 @@ object Stats {
     fitQuantiles(df, value, (1 until k).map(_.toDouble / k), roundTo, sketchK)
   }
 
+  /** Per-GROUP quantiles — the grouped face of [[fitQuantiles]] (which
+    * is global): one map-side-combined aggregation, one output row per
+    * group with a `pNN` column per requested quantile. `sketchK = 0`
+    * uses the exact interpolated `percentile` (value-buffering per
+    * group — the oracle-comparable face); `sketchK > 0` aggregates a
+    * mergeable KLL(k) sketch per group instead — the 100 TB path when
+    * single groups are huge (O(k·log n) memory per group, not
+    * O(group)). Outputs are rounded like every fitted fence here. */
+  def groupedQuantiles(df: DataFrame, group: Column, value: Column,
+      qs: Seq[Double], roundTo: Int = 6, sketchK: Int = 0): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "groupedQuantiles: quantiles must be non-empty, each in [0, 1]")
+    def name(q: Double): String = "p" + BigDecimal(q * 100)
+      .underlying.stripTrailingZeros.toPlainString.replace(".", "_")
+    require(qs.map(name).distinct.size == qs.size,
+      "groupedQuantiles: duplicate quantiles")
+    val v = value.cast("double")
+    if (sketchK > 0) {
+      val shim = org.apache.spark.sql.graft.SketchShim
+      df.groupBy(group.as("grp"))
+        .agg(shim.kllAgg(v, sketchK).as("__sk"))
+        .select(col("grp") +: qs.map(q =>
+          round(shim.kllQuantile(col("__sk"), lit(q)), roundTo)
+            .as(name(q))): _*)
+    } else {
+      val aggs = qs.map(q =>
+        round(percentile(v, lit(q)), roundTo).as(name(q)))
+      df.groupBy(group.as("grp")).agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
   /** Assign the bin id (0..|bounds|) for `value` against fitted
     * boundaries: `bin = #{b : value > b}` — a pure branch-free projection
     * (codegen'd), no join, no shuffle. */

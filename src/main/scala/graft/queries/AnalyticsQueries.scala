@@ -207,6 +207,34 @@ object AnalyticsQueries {
           round(col("n_noisy"), 6).as("n_noisy"))
         .orderBy("source")),
 
+    "dq_constraints" -> ((s, dir) => {
+      // Deequ-style contract gate over lineitem: 7 fused row-local rules
+      // + 1 FK anti-join. l_quantity's [1, 45] range is DELIBERATELY
+      // tighter than the data (1..50) so the report carries a failing
+      // rule — a gate that can't fail proves nothing.
+      import graft.ops.DataQuality.Rule._
+      graft.ops.DataQuality.check(table(s, dir, "lineitem"), Seq(
+        NotNull("l_orderkey"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        InRange("l_discount", 0.0, 0.1),
+        InRange("l_quantity", 1.0, 45.0),
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        MatchesRegex("l_linestatus", "^[OF]$"),
+        RowCountBetween(1000L, 10000000L),
+        RefIntegrity("l_orderkey", table(s, dir, "orders"), "o_orderkey")))
+        .orderBy("rule")
+    }),
+
+    "g_grouped_quantiles" -> ((s, dir) =>
+      // Per-language token-length quantiles (exact face; sketchK > 0 is
+      // the spec-pinned 100 TB path): one map-side-combined aggregation.
+      Stats.groupedQuantiles(
+          table(s, dir, "documents").select(col("lang"),
+            TextOps.tokenCount(col("text")).as("v")),
+          col("lang"), col("v"), Seq(0.5, 0.9, 0.99))
+        .select(col("grp").as("lang"), col("p50"), col("p90"), col("p99"))
+        .orderBy("lang")),
+
     "g_join_cardinality" -> ((s, dir) => {
       // Pre-join explosion audit on the worst case: the events SELF-join
       // on user_id — output = Σ n_u², predicted from the count tables
@@ -1047,6 +1075,59 @@ object AnalyticsQueries {
          |    ELSE -$b * ln(2.0 * (1.0 - u)) END, 6) AS n_noisy
          |FROM u ORDER BY source""".stripMargin
     },
+
+    "dq_constraints" ->
+      """WITH m AS (SELECT
+        |  round(CAST(count(l_orderkey) AS DOUBLE) / count(*), 6) AS not_null_ok,
+        |  round(CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE)
+        |    / count(*), 6) AS uniq,
+        |  round(CAST(sum(CASE WHEN l_discount IS NOT NULL
+        |    AND l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(l_discount), 6) AS r_disc,
+        |  round(CAST(sum(CASE WHEN l_quantity IS NOT NULL
+        |    AND l_quantity BETWEEN 1.0 AND 45.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(l_quantity), 6) AS r_qty,
+        |  round(CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(l_returnflag), 6) AS inset,
+        |  round(CAST(sum(CASE WHEN regexp_matches(l_linestatus, '^[OF]$')
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(l_linestatus), 6) AS re_ok,
+        |  CAST(count(*) AS DOUBLE) AS n
+        |  FROM lineitem),
+        |fk AS (SELECT round(
+        |  CAST((SELECT count(*) FROM lineitem l
+        |        JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |          ON l.l_orderkey = o.o_orderkey
+        |        WHERE l.l_orderkey IS NOT NULL) AS DOUBLE)
+        |  / (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |  6) AS cov)
+        |SELECT * FROM (
+        |  SELECT 'in_range(l_discount)' AS rule, r_disc AS metric,
+        |    CAST(1.0 AS DOUBLE) AS threshold, r_disc >= 1.0 AS pass FROM m
+        |  UNION ALL SELECT 'in_range(l_quantity)', r_qty, 1.0,
+        |    r_qty >= 1.0 FROM m
+        |  UNION ALL SELECT 'in_set(l_returnflag)', inset, 1.0,
+        |    inset >= 1.0 FROM m
+        |  UNION ALL SELECT 'matches_regex(l_linestatus)', re_ok, 1.0,
+        |    re_ok >= 1.0 FROM m
+        |  UNION ALL SELECT 'not_null(l_orderkey)', not_null_ok, 1.0,
+        |    not_null_ok >= 1.0 FROM m
+        |  UNION ALL SELECT 'ref_integrity(l_orderkey)', cov, 1.0,
+        |    cov >= 1.0 FROM fk
+        |  UNION ALL SELECT 'row_count', n, CAST(1000.0 AS DOUBLE),
+        |    n >= 1000.0 AND n <= 10000000.0 FROM m
+        |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', uniq, 1.0,
+        |    uniq >= 1.0 FROM m)
+        |ORDER BY rule""".stripMargin,
+
+    "g_grouped_quantiles" ->
+      """WITH t AS (
+        |  SELECT lang, CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS v
+        |  FROM documents)
+        |SELECT lang, round(quantile_cont(v, 0.5), 6) AS p50,
+        |  round(quantile_cont(v, 0.9), 6) AS p90,
+        |  round(quantile_cont(v, 0.99), 6) AS p99
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g_join_cardinality" ->
       """WITH ca AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS na

@@ -932,6 +932,50 @@ object DedupTextQueries {
         .orderBy("g_type", "g_size", "g_price")
     }),
 
+    "sft_flatten" -> ((s, dir) => {
+      // Multi-turn dialogue flattening (SFT layout): 50 conversations ×
+      // 6 alternating user/assistant turns manufactured from documents;
+      // token count exact under the rendering contract.
+      val t = table(s, dir, "documents").where(col("doc_id") < 300)
+        .select((col("doc_id") % 50).as("conv_id"),
+          floor(col("doc_id") / 50).cast("long").as("turn_idx"),
+          when(floor(col("doc_id") / 50).cast("long") % 2 === 0, "user")
+            .otherwise("assistant").as("role"),
+          col("text"))
+      graft.ops.Sft.flattenDialogues(t, "conv_id", "turn_idx", "role",
+          "text")
+        .select(col("conv_id"), col("n_turns"), col("n_tokens"),
+          length(col("text")).cast("long").as("text_len"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("conv_id")
+    }),
+
+    "sft_loss_spans" -> ((s, dir) => {
+      // Assistant-only loss-mask spans: half-open token intervals per
+      // turn inside the flattened text, from one per-conversation
+      // running sum.
+      val t = table(s, dir, "documents").where(col("doc_id") < 300)
+        .select((col("doc_id") % 50).as("conv_id"),
+          floor(col("doc_id") / 50).cast("long").as("turn_idx"),
+          when(floor(col("doc_id") / 50).cast("long") % 2 === 0, "user")
+            .otherwise("assistant").as("role"),
+          col("text"))
+      graft.ops.Sft.lossSpans(t, "conv_id", "turn_idx", "role", "text")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    "sft_pref_pairs" -> ((s, dir) => {
+      // DPO preference-pair construction: responses grouped by
+      // prompt_id = doc_id % 40, scored by the 6-dp quality score;
+      // chosen/rejected = per-prompt argmax/argmin, margin-gated.
+      val t = table(s, dir, "documents").where(col("doc_id") < 400)
+        .select((col("doc_id") % 40).as("prompt_id"), col("doc_id"),
+          TextOps.qualityScore(col("text")).as("q"))
+      graft.ops.Sft.preferencePairs(t, "prompt_id", "doc_id", col("q"),
+          minMargin = 0.05)
+        .orderBy("prompt_id")
+    }),
+
     "linkage_blocking_quality" -> ((s, dir) => {
       // Blocking audit (Christen 2012 ch. 4): brand-key blocking over
       // part, scored against the (p_type, p_size)-equality truth pairs —
@@ -2289,6 +2333,66 @@ object DedupTextQueries {
          |FROM pat CROSS JOIN p2 p
          |ORDER BY g_type, g_size, g_price""".stripMargin
     },
+
+    "sft_flatten" ->
+      s"""WITH t AS (
+         |  SELECT doc_id % 50 AS conv_id,
+         |    CAST(floor(doc_id / 50) AS BIGINT) AS turn_idx,
+         |    CASE WHEN CAST(floor(doc_id / 50) AS BIGINT) % 2 = 0
+         |      THEN 'user' ELSE 'assistant' END AS role, text
+         |  FROM documents WHERE doc_id < 300),
+         |r AS (
+         |  SELECT conv_id, turn_idx,
+         |    '<|' || role || '|>' || CASE WHEN len(trim(text)) > 0
+         |      THEN ' ' || trim(text) ELSE '' END AS rt,
+         |    1 + CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
+         |  FROM t),
+         |f AS (
+         |  SELECT conv_id, string_agg(rt, ' ' ORDER BY turn_idx) AS text,
+         |    count(*) AS n_turns, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |  FROM r GROUP BY 1)
+         |SELECT conv_id, n_turns, n_tokens,
+         |  CAST(length(text) AS BIGINT) AS text_len, md5(text) AS text_md5
+         |FROM f ORDER BY conv_id""".stripMargin,
+
+    "sft_loss_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id % 50 AS conv_id,
+         |    CAST(floor(doc_id / 50) AS BIGINT) AS turn_idx,
+         |    CASE WHEN CAST(floor(doc_id / 50) AS BIGINT) % 2 = 0
+         |      THEN 'user' ELSE 'assistant' END AS role, text
+         |  FROM documents WHERE doc_id < 300),
+         |r AS (
+         |  SELECT conv_id, turn_idx, role,
+         |    1 + CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
+         |  FROM t)
+         |SELECT conv_id, turn_idx, role,
+         |  CAST(sum(nt) OVER w - nt AS BIGINT) AS token_start,
+         |  CAST(sum(nt) OVER w AS BIGINT) AS token_end,
+         |  role = 'assistant' AS mask
+         |FROM r
+         |WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+         |  ROWS UNBOUNDED PRECEDING)
+         |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "sft_pref_pairs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id % 40 AS prompt_id, doc_id, $qualitySql AS q
+         |  FROM documents WHERE doc_id < 400),
+         |c AS (SELECT prompt_id, doc_id AS chosen_id, q AS cs,
+         |    row_number() OVER (PARTITION BY prompt_id
+         |      ORDER BY q DESC, doc_id) AS r FROM t),
+         |w AS (SELECT prompt_id, doc_id AS rejected_id, q AS ws,
+         |    row_number() OVER (PARTITION BY prompt_id
+         |      ORDER BY q ASC, doc_id) AS r FROM t)
+         |SELECT c.prompt_id, chosen_id, rejected_id,
+         |  round(cs - ws, 9) AS margin
+         |FROM c JOIN w USING (prompt_id)
+         |WHERE c.r = 1 AND w.r = 1 AND chosen_id <> rejected_id
+         |  AND round(cs - ws, 9) >= 0.05 AND round(cs - ws, 9) > 0.0
+         |ORDER BY prompt_id""".stripMargin,
 
     "linkage_blocking_quality" ->
       s"""WITH blocks AS (SELECT p_brand AS bk, count(*) AS n FROM part GROUP BY 1),

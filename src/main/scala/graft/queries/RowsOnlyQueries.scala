@@ -257,6 +257,22 @@ object RowsOnlyQueries {
         .orderBy("source")
     }),
 
+    "text_unigram_lm" -> ((s, dir) => {
+      // Unigram-LM tokenizer (Kudo 2018, SentencePiece `unigram`):
+      // deterministic hard-EM fit (2 iterations, 9-dp model faces), then
+      // per-doc Viterbi scores. Fully oracled via the dynamic twin: the
+      // fitted pieces ride a literal VALUES table and the DP is unrolled
+      // to one CTE stage per word position.
+      val docs = table(s, dir, "documents").where(col("doc_id") < 250)
+        .select("doc_id", "text")
+      val m = graft.ops.UnigramLm.unigramTrain(docs, col("text"),
+        vocabSize = 300, maxPieceLen = 4, iters = 2, seedSize = 1200)
+      graft.ops.UnigramLm.unigramScore(docs, "doc_id", col("text"), m)
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          col("n_oov_words"), round(col("logp"), 6).as("logp"))
+        .orderBy("doc_id")
+    }),
+
     "text_fertility" -> ((s, dir) => {
       // Tokenizer-equity audit (Rust 2021): per-language fertility
       // (subwords/word) and bytes/subword under the same 30-rule BPE fit
@@ -645,6 +661,19 @@ object RowsOnlyQueries {
          |  CAST(coalesce(sum(per.nt), 0) AS BIGINT) AS n_subwords
          |FROM d LEFT JOIN per USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
+
+    "text_unigram_lm" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").where(col("doc_id") < 250)
+        .select("doc_id", "text")
+      val m = graft.ops.UnigramLm.unigramTrain(docs, col("text"),
+        vocabSize = 300, maxPieceLen = 4, iters = 2, seedSize = 1200)
+      val maxLen = docs
+        .select(explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t =!= lit(""))).as("w"))
+        .agg(max(length(col("w")))).head().getInt(0)
+      graft.ops.UnigramLm.unigramScoreSql(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 250", m, maxLen)
     }),
 
     "text_fertility" -> ((s, dir) => {

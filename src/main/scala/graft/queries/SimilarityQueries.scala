@@ -458,6 +458,18 @@ object SimilarityQueries {
           round(p(2), 4).as("p2"), round(p(3), 4).as("p3"))
         .orderBy("vec_id")
     }),
+
+    "embedding_whiten" -> ((s, dir) => {
+      // PCA whitening (Su 2021): the projection scaled to unit variance
+      // per axis — the post-hoc anisotropy fix for retrieval embeddings.
+      // Same literal-replay oracle mechanism as embedding_pca.
+      val e = emb(s, dir)
+      val m = Pca.pcaFit(e, col("v"), d = 64, nComponents = 4)
+      val z = Pca.pcaWhiten(col("v"), m)
+      e.select(col("vec_id"), round(z(0), 4).as("z0"), round(z(1), 4).as("z1"),
+          round(z(2), 4).as("z2"), round(z(3), 4).as("z3"))
+        .orderBy("vec_id")
+    }),
   )
 
   /** embeddings ∪ a deterministic near-copy of each (v′ = v + 0.15·reverse(v),
@@ -1103,6 +1115,15 @@ object SimilarityQueries {
       val p = Pca.pcaProjectSql("v", m)
       s"""SELECT vec_id, round(${p(0)}, 4) AS p0, round(${p(1)}, 4) AS p1,
          |  round(${p(2)}, 4) AS p2, round(${p(3)}, 4) AS p3
+         |FROM (SELECT vec_id, $vSql AS v FROM embeddings)
+         |ORDER BY vec_id""".stripMargin
+    }),
+
+    "embedding_whiten" -> ((s, dir) => {
+      val m = Pca.pcaFit(emb(s, dir), col("v"), d = 64, nComponents = 4)
+      val z = Pca.pcaWhitenSql("v", m)
+      s"""SELECT vec_id, round(${z(0)}, 4) AS z0, round(${z(1)}, 4) AS z1,
+         |  round(${z(2)}, 4) AS z2, round(${z(3)}, 4) AS z3
          |FROM (SELECT vec_id, $vSql AS v FROM embeddings)
          |ORDER BY vec_id""".stripMargin
     }),

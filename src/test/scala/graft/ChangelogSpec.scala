@@ -121,6 +121,45 @@ class ChangelogSpec extends SparkSpec {
     assert(incremental.map(_.getAs[Long]("k")).toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("cdcMerge: streaming foreachBatch snapshot maintenance == one-shot merge") {
+    // the deployment shape: the change log ARRIVES as a stream; each
+    // micro-batch folds into a parquet snapshot via cdcMerge (the log is
+    // collapsed per batch — no stateful operator needed, the snapshot IS
+    // the state). Batches respect per-key ts order, so the incremental
+    // law above guarantees parity with the one-shot merge.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val snap = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    base.write.mode("overwrite").parquet(snap)
+    val rows = Seq(
+      (1L, 10L, "U", "a1", 1.1), (2L, 10L, "D", "x", 0.0),
+      (4L, 10L, "U", "d", 4.0), (1L, 20L, "U", "a2", 1.2),
+      (4L, 20L, "D", "x", 0.0), (5L, 20L, "U", "e", 5.0))
+    val input = MemoryStream[(Long, Long, String, String, Double)]
+    val q = input.toDF().toDF("k", "ts", "op", "attr", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cur = spark.read.parquet(snap)
+        val merged = Changelog.cdcMerge(cur, batch, "k", "ts", "op",
+          Seq("attr", "v"))
+        // write-then-swap: collect the (tiny) merged snapshot before
+        // overwriting the path it was read from
+        val out = merged.collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(out.toIndexedSeq), merged.schema)
+          .write.mode("overwrite").parquet(snap)
+        ()
+      }.start()
+    try {
+      input.addData(rows.take(3)); q.processAllAvailable()
+      input.addData(rows.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(snap).orderBy("k").collect()
+    val oneShot = Changelog.cdcMerge(base,
+      rows.toDF("k", "ts", "op", "attr", "v"), "k", "ts", "op",
+      Seq("attr", "v")).orderBy("k").collect()
+    assert(streamed.map(_.toSeq).toSeq == oneShot.map(_.toSeq).toSeq)
+  }
+
   // ------------------------------------------------------ purgedTimeSplit
 
   test("purgedTimeSplit: folds, eval slice, embargo zone, and the last-fold case") {

@@ -103,6 +103,31 @@ class KllSketchSpec extends SparkSpec {
     assert(r.getLong(2) == 100L)
   }
 
+  test("groupedQuantiles: exact face hand-checked; sketch face exact while n <= k") {
+    // group a: 1..100 → p50 = 50.5 (interpolated), p90 = 90.1;
+    // group b: constant 7
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      Seq.fill(10)(("b", 7.0))).toDF("g", "v")
+    val out = Stats.groupedQuantiles(df, col("g"), col("v"),
+      Seq(0.5, 0.9)).orderBy("grp").collect()
+    assert(out(0).getAs[Double]("p50") == 50.5)
+    assert(out(0).getAs[Double]("p90") == 90.1)
+    assert(out(1).getAs[Double]("p50") == 7.0)
+    // sketch face: exact-regime KLL (n <= k) returns order statistics —
+    // inclusive-rank values, so within one step of the interpolated face
+    val sk = Stats.groupedQuantiles(df, col("g"), col("v"),
+      Seq(0.5, 0.9), sketchK = 400).orderBy("grp").collect()
+    assert(math.abs(sk(0).getAs[Double]("p50") - 50.5) <= 1.0)
+    assert(math.abs(sk(0).getAs[Double]("p90") - 90.1) <= 1.0)
+    assert(sk(1).getAs[Double]("p50") == 7.0)
+    // quantile → column-name mapping handles fractional percents
+    val frac = Stats.groupedQuantiles(df, col("g"), col("v"),
+      Seq(0.999)).columns.toSeq
+    assert(frac.contains("p99_9"))
+    intercept[IllegalArgumentException](
+      Stats.groupedQuantiles(df, col("g"), col("v"), Seq(1.5)))
+  }
+
   test("empty-input sketch reads as NaN quantile, zero n") {
     val shim = org.apache.spark.sql.graft.SketchShim
     val df = Seq(("a", Option.empty[Double])).toDF("g", "x")

@@ -113,6 +113,25 @@ class PcaSpec extends SparkSpec {
     assert(approx(v1, m.eigenvalues(0), 1e-6), s"$v1 vs ${m.eigenvalues(0)}")
   }
 
+  test("pcaWhiten: unit sample variance per axis, decorrelated axes") {
+    val df = fakeRows(300, 5).toDF("id", "v")
+    val m = Pca.pcaFit(df, col("v"), d = 5, nComponents = 3)
+    val z = df.select(Pca.pcaWhiten(col("v"), m).as("z"))
+      .select((0 until 3).map(k => col("z")(k).as(s"z$k")): _*)
+    // each whitened axis: var_samp == lambda/(lambda+eps) ≈ 1
+    val stats = z.agg(
+      var_samp(col("z0")), var_samp(col("z1")), var_samp(col("z2")),
+      covar_samp(col("z0"), col("z1")), covar_samp(col("z0"), col("z2")),
+      covar_samp(col("z1"), col("z2"))).head()
+    for (k <- 0 until 3)
+      assert(approx(stats.getDouble(k), 1.0, 1e-5), s"var z$k = ${stats.getDouble(k)}")
+    for (k <- 3 until 6)
+      assert(math.abs(stats.getDouble(k)) < 1e-5, s"cov ${stats.getDouble(k)}")
+    // the SQL twin renders one scale literal per axis
+    assert(Pca.pcaWhitenSql("v", m).size == 3)
+    assert(Pca.pcaWhitenSql("v", m).forall(_.contains("list_dot_product")))
+  }
+
   test("full-rank projection is an isometry (pairwise distances preserved)") {
     val df = fakeRows(50, 5).toDF("id", "v")
     val m = Pca.pcaFit(df, col("v"), d = 5, nComponents = 5)

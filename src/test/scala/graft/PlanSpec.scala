@@ -352,6 +352,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sft_flatten: ONE aggregation on the conversation key, no window, no join") {
+    val p = plan("sft_flatten")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(conv_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("dq_constraints: row-local rules fuse into one aggregation; FK side broadcasts") {
+    val p = plan("dq_constraints")
+    // exactly one corpus-wide aggregation pair for the 6 fused rules
+    // (the count-distinct rewrite adds an Expand, not extra scans) and
+    // the FK anti-join must not sort-merge
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("LeftAnti".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("retrieval_rm3: expanded vocabulary is a literal InSet prefilter, no rescore windows beyond top-k") {
+    val p = plan("retrieval_rm3")
+    // the rescore postings scan filters on the collected literal term
+    // set (isin → In/InSet), never a join against a lazy expansion table
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Window ".r.findAllIn(p).size == 1, p) // the final top-k only
+  }
+
   test("g_skew_report: two aggregations, no window, no join — pure count algebra") {
     val p = plan("g_skew_report")
     assert(!p.contains("Window"), p)
