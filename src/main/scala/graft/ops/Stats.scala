@@ -1812,6 +1812,58 @@ object Stats {
     }.toDF("domain", "n", "excess_loss", "weight_final", "weight_avg")
   }
 
+  /** Kaplan–Meier survival estimator (Kaplan & Meier 1958,
+    * "Nonparametric Estimation from Incomplete Observations") — the
+    * right-censoring-aware retention curve: for user/source lifetimes
+    * where some subjects simply haven't churned YET, the naive
+    * fraction-alive curve is biased and KM is the standard fix.
+    * Input: one row per subject with `duration` and `event` (true =
+    * the terminal event happened; false = censored at that duration).
+    *
+    *  - d_t = events at time t,  c_t = censored at t,
+    *  - n_t = subjects with duration ≥ t (at risk),
+    *  - S(t) = Π_{t' ≤ t, d > 0} (1 − d/n).
+    *
+    * Scale shape: subjects collapse to ONE map-side-combined count per
+    * DISTINCT duration; the at-risk and survival prefix computations are
+    * windows over that bounded distinct-time table (the ROC-curve
+    * collapse shape — never a window over raw subjects). The running
+    * product rides exp(Σ ln(1 − d/n)) whose prefix sums are ORDERED
+    * (frame-sequential in both engines), so 6-dp rounding replays.
+    * Returns event times only (censored-only times don't move S). */
+  def kaplanMeier(df: DataFrame, duration: Column,
+      event: Column): DataFrame = {
+    val base = df.select(duration.cast("double").as("t"),
+      event.cast("boolean").as("e"))
+    val byT = base.groupBy("t").agg(
+      sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+      sum(when(!col("e"), 1L).otherwise(0L)).as("c"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wAll)
+        - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      // d == n_risk (everyone still at risk dies at t — necessarily the
+      // last event time) is an explicit S = 0, NOT a log term: Spark's
+      // ln(0) is null and DuckDB's errors, so the zero leaves the
+      // product before it ever reaches a logarithm
+      .withColumn("survival", round(
+        when(max(when(col("d") === col("n_risk"), 1).otherwise(0))
+          .over(wCum) === 1, lit(0.0))
+          .otherwise(exp(sum(
+            when(col("d") > 0 && col("d") < col("n_risk"),
+              log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+              .otherwise(lit(0.0))).over(wCum))), 6))
+      .where(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"), col("survival"))
+      .orderBy("t")
+  }
+
   /** Fixed-width histogram with EXPLICIT bounds — the mergeable numeric
     * profile (unlike quantile bins, data-independent cells merge across
     * corpora, engines, and ingest batches; the complement of

@@ -1838,6 +1838,13 @@ object TextOps {
       clean.as("text_clean"))
   }
 
+  /** Outlink extraction from raw HTML — the web-graph edge builder
+    * upstream of [[normalizeUrl]] (dedup keys) and [[Graph]] (PageRank /
+    * HITS / k-core quality signals): every `href="…"` attribute value,
+    * in document order. Row-local regex, streams as-is. */
+  def extractLinks(text: Column): Column =
+    regexp_extract_all(text, lit("href=\"([^\"]*)\""), lit(1))
+
   /** Fenced-code-block stats — the code/prose router for mixed corpora
     * (code wants different dedup grain, quality rules, and tokenizer
     * than prose): count ``` fences, characters inside them (fences

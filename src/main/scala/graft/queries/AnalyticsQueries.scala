@@ -207,6 +207,18 @@ object AnalyticsQueries {
           round(col("n_noisy"), 6).as("n_noisy"))
         .orderBy("source")),
 
+    "g_kaplan_meier" -> ((s, dir) => {
+      // Right-censored retention: per-user lifetime = observed span in
+      // whole hours (integer DIV — exact), terminal event = the user
+      // ever errored; KM survival over the distinct-lifetime table.
+      val per = table(s, dir, "events").groupBy("user_id").agg(
+        ((max(col("ts")) - min(col("ts"))).cast("long") / lit(3600000000L))
+          .cast("long").as("dur_h"),
+        (sum(when(col("event_type") === "error", 1L).otherwise(0L)) > 0)
+          .as("event"))
+      Stats.kaplanMeier(per, col("dur_h"), col("event"))
+    }),
+
     "dq_constraints" -> ((s, dir) => {
       // Deequ-style contract gate over lineitem: 7 fused row-local rules
       // + 1 FK anti-join. l_quantity's [1, 45] range is DELIBERATELY
@@ -1075,6 +1087,33 @@ object AnalyticsQueries {
          |    ELSE -$b * ln(2.0 * (1.0 - u)) END, 6) AS n_noisy
          |FROM u ORDER BY source""".stripMargin
     },
+
+    "g_kaplan_meier" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000
+        |      AS BIGINT) AS dur_h,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 0 AS event
+        |  FROM events GROUP BY 1),
+        |byt AS (SELECT CAST(dur_h AS DOUBLE) AS t,
+        |    sum(CASE WHEN event THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN event THEN 0 ELSE 1 END) AS c
+        |  FROM per GROUP BY 1),
+        |w AS (SELECT t, d, c,
+        |    sum(d + c) OVER () - coalesce(sum(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byt),
+        |s AS (SELECT t, d, c, n_risk,
+        |    round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |        OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
+        |      ELSE exp(sum(CASE WHEN d > 0 AND d < n_risk
+        |        THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END)
+        |        OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END, 6) AS survival
+        |  FROM w)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+        |  survival
+        |FROM s WHERE d > 0 ORDER BY t""".stripMargin,
 
     "dq_constraints" ->
       """WITH m AS (SELECT

@@ -1109,6 +1109,26 @@ object DedupTextQueries {
         .orderBy("doc_id")
     }),
 
+    "text_extract_links" -> ((s, dir) => {
+      // Outlink extraction: manufactured HTML wrappers with absolute,
+      // tracking-params, and relative hrefs (plus a quoteless non-match)
+      // — (doc_id, pos, url) in document order.
+      val html = concat(
+        lit("<a href=\"https://ex.org/"), col("lang"), lit("/"),
+        (col("doc_id") % 7).cast("string"), lit("?utm_source=t&q=1\">l</a> "),
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" <p><a class=\"z\" href=\"/rel/path\">r</a></p>"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" <a href=unquoted>x</a>"))
+          .otherwise(lit("")))
+      table(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          posexplode(TextOps.extractLinks(html)).as(Seq("pos", "url")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("url"))
+        .orderBy("doc_id", "pos")
+    }),
+
     "text_ngram_novelty" -> ((s, dir) =>
       // Memorization/boilerplate signal: share of each doc's distinct
       // trigrams found in no other document.
@@ -1394,6 +1414,23 @@ object DedupTextQueries {
          |  ELSE scheme || '://' || host || keepport || pathn ||
          |    (CASE WHEN sq = '' THEN '' ELSE '?' || sq END) END AS url
          |FROM y ORDER BY doc_id""".stripMargin,
+
+    "text_extract_links" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<a href="https://ex.org/' || lang || '/' || (doc_id % 7) ||
+         |      '?utm_source=t&q=1">l</a> ' || text ||
+         |    (CASE WHEN doc_id % 3 = 0
+         |      THEN ' <p><a class="z" href="/rel/path">r</a></p>' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 5 = 0
+         |      THEN ' <a href=unquoted>x</a>' ELSE '' END) AS html
+         |  FROM documents WHERE doc_id < 200),
+         |l AS (SELECT doc_id,
+         |        regexp_extract_all(html, 'href="([^"]*)"', 1) AS ls FROM h)
+         |SELECT doc_id,
+         |  CAST(generate_subscripts(ls, 1) - 1 AS BIGINT) AS pos,
+         |  unnest(ls) AS url
+         |FROM l ORDER BY doc_id, pos""".stripMargin,
 
     "text_ngram_novelty" ->
       s"""WITH g AS (

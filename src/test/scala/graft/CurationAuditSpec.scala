@@ -188,6 +188,54 @@ class CurationAuditSpec extends SparkSpec {
     assert(approx(de.getAs[Double]("fertility"), 4.0, 1e-9))
   }
 
+  // ---------------------------------------------------------- kaplanMeier
+
+  test("kaplanMeier: textbook fixture — censoring thins risk without events") {
+    val df = Seq((1.0, true), (2.0, false), (3.0, true), (3.0, true),
+      (4.0, false), (5.0, true)).toDF("dur", "ev")
+    val out = Stats.kaplanMeier(df, col("dur"), col("ev"))
+      .orderBy("t").collect()
+    // event times only: 1 (n=6,d=1), 3 (n=4,d=2), 5 (n=1,d=1 → S=0)
+    assert(out.map(r => (r.getAs[Double]("t"), r.getAs[Long]("n_risk"),
+      r.getAs[Long]("n_events"))).toSeq ==
+      Seq((1.0, 6L, 1L), (3.0, 4L, 2L), (5.0, 1L, 1L)))
+    val s = out.map(_.getAs[Double]("survival"))
+    assert(approx(s(0), 5.0 / 6, 1e-6))
+    assert(approx(s(1), 5.0 / 6 * 2.0 / 4, 1e-6))
+    assert(s(2) == 0.0) // exhaustion row, no ln(0) anywhere
+    // survival is non-increasing
+    assert(s.sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("kaplanMeier: all censored → empty curve; no censoring matches the ecdf") {
+    val cens = Seq((1.0, false), (2.0, false)).toDF("dur", "ev")
+    assert(Stats.kaplanMeier(cens, col("dur"), col("ev")).count() == 0L)
+    val full = Seq((1.0, true), (2.0, true), (2.0, true), (4.0, true))
+      .toDF("dur", "ev")
+    val s = Stats.kaplanMeier(full, col("dur"), col("ev"))
+      .orderBy("t").collect().map(_.getAs[Double]("survival"))
+    // without censoring KM is the empirical survivor function
+    assert(approx(s(0), 0.75, 1e-6) && approx(s(1), 0.25, 1e-6)
+      && s(2) == 0.0)
+  }
+
+  // --------------------------------------------------------- extractLinks
+
+  test("extractLinks: ordered href values; unquoted attributes ignored") {
+    val df = Seq(
+      (1L, """<a href="https://a.com/x">1</a> text <a href="/rel">2</a>"""),
+      (2L, """no links here"""),
+      (3L, """<a href=bare>skip</a> <a href="kept">ok</a>""")
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.ops.TextOps.extractLinks(col("text")).as("ls"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getSeq[String](1).toList).toMap
+    assert(got(1L) == List("https://a.com/x", "/rel"))
+    assert(got(2L).isEmpty)
+    assert(got(3L) == List("kept"))
+  }
+
   // ------------------------------------------------------------ scriptMix
 
   test("scriptMix: per-range counts, dominant, mixed-script doc") {

@@ -579,4 +579,94 @@ object LawsProps extends Properties("GraftLaws") {
         s >= -1e-12 && s <= 1 + 1e-12 && cell == best
       }
     }
+
+  property("keepBestPerCluster: exactly one survivor per cluster, and it is argmax(score, -id)") =
+    Prop.forAll(Gen.choose(5, 60), Gen.choose(1, 8), seedG) { (n, k, seed) =>
+      val rows = (0 until n).map { i =>
+        val h = (i * 2654435761L + seed) % 1000003
+        (i.toLong, (math.abs(h) % k).toLong, (math.abs(h / 7) % 5).toDouble)
+      }
+      val kept = Dedup.keepBestPerCluster(rows.toDF("id", "cl", "s"),
+        "id", col("cl"), col("s"))
+        .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+      val want = rows.groupBy(_._2).map { case (cl, g) =>
+        cl -> g.minBy { case (id, _, s) => (-s, id) }._1
+      }
+      kept == want
+    }
+
+  property("funnel: per-step counts are non-increasing and bounded by entities") =
+    Prop.forAll(Gen.choose(10, 150), Gen.choose(2, 5), seedG) { (n, steps, seed) =>
+      val names = (0 until steps).map(i => s"s$i")
+      val ev = (0 until n).map { i =>
+        val h = math.abs((i * 40503L + seed) % 1000003)
+        ((h % 7).toLong, i.toLong, names((h % steps.toLong).toInt))
+      }
+      val out = Stats.funnel(ev.toDF("u", "ts", "et"), col("u"), col("ts"),
+        col("et"), names, maxSpan = n.toDouble * 2)
+        .orderBy("step_idx").collect().map(_.getAs[Long]("n_entities"))
+      out.sliding(2).forall { case Array(a, b) => b <= a; case _ => true } &&
+        out.head <= 7
+    }
+
+  property("histogram: counts sum to the non-null rows; every count lands in a declared cell") =
+    Prop.forAll(Gen.choose(1, 200), Gen.choose(2, 12), seedG) { (n, bins, seed) =>
+      val vals = (0 until n).map(i =>
+        ((i * 2654435761L + seed) % 400 - 100).toDouble / 2.0)
+      val out = Stats.histogram(vals.toDF("v"), col("v"), -25.0, 25.0, bins)
+        .collect()
+      out.length == bins + 2 && out.map(_.getAs[Long]("n")).sum == n
+    }
+
+  property("preferencePairs: margins respect the gate; chosen outscores rejected") =
+    Prop.forAll(Gen.choose(5, 80), Gen.choose(0.0, 0.4), seedG) { (n, gate, seed) =>
+      val rows = (0 until n).map { i =>
+        val h = math.abs((i * 48271L + seed) % 1000003)
+        ((h % 9).toLong, i.toLong, (h % 11).toDouble / 10.0)
+      }
+      val got = graft.ops.Sft.preferencePairs(rows.toDF("p", "r", "s"),
+        "p", "r", col("s"), minMargin = gate).collect()
+      got.forall { r =>
+        val m = r.getAs[Double]("margin")
+        m >= gate && m > 0 &&
+          r.getAs[Long]("chosen_id") != r.getAs[Long]("rejected_id")
+      }
+    }
+
+  property("cdcMerge: an empty log is the identity; a full-delete log empties the base") =
+    Prop.forAll(Gen.choose(1, 40)) { n =>
+      import graft.ops.Changelog
+      val base = (1 to n).map(i => (i.toLong, s"a$i")).toDF("k", "attr")
+      val empty = Seq.empty[(Long, Long, String, String)]
+        .toDF("k", "ts", "op", "attr")
+      val id = Changelog.cdcMerge(base, empty, "k", "ts", "op", Seq("attr"))
+        .orderBy("k").collect().map(_.getLong(0)).toSeq
+      val wipe = (1 to n).map(i => (i.toLong, 1L, "D", "x"))
+        .toDF("k", "ts", "op", "attr")
+      val gone = Changelog.cdcMerge(base, wipe, "k", "ts", "op", Seq("attr"))
+        .count()
+      id == (1 to n).map(_.toLong) && gone == 0L
+    }
+
+  property("scd2: versions partition each key's observed span; no zero-width interior gaps") =
+    Prop.forAll(Gen.choose(2, 40), seedG) { (n, seed) =>
+      import graft.ops.Changelog
+      val log = (0 until n).map { i =>
+        val h = math.abs((i * 69621L + seed) % 1000003)
+        ((h % 3).toLong, i.toLong, (h % 4).toString)
+      }
+      val out = Changelog.scd2(log.toDF("k", "ts", "attr"), "k", "ts",
+        Seq("attr")).collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("valid_from"),
+          Option(r.getAs[Any]("valid_to")).map(_.asInstanceOf[Long])))
+      out.groupBy(_._1).forall { case (k, vs) =>
+        val sorted = vs.sortBy(_._2)
+        val first = log.filter(_._1 == k).map(_._2).min
+        sorted.head._2 == first && sorted.last._3.isEmpty &&
+          sorted.sliding(2).forall {
+            case Array(a, b) => a._3.contains(b._2)
+            case _ => true
+          }
+      }
+    }
 }
