@@ -1812,6 +1812,46 @@ object Stats {
     }.toDF("domain", "n", "excess_loss", "weight_final", "weight_avg")
   }
 
+  /** Lorenz curve + Gini concentration of a weight across groups — the
+    * "how concentrated is my corpus" mixing diagnostic (a handful of
+    * domains carrying 80% of tokens is exactly what [[mixtureWeights]] /
+    * UniMax exist to correct; this measures it): groups ascending by
+    * (weight, group), cumulative weight share, and the exact discrete
+    * Gini G = 2·Σᵢ i·w₍ᵢ₎ / (n·Σw) − (n+1)/n.
+    *
+    * One map-side-combined group aggregation, then windows over the
+    * BOUNDED group table (the ROC-collapse shape). All sums are exact
+    * integers when the weight is integral (token counts), so the two
+    * released ratios are single divisions — engine-portable. Returns one
+    * row per group: (rank, group, weight, share, cum_share, gini — the
+    * same scalar on every row for a one-scan read). */
+  def giniConcentration(df: DataFrame, group: Column,
+      weight: Column): DataFrame = {
+    val byG = df.groupBy(group.as("grp"))
+      .agg(sum(weight.cast("long")).as("w"))
+    val wOrd = Window.orderBy(col("w"), col("grp"))
+    val wAll = Window.orderBy(col("w"), col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("w"), col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byG
+      .withColumn("rank", row_number().over(wOrd))
+      .withColumn("__tot", sum("w").over(wAll))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__cum", sum("w").over(wCum))
+      .withColumn("__iw", sum(col("rank") * col("w")).over(wAll))
+      .select(col("rank"), col("grp"), col("w"),
+        round(col("w").cast("double") / col("__tot").cast("double"), 6)
+          .as("share"),
+        round(col("__cum").cast("double") / col("__tot").cast("double"), 6)
+          .as("cum_share"),
+        round(lit(2.0) * col("__iw").cast("double")
+          / (col("__n").cast("double") * col("__tot").cast("double"))
+          - (col("__n") + 1).cast("double") / col("__n").cast("double"), 6)
+          .as("gini"))
+      .orderBy("rank")
+  }
+
   /** Kaplan–Meier survival estimator (Kaplan & Meier 1958,
     * "Nonparametric Estimation from Incomplete Observations") — the
     * right-censoring-aware retention curve: for user/source lifetimes
@@ -1858,9 +1898,23 @@ object Stats {
             when(col("d") > 0 && col("d") < col("n_risk"),
               log(lit(1.0) - col("d").cast("double") / col("n_risk")))
               .otherwise(lit(0.0))).over(wCum))), 6))
+      // Greenwood's variance (Greenwood 1926): v(t) = Σ d/(n(n−d)) over
+      // prior event times (exhaustion rows excluded — their factor is
+      // the explicit zero above); se = S·√v, plain-normal 95% band
+      // clamped to [0, 1]. Computed from the ROUNDED survival so the
+      // band replays exactly.
+      .withColumn("__gw", sum(when(col("d") > 0 && col("d") < col("n_risk"),
+        col("d").cast("double") / (col("n_risk").cast("double")
+          * (col("n_risk") - col("d")).cast("double")))
+        .otherwise(lit(0.0))).over(wCum))
+      .withColumn("se", round(col("survival") * sqrt(col("__gw")), 6))
       .where(col("d") > 0)
       .select(col("t"), col("n_risk"), col("d").as("n_events"),
-        col("c").as("n_censored"), col("survival"))
+        col("c").as("n_censored"), col("survival"), col("se"),
+        round(greatest(lit(0.0),
+          col("survival") - lit(1.96) * col("se")), 6).as("ci_lo"),
+        round(least(lit(1.0),
+          col("survival") + lit(1.96) * col("se")), 6).as("ci_hi"))
       .orderBy("t")
   }
 

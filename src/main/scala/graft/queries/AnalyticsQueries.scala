@@ -207,6 +207,17 @@ object AnalyticsQueries {
           round(col("n_noisy"), 6).as("n_noisy"))
         .orderBy("source")),
 
+    "g_gini_tokens" -> ((s, dir) =>
+      // Corpus-concentration diagnostic: Lorenz curve + exact discrete
+      // Gini of token mass across sources — the dial mixture reweighting
+      // exists to correct.
+      Stats.giniConcentration(table(s, dir, "documents"), col("source"),
+          TextOps.tokenCount(col("text")))
+        .select(col("rank").cast("long").as("rank"),
+          col("grp").as("source"), col("w"), col("share"),
+          col("cum_share"), col("gini"))
+        .orderBy("rank")),
+
     "g_kaplan_meier" -> ((s, dir) => {
       // Right-censored retention: per-user lifetime = observed span in
       // whole hours (integer DIV — exact), terminal event = the user
@@ -1088,6 +1099,26 @@ object AnalyticsQueries {
          |FROM u ORDER BY source""".stripMargin
     },
 
+    "g_gini_tokens" ->
+      """WITH byg AS (
+        |  SELECT source AS grp,
+        |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |      AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT grp, w,
+        |        row_number() OVER (ORDER BY w, grp) AS rank FROM byg),
+        |a AS (SELECT *, sum(w) OVER () AS tot, count(*) OVER () AS n,
+        |        sum(w) OVER (ORDER BY w, grp ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(rank * w) OVER () AS iw FROM r)
+        |SELECT rank, grp AS source, w,
+        |  round(CAST(w AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+        |  round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share,
+        |  round(2.0 * CAST(iw AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+        |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+        |FROM a ORDER BY rank""".stripMargin,
+
     "g_kaplan_meier" ->
       """WITH per AS (
         |  SELECT user_id,
@@ -1108,12 +1139,19 @@ object AnalyticsQueries {
         |        OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
         |      ELSE exp(sum(CASE WHEN d > 0 AND d < n_risk
         |        THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END)
-        |        OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END, 6) AS survival
-        |  FROM w)
+        |        OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END, 6) AS survival,
+        |    sum(CASE WHEN d > 0 AND d < n_risk
+        |      THEN CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE)
+        |        * CAST(n_risk - d AS DOUBLE)) ELSE 0.0 END)
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS gw
+        |  FROM w),
+        |z AS (SELECT *, round(survival * sqrt(gw), 6) AS se FROM s)
         |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
         |  CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
-        |  survival
-        |FROM s WHERE d > 0 ORDER BY t""".stripMargin,
+        |  survival, se,
+        |  round(greatest(0.0, survival - 1.96 * se), 6) AS ci_lo,
+        |  round(least(1.0, survival + 1.96 * se), 6) AS ci_hi
+        |FROM z WHERE d > 0 ORDER BY t""".stripMargin,
 
     "dq_constraints" ->
       """WITH m AS (SELECT

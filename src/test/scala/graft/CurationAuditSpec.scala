@@ -207,6 +207,51 @@ class CurationAuditSpec extends SparkSpec {
     assert(s.sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("kaplanMeier: Greenwood band brackets S and clamps to [0, 1]") {
+    val df = Seq((1.0, true), (2.0, false), (3.0, true), (3.0, true),
+      (4.0, false), (5.0, true)).toDF("dur", "ev")
+    val out = Stats.kaplanMeier(df, col("dur"), col("ev"))
+      .orderBy("t").collect()
+    out.foreach { r =>
+      val (s, se, lo, hi) = (r.getAs[Double]("survival"),
+        r.getAs[Double]("se"), r.getAs[Double]("ci_lo"),
+        r.getAs[Double]("ci_hi"))
+      assert(lo <= s && s <= hi)
+      assert(lo >= 0.0 && hi <= 1.0)
+      assert(se >= 0.0)
+    }
+    // first event time: v = 1/(6·5), se = S·√v hand-checked
+    val r0 = out.head
+    assert(approx(r0.getAs[Double]("se"),
+      (5.0 / 6) * math.sqrt(1.0 / 30), 1e-5))
+    // exhaustion row: S = 0 ⇒ se = 0, band collapses to [0, 0]
+    assert(out.last.getAs[Double]("se") == 0.0)
+    assert(out.last.getAs[Double]("ci_hi") == 0.0)
+  }
+
+  // --------------------------------------------------- giniConcentration
+
+  test("giniConcentration: uniform weights → 0; single-owner → (n−1)/n; Lorenz ordered") {
+    import graft.ops.Stats
+    val uni = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L))
+      .toDF("g", "w")
+    val u = Stats.giniConcentration(uni, col("g"), col("w")).collect()
+    assert(u.forall(r => approx(r.getAs[Double]("gini"), 0.0, 1e-9)))
+    val solo = Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 100L))
+      .toDF("g", "w")
+    val s = Stats.giniConcentration(solo, col("g"), col("w")).collect()
+    assert(s.forall(r => approx(r.getAs[Double]("gini"), 0.75, 1e-9)))
+    // Lorenz: cumulative share non-decreasing, ends at 1
+    val mixed = Seq(("a", 1L), ("b", 5L), ("c", 3L), ("d", 11L))
+      .toDF("g", "w")
+    val m = Stats.giniConcentration(mixed, col("g"), col("w"))
+      .orderBy("rank").collect()
+    val cs = m.map(_.getAs[Double]("cum_share"))
+    assert(cs.sliding(2).forall(p => p(0) <= p(1) + 1e-12))
+    assert(approx(cs.last, 1.0, 1e-9))
+    assert(m.map(_.getAs[String]("grp")).toSeq == Seq("a", "c", "b", "d"))
+  }
+
   test("kaplanMeier: all censored → empty curve; no censoring matches the ecdf") {
     val cens = Seq((1.0, false), (2.0, false)).toDF("dur", "ev")
     assert(Stats.kaplanMeier(cens, col("dur"), col("ev")).count() == 0L)
