@@ -1002,6 +1002,79 @@ object Stats {
       .select("p.*")
   }
 
+  /** Spearman rank correlation (Spearman 1904) — the monotone-
+    * association complement of [[corrMatrix]]'s Pearson (drift in a
+    * monotone-but-nonlinear relation is invisible to Pearson): Pearson
+    * over MIDRANKS (average rank across ties — the proper tied-data
+    * form).
+    *
+    * Scale shape: each variable collapses to its distinct-value count
+    * table (ROC-collapse), midrank = #smaller + (#equal + 1)/2 from one
+    * prefix-sum window over that bounded table; ranks broadcast-join
+    * back by value, then ONE covar/stddev aggregation (the corrMatrix
+    * ANSI-safe form). Never a window over raw rows. */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    def midranks(c: Column): DataFrame = {
+      val byV = df.select(c.cast("double").as("__v"))
+        .groupBy("__v").agg(count(lit(1)).as("__n"))
+      val w = Window.orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byV.withColumn("__r",
+        coalesce(sum("__n").over(w), lit(0L)).cast("double")
+          + (col("__n") + 1).cast("double") / 2.0)
+        .select(col("__v"), col("__r"))
+    }
+    val rx = midranks(x).withColumnRenamed("__v", "__vx")
+      .withColumnRenamed("__r", "__rx")
+    val ry = midranks(y).withColumnRenamed("__v", "__vy")
+      .withColumnRenamed("__r", "__ry")
+    val ranked = df.select(x.cast("double").as("__vx"),
+        y.cast("double").as("__vy"))
+      .join(broadcast(rx), "__vx").join(broadcast(ry), "__vy")
+    ranked.agg(count(lit(1)).as("n"),
+        stddev_samp(col("__rx")).as("__sx"),
+        stddev_samp(col("__ry")).as("__sy"),
+        covar_samp(col("__rx"), col("__ry")).as("__cv"))
+      .select(col("n"),
+        round(when(col("__sx") > 0 && col("__sy") > 0,
+          col("__cv") / (col("__sx") * col("__sy"))), 6).as("spearman"))
+  }
+
+  /** Cohort retention matrix — the classic acquisition-quality table
+    * (rows: cohorts by FIRST-activity period; columns: periods since):
+    * retention(cohort, k) = distinct entities active in period
+    * cohort + k over the cohort's size. Complements [[funnel]] (ordered
+    * steps) and [[kaplanMeier]] (censored lifetimes) with the
+    * calendar-aligned view.
+    *
+    * Scale shape: one entity-keyed min aggregation (the cohort
+    * assignment), one distinct (entity, period) projection, one id-keyed
+    * join of the two, one (cohort, offset) count — every shuffle keyed
+    * by entity or by the bounded (cohort, offset) grid; all counts exact
+    * integers. */
+  def cohortRetention(df: DataFrame, entity: Column, ts: Column,
+      periodUs: Long, maxOffset: Int): DataFrame = {
+    require(periodUs > 0, "cohortRetention: periodUs must be > 0")
+    require(maxOffset >= 0, "cohortRetention: maxOffset must be >= 0")
+    val period = floor(ts.cast("double") / lit(periodUs.toDouble))
+      .cast("long")
+    val first = df.groupBy(entity.as("__e"))
+      .agg(min(period).as("cohort"))
+    val active = df.select(entity.as("__e2"), period.as("__p")).distinct()
+    val joined = active.join(first, col("__e2") === col("__e"))
+      .withColumn("offset", (col("__p") - col("cohort")).cast("int"))
+      .where(col("offset") >= 0 && col("offset") <= maxOffset)
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    joined.groupBy("cohort", "offset")
+      .agg(countDistinct(col("__e2")).as("n_active"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("offset"), col("n_active"),
+        col("n_cohort"),
+        round(col("n_active").cast("double")
+          / col("n_cohort").cast("double"), 6).as("retention"))
+      .orderBy("cohort", "offset")
+  }
+
   /** Time-weighted average per key: `Σ value·Δt / Σ Δt` with Δt the gap
     * to the NEXT event (step-function integral — each value holds until
     * superseded; the last event has no closing gap and is excluded).

@@ -207,6 +207,19 @@ object AnalyticsQueries {
           round(col("n_noisy"), 6).as("n_noisy"))
         .orderBy("source")),
 
+    "g_spearman" -> ((s, dir) =>
+      // Monotone-association drift check: Spearman (midrank Pearson)
+      // between quantity and extended price — each variable collapses to
+      // its distinct-value table before any ranking.
+      Stats.spearman(table(s, dir, "lineitem"), col("l_quantity"),
+        col("l_extendedprice"))),
+
+    "g_cohort_retention" -> ((s, dir) =>
+      // Calendar-aligned retention: weekly cohorts by first activity,
+      // distinct-active by week offset 0..6 — exact integer counts.
+      Stats.cohortRetention(table(s, dir, "events"), col("user_id"),
+        col("ts"), periodUs = 604800000000L, maxOffset = 6)),
+
     "g_gini_tokens" -> ((s, dir) =>
       // Corpus-concentration diagnostic: Lorenz curve + exact discrete
       // Gini of token mass across sources — the dial mixture reweighting
@@ -1098,6 +1111,45 @@ object AnalyticsQueries {
          |    ELSE -$b * ln(2.0 * (1.0 - u)) END, 6) AS n_noisy
          |FROM u ORDER BY source""".stripMargin
     },
+
+    "g_spearman" ->
+      """WITH t AS (SELECT CAST(l_quantity AS DOUBLE) AS vx,
+        |             CAST(l_extendedprice AS DOUBLE) AS vy FROM lineitem),
+        |cx AS (SELECT vx, count(*) AS n FROM t GROUP BY 1),
+        |rx AS (SELECT vx,
+        |  CAST(coalesce(sum(n) OVER (ORDER BY vx ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |  + CAST(n + 1 AS DOUBLE) / 2.0 AS rxx FROM cx),
+        |cy AS (SELECT vy, count(*) AS n FROM t GROUP BY 1),
+        |ry AS (SELECT vy,
+        |  CAST(coalesce(sum(n) OVER (ORDER BY vy ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |  + CAST(n + 1 AS DOUBLE) / 2.0 AS ryy FROM cy)
+        |SELECT count(*) AS n,
+        |  round(CASE WHEN stddev_samp(rxx) > 0 AND stddev_samp(ryy) > 0
+        |    THEN covar_samp(rxx, ryy)
+        |      / (stddev_samp(rxx) * stddev_samp(ryy)) END, 6) AS spearman
+        |FROM t JOIN rx USING (vx) JOIN ry USING (vy)""".stripMargin,
+
+    "g_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 604800000000.0)
+        |      AS BIGINT) AS p
+        |  FROM events),
+        |f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, p FROM e),
+        |j AS (SELECT a.user_id, f.cohort,
+        |        CAST(a.p - f.cohort AS INT) AS "offset"
+        |      FROM a JOIN f USING (user_id)
+        |      WHERE a.p - f.cohort BETWEEN 0 AND 6),
+        |s AS (SELECT cohort, count(*) AS n_cohort FROM f GROUP BY 1)
+        |SELECT j.cohort, j."offset",
+        |  CAST(count(DISTINCT j.user_id) AS BIGINT) AS n_active,
+        |  s.n_cohort,
+        |  round(CAST(count(DISTINCT j.user_id) AS DOUBLE) / s.n_cohort, 6)
+        |    AS retention
+        |FROM j JOIN s USING (cohort)
+        |GROUP BY 1, 2, s.n_cohort ORDER BY 1, 2""".stripMargin,
 
     "g_gini_tokens" ->
       """WITH byg AS (

@@ -264,6 +264,54 @@ class CurationAuditSpec extends SparkSpec {
       && s(2) == 0.0)
   }
 
+  // ------------------------------------------------------------- spearman
+
+  test("spearman: 1 on a nonlinear monotone map (where Pearson < 1); ties via midranks") {
+    val mono = (1 to 30).map(i => (i.toDouble, math.exp(i / 5.0)))
+      .toDF("x", "y")
+    val r = Stats.spearman(mono, col("x"), col("y")).head()
+    assert(r.getAs[Long]("n") == 30L)
+    assert(approx(r.getAs[Double]("spearman"), 1.0, 1e-9))
+    val anti = (1 to 20).map(i => (i.toDouble, -i * 3.0)).toDF("x", "y")
+    assert(approx(Stats.spearman(anti, col("x"), col("y"))
+      .head().getAs[Double]("spearman"), -1.0, 1e-9))
+    // constant column → null (no division by zero under ANSI)
+    val const = (1 to 5).map(i => (i.toDouble, 7.0)).toDF("x", "y")
+    assert(Stats.spearman(const, col("x"), col("y")).head()
+      .isNullAt(1))
+    // tied data uses midranks: x=(1,2,2,3) → rx=(1,2.5,2.5,4),
+    // y=(1,3,2,4) → ry as-is; cov=1.5, sd=√1.5·√(5/3) ⇒ ρ=0.948683
+    val tied = Seq((1.0, 1.0), (2.0, 3.0), (2.0, 2.0), (3.0, 4.0))
+      .toDF("x", "y")
+    assert(approx(Stats.spearman(tied, col("x"), col("y"))
+      .head().getAs[Double]("spearman"), 1.5 / math.sqrt(1.5 * 5.0 / 3.0),
+      1e-6))
+  }
+
+  // ------------------------------------------------------ cohortRetention
+
+  test("cohortRetention: hand fixture — cohorts, offsets, distinct-active counts") {
+    import graft.ops.Stats
+    // period = 10: u1 first at 0 (cohort 0), active periods 0,1,3;
+    // u2 cohort 0, active 0 only; u3 cohort 1, active 1,2
+    val ev = Seq((1L, 1.0), (1L, 12.0), (1L, 33.0), (1L, 5.0),
+      (2L, 7.0), (3L, 15.0), (3L, 25.0)).toDF("u", "ts")
+    val out = Stats.cohortRetention(ev, col("u"), col("ts"),
+      periodUs = 10L, maxOffset = 6).collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Int]("offset")) ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("n_cohort"),
+          r.getAs[Double]("retention"))).toMap
+    assert(out((0L, 0)) == ((2L, 2L, 1.0)))
+    assert(out((0L, 1)) == ((1L, 2L, 0.5)))
+    assert(out((0L, 3)) == ((1L, 2L, 0.5)))
+    assert(!out.contains((0L, 2))) // nobody from cohort 0 active at 2
+    assert(out((1L, 0)) == ((1L, 1L, 1.0)))
+    assert(out((1L, 1)) == ((1L, 1L, 1.0)))
+    // offset-0 retention is 1.0 by construction for every cohort
+    out.collect { case ((_, 0), (_, _, r)) => r }.foreach(r =>
+      assert(r == 1.0))
+  }
+
   // --------------------------------------------------------- extractLinks
 
   test("extractLinks: ordered href values; unquoted attributes ignored") {
