@@ -115,6 +115,28 @@ object Demo {
     println(s"""{"stage":"privacy_release","qi_combos_at_risk":$atRisk,""" +
       s""""mondrian_leaves":${model.nLeaves},"min_leaf":$minLeaf}""")
 
+    // post-training data prep (this session's surface): flatten docs
+    // into dialogues, mask assistant turns, and build DPO pairs from
+    // the quality score — the SFT/RLHF layer downstream of curation
+    val sftDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val turns = sftDocs.where(col("doc_id") < 120).select(
+      (col("doc_id") % 20).as("conv"),
+      floor(col("doc_id") / 20).cast("long").as("idx"),
+      when(floor(col("doc_id") / 20).cast("long") % 2 === 0, "user")
+        .otherwise("assistant").as("role"),
+      col("text"))
+    val flat = graft.ops.Sft.flattenDialogues(turns, "conv", "idx",
+      "role", "text")
+    val masked = graft.ops.Sft.lossSpans(turns, "conv", "idx", "role",
+      "text").where(col("mask")).count()
+    val pairs = graft.ops.Sft.preferencePairs(
+      sftDocs.select((col("doc_id") % 30).as("p"), col("doc_id"),
+        graft.ops.TextOps.qualityScore(col("text")).as("q")),
+      "p", "doc_id", col("q"), minMargin = 0.02).count()
+    println(s"""{"stage":"post_training_prep","dialogues":${flat.count()},""" +
+      s""""masked_turns":$masked,"preference_pairs":$pairs}""")
+
     spark.stop()
   }
 }
