@@ -760,6 +760,34 @@ object ScaleProbe {
           println(s"  leaves=${m.nLeaves} rounds=${m.rounds.size} " +
             s"minLeaf=${if (m.leaves.isEmpty) 0 else m.leaves.map(_._2).min}")
         }
+      case "survival" =>
+        // n subjects (100k distinct durations, 30% censored) through
+        // Kaplan-Meier, and n events / n/200 entities / 8 weekly periods
+        // through the cohort matrix — both collapse to bounded tables
+        val subj = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(100000)).cast("double").as("dur"),
+          (pmod(xxhash64(col("id"), lit(1)), lit(10)) >= 3).as("ev"))
+        subj.count()
+        time(s"kaplanMeier n=$n distinct_t<=100k")(
+          println("  rows=" + Stats.kaplanMeier(subj, col("dur"),
+            col("ev")).count()))
+        val ev = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(n / 200)).as("u"),
+          pmod(xxhash64(col("id"), lit(2)), lit(8L * 604800000000L))
+            .as("ts"))
+        ev.count()
+        time(s"cohortRetention n=$n entities=${n / 200} periods=8")(
+          println("  cells=" + Stats.cohortRetention(ev, col("u"),
+            col("ts"), periodUs = 604800000000L, maxOffset = 7).count()))
+        val xy = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(100000)).cast("double").as("x"),
+          (pmod(xxhash64(col("id")), lit(100000)) * 3
+            + pmod(xxhash64(col("id"), lit(3)), lit(1000))).cast("double")
+            .as("y"))
+        xy.count()
+        time(s"spearman n=$n distinct<=100k per side")(
+          Stats.spearman(xy, col("x"), col("y")).collect()
+            .foreach(r => println("  " + r)))
       case "unigram" =>
         // n docs × 20 words drawn from a ~200k-word synthetic vocabulary
         // (base-26 hash strings, len 4-8 — Heaps-realistic, unlike the
