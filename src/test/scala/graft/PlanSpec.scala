@@ -376,6 +376,24 @@ class PlanSpec extends SparkSpec {
     assert("Window ".r.findAllIn(p).size == 1, p) // the final top-k only
   }
 
+  test("g_kaplan_meier / g_gini_tokens: windows sit ABOVE the collapsing aggregate") {
+    Seq("g_kaplan_meier", "g_gini_tokens").foreach { q =>
+      val p = plan(q)
+      // the distinct-time/group collapse must happen before any window
+      // touches rows — aggregate below, window above
+      val winAt = p.indexOf("Window")
+      val aggAt = p.lastIndexOf("HashAggregate")
+      assert(winAt >= 0 && aggAt > winAt, s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("g_spearman: rank tables broadcast back by value; one final aggregation") {
+    val p = plan("g_spearman")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("g_skew_report: two aggregations, no window, no join — pure count algebra") {
     val p = plan("g_skew_report")
     assert(!p.contains("Window"), p)

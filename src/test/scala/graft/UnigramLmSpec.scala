@@ -58,6 +58,33 @@ class UnigramLmSpec extends SparkSpec {
     assert(m1.pieces == m32.pieces)
   }
 
+  test("unigramScore streams as-is: MemoryStream scores == batch scores") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val fit = Seq((1L, "banana band bandana"), (2L, "nab bana ban"))
+      .toDF("doc_id", "text")
+    val m = UnigramLm.unigramTrain(fit, col("text"), vocabSize = 30,
+      maxPieceLen = 3, iters = 2, seedSize = 100)
+    val rows = Seq((10L, "banana nab"), (11L, "band bandana banana"))
+    val batch = UnigramLm.unigramScore(rows.toDF("doc_id", "text"),
+      "doc_id", col("text"), m).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_pieces"),
+        r.getAs[Double]("logp"))).toMap
+    val input = MemoryStream[(Long, String)]
+    val q = UnigramLm.unigramScore(input.toDF().toDF("doc_id", "text"),
+        "doc_id", col("text"), m)
+      .writeStream.format("memory").queryName("ug_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.head); q.processAllAvailable()
+      input.addData(rows(1)); q.processAllAvailable()
+      val got = spark.table("ug_stream").collect()
+        .map(r => r.getLong(0) -> (r.getAs[Long]("n_pieces"),
+          r.getAs[Double]("logp"))).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("unigramScore: per-doc accounting, OOV isolation, blank docs") {
     val docs = Seq((1L, "banana band"), (2L, "qqq banana"), (3L, "  "))
       .toDF("doc_id", "text")
