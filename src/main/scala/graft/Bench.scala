@@ -87,12 +87,19 @@ object Bench {
     // BENCH_FULL.json (committed per round). The full line still follows
     // twice for any unbounded capture.
     val byName = results.map(r => r._1 -> r._2).toMap
-    val hq = ("q1_agg" +: Headline).filter(byName.contains)
+    val hq = ("q1_agg" +: Headline.take(15)).filter(byName.contains)
       .map(k => "\"" + k + "\":" + fmt(byName(k))).mkString("{", ",", "}")
     val shortLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"failed":$failed,"n_queries":${results.size},"queries_full_in":"BENCH_FULL.json","sf":"$sfDir"}"""
+    // BENCH_r06..r09 all came back "parsed": null: the driver snapshots
+    // the LAST 2000 chars of stdout (measured from BENCH_r09.json), sbt
+    // appends its own ~73-char "[success] Total time" line, and the ~4 KB
+    // full-map line printed last meant the window never held a complete
+    // JSON line. The full map now goes ONLY to BENCH_FULL.json; stdout
+    // carries just this compact summary (q1 + 15 headliners ≈ 650 B),
+    // printed first AND as the very last line — TWO complete copies fit
+    // inside the 2000-char tail window with the sbt epilogue.
     println(shortLine)
-    println(line)
     // Belt-and-braces: persist the full line where tail truncation can't
     // reach it (committed per round for round-over-round comparison).
     // Path comes from the environment or the working directory — a
@@ -104,6 +111,6 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"WARN: could not write $outPath: $e") }
     spark.stop()
-    println(line)
+    println(shortLine)
   }
 }

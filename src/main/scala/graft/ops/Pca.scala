@@ -114,6 +114,89 @@ object Pca {
     rows.toDF("i", "j", "cov")
   }
 
+  private def snap9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Mean pass snapped to 9 dp: the centering point of the decimal-exact
+    * face. The snap makes refits agree bit-for-bit (the raw mean's
+    * ~1e-15 summation-order wobble is 5 orders below the 0.5e-9 grid),
+    * so a literal-replay twin generated by one fit matches a query run
+    * that refits. */
+  private[graft] def covarianceMean(df: DataFrame, vec: Column, d: Int): (Double, Array[Double]) = {
+    val (n, mean) = meanPass(df, vec, d)
+    require(n > 1, s"need at least 2 rows to fit a covariance, got $n")
+    (n, mean.map(snap9))
+  }
+
+  /** Decimal-EXACT sample-covariance face (i, j ≥ i, cov) — the oracle
+    * gate for the moment pass. The double-sum face ([[covarianceUpper]])
+    * carries ~1e-13 summation-order wobble, and at least one of the 2080
+    * sf0.01 cells sits exactly on a 0.5e-6 rounding boundary, so the
+    * 6-dp face flipped between engines two rounds running. Here the
+    * centered values are snapped to 9 dp and summed as DECIMAL(25,18) —
+    * exact integer arithmetic, ORDER-INDEPENDENT: the sums are identical
+    * across partitionings, runs, and engines, so both engines round the
+    * same double and the face cannot flip. (The 9-dp input snap perturbs
+    * the covariance by < 1e-9·σ√2 — invisible at 6 dp.)
+    *
+    * Scale shape: the per-row 1+d+d(d+1)/2 value fan-out feeds straight
+    * into a map-side partial hash-agg, so the shuffle carries only
+    * ≤ #partitions × d(d+3)/2 decimal sums — same topology as the
+    * exploded moment baseline. Production PCA fits keep the zero-fan-out
+    * double aggregate ([[centeredMoments]]); this face cross-checks it
+    * (PcaSpec pins agreement to 1e-9). */
+  def covarianceUpperExact(df: DataFrame, vec: Column, d: Int): DataFrame = {
+    checkDim(d)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (n, mean) = covarianceMean(df, vec, d)
+    val mu = typedLit(mean.toSeq)
+    val dec = org.apache.spark.sql.types.DecimalType(25, 18)
+    val c = transform(vec, (x, i) =>
+      round(x.cast("double") - element_at(mu, i + 1), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(14, 9)))
+    val cUp = transform(c, x => x.cast(dec))
+    val tri = flatten(transform(c, (xi, i) =>
+      transform(slice(c, i + 1, lit(d) - i), xj => (xi * xj).cast(dec))))
+    val sums = df.select(posexplode(concat(cUp, tri)).as(Seq("pos", "x")))
+      .groupBy("pos").agg(sum("x").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    val s = Array.tabulate(d)(i => sums(i).doubleValue)
+    // identical IEEE sequence as the DuckDB twin's face:
+    // (P − S_i·S_j/n) / (n − 1) on the exact decimal sums cast to double
+    val rows = for { i <- 0 until d; j <- i until d } yield {
+      val p = sums(d + triIndex(d, i, j)).doubleValue
+      (i, j, (p - s(i) * s(j) / n) / (n - 1))
+    }
+    rows.toDF("i", "j", "cov")
+  }
+
+  /** DuckDB twin of [[covarianceUpperExact]] (literal-replay of the
+    * 9-dp-snapped mean and the row count; the decimal sums and the face
+    * are genuinely recomputed cross-engine). `vecExprSql` must yield a
+    * float/double list; `fromSql` the table, `idSql` the row key. */
+  def covarianceUpperExactSql(vecExprSql: String, fromSql: String,
+      idSql: String, n: Double, mean: Array[Double]): String = {
+    val mu = mean.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    val nLit = java.lang.Double.toString(n)
+    s"""WITH ex AS (
+       |  SELECT $idSql AS rid, CAST(generate_subscripts(v, 1) - 1 AS INT) AS i,
+       |         CAST(unnest(v) AS DOUBLE) AS x
+       |  FROM (SELECT $idSql, $vecExprSql AS v FROM $fromSql)),
+       |cx AS (
+       |  SELECT rid, i,
+       |    CAST(round(x - ($mu)[i + 1], 9) AS DECIMAL(14,9)) AS c
+       |  FROM ex),
+       |s AS (SELECT i, sum(c) AS sv FROM cx GROUP BY 1),
+       |p AS (SELECT a.i AS i, b.i AS j, sum(a.c * b.c) AS sp
+       |      FROM cx a JOIN cx b ON a.rid = b.rid AND b.i >= a.i
+       |      GROUP BY 1, 2)
+       |SELECT p.i, p.j,
+       |  round((CAST(sp AS DOUBLE) - CAST(sa.sv AS DOUBLE) * CAST(sb.sv AS DOUBLE) / $nLit) / ($nLit - 1.0), 6) AS cov
+       |FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** Fit PCA: two corpus scans (mean pass + centered moment pass) +
     * driver Jacobi on the 9-dp-rounded covariance. */
   def pcaFit(df: DataFrame, vec: Column, d: Int, nComponents: Int): PcaModel = {

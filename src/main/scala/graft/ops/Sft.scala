@@ -57,13 +57,19 @@ object Sft {
     * inside [[flattenDialogues]]'s text, and `mask = (role ∈
     * maskRoles)` — the assistant-only-loss convention SFT trainers
     * apply. Offsets come from one running sum over (convId, turnIdx) —
-    * a single window on the same key shuffle the flattener uses. */
+    * a single window on the same key shuffle the flattener uses.
+    * Ordering matches [[flattenDialogues]]'s sort_array EXACTLY —
+    * (turnIdx, rendered turn) — so duplicate turn indexes inside one
+    * conversation can't order the spans differently from the flattened
+    * text they index into. */
   def lossSpans(df: DataFrame, convId: String, turnIdx: String,
       role: String, content: String,
       maskRoles: Seq[String] = Seq("assistant")): DataFrame = {
     require(maskRoles.nonEmpty, "lossSpans: maskRoles must be non-empty")
-    val w = Window.partitionBy(col(convId)).orderBy(col(turnIdx))
+    val w = Window.partitionBy(col(convId))
+      .orderBy(col(turnIdx), col("__r"))
     df.select(col(convId), col(turnIdx), col(role),
+        renderTurn(col(role), col(content)).as("__r"),
         turnTokens(col(content)).as("__nt"))
       .withColumn("token_end", sum(col("__nt")).over(w))
       .select(col(convId), col(turnIdx), col(role),

@@ -115,25 +115,6 @@ object Skew {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Key-skew diagnosis report — the measurement that decides BETWEEN
-    * this file's remedies (plain shuffle vs [[saltedJoin]] vs AQE skew
-    * handling) before a 100 TB join/groupBy is launched. One map-side-
-    * combined key count, then one aggregation over the (bounded-by-
-    * distinct-keys) count table:
-    *
-    *  - `n_rows`, `n_keys`, `max_key_rows`, `max_share` — the heaviest
-    *    key's fraction of all rows,
-    *  - `skew_ratio` — max key count over the MEAN key count (1 =
-    *    uniform; a shuffle partition is only as balanced as this allows),
-    *  - `top1_key` — the heaviest key (max-count, ties to the smallest
-    *    key string — deterministic),
-    *  - `suggested_salt` — ⌈max_key_rows / (n_rows / parallelism)⌉
-    *    clipped to ≥ 1: the replication factor that levels the heaviest
-    *    key across `parallelism` ideal partitions (the factor
-    *    [[saltedJoin]] takes).
-    *
-    * All released numbers are exact-integer counts or single divisions
-    * of them — engine-portable. */
   /** Pre-join cardinality audit — predict the equi-join's output WITHOUT
     * running it: |a ⋈ b| = Σ_k n_a(k)·n_b(k) over the two per-key count
     * tables (bounded by distinct keys, not rows). The "will this join
@@ -167,6 +148,25 @@ object Skew {
         .as("amplification"))
   }
 
+  /** Key-skew diagnosis report — the measurement that decides BETWEEN
+    * this file's remedies (plain shuffle vs [[saltedJoin]] vs AQE skew
+    * handling) before a 100 TB join/groupBy is launched. One map-side-
+    * combined key count, then one aggregation over the (bounded-by-
+    * distinct-keys) count table:
+    *
+    *  - `n_rows`, `n_keys`, `max_key_rows`, `max_share` — the heaviest
+    *    key's fraction of all rows,
+    *  - `skew_ratio` — max key count over the MEAN key count (1 =
+    *    uniform; a shuffle partition is only as balanced as this allows),
+    *  - `top1_key` — the heaviest key (max-count, ties to the smallest
+    *    key string — deterministic),
+    *  - `suggested_salt` — ⌈max_key_rows / (n_rows / parallelism)⌉
+    *    clipped to ≥ 1: the replication factor that levels the heaviest
+    *    key across `parallelism` ideal partitions (the factor
+    *    [[saltedJoin]] takes).
+    *
+    * All released numbers are exact-integer counts or single divisions
+    * of them — engine-portable. */
   def skewReport(df: DataFrame, key: Column, parallelism: Int): DataFrame = {
     require(parallelism >= 1, "parallelism must be >= 1")
     val counts = df.groupBy(key.cast("string").as("__k"))

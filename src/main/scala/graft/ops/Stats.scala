@@ -1014,8 +1014,13 @@ object Stats {
     * back by value, then ONE covar/stddev aggregation (the corrMatrix
     * ANSI-safe form). Never a window over raw rows. */
   def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    // pairwise-complete: rank over EXACTLY the rows that enter the
+    // correlation — ranking over all of df and then inner-joining away
+    // rows where the OTHER variable is null would bias the midranks
+    // (and Spark windows order nulls first vs DuckDB's nulls-last)
+    val base = df.where(x.isNotNull && y.isNotNull)
     def midranks(c: Column): DataFrame = {
-      val byV = df.select(c.cast("double").as("__v"))
+      val byV = base.select(c.cast("double").as("__v"))
         .groupBy("__v").agg(count(lit(1)).as("__n"))
       val w = Window.orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1028,7 +1033,7 @@ object Stats {
       .withColumnRenamed("__r", "__rx")
     val ry = midranks(y).withColumnRenamed("__v", "__vy")
       .withColumnRenamed("__r", "__ry")
-    val ranked = df.select(x.cast("double").as("__vx"),
+    val ranked = base.select(x.cast("double").as("__vx"),
         y.cast("double").as("__vy"))
       .join(broadcast(rx), "__vx").join(broadcast(ry), "__vy")
     ranked.agg(count(lit(1)).as("n"),

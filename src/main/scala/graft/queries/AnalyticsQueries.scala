@@ -1114,7 +1114,9 @@ object AnalyticsQueries {
 
     "g_spearman" ->
       """WITH t AS (SELECT CAST(l_quantity AS DOUBLE) AS vx,
-        |             CAST(l_extendedprice AS DOUBLE) AS vy FROM lineitem),
+        |             CAST(l_extendedprice AS DOUBLE) AS vy FROM lineitem
+        |           WHERE l_quantity IS NOT NULL
+        |             AND l_extendedprice IS NOT NULL),
         |cx AS (SELECT vx, count(*) AS n FROM t GROUP BY 1),
         |rx AS (SELECT vx,
         |  CAST(coalesce(sum(n) OVER (ORDER BY vx ROWS BETWEEN UNBOUNDED
@@ -1205,47 +1207,69 @@ object AnalyticsQueries {
         |  round(least(1.0, survival + 1.96 * se), 6) AS ci_hi
         |FROM z WHERE d > 0 ORDER BY t""".stripMargin,
 
+    // pass verdicts compare EXACT integer counts (num = base), never the
+    // 6-dp metric face — mirrors DataQuality.check, where a sub-5e-7
+    // violation rate would round to 1.000000 and silently pass
     "dq_constraints" ->
-      """WITH m AS (SELECT
-        |  round(CAST(count(l_orderkey) AS DOUBLE) / count(*), 6) AS not_null_ok,
-        |  round(CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE)
-        |    / count(*), 6) AS uniq,
-        |  round(CAST(sum(CASE WHEN l_discount IS NOT NULL
-        |    AND l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(l_discount), 6) AS r_disc,
-        |  round(CAST(sum(CASE WHEN l_quantity IS NOT NULL
-        |    AND l_quantity BETWEEN 1.0 AND 45.0 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(l_quantity), 6) AS r_qty,
-        |  round(CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
-        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(l_returnflag), 6) AS inset,
-        |  round(CAST(sum(CASE WHEN regexp_matches(l_linestatus, '^[OF]$')
-        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(l_linestatus), 6) AS re_ok,
-        |  CAST(count(*) AS DOUBLE) AS n
+      """WITH c AS (SELECT
+        |  count(l_orderkey) AS nn_num,
+        |  count(DISTINCT (l_orderkey, l_linenumber)) AS uq_num,
+        |  sum(CASE WHEN l_discount IS NOT NULL
+        |    AND l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS disc_num,
+        |  count(l_discount) AS disc_base,
+        |  sum(CASE WHEN l_quantity IS NOT NULL
+        |    AND l_quantity BETWEEN 1.0 AND 45.0 THEN 1 ELSE 0 END) AS qty_num,
+        |  count(l_quantity) AS qty_base,
+        |  sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+        |    THEN 1 ELSE 0 END) AS inset_num,
+        |  count(l_returnflag) AS inset_base,
+        |  sum(CASE WHEN regexp_matches(l_linestatus, '^[OF]$')
+        |    THEN 1 ELSE 0 END) AS re_num,
+        |  count(l_linestatus) AS re_base,
+        |  count(*) AS n
         |  FROM lineitem),
-        |fk AS (SELECT round(
-        |  CAST((SELECT count(*) FROM lineitem l
-        |        JOIN (SELECT DISTINCT o_orderkey FROM orders) o
-        |          ON l.l_orderkey = o.o_orderkey
-        |        WHERE l.l_orderkey IS NOT NULL) AS DOUBLE)
-        |  / (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
-        |  6) AS cov)
+        |fkc AS (SELECT
+        |  (SELECT count(*) FROM lineitem l
+        |   JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |     ON l.l_orderkey = o.o_orderkey
+        |   WHERE l.l_orderkey IS NOT NULL) AS hit,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey IS NOT NULL) AS total),
+        |m AS (SELECT
+        |  round(CAST(nn_num AS DOUBLE) / n, 6) AS not_null_ok,
+        |  nn_num = n AS nn_pass,
+        |  round(CAST(uq_num AS DOUBLE) / n, 6) AS uniq,
+        |  uq_num = n AS uq_pass,
+        |  round(CAST(disc_num AS DOUBLE) / disc_base, 6) AS r_disc,
+        |  disc_num = disc_base AS disc_pass,
+        |  round(CAST(qty_num AS DOUBLE) / qty_base, 6) AS r_qty,
+        |  qty_num = qty_base AS qty_pass,
+        |  round(CAST(inset_num AS DOUBLE) / inset_base, 6) AS inset,
+        |  inset_num = inset_base AS inset_pass,
+        |  round(CAST(re_num AS DOUBLE) / re_base, 6) AS re_ok,
+        |  re_num = re_base AS re_pass,
+        |  CAST(n AS DOUBLE) AS n,
+        |  n >= 1000 AND n <= 10000000 AS n_pass
+        |  FROM c),
+        |fk AS (SELECT round(CAST(hit AS DOUBLE) / total, 6) AS cov,
+        |  hit = total AS fk_pass FROM fkc)
         |SELECT * FROM (
         |  SELECT 'in_range(l_discount)' AS rule, r_disc AS metric,
-        |    CAST(1.0 AS DOUBLE) AS threshold, r_disc >= 1.0 AS pass FROM m
+        |    CAST(1.0 AS DOUBLE) AS threshold, disc_pass AS pass FROM m
         |  UNION ALL SELECT 'in_range(l_quantity)', r_qty, 1.0,
-        |    r_qty >= 1.0 FROM m
+        |    qty_pass FROM m
         |  UNION ALL SELECT 'in_set(l_returnflag)', inset, 1.0,
-        |    inset >= 1.0 FROM m
+        |    inset_pass FROM m
         |  UNION ALL SELECT 'matches_regex(l_linestatus)', re_ok, 1.0,
-        |    re_ok >= 1.0 FROM m
+        |    re_pass FROM m
         |  UNION ALL SELECT 'not_null(l_orderkey)', not_null_ok, 1.0,
-        |    not_null_ok >= 1.0 FROM m
+        |    nn_pass FROM m
         |  UNION ALL SELECT 'ref_integrity(l_orderkey)', cov, 1.0,
-        |    cov >= 1.0 FROM fk
+        |    fk_pass FROM fk
         |  UNION ALL SELECT 'row_count', n, CAST(1000.0 AS DOUBLE),
-        |    n >= 1000.0 AND n <= 10000000.0 FROM m
+        |    n_pass FROM m
         |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', uniq, 1.0,
-        |    uniq >= 1.0 FROM m)
+        |    uq_pass FROM m)
         |ORDER BY rule""".stripMargin,
 
     "g_grouped_quantiles" ->

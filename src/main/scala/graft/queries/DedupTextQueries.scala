@@ -2402,6 +2402,8 @@ object DedupTextQueries {
          |  FROM documents WHERE doc_id < 300),
          |r AS (
          |  SELECT conv_id, turn_idx, role,
+         |    '<|' || role || '|>' || CASE WHEN len(trim(text)) > 0
+         |      THEN ' ' || trim(text) ELSE '' END AS rt,
          |    1 + CASE WHEN len(trim(text)) = 0 THEN 0
          |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
          |  FROM t)
@@ -2410,7 +2412,7 @@ object DedupTextQueries {
          |  CAST(sum(nt) OVER w AS BIGINT) AS token_end,
          |  role = 'assistant' AS mask
          |FROM r
-         |WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+         |WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, rt
          |  ROWS UNBOUNDED PRECEDING)
          |ORDER BY conv_id, turn_idx""".stripMargin,
 

@@ -170,9 +170,12 @@ object JoinQueries {
         |    event_type, value
         |  FROM e WHERE user_id < 80),
         |latest AS (
+        |  -- same same-ts tie-break as Changelog.cdcMerge (op DESC, then
+        |  -- the attr tuple DESC): without it two same-ts log rows for one
+        |  -- user would make this window nondeterministic
         |  SELECT user_id AS lk, op, event_type AS le, value AS lv FROM (
         |    SELECT *, row_number() OVER (PARTITION BY user_id
-        |      ORDER BY t DESC) AS rn
+        |      ORDER BY t DESC, op DESC, event_type DESC, value DESC) AS rn
         |    FROM log) WHERE rn = 1)
         |SELECT coalesce(b.user_id, l.lk) AS user_id,
         |  CASE WHEN l.op = 'U' THEN l.le ELSE b.event_type END AS event_type,

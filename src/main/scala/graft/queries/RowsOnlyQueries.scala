@@ -287,11 +287,12 @@ object RowsOnlyQueries {
 
     "text_compression_ratio" -> ((s, dir) =>
       // Deflate-ratio repetitiveness signal, aggregated per source so
-      // reruns are diffable. Rows-only by design: the ratio is
-      // deterministic per zlib build (the JDK's own — all executors of a
-      // cluster agree) but not a cross-engine contract; DeflateSpec pins
-      // the values against an independent in-test Deflater and the
-      // repetitive < prose < random ordering.
+      // reruns are diffable. Deflate isn't DuckDB-expressible, so the
+      // twin is a [[dynamicOracle]] literal replay: an INDEPENDENT
+      // driver-side java.util.zip.Deflater (separate code path from the
+      // DeflateRatio expression) recompresses every fixture text and the
+      // per-source aggregates ride as a VALUES table. DeflateSpec
+      // additionally pins the repetitive < prose < random ordering.
       table(s, dir, "documents")
         .select(col("source"), TextOps.compressionRatio(col("text")).as("r"))
         .groupBy("source")
@@ -554,6 +555,47 @@ object RowsOnlyQueries {
     * with null/blank text keep n_docs membership via the LEFT JOIN
     * (matching bpeEncode's 0-token rows). */
   val dynamicOracle: Map[String, (org.apache.spark.sql.SparkSession, String) => String] = Map(
+    // cross-IMPLEMENTATION deflate check: a driver-side Deflater written
+    // independently of the DeflateRatio expression (one-shot grown
+    // buffer vs reset/chunk loop) recompresses every fixture text; the
+    // per-source aggregates (same count/avg/min/max faces, same 6-dp
+    // HALF_UP rounding as the Spark plan) ride as a literal VALUES
+    // table. A drift in either deflate loop, the empty-text convention,
+    // or the UTF-8 byte accounting hash-mismatches.
+    "text_compression_ratio" -> ((s, dir) => {
+      def ratio(t: String): Double = {
+        val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (raw.isEmpty) 1.0 else {
+          val d = new java.util.zip.Deflater(6)
+          d.setInput(raw); d.finish()
+          var buf = new Array[Byte](raw.length + 1024)
+          var total = 0
+          while (!d.finished()) {
+            if (total == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+            total += d.deflate(buf, total, buf.length - total)
+          }
+          d.end()
+          total.toDouble / raw.length
+        }
+      }
+      def r6(x: Double): String = java.lang.Double.toString(
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val docs = table(s, dir, "documents").select("source", "text")
+        .collect().map(r => (r.getString(0), Option(r.getString(1))))
+      val rows = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rs) =>
+        val ratios = rs.flatMap(_._2).map(ratio)
+        def agg(f: Seq[Double] => Double): String =
+          if (ratios.isEmpty) "CAST(NULL AS DOUBLE)" else r6(f(ratios.toSeq))
+        s"('${src.replace("'", "''")}', ${rs.length}, ${agg(v => v.sum / v.length)}, " +
+          s"${agg(_.min)}, ${agg(_.max)})"
+      }.mkString(", ")
+      s"""SELECT source, CAST(n AS BIGINT) AS n,
+         |  CAST(avg_ratio AS DOUBLE) AS avg_ratio,
+         |  CAST(min_ratio AS DOUBLE) AS min_ratio,
+         |  CAST(max_ratio AS DOUBLE) AS max_ratio
+         |FROM (VALUES $rows) t(source, n, avg_ratio, min_ratio, max_ratio)
+         |ORDER BY source""".stripMargin
+    }),
     // fitted leaf boxes interpolated as full-precision literals; DuckDB
     // independently re-assigns EVERY row by box membership and
     // recomputes counts and bounds — overlapping, leaky, or under-k

@@ -438,9 +438,12 @@ object SimilarityQueries {
 
     "embedding_pca_cov" -> ((s, dir) => {
       // The oracle-checkable face of the PCA moment pass: sample
-      // covariance of the 64-dim embeddings, upper triangle. ONE corpus
-      // scan (payload posexplode → pos-keyed sum with map-side combine).
-      Pca.covarianceUpper(emb(s, dir), col("v"), d = 64)
+      // covariance of the 64-dim embeddings, upper triangle, computed
+      // DECIMAL-EXACT (9-dp-snapped centered values, exact decimal sums)
+      // so the 6-dp face is order-independent — the double face's
+      // ~1e-13 summation wobble flipped a boundary cell in r8 AND r9.
+      // Twin in [[dynamicOracle]] (the snapped mean rides as literals).
+      Pca.covarianceUpperExact(emb(s, dir), col("v"), d = 64)
         .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
         .orderBy("i", "j")
     }),
@@ -566,34 +569,6 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT qid, vec_id, score, rank FROM rk WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
-
-    // Two-pass centered covariance, mirroring Pca.covarianceUpper: center
-    // each dimension at its mean FIRST, then apply the same
-    // (P − S_i·S_j/n)/(n−1) face to the centered values. Each engine
-    // centers at its own computed mean (they differ by ~1e-15; the S
-    // correction term keeps the result exact for any centering point), so
-    // the residual cross-engine wobble is ~1e-13 RELATIVE TO THE
-    // COVARIANCE — far below the 6-dp rounding grid, unlike the raw-moment
-    // form whose Σxy − Σx·Σy/n cancellation flipped boundary cells.
-    "embedding_pca_cov" ->
-      s"""WITH ex AS (
-         |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
-         |         CAST(unnest(embedding) AS DOUBLE) AS x
-         |  FROM embeddings),
-         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
-         |mu AS (SELECT i, avg(x) AS mu FROM ex GROUP BY 1),
-         |cx AS (SELECT ex.vec_id, ex.i, ex.x - mu.mu AS c
-         |       FROM ex JOIN mu USING (i)),
-         |m AS (SELECT i, sum(c) AS s FROM cx GROUP BY 1),
-         |p AS (SELECT a.i AS i, b.i AS j, sum(a.c * b.c) AS sp
-         |      FROM cx a JOIN cx b ON a.vec_id = b.vec_id AND b.i >= a.i
-         |      GROUP BY 1, 2)
-         |SELECT p.i, p.j,
-         |  round((sp - ma.s * mb.s / n.n) / (n.n - 1), 6) AS cov
-         |FROM p CROSS JOIN n
-         |JOIN m ma ON p.i = ma.i
-         |JOIN m mb ON p.j = mb.i
-         |ORDER BY 1, 2""".stripMargin,
 
     "embedding_srp" -> {
       val proj = graft.ops.Similarity.randomProjectionSql("v", 4, 7L)
@@ -1110,6 +1085,15 @@ object SimilarityQueries {
     * left-to-right fold matches `graft_dot` bit-for-bit on identical
     * inputs, so the 4-dp rounding is stable. */
   val dynamicOracle: Map[String, (org.apache.spark.sql.SparkSession, String) => String] = Map(
+    // only the 9-dp-snapped centering mean and the row count ride as
+    // literals; DuckDB recomputes the exact decimal sums and the
+    // covariance face genuinely cross-engine (see covarianceUpperExact:
+    // exact sums are order-independent, so the 6-dp face cannot flip)
+    "embedding_pca_cov" -> ((s, dir) => {
+      val (n, mean) = Pca.covarianceMean(emb(s, dir), col("v"), d = 64)
+      Pca.covarianceUpperExactSql(vSql, "embeddings", "vec_id", n, mean)
+    }),
+
     "embedding_pca" -> ((s, dir) => {
       val m = Pca.pcaFit(emb(s, dir), col("v"), d = 64, nComponents = 4)
       val p = Pca.pcaProjectSql("v", m)

@@ -288,6 +288,26 @@ class CurationAuditSpec extends SparkSpec {
       1e-6))
   }
 
+  test("spearman: pairwise-complete — nulls in either variable drop the ROW before ranking") {
+    // (1,1) (2,2) (3,3) complete; (100, null) and (null, 100) must not
+    // inflate the rank tables: ρ over the 3 complete pairs is exactly 1
+    val withNulls = Seq(
+      (Option(1.0), Option(1.0)), (Option(2.0), Option(2.0)),
+      (Option(3.0), Option(3.0)), (Option(100.0), None),
+      (None: Option[Double], Option(100.0))).toDF("x", "y")
+    val r = Stats.spearman(withNulls, col("x"), col("y")).head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(approx(r.getAs[Double]("spearman"), 1.0, 1e-9),
+      s"got ${r.getAs[Double]("spearman")}")
+    // anti-monotone over the complete pairs, null rows interleaved:
+    // would be != -1 if the null rows biased the midranks
+    val anti = Seq((Option(1.0), Option(5.0)), (Option(2.0), Option(4.0)),
+      (None: Option[Double], Option(0.5)), (Option(3.0), Option(3.0)),
+      (Option(0.5), None: Option[Double])).toDF("x", "y")
+    assert(approx(Stats.spearman(anti, col("x"), col("y"))
+      .head().getAs[Double]("spearman"), -1.0, 1e-9))
+  }
+
   // ------------------------------------------------------ cohortRetention
 
   test("cohortRetention: hand fixture — cohorts, offsets, distinct-active counts") {

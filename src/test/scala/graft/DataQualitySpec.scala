@@ -48,6 +48,21 @@ class DataQualitySpec extends SparkSpec {
     assert(out("not_null(name)") == (0.75, false))
   }
 
+  test("check: strict verdicts compare exact counts, not the rounded metric") {
+    // 2,000,001 rows with ONE null and ONE duplicate key: both fractions
+    // round to 1.000000 at 6 dp, so a verdict on the rounded face would
+    // silently pass — the exact-count verdict must fail both rules
+    val big = spark.range(2000001L).select(col("id"),
+      when(col("id") === 7L, lit(null).cast("string"))
+        .otherwise(col("id").cast("string")).as("s"),
+      when(col("id") === 9L, lit(8L)).otherwise(col("id")).as("k"))
+    val out = DataQuality.check(big, Seq(NotNull("s"), Unique(Seq("k"))))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getBoolean(3))).toMap
+    assert(out("not_null(s)") == (1.0, false))
+    assert(out("unique(k)") == (1.0, false))
+  }
+
   test("check: guards — empty rules, duplicate rule names") {
     intercept[IllegalArgumentException](DataQuality.check(df, Nil))
     intercept[IllegalArgumentException](DataQuality.check(df,

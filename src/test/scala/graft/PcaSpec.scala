@@ -63,6 +63,36 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("covarianceUpperExact: BIT-stable across 1/4/32 partitions, tracks the double face") {
+    val df = fakeRows(300, 4).toDF("id", "v")
+    def face(d: org.apache.spark.sql.DataFrame) =
+      Pca.covarianceUpperExact(d, col("v"), 4).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val base = face(df.coalesce(1))
+    assert(base.size == 10)
+    // exact decimal sums are order-independent: repartitioning must not
+    // move a single BIT (this is what keeps the 6-dp oracle face from
+    // flipping between engines/runs — the r8/r9 red row)
+    for (p <- Seq(4, 32)) {
+      val got = face(df.repartition(p))
+      base.foreach { case (ij, v) =>
+        assert(java.lang.Double.doubleToLongBits(got(ij)) ==
+          java.lang.Double.doubleToLongBits(v), s"$p parts $ij: ${got(ij)} vs $v")
+      }
+    }
+    // the 9-dp input snap perturbs the covariance invisibly vs the
+    // double production face
+    val dbl = Pca.covarianceUpper(df, col("v"), 4).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    base.foreach { case (ij, v) => assert(approx(v, dbl(ij), 1e-8),
+      s"$ij: exact $v vs double ${dbl(ij)}") }
+    // twin generator renders the snapped mean + n as literals
+    val (n, mean) = Pca.covarianceMean(df, col("v"), 4)
+    assert(n == 300.0 && mean.length == 4)
+    val sql = Pca.covarianceUpperExactSql("v", "t", "id", n, mean)
+    assert(sql.contains("DECIMAL(14,9)") && sql.contains("300.0"))
+  }
+
   test("pcaFit recovers the dominant axis of a line + orthogonal noise") {
     // points along [1,1,0]/sqrt2 with tiny orthogonal wiggle
     val rows = (0 until 100).map { i =>

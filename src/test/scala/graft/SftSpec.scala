@@ -54,6 +54,32 @@ class SftSpec extends SparkSpec {
       r.getAs[Boolean]("mask") == (r.getAs[String]("role") == "assistant")))
   }
 
+  test("lossSpans with DUPLICATE turn indexes still aligns with the flattened text") {
+    // two turns share idx 1: flattenDialogues sorts (idx, rendered), so
+    // lossSpans must use the same tie-break or the offsets point at the
+    // wrong tokens
+    val dup = Seq(
+      (1L, 0L, "user", "q one"),
+      (1L, 1L, "assistant", "zz late answer"), // renders AFTER "aa early"
+      (1L, 1L, "assistant", "aa early"),
+      (1L, 2L, "user", "done")
+    ).toDF("conv", "idx", "role", "content")
+    val text = Sft.flattenDialogues(dup, "conv", "idx", "role", "content")
+      .head().getAs[String]("text")
+    val toks = text.trim.split("\\s+")
+    val spans = Sft.lossSpans(dup, "conv", "idx", "role", "content")
+      .orderBy("token_start").collect()
+    // every span's first token must be its own <|role|> marker
+    spans.foreach { r =>
+      val start = r.getAs[Long]("token_start").toInt
+      assert(toks(start) == s"<|${r.getAs[String]("role")}|>",
+        s"span at $start starts with ${toks(start)}")
+    }
+    // the idx-1 pair orders by rendered text: "aa early" before "zz late"
+    assert(toks.slice(3, 6).mkString(" ") == "<|assistant|> aa early")
+    assert(spans.map(_.getAs[Long]("token_end")).last == toks.length.toLong)
+  }
+
   test("preferencePairs: argmax/argmin with id tie-breaks, margin gate, degenerate prompts") {
     val scored = Seq(
       // p1: clear preference
