@@ -919,6 +919,101 @@ object ScaleProbe {
             evalFold = 2, embargo = 1e6, sketchK = 200)
             .groupBy("role").count().collect()
             .foreach(r => println("  " + r)))
+      case "chronoskew" =>
+        // G1 monster-group shape (reference func_preproc.py:154-203 run
+        // against a dominant (Attack,State) pair): ONE group holds 90%
+        // of n rows, the rest spread over 50 tail groups, ts duplicated
+        // 4-ways so ties are real. AQE splits skewed JOINS, not window
+        // partitions — the plain form funnels 0.9n rows through one
+        // task; the salted form range-buckets the order key first. A
+        // listener records the longest task of each run (the number the
+        // SCALE.md row needs: wall-time can hide a straggler behind the
+        // tail groups' parallelism).
+        val g = when(pmod(xxhash64(col("id")), lit(10)) < 9, lit("monster"))
+          .otherwise(concat(lit("g"),
+            pmod(xxhash64(col("id"), lit(1)), lit(50))))
+        val df = spark.range(n).select(g.as("g"),
+          (col("id") / 4).cast("long").as("t"), col("id"))
+        df.count()
+        val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (t.taskInfo != null)
+                maxTask.getAndAccumulate(t.taskInfo.duration, math.max)
+          })
+        maxTask.set(0)
+        time(s"withSplit (plain window) n=$n monster=90%")(
+          graft.ops.ChronoSplit.withSplit(df, Seq("g"),
+              Seq(col("t"), col("id")))
+            .groupBy("split").count().collect()
+            .foreach(r => println("  " + r)))
+        println(f"  max task: ${maxTask.get / 1000.0}%.1f s")
+        maxTask.set(0)
+        time(s"withSplitSalted n=$n buckets=32")(
+          graft.ops.ChronoSplit.withSplitSalted(df, Seq("g"), col("t"),
+              Seq(col("id")), buckets = 32)
+            .groupBy("split").count().collect()
+            .foreach(r => println("  " + r)))
+        println(f"  max task: ${maxTask.get / 1000.0}%.1f s")
+      case "widehost" =>
+        // F6/F7 at the reference's REAL frame width — ~900 numeric
+        // columns (func_preproc.py:554-560) — to pin the chunk size the
+        // 200-col WideHostFrameSpec can't see. constantColumns is the
+        // hard one: k countDistinct aggs rewrite into an Expand(k) row
+        // fan-out, so one-pass at 900 cols pushes 900n rows through the
+        // aggregate; chunking trades that for #chunks scans. nearEmpty
+        // (avg-of-isNull) has no Expand and should stay one-pass.
+        val nCols = args.lift(2).map(_.toInt).getOrElse(900)
+        val exprs = (0 until nCols).map { j =>
+          val v =
+            if (j % 31 == 0) lit(1.0) // constant cols to find
+            else (pmod(xxhash64(col("id"), lit(j)), lit(500)) / 10.0)
+          when(pmod(xxhash64(col("id"), lit(j + 100000)), lit(100)) === 0,
+            lit(null).cast("double")).otherwise(v).as(s"c$j")
+        }
+        val df = spark.range(n).select(col("id") +: exprs: _*)
+          .localCheckpoint() // materialize: probe the aggregates, not codegen of the generator
+        val names = (0 until nCols).map(j => s"c$j")
+        for (chunk <- Seq(nCols, 100, 40)) {
+          time(s"constantColumns n=$n cols=$nCols chunk=$chunk")(
+            println("  constants=" + names.grouped(chunk)
+              .flatMap(b => Stats.constantColumns(df, b)).size))
+        }
+        time(s"nearEmptyColumns n=$n cols=$nCols one-pass")(
+          println("  nearEmpty=" + Stats.nearEmptyColumns(df, names, 0.5).size))
+      case "pcasweep" =>
+        // Jacobi/eigensolver partitioning sweep at 10M+ rows (VERDICT r9
+        // #10): fit the d=64 PCA under 4 vs 32 input partitions. The
+        // 9-dp covariance snap must make axes/eigenvalues BIT-identical;
+        // the stored (unsnapped) mean may wobble at ~1e-15, which the
+        // 4-dp projection face can't see — both claims checked here.
+        val dim = 64
+        val dims = sequence(lit(0), lit(dim - 1))
+        val vecs = spark.range(n).select(col("id"),
+          transform(dims, i => pmod(xxhash64(col("id"), i), lit(2000))
+            .cast("double") / 1000.0 - 1.0).as("v"))
+        def fit(parts: Int): graft.ops.Pca.PcaModel = {
+          val in = vecs.repartition(parts).localCheckpoint()
+          var m: graft.ops.Pca.PcaModel = null
+          time(s"pcaFit n=$n d=$dim k=8 parts=$parts") {
+            m = graft.ops.Pca.pcaFit(in, col("v"), dim, 8)
+          }
+          m
+        }
+        val m4 = fit(4)
+        val m32 = fit(32)
+        val axesBitEqual =
+          m4.eigenvalues.sameElements(m32.eigenvalues) &&
+          m4.components.zip(m32.components).forall {
+            case (a, b) => a.sameElements(b) }
+        val meanWobble = m4.mean.zip(m32.mean)
+          .map { case (a, b) => math.abs(a - b) }.max
+        println(s"  axes+eigenvalues bit-identical: $axesBitEqual; " +
+          f"max |mean wobble| = $meanWobble%.3e")
+        require(axesBitEqual, "partitioning moved the snapped axes")
+        require(meanWobble < 1e-9, s"mean wobble $meanWobble above the 4-dp-invisible bound")
       case other => sys.error(s"unknown probe op: $other")
     }
     spark.stop()

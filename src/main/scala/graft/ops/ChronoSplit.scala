@@ -37,21 +37,86 @@ object ChronoSplit {
       out: String = "split"): DataFrame = {
     val part = Window.partitionBy(groupCols.map(col): _*)
     val w = part.orderBy(orderCols: _*)
-    val n = count(lit(1)).over(part)
-    val rn = row_number().over(w)
-    // Integer-truncation fractions, exactly as the reference:
-    // n_train = int(n*0.7); n_val = int(n*0.15)  (func_preproc.py:168-171)
+    df.withColumn(out,
+      splitFromRank(row_number().over(w), count(lit(1)).over(part),
+        trainFrac, valFrac))
+  }
+
+  /** The reference's rank→role arithmetic, shared by both physical forms.
+    * Integer-truncation fractions, exactly as the reference:
+    * n_train = int(n*0.7); n_val = int(n*0.15)  (func_preproc.py:168-171);
+    * guard (func_preproc.py:174-177): if n_train + n_val >= n then
+    * n_train = max(1, n_train); n_val = max(0, min(n - n_train - 1, n_val)). */
+  private def splitFromRank(rn: Column, n: Column, trainFrac: Double,
+      valFrac: Double): Column = {
     val nTrain0 = floor(n * trainFrac)
     val nVal0 = floor(n * valFrac)
-    // Guard (func_preproc.py:174-177): if n_train + n_val >= n then
-    // n_train = max(1, n_train); n_val = max(0, min(n - n_train - 1, n_val)).
     val guard = nTrain0 + nVal0 >= n
     val nTrain = when(guard, greatest(lit(1L), nTrain0)).otherwise(nTrain0)
     val nVal = when(guard, greatest(lit(0L), least(n - nTrain - 1, nVal0))).otherwise(nVal0)
-    df.withColumn(out,
-      when(rn <= nTrain, "train")
-        .when(rn <= nTrain + nVal, "val")
-        .otherwise("test"))
+    when(rn <= nTrain, "train")
+      .when(rn <= nTrain + nVal, "val")
+      .otherwise("test")
+  }
+
+  /** Skew-immune physical form of [[withSplit]] — the salted two-phase
+    * row_number for the monster-group shape (one (Attack, State) pair
+    * holding 90% of the corpus). A `partitionBy(group)` window funnels
+    * every row of a group through ONE task; AQE's skew handling splits
+    * joins, not windows, so at 100 TB a dominant group serializes the
+    * whole split. Here the group is range-salted on the order key first:
+    *
+    *  1. per-group approximate `ts`-quantiles (ONE mergeable aggregation,
+    *     #groups×(buckets−1) values, broadcast back) define `buckets`
+    *     time ranges — the "salt" that respects chronology;
+    *  2. exact per-(group, bucket) counts (ONE tiny map-combined agg)
+    *     give each bucket its rank offset via a prefix sum over the
+    *     bucket index — a window over #groups×buckets rows, not corpus
+    *     rows — plus the exact group total `n`;
+    *  3. `row_number` within (group, bucket) ordered by (`ts`, tieCols),
+    *     shifted by the bucket offset, reproduces the EXACT global rank:
+    *     the bucket map is monotone in `ts` and equal-`ts` rows always
+    *     land in the same bucket, so sketch wobble in the boundary
+    *     VALUES cannot reorder ranks — only rebalance task sizes.
+    *
+    * Same output as [[withSplit]] row-for-row (parity is spec-pinned);
+    * the window shuffle now carries ≈ |group|/buckets rows per task.
+    * `ts` must be numeric (cast timestamps to epoch micros first) and
+    * (`ts`, tieCols) must be a total order within each group. */
+  def withSplitSalted(
+      df: DataFrame,
+      groupCols: Seq[String],
+      ts: Column,
+      tieCols: Seq[Column],
+      buckets: Int = 32,
+      trainFrac: Double = 0.70,
+      valFrac: Double = 0.15,
+      out: String = "split"): DataFrame = {
+    require(buckets >= 2, s"withSplitSalted: buckets $buckets < 2")
+    val t = ts.cast("double")
+    val g = groupCols.map(col)
+    val probs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    val bounds = df.groupBy(g: _*)
+      .agg(percentile_approx(t, probs, lit(10000)).as("__bounds"))
+    val bkt = aggregate(col("__bounds"), lit(0),
+      (acc, bnd) => acc + when(t > bnd, 1).otherwise(0))
+    val withB = df.join(broadcast(bounds), groupCols)
+      .withColumn("__bkt", bkt)
+    val counts = withB.groupBy((g :+ col("__bkt")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wg = Window.partitionBy(g: _*)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum("__c").over(
+        wg.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum("__c").over(wg))
+      .drop("__c")
+    val wb = Window.partitionBy((groupCols :+ "__bkt").map(col): _*)
+      .orderBy(t +: tieCols: _*)
+    val rn = row_number().over(wb) + col("__off")
+    withB.join(broadcast(offsets), groupCols :+ "__bkt")
+      .withColumn(out, splitFromRank(rn, col("__n"), trainFrac, valFrac))
+      .drop("__bounds", "__bkt", "__off", "__n")
   }
 
   /** Purged K-fold time split with embargo (López de Prado 2018,

@@ -284,13 +284,15 @@ object Retrieval {
     * the expansion surfaces the vocabulary of the matching docs.
     *
     * Scale shape: the feedback stage works on `queries × fbDocs` rows
-    * (broadcast everywhere); the only corpus-sized passes are the two
-    * BM25 matched-postings scans — the rescore pass filters the exploded
-    * terms with a broadcast semi-join against the (≤ queries ×
-    * (fbTerms + |q|)) expansion vocabulary instead of a literal isin.
-    * P(d|q), RM1, and the final term weights are rounded to 9 dp at each
-    * model face, so term selection and scoring replay bit-stably across
-    * engines (the EM-iterate convention).
+    * (broadcast everywhere); the corpus text is tokenized ONCE into a
+    * narrow materialized frame (doc id, doc length, matched original
+    * terms) that feeds the stats literals, the stage-1 postings, AND the
+    * rescore's reuse of every original-term posting — the only second
+    * corpus scan is for net-new expansion terms (none, when the feedback
+    * vocabulary ⊆ the query). P(d|q), RM1, and the final term weights
+    * are rounded to 9 dp at each model face, so term selection and
+    * scoring replay bit-stably across engines (the EM-iterate
+    * convention).
     *
     * Returns (qid, doc id, score, rank), rank 1..k as [[bm25TopK]]. */
   def rm3TopK(docs: DataFrame, id: String, text: Column,
@@ -301,22 +303,86 @@ object Retrieval {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda $lambda outside [0, 1]")
     val spark = docs.sparkSession
     import spark.implicits._
+    val arr = toks(text)
 
-    // ---- stage 1: pseudo-relevant set = base BM25 top fbDocs
-    val fb = bm25TopK(docs, id, text, queries, fbDocs, k1, b)
+    val qterms: Seq[(String, String)] = queries.flatMap { case (q, t) =>
+      t.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+        .map(q -> _)
+    }.distinct
+    require(qterms.nonEmpty, "queries contain no tokens")
+    val termSet1 = qterms.map(_._2).distinct
+
+    // ONE tokenizing corpus pass feeds both the stats aggregate and the
+    // stage-1 postings: per doc, (id, dl, original-terms matched) — a
+    // NARROW materialization (two scalars + a ≤|q|-element array per
+    // doc), so the corpus text is split exactly once for everything
+    // stage 1 needs. The rescore's net-new terms are the only reason to
+    // touch the raw text again.
+    val perDoc = docs.select(col(id).as("__doc"), size(arr).as("dl"),
+        filter(arr, t => t.isin(termSet1: _*)).as("__mt"))
+      .localCheckpoint()
+
+    // corpus stats: collected and re-injected as literals so neither
+    // scoring stage rescans for them (same count/avg arithmetic as
+    // bm25TopK's stats subtree, so scores are bit-identical to the
+    // unshared form)
+    val statsRow = perDoc.where(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getDouble(1)
+
+    // matched postings for a literal term set — a full tokenizing scan;
+    // stage 1 never needs it (perDoc already carries its matches)
+    def postings(termSet: Seq[String]): DataFrame = docs
+      .select(col(id).as("__doc"), size(arr).as("dl"), explode(arr).as("term"))
+      .where(col("term").isin(termSet: _*))
+      .groupBy("__doc", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+
+    // weighted-BM25 ranking from a postings frame: per-(qid, term) weight
+    // × idf × saturated tf, summed per doc. With wq = 1.0 this is exactly
+    // bm25TopK's score (1.0·x ≡ x in IEEE-754).
+    def rankTopK(tf: DataFrame, weights: DataFrame, topK: Int): DataFrame = {
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val contrib = tf
+        .join(broadcast(dfreq), "term")
+        .join(broadcast(weights), "term")
+        .withColumn("idf", log(lit(1.0) +
+          (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
+        .withColumn("__c", col("wq") * col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+      val wr = Window.partitionBy("qid").orderBy(col("score").desc, col("__doc").asc)
+      contrib.groupBy("qid", "__doc")
+        .agg(sum("__c").as("score"))
+        .withColumn("rank", row_number().over(wr))
+        .where(col("rank") <= topK)
+    }
+
+    // ---- stage 1: pseudo-relevant set = base BM25 top fbDocs. The
+    // original-term postings come from the materialized perDoc frame —
+    // no second corpus scan — and stage 4 rescores from the SAME frame
+    // for every term it shares with the original query.
+    val tf1 = perDoc.where(size(col("__mt")) > 0)
+      .select(col("__doc"), col("dl"), explode(col("__mt")).as("term"))
+      .groupBy("__doc", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val ones = qterms.map { case (q, t) => (q, t, 1.0) }.toDF("qid", "term", "wq")
+    val fb = rankTopK(tf1, ones, fbDocs)
     val wq = Window.partitionBy("qid")
     val pd = fb.withColumn("__pd",
         round(col("score") / sum("score").over(wq), 9))
-      .select(col("qid"), col(id).as("__doc"), col("__pd"))
+      .select(col("qid"), col("__doc"), col("__pd"))
 
     // ---- stage 2: relevance model over the feedback docs only — the
-    // broadcast semi-join runs BEFORE the explode, so only the
-    // queries × fbDocs surviving docs fan out to tokens (exploding the
-    // whole corpus first costs a full token-stream pass for nothing)
-    val arr = toks(text)
+    // broadcast semi-join runs BEFORE the tokenizer, so only the
+    // queries × fbDocs surviving docs are split and exploded at all
+    // (tokenizing the whole corpus here would repeat the perDoc pass
+    // for rows that are then thrown away)
     val fbToks = docs
-      .select(col(id).as("__doc"), arr.as("__arr"))
+      .select(col(id).as("__doc"), text.as("__text"))
       .join(broadcast(pd), "__doc")
+      .select(col("qid"), col("__doc"), col("__pd"),
+        toks(col("__text")).as("__arr"))
       .select(col("qid"), col("__doc"), col("__pd"),
         size(col("__arr")).as("dl"), explode(col("__arr")).as("term"))
     val rm1 = fbToks
@@ -330,10 +396,6 @@ object Retrieval {
 
     // ---- stage 3: interpolate with the original query MLE (uniform
     // over DISTINCT terms — the bm25TopK dedup convention)
-    val qterms: Seq[(String, String)] = queries.flatMap { case (q, t) =>
-      t.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
-        .map(q -> _)
-    }.distinct
     val orig = qterms.groupBy(_._1).toSeq.flatMap { case (q, ts) =>
       ts.map { case (_, t) => (q, t, 1.0 / ts.size) }
     }.toDF("qid", "term", "__orig")
@@ -359,28 +421,20 @@ object Retrieval {
         .sortBy(t => (t._1, t._2))
     val expanded = expandedRows.toDF("qid", "term", "wq")
 
-    // ---- stage 4: weighted-BM25 rescore with the expanded vocabulary
+    // ---- stage 4: weighted-BM25 rescore with the expanded vocabulary.
+    // Postings for terms stage 1 already matched come from the
+    // materialized tf1 (a filter over the checkpoint, no corpus scan);
+    // the corpus is re-scanned ONLY for the net-new expansion terms —
+    // and not at all when the feedback vocabulary ⊆ the original query.
     val termSet2 = expandedRows.map(_._2).distinct
-    val tf2 = docs
-      .select(col(id).as("__doc"), size(arr).as("dl"), explode(arr).as("term"))
-      .where(col("term").isin(termSet2: _*))
-      .groupBy("__doc", "dl", "term").agg(count(lit(1)).as("tf"))
-    val stats = docs.select(size(arr).as("dl")).where(col("dl") > 0)
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val dfreq = tf2.groupBy("term").agg(count(lit(1)).as("df"))
-    val contrib = tf2
-      .join(broadcast(dfreq), "term")
-      .join(broadcast(expanded), "term")
-      .join(broadcast(stats))
-      .withColumn("idf", log(lit(1.0) +
-        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("__c", col("wq") * col("idf") * col("tf") * (k1 + 1.0) /
-        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-    val wr = Window.partitionBy("qid").orderBy(col("score").desc, col("__doc").asc)
-    contrib.groupBy("qid", "__doc")
-      .agg(sum("__c").as("score"))
-      .withColumn("rank", row_number().over(wr))
-      .where(col("rank") <= k)
+    val origSet = termSet1.toSet
+    val (reusedTerms, newTerms) = termSet2.partition(origSet.contains)
+    val tfReused = tf1.where(col("term").isin(reusedTerms: _*))
+    val tf2 =
+      if (newTerms.isEmpty) tfReused
+      else if (reusedTerms.isEmpty) postings(newTerms)
+      else tfReused.unionByName(postings(newTerms))
+    rankTopK(tf2, expanded, k)
       .select(col("qid"), col("__doc").as(id), col("score"), col("rank"))
   }
 }

@@ -51,4 +51,43 @@ class ChronoSplitSpec extends SparkSpec {
       .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(c("train") == 5 && c("val") == 3 && c("test") == 2)
   }
+
+  test("withSplitSalted: row-for-row parity with the window form (skewed groups, duplicate ts, guard-sized groups)") {
+    // one monster group, one medium, three guard-sized; HEAVY ts ties
+    // (t = i/7) so quantile boundaries land ON tied values — the case
+    // that would break a non-monotone salt
+    val rows =
+      (1 to 997).map(i => ("monster", (i / 7).toLong, i.toLong)) ++
+      (1 to 53).map(i => ("medium", (i / 3).toLong, 10000L + i)) ++
+      (1 to 3).map(i => ("tinyA", 0L, 20000L + i)) ++
+      Seq(("tinyB", 5L, 30000L), ("tinyB", 5L, 30001L)) ++
+      Seq(("one", 9L, 40000L))
+    val df = rows.toDF("g", "t", "id").repartition(7)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getString(3)
+    val expected = ChronoSplit.withSplit(df, Seq("g"),
+        Seq(col("t"), col("id")))
+      .select("g", "t", "id", "split").collect().map(key).toMap
+    for (buckets <- Seq(2, 5, 32)) {
+      val got = ChronoSplit.withSplitSalted(df, Seq("g"), col("t"),
+          Seq(col("id")), buckets = buckets)
+        .select("g", "t", "id", "split").collect().map(key).toMap
+      assert(got == expected, s"buckets=$buckets: " +
+        got.collect { case (k, v) if expected(k) != v => (k, v, expected(k)) }
+          .take(5).toSeq.toString)
+    }
+  }
+
+  test("withSplitSalted: window partitions by (group, bucket), never by group alone") {
+    val df = group("g", 200).map { case (g, t) => (g, t, t) }
+      .toDF("g", "t", "id")
+    val p = ChronoSplit.withSplitSalted(df, Seq("g"), col("t"), Seq(col("id")))
+      .queryExecution.executedPlan.toString
+    // the corpus-sized row_number window must include __bkt in its
+    // partition spec; a plain [g] window over raw rows would re-create
+    // the monster-group funnel this form exists to avoid
+    val rnLines = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rnLines.nonEmpty, p)
+    assert(rnLines.forall(_.contains("__bkt")), rnLines.mkString("\n"))
+  }
 }
