@@ -967,19 +967,48 @@ object ScaleProbe {
         // (avg-of-isNull) has no Expand and should stay one-pass.
         val nCols = args.lift(2).map(_.toInt).getOrElse(900)
         val exprs = (0 until nCols).map { j =>
-          val v =
-            if (j % 31 == 0) lit(1.0) // constant cols to find
-            else (pmod(xxhash64(col("id"), lit(j)), lit(500)) / 10.0)
-          when(pmod(xxhash64(col("id"), lit(j + 100000)), lit(100)) === 0,
-            lit(null).cast("double")).otherwise(v).as(s"c$j")
+          val v: org.apache.spark.sql.Column =
+            if (j % 31 == 0) lit(1.0) // truly constant cols to find
+            else if (j % 31 == 1) lit(null).cast("double") // all-null constants
+            else when(
+              pmod(xxhash64(col("id"), lit(j + 100000)), lit(100)) === 0,
+              lit(null).cast("double"))
+              .otherwise(pmod(xxhash64(col("id"), lit(j)), lit(500)) / 10.0)
+          v.as(s"c$j")
         }
-        val df = spark.range(n).select(col("id") +: exprs: _*)
-          .localCheckpoint() // materialize: probe the aggregates, not codegen of the generator
+        // materialize to parquet and re-scan (the real host frame is a
+        // file scan; a memory-cached 900-field frame at 2M+ rows starves
+        // the execution pool and fails UNABLE_TO_ACQUIRE_MEMORY)
+        val wideDir = java.nio.file.Files
+          .createTempDirectory("graft_widehost").toString
+        spark.range(n).select(col("id") +: exprs: _*)
+          .write.mode("overwrite").parquet(wideDir)
+        val df = spark.read.parquet(wideDir)
         val names = (0 until nCols).map(j => s"c$j")
-        for (chunk <- Seq(nCols, 100, 40)) {
-          time(s"constantColumns n=$n cols=$nCols chunk=$chunk")(
+        // the k-countDistinct Expand is quadratic in chunk width (k rows
+        // out per input × k-wide projections) — one-pass at 900 cols
+        // OOMs a 48g heap at 200k rows, so the exact form is only probed
+        // chunked; the min/max fast path is the one-pass answer
+        // cell budget: each chunk costs n × chunk² projected cells, the
+        // whole sweep n × nCols × chunk — past ~2e10 cells the exact
+        // form stops being a probe and becomes the finding itself
+        if (n * nCols.toLong * 40L <= 2e10)
+          for (chunk <- Seq(100, 40).filter(_ <= nCols)) {
+            time(s"constantColumns(exact distinct) n=$n cols=$nCols chunk=$chunk")(
+              println("  constants=" + names.grouped(chunk)
+                .flatMap(b => Stats.constantColumns(df, b)).size))
+          }
+        else println(s"  [skip] exact-distinct chunk sweep at n=$n cols=$nCols " +
+          "(quadratic Expand: measured 70.8 s at n=50k cols=300 chunk=40)")
+        time(s"constantColumnsFast n=$n cols=$nCols ONE pass")(
+          println("  constants=" + Stats.constantColumnsFast(df, names).size))
+        // chunked fast path: ≤ ~33 cols keeps the 3-agg buffer under the
+        // 100-field codegen fallback AND prunes the parquet scan to the
+        // chunk's columns — same column-bytes total, codegen'd folds
+        for (chunk <- Seq(100, 30)) {
+          time(s"constantColumnsFast n=$n cols=$nCols chunk=$chunk")(
             println("  constants=" + names.grouped(chunk)
-              .flatMap(b => Stats.constantColumns(df, b)).size))
+              .flatMap(b => Stats.constantColumnsFast(df, b)).size))
         }
         time(s"nearEmptyColumns n=$n cols=$nCols one-pass")(
           println("  nearEmpty=" + Stats.nearEmptyColumns(df, names, 0.5).size))

@@ -48,6 +48,42 @@ object Stats {
     cols.filter(c => row.getAs[Long](c) <= 1L)
   }
 
+  /** F7 fast path for ATOMIC (orderable) columns — the 900-column host
+    * frame (func_preproc.py:554-560). [[constantColumns]]'s
+    * k-countDistinct aggregate rewrites into an Expand that is QUADRATIC
+    * in width (k rows out per input row × k-wide projections: 300 cols
+    * at 50k rows already costs 320 s one-pass, 900 cols OOMs — measured,
+    * ScaleProbe `widehost`); this form needs no Expand at all:
+    *
+    *   nunique(dropna=False) <= 1  ⟺  n_nonnull == 0
+    *                                  ∨ (n_nonnull == n ∧ min == max)
+    *
+    * (mixed null+value ⇒ 0 < n_nonnull < n fails both arms; all-NaN ⇒
+    * min = max = NaN and Spark SQL's NaN = NaN is true, matching pandas
+    * counting NaN as one value; mixed NaN+v ⇒ min = v ≠ NaN = max.)
+    * Three plain aggregates per column, ONE pass, zero row fan-out —
+    * 900 columns is just a 2700-field buffer on a single agg row. */
+  def constantColumnsFast(df: DataFrame, cols: Seq[String]): Seq[String] = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__n_rows")
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("__n_rows")
+    cols.filter { c =>
+      val nn = row.getAs[Long](s"__n_$c")
+      val mn = row.getAs[Any](s"__mn_$c")
+      val mx = row.getAs[Any](s"__mx_$c")
+      nn == 0L || (nn == n && (mn == mx ||
+        // Spark SQL NaN = NaN is true; Scala's Double.NaN == Double.NaN is not
+        ((mn, mx) match {
+          case (a: Double, b: Double) => a.isNaN && b.isNaN
+          case (a: Float, b: Float) => a.isNaN && b.isNaN
+          case _ => false
+        })))
+    }
+  }
+
   /** F6 — near-empty columns: null ratio > threshold
     * (pipeline_trainingmodels_network.py:390-396, threshold 0.95). */
   def nearEmptyColumns(df: DataFrame, cols: Seq[String], threshold: Double = 0.95): Seq[String] = {

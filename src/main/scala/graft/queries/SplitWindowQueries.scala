@@ -35,6 +35,20 @@ object SplitWindowQueries {
         .orderBy("event_type", "split")
     }),
 
+    "g1_chrono_split_salted" -> ((s, dir) => {
+      // The skew-immune physical form of G1 (salted two-phase
+      // row_number): same semantics, same oracle — the monster-group
+      // plan the 100 TB split runs when one (Attack, State) pair
+      // dominates. ts→double is injective at micros precision, so the
+      // bucket salt preserves the (ts, event_id) total order exactly.
+      val ev = table(s, dir, "events")
+      ChronoSplit.withSplitSalted(ev, Seq("event_type"), col("ts"),
+          Seq(col("event_id")), buckets = 8)
+        .groupBy("event_type", "split")
+        .agg(count(lit(1)).as("n"), min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("event_type", "split")
+    }),
+
     "w1_sliding_windows" -> ((s, dir) => {
       // Global sliding windows seq_len=5 step=7 over the time-sorted
       // events; label = y_true of the window's LAST row (W2). The window
@@ -115,8 +129,9 @@ object SplitWindowQueries {
     }),
   )
 
-  val oracle: Map[String, String] = Map(
-    "g1_chrono_split" ->
+  /** Shared by the window-form and salted-form G1 queries: the two
+    * physical plans must agree row-for-row, so they face ONE twin. */
+  private val g1OracleSql =
       """WITH ranked AS (
         |  SELECT event_type, event_id,
         |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
@@ -136,7 +151,11 @@ object SplitWindowQueries {
         |         ELSE 'test' END AS split
         |  FROM guarded)
         |SELECT event_type, split, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
-        |FROM split GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM split GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "g1_chrono_split" -> g1OracleSql,
+    "g1_chrono_split_salted" -> g1OracleSql,
 
     "w1_sliding_windows" -> w1OracleSql,
     "w1_chunked_parity" -> w1OracleSql,

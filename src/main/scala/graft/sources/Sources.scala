@@ -45,7 +45,11 @@ object Sources {
     val coerced = eventCandidates.foldLeft(raw) { (d, c) =>
       d.withColumn(c, col(c).try_cast(DoubleType))
     }
-    val constant = Stats.constantColumns(coerced, eventCandidates)
+    // all candidates are DoubleType after coercion, so the no-Expand
+    // min/max form applies — at the reference's real ~900-column width
+    // the k-countDistinct Expand is quadratic in k and OOMs (measured,
+    // ScaleProbe widehost); parity with the exact form is spec-pinned
+    val constant = Stats.constantColumnsFast(coerced, eventCandidates)
     val eventCols = eventCandidates.filterNot(constant.contains)
     val cleaned = rowIndexTimestamp(coerced.drop(constant: _*))
       .withColumn("state_bin", Labels.stateBin(col("State")))

@@ -93,6 +93,33 @@ class PcaSpec extends SparkSpec {
     assert(sql.contains("DECIMAL(14,9)") && sql.contains("300.0"))
   }
 
+  test("pcaFit: axes and eigenvalues BIT-stable across 1/4/32 partitions; projections stable at 6 dp") {
+    // the 9-dp covariance snap before Jacobi is what pins the MODEL
+    // across partitionings (the embedding_pca literal-replay twin's
+    // contract); the stored mean keeps its ~1e-15 summation wobble,
+    // which the projection face cannot see (guards the r8/r9 fix at the
+    // fit level — the 10M-row version runs as ScaleProbe pcasweep)
+    val df = fakeRows(400, 6).toDF("id", "v")
+    val base = Pca.pcaFit(df.coalesce(1), col("v"), d = 6, nComponents = 3)
+    val baseProj = df.coalesce(1)
+      .select(col("id"), graft.ops.Pca.pcaProject(col("v"), base).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).map(x =>
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)).toSeq).toMap
+    for (p <- Seq(4, 32)) {
+      val m = Pca.pcaFit(df.repartition(p), col("v"), d = 6, nComponents = 3)
+      assert(m.eigenvalues.sameElements(base.eigenvalues), s"$p parts: eigenvalues moved")
+      m.components.zip(base.components).zipWithIndex.foreach { case ((a, b), k) =>
+        assert(a.sameElements(b), s"$p parts: component $k moved") }
+      m.mean.zip(base.mean).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12, s"$p parts: mean wobble ${a - b}") }
+      val proj = df.repartition(p)
+        .select(col("id"), graft.ops.Pca.pcaProject(col("v"), m).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).map(x =>
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)).toSeq).toMap
+      assert(proj == baseProj, s"$p parts: 6-dp projections moved")
+    }
+  }
+
   test("pcaFit recovers the dominant axis of a line + orthogonal noise") {
     // points along [1,1,0]/sqrt2 with tiny orthogonal wiggle
     val rows = (0 until 100).map { i =>

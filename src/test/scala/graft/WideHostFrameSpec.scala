@@ -49,6 +49,28 @@ class WideHostFrameSpec extends SparkSpec {
     assert(chunked.sorted == single.sorted)
   }
 
+  test("constantColumnsFast == constantColumns on every null/NaN/constant shape (and no Expand in its plan)") {
+    import spark.implicits._
+    // every shape the min/max law must get right: constant, all-null,
+    // all-NaN, NaN+value, null+constant, distinct values, constant
+    // string, distinct strings
+    val df = Seq(
+      (1.0, Option.empty[Double], Double.NaN, Double.NaN, Option(5.0), 1.0, "k", "a"),
+      (1.0, Option.empty[Double], Double.NaN, 2.0, Option(5.0), 2.0, "k", "b"),
+      (1.0, Option.empty[Double], Double.NaN, 3.0, Option.empty[Double], 3.0, "k", "c"))
+      .toDF("const", "all_null", "all_nan", "nan_mix", "null_mix", "vals", "cstr", "vstr")
+    val cols = df.columns.toSeq
+    val exact = Stats.constantColumns(df, cols).sorted
+    val fast = Stats.constantColumnsFast(df, cols).sorted
+    assert(fast == exact, s"fast=$fast exact=$exact")
+    assert(fast == Seq("all_nan", "all_null", "const", "cstr"), fast)
+    // the point of the fast path: NO Expand (the k-countDistinct rewrite
+    // is quadratic in width — 900 cols OOMs; min/max is one flat agg)
+    val aggs = cols.flatMap(c => Seq(count(col(c)), min(col(c)), max(col(c))))
+    val plan = df.agg(aggs.head, aggs.tail: _*).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+  }
+
   test("TOP-K pruning reaches the scan: windowing only K selected columns") {
     val (df, eventCols) = Sources.loadHost(spark, csvPath)
     val topK = eventCols.take(8) // stand-in for importance-ranked selection
