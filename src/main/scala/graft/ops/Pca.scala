@@ -139,13 +139,44 @@ object Pca {
     * same double and the face cannot flip. (The 9-dp input snap perturbs
     * the covariance by < 1e-9·σ√2 — invisible at 6 dp.)
     *
-    * Scale shape: the per-row 1+d+d(d+1)/2 value fan-out feeds straight
-    * into a map-side partial hash-agg, so the shuffle carries only
-    * ≤ #partitions × d(d+3)/2 decimal sums — same topology as the
-    * exploded moment baseline. Production PCA fits keep the zero-fan-out
-    * double aggregate ([[centeredMoments]]); this face cross-checks it
-    * (PcaSpec pins agreement to 1e-9). */
+    * Scale shape: ONE zero-fan-out pass — [[org.apache.spark.sql.graft.ExactMomentsAgg]]
+    * folds each row into a flat 128-bit fixed-point buffer per
+    * partition (no generated rows; the shuffle carries one buffer per
+    * partition), exactly like the double moment aggregate but in
+    * integer lanes. Production PCA fits keep the double aggregate
+    * ([[centeredMoments]]); this face cross-checks it (PcaSpec pins
+    * agreement to 1e-9, and bit-equality against the exploded decimal
+    * baseline [[covarianceUpperExactExploded]]). */
   def covarianceUpperExact(df: DataFrame, vec: Column, d: Int): DataFrame = {
+    checkDim(d)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (n, mean) = covarianceMean(df, vec, d)
+    // one zero-fan-out pass: 128-bit fixed-point integer sums
+    // (ExactMomentsAgg) — bit-identical to the exploded decimal
+    // baseline below (integer sums are order- and mechanism-free), but
+    // without generating N × (d + d(d+1)/2) boxed decimal rows (the
+    // exploded form was the most expensive query of the r9 bench)
+    val v = transform(vec, x => x.cast("double"))
+    val flat = df.agg(org.apache.spark.sql.graft.ExactMomentsAgg
+        .col(v, d, mean.toSeq).as("m"))
+      .head().getSeq[java.math.BigDecimal](0)
+    val s = Array.tabulate(d)(i => flat(1 + i).doubleValue)
+    // identical IEEE sequence as the DuckDB twin's face:
+    // (P − S_i·S_j/n) / (n − 1) on the exact sums cast to double
+    val rows = for { i <- 0 until d; j <- i until d } yield {
+      val p = flat(1 + d + triIndex(d, i, j)).doubleValue
+      (i, j, (p - s(i) * s(j) / n) / (n - 1))
+    }
+    rows.toDF("i", "j", "cov")
+  }
+
+  /** Exploded-decimal parity baseline of [[covarianceUpperExact]]'s
+    * moment pass: posexplode of the per-row decimal payload → pos-keyed
+    * decimal sums. Same exact numbers as the 128-bit aggregate (spec-
+    * pinned bit equality); kept only as the independent cross-check. */
+  private[graft] def covarianceUpperExactExploded(df: DataFrame, vec: Column,
+      d: Int): DataFrame = {
     checkDim(d)
     val spark = df.sparkSession
     import spark.implicits._
@@ -162,8 +193,6 @@ object Pca {
       .groupBy("pos").agg(sum("x").as("s"))
       .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
     val s = Array.tabulate(d)(i => sums(i).doubleValue)
-    // identical IEEE sequence as the DuckDB twin's face:
-    // (P − S_i·S_j/n) / (n − 1) on the exact decimal sums cast to double
     val rows = for { i <- 0 until d; j <- i until d } yield {
       val p = sums(d + triIndex(d, i, j)).doubleValue
       (i, j, (p - s(i) * s(j) / n) / (n - 1))

@@ -320,16 +320,14 @@ object Retrieval {
     // touch the raw text again.
     val perDoc = docs.select(col(id).as("__doc"), size(arr).as("dl"),
         filter(arr, t => t.isin(termSet1: _*)).as("__mt"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialized by the first action below
 
-    // corpus stats: collected and re-injected as literals so neither
-    // scoring stage rescans for them (same count/avg arithmetic as
-    // bm25TopK's stats subtree, so scores are bit-identical to the
-    // unshared form)
-    val statsRow = perDoc.where(col("dl") > 0)
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).head()
-    val nDocs = statsRow.getLong(0)
-    val avgdl = statsRow.getDouble(1)
+    // corpus stats as a one-row plan: broadcast into stage-1 scoring and
+    // collected (piggybacked on the P(d|q) job) into literals for the
+    // rescore — same count/avg arithmetic either way, so scores are
+    // bit-identical to the unshared form
+    val statsDf = perDoc.where(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
 
     // matched postings for a literal term set — a full tokenizing scan;
     // stage 1 never needs it (perDoc already carries its matches)
@@ -341,16 +339,26 @@ object Retrieval {
 
     // weighted-BM25 ranking from a postings frame: per-(qid, term) weight
     // × idf × saturated tf, summed per doc. With wq = 1.0 this is exactly
-    // bm25TopK's score (1.0·x ≡ x in IEEE-754).
-    def rankTopK(tf: DataFrame, weights: DataFrame, topK: Int): DataFrame = {
+    // bm25TopK's score (1.0·x ≡ x in IEEE-754). Stats arrive either as
+    // the broadcast one-row plan (stage 1) or as driver literals
+    // (stage 4) — n_docs long and avgdl double in both shapes, so the
+    // IEEE sequence is identical.
+    def rankTopK(tf: DataFrame, weights: DataFrame, topK: Int,
+        statsLit: Option[(Long, Double)]): DataFrame = {
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val contrib = tf
+      val joined = tf
         .join(broadcast(dfreq), "term")
         .join(broadcast(weights), "term")
+      val withStats = statsLit match {
+        case Some((n, a)) =>
+          joined.withColumn("n_docs", lit(n)).withColumn("avgdl", lit(a))
+        case None => joined.join(broadcast(statsDf))
+      }
+      val contrib = withStats
         .withColumn("idf", log(lit(1.0) +
-          (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
         .withColumn("__c", col("wq") * col("idf") * col("tf") * (k1 + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       val wr = Window.partitionBy("qid").orderBy(col("score").desc, col("__doc").asc)
       contrib.groupBy("qid", "__doc")
         .agg(sum("__c").as("score"))
@@ -367,11 +375,31 @@ object Retrieval {
       .groupBy("__doc", "dl", "term")
       .agg(count(lit(1)).as("tf"))
     val ones = qterms.map { case (q, t) => (q, t, 1.0) }.toDF("qid", "term", "wq")
-    val fb = rankTopK(tf1, ones, fbDocs)
+    val fb = rankTopK(tf1, ones, fbDocs, statsLit = None)
     val wq = Window.partitionBy("qid")
-    val pd = fb.withColumn("__pd",
+    // P(d|q) is BOUNDED (queries × fbDocs rows) — collected once and
+    // re-injected as a local frame (the expandedRows pattern): leaving
+    // it lazy re-executes the whole stage-1 ranking subtree once per
+    // broadcast that references it. The one-row stats frame rides the
+    // SAME collect (cross-joined onto every pd row), so the first action
+    // of the query materializes the checkpoint, ranks the feedback docs,
+    // AND surfaces n_docs/avgdl — one job, not three.
+    val pdPlan = fb.withColumn("__pd",
         round(col("score") / sum("score").over(wq), 9))
       .select(col("qid"), col("__doc"), col("__pd"))
+      .join(broadcast(statsDf))
+    val pdCollected = pdPlan.collect()
+    val (nDocs, avgdl) =
+      if (pdCollected.nonEmpty)
+        (pdCollected.head.getAs[Long]("n_docs"),
+          pdCollected.head.getAs[Double]("avgdl"))
+      else { // no query term matched anything: stats still gate the guard
+        val r = statsDf.head(); (r.getLong(0), r.getDouble(1))
+      }
+    val pdSchema = org.apache.spark.sql.types.StructType(pdPlan.schema.take(3))
+    val pd = spark.createDataFrame(
+      java.util.Arrays.asList(pdCollected.map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2))): _*), pdSchema)
 
     // ---- stage 2: relevance model over the feedback docs only — the
     // broadcast semi-join runs BEFORE the tokenizer, so only the
@@ -434,7 +462,7 @@ object Retrieval {
       if (newTerms.isEmpty) tfReused
       else if (reusedTerms.isEmpty) postings(newTerms)
       else tfReused.unionByName(postings(newTerms))
-    rankTopK(tf2, expanded, k)
+    rankTopK(tf2, expanded, k, statsLit = Some((nDocs, avgdl)))
       .select(col("qid"), col("__doc").as(id), col("score"), col("rank"))
   }
 }

@@ -80,6 +80,15 @@ class PcaSpec extends SparkSpec {
           java.lang.Double.doubleToLongBits(v), s"$p parts $ij: ${got(ij)} vs $v")
       }
     }
+    // the 128-bit fixed-point aggregate (the production face) must be
+    // BIT-equal to the exploded decimal baseline — integer sums are
+    // mechanism-free, so the two physical forms cannot diverge
+    val exploded = Pca.covarianceUpperExactExploded(df, col("v"), 4).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    base.foreach { case (ij, v) =>
+      assert(java.lang.Double.doubleToLongBits(exploded(ij)) ==
+        java.lang.Double.doubleToLongBits(v),
+        s"exploded vs agg $ij: ${exploded(ij)} vs $v") }
     // the 9-dp input snap perturbs the covariance invisibly vs the
     // double production face
     val dbl = Pca.covarianceUpper(df, col("v"), 4).collect()
