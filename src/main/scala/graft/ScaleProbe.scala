@@ -562,6 +562,78 @@ object ScaleProbe {
         so.foreach(s => println(s"  state op ${s.operatorName}: " +
           s"rows=${s.numRowsTotal} mem=${s.memoryUsedBytes / (1 << 20)} MiB"))
         q.stop()
+      case "curaterecover" =>
+        // crash-recovery of the 4-operator ingest admission at state
+        // SCALE (StreamRecoverySpec pins semantics on 7 docs; this
+        // measures the operational number a 100 TB ingest cares about:
+        // restart-to-caught-up latency with millions of state rows).
+        // n docs over 3 committed batches → hard stop → one more batch
+        // (10% dups of pre-crash docs) → restart from the checkpoint:
+        // time = RocksDB restore + replay of the uncommitted batch;
+        // exactly-once checked on the file sink's committed output.
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = spark.sqlContext
+        import spark.implicits._
+        def rnd2(i: Long, j: Long): Long = {
+          var z = i * 0x9E3779B97F4A7C15L + (j + 1) * 0xC2B2AE3D27D4EB4FL
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        def soup2(seedId: Long): String = {
+          val len = 20 + math.floorMod(rnd2(seedId, 0), 20).toInt
+          (0 until len).map(t => "w" + math.floorMod(rnd2(seedId, t + 1), 5000))
+            .mkString(" ")
+        }
+        def text2(i: Long): String = {
+          val m = math.floorMod(rnd2(i, 99), 100)
+          if (m < 10 && i > 0) soup2(i - 1) else soup2(i)
+        }
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val recRoot = java.nio.file.Files.createTempDirectory("curaterec")
+        val recOut = recRoot.resolve("out").toString
+        val recCp = recRoot.resolve("cp").toString
+        val t0r = 1700000000000L
+        val recIn = MemoryStream[(Long, java.sql.Timestamp, String)]
+        def startRec() = graft.pipelines.CorpusPipeline.curateAdmitStream(
+            recIn.toDF().toDF("doc_id", "ts", "text"), "ts", "doc_id", "text",
+            group = pmod(col("doc_id"), lit(100)).cast("string"),
+            budgetTokens = Long.MaxValue / 4,
+            watermark = "10 seconds", nearDupRetentionMs = 600000L)
+          .toDF().writeStream.format("parquet")
+          .option("path", recOut).option("checkpointLocation", recCp)
+          .start()
+        val per3 = n / 4
+        val q1r = startRec()
+        (0 until 3).foreach { b =>
+          val lo = b * per3
+          recIn.addData((lo until lo + per3).map(i =>
+            (i, new java.sql.Timestamp(t0r + i), text2(i))))
+          time(s"pre-crash batch ${b + 1}/3 ($per3 docs)")(
+            q1r.processAllAvailable())
+        }
+        q1r.stop() // hard stop: state survives only via the checkpoint
+        // the post-crash batch: 10% exact dups of committed docs — these
+        // must be dropped by RESTORED dedup state, not fresh state
+        val lo4 = 3 * per3
+        recIn.addData((lo4 until lo4 + per3).map { i =>
+          val dup = math.floorMod(rnd2(i, 7), 10) == 0
+          val txt = if (dup) text2(math.floorMod(rnd2(i, 8), lo4)) else text2(i)
+          (i, new java.sql.Timestamp(t0r + i), txt)
+        })
+        val tRec = System.nanoTime()
+        val q2r = startRec()
+        q2r.processAllAvailable()
+        println(f"[probe] curaterecover n=$n restart+catchup=" +
+          f"${(System.nanoTime() - tRec) / 1e9}%.1f s " +
+          s"(restore ${q2r.lastProgress.stateOperators.map(_.numRowsTotal).sum} state rows + replay $per3 docs)")
+        q2r.stop()
+        val outDf = spark.read.parquet(recOut)
+        val nAdm = outDf.count()
+        val nDistinct = outDf.select("id").distinct().count()
+        println(s"  admitted=$nAdm distinct=$nDistinct exactly_once=${nAdm == nDistinct}")
+        require(nAdm == nDistinct, "duplicate admissions after restart")
       case "corpusdiff" =>
         // two n-row snapshots: 10% of ids edited, 5% only in prev, 5%
         // only in next — hash-keyed full-outer join over (id, md5) only

@@ -267,6 +267,81 @@ object Retrieval {
       .select(col(qid), (coalesce(col("__s"), lit(0.0)) * (1 - p)).as("rbo"))
   }
 
+  /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2004,
+    * "A Study of Smoothing Methods for Language Models Applied to
+    * Information Retrieval" — the OTHER canonical lexical model besides
+    * BM25, and the stronger one on short queries):
+    *
+    *   score(q, d) = Σ_{t∈q} log( (tf_{t,d} + μ·P(t|C)) / (dl_d + μ) ),
+    *   P(t|C) = cf_t / |C|
+    *
+    * over the DISTINCT query terms (the bm25TopK convention); query
+    * terms absent from the corpus (cf = 0) are dropped, the standard
+    * practice (they would send every score to −∞ equally). Ranked docs
+    * are those matching ≥ 1 surviving term.
+    *
+    * Scale shape — same as [[bm25TopK]]: ONE matched-postings token
+    * scan (cf_t = Σ_d tf_{t,d} comes from those postings, NOT a second
+    * scan) + one narrow total-token pass. The score is computed in the
+    * decomposed form
+    *
+    *   A_q + Σ_{matched t} [log(tf + μp_t) − log(μp_t)] − m_q·log(dl + μ)
+    *
+    * (A_q = Σ_{t∈q} log(μp_t), m_q = #surviving terms — driver
+    * constants), so unmatched-term smoothing never fans out rows.
+    * Returns (qid, doc id, score, rank), rank 1..k as [[bm25TopK]]. */
+  def qlTopK(docs: DataFrame, id: String, text: Column,
+      queries: Seq[(String, String)], k: Int, mu: Double = 1000.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(mu > 0, s"mu must be > 0, got $mu")
+    require(queries.nonEmpty, "queries must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms: Seq[(String, String)] = queries.flatMap { case (q, t) =>
+      t.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+        .map(q -> _)
+    }.distinct
+    require(qterms.nonEmpty, "queries contain no tokens")
+    val termSet = qterms.map(_._2).distinct
+
+    val arr = toks(text)
+    val tf = docs
+      .select(col(id).as("__doc"), size(arr).as("dl"), explode(arr).as("term"))
+      .where(col("term").isin(termSet: _*))
+      .groupBy("__doc", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // read twice: cf fold + contributions
+
+    val total = docs.select(sum(size(arr)).as("t")).head().getLong(0).toDouble
+    val cf: Map[String, Long] = tf.groupBy("term")
+      .agg(sum("tf").as("cf")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // per-(qid, term) smoothing mass μ·p_t as literals; per-qid constants
+    // A_q and m_q driver-side in sorted-term order (deterministic fold)
+    val seen = qterms.filter { case (_, t) => cf.contains(t) }
+    require(seen.nonEmpty, "no query term occurs in the corpus")
+    val qdf = seen.map { case (q, t) =>
+      (q, t, mu * (cf(t) / total))
+    }.toDF("qid", "term", "muP")
+    val aq = seen.groupBy(_._1).map { case (q, ts) =>
+      val sorted = ts.map(_._2).sorted
+      (q, sorted.map(t => math.log(mu * (cf(t) / total))).sum, sorted.size)
+    }.toSeq.toDF("qid", "aq", "mq")
+
+    val wr = Window.partitionBy("qid").orderBy(col("score").desc, col("__doc").asc)
+    tf.join(broadcast(qdf), "term")
+      .withColumn("__c", log(col("tf") + col("muP")) - log(col("muP")))
+      .groupBy("qid", "__doc", "dl")
+      .agg(sum("__c").as("__bonus"))
+      .join(broadcast(aq), "qid")
+      .withColumn("score",
+        col("aq") + col("__bonus") - col("mq") * log(col("dl") + mu))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("__doc").as(id), col("score"), col("rank"))
+  }
+
   /** RM3 pseudo-relevance feedback (Lavrenko & Croft 2001, "Relevance-
     * Based Language Models"; the RM3 interpolation of Abdul-Jaleel et
     * al. 2004 — the Anserini/Pyserini default expansion): run BM25, take

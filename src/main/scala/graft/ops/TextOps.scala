@@ -1869,4 +1869,67 @@ object TextOps {
       (when(nFences > 0, nFences).otherwise(lit(0)) - nB * 2 > 0)
         .as("dangling_fence"))
   }
+
+  /** Per-document token Shannon entropy (nats) — the information-density
+    * quality signal the repetition/compression features don't capture
+    * (keyboard mash and boilerplate both have LOW token entropy at
+    * normal dup-line ratios): H = −Σ_t p_t·ln(p_t) over the doc's token
+    * distribution, plus the normalized form H/ln(n_distinct) ∈ [0, 1]
+    * (1 = uniform usage; single-token docs → 0 by convention).
+    *
+    * Scale shape: explode → (id, term) counts → per-id fold, both
+    * aggregations map-side combinable on the id key — one shuffle of
+    * the distinct (doc, term) pairs, never the raw token stream.
+    * Returns (id, n_tokens, n_distinct, entropy, entropy_norm). */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, id: String,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => t =!= lit(""))
+    df.select(col(id), explode(toks).as("__term"))
+      .groupBy(col(id), col("__term"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(id))
+      .agg(
+        sum("__c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        // H = ln(n) − Σc·ln(c)/n : one pass, no per-term p division
+        (log(sum("__c")) -
+          sum(col("__c") * log(col("__c"))) / sum("__c")).as("__h"))
+      .withColumn("entropy", round(col("__h"), 6))
+      .withColumn("entropy_norm",
+        when(col("n_distinct") > 1,
+          round(col("__h") / log(col("n_distinct").cast("double")), 6))
+          .otherwise(lit(0.0)))
+      .drop("__h")
+  }
+
+  /** Length-sorted batch packing — the dynamic-batching prep step for
+    * SFT/eval serving: documents sorted by token length (desc, id tie)
+    * within a shard form fixed-`batchSize` batches, so each batch pads
+    * to its own max length instead of the corpus max. Emits per doc the
+    * batch id, the batch's pad-to length, and the doc's padding waste —
+    * Σ pad_tokens over a batch is exactly the compute the sort saved
+    * vs. arrival-order batching.
+    *
+    * Scale shape: the sort is a window WITHIN `shard` (a source/split/
+    * bucket column — at 100 TB sorting is per-shard by construction, the
+    * standard practice; a truly global sort would serialize). Two
+    * windows on the same shard exchange: rank, then per-(shard, batch)
+    * max. Returns df + (n_tokens, batch_id, pad_to, pad_tokens). */
+  def lengthSortedBatches(df: org.apache.spark.sql.DataFrame, id: String,
+      text: Column, shard: Column, batchSize: Int): org.apache.spark.sql.DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val counted = df.withColumn("n_tokens", tokenCount(text).cast("long"))
+      .withColumn("__shard", shard)
+    val rank = row_number().over(
+      Window.partitionBy(col("__shard"))
+        .orderBy(col("n_tokens").desc, col(id).asc))
+    val withBatch = counted.withColumn("batch_id",
+      floor((rank - 1).cast("long") / batchSize).cast("long"))
+    val wb = Window.partitionBy(col("__shard"), col("batch_id"))
+    withBatch
+      .withColumn("pad_to", max("n_tokens").over(wb))
+      .withColumn("pad_tokens", col("pad_to") - col("n_tokens"))
+      .drop("__shard")
+  }
 }

@@ -32,7 +32,14 @@ object Pipeline1 {
       hopSeconds: Double = 1.0,
       trainFrac: Double = 0.70,
       valFrac: Double = 0.15,
-      chunkSize: Int = 65536)
+      chunkSize: Int = 65536,
+      // 0 = plain window G1; > 0 = the skew-immune salted split with
+      // this many range buckets (ChronoSplit.withSplitSalted) — the
+      // 100 TB setting when one (Attack, State) group dominates (AQE
+      // splits skewed joins, not window partitions; SCALE.md chronoskew
+      // row). Same rows either way — requires orderCols = (numeric ts,
+      // unique tie-breakers...).
+      saltedSplitBuckets: Int = 0)
 
   /** Wall-clock measurements the reference records into every run's
     * metrics.json (pipeline_trainingmodels_power.py:160-192,328-329;
@@ -86,9 +93,17 @@ object Pipeline1 {
     val encoder = Labels.fitLabelEncoder(filtered, target)
     val encoded = Labels.encodeLabel(filtered, encoder, target, "y")
 
-    // 3. per-(Attack, State) chronological split (G1) — one shuffle
-    val split = ChronoSplit.withSplit(encoded, Seq(attackCol, stateCol), orderCols,
-      config.trainFrac, config.valFrac)
+    // 3. per-(Attack, State) chronological split (G1) — one shuffle;
+    //    saltedSplitBuckets > 0 swaps in the skew-immune two-phase form
+    //    (row-for-row identical output, ChronoSplitSpec parity)
+    val split =
+      if (config.saltedSplitBuckets > 0)
+        ChronoSplit.withSplitSalted(encoded, Seq(attackCol, stateCol),
+          orderCols.head, orderCols.tail, config.saltedSplitBuckets,
+          config.trainFrac, config.valFrac)
+      else
+        ChronoSplit.withSplit(encoded, Seq(attackCol, stateCol), orderCols,
+          config.trainFrac, config.valFrac)
 
     // 4. standardize on train stats only (P10)
     val scaler = Stats.fitStandardScaler(split.where(col("split") === "train"), features)

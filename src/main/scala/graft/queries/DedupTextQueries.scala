@@ -171,6 +171,28 @@ object DedupTextQueries {
           col("pad_tokens"), round(col("efficiency"), 6).as("efficiency"))
         .orderBy("seq_len")),
 
+    "pack_length_sorted" -> ((s, dir) =>
+      // Length-sorted dynamic batching: per-lang shards, batches of 8 in
+      // token-length-desc order, each padded to its OWN max — the
+      // padding-waste sort saves vs arrival order is the whole point.
+      TextOps.lengthSortedBatches(
+          table(s, dir, "documents").where(col("doc_id") < 400),
+          "doc_id", col("text"), shard = col("lang"), batchSize = 8)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("batch_id"), col("pad_to"), col("pad_tokens"))
+        .orderBy("doc_id")),
+
+    "text_entropy" -> ((s, dir) =>
+      // Per-doc token Shannon entropy (information-density quality
+      // signal): H = ln(n) − Σc·ln(c)/n over the doc's token counts,
+      // plus the ln(n_distinct)-normalized form.
+      TextOps.tokenEntropy(
+          table(s, dir, "documents").where(col("doc_id") < 300),
+          "doc_id", col("text"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("entropy"), col("entropy_norm"))
+        .orderBy("doc_id")),
+
     "text_chao1" -> ((s, dir) =>
       // Unseen-vocabulary estimate: Chao1 richness + Good–Turing unseen
       // mass from the frequency-of-frequencies table.
@@ -301,6 +323,22 @@ object DedupTextQueries {
           queries = Seq("q1" -> "spark join merge",
             "q2" -> "window sort batch stream", "q3" -> "customer the data"),
           k = 10, fbDocs = 5, fbTerms = 8, lambda = 0.5)
+        .select(col("qid"), col("doc_id"),
+          round(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")),
+
+    "retrieval_ql" -> ((s, dir) =>
+      // Dirichlet query-likelihood (Zhai & Lafferty 2004) — the other
+      // canonical lexical model; same corpus/queries as text_bm25_topk,
+      // mu = 500 (short-doc regime). Decomposed scoring: per-qid
+      // constants + matched-postings bonus, no smoothing fan-out.
+      Retrieval.qlTopK(
+          table(s, dir, "documents").where(col("doc_id") < 200), "doc_id",
+          col("text"),
+          queries = Seq("q1" -> "spark join merge",
+            "q2" -> "window sort batch stream", "q3" -> "customer the data"),
+          k = 10, mu = 500.0)
         .select(col("qid"), col("doc_id"),
           round(col("score"), 4).as("score"),
           col("rank").cast("long").as("rank"))
@@ -2066,6 +2104,89 @@ object DedupTextQueries {
          |  FROM scored)
          |SELECT qid, doc_id, round(score, 4) AS score, rank
          |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "retrieval_ql" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         |toks AS (
+         |  SELECT c.doc_id, u.term
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |        FROM corpus) c, UNNEST(c.t) AS u(term)
+         |  WHERE len(u.term) > 0),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+         |q(qid, qtext) AS (VALUES ('q1', 'spark join merge'),
+         |  ('q2', 'window sort batch stream'), ('q3', 'customer the data')),
+         |qt AS (
+         |  SELECT DISTINCT qid, u.term
+         |  FROM (SELECT qid, regexp_split_to_array(lower(trim(qtext)), '\\s+') AS t
+         |        FROM q) x, UNNEST(x.t) AS u(term)
+         |  WHERE len(u.term) > 0),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+         |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+         |mup AS (SELECT term, 500.0 * (CAST(cf AS DOUBLE) / t.total) AS mup
+         |        FROM cf CROSS JOIN tot t),
+         |aq AS (SELECT qid, sum(ln(mup)) AS aq, count(*) AS mq
+         |       FROM qt JOIN mup USING (term) GROUP BY 1),
+         |bonus AS (
+         |  SELECT qt.qid, tf.doc_id, dl.dl,
+         |    sum(ln(tf.tf + mup.mup) - ln(mup.mup)) AS bonus
+         |  FROM tf JOIN mup USING (term) JOIN qt USING (term)
+         |    JOIN dl USING (doc_id)
+         |  GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT b.qid, b.doc_id,
+         |    a.aq + b.bonus - a.mq * ln(b.dl + 500.0) AS score
+         |  FROM bonus b JOIN aq a USING (qid)),
+         |ranked AS (
+         |  SELECT qid, doc_id, score,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM scored)
+         |SELECT qid, doc_id, round(score, 4) AS score, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "text_entropy" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+         |toks AS (
+         |  SELECT c.doc_id, u.term
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |        FROM corpus) c, UNNEST(c.t) AS u(term)
+         |  WHERE len(u.term) > 0),
+         |tc AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+         |h AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_distinct,
+         |    ln(CAST(sum(c) AS DOUBLE))
+         |      - sum(c * ln(c)) / CAST(sum(c) AS DOUBLE) AS h
+         |  FROM tc GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_distinct, round(h, 6) AS entropy,
+         |  CASE WHEN n_distinct > 1
+         |    THEN round(h / ln(CAST(n_distinct AS DOUBLE)), 6)
+         |    ELSE 0.0 END AS entropy_norm
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "pack_length_sorted" ->
+      s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 400),
+         |t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+         |      AS n_tokens
+         |  FROM corpus),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM t),
+         |b AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(floor((rn - 1) / 8) AS BIGINT) AS batch_id FROM r),
+         |p AS (
+         |  SELECT *, max(n_tokens) OVER (PARTITION BY lang, batch_id) AS pad_to
+         |  FROM b)
+         |SELECT doc_id, lang, n_tokens, batch_id, pad_to,
+         |  pad_to - n_tokens AS pad_tokens
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     "retrieval_rm3" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),

@@ -407,4 +407,50 @@ class CorpusDiagnosticsSpec extends SparkSpec {
       Similarity.matryoshkaRecall(corpus, queries.limit(0), "vec_id", "v",
         "qid", "qv", k = 2, dims = Seq(2)) }
   }
+
+  test("tokenEntropy: uniform=ln(n) normalized to 1, constant=0, skewed in between, empty dropped") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"),          // uniform over 4 -> H = ln 4, norm = 1
+      (2L, "x x x x"),          // one distinct -> H = 0, norm = 0 by convention
+      (3L, "a a a b"),          // skewed -> 0 < H < ln 2
+      (4L, "   "),              // zero tokens -> dropped
+      (5L, "Tok tok TOK")       // case-folded to one distinct
+    ).toDF("doc_id", "text")
+    val out = TextOps.tokenEntropy(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L))
+    assert(out(1L)._1 == 4 && out(1L)._2 == 4)
+    assert(math.abs(out(1L)._3 - math.log(4)) < 1e-6 && out(1L)._4 == 1.0)
+    assert(out(2L)._3 == 0.0 && out(2L)._4 == 0.0)
+    val h3 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(out(3L)._3 - h3) < 1e-6)
+    assert(out(3L)._4 > 0 && out(3L)._4 < 1)
+    assert(out(5L)._2 == 1 && out(5L)._3 == 0.0)
+  }
+
+  test("lengthSortedBatches: per-shard length-desc batches, pad accounting beats arrival order") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    def doc(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    // shard A: lengths 10,1,9,2,8,3 -> sorted batches of 2: {10,9},{8,3},{2,1}
+    val rows = Seq(10, 1, 9, 2, 8, 3).zipWithIndex.map { case (n, i) =>
+      (i.toLong, "A", doc(n)) } :+ ((100L, "B", doc(5)))
+    val out = TextOps.lengthSortedBatches(rows.toDF("doc_id", "lang", "text"),
+        "doc_id", col("text"), shard = col("lang"), batchSize = 2)
+      .select("doc_id", "batch_id", "n_tokens", "pad_to", "pad_tokens")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // batch members pad to the batch max
+    assert(out(0L) == (0L, 10L, 10L, 0L) && out(2L) == (0L, 9L, 10L, 1L))
+    assert(out(4L) == (1L, 8L, 8L, 0L) && out(5L) == (1L, 3L, 8L, 5L))
+    assert(out(3L) == (2L, 2L, 2L, 0L) && out(1L) == (2L, 1L, 2L, 1L))
+    // singleton shard: its own batch 0, zero pad
+    assert(out(100L) == (0L, 5L, 5L, 0L))
+    // total sorted waste (1+5+1=7) < arrival-order batching {10,1},{9,2},{8,3}
+    val sortedWaste = out.filterKeys(_ != 100L).values.map(_._4).sum
+    assert(sortedWaste == 7 && sortedWaste < (9 + 7 + 5))
+  }
 }

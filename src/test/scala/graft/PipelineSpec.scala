@@ -73,6 +73,19 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pipeline1 with the salted G1 split: identical metrics to the window form") {
+    // saltedSplitBuckets swaps the split's physical plan only — the
+    // monster-group configuration must not move a single metric
+    val salted = Pipeline1.run(
+      spark, power, Seq("current_ma", "power_mw"), "Attack", "State",
+      Seq(col("t")), Scorers.Logistic(maxIter = 30),
+      Pipeline1.Config(task = "binary", seqLen = 10, step = 5, fprTarget = 0.05,
+        chunkSize = 256, saltedSplitBuckets = 8))
+    assert(salted.multiclass.head().toSeq == result.multiclass.head().toSeq)
+    assert(salted.confusion.collect().map(_.toSeq).toSeq ==
+      result.confusion.collect().map(_.toSeq).toSeq)
+  }
+
   test("pipeline1 timing: training time and per-window inference latency recorded") {
     val t = result.timing
     assert(t.trainingTimeSeconds >= 0.0 &&

@@ -153,6 +153,49 @@ class RetrievalSpec extends SparkSpec {
       ("q2", 10L, 1), ("q2", 20L, 2)), got)
   }
 
+  // ------------------------------------------------------------- qlTopK
+
+  test("qlTopK matches a from-scratch Dirichlet QL on the fixture") {
+    val mu = 500.0
+    val toksM = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    }.toMap.filter(_._2.nonEmpty)
+    val total = toksM.values.map(_.size).sum.toDouble
+    val cf = toksM.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val expected = (for {
+      (q, qtext) <- queries
+      terms = qtext.split("\\s+").toSeq.distinct.filter(cf.contains)
+      (doc, ts) <- toksM
+      if terms.exists(ts.contains)
+    } yield {
+      val s = terms.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        math.log((tf + mu * (cf(t) / total)) / (ts.size + mu))
+      }.sum
+      (q, doc) -> s
+    }).toMap
+    val got = Retrieval.qlTopK(corpus.toDF("doc_id", "text"), "doc_id",
+        col("text"), queries, k = 10, mu = mu)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == expected.keySet, s"${got.keySet} vs ${expected.keySet}")
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - expected(k)) < 1e-9, s"$k: $v vs ${expected(k)}") }
+  }
+
+  test("qlTopK: unseen query terms are dropped, not score-destroying") {
+    // "zzz" never occurs: qa must rank exactly as "quick fox" alone
+    val base = Retrieval.qlTopK(corpus.toDF("doc_id", "text"), "doc_id",
+      col("text"), Seq("qa" -> "quick fox"), k = 10)
+      .select("doc_id", "rank").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val withUnseen = Retrieval.qlTopK(corpus.toDF("doc_id", "text"), "doc_id",
+      col("text"), Seq("qa" -> "quick fox zzz"), k = 10)
+      .select("doc_id", "rank").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(withUnseen == base)
+    intercept[IllegalArgumentException](
+      Retrieval.qlTopK(corpus.toDF("doc_id", "text"), "doc_id",
+        col("text"), Seq("qa" -> "zzz"), k = 10).collect())
+  }
+
   // ------------------------------------------------------------- rm3TopK
 
   test("rm3TopK: expansion retrieves a doc sharing ZERO original query terms") {
