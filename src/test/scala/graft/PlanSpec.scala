@@ -376,6 +376,23 @@ class PlanSpec extends SparkSpec {
     assert("Window ".r.findAllIn(p).size == 1, p) // the final top-k only
   }
 
+  test("retrieval_ql: broadcasts only, one corpus-sized window, literal InSet postings prefilter") {
+    val p = plan("retrieval_ql")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Window ".r.findAllIn(p).size == 1, p) // the final top-k only
+  }
+
+  test("pack_length_sorted: both windows partition by the shard — no global sort of the corpus") {
+    val p = plan("pack_length_sorted")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, p)
+    // every window spec carries the shard key (the internal __shard
+    // alias of the lang column); an empty partitionBy would funnel the
+    // corpus through one task
+    assert(winLines.forall(_.contains("__shard")), winLines.mkString("\n"))
+  }
+
   test("g_kaplan_meier / g_gini_tokens: windows sit ABOVE the collapsing aggregate") {
     Seq("g_kaplan_meier", "g_gini_tokens").foreach { q =>
       val p = plan(q)
