@@ -937,6 +937,34 @@ object ScaleProbe {
           graft.ops.Retrieval.rm3TopK(d, "id", col("text"),
             Seq("q1" -> "w1 w2 w3", "q2" -> "w10 w20", "q3" -> "w5 w25 w45"),
             k = 10).count())
+      case "ql" =>
+        // Dirichlet QL over the same worst-case soup as the bm25 probe
+        // (every term in-vocabulary — the postings shuffle is the whole
+        // token stream, bounding the isin prefilter from above)
+        val d = docs(n)
+        d.count()
+        time(s"qlTopK n=$n queries=3 k=10")(
+          graft.ops.Retrieval.qlTopK(d, "id", col("text"),
+            Seq("q1" -> "w1 w7 w13", "q2" -> "w2 w25", "q3" -> "w3 w30 w44 w49"),
+            k = 10).agg(count(lit(1)), sum("score")).collect())
+      case "entropy" =>
+        // per-doc token entropy: the shuffle carries distinct (doc, term)
+        // pairs (≤ 50 per doc here), never the raw token stream
+        val d = docs(n)
+        d.count()
+        time(s"tokenEntropy n=$n")(
+          graft.ops.TextOps.tokenEntropy(d, "id", col("text"))
+            .agg(sum("entropy"), sum("n_distinct")).collect())
+      case "lenbatch" =>
+        // length-sorted batching: 64 shards, windows within shard only —
+        // wall-time tracks the largest shard (n/64), not n
+        val d = docs(n).withColumn("shard",
+          pmod(xxhash64(col("id"), lit(5)), lit(64)).cast("string"))
+        d.count()
+        time(s"lengthSortedBatches n=$n shards=64 batch=1024")(
+          graft.ops.TextOps.lengthSortedBatches(d, "id", col("text"),
+              col("shard"), batchSize = 1024)
+            .agg(sum("pad_tokens"), max("batch_id")).collect())
       case "scd2" =>
         // n-row change log over n/10 keys (~10 versions each), attrs
         // flip on ~1/3 of rows — two windows over ONE key shuffle

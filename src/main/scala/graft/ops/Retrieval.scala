@@ -312,7 +312,10 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(eager = false) // read twice: cf fold + contributions
 
-    val total = docs.select(sum(size(arr)).as("t")).head().getLong(0).toDouble
+    // greatest(..., 0): Spark's size(null) is -1 — a null-text doc must
+    // contribute 0 tokens to |C|, matching the twin's token-row count
+    val total = docs.select(sum(greatest(size(arr), lit(0))).as("t"))
+      .head().getLong(0).toDouble
     val cf: Map[String, Long] = tf.groupBy("term")
       .agg(sum("tf").as("cf")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

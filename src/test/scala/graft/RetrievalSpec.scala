@@ -182,6 +182,17 @@ class RetrievalSpec extends SparkSpec {
       assert(math.abs(v - expected(k)) < 1e-9, s"$k: $v vs ${expected(k)}") }
   }
 
+  test("qlTopK: a null-text doc contributes 0 tokens to |C|, not Spark's size(null) = -1") {
+    val base = Retrieval.qlTopK(corpus.toDF("doc_id", "text"), "doc_id",
+      col("text"), queries, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val withNull = Retrieval.qlTopK(
+      (corpus :+ ((99L, null.asInstanceOf[String]))).toDF("doc_id", "text"),
+      "doc_id", col("text"), queries, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(withNull == base, s"null doc moved scores: $withNull vs $base")
+  }
+
   test("qlTopK: unseen query terms are dropped, not score-destroying") {
     // "zzz" never occurs: qa must rank exactly as "quick fox" alone
     val base = Retrieval.qlTopK(corpus.toDF("doc_id", "text"), "doc_id",
