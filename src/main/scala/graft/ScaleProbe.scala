@@ -502,6 +502,31 @@ object ScaleProbe {
         }
         println(s"  pairs found: $found (planted: ${n / 10} excerpt→base)")
         corpus.unpersist()
+      case "curate" =>
+        // END-TO-END batch curation funnel at scale: exact dedup →
+        // MinHash-LSH near-dup clustering (keep best quality) →
+        // benchmark decontamination → quality/repetition filters →
+        // stratified sample → packing, ONE lazy plan driven by the
+        // final count. Input: hash-soup docs with ~10% planted exact
+        // dups and ~5% near dups (the curatestream generator), a
+        // 200-doc benchmark for the decontamination join.
+        val w5k = typedLit((0 until 5000).map(i => s"w$i"))
+        def soupCol(seed: org.apache.spark.sql.Column) =
+          array_join(transform(
+            sequence(lit(0), pmod(xxhash64(seed), lit(20)) + lit(20)),
+            t => element_at(w5k, pmod(xxhash64(seed, t), lit(5000)).cast("int") + 1)), " ")
+        val m = pmod(xxhash64(col("id"), lit(99)), lit(100))
+        val curDocs = spark.range(n).select(col("id"),
+          when(m < 10 && col("id") > 0, soupCol(col("id") - 1))
+            .when(m < 15 && col("id") > 1,
+              concat(soupCol(col("id") - 2), lit(" w1 w2")))
+            .otherwise(soupCol(col("id"))).as("text"),
+          pmod(col("id"), lit(10)).cast("string").as("grp"))
+        val bench = spark.range(200).select(soupCol(col("id") * 31 + 7).as("btext"))
+        curDocs.count(); bench.count()
+        time(s"curate end-to-end n=$n (dedup→cluster→decontam→filter→sample→pack)")(
+          println("  packed=" + graft.pipelines.CorpusPipeline.curate(
+            curDocs, "id", "text", col("grp"), bench, "btext").count()))
       case "curatestream" =>
         // end-to-end ingest admission: curateAdmitStream (exact dedup →
         // near-dup LSH → quality filters → per-group quota) over a

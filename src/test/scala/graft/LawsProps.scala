@@ -59,6 +59,24 @@ object LawsProps extends Properties("GraftLaws") {
       }
     }
 
+  property("salted chrono split == window chrono split on random skewed frames") =
+    Prop.forAll(
+      Gen.listOfN(4, Gen.choose(1, 40)), // group sizes (incl. guard-sized)
+      Gen.choose(1, 7),                  // ts duplication factor
+      Gen.oneOf(2, 3, 8)                 // bucket count
+    ) { (sizes, dup, buckets) =>
+      val rows = sizes.zipWithIndex.flatMap { case (sz, g) =>
+        (1 to sz).map(i => (s"g$g", (i / dup).toLong, (g * 1000 + i).toLong))
+      }
+      val df = rows.toDF("g", "t", "id").repartition(5)
+      def m(d: org.apache.spark.sql.DataFrame) =
+        d.select("g", "t", "id", "split").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getString(3)).toMap
+      m(ChronoSplit.withSplitSalted(df, Seq("g"), col("t"), Seq(col("id")),
+        buckets = buckets)) ==
+        m(ChronoSplit.withSplit(df, Seq("g"), Seq(col("t"), col("id"))))
+    }
+
   property("train standardization: mean ~ 0, pop std ~ 1 (nonconstant column)") =
     Prop.forAll(Gen.choose(5, 60), Gen.choose(1L, 9999L)) { (n, salt) =>
       val df = (1 to n).map(i => ((i * salt % 101).toDouble + i * 0.01)).toDF("x")
