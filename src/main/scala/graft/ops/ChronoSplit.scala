@@ -96,8 +96,19 @@ object ChronoSplit {
     val t = ts.cast("double")
     val g = groupCols.map(col)
     val probs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
-    val bounds = df.groupBy(g: _*)
+    // The approx-quantile subtree is NON-DETERMINISTIC across
+    // evaluations (QuantileSummaries merge order follows shuffle-fetch
+    // order), and it feeds BOTH the counts pass and the rank pass —
+    // broadcast-exchange reuse usually unifies them, but correctness
+    // must not hang on a plan-canonicalization accident. Collect the
+    // per-group bounds ONCE (#groups rows) and re-inject as a local
+    // frame: both branches then read the identical boundary values, and
+    // the wobble in WHERE a boundary lands stays harmless (the bucket
+    // map only has to be monotone and consistent).
+    val boundsPlan = df.groupBy(g: _*)
       .agg(percentile_approx(t, probs, lit(10000)).as("__bounds"))
+    val bounds = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(boundsPlan.collect(): _*), boundsPlan.schema)
     val bkt = aggregate(col("__bounds"), lit(0),
       (acc, bnd) => acc + when(t > bnd, 1).otherwise(0))
     val withB = df.join(broadcast(bounds), groupCols)

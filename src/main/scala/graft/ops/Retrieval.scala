@@ -47,21 +47,28 @@ object Retrieval {
   private def toks(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => t =!= lit(""))
 
+  /** The ONE query-term convention every ranker shares (and every DuckDB
+    * twin assumes): lowercase, whitespace-split, DISTINCT (qid, term)
+    * pairs. Fails loudly on an all-blank query set. */
+  private def queryTerms(queries: Seq[(String, String)]): Seq[(String, String)] = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    val qt = queries.flatMap { case (q, t) =>
+      t.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+        .map(q -> _)
+    }.distinct
+    require(qt.nonEmpty, "queries contain no tokens")
+    qt
+  }
+
   def bm25TopK(docs: DataFrame, id: String, text: Column,
       queries: Seq[(String, String)], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    require(queries.nonEmpty, "queries must be non-empty")
     val spark = docs.sparkSession
     import spark.implicits._
 
     // distinct (qid, term) pairs — driver-side, the query set is literal
-    val qterms: Seq[(String, String)] = queries
-      .flatMap { case (qid, qtext) =>
-        qtext.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
-          .map(qid -> _)
-      }.distinct
-    require(qterms.nonEmpty, "queries contain no tokens")
+    val qterms = queryTerms(queries)
     val termSet = qterms.map(_._2).distinct
 
     // pass 1 (corpus-sized): matched postings with row-local dl.
@@ -111,11 +118,7 @@ object Retrieval {
     require(k >= 1, "k must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    val qterms = queries.flatMap { case (qid, qtext) =>
-      qtext.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
-        .map(qid -> _)
-    }.distinct
-    require(qterms.nonEmpty, "queries contain no tokens")
+    val qterms = queryTerms(queries)
     val termSet = qterms.map(_._2).distinct
     val matched = docs
       .select(col(id).as("__doc"), explode(toks(text)).as("term"))
@@ -294,14 +297,9 @@ object Retrieval {
       queries: Seq[(String, String)], k: Int, mu: Double = 1000.0): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(mu > 0, s"mu must be > 0, got $mu")
-    require(queries.nonEmpty, "queries must be non-empty")
     val spark = docs.sparkSession
     import spark.implicits._
-    val qterms: Seq[(String, String)] = queries.flatMap { case (q, t) =>
-      t.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
-        .map(q -> _)
-    }.distinct
-    require(qterms.nonEmpty, "queries contain no tokens")
+    val qterms = queryTerms(queries)
     val termSet = qterms.map(_._2).distinct
 
     val arr = toks(text)
@@ -383,11 +381,7 @@ object Retrieval {
     import spark.implicits._
     val arr = toks(text)
 
-    val qterms: Seq[(String, String)] = queries.flatMap { case (q, t) =>
-      t.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
-        .map(q -> _)
-    }.distinct
-    require(qterms.nonEmpty, "queries contain no tokens")
+    val qterms = queryTerms(queries)
     val termSet1 = qterms.map(_._2).distinct
 
     // ONE tokenizing corpus pass feeds both the stats aggregate and the
@@ -467,13 +461,23 @@ object Retrieval {
       .select(col("qid"), col("__doc"), col("__pd"))
       .join(broadcast(statsDf))
     val pdCollected = pdPlan.collect()
-    val (nDocs, avgdl) =
-      if (pdCollected.nonEmpty)
-        (pdCollected.head.getAs[Long]("n_docs"),
-          pdCollected.head.getAs[Double]("avgdl"))
-      else { // no query term matched anything: stats still gate the guard
-        val r = statsDf.head(); (r.getLong(0), r.getDouble(1))
-      }
+    if (pdCollected.isEmpty) {
+      // no query term matched any document (tf1 empty ⟺ fb empty): the
+      // rescore can only be empty too — and on an all-empty corpus the
+      // stats row holds avgdl = NULL, so proceeding would NPE
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(id, docs.schema(id).dataType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType)))
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
+    }
+    val nDocs = pdCollected.head.getAs[Long]("n_docs")
+    val avgdl = pdCollected.head.getAs[Double]("avgdl")
     val pdSchema = org.apache.spark.sql.types.StructType(pdPlan.schema.take(3))
     val pd = spark.createDataFrame(
       java.util.Arrays.asList(pdCollected.map(r =>

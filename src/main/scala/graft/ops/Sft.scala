@@ -66,8 +66,13 @@ object Sft {
       role: String, content: String,
       maskRoles: Seq[String] = Seq("assistant")): DataFrame = {
     require(maskRoles.nonEmpty, "lossSpans: maskRoles must be non-empty")
+    // ROWS frame, not the default RANGE: two fully identical turns are
+    // RANGE peers and would BOTH get the second copy's token_end —
+    // overlapping spans with an uncovered gap, and a divergence from
+    // the twin's ROWS UNBOUNDED PRECEDING running sum
     val w = Window.partitionBy(col(convId))
       .orderBy(col(turnIdx), col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(convId), col(turnIdx), col(role),
         renderTurn(col(role), col(content)).as("__r"),
         turnTokens(col(content)).as("__nt"))

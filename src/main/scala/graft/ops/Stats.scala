@@ -60,7 +60,11 @@ object Stats {
     *
     * (mixed null+value ⇒ 0 < n_nonnull < n fails both arms; all-NaN ⇒
     * min = max = NaN and Spark SQL's NaN = NaN is true, matching pandas
-    * counting NaN as one value; mixed NaN+v ⇒ min = v ≠ NaN = max.)
+    * counting NaN as one value; mixed NaN+v ⇒ min = v ≠ NaN = max.
+    * Signed zeros: {0.0, −0.0} compares min = max ⇒ CONSTANT — pandas
+    * parity (Python hashes/compares them equal, nunique = 1), where
+    * [[constantColumns]]'s string-cast face sees "−0.0" ≠ "0.0"; on
+    * that one shape this form is the reference-faithful one.)
     * Three plain aggregates per column, ONE pass, zero row fan-out —
     * 900 columns is just a 2700-field buffer on a single agg row. */
   def constantColumnsFast(df: DataFrame, cols: Seq[String]): Seq[String] = {
@@ -74,13 +78,15 @@ object Stats {
       val nn = row.getAs[Long](s"__n_$c")
       val mn = row.getAs[Any](s"__mn_$c")
       val mx = row.getAs[Any](s"__mx_$c")
-      nn == 0L || (nn == n && (mn == mx ||
-        // Spark SQL NaN = NaN is true; Scala's Double.NaN == Double.NaN is not
-        ((mn, mx) match {
-          case (a: Double, b: Double) => a.isNaN && b.isNaN
-          case (a: Float, b: Float) => a.isNaN && b.isNaN
-          case _ => false
-        })))
+      // value equality, not boxed equals: java.lang.Double.equals is
+      // BITWISE (NaN.equals(NaN) true but (-0.0).equals(0.0) FALSE);
+      // pandas parity needs IEEE == plus the all-NaN case
+      val same = (mn, mx) match {
+        case (a: Double, b: Double) => (a.isNaN && b.isNaN) || a == b
+        case (a: Float, b: Float) => (a.isNaN && b.isNaN) || a == b
+        case _ => mn == mx
+      }
+      nn == 0L || (nn == n && same)
     }
   }
 

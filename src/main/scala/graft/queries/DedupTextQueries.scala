@@ -2171,7 +2171,7 @@ object DedupTextQueries {
       s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 400),
          |t AS (
          |  SELECT doc_id, lang,
-         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |    CAST(CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
          |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
          |      AS n_tokens
          |  FROM corpus),

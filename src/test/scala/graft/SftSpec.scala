@@ -80,6 +80,21 @@ class SftSpec extends SparkSpec {
     assert(spans.map(_.getAs[Long]("token_end")).last == toks.length.toLong)
   }
 
+  test("lossSpans with fully IDENTICAL turns: contiguous non-overlapping spans (ROWS, not RANGE peers)") {
+    // two byte-identical turns are RANGE frame peers — under the default
+    // RANGE frame both would get the SECOND copy's token_end (overlap +
+    // a gap); the ROWS frame must yield [0,3) and [3,6)-style tiling
+    val dup = Seq(
+      (1L, 1L, "assistant", "same words"),
+      (1L, 1L, "assistant", "same words"),
+      (1L, 2L, "user", "done")
+    ).toDF("conv", "idx", "role", "content")
+    val spans = Sft.lossSpans(dup, "conv", "idx", "role", "content")
+      .orderBy("token_start").collect()
+      .map(r => (r.getAs[Long]("token_start"), r.getAs[Long]("token_end")))
+    assert(spans.toSeq == Seq((0L, 3L), (3L, 6L), (6L, 8L)), spans.toSeq)
+  }
+
   test("preferencePairs: argmax/argmin with id tie-breaks, margin gate, degenerate prompts") {
     val scored = Seq(
       // p1: clear preference

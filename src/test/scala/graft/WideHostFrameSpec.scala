@@ -71,6 +71,16 @@ class WideHostFrameSpec extends SparkSpec {
     assert(!plan.contains("Expand"), plan)
   }
 
+  test("constantColumnsFast on signed zeros: {0.0, -0.0} is ONE value — pandas nunique parity") {
+    import spark.implicits._
+    // Python compares/hashes 0.0 == -0.0, so the reference's
+    // nunique(dropna=False) <= 1 calls this column CONSTANT; the
+    // string-cast exact form sees "-0.0" != "0.0" — the fast form is
+    // the reference-faithful one on this shape (documented divergence)
+    val df = Seq((0.0, 1.0), (-0.0, 2.0)).toDF("zeros", "vals")
+    assert(Stats.constantColumnsFast(df, Seq("zeros", "vals")) == Seq("zeros"))
+  }
+
   test("TOP-K pruning reaches the scan: windowing only K selected columns") {
     val (df, eventCols) = Sources.loadHost(spark, csvPath)
     val topK = eventCols.take(8) // stand-in for importance-ranked selection
