@@ -102,6 +102,40 @@ class PcaSpec extends SparkSpec {
     assert(sql.contains("DECIMAL(14,9)") && sql.contains("300.0"))
   }
 
+  test("ExactMomentsAgg 128-bit lanes == driver BigDecimal reference on adversarial values (carries, signs, magnitude)") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // values near the ±20 magnitude bound (|k| ~ 2e10 ⇒ |k·k| ~ 4e20
+    // crosses the 64-bit low lane every few adds — maximal carry
+    // traffic), dense sign flips, exact-half rounding cases, zeros
+    val d3 = 3
+    val rows = (0 until 3000).map { i =>
+      val a = (if (i % 2 == 0) 1 else -1) * (19.0 + (i % 97) / 97.0)
+      val b = (if (i % 3 == 0) 1 else -1) * ((i % 1009) * 1e-10 + 5e-10)
+      val c0 = if (i % 5 == 0) 0.0 else math.sin(i * 0.7) * 1e-3
+      (i.toLong, Seq(a, b, c0))
+    }
+    val mu = Array(0.123456789, -4.5e-10, 0.0)
+    val flat = rows.toDF("id", "v").repartition(7)
+      .agg(org.apache.spark.sql.graft.ExactMomentsAgg
+        .col(transform(col("v"), x => x.cast("double")), d3, mu.toSeq).as("m"))
+      .head().getSeq[java.math.BigDecimal](0)
+    // independent reference: the same snap, summed as exact BigDecimal
+    def k9(x: Double): JBD = JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP)
+    val ks = rows.map { case (_, v) =>
+      Array.tabulate(d3)(i => k9(v(i) - mu(i))) }
+    val refS = Array.tabulate(d3)(i =>
+      ks.foldLeft(JBD.ZERO)((acc, k) => acc.add(k(i))))
+    val refP = for { i <- 0 until d3; j <- i until d3 } yield
+      ks.foldLeft(JBD.ZERO)((acc, k) => acc.add(k(i).multiply(k(j))))
+    assert(flat.head.compareTo(new JBD(3000)) == 0)
+    (0 until d3).foreach { i =>
+      assert(flat(1 + i).compareTo(refS(i)) == 0,
+        s"S_$i: ${flat(1 + i)} vs ${refS(i)}") }
+    refP.zipWithIndex.foreach { case (p, t) =>
+      assert(flat(1 + d3 + t).compareTo(p) == 0,
+        s"P[$t]: ${flat(1 + d3 + t)} vs $p") }
+  }
+
   test("pcaFit: axes and eigenvalues BIT-stable across 1/4/32 partitions; projections stable at 6 dp") {
     // the 9-dp covariance snap before Jacobi is what pins the MODEL
     // across partitionings (the embedding_pca literal-replay twin's
