@@ -82,7 +82,12 @@ object ChronoSplit {
     * Same output as [[withSplit]] row-for-row (parity is spec-pinned);
     * the window shuffle now carries ≈ |group|/buckets rows per task.
     * `ts` must be numeric (cast timestamps to epoch micros first) and
-    * (`ts`, tieCols) must be a total order within each group. */
+    * (`ts`, tieCols) must be a total order within each group. Null
+    * `ts` rows agree with the window form by construction: the
+    * quantile fit ignores them, `t > bound` is null so they fall to
+    * bucket 0, and asc-nulls-first in-bucket ordering gives them the
+    * lowest ranks — the same place `orderBy(ts.asc)` puts them
+    * (spec-pinned alongside the tie cases). */
   def withSplitSalted(
       df: DataFrame,
       groupCols: Seq[String],

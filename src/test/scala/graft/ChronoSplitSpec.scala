@@ -56,15 +56,21 @@ class ChronoSplitSpec extends SparkSpec {
     // one monster group, one medium, three guard-sized; HEAVY ts ties
     // (t = i/7) so quantile boundaries land ON tied values — the case
     // that would break a non-monotone salt
-    val rows =
-      (1 to 997).map(i => ("monster", (i / 7).toLong, i.toLong)) ++
-      (1 to 53).map(i => ("medium", (i / 3).toLong, 10000L + i)) ++
-      (1 to 3).map(i => ("tinyA", 0L, 20000L + i)) ++
-      Seq(("tinyB", 5L, 30000L), ("tinyB", 5L, 30001L)) ++
-      Seq(("one", 9L, 40000L))
+    val rows: Seq[(String, java.lang.Long, Long)] =
+      (1 to 997).map(i => ("monster", java.lang.Long.valueOf(i / 7), i.toLong)) ++
+      (1 to 53).map(i => ("medium", java.lang.Long.valueOf(i / 3), 10000L + i)) ++
+      (1 to 3).map(i => ("tinyA", java.lang.Long.valueOf(0), 20000L + i)) ++
+      Seq(("tinyB", java.lang.Long.valueOf(5), 30000L),
+        ("tinyB", java.lang.Long.valueOf(5), 30001L)) ++
+      Seq(("one", java.lang.Long.valueOf(9), 40000L)) ++
+      // NULL ts: percentile ignores them, `t > bound` is null so they
+      // fall to bucket 0, and nulls-first ordering puts them at the
+      // lowest ranks — exactly the window form's asc-nulls-first
+      Seq(("monster", null, 50000L), ("monster", null, 50001L),
+        ("medium", null, 50002L))
     val df = rows.toDF("g", "t", "id").repartition(7)
     def key(r: org.apache.spark.sql.Row) =
-      (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getString(3)
+      (r.getString(0), Option(r.get(1)), r.getLong(2)) -> r.getString(3)
     val expected = ChronoSplit.withSplit(df, Seq("g"),
         Seq(col("t"), col("id")))
       .select("g", "t", "id", "split").collect().map(key).toMap
