@@ -241,4 +241,55 @@ object Curves {
 
     micro.join(macroDf, Seq("grp"))
   }
+
+  /** DeLong variance + confidence interval for the ROC AUC (DeLong,
+    * DeLong & Clarke-Pearson 1988 — the standard nonparametric AUC CI;
+    * what `pROC`/`scikit-posthocs` compute):
+    *
+    *   V10_i = (#neg below s_i + ½·#neg tied) / n   (per positive i)
+    *   V01_j = (#pos above s_j + ½·#pos tied) / m   (per negative j)
+    *   AUC = mean(V10) = mean(V01),
+    *   Var = S10/m + S01/n   (S = ddof-1 sample variances),
+    *   CI  = AUC ± z·√Var.
+    *
+    * Scale shape — the g14 curve discipline: rows collapse to the
+    * DISTINCT-score table first (one map-side-combined groupBy; equal
+    * scores share their V values exactly, so grouping is lossless);
+    * the cumulative below/above counts are windows over that SMALL
+    * table, and the weighted moments fold in ONE aggregation. Returns
+    * one row (auc, var_auc, ci_lo, ci_hi), CI clipped to [0, 1]. */
+  def aucDeLong(df: DataFrame, y: Column, score: Column,
+      z: Double = 1.959963984540054): DataFrame = {
+    val byScore = df
+      .select(y.cast("int").as("y"), score.cast("double").as("s"))
+      .groupBy("s")
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") =!= 1, 1L).otherwise(0L)).as("nn"))
+    val asc = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    val desc = Window.orderBy(col("s").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy()
+    val v = byScore
+      .withColumn("negBelow", coalesce(sum("nn").over(asc), lit(0L)))
+      .withColumn("posAbove", coalesce(sum("np").over(desc), lit(0L)))
+      .withColumn("m", sum("np").over(tot))
+      .withColumn("n", sum("nn").over(tot))
+      .withColumn("v10",
+        (col("negBelow") + col("nn") * 0.5) / col("n"))
+      .withColumn("v01",
+        (col("posAbove") + col("np") * 0.5) / col("m"))
+    v.agg(
+        (sum(col("np") * col("v10")) / first("m")).as("auc"),
+        first("m").as("m"), first("n").as("n"),
+        sum(col("np") * col("v10") * col("v10")).as("ss10"),
+        sum(col("nn") * col("v01") * col("v01")).as("ss01"))
+      .select(col("auc"),
+        // ddof-1 sample variances of V10 (weighted by np) and V01:
+        // S = (Σ w v² − m·auc²) / (m − 1); Var(AUC) = S10/m + S01/n
+        (((col("ss10") - col("m") * col("auc") * col("auc")) / (col("m") - 1)) / col("m") +
+          ((col("ss01") - col("n") * col("auc") * col("auc")) / (col("n") - 1)) / col("n"))
+          .as("var_auc"))
+      .select(col("auc"), col("var_auc"),
+        greatest(lit(0.0), col("auc") - lit(z) * sqrt(col("var_auc"))).as("ci_lo"),
+        least(lit(1.0), col("auc") + lit(z) * sqrt(col("var_auc"))).as("ci_hi"))
+  }
 }

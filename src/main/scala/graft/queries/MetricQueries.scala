@@ -119,6 +119,19 @@ object MetricQueries {
         .select(round(col("roc_auc"), 6).as("roc_auc"))
     }),
 
+    "g_auc_delong" -> ((s, dir) => {
+      // DeLong 1988 nonparametric AUC variance + 95% CI — the error bar
+      // every AUC comparison needs. Same scored events as g14; rows
+      // collapse to the distinct-score table first (lossless: tied
+      // scores share their V10/V01 exactly).
+      val ev = scoredEvents(s, dir)
+      Curves.aucDeLong(ev, col("y_true"), col("score"))
+        .select(round(col("auc"), 6).as("auc"),
+          round(col("var_auc"), 9).as("var_auc"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))
+    }),
+
     "g14_average_precision" -> ((s, dir) => {
       val ev = scoredEvents(s, dir)
       Curves.averagePrecision(ev, col("y_true"), col("score"))
@@ -350,6 +363,40 @@ object MetricQueries {
       "g14_roc_curve" ->
         s"""SELECT threshold, fps, tps, round(fpr, 6) AS fpr, round(tpr, 6) AS tpr
            |FROM ($rocCurveSql) ORDER BY threshold DESC""".stripMargin,
+
+      "g_auc_delong" ->
+        s"""WITH se AS (${Q.scoredEventsSql}),
+           |bys AS (
+           |  SELECT score AS s,
+           |    sum(CASE WHEN y_true = 1 THEN 1 ELSE 0 END) AS np,
+           |    sum(CASE WHEN y_true <> 1 THEN 1 ELSE 0 END) AS nn
+           |  FROM se GROUP BY 1),
+           |cum AS (
+           |  SELECT s, np, nn,
+           |    coalesce(sum(nn) OVER (ORDER BY s
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below,
+           |    coalesce(sum(np) OVER (ORDER BY s DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos_above,
+           |    sum(np) OVER () AS m, sum(nn) OVER () AS n
+           |  FROM bys),
+           |vv AS (
+           |  SELECT np, nn, m, n,
+           |    (neg_below + nn * 0.5) / n AS v10,
+           |    (pos_above + np * 0.5) / m AS v01
+           |  FROM cum),
+           |agg AS (
+           |  SELECT sum(np * v10) / max(m) AS auc, max(m) AS m, max(n) AS n,
+           |    sum(np * v10 * v10) AS ss10, sum(nn * v01 * v01) AS ss01
+           |  FROM vv),
+           |fin AS (
+           |  SELECT auc,
+           |    ((ss10 - m * auc * auc) / (m - 1)) / m +
+           |    ((ss01 - n * auc * auc) / (n - 1)) / n AS var_auc
+           |  FROM agg)
+           |SELECT round(auc, 6) AS auc, round(var_auc, 9) AS var_auc,
+           |  round(greatest(0.0, auc - 1.959963984540054 * sqrt(var_auc)), 6) AS ci_lo,
+           |  round(least(1.0, auc + 1.959963984540054 * sqrt(var_auc)), 6) AS ci_hi
+           |FROM fin""".stripMargin,
 
       "g14_roc_auc" ->
         s"""WITH curve AS ($rocCurveSql),

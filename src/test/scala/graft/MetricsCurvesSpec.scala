@@ -29,6 +29,32 @@ class MetricsCurvesSpec extends SparkSpec {
     assert(approx(auc, 7.0 / 9, 1e-12), s"auc=$auc")
   }
 
+  test("aucDeLong: AUC equals the trapezoid rocAuc; variance matches a from-scratch DeLong (ties included)") {
+    // fixture WITH a tied score across classes ((1,.6) and (0,.6)) so
+    // the ½-tie convention is exercised
+    val rows = Seq((1, 0.9), (0, 0.8), (1, 0.7), (1, 0.6), (0, 0.6), (0, 0.3))
+    val df = rows.toDF("y", "s")
+    val got = graft.ops.Curves.aucDeLong(df, col("y"), col("s")).head()
+    // from-scratch DeLong
+    val pos = rows.filter(_._1 == 1).map(_._2)
+    val neg = rows.filter(_._1 == 0).map(_._2)
+    def v10(p: Double) = (neg.count(_ < p) + 0.5 * neg.count(_ == p)) / neg.size
+    def v01(nv: Double) = (pos.count(_ > nv) + 0.5 * pos.count(_ == nv)) / pos.size
+    val auc = pos.map(v10).sum / pos.size
+    def sVar(vs: Seq[Double]) =
+      vs.map(v => (v - auc) * (v - auc)).sum / (vs.size - 1)
+    val varAuc = sVar(pos.map(v10)) / pos.size + sVar(neg.map(v01)) / neg.size
+    assert(approx(got.getAs[Double]("auc"), auc, 1e-12), got.toString)
+    assert(approx(got.getAs[Double]("var_auc"), varAuc, 1e-12), got.toString)
+    assert(approx(got.getAs[Double]("ci_lo"),
+      math.max(0.0, auc - 1.959963984540054 * math.sqrt(varAuc)), 1e-12))
+    assert(approx(got.getAs[Double]("ci_hi"),
+      math.min(1.0, auc + 1.959963984540054 * math.sqrt(varAuc)), 1e-12))
+    // AUC cross-law: DeLong's rank form == the trapezoid curve form
+    val trap = graft.ops.Curves.rocAuc(df, col("y"), col("s")).head().getDouble(0)
+    assert(approx(got.getAs[Double]("auc"), trap, 1e-12))
+  }
+
   test("averagePrecision matches sklearn average_precision_score") {
     // AP = sum (R_i - R_{i-1}) P_i over thresholds desc:
     // (1/3)(1) + 0 + (1/3)(2/3) + (1/3)(3/4) + 0 + 0 = 0.80555...
