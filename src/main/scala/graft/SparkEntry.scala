@@ -23,6 +23,7 @@ object SparkEntry {
     (SourceQueries.queries, SourceQueries.oracle),
     (JoinQueries.queries, JoinQueries.oracle),
     (AnalyticsQueries.queries, AnalyticsQueries.oracle),
+    (ExperimentQueries.queries, ExperimentQueries.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -154,4 +154,46 @@ object DataQuality {
       (r.name, m, threshold, pass)
     }.toDF("rule", "metric", "threshold", "pass")
   }
+
+  /** Benford first-digit conformance (Benford 1938; Nigrini's fraud/
+    * fabrication screen): distribution of the leading significant digit
+    * of a positive amount column vs the log₁₀(1 + 1/d) law, with the
+    * per-digit chi-square contributions and the total statistic
+    * (dof = 8). Synthetic or copy-pasted numeric columns flunk this
+    * loudly — a cheap fabricated-data detector for ingested tables.
+    *
+    * The digit is extracted integer-exactly, not via float log₁₀ (whose
+    * last-ulp disagreement across libm implementations could flip the
+    * digit at exact powers of ten): the value is scaled to an integer by
+    * `scale` decimal places, rounded, and the first character of its
+    * decimal rendering is the digit — identical in any engine. ONE
+    * aggregation over the rows; the chi-square runs on the 9-row digit
+    * spine (zero-count digits included — the shape is fixed).
+    */
+  def benford(df: DataFrame, amount: Column, scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 9, s"benford: scale $scale outside [0, 9]")
+    val spark = df.sparkSession
+    val mult = math.pow(10.0, scale)
+    val digit = substring(
+      round(amount * mult).cast("long").cast("string"), 1, 1).cast("int")
+    val obs = df.where(amount > 0)
+      .select(digit.as("digit"))
+      .where(col("digit") >= 1) // amount*mult rounding to 0 ⇒ no digit
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val spine = spark.createDataFrame((1 to 9).map(d =>
+      (d, math.log10(1.0 + 1.0 / d)))).toDF("digit", "p_exp")
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    spine.join(obs, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("__n", sum(col("n_obs")).over(wAll))
+      .withColumn("share", col("n_obs") / col("__n"))
+      .withColumn("__e", col("__n") * col("p_exp"))
+      .withColumn("contrib",
+        (col("n_obs") - col("__e")) * (col("n_obs") - col("__e")) / col("__e"))
+      .withColumn("chi2", sum(col("contrib")).over(wAll))
+      .select(col("digit"), col("n_obs"), col("p_exp"), col("share"),
+        col("contrib"), col("chi2"))
+  }
 }

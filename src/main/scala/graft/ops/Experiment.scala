@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Online-experimentation / causal analytics over event logs — the
+  * measurement side of a corpus-curation loop (did the new filter or
+  * mixture actually move the metric?). Complements the drift detectors
+  * (Stats.psi / ksStatistic / cusum) with the assignment-health and
+  * effect-size half of the story.
+  *
+  * Scale shape, every operator: raw rows collapse to per-unit or
+  * per-cell aggregates in ONE map-side-combined pass (a single shuffle
+  * on the unit/arm key); everything after runs on a bounded frame
+  * (#arms, #cells, #groups rows). No windows over raw rows, no
+  * driver-side math on unbounded data — at 100 TB the only cost is the
+  * one keyed aggregation Spark would need to count rows anyway.
+  */
+object Experiment {
+
+  /** Sample-ratio-mismatch check (the first A/B health gate): observed
+    * arm counts vs the configured split, Pearson chi-square. A biased
+    * assignment invalidates every downstream readout, and at 100 TB the
+    * bias is invisible to eyeballing — the chi-square is not.
+    *
+    * `expected` maps arm label → configured weight (any positive scale;
+    * normalized internally). Arms in `expected` but absent from the data
+    * surface with n_obs = 0 (the most alarming mismatch of all); arms in
+    * the data but not in `expected` fail loudly rather than silently
+    * diluting the test.
+    *
+    * One count-aggregation over the raw rows; the chi-square runs on the
+    * #arms-row result (the unpartitioned window is bounded by #arms).
+    */
+  def srmCheck(df: DataFrame, arm: Column, expected: Seq[(String, Double)])
+      : DataFrame = {
+    require(expected.nonEmpty && expected.forall(_._2 > 0),
+      "srmCheck: expected weights must be positive")
+    val spark = df.sparkSession
+    val wSum = expected.map(_._2).sum
+    val obs = df.groupBy(arm.as("arm")).agg(count(lit(1)).as("n_obs"))
+    val exp = spark.createDataFrame(expected.map { case (a, w) =>
+      (a, w / wSum) }).toDF("arm", "w")
+    val unknown = obs.join(exp, Seq("arm"), "left_anti").limit(1)
+      .collect() // bounded: at most 1 row by construction
+    require(unknown.isEmpty,
+      s"srmCheck: arm '${unknown.headOption.map(_.getString(0)).orNull}' " +
+        "in data but not in expected — fix the assignment map")
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    exp.join(obs, Seq("arm"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("n_exp", sum(col("n_obs")).over(wAll) * col("w"))
+      .withColumn("contrib",
+        (col("n_obs") - col("n_exp")) * (col("n_obs") - col("n_exp"))
+          / col("n_exp"))
+      .withColumn("chi2", sum(col("contrib")).over(wAll))
+      .withColumn("dof", count(lit(1)).over(wAll) - 1)
+      .select(col("arm"), col("n_obs"), col("n_exp"), col("contrib"),
+        col("chi2"), col("dof"))
+  }
+
+  /** Two-proportion z-test on unit-level conversion (the classic A/B
+    * readout). `perUnit` must carry ONE row per experiment unit with an
+    * `arm` label and a 0/1 `conv` flag — build it with the per-unit
+    * groupBy so a heavy user can't vote twice (the unit of analysis must
+    * match the unit of randomization or the variance is wrong).
+    *
+    * Returns one row: per-arm n/x/rate, absolute lift (B − A), pooled-
+    * variance z statistic, and the unpooled Wald 95% CI on the lift.
+    */
+  def abConversion(perUnit: DataFrame, arm: Column, conv: Column,
+      armA: String, armB: String): DataFrame = {
+    val a = arm === armA
+    val b = arm === armB
+    val c = conv.cast("long")
+    perUnit.agg(
+        sum(when(a, 1L).otherwise(0L)).as("n_a"),
+        coalesce(sum(when(a, c)), lit(0L)).as("x_a"),
+        sum(when(b, 1L).otherwise(0L)).as("n_b"),
+        coalesce(sum(when(b, c)), lit(0L)).as("x_b"))
+      .withColumn("rate_a", col("x_a") / col("n_a"))
+      .withColumn("rate_b", col("x_b") / col("n_b"))
+      .withColumn("lift", col("rate_b") - col("rate_a"))
+      .withColumn("__p",
+        (col("x_a") + col("x_b")) / (col("n_a") + col("n_b")))
+      .withColumn("z", col("lift") / sqrt(col("__p") * (lit(1.0) - col("__p"))
+        * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .withColumn("__se", sqrt(
+        col("rate_a") * (lit(1.0) - col("rate_a")) / col("n_a")
+          + col("rate_b") * (lit(1.0) - col("rate_b")) / col("n_b")))
+      .withColumn("ci_lo", col("lift") - lit(1.96) * col("__se"))
+      .withColumn("ci_hi", col("lift") + lit(1.96) * col("__se"))
+      .drop("__p", "__se")
+  }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi, Walker WSDM 2013):
+    * adjust the experiment metric `y` by the pre-period covariate `x`
+    * with the pooled θ = cov(x, y) / var(x), then read per-arm means of
+    * both the raw and adjusted metric plus the realized variance
+    * reduction. The highest-leverage trick in large-scale A/B practice —
+    * typically 40–60 % variance off for free when the pre-period metric
+    * correlates.
+    *
+    * `perUnit`: one row per unit with (arm, x, y). θ is fitted POOLED
+    * across arms (the standard form — per-arm θ leaks treatment into the
+    * adjustment). Two bounded aggregations: one global scalar row for θ
+    * and the x-mean, one per-arm pass on the adjusted column; the scalar
+    * joins back as a broadcast singleton.
+    */
+  def cuped(perUnit: DataFrame, arm: Column, x: Column, y: Column)
+      : DataFrame = {
+    val scalars = perUnit.agg(
+      covar_pop(x, y).as("__cxy"), var_pop(x).as("__vx"),
+      avg(x).as("__mx"))
+    val theta = when(col("__vx") > 0, col("__cxy") / col("__vx"))
+      .otherwise(lit(0.0))
+    perUnit.crossJoin(broadcast(scalars))
+      .withColumn("__theta", theta)
+      .withColumn("__yadj", y - col("__theta") * (x - col("__mx")))
+      .groupBy(arm.as("arm"))
+      .agg(count(lit(1)).as("n"),
+        avg(y).as("mean_y"),
+        avg(col("__yadj")).as("mean_y_adj"),
+        var_samp(y).as("var_y"),
+        var_samp(col("__yadj")).as("var_y_adj"),
+        first(col("__theta")).as("theta"))
+      .withColumn("var_reduction",
+        when(col("var_y") > 0, lit(1.0) - col("var_y_adj") / col("var_y")))
+  }
+
+  /** 2×2 difference-in-differences: cell means of `y` over
+    * treated × post, DiD = (T,post − T,pre) − (C,post − C,pre), with the
+    * independent-cell normal SE √(Σ s²ᵢ/nᵢ) and a 95 % CI. The
+    * before/after readout when randomization wasn't available (a filter
+    * rollout, an infra change) — parallel-trends is the caller's claim,
+    * the arithmetic is ours. ONE fused aggregation over the raw rows.
+    */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column, y: Column)
+      : DataFrame = {
+    def cell(t: Boolean, p: Boolean, suffix: String) = Seq(
+      avg(when(treated === t && post === p, y)).as(s"m_$suffix"),
+      var_samp(when(treated === t && post === p, y)).as(s"v_$suffix"),
+      count(when(treated === t && post === p, y)).as(s"n_$suffix"))
+    val aggs = cell(false, false, "c0") ++ cell(false, true, "c1") ++
+      cell(true, false, "t0") ++ cell(true, true, "t1")
+    df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("did", (col("m_t1") - col("m_t0"))
+        - (col("m_c1") - col("m_c0")))
+      .withColumn("se", sqrt(
+        col("v_t1") / col("n_t1") + col("v_t0") / col("n_t0")
+          + col("v_c1") / col("n_c1") + col("v_c0") / col("n_c0")))
+      .withColumn("ci_lo", col("did") - lit(1.96) * col("se"))
+      .withColumn("ci_hi", col("did") + lit(1.96) * col("se"))
+  }
+
+  /** Per-group simple OLS (y = a + b·x): slope, intercept, and R² from
+    * the one-pass covariance/variance aggregates — k independent trend
+    * fits in ONE map-side-combined scan (the grouped complement of
+    * Stats.corrMatrix). Zero-variance x yields null slope (no division
+    * blow-up under ANSI); R² is null when either variance is zero.
+    */
+  def olsPerGroup(df: DataFrame, group: Column, x: Column, y: Column)
+      : DataFrame =
+    df.where(x.isNotNull && y.isNotNull)
+      .groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n"),
+        covar_samp(x, y).as("__cxy"),
+        var_samp(x).as("__vx"), var_samp(y).as("__vy"),
+        avg(x).as("__mx"), avg(y).as("__my"))
+      .withColumn("slope",
+        when(col("__vx") > 0, col("__cxy") / col("__vx")))
+      .withColumn("intercept", col("__my") - col("slope") * col("__mx"))
+      .withColumn("r2", when(col("__vx") > 0 && col("__vy") > 0,
+        col("__cxy") * col("__cxy") / (col("__vx") * col("__vy"))))
+      .select(col("grp"), col("n"), col("slope"), col("intercept"),
+        col("r2"))
+}

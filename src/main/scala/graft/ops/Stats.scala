@@ -2038,6 +2038,46 @@ object Stats {
       .orderBy("t")
   }
 
+  /** Nelson–Aalen cumulative hazard (Nelson 1972, Aalen 1978) — the
+    * additive companion of [[kaplanMeier]]: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with
+    * the Poisson-type variance Σ dᵢ/nᵢ², plus the Fleming–Harrington
+    * survival exp(−H) (better than KM in small risk sets). Same scale
+    * shape as KM: subjects collapse to the distinct-duration table in
+    * one aggregation; every window after runs over that bounded table.
+    * Unlike KM there is no log(0) hazard at exhaustion — dᵢ = nᵢ is an
+    * ordinary term — so no special-casing is needed.
+    */
+  def nelsonAalen(df: DataFrame, duration: Column,
+      event: Column): DataFrame = {
+    val base = df.select(duration.cast("double").as("t"),
+      event.cast("boolean").as("e"))
+    val byT = base.groupBy("t").agg(
+      sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+      sum(when(!col("e"), 1L).otherwise(0L)).as("c"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wAll)
+        - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("cum_hazard", round(sum(
+        col("d").cast("double") / col("n_risk")).over(wCum), 6))
+      .withColumn("se", round(sqrt(sum(
+        col("d").cast("double") / (col("n_risk").cast("double")
+          * col("n_risk").cast("double"))).over(wCum)), 6))
+      // survival face from the ROUNDED hazard (the kaplanMeier se-from-
+      // rounded-survival discipline) so the exp replays cross-engine
+      .withColumn("survival_fh", round(exp(-col("cum_hazard")), 6))
+      .where(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"), col("cum_hazard"), col("se"),
+        col("survival_fh"))
+      .orderBy("t")
+  }
+
   /** Fixed-width histogram with EXPLICIT bounds — the mergeable numeric
     * profile (unlike quantile bins, data-independent cells merge across
     * corpora, engines, and ingest batches; the complement of

@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DataQuality, Experiment, Stats}
+import graft.queries.Q._
+
+/** Experimentation / causal-measurement surface: assignment health
+  * (SRM), conversion z-test, CUPED variance reduction, difference-in-
+  * differences, grouped OLS trends, Nelson–Aalen hazards, and the
+  * Benford fabrication screen. All hash-oracled against DuckDB twins.
+  */
+object ExperimentQueries {
+
+  /** 2024-01-16 00:00 UTC in epoch µs — the mid-January experiment cut
+    * shared with AnalyticsQueries' g_bh_fdr slices. */
+  private val cutUs = 1705363200000000L
+
+  val queries: Map[String, QueryFn] = Map(
+    "g_srm" -> ((s, dir) => {
+      // Assignment-health gate: user_id % 3 vs the configured equal
+      // thirds — the chi-square that catches a biased bucketing hash
+      // long before any metric readout is trusted.
+      val ev = table(s, dir, "events")
+      Experiment.srmCheck(ev,
+          concat(lit("arm_"), pmod(col("user_id"), lit(3))),
+          Seq("arm_0" -> 1.0, "arm_1" -> 1.0, "arm_2" -> 1.0))
+        .select(col("arm"), col("n_obs"),
+          round(col("n_exp"), 4).as("n_exp"),
+          round(col("contrib"), 6).as("contrib"),
+          round(col("chi2"), 4).as("chi2"), col("dof"))
+        .orderBy("arm")
+    }),
+
+    "g_ab_conversion" -> ((s, dir) => {
+      // Unit-level conversion readout: converted = ever purchased above
+      // 250 (≈8 % of users — non-degenerate at every SF); arms split on
+      // user_id parity. Per-user collapse FIRST so heavy users can't
+      // vote twice.
+      val per = table(s, dir, "events").groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase"
+          && col("value") > 250, 1).otherwise(0)).as("conv"))
+        .withColumn("arm", concat(lit("arm_"), pmod(col("user_id"), lit(2))))
+      Experiment.abConversion(per, col("arm"), col("conv"), "arm_0", "arm_1")
+        .select(col("n_a"), col("x_a"), round(col("rate_a"), 6).as("rate_a"),
+          col("n_b"), col("x_b"), round(col("rate_b"), 6).as("rate_b"),
+          round(col("lift"), 6).as("lift"), round(col("z"), 4).as("z"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))
+    }),
+
+    "g_cuped" -> ((s, dir) => {
+      // CUPED: per-user pre-period value sum (before Jan 16) adjusts the
+      // post-period sum; pooled θ, per-arm adjusted means + realized
+      // variance reduction.
+      val per = table(s, dir, "events").groupBy("user_id")
+        .agg(coalesce(sum(when(col("ts") < cutUs, col("value"))), lit(0.0))
+            .as("x"),
+          coalesce(sum(when(col("ts") >= cutUs, col("value"))), lit(0.0))
+            .as("y"))
+        .withColumn("arm", concat(lit("arm_"), pmod(col("user_id"), lit(2))))
+      Experiment.cuped(per, col("arm"), col("x"), col("y"))
+        .select(col("arm"), col("n"),
+          round(col("mean_y"), 4).as("mean_y"),
+          round(col("mean_y_adj"), 4).as("mean_y_adj"),
+          round(col("var_y"), 2).as("var_y"),
+          round(col("var_y_adj"), 2).as("var_y_adj"),
+          round(col("theta"), 6).as("theta"),
+          round(col("var_reduction"), 6).as("var_reduction"))
+        .orderBy("arm")
+    }),
+
+    "g_did" -> ((s, dir) =>
+      // 2×2 diff-in-diff on event value: treated = odd users, post =
+      // after the Jan-16 cut; one fused aggregation.
+      Experiment.diffInDiff(table(s, dir, "events"),
+          pmod(col("user_id"), lit(2)) === 1, col("ts") >= cutUs,
+          col("value"))
+        .select(round(col("m_c0"), 4).as("m_c0"),
+          round(col("m_c1"), 4).as("m_c1"),
+          round(col("m_t0"), 4).as("m_t0"),
+          round(col("m_t1"), 4).as("m_t1"),
+          col("n_c0"), col("n_c1"), col("n_t0"), col("n_t1"),
+          round(col("did"), 4).as("did"), round(col("se"), 4).as("se"),
+          round(col("ci_lo"), 4).as("ci_lo"),
+          round(col("ci_hi"), 4).as("ci_hi"))),
+
+    "g_ols_per_group" -> ((s, dir) =>
+      // Per-returnflag price-on-quantity trend: slope/intercept/R² from
+      // the one-pass covariance aggregates (corrMatrix's ANSI-safe form,
+      // grouped).
+      Experiment.olsPerGroup(table(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .select(col("grp"), col("n"), round(col("slope"), 4).as("slope"),
+          round(col("intercept"), 4).as("intercept"),
+          round(col("r2"), 6).as("r2"))
+        .orderBy("grp")),
+
+    "g_nelson_aalen" -> ((s, dir) => {
+      // Cumulative-hazard twin of g_kaplan_meier: same per-user
+      // whole-hour lifetimes and error terminal event.
+      val per = table(s, dir, "events").groupBy("user_id").agg(
+        ((max(col("ts")) - min(col("ts"))).cast("long") / lit(3600000000L))
+          .cast("long").as("dur_h"),
+        (sum(when(col("event_type") === "error", 1L).otherwise(0L)) > 0)
+          .as("event"))
+      Stats.nelsonAalen(per, col("dur_h"), col("event"))
+    }),
+
+    "dq_benford" -> ((s, dir) =>
+      // Fabrication screen on lineitem amounts: first-digit law with
+      // integer-exact digit extraction (cents-string, never float log).
+      DataQuality.benford(table(s, dir, "lineitem"),
+          col("l_extendedprice"), scale = 2)
+        .select(col("digit").cast("long").as("digit"), col("n_obs"),
+          round(col("p_exp"), 6).as("p_exp"),
+          round(col("share"), 6).as("share"),
+          round(col("contrib"), 4).as("contrib"),
+          round(col("chi2"), 2).as("chi2"))
+        .orderBy("digit"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "g_srm" ->
+      """WITH obs AS (
+        |  SELECT 'arm_' || CAST(user_id % 3 AS VARCHAR) AS arm,
+        |         count(*) AS n_obs
+        |  FROM events GROUP BY 1),
+        |e AS (SELECT * FROM (VALUES ('arm_0'), ('arm_1'), ('arm_2')) t(arm)),
+        |j AS (SELECT e.arm, coalesce(n_obs, 0) AS n_obs
+        |      FROM e LEFT JOIN obs USING (arm)),
+        |w AS (SELECT arm, n_obs,
+        |        CAST(sum(n_obs) OVER () AS DOUBLE) * (1.0 / 3.0) AS n_exp,
+        |        count(*) OVER () - 1 AS dof
+        |      FROM j),
+        |c AS (SELECT *,
+        |        (n_obs - n_exp) * (n_obs - n_exp) / n_exp AS contrib
+        |      FROM w)
+        |SELECT arm, n_obs, round(n_exp, 4) AS n_exp,
+        |  round(contrib, 6) AS contrib,
+        |  round(sum(contrib) OVER (), 4) AS chi2, dof
+        |FROM c ORDER BY arm""".stripMargin,
+
+    "g_ab_conversion" ->
+      """WITH per AS (
+        |  SELECT user_id, 'arm_' || CAST(user_id % 2 AS VARCHAR) AS arm,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 250
+        |        THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT
+        |  count(*) FILTER (WHERE arm = 'arm_0') AS n_a,
+        |  CAST(coalesce(sum(conv) FILTER (WHERE arm = 'arm_0'), 0) AS BIGINT) AS x_a,
+        |  count(*) FILTER (WHERE arm = 'arm_1') AS n_b,
+        |  CAST(coalesce(sum(conv) FILTER (WHERE arm = 'arm_1'), 0) AS BIGINT) AS x_b
+        |  FROM per),
+        |r AS (SELECT n_a, x_a, n_b, x_b,
+        |  CAST(x_a AS DOUBLE) / n_a AS rate_a,
+        |  CAST(x_b AS DOUBLE) / n_b AS rate_b,
+        |  CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS p FROM s),
+        |z AS (SELECT *, rate_b - rate_a AS lift,
+        |  sqrt(rate_a * (1.0 - rate_a) / n_a
+        |    + rate_b * (1.0 - rate_b) / n_b) AS se FROM r)
+        |SELECT n_a, x_a, round(rate_a, 6) AS rate_a,
+        |  n_b, x_b, round(rate_b, 6) AS rate_b,
+        |  round(lift, 6) AS lift,
+        |  round(lift / sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)), 4) AS z,
+        |  round(lift - 1.96 * se, 6) AS ci_lo,
+        |  round(lift + 1.96 * se, 6) AS ci_hi
+        |FROM z""".stripMargin,
+
+    "g_cuped" ->
+      s"""WITH per AS (
+         |  SELECT user_id, 'arm_' || CAST(user_id % 2 AS VARCHAR) AS arm,
+         |    coalesce(sum(value) FILTER (WHERE epoch_us(ts) < $cutUs), 0.0) AS x,
+         |    coalesce(sum(value) FILTER (WHERE epoch_us(ts) >= $cutUs), 0.0) AS y
+         |  FROM events GROUP BY 1, 2),
+         |g AS (SELECT covar_pop(x, y) AS cxy, var_pop(x) AS vx,
+         |        avg(x) AS mx FROM per),
+         |t AS (SELECT CASE WHEN vx > 0 THEN cxy / vx ELSE 0.0 END AS theta,
+         |        mx FROM g),
+         |adj AS (SELECT arm, y, y - theta * (x - mx) AS yadj, theta
+         |        FROM per CROSS JOIN t)
+         |SELECT arm, count(*) AS n, round(avg(y), 4) AS mean_y,
+         |  round(avg(yadj), 4) AS mean_y_adj,
+         |  round(var_samp(y), 2) AS var_y,
+         |  round(var_samp(yadj), 2) AS var_y_adj,
+         |  round(any_value(theta), 6) AS theta,
+         |  round(CASE WHEN var_samp(y) > 0
+         |    THEN 1.0 - var_samp(yadj) / var_samp(y) END, 6) AS var_reduction
+         |FROM adj GROUP BY arm ORDER BY arm""".stripMargin,
+
+    "g_did" ->
+      s"""WITH s AS (SELECT
+         |  avg(value)      FILTER (WHERE user_id % 2 = 0 AND epoch_us(ts) < $cutUs) AS m_c0,
+         |  var_samp(value) FILTER (WHERE user_id % 2 = 0 AND epoch_us(ts) < $cutUs) AS v_c0,
+         |  count(value)    FILTER (WHERE user_id % 2 = 0 AND epoch_us(ts) < $cutUs) AS n_c0,
+         |  avg(value)      FILTER (WHERE user_id % 2 = 0 AND epoch_us(ts) >= $cutUs) AS m_c1,
+         |  var_samp(value) FILTER (WHERE user_id % 2 = 0 AND epoch_us(ts) >= $cutUs) AS v_c1,
+         |  count(value)    FILTER (WHERE user_id % 2 = 0 AND epoch_us(ts) >= $cutUs) AS n_c1,
+         |  avg(value)      FILTER (WHERE user_id % 2 = 1 AND epoch_us(ts) < $cutUs) AS m_t0,
+         |  var_samp(value) FILTER (WHERE user_id % 2 = 1 AND epoch_us(ts) < $cutUs) AS v_t0,
+         |  count(value)    FILTER (WHERE user_id % 2 = 1 AND epoch_us(ts) < $cutUs) AS n_t0,
+         |  avg(value)      FILTER (WHERE user_id % 2 = 1 AND epoch_us(ts) >= $cutUs) AS m_t1,
+         |  var_samp(value) FILTER (WHERE user_id % 2 = 1 AND epoch_us(ts) >= $cutUs) AS v_t1,
+         |  count(value)    FILTER (WHERE user_id % 2 = 1 AND epoch_us(ts) >= $cutUs) AS n_t1
+         |  FROM events),
+         |d AS (SELECT *, (m_t1 - m_t0) - (m_c1 - m_c0) AS did,
+         |  sqrt(v_t1 / n_t1 + v_t0 / n_t0 + v_c1 / n_c1 + v_c0 / n_c0) AS se
+         |  FROM s)
+         |SELECT round(m_c0, 4) AS m_c0, round(m_c1, 4) AS m_c1,
+         |  round(m_t0, 4) AS m_t0, round(m_t1, 4) AS m_t1,
+         |  n_c0, n_c1, n_t0, n_t1,
+         |  round(did, 4) AS did, round(se, 4) AS se,
+         |  round(did - 1.96 * se, 4) AS ci_lo,
+         |  round(did + 1.96 * se, 4) AS ci_hi
+         |FROM d""".stripMargin,
+
+    "g_ols_per_group" ->
+      """WITH s AS (SELECT l_returnflag AS grp, count(*) AS n,
+        |    covar_samp(l_quantity, l_extendedprice) AS cxy,
+        |    var_samp(l_quantity) AS vx, var_samp(l_extendedprice) AS vy,
+        |    avg(l_quantity) AS mx, avg(l_extendedprice) AS my
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT grp, n,
+        |  round(CASE WHEN vx > 0 THEN cxy / vx END, 4) AS slope,
+        |  round(my - (CASE WHEN vx > 0 THEN cxy / vx END) * mx, 4) AS intercept,
+        |  round(CASE WHEN vx > 0 AND vy > 0
+        |    THEN cxy * cxy / (vx * vy) END, 6) AS r2
+        |FROM s ORDER BY grp""".stripMargin,
+
+    "g_nelson_aalen" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000
+        |      AS BIGINT) AS dur_h,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 0 AS event
+        |  FROM events GROUP BY 1),
+        |byt AS (SELECT CAST(dur_h AS DOUBLE) AS t,
+        |    sum(CASE WHEN event THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN event THEN 0 ELSE 1 END) AS c
+        |  FROM per GROUP BY 1),
+        |w AS (SELECT t, d, c,
+        |    sum(d + c) OVER () - coalesce(sum(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byt),
+        |s AS (SELECT t, d, c, n_risk,
+        |    round(sum(CAST(d AS DOUBLE) / n_risk)
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6) AS h,
+        |    sum(CAST(d AS DOUBLE)
+        |        / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)))
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS v
+        |  FROM w)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+        |  h AS cum_hazard, round(sqrt(v), 6) AS se,
+        |  round(exp(-h), 6) AS survival_fh
+        |FROM s WHERE d > 0 ORDER BY t""".stripMargin,
+
+    "dq_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |o AS (SELECT digit, count(*) AS n_obs FROM d
+        |      WHERE digit >= 1 GROUP BY 1),
+        |sp AS (SELECT CAST(r AS INT) AS digit,
+        |         log10(1.0 + 1.0 / r) AS p_exp
+        |       FROM (SELECT unnest(range(1, 10)) AS r)),
+        |j AS (SELECT sp.digit, coalesce(n_obs, 0) AS n_obs, p_exp
+        |      FROM sp LEFT JOIN o USING (digit)),
+        |w AS (SELECT *, CAST(sum(n_obs) OVER () AS DOUBLE) AS n FROM j),
+        |c AS (SELECT *,
+        |        (n_obs - n * p_exp) * (n_obs - n * p_exp) / (n * p_exp)
+        |          AS contrib
+        |      FROM w)
+        |SELECT CAST(digit AS BIGINT) AS digit, n_obs,
+        |  round(p_exp, 6) AS p_exp, round(n_obs / n, 6) AS share,
+        |  round(contrib, 4) AS contrib,
+        |  round(sum(contrib) OVER (), 2) AS chi2
+        |FROM c ORDER BY digit""".stripMargin
+  )
+}
