@@ -24,6 +24,7 @@ object SparkEntry {
     (JoinQueries.queries, JoinQueries.oracle),
     (AnalyticsQueries.queries, AnalyticsQueries.oracle),
     (ExperimentQueries.queries, ExperimentQueries.oracle),
+    (SelectionQueries.queries, SelectionQueries.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -176,4 +176,46 @@ object Experiment {
         col("__cxy") * col("__cxy") / (col("__vx") * col("__vy"))))
       .select(col("grp"), col("n"), col("slope"), col("intercept"),
         col("r2"))
+
+  /** Inverse-propensity-weighted ATE with a saturated (cell-level)
+    * propensity model — stratification on discrete pre-treatment
+    * covariates (Horvitz & Thompson 1952; Rosenbaum & Rubin 1983). With
+    * cell propensities ê_c = n_{t,c}/n_c the Hájek and HT estimators
+    * coincide and collapse to pure cell algebra:
+    * μ̂₁ = Σ_c (Σ y·t)_c · n_c/n_{t,c} / N over OVERLAP cells (cells with
+    * both arms present); no-overlap cells are dropped and counted — the
+    * positivity violation a causal readout must report, never hide.
+    *
+    * Scale shape: ONE cell-level aggregation over the raw rows, then
+    * the estimator combines the bounded cell table — no join back, no
+    * per-row weights materialized. Returns one row: totals, overlap
+    * diagnostics, μ̂₁/μ̂₀, and the ATE.
+    */
+  def ipwAte(df: DataFrame, treated: Column, y: Column,
+      cells: Seq[Column]): DataFrame = {
+    require(cells.nonEmpty, "ipwAte: need at least one covariate cell")
+    val t = treated.cast("boolean")
+    val byCell = df
+      .groupBy(cells.zipWithIndex.map { case (c, i) => c.as(s"__c$i") }: _*)
+      .agg(count(lit(1)).as("n_c"),
+        sum(when(t, 1L).otherwise(0L)).as("nt_c"),
+        coalesce(sum(when(t, y)), lit(0.0)).as("syt_c"),
+        coalesce(sum(when(!t, y)), lit(0.0)).as("syc_c"))
+    val overlap = col("nt_c") > 0 && col("nt_c") < col("n_c")
+    byCell.agg(
+        sum(col("n_c")).as("n_total"),
+        count(lit(1)).as("n_cells"),
+        sum(when(overlap, col("n_c")).otherwise(0L)).as("n_overlap"),
+        sum(when(!overlap, 1L).otherwise(0L)).as("n_cells_dropped"),
+        coalesce(sum(when(overlap, col("syt_c")
+          * col("n_c").cast("double") / col("nt_c"))), lit(0.0)).as("__s1"),
+        coalesce(sum(when(overlap, col("syc_c")
+          * col("n_c").cast("double") / (col("n_c") - col("nt_c")))),
+          lit(0.0)).as("__s0"))
+      .withColumn("mu1", col("__s1") / col("n_overlap"))
+      .withColumn("mu0", col("__s0") / col("n_overlap"))
+      .withColumn("ate", col("mu1") - col("mu0"))
+      .select(col("n_total"), col("n_cells"), col("n_overlap"),
+        col("n_cells_dropped"), col("mu1"), col("mu0"), col("ate"))
+  }
 }

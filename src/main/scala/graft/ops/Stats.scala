@@ -2156,4 +2156,66 @@ object Stats {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.toDF("step_idx", "step", "n_entities", "conversion")
   }
+
+  /** Word2vec-style unigram^(3/4) negative sampling (Mikolov et al.
+    * 2013, "Distributed Representations of Words and Phrases"): k
+    * deterministic negative tokens per anchor row, drawn from the
+    * count^0.75-tempered distribution over the top-`vocabSize` corpus
+    * vocabulary. The contrastive-pair factory for embedding training —
+    * and fully replayable: draws come from [[IntHash.mix]](seed, id,
+    * slot), never rand(), so retries, engines, and partitionings agree.
+    *
+    * Exactness across engines: the weight cnt^0.75 is computed as
+    * sqrt(cnt·sqrt(cnt)) — two IEEE-754 *correctly-rounded* sqrts and
+    * one multiply, bit-identical in any engine (pow/exp/ln are NOT
+    * correctly rounded and may differ at the last ulp) — then quantized
+    * to an integer grid, so the CDF, the modulus, and the bucket lookup
+    * are pure integer arithmetic with zero boundary risk.
+    *
+    * Scale shape: the corpus collapses to the bounded top-V CDF (one
+    * token-count aggregation; the collect is ≤ vocabSize rows — the
+    * centroid-style bounded fit), then sampling is a pure per-row map:
+    * hash → mod → O(V) lookup against the broadcast literal CDF, no
+    * join, no shuffle. For V beyond ~10⁴ swap the linear `filter` scan
+    * for a binary-search native expression; the CDF stays broadcast
+    * either way. */
+  def negativeSample(corpus: DataFrame, text: Column, anchors: DataFrame,
+      id: Column, vocabSize: Int, k: Int, seed: Long): DataFrame = {
+    require(vocabSize >= 1 && vocabSize <= 65536,
+      s"negativeSample: vocabSize $vocabSize outside [1, 65536]")
+    require(k >= 1 && k <= 1024, s"negativeSample: k $k outside [1, 1024]")
+    val toks = corpus
+      .select(explode(split(trim(text), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+    val wExact = sqrt(col("cnt").cast("double")
+      * sqrt(col("cnt").cast("double")))
+    val byW = Window.orderBy(col("cnt").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(vocabSize)
+      .withColumn("w", round(wExact * lit(1024L)).cast("long"))
+      .withColumn("hi", sum("w").over(byW))
+      .withColumn("lo", col("hi") - col("w"))
+      .select("token", "lo", "hi")
+      .orderBy("lo")
+      .collect() // bounded: ≤ vocabSize rows (the fitted model)
+    require(cdf.nonEmpty, "negativeSample: empty vocabulary")
+    val total = cdf.last.getAs[Long]("hi")
+    require(total > 0 && total < IntHash.M,
+      s"negativeSample: CDF total $total outside (0, 2^31) — lower the " +
+        "weight quantization grid or vocabSize (or widen the draw to two " +
+        "chained hashes)")
+    val los = cdf.map(_.getAs[Long]("lo"))
+    val tokens = cdf.map(_.getAs[String]("token"))
+    anchors
+      .select(id.as("id"))
+      .withColumn("__slot", explode(sequence(lit(1), lit(k))))
+      .withColumn("slot", col("__slot").cast("long"))
+      .withColumn("__u", pmod(
+        IntHash.mix(lit(seed), Seq(col("id"), col("slot"))), lit(total)))
+      // index = #{lo ≤ u} (los ascending, u < total ⇒ 1-based index ≤ V)
+      .withColumn("neg_token", element_at(typedLit(tokens),
+        size(filter(typedLit(los), l => l <= col("__u"))).cast("int")))
+      .select(col("id"), col("slot"), col("neg_token"))
+  }
 }

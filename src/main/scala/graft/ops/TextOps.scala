@@ -1952,4 +1952,44 @@ object TextOps {
       .withColumn("pad_tokens", col("pad_to") - col("n_tokens"))
       .drop("__shard")
   }
+
+  /** Moore–Lewis cross-entropy-difference data selection (Moore & Lewis
+    * 2010, "Intelligent Selection of Language Model Training Data"): per
+    * doc, mean token log-probability under an IN-DOMAIN add-1 unigram LM
+    * minus the same under the OUT-domain LM — positive scores mark
+    * general-pool docs that look like the target domain. The classic
+    * cheap domain-selection filter before training a real classifier.
+    *
+    * Both LMs smooth add-1 over the JOINT corpus vocabulary (V shared),
+    * so their log-probs are comparable and no token is OOV to either.
+    *
+    * Scale shape: ONE tokenize pass; both models\' counts come from the
+    * same token aggregation (in/out conditional sums — adding a model
+    * adds a column, not a scan); one scalar totals row; one token-keyed
+    * join back (AQE broadcasts the vocab when it fits) and one per-doc
+    * aggregation. Returns (id, n_tokens, avg_logp_in, avg_logp_out,
+    * ml_score); zero-token docs drop out. */
+  def crossEntropyDiff(df: DataFrame, id: String, text: Column,
+      inDomain: Column): DataFrame = {
+    val toks = df
+      .select(col(id), inDomain.as("__in"),
+        explode(split(trim(text), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+    val counts = toks.groupBy("token").agg(
+      sum(when(col("__in"), 1L).otherwise(0L)).as("c_in"),
+      sum(when(!col("__in"), 1L).otherwise(0L)).as("c_out"))
+    val t = counts.agg(sum("c_in"), sum("c_out"), count(lit(1))).head()
+    val (nIn, nOut, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    require(nIn > 0 && nOut > 0,
+      "crossEntropyDiff: both domains need at least one token")
+    val logp = counts.select(col("token"),
+      log((col("c_in") + 1.0) / lit((nIn + v).toDouble)).as("__lp_in"),
+      log((col("c_out") + 1.0) / lit((nOut + v).toDouble)).as("__lp_out"))
+    toks.join(logp, "token")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg("__lp_in").as("avg_logp_in"),
+        avg("__lp_out").as("avg_logp_out"))
+      .withColumn("ml_score", col("avg_logp_in") - col("avg_logp_out"))
+  }
 }

@@ -106,6 +106,17 @@ object ExperimentQueries {
       Stats.nelsonAalen(per, col("dur_h"), col("event"))
     }),
 
+    "g_ipw_ate" -> ((s, dir) =>
+      // Stratified IPW ATE: treated = odd users, outcome = value, cells
+      // = event_type × user-bucket (35 cells; single-arm cells drop and
+      // are counted — the positivity diagnostic).
+      Experiment.ipwAte(table(s, dir, "events"),
+          pmod(col("user_id"), lit(2)) === 1, col("value"),
+          Seq(col("event_type"), pmod(col("user_id"), lit(7))))
+        .select(col("n_total"), col("n_cells"), col("n_overlap"),
+          col("n_cells_dropped"), round(col("mu1"), 4).as("mu1"),
+          round(col("mu0"), 4).as("mu0"), round(col("ate"), 4).as("ate"))),
+
     "dq_benford" -> ((s, dir) =>
       // Fabrication screen on lineitem amounts: first-digit law with
       // integer-exact digit extraction (cents-string, never float log).
@@ -256,6 +267,29 @@ object ExperimentQueries {
         |  h AS cum_hazard, round(sqrt(v), 6) AS se,
         |  round(exp(-h), 6) AS survival_fh
         |FROM s WHERE d > 0 ORDER BY t""".stripMargin,
+
+    "g_ipw_ate" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id % 7 AS ub, count(*) AS n_c,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS nt_c,
+        |    coalesce(sum(value) FILTER (WHERE user_id % 2 = 1), 0.0) AS syt_c,
+        |    coalesce(sum(value) FILTER (WHERE user_id % 2 = 0), 0.0) AS syc_c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT CAST(sum(n_c) AS BIGINT) AS n_total,
+        |    count(*) AS n_cells,
+        |    CAST(sum(CASE WHEN nt_c > 0 AND nt_c < n_c THEN n_c ELSE 0 END)
+        |      AS BIGINT) AS n_overlap,
+        |    CAST(sum(CASE WHEN nt_c > 0 AND nt_c < n_c THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_cells_dropped,
+        |    sum(CASE WHEN nt_c > 0 AND nt_c < n_c
+        |      THEN syt_c * n_c / nt_c ELSE 0 END) AS s1,
+        |    sum(CASE WHEN nt_c > 0 AND nt_c < n_c
+        |      THEN syc_c * n_c / (n_c - nt_c) ELSE 0 END) AS s0
+        |  FROM c)
+        |SELECT n_total, n_cells, n_overlap, n_cells_dropped,
+        |  round(s1 / n_overlap, 4) AS mu1, round(s0 / n_overlap, 4) AS mu0,
+        |  round(s1 / n_overlap - s0 / n_overlap, 4) AS ate
+        |FROM s""".stripMargin,
 
     "dq_benford" ->
       """WITH d AS (

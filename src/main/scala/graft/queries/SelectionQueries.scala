@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Graph, IntHash, Stats, TextOps}
+import graft.queries.Q._
+
+/** Data-selection surface: Moore–Lewis cross-entropy domain selection,
+  * deterministic unigram^0.75 negative sampling, and neighborhood link
+  * prediction. All hash-oracled against DuckDB twins (the negative
+  * sampler replays its IntHash draws and integer CDF exactly).
+  */
+object SelectionQueries {
+
+  /** DuckDB whitespace tokenizer matching Spark's
+    * `split(trim(text), "\\s+")` + empty filter. */
+  private val duckToks =
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+  val queries: Map[String, QueryFn] = Map(
+    "text_moore_lewis" -> ((s, dir) =>
+      // Domain selection: in-domain = src0 docs, general pool = the
+      // rest; both add-1 unigram LMs share the joint vocabulary. Docs
+      // with positive ml_score look like src0.
+      TextOps.crossEntropyDiff(table(s, dir, "documents"), "doc_id",
+          col("text"), col("source") === "src0")
+        .where(col("doc_id") < 150)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logp_in"), 6).as("avg_logp_in"),
+          round(col("avg_logp_out"), 6).as("avg_logp_out"),
+          round(col("ml_score"), 6).as("ml_score"))
+        .orderBy("doc_id")),
+
+    "sample_negatives" -> ((s, dir) => {
+      // 4 deterministic negatives per anchor doc from the top-64
+      // count^0.75 vocabulary — hash-replayed draws, integer CDF.
+      val docs = table(s, dir, "documents")
+      Stats.negativeSample(docs, col("text"),
+          docs.where(col("doc_id") < 200), col("doc_id"),
+          vocabSize = 64, k = 4, seed = 7L)
+        .orderBy("id", "slot")
+    }),
+
+    "graph_linkpred" -> ((s, dir) => {
+      // Missing-edge candidates on the 40-node pagerank graph: top
+      // pairs by shared neighborhood, with Adamic–Adar and Jaccard.
+      val edges = table(s, dir, "events").where(col("event_id") < 3000)
+        .select((col("user_id") % 40).as("u"),
+          ((col("user_id") % 40 + 1 + col("event_id") % 11) % 40).as("v"))
+        .distinct()
+      Graph.linkPrediction(edges, "u", "v")
+        .select(col("a"), col("b"), col("common_neighbors"),
+          round(col("adamic_adar"), 6).as("adamic_adar"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("common_neighbors").desc, col("a"), col("b"))
+        .limit(60)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_moore_lewis" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source = 'src0' AS ind,
+         |         unnest($duckToks) AS token
+         |  FROM documents),
+         |c AS (SELECT token,
+         |        sum(CASE WHEN ind THEN 1 ELSE 0 END) AS c_in,
+         |        sum(CASE WHEN ind THEN 0 ELSE 1 END) AS c_out
+         |      FROM toks GROUP BY 1),
+         |t AS (SELECT CAST(sum(c_in) AS BIGINT) AS n_in,
+         |        CAST(sum(c_out) AS BIGINT) AS n_out,
+         |        count(*) AS v FROM c),
+         |lp AS (SELECT token,
+         |         ln((c_in + 1.0) / (n_in + v)) AS lp_in,
+         |         ln((c_out + 1.0) / (n_out + v)) AS lp_out
+         |       FROM c CROSS JOIN t),
+         |sc AS (SELECT doc_id, count(*) AS n_tokens,
+         |         avg(lp_in) AS a_in, avg(lp_out) AS a_out
+         |       FROM toks JOIN lp USING (token) GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  round(a_in, 6) AS avg_logp_in, round(a_out, 6) AS avg_logp_out,
+         |  round(a_in - a_out, 6) AS ml_score
+         |FROM sc WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    "sample_negatives" -> {
+      val u = IntHash.mixSql("7", Seq("id", "slot"))
+      s"""WITH toks AS (SELECT unnest($duckToks) AS token FROM documents),
+         |cnt AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+         |v AS (SELECT token, cnt,
+         |        CAST(round(sqrt(cnt * sqrt(cnt)) * 1024) AS BIGINT) AS w
+         |      FROM cnt ORDER BY cnt DESC, token LIMIT 64),
+         |c AS (SELECT token,
+         |        CAST(sum(w) OVER (ORDER BY cnt DESC, token
+         |          ROWS UNBOUNDED PRECEDING) - w AS BIGINT) AS lo,
+         |        CAST(sum(w) OVER (ORDER BY cnt DESC, token
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+         |      FROM v),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM v),
+         |anchors AS (SELECT doc_id AS id FROM documents WHERE doc_id < 200),
+         |slots AS (SELECT id, CAST(j AS BIGINT) AS slot
+         |          FROM anchors CROSS JOIN
+         |            (SELECT unnest(range(1, 5)) AS j)),
+         |draws AS (SELECT id, slot, ($u) % total AS u
+         |          FROM slots CROSS JOIN tot)
+         |SELECT id, slot, c.token AS neg_token
+         |FROM draws JOIN c ON u >= lo AND u < hi
+         |ORDER BY id, slot""".stripMargin
+    },
+
+    "graph_linkpred" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT
+        |    least(user_id % 40, (user_id % 40 + 1 + event_id % 11) % 40) AS a,
+        |    greatest(user_id % 40, (user_id % 40 + 1 + event_id % 11) % 40) AS b
+        |  FROM events WHERE event_id < 3000),
+        |und AS (SELECT a, b FROM e0 WHERE a <> b),
+        |adj AS (SELECT a AS node, b AS nbr FROM und
+        |        UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+        |cen AS (SELECT adj.node, adj.nbr, deg.deg
+        |        FROM adj JOIN deg USING (node) WHERE deg <= 10000),
+        |wed AS (SELECT c1.node, c1.nbr AS pa, c2.nbr AS pb, c1.deg
+        |        FROM cen c1 JOIN cen c2
+        |          ON c1.node = c2.node AND c1.nbr < c2.nbr),
+        |sc AS (SELECT pa AS a, pb AS b, count(*) AS common_neighbors,
+        |         sum(1.0 / ln(CAST(deg AS DOUBLE))) AS aa
+        |       FROM wed GROUP BY 1, 2),
+        |ne AS (SELECT * FROM sc WHERE NOT EXISTS (
+        |         SELECT 1 FROM und WHERE und.a = sc.a AND und.b = sc.b)),
+        |j AS (SELECT ne.a, ne.b, ne.common_neighbors, ne.aa,
+        |        da.deg AS dda, db.deg AS ddb
+        |      FROM ne JOIN deg da ON da.node = ne.a
+        |              JOIN deg db ON db.node = ne.b)
+        |SELECT a, b, common_neighbors, round(aa, 6) AS adamic_adar,
+        |  round(CAST(common_neighbors AS DOUBLE)
+        |    / (dda + ddb - common_neighbors), 6) AS jaccard
+        |FROM j ORDER BY common_neighbors DESC, a, b LIMIT 60""".stripMargin
+  )
+}
