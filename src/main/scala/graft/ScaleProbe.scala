@@ -1168,6 +1168,82 @@ object ScaleProbe {
           f"max |mean wobble| = $meanWobble%.3e")
         require(axesBitEqual, "partitioning moved the snapped axes")
         require(meanWobble < 1e-9, s"mean wobble $meanWobble above the 4-dp-invisible bound")
+      case "experiment" =>
+        // The round-10 experimentation family at scale: n raw events,
+        // n/10 units, arms by unit parity, 35 covariate cells. Every op
+        // is one keyed aggregation (+ a bounded-frame epilogue), so the
+        // cost must track the plain groupBy baseline, not exceed it.
+        val ev = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(n / 10)).as("user_id"),
+          pmod(xxhash64(col("id"), lit(1)), lit(5)).as("etype"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(100000)) / 100.0).as("value"),
+          (pmod(xxhash64(col("id"), lit(3)), lit(2)) === 0).as("post"))
+        ev.count()
+        time(s"srmCheck n=$n arms=3")(
+          graft.ops.Experiment.srmCheck(ev,
+            concat(lit("arm_"), pmod(col("user_id"), lit(3))),
+            Seq("arm_0" -> 1.0, "arm_1" -> 1.0, "arm_2" -> 1.0)).collect())
+        time(s"ipwAte n=$n cells=35")(
+          graft.ops.Experiment.ipwAte(ev, pmod(col("user_id"), lit(2)) === 1,
+            col("value"),
+            Seq(col("etype"), pmod(col("user_id"), lit(7)))).collect())
+        time(s"diffInDiff n=$n")(
+          graft.ops.Experiment.diffInDiff(ev,
+            pmod(col("user_id"), lit(2)) === 1, col("post"),
+            col("value")).collect())
+        time(s"cuped n=$n units=${n / 10}") {
+          val per = ev.groupBy("user_id").agg(
+            coalesce(sum(when(col("post"), col("value"))), lit(0.0)).as("y"),
+            coalesce(sum(when(!col("post"), col("value"))), lit(0.0)).as("x"))
+            .withColumn("arm", pmod(col("user_id"), lit(2)))
+          graft.ops.Experiment.cuped(per, col("arm"), col("x"), col("y"))
+            .collect()
+        }
+        time(s"olsPerGroup n=$n groups=5")(
+          graft.ops.Experiment.olsPerGroup(ev, col("etype"),
+            col("value"), col("user_id").cast("double")).collect())
+      case "negsample" =>
+        // Negative sampling's two phases measured apart: the bounded
+        // vocab/CDF fit over 1M docs (4096-word vocabulary so the
+        // binary-search depth is real), then the pure per-row map
+        // (hash → mod → log V CdfIndex lookup) over n anchors — the
+        // phase that runs at corpus scale and must stay shuffle-free.
+        val corpus = spark.range(1000000L).select(col("id"),
+          array_join(transform(sequence(lit(0), lit(29)), i =>
+            concat(lit("w"), pmod(xxhash64(col("id"), i), lit(4096)))), " ")
+            .as("text"))
+        corpus.count()
+        val anchors = spark.range(n).select(col("id"))
+        anchors.count()
+        time(s"negativeSample fit+draws anchors=$n V=4096 k=5")(
+          Stats.negativeSample(corpus, col("text"), anchors, col("id"),
+              vocabSize = 4096, k = 5, seed = 7L, grid = 64L)
+            .agg(count(lit(1)), countDistinct(col("neg_token"))).collect())
+      case "moorelewis" =>
+        // Moore–Lewis at n docs: one tokenize pass, conditional count
+        // table, one token join back. in-domain = 10% of docs.
+        val d = docs(n)
+        d.count()
+        time(s"crossEntropyDiff n=$n")(
+          graft.ops.TextOps.crossEntropyDiff(d, "id", col("text"),
+              pmod(col("id"), lit(10)) === 0)
+            .agg(avg("ml_score"), count(lit(1))).collect())
+      case "linkpred" =>
+        // Wedge-join link prediction on an n-edge bounded-degree graph
+        // (ring + hash chords over n/10 nodes, degree ~20) plus one
+        // 50k-degree hub, with and without the hub cut — the cut must
+        // remove the quadratic wedge blow-up, not just relabel it.
+        val nodes = n / 10
+        val base = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(nodes)).as("s"),
+          pmod(xxhash64(col("id"), lit(1)), lit(nodes)).as("d"))
+        val hub = spark.range(50000).select(lit(nodes).as("s"),
+          pmod(xxhash64(col("id"), lit(2)), lit(nodes)).as("d"))
+        val edges = base.unionAll(hub).where(col("s") =!= col("d"))
+        edges.count()
+        time(s"linkPrediction edges=$n+hub maxDegree=1000")(
+          graft.ops.Graph.linkPrediction(edges, "s", "d", maxDegree = 1000)
+            .agg(count(lit(1)), max("common_neighbors")).collect())
       case other => sys.error(s"unknown probe op: $other")
     }
     spark.stop()

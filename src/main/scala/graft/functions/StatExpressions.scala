@@ -29,6 +29,8 @@ object StatShim {
       ExpressionUtils.expression(b)))
   def poissonWeightsCol(key: Column, seed: Long, b: Int): Column =
     ExpressionUtils.column(PoissonWeights(ExpressionUtils.expression(key), seed, b))
+  def cdfIndexCol(u: Column, los: Array[Long]): Column =
+    ExpressionUtils.column(CdfIndex(ExpressionUtils.expression(u), los))
 }
 
 object BetaInvImpl {
@@ -113,4 +115,50 @@ case class BetaInv(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): BetaInv =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object CdfIndexImpl {
+  /** 1-based bucket index for a draw u against the ascending exclusive
+    * lower bounds `los`: index = #{lo ≤ u} (the upper-bound binary
+    * search). Identical by definition to the declarative
+    * `size(filter(los, lo -> lo <= u))` linear scan — O(log V) instead
+    * of O(V) per draw. */
+  def find(u: Long, los: Array[Long]): Int = {
+    var a = 0
+    var b = los.length
+    while (a < b) {
+      val m = (a + b) >>> 1
+      if (los(m) <= u) a = m + 1 else b = m
+    }
+    a
+  }
+}
+
+/** Binary-search CDF bucket lookup — the scale path of
+  * [[graft.ops.Stats.negativeSample]]'s tempered-unigram draw: the
+  * bounded CDF rides the plan as a reference object (one copy per
+  * executor, not per row), and each draw costs log₂ V compares inside
+  * whole-stage codegen. The declarative higher-order-function form
+  * walks the interpreted lambda evaluator once per CDF entry per draw —
+  * bit-identical results, ~V/log V times the work (measured: V = 4096
+  * made 500M draws crawl; this expression sustains them). */
+case class CdfIndex(child: Expression, los: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(los.nonEmpty, "CdfIndex: empty CDF")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_cdf_index"
+
+  override def nullSafeEval(u: Any): Any =
+    CdfIndexImpl.find(u.asInstanceOf[Long], los)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdfLos", los, "long[]")
+    nullSafeCodeGen(ctx, ev, u =>
+      s"${ev.value} = org.apache.spark.sql.graft.CdfIndexImpl.find($u, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdfIndex =
+    copy(child = newChild)
 }

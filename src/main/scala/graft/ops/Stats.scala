@@ -2180,10 +2180,13 @@ object Stats {
     * for a binary-search native expression; the CDF stays broadcast
     * either way. */
   def negativeSample(corpus: DataFrame, text: Column, anchors: DataFrame,
-      id: Column, vocabSize: Int, k: Int, seed: Long): DataFrame = {
+      id: Column, vocabSize: Int, k: Int, seed: Long,
+      grid: Long = 1024L): DataFrame = {
     require(vocabSize >= 1 && vocabSize <= 65536,
       s"negativeSample: vocabSize $vocabSize outside [1, 65536]")
     require(k >= 1 && k <= 1024, s"negativeSample: k $k outside [1, 1024]")
+    require(grid >= 1 && grid <= (1L << 20),
+      s"negativeSample: grid $grid outside [1, 2^20]")
     val toks = corpus
       .select(explode(split(trim(text), "\\s+")).as("token"))
       .where(length(col("token")) > 0)
@@ -2193,7 +2196,7 @@ object Stats {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cdf = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(vocabSize)
-      .withColumn("w", round(wExact * lit(1024L)).cast("long"))
+      .withColumn("w", round(wExact * lit(grid)).cast("long"))
       .withColumn("hi", sum("w").over(byW))
       .withColumn("lo", col("hi") - col("w"))
       .select("token", "lo", "hi")
@@ -2202,9 +2205,9 @@ object Stats {
     require(cdf.nonEmpty, "negativeSample: empty vocabulary")
     val total = cdf.last.getAs[Long]("hi")
     require(total > 0 && total < IntHash.M,
-      s"negativeSample: CDF total $total outside (0, 2^31) — lower the " +
-        "weight quantization grid or vocabSize (or widen the draw to two " +
-        "chained hashes)")
+      s"negativeSample: CDF total $total outside (0, 2^31) — lower `grid` " +
+        "(quantization granularity vs draw-range trade) or vocabSize, or " +
+        "widen the draw to two chained hashes")
     val los = cdf.map(_.getAs[Long]("lo"))
     val tokens = cdf.map(_.getAs[String]("token"))
     anchors
@@ -2213,9 +2216,12 @@ object Stats {
       .withColumn("slot", col("__slot").cast("long"))
       .withColumn("__u", pmod(
         IntHash.mix(lit(seed), Seq(col("id"), col("slot"))), lit(total)))
-      // index = #{lo ≤ u} (los ascending, u < total ⇒ 1-based index ≤ V)
+      // index = #{lo ≤ u} (los ascending, u < total ⇒ 1-based index ≤ V):
+      // native binary search (log V per draw, codegen'd); the
+      // declarative filter-count twin is definitionally identical but
+      // walks the interpreted lambda once per CDF entry per draw
       .withColumn("neg_token", element_at(typedLit(tokens),
-        size(filter(typedLit(los), l => l <= col("__u"))).cast("int")))
+        org.apache.spark.sql.graft.StatShim.cdfIndexCol(col("__u"), los)))
       .select(col("id"), col("slot"), col("neg_token"))
   }
 }
