@@ -461,4 +461,60 @@ object Graph {
       .select(col("a"), col("b"), col("common_neighbors"),
         col("adamic_adar"), col("jaccard"))
   }
+
+  /** Deterministic uniform random walks (the DeepWalk/node2vec p=q=1
+    * corpus generator — Perozzi et al. 2014): `walksPerNode` walks of up
+    * to `walkLen` steps from every node, each step choosing the idx-th
+    * out-neighbor (neighbors ranked by id) with
+    * idx = IntHash.mix(seed, start, walk, step, current) mod out-degree.
+    * No rand(): retries, partitionings, and engines replay the same
+    * walks. Walks stop early at sinks (no out-edges). Returns one row
+    * per visited position: (start, walk, step, node).
+    *
+    * Scale shape: the adjacency (deduped, rank-indexed — one window per
+    * node's neighbor list) is built once; each step is ONE equi-join of
+    * the frontier against it on (current node, chosen rank) — walkLen
+    * bounded joins total, the pageRank iteration shape. The output is
+    * nodes × walksPerNode × (walkLen+1) rows, linear in the requested
+    * corpus. */
+  def randomWalks(edges: DataFrame, src: String, dst: String,
+      walkLen: Int, walksPerNode: Int, seed: Long): DataFrame = {
+    require(walkLen >= 1 && walkLen <= 128, "walkLen in [1, 128]")
+    require(walksPerNode >= 1 && walksPerNode <= 1024,
+      "walksPerNode in [1, 1024]")
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col(src).cast("long").as("u"),
+        col(dst).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val adj = e0.select(col("u").as("node"), col("v").as("nbr"))
+      .withColumn("idx", row_number()
+        .over(Window.partitionBy("node").orderBy("nbr")) - 1)
+      .localCheckpoint(false) // walkLen joins read it; build it once
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    val starts = e0.select(col("u").as("node"))
+      .unionAll(e0.select(col("v").as("node"))).distinct()
+    val s0 = starts
+      .withColumn("walk", explode(sequence(lit(1), lit(walksPerNode))))
+      .select(col("node").as("start"), col("walk").cast("long").as("walk"),
+        lit(0L).as("step"), col("node").as("cur"))
+    val steps = (1 to walkLen).scanLeft(s0) { (prev, t) =>
+      val frontier = prev.join(deg, col("cur") === deg("node")).drop("node")
+      frontier
+        .withColumn("__idx", pmod(graft.ops.IntHash.mix(lit(seed),
+          Seq(col("start"), col("walk"), lit(t.toLong), col("cur"))),
+          col("deg")))
+        .join(adj, frontier("cur") === adj("node")
+          && col("__idx") === adj("idx"))
+        .select(col("start"), col("walk"), lit(t.toLong).as("step"),
+          col("nbr").as("cur"))
+        // lazy checkpoint per step: step t feeds BOTH step t+1 and the
+        // final union — without it the union re-runs every prefix
+        // (O(walkLen²) joins instead of walkLen)
+        .localCheckpoint(false)
+    }
+    steps.reduce(_ unionAll _)
+      .select(col("start"), col("walk"), col("step"), col("cur").as("node"))
+  }
 }

@@ -227,4 +227,59 @@ object Sessionize extends Serializable {
         sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("__new")
   }
+
+  /** Last-touch conversion attribution — the standard marketing-
+    * analytics credit rule: each conversion event credits the most
+    * recent NON-conversion event of the same entity within `lookback`
+    * time units (same clock as `t`); conversions with no touch in the
+    * window report a null touch ("direct"). Ties at one timestamp break
+    * on the largest tie-break id — deterministic end to end.
+    *
+    * Shape: one window pass over (key, t, tie)-ordered events — the max
+    * over preceding rows of an encoded (ts, tie) key for touch rows
+    * (null-safe: max ignores the conversion rows' nulls), then ONE
+    * equi-join back on the encoded key to fetch the touch's label. At
+    * 100 TB both the window and the join are partitioned by the entity
+    * key — no global sort, no skew beyond the entity's own history.
+    * The (t, tie) pair is packed into one long, t·2²⁰ + tie, so the
+    * window max and the join key stay a single comparable integer; that
+    * needs t < 2⁴³ and 0 ≤ tie < 2²⁰ — epoch-MILLISECOND clocks fit to
+    * year 2248 (pass µs clocks as `t / 1000`), and violations raise at
+    * runtime rather than mis-attribute. Returns one row per conversion:
+    * (key, conv_t, conv_tie, value, touch_label, touch_t — null when
+    * unattributed). */
+  def lastTouchAttribution(df: DataFrame, key: Column, t: Column,
+      tie: Column, isConversion: Column, label: Column, value: Column,
+      lookback: Long): DataFrame = {
+    require(lookback > 0, "lookback must be > 0")
+    val base = df.select(key.as("k"), t.cast("long").as("t"),
+      tie.cast("long").as("tie"),
+      isConversion.cast("boolean").as("conv"), label.as("label"),
+      value.cast("double").as("value"))
+    val enc = when(
+      col("t") >= 0 && col("t") < lit(1L << 43)
+        && col("tie") >= 0 && col("tie") < lit(1L << 20),
+      col("t") * (1L << 20) + col("tie"))
+      .otherwise(raise_error(concat(lit("lastTouchAttribution: (t, tie) ("),
+        col("t"), lit(", "), col("tie"),
+        lit(") outside [0, 2^43) x [0, 2^20) — coarsen the clock (ms, " +
+          "not us) or wrap the tie-break"))))
+    val w = Window.partitionBy("k").orderBy(col("t"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val convs = base
+      .withColumn("__touch_enc", max(when(!col("conv"), enc)).over(w))
+      .where(col("conv"))
+    val touches = base.where(!col("conv"))
+      .select(col("k").as("__tk"), enc.as("__enc"),
+        col("label").as("touch_label"), col("t").as("touch_t"))
+    convs
+      .join(touches, col("k") === col("__tk")
+        && col("__touch_enc") === col("__enc"), "left")
+      .withColumn("in_window",
+        col("touch_t").isNotNull && col("t") - col("touch_t") <= lookback)
+      .select(col("k"), col("t").as("conv_t"), col("tie").as("conv_tie"),
+        col("value"),
+        when(col("in_window"), col("touch_label")).as("touch_label"),
+        when(col("in_window"), col("touch_t")).as("touch_t"))
+  }
 }

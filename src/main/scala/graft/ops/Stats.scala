@@ -2224,4 +2224,49 @@ object Stats {
         org.apache.spark.sql.graft.StatShim.cdfIndexCol(col("__u"), los)))
       .select(col("id"), col("slot"), col("neg_token"))
   }
+
+  /** Distribution-free confidence interval for a quantile from order
+    * statistics (the binomial/normal-approximation rank bracket —
+    * Conover 1999 §3.2): the q-quantile estimate is the ⌈nq⌉-th order
+    * statistic, the 95% CI is the pair of order statistics at ranks
+    * nq ± z·√(nq(1−q)), clamped to [1, n]. No distributional assumption
+    * — the error bar `g_grouped_quantiles`-style point estimates lack.
+    *
+    * Scale shape: ROC-collapse — rows collapse to the distinct-value
+    * count table in one aggregation; the cumulative rank walk and the
+    * three rank lookups run over that bounded table (for quantiles of
+    * already-bounded-cardinality columns this is exact at any row
+    * count; for continuous doubles at 100 TB, pre-round the value or
+    * use the KLL fit path like `g_winsorize_sketch`). */
+  def quantileCI(df: DataFrame, value: Column, q: Double,
+      z: Double = 1.96): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"quantileCI: q $q outside (0, 1)")
+    require(z > 0.0, "quantileCI: z must be > 0")
+    val byV = df.where(value.isNotNull)
+      .groupBy(value.cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ranked = byV
+      .withColumn("__cum", sum("__c").over(wCum))
+      .withColumn("__n", sum("__c").over(wAll))
+    val nq = col("__n") * lit(q)
+    val half = lit(z) * sqrt(col("__n") * lit(q) * lit(1.0 - q))
+    val rMid = ceil(nq).cast("long")
+    val rLo = greatest(lit(1L), floor(nq - half).cast("long"))
+    val rHi = least(col("__n"), ceil(nq + half).cast("long"))
+    // value at rank r = min distinct value whose cumulative count ≥ r
+    ranked.agg(
+      max(col("__n")).as("n"),
+      max(rLo).as("rank_lo"), max(rMid).as("rank_mid"),
+      max(rHi).as("rank_hi"),
+      min(when(col("__cum") >= rLo, col("__v"))).as("ci_lo"),
+      min(when(col("__cum") >= rMid, col("__v"))).as("estimate"),
+      min(when(col("__cum") >= rHi, col("__v"))).as("ci_hi"))
+      .withColumn("q", lit(q))
+      .select(col("q"), col("n"), col("rank_lo"), col("rank_mid"),
+        col("rank_hi"), col("ci_lo"), col("estimate"), col("ci_hi"))
+  }
 }

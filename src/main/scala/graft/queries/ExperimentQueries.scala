@@ -117,6 +117,27 @@ object ExperimentQueries {
           col("n_cells_dropped"), round(col("mu1"), 4).as("mu1"),
           round(col("mu0"), 4).as("mu0"), round(col("ate"), 4).as("ate"))),
 
+    "g_attribution" -> ((s, dir) => {
+      // Last-touch revenue attribution: purchases credit the latest
+      // non-purchase event of the same user within 24 h (ms clock);
+      // out-of-window purchases report 'direct'.
+      val ev = table(s, dir, "events")
+      graft.ops.Sessionize.lastTouchAttribution(ev, col("user_id"),
+          expr("ts div 1000"), pmod(col("event_id"), lit(1L << 20)),
+          col("event_type") === "purchase", col("event_type"),
+          col("value"), lookback = 86400000L)
+        .groupBy(coalesce(col("touch_label"), lit("direct")).as("touch"))
+        .agg(count(lit(1)).as("n_conversions"),
+          round(sum(col("value")), 4).as("revenue"))
+        .orderBy("touch")
+    }),
+
+    "g_quantile_ci" -> ((s, dir) =>
+      // Distribution-free p90 bracket on event value: order-statistic
+      // ranks nq ± z·sqrt(nq(1−q)) over the ROC-collapsed value table.
+      graft.ops.Stats.quantileCI(table(s, dir, "events"), col("value"),
+        q = 0.9)),
+
     "dq_benford" -> ((s, dir) =>
       // Fabrication screen on lineitem amounts: first-digit law with
       // integer-exact digit extraction (cents-string, never float log).
@@ -290,6 +311,56 @@ object ExperimentQueries {
         |  round(s1 / n_overlap, 4) AS mu1, round(s0 / n_overlap, 4) AS mu0,
         |  round(s1 / n_overlap - s0 / n_overlap, 4) AS ate
         |FROM s""".stripMargin,
+
+    "g_attribution" ->
+      """WITH base AS (
+        |  SELECT user_id AS k, epoch_us(ts) // 1000 AS t,
+        |    event_id % 1048576 AS tie, event_type = 'purchase' AS conv,
+        |    event_type AS label, value
+        |  FROM events),
+        |enc AS (SELECT *, t * 1048576 + tie AS e FROM base),
+        |wnd AS (SELECT k, t, tie, conv, value,
+        |    max(CASE WHEN NOT conv THEN e END) OVER (PARTITION BY k
+        |      ORDER BY t, tie
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS te
+        |  FROM enc),
+        |convs AS (SELECT * FROM wnd WHERE conv),
+        |touch AS (SELECT k AS tk, e, label AS tl, t AS tt
+        |          FROM enc WHERE NOT conv),
+        |j AS (SELECT convs.k, convs.t, convs.value, tl, tt,
+        |        (tt IS NOT NULL AND convs.t - tt <= 86400000) AS inw
+        |      FROM convs LEFT JOIN touch
+        |        ON convs.k = touch.tk AND convs.te = touch.e)
+        |SELECT coalesce(CASE WHEN inw THEN tl END, 'direct') AS touch,
+        |  count(*) AS n_conversions, round(sum(value), 4) AS revenue
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g_quantile_ci" ->
+      """WITH byv AS (SELECT value AS v, count(*) AS c FROM events
+        |        WHERE value IS NOT NULL GROUP BY 1),
+        |r AS (SELECT v,
+        |        CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |          AS BIGINT) AS cum,
+        |        CAST(sum(c) OVER () AS BIGINT) AS n
+        |      FROM byv),
+        |-- (1.0 - 0.9) spelled out, NOT 0.1: the Spark side computes the
+        |-- complement in IEEE doubles (= 0.09999999999999998) and the
+        |-- rank floors must see the identical product
+        |k AS (SELECT *, n * CAST(0.9 AS DOUBLE) AS nq,
+        |        1.96 * sqrt(n * CAST(0.9 AS DOUBLE)
+        |          * (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))) AS half
+        |      FROM r),
+        |b AS (SELECT *,
+        |        greatest(1, CAST(floor(nq - half) AS BIGINT)) AS rlo,
+        |        CAST(ceil(nq) AS BIGINT) AS rmid,
+        |        least(n, CAST(ceil(nq + half) AS BIGINT)) AS rhi
+        |      FROM k)
+        |SELECT CAST(0.9 AS DOUBLE) AS q, max(n) AS n,
+        |  max(rlo) AS rank_lo, max(rmid) AS rank_mid, max(rhi) AS rank_hi,
+        |  min(CASE WHEN cum >= rlo THEN v END) AS ci_lo,
+        |  min(CASE WHEN cum >= rmid THEN v END) AS estimate,
+        |  min(CASE WHEN cum >= rhi THEN v END) AS ci_hi
+        |FROM b""".stripMargin,
 
     "dq_benford" ->
       """WITH d AS (

@@ -53,6 +53,17 @@ object SelectionQueries {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("common_neighbors").desc, col("a"), col("b"))
         .limit(60)
+    }),
+
+    "graph_walks" -> ((s, dir) => {
+      // DeepWalk corpus: 2 deterministic 4-step walks per node on the
+      // directed 40-node graph — IntHash-replayed neighbor choices.
+      val edges = table(s, dir, "events").where(col("event_id") < 3000)
+        .select((col("user_id") % 40).as("u"),
+          ((col("user_id") % 40 + 1 + col("event_id") % 11) % 40).as("v"))
+      Graph.randomWalks(edges, "u", "v", walkLen = 4, walksPerNode = 2,
+          seed = 11L)
+        .orderBy("start", "walk", "step")
     })
   )
 
@@ -133,6 +144,35 @@ object SelectionQueries {
         |SELECT a, b, common_neighbors, round(aa, 6) AS adamic_adar,
         |  round(CAST(common_neighbors AS DOUBLE)
         |    / (dda + ddb - common_neighbors), 6) AS jaccard
-        |FROM j ORDER BY common_neighbors DESC, a, b LIMIT 60""".stripMargin
+        |FROM j ORDER BY common_neighbors DESC, a, b LIMIT 60""".stripMargin,
+
+    "graph_walks" -> {
+      val mix = IntHash.mixSql("11",
+        Seq("wk.start", "wk.walk", "(wk.step + 1)", "wk.cur"))
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT DISTINCT user_id % 40 AS u,
+         |    (user_id % 40 + 1 + event_id % 11) % 40 AS v
+         |  FROM events WHERE event_id < 3000),
+         |e1 AS (SELECT u, v FROM e0 WHERE u <> v),
+         |adj AS (SELECT u AS node, v AS nbr,
+         |          row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS idx
+         |        FROM e1),
+         |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+         |-- explicit DISTINCT: inside a WITH RECURSIVE clause DuckDB does
+         |-- not apply plain UNION's dedup to non-recursive CTEs
+         |starts AS (SELECT DISTINCT node FROM
+         |  (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)),
+         |walk(start, walk, step, cur) AS (
+         |  SELECT node, CAST(w AS BIGINT), CAST(0 AS BIGINT), node
+         |  FROM starts CROSS JOIN (SELECT unnest(range(1, 3)) AS w)
+         |  UNION ALL
+         |  SELECT wk.start, wk.walk, wk.step + 1, adj.nbr
+         |  FROM walk wk
+         |  JOIN deg ON deg.node = wk.cur
+         |  JOIN adj ON adj.node = wk.cur AND adj.idx = (($mix) % deg.deg)
+         |  WHERE wk.step < 4)
+         |SELECT start, walk, step, cur AS node FROM walk
+         |ORDER BY start, walk, step""".stripMargin
+    }
   )
 }
