@@ -1244,6 +1244,46 @@ object ScaleProbe {
         time(s"linkPrediction edges=$n+hub maxDegree=1000")(
           graft.ops.Graph.linkPrediction(edges, "s", "d", maxDegree = 1000)
             .agg(count(lit(1)), max("common_neighbors")).collect())
+      case "walks" =>
+        // DeepWalk corpus generation: n-edge bounded-degree graph
+        // (n/10 nodes, deg≈20), 2 walks × 10 steps per node — walkLen
+        // joins against the checkpointed rank-indexed adjacency.
+        val nodes = n / 10
+        val edges = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(nodes)).as("s"),
+          pmod(xxhash64(col("id"), lit(1)), lit(nodes)).as("d"))
+        edges.count()
+        time(s"randomWalks edges=$n walkLen=10 walksPerNode=2")(
+          graft.ops.Graph.randomWalks(edges, "s", "d", walkLen = 10,
+              walksPerNode = 2, seed = 3L)
+            .agg(count(lit(1)), max("step")).collect())
+      case "attribution" =>
+        // Last-touch attribution over n events / n/10 users, 5% of
+        // events conversions: one entity-partitioned window + one
+        // entity-keyed join — no global sort anywhere.
+        val ev = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(n / 10)).as("u"),
+          pmod(xxhash64(col("id"), lit(1)), lit(2592000000L)).as("t"),
+          pmod(col("id"), lit(1L << 20)).as("tie"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(20)) === 0).as("conv"),
+          concat(lit("ch"), pmod(xxhash64(col("id"), lit(3)), lit(5)))
+            .as("label"),
+          (pmod(xxhash64(col("id"), lit(4)), lit(1000)) / 10.0).as("v"))
+        ev.count()
+        time(s"lastTouchAttribution n=$n users=${n / 10}")(
+          graft.ops.Sessionize.lastTouchAttribution(ev, col("u"), col("t"),
+              col("tie"), col("conv"), col("label"), col("v"),
+              lookback = 86400000L)
+            .groupBy("touch_label").agg(count(lit(1)), sum("value"))
+            .collect())
+      case "quantileci" =>
+        // Order-statistic quantile bracket at n rows: the value column
+        // collapses to ≤100k distinct (ROC-collapse) before any window.
+        val df = spark.range(n).select(
+          (pmod(xxhash64(col("id")), lit(100000)) / 100.0).as("v"))
+        df.count()
+        time(s"quantileCI n=$n distinct=100k")(
+          Stats.quantileCI(df, col("v"), q = 0.99).collect())
       case other => sys.error(s"unknown probe op: $other")
     }
     spark.stop()

@@ -266,20 +266,28 @@ object Sessionize extends Serializable {
           "not us) or wrap the tie-break"))))
     val w = Window.partitionBy("k").orderBy(col("t"), col("tie"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // ONE window pass carries both the touch key and its label:
+    // max/max_by ignore null ordering keys, so conversion rows never
+    // count as touches. Joining the touch table back on the encoded key
+    // instead costs a second corpus-sized shuffle (measured 176 s vs
+    // ~90 s at 100M events); the label rides the same window for free.
+    // touch_t decodes arithmetically from the packed key.
     val convs = base
       .withColumn("__touch_enc", max(when(!col("conv"), enc)).over(w))
+      .withColumn("__touch_label",
+        max_by(when(!col("conv"), col("label")),
+          when(!col("conv"), enc)).over(w))
       .where(col("conv"))
-    val touches = base.where(!col("conv"))
-      .select(col("k").as("__tk"), enc.as("__enc"),
-        col("label").as("touch_label"), col("t").as("touch_t"))
     convs
-      .join(touches, col("k") === col("__tk")
-        && col("__touch_enc") === col("__enc"), "left")
-      .withColumn("in_window",
-        col("touch_t").isNotNull && col("t") - col("touch_t") <= lookback)
+      // shiftright, not "/": long/long is DOUBLE division in non-ANSI
+      // Spark, and enc exceeds 2^53 for ms clocks past ~2255... and,
+      // more to the point, exactness should never ride a double
+      .withColumn("__touch_t", shiftright(col("__touch_enc"), 20))
+      .withColumn("in_window", col("__touch_enc").isNotNull
+        && col("t") - col("__touch_t") <= lookback)
       .select(col("k"), col("t").as("conv_t"), col("tie").as("conv_tie"),
         col("value"),
-        when(col("in_window"), col("touch_label")).as("touch_label"),
-        when(col("in_window"), col("touch_t")).as("touch_t"))
+        when(col("in_window"), col("__touch_label")).as("touch_label"),
+        when(col("in_window"), col("__touch_t")).as("touch_t"))
   }
 }

@@ -322,15 +322,15 @@ object ExperimentQueries {
         |wnd AS (SELECT k, t, tie, conv, value,
         |    max(CASE WHEN NOT conv THEN e END) OVER (PARTITION BY k
         |      ORDER BY t, tie
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS te
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS te,
+        |    arg_max(CASE WHEN NOT conv THEN label END,
+        |            CASE WHEN NOT conv THEN e END) OVER (PARTITION BY k
+        |      ORDER BY t, tie
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tl
         |  FROM enc),
-        |convs AS (SELECT * FROM wnd WHERE conv),
-        |touch AS (SELECT k AS tk, e, label AS tl, t AS tt
-        |          FROM enc WHERE NOT conv),
-        |j AS (SELECT convs.k, convs.t, convs.value, tl, tt,
-        |        (tt IS NOT NULL AND convs.t - tt <= 86400000) AS inw
-        |      FROM convs LEFT JOIN touch
-        |        ON convs.k = touch.tk AND convs.te = touch.e)
+        |j AS (SELECT k, t, value, tl, te // 1048576 AS tt,
+        |        (te IS NOT NULL AND t - (te // 1048576) <= 86400000) AS inw
+        |      FROM wnd WHERE conv)
         |SELECT coalesce(CASE WHEN inw THEN tl END, 'direct') AS touch,
         |  count(*) AS n_conversions, round(sum(value), 4) AS revenue
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
