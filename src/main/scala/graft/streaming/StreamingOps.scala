@@ -504,6 +504,29 @@ object StreamingOps {
     * a window's PSI equals `Stats.psi(reference ∪ window-slice)` with
     * the same k/alpha (spec-pinned). Returns
     * (window, n, psi) per closed window. */
+  /** Streaming A/B monitor — [[graft.ops.Experiment.abConversion]]'s
+    * live-dashboard shape: per event-time window and arm, the UNIT-level
+    * totals (units seen, units converted, conversion rate). Chained
+    * stateful aggregations: the first windowed agg collapses events to
+    * one row per (window, arm, unit) — a late event for a unit that
+    * already converted cannot double-count — the second counts units per
+    * (window, arm); both keyed on the same event-time window, watermark-
+    * bounded state. Feed two arms' rows to the batch z-test for the
+    * readout; SRM falls out of comparing n_units across arms. */
+  def abConversionStream(stream: DataFrame, tsCol: String, arm: Column,
+      unit: Column, isConv: Column, windowDur: String,
+      watermark: String): DataFrame = {
+    val perUnit = stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), arm.as("arm"),
+        unit.as("unit"))
+      .agg(max(isConv.cast("int")).as("conv"))
+    perUnit
+      .groupBy(window(col("window"), windowDur).as("window"), col("arm"))
+      .agg(count(lit(1)).as("n_units"), sum("conv").as("n_converted"))
+      .withColumn("rate", col("n_converted") / col("n_units"))
+  }
+
   def psiStream(stream: DataFrame, tsCol: String, value: Column,
       reference: DataFrame, refValue: Column, k: Int = 10,
       alpha: Double = 0.5, windowDur: String = "10 minutes",
