@@ -422,4 +422,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min(struct"), p)
     assert(p.contains("ReadSchema: struct<event_type:string>"), p)
   }
+
+  test("g_ipw_ate / g_did: one fused aggregation chain — no window, no join") {
+    for (q <- Seq("g_ipw_ate", "g_did")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q\n$p")
+      assert(!p.contains("Join"), s"$q\n$p")
+      assert(p.contains("partial_"), s"$q\n$p")
+    }
+  }
+
+  test("sample_negatives: the draw stage is shuffle-free off the fitted CDF") {
+    // everything after the (bounded) fit is scan -> project: the hash,
+    // mod, binary-search lookup, and explode are all narrow. One
+    // exchange total — the final orderBy's range partitioning.
+    val p = plan("sample_negatives")
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p) // rangepartition (+AQE shuffle read)
+    assert(p.contains("graft_cdf_index"), p) // the native lookup is IN the plan
+  }
+
+  test("g_attribution: ONE entity-partitioned window, no join, no global sort") {
+    val p = plan("g_attribution")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    // the window exchange hashes on the entity key, never a single partition
+    assert(p.contains("hashpartitioning(k#"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("g_quantile_ci / g_nelson_aalen: windows sit above the collapsing aggregate") {
+    for (q <- Seq("g_quantile_ci", "g_nelson_aalen")) {
+      val p = plan(q)
+      // the raw scan feeds an aggregate BEFORE any window (ROC-collapse)
+      val aggIdx = p.indexOf("partial_")
+      val winIdx = p.indexOf("Window")
+      assert(aggIdx >= 0 && winIdx >= 0, s"$q\n$p")
+    }
+  }
+
+  test("graph_walks: every step joins broadcast or hash — no cartesian") {
+    val p = plan("graph_walks")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
