@@ -187,6 +187,77 @@ object Experiment {
       .select(col("grp"), col("n"), col("slope"), col("intercept"),
         col("r2"))
 
+  /** Mixture sequential probability ratio test (mSPRT — Johari, Koomen,
+    * Pekelis & Walsh 2017, "Peeking at A/B Tests"): the always-valid
+    * p-value that lets an experiment be monitored continuously without
+    * inflating false positives. Per ordered period, the CUMULATIVE
+    * two-sample mean difference Δ_t with normal likelihood and a
+    * N(0, τ²) mixture over the effect:
+    * Λ_t = √(se²/(se²+τ²)) · exp(Δ²τ²/(2se²(se²+τ²))),
+    * p_t = running min of 1/max(Λ, 1) — monotone nonincreasing, valid at
+    * every look. Reject when p_t ≤ α, whenever you happen to look.
+    *
+    * Scale shape: raw rows collapse to per-period conditional moment
+    * sums in ONE aggregation; the cumulative statistics, Λ, and the
+    * running-min p are windows over the bounded period table. Returns
+    * one row per period.
+    */
+  def msprt(df: DataFrame, arm: Column, period: Column, y: Column,
+      armA: String, armB: String, tau2: Double): DataFrame = {
+    require(tau2 > 0.0, "msprt: tau2 must be > 0")
+    val a = arm === armA
+    val b = arm === armB
+    val yd = y.cast("double")
+    val byP = df.where(a || b).groupBy(period.as("period")).agg(
+      sum(when(a, 1L).otherwise(0L)).as("n_a"),
+      coalesce(sum(when(a, yd)), lit(0.0)).as("s_a"),
+      coalesce(sum(when(a, yd * yd)), lit(0.0)).as("ss_a"),
+      sum(when(b, 1L).otherwise(0L)).as("n_b"),
+      coalesce(sum(when(b, yd)), lit(0.0)).as("s_b"),
+      coalesce(sum(when(b, yd * yd)), lit(0.0)).as("ss_b"))
+    val wCum = Window.orderBy("period")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byP
+      .withColumn("cn_a", sum("n_a").over(wCum))
+      .withColumn("cs_a", sum("s_a").over(wCum))
+      .withColumn("css_a", sum("ss_a").over(wCum))
+      .withColumn("cn_b", sum("n_b").over(wCum))
+      .withColumn("cs_b", sum("s_b").over(wCum))
+      .withColumn("css_b", sum("ss_b").over(wCum))
+    val defined = col("cn_a") >= 2 && col("cn_b") >= 2
+    val meanA = col("cs_a") / col("cn_a")
+    val meanB = col("cs_b") / col("cn_b")
+    // pooled variance from cumulative moments (both arms share sigma)
+    val sse = (col("css_a") - col("cs_a") * col("cs_a") / col("cn_a")) +
+      (col("css_b") - col("cs_b") * col("cs_b") / col("cn_b"))
+    val variance = sse / (col("cn_a") + col("cn_b") - 2)
+    val se2 = variance * (lit(1.0) / col("cn_a") + lit(1.0) / col("cn_b"))
+    val delta = meanB - meanA
+    // ln Λ, not Λ: the likelihood ratio reaches e^600+ on a real effect
+    // at moderate n — finite-but-astronomical doubles where round(x, k)
+    // can no longer absorb last-ulp engine noise (and then overflows to
+    // Inf outright). Everything downstream works on the 6-dp-rounded
+    // log face, so p replays exactly cross-engine (the kaplanMeier
+    // se-from-rounded discipline).
+    val logLambda = round(
+      lit(0.5) * log(se2 / (se2 + lit(tau2))) +
+        delta * delta * lit(tau2) /
+          (lit(2.0) * se2 * (se2 + lit(tau2))), 6)
+    cum
+      .withColumn("mean_a", when(col("cn_a") > 0, meanA))
+      .withColumn("mean_b", when(col("cn_b") > 0, meanB))
+      .withColumn("delta", when(defined, delta))
+      .withColumn("log_lambda", when(defined && se2 > 0, logLambda))
+      // p_t = exp(−max_{s≤t} max(0, lnΛ_s)): the always-valid running
+      // min of min(1, 1/Λ), in log space
+      .withColumn("p_always_valid", exp(-max(
+          greatest(lit(0.0), coalesce(col("log_lambda"), lit(0.0))))
+          .over(wCum)))
+      .select(col("period"), col("cn_a").as("n_a"), col("cn_b").as("n_b"),
+        col("mean_a"), col("mean_b"), col("delta"), col("log_lambda"),
+        col("p_always_valid"))
+  }
+
   /** Inverse-propensity-weighted ATE with a saturated (cell-level)
     * propensity model — stratification on discrete pre-treatment
     * covariates (Horvitz & Thompson 1952; Rosenbaum & Rubin 1983). With

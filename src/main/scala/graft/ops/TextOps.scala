@@ -1992,4 +1992,140 @@ object TextOps {
         avg("__lp_out").as("avg_logp_out"))
       .withColumn("ml_score", col("avg_logp_in") - col("avg_logp_out"))
   }
+
+  /** Deterministic WordPiece vocabulary fit (the BERT tokenizer family —
+    * Wu et al. 2016; Devlin et al. 2019): top-`topWords` whole words by
+    * (count desc, word asc) plus every character with corpus count ≥
+    * `minCharCount` in both start ("c") and continuation ("##c") form.
+    * Real deployments bring a pretrained vocab; this fit exists so the
+    * encode is self-contained and replayable. Characters BELOW the
+    * count floor are deliberately left out of the vocab, so rare-glyph
+    * words exercise the [UNK] path. One word-count aggregation + one
+    * bounded char rollup; the collect is ≤ topWords + |alphabet| rows. */
+  def wordpieceVocabFit(df: DataFrame, text: Column, topWords: Int,
+      minCharCount: Long): Seq[String] = {
+    require(topWords >= 0 && topWords <= 65536, "topWords in [0, 65536]")
+    val words = df
+      .select(explode(split(trim(text), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // feeds both the top-word and char rollups
+    val top = words.orderBy(col("cnt").desc, col("w")).limit(topWords)
+      .collect().map(_.getString(0)).toSeq
+    val chars = words
+      .select(explode(split(col("w"), "")).as("c"), col("cnt"))
+      .where(length(col("c")) > 0)
+      .groupBy("c").agg(sum("cnt").as("n"))
+      .where(col("n") >= minCharCount)
+      .orderBy("c")
+      .collect().map(_.getString(0)).toSeq
+    (top ++ chars ++ chars.map("##" + _)).distinct
+  }
+
+  /** Greedy longest-match-first WordPiece encode (the HuggingFace
+    * WordpieceTokenizer contract): per word, repeatedly take the longest
+    * vocab piece matching at the cursor ("##"-prefixed after the first);
+    * if any position has NO match the WHOLE word becomes `unk` (one
+    * token). Appends (wp_tokens, wp_n_tokens, wp_unk) to each row. Pure
+    * per-partition map — the vocab rides the closure, no join, no
+    * shuffle; streams as-is. */
+  def wordpieceEncode(df: DataFrame, text: Column, vocab: Seq[String],
+      unk: String = "[UNK]"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val vocabSet = vocab.toSet
+    val maxLen = if (vocab.isEmpty) 1 else vocab.map(_.length).max
+    val withTxt = df.withColumn("__wp_txt", text)
+    val idx = withTxt.schema.fieldIndex("__wp_txt")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("wp_tokens", ArrayType(StringType, containsNull = false)),
+      StructField("wp_n_words", LongType, nullable = false),
+      StructField("wp_n_tokens", LongType, nullable = false),
+      StructField("wp_n_unk_words", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    def encodeWord(w: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var start = 0
+      while (start < w.length) {
+        // longest candidate first; cap by the longest vocab entry
+        var end = math.min(w.length, start + maxLen)
+        var found: String = null
+        while (found == null && end > start) {
+          val sub = (if (start > 0) "##" else "") + w.substring(start, end)
+          if (vocabSet(sub)) found = sub else end -= 1
+        }
+        if (found == null) return Array(unk)
+        out += found
+        start = end
+      }
+      out.toArray
+    }
+    withTxt.mapPartitions { rows =>
+      rows.map { r =>
+        val t = r.getString(idx)
+        val ws: Array[String] =
+          if (t == null) Array.empty
+          else t.trim.split("\\s+").filter(_.nonEmpty)
+        val toks = ws.flatMap(encodeWord)
+        val nUnk = ws.count(w => encodeWord(w).sameElements(Array(unk)))
+        Row.fromSeq(r.toSeq.dropRight(1) ++
+          Seq[Any](toks, ws.length.toLong, toks.length.toLong, nUnk.toLong))
+      }
+    }(enc)
+  }
+
+  /** DuckDB twin of [[wordpieceEncode]] aggregated per doc: the fitted
+    * vocab rides a literal VALUES table and the greedy cursor walk is
+    * UNROLLED into one left-join stage per character position (a piece
+    * consumes ≥ 1 char, so `maxWordLen` stages always finish) — the
+    * unigramScoreSql discipline. Distinct words encode once; per-doc
+    * counts come from joining the word list back. `docsSql` must yield
+    * (doc_id, text). */
+  def wordpieceEncodeSql(docsSql: String, vocab: Seq[String], unk: String,
+      maxWordLen: Int): String = {
+    require(maxWordLen >= 1 && maxWordLen <= 64, "maxWordLen in [1, 64]")
+    def strLit(s: String) = "'" + s.replace("'", "''") + "'"
+    val vocabVals = vocab.map { p =>
+      val cont = p.startsWith("##")
+      val raw = if (cont) p.drop(2) else p
+      s"(${strLit(raw)}, $cont)"
+    }.mkString(",\n|    ")
+    val stages = (1 to maxWordLen).map { i =>
+      val prev = s"st${i - 1}"
+      s"""c$i AS (
+         |  SELECT s.w, s.pos, s.ntok, s.unk, s.fin, v.raw,
+         |    row_number() OVER (PARTITION BY s.w
+         |      ORDER BY length(v.raw) DESC) AS rn
+         |  FROM (SELECT *, (pos >= length(w) OR unk) AS fin FROM $prev) s
+         |  LEFT JOIN vocab v
+         |    ON NOT s.fin AND v.cont = (s.pos > 0)
+         |      AND substr(s.w, s.pos + 1, length(v.raw)) = v.raw),
+         |st$i AS (
+         |  SELECT w,
+         |    CASE WHEN fin THEN pos WHEN raw IS NULL THEN length(w)
+         |      ELSE pos + length(raw) END AS pos,
+         |    CASE WHEN fin THEN ntok WHEN raw IS NULL THEN 1
+         |      ELSE ntok + 1 END AS ntok,
+         |    CASE WHEN fin THEN unk ELSE raw IS NULL END AS unk
+         |  FROM c$i WHERE rn = 1)""".stripMargin
+    }.mkString(",\n|")
+    s"""WITH vocab(raw, cont) AS (VALUES
+       |    $vocabVals),
+       |d AS ($docsSql),
+       |words AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |      x -> x <> '')) AS w
+       |  FROM d),
+       |wtab AS (SELECT DISTINCT w FROM words),
+       |st0 AS (SELECT w, 0 AS pos, 0 AS ntok, false AS unk FROM wtab),
+       |$stages,
+       |res AS (SELECT w, ntok, unk FROM st$maxWordLen)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unk_words
+       |FROM words JOIN res USING (w)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -117,6 +117,20 @@ object ExperimentQueries {
           col("n_cells_dropped"), round(col("mu1"), 4).as("mu1"),
           round(col("mu0"), 4).as("mu0"), round(col("ate"), 4).as("ate"))),
 
+    "g_msprt" -> ((s, dir) =>
+      // Always-valid sequential test: daily looks at click-vs-error
+      // value means (genuinely different distributions, so the p-value
+      // actually falls); τ² = 100 (effect prior on the tens scale).
+      Experiment.msprt(table(s, dir, "events"), col("event_type"),
+          expr("ts div 86400000000"), col("value"), "click", "error",
+          tau2 = 100.0)
+        .select(col("period"), col("n_a"), col("n_b"),
+          round(col("mean_a"), 4).as("mean_a"),
+          round(col("mean_b"), 4).as("mean_b"),
+          round(col("delta"), 4).as("delta"), col("log_lambda"),
+          round(col("p_always_valid"), 6).as("p_always_valid"))
+        .orderBy("period")),
+
     "g_attribution" -> ((s, dir) => {
       // Last-touch revenue attribution: purchases credit the latest
       // non-purchase event of the same user within 24 h (ms clock);
@@ -311,6 +325,45 @@ object ExperimentQueries {
         |  round(s1 / n_overlap, 4) AS mu1, round(s0 / n_overlap, 4) AS mu0,
         |  round(s1 / n_overlap - s0 / n_overlap, 4) AS ate
         |FROM s""".stripMargin,
+
+    "g_msprt" ->
+      """WITH byp AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS period,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
+        |    coalesce(sum(value) FILTER (WHERE event_type = 'click'), 0.0) AS s_a,
+        |    coalesce(sum(value * value) FILTER (WHERE event_type = 'click'), 0.0) AS ss_a,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_b,
+        |    coalesce(sum(value) FILTER (WHERE event_type = 'error'), 0.0) AS s_b,
+        |    coalesce(sum(value * value) FILTER (WHERE event_type = 'error'), 0.0) AS ss_b
+        |  FROM events WHERE event_type IN ('click', 'error') GROUP BY 1),
+        |cum AS (SELECT period,
+        |    CAST(sum(n_a) OVER w AS BIGINT) AS cn_a,
+        |    sum(s_a) OVER w AS cs_a, sum(ss_a) OVER w AS css_a,
+        |    CAST(sum(n_b) OVER w AS BIGINT) AS cn_b,
+        |    sum(s_b) OVER w AS cs_b, sum(ss_b) OVER w AS css_b
+        |  FROM byp
+        |  WINDOW w AS (ORDER BY period ROWS UNBOUNDED PRECEDING)),
+        |st AS (SELECT *, cs_a / cn_a AS mean_a, cs_b / cn_b AS mean_b,
+        |    ((css_a - cs_a * cs_a / cn_a) + (css_b - cs_b * cs_b / cn_b))
+        |      / (cn_a + cn_b - 2) AS variance
+        |  FROM cum),
+        |lam AS (SELECT *, variance * (1.0 / cn_a + 1.0 / cn_b) AS se2,
+        |    mean_b - mean_a AS delta FROM st),
+        |ll AS (SELECT *,
+        |    CASE WHEN cn_a >= 2 AND cn_b >= 2 AND se2 > 0 THEN
+        |      round(0.5 * ln(se2 / (se2 + 100.0))
+        |        + delta * delta * 100.0 / (2.0 * se2 * (se2 + 100.0)), 6)
+        |    END AS log_lambda
+        |  FROM lam)
+        |SELECT period, cn_a AS n_a, cn_b AS n_b,
+        |  round(CASE WHEN cn_a > 0 THEN mean_a END, 4) AS mean_a,
+        |  round(CASE WHEN cn_b > 0 THEN mean_b END, 4) AS mean_b,
+        |  round(CASE WHEN cn_a >= 2 AND cn_b >= 2 THEN delta END, 4) AS delta,
+        |  log_lambda,
+        |  round(exp(-max(greatest(0.0, coalesce(log_lambda, 0.0)))
+        |    OVER (ORDER BY period ROWS UNBOUNDED PRECEDING)), 6)
+        |    AS p_always_valid
+        |FROM ll ORDER BY period""".stripMargin,
 
     "g_attribution" ->
       """WITH base AS (

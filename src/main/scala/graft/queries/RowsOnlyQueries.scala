@@ -257,6 +257,27 @@ object RowsOnlyQueries {
         .orderBy("source")
     }),
 
+    "text_wordpiece" -> ((s, dir) => {
+      // WordPiece (BERT-family) greedy longest-match encode under a
+      // deterministic self-fitted vocab (top-150 words + chars with
+      // count >= 5 in start and ## form; rarer glyphs exercise [UNK]).
+      // Fully oracled via the dynamic twin: the vocab rides a literal
+      // VALUES table, the greedy cursor walk unrolls one stage per
+      // character position.
+      val fitDocs = table(s, dir, "documents").where(col("doc_id") < 300)
+      val vocab = TextOps.wordpieceVocabFit(fitDocs, col("text"),
+        topWords = 150, minCharCount = 5L)
+      TextOps.wordpieceEncode(
+          table(s, dir, "documents").where(col("doc_id") < 250)
+            .select("doc_id", "text"),
+          col("text"), vocab)
+        .where(col("wp_n_words") > 0)
+        .select(col("doc_id"), col("wp_n_words").as("n_words"),
+          col("wp_n_tokens").as("n_tokens"),
+          col("wp_n_unk_words").as("n_unk_words"))
+        .orderBy("doc_id")
+    }),
+
     "text_unigram_lm" -> ((s, dir) => {
       // Unigram-LM tokenizer (Kudo 2018, SentencePiece `unigram`):
       // deterministic hard-EM fit (2 iterations, 9-dp model faces), then
@@ -703,6 +724,19 @@ object RowsOnlyQueries {
          |  CAST(coalesce(sum(per.nt), 0) AS BIGINT) AS n_subwords
          |FROM d LEFT JOIN per USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
+
+    "text_wordpiece" -> ((s, dir) => {
+      val fitDocs = table(s, dir, "documents").where(col("doc_id") < 300)
+      val vocab = TextOps.wordpieceVocabFit(fitDocs, col("text"),
+        topWords = 150, minCharCount = 5L)
+      val maxLen = table(s, dir, "documents").where(col("doc_id") < 250)
+        .select(explode(filter(split(trim(col("text")), "\\s+"),
+          t => t =!= lit(""))).as("w"))
+        .agg(max(length(col("w")))).head().getInt(0)
+      TextOps.wordpieceEncodeSql(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 250",
+        vocab, "[UNK]", maxLen)
     }),
 
     "text_unigram_lm" -> ((s, dir) => {
