@@ -187,6 +187,53 @@ object Experiment {
       .select(col("grp"), col("n"), col("slope"), col("intercept"),
         col("r2"))
 
+  /** Cochran–Mantel–Haenszel stratified 2×2 test + Mantel–Haenszel
+    * common odds ratio (Cochran 1954; Mantel & Haenszel 1959) — the
+    * confounding-robust binary-outcome readout: per stratum the 2×2
+    * (arm × converted) table contributes O = x_a, E = n_a·m/n, and the
+    * hypergeometric variance; χ²_CMH = (ΣO − ΣE)²/ΣV, and
+    * OR_MH = Σ(x_a·(n_b−x_b)/n) / Σ(x_b·(n_a−x_a)/n). Simpson's-paradox
+    * insurance for [[abConversion]] the way [[ipwAte]] is for means.
+    * ONE cell aggregation; the combine runs over the bounded stratum
+    * table. Strata with a zero margin contribute nothing (standard).
+    */
+  def cmh(df: DataFrame, stratum: Column, arm: Column, converted: Column,
+      armA: String, armB: String): DataFrame = {
+    val a = arm === armA
+    val b = arm === armB
+    val c = converted.cast("long")
+    val byS = df.where(a || b).groupBy(stratum.as("stratum")).agg(
+      sum(when(a, 1L).otherwise(0L)).as("n_a"),
+      coalesce(sum(when(a, c)), lit(0L)).as("x_a"),
+      sum(when(b, 1L).otherwise(0L)).as("n_b"),
+      coalesce(sum(when(b, c)), lit(0L)).as("x_b"))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val m1 = (col("x_a") + col("x_b")).cast("double")
+    val m0 = n - m1
+    val informative = col("n_a") > 0 && col("n_b") > 0 && m1 > 0 && m0 > 0
+    // doubles from the first factor: long×long intermediates overflow
+    // once a stratum holds >3e9 rows per arm
+    val e = col("n_a").cast("double") * m1 / n
+    val v = col("n_a").cast("double") * col("n_b") * m1 * m0 /
+      (n * n * (n - 1))
+    val orNum = col("x_a").cast("double") * (col("n_b") - col("x_b")) / n
+    val orDen = col("x_b").cast("double") * (col("n_a") - col("x_a")) / n
+    byS.agg(
+        count(lit(1)).as("n_strata"),
+        sum(when(informative, 1L).otherwise(0L)).as("n_informative"),
+        coalesce(sum(when(informative, col("x_a"))), lit(0L)).as("observed_a"),
+        coalesce(sum(when(informative, e)), lit(0.0)).as("expected_a"),
+        coalesce(sum(when(informative, v)), lit(0.0)).as("variance"),
+        coalesce(sum(when(informative, orNum)), lit(0.0)).as("__on"),
+        coalesce(sum(when(informative, orDen)), lit(0.0)).as("__od"))
+      .withColumn("chi2", when(col("variance") > 0,
+        (col("observed_a") - col("expected_a"))
+          * (col("observed_a") - col("expected_a")) / col("variance")))
+      .withColumn("or_mh", when(col("__od") > 0, col("__on") / col("__od")))
+      .select(col("n_strata"), col("n_informative"), col("observed_a"),
+        col("expected_a"), col("variance"), col("chi2"), col("or_mh"))
+  }
+
   /** Mixture sequential probability ratio test (mSPRT — Johari, Koomen,
     * Pekelis & Walsh 2017, "Peeking at A/B Tests"): the always-valid
     * p-value that lets an experiment be monitored continuously without

@@ -2038,6 +2038,54 @@ object Stats {
       .orderBy("t")
   }
 
+  /** Two-group log-rank test (Mantel 1966; Peto & Peto 1972) — "do the
+    * two survival curves differ?", the hypothesis test [[kaplanMeier]]
+    * plots beg for. At each distinct event time: observed group-A
+    * deaths vs the hypergeometric expectation d·nA/n, variance
+    * d·(nA/n)·(nB/n)·(n−d)/(n−1); the statistic (ΣO−ΣE)²/ΣV is χ²₁.
+    * Same ROC-collapse shape as KM: subjects collapse to per-(time,
+    * group) counts in one aggregation, risk sets and the final sums are
+    * windows over that bounded table. Returns one row:
+    * (observed_a, expected_a, variance, chi2). */
+  def logRank(df: DataFrame, duration: Column, event: Column,
+      group: Column, groupA: String, groupB: String): DataFrame = {
+    val base = df
+      .where(group === groupA || group === groupB)
+      .select(duration.cast("double").as("t"),
+        event.cast("boolean").as("e"), (group === groupA).as("ga"))
+    val byT = base.groupBy("t").agg(
+      sum(when(col("ga") && col("e"), 1L).otherwise(0L)).as("d_a"),
+      sum(when(!col("ga") && col("e"), 1L).otherwise(0L)).as("d_b"),
+      sum(when(col("ga"), 1L).otherwise(0L)).as("tot_a"),
+      sum(when(!col("ga"), 1L).otherwise(0L)).as("tot_b"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risks = byT
+      .withColumn("n_a", sum("tot_a").over(wAll)
+        - coalesce(sum("tot_a").over(wPrev), lit(0L)))
+      .withColumn("n_b", sum("tot_b").over(wAll)
+        - coalesce(sum("tot_b").over(wPrev), lit(0L)))
+      .withColumn("d", col("d_a") + col("d_b"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .where(col("d") > 0)
+    val e = col("d").cast("double") * col("n_a") / col("n")
+    val v = when(col("n") > 1,
+      col("d").cast("double") * col("n_a") * col("n_b")
+        * (col("n") - col("d"))
+        / (col("n").cast("double") * col("n") * (col("n") - 1)))
+      .otherwise(lit(0.0))
+    risks.agg(
+        sum(col("d_a")).as("observed_a"),
+        sum(e).as("expected_a"), sum(v).as("variance"))
+      .withColumn("chi2",
+        (col("observed_a") - col("expected_a"))
+          * (col("observed_a") - col("expected_a")) / col("variance"))
+      .select(col("observed_a"), col("expected_a"), col("variance"),
+        col("chi2"))
+  }
+
   /** Nelson–Aalen cumulative hazard (Nelson 1972, Aalen 1978) — the
     * additive companion of [[kaplanMeier]]: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with
     * the Poisson-type variance Σ dᵢ/nᵢ², plus the Fleming–Harrington

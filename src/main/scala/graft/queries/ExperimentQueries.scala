@@ -117,6 +117,42 @@ object ExperimentQueries {
           col("n_cells_dropped"), round(col("mu1"), 4).as("mu1"),
           round(col("mu0"), 4).as("mu0"), round(col("ate"), 4).as("ate"))),
 
+    "g_logrank" -> ((s, dir) => {
+      // Do odd and even users' lifetimes differ? Same per-user
+      // whole-hour durations and error terminal event as
+      // g_kaplan_meier, split on user parity.
+      val per = table(s, dir, "events").groupBy("user_id").agg(
+        ((max(col("ts")) - min(col("ts"))).cast("long") / lit(3600000000L))
+          .cast("long").as("dur_h"),
+        (sum(when(col("event_type") === "error", 1L).otherwise(0L)) > 0)
+          .as("event"))
+        .withColumn("grp", concat(lit("arm_"), pmod(col("user_id"), lit(2))))
+      Stats.logRank(per, col("dur_h"), col("event"), col("grp"),
+          "arm_0", "arm_1")
+        .select(col("observed_a"),
+          round(col("expected_a"), 6).as("expected_a"),
+          round(col("variance"), 6).as("variance"),
+          round(col("chi2"), 4).as("chi2"))
+    }),
+
+    "g_cmh" -> ((s, dir) => {
+      // Stratified conversion test: per-user purchase>250 conversion,
+      // arms by parity, strata = user_id % 5 — the Simpson's-paradox-
+      // robust chi-square + MH common odds ratio.
+      val per = table(s, dir, "events").groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase"
+          && col("value") > 250, 1).otherwise(0)).as("conv"))
+        .withColumn("arm", concat(lit("arm_"), pmod(col("user_id"), lit(2))))
+        .withColumn("stratum", pmod(col("user_id"), lit(5)))
+      Experiment.cmh(per, col("stratum"), col("arm"), col("conv"),
+          "arm_0", "arm_1")
+        .select(col("n_strata"), col("n_informative"), col("observed_a"),
+          round(col("expected_a"), 6).as("expected_a"),
+          round(col("variance"), 6).as("variance"),
+          round(col("chi2"), 4).as("chi2"),
+          round(col("or_mh"), 4).as("or_mh"))
+    }),
+
     "g_msprt" -> ((s, dir) =>
       // Always-valid sequential test: daily looks at click-vs-error
       // value means (genuinely different distributions, so the p-value
@@ -324,6 +360,82 @@ object ExperimentQueries {
         |SELECT n_total, n_cells, n_overlap, n_cells_dropped,
         |  round(s1 / n_overlap, 4) AS mu1, round(s0 / n_overlap, 4) AS mu0,
         |  round(s1 / n_overlap - s0 / n_overlap, 4) AS ate
+        |FROM s""".stripMargin,
+
+    "g_logrank" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000
+        |      AS BIGINT) AS dur_h,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 0 AS event,
+        |    user_id % 2 = 0 AS ga
+        |  FROM events GROUP BY 1),
+        |byt AS (SELECT CAST(dur_h AS DOUBLE) AS t,
+        |    sum(CASE WHEN ga AND event THEN 1 ELSE 0 END) AS d_a,
+        |    sum(CASE WHEN NOT ga AND event THEN 1 ELSE 0 END) AS d_b,
+        |    sum(CASE WHEN ga THEN 1 ELSE 0 END) AS tot_a,
+        |    sum(CASE WHEN ga THEN 0 ELSE 1 END) AS tot_b
+        |  FROM per GROUP BY 1),
+        |w AS (SELECT t, d_a, d_b,
+        |    sum(tot_a) OVER () - coalesce(sum(tot_a) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_a,
+        |    sum(tot_b) OVER () - coalesce(sum(tot_b) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_b
+        |  FROM byt),
+        |r AS (SELECT *, d_a + d_b AS d, n_a + n_b AS n FROM w
+        |      WHERE d_a + d_b > 0),
+        |s AS (SELECT
+        |    CAST(sum(d_a) AS BIGINT) AS observed_a,
+        |    sum(CAST(d AS DOUBLE) * n_a / n) AS expected_a,
+        |    sum(CASE WHEN n > 1 THEN CAST(d AS DOUBLE) * n_a * n_b * (n - d)
+        |      / (CAST(n AS DOUBLE) * n * (n - 1)) ELSE 0.0 END) AS variance
+        |  FROM r)
+        |SELECT observed_a, round(expected_a, 6) AS expected_a,
+        |  round(variance, 6) AS variance,
+        |  round((observed_a - expected_a) * (observed_a - expected_a)
+        |    / variance, 4) AS chi2
+        |FROM s""".stripMargin,
+
+    "g_cmh" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 250
+        |      THEN 1 ELSE 0 END) AS conv,
+        |    user_id % 2 = 0 AS ga, user_id % 5 AS stratum
+        |  FROM events GROUP BY 1),
+        |bys AS (SELECT stratum,
+        |    sum(CASE WHEN ga THEN 1 ELSE 0 END) AS n_a,
+        |    coalesce(sum(conv) FILTER (WHERE ga), 0) AS x_a,
+        |    sum(CASE WHEN ga THEN 0 ELSE 1 END) AS n_b,
+        |    coalesce(sum(conv) FILTER (WHERE NOT ga), 0) AS x_b
+        |  FROM per GROUP BY 1),
+        |k AS (SELECT *, CAST(n_a + n_b AS DOUBLE) AS n,
+        |    CAST(x_a + x_b AS DOUBLE) AS m1,
+        |    CAST(n_a + n_b AS DOUBLE) - CAST(x_a + x_b AS DOUBLE) AS m0
+        |  FROM bys),
+        |inf AS (SELECT *,
+        |    (n_a > 0 AND n_b > 0 AND m1 > 0 AND m0 > 0) AS ok FROM k),
+        |s AS (SELECT count(*) AS n_strata,
+        |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_informative,
+        |    CAST(coalesce(sum(x_a) FILTER (WHERE ok), 0) AS BIGINT)
+        |      AS observed_a,
+        |    coalesce(sum(CAST(n_a AS DOUBLE) * m1 / n) FILTER (WHERE ok),
+        |      0.0) AS expected_a,
+        |    coalesce(sum(CAST(n_a AS DOUBLE) * n_b * m1 * m0
+        |      / (n * n * (n - 1))) FILTER (WHERE ok), 0.0) AS variance,
+        |    coalesce(sum(CAST(x_a AS DOUBLE) * (n_b - x_b) / n)
+        |      FILTER (WHERE ok), 0.0) AS onum,
+        |    coalesce(sum(CAST(x_b AS DOUBLE) * (n_a - x_a) / n)
+        |      FILTER (WHERE ok), 0.0) AS oden
+        |  FROM inf)
+        |SELECT n_strata, n_informative, observed_a,
+        |  round(expected_a, 6) AS expected_a,
+        |  round(variance, 6) AS variance,
+        |  round(CASE WHEN variance > 0 THEN
+        |    (observed_a - expected_a) * (observed_a - expected_a)
+        |      / variance END, 4) AS chi2,
+        |  round(CASE WHEN oden > 0 THEN onum / oden END, 4) AS or_mh
         |FROM s""".stripMargin,
 
     "g_msprt" ->

@@ -68,4 +68,61 @@ class MsprtWordpieceSpec extends SparkSpec {
     // every char in both forms
     assert(v.count(_.startsWith("##")) == (v.count(!_.startsWith("##")) - 1))
   }
+
+  test("logRank: identical groups score ~0; separated groups reject") {
+    import graft.ops.Stats
+    // identical lifetimes in both groups -> O == E, chi2 == 0
+    val same = (1 to 30).flatMap(i =>
+      Seq(("a", i % 5 + 1, true), ("b", i % 5 + 1, true)))
+    val r0 = Stats.logRank(same.toDF("g", "t", "e"), col("t"), col("e"),
+      col("g"), "a", "b").collect().head
+    assert(approx(r0.getAs[Double]("chi2"), 0.0, 1e-9))
+    // group a dies at 1, group b at 10 -> maximal separation
+    val sep = (1 to 20).map(i => ("a", 1, true)) ++
+      (1 to 20).map(i => ("b", 10, true))
+    val r1 = Stats.logRank(sep.toDF("g", "t", "e"), col("t"), col("e"),
+      col("g"), "a", "b").collect().head
+    assert(r1.getAs[Double]("chi2") > 20.0)
+    assert(r1.getAs[Long]("observed_a") == 20L)
+  }
+
+  test("logRank: hand-computed single event time") {
+    import graft.ops.Stats
+    // t=1: n_a=2, n_b=2, d_a=1, d_b=0; E = 1*2/4 = .5
+    // V = 1*2*2*(4-1)/(16*3) = .25; chi2 = .25/.25 = 1
+    val rows = Seq(("a", 1, true), ("a", 2, false),
+      ("b", 2, false), ("b", 3, false))
+    val r = Stats.logRank(rows.toDF("g", "t", "e"), col("t"), col("e"),
+      col("g"), "a", "b").collect().head
+    assert(approx(r.getAs[Double]("expected_a"), 0.5, 1e-12))
+    assert(approx(r.getAs[Double]("variance"), 0.25, 1e-12))
+    assert(approx(r.getAs[Double]("chi2"), 1.0, 1e-12))
+  }
+
+  test("cmh: Simpson's paradox — stratified test sees no effect where pooled does") {
+    import graft.ops.Experiment
+    // classic: within each stratum rates are EQUAL across arms, but
+    // strata sizes differ by arm -> pooled rates differ, CMH chi2 ~ 0.
+    val rows =
+      (1 to 80).map(i => ("s1", "a", if (i <= 8) 1 else 0)) ++   // 10%
+      (1 to 20).map(i => ("s1", "b", if (i <= 2) 1 else 0)) ++   // 10%
+      (1 to 20).map(i => ("s2", "a", if (i <= 10) 1 else 0)) ++  // 50%
+      (1 to 80).map(i => ("s2", "b", if (i <= 40) 1 else 0))     // 50%
+    val r = Experiment.cmh(rows.toDF("s", "arm", "c"), col("s"),
+      col("arm"), col("c"), "a", "b").collect().head
+    assert(approx(r.getAs[Double]("chi2"), 0.0, 1e-9),
+      s"chi2 ${r.getAs[Double]("chi2")}")
+    assert(approx(r.getAs[Double]("or_mh"), 1.0, 1e-9))
+    // pooled rates for contrast: a = 18/100, b = 42/100 — wildly unequal
+  }
+
+  test("cmh: zero-margin strata are excluded and counted") {
+    import graft.ops.Experiment
+    val rows = Seq(("s1", "a", 1), ("s1", "a", 0), ("s1", "b", 1),
+      ("s2", "a", 0), ("s2", "a", 0), ("s2", "b", 0)) // s2: m1 = 0
+    val r = Experiment.cmh(rows.toDF("s", "arm", "c"), col("s"),
+      col("arm"), col("c"), "a", "b").collect().head
+    assert(r.getAs[Long]("n_strata") == 2L)
+    assert(r.getAs[Long]("n_informative") == 1L)
+  }
 }
