@@ -1244,6 +1244,29 @@ object ScaleProbe {
         time(s"linkPrediction edges=$n+hub maxDegree=1000")(
           graft.ops.Graph.linkPrediction(edges, "s", "d", maxDegree = 1000)
             .agg(count(lit(1)), max("common_neighbors")).collect())
+      case "wordpiece" =>
+        // WordPiece encode at n docs: closure-shipped vocab, pure map.
+        val d = docs(n)
+        d.count()
+        val vocab = graft.ops.TextOps.wordpieceVocabFit(
+          d.limit(100000), col("text"), topWords = 4096, minCharCount = 5L)
+        time(s"wordpieceEncode n=$n V=${vocab.size}")(
+          graft.ops.TextOps.wordpieceEncode(d, col("text"), vocab)
+            .agg(sum("wp_n_tokens"), sum("wp_n_unk_words")).collect())
+      case "msprt" =>
+        // mSPRT at n events / 365 daily looks: one period aggregation,
+        // windows over the bounded period table.
+        val ev = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(365)).as("day"),
+          when(pmod(xxhash64(col("id"), lit(1)), lit(2)) === 0, "a")
+            .otherwise("b").as("arm"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(1000)) / 10.0
+            + when(pmod(xxhash64(col("id"), lit(1)), lit(2)) === 0, 0.0)
+              .otherwise(0.5)).as("y"))
+        ev.count()
+        time(s"msprt n=$n periods=365")(
+          graft.ops.Experiment.msprt(ev, col("arm"), col("day"), col("y"),
+            "a", "b", tau2 = 1.0).collect())
       case "walks" =>
         // DeepWalk corpus generation: n-edge bounded-degree graph
         // (n/10 nodes, deg≈20), 2 walks × 10 steps per node — walkLen

@@ -165,4 +165,47 @@ object Calibration {
         round(col("best.pv") - element_at(col("p"), col("y") + 1), 6)
           .as("margin"))
   }
+
+  /** Murphy decomposition of the Brier score (Murphy 1973):
+    * Brier = REL − RES + UNC over forecast-probability bins —
+    * reliability (calibration gap), resolution (how much the forecast
+    * separates outcomes), uncertainty (outcome base-rate variance). The
+    * additive identity holds EXACTLY for within-bin-constant forecasts
+    * and approximately otherwise, so the direct Σ(p−y)²/N rides along
+    * as `brier` for comparison. ONE bin aggregation (bins bounded), the
+    * combine runs over the bin table. */
+  def brierDecomposition(df: DataFrame, yTrue: Column, prob: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins $bins outside [2, 1e4]")
+    val p = prob.cast("double")
+    val y = yTrue.cast("double")
+    val bin = least(floor(p * bins).cast("int"), lit(bins - 1))
+    val byB = df.where(p.isNotNull && y.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(p).as("sp"), sum(y).as("sy"),
+        sum((p - y) * (p - y)).as("sq"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    byB
+      .withColumn("__N", sum("n_b").over(wAll))
+      .withColumn("__obar", sum("sy").over(wAll) / col("__N"))
+      .withColumn("__fb", col("sp") / col("n_b"))
+      .withColumn("__ob", col("sy") / col("n_b"))
+      .agg(
+        max(col("__N")).as("n"),
+        count(lit(1)).as("n_bins"),
+        sum(col("n_b") * (col("__fb") - col("__ob"))
+          * (col("__fb") - col("__ob"))).as("__rel_n"),
+        sum(col("n_b") * (col("__ob") - col("__obar"))
+          * (col("__ob") - col("__obar"))).as("__res_n"),
+        max(col("__obar")).as("__obar"),
+        sum(col("sq")).as("__sq"))
+      .withColumn("reliability", col("__rel_n") / col("n"))
+      .withColumn("resolution", col("__res_n") / col("n"))
+      .withColumn("uncertainty", col("__obar") * (lit(1.0) - col("__obar")))
+      .withColumn("brier", col("__sq") / col("n"))
+      .select(col("n"), col("n_bins"), col("reliability"),
+        col("resolution"), col("uncertainty"), col("brier"))
+  }
 }

@@ -292,4 +292,39 @@ object Curves {
         greatest(lit(0.0), col("auc") - lit(z) * sqrt(col("var_auc"))).as("ci_lo"),
         least(lit(1.0), col("auc") + lit(z) * sqrt(col("var_auc"))).as("ci_hi"))
   }
+
+  /** Lift / cumulative-gains table (the direct-marketing model readout —
+    * Berry & Linoff 2004): score-quantile buckets (fitted bounds, so
+    * ties share a bucket and no raw-row window is needed), per bucket
+    * the response rate, lift vs the base rate, and walking from the
+    * BEST bucket down the cumulative population and response shares
+    * (the gains curve). One bin aggregation; windows over the bounded
+    * bucket table. */
+  def liftCurve(df: DataFrame, label: Column, score: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, "buckets in [2, 1000]")
+    import graft.ops.Stats
+    val bounds = Stats.fitQuantileBins(df, score, buckets)
+    val y = label.cast("double")
+    val byB = df.where(y.isNotNull)
+      .groupBy(Stats.applyQuantileBins(score, bounds).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(y).as("__resp"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wDesc = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byB
+      .withColumn("__N", sum("n").over(wAll))
+      .withColumn("__R", sum("__resp").over(wAll))
+      .withColumn("rate", col("__resp") / col("n"))
+      .withColumn("lift", when(col("__R") > 0,
+        col("rate") / (col("__R") / col("__N"))))
+      .withColumn("cum_pop_share", sum("n").over(wDesc) / col("__N"))
+      .withColumn("cum_gain", when(col("__R") > 0,
+        sum("__resp").over(wDesc) / col("__R")))
+      .select(col("bucket"), col("n"),
+        col("__resp").cast("long").as("n_resp"), col("rate"), col("lift"),
+        col("cum_pop_share"), col("cum_gain"))
+      .orderBy(col("bucket").desc)
+  }
 }

@@ -2317,4 +2317,63 @@ object Stats {
       .select(col("q"), col("n"), col("rank_lo"), col("rank_mid"),
         col("rank_hi"), col("ci_lo"), col("estimate"), col("ci_hi"))
   }
+
+  /** One-way fixed-effects ANOVA F (Fisher 1925): does the metric mean
+    * differ across k groups? ONE moment aggregation per group (n, Σy,
+    * Σy²), then pure algebra over the bounded group table — the
+    * multi-arm generalization of the Welch/t readouts.
+    * Returns one row: (k, n, ss_between, ss_within, df_between,
+    * df_within, f_stat). */
+  def anovaF(df: DataFrame, group: Column, y: Column): DataFrame = {
+    val yd = y.cast("double")
+    val byG = df.where(yd.isNotNull)
+      .groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n_g"), sum(yd).as("s_g"),
+        sum(yd * yd).as("ss_g"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byG
+      .withColumn("__N", sum("n_g").over(wAll))
+      .withColumn("__k", count(lit(1)).over(wAll))
+      .withColumn("__grand", sum("s_g").over(wAll) / col("__N"))
+      .withColumn("__mb", (col("s_g") / col("n_g") - col("__grand")))
+      .agg(
+        max(col("__k")).as("k"), max(col("__N")).as("n"),
+        sum(col("n_g") * col("__mb") * col("__mb")).as("ss_between"),
+        sum(col("ss_g") - col("s_g") * col("s_g") / col("n_g"))
+          .as("ss_within"))
+      .withColumn("df_between", col("k") - 1)
+      .withColumn("df_within", col("n") - col("k"))
+      .withColumn("f_stat", when(col("df_between") > 0
+          && col("df_within") > 0 && col("ss_within") > 0,
+        (col("ss_between") / col("df_between"))
+          / (col("ss_within") / col("df_within"))))
+      .select(col("k"), col("n"), col("ss_between"), col("ss_within"),
+        col("df_between"), col("df_within"), col("f_stat"))
+  }
+
+  /** Cochran–Armitage trend test (Cochran 1954; Armitage 1955): is a
+    * binary outcome rate MONOTONE in an ordered dose? T = Σsᵢxᵢ −
+    * p̄Σsᵢnᵢ, Var = p̄(1−p̄)(Σsᵢ²nᵢ − (Σsᵢnᵢ)²/N), z = T/√Var — and
+    * because every term is a plain row-level sum, the whole test is ONE
+    * fused aggregation over the raw rows (no per-dose grouping needed).
+    * Returns one row: (n, n_pos, z, t_num, variance). */
+  def cochranArmitage(df: DataFrame, dose: Column, outcome: Column)
+      : DataFrame = {
+    val sC = dose.cast("double")
+    val yC = outcome.cast("double")
+    val base = df.where(sC.isNotNull && yC.isNotNull)
+    base.agg(
+        count(lit(1)).as("n"),
+        sum(yC).as("__x"), sum(sC).as("__s"),
+        sum(sC * sC).as("__s2"), sum(sC * yC).as("__sy"))
+      .withColumn("__p", col("__x") / col("n"))
+      .withColumn("t_num", col("__sy") - col("__p") * col("__s"))
+      .withColumn("variance", col("__p") * (lit(1.0) - col("__p"))
+        * (col("__s2") - col("__s") * col("__s") / col("n")))
+      .withColumn("z", when(col("variance") > 0,
+        col("t_num") / sqrt(col("variance"))))
+      .select(col("n"), col("__x").cast("long").as("n_pos"),
+        col("z"), col("t_num"), col("variance"))
+  }
 }

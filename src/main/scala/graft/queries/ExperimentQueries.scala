@@ -117,6 +117,46 @@ object ExperimentQueries {
           col("n_cells_dropped"), round(col("mu1"), 4).as("mu1"),
           round(col("mu0"), 4).as("mu0"), round(col("ate"), 4).as("ate"))),
 
+    "g_anova" -> ((s, dir) =>
+      // Multi-arm mean comparison: one-way F across the 5 event types.
+      Stats.anovaF(table(s, dir, "events"), col("event_type"), col("value"))
+        .select(col("k"), col("n"),
+          round(col("ss_between"), 2).as("ss_between"),
+          round(col("ss_within"), 2).as("ss_within"),
+          col("df_between"), col("df_within"),
+          round(col("f_stat"), 4).as("f_stat"))),
+
+    "g_trend_test" -> ((s, dir) =>
+      // Cochran–Armitage: is the error rate monotone in the value
+      // century bucket? ONE fused row-level aggregation.
+      Stats.cochranArmitage(table(s, dir, "events"),
+          floor(col("value") / 100.0), (col("event_type") === "error").cast("int"))
+        .select(col("n"), col("n_pos"), round(col("z"), 4).as("z"),
+          round(col("t_num"), 4).as("t_num"),
+          round(col("variance"), 4).as("variance"))),
+
+    "g_brier_decomp" -> ((s, dir) =>
+      // Murphy decomposition of the scored-events Brier: reliability /
+      // resolution / uncertainty over 10 forecast bins + direct Brier.
+      graft.ops.Calibration.brierDecomposition(scoredEvents(s, dir),
+          col("y_true"), col("score"), bins = 10)
+        .select(col("n"), col("n_bins"),
+          round(col("reliability"), 6).as("reliability"),
+          round(col("resolution"), 6).as("resolution"),
+          round(col("uncertainty"), 6).as("uncertainty"),
+          round(col("brier"), 6).as("brier"))),
+
+    "g_lift_curve" -> ((s, dir) =>
+      // Decile lift/gains on the scored events: response rate, lift vs
+      // base, cumulative population and response shares from the best
+      // bucket down.
+      graft.ops.Curves.liftCurve(scoredEvents(s, dir), col("y_true"),
+          col("score"), buckets = 10)
+        .select(col("bucket"), col("n"), col("n_resp"),
+          round(col("rate"), 6).as("rate"), round(col("lift"), 4).as("lift"),
+          round(col("cum_pop_share"), 6).as("cum_pop_share"),
+          round(col("cum_gain"), 6).as("cum_gain"))),
+
     "g_logrank" -> ((s, dir) => {
       // Do odd and even users' lifetimes differ? Same per-user
       // whole-hour durations and error terminal event as
@@ -361,6 +401,92 @@ object ExperimentQueries {
         |  round(s1 / n_overlap, 4) AS mu1, round(s0 / n_overlap, 4) AS mu0,
         |  round(s1 / n_overlap - s0 / n_overlap, 4) AS ate
         |FROM s""".stripMargin,
+
+    "g_anova" ->
+      """WITH g AS (SELECT event_type AS grp, count(*) AS n_g,
+        |    sum(value) AS s_g, sum(value * value) AS ss_g
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |w AS (SELECT *, CAST(sum(n_g) OVER () AS BIGINT) AS nn,
+        |    count(*) OVER () AS k,
+        |    sum(s_g) OVER () / CAST(sum(n_g) OVER () AS BIGINT) AS grand
+        |  FROM g),
+        |s AS (SELECT max(k) AS k, max(nn) AS n,
+        |    sum(n_g * (s_g / n_g - grand) * (s_g / n_g - grand)) AS ssb,
+        |    sum(ss_g - s_g * s_g / n_g) AS ssw
+        |  FROM w)
+        |SELECT k, n, round(ssb, 2) AS ss_between,
+        |  round(ssw, 2) AS ss_within,
+        |  k - 1 AS df_between, n - k AS df_within,
+        |  round((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f_stat
+        |FROM s""".stripMargin,
+
+    "g_trend_test" ->
+      """WITH b AS (
+        |  SELECT floor(value / 100.0) AS s,
+        |    CAST(event_type = 'error' AS INT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT count(*) AS n, sum(CAST(y AS DOUBLE)) AS x,
+        |    sum(s) AS ssum, sum(s * s) AS s2,
+        |    sum(s * CAST(y AS DOUBLE)) AS sy
+        |  FROM b),
+        |t AS (SELECT n, x, x / n AS p,
+        |    sy - (x / n) * ssum AS t_num,
+        |    (x / n) * (1.0 - x / n) * (s2 - ssum * ssum / n) AS variance
+        |  FROM a)
+        |SELECT n, CAST(x AS BIGINT) AS n_pos,
+        |  round(CASE WHEN variance > 0 THEN t_num / sqrt(variance) END, 4)
+        |    AS z,
+        |  round(t_num, 4) AS t_num, round(variance, 4) AS variance
+        |FROM t""".stripMargin,
+
+    "g_brier_decomp" -> {
+      s"""WITH sc AS (${Q.scoredEventsSql}),
+         |b AS (SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+         |    count(*) AS n_b, sum(score) AS sp,
+         |    sum(CAST(y_true AS DOUBLE)) AS sy,
+         |    sum((score - y_true) * (score - y_true)) AS sq
+         |  FROM sc GROUP BY 1),
+         |w AS (SELECT *, CAST(sum(n_b) OVER () AS BIGINT) AS nn,
+         |    sum(sy) OVER () / CAST(sum(n_b) OVER () AS BIGINT) AS obar
+         |  FROM b),
+         |f AS (SELECT max(nn) AS n, count(*) AS n_bins,
+         |    sum(n_b * (sp / n_b - sy / n_b) * (sp / n_b - sy / n_b))
+         |      AS reln,
+         |    sum(n_b * (sy / n_b - obar) * (sy / n_b - obar)) AS resn,
+         |    max(obar) AS obar, sum(sq) AS sq
+         |  FROM w)
+         |SELECT n, n_bins, round(reln / n, 6) AS reliability,
+         |  round(resn / n, 6) AS resolution,
+         |  round(obar * (1.0 - obar), 6) AS uncertainty,
+         |  round(sq / n, 6) AS brier
+         |FROM f""".stripMargin
+    },
+
+    "g_lift_curve" -> {
+      val qs = (1 to 9).map(i =>
+        s"round(quantile_cont(score, 0.$i), 6) AS q$i").mkString(", ")
+      val bins = (1 to 9).map(i =>
+        s"(CASE WHEN score > q$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH sc AS (${Q.scoredEventsSql}),
+         |bounds AS (SELECT $qs FROM sc),
+         |byb AS (SELECT $bins AS bucket, count(*) AS n,
+         |    sum(CAST(y_true AS DOUBLE)) AS resp
+         |  FROM sc CROSS JOIN bounds GROUP BY 1),
+         |w AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS nn,
+         |    sum(resp) OVER () AS rr,
+         |    sum(n) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING)
+         |      AS cn,
+         |    sum(resp) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING)
+         |      AS cr
+         |  FROM byb)
+         |SELECT bucket, n, CAST(resp AS BIGINT) AS n_resp,
+         |  round(resp / n, 6) AS rate,
+         |  round(CASE WHEN rr > 0 THEN (resp / n) / (rr / nn) END, 4)
+         |    AS lift,
+         |  round(cn / nn, 6) AS cum_pop_share,
+         |  round(CASE WHEN rr > 0 THEN cr / rr END, 6) AS cum_gain
+         |FROM w ORDER BY bucket DESC""".stripMargin
+    },
 
     "g_logrank" ->
       """WITH per AS (

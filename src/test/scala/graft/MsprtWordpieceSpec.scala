@@ -125,4 +125,68 @@ class MsprtWordpieceSpec extends SparkSpec {
     assert(r.getAs[Long]("n_strata") == 2L)
     assert(r.getAs[Long]("n_informative") == 1L)
   }
+
+  test("anovaF: textbook 3-group fixture and null when groups are flat") {
+    import graft.ops.Stats
+    // groups: {1,2,3}, {2,3,4}, {3,4,5}: grand = 3, group means 2,3,4
+    // ssb = 3*(1+0+1) = 6; ssw = 3 groups * 2 = 6; F = (6/2)/(6/6) = 3
+    val rows = Seq(("a",1.0),("a",2.0),("a",3.0),("b",2.0),("b",3.0),
+      ("b",4.0),("c",3.0),("c",4.0),("c",5.0))
+    val r = Stats.anovaF(rows.toDF("g","y"), col("g"), col("y"))
+      .collect().head
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n") == 9L)
+    assert(approx(r.getAs[Double]("ss_between"), 6.0, 1e-9))
+    assert(approx(r.getAs[Double]("ss_within"), 6.0, 1e-9))
+    assert(approx(r.getAs[Double]("f_stat"), 3.0, 1e-9))
+    // constant groups -> ssw = 0 -> null F (guarded, no division blowup)
+    val flat = Seq(("a",1.0),("a",1.0),("b",2.0),("b",2.0))
+    val rf = Stats.anovaF(flat.toDF("g","y"), col("g"), col("y"))
+      .collect().head
+    assert(rf.isNullAt(rf.fieldIndex("f_stat")))
+  }
+
+  test("cochranArmitage: positive trend detected, flat rate z ~ 0") {
+    import graft.ops.Stats
+    // doses 0,1,2 with rates .1, .5, .9 over 20 each -> strong + trend
+    def mk(rates: Seq[Double]) = rates.zipWithIndex.flatMap { case (r, d) =>
+      (1 to 20).map(i => (d.toDouble, if (i <= (r * 20).round) 1 else 0)) }
+    val up = Stats.cochranArmitage(mk(Seq(.1,.5,.9)).toDF("s","y"),
+      col("s"), col("y")).collect().head
+    assert(up.getAs[Double]("z") > 4.0)
+    val flat = Stats.cochranArmitage(mk(Seq(.5,.5,.5)).toDF("s","y"),
+      col("s"), col("y")).collect().head
+    assert(approx(flat.getAs[Double]("z"), 0.0, 1e-9))
+  }
+
+  test("brierDecomposition: identity holds exactly for bin-constant forecasts") {
+    import graft.ops.Calibration
+    // forecasts constant within bins: p=.25 (obs rate .5), p=.75 (rate .75)
+    val rows = Seq((0.25,0),(0.25,1),(0.25,0),(0.25,1),
+      (0.75,1),(0.75,1),(0.75,1),(0.75,0))
+    val r = Calibration.brierDecomposition(rows.toDF("p","y"),
+      col("y"), col("p"), bins = 4).collect().head
+    val (rel, res, unc, brier) = (r.getAs[Double]("reliability"),
+      r.getAs[Double]("resolution"), r.getAs[Double]("uncertainty"),
+      r.getAs[Double]("brier"))
+    assert(approx(brier, rel - res + unc, 1e-12),
+      s"identity: $brier vs ${rel - res + unc}")
+    // rel = (.5*(.25-.5)^2 + .5*(.75-.75)^2) = .03125
+    assert(approx(rel, 0.03125, 1e-12))
+    assert(approx(unc, 0.625 * 0.375, 1e-12))
+  }
+
+  test("liftCurve: perfect ranker gains; uniform scores lift ~ 1") {
+    import graft.ops.Curves
+    // scores equal labels-ish: top decile catches all responders
+    val rows = (1 to 100).map(i => (if (i <= 10) 1 else 0, i / 100.0 +
+      (if (i <= 10) 1.0 else 0.0)))
+    val r = Curves.liftCurve(rows.toDF("y","s"), col("y"), col("s"), 10)
+      .collect()
+    val top = r.head
+    assert(approx(top.getAs[Double]("cum_gain"), 1.0, 1e-9),
+      "top bucket must capture all responders")
+    assert(top.getAs[Double]("lift") > 9.0)
+    assert(approx(r.last.getAs[Double]("cum_gain"), 1.0, 1e-12))
+    assert(approx(r.last.getAs[Double]("cum_pop_share"), 1.0, 1e-12))
+  }
 }
