@@ -98,7 +98,17 @@ object ChronoSplit {
       valFrac: Double = 0.15,
       out: String = "split"): DataFrame = {
     require(buckets >= 2, s"withSplitSalted: buckets $buckets < 2")
-    val t = ts.cast("double")
+    // the salted path buckets/ranks on the DOUBLE face of ts; beyond
+    // 2^53 distinct longs collapse to equal doubles and the salted
+    // ranks silently diverge from withSplit's long ordering (epoch
+    // NANOS is already 1.7e18) — raise instead of mis-splitting
+    val t = when(ts.isNull
+        || abs(ts.cast("double")) < lit(9.007199254740992e15),
+      ts.cast("double"))
+      .otherwise(raise_error(concat(
+        lit("withSplitSalted: |ts| >= 2^53 ("), ts.cast("string"),
+        lit(") — rank parity with the window form would break; " +
+          "coarsen the clock (epoch micros/millis) first"))))
     val g = groupCols.map(col)
     val probs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
     // The approx-quantile subtree is NON-DETERMINISTIC across
@@ -116,8 +126,12 @@ object ChronoSplit {
       java.util.Arrays.asList(boundsPlan.collect(): _*), boundsPlan.schema)
     val bkt = aggregate(col("__bounds"), lit(0),
       (acc, bnd) => acc + when(t > bnd, 1).otherwise(0))
+    // coalesce: a group whose ts values are ALL null fits a null
+    // __bounds array, so the fold yields null — without the sentinel
+    // the equi-joins on (group, __bkt) would silently DROP that whole
+    // group, where the window form assigns it (nulls-first) ranks
     val withB = df.join(broadcast(bounds), groupCols)
-      .withColumn("__bkt", bkt)
+      .withColumn("__bkt", coalesce(bkt, lit(0)))
     val counts = withB.groupBy((g :+ col("__bkt")): _*)
       .agg(count(lit(1)).as("__c"))
     val wg = Window.partitionBy(g: _*)

@@ -260,7 +260,12 @@ object Curves {
     * one row (auc, var_auc, ci_lo, ci_hi), CI clipped to [0, 1]. */
   def aucDeLong(df: DataFrame, y: Column, score: Column,
       z: Double = 1.959963984540054): DataFrame = {
+    // null scores/labels out BEFORE the collapse: Spark windows order
+    // nulls first, so a null-score group would silently count as the
+    // lowest score (and DuckDB orders nulls last — the spearman
+    // divergence shape)
     val byScore = df
+      .where(y.isNotNull && score.isNotNull)
       .select(y.cast("int").as("y"), score.cast("double").as("s"))
       .groupBy("s")
       .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
@@ -306,7 +311,9 @@ object Curves {
     import graft.ops.Stats
     val bounds = Stats.fitQuantileBins(df, score, buckets)
     val y = label.cast("double")
-    val byB = df.where(y.isNotNull)
+    // null scores out: applyQuantileBins would fold them into bucket 0
+    // (every `null > bound` is 0) while the fit ignored them
+    val byB = df.where(y.isNotNull && score.isNotNull)
       .groupBy(Stats.applyQuantileBins(score, bounds).as("bucket"))
       .agg(count(lit(1)).as("n"), sum(y).as("__resp"))
     val wAll = Window.rowsBetween(Window.unboundedPreceding,

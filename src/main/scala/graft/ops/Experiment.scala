@@ -85,11 +85,13 @@ object Experiment {
         coalesce(sum(when(a, c)), lit(0L)).as("x_a"),
         sum(when(b, 1L).otherwise(0L)).as("n_b"),
         coalesce(sum(when(b, c)), lit(0L)).as("x_b"))
-      .withColumn("rate_a", col("x_a") / col("n_a"))
-      .withColumn("rate_b", col("x_b") / col("n_b"))
+      // explicit null faces (not 0/0 artifacts) when an arm is absent —
+      // an empty arm is a caller bug the readout must not paper over
+      .withColumn("rate_a", when(col("n_a") > 0, col("x_a") / col("n_a")))
+      .withColumn("rate_b", when(col("n_b") > 0, col("x_b") / col("n_b")))
       .withColumn("lift", col("rate_b") - col("rate_a"))
-      .withColumn("__p",
-        (col("x_a") + col("x_b")) / (col("n_a") + col("n_b")))
+      .withColumn("__p", when(col("n_a") + col("n_b") > 0,
+        (col("x_a") + col("x_b")) / (col("n_a") + col("n_b"))))
       .withColumn("z", col("lift") / sqrt(col("__p") * (lit(1.0) - col("__p"))
         * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
       .withColumn("__se", sqrt(
@@ -340,8 +342,10 @@ object Experiment {
         coalesce(sum(when(overlap, col("syc_c")
           * col("n_c").cast("double") / (col("n_c") - col("nt_c")))),
           lit(0.0)).as("__s0"))
-      .withColumn("mu1", col("__s1") / col("n_overlap"))
-      .withColumn("mu0", col("__s0") / col("n_overlap"))
+      .withColumn("mu1", when(col("n_overlap") > 0,
+        col("__s1") / col("n_overlap")))
+      .withColumn("mu0", when(col("n_overlap") > 0,
+        col("__s0") / col("n_overlap")))
       .withColumn("ate", col("mu1") - col("mu0"))
       .select(col("n_total"), col("n_cells"), col("n_overlap"),
         col("n_cells_dropped"), col("mu1"), col("mu0"), col("ate"))

@@ -2066,8 +2066,9 @@ object TextOps {
         val ws: Array[String] =
           if (t == null) Array.empty
           else t.trim.split("\\s+").filter(_.nonEmpty)
-        val toks = ws.flatMap(encodeWord)
-        val nUnk = ws.count(w => encodeWord(w).sameElements(Array(unk)))
+        val encs = ws.map(encodeWord) // encode each word exactly once
+        val toks = encs.flatten
+        val nUnk = encs.count(e => e.length == 1 && e(0) == unk)
         Row.fromSeq(r.toSeq.dropRight(1) ++
           Seq[Any](toks, ws.length.toLong, toks.length.toLong, nUnk.toLong))
       }

@@ -212,8 +212,11 @@ object ExperimentQueries {
       // non-purchase event of the same user within 24 h (ms clock);
       // out-of-window purchases report 'direct'.
       val ev = table(s, dir, "events")
+      // event_id rides the tie-break RAW: max driver SF has event_id
+      // < 2^20, and past that the op raises loudly — a pmod wrap would
+      // instead collide (t, tie) keys and pick engine-dependent labels
       graft.ops.Sessionize.lastTouchAttribution(ev, col("user_id"),
-          expr("ts div 1000"), pmod(col("event_id"), lit(1L << 20)),
+          expr("ts div 1000"), col("event_id"),
           col("event_type") === "purchase", col("event_type"),
           col("value"), lookback = 86400000L)
         .groupBy(coalesce(col("touch_label"), lit("direct")).as("touch"))
@@ -606,7 +609,7 @@ object ExperimentQueries {
     "g_attribution" ->
       """WITH base AS (
         |  SELECT user_id AS k, epoch_us(ts) // 1000 AS t,
-        |    event_id % 1048576 AS tie, event_type = 'purchase' AS conv,
+        |    event_id AS tie, event_type = 'purchase' AS conv,
         |    event_type AS label, value
         |  FROM events),
         |enc AS (SELECT *, t * 1048576 + tie AS e FROM base),

@@ -96,4 +96,38 @@ class ChronoSplitSpec extends SparkSpec {
     assert(rnLines.nonEmpty, p)
     assert(rnLines.forall(_.contains("__bkt")), rnLines.mkString("\n"))
   }
+
+  test("withSplitSalted: an ALL-null-ts group survives with window-form parity") {
+    // group "g2" has only null timestamps: its quantile bounds are null,
+    // and without the bucket sentinel the (group, bucket) joins dropped
+    // the whole group (review finding, round 10)
+    val rows = Seq(
+      ("g1", Some(1L), 1L), ("g1", Some(2L), 2L), ("g1", Some(3L), 3L),
+      ("g1", Some(4L), 4L), ("g1", Some(5L), 5L), ("g1", Some(6L), 6L),
+      ("g1", Some(7L), 7L),
+      ("g2", None: Option[Long], 1L), ("g2", None, 2L), ("g2", None, 3L),
+      ("g2", None, 4L), ("g2", None, 5L), ("g2", None, 6L), ("g2", None, 7L))
+    val df = rows.toDF("g", "ts", "id")
+    val win = ChronoSplit.withSplit(df, Seq("g"), Seq(col("ts"), col("id")))
+      .select("g", "id", "split").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    val sal = ChronoSplit.withSplitSalted(df, Seq("g"), col("ts"),
+        Seq(col("id")), buckets = 3)
+      .select("g", "id", "split").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(sal.size == rows.size, s"salted dropped rows: ${sal.size}")
+    assert(sal == win, "all-null-ts group must split identically")
+  }
+
+  test("withSplitSalted: ts beyond 2^53 raises instead of silently mis-ranking") {
+    val df = Seq(("g", 1L << 60, 1L), ("g", (1L << 60) + 1L, 2L),
+      ("g", 3L, 3L)).toDF("g", "ts", "id")
+    val e = intercept[Exception] {
+      ChronoSplit.withSplitSalted(df, Seq("g"), col("ts"),
+        Seq(col("id"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("withSplitSalted")), msgs(e).mkString)
+  }
 }
