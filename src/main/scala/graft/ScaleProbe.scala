@@ -1280,6 +1280,10 @@ object ScaleProbe {
           graft.ops.Graph.randomWalks(edges, "s", "d", walkLen = 10,
               walksPerNode = 2, seed = 3L)
             .agg(count(lit(1)), max("step")).collect())
+        time(s"node2vecWalks edges=$n walkLen=10 walksPerNode=2")(
+          graft.ops.Graph.node2vecWalks(edges, "s", "d", walkLen = 10,
+              walksPerNode = 2, p = 0.5, q = 2.0, seed = 3L)
+            .agg(count(lit(1)), max("step")).collect())
       case "attribution" =>
         // Last-touch attribution over n events / n/10 users, 5% of
         // events conversions: one entity-partitioned window + one

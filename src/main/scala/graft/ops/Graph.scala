@@ -517,4 +517,97 @@ object Graph {
     steps.reduce(_ unionAll _)
       .select(col("start"), col("walk"), col("step"), col("cur").as("node"))
   }
+
+  /** Biased second-order random walks (node2vec — Grover & Leskovec,
+    * KDD 2016): [[randomWalks]]' return/in-out generalization. After a
+    * uniform first hop, the step from `cur` (arrived from `prev`)
+    * weights each out-neighbor x by 1/p if x = prev (return), 1 if
+    * dist(prev, x) = 1 (BFS-ish), 1/q otherwise (DFS-ish). Weights ride
+    * an integer grid (round(grid/p), grid, round(grid/q)) so the
+    * cumulative ranges, the modulus, and the bucket pick are exact
+    * integer arithmetic — IntHash-replayed like every sampler here, no
+    * rand().
+    *
+    * Scale shape per step: ONE equi-join of the frontier against the
+    * checkpointed adjacency on the current node (candidates = frontier
+    * × out-degree), one membership LEFT join against the same adjacency
+    * on (prev, candidate) for the dist-1 test, a per-(start, walk)
+    * window over the candidate list (bounded by the max out-degree),
+    * and the integer range pick. walkLen bounded steps; per-step lazy
+    * checkpoints keep the final union linear.
+    */
+  def node2vecWalks(edges: DataFrame, src: String, dst: String,
+      walkLen: Int, walksPerNode: Int, p: Double, q: Double, seed: Long,
+      grid: Long = 1024L): DataFrame = {
+    require(walkLen >= 1 && walkLen <= 128, "walkLen in [1, 128]")
+    require(walksPerNode >= 1 && walksPerNode <= 1024,
+      "walksPerNode in [1, 1024]")
+    require(p > 0 && q > 0, "node2vec p, q must be > 0")
+    require(grid >= 1 && grid <= (1L << 20), "grid in [1, 2^20]")
+    val wRet = math.round(grid / p)
+    val wOut = math.round(grid / q)
+    require(wRet >= 1 && wOut >= 1,
+      s"node2vecWalks: grid $grid too coarse for p=$p / q=$q (zero weight)")
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col(src).cast("long").as("u"),
+        col(dst).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val adj = e0.select(col("u").as("node"), col("v").as("nbr"))
+      .withColumn("idx", row_number()
+        .over(Window.partitionBy("node").orderBy("nbr")) - 1)
+      .localCheckpoint(false)
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    val starts = e0.select(col("u").as("node"))
+      .unionAll(e0.select(col("v").as("node"))).distinct()
+    val s0 = starts
+      .withColumn("walk", explode(sequence(lit(1), lit(walksPerNode))))
+      .select(col("node").as("start"), col("walk").cast("long").as("walk"),
+        lit(0L).as("step"), lit(null).cast("long").as("prev"),
+        col("node").as("cur"))
+    val steps = (1 to walkLen).scanLeft(s0) { (prevF, t) =>
+      val next =
+        if (t == 1) {
+          // first hop: uniform, exactly randomWalks' draw
+          val fr = prevF.join(deg, col("cur") === deg("node")).drop("node")
+          fr.withColumn("__idx", pmod(graft.ops.IntHash.mix(lit(seed),
+              Seq(col("start"), col("walk"), lit(1L), col("cur"))),
+              col("deg")))
+            .join(adj, fr("cur") === adj("node") && col("__idx") === adj("idx"))
+            .select(col("start"), col("walk"), lit(1L).as("step"),
+              fr("cur").as("prev"), col("nbr").as("cur"))
+        } else {
+          val cands = prevF
+            .join(adj.select(col("node").as("__cn"), col("nbr"),
+              col("idx")), col("cur") === col("__cn"))
+            .join(adj.select(col("node").as("__en"), col("nbr").as("__ev"),
+              lit(1).as("__has")),
+              col("prev") === col("__en") && col("nbr") === col("__ev"),
+              "left")
+            .withColumn("__w",
+              when(col("nbr") === col("prev"), lit(wRet))
+                .when(col("__has").isNotNull, lit(grid))
+                .otherwise(lit(wOut)))
+          val wc = Window.partitionBy("start", "walk").orderBy("idx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wAll = Window.partitionBy("start", "walk")
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)
+          cands
+            .withColumn("__hi", sum("__w").over(wc))
+            .withColumn("__lo", col("__hi") - col("__w"))
+            .withColumn("__tot", sum("__w").over(wAll))
+            .withColumn("__u", pmod(graft.ops.IntHash.mix(lit(seed),
+              Seq(col("start"), col("walk"), lit(t.toLong), col("cur"),
+                col("prev"))), col("__tot")))
+            .where(col("__u") >= col("__lo") && col("__u") < col("__hi"))
+            .select(col("start"), col("walk"), lit(t.toLong).as("step"),
+              col("cur").as("prev"), col("nbr").as("cur"))
+        }
+      next.localCheckpoint(false)
+    }
+    steps.reduce(_ unionAll _)
+      .select(col("start"), col("walk"), col("step"), col("cur").as("node"))
+  }
 }

@@ -64,6 +64,18 @@ object SelectionQueries {
       Graph.randomWalks(edges, "u", "v", walkLen = 4, walksPerNode = 2,
           seed = 11L)
         .orderBy("start", "walk", "step")
+    }),
+
+    "graph_walks_node2vec" -> ((s, dir) => {
+      // node2vec biased walks on the same graph: p = 0.25 (return-
+      // happy), q = 4 (BFS-ish) — the second-order sampler, integer
+      // weight grid, IntHash-replayed.
+      val edges = table(s, dir, "events").where(col("event_id") < 3000)
+        .select((col("user_id") % 40).as("u"),
+          ((col("user_id") % 40 + 1 + col("event_id") % 11) % 40).as("v"))
+      Graph.node2vecWalks(edges, "u", "v", walkLen = 3, walksPerNode = 2,
+          p = 0.25, q = 4.0, seed = 13L)
+        .orderBy("start", "walk", "step")
     })
   )
 
@@ -172,6 +184,64 @@ object SelectionQueries {
          |  JOIN adj ON adj.node = wk.cur AND adj.idx = (($mix) % deg.deg)
          |  WHERE wk.step < 4)
          |SELECT start, walk, step, cur AS node FROM walk
+         |ORDER BY start, walk, step""".stripMargin
+    },
+
+    "graph_walks_node2vec" -> {
+      // staged unroll (windows are illegal inside a recursive CTE):
+      // stage 1 is the uniform hop, stages 2..L the (prev, cur)-biased
+      // integer-range pick. wRet = round(1024/0.25), wOut = round(1024/4).
+      val (wRet, grid, wOut) = (4096L, 1024L, 256L)
+      val u1 = IntHash.mixSql("13", Seq("f.start", "f.walk", "1", "f.cur"))
+      val stages = (2 to 3).map { t =>
+        val u = IntHash.mixSql("13",
+          Seq("start", "walk", t.toString, "cur", "prev"))
+        s"""cands$t AS (
+           |  SELECT f.start, f.walk, f.prev, f.cur, a.nbr, a.idx,
+           |    CASE WHEN a.nbr = f.prev THEN $wRet
+           |         WHEN e.nbr IS NOT NULL THEN $grid
+           |         ELSE $wOut END AS w
+           |  FROM st${t - 1} f
+           |  JOIN adj a ON a.node = f.cur
+           |  LEFT JOIN adj e ON e.node = f.prev AND e.nbr = a.nbr),
+           |rng$t AS (
+           |  SELECT *,
+           |    CAST(sum(w) OVER (PARTITION BY start, walk ORDER BY idx
+           |      ROWS UNBOUNDED PRECEDING) - w AS BIGINT) AS lo,
+           |    CAST(sum(w) OVER (PARTITION BY start, walk ORDER BY idx
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi,
+           |    CAST(sum(w) OVER (PARTITION BY start, walk) AS BIGINT)
+           |      AS tot
+           |  FROM cands$t),
+           |st$t AS (
+           |  SELECT start, walk, cur AS prev, nbr AS cur
+           |  FROM rng$t
+           |  WHERE ($u) % tot >= lo AND ($u) % tot < hi)""".stripMargin
+      }.mkString(",\n|")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT user_id % 40 AS u,
+         |    (user_id % 40 + 1 + event_id % 11) % 40 AS v
+         |  FROM events WHERE event_id < 3000),
+         |e1 AS (SELECT u, v FROM e0 WHERE u <> v),
+         |adj AS (SELECT u AS node, v AS nbr,
+         |          row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS idx
+         |        FROM e1),
+         |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+         |starts AS (SELECT DISTINCT node FROM
+         |  (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)),
+         |s0 AS (SELECT node AS start, CAST(w AS BIGINT) AS walk,
+         |         node AS cur
+         |       FROM starts CROSS JOIN (SELECT unnest(range(1, 3)) AS w)),
+         |st1 AS (
+         |  SELECT f.start, f.walk, f.cur AS prev, a.nbr AS cur
+         |  FROM s0 f
+         |  JOIN deg d ON d.node = f.cur
+         |  JOIN adj a ON a.node = f.cur AND a.idx = (($u1) % d.deg)),
+         |$stages
+         |SELECT start, walk, CAST(0 AS BIGINT) AS step, cur AS node FROM s0
+         |UNION ALL SELECT start, walk, 1, cur FROM st1
+         |UNION ALL SELECT start, walk, 2, cur FROM st2
+         |UNION ALL SELECT start, walk, 3, cur FROM st3
          |ORDER BY start, walk, step""".stripMargin
     }
   )

@@ -95,4 +95,37 @@ class WalkAttributionSpec extends SparkSpec {
     // rank 1..3 all land on the tied value 1.0
     assert(r.getAs[Double]("ci_lo") == 1.0)
   }
+
+  test("node2vecWalks: valid hops, determinism, and p/q actually bias") {
+    // dense-ish graph: ring of 12 with chords, both directions
+    val base = (0L until 12L).flatMap(i =>
+      Seq((i, (i + 1) % 12), (i, (i + 3) % 12)))
+    val edges = (base ++ base.map(_.swap)).toDF("s", "d")
+    val edgeSet = (base ++ base.map(_.swap)).toSet
+    def run(p: Double, q: Double) = Graph.node2vecWalks(
+        edges.repartition(3), "s", "d", walkLen = 6, walksPerNode = 4,
+        p = p, q = q, seed = 5L)
+      .orderBy("start", "walk", "step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val a = run(0.1, 1.0)
+    assert(a.toSeq == run(0.1, 1.0).toSeq, "walks must be deterministic")
+    def returns(rows: Array[(Long, Long, Long, Long)]): Int =
+      rows.groupBy(x => (x._1, x._2)).values.map { steps =>
+        val path = steps.sortBy(_._3).map(_._4)
+        // count immediate backtracks v -> w -> v
+        path.sliding(3).count(w => w.length == 3 && w(0) == w(2))
+      }.sum
+    // every hop is a real edge
+    a.groupBy(x => (x._1, x._2)).values.foreach { steps =>
+      steps.sortBy(_._3).map(_._4).sliding(2).foreach {
+        case Array(u, v) => assert(edgeSet((u, v)), s"bogus hop $u->$v")
+        case _ =>
+      }
+    }
+    // tiny p (return-happy) must backtrack far more than huge p
+    val many = returns(a)
+    val few = returns(run(100.0, 1.0))
+    assert(many > few * 2,
+      s"p-bias missing: returns(p=.1)=$many vs returns(p=100)=$few")
+  }
 }
