@@ -189,6 +189,38 @@ object Experiment {
       .select(col("grp"), col("n"), col("slope"), col("intercept"),
         col("r2"))
 
+  /** Per-group ridge regression (Hoerl & Kennard 1970), 1 feature:
+    * minimize Σ(y − a − b·x)² + λb² — the L2-shrunk sibling of
+    * [[olsPerGroup]] for near-constant-x groups where the OLS slope
+    * explodes (and the convention big grid drivers use to keep per-slice
+    * trend fits finite). Closed form on centered sums:
+    * b = Sxy/(Sxx + λ), a = ȳ − b·x̄ (intercept unpenalized — the
+    * standard convention), where Sxy = Σ(x−x̄)(y−ȳ), Sxx = Σ(x−x̄)².
+    * λ = 0 reproduces olsPerGroup exactly. Also reports the penalized
+    * fit's plain R² = 1 − SSE/Syy (null when Syy = 0). ONE fused
+    * map-side-combined scan, k closed-form fits. */
+  def ridgePerGroup(df: DataFrame, group: Column, x: Column, y: Column,
+      lambda: Double): DataFrame = {
+    require(lambda >= 0.0, s"lambda must be >= 0, got $lambda")
+    df.where(x.isNotNull && y.isNotNull)
+      .groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n"),
+        covar_samp(x, y).as("__cxy"), var_samp(x).as("__vx"),
+        var_samp(y).as("__vy"), avg(x).as("__mx"), avg(y).as("__my"))
+      // ddof=1 moments → centered sums: S = (n−1)·moment
+      .withColumn("__sxy", col("__cxy") * (col("n") - 1))
+      .withColumn("__sxx", col("__vx") * (col("n") - 1))
+      .withColumn("__syy", col("__vy") * (col("n") - 1))
+      .withColumn("slope", when(col("__sxx") + lambda > 0,
+        col("__sxy") / (col("__sxx") + lambda)))
+      .withColumn("intercept", col("__my") - col("slope") * col("__mx"))
+      .withColumn("r2", when(col("__syy") > 0,
+        lit(1.0) - (col("__syy") - lit(2.0) * col("slope") * col("__sxy")
+          + col("slope") * col("slope") * col("__sxx")) / col("__syy")))
+      .select(col("grp"), col("n"), col("slope"), col("intercept"),
+        col("r2"))
+  }
+
   /** Cochran–Mantel–Haenszel stratified 2×2 test + Mantel–Haenszel
     * common odds ratio (Cochran 1954; Mantel & Haenszel 1959) — the
     * confounding-robust binary-outcome readout: per stratum the 2×2

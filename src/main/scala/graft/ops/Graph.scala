@@ -610,4 +610,98 @@ object Graph {
     steps.reduce(_ unionAll _)
       .select(col("start"), col("walk"), col("step"), col("cur").as("node"))
   }
+
+  /** Newman modularity per community (Newman & Girvan 2004): over the
+    * UNDIRECTED simple graph (edges canonicalized a<b, self-loops
+    * dropped), each community c contributes
+    *   q_c = L_c/m − (D_c/2m)²
+    * (L_c = within-community edges, D_c = total degree of c's nodes,
+    * m = total edges); Q = Σ q_c grades any node→community assignment —
+    * [[labelPropagation]]'s labels, LSH buckets, or near-dup clusters —
+    * against the configuration-model null. Nodes missing from
+    * `communities` form their own singleton "§unassigned§" community
+    * (their degree mass must stay in the null term or Q inflates).
+    * Returns one row per community (community, n_nodes, internal_edges,
+    * degree_sum, q_contrib), community-ordered.
+    *
+    * Scale shape: TWO node-keyed equi-joins tag each edge's endpoint
+    * communities (community maps are usually node-sized — shuffle join;
+    * Spark broadcasts if small), then everything is bounded-community
+    * aggregation. No iteration, no all-pairs. */
+  def modularity(edges: DataFrame, src: String, dst: String,
+      communities: DataFrame, node: String, community: String): DataFrame = {
+    val e = edges.select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    val cmap = communities.select(col(node).as("__n"),
+      coalesce(col(community).cast("string"), lit("§unassigned§")).as("__c"))
+    val tagged = e
+      .join(cmap.select(col("__n").as("a"), col("__c").as("__ca")),
+        Seq("a"), "left")
+      .join(cmap.select(col("__n").as("b"), col("__c").as("__cb")),
+        Seq("b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("__ca"), concat(lit("§unassigned§"), col("a"))).as("ca"),
+        coalesce(col("__cb"), concat(lit("§unassigned§"), col("b"))).as("cb"))
+    val m = tagged.count().toDouble
+    require(m > 0, "modularity: graph has no edges")
+    // per-community degree sums from the edge endpoints themselves (the
+    // community map may list nodes with no edges — they carry no mass)
+    val degByC = tagged.select(col("ca").as("community"))
+      .unionAll(tagged.select(col("cb").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("degree_sum"))
+    val nodesByC = tagged.select(col("a").as("__n"), col("ca").as("community"))
+      .unionAll(tagged.select(col("b").as("__n"), col("cb").as("community")))
+      .distinct()
+      .groupBy("community").agg(count(lit(1)).as("n_nodes"))
+    val inByC = tagged.where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    degByC
+      .join(nodesByC, Seq("community"))
+      .join(inByC, Seq("community"), "left")
+      .withColumn("internal_edges",
+        coalesce(col("internal_edges"), lit(0L)))
+      .withColumn("q_contrib",
+        col("internal_edges") / m
+          - pow(col("degree_sum") / (2.0 * m), 2))
+      .select(col("community"), col("n_nodes"), col("internal_edges"),
+        col("degree_sum"), col("q_contrib"))
+      .orderBy("community")
+  }
+
+  /** Local clustering coefficient (Watts & Strogatz 1998): per node,
+    * c = 2·T/(d(d−1)) — how close the node's neighborhood is to a
+    * clique (1 inside duplicate cliques, 0 on hub stars: the per-node
+    * refinement of [[Dedup.triangles]]'s cluster-vs-star diagnostic).
+    * Nodes of degree < 2 report 0 (no possible triangle). Returns
+    * (node, degree, triangles, coef).
+    *
+    * Scale shape: [[Dedup.triangles]]'s two ordered equi-joins (output
+    * linear in true triangles), each triangle exploded to its 3 member
+    * nodes for ONE per-node aggregation; degrees are one more
+    * aggregation over the canonical edge list. Hub-heavy graphs should
+    * pre-cut degree like [[linkPrediction]] — the triangle join's wedge
+    * set is quadratic in the max degree. */
+  def clusteringCoefficient(edges: DataFrame, src: String, dst: String)
+      : DataFrame = {
+    val e = edges.select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = Dedup.triangles(e, "a", "b")
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(tri, Seq("node"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("coef", when(col("degree") >= 2,
+        lit(2.0) * col("triangles")
+          / (col("degree") * (col("degree") - 1).cast("double")))
+        .otherwise(lit(0.0)))
+      .select(col("node"), col("degree"), col("triangles"), col("coef"))
+  }
 }

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank-based k-sample / paired tests and standardized effect sizes —
+  * the nonparametric siblings of [[Stats.anovaF]] / [[Stats.welchTTest]]
+  * for skewed pipeline metrics (latencies, doc lengths, quality scores)
+  * where mean-based instruments mislead. Extends the curation-analytics
+  * surface (SURVEY §2.12); the reference's statistics layer stops at
+  * per-run mean/std aggregation (func_test.py:478-520), so these are
+  * engine extensions, not ports.
+  *
+  * Scale shape (all four ops): raw rows collapse to ONE map-side-combined
+  * count per DISTINCT value (ties aggregated, never enumerated) — the
+  * [[Stats.mannWhitneyU]] / ROC-curve collapse — then any window runs
+  * over the bounded distinct-value table and the verdict is a scalar
+  * aggregate. Nothing row-sized ever crosses a second shuffle.
+  */
+object RankTests {
+
+  /** Kruskal–Wallis H test (Kruskal & Wallis 1952): do k ≥ 2 groups share
+    * a location? Midranks for ties; H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1),
+    * reported raw and tie-corrected (H / (1 − Σ(t³−t)/(N³−N))). Null
+    * values and null groups are ignored. Returns ONE row
+    * (k, n, h, h_tie_corrected) — statistic + dof implicit in k, no
+    * p-value, per the [[Stats.welchTTest]] convention.
+    *
+    * Scale shape: one groupBy(value, group) collapse; midranks come from
+    * a single-ordered window over the DISTINCT-VALUE table (|distinct
+    * values| rows, not N) joined back to the (value, group) cells on the
+    * value key; per-group rank sums and the final scalar are two more
+    * bounded aggregations. */
+  def kruskalWallis(df: DataFrame, value: Column, group: Column): DataFrame = {
+    val v = value.cast("double")
+    val cells = df.where(v.isNotNull && group.isNotNull)
+      .groupBy(v.as("__v"), group.cast("string").as("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val perV = cells.groupBy("__v").agg(sum("__c").as("__t"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV.withColumn("__rank",
+      coalesce(sum("__t").over(w), lit(0L)).cast("double") +
+        (col("__t") + 1).cast("double") / 2.0)
+    val perG = cells.join(ranked, "__v")
+      .groupBy("__g")
+      .agg(sum(col("__c") * col("__rank")).as("__r"), sum("__c").as("__n"))
+    val ties = ranked.agg(
+      sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ties"))
+    perG.agg(
+        count(lit(1)).as("k"), sum("__n").as("n"),
+        sum(col("__r") * col("__r") / col("__n")).as("__rr"))
+      .crossJoin(broadcast(ties))
+      .withColumn("h", lit(12.0) / (col("n") * (col("n") + 1))
+        * col("__rr") - (col("n") + 1) * 3.0)
+      .withColumn("h_tie_corrected", when(
+        col("n") * col("n") * col("n") - col("n") > col("__ties"),
+        col("h") / (lit(1.0) - col("__ties").cast("double")
+          / (col("n") * col("n") * col("n") - col("n")))))
+      .select(col("k"), col("n"), col("h"), col("h_tie_corrected"))
+  }
+
+  /** Wilcoxon signed-rank test (Wilcoxon 1945) on paired columns
+    * (before, after): rank |d| over the pairwise-complete NONZERO
+    * differences (the classic zero-drop convention), midranks for ties,
+    * W⁺ = Σ ranks of positive d, normal approximation with the
+    * tie-corrected variance n(n+1)(2n+1)/24 − Σ(t³−t)/48. Returns ONE
+    * row (n, w_plus, w_minus, z); n counts the nonzero pairs. */
+  def wilcoxonSignedRank(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val d = x.cast("double") - y.cast("double")
+    val cells = df.where(d.isNotNull && d =!= 0.0)
+      .groupBy(abs(d).as("__ad"))
+      .agg(count(when(d > 0, lit(1))).as("__cp"),
+        count(when(d < 0, lit(1))).as("__cn"))
+      .withColumn("__t", col("__cp") + col("__cn"))
+    val w = Window.orderBy(col("__ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells.withColumn("__rank",
+      coalesce(sum("__t").over(w), lit(0L)).cast("double") +
+        (col("__t") + 1).cast("double") / 2.0)
+    ranked.agg(
+        sum(col("__cp") * col("__rank")).as("w_plus"),
+        sum(col("__cn") * col("__rank")).as("w_minus"),
+        sum("__t").as("n"),
+        sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ties"))
+      .select(col("n"), col("w_plus"), col("w_minus"),
+        when(col("n") > 0,
+          (col("w_plus") - col("n") * (col("n") + 1) / 4.0) /
+            sqrt(col("n") * (col("n") + 1) * (col("n") * 2 + 1) / 24.0
+              - col("__ties") / 48.0)).as("z"))
+  }
+
+  /** Brown–Forsythe robust variance-equality test (Brown & Forsythe
+    * 1974; the median-centered Levene): one-way ANOVA F on
+    * z = |x − median_g|. The median is the exact interpolated
+    * `percentile(…, 0.5)` — the same order statistic DuckDB's
+    * `quantile_cont` computes, so both engines center identically.
+    * Returns [[Stats.anovaF]]'s row (k, n, ss_between, ss_within,
+    * df_between, df_within, f_stat).
+    *
+    * Scale shape: one exact-percentile groupBy for the k medians
+    * (bounded output, broadcast back — k is a category cardinality, not
+    * data-sized), then anovaF's single fused moment pass. */
+  def brownForsythe(df: DataFrame, value: Column, group: Column): DataFrame = {
+    val v = value.cast("double")
+    val base = df.where(v.isNotNull && group.isNotNull)
+      .select(v.as("__v"), group.cast("string").as("__g"))
+    val med = base.groupBy("__g")
+      .agg(expr("percentile(__v, 0.5)").as("__med"))
+    base.join(broadcast(med), "__g")
+      .select(col("__g"), abs(col("__v") - col("__med")).as("__z"))
+      .transform(z => Stats.anovaF(z, col("__g"), col("__z")))
+  }
+
+  /** Standardized two-group effect sizes — the "is it LARGE?" companion
+    * to the significance tests above (a 100 TB corpus makes everything
+    * significant; only effect size still discriminates):
+    *
+    *  - Cohen's d = (mean_a − mean_b)/s_pooled (ddof=1 pooled sd);
+    *  - Hedges' g = d·(1 − 3/(4(n_a+n_b) − 9)) (small-sample bias
+    *    correction, Hedges 1981);
+    *  - Cliff's delta = 2U_a/(n_a·n_b) − 1 (Cliff 1993) — the ordinal,
+    *    outlier-immune size, derived from the SAME tie-corrected U the
+    *    [[Stats.mannWhitneyU]] test reports.
+    *
+    * Returns ONE row (n_a, n_b, cohens_d, hedges_g, cliffs_delta).
+    * Scale shape: one fused moment aggregation + mannWhitneyU's
+    * distinct-value collapse; both single-row results cross-join. */
+  def effectSizes(df: DataFrame, value: Column, group: Column,
+      a: String, b: String): DataFrame = {
+    val v = value.cast("double")
+    val moments = df.where(v.isNotNull && group.isin(a, b))
+      .agg(
+        count(when(group === a, lit(1))).as("n_a"),
+        count(when(group === b, lit(1))).as("n_b"),
+        avg(when(group === a, v)).as("__ma"),
+        avg(when(group === b, v)).as("__mb"),
+        var_samp(when(group === a, v)).as("__va"),
+        var_samp(when(group === b, v)).as("__vb"))
+    val u = Stats.mannWhitneyU(df, value, group, a, b)
+      .select(col("u_a").as("__ua"))
+    moments.crossJoin(broadcast(u))
+      .withColumn("__sp", sqrt(
+        ((col("n_a") - 1) * col("__va") + (col("n_b") - 1) * col("__vb"))
+          / (col("n_a") + col("n_b") - 2)))
+      .withColumn("cohens_d", when(col("__sp") > 0,
+        (col("__ma") - col("__mb")) / col("__sp")))
+      .withColumn("hedges_g", col("cohens_d")
+        * (lit(1.0) - lit(3.0) / ((col("n_a") + col("n_b")) * 4.0 - 9.0)))
+      .withColumn("cliffs_delta",
+        lit(2.0) * col("__ua") / (col("n_a") * col("n_b")) - 1.0)
+      .select(col("n_a"), col("n_b"), col("cohens_d"), col("hedges_g"),
+        col("cliffs_delta"))
+  }
+}

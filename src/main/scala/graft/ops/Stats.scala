@@ -2038,6 +2038,50 @@ object Stats {
       .orderBy("t")
   }
 
+  /** Restricted mean survival time (Royston & Parmar 2013; Uno et al.
+    * 2014): RMST(τ) = ∫₀^τ S(t)dt over the [[kaplanMeier]] step curve —
+    * "expected lifetime within the first τ" — the clinically-preferred
+    * scalar when hazards aren't proportional (a hazard-ratio summary
+    * assumes they are; the area under the curve never does). S starts
+    * at 1 at t = 0, steps only at event times, and is truncated at τ
+    * (the standard restriction makes the integral well-defined under
+    * censoring). Integrates the 6-dp-ROUNDED survival values the KM
+    * face reports, so the area replays exactly cross-engine. Returns
+    * ONE row (tau, rmst, n_event_times_used).
+    *
+    * Scale shape: everything after [[kaplanMeier]]'s distinct-duration
+    * collapse is a lag + scalar aggregate over the bounded event-time
+    * table. */
+  def rmst(df: DataFrame, duration: Column, event: Column,
+      tau: Double): DataFrame = {
+    require(tau > 0, s"tau must be > 0, got $tau")
+    val km = kaplanMeier(df, duration, event)
+      .select(col("t"), col("survival"))
+      .where(col("t") <= tau)
+    val w = Window.orderBy("t")
+    // segment [t_prev, t_i) carries the PREVIOUS survival level
+    // (S = 1 before the first event); the tail [t_last, tau] carries the
+    // last level
+    val segs = km
+      .withColumn("__prev_t", coalesce(lag("t", 1).over(w), lit(0.0)))
+      .withColumn("__prev_s", coalesce(lag("survival", 1).over(w), lit(1.0)))
+      .withColumn("__last", row_number().over(
+        Window.orderBy(col("t").desc)) === 1)
+      .select(
+        (col("__prev_s") * (col("t") - col("__prev_t"))).as("__area"),
+        when(col("__last"), col("survival") * (lit(tau) - col("t")))
+          .otherwise(lit(0.0)).as("__tail"))
+    // an empty event-time table (no events before tau) means S ≡ 1 on
+    // [0, τ] — the integral is τ, not null
+    segs.agg(
+        (sum("__area") + sum("__tail")).as("__rmst"),
+        count(lit(1)).as("n_event_times_used"))
+      .select(lit(tau).as("tau"),
+        when(col("n_event_times_used") === 0, lit(tau))
+          .otherwise(col("__rmst")).as("rmst"),
+        col("n_event_times_used"))
+  }
+
   /** Two-group log-rank test (Mantel 1966; Peto & Peto 1972) — "do the
     * two survival curves differ?", the hypothesis test [[kaplanMeier]]
     * plots beg for. At each distinct event time: observed group-A

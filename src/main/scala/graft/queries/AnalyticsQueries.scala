@@ -10,6 +10,16 @@ import graft.queries.Q._
   */
 object AnalyticsQueries {
 
+  /** Shared hourly mean-value series for the trend family (g_mann_kendall
+    * / g_theil_sen / g_changepoint): epoch-hour bins, means rounded to
+    * 6 dp so both engines hand the trend ops bit-identical series. */
+  private def hourlySeries(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    table(s, dir, "events")
+      .where(col("value").isNotNull)
+      .groupBy((col("ts") / lit(3600000000L)).cast("long").as("h"))
+      .agg(round(avg("value"), 6).as("mv"))
+
   val queries: Map[String, QueryFn] = Map(
     "layout_zorder" -> ((s, dir) => {
       // Morton z-order key over two bucketed event dimensions — the
@@ -189,6 +199,108 @@ object AnalyticsQueries {
       // value before any window.
       Stats.mannWhitneyU(table(s, dir, "events"), col("value"),
         col("event_type"), a = "click", b = "view")),
+
+    "g_kruskal_wallis" -> ((s, dir) =>
+      // k-sample location test across ALL FIVE event types at once (the
+      // nonparametric ANOVA): midranks on the distinct-value collapse,
+      // tie-corrected H.
+      graft.ops.RankTests.kruskalWallis(table(s, dir, "events"),
+          col("value"), col("event_type"))
+        .select(col("k"), col("n"), round(col("h"), 6).as("h"),
+          round(col("h_tie_corrected"), 6).as("h_tie_corrected"))),
+
+    "g_brown_forsythe" -> ((s, dir) =>
+      // Robust variance-equality across event types: ANOVA F on
+      // |value − per-type median| (exact interpolated median both
+      // engines).
+      graft.ops.RankTests.brownForsythe(table(s, dir, "events"),
+          col("value"), col("event_type"))
+        .select(col("k"), col("n"), round(col("ss_between"), 4)
+            .as("ss_between"), round(col("ss_within"), 4).as("ss_within"),
+          col("df_between"), col("df_within"),
+          round(col("f_stat"), 6).as("f_stat"))),
+
+    "g_wilcoxon_signed" -> ((s, dir) => {
+      // Paired location test: per-user mean click value vs mean view
+      // value (150 users at sf0.01 have both), means rounded to 6 dp on
+      // both engines so the |d| rank order is float-stable; zero-drop +
+      // midranks + tie-corrected z.
+      val per = table(s, dir, "events")
+        .where(col("event_type").isin("click", "view"))
+        .groupBy("user_id").agg(
+          round(avg(when(col("event_type") === "click", col("value"))), 6)
+            .as("x"),
+          round(avg(when(col("event_type") === "view", col("value"))), 6)
+            .as("y"))
+        .where(col("x").isNotNull && col("y").isNotNull)
+      graft.ops.RankTests.wilcoxonSignedRank(per, col("x"), col("y"))
+        .select(col("n"), round(col("w_plus"), 4).as("w_plus"),
+          round(col("w_minus"), 4).as("w_minus"), round(col("z"), 6).as("z"))
+    }),
+
+    "g_effect_sizes" -> ((s, dir) =>
+      // Cohen's d / Hedges' g / Cliff's delta for click vs view — the
+      // "is it LARGE?" companion to g_mannwhitney on the same slice.
+      graft.ops.RankTests.effectSizes(table(s, dir, "events"),
+          col("value"), col("event_type"), a = "click", b = "view")
+        .select(col("n_a"), col("n_b"),
+          round(col("cohens_d"), 6).as("cohens_d"),
+          round(col("hedges_g"), 6).as("hedges_g"),
+          round(col("cliffs_delta"), 6).as("cliffs_delta"))),
+
+    "g_mann_kendall" -> ((s, dir) =>
+      // Monotone-trend test on the hourly mean-value series (720 points
+      // over the 30-day window; means rounded to 6 dp so the pairwise
+      // sign pattern is engine-exact).
+      graft.ops.Trend.mannKendall(hourlySeries(s, dir), col("h"), col("mv"))
+        .select(col("n"), col("s"), round(col("var_s"), 4).as("var_s"),
+          round(col("z"), 6).as("z"))),
+
+    "g_theil_sen" -> ((s, dir) =>
+      // Robust trend line over the same hourly series: median of 259k
+      // pairwise slopes + median-residual intercept (interpolated median
+      // = quantile_cont both engines).
+      graft.ops.Trend.theilSen(hourlySeries(s, dir), col("h"), col("mv"))
+        .select(col("n"), round(col("slope"), 9).as("slope"),
+          round(col("intercept"), 4).as("intercept"))),
+
+    "g_changepoint" -> ((s, dir) =>
+      // Single mean-shift changepoint (binary-segmentation AMOC) over
+      // the hourly series: argmax of the √(k(n−k)/n)·|Δmean| statistic,
+      // earliest split on ties.
+      graft.ops.Trend.changepointMeanShift(hourlySeries(s, dir),
+          col("h"), col("mv"))
+        .select(col("split_x"), col("k_left"), col("n"),
+          round(col("mean_left"), 6).as("mean_left"),
+          round(col("mean_right"), 6).as("mean_right"),
+          round(col("stat"), 6).as("stat"))),
+
+    "g_seasonality" -> ((s, dir) =>
+      // Hour-of-day seasonal decomposition of event values: additive
+      // index (mean − grand mean) and multiplicative ratio per hour 0-23.
+      // hour-of-day from the canonical epoch-µs ts (UTC) — matches
+      // DuckDB's hour(ts) on the naive UTC timestamp
+      graft.ops.Trend.seasonalIndex(table(s, dir, "events"),
+          pmod((col("ts") / lit(3600000000L)).cast("long"), lit(24L))
+            .cast("int"),
+          col("value"))
+        .select(col("season"), col("n"), round(col("mean"), 6).as("mean"),
+          round(col("index_add"), 6).as("index_add"),
+          round(col("index_mult"), 6).as("index_mult"))),
+
+    "g_rmst" -> ((s, dir) => {
+      // Restricted mean survival time at τ = 200h over the same per-user
+      // lifetime frame as g_kaplan_meier — the area under the KM step
+      // curve, the hazard-shape-free retention scalar.
+      val per = table(s, dir, "events").groupBy("user_id").agg(
+        ((max(col("ts")) - min(col("ts"))).cast("long") / lit(3600000000L))
+          .cast("long").as("dur_h"),
+        (sum(when(col("event_type") === "error", 1L).otherwise(0L)) > 0)
+          .as("event"))
+      Stats.rmst(per, col("dur_h"), col("event"), tau = 200.0)
+        .select(col("tau"), round(col("rmst"), 6).as("rmst"),
+          col("n_event_times_used"))
+    }),
 
     "g_chi2_drift" -> ((s, dir) =>
       // Categorical drift: is `source` independent of `lang`? Full 5×20
@@ -1070,6 +1182,242 @@ object AnalyticsQueries {
         |      - ties / ((n_a + n_b) * (n_a + n_b - 1.0)))), 9) AS z,
         |  n_a, n_b
         |FROM u""".stripMargin,
+
+    "g_kruskal_wallis" ->
+      """WITH cells AS (
+        |  SELECT CAST(value AS DOUBLE) AS v, event_type AS g,
+        |    count(*) AS c
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |perv AS (SELECT v, sum(c) AS t FROM cells GROUP BY 1),
+        |ranked AS (SELECT v, t,
+        |    coalesce(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (t + 1) / 2.0 AS rk
+        |  FROM perv),
+        |perg AS (SELECT g, sum(c * rk) AS r, sum(c) AS ng
+        |  FROM cells JOIN ranked USING (v) GROUP BY 1),
+        |ties AS (SELECT sum(t * t * t - t) AS tcorr FROM ranked),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n, sum(r * r / ng) AS rr
+        |  FROM perg),
+        |h AS (SELECT k, n,
+        |    12.0 / (n * (n + 1.0)) * rr - (n + 1) * 3.0 AS h, tcorr
+        |  FROM agg CROSS JOIN ties)
+        |SELECT k, n, round(h, 6) AS h,
+        |  round(CASE WHEN CAST(n AS DOUBLE) * n * n - n > tcorr
+        |    THEN h / (1.0 - tcorr / (CAST(n AS DOUBLE) * n * n - n)) END, 6)
+        |    AS h_tie_corrected
+        |FROM h""".stripMargin,
+
+    "g_brown_forsythe" ->
+      """WITH base AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |med AS (SELECT g, quantile_cont(v, 0.5) AS m FROM base GROUP BY 1),
+        |z AS (SELECT base.g, abs(v - m) AS z
+        |  FROM base JOIN med ON base.g = med.g),
+        |byg AS (SELECT g, count(*) AS ng, sum(z) AS sg, sum(z * z) AS ssg
+        |  FROM z GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k, sum(sg) / sum(ng) AS grand
+        |  FROM byg),
+        |agg AS (SELECT k, n,
+        |    sum(ng * (sg / ng - grand) * (sg / ng - grand)) AS ss_between,
+        |    sum(ssg - sg * sg / ng) AS ss_within
+        |  FROM byg CROSS JOIN tot GROUP BY 1, 2)
+        |SELECT k, n, round(ss_between, 4) AS ss_between,
+        |  round(ss_within, 4) AS ss_within,
+        |  k - 1 AS df_between, n - k AS df_within,
+        |  round(CASE WHEN k > 1 AND n > k AND ss_within > 0
+        |    THEN (ss_between / (k - 1)) / (ss_within / (n - k)) END, 6)
+        |    AS f_stat
+        |FROM agg""".stripMargin,
+
+    "g_wilcoxon_signed" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+        |      AS x,
+        |    round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+        |      AS y
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |  HAVING x IS NOT NULL AND y IS NOT NULL),
+        |d AS (SELECT x - y AS d FROM per WHERE x - y != 0),
+        |cells AS (SELECT abs(d) AS ad,
+        |    count(CASE WHEN d > 0 THEN 1 END) AS cp,
+        |    count(CASE WHEN d < 0 THEN 1 END) AS cn
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT ad, cp, cn, cp + cn AS tt FROM cells),
+        |r AS (SELECT cp, cn, tt,
+        |    coalesce(sum(tt) OVER (ORDER BY ad
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (tt + 1) / 2.0 AS rk
+        |  FROM t),
+        |s AS (SELECT sum(cp * rk) AS wp, sum(cn * rk) AS wm,
+        |    CAST(sum(tt) AS BIGINT) AS n,
+        |    sum(tt * tt * tt - tt) AS ties
+        |  FROM r)
+        |SELECT n, round(wp, 4) AS w_plus, round(wm, 4) AS w_minus,
+        |  round(CASE WHEN n > 0 THEN (wp - n * (n + 1) / 4.0)
+        |    / sqrt(n * (n + 1) * (n * 2 + 1) / 24.0 - ties / 48.0) END, 6)
+        |    AS z
+        |FROM s""".stripMargin,
+
+    "g_effect_sizes" ->
+      """WITH m AS (
+        |  SELECT
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS n_a,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS n_b,
+        |    avg(CASE WHEN event_type = 'click' THEN value END) AS ma,
+        |    avg(CASE WHEN event_type = 'view' THEN value END) AS mb,
+        |    var_samp(CASE WHEN event_type = 'click' THEN value END) AS va,
+        |    var_samp(CASE WHEN event_type = 'view' THEN value END) AS vb
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        |cells AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS ca,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS cb
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |t AS (SELECT v, ca, cb, ca + cb AS tt FROM cells),
+        |r AS (SELECT ca, tt,
+        |    coalesce(sum(tt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (tt + 1) / 2.0 AS rk
+        |  FROM t),
+        |u AS (SELECT round(sum(ca * rk)
+        |    - (SELECT n_a FROM m) * ((SELECT n_a FROM m) + 1) / 2.0, 6)
+        |    AS ua FROM r),
+        |d AS (SELECT n_a, n_b, ma, mb, ua,
+        |    sqrt(((n_a - 1) * va + (n_b - 1) * vb) / (n_a + n_b - 2)) AS sp
+        |  FROM m CROSS JOIN u),
+        |e AS (SELECT n_a, n_b, ua,
+        |    CASE WHEN sp > 0 THEN (ma - mb) / sp END AS cd
+        |  FROM d)
+        |SELECT n_a, n_b, round(cd, 6) AS cohens_d,
+        |  round(cd * (1.0 - 3.0 / ((n_a + n_b) * 4.0 - 9.0)), 6) AS hedges_g,
+        |  round(2.0 * ua / (CAST(n_a AS DOUBLE) * n_b) - 1.0, 6)
+        |    AS cliffs_delta
+        |FROM e""".stripMargin,
+
+    "g_mann_kendall" ->
+      """WITH s AS (
+        |  SELECT CAST(epoch_us(ts) // 3600000000 AS DOUBLE) AS x,
+        |    round(avg(value), 6) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |pairs AS (SELECT sign(b.y - a.y) AS sgn
+        |  FROM s a JOIN s b ON a.x < b.x),
+        |ties AS (SELECT sum(t * (t - 1) * (t * 2 + 5)) AS tcorr,
+        |    CAST(sum(t) AS BIGINT) AS n
+        |  FROM (SELECT count(*) AS t FROM s GROUP BY y)),
+        |agg AS (SELECT CAST(sum(sgn) AS DOUBLE) AS sv FROM pairs),
+        |v AS (SELECT n, sv,
+        |    (CAST(n AS DOUBLE) * (n - 1) * (n * 2 + 5) - tcorr) / 18.0
+        |      AS var_s
+        |  FROM agg CROSS JOIN ties)
+        |SELECT n, sv AS s, round(var_s, 4) AS var_s,
+        |  round(CASE WHEN var_s <= 0 THEN 0.0
+        |    WHEN sv > 0 THEN (sv - 1) / sqrt(var_s)
+        |    WHEN sv < 0 THEN (sv + 1) / sqrt(var_s)
+        |    ELSE 0.0 END, 6) AS z
+        |FROM v""".stripMargin,
+
+    "g_theil_sen" ->
+      """WITH s AS (
+        |  SELECT CAST(epoch_us(ts) // 3600000000 AS DOUBLE) AS x,
+        |    round(avg(value), 6) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |sl AS (SELECT quantile_cont((b.y - a.y) / (b.x - a.x), 0.5)
+        |    AS slope
+        |  FROM s a JOIN s b ON a.x < b.x)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(any_value(slope), 9) AS slope,
+        |  round(quantile_cont(y - slope * x, 0.5), 4) AS intercept
+        |FROM s CROSS JOIN sl""".stripMargin,
+
+    "g_changepoint" ->
+      """WITH s AS (
+        |  SELECT CAST(epoch_us(ts) // 3600000000 AS DOUBLE) AS x,
+        |    round(avg(value), 6) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |c AS (SELECT x,
+        |    count(*) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+        |    sum(y) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |    count(*) OVER () AS n, sum(y) OVER () AS ts
+        |  FROM s),
+        |st AS (SELECT x, k, n, cs / k AS ml, (ts - cs) / (n - k) AS mr,
+        |    sqrt(k * (n - k) / CAST(n AS DOUBLE)) * abs(cs / k
+        |      - (ts - cs) / (n - k)) AS stat
+        |  FROM c WHERE k < n),
+        |best AS (SELECT *, row_number() OVER (ORDER BY stat DESC, x ASC)
+        |    AS r FROM st)
+        |SELECT x AS split_x, k AS k_left, n,
+        |  round(ml, 6) AS mean_left, round(mr, 6) AS mean_right,
+        |  round(stat, 6) AS stat
+        |FROM best WHERE r = 1""".stripMargin,
+
+    "g_seasonality" ->
+      """WITH byh AS (
+        |  SELECT CAST(hour(ts) AS INT) AS season, count(*) AS n,
+        |    sum(value) AS s
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT sum(s) / sum(n) AS grand FROM byh)
+        |SELECT season, n, round(s / n, 6) AS mean,
+        |  round(s / n - grand, 6) AS index_add,
+        |  round(CASE WHEN grand != 0 THEN (s / n) / grand END, 6)
+        |    AS index_mult
+        |FROM byh CROSS JOIN g ORDER BY season""".stripMargin,
+
+    "g_rmst" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000
+        |      AS BIGINT) AS dur_h,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 0
+        |      AS event
+        |  FROM events GROUP BY 1),
+        |byt AS (SELECT CAST(dur_h AS DOUBLE) AS t,
+        |    sum(CASE WHEN event THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN event THEN 0 ELSE 1 END) AS c
+        |  FROM per GROUP BY 1),
+        |w AS (SELECT t, d, c,
+        |    sum(d + c) OVER () - coalesce(sum(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM byt),
+        |km AS (SELECT t,
+        |    round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |        CURRENT ROW) = 1 THEN 0.0
+        |    ELSE exp(sum(CASE WHEN d > 0 AND d < n_risk
+        |      THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END)
+        |      OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |    END, 6) AS survival
+        |  FROM w WHERE d > 0),
+        |seg AS (SELECT t, survival,
+        |    coalesce(lag(t) OVER (ORDER BY t), 0.0) AS pt,
+        |    coalesce(lag(survival) OVER (ORDER BY t), 1.0) AS ps,
+        |    row_number() OVER (ORDER BY t DESC) = 1 AS is_last
+        |  FROM km WHERE t <= 200.0),
+        |agg AS (SELECT
+        |    sum(ps * (t - pt)) + sum(CASE WHEN is_last
+        |      THEN survival * (200.0 - t) ELSE 0.0 END) AS rmst,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM seg)
+        |SELECT CAST(200.0 AS DOUBLE) AS tau,
+        |  round(CASE WHEN n = 0 THEN 200.0 ELSE rmst END, 6) AS rmst,
+        |  n AS n_event_times_used
+        |FROM agg""".stripMargin,
 
     "g_chi2_drift" ->
       """WITH obs AS (

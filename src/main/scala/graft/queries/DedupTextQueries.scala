@@ -924,6 +924,45 @@ object DedupTextQueries {
         .orderBy("node")
     }),
 
+    "graph_modularity" -> ((s, dir) => {
+      // Newman modularity of the decade partition (node/10 → 4
+      // communities) over the graph_pagerank link graph: the edge recipe
+      // (v within u+1..u+11 mod 40) keeps most edges inside a decade, so
+      // the partition scores visibly above the configuration-model null.
+      val edges = table(s, dir, "events").where(col("event_id") < 3000)
+        .select((col("user_id") % 40).as("u"),
+          (col("user_id") % 40 + 1 + col("event_id") % 11) % 40 as "v")
+        .distinct()
+      val comm = edges.select(col("u").as("node"))
+        .unionByName(edges.select(col("v").as("node"))).distinct()
+        .withColumn("community", floor(col("node") / 10).cast("long"))
+      graft.ops.Graph.modularity(edges, "u", "v", comm, "node", "community")
+        .select(col("community"), col("n_nodes"), col("internal_edges"),
+          col("degree_sum"), round(col("q_contrib"), 6).as("q_contrib"))
+        .orderBy("community")
+    }),
+
+    "graph_clustering_coef" -> ((s, dir) => {
+      // Local clustering coefficient over the graph_kcore fixture
+      // (chain ∪ 10-cycle ∪ K7 ∪ bridge): clique interiors hit 1.0, the
+      // bridged clique node dips (its bridge edge closes no triangle),
+      // the chain/cycle sit at 0 — the per-node cluster-vs-star gauge.
+      val ev = table(s, dir, "events").where(col("event_id") < 1000)
+      val chain = ev.select((col("event_id") % 25).as("u"),
+        (col("event_id") % 25 + 1).as("v"))
+      val cycle = ev.select((lit(50) + col("event_id") % 10).as("u"),
+        (lit(50) + (col("event_id") % 10 + 1) % 10).as("v"))
+      val clique = ev.select((lit(100) + col("event_id") % 7).as("u"),
+        (lit(100) + col("user_id") % 7).as("v"))
+      val bridge = ev.limit(1).select(lit(25L).as("u"), lit(100L).as("v"))
+      val edges = chain.unionByName(cycle).unionByName(clique)
+        .unionByName(bridge).distinct()
+      graft.ops.Graph.clusteringCoefficient(edges, "u", "v")
+        .select(col("node"), col("degree"), col("triangles"),
+          round(col("coef"), 6).as("coef"))
+        .orderBy("node")
+    }),
+
     "dedup_entity_resolution" -> ((s, dir) => {
       // Entity resolution capstone: fuzzy-match edges (levenshtein <= 2,
       // length-banded) -> connected components -> canonical entity per
@@ -3293,6 +3332,67 @@ object DedupTextQueries {
         |  WHERE du >= 2 AND dv >= 2 AND it < 32)
         |SELECT u AS node, count(*) AS deg
         |FROM alive WHERE it = 32 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "graph_modularity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
+        |    SELECT user_id % 40 AS u,
+        |      (user_id % 40 + 1 + event_id % 11) % 40 AS v
+        |    FROM events WHERE event_id < 3000)
+        |  WHERE u != v),
+        |tagged AS (SELECT a, b, CAST(a // 10 AS VARCHAR) AS ca,
+        |    CAST(b // 10 AS VARCHAR) AS cb FROM e),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM tagged),
+        |deg AS (SELECT c AS community, count(*) AS degree_sum FROM (
+        |    SELECT ca AS c FROM tagged UNION ALL SELECT cb FROM tagged)
+        |  GROUP BY 1),
+        |nodes AS (SELECT c AS community,
+        |    CAST(count(DISTINCT n) AS BIGINT) AS n_nodes FROM (
+        |    SELECT a AS n, ca AS c FROM tagged
+        |    UNION SELECT b, cb FROM tagged)
+        |  GROUP BY 1),
+        |inn AS (SELECT ca AS community, count(*) AS internal_edges
+        |  FROM tagged WHERE ca = cb GROUP BY 1)
+        |SELECT deg.community, n_nodes,
+        |  CAST(coalesce(internal_edges, 0) AS BIGINT) AS internal_edges,
+        |  CAST(degree_sum AS BIGINT) AS degree_sum,
+        |  round(coalesce(internal_edges, 0) / m
+        |    - pow(degree_sum / (2.0 * m), 2), 6) AS q_contrib
+        |FROM deg JOIN nodes ON deg.community = nodes.community
+        |LEFT JOIN inn ON deg.community = inn.community
+        |CROSS JOIN m
+        |ORDER BY 1""".stripMargin,
+
+    "graph_clustering_coef" ->
+      """WITH raw AS (
+        |  SELECT event_id % 25 AS u, event_id % 25 + 1 AS v
+        |  FROM events WHERE event_id < 1000
+        |  UNION
+        |  SELECT 50 + event_id % 10, 50 + (event_id % 10 + 1) % 10
+        |  FROM events WHERE event_id < 1000
+        |  UNION
+        |  SELECT 100 + event_id % 7, 100 + user_id % 7
+        |  FROM events WHERE event_id < 1000
+        |  UNION
+        |  SELECT 25, 100),
+        |e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        |  FROM raw WHERE u != v),
+        |deg AS (SELECT n AS node, count(*) AS degree FROM (
+        |    SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1),
+        |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pern AS (SELECT n AS node, count(*) AS triangles FROM (
+        |    SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1)
+        |SELECT deg.node, CAST(degree AS BIGINT) AS degree,
+        |  CAST(coalesce(triangles, 0) AS BIGINT) AS triangles,
+        |  round(CASE WHEN degree >= 2 THEN 2.0 * coalesce(triangles, 0)
+        |    / (degree * (degree - 1.0)) ELSE 0.0 END, 6) AS coef
+        |FROM deg LEFT JOIN pern ON deg.node = pern.node
+        |ORDER BY 1""".stripMargin,
 
     // 3 unrolled PageRank iterations; double literals via e0 exponents so
     // DuckDB doesn't fall into DECIMAL arithmetic; round(…,6) absorbs

@@ -95,6 +95,18 @@ object ExperimentQueries {
           round(col("r2"), 6).as("r2"))
         .orderBy("grp")),
 
+    "g_ridge_per_group" -> ((s, dir) =>
+      // L2-shrunk sibling of g_ols_per_group: λ = 5e5 against per-flag
+      // Sxx ≈ 4e6 shrinks the slope ~11% — visibly different from OLS at
+      // 4 dp, same one-pass closed form.
+      Experiment.ridgePerGroup(table(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+          lambda = 500000.0)
+        .select(col("grp"), col("n"), round(col("slope"), 4).as("slope"),
+          round(col("intercept"), 4).as("intercept"),
+          round(col("r2"), 6).as("r2"))
+        .orderBy("grp")),
+
     "g_nelson_aalen" -> ((s, dir) => {
       // Cumulative-hazard twin of g_kaplan_meier: same per-user
       // whole-hour lifetimes and error terminal event.
@@ -353,6 +365,28 @@ object ExperimentQueries {
         |  round(CASE WHEN vx > 0 AND vy > 0
         |    THEN cxy * cxy / (vx * vy) END, 6) AS r2
         |FROM s ORDER BY grp""".stripMargin,
+
+    "g_ridge_per_group" ->
+      """WITH s AS (SELECT l_returnflag AS grp, count(*) AS n,
+        |    covar_samp(l_quantity, l_extendedprice) AS cxy,
+        |    var_samp(l_quantity) AS vx, var_samp(l_extendedprice) AS vy,
+        |    avg(l_quantity) AS mx, avg(l_extendedprice) AS my
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (SELECT grp, n, mx, my,
+        |    cxy * (n - 1) AS sxy, vx * (n - 1) AS sxx, vy * (n - 1) AS syy
+        |  FROM s),
+        |f AS (SELECT grp, n, mx, my, sxy, sxx, syy,
+        |    CASE WHEN sxx + 500000.0 > 0
+        |      THEN sxy / (sxx + 500000.0) END AS b
+        |  FROM c)
+        |SELECT grp, n, round(b, 4) AS slope,
+        |  round(my - b * mx, 4) AS intercept,
+        |  round(CASE WHEN syy > 0
+        |    THEN 1.0 - (syy - 2.0 * b * sxy + b * b * sxx) / syy END, 6)
+        |    AS r2
+        |FROM f ORDER BY grp""".stripMargin,
 
     "g_nelson_aalen" ->
       """WITH per AS (
