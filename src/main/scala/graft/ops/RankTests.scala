@@ -153,4 +153,41 @@ object RankTests {
       .select(col("n_a"), col("n_b"), col("cohens_d"), col("hedges_g"),
         col("cliffs_delta"))
   }
+
+  /** Post-hoc pairwise contrasts after an omnibus test ([[kruskalWallis]]
+    * / [[Stats.anovaF]] says "SOMETHING differs"; this says which pairs):
+    * for every group pair (a < b lexicographically), the mean difference,
+    * Welch's unpooled SE = √(v_a/n_a + v_b/n_b), z = Δ/SE, and the
+    * Welch–Satterthwaite dof — the Games–Howell contrast set without the
+    * studentized-range p (the engine reports statistics, not p-values —
+    * the [[Stats.welchTTest]] convention; feed z into [[Stats.bhFdr]]'s
+    * input if multiplicity control is needed). Returns
+    * (grp_a, grp_b, n_a, n_b, mean_diff, se, z, dof), pair-ordered.
+    *
+    * Scale shape: ONE fused moment aggregation (k rows), then the k(k−1)/2
+    * pair join runs on the bounded group table — never on raw rows. */
+  def posthocPairs(df: DataFrame, value: Column, group: Column): DataFrame = {
+    val v = value.cast("double")
+    val byG = df.where(v.isNotNull && group.isNotNull)
+      .groupBy(group.cast("string").as("g"))
+      .agg(count(lit(1)).as("n"), avg(v).as("m"), var_samp(v).as("vv"))
+    val a = byG.select(col("g").as("grp_a"), col("n").as("n_a"),
+      col("m").as("__ma"), col("vv").as("__va"))
+    val b = byG.select(col("g").as("grp_b"), col("n").as("n_b"),
+      col("m").as("__mb"), col("vv").as("__vb"))
+    a.join(b, col("grp_a") < col("grp_b"))
+      .withColumn("mean_diff", col("__ma") - col("__mb"))
+      .withColumn("__sa", col("__va") / col("n_a"))
+      .withColumn("__sb", col("__vb") / col("n_b"))
+      .withColumn("se", sqrt(col("__sa") + col("__sb")))
+      .withColumn("z", when(col("se") > 0, col("mean_diff") / col("se")))
+      .withColumn("dof", when(col("n_a") > 1 && col("n_b") > 1
+          && col("__sa") + col("__sb") > 0,
+        pow(col("__sa") + col("__sb"), 2) /
+          (pow(col("__sa"), 2) / (col("n_a") - 1)
+            + pow(col("__sb"), 2) / (col("n_b") - 1))))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        col("mean_diff"), col("se"), col("z"), col("dof"))
+      .orderBy("grp_a", "grp_b")
+  }
 }

@@ -290,4 +290,32 @@ object Sessionize extends Serializable {
         when(col("in_window"), col("__touch_label")).as("touch_label"),
         when(col("in_window"), col("__touch_t")).as("touch_t"))
   }
+
+  /** First-order Markov transition matrix over per-entity event
+    * sequences (the user-journey model behind funnel/attribution — what
+    * [[byGap]] sessionizes, this summarizes): for each entity, order
+    * events by (t, tie) and count state→next-state transitions; report
+    * each (cur, nxt) with its count and the row-conditional probability
+    * P(nxt | cur) = n / Σ_cur n. Returns (cur, nxt, n, p), ordered.
+    *
+    * Scale shape: ONE entity-partitioned window (lead) — transitions
+    * never leave the entity's partition — then a map-side-combined
+    * groupBy over the bounded state×state grid; the per-cur normalizer
+    * is a window over that grid. The tie-break column makes the
+    * sequence (and thus every count) engine-exact under equal
+    * timestamps. */
+  def markovTransitions(df: DataFrame, entity: Column, t: Column,
+      tie: Column, state: Column): DataFrame = {
+    val w = Window.partitionBy("__e").orderBy(col("__t"), col("__tie"))
+    val trans = df.select(entity.as("__e"), t.as("__t"), tie.as("__tie"),
+        state.cast("string").as("cur"))
+      .where(col("cur").isNotNull)
+      .withColumn("nxt", lead("cur", 1).over(w))
+      .where(col("nxt").isNotNull)
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+    val wc = Window.partitionBy("cur")
+    trans
+      .withColumn("p", col("n").cast("double") / sum("n").over(wc))
+      .orderBy("cur", "nxt")
+  }
 }

@@ -2420,4 +2420,66 @@ object Stats {
       .select(col("n"), col("__x").cast("long").as("n_pos"),
         col("z"), col("t_num"), col("variance"))
   }
+
+  /** RFM segmentation (Hughes 1994 — the classic CRM slicing, and the
+    * standard engagement prior for per-user corpus weighting): per
+    * entity, Recency = hours from its last event to the corpus's last
+    * event, Frequency = event count, Monetary = Σ value; each scored
+    * 1..q by `ntile(q)` with the GOOD end high (recent ⇒ r=q, frequent
+    * ⇒ f=q, big-spend ⇒ m=q). The ntile orders carry an entity
+    * tie-break, so equal-valued entities land in deterministic buckets
+    * in any engine. `t` is the canonical epoch-µs long. Returns
+    * (entity, recency_h, frequency, monetary, r, f, m, rfm).
+    *
+    * Scale shape: ONE map-side-combined per-entity aggregation; the
+    * three ntiles are windows over the per-entity table (entity-sized,
+    * not event-sized). A global sort per ntile is the honest cost of
+    * exact quantile buckets — at 100 TB swap ntile for fitted
+    * `quantileBins` bounds if the entity table itself outgrows a sort. */
+  def rfm(df: DataFrame, entity: Column, t: Column, value: Column,
+      q: Int = 5): DataFrame = {
+    require(q >= 2, s"q must be >= 2, got $q")
+    val per = df.where(t.isNotNull)
+      .groupBy(entity.as("entity"))
+      .agg(max(t).as("__last"), count(lit(1)).as("frequency"),
+        coalesce(sum(value), lit(0.0)).as("monetary"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    per
+      .withColumn("recency_h",
+        ((max("__last").over(wAll) - col("__last")) / lit(3600000000L))
+          .cast("long"))
+      .withColumn("r", ntile(q).over(
+        Window.orderBy(col("recency_h").desc, col("entity"))))
+      .withColumn("f", ntile(q).over(
+        Window.orderBy(col("frequency").asc, col("entity"))))
+      .withColumn("m", ntile(q).over(
+        Window.orderBy(col("monetary").asc, col("entity"))))
+      .select(col("entity"), col("recency_h"), col("frequency"),
+        col("monetary"), col("r"), col("f"), col("m"),
+        concat(col("r"), col("f"), col("m")).as("rfm"))
+  }
+
+  /** Per-group Poisson event rates with the normal-approximation 95%
+    * band: rate = n/exposure, CI = (n ± 1.96·√n)/exposure, floored at 0
+    * — the "is the error rate per hour actually up?" readout for ingest
+    * monitoring. Exposure is the shared observation span in hours
+    * (global max − min of the canonical epoch-µs `t`), identical for
+    * every group, so rates are directly comparable. ONE grouped
+    * aggregation + a broadcast one-row span. */
+  def poissonRates(df: DataFrame, group: Column, t: Column): DataFrame = {
+    val span = df.where(t.isNotNull)
+      .agg(((max(t) - min(t)) / lit(3600000000.0)).as("exposure_h"))
+    df.where(t.isNotNull)
+      .groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(span))
+      .withColumn("rate_per_h", col("n") / col("exposure_h"))
+      .withColumn("ci_lo", greatest(lit(0.0),
+        (col("n") - lit(1.96) * sqrt(col("n"))) / col("exposure_h")))
+      .withColumn("ci_hi",
+        (col("n") + lit(1.96) * sqrt(col("n"))) / col("exposure_h"))
+      .select(col("grp"), col("n"), col("exposure_h"), col("rate_per_h"),
+        col("ci_lo"), col("ci_hi"))
+  }
 }

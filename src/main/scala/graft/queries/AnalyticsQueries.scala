@@ -302,6 +302,50 @@ object AnalyticsQueries {
           col("n_event_times_used"))
     }),
 
+    "g_markov_transitions" -> ((s, dir) =>
+      // First-order user-journey model: event_type → next event_type per
+      // user (ordered by ts with the event_id tie-break), transition
+      // counts + row-conditional probabilities over the 5×5 grid.
+      Sessionize.markovTransitions(table(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .select(col("cur"), col("nxt"), col("n"),
+          round(col("p"), 6).as("p"))
+        .orderBy("cur", "nxt")),
+
+    "g_rfm" -> ((s, dir) =>
+      // RFM quintile segmentation of every user: recency vs the corpus's
+      // last event, frequency, Σvalue; ntile(5) with entity tie-breaks so
+      // bucket edges are engine-exact.
+      Stats.rfm(table(s, dir, "events"), col("user_id"), col("ts"),
+          col("value"), q = 5)
+        .select(col("entity"), col("recency_h"), col("frequency"),
+          round(col("monetary"), 4).as("monetary"), col("r"), col("f"),
+          col("m"), col("rfm"))
+        .orderBy("entity")),
+
+    "g_poisson_rates" -> ((s, dir) =>
+      // Per-type events-per-hour with the ±1.96√n normal band over the
+      // shared 720h observation span — the ingest-rate monitor readout.
+      Stats.poissonRates(table(s, dir, "events"), col("event_type"),
+          col("ts"))
+        .select(col("grp"), col("n"), round(col("exposure_h"), 6)
+            .as("exposure_h"), round(col("rate_per_h"), 6).as("rate_per_h"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))
+        .orderBy("grp")),
+
+    "g_posthoc_pairs" -> ((s, dir) =>
+      // Games–Howell-style pairwise contrasts across all 10 event-type
+      // pairs: Welch SE, z, Welch–Satterthwaite dof — the "which pairs?"
+      // follow-up to g_anova / g_kruskal_wallis.
+      graft.ops.RankTests.posthocPairs(table(s, dir, "events"),
+          col("value"), col("event_type"))
+        .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+          round(col("mean_diff"), 6).as("mean_diff"),
+          round(col("se"), 6).as("se"), round(col("z"), 6).as("z"),
+          round(col("dof"), 4).as("dof"))
+        .orderBy("grp_a", "grp_b")),
+
     "g_chi2_drift" -> ((s, dir) =>
       // Categorical drift: is `source` independent of `lang`? Full 5×20
       // contingency grid (empty cells contribute expected mass), chi2 +
@@ -1418,6 +1462,76 @@ object AnalyticsQueries {
         |  round(CASE WHEN n = 0 THEN 200.0 ELSE rmst END, 6) AS rmst,
         |  n AS n_event_times_used
         |FROM agg""".stripMargin,
+
+    "g_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events WHERE event_type IS NOT NULL),
+        |t AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur, nxt, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur), 6) AS p
+        |FROM t ORDER BY 1, 2""".stripMargin,
+
+    "g_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id AS entity, max(epoch_us(ts)) AS lastt,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    coalesce(sum(value), 0.0) AS monetary
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |rec AS (SELECT entity,
+        |    CAST((max(lastt) OVER () - lastt) // 3600000000 AS BIGINT)
+        |      AS recency_h,
+        |    frequency, monetary
+        |  FROM per),
+        |scored AS (SELECT entity, recency_h, frequency, monetary,
+        |    CAST(ntile(5) OVER (ORDER BY recency_h DESC, entity) AS INT)
+        |      AS r,
+        |    CAST(ntile(5) OVER (ORDER BY frequency ASC, entity) AS INT)
+        |      AS f,
+        |    CAST(ntile(5) OVER (ORDER BY monetary ASC, entity) AS INT)
+        |      AS m
+        |  FROM rec)
+        |SELECT entity, recency_h, frequency, round(monetary, 4) AS monetary,
+        |  r, f, m,
+        |  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+        |    AS rfm
+        |FROM scored ORDER BY entity""".stripMargin,
+
+    "g_poisson_rates" ->
+      """WITH span AS (
+        |  SELECT (max(epoch_us(ts)) - min(epoch_us(ts))) / 3600000000.0
+        |    AS ex
+        |  FROM events WHERE ts IS NOT NULL),
+        |g AS (SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1)
+        |SELECT grp, n, round(ex, 6) AS exposure_h,
+        |  round(n / ex, 6) AS rate_per_h,
+        |  round(greatest(0.0, (n - 1.96 * sqrt(n)) / ex), 6) AS ci_lo,
+        |  round((n + 1.96 * sqrt(n)) / ex, 6) AS ci_hi
+        |FROM g CROSS JOIN span ORDER BY grp""".stripMargin,
+
+    "g_posthoc_pairs" ->
+      """WITH byg AS (
+        |  SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+        |    avg(value) AS m, var_samp(value) AS vv
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |p AS (SELECT a.g AS grp_a, b.g AS grp_b, a.n AS n_a, b.n AS n_b,
+        |    a.m - b.m AS md, a.vv / a.n AS sa, b.vv / b.n AS sb
+        |  FROM byg a JOIN byg b ON a.g < b.g)
+        |SELECT grp_a, grp_b, n_a, n_b, round(md, 6) AS mean_diff,
+        |  round(sqrt(sa + sb), 6) AS se,
+        |  round(CASE WHEN sqrt(sa + sb) > 0
+        |    THEN md / sqrt(sa + sb) END, 6) AS z,
+        |  round(CASE WHEN n_a > 1 AND n_b > 1 AND sa + sb > 0
+        |    THEN pow(sa + sb, 2)
+        |      / (pow(sa, 2) / (n_a - 1) + pow(sb, 2) / (n_b - 1)) END, 4)
+        |    AS dof
+        |FROM p ORDER BY 1, 2""".stripMargin,
 
     "g_chi2_drift" ->
       """WITH obs AS (

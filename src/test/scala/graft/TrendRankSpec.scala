@@ -271,4 +271,81 @@ class TrendRankSpec extends SparkSpec {
     // shrinking the slope can only lower plain R²
     assert(r2.getAs[Double]("r2") <= r0.getAs[Double]("r2") + 1e-12)
   }
+
+  // ---- Markov transitions ----
+
+  test("markovTransitions counts per-entity ordered transitions and " +
+    "normalizes per current state") {
+    // user 1: a→b→a; user 2: a→b — transitions a→b ×2, b→a ×1
+    val df = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"),
+      (2L, 10L, 4L, "a"), (2L, 20L, 5L, "b")).toDF("u", "t", "id", "s")
+    val out = graft.ops.Sessionize.markovTransitions(df, col("u"),
+      col("t"), col("id"), col("s")).collect()
+    val m = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    assert(m(("a", "b")) == ((2L, 1.0)))
+    assert(m(("b", "a")) == ((1L, 1.0)))
+    assert(m.size == 2)
+  }
+
+  test("markovTransitions breaks equal timestamps by the tie column") {
+    val df = Seq((1L, 10L, 2L, "b"), (1L, 10L, 1L, "a")).toDF("u", "t", "id", "s")
+    val out = graft.ops.Sessionize.markovTransitions(df, col("u"),
+      col("t"), col("id"), col("s")).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "a" && out.head.getString(1) == "b")
+  }
+
+  // ---- RFM ----
+
+  test("rfm scores the good end high and is exact on a tiny fixture") {
+    // 4 entities, q=2: entity 4 is most recent / most frequent / biggest
+    val hour = 3600000000L
+    val df = Seq(
+      (1L, 0L * hour, 1.0),
+      (2L, 1L * hour, 2.0), (2L, 2L * hour, 2.0),
+      (3L, 3L * hour, 4.0), (3L, 3L * hour, 4.0), (3L, 3L * hour, 1.0),
+      (4L, 10L * hour, 9.0), (4L, 10L * hour, 9.0), (4L, 10L * hour, 9.0),
+      (4L, 10L * hour, 9.0)).toDF("u", "t", "v")
+    val out = Stats.rfm(df, col("u"), col("t"), col("v"), q = 2)
+      .collect().map(r => r.getAs[Long]("entity") -> r).toMap
+    assert(out(1L).getAs[Long]("recency_h") == 10)
+    assert(out(4L).getAs[Long]("recency_h") == 0)
+    // good end high: entity 4 gets (2,2,2), entity 1 gets (1,1,1)
+    assert(out(4L).getAs[String]("rfm") == "222")
+    assert(out(1L).getAs[String]("rfm") == "111")
+    assert(out(3L).getAs[Long]("frequency") == 3
+      && approx(out(3L).getAs[Double]("monetary"), 9.0))
+  }
+
+  // ---- Poisson rates ----
+
+  test("poissonRates: rate and band are exact closed forms") {
+    val hour = 3600000000L
+    // span = 2h; group a has 4 events, b has 1
+    val df = Seq(("a", 0L), ("a", 1L * hour), ("a", 2L * hour),
+      ("a", hour / 2), ("b", hour)).toDF("g", "t")
+    val out = Stats.poissonRates(df, col("g"), col("t"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx(out("a").getAs[Double]("exposure_h"), 2.0))
+    assert(approx(out("a").getAs[Double]("rate_per_h"), 2.0))
+    assert(approx(out("a").getAs[Double]("ci_hi"), (4 + 1.96 * 2.0) / 2.0))
+    assert(approx(out("b").getAs[Double]("ci_lo"), 0.0)) // floored
+  }
+
+  // ---- Post-hoc pairs ----
+
+  test("posthocPairs agrees with welchTTest on a two-group frame " +
+    "and enumerates k(k-1)/2 pairs") {
+    val rows = (1 to 60).map(i =>
+      (Seq("a", "b", "c")(i % 3), (i % 7).toDouble + (i % 3) * 2.0))
+    val df = rows.toDF("g", "v")
+    val pairs = RankTests.posthocPairs(df, col("v"), col("g")).collect()
+    assert(pairs.length == 3)
+    val ab = pairs.find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    val welch = Stats.welchTTest(df.where(col("g").isin("a", "b")),
+      col("v"), col("g"), "a", "b").head()
+    assert(approx(ab.getAs[Double]("z"), welch.getAs[Double]("t_stat"), 1e-9))
+    assert(approx(ab.getAs[Double]("dof"), welch.getAs[Double]("dof"), 1e-9))
+  }
 }
