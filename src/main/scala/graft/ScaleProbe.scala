@@ -15,7 +15,9 @@ import graft.ops.{Dedup, Stats, TextOps}
   *        editskew | pagerank | cc | packsplit | spanremove | semdedup |
   *        dsir | paradedup | tokenbudget | groupjac | ndinc |
   *        qclassifier | zorder | maxsim | linkage | corpusdiff |
-  *        bootstrap
+  *        bootstrap | … (see the match below — every round adds cases;
+  *        round-10 third wave: ranktests | trend | rfm | markov |
+  *        graphstruct | rmst)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -1311,6 +1313,94 @@ object ScaleProbe {
         df.count()
         time(s"quantileCI n=$n distinct=100k")(
           Stats.quantileCI(df, col("v"), q = 0.99).collect())
+      case "ranktests" =>
+        // k-sample tests at n rows: value collapses to ≤100k distinct
+        // cells (the mannWhitneyU/ROC shape) before any window; the
+        // post-hoc pair join runs on the 5-row group table.
+        val df = spark.range(n).select(
+          (pmod(xxhash64(col("id")), lit(100000)) / 100.0).as("v"),
+          concat(lit("g"), pmod(xxhash64(col("id"), lit(1)), lit(5)))
+            .as("g"))
+        df.count()
+        time(s"kruskalWallis n=$n k=5 distinct=100k")(
+          graft.ops.RankTests.kruskalWallis(df, col("v"), col("g")).collect())
+        time(s"brownForsythe n=$n k=5")(
+          graft.ops.RankTests.brownForsythe(df, col("v"), col("g")).collect())
+        time(s"posthocPairs n=$n k=5")(
+          graft.ops.RankTests.posthocPairs(df, col("v"), col("g")).collect())
+      case "trend" =>
+        // Full trend path at n raw rows: ONE downsample collapse to 4096
+        // bins, then the pairwise ops on the bounded series (8.4M pair
+        // rows of 3 scalars) + the window changepoint.
+        val df = spark.range(n).select(
+          pmod(col("id"), lit(4096)).as("b"),
+          (pmod(xxhash64(col("id")), lit(1000)) / 10.0
+            + pmod(col("id"), lit(4096)) / 500.0).as("v"))
+        df.count()
+        val binned = df.groupBy("b").agg(round(avg("v"), 6).as("mv"))
+          .localCheckpoint()
+        time(s"mannKendall n=$n bins=4096")(
+          graft.ops.Trend.mannKendall(binned, col("b"), col("mv")).collect())
+        time(s"theilSen n=$n bins=4096")(
+          graft.ops.Trend.theilSen(binned, col("b"), col("mv")).collect())
+        time(s"changepoint n=$n bins=4096")(
+          graft.ops.Trend.changepointMeanShift(binned, col("b"), col("mv"))
+            .collect())
+        time(s"seasonalIndex n=$n raw (24 seasons)")(
+          graft.ops.Trend.seasonalIndex(df,
+            pmod(col("b"), lit(24)), col("v")).collect())
+      case "rfm" =>
+        // n events over 1M entities: the per-entity aggregation is the
+        // only event-sized pass; the three ntile sorts run on the
+        // 1M-entity table (the documented exact-bucket cost).
+        val df = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(1000000)).as("u"),
+          (pmod(xxhash64(col("id"), lit(1)), lit(720)) * 3600000000L).as("t"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(1000)) / 10.0).as("v"))
+        df.count()
+        time(s"rfm n=$n entities=1M q=5")(
+          println(s"[probe] rfm rows: " + Stats.rfm(df, col("u"), col("t"),
+            col("v"), q = 5).count()))
+      case "markov" =>
+        // n events, 1M entities, 10 states: entity-partitioned lead +
+        // the bounded 10x10 transition grid.
+        val df = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(1000000)).as("u"),
+          col("id").as("t"), col("id").as("tie"),
+          concat(lit("s"), pmod(xxhash64(col("id"), lit(3)), lit(10)))
+            .as("st"))
+        df.count()
+        time(s"markovTransitions n=$n entities=1M states=10")(
+          graft.ops.Sessionize.markovTransitions(df, col("u"), col("t"),
+            col("tie"), col("st")).collect())
+      case "graphstruct" =>
+        // modularity + clustering coefficient on an n-edge bounded-degree
+        // graph (nodes = n/8, ~16 neighbors each): two node-keyed tag
+        // joins for modularity; the ordered two-join triangle enumeration
+        // for the coefficient.
+        val nodes = math.max(n / 8, 1000L)
+        val e = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(nodes)).as("u"),
+          pmod(xxhash64(col("id"), lit(1)), lit(nodes)).as("v"))
+        e.count()
+        val comm = spark.range(nodes).select(col("id").as("node"),
+          pmod(col("id"), lit(100)).as("c"))
+        time(s"modularity edges=$n nodes=$nodes comms=100")(
+          println("[probe] modularity Q = " + graft.ops.Graph
+            .modularity(e, "u", "v", comm, "node", "c")
+            .agg(sum("q_contrib")).head().getDouble(0)))
+        time(s"clusteringCoefficient edges=$n nodes=$nodes")(
+          println("[probe] cc nodes: " + graft.ops.Graph
+            .clusteringCoefficient(e, "u", "v").count()))
+      case "rmst" =>
+        // n subjects collapsing to 10k distinct durations — the KM
+        // distinct-time shape; everything after is a lag + scalar.
+        val df = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(10000)).cast("double").as("d"),
+          (pmod(xxhash64(col("id"), lit(1)), lit(4)) > 0).as("e"))
+        df.count()
+        time(s"rmst n=$n distinct_t=10k")(
+          Stats.rmst(df, col("d"), col("e"), tau = 8000.0).collect())
       case other => sys.error(s"unknown probe op: $other")
     }
     spark.stop()

@@ -46,18 +46,21 @@ object RankTests {
     val perG = cells.join(ranked, "__v")
       .groupBy("__g")
       .agg(sum(col("__c") * col("__rank")).as("__r"), sum("__c").as("__n"))
+    // per-cell t³ in double (a single 3M-row tie would overflow long)
     val ties = ranked.agg(
-      sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ties"))
+      sum(pow(col("__t").cast("double"), 3) - col("__t")).as("__ties"))
     perG.agg(
         count(lit(1)).as("k"), sum("__n").as("n"),
         sum(col("__r") * col("__r") / col("__n")).as("__rr"))
       .crossJoin(broadcast(ties))
-      .withColumn("h", lit(12.0) / (col("n") * (col("n") + 1))
+      // n³ in DOUBLE lanes: long n³ overflows past n ≈ 2.1M rows — the
+      // exact probe regime this test is built for
+      .withColumn("__n3", pow(col("n").cast("double"), 3)
+        - col("n").cast("double"))
+      .withColumn("h", lit(12.0) / (col("n").cast("double") * (col("n") + 1))
         * col("__rr") - (col("n") + 1) * 3.0)
-      .withColumn("h_tie_corrected", when(
-        col("n") * col("n") * col("n") - col("n") > col("__ties"),
-        col("h") / (lit(1.0) - col("__ties").cast("double")
-          / (col("n") * col("n") * col("n") - col("n")))))
+      .withColumn("h_tie_corrected", when(col("__n3") > col("__ties"),
+        col("h") / (lit(1.0) - col("__ties").cast("double") / col("__n3"))))
       .select(col("k"), col("n"), col("h"), col("h_tie_corrected"))
   }
 
@@ -83,11 +86,13 @@ object RankTests {
         sum(col("__cp") * col("__rank")).as("w_plus"),
         sum(col("__cn") * col("__rank")).as("w_minus"),
         sum("__t").as("n"),
-        sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ties"))
+        sum(pow(col("__t").cast("double"), 3) - col("__t")).as("__ties"))
       .select(col("n"), col("w_plus"), col("w_minus"),
         when(col("n") > 0,
-          (col("w_plus") - col("n") * (col("n") + 1) / 4.0) /
-            sqrt(col("n") * (col("n") + 1) * (col("n") * 2 + 1) / 24.0
+          // double lanes: the long triple product overflows past n ≈ 1.6M
+          (col("w_plus") - col("n").cast("double") * (col("n") + 1) / 4.0) /
+            sqrt(col("n").cast("double") * (col("n") + 1)
+              * (col("n") * 2 + 1) / 24.0
               - col("__ties") / 48.0)).as("z"))
   }
 
