@@ -95,6 +95,28 @@ object ExperimentQueries {
           round(col("r2"), 6).as("r2"))
         .orderBy("grp")),
 
+    "g_pass_at_k" -> ((s, dir) =>
+      // Unbiased pass@5 over 500 synthetic "problems" of exactly 20
+      // samples each (event_id % 500): correct = value > 40; the
+      // C(n−c,k)/C(n,k) product replays term-by-term in the twin.
+      graft.ops.Eval.passAtK(table(s, dir, "events"),
+          pmod(col("event_id"), lit(500)).as("problem"),
+          col("value") > 40.0, k = 5)
+        .select(col("problem"), col("n"), col("c"),
+          round(col("pass_at_k"), 6).as("pass_at_k"))
+        .orderBy("problem")),
+
+    "g_fleiss_kappa" -> ((s, dir) =>
+      // Multi-rater agreement: 400 items × exactly 25 "raters"
+      // (event_id % 400 — dense ids make the counts exactly equal),
+      // category = event_type. The equal-n guard is load-bearing.
+      graft.ops.Eval.fleissKappa(table(s, dir, "events"),
+          pmod(col("event_id"), lit(400)), col("event_type"))
+        .select(col("n_items"), col("n_raters"),
+          round(col("p_bar"), 6).as("p_bar"),
+          round(col("p_e"), 6).as("p_e"),
+          round(col("kappa"), 6).as("kappa"))),
+
     "g_ridge_per_group" -> ((s, dir) =>
       // L2-shrunk sibling of g_ols_per_group: λ = 5e5 against per-flag
       // Sxx ≈ 4e6 shrinks the slope ~11% — visibly different from OLS at
@@ -365,6 +387,42 @@ object ExperimentQueries {
         |  round(CASE WHEN vx > 0 AND vy > 0
         |    THEN cxy * cxy / (vx * vy) END, 6) AS r2
         |FROM s ORDER BY grp""".stripMargin,
+
+    "g_pass_at_k" ->
+      """WITH agg AS (
+        |  SELECT event_id % 500 AS problem,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value > 40.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM events GROUP BY 1
+        |  HAVING count(*) >= 5),
+        |t AS (SELECT problem, n, c,
+        |    product(CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE))
+        |      AS surv
+        |  FROM agg, unnest(generate_series(0, 4)) AS u(i)
+        |  GROUP BY 1, 2, 3)
+        |SELECT problem, n, c, round(1.0 - surv, 6) AS pass_at_k
+        |FROM t ORDER BY problem""".stripMargin,
+
+    "g_fleiss_kappa" ->
+      """WITH cells AS (
+        |  SELECT event_id % 400 AS i, event_type AS c, count(*) AS n
+        |  FROM events
+        |  WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |per AS (SELECT i, sum(n * n) AS ss, sum(n) AS ni
+        |  FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(max(ni) AS BIGINT) AS nr FROM per),
+        |pb AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(max(nr) AS BIGINT) AS n_raters,
+        |    avg(CAST(ss - ni AS DOUBLE) / (nr * (nr - 1.0))) AS p_bar
+        |  FROM per CROSS JOIN nn),
+        |pe AS (SELECT sum(CAST(nc AS DOUBLE) * nc)
+        |      / (CAST(sum(nc) AS DOUBLE) * sum(nc)) AS p_e
+        |  FROM (SELECT sum(n) AS nc FROM cells GROUP BY c))
+        |SELECT n_items, n_raters, round(p_bar, 6) AS p_bar,
+        |  round(p_e, 6) AS p_e,
+        |  round((p_bar - p_e) / (1.0 - p_e), 6) AS kappa
+        |FROM pb CROSS JOIN pe""".stripMargin,
 
     "g_ridge_per_group" ->
       """WITH s AS (SELECT l_returnflag AS grp, count(*) AS n,
