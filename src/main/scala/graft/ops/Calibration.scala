@@ -100,6 +100,77 @@ object Calibration {
     element_at(typedLit(model.calibrated.toSeq),
       least(floor(score * model.bins), lit(model.bins - 1)).cast("int") + 1)
 
+  /** Fitted Platt sigmoid: P(y=1 | s) = 1/(1 + exp(a·s + b)). */
+  case class PlattModel(a: Double, b: Double)
+
+  /** Platt scaling (Platt 1999, with Lin/Weng/Keerthi 2007's regularized
+    * targets) — the PARAMETRIC calibration next to [[isotonicFit]]'s
+    * step function: fit A, B of σ(A·s + B) by `iterations` full Newton
+    * steps on the regularized NLL, targets t₊ = (N₊+1)/(N₊+2),
+    * t₋ = 1/(N₋+2). Start A = 0, B = ln((N₋+1)/(N₊+1)) (Lin's prior
+    * start). Parameters are snapped to 9 dp after EVERY step (the
+    * repo's EM-iterate convention), so the trajectory — and the fitted
+    * model — replays bit-identically across partitionings and engines
+    * (the SQL twin unrolls the same steps from the same start).
+    *
+    * Scale shape: each Newton step is ONE fused map-side-combined
+    * aggregation (five scalar sums: gradient + 2×2 Hessian terms); the
+    * 2×2 solve happens on the driver. `iterations` small and fixed
+    * (default 8 — past that the 9-dp snap has long converged on
+    * anything sane); no caching needed, the input is scanned
+    * `iterations + 1` times (once for the target counts). */
+  def plattFit(df: DataFrame, yTrue: Column, score: Column,
+      iterations: Int = 8): PlattModel = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val base = df.select(score.cast("double").as("s"),
+        yTrue.cast("double").as("y"))
+      .where(col("s").isNotNull && col("y").isNotNull)
+    val counts = base.agg(sum("y").as("np"),
+      sum(lit(1.0) - col("y")).as("nn")).head()
+    val (np, nn) = (counts.getDouble(0), counts.getDouble(1))
+    require(np > 0 && nn > 0,
+      s"plattFit: need both classes present, got n_pos=$np n_neg=$nn")
+    val (tp, tn) = ((np + 1.0) / (np + 2.0), 1.0 / (nn + 2.0))
+    // HALF_UP (away-from-zero) snap — the same convention as SQL
+    // round(x, 9), because the DuckDB twin RECOMPUTES the trajectory
+    // (unlike the isotonic literal-replay, where rint was fine)
+    def snap9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var a = 0.0
+    var b = snap9(math.log((nn + 1.0) / (np + 1.0)))
+    for (_ <- 1 to iterations) {
+      // p = σ(−(a·s+b)) is P(y=1); target residual r = p − t_y
+      val p = lit(1.0) / (lit(1.0) + exp(col("s") * a + b))
+      val t = when(col("y") > 0.5, lit(tp)).otherwise(lit(tn))
+      val w = p * (lit(1.0) - p)
+      // one fused pass: gradient components (ga, gb) + Hessian entries
+      val sums = base.agg(
+        sum((t - p) * col("s")).as("ga"), sum(t - p).as("gb"),
+        sum(w * col("s") * col("s")).as("haa"),
+        sum(w * col("s")).as("hab"), sum(w).as("hbb")).head()
+      val (ga, gb) = (sums.getDouble(0), sums.getDouble(1))
+      // small ridge on the Hessian diagonal — the standard Platt guard
+      // against a flat sigmoid (all-one-score degenerate inputs)
+      val (haa, hab, hbb) =
+        (sums.getDouble(2) + 1e-12, sums.getDouble(3), sums.getDouble(4) + 1e-12)
+      val det = haa * hbb - hab * hab
+      // Newton for minimizing NLL in (a, b) of P = σ(−(a·s+b)):
+      // ∇NLL = Σ (t − P)·[s, 1] (d/dz of −[t ln P + (1−t) ln(1−P)] with
+      // P = σ(−z) is t − P), H = Σ P(1−P)·[s², s; s, 1] ⪰ 0 ⇒ full
+      // step θ ← θ − H⁻¹∇ (the LIBSVM sigmoid_train update)
+      val da = (hbb * ga - hab * gb) / det
+      val dbb = (haa * gb - hab * ga) / det
+      a = snap9(a - da)
+      b = snap9(b - dbb)
+    }
+    PlattModel(a, b)
+  }
+
+  /** Apply a fitted [[PlattModel]]: pure row-local sigmoid (codegen'd, no
+    * join/state — streams as-is, like [[isotonicApply]]). */
+  def plattApply(score: Column, model: PlattModel): Column =
+    lit(1.0) / (lit(1.0) + exp(score * model.a + model.b))
+
   /** Cohen's kappa: chance-corrected agreement between two integer label
     * columns. One k²-key groupBy over the data; marginals and the final
     * scalar are derived from that bounded cell table (k classes — the

@@ -255,6 +255,23 @@ object MetricQueries {
           col("event_id"), col("y_true"), col("proba"), k)
         .orderBy("id")
     }),
+
+    "g_platt_scaling" -> ((s, dir) => {
+      // Parametric sigmoid calibration: 8 full Newton steps with the
+      // 9-dp parameter snap, so the DuckDB twin RECOMPUTES the whole
+      // trajectory (no literal replay) and must land on the identical
+      // (a, b). Face: the fitted params + the calibrated curve at ten
+      // grid scores.
+      import s.implicits._
+      val ev = scoredEvents(s, dir)
+      val m = Calibration.plattFit(ev, col("y_true"), col("score"),
+        iterations = 8)
+      (0 until 10).map(i => (5 + i * 10) / 100.0).toDF("s")
+        .select(col("s"), round(lit(m.a), 6).as("a"),
+          round(lit(m.b), 6).as("b"),
+          round(Calibration.plattApply(col("s"), m), 6).as("p_cal"))
+        .orderBy("s")
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -268,7 +285,50 @@ object MetricQueries {
          |  FROM (${Q.scoredEventsSql}) se GROUP BY 1)
          |WINDOW w AS (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+    // Platt trajectory, genuinely RECOMPUTED: the 8 Newton steps unroll
+    // as chained CTEs (i0 → i8), each one aggregation over the scored
+    // events with the previous round's 9-dp-snapped (a, b) — the
+    // pagerank-unroll discipline applied to an optimizer. The snap is
+    // what makes cross-engine equality possible: per-step float wobble
+    // (~1e-13) dies on the 1e-9 grid before it can compound.
+    val plattIters = (1 to 8).map { k =>
+      s"""s$k AS (
+         |  SELECT a, b, tp, tn,
+         |    sum((t - p) * s) AS ga, sum(t - p) AS gb,
+         |    sum(p * (1 - p) * s * s) + 1e-12 AS haa,
+         |    sum(p * (1 - p) * s) AS hab, sum(p * (1 - p)) + 1e-12 AS hbb
+         |  FROM (SELECT pb.s,
+         |      CASE WHEN pb.y > 0.5 THEN i.tp ELSE i.tn END AS t,
+         |      1.0 / (1.0 + exp(pb.s * i.a + i.b)) AS p,
+         |      i.a, i.b, i.tp, i.tn
+         |    FROM pbase pb CROSS JOIN i${k - 1} i) x
+         |  GROUP BY a, b, tp, tn),
+         |i$k AS (SELECT
+         |    round(a - (hbb * ga - hab * gb)
+         |      / (haa * hbb - hab * hab), 9) AS a,
+         |    round(b - (haa * gb - hab * ga)
+         |      / (haa * hbb - hab * hab), 9) AS b,
+         |    tp, tn FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val plattGrid = (0 until 10)
+      .map(i => f"(${(5 + i * 10) / 100.0}%.2f)").mkString(", ")
+    val plattSql =
+      s"""WITH pbase AS (
+         |  SELECT score AS s, CAST(y_true AS DOUBLE) AS y
+         |  FROM (${Q.scoredEventsSql}) se),
+         |c AS (SELECT sum(y) AS np, sum(1.0 - y) AS nn FROM pbase),
+         |i0 AS (SELECT CAST(0.0 AS DOUBLE) AS a,
+         |    round(ln((nn + 1.0) / (np + 1.0)), 9) AS b,
+         |    (np + 1.0) / (np + 2.0) AS tp, 1.0 / (nn + 2.0) AS tn
+         |  FROM c),
+         |$plattIters,
+         |g AS (SELECT CAST(gs AS DOUBLE) AS s FROM (VALUES $plattGrid) v(gs))
+         |SELECT g.s, round(i8.a, 6) AS a, round(i8.b, 6) AS b,
+         |  round(1.0 / (1.0 + exp(g.s * i8.a + i8.b)), 6) AS p_cal
+         |FROM g CROSS JOIN i8 ORDER BY g.s""".stripMargin
+
     Map(
+      "g_platt_scaling" -> plattSql,
       "g9_confusion" ->
         s"""WITH mc AS ($multiclassSql),
            |k AS (SELECT count(DISTINCT event_type) AS k FROM events),

@@ -123,4 +123,51 @@ class CalibrationSpec extends SparkSpec {
       .map(r => (r.getInt(1), r.getInt(2), r.getDouble(3)))
     assert(out.toSeq == Seq((0, 2, 0.25)))
   }
+
+  // ---- Platt scaling ----
+
+  test("plattFit learns a decreasing z (A < 0) on positively-correlated " +
+    "scores and plattApply is monotone in s") {
+    // y more likely at high s, with overlap so Newton stays finite
+    val rows = (0 until 400).map { i =>
+      val s0 = (i % 100) / 100.0
+      (s0, if ((s0 * 100 + i % 7).toInt % 10 < s0 * 10) 1 else 0)
+    }
+    val df = spark.createDataFrame(rows).toDF("s", "y")
+    val m = Calibration.plattFit(df, col("y"), col("s"))
+    assert(m.a < 0) // P = sigmoid(-(a*s+b)) increasing in s needs a < 0
+    val cal = df.select(round(Calibration.plattApply(col("s"), m), 9)
+        .as("p"), col("s")).distinct().orderBy("s").collect()
+      .map(_.getAs[Double]("p"))
+    assert(cal.zip(cal.tail).forall { case (lo, hi) => lo <= hi })
+    assert(cal.forall(p => p > 0.0 && p < 1.0))
+  }
+
+  test("plattFit is bit-stable across partitionings (the 9-dp snap)") {
+    val rows = (0 until 500).map { i =>
+      ((i % 97) / 97.0, if ((i * 31) % 100 < (i % 97)) 1 else 0)
+    }
+    val df = spark.createDataFrame(rows).toDF("s", "y")
+    val m1 = Calibration.plattFit(df.coalesce(1), col("y"), col("s"))
+    val m7 = Calibration.plattFit(df.repartition(7), col("y"), col("s"))
+    assert(m1.a == m7.a && m1.b == m7.b)
+  }
+
+  test("plattFit on label-independent scores calibrates to the base rate") {
+    // score carries no signal: the fitted sigmoid should be ~flat at
+    // the positive rate (0.25 here)
+    val rows = (0 until 400).map(i => ((i % 20) / 20.0, if (i % 4 == 0) 1 else 0))
+    val df = spark.createDataFrame(rows).toDF("s", "y")
+    val m = Calibration.plattFit(df, col("y"), col("s"))
+    val p = df.select(avg(Calibration.plattApply(col("s"), m))).head().getDouble(0)
+    assert(math.abs(p - 0.25) < 0.02)
+  }
+
+  test("plattFit refuses single-class input loudly") {
+    val df = Seq((0.1, 1), (0.9, 1)).toDF("s", "y")
+    val e = intercept[IllegalArgumentException] {
+      Calibration.plattFit(df, col("y"), col("s"))
+    }
+    assert(e.getMessage.contains("both classes"))
+  }
 }
