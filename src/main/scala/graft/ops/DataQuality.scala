@@ -196,4 +196,54 @@ object DataQuality {
       .select(col("digit"), col("n_obs"), col("p_exp"), col("share"),
         col("contrib"), col("chi2"))
   }
+
+  /** Snapshot-to-snapshot profile drift gate: [[graft.ops.Stats.profileTable]]
+    * on both sides (ONE fused aggregation per snapshot), joined per
+    * column, with verdicts on the null-fraction shift, the relative mean
+    * shift, and the relative distinct-count shift. Verdicts compare
+    * UNROUNDED values (the dq_constraints lesson: a rounded fraction
+    * silently passes real drift at scale); the reported columns are for
+    * humans. A column that is all-null on either side fails `mean_ok`
+    * only if the other side has a mean (appearing/disappearing data IS
+    * drift). Returns one row per column:
+    * (col_name, n_a, n_b, null_frac_a, null_frac_b, mean_a, mean_b,
+    * mean_rel_delta, distinct_a, distinct_b, null_ok, mean_ok,
+    * distinct_ok, ok). */
+  def profileCompare(a: DataFrame, b: DataFrame, cols: Seq[String],
+      nullFracTol: Double = 0.01, meanRelTol: Double = 0.05,
+      distinctRelTol: Double = 0.20, exact: Boolean = true): DataFrame = {
+    val pa = graft.ops.Stats.profileTable(a, cols, exact)
+      .select(col("col_name"), col("n_rows").as("n_a"),
+        col("n_nulls").as("__nulls_a"), col("n_distinct").as("distinct_a"),
+        col("mean_v").as("mean_a"))
+    val pb = graft.ops.Stats.profileTable(b, cols, exact)
+      .select(col("col_name"), col("n_rows").as("n_b"),
+        col("n_nulls").as("__nulls_b"), col("n_distinct").as("distinct_b"),
+        col("mean_v").as("mean_b"))
+    val nfa = col("__nulls_a").cast("double") / col("n_a")
+    val nfb = col("__nulls_b").cast("double") / col("n_b")
+    val meanDelta = when(col("mean_a").isNotNull && col("mean_b").isNotNull,
+      when(abs(col("mean_a")) > 0,
+        abs(col("mean_b") - col("mean_a")) / abs(col("mean_a")))
+        .otherwise(abs(col("mean_b") - col("mean_a"))))
+    val distDelta = abs(col("distinct_b") - col("distinct_a"))
+      .cast("double") / greatest(col("distinct_a"), lit(1L))
+    pa.join(pb, Seq("col_name"))
+      .withColumn("null_frac_a", nfa)
+      .withColumn("null_frac_b", nfb)
+      .withColumn("mean_rel_delta", meanDelta)
+      .withColumn("null_ok", abs(nfb - nfa) <= nullFracTol)
+      .withColumn("mean_ok",
+        when(col("mean_a").isNull && col("mean_b").isNull, lit(true))
+          .when(col("mean_a").isNull || col("mean_b").isNull, lit(false))
+          .otherwise(col("mean_rel_delta") <= meanRelTol))
+      .withColumn("distinct_ok", distDelta <= distinctRelTol)
+      .select(col("col_name"), col("n_a"), col("n_b"),
+        col("null_frac_a"), col("null_frac_b"), col("mean_a"),
+        col("mean_b"), col("mean_rel_delta"), col("distinct_a"),
+        col("distinct_b"), col("null_ok"), col("mean_ok"),
+        col("distinct_ok"),
+        (col("null_ok") && col("mean_ok") && col("distinct_ok")).as("ok"))
+      .orderBy("col_name")
+  }
 }

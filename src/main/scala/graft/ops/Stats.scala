@@ -2082,6 +2082,58 @@ object Stats {
         col("n_event_times_used"))
   }
 
+  /** Cumulative incidence under competing risks (Aalen–Johansen 1978;
+    * the Kalbfleisch–Prentice CIF): when subjects can exit by SEVERAL
+    * terminal causes (churned-by-error vs converted-by-purchase), the
+    * per-cause "1 − KM" overstates risk — the proper estimator is
+    *   CIF_k(t) = Σ_{tᵢ ≤ t} S(tᵢ⁻) · d_k(tᵢ)/n(tᵢ)
+    * with S the ALL-cause Kaplan–Meier. Input: one row per subject with
+    * `duration` and `cause` (a string; NULL = censored). Returns one row
+    * per (cause, event time with d_k > 0): (t, cause, n_risk, d_cause,
+    * cif), ordered. CIFs across causes sum to 1 − S(t) by construction.
+    *
+    * Scale shape: the [[kaplanMeier]] collapse twice over — one
+    * (t, cause) cell aggregation, totals re-aggregated FROM the cells,
+    * risk sets / S(t⁻) / per-cause cumulative sums as windows over the
+    * bounded distinct-time (× cause) tables. S(t⁻) rides the same
+    * 6-dp-rounded log-sum-exp convention as KM so the face replays. */
+  def cumulativeIncidence(df: DataFrame, duration: Column,
+      cause: Column): DataFrame = {
+    val base = df.select(duration.cast("double").as("t"),
+      cause.cast("string").as("c"))
+    val cells = base.groupBy("t", "c").agg(count(lit(1)).as("cnt"))
+    val byT = cells.groupBy("t").agg(
+      sum(when(col("c").isNotNull, col("cnt")).otherwise(0L)).as("d"),
+      sum(col("cnt")).as("all"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val totals = byT
+      .withColumn("n_risk", sum("all").over(wAll)
+        - coalesce(sum("all").over(wPrev), lit(0L)))
+      // S(t⁻): the all-cause KM over STRICTLY EARLIER event times — the
+      // same exhaustion-as-explicit-zero and log-sum conventions as
+      // [[kaplanMeier]], rounded to 6 dp so downstream terms replay
+      .withColumn("s_prev", round(
+        when(coalesce(max(when(col("d") === col("n_risk"), 1)
+            .otherwise(0)).over(wPrev), lit(0)) === 1, lit(0.0))
+          .otherwise(exp(coalesce(sum(
+            when(col("d") > 0 && col("d") < col("n_risk"),
+              log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+              .otherwise(lit(0.0))).over(wPrev), lit(0.0)))), 6))
+    val wCause = Window.partitionBy("c").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.where(col("c").isNotNull)
+      .join(totals.select(col("t"), col("n_risk"), col("s_prev")), "t")
+      .withColumn("__term",
+        col("s_prev") * col("cnt").cast("double") / col("n_risk"))
+      .withColumn("cif", sum("__term").over(wCause))
+      .select(col("t"), col("c").as("cause"), col("n_risk"),
+        col("cnt").as("d_cause"), col("cif"))
+      .orderBy("cause", "t")
+  }
+
   /** Two-group log-rank test (Mantel 1966; Peto & Peto 1972) — "do the
     * two survival curves differ?", the hypothesis test [[kaplanMeier]]
     * plots beg for. At each distinct event time: observed group-A

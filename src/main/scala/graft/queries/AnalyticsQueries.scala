@@ -302,6 +302,52 @@ object AnalyticsQueries {
           col("n_event_times_used"))
     }),
 
+    "g_cum_incidence" -> ((s, dir) => {
+      // Competing risks: per user, the FIRST terminal event among
+      // error/purchase sets the cause; users with neither are censored
+      // at their observed span. Aalen–Johansen CIF per cause over the
+      // whole-hour duration table — per-cause "1 − KM" would overstate
+      // both risks; the CIFs here sum to 1 − S by construction.
+      val ev = table(s, dir, "events")
+      val per = ev.groupBy("user_id").agg(
+        min(col("ts")).as("t0"), max(col("ts")).as("t1"),
+        min(when(col("event_type") === "error", col("ts"))).as("te"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      val first = when(col("te").isNotNull
+          && (col("tp").isNull || col("te") <= col("tp")), col("te"))
+        .when(col("tp").isNotNull, col("tp"))
+      val cause = when(col("te").isNotNull
+          && (col("tp").isNull || col("te") <= col("tp")), "error")
+        .when(col("tp").isNotNull, "purchase")
+      val dur = ((coalesce(first, col("t1")) - col("t0"))
+        / lit(3600000000L)).cast("long")
+      Stats.cumulativeIncidence(
+          per.select(dur.as("dur_h"), cause.as("cause")),
+          col("dur_h"), col("cause"))
+        .select(col("t"), col("cause"), col("n_risk"), col("d_cause"),
+          round(col("cif"), 6).as("cif"))
+        .orderBy("cause", "t")
+    }),
+
+    "dq_profile_compare" -> ((s, dir) =>
+      // Snapshot drift gate: full events vs the error-free slice.
+      // distinctRelTol = 0.15 makes event_type's 5 → 4 distinct drop
+      // (exactly 0.2) FAIL — a gate that can't fail proves nothing.
+      graft.ops.DataQuality.profileCompare(
+          table(s, dir, "events"),
+          table(s, dir, "events").where(col("event_type") =!= "error"),
+          Seq("value", "user_id", "event_type"),
+          nullFracTol = 0.01, meanRelTol = 0.05, distinctRelTol = 0.15)
+        .select(col("col_name"), col("n_a"), col("n_b"),
+          round(col("null_frac_a"), 6).as("null_frac_a"),
+          round(col("null_frac_b"), 6).as("null_frac_b"),
+          round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("mean_rel_delta"), 6).as("mean_rel_delta"),
+          col("distinct_a"), col("distinct_b"), col("null_ok"),
+          col("mean_ok"), col("distinct_ok"), col("ok"))
+        .orderBy("col_name")),
+
     "g_markov_transitions" -> ((s, dir) =>
       // First-order user-journey model: event_type → next event_type per
       // user (ordered by ts with the event_id tie-break), transition
@@ -1462,6 +1508,95 @@ object AnalyticsQueries {
         |  round(CASE WHEN n = 0 THEN 200.0 ELSE rmst END, 6) AS rmst,
         |  n AS n_event_times_used
         |FROM agg""".stripMargin,
+
+    "g_cum_incidence" ->
+      """WITH per AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
+        |    min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+        |      AS te,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS tp
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT
+        |    CAST((coalesce(CASE
+        |        WHEN te IS NOT NULL AND (tp IS NULL OR te <= tp) THEN te
+        |        WHEN tp IS NOT NULL THEN tp END, t1) - t0) // 3600000000
+        |      AS BIGINT) AS t,
+        |    CASE WHEN te IS NOT NULL AND (tp IS NULL OR te <= tp)
+        |        THEN 'error'
+        |      WHEN tp IS NOT NULL THEN 'purchase' END AS c
+        |  FROM per),
+        |cells AS (SELECT CAST(t AS DOUBLE) AS t, c, count(*) AS cnt
+        |  FROM d GROUP BY 1, 2),
+        |byt AS (SELECT t,
+        |    sum(CASE WHEN c IS NOT NULL THEN cnt ELSE 0 END) AS dd,
+        |    sum(cnt) AS al
+        |  FROM cells GROUP BY 1),
+        |tot1 AS (SELECT t, dd,
+        |    sum(al) OVER () - coalesce(sum(al) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM byt),
+        |tot2 AS (SELECT t, n_risk,
+        |    round(CASE WHEN coalesce(max(CASE WHEN dd = n_risk THEN 1
+        |        ELSE 0 END) OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+        |      THEN 0.0
+        |      ELSE exp(coalesce(sum(CASE WHEN dd > 0 AND dd < n_risk
+        |        THEN ln(1.0 - CAST(dd AS DOUBLE) / n_risk) ELSE 0.0 END)
+        |        OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0))
+        |      END, 6) AS s_prev
+        |  FROM tot1)
+        |SELECT cells.t, c AS cause, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(cnt AS BIGINT) AS d_cause,
+        |  round(sum(s_prev * cnt / n_risk) OVER (PARTITION BY c
+        |    ORDER BY cells.t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif
+        |FROM cells JOIN tot2 ON cells.t = tot2.t
+        |WHERE c IS NOT NULL
+        |ORDER BY cause, cells.t""".stripMargin,
+
+    "dq_profile_compare" -> {
+      def side(src: String, suf: String) = Seq("value", "user_id",
+        "event_type").map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_$suf,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS nulls_$suf,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS distinct_$suf,
+           |  avg(TRY_CAST($c AS DOUBLE)) AS mean_$suf
+           |FROM $src""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH bsrc AS (SELECT * FROM events WHERE event_type != 'error'),
+         |pa AS (${side("events", "a")}),
+         |pb AS (${side("bsrc", "b")}),
+         |j AS (SELECT col_name, n_a, n_b,
+         |    CAST(nulls_a AS DOUBLE) / n_a AS nfa,
+         |    CAST(nulls_b AS DOUBLE) / n_b AS nfb,
+         |    mean_a, mean_b,
+         |    CASE WHEN mean_a IS NOT NULL AND mean_b IS NOT NULL THEN
+         |      CASE WHEN abs(mean_a) > 0
+         |        THEN abs(mean_b - mean_a) / abs(mean_a)
+         |        ELSE abs(mean_b - mean_a) END END AS mrd,
+         |    distinct_a, distinct_b,
+         |    CAST(abs(distinct_b - distinct_a) AS DOUBLE)
+         |      / greatest(distinct_a, 1) AS ddelta
+         |  FROM pa JOIN pb USING (col_name))
+         |SELECT col_name, n_a, n_b,
+         |  round(nfa, 6) AS null_frac_a, round(nfb, 6) AS null_frac_b,
+         |  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+         |  round(mrd, 6) AS mean_rel_delta, distinct_a, distinct_b,
+         |  abs(nfb - nfa) <= 0.01 AS null_ok,
+         |  CASE WHEN mean_a IS NULL AND mean_b IS NULL THEN true
+         |    WHEN mean_a IS NULL OR mean_b IS NULL THEN false
+         |    ELSE mrd <= 0.05 END AS mean_ok,
+         |  ddelta <= 0.15 AS distinct_ok,
+         |  (abs(nfb - nfa) <= 0.01) AND (CASE WHEN mean_a IS NULL
+         |    AND mean_b IS NULL THEN true WHEN mean_a IS NULL
+         |    OR mean_b IS NULL THEN false ELSE mrd <= 0.05 END)
+         |    AND (ddelta <= 0.15) AS ok
+         |FROM j ORDER BY col_name""".stripMargin
+    },
 
     "g_markov_transitions" ->
       """WITH seq AS (

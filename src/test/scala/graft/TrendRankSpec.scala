@@ -201,6 +201,47 @@ class TrendRankSpec extends SparkSpec {
     assert(r2.getAs[Long]("n_event_times_used") == 0)
   }
 
+  test("cumulativeIncidence matches the hand-worked two-cause example " +
+    "and CIFs sum to 1 - S") {
+    // t=1:A, t=2:B, t=3:A (no censoring):
+    // CIF_A(1)=1/3, CIF_B(2)=2/3·1/2=1/3, CIF_A(3)=1/3+1/3=2/3
+    val df = Seq((1.0, "A"), (2.0, "B"), (3.0, "A")).toDF("d", "c")
+    val out = Stats.cumulativeIncidence(df, col("d"), col("c"))
+      .collect().map(r => (r.getString(1), r.getDouble(0)) ->
+        r.getAs[Double]("cif")).toMap
+    assert(approx(out(("A", 1.0)), 1.0 / 3.0, 1e-5))
+    assert(approx(out(("B", 2.0)), 1.0 / 3.0, 1e-5))
+    assert(approx(out(("A", 3.0)), 2.0 / 3.0, 1e-5))
+    // with censoring: terminal CIFs still sum to 1 − S(t_last)
+    val cens = Seq((1.0, Some("A")), (2.0, None), (3.0, Some("B")),
+      (4.0, None), (5.0, Some("A"))).toDF("d", "c")
+    val cif = Stats.cumulativeIncidence(cens, col("d"), col("c"))
+    val lastPerCause = cif.groupBy("cause").agg(max_by(col("cif"), col("t")))
+      .collect().map(_.getDouble(1)).sum
+    val s = Stats.kaplanMeier(cens, col("d"),
+      col("c").isNotNull).orderBy(col("t").desc)
+      .limit(1).head().getAs[Double]("survival")
+    assert(approx(lastPerCause, 1.0 - s, 1e-5))
+  }
+
+  test("profileCompare flags the planted drift and passes the stable column") {
+    import graft.ops.DataQuality
+    val a = (1 to 100).map(i => (i.toDouble, i % 50)).toDF("x", "k")
+    // b: x mean doubled (mean fail), k restricted to 10 distinct
+    // (distinct fail); no nulls anywhere (null ok)
+    val b = (1 to 100).map(i => (i * 2.0, i % 10)).toDF("x", "k")
+    val out = DataQuality.profileCompare(a, b, Seq("x", "k"),
+      nullFracTol = 0.01, meanRelTol = 0.05, distinctRelTol = 0.2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("x").getAs[Boolean]("null_ok"))
+    assert(!out("x").getAs[Boolean]("mean_ok"))
+    assert(!out("k").getAs[Boolean]("distinct_ok"))
+    assert(!out("x").getAs[Boolean]("ok"))
+    // same frame on both sides: everything passes
+    val same = DataQuality.profileCompare(a, a, Seq("x", "k")).collect()
+    assert(same.forall(_.getAs[Boolean]("ok")))
+  }
+
   // ---- Graph: modularity + clustering coefficient ----
 
   test("modularity: two disjoint triangles under a perfect 2-partition") {
