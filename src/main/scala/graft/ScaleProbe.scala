@@ -1401,6 +1401,62 @@ object ScaleProbe {
         df.count()
         time(s"rmst n=$n distinct_t=10k")(
           Stats.rmst(df, col("d"), col("e"), tau = 8000.0).collect())
+      case "platt" =>
+        // 8 Newton steps × one fused 5-sum aggregation over n rows +
+        // the target-count pass: iterations+1 full scans by design.
+        val df = spark.range(n).select(
+          (pmod(xxhash64(col("id")), lit(10000)) / 10000.0).as("s"),
+          (pmod(xxhash64(col("id"), lit(1)), lit(10000)) / 10000.0
+            < (pmod(xxhash64(col("id")), lit(10000)) / 10000.0)).as("y"))
+        df.count()
+        time(s"plattFit n=$n iters=8")(
+          println("[probe] platt model: " + graft.ops.Calibration
+            .plattFit(df, col("y"), col("s"))))
+      case "evalops" =>
+        // pass@k over 1M problems × ~100 samples; fleiss over 1M items
+        // with a FIXED 64 ratings each (id-sliced, not hashed — the
+        // equal-n contract).
+        val df = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(1000000)).as("p"),
+          (pmod(xxhash64(col("id"), lit(1)), lit(10)) < 3).as("ok"))
+        df.count()
+        time(s"passAtK n=$n problems=1M k=10")(
+          println("[probe] passAtK rows: " + graft.ops.Eval
+            .passAtK(df, col("p"), col("ok"), k = 10).count()))
+        val ratings = spark.range(n).select(
+          (col("id") / 64L).cast("long").as("i"),
+          concat(lit("c"), pmod(xxhash64(col("id")), lit(5))).as("c"))
+        ratings.count()
+        time(s"fleissKappa n=$n items=n/64 raters=64")(
+          graft.ops.Eval.fleissKappa(ratings, col("i"), col("c")).collect())
+      case "cif" =>
+        // competing risks at n subjects / 10k distinct times / 3 causes
+        val df = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(10000)).cast("double").as("d"),
+          when(pmod(xxhash64(col("id"), lit(1)), lit(4)) === 0, lit(null))
+            .otherwise(concat(lit("cause"),
+              pmod(xxhash64(col("id"), lit(2)), lit(3)))).as("c"))
+        df.count()
+        time(s"cumulativeIncidence n=$n distinct_t=10k causes=3")(
+          println("[probe] cif rows: " + Stats
+            .cumulativeIncidence(df, col("d"), col("c")).count()))
+      case "profilecmp" =>
+        // two n-row snapshots, 3 columns: one fused profile aggregation
+        // per side (exact countDistinct Expand = the documented cost;
+        // exact=false is the 100 TB form)
+        def snap(seed: Int) = spark.range(n).select(
+          (pmod(xxhash64(col("id"), lit(seed)), lit(1000000)) / 100.0)
+            .as("v"),
+          pmod(xxhash64(col("id"), lit(seed + 1)), lit(500000)).as("u"),
+          concat(lit("t"), pmod(xxhash64(col("id")), lit(20))).as("ty"))
+        val (a, b) = (snap(1), snap(2))
+        a.count(); b.count()
+        time(s"profileCompare n=$n x2 cols=3 exact")(
+          graft.ops.DataQuality.profileCompare(a, b,
+            Seq("v", "u", "ty")).collect())
+        time(s"profileCompare n=$n x2 cols=3 approx")(
+          graft.ops.DataQuality.profileCompare(a, b,
+            Seq("v", "u", "ty"), exact = false).collect())
       case other => sys.error(s"unknown probe op: $other")
     }
     spark.stop()

@@ -995,12 +995,16 @@ object Stats {
     val spark = df.sparkSession
     val nd: Column => Column =
       if (exact) countDistinct(_) else c => approx_count_distinct(c)
+    // try_cast, not cast: string columns profile with NULL numeric
+    // moments in BOTH ANSI and legacy sessions (and match the DuckDB
+    // twins' TRY_CAST) instead of throwing under ANSI
+    def tryD(c: Column): Column = c.try_cast(org.apache.spark.sql.types.DoubleType)
     val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
       sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
       nd(col(c)).as(s"${c}__distinct"),
-      min(col(c)).cast("double").as(s"${c}__min"),
-      max(col(c)).cast("double").as(s"${c}__max"),
-      avg(col(c)).as(s"${c}__mean")))
+      tryD(min(col(c))).as(s"${c}__min"),
+      tryD(max(col(c))).as(s"${c}__max"),
+      avg(tryD(col(c))).as(s"${c}__mean")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val n = r.getAs[Long]("__n") // count(*): never null, even on empty input
     import spark.implicits._

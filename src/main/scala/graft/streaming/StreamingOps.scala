@@ -635,4 +635,63 @@ object StreamingOps {
       .withColumn("__n", total)
       .select(col("window"), col("__n").as("n"), jsExpr.as("js"))
   }
+
+  final case class FunnelEvent(entity: String, ts: Timestamp, step: String)
+  final case class FunnelHit(entity: String, stepIdx: Int, tsMs: Long)
+  final case class FunnelProgress(idx: Int, t0Ms: Long, lastMs: Long)
+
+  /** Streaming ordered funnel — the online form of [[graft.ops.Stats.funnel]]:
+    * per entity, a [[FunnelHit]] is emitted the moment the entity FIRST
+    * reaches each step in order (step 0 starts the clock; step k counts
+    * only at/after the step-(k−1) time and within `maxSpanMs` of step 0 —
+    * exactly the batch op's min-time chaining). State per entity is 3
+    * scalars in flatMapGroupsWithState, partitioned across executors by
+    * the groupByKey; counting hits per stepIdx downstream reproduces the
+    * batch conversion table (FunnelStreamSpec pins equality).
+    *
+    * Ordering contract (the [[EwmaStream]] convention): rows WITHIN a
+    * micro-batch are folded in event-time order; an event arriving in a
+    * LATER batch with an earlier timestamp than the entity's current
+    * progress cannot rewind the funnel — it can still ADVANCE it if it
+    * is timestamped at/after the entity's last step (batch-parity holds
+    * on streams that are in order per entity across batches). */
+  object FunnelStream {
+    def run(events: Dataset[FunnelEvent], steps: Seq[String],
+        maxSpanMs: Long): Dataset[FunnelHit] = {
+      require(steps.size >= 2, "funnelStream: need at least 2 steps")
+      require(steps.distinct.size == steps.size,
+        "funnelStream: steps must be distinct")
+      require(maxSpanMs > 0, "funnelStream: maxSpanMs must be > 0")
+      import events.sparkSession.implicits._
+      val stepIdx = steps.zipWithIndex.toMap
+      events.groupByKey(_.entity)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout) {
+          (entity: String, it: Iterator[FunnelEvent],
+              state: GroupState[FunnelProgress]) =>
+            // equal-timestamp events fold in FUNNEL order (batch's
+            // inclusive __tc >= __t lets step k+1 share step k's instant)
+            val sorted = it.toArray.sortBy(e =>
+              (e.ts.getTime, stepIdx.getOrElse(e.step, Int.MaxValue)))
+            var st = state.getOption.getOrElse(FunnelProgress(-1, 0L, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st.idx < 0) {
+                if (stepIdx.get(e.step).contains(0)) {
+                  st = FunnelProgress(0, t, t)
+                  out += FunnelHit(entity, 0, t)
+                }
+              } else if (st.idx < steps.size - 1
+                  && stepIdx.get(e.step).contains(st.idx + 1)
+                  && t >= st.lastMs && t <= st.t0Ms + maxSpanMs) {
+                st = FunnelProgress(st.idx + 1, st.t0Ms, t)
+                out += FunnelHit(entity, st.idx, t)
+              }
+            }
+            state.update(st)
+            out.iterator
+        }
+    }
+  }
 }
