@@ -171,6 +171,64 @@ object Calibration {
   def plattApply(score: Column, model: PlattModel): Column =
     lit(1.0) / (lit(1.0) + exp(score * model.a + model.b))
 
+  /** Fitted temperature: calibrated = softmax(logits / t) = softmax(β·z)
+    * with β = 1/t. */
+  case class TemperatureModel(beta: Double) { def t: Double = 1.0 / beta }
+
+  /** Temperature scaling (Guo et al. 2017, "On Calibration of Modern
+    * Neural Networks") — the ONE-parameter multiclass calibration:
+    * minimize NLL(β) = −Σ [β·z_y − lse(β·z)] over β = 1/T by
+    * `iterations` Newton steps. Per row (all array-local, codegen'd):
+    * p_j = softmax(β·z)_j, E = Σp_j z_j, V = Σp_j z_j² − E²;
+    * ∇ = −Σ(z_y − E), H = Σ V ≥ 0 (convex — Newton from β = 1 is safe).
+    * β snaps to 9 dp per step (the [[plattFit]] convention), so the
+    * DuckDB twin recomputes the identical trajectory from the long
+    * (row, class, logit) form. Accuracy is untouched by construction
+    * (argmax is scale-invariant) — only confidence moves.
+    *
+    * Scale shape: ONE fused 2-sum aggregation per step over row-local
+    * array expressions — no explode, no join; `iterations + 0` scans. */
+  def temperatureFit(df: DataFrame, yTrue: Column, logits: Column,
+      iterations: Int = 6): TemperatureModel = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    def snap9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val base = df.select(yTrue.cast("int").as("y"),
+        transform(logits, z => z.cast("double")).as("z"))
+      .where(col("y").isNotNull && col("z").isNotNull)
+    var beta = 1.0
+    for (_ <- 1 to iterations) {
+      val zb = transform(col("z"), z => z * beta)
+      val m = array_max(zb)
+      val lse = m + log(aggregate(zb, lit(0.0), (a, x) => a + exp(x - m)))
+      val p = transform(zb, x => exp(x - lse))
+      val e = zip_with(col("z"), p, (z, pj) => z * pj)
+      val e1 = aggregate(e, lit(0.0), (a, x) => a + x)
+      val e2 = aggregate(zip_with(col("z"), e, (z, x) => z * x),
+        lit(0.0), (a, x) => a + x)
+      val zy = element_at(col("z"), col("y") + 1)
+      val r = base.agg(
+        sum(e1 - zy).as("g"), sum(e2 - e1 * e1).as("h")).head()
+      val (g, h) = (r.getDouble(0), r.getDouble(1) + 1e-12)
+      // damped Newton: saturated softmax flattens H and the raw step
+      // overshoots through β = 0 (measured: constant-logit fixtures
+      // diverge to β ~ 1e14). The unit step clamp + the [1e-3, 1e3]
+      // β box are deterministic, so the SQL twin replays them exactly.
+      val delta = math.max(-1.0, math.min(1.0, g / h))
+      beta = snap9(math.max(1e-3, math.min(1e3, beta - delta)))
+    }
+    TemperatureModel(beta)
+  }
+
+  /** Apply a fitted [[TemperatureModel]]: row-local softmax of β·z
+    * (stable lse form) — streams as-is. */
+  def temperatureApply(logits: Column, model: TemperatureModel): Column = {
+    val zb = transform(logits, z => z.cast("double") * model.beta)
+    val m = array_max(zb)
+    val lse = m + log(aggregate(zb, lit(0.0), (a, x) => a + exp(x - m)))
+    transform(zb, x => exp(x - lse))
+  }
+
   /** Cohen's kappa: chance-corrected agreement between two integer label
     * columns. One k²-key groupBy over the data; marginals and the final
     * scalar are derived from that bounded cell table (k classes — the

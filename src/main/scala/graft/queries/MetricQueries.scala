@@ -272,6 +272,25 @@ object MetricQueries {
           round(Calibration.plattApply(col("s"), m), 6).as("p_cal"))
         .orderBy("s")
     }),
+
+    "g_temperature_scaling" -> ((s, dir) => {
+      // Multiclass confidence calibration: 6 Newton steps on the
+      // temperature of the probaMatrix "logits", 9-dp-snapped so the
+      // twin recomputes the identical β from the long (row, class,
+      // logit) form. Face: β/T + the per-class mean calibrated mass.
+      val (df, k) = multiclassFrame(s, dir)
+      val withZ = df.withColumn("z", probaMatrix(k))
+      val m = Calibration.temperatureFit(withZ, col("y_true"), col("z"),
+        iterations = 6)
+      withZ
+        .select(posexplode(
+          Calibration.temperatureApply(col("z"), m)).as(Seq("cls", "p")))
+        .groupBy("cls")
+        .agg(round(avg("p"), 6).as("mean_p_cal"))
+        .select(col("cls"), col("mean_p_cal"),
+          round(lit(m.beta), 6).as("beta"), round(lit(m.t), 6).as("t"))
+        .orderBy("cls")
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -327,8 +346,55 @@ object MetricQueries {
          |  round(1.0 / (1.0 + exp(g.s * i8.a + i8.b)), 6) AS p_cal
          |FROM g CROSS JOIN i8 ORDER BY g.s""".stripMargin
 
+    // temperature-scaling trajectory, recomputed like plattSql: per
+    // Newton step, two window layers build the per-row softmax (stable
+    // lse form) and one grouped pass reduces to (∇, H) — β chains
+    // through i0 → i6 on the 9-dp grid
+    def tempLayers(k: Int): String =
+      s"""w${k}a AS (SELECT rid, cls, z, y_true, z * b AS zb,
+         |    max(z * b) OVER (PARTITION BY rid) AS m, b
+         |  FROM tpairs CROSS JOIN i${k - 1}),
+         |w${k}b AS (SELECT rid, cls, z, y_true, b,
+         |    exp(zb - (m + ln(sum(exp(zb - m))
+         |      OVER (PARTITION BY rid)))) AS p
+         |  FROM w${k}a),
+         |g$k AS (SELECT b, sum(e1 - zy) AS g,
+         |    sum(e2 - e1 * e1) + 1e-12 AS h
+         |  FROM (SELECT b, rid,
+         |      max(CASE WHEN cls = y_true THEN z END) AS zy,
+         |      sum(z * p) AS e1, sum(z * z * p) AS e2
+         |    FROM w${k}b GROUP BY b, rid) x
+         |  GROUP BY b),
+         |i$k AS (SELECT round(greatest(0.001, least(1000.0,
+         |    b - greatest(-1.0, least(1.0, g / h)))), 9) AS b
+         |  FROM g$k)""".stripMargin
+    val tempSql =
+      s"""WITH mc AS ($multiclassSql),
+         |tclasses AS (SELECT CAST(row_number() OVER (ORDER BY class) - 1
+         |    AS BIGINT) AS j
+         |  FROM (SELECT DISTINCT event_type AS class FROM events) d),
+         |tpairs AS (
+         |  SELECT event_id AS rid, tclasses.j AS cls, y_true,
+         |    (CAST(event_id AS BIGINT) * (2 * tclasses.j + 3)) % 97 / 97.0
+         |      + 0.001 * tclasses.j
+         |      + CASE WHEN y_true = tclasses.j THEN 0.75 ELSE 0.0 END AS z
+         |  FROM mc, tclasses),
+         |i0 AS (SELECT CAST(1.0 AS DOUBLE) AS b),
+         |${(1 to 6).map(tempLayers).mkString(",\n")},
+         |fa AS (SELECT rid, cls, z * b AS zb,
+         |    max(z * b) OVER (PARTITION BY rid) AS m, b
+         |  FROM tpairs CROSS JOIN i6),
+         |fb AS (SELECT rid, cls, b,
+         |    exp(zb - (m + ln(sum(exp(zb - m))
+         |      OVER (PARTITION BY rid)))) AS p
+         |  FROM fa)
+         |SELECT CAST(cls AS INT) AS cls, round(avg(p), 6) AS mean_p_cal,
+         |  round(max(b), 6) AS beta, round(1.0 / max(b), 6) AS t
+         |FROM fb GROUP BY cls ORDER BY cls""".stripMargin
+
     Map(
       "g_platt_scaling" -> plattSql,
+      "g_temperature_scaling" -> tempSql,
       "g9_confusion" ->
         s"""WITH mc AS ($multiclassSql),
            |k AS (SELECT count(DISTINCT event_type) AS k FROM events),

@@ -170,4 +170,45 @@ class CalibrationSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("both classes"))
   }
+
+  // ---- Temperature scaling ----
+
+  test("temperatureFit softens overconfident logits (T > 1) and " +
+    "sharpens underconfident ones (T < 1); argmax is invariant") {
+    // overconfident: huge margins but labels only 60% right
+    val over = (0 until 200).map { i =>
+      val y = if (i % 5 < 3) 0 else 1 // argmax says 0; right 60% of rows
+      (y, Seq(4.0, 0.0))
+    }
+    val dfOver = spark.createDataFrame(over).toDF("y", "z")
+    val mOver = Calibration.temperatureFit(dfOver, col("y"), col("z"))
+    assert(mOver.t > 1.0, s"expected softening, got T=${mOver.t}")
+    // underconfident: tiny margins, labels always match argmax
+    val under = (0 until 200).map(i =>
+      (i % 2, if (i % 2 == 0) Seq(0.1, 0.0) else Seq(0.0, 0.1)))
+    val dfUnder = spark.createDataFrame(under).toDF("y", "z")
+    val mUnder = Calibration.temperatureFit(dfUnder, col("y"), col("z"))
+    assert(mUnder.t < 1.0, s"expected sharpening, got T=${mUnder.t}")
+    // argmax invariance + probabilities sum to 1
+    val probs = dfUnder.select(
+      Calibration.temperatureApply(col("z"), mUnder).as("p")).collect()
+      .map(_.getSeq[Double](0))
+    probs.foreach(p => assert(approx(p.sum, 1.0, 1e-9)))
+    val flips = dfUnder.select(col("z"),
+      Calibration.temperatureApply(col("z"), mUnder).as("p")).collect()
+      .count { r =>
+        val z = r.getSeq[Double](0); val p = r.getSeq[Double](1)
+        z.indexOf(z.max) != p.indexOf(p.max)
+      }
+    assert(flips == 0)
+  }
+
+  test("temperatureFit is bit-stable across partitionings") {
+    val rows = (0 until 300).map(i =>
+      (i % 3, Seq((i % 7) / 7.0, (i % 5) / 5.0, (i % 3) / 3.0)))
+    val df = spark.createDataFrame(rows).toDF("y", "z")
+    val m1 = Calibration.temperatureFit(df.coalesce(1), col("y"), col("z"))
+    val m7 = Calibration.temperatureFit(df.repartition(7), col("y"), col("z"))
+    assert(m1.beta == m7.beta)
+  }
 }
