@@ -2477,6 +2477,79 @@ object Stats {
         col("z"), col("t_num"), col("variance"))
   }
 
+  /** Weighted quantiles (the token-weighted median/percentile a mixture
+    * decision actually needs: "the median DOCUMENT length" and "the
+    * median TOKEN's document length" differ wildly on skewed corpora):
+    * for each q, the smallest value whose cumulative weight share
+    * reaches q — the weighted `percentile_disc` convention (exact data
+    * value, no interpolation, so ties and engines can't disagree).
+    * Null values/weights and non-positive weights are ignored. Returns
+    * (q, value, cum_weight, total_weight), q-ordered.
+    *
+    * Scale shape: the ROC collapse — one map-side-combined groupBy
+    * folds rows to (distinct value, Σweight), the cumulative window
+    * runs over the distinct-value table, and each requested q is one
+    * filtered min over it. */
+  def weightedQuantiles(df: DataFrame, value: Column, weight: Column,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val v = value.cast("double")
+    val w = weight.cast("double")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.where(v.isNotNull && w.isNotNull && w > 0)
+      .groupBy(v.as("__v")).agg(sum(w).as("__w"))
+    val wCum = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val cum = cells
+      .withColumn("__cw", sum("__w").over(wCum))
+      .withColumn("__tw", sum("__w").over(wAll))
+    val qdf = qs.sorted.toDF("q")
+    qdf.join(cum, col("__cw") >= col("q") * col("__tw"))
+      .groupBy("q")
+      .agg(min(struct(col("__v"), col("__cw"), col("__tw"))).as("__s"))
+      .select(col("q"), col("__s.__v").as("value"),
+        col("__s.__cw").as("cum_weight"), col("__s.__tw").as("total_weight"))
+      .orderBy("q")
+  }
+
+  /** TOST equivalence test (Schuirmann 1987, two one-sided tests) — the
+    * "prove it DIDN'T change" gate: groups a and b are equivalent at
+    * margin ±δ when BOTH z_lower = (Δ + δ)/SE and z_upper = (δ − Δ)/SE
+    * clear the one-sided critical value (1.645 at α = 0.05). The
+    * mirror-image of [[welchTTest]] — failing to reject H₀ there is NOT
+    * evidence of no effect; this is. Returns ONE row
+    * (n_a, n_b, mean_diff, se, z_lower, z_upper, equivalent) with the
+    * verdict at zCrit on UNROUNDED statistics (the dq lesson). ONE
+    * fused moment aggregation. */
+  def tost(df: DataFrame, value: Column, group: Column, a: String,
+      b: String, margin: Double, zCrit: Double = 1.6448536269514722)
+      : DataFrame = {
+    require(margin > 0, s"margin must be > 0, got $margin")
+    val v = value.cast("double")
+    df.where(v.isNotNull && group.isin(a, b))
+      .agg(
+        count(when(group === a, lit(1))).as("n_a"),
+        count(when(group === b, lit(1))).as("n_b"),
+        avg(when(group === a, v)).as("__ma"),
+        avg(when(group === b, v)).as("__mb"),
+        var_samp(when(group === a, v)).as("__va"),
+        var_samp(when(group === b, v)).as("__vb"))
+      .withColumn("mean_diff", col("__ma") - col("__mb"))
+      .withColumn("se",
+        sqrt(col("__va") / col("n_a") + col("__vb") / col("n_b")))
+      .withColumn("z_lower",
+        when(col("se") > 0, (col("mean_diff") + margin) / col("se")))
+      .withColumn("z_upper",
+        when(col("se") > 0, (lit(margin) - col("mean_diff")) / col("se")))
+      .select(col("n_a"), col("n_b"), col("mean_diff"), col("se"),
+        col("z_lower"), col("z_upper"),
+        (col("z_lower") > zCrit && col("z_upper") > zCrit).as("equivalent"))
+  }
+
   /** RFM segmentation (Hughes 1994 — the classic CRM slicing, and the
     * standard engagement prior for per-user corpus weighting): per
     * entity, Recency = hours from its last event to the corpus's last

@@ -348,6 +348,29 @@ object AnalyticsQueries {
           col("mean_ok"), col("distinct_ok"), col("ok"))
         .orderBy("col_name")),
 
+    "g_weighted_quantiles" -> ((s, dir) =>
+      // Token-weighted length quantiles: "the median CHARACTER's document
+      // length" (value = weight = n_chars) — the mixture-math cousin of
+      // q_percentiles, exact weighted percentile_disc semantics.
+      Stats.weightedQuantiles(table(s, dir, "documents"),
+          col("n_chars"), col("n_chars"), Seq(0.25, 0.5, 0.9, 0.99))
+        .select(col("q"), col("value"),
+          round(col("cum_weight"), 4).as("cum_weight"),
+          round(col("total_weight"), 4).as("total_weight"))
+        .orderBy("q")),
+
+    "g_tost" -> ((s, dir) =>
+      // Equivalence gate: click vs view event values at margin ±5 — the
+      // "prove the metric DIDN'T move" verdict (both one-sided z's must
+      // clear 1.645; verdict on unrounded statistics).
+      Stats.tost(table(s, dir, "events"), col("value"), col("event_type"),
+          a = "click", b = "view", margin = 5.0)
+        .select(col("n_a"), col("n_b"),
+          round(col("mean_diff"), 6).as("mean_diff"),
+          round(col("se"), 6).as("se"),
+          round(col("z_lower"), 6).as("z_lower"),
+          round(col("z_upper"), 6).as("z_upper"), col("equivalent"))),
+
     "g_markov_transitions" -> ((s, dir) =>
       // First-order user-journey model: event_type → next event_type per
       // user (ordered by ts with the event_id tie-break), transition
@@ -1597,6 +1620,48 @@ object AnalyticsQueries {
          |    AND (ddelta <= 0.15) AS ok
          |FROM j ORDER BY col_name""".stripMargin
     },
+
+    "g_weighted_quantiles" ->
+      """WITH cells AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v,
+        |    sum(CAST(n_chars AS DOUBLE)) AS w
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0
+        |  GROUP BY 1),
+        |cum AS (SELECT v,
+        |    sum(w) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER () AS tw
+        |  FROM cells),
+        |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |    CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q)
+        |SELECT q, min(v) AS value,
+        |  round(min_by(cw, v), 4) AS cum_weight,
+        |  round(min_by(tw, v), 4) AS total_weight
+        |FROM qs JOIN cum ON cw >= q * tw
+        |GROUP BY q ORDER BY q""".stripMargin,
+
+    "g_tost" ->
+      """WITH m AS (
+        |  SELECT
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS n_a,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS n_b,
+        |    avg(CASE WHEN event_type = 'click' THEN value END) AS ma,
+        |    avg(CASE WHEN event_type = 'view' THEN value END) AS mb,
+        |    var_samp(CASE WHEN event_type = 'click' THEN value END) AS va,
+        |    var_samp(CASE WHEN event_type = 'view' THEN value END) AS vb
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        |d AS (SELECT n_a, n_b, ma - mb AS md,
+        |    sqrt(va / n_a + vb / n_b) AS se
+        |  FROM m)
+        |SELECT n_a, n_b, round(md, 6) AS mean_diff, round(se, 6) AS se,
+        |  round(CASE WHEN se > 0 THEN (md + 5.0) / se END, 6) AS z_lower,
+        |  round(CASE WHEN se > 0 THEN (5.0 - md) / se END, 6) AS z_upper,
+        |  (CASE WHEN se > 0 THEN (md + 5.0) / se END) > 1.6448536269514722
+        |    AND (CASE WHEN se > 0 THEN (5.0 - md) / se END)
+        |      > 1.6448536269514722 AS equivalent
+        |FROM d""".stripMargin,
 
     "g_markov_transitions" ->
       """WITH seq AS (

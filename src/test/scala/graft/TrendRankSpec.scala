@@ -242,6 +242,48 @@ class TrendRankSpec extends SparkSpec {
     assert(same.forall(_.getAs[Boolean]("ok")))
   }
 
+  test("weightedQuantiles: weighted median splits on MASS, not rows") {
+    // value 10 carries 90% of the weight: weighted median = 10,
+    // unweighted median of rows would be 2
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (10.0, 27.0))
+      .toDF("v", "w")
+    val out = Stats.weightedQuantiles(df, col("v"), col("w"),
+      Seq(0.1, 0.5, 1.0)).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(out(0.1) == 3.0) // cw: 1, 2, 3 — first ≥ 0.1·30 = 3 is v=3
+    assert(out(0.5) == 10.0)
+    assert(out(1.0) == 10.0)
+    // uniform weights reduce to percentile_disc
+    val uni = (1 to 100).map(i => (i.toDouble, 1.0)).toDF("v", "w")
+    val r = Stats.weightedQuantiles(uni, col("v"), col("w"), Seq(0.5))
+      .head()
+    assert(r.getDouble(1) == 50.0)
+    // non-positive weights ignored
+    val neg = Seq((1.0, -5.0), (2.0, 1.0)).toDF("v", "w")
+    assert(Stats.weightedQuantiles(neg, col("v"), col("w"), Seq(0.5))
+      .head().getDouble(1) == 2.0)
+  }
+
+  test("tost: tight groups at the same mean ARE equivalent; " +
+    "a real shift is NOT, and neither is an underpowered sample") {
+    val same = (1 to 200).map(i =>
+      (if (i % 2 == 0) "a" else "b", 10.0 + (i % 5) * 0.01))
+    val r1 = Stats.tost(same.toDF("g", "v"), col("v"), col("g"),
+      "a", "b", margin = 0.5).head()
+    assert(r1.getAs[Boolean]("equivalent"))
+    val shifted = (1 to 200).map(i =>
+      (if (i % 2 == 0) "a" else "b",
+        10.0 + (i % 5) * 0.01 + (if (i % 2 == 0) 1.0 else 0.0)))
+    val r2 = Stats.tost(shifted.toDF("g", "v"), col("v"), col("g"),
+      "a", "b", margin = 0.5).head()
+    assert(!r2.getAs[Boolean]("equivalent"))
+    // 2 rows per arm, huge variance: inconclusive → NOT equivalent
+    val tiny = Seq(("a", 1.0), ("a", 20.0), ("b", 2.0), ("b", 19.0))
+    val r3 = Stats.tost(tiny.toDF("g", "v"), col("v"), col("g"),
+      "a", "b", margin = 0.5).head()
+    assert(!r3.getAs[Boolean]("equivalent"))
+  }
+
   // ---- Graph: modularity + clustering coefficient ----
 
   test("modularity: two disjoint triangles under a perfect 2-partition") {
