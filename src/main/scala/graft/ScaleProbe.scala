@@ -1412,6 +1412,21 @@ object ScaleProbe {
         time(s"plattFit n=$n iters=8")(
           println("[probe] platt model: " + graft.ops.Calibration
             .plattFit(df, col("y"), col("s"))))
+      case "temperature" =>
+        // 6 damped-Newton steps × one fused 2-sum aggregation over
+        // row-local k=8 array expressions — no explode, no join.
+        val k = 8
+        val zArr = array((0 until k).map(j =>
+          (pmod(xxhash64(col("id"), lit(j)), lit(97)) / 97.0 +
+            when(pmod(xxhash64(col("id")), lit(k)) === j, 0.75)
+              .otherwise(0.0)).cast("double")): _*)
+        val df = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(k)).cast("int").as("y"),
+          zArr.as("z"))
+        df.count()
+        time(s"temperatureFit n=$n k=$k iters=6")(
+          println("[probe] temperature: " + graft.ops.Calibration
+            .temperatureFit(df, col("y"), col("z"))))
       case "evalops" =>
         // pass@k over 1M problems × ~100 samples; fleiss over 1M items
         // with a FIXED 64 ratings each (id-sliced, not hashed — the

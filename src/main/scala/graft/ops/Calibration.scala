@@ -196,19 +196,36 @@ object Calibration {
     val base = df.select(yTrue.cast("int").as("y"),
         transform(logits, z => z.cast("double")).as("z"))
       .where(col("y").isNotNull && col("z").isNotNull)
+    // fixed logit width, probed once: the per-row softmax sums UNROLL
+    // into plain codegen'd expressions. Higher-order array functions
+    // (aggregate/transform) are CodegenFallback — interpreted per
+    // element with boxed accumulators, measured MINUTES per pass at
+    // 100M × k = 8 where the unrolled form takes seconds. Class count
+    // is a schema property, so requiring it uniform costs nothing.
+    val kRow = base.select(min(size(col("z"))).as("a"),
+      max(size(col("z"))).as("b")).head()
+    require(!kRow.isNullAt(0) && kRow.getInt(0) == kRow.getInt(1),
+      s"temperatureFit: logit arrays must have uniform length, got " +
+        s"[${kRow.get(0)}, ${kRow.get(1)}]")
+    val k = kRow.getInt(0)
+    require(k >= 2, s"temperatureFit: need >= 2 classes, got $k")
+    def zj(j: Int): Column = element_at(col("z"), j + 1)
     var beta = 1.0
     for (_ <- 1 to iterations) {
-      val zb = transform(col("z"), z => z * beta)
-      val m = array_max(zb)
-      val lse = m + log(aggregate(zb, lit(0.0), (a, x) => a + exp(x - m)))
-      val p = transform(zb, x => exp(x - lse))
-      val e = zip_with(col("z"), p, (z, pj) => z * pj)
-      val e1 = aggregate(e, lit(0.0), (a, x) => a + x)
-      val e2 = aggregate(zip_with(col("z"), e, (z, x) => z * x),
-        lit(0.0), (a, x) => a + x)
+      // per row: m = max_j β·z_j; (S, Sz, Sz2) = Σ_j (1, z_j, z_j²)·
+      // e^{β·z_j − m}; E = Sz/S, E2 = Sz2/S; ∇-term = E − z_y,
+      // H-term = E2 − E² — everything left-to-right in class order so
+      // the SQL twin's fold order can mirror exactly
+      val m = greatest((0 until k).map(j => zj(j) * beta): _*)
+      def esum(f: Int => Column): Column =
+        (0 until k).map(j => f(j) * exp(zj(j) * beta - m)).reduce(_ + _)
+      val s0 = esum(_ => lit(1.0))
+      val e1 = esum(j => zj(j)) / s0
+      val e2 = esum(j => zj(j) * zj(j)) / s0
       val zy = element_at(col("z"), col("y") + 1)
       val r = base.agg(
-        sum(e1 - zy).as("g"), sum(e2 - e1 * e1).as("h")).head()
+        sum(e1 - zy).as("g"),
+        sum(e2 - e1 * e1).as("h")).head()
       val (g, h) = (r.getDouble(0), r.getDouble(1) + 1e-12)
       // damped Newton: saturated softmax flattens H and the raw step
       // overshoots through β = 0 (measured: constant-logit fixtures
@@ -221,7 +238,10 @@ object Calibration {
   }
 
   /** Apply a fitted [[TemperatureModel]]: row-local softmax of β·z
-    * (stable lse form) — streams as-is. */
+    * (stable lse form) — streams as-is. The lse reference inside the
+    * transform re-inlines (CollapseProject), costing O(k²) exp per row —
+    * fine for logit widths (k ≤ ~64); for very wide arrays project the
+    * lse into its own column first (the [[temperatureFit]] fold trick). */
   def temperatureApply(logits: Column, model: TemperatureModel): Column = {
     val zb = transform(logits, z => z.cast("double") * model.beta)
     val m = array_max(zb)
