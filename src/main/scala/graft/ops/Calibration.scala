@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model-calibration and label-quality diagnostics for the training-data
@@ -247,6 +248,71 @@ object Calibration {
     val m = array_max(zb)
     val lse = m + log(aggregate(zb, lit(0.0), (a, x) => a + exp(x - m)))
     transform(zb, x => exp(x - lse))
+  }
+
+  /** Cronbach's alpha (Cronbach 1951): internal-consistency reliability
+    * of a k-item score battery — α = k/(k−1)·(1 − Σ var_i / var_total),
+    * variances ddof-1 over pairwise-complete rows (rows with any null
+    * item are dropped: alpha is defined on the complete battery). The
+    * labeling-QA gauge for multi-signal quality scores ("do my k quality
+    * heuristics measure one thing?"). Returns ONE row
+    * (n, k, sum_item_var, total_var, alpha). ONE fused aggregation
+    * (k + 1 variances in a single pass). */
+  def cronbachAlpha(df: DataFrame, items: Seq[Column]): DataFrame = {
+    require(items.size >= 2, s"need >= 2 items, got ${items.size}")
+    val k = items.size
+    val cast = items.map(_.cast("double"))
+    val complete = df.where(cast.map(_.isNotNull).reduce(_ && _))
+    val total = cast.reduce(_ + _)
+    val aggs = count(lit(1)).as("n") +:
+      var_samp(total).as("__vt") +:
+      cast.zipWithIndex.map { case (c, i) => var_samp(c).as(s"__v$i") }
+    complete.agg(aggs.head, aggs.tail: _*)
+      .withColumn("sum_item_var",
+        (0 until k).map(i => col(s"__v$i")).reduce(_ + _))
+      .select(col("n"), lit(k).as("k"), col("sum_item_var"),
+        col("__vt").as("total_var"),
+        when(col("__vt") > 0, lit(k / (k - 1.0))
+          * (lit(1.0) - col("sum_item_var") / col("__vt"))).as("alpha"))
+  }
+
+  /** One-way intraclass correlation ICC(1) (Shrout & Fleiss 1979, case
+    * 1): from the one-way ANOVA of `value` grouped by `item`,
+    * ICC = (MSB − MSW)/(MSB + (k̄ − 1)·MSW) with k̄ the mean group size
+    * (exact for balanced designs; the standard n₀ correction
+    * k₀ = (N − Σn_g²/N)/(k − 1) is used, which reduces to k̄ when
+    * balanced). "How much of a score's variance is the ITEM vs the
+    * rater?" — the continuous-score sibling of [[fleissKappa]].
+    * Returns ONE row (k_groups, n, msb, msw, k0, icc1). Shape:
+    * [[graft.ops.Stats.anovaF]]'s single fused pass + one extra Σn_g². */
+  def icc1(df: DataFrame, item: Column, value: Column): DataFrame = {
+    val v = value.cast("double")
+    val byG = df.where(v.isNotNull && item.isNotNull)
+      .groupBy(item.as("__g"))
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s"), sum(v * v).as("__ss"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byG
+      .withColumn("__tot", sum("__n").over(wAll))
+      .withColumn("__k", count(lit(1)).over(wAll))
+      .withColumn("__grand", sum("__s").over(wAll) / col("__tot"))
+      .agg(
+        max("__k").as("k_groups"), max("__tot").as("n"),
+        sum(col("__n") * pow(col("__s") / col("__n") - col("__grand"), 2))
+          .as("__ssb"),
+        sum(col("__ss") - col("__s") * col("__s") / col("__n")).as("__ssw"),
+        sum(col("__n").cast("double") * col("__n")).as("__sn2"))
+      .withColumn("msb", col("__ssb") / (col("k_groups") - 1))
+      .withColumn("msw",
+        when(col("n") > col("k_groups"),
+          col("__ssw") / (col("n") - col("k_groups"))))
+      .withColumn("k0", (col("n") - col("__sn2") / col("n"))
+        / (col("k_groups") - 1))
+      .select(col("k_groups"), col("n"), col("msb"), col("msw"), col("k0"),
+        when(col("msw").isNotNull
+            && col("msb") + (col("k0") - 1) * col("msw") > 0,
+          (col("msb") - col("msw"))
+            / (col("msb") + (col("k0") - 1) * col("msw"))).as("icc1"))
   }
 
   /** Cohen's kappa: chance-corrected agreement between two integer label

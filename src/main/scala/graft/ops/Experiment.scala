@@ -221,6 +221,46 @@ object Experiment {
         col("r2"))
   }
 
+  /** Plain 2×2 odds ratio + risk ratio with Wald 95% CIs (the
+    * epidemiology basics [[cmh]] stratifies; use THIS when there is no
+    * confounder to stratify on): a/b = exposed with/without outcome,
+    * c/d = unexposed. OR = ad/bc with ln-scale CI
+    * exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)); RR = risk_e/risk_u with
+    * exp(ln RR ± 1.96·√(1/a − 1/(a+b) + 1/c − 1/(c+d))). Any zero
+    * margin cell yields null ratios (no silent Haldane correction — add
+    * 0.5 yourself if you want it, loudly). ONE fused aggregation.
+    * Returns (a, b, c, d, risk_exposed, risk_unexposed, rr, rr_lo,
+    * rr_hi, or_, or_lo, or_hi). */
+  def oddsRatio(df: DataFrame, exposed: Column, outcome: Column)
+      : DataFrame = {
+    val e = exposed.cast("boolean")
+    val o = outcome.cast("boolean")
+    val cells = df.where(e.isNotNull && o.isNotNull).agg(
+      sum(when(e && o, 1L).otherwise(0L)).as("a"),
+      sum(when(e && !o, 1L).otherwise(0L)).as("b"),
+      sum(when(!e && o, 1L).otherwise(0L)).as("c"),
+      sum(when(!e && !o, 1L).otherwise(0L)).as("d"))
+    val all = Seq("a", "b", "c", "d").map(col(_) > 0).reduce(_ && _)
+    val lnOr = log(col("a").cast("double") * col("d")
+      / (col("b").cast("double") * col("c")))
+    val seOr = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
+      + lit(1.0) / col("c") + lit(1.0) / col("d"))
+    val riskE = col("a").cast("double") / (col("a") + col("b"))
+    val riskU = col("c").cast("double") / (col("c") + col("d"))
+    val lnRr = log(riskE / riskU)
+    val seRr = sqrt(lit(1.0) / col("a") - lit(1.0) / (col("a") + col("b"))
+      + lit(1.0) / col("c") - lit(1.0) / (col("c") + col("d")))
+    cells.select(col("a"), col("b"), col("c"), col("d"),
+      when(col("a") + col("b") > 0, riskE).as("risk_exposed"),
+      when(col("c") + col("d") > 0, riskU).as("risk_unexposed"),
+      when(all, exp(lnRr)).as("rr"),
+      when(all, exp(lnRr - lit(1.96) * seRr)).as("rr_lo"),
+      when(all, exp(lnRr + lit(1.96) * seRr)).as("rr_hi"),
+      when(all, exp(lnOr)).as("or_"),
+      when(all, exp(lnOr - lit(1.96) * seOr)).as("or_lo"),
+      when(all, exp(lnOr + lit(1.96) * seOr)).as("or_hi"))
+  }
+
   /** Cochran–Mantel–Haenszel stratified 2×2 test + Mantel–Haenszel
     * common odds ratio (Cochran 1954; Mantel & Haenszel 1959) — the
     * confounding-robust binary-outcome readout: per stratum the 2×2

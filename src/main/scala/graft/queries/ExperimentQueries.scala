@@ -95,6 +95,47 @@ object ExperimentQueries {
           round(col("r2"), 6).as("r2"))
         .orderBy("grp")),
 
+    "g_cronbach_alpha" -> ((s, dir) => {
+      // Internal consistency of a 5-item per-user "battery" (mean value
+      // per event type, 6-dp-rounded; users with all five present).
+      val items = Seq("click", "view", "purchase", "signup", "error")
+      val per = table(s, dir, "events").groupBy("user_id").agg(
+        items.map(t => round(avg(when(col("event_type") === t,
+          col("value"))), 6).as(s"i_$t")).head,
+        items.tail.map(t => round(avg(when(col("event_type") === t,
+          col("value"))), 6).as(s"i_$t")): _*)
+      graft.ops.Calibration.cronbachAlpha(per,
+          items.map(t => col(s"i_$t")))
+        .select(col("n"), col("k"),
+          round(col("sum_item_var"), 4).as("sum_item_var"),
+          round(col("total_var"), 4).as("total_var"),
+          round(col("alpha"), 6).as("alpha"))
+    }),
+
+    "g_icc" -> ((s, dir) =>
+      // ICC(1) on the fleiss fixture's continuous sibling: 400 items ×
+      // exactly 25 ratings (value) — item-variance share with the n0
+      // balanced-design correction.
+      graft.ops.Calibration.icc1(table(s, dir, "events"),
+          pmod(col("event_id"), lit(400)), col("value"))
+        .select(col("k_groups"), col("n"), round(col("msb"), 6).as("msb"),
+          round(col("msw"), 6).as("msw"), round(col("k0"), 6).as("k0"),
+          round(col("icc1"), 6).as("icc1"))),
+
+    "g_odds_ratio" -> ((s, dir) =>
+      // 2×2 epidemiology basics: exposed = odd users, outcome = error
+      // event; OR/RR with Wald ln-scale bands, zero cells → null.
+      Experiment.oddsRatio(table(s, dir, "events"),
+          pmod(col("user_id"), lit(2)) === 1, col("event_type") === "error")
+        .select(col("a"), col("b"), col("c"), col("d"),
+          round(col("risk_exposed"), 6).as("risk_exposed"),
+          round(col("risk_unexposed"), 6).as("risk_unexposed"),
+          round(col("rr"), 6).as("rr"), round(col("rr_lo"), 6).as("rr_lo"),
+          round(col("rr_hi"), 6).as("rr_hi"),
+          round(col("or_"), 6).as("or_"),
+          round(col("or_lo"), 6).as("or_lo"),
+          round(col("or_hi"), 6).as("or_hi"))),
+
     "g_pass_at_k" -> ((s, dir) =>
       // Unbiased pass@5 over 500 synthetic "problems" of exactly 20
       // samples each (event_id % 500): correct = value > 40; the
@@ -387,6 +428,92 @@ object ExperimentQueries {
         |  round(CASE WHEN vx > 0 AND vy > 0
         |    THEN cxy * cxy / (vx * vy) END, 6) AS r2
         |FROM s ORDER BY grp""".stripMargin,
+
+    "g_cronbach_alpha" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+        |      AS i1,
+        |    round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+        |      AS i2,
+        |    round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6)
+        |      AS i3,
+        |    round(avg(CASE WHEN event_type = 'signup' THEN value END), 6)
+        |      AS i4,
+        |    round(avg(CASE WHEN event_type = 'error' THEN value END), 6)
+        |      AS i5
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT * FROM per
+        |  WHERE i1 IS NOT NULL AND i2 IS NOT NULL AND i3 IS NOT NULL
+        |    AND i4 IS NOT NULL AND i5 IS NOT NULL),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    var_samp(i1 + i2 + i3 + i4 + i5) AS vt,
+        |    var_samp(i1) + var_samp(i2) + var_samp(i3) + var_samp(i4)
+        |      + var_samp(i5) AS sv
+        |  FROM c)
+        |SELECT n, CAST(5 AS INT) AS k, round(sv, 4) AS sum_item_var,
+        |  round(vt, 4) AS total_var,
+        |  round(CASE WHEN vt > 0
+        |    THEN 5.0 / 4.0 * (1.0 - sv / vt) END, 6) AS alpha
+        |FROM agg""".stripMargin,
+
+    "g_icc" ->
+      """WITH byg AS (
+        |  SELECT event_id % 400 AS g, count(*) AS ng, sum(value) AS s,
+        |    sum(value * value) AS ss
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n, sum(s) / sum(ng) AS grand,
+        |    sum(CAST(ng AS DOUBLE) * ng) AS sn2
+        |  FROM byg),
+        |agg AS (SELECT k, n, sn2,
+        |    sum(ng * pow(s / ng - grand, 2)) AS ssb,
+        |    sum(ss - s * s / ng) AS ssw
+        |  FROM byg CROSS JOIN tot GROUP BY 1, 2, 3),
+        |m AS (SELECT k AS k_groups, n, ssb / (k - 1) AS msb,
+        |    CASE WHEN n > k THEN ssw / (n - k) END AS msw,
+        |    (n - sn2 / n) / (k - 1) AS k0
+        |  FROM agg)
+        |SELECT k_groups, n, round(msb, 6) AS msb, round(msw, 6) AS msw,
+        |  round(k0, 6) AS k0,
+        |  round(CASE WHEN msw IS NOT NULL
+        |      AND msb + (k0 - 1) * msw > 0
+        |    THEN (msb - msw) / (msb + (k0 - 1) * msw) END, 6) AS icc1
+        |FROM m""".stripMargin,
+
+    "g_odds_ratio" ->
+      """WITH cells AS (
+        |  SELECT
+        |    sum(CASE WHEN user_id % 2 = 1 AND event_type = 'error'
+        |      THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN user_id % 2 = 1 AND event_type != 'error'
+        |      THEN 1 ELSE 0 END) AS b,
+        |    sum(CASE WHEN user_id % 2 = 0 AND event_type = 'error'
+        |      THEN 1 ELSE 0 END) AS c,
+        |    sum(CASE WHEN user_id % 2 = 0 AND event_type != 'error'
+        |      THEN 1 ELSE 0 END) AS d
+        |  FROM events),
+        |t AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |    CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+        |    a > 0 AND b > 0 AND c > 0 AND d > 0 AS ok,
+        |    CAST(a AS DOUBLE) / (a + b) AS re,
+        |    CAST(c AS DOUBLE) / (c + d) AS ru,
+        |    ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)) AS lo,
+        |    sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d) AS seo,
+        |    ln((CAST(a AS DOUBLE) / (a + b))
+        |      / (CAST(c AS DOUBLE) / (c + d))) AS lr,
+        |    sqrt(1.0/a - 1.0/(a + b) + 1.0/c - 1.0/(c + d)) AS ser
+        |  FROM cells)
+        |SELECT a, b, c, d,
+        |  round(CASE WHEN a + b > 0 THEN re END, 6) AS risk_exposed,
+        |  round(CASE WHEN c + d > 0 THEN ru END, 6) AS risk_unexposed,
+        |  round(CASE WHEN ok THEN exp(lr) END, 6) AS rr,
+        |  round(CASE WHEN ok THEN exp(lr - 1.96 * ser) END, 6) AS rr_lo,
+        |  round(CASE WHEN ok THEN exp(lr + 1.96 * ser) END, 6) AS rr_hi,
+        |  round(CASE WHEN ok THEN exp(lo) END, 6) AS or_,
+        |  round(CASE WHEN ok THEN exp(lo - 1.96 * seo) END, 6) AS or_lo,
+        |  round(CASE WHEN ok THEN exp(lo + 1.96 * seo) END, 6) AS or_hi
+        |FROM t""".stripMargin,
 
     "g_pass_at_k" ->
       """WITH agg AS (

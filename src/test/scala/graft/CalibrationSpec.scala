@@ -211,4 +211,62 @@ class CalibrationSpec extends SparkSpec {
     val m7 = Calibration.temperatureFit(df.repartition(7), col("y"), col("z"))
     assert(m1.beta == m7.beta)
   }
+
+  // ---- Reliability: Cronbach / ICC / odds ratio ----
+
+  test("cronbachAlpha: parallel items give alpha ~ 1, independent ~ 0, " +
+    "and the textbook identity holds") {
+    // three near-identical items: total var ~ 9x item var -> alpha -> 1
+    val par = (1 to 60).map { i =>
+      val base = (i % 10).toDouble
+      (base, base + 0.01 * (i % 3), base - 0.01 * (i % 2))
+    }
+    val a1 = Calibration.cronbachAlpha(par.toDF("a", "b", "c"),
+      Seq(col("a"), col("b"), col("c"))).head()
+    assert(a1.getAs[Double]("alpha") > 0.99)
+    // independent items: total var == sum of item vars -> alpha ~ 0
+    val ind = (0 until 512).map(i =>
+      ((i & 1).toDouble, ((i >> 1) & 1).toDouble, ((i >> 2) & 1).toDouble))
+    val a2 = Calibration.cronbachAlpha(ind.toDF("a", "b", "c"),
+      Seq(col("a"), col("b"), col("c"))).head()
+    assert(math.abs(a2.getAs[Double]("alpha")) < 0.05)
+    // identity: alpha == k/(k-1) * (1 - sum_var/total_var), exactly
+    assert(approx(a1.getAs[Double]("alpha"),
+      1.5 * (1.0 - a1.getAs[Double]("sum_item_var")
+        / a1.getAs[Double]("total_var")), 1e-12))
+  }
+
+  test("icc1: strong item effect -> high ICC; pure noise -> ~0; " +
+    "k0 equals group size when balanced") {
+    // 20 items x 5 ratings; value = item*10 + rater noise
+    val strong = for { i <- 0 until 20; r <- 0 until 5 }
+      yield (i, i * 10.0 + r * 0.1)
+    val r1 = Calibration.icc1(strong.toDF("i", "v"), col("i"), col("v"))
+      .head()
+    assert(r1.getAs[Double]("icc1") > 0.99)
+    assert(approx(r1.getAs[Double]("k0"), 5.0, 1e-9))
+    // value independent of item
+    val noise = for { i <- 0 until 20; r <- 0 until 5 }
+      yield (i, ((i * 7 + r * 13) % 10).toDouble)
+    val r2 = Calibration.icc1(noise.toDF("i", "v"), col("i"), col("v"))
+      .head()
+    assert(math.abs(r2.getAs[Double]("icc1")) < 0.3)
+  }
+
+  test("oddsRatio matches the hand-computed 2x2 and nulls on zero cells") {
+    import graft.ops.Experiment
+    // a=30 b=70 c=10 d=90: OR = 30*90/(70*10) = 27/7, RR = 0.3/0.1 = 3
+    val rows = Seq.fill(30)((true, true)) ++ Seq.fill(70)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(90)((false, false))
+    val r = Experiment.oddsRatio(rows.toDF("e", "o"), col("e"), col("o"))
+      .head()
+    assert(approx(r.getAs[Double]("or_"), 27.0 / 7.0, 1e-9))
+    assert(approx(r.getAs[Double]("rr"), 3.0, 1e-9))
+    assert(r.getAs[Double]("or_lo") < 27.0 / 7.0
+      && r.getAs[Double]("or_hi") > 27.0 / 7.0)
+    val zero = Seq((true, true), (false, false)).toDF("e", "o")
+    val rz = Experiment.oddsRatio(zero, col("e"), col("o")).head()
+    assert(rz.isNullAt(rz.fieldIndex("or_")))
+    assert(rz.isNullAt(rz.fieldIndex("rr")))
+  }
 }
