@@ -136,8 +136,12 @@ object Pca {
     * centered values are snapped to 9 dp and summed as DECIMAL(25,18) —
     * exact integer arithmetic, ORDER-INDEPENDENT: the sums are identical
     * across partitionings, runs, and engines, so both engines round the
-    * same double and the face cannot flip. (The 9-dp input snap perturbs
-    * the covariance by < 1e-9·σ√2 — invisible at 6 dp.)
+    * same double. (The 9-dp input snap perturbs the covariance by
+    * < 1e-9·σ√2 — invisible at 6 dp.) The one residual cross-engine
+    * hazard is SIGNED ZERO: a cell whose covariance rounds to zero from
+    * below is -0.0 under DuckDB's round but +0.0 under Spark's
+    * BigDecimal-based round — the twin normalizes with `+ 0.0` (see
+    * [[covarianceUpperExactSql]]; this single cell was the r8–r10 red).
     *
     * Scale shape: ONE zero-fan-out pass — [[org.apache.spark.sql.graft.ExactMomentsAgg]]
     * folds each row into a flat 128-bit fixed-point buffer per
@@ -221,7 +225,14 @@ object Pca {
        |      FROM cx a JOIN cx b ON a.rid = b.rid AND b.i >= a.i
        |      GROUP BY 1, 2)
        |SELECT p.i, p.j,
-       |  round((CAST(sp AS DOUBLE) - CAST(sa.sv AS DOUBLE) * CAST(sb.sv AS DOUBLE) / $nLit) / ($nLit - 1.0), 6) AS cov
+       |  -- + 0.0 normalizes NEGATIVE ZERO: DuckDB's round() preserves the
+       |  -- sign of zero (round(-1e-9, 6) = -0.0) while Spark's round goes
+       |  -- through BigDecimal.setScale, which has no signed zero (always
+       |  -- +0.0). The r8/r9/r10 hash red was exactly ONE such cell — the
+       |  -- sf0.01 fixture's (5,9) covariance, -2.33e-8, rounds to -0.0
+       |  -- here and +0.0 in Spark: numerically equal, bitwise different,
+       |  -- hash mismatch. IEEE -0.0 + 0.0 = +0.0 with no other effect.
+       |  round((CAST(sp AS DOUBLE) - CAST(sa.sv AS DOUBLE) * CAST(sb.sv AS DOUBLE) / $nLit) / ($nLit - 1.0), 6) + 0.0 AS cov
        |FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i
        |ORDER BY 1, 2""".stripMargin
   }

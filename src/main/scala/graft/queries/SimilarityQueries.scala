@@ -1088,7 +1088,8 @@ object SimilarityQueries {
     // only the 9-dp-snapped centering mean and the row count ride as
     // literals; DuckDB recomputes the exact decimal sums and the
     // covariance face genuinely cross-engine (see covarianceUpperExact:
-    // exact sums are order-independent, so the 6-dp face cannot flip)
+    // exact sums are order-independent; the twin additionally normalizes
+    // DuckDB's signed zero — round(-eps, 6) = -0.0 there, +0.0 in Spark)
     "embedding_pca_cov" -> ((s, dir) => {
       val (n, mean) = Pca.covarianceMean(emb(s, dir), col("v"), d = 64)
       Pca.covarianceUpperExactSql(vSql, "embeddings", "vec_id", n, mean)
