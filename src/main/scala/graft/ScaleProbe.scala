@@ -1468,7 +1468,7 @@ object ScaleProbe {
         a.count(); b.count()
         time(s"profileCompare n=$n x2 cols=3 exact")(
           graft.ops.DataQuality.profileCompare(a, b,
-            Seq("v", "u", "ty")).collect())
+            Seq("v", "u", "ty"), exact = true).collect())
         time(s"profileCompare n=$n x2 cols=3 approx")(
           graft.ops.DataQuality.profileCompare(a, b,
             Seq("v", "u", "ty"), exact = false).collect())

@@ -118,14 +118,21 @@ object Calibration {
     * aggregation (five scalar sums: gradient + 2×2 Hessian terms); the
     * 2×2 solve happens on the driver. `iterations` small and fixed
     * (default 8 — past that the 9-dp snap has long converged on
-    * anything sane); no caching needed, the input is scanned
-    * `iterations + 1` times (once for the target counts). */
+    * anything sane). The narrow (s, y) projection is PERSISTED for the
+    * loop's duration (MEMORY_AND_DISK, unpersisted on exit) — without
+    * it every step re-reads the source scan, `iterations + 1` times
+    * total; the cache changes nothing semantically (same rows, same
+    * exact trajectory). At 100 TB, prefer fitting on an explicit
+    * sample — a 2-parameter sigmoid saturates statistically long
+    * before 10⁹ rows. */
   def plattFit(df: DataFrame, yTrue: Column, score: Column,
       iterations: Int = 8): PlattModel = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val base = df.select(score.cast("double").as("s"),
         yTrue.cast("double").as("y"))
       .where(col("s").isNotNull && col("y").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val counts = base.agg(sum("y").as("np"),
       sum(lit(1.0) - col("y")).as("nn")).head()
     val (np, nn) = (counts.getDouble(0), counts.getDouble(1))
@@ -165,6 +172,7 @@ object Calibration {
       b = snap9(b - dbb)
     }
     PlattModel(a, b)
+    } finally base.unpersist(blocking = false)
   }
 
   /** Apply a fitted [[PlattModel]]: pure row-local sigmoid (codegen'd, no
@@ -188,7 +196,13 @@ object Calibration {
     * (argmax is scale-invariant) — only confidence moves.
     *
     * Scale shape: ONE fused 2-sum aggregation per step over row-local
-    * array expressions — no explode, no join; `iterations + 0` scans. */
+    * array expressions — no explode, no join. The narrow (y, z)
+    * projection is PERSISTED for the loop's duration (MEMORY_AND_DISK,
+    * unpersisted on exit): the k-probe and each of the `iterations`
+    * Newton passes then read the cache instead of re-reading the
+    * source scan every step — no semantic change (same rows, same
+    * 9-dp trajectory). At 100 TB, fit on an explicit sample instead —
+    * one parameter needs nowhere near the corpus. */
   def temperatureFit(df: DataFrame, yTrue: Column, logits: Column,
       iterations: Int = 6): TemperatureModel = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
@@ -197,6 +211,8 @@ object Calibration {
     val base = df.select(yTrue.cast("int").as("y"),
         transform(logits, z => z.cast("double")).as("z"))
       .where(col("y").isNotNull && col("z").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // fixed logit width, probed once: the per-row softmax sums UNROLL
     // into plain codegen'd expressions. Higher-order array functions
     // (aggregate/transform) are CodegenFallback — interpreted per
@@ -236,6 +252,7 @@ object Calibration {
       beta = snap9(math.max(1e-3, math.min(1e3, beta - delta)))
     }
     TemperatureModel(beta)
+    } finally base.unpersist(blocking = false)
   }
 
   /** Apply a fitted [[TemperatureModel]]: row-local softmax of β·z

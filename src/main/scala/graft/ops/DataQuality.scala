@@ -169,13 +169,27 @@ object DataQuality {
     * decimal rendering is the digit — identical in any engine. ONE
     * aggregation over the rows; the chi-square runs on the 9-row digit
     * spine (zero-count digits included — the shape is fixed).
+    * Amounts with |amount|·10^scale beyond the exact-long range FAIL
+    * LOUDLY (raise_error): Spark's double→long cast would silently
+    * saturate (pinning the digit to 9) where DuckDB's CAST raises —
+    * the same silent-vs-loud divergence the split/attribution guards
+    * close. Pass a smaller `scale` for such columns (the leading digit
+    * does not depend on it).
     */
   def benford(df: DataFrame, amount: Column, scale: Int = 2): DataFrame = {
     require(scale >= 0 && scale <= 9, s"benford: scale $scale outside [0, 9]")
     val spark = df.sparkSession
     val mult = math.pow(10.0, scale)
+    // largest double strictly below Long.MaxValue; >= comparison catches
+    // every value whose round would saturate the long cast
+    val guarded = when(abs(amount * mult) < lit(9.223372036854775e18),
+        round(amount * mult))
+      .otherwise(raise_error(concat(
+        lit(s"benford: |amount| * 1e$scale overflows the exact long " +
+          "range on value "), amount.cast("string"),
+        lit(" — use a smaller scale"))))
     val digit = substring(
-      round(amount * mult).cast("long").cast("string"), 1, 1).cast("int")
+      guarded.cast("long").cast("string"), 1, 1).cast("int")
     val obs = df.where(amount > 0)
       .select(digit.as("digit"))
       .where(col("digit") >= 1) // amount*mult rounding to 0 ⇒ no digit
@@ -205,13 +219,19 @@ object DataQuality {
     * silently passes real drift at scale); the reported columns are for
     * humans. A column that is all-null on either side fails `mean_ok`
     * only if the other side has a mean (appearing/disappearing data IS
-    * drift). Returns one row per column:
+    * drift). `exact` controls the distinct counter: the DEFAULT is the
+    * HLL sketch (`approx_count_distinct`) — the 100 M-row probe measured
+    * 382.8 s exact vs 36.6 s approx, and a 20% distinct-shift gate is
+    * far coarser than HLL's ~2% error, so the sketch is the right
+    * default at any real scale; pass `exact = true` only for
+    * oracle/debug runs that need the precise count. Returns one row per
+    * column:
     * (col_name, n_a, n_b, null_frac_a, null_frac_b, mean_a, mean_b,
     * mean_rel_delta, distinct_a, distinct_b, null_ok, mean_ok,
     * distinct_ok, ok). */
   def profileCompare(a: DataFrame, b: DataFrame, cols: Seq[String],
       nullFracTol: Double = 0.01, meanRelTol: Double = 0.05,
-      distinctRelTol: Double = 0.20, exact: Boolean = true): DataFrame = {
+      distinctRelTol: Double = 0.20, exact: Boolean = false): DataFrame = {
     val pa = graft.ops.Stats.profileTable(a, cols, exact)
       .select(col("col_name"), col("n_rows").as("n_a"),
         col("n_nulls").as("__nulls_a"), col("n_distinct").as("distinct_a"),

@@ -19,7 +19,11 @@ object Eval {
     * numerically stable and hits an exact 0 factor whenever c > n−k
     * (pass@k = 1), no special-casing. Problems with n < k are dropped
     * (the estimator is undefined there — dropping loudly beats padding).
-    * Returns (problem, n, c, pass_at_k), problem-ordered.
+    * Rows with NULL `correct` are excluded entirely (they are neither a
+    * correct nor an incorrect sample — counting them in n but not c
+    * would silently score unknowns as failures, and an all-NULL problem
+    * would face a null pass@k). Returns (problem, n, c, pass_at_k),
+    * problem-ordered.
     *
     * Scale shape: ONE map-side-combined per-problem aggregation; the
     * k-term product is a row-local `aggregate` over a literal sequence
@@ -27,7 +31,7 @@ object Eval {
   def passAtK(df: DataFrame, problem: Column, correct: Column,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val agg = df.groupBy(problem.as("problem"))
+    val agg = df.where(correct.isNotNull).groupBy(problem.as("problem"))
       .agg(count(lit(1)).as("n"),
         sum(correct.cast("int")).as("c"))
       .where(col("n") >= k)

@@ -428,10 +428,17 @@ object Graph {
     * adjacency on the shared center), NEVER all pairs — cost is
     * Σ_w deg(w)², so super-hub centers with degree > `maxDegree` are
     * excluded (the standard hub cut: a celebrity node makes every fan
-    * pair a "candidate" and drowns the signal; the cut count is
-    * reported loudly via the returned row count change, and raising
-    * `maxDegree` re-admits them). One shuffle per join, one aggregation
-    * per (a, b); existing edges leave via one anti-join.
+    * pair a "candidate" and drowns the signal; raising `maxDegree`
+    * re-admits them). ALL three scores are computed over the
+    * degree-CAPPED neighborhood N'(x) = {w ∈ N(x) : deg(w) ≤ maxDegree}
+    * — common_neighbors counts only capped centers, adamic_adar sums
+    * only over them, and the Jaccard union |N'(a)| + |N'(b)| − common
+    * uses capped degrees too, so numerator and denominator describe the
+    * SAME neighborhood (mixing capped wedges with full-degree unions
+    * would bias jaccard low whenever the cut fires). Consequence of the
+    * cut: a pair whose only shared neighbors are hubs produces no
+    * candidate at all. One shuffle per join, one aggregation per
+    * (a, b); existing edges leave via one anti-join.
     */
   def linkPrediction(edges: DataFrame, src: String, dst: String,
       maxDegree: Int = 10000): DataFrame = {
@@ -453,9 +460,14 @@ object Graph {
       .agg(count(lit(1)).as("common_neighbors"),
         sum(lit(1.0) / log(col("deg").cast("double"))).as("adamic_adar"))
       .join(und, Seq("a", "b"), "left_anti")
+    // capped degree |N'(x)|: neighbors-that-are-surviving-centers, the
+    // same set the wedge numerator counted — keeps jaccard internally
+    // consistent when the hub cut fires (equals plain degree otherwise)
+    val cappedDeg = centers.groupBy(col("nbr").as("node"))
+      .agg(count(lit(1)).as("deg"))
     scored
-      .join(deg.select(col("node").as("a"), col("deg").as("__da")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("__db")), "b")
+      .join(cappedDeg.select(col("node").as("a"), col("deg").as("__da")), "a")
+      .join(cappedDeg.select(col("node").as("b"), col("deg").as("__db")), "b")
       .withColumn("jaccard", col("common_neighbors").cast("double")
         / (col("__da") + col("__db") - col("common_neighbors")))
       .select(col("a"), col("b"), col("common_neighbors"),

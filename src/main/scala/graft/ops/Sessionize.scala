@@ -303,13 +303,17 @@ object Sessionize extends Serializable {
     * groupBy over the bounded state×state grid; the per-cur normalizer
     * is a window over that grid. The tie-break column makes the
     * sequence (and thus every count) engine-exact under equal
-    * timestamps. */
+    * timestamps. NULL (t, tie) rows are dropped before the window —
+    * Spark sorts NULLs first and DuckDB last, so an unfiltered NULL
+    * would move silently between sequence positions across engines
+    * (the same divergence class the DeLong AUC fix guards against). */
   def markovTransitions(df: DataFrame, entity: Column, t: Column,
       tie: Column, state: Column): DataFrame = {
     val w = Window.partitionBy("__e").orderBy(col("__t"), col("__tie"))
     val trans = df.select(entity.as("__e"), t.as("__t"), tie.as("__tie"),
         state.cast("string").as("cur"))
-      .where(col("cur").isNotNull)
+      .where(col("cur").isNotNull && col("__t").isNotNull
+        && col("__tie").isNotNull)
       .withColumn("nxt", lead("cur", 1).over(w))
       .where(col("nxt").isNotNull)
       .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))

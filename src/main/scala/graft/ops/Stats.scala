@@ -2594,20 +2594,25 @@ object Stats {
     * — the "is the error rate per hour actually up?" readout for ingest
     * monitoring. Exposure is the shared observation span in hours
     * (global max − min of the canonical epoch-µs `t`), identical for
-    * every group, so rates are directly comparable. ONE grouped
-    * aggregation + a broadcast one-row span. */
+    * every group, so rates are directly comparable. A DEGENERATE span
+    * (all events on one timestamp, or a single event — exposure 0)
+    * yields NULL rate/CI faces rather than Infinity: a rate over zero
+    * observed time is undefined, and the null face is the repo's
+    * convention for undefined statistics (cf. abConversion/olsPerGroup).
+    * ONE grouped aggregation + a broadcast one-row span. */
   def poissonRates(df: DataFrame, group: Column, t: Column): DataFrame = {
     val span = df.where(t.isNotNull)
       .agg(((max(t) - min(t)) / lit(3600000000.0)).as("exposure_h"))
+    val pos = col("exposure_h") > 0
     df.where(t.isNotNull)
       .groupBy(group.as("grp"))
       .agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(span))
-      .withColumn("rate_per_h", col("n") / col("exposure_h"))
-      .withColumn("ci_lo", greatest(lit(0.0),
-        (col("n") - lit(1.96) * sqrt(col("n"))) / col("exposure_h")))
-      .withColumn("ci_hi",
-        (col("n") + lit(1.96) * sqrt(col("n"))) / col("exposure_h"))
+      .withColumn("rate_per_h", when(pos, col("n") / col("exposure_h")))
+      .withColumn("ci_lo", when(pos, greatest(lit(0.0),
+        (col("n") - lit(1.96) * sqrt(col("n"))) / col("exposure_h"))))
+      .withColumn("ci_hi", when(pos,
+        (col("n") + lit(1.96) * sqrt(col("n"))) / col("exposure_h")))
       .select(col("grp"), col("n"), col("exposure_h"), col("rate_per_h"),
         col("ci_lo"), col("ci_hi"))
   }

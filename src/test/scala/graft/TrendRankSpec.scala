@@ -240,6 +240,16 @@ class TrendRankSpec extends SparkSpec {
     // same frame on both sides: everything passes
     val same = DataQuality.profileCompare(a, a, Seq("x", "k")).collect()
     assert(same.forall(_.getAs[Boolean]("ok")))
+    // exact vs sketch (the scale-safe DEFAULT) verdict parity: on this
+    // fixture HLL's ~2% error is far inside the 20% distinct gate, so
+    // every per-column verdict must agree between the two counters
+    val exactOut = DataQuality.profileCompare(a, b, Seq("x", "k"),
+        nullFracTol = 0.01, meanRelTol = 0.05, distinctRelTol = 0.2,
+        exact = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("x", "k"); v <- Seq("null_ok", "mean_ok", "distinct_ok", "ok"))
+      assert(out(c).getAs[Boolean](v) == exactOut(c).getAs[Boolean](v),
+        s"exact/sketch verdict mismatch on $c.$v")
   }
 
   test("weightedQuantiles: weighted median splits on MASS, not rows") {
