@@ -694,4 +694,68 @@ object StreamingOps {
         }
     }
   }
+
+  final case class TouchEvent(entity: String, t: Long, tie: Long,
+      conv: Boolean, label: String, value: Double)
+  final case class TouchState(enc: Long, label: String)
+  final case class AttributionHit(entity: String, convT: Long, convTie: Long,
+      value: Double, touchLabel: Option[String], touchT: Option[Long])
+
+  /** Streaming last-touch attribution — the online form of
+    * [[graft.ops.Sessionize.lastTouchAttribution]]: per entity, one
+    * [[AttributionHit]] per conversion event, crediting the most recent
+    * preceding NON-conversion touch within `lookback` time units (same
+    * clock as `t`; null touch = "direct"), ties at one timestamp broken
+    * on the largest tie-break id — the batch op's exact credit rule.
+    *
+    * State per entity is the packed touch key t·2²⁰ + tie (the batch
+    * op's encoding, same [0, 2⁴³)×[0, 2²⁰) domain, violations throw)
+    * plus its label — two scalars in flatMapGroupsWithState, partitioned
+    * across executors by the groupByKey; no timeout, the newest touch
+    * must outlive any idle gap.
+    *
+    * Ordering contract (the [[FunnelStream]] convention): rows WITHIN a
+    * micro-batch fold in (t, tie) order. TOUCH updates are
+    * order-insensitive even across batches — the state carries the MAX
+    * packed key, and max is commutative, so a late-arriving touch folds
+    * in correctly unless a conversion it should have credited was
+    * already emitted. CONVERSIONS therefore need the stream in order
+    * per entity across batches (AttributionStreamSpec pins equality
+    * with the batch op across micro-batch splits). */
+  object AttributionStream {
+    def run(events: Dataset[TouchEvent], lookback: Long): Dataset[AttributionHit] = {
+      require(lookback > 0, "attributionStream: lookback must be > 0")
+      import events.sparkSession.implicits._
+      events.groupByKey(_.entity)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout) {
+          (entity: String, it: Iterator[TouchEvent],
+              state: GroupState[TouchState]) =>
+            val sorted = it.toArray.sortBy(e => (e.t, e.tie))
+            var st = state.getOption.getOrElse(TouchState(-1L, null))
+            val out = scala.collection.mutable.ArrayBuffer.empty[AttributionHit]
+            sorted.foreach { e =>
+              require(e.t >= 0 && e.t < (1L << 43)
+                  && e.tie >= 0 && e.tie < (1L << 20),
+                s"attributionStream: (t, tie) (${e.t}, ${e.tie}) outside " +
+                  "[0, 2^43) x [0, 2^20) — coarsen the clock (ms, not us) " +
+                  "or wrap the tie-break")
+              if (e.conv) {
+                // batch face: touch_t decodes from the packed key; the
+                // window check rides the decoded t only
+                val touchT = st.enc >> 20
+                val inWindow = st.enc >= 0 && e.t - touchT <= lookback
+                out += AttributionHit(entity, e.t, e.tie, e.value,
+                  if (inWindow) Option(st.label) else None,
+                  if (inWindow) Some(touchT) else None)
+              } else {
+                val enc = e.t * (1L << 20) + e.tie
+                if (enc > st.enc) st = TouchState(enc, e.label)
+              }
+            }
+            state.update(st)
+            out.iterator
+        }
+    }
+  }
 }
