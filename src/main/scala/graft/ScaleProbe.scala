@@ -1373,6 +1373,77 @@ object ScaleProbe {
         time(s"markovTransitions n=$n entities=1M states=10")(
           graft.ops.Sessionize.markovTransitions(df, col("u"), col("t"),
             col("tie"), col("st")).collect())
+      case "markovcollapse" =>
+        // VERDICT r10 #7: does a partition-local consecutive-duplicate
+        // pre-collapse beat the plain entity window when the event
+        // stream compresses? Fixture: n events, 1M entities, 10 states
+        // in ~8-event runs per entity (st keyed on floor(id/8M) — an
+        // entity sees ~1 event per 1M ids, so its state persists ~8 of
+        // its events). The collapse keeps a last-state map per
+        // partition and DROPS in-run duplicates before the shuffle,
+        // counting them locally; run heads flow to the normal window
+        // (a run split across partitions yields adjacent equal-state
+        // heads — the window counts the boundary self-loop, so totals
+        // stay exact). PRECONDITION: rows within each partition are
+        // per-entity time-ordered (true of append-log ingest and of
+        // this spark.range fixture — t = id).
+        import spark.implicits._
+        val df = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(1000000)).as("u"),
+          col("id").as("t"), col("id").as("tie"),
+          concat(lit("s"), pmod(xxhash64(
+            pmod(xxhash64(col("id")), lit(1000000)),
+            floor(col("id") / 8000000L)), lit(10))).as("st"))
+        df.count()
+        def timed[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          r
+        }
+        val base = timed(s"markovTransitions n=$n run-structured window form")(
+          graft.ops.Sessionize.markovTransitions(df, col("u"), col("t"),
+              col("tie"), col("st"))
+            .collect().map(r => (r.getString(0), r.getString(1)) ->
+              (r.getLong(2), r.getDouble(3))).toMap)
+        val coll = timed(s"markovTransitions n=$n run-structured pre-collapsed")({
+          val collapsed = df.as[(Long, Long, Long, String)]
+            .mapPartitions { it =>
+              val last = new java.util.HashMap[Long, String]()
+              val selfN = new java.util.HashMap[String, Long]()
+              val kept = it.flatMap { case r @ (u, _, _, st) =>
+                if (last.put(u, st) == st) {
+                  selfN.merge(st, 1L, (a, b) => a + b); None
+                } else Some(r)
+              }
+              def tailRows: Iterator[(Long, Long, Long, String)] = {
+                val e = selfN.entrySet().iterator()
+                new Iterator[(Long, Long, Long, String)] {
+                  def hasNext = e.hasNext
+                  def next() = { val x = e.next(); (-1L, x.getValue, 0L, x.getKey) }
+                }
+              }
+              kept ++ tailRows
+            }.toDF("u", "t", "tie", "st").persist()
+          val heads = collapsed.where(col("u") >= 0)
+          val selfCells = collapsed.where(col("u") === -1L)
+            .groupBy(col("st").as("cur"))
+            .agg(sum("t").as("n"))
+            .select(col("cur"), col("cur").as("nxt"), col("n"))
+          val headTrans = graft.ops.Sessionize.markovTransitions(heads,
+            col("u"), col("t"), col("tie"), col("st"))
+          val wc = org.apache.spark.sql.expressions.Window.partitionBy("cur")
+          val rows = headTrans.select(col("cur"), col("nxt"), col("n"))
+            .unionAll(selfCells)
+            .groupBy("cur", "nxt").agg(sum("n").as("n"))
+            .withColumn("p", col("n").cast("double") / sum("n").over(wc))
+            .collect().map(r => (r.getString(0), r.getString(1)) ->
+              (r.getLong(2), r.getDouble(3))).toMap
+          collapsed.unpersist(blocking = false)
+          rows
+        })
+        require(base == coll,
+          s"pre-collapsed markov diverged: ${base.size} vs ${coll.size} cells")
+        println(s"[probe] markovcollapse: ${base.size} cells, forms agree")
       case "graphstruct" =>
         // modularity + clustering coefficient on an n-edge bounded-degree
         // graph (nodes = n/8, ~16 neighbors each): two node-keyed tag
@@ -1409,9 +1480,12 @@ object ScaleProbe {
           (pmod(xxhash64(col("id"), lit(1)), lit(10000)) / 10000.0
             < (pmod(xxhash64(col("id")), lit(10000)) / 10000.0)).as("y"))
         df.count()
-        time(s"plattFit n=$n iters=8")(
+        time(s"plattFit n=$n iters=8 cached")(
           println("[probe] platt model: " + graft.ops.Calibration
             .plattFit(df, col("y"), col("s"))))
+        time(s"plattFit n=$n iters=8 uncached")(
+          println("[probe] platt model: " + graft.ops.Calibration
+            .plattFit(df, col("y"), col("s"), cache = false)))
       case "temperature" =>
         // 6 damped-Newton steps × one fused 2-sum aggregation over
         // row-local k=8 array expressions — no explode, no join.
@@ -1424,9 +1498,15 @@ object ScaleProbe {
           pmod(xxhash64(col("id")), lit(k)).cast("int").as("y"),
           zArr.as("z"))
         df.count()
-        time(s"temperatureFit n=$n k=$k iters=6")(
+        // both cache regimes: the flat-column persist vs recomputing
+        // the (here synthetic, nearly-free) upstream every pass — on
+        // real parquet scans the cache side is the production default
+        time(s"temperatureFit n=$n k=$k iters=6 cached")(
           println("[probe] temperature: " + graft.ops.Calibration
             .temperatureFit(df, col("y"), col("z"))))
+        time(s"temperatureFit n=$n k=$k iters=6 uncached")(
+          println("[probe] temperature: " + graft.ops.Calibration
+            .temperatureFit(df, col("y"), col("z"), cache = false)))
       case "evalops" =>
         // pass@k over 1M problems × ~100 samples; fleiss over 1M items
         // with a FIXED 64 ratings each (id-sliced, not hashed — the

@@ -118,20 +118,22 @@ object Calibration {
     * aggregation (five scalar sums: gradient + 2×2 Hessian terms); the
     * 2×2 solve happens on the driver. `iterations` small and fixed
     * (default 8 — past that the 9-dp snap has long converged on
-    * anything sane). The narrow (s, y) projection is PERSISTED for the
-    * loop's duration (MEMORY_AND_DISK, unpersisted on exit) — without
-    * it every step re-reads the source scan, `iterations + 1` times
-    * total; the cache changes nothing semantically (same rows, same
-    * exact trajectory). At 100 TB, prefer fitting on an explicit
-    * sample — a 2-parameter sigmoid saturates statistically long
-    * before 10⁹ rows. */
+    * anything sane). With `cache = true` (default) the narrow flat
+    * (s, y) projection is PERSISTED for the loop's duration
+    * (MEMORY_AND_DISK, unpersisted on exit) — without it every step
+    * re-reads the source scan, `iterations + 1` times total; the cache
+    * changes nothing semantically (same rows, same exact trajectory).
+    * Pass `cache = false` when the upstream is trivially recomputable.
+    * At 100 TB, prefer fitting on an explicit sample — a 2-parameter
+    * sigmoid saturates statistically long before 10⁹ rows. */
   def plattFit(df: DataFrame, yTrue: Column, score: Column,
-      iterations: Int = 8): PlattModel = {
+      iterations: Int = 8, cache: Boolean = true): PlattModel = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val base = df.select(score.cast("double").as("s"),
         yTrue.cast("double").as("y"))
       .where(col("s").isNotNull && col("y").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (cache)
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val counts = base.agg(sum("y").as("np"),
       sum(lit(1.0) - col("y")).as("nn")).head()
@@ -172,7 +174,7 @@ object Calibration {
       b = snap9(b - dbb)
     }
     PlattModel(a, b)
-    } finally base.unpersist(blocking = false)
+    } finally { if (cache) base.unpersist(blocking = false) }
   }
 
   /** Apply a fitted [[PlattModel]]: pure row-local sigmoid (codegen'd, no
@@ -196,37 +198,46 @@ object Calibration {
     * (argmax is scale-invariant) — only confidence moves.
     *
     * Scale shape: ONE fused 2-sum aggregation per step over row-local
-    * array expressions — no explode, no join. The narrow (y, z)
-    * projection is PERSISTED for the loop's duration (MEMORY_AND_DISK,
-    * unpersisted on exit): the k-probe and each of the `iterations`
-    * Newton passes then read the cache instead of re-reading the
-    * source scan every step — no semantic change (same rows, same
-    * 9-dp trajectory). At 100 TB, fit on an explicit sample instead —
-    * one parameter needs nowhere near the corpus. */
+    * expressions — no explode, no join. With `cache = true` (default)
+    * the loop frame is PERSISTED for the loop's duration as a FLAT
+    * (y, z_0..z_{k−1}) projection — flat double columns compress into
+    * the columnar cache and re-scan in seconds, where caching the raw
+    * array column measured SLOWER than recomputing (108.2 s vs 61.5 s
+    * at 100M — array cells defeat the columnar cache; SCALE.md r11).
+    * No semantic change either way: same rows, same values, same 9-dp
+    * trajectory. Pass `cache = false` when the upstream is trivially
+    * recomputable (synthetic probes). At 100 TB, fit on an explicit
+    * sample instead — one parameter needs nowhere near the corpus. */
   def temperatureFit(df: DataFrame, yTrue: Column, logits: Column,
-      iterations: Int = 6): TemperatureModel = {
+      iterations: Int = 6, cache: Boolean = true): TemperatureModel = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     def snap9(x: Double): Double =
       BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val base = df.select(yTrue.cast("int").as("y"),
+    val raw = df.select(yTrue.cast("int").as("y"),
         transform(logits, z => z.cast("double")).as("z"))
       .where(col("y").isNotNull && col("z").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
     // fixed logit width, probed once: the per-row softmax sums UNROLL
     // into plain codegen'd expressions. Higher-order array functions
     // (aggregate/transform) are CodegenFallback — interpreted per
     // element with boxed accumulators, measured MINUTES per pass at
     // 100M × k = 8 where the unrolled form takes seconds. Class count
     // is a schema property, so requiring it uniform costs nothing.
-    val kRow = base.select(min(size(col("z"))).as("a"),
+    val kRow = raw.select(min(size(col("z"))).as("a"),
       max(size(col("z"))).as("b")).head()
     require(!kRow.isNullAt(0) && kRow.getInt(0) == kRow.getInt(1),
       s"temperatureFit: logit arrays must have uniform length, got " +
         s"[${kRow.get(0)}, ${kRow.get(1)}]")
     val k = kRow.getInt(0)
     require(k >= 2, s"temperatureFit: need >= 2 classes, got $k")
-    def zj(j: Int): Column = element_at(col("z"), j + 1)
+    // the loop frame: y plus the k logits as FLAT double columns (the
+    // identical values element_at would read — trajectory unchanged);
+    // flat doubles are what the columnar cache stores efficiently
+    val base = raw.select(col("y") +:
+      (0 until k).map(j => element_at(col("z"), j + 1).as(s"__z$j")): _*)
+    if (cache)
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    def zj(j: Int): Column = col(s"__z$j")
     var beta = 1.0
     for (_ <- 1 to iterations) {
       // per row: m = max_j β·z_j; (S, Sz, Sz2) = Σ_j (1, z_j, z_j²)·
@@ -239,7 +250,12 @@ object Calibration {
       val s0 = esum(_ => lit(1.0))
       val e1 = esum(j => zj(j)) / s0
       val e2 = esum(j => zj(j) * zj(j)) / s0
-      val zy = element_at(col("z"), col("y") + 1)
+      // z_y from the flat columns: exactly one branch matches per row
+      // (y is validated in [0, k) by the match itself — an out-of-range
+      // y yields null and is excluded from the sums, same as the
+      // out-of-bounds element_at it replaces)
+      val zy = (0 until k).map(j => when(col("y") === j, zj(j)))
+        .reduce((a, b) => coalesce(a, b))
       val r = base.agg(
         sum(e1 - zy).as("g"),
         sum(e2 - e1 * e1).as("h")).head()
@@ -252,7 +268,7 @@ object Calibration {
       beta = snap9(math.max(1e-3, math.min(1e3, beta - delta)))
     }
     TemperatureModel(beta)
-    } finally base.unpersist(blocking = false)
+    } finally { if (cache) base.unpersist(blocking = false) }
   }
 
   /** Apply a fitted [[TemperatureModel]]: row-local softmax of β·z
