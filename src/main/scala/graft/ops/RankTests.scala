@@ -195,4 +195,70 @@ object RankTests {
         col("mean_diff"), col("se"), col("z"), col("dof"))
       .orderBy("grp_a", "grp_b")
   }
+
+  /** Kendall's τ-b rank correlation (Kendall 1938; tie treatment per
+    * Kendall 1945): over all row pairs, S = C − D (concordant minus
+    * discordant), τ_b = S / √((n₀ − n₁)(n₀ − n₂)) with n₀ = n(n−1)/2
+    * and n₁/n₂ the x-/y-marginal tie-pair counts — the
+    * concordance-based sibling of [[graft.ops.Stats.spearman]]
+    * (bounded [−1, 1], exactly ±1 on strictly monotone data, robust to
+    * monotone rescaling). Pairs tied on BOTH coordinates count in
+    * neither C nor D nor the denominators' subtractions beyond their
+    * marginals — the τ-b definition. Returns ONE row
+    * (n, n_concordant, n_discordant, tau_b — null when either margin
+    * is all ties). No p-value by the [[kruskalWallis]] convention (the
+    * normal approximation under heavy ties needs the joint-tie
+    * variance terms; use [[graft.ops.Trend.mannKendall]] for the
+    * time-ordered z).
+    *
+    * Scale shape: raw rows collapse to DISTINCT (x, y) cells in ONE
+    * map-side-combined aggregation — pair work is cells², never rows²
+    * (a quality-score pair on a 100 TB corpus has bounded distinct
+    * cells once scores are binned/rounded). The `maxCells` guard fails
+    * loudly when the cell table isn't actually bounded (the
+    * [[graft.ops.Trend]] discipline — bin first, never raise blindly):
+    * 4096 cells ⇒ ≤ 8.4M cell pairs. */
+  def kendallTau(df: DataFrame, x: Column, y: Column,
+      maxCells: Int = 4096): DataFrame = {
+    val xd = x.cast("double"); val yd = y.cast("double")
+    val cells = df.where(xd.isNotNull && yd.isNotNull)
+      .groupBy(xd.as("__x"), yd.as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val g = cells.limit(maxCells + 1).agg(count(lit(1))).head().getLong(0)
+    require(g <= maxCells,
+      s"kendallTau: > $maxCells distinct (x, y) cells — bin or round " +
+        "the coordinates first; pairwise concordance over an unbounded " +
+        "cell table does not scale")
+    val a = cells.select(col("__x").as("__x1"), col("__y").as("__y1"),
+      col("__c").as("__c1"))
+    val b = cells.select(col("__x").as("__x2"), col("__y").as("__y2"),
+      col("__c").as("__c2"))
+    // lexicographic dedupe of unordered cell pairs
+    val cd = a.join(b, col("__x1") < col("__x2")
+        || (col("__x1") === col("__x2") && col("__y1") < col("__y2")))
+      .select((col("__c1") * col("__c2")).as("__w"),
+        (signum(col("__x2") - col("__x1"))
+          * signum(col("__y2") - col("__y1"))).as("__s"))
+      .agg(coalesce(sum(when(col("__s") > 0, col("__w"))), lit(0L))
+          .as("n_concordant"),
+        coalesce(sum(when(col("__s") < 0, col("__w"))), lit(0L))
+          .as("n_discordant"))
+    val margins = cells.agg(sum("__c").as("n")).crossJoin(broadcast(
+        cells.groupBy("__x").agg(sum("__c").as("__t"))
+          .agg(coalesce(sum(col("__t") * (col("__t") - 1)), lit(0L))
+            .as("__tx2"))))
+      .crossJoin(broadcast(
+        cells.groupBy("__y").agg(sum("__c").as("__t"))
+          .agg(coalesce(sum(col("__t") * (col("__t") - 1)), lit(0L))
+            .as("__ty2"))))
+    cd.crossJoin(broadcast(margins))
+      .withColumn("__n0x2", col("n").cast("double") * (col("n") - 1))
+      .withColumn("__den", sqrt(
+        (col("__n0x2") - col("__tx2")) * (col("__n0x2") - col("__ty2"))) / 2.0)
+      .withColumn("tau_b", when(col("__den") > 0,
+        (col("n_concordant") - col("n_discordant")).cast("double")
+          / col("__den")))
+      .select(col("n"), col("n_concordant"), col("n_discordant"),
+        col("tau_b"))
+  }
 }

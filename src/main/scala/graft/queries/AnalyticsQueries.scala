@@ -209,6 +209,32 @@ object AnalyticsQueries {
         .select(col("k"), col("n"), round(col("h"), 6).as("h"),
           round(col("h_tie_corrected"), 6).as("h_tie_corrected"))),
 
+    "g_kendall_tau" -> ((s, dir) =>
+      // Concordance-based rank correlation between two coarse value
+      // bins (correlated by construction, heavy ties — the tau-b tie
+      // denominators are load-bearing): cells² pair join over ≤ ~60
+      // distinct (x, y) cells, never rows².
+      graft.ops.RankTests.kendallTau(table(s, dir, "events"),
+          floor(col("value") / 50.0),
+          floor(col("value") / 80.0) + pmod(col("event_id"), lit(3)))
+        .select(col("n"), col("n_concordant"), col("n_discordant"),
+          round(col("tau_b"), 6).as("tau_b"))),
+
+    "g_mcnemar" -> ((s, dir) =>
+      // Paired model comparison on the same rows: truth = high-value
+      // event; "model A" and "model B" are two deterministic perturbed
+      // thresholds, so all four agreement cells fill and the discordant
+      // counts differ.
+      graft.ops.Eval.mcnemar(table(s, dir, "events"),
+          col("value") > 150.0,
+          col("value") + pmod(col("event_id"), lit(20)) > 155.0,
+          col("value") + pmod(col("user_id"), lit(30)) > 160.0)
+        .select(col("n"), col("n_both_correct"), col("n_a_only"),
+          col("n_b_only"), col("n_both_wrong"),
+          round(col("acc_a"), 6).as("acc_a"),
+          round(col("acc_b"), 6).as("acc_b"),
+          round(col("chi2_cc"), 6).as("chi2_cc"))),
+
     "g_brown_forsythe" -> ((s, dir) =>
       // Robust variance-equality across event types: ANOVA F on
       // |value − per-type median| (exact interpolated median both
@@ -1299,6 +1325,77 @@ object AnalyticsQueries {
         |      - ties / ((n_a + n_b) * (n_a + n_b - 1.0)))), 9) AS z,
         |  n_a, n_b
         |FROM u""".stripMargin,
+
+    "g_kendall_tau" ->
+      """WITH cells AS (
+        |  SELECT CAST(floor(value / 50.0) AS DOUBLE) AS x,
+        |    CAST(floor(value / 80.0) + (event_id % 3) AS DOUBLE) AS y,
+        |    count(*) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN sgn > 0 THEN w END), 0) AS BIGINT)
+        |      AS n_concordant,
+        |    CAST(coalesce(sum(CASE WHEN sgn < 0 THEN w END), 0) AS BIGINT)
+        |      AS n_discordant
+        |  FROM (
+        |    SELECT a.c * b.c AS w,
+        |      sign(b.x - a.x) * sign(b.y - a.y) AS sgn
+        |    FROM cells a JOIN cells b
+        |      ON a.x < b.x OR (a.x = b.x AND a.y < b.y)) p),
+        |m AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    (SELECT sum(t * (t - 1)) FROM
+        |      (SELECT sum(c) AS t FROM cells GROUP BY x) mx) AS tx2,
+        |    (SELECT sum(t * (t - 1)) FROM
+        |      (SELECT sum(c) AS t FROM cells GROUP BY y) my) AS ty2
+        |  FROM cells),
+        |d AS (
+        |  SELECT n, n_concordant, n_discordant,
+        |    sqrt((CAST(n AS DOUBLE) * (n - 1) - tx2)
+        |      * (CAST(n AS DOUBLE) * (n - 1) - ty2)) / 2.0 AS den
+        |  FROM cd CROSS JOIN m)
+        |SELECT n, n_concordant, n_discordant,
+        |  -- + 0.0 normalizes a possible -0.0 (the embedding_pca_cov
+        |  -- signed-zero lesson: a tiny negative tau rounds to -0.0 here
+        |  -- but +0.0 under Spark's BigDecimal round)
+        |  round(CASE WHEN den > 0 THEN
+        |    CAST(n_concordant - n_discordant AS DOUBLE) / den END, 6)
+        |    + 0.0 AS tau_b
+        |FROM d""".stripMargin,
+
+    "g_mcnemar" ->
+      """WITH base AS (
+        |  SELECT (value > 150.0) AS yt,
+        |    (value + (event_id % 20) > 155.0) AS pa,
+        |    (value + (user_id % 30) > 160.0) AS pb
+        |  FROM events WHERE value IS NOT NULL),
+        |ab AS (
+        |  SELECT (pa = yt) AS a, (pb = yt) AS b FROM base
+        |  WHERE yt IS NOT NULL AND pa IS NOT NULL AND pb IS NOT NULL),
+        |cells AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_both_correct,
+        |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a_only,
+        |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b_only,
+        |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_both_wrong
+        |  FROM ab),
+        |t AS (
+        |  SELECT *,
+        |    n_both_correct + n_a_only + n_b_only + n_both_wrong AS n,
+        |    CAST(n_a_only AS DOUBLE) AS bb, CAST(n_b_only AS DOUBLE) AS cc
+        |  FROM cells)
+        |SELECT n, n_both_correct, n_a_only, n_b_only, n_both_wrong,
+        |  round(CAST(n_both_correct + n_a_only AS DOUBLE) / n, 6) AS acc_a,
+        |  round(CAST(n_both_correct + n_b_only AS DOUBLE) / n, 6) AS acc_b,
+        |  round(CASE WHEN bb + cc > 0
+        |    THEN pow(abs(bb - cc) - 1.0, 2) / (bb + cc) END, 6) AS chi2_cc
+        |FROM t""".stripMargin,
 
     "g_kruskal_wallis" ->
       """WITH cells AS (

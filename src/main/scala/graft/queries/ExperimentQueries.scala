@@ -136,6 +136,46 @@ object ExperimentQueries {
           round(col("or_lo"), 6).as("or_lo"),
           round(col("or_hi"), 6).as("or_hi"))),
 
+    "eval_token_f1" -> ((s, dir) =>
+      // SQuAD-style token F1 + EM: reference = the same doc with every
+      // lowercase 'e' turned into 'a' (translate is engine-identical),
+      // so overlap = the words untouched by the substitution — partial
+      // credit per doc, EM only on e-free docs. Multiset intersection
+      // via the (id, token)-keyed count join.
+      graft.ops.Eval.tokenF1(
+          table(s, dir, "documents").where(col("doc_id") < 400),
+          col("doc_id"), col("text"), translate(col("text"), "e", "a"))
+        .select(col("id").as("doc_id"), col("n_pred"), col("n_ref"),
+          col("n_common"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"), col("exact_match"))
+        .orderBy("doc_id")),
+
+    "eval_bradley_terry" -> ((s, dir) => {
+      // Preference-arena ratings over 8 "models": each event is one
+      // pairwise judgment (i, j from event_id digits, i ≠ j); the
+      // winner rule event_id % (i + j + 2) <= i makes higher-indexed
+      // items win more — a deterministic, engine-replayable skill
+      // gradient. 12 MM iterations; the twin recomputes the identical
+      // trajectory as chained CTEs.
+      val ev = table(s, dir, "events")
+      val i = pmod(col("event_id"), lit(8L))
+      val j = pmod(floor(col("event_id") / lit(8)).cast("long"), lit(8L))
+      val win = when(pmod(col("event_id"), i + j + lit(2L)) <= i, i)
+        .otherwise(j)
+      val pairs = ev
+        .select(i.as("__i"), j.as("__j"), win.as("__w"))
+        .where(col("__i") =!= col("__j"))
+        .select(concat(lit("m"), col("__w")).as("w"),
+          concat(lit("m"), col("__i") + col("__j") - col("__w")).as("l"))
+      graft.ops.Eval.bradleyTerry(pairs, col("w"), col("l"),
+          iterations = 12)
+        .select(col("item"), col("n_wins"), col("n_games"),
+          round(col("rating"), 6).as("rating"), col("rank"))
+        .orderBy("rank")
+    }),
+
     "g_pass_at_k" -> ((s, dir) =>
       // Unbiased pass@5 over 500 synthetic "problems" of exactly 20
       // samples each (event_id % 500): correct = value > 40; the
@@ -320,6 +360,60 @@ object ExperimentQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "eval_token_f1" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS np,
+        |    trim(regexp_replace(lower(translate(text, 'e', 'a')),
+        |      '[^a-z0-9]+', ' ', 'g')) AS nr
+        |  FROM documents WHERE doc_id < 400 AND text IS NOT NULL),
+        |tp AS (
+        |  SELECT doc_id, t, count(*) AS cp FROM (
+        |    SELECT doc_id, unnest(string_split(np, ' ')) AS t FROM docs)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT doc_id, t, count(*) AS cr FROM (
+        |    SELECT doc_id, unnest(string_split(nr, ' ')) AS t FROM docs)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |ov AS (
+        |  SELECT coalesce(tp.doc_id, tr.doc_id) AS doc_id,
+        |    CAST(sum(coalesce(cp, 0)) AS BIGINT) AS n_pred,
+        |    CAST(sum(coalesce(cr, 0)) AS BIGINT) AS n_ref,
+        |    CAST(sum(least(coalesce(cp, 0), coalesce(cr, 0))) AS BIGINT)
+        |      AS n_common
+        |  FROM tp FULL OUTER JOIN tr
+        |    ON tp.doc_id = tr.doc_id AND tp.t = tr.t
+        |  GROUP BY 1),
+        |em AS (
+        |  SELECT doc_id, CAST(np = nr AS BIGINT) AS exact_match FROM docs),
+        |f AS (
+        |  SELECT em.doc_id,
+        |    coalesce(n_pred, 0) AS n_pred, coalesce(n_ref, 0) AS n_ref,
+        |    coalesce(n_common, 0) AS n_common, exact_match,
+        |    CASE WHEN coalesce(n_pred, 0) > 0
+        |      THEN CAST(n_common AS DOUBLE) / n_pred END AS pr,
+        |    CASE WHEN coalesce(n_ref, 0) > 0
+        |      THEN CAST(n_common AS DOUBLE) / n_ref END AS rc
+        |  FROM em LEFT JOIN ov ON em.doc_id = ov.doc_id)
+        |SELECT doc_id, n_pred, n_ref, n_common,
+        |  round(pr, 6) AS precision, round(rc, 6) AS recall,
+        |  round(CASE WHEN n_pred = 0 OR n_ref = 0
+        |      THEN CAST(exact_match AS DOUBLE)
+        |    WHEN n_common = 0 THEN 0.0
+        |    ELSE 2.0 * pr * rc / (pr + rc) END, 6) AS f1,
+        |  exact_match
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "eval_bradley_terry" -> graft.ops.Eval.bradleyTerrySql(
+      """SELECT 'm' || CAST(CASE WHEN event_id % (i + j + 2) <= i
+        |    THEN i ELSE j END AS VARCHAR) AS w,
+        |  'm' || CAST(i + j - CASE WHEN event_id % (i + j + 2) <= i
+        |    THEN i ELSE j END AS VARCHAR) AS l
+        |FROM (SELECT event_id, event_id % 8 AS i,
+        |        CAST(floor(event_id / 8) AS BIGINT) % 8 AS j
+        |      FROM events) t
+        |WHERE i <> j""".stripMargin, iterations = 12),
+
     "g_srm" ->
       """WITH obs AS (
         |  SELECT 'arm_' || CAST(user_id % 3 AS VARCHAR) AS arm,
@@ -521,7 +615,9 @@ object ExperimentQueries {
         |    CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(CASE WHEN value > 40.0 THEN 1 ELSE 0 END) AS BIGINT)
         |      AS c
-        |  FROM events GROUP BY 1
+        |  FROM events
+        |  WHERE value IS NOT NULL -- NULL correctness rows are excluded
+        |  GROUP BY 1              -- (neither pass nor fail), as in the op
         |  HAVING count(*) >= 5),
         |t AS (SELECT problem, n, c,
         |    product(CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE))

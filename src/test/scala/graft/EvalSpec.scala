@@ -58,4 +58,91 @@ class EvalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unequal rating counts"))
   }
+
+  test("mcnemar matches the hand-computed 2x2 cells and nulls the " +
+    "statistic when the models never disagree") {
+    // y: 6 rows; A right on 1-4, B right on 1-2 and 5:
+    // both=2 (r1, r2), a_only=2 (r3, r4), b_only=1 (r5), both_wrong=1 (r6)
+    val rows = Seq(
+      (1, 1, 1), (1, 1, 1),          // both correct
+      (1, 1, 0), (1, 1, 0),          // only A
+      (1, 0, 1),                     // only B
+      (1, 0, 0))                     // both wrong
+      .toDF("y", "pa", "pb")
+    val r = Eval.mcnemar(rows, col("y"), col("pa"), col("pb")).head()
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("n_both_correct") == 2L)
+    assert(r.getAs[Long]("n_a_only") == 2L)
+    assert(r.getAs[Long]("n_b_only") == 1L)
+    assert(r.getAs[Long]("n_both_wrong") == 1L)
+    assert(approx(r.getAs[Double]("acc_a"), 4.0 / 6))
+    assert(approx(r.getAs[Double]("acc_b"), 3.0 / 6))
+    // chi2_cc = (|2-1|-1)^2/(2+1) = 0
+    assert(approx(r.getAs[Double]("chi2_cc"), 0.0))
+    // identical predictions: b = c = 0 → null statistic, not 0/0
+    val same = Eval.mcnemar(rows, col("y"), col("pa"), col("pa")).head()
+    assert(same.isNullAt(same.fieldIndex("chi2_cc")))
+    // NULL predictions drop the row entirely (n shrinks)
+    val withNull = Seq((Some(1), Some(1), Some(1)),
+      (Some(1), None, Some(1))).toDF("y", "pa", "pb")
+    assert(Eval.mcnemar(withNull, col("y"), col("pa"), col("pb"))
+      .head().getAs[Long]("n") == 1L)
+  }
+
+  test("bradleyTerry recovers the skill ordering, is invariant to the " +
+    "judgment log's row order, and refuses an all-win item") {
+    // round-robin log with a strict skill gradient: in 10 games per
+    // pair, the higher-named item wins 7 (no item is unbeaten)
+    val pairs = for {
+      a <- Seq("x", "y", "z"); b <- Seq("x", "y", "z") if a < b
+      g <- 1 to 10
+    } yield if (g <= 7) (b, a) else (a, b)
+    val out = Eval.bradleyTerry(pairs.toDF("w", "l"), col("w"), col("l"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("rating"), r.getAs[Long]("rank"))).toMap
+    assert(out("z")._1 > out("y")._1 && out("y")._1 > out("x")._1)
+    assert(out("z")._2 == 1L && out("x")._2 == 3L)
+    // every item played 20 games; z won 14, x won 6
+    val full = Eval.bradleyTerry(pairs.toDF("w", "l"), col("w"), col("l"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_wins"), r.getAs[Long]("n_games"))).toMap
+    assert(full("z") == ((14L, 20L)) && full("x") == ((6L, 20L)))
+    // row order must not move the fit (the grid collapse is order-free
+    // and the MM loop runs on snapped values)
+    val shuffled = pairs.reverse
+    val out2 = Eval.bradleyTerry(shuffled.toDF("w", "l"), col("w"),
+        col("l"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rating")).toMap
+    assert(out.forall { case (k, (v, _)) => out2(k) == v })
+    // an unbeaten item has no finite MLE — loud refusal
+    val unbeaten = Seq(("a", "b"), ("a", "b"), ("b", "c")).toDF("w", "l")
+    val e = intercept[IllegalArgumentException] {
+      Eval.bradleyTerry(unbeaten, col("w"), col("l"))
+    }
+    assert(e.getMessage.contains("no finite MLE"))
+  }
+
+  test("tokenF1 matches the SQuAD recipe on hand-computed pairs") {
+    val rows = Seq(
+      // multiset overlap: pred "a a b", ref "a b b" → common = min
+      // counts = a:1+... = 1 + 1 = 2; P = 2/3, R = 2/3, F1 = 2/3
+      (1L, "a a b", "a b b"),
+      // exact match through normalization (case + punctuation)
+      (2L, "The cat!", "the CAT"),
+      // disjoint → f1 = 0, em = 0
+      (3L, "x y", "z w"),
+      // both sides normalize to nothing → f1 = em = 1
+      (4L, "!!!", "???"),
+      // one side empty → f1 = em = 0
+      (5L, "x", "!!!"))
+      .toDF("id", "p", "r")
+    val out = Eval.tokenF1(rows, col("id"), col("p"), col("r"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("f1"), r.getAs[Long]("exact_match"))).toMap
+    assert(approx(out(1L)._1, 2.0 / 3) && out(1L)._2 == 0L)
+    assert(approx(out(2L)._1, 1.0) && out(2L)._2 == 1L)
+    assert(approx(out(3L)._1, 0.0) && out(3L)._2 == 0L)
+    assert(approx(out(4L)._1, 1.0) && out(4L)._2 == 1L)
+    assert(approx(out(5L)._1, 0.0) && out(5L)._2 == 0L)
+  }
 }

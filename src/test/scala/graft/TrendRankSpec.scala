@@ -441,4 +441,41 @@ class TrendRankSpec extends SparkSpec {
     assert(approx(ab.getAs[Double]("z"), welch.getAs[Double]("t_stat"), 1e-9))
     assert(approx(ab.getAs[Double]("dof"), welch.getAs[Double]("dof"), 1e-9))
   }
+
+  test("kendallTau: ±1 on strict monotone data, hand-computed tau-b " +
+    "under ties, and the loud cell gate") {
+    import graft.ops.RankTests
+    val up = (1 to 20).map(i => (i.toDouble, i * 2.0)).toDF("x", "y")
+    assert(approx(RankTests.kendallTau(up, col("x"), col("y"))
+      .head().getAs[Double]("tau_b"), 1.0, 1e-12))
+    val down = (1 to 20).map(i => (i.toDouble, -i * 2.0)).toDF("x", "y")
+    assert(approx(RankTests.kendallTau(down, col("x"), col("y"))
+      .head().getAs[Double]("tau_b"), -1.0, 1e-12))
+    // hand-computed tie case: (1,1), (1,2), (2,1), (2,2)
+    // C = {(1,1)-(2,2)} = 1, D = {(1,2)-(2,1)} = 1, S = 0 → tau = 0;
+    // n0 = 6, n1 = n2 = 2 (one tie pair per x value / per y value)
+    val tied = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 1.0), (2.0, 2.0))
+      .toDF("x", "y")
+    val r = RankTests.kendallTau(tied, col("x"), col("y")).head()
+    assert(r.getAs[Long]("n_concordant") == 1L)
+    assert(r.getAs[Long]("n_discordant") == 1L)
+    assert(approx(r.getAs[Double]("tau_b"), 0.0))
+    // all rows one cell: both margins are pure ties → null face
+    val const = Seq((1.0, 1.0), (1.0, 1.0)).toDF("x", "y")
+    val cr = RankTests.kendallTau(const, col("x"), col("y")).head()
+    assert(cr.isNullAt(cr.fieldIndex("tau_b")))
+    // duplicated rows collapse to cells with counts: tau over
+    // (1,1)x3, (2,2)x2 is still exactly 1
+    val dup = Seq((1.0, 1.0), (1.0, 1.0), (1.0, 1.0), (2.0, 2.0),
+      (2.0, 2.0)).toDF("x", "y")
+    assert(approx(RankTests.kendallTau(dup, col("x"), col("y"))
+      .head().getAs[Double]("tau_b"),
+      // C = 6, D = 0; n = 5, n0 = 10, n1 = n2 = 3 + 1 = 4
+      6.0 / 6.0, 1e-12))
+    val e = intercept[IllegalArgumentException] {
+      RankTests.kendallTau((1 to 50).map(i => (i.toDouble, i.toDouble))
+        .toDF("x", "y"), col("x"), col("y"), maxCells = 10)
+    }
+    assert(e.getMessage.contains("distinct (x, y) cells"))
+  }
 }
