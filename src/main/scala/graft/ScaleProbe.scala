@@ -1373,6 +1373,40 @@ object ScaleProbe {
         time(s"markovTransitions n=$n entities=1M states=10")(
           graft.ops.Sessionize.markovTransitions(df, col("u"), col("t"),
             col("tie"), col("st")).collect())
+      case "prefeval" =>
+        // round-11 fifth wave at scale: Bradley-Terry over n judgments
+        // across a 64-item arena (one groupBy to the 2016-cell grid,
+        // driver MM); McNemar (one fused 4-counter pass); Kendall
+        // tau-b over n rows collapsing to <= 900 cells; token F1 over
+        // n/20 doc pairs (explode + two keyed counts + outer join).
+        val ev = spark.range(n).select(col("id"),
+          (pmod(xxhash64(col("id")), lit(1000)) / 10.0).as("v"),
+          pmod(xxhash64(col("id"), lit(1)), lit(64)).as("i"),
+          pmod(xxhash64(col("id"), lit(2)), lit(64)).as("j"))
+        ev.count()
+        val bt = ev.where(col("i") =!= col("j")).select(
+          concat(lit("m"), when(pmod(col("id"), col("i") + col("j") + 2)
+            <= col("i"), col("i")).otherwise(col("j"))).as("w"),
+          concat(lit("m"), col("i") + col("j")
+            - when(pmod(col("id"), col("i") + col("j") + 2) <= col("i"),
+              col("i")).otherwise(col("j"))).as("l"))
+        time(s"bradleyTerry n=$n items=64 iters=20")(
+          graft.ops.Eval.bradleyTerry(bt, col("w"), col("l")).count())
+        time(s"mcnemar n=$n")(
+          graft.ops.Eval.mcnemar(ev, col("v") > 50.0,
+            col("v") + pmod(col("id"), lit(20)) > 55.0,
+            col("v") + pmod(col("id"), lit(30)) > 60.0).count())
+        time(s"kendallTau n=$n cells<=900")(
+          graft.ops.RankTests.kendallTau(ev,
+            floor(col("v") / 5.0), floor(col("v") / 7.0)).count())
+        val docPairs = docs(n / 20).select(col("id"),
+          col("text").as("p"), translate(col("text"), "w", "x").as("r"))
+        time(s"tokenF1 nDocs=${n / 20} ~30 tokens/doc (native overlap)")(
+          graft.ops.Eval.tokenF1(docPairs, col("id"), col("p"), col("r"))
+            .agg(avg("f1")).collect())
+        time(s"tokenF1Exploded nDocs=${n / 20} (count-join baseline)")(
+          graft.ops.Eval.tokenF1Exploded(docPairs, col("id"), col("p"),
+            col("r")).agg(avg("f1")).collect())
       case "markovcollapse" =>
         // VERDICT r10 #7: does a partition-local consecutive-duplicate
         // pre-collapse beat the plain entity window when the event

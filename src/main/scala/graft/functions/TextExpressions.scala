@@ -476,7 +476,50 @@ case class UnicodeNormalize(child: Expression, form: String)
     copy(child = newChild)
 }
 
+/** Multiset intersection size of two SORTED string arrays:
+  * Σ_t min(count_a(t), count_b(t)) by a single two-pointer merge —
+  * the row-local core of the SQuAD token-F1 overlap
+  * (graft.ops.Eval.tokenF1). Inputs MUST be sorted ascending
+  * (sort_array's binary UTF8 order — the same comparison this merge
+  * uses), which the caller guarantees; the expression itself is then
+  * O(|a| + |b|) with no per-element boxing beyond the array access.
+  *
+  * Exists because the exploded alternative (two posexplodes → two
+  * (id, token)-keyed count aggregations → full-outer join → per-id
+  * reduce) costs FIVE corpus-sized shuffles — measured 283.5 s at 5M
+  * docs where this projection form needs none at all. Spark's own
+  * array_intersect is SET-semantics (drops multiplicity), so it
+  * cannot express the SQuAD overlap. */
+case class MultisetOverlap(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_multiset_overlap"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var common = 0L
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { common += 1L; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    common
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): MultisetOverlap =
+    copy(left = newLeft, right = newRight)
+}
+
 object MinHashShim {
+  def multisetOverlapCol(a: Column, b: Column): Column =
+    ExpressionUtils.column(MultisetOverlap(ExpressionUtils.expression(a),
+      ExpressionUtils.expression(b)))
   def jaroWinklerCol(a: Column, b: Column): Column =
     ExpressionUtils.column(JaroWinkler(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def minhashCol(shingles: Column, numHashes: Int): Column =

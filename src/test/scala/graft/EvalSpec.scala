@@ -145,4 +145,24 @@ class EvalSpec extends SparkSpec {
     assert(approx(out(4L)._1, 1.0) && out(4L)._2 == 1L)
     assert(approx(out(5L)._1, 0.0) && out(5L)._2 == 0L)
   }
+
+  test("tokenF1: the zero-shuffle native-overlap form is bit-equal to " +
+    "the exploded count-join baseline") {
+    // deterministic word soup with real multiset structure (repeats,
+    // partial overlap, punctuation, empty-normalization rows)
+    val rows = (0 until 200).map { i =>
+      def words(salt: Int, n: Int) = (0 until n)
+        .map(k => s"w${(i * 31 + k * salt) % 17}").mkString(" ")
+      val p = if (i % 19 == 0) "!!!" else words(3, 5 + i % 7) + "; extra."
+      val r = if (i % 23 == 0) "" else words(5, 4 + i % 6)
+      (i.toLong, p, r)
+    }.toDF("id", "p", "r")
+    def face(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val fast = face(Eval.tokenF1(rows, col("id"), col("p"), col("r")))
+    val slow = face(Eval.tokenF1Exploded(rows, col("id"), col("p"),
+      col("r")))
+    assert(fast.keySet == slow.keySet)
+    fast.foreach { case (k, v) => assert(v == slow(k), s"id $k: $v vs ${slow(k)}") }
+  }
 }

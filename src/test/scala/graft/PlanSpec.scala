@@ -466,4 +466,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("g_mcnemar: one fused 4-counter aggregation — no window, no join") {
+    val p = plan("g_mcnemar")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum"), p) // map-side combined
+  }
+
+  test("g_kendall_tau: pair work joins CELLS (post-aggregate), " +
+    "never raw rows") {
+    val p = plan("g_kendall_tau")
+    // the only join input is the collapsed (x, y, c) cell table — both
+    // sides aggregate BEFORE the join, so a join over raw events
+    // (HashAggregate above a join of two scans) would flip this order
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0, p)
+    val aggBeforeJoin = p.substring(joinIdx)
+      .contains("HashAggregate")
+    assert(aggBeforeJoin, s"expected the cell aggregates BELOW the join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("eval_bradley_terry: corpus work is ONE grid aggregation; the " +
+    "rating table is a driver-local scan") {
+    // the MM loop runs on the collected bounded grid, so the final
+    // frame must be a LocalTableScan/LocalRelation (+ the rank window
+    // over k rows) — no corpus-sized operator above it
+    val p = plan("eval_bradley_terry")
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"), p)
+    assert(!p.contains("parquet"), s"corpus scan leaked into the rating frame:\n$p")
+  }
+
+  test("eval_token_f1: overlap joins are keyed (id, token) — " +
+    "no cartesian, no broadcast of the corpus") {
+    val p = plan("eval_token_f1")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
