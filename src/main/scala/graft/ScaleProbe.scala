@@ -1373,6 +1373,22 @@ object ScaleProbe {
         time(s"markovTransitions n=$n entities=1M states=10")(
           graft.ops.Sessionize.markovTransitions(df, col("u"), col("t"),
             col("tie"), col("st")).collect())
+      case "driftdist" =>
+        // r11 drift pair at scale: values quantized to 1 dp over a
+        // [0, 1000) range → ≤ 10k distinct cells from n rows; both ops
+        // are the ksStatistic collapse with different reduces (W1 adds
+        // the lead window over the bounded collapsed table).
+        val df = spark.range(n).select(
+          (pmod(xxhash64(col("id")), lit(10000)) / 10.0
+            + when(pmod(col("id"), lit(2)) === 0, 25.0).otherwise(0.0)).as("v"),
+          when(pmod(col("id"), lit(2)) === 0, "a").otherwise("b").as("g"))
+        df.count()
+        time(s"wasserstein1 n=$n distinct<=12k")(
+          println("[probe] w1 = " + Stats.wasserstein1(df, col("v"),
+            col("g"), "a", "b", maxDistinct = 20000).head()))
+        time(s"cramerVonMises n=$n distinct<=12k")(
+          println("[probe] cvm = " + Stats.cramerVonMises(df, col("v"),
+            col("g"), "a", "b").head()))
       case "prefeval" =>
         // round-11 fifth wave at scale: Bradley-Terry over n judgments
         // across a 64-item arena (one groupBy to the 2016-cell grid,

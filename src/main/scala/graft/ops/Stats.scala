@@ -410,6 +410,87 @@ object Stats {
       .select(col("ks_stat"), lit(nA).as("n_a"), lit(nB).as("n_b"))
   }
 
+  /** 1-D Wasserstein-1 (earth mover's) distance between the `value`
+    * distributions of groups `a` and `b`:
+    * W₁ = ∫ |F_a(x) − F_b(x)| dx = Σ_i |F_a(v_i) − F_b(v_i)|·(v_{i+1} − v_i)
+    * over the sorted distinct values — the magnitude-sensitive drift
+    * companion to [[ksStatistic]] (KS says WHETHER the distributions
+    * moved; W₁ says HOW FAR, in the value's own units, and unlike KS it
+    * doesn't saturate at 1 on disjoint supports). Returns ONE row
+    * (w1, n_a, n_b, n_distinct).
+    *
+    * Scale shape: the corpus collapses to distinct values with per-group
+    * counts in ONE map-side-combined pass; the CDF windows then run over
+    * that collapsed table. The integral needs CONSECUTIVE value gaps, so
+    * unlike [[ksStatistic]]'s max (prefix-sum-able), this op carries the
+    * bounded-collapse contract: a loud `maxDistinct` gate (the
+    * [[graft.ops.RankTests.kendallTau]] discipline) — a continuous 100 TB
+    * column must be quantized first (round to the precision the drift
+    * decision cares about; W₁ changes by at most the quantum), never the
+    * gate raised blindly. */
+  def wasserstein1(df: DataFrame, value: Column, group: Column,
+      a: String, b: String, maxDistinct: Int = 65536): DataFrame = {
+    val counts = df.where(group.isin(a, b) && value.isNotNull)
+      .groupBy(value.cast("double").as("v"))
+      .agg(sum(when(group === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(group === b, 1L).otherwise(0L)).as("cb"))
+    val g = counts.limit(maxDistinct + 1).agg(count(lit(1))).head().getLong(0)
+    require(g <= maxDistinct,
+      s"wasserstein1: > $maxDistinct distinct values — quantize the " +
+        "column first (the integral needs consecutive value gaps; " +
+        "rounding moves W1 by at most the quantum)")
+    val totals = counts.agg(sum("ca"), sum("cb")).head()
+    val (nA, nB) = (totals.getLong(0), totals.getLong(1))
+    require(nA > 0 && nB > 0,
+      s"wasserstein1: both groups must be non-empty, got n_a=$nA n_b=$nB")
+    val w = Window.orderBy("v")
+    counts
+      .withColumn("__cum_a", sum("ca").over(w))
+      .withColumn("__cum_b", sum("cb").over(w))
+      .withColumn("__dx", lead("v", 1).over(w) - col("v"))
+      .where(col("__dx").isNotNull) // last value: F_a = F_b = 1, no gap
+      .agg(coalesce(sum(
+        abs(col("__cum_a") / lit(nA.toDouble)
+          - col("__cum_b") / lit(nB.toDouble)) * col("__dx")), lit(0.0))
+        .as("w1"))
+      .select(col("w1"), lit(nA).as("n_a"), lit(nB).as("n_b"),
+        lit(g).as("n_distinct"))
+  }
+
+  /** Two-sample Cramér–von Mises statistic (Anderson 1962):
+    * T = (n_a·n_b / N²) · Σ_{x ∈ combined sample} [F_a(x) − F_b(x)]²
+    * — the whole-curve drift test between [[ksStatistic]]'s single
+    * worst gap and [[wasserstein1]]'s unit-carrying integral: T weighs
+    * EVERY observation's ECDF discrepancy, so a broad small shift that
+    * never produces one large gap still registers. Returns ONE row
+    * (cvm, n_a, n_b).
+    *
+    * Scale shape: identical to [[ksStatistic]] — one distinct-value
+    * collapse, distributed prefix sums for both CDFs, one scalar
+    * reduce weighted by the per-value multiplicity. No consecutive-gap
+    * term, so no bounded-collapse gate is needed. */
+  def cramerVonMises(df: DataFrame, value: Column, group: Column,
+      a: String, b: String): DataFrame = {
+    val counts = df.where(group.isin(a, b) && value.isNotNull)
+      .groupBy(value.cast("double").as("v"))
+      .agg(sum(when(group === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(group === b, 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(sum("ca"), sum("cb")).head()
+    val (nA, nB) = (totals.getLong(0), totals.getLong(1))
+    require(nA > 0 && nB > 0,
+      s"cramerVonMises: both groups must be non-empty, got n_a=$nA n_b=$nB")
+    val n = (nA + nB).toDouble
+    val cum = SlidingWindows.withRunningTotal(
+      SlidingWindows.withRunningTotal(counts, Seq(col("v")), col("ca"), "cum_a"),
+      Seq(col("v")), col("cb"), "cum_b")
+    val d = col("cum_a") / lit(nA.toDouble) - col("cum_b") / lit(nB.toDouble)
+    // the n_a·n_b factor in DOUBLE — the long product overflows at
+    // ~3e9 rows per side
+    cum.agg(sum((col("ca") + col("cb")).cast("double") * d * d).as("__s"))
+      .select((col("__s") * lit(nA.toDouble * nB.toDouble / (n * n))).as("cvm"),
+        lit(nA).as("n_a"), lit(nB).as("n_b"))
+  }
+
   /** Welch's unequal-variance t-test between groups `a` and `b` on
     * `value`: t statistic + Welch–Satterthwaite degrees of freedom (plus
     * the group means). ONE map-side-combinable aggregation — conditional

@@ -728,6 +728,28 @@ object AnalyticsQueries {
         .select(round(col("ks_stat"), 6).as("ks_stat"), col("n_a"), col("n_b"))
     }),
 
+    "g_wasserstein" -> ((s, dir) => {
+      // Magnitude-sensitive drift companion to g_ks_drift: W1 between
+      // click and view values in the value's own units. Values are
+      // quantized to 0.1 by the fixture generator, so the distinct
+      // table is bounded without extra binning.
+      val ev = table(s, dir, "events")
+      Stats.wasserstein1(ev, col("value"), col("event_type"),
+          "click", "view")
+        .select(round(col("w1"), 6).as("w1"), col("n_a"), col("n_b"),
+          col("n_distinct"))
+    }),
+
+    "g_cvm_drift" -> ((s, dir) => {
+      // Whole-curve drift test between click and view values: every
+      // observation's ECDF gap counts, not just the worst one (KS) or
+      // the unit-weighted integral (W1).
+      val ev = table(s, dir, "events")
+      Stats.cramerVonMises(ev, col("value"), col("event_type"),
+          "click", "view")
+        .select(round(col("cvm"), 6).as("cvm"), col("n_a"), col("n_b"))
+    }),
+
     "g_welch_ttest" -> ((s, dir) => {
       val ev = table(s, dir, "events")
       Stats.welchTTest(ev, col("value"), col("event_type"), "click", "view")
@@ -2281,6 +2303,50 @@ object AnalyticsQueries {
         |               sum(cb) OVER (ORDER BY v) AS ckb FROM c)
         |SELECT round(max(abs(CAST(cka AS DOUBLE) / na - CAST(ckb AS DOUBLE) / nb)), 6) AS ks_stat,
         |       na AS n_a, nb AS n_b
+        |FROM cum CROSS JOIN n GROUP BY na, nb""".stripMargin,
+
+    "g_wasserstein" ->
+      """WITH c AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        |  GROUP BY 1),
+        |n AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |             CAST(sum(cb) AS BIGINT) AS nb,
+        |             CAST(count(*) AS BIGINT) AS nd FROM c),
+        |cum AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v) AS cka,
+        |    sum(cb) OVER (ORDER BY v) AS ckb,
+        |    lead(v) OVER (ORDER BY v) - v AS dx
+        |  FROM c)
+        |SELECT round(coalesce(sum(
+        |    abs(CAST(cka AS DOUBLE) / na - CAST(ckb AS DOUBLE) / nb)
+        |      * dx), 0.0), 6) AS w1,
+        |  na AS n_a, nb AS n_b, nd AS n_distinct
+        |FROM cum CROSS JOIN n
+        |WHERE dx IS NOT NULL
+        |GROUP BY na, nb, nd""".stripMargin,
+
+    "g_cvm_drift" ->
+      """WITH c AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        |  GROUP BY 1),
+        |n AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |             CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        |cum AS (SELECT ca, cb,
+        |    sum(ca) OVER (ORDER BY v) AS cka,
+        |    sum(cb) OVER (ORDER BY v) AS ckb
+        |  FROM c)
+        |SELECT round(sum(CAST(ca + cb AS DOUBLE) *
+        |    pow(CAST(cka AS DOUBLE) / na - CAST(ckb AS DOUBLE) / nb, 2))
+        |    * (CAST(na AS DOUBLE) * nb / pow(na + nb, 2)), 6) AS cvm,
+        |  na AS n_a, nb AS n_b
         |FROM cum CROSS JOIN n GROUP BY na, nb""".stripMargin,
 
     "g_welch_ttest" ->

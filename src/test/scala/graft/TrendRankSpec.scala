@@ -478,4 +478,58 @@ class TrendRankSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("distinct (x, y) cells"))
   }
+
+  test("wasserstein1: exact on point masses, shifts, and multiplicity; " +
+    "loud on an unbounded distinct table") {
+    import graft.ops.Stats
+    def w1(rows: Seq[(Double, String)]): Double =
+      Stats.wasserstein1(rows.toDF("v", "g"), col("v"), col("g"), "a", "b")
+        .head().getAs[Double]("w1")
+    // two point masses: W1 = the distance between them
+    assert(approx(w1(Seq((0.0, "a"), (5.0, "b"))), 5.0, 1e-12))
+    // identical samples: 0
+    assert(approx(w1(Seq((0.0, "a"), (1.0, "a"), (0.0, "b"), (1.0, "b"))),
+      0.0))
+    // a shift moves W1 by exactly the shift
+    val shifted = Seq(1.0, 2.0, 3.0).map(_ -> "a") ++
+      Seq(2.0, 3.0, 4.0).map(_ -> "b")
+    assert(approx(w1(shifted), 1.0, 1e-12))
+    // multiplicity: a = {0, 0, 2}, b = {1, 1, 1}:
+    // |2/3 - 0|*1 + |2/3 - 1|*1 = 1
+    val mult = Seq((0.0, "a"), (0.0, "a"), (2.0, "a"),
+      (1.0, "b"), (1.0, "b"), (1.0, "b"))
+    assert(approx(w1(mult), 1.0, 1e-12))
+    // unlike KS (which saturates at 1), disjoint FAR supports scale
+    assert(approx(w1(Seq((0.0, "a"), (100.0, "b"))), 100.0, 1e-12))
+    val e2 = intercept[IllegalArgumentException] {
+      Stats.wasserstein1((1 to 40).map(i => (i.toDouble, if (i % 2 == 0)
+        "a" else "b")).toDF("v", "g"), col("v"), col("g"), "a", "b",
+        maxDistinct = 10)
+    }
+    assert(e2.getMessage.contains("quantize"))
+  }
+
+  test("cramerVonMises: zero on identical samples, hand-computed on a " +
+    "two-point fixture, and sensitive to a broad shift KS understates") {
+    import graft.ops.Stats
+    def cvm(rows: Seq[(Double, String)]): Double =
+      Stats.cramerVonMises(rows.toDF("v", "g"), col("v"), col("g"),
+        "a", "b").head().getAs[Double]("cvm")
+    assert(approx(
+      cvm(Seq((1.0, "a"), (2.0, "a"), (1.0, "b"), (2.0, "b"))), 0.0))
+    // a = {0}, b = {1}: at v=0 d = 1 (weight 1), at v=1 d = 0 (weight 1)
+    // T = (1·1/4)·(1·1² + 1·0²) = 0.25
+    assert(approx(cvm(Seq((0.0, "a"), (1.0, "b"))), 0.25, 1e-12))
+    // interleaved half-step shift: every a point leads by exactly 1/50,
+    // every b point closes the gap — KS sees only the single-step 0.02,
+    // CvM integrates the 50 alternating gaps:
+    // T = (50·50/100²)·50·(1/50)² = 0.005, exactly
+    val broad = (1 to 50).map(i => (i.toDouble, "a")) ++
+      (1 to 50).map(i => (i + 0.5, "b"))
+    val t = cvm(broad)
+    val ks = Stats.ksStatistic(broad.toDF("v", "g"), col("v"), col("g"),
+      "a", "b").head().getAs[Double]("ks_stat")
+    assert(approx(ks, 0.02, 1e-12) && approx(t, 0.005, 1e-12),
+      s"ks=$ks cvm=$t")
+  }
 }
