@@ -113,23 +113,27 @@ object Eval {
     val base = df.where(yTrue.isNotNull && predA.isNotNull
         && predB.isNotNull)
       .select((predA === yTrue).as("__a"), (predB === yTrue).as("__b"))
+    // coalesce: sum over ZERO rows is null — an empty eval set should
+    // face zero counts (and null accuracies), not a row of nulls
     val cells = base.agg(
-      sum(when(col("__a") && col("__b"), 1L).otherwise(0L))
-        .as("n_both_correct"),
-      sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("n_a_only"),
-      sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("n_b_only"),
-      sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L))
-        .as("n_both_wrong"))
+      coalesce(sum(when(col("__a") && col("__b"), 1L).otherwise(0L)),
+        lit(0L)).as("n_both_correct"),
+      coalesce(sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)),
+        lit(0L)).as("n_a_only"),
+      coalesce(sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)),
+        lit(0L)).as("n_b_only"),
+      coalesce(sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L)),
+        lit(0L)).as("n_both_wrong"))
     val n = col("n_both_correct") + col("n_a_only") + col("n_b_only") +
       col("n_both_wrong")
     val b = col("n_a_only").cast("double")
     val c = col("n_b_only").cast("double")
     cells
       .withColumn("n", n)
-      .withColumn("acc_a",
-        (col("n_both_correct") + col("n_a_only")).cast("double") / n)
-      .withColumn("acc_b",
-        (col("n_both_correct") + col("n_b_only")).cast("double") / n)
+      .withColumn("acc_a", when(n > 0,
+        (col("n_both_correct") + col("n_a_only")).cast("double") / n))
+      .withColumn("acc_b", when(n > 0,
+        (col("n_both_correct") + col("n_b_only")).cast("double") / n))
       .withColumn("chi2_cc", when(b + c > 0,
         pow(abs(b - c) - 1.0, 2) / (b + c)))
       .select(col("n"), col("n_both_correct"), col("n_a_only"),

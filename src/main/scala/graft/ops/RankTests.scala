@@ -243,7 +243,8 @@ object RankTests {
           .as("n_concordant"),
         coalesce(sum(when(col("__s") < 0, col("__w"))), lit(0L))
           .as("n_discordant"))
-    val margins = cells.agg(sum("__c").as("n")).crossJoin(broadcast(
+    val margins = cells.agg(coalesce(sum("__c"), lit(0L)).as("n"))
+      .crossJoin(broadcast(
         cells.groupBy("__x").agg(sum("__c").as("__t"))
           .agg(coalesce(sum(col("__t") * (col("__t") - 1)), lit(0L))
             .as("__tx2"))))

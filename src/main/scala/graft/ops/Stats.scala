@@ -439,7 +439,10 @@ object Stats {
       s"wasserstein1: > $maxDistinct distinct values — quantize the " +
         "column first (the integral needs consecutive value gaps; " +
         "rounding moves W1 by at most the quantum)")
-    val totals = counts.agg(sum("ca"), sum("cb")).head()
+    // coalesce: sum over ZERO rows is null — the loud require below
+    // must fire with real counts, not a NullPointerException
+    val totals = counts.agg(coalesce(sum("ca"), lit(0L)),
+      coalesce(sum("cb"), lit(0L))).head()
     val (nA, nB) = (totals.getLong(0), totals.getLong(1))
     require(nA > 0 && nB > 0,
       s"wasserstein1: both groups must be non-empty, got n_a=$nA n_b=$nB")
@@ -475,7 +478,8 @@ object Stats {
       .groupBy(value.cast("double").as("v"))
       .agg(sum(when(group === a, 1L).otherwise(0L)).as("ca"),
         sum(when(group === b, 1L).otherwise(0L)).as("cb"))
-    val totals = counts.agg(sum("ca"), sum("cb")).head()
+    val totals = counts.agg(coalesce(sum("ca"), lit(0L)),
+      coalesce(sum("cb"), lit(0L))).head()
     val (nA, nB) = (totals.getLong(0), totals.getLong(1))
     require(nA > 0 && nB > 0,
       s"cramerVonMises: both groups must be non-empty, got n_a=$nA n_b=$nB")
