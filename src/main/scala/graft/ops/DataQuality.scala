@@ -181,16 +181,20 @@ object DataQuality {
     val spark = df.sparkSession
     val mult = math.pow(10.0, scale)
     // largest double strictly below Long.MaxValue; >= comparison catches
-    // every value whose round would saturate the long cast
+    // every value whose round would saturate the long cast — Infinity
+    // included (it compares greater). NaN never reaches this guard: the
+    // filter below excludes it explicitly, because Spark orders NaN
+    // ABOVE every number so `amount > 0` alone would admit it and the
+    // overflow error would mis-diagnose a not-a-number as "too large".
     val guarded = when(abs(amount * mult) < lit(9.223372036854775e18),
         round(amount * mult))
       .otherwise(raise_error(concat(
-        lit(s"benford: |amount| * 1e$scale overflows the exact long " +
+        lit(s"benford: |amount| * 1e$scale exceeds the exact long " +
           "range on value "), amount.cast("string"),
-        lit(" — use a smaller scale"))))
+        lit(" — use a smaller scale (or drop non-finite amounts)"))))
     val digit = substring(
       guarded.cast("long").cast("string"), 1, 1).cast("int")
-    val obs = df.where(amount > 0)
+    val obs = df.where(amount > 0 && !isnan(amount))
       .select(digit.as("digit"))
       .where(col("digit") >= 1) // amount*mult rounding to 0 ⇒ no digit
       .groupBy("digit").agg(count(lit(1)).as("n_obs"))

@@ -155,8 +155,10 @@ object Eval {
     * diverges there (Ford 1957's connectivity condition); filter such
     * items or add pseudo-judgments first. Self-judgments
     * (winner = loser) and NULL ids are dropped. Returns one row per
-    * item: (item, n_wins, n_games, rating, rank) — rating 6-dp, rank
-    * by rating desc then item asc.
+    * item: (item, n_wins, n_games, rating, rank) — rating is the raw
+    * 9-dp-snapped MM fixpoint (the query face rounds to 6 dp, and the
+    * [[bradleyTerrySql]] twin mirrors the QUERY face, not this op's),
+    * rank by rating desc then item asc.
     *
     * Scale shape: the corpus-sized work is ONE groupBy collapsing the
     * judgment log to the bounded unordered-pair grid (i < j, n_ij,
@@ -177,20 +179,30 @@ object Eval {
       .where(col("__w").isNotNull && col("__l").isNotNull
         && col("__w") =!= col("__l"))
     // ONE corpus pass: unordered-pair grid with i = min, j = max
-    val grid = pairs.select(
+    val gridDf = pairs.select(
         least(col("__w"), col("__l")).as("i"),
         greatest(col("__w"), col("__l")).as("j"),
         when(col("__w") <= col("__l"), 1L).otherwise(0L).as("__wi"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"), sum("__wi").as("wi"))
-      .collect().map(r => (r.getString(0), r.getString(1),
+    // the loud gate runs BEFORE any collect (the kendallTau limit-probe
+    // discipline) — an unbounded arena must fail with this message, not
+    // with a driver OOM from collecting its grid. The grid is persisted
+    // so the probe and the collect share ONE corpus collapse; both
+    // actions are eager, so the unpersist below is safe.
+    gridDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grid = try {
+      val nItems = gridDf.select(explode(array(col("i"), col("j"))).as("x"))
+        .distinct().limit(maxItems + 1).agg(count(lit(1))).head().getLong(0)
+      require(nItems >= 2, "bradleyTerry: need >= 2 items")
+      require(nItems <= maxItems,
+        s"bradleyTerry: > $maxItems distinct items — the pair grid stops " +
+          "being driver-sized; shard the arena or raise the limit " +
+          "deliberately")
+      gridDf.collect().map(r => (r.getString(0), r.getString(1),
         r.getLong(2), r.getLong(3)))
+    } finally gridDf.unpersist(blocking = false)
     val items = grid.flatMap(g => Seq(g._1, g._2)).distinct.sorted
-    require(items.length >= 2, "bradleyTerry: need >= 2 items")
-    require(items.length <= maxItems,
-      s"bradleyTerry: ${items.length} items > maxItems=$maxItems — the " +
-        "pair grid stops being driver-sized; shard the arena or raise " +
-        "the limit deliberately")
     val idx = items.zipWithIndex.toMap
     val k = items.length
     val wins = new Array[Long](k)

@@ -229,37 +229,49 @@ object RankTests {
       s"kendallTau: > $maxCells distinct (x, y) cells — bin or round " +
         "the coordinates first; pairwise concordance over an unbounded " +
         "cell table does not scale")
-    val a = cells.select(col("__x").as("__x1"), col("__y").as("__y1"),
-      col("__c").as("__c1"))
-    val b = cells.select(col("__x").as("__x2"), col("__y").as("__y2"),
-      col("__c").as("__c2"))
-    // lexicographic dedupe of unordered cell pairs
-    val cd = a.join(b, col("__x1") < col("__x2")
-        || (col("__x1") === col("__x2") && col("__y1") < col("__y2")))
-      .select((col("__c1") * col("__c2")).as("__w"),
-        (signum(col("__x2") - col("__x1"))
-          * signum(col("__y2") - col("__y1"))).as("__s"))
-      .agg(coalesce(sum(when(col("__s") > 0, col("__w"))), lit(0L))
-          .as("n_concordant"),
-        coalesce(sum(when(col("__s") < 0, col("__w"))), lit(0L))
-          .as("n_discordant"))
-    val margins = cells.agg(coalesce(sum("__c"), lit(0L)).as("n"))
-      .crossJoin(broadcast(
-        cells.groupBy("__x").agg(sum("__c").as("__t"))
-          .agg(coalesce(sum(col("__t") * (col("__t") - 1)), lit(0L))
-            .as("__tx2"))))
-      .crossJoin(broadcast(
-        cells.groupBy("__y").agg(sum("__c").as("__t"))
-          .agg(coalesce(sum(col("__t") * (col("__t") - 1)), lit(0L))
-            .as("__ty2"))))
-    cd.crossJoin(broadcast(margins))
-      .withColumn("__n0x2", col("n").cast("double") * (col("n") - 1))
-      .withColumn("__den", sqrt(
-        (col("__n0x2") - col("__tx2")) * (col("__n0x2") - col("__ty2"))) / 2.0)
-      .withColumn("tau_b", when(col("__den") > 0,
-        (col("n_concordant") - col("n_discordant")).cast("double")
-          / col("__den")))
-      .select(col("n"), col("n_concordant"), col("n_discordant"),
-        col("tau_b"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the gate probe, the concordance join, and the three margin
+    // reduces all read the bounded cell table — persist it so the
+    // corpus collapse runs ONCE (every downstream action is eager, so
+    // the unpersist is safe); products and tie terms accumulate in
+    // EXACT decimal lanes — c1·c2 and t(t−1) wrap a 64-bit long at
+    // multi-billion-row cells (the SCALE.md double-lane discipline,
+    // but exact: these are counts on the output face)
+    cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val a = cells.select(col("__x").as("__x1"), col("__y").as("__y1"),
+        col("__c").as("__c1"))
+      val b = cells.select(col("__x").as("__x2"), col("__y").as("__y2"),
+        col("__c").as("__c2"))
+      val dec = "decimal(38,0)"
+      // lexicographic dedupe of unordered cell pairs
+      val cdRow = a.join(b, col("__x1") < col("__x2")
+          || (col("__x1") === col("__x2") && col("__y1") < col("__y2")))
+        .select((col("__c1").cast("decimal(19,0)")
+            * col("__c2").cast("decimal(19,0)")).as("__w"),
+          (signum(col("__x2") - col("__x1"))
+            * signum(col("__y2") - col("__y1"))).as("__s"))
+        .agg(coalesce(sum(when(col("__s") > 0, col("__w"))),
+            lit(0).cast(dec)).as("c"),
+          coalesce(sum(when(col("__s") < 0, col("__w"))),
+            lit(0).cast(dec)).as("d"))
+        .head()
+      val (cBig, dBig) = (cdRow.getDecimal(0), cdRow.getDecimal(1))
+      val n = cells.agg(coalesce(sum("__c"), lit(0L))).head().getLong(0)
+      def tiePairs2(key: Column): Double =
+        cells.groupBy(key).agg(sum("__c").as("__t"))
+          .agg(coalesce(sum(col("__t").cast("decimal(19,0)")
+              * (col("__t") - 1).cast("decimal(19,0)")), lit(0).cast(dec)))
+          .head().getDecimal(0).doubleValue
+      val (tx2, ty2) = (tiePairs2(col("__x")), tiePairs2(col("__y")))
+      // identical double sequence as the DuckDB twin's face
+      val n0x2 = n.toDouble * (n - 1)
+      val den = math.sqrt((n0x2 - tx2) * (n0x2 - ty2)) / 2.0
+      val tau: Option[Double] = if (den > 0)
+        Some(cBig.subtract(dBig).doubleValue / den) else None
+      Seq((n, cBig.longValueExact(), dBig.longValueExact(), tau))
+        .toDF("n", "n_concordant", "n_discordant", "tau_b")
+    } finally cells.unpersist(blocking = false)
   }
 }

@@ -430,34 +430,43 @@ object Stats {
     * gate raised blindly. */
   def wasserstein1(df: DataFrame, value: Column, group: Column,
       a: String, b: String, maxDistinct: Int = 65536): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val counts = df.where(group.isin(a, b) && value.isNotNull)
       .groupBy(value.cast("double").as("v"))
       .agg(sum(when(group === a, 1L).otherwise(0L)).as("ca"),
         sum(when(group === b, 1L).otherwise(0L)).as("cb"))
-    val g = counts.limit(maxDistinct + 1).agg(count(lit(1))).head().getLong(0)
-    require(g <= maxDistinct,
-      s"wasserstein1: > $maxDistinct distinct values — quantize the " +
-        "column first (the integral needs consecutive value gaps; " +
-        "rounding moves W1 by at most the quantum)")
-    // coalesce: sum over ZERO rows is null — the loud require below
-    // must fire with real counts, not a NullPointerException
-    val totals = counts.agg(coalesce(sum("ca"), lit(0L)),
-      coalesce(sum("cb"), lit(0L))).head()
-    val (nA, nB) = (totals.getLong(0), totals.getLong(1))
-    require(nA > 0 && nB > 0,
-      s"wasserstein1: both groups must be non-empty, got n_a=$nA n_b=$nB")
-    val w = Window.orderBy("v")
-    counts
-      .withColumn("__cum_a", sum("ca").over(w))
-      .withColumn("__cum_b", sum("cb").over(w))
-      .withColumn("__dx", lead("v", 1).over(w) - col("v"))
-      .where(col("__dx").isNotNull) // last value: F_a = F_b = 1, no gap
-      .agg(coalesce(sum(
-        abs(col("__cum_a") / lit(nA.toDouble)
-          - col("__cum_b") / lit(nB.toDouble)) * col("__dx")), lit(0.0))
-        .as("w1"))
-      .select(col("w1"), lit(nA).as("n_a"), lit(nB).as("n_b"),
-        lit(g).as("n_distinct"))
+    // the gate probe, the totals, and the integral all read the bounded
+    // collapsed table — persist it so the corpus collapse runs ONCE
+    // (all three actions are eager; the face is rebuilt locally below,
+    // so the unpersist is safe)
+    counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val g = counts.limit(maxDistinct + 1).agg(count(lit(1)))
+        .head().getLong(0)
+      require(g <= maxDistinct,
+        s"wasserstein1: > $maxDistinct distinct values — quantize the " +
+          "column first (the integral needs consecutive value gaps; " +
+          "rounding moves W1 by at most the quantum)")
+      // coalesce: sum over ZERO rows is null — the loud require below
+      // must fire with real counts, not a NullPointerException
+      val totals = counts.agg(coalesce(sum("ca"), lit(0L)),
+        coalesce(sum("cb"), lit(0L))).head()
+      val (nA, nB) = (totals.getLong(0), totals.getLong(1))
+      require(nA > 0 && nB > 0,
+        s"wasserstein1: both groups must be non-empty, got n_a=$nA n_b=$nB")
+      val w = Window.orderBy("v")
+      val w1 = counts
+        .withColumn("__cum_a", sum("ca").over(w))
+        .withColumn("__cum_b", sum("cb").over(w))
+        .withColumn("__dx", lead("v", 1).over(w) - col("v"))
+        .where(col("__dx").isNotNull) // last value: F_a = F_b = 1, no gap
+        .agg(coalesce(sum(
+          abs(col("__cum_a") / lit(nA.toDouble)
+            - col("__cum_b") / lit(nB.toDouble)) * col("__dx")), lit(0.0)))
+        .head().getDouble(0)
+      Seq((w1, nA, nB, g)).toDF("w1", "n_a", "n_b", "n_distinct")
+    } finally counts.unpersist(blocking = false)
   }
 
   /** Two-sample Cramér–von Mises statistic (Anderson 1962):
@@ -474,25 +483,34 @@ object Stats {
     * term, so no bounded-collapse gate is needed. */
   def cramerVonMises(df: DataFrame, value: Column, group: Column,
       a: String, b: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val counts = df.where(group.isin(a, b) && value.isNotNull)
       .groupBy(value.cast("double").as("v"))
       .agg(sum(when(group === a, 1L).otherwise(0L)).as("ca"),
         sum(when(group === b, 1L).otherwise(0L)).as("cb"))
-    val totals = counts.agg(coalesce(sum("ca"), lit(0L)),
-      coalesce(sum("cb"), lit(0L))).head()
-    val (nA, nB) = (totals.getLong(0), totals.getLong(1))
-    require(nA > 0 && nB > 0,
-      s"cramerVonMises: both groups must be non-empty, got n_a=$nA n_b=$nB")
-    val n = (nA + nB).toDouble
-    val cum = SlidingWindows.withRunningTotal(
-      SlidingWindows.withRunningTotal(counts, Seq(col("v")), col("ca"), "cum_a"),
-      Seq(col("v")), col("cb"), "cum_b")
-    val d = col("cum_a") / lit(nA.toDouble) - col("cum_b") / lit(nB.toDouble)
-    // the n_a·n_b factor in DOUBLE — the long product overflows at
-    // ~3e9 rows per side
-    cum.agg(sum((col("ca") + col("cb")).cast("double") * d * d).as("__s"))
-      .select((col("__s") * lit(nA.toDouble * nB.toDouble / (n * n))).as("cvm"),
-        lit(nA).as("n_a"), lit(nB).as("n_b"))
+    // persist: the totals pass and the prefix-sum passes all read the
+    // bounded collapsed table — one corpus collapse, not three
+    counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totals = counts.agg(coalesce(sum("ca"), lit(0L)),
+        coalesce(sum("cb"), lit(0L))).head()
+      val (nA, nB) = (totals.getLong(0), totals.getLong(1))
+      require(nA > 0 && nB > 0,
+        s"cramerVonMises: both groups must be non-empty, got n_a=$nA n_b=$nB")
+      val n = (nA + nB).toDouble
+      val cum = SlidingWindows.withRunningTotal(
+        SlidingWindows.withRunningTotal(counts, Seq(col("v")), col("ca"), "cum_a"),
+        Seq(col("v")), col("cb"), "cum_b")
+      val d = col("cum_a") / lit(nA.toDouble) - col("cum_b") / lit(nB.toDouble)
+      // the n_a·n_b factor in DOUBLE — the long product overflows at
+      // ~3e9 rows per side
+      val s = cum.agg(coalesce(sum(
+          (col("ca") + col("cb")).cast("double") * d * d), lit(0.0)))
+        .head().getDouble(0)
+      Seq((s * (nA.toDouble * nB.toDouble / (n * n)), nA, nB))
+        .toDF("cvm", "n_a", "n_b")
+    } finally counts.unpersist(blocking = false)
   }
 
   /** Welch's unequal-variance t-test between groups `a` and `b` on

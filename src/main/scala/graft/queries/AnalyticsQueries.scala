@@ -1791,7 +1791,11 @@ object AnalyticsQueries {
         |  SELECT event_type AS cur,
         |    lead(event_type) OVER (PARTITION BY user_id
         |      ORDER BY epoch_us(ts), event_id) AS nxt
-        |  FROM events WHERE event_type IS NOT NULL),
+        |  -- ts/event_id null filters mirror the op's pre-window drop
+        |  -- (Spark orders NULLs first, DuckDB last — an unfiltered NULL
+        |  -- would sit at different sequence positions per engine)
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND ts IS NOT NULL AND event_id IS NOT NULL),
         |t AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
         |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)
         |SELECT cur, nxt, n,
@@ -2321,13 +2325,14 @@ object AnalyticsQueries {
         |    sum(cb) OVER (ORDER BY v) AS ckb,
         |    lead(v) OVER (ORDER BY v) - v AS dx
         |  FROM c)
-        |SELECT round(coalesce(sum(
+        |-- scalar subquery, not GROUP BY: a single-distinct-value input
+        |-- leaves zero dx rows, and a grouped query would then return
+        |-- ZERO rows where the op faces one row with w1 = 0
+        |SELECT round(coalesce((SELECT sum(
         |    abs(CAST(cka AS DOUBLE) / na - CAST(ckb AS DOUBLE) / nb)
-        |      * dx), 0.0), 6) AS w1,
+        |      * dx) FROM cum WHERE dx IS NOT NULL), 0.0), 6) AS w1,
         |  na AS n_a, nb AS n_b, nd AS n_distinct
-        |FROM cum CROSS JOIN n
-        |WHERE dx IS NOT NULL
-        |GROUP BY na, nb, nd""".stripMargin,
+        |FROM n""".stripMargin,
 
     "g_cvm_drift" ->
       """WITH c AS (

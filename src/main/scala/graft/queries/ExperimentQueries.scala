@@ -975,7 +975,10 @@ object ExperimentQueries {
       """WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
         |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
-        |  FROM lineitem WHERE l_extendedprice > 0),
+        |  -- isnan mirror: both engines order NaN above every number,
+        |  -- so "> 0" alone would admit it on either side
+        |  FROM lineitem WHERE l_extendedprice > 0
+        |    AND NOT isnan(l_extendedprice)),
         |o AS (SELECT digit, count(*) AS n_obs FROM d
         |      WHERE digit >= 1 GROUP BY 1),
         |sp AS (SELECT CAST(r AS INT) AS digit,

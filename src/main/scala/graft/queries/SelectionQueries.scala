@@ -149,10 +149,15 @@ object SelectionQueries {
         |       FROM wed GROUP BY 1, 2),
         |ne AS (SELECT * FROM sc WHERE NOT EXISTS (
         |         SELECT 1 FROM und WHERE und.a = sc.a AND und.b = sc.b)),
+        |-- CAPPED degrees (neighbors that survived the hub cut), the
+        |-- same set the wedge numerator counted — mirrors the op's
+        |-- internally-consistent jaccard union (full degrees here would
+        |-- silently diverge the moment a fixture grows a hub)
+        |cdeg AS (SELECT nbr AS node, count(*) AS deg FROM cen GROUP BY 1),
         |j AS (SELECT ne.a, ne.b, ne.common_neighbors, ne.aa,
         |        da.deg AS dda, db.deg AS ddb
-        |      FROM ne JOIN deg da ON da.node = ne.a
-        |              JOIN deg db ON db.node = ne.b)
+        |      FROM ne JOIN cdeg da ON da.node = ne.a
+        |              JOIN cdeg db ON db.node = ne.b)
         |SELECT a, b, common_neighbors, round(aa, 6) AS adamic_adar,
         |  round(CAST(common_neighbors AS DOUBLE)
         |    / (dda + ddb - common_neighbors), 6) AS jaccard

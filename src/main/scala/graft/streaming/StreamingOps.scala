@@ -742,9 +742,16 @@ object StreamingOps {
                   "or wrap the tie-break")
               if (e.conv) {
                 // batch face: touch_t decodes from the packed key; the
-                // window check rides the decoded t only
+                // window check rides the decoded t only. The st.enc <
+                // convEnc clause keeps the batch op's strict-precedence
+                // rule under a violated ordering contract: a conversion
+                // replayed or reordered BEHIND a newer touch must never
+                // credit that future touch (batch can't — its window is
+                // preceding rows only); it degrades to "direct" instead.
+                val convEnc = e.t * (1L << 20) + e.tie
                 val touchT = st.enc >> 20
-                val inWindow = st.enc >= 0 && e.t - touchT <= lookback
+                val inWindow = st.enc >= 0 && st.enc < convEnc &&
+                  e.t - touchT <= lookback
                 out += AttributionHit(entity, e.t, e.tie, e.value,
                   if (inWindow) Option(st.label) else None,
                   if (inWindow) Some(touchT) else None)
