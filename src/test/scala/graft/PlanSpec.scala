@@ -474,18 +474,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p) // map-side combined
   }
 
-  test("g_kendall_tau: pair work joins CELLS (post-aggregate), " +
-    "never raw rows") {
+  test("g_kendall_tau: the statistic computes eagerly off the persisted " +
+    "cell collapse; the returned face is driver-local") {
+    // the concordance join and margin reduces run as eager actions over
+    // the bounded persisted cell table inside the op (pair work is
+    // cells², never rows²) — the RETURNED one-row frame must therefore
+    // be a local relation with no corpus operator above it
     val p = plan("g_kendall_tau")
-    // the only join input is the collapsed (x, y, c) cell table — both
-    // sides aggregate BEFORE the join, so a join over raw events
-    // (HashAggregate above a join of two scans) would flip this order
-    val joinIdx = p.indexOf("Join")
-    assert(joinIdx >= 0, p)
-    val aggBeforeJoin = p.substring(joinIdx)
-      .contains("HashAggregate")
-    assert(aggBeforeJoin, s"expected the cell aggregates BELOW the join:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"), p)
+    assert(!p.contains("parquet"),
+      s"corpus scan leaked into the tau face:\n$p")
   }
 
   test("eval_bradley_terry: corpus work is ONE grid aggregation; the " +
