@@ -815,7 +815,7 @@ object ScaleProbe {
             concat(lit("m"), when(col("aw"), col("b")).otherwise(col("a"))).as("l"))
         df.count()
         time(s"bradleyTerry n=$n items=64 iters=20")(
-          Stats.bradleyTerry(df, col("w"), col("l"), iterations = 20)
+          graft.ops.Eval.bradleyTerry(df, col("w"), col("l"), iterations = 20)
             .agg(count(lit(1)), sum("n_games")).collect()
             .foreach(row => println("  " + row)))
       case "conformal" =>

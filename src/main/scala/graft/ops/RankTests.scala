@@ -224,22 +224,23 @@ object RankTests {
     val cells = df.where(xd.isNotNull && yd.isNotNull)
       .groupBy(xd.as("__x"), yd.as("__y"))
       .agg(count(lit(1)).as("__c"))
-    val g = cells.limit(maxCells + 1).agg(count(lit(1))).head().getLong(0)
-    require(g <= maxCells,
-      s"kendallTau: > $maxCells distinct (x, y) cells — bin or round " +
-        "the coordinates first; pairwise concordance over an unbounded " +
-        "cell table does not scale")
     val spark = df.sparkSession
     import spark.implicits._
     // the gate probe, the concordance join, and the three margin
-    // reduces all read the bounded cell table — persist it so the
-    // corpus collapse runs ONCE (every downstream action is eager, so
-    // the unpersist is safe); products and tie terms accumulate in
-    // EXACT decimal lanes — c1·c2 and t(t−1) wrap a 64-bit long at
-    // multi-billion-row cells (the SCALE.md double-lane discipline,
-    // but exact: these are counts on the output face)
+    // reduces all read the bounded cell table — persist BEFORE the
+    // probe so the corpus-sized collapse runs ONCE (every downstream
+    // action is eager, so the unpersist is safe); products and tie
+    // terms accumulate in EXACT decimal lanes — c1·c2 and t(t−1) wrap
+    // a 64-bit long at multi-billion-row cells (the SCALE.md
+    // double-lane discipline, but exact: these are counts on the
+    // output face)
     cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val g = cells.limit(maxCells + 1).agg(count(lit(1))).head().getLong(0)
+      require(g <= maxCells,
+        s"kendallTau: > $maxCells distinct (x, y) cells — bin or round " +
+          "the coordinates first; pairwise concordance over an unbounded " +
+          "cell table does not scale")
       val a = cells.select(col("__x").as("__x1"), col("__y").as("__y1"),
         col("__c").as("__c1"))
       val b = cells.select(col("__x").as("__x2"), col("__y").as("__y2"),
@@ -270,6 +271,15 @@ object RankTests {
       val den = math.sqrt((n0x2 - tx2) * (n0x2 - ty2)) / 2.0
       val tau: Option[Double] = if (den > 0)
         Some(cBig.subtract(dBig).doubleValue / den) else None
+      // the output face carries the pair counts as BIGINT (the twin's
+      // type); past ~6e9 rows they overflow a long even though the
+      // decimal lanes computed tau exactly — refuse loudly instead of
+      // leaking a bare ArithmeticException from longValueExact
+      val longMax = java.math.BigDecimal.valueOf(Long.MaxValue)
+      require(cBig.compareTo(longMax) <= 0 && dBig.compareTo(longMax) <= 0,
+        s"kendallTau: concordant/discordant pair counts ($cBig / $dBig) " +
+          "exceed the BIGINT output face; tau is still exact — drop the " +
+          "count columns or bin coarser")
       Seq((n, cBig.longValueExact(), dBig.longValueExact(), tau))
         .toDF("n", "n_concordant", "n_discordant", "tau_b")
     } finally cells.unpersist(blocking = false)

@@ -264,7 +264,13 @@ object Sessionize extends Serializable {
         col("t"), lit(", "), col("tie"),
         lit(") outside [0, 2^43) x [0, 2^20) — coarsen the clock (ms, " +
           "not us) or wrap the tie-break"))))
-    val w = Window.partitionBy("k").orderBy(col("t"), col("tie"))
+    // the window orders by the CHECKED packed key (monotone in (t, tie),
+    // so the order is identical) — this makes the range check fire on
+    // EVERY row, conversions included, matching the streaming face's
+    // contract (a malformed conversion must raise here too, not pass
+    // silently while AttributionStream refuses it)
+    val checked = base.withColumn("__enc", enc)
+    val w = Window.partitionBy("k").orderBy(col("__enc"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // ONE window pass carries both the touch key and its label:
     // max/max_by ignore null ordering keys, so conversion rows never
@@ -272,11 +278,11 @@ object Sessionize extends Serializable {
     // instead costs a second corpus-sized shuffle (measured 176 s vs
     // ~90 s at 100M events); the label rides the same window for free.
     // touch_t decodes arithmetically from the packed key.
-    val convs = base
-      .withColumn("__touch_enc", max(when(!col("conv"), enc)).over(w))
+    val convs = checked
+      .withColumn("__touch_enc", max(when(!col("conv"), col("__enc"))).over(w))
       .withColumn("__touch_label",
         max_by(when(!col("conv"), col("label")),
-          when(!col("conv"), enc)).over(w))
+          when(!col("conv"), col("__enc"))).over(w))
       .where(col("conv"))
     convs
       // shiftright, not "/": long/long is DOUBLE division in non-ANSI

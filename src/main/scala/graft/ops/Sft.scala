@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * training text, the assistant-only loss-mask spans that SFT trainers
   * consume, and chosen/rejected preference pairs for DPO/RLHF reward
   * modeling (the data-construction counterpart of
-  * [[Stats.bradleyTerry]], which FITS strengths from pairs).
+  * [[Eval.bradleyTerry]], which FITS ratings from pairs).
   *
   * All three are one key-partitioned shuffle each (the conversation /
   * prompt id); turn content rides with the row.

@@ -513,6 +513,124 @@ object Stats {
     } finally counts.unpersist(blocking = false)
   }
 
+  /** Fused multi-column drift report — the 100 TB answer to "run the
+    * drift monitor over every feature": [[ksStatistic]], [[wasserstein1]],
+    * [[cramerVonMises]], and a PSI each cost one corpus pass per column,
+    * so a 100-feature monitor would pay 100 scans; this op MELTS the
+    * requested columns in ONE scan (explode to (feature, value), then a
+    * map-side-combined collapse to per-feature distinct-value cells) and
+    * computes all four statistics for every feature from that single
+    * collapsed table. Per feature: ks (max ECDF gap), w1 (the
+    * unit-carrying integral), cvm (the whole-curve T), and psi — PSI on
+    * EXACT reference-ECDF quantile bins (bin = ⌈F_a(v)·k⌉−1 clamped to
+    * [0, k−1], add-`psiAlpha` smoothing over the k-bin domain): unlike
+    * the production [[psi]] face it needs no separate reference
+    * bin-fitting pass, because the exact CDF is already on the collapsed
+    * table — ties collapse into one bin, so the two PSI variants agree
+    * exactly only on tie-free deciles.
+    *
+    * Scale shape: the explode multiplies rows ×|cols| BEFORE the
+    * partial aggregation, but the map-side combine collapses to cells
+    * immediately — the shuffle carries ≤ |cols|·distinct cells, never
+    * rows. The collapsed table is persisted so the bounded per-feature
+    * probe (|cols| rows out — it runs BEFORE any driver-sized
+    * materialization), the CDF windows (per-feature partitioned), and
+    * the PSI re-bin all share ONE corpus scan. The W1 gap term carries
+    * [[wasserstein1]]'s bounded-collapse contract per feature: a loud
+    * `maxDistinct` gate NAMING the offending features — quantize those
+    * columns first, never raise the gate blindly. All-null and
+    * single-group features are refused loudly by name (the
+    * [[wasserstein1]] non-empty contract). Returns one row per feature:
+    * (feature, n_a, n_b, n_distinct, ks, w1, cvm, psi), feature order. */
+  def driftReport(df: DataFrame, cols: Seq[String], group: Column,
+      a: String, b: String, maxDistinct: Int = 65536,
+      psiBins: Int = 10, psiAlpha: Double = 0.5): DataFrame = {
+    require(cols.nonEmpty, "driftReport: need at least one column")
+    require(cols.distinct.size == cols.size, "driftReport: duplicate columns")
+    require(psiBins >= 2, "driftReport: need psiBins >= 2")
+    require(psiAlpha > 0.0, "driftReport: psiAlpha must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val melted = df.where(group.isin(a, b))
+      .select(group.as("__g"),
+        explode(array(cols.map(c =>
+          struct(lit(c).as("f"), col(c).cast("double").as("v"))): _*)).as("__s"))
+      .select(col("__g"), col("__s.f").as("f"), col("__s.v").as("v"))
+      .where(col("v").isNotNull)
+    val cells = melted.groupBy("f", "v")
+      .agg(sum(when(col("__g") === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("cb"))
+    cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the gate probe is a bounded-output aggregate (|cols| rows) and
+      // runs BEFORE anything else touches the cell table
+      val per = cells.groupBy("f").agg(count(lit(1)).as("nd"),
+          coalesce(sum("ca"), lit(0L)).as("na"),
+          coalesce(sum("cb"), lit(0L)).as("nb")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val over = per.filter(_._2 > maxDistinct).map(_._1).sorted
+      require(over.isEmpty,
+        s"driftReport: [${over.mkString(", ")}] exceed $maxDistinct " +
+          "distinct values — quantize those columns first (the W1 gap " +
+          "term needs consecutive values; rounding moves W1 by at most " +
+          "the quantum)")
+      val missing = (cols.toSet -- per.map(_._1)).toSeq.sorted
+      require(missing.isEmpty,
+        s"driftReport: [${missing.mkString(", ")}] have no non-null " +
+          "values in either group")
+      val empty = per.filter(p => p._3 == 0 || p._4 == 0).map(_._1).sorted
+      require(empty.isEmpty,
+        s"driftReport: [${empty.mkString(", ")}] are empty in group " +
+          s"'$a' or '$b' — both slices must be non-empty per feature")
+      val totals = per.toSeq.toDF("f", "nd", "na", "nb")
+      val wf = Window.partitionBy("f").orderBy("v")
+      val cum = cells
+        .withColumn("__cum_a", sum("ca").over(wf))
+        .withColumn("__cum_b", sum("cb").over(wf))
+        .withColumn("__dx", lead("v", 1).over(wf) - col("v"))
+        .join(broadcast(totals), Seq("f"))
+        .withColumn("__d", col("__cum_a").cast("double") / col("na")
+          - col("__cum_b").cast("double") / col("nb"))
+      val triad = cum.groupBy("f", "na", "nb", "nd").agg(
+          max(abs(col("__d"))).as("ks"),
+          coalesce(sum(when(col("__dx").isNotNull,
+            abs(col("__d")) * col("__dx"))), lit(0.0)).as("w1"),
+          sum((col("ca") + col("cb")).cast("double")
+            * col("__d") * col("__d")).as("__s"))
+        .withColumn("cvm", col("__s") * (col("na").cast("double") * col("nb")
+          / ((col("na") + col("nb")).cast("double") * (col("na") + col("nb")))))
+      val binned = cum
+        .withColumn("__bin", least(greatest(
+          ceil(col("__cum_a").cast("double") / col("na") * lit(psiBins))
+            - lit(1L), lit(0L)), lit(psiBins - 1L)))
+        .groupBy("f", "na", "nb", "__bin")
+        .agg(sum("ca").as("nr"), sum("cb").as("nc"))
+      val dense = totals.select("f", "na", "nb")
+        .crossJoin(spark.range(psiBins).select(col("id").as("__bin")))
+        .join(binned, Seq("f", "na", "nb", "__bin"), "left")
+        .na.fill(0L, Seq("nr", "nc"))
+      val psiDf = dense
+        .withColumn("__p",
+          (col("nr") + lit(psiAlpha)) / (col("na") + lit(psiAlpha * psiBins)))
+        .withColumn("__q",
+          (col("nc") + lit(psiAlpha)) / (col("nb") + lit(psiAlpha * psiBins)))
+        .groupBy("f")
+        .agg(sum((col("__p") - col("__q")) * log(col("__p") / col("__q")))
+          .as("psi"))
+      val out = triad.join(psiDf, Seq("f"))
+        .select(col("f").as("feature"), col("na").as("n_a"),
+          col("nb").as("n_b"), col("nd").as("n_distinct"),
+          col("ks"), col("w1"), col("cvm"), col("psi"))
+        .orderBy("feature")
+      // materialize the |cols|-row report EAGERLY so the unpersist in
+      // the finally cannot silently demote the shared cell cache back
+      // to per-branch corpus rescans (the result is model-sized — one
+      // row per feature — so the collect is bounded by construction)
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally cells.unpersist(blocking = false)
+  }
+
   /** Welch's unequal-variance t-test between groups `a` and `b` on
     * `value`: t statistic + Welch–Satterthwaite degrees of freedom (plus
     * the group means). ONE map-side-combinable aggregation — conditional
@@ -1607,69 +1725,6 @@ object Stats {
         round(col("__s") * col("__s") / col("__s2"), 6).as("ess"),
         round(col("__s") * col("__s") / col("__s2") / col("n"), 9).as("ess_ratio"),
         round(col("__mx") / col("__s"), 9).as("max_w_share"))
-  }
-
-  /** Bradley–Terry preference-strength fit (Bradley & Terry 1952) via
-    * the MM algorithm (Hunter 2004, "MM algorithms for generalized
-    * Bradley–Terry models") — the standard instrument over PAIRWISE
-    * PREFERENCE data (RLHF comparisons, annotator-vs-annotator QA,
-    * model arena matches): item strengths p with
-    * P(i beats j) = p_i / (p_i + p_j), fitted by `iterations` MM rounds
-    *   p_i ← W_i / Σ_{j≠i} n_ij / (p_i + p_j),   then L1-normalize,
-    * from a uniform start. Items that never win converge to 0 (the MLE
-    * boundary) — add pseudo-counts upstream if a prior is wanted.
-    *
-    * Scale shape: the comparison log (any size) collapses to ONE
-    * map-side-combined (winner, loser) count — the only shuffle; the
-    * matchup table (≤ items², guarded by `maxItems`, refused loudly) is
-    * collected and the k-item MM runs driver-side in deterministic
-    * sorted-item order, exactly the [[LinearModel]] / Fellegi–Sunter
-    * small-model regime. Returns (item, n_wins, n_games, score). */
-  def bradleyTerry(df: DataFrame, winner: Column, loser: Column,
-      iterations: Int, maxItems: Int = 1024): DataFrame = {
-    require(iterations >= 1, "iterations must be >= 1")
-    val spark = df.sparkSession
-    val matchups = df
-      .select(winner.cast("string").as("w"), loser.cast("string").as("l"))
-      .where(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
-      .groupBy("w", "l").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val items = matchups.flatMap(m => Seq(m._1, m._2)).distinct.sorted
-    require(items.length <= maxItems,
-      s"bradleyTerry: ${items.length} items > $maxItems — this is a per-item " +
-        "model op; bucket the items or raise maxItems")
-    val idx = items.zipWithIndex.toMap
-    val k = items.length
-    if (k == 0)
-      return spark.createDataFrame(java.util.Collections.emptyList[Row](),
-        StructType(Seq(StructField("item", StringType),
-          StructField("n_wins", LongType), StructField("n_games", LongType),
-          StructField("score", DoubleType))))
-    val winsOver = Array.ofDim[Long](k, k) // winsOver(i)(j) = #times i beat j
-    matchups.foreach { case (w, l, n) => winsOver(idx(w))(idx(l)) += n }
-    val wins = Array.tabulate(k)(i => winsOver(i).sum)
-    val games = Array.tabulate(k, k)((i, j) => winsOver(i)(j) + winsOver(j)(i))
-    var p = Array.fill(k)(1.0 / k)
-    for (_ <- 0 until iterations) {
-      val p0 = Array.tabulate(k) { i =>
-        var den = 0.0
-        var j = 0
-        while (j < k) {
-          if (j != i && games(i)(j) > 0) den += games(i)(j) / (p(i) + p(j))
-          j += 1
-        }
-        if (den == 0.0) 0.0 else wins(i) / den
-      }
-      val s = p0.sum
-      p = if (s == 0.0) p0 else p0.map(_ / s)
-    }
-    val rows = items.indices.map { i =>
-      Row(items(i), wins(i), games(i).sum, p(i))
-    }
-    spark.createDataFrame(java.util.Arrays.asList(rows.toArray: _*),
-      StructType(Seq(StructField("item", StringType),
-        StructField("n_wins", LongType), StructField("n_games", LongType),
-        StructField("score", DoubleType))))
   }
 
   /** Poisson(1) cumulative probabilities c_0..c_8 (shared by the Column

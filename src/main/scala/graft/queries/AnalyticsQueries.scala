@@ -144,21 +144,24 @@ object AnalyticsQueries {
     }),
 
     "g_bradley_terry" -> ((s, dir) => {
-      // BT preference strengths (20 MM rounds) from a synthetic arena
+      // BT preference ratings (20 MM rounds) from a synthetic arena
       // whose ground truth IS Bradley–Terry: the integer-mod draw gives
       // P(a beats b) = (a+1)/(a+b+2), i.e. strengths ∝ item index + 1.
-      // The dynamic twin replays the FINAL MM round in SQL from literal
-      // round-19 strengths over its own recomputed matchup counts.
+      // Runs on the ONE Bradley–Terry implementation ([[Eval
+      // .bradleyTerry]] — gate-probe-before-collect, Ford condition
+      // enforced); the twin recomputes the identical MM trajectory as
+      // chained CTEs. A second arena shape next to `eval_bradley_terry`
+      // (5 items / different winner rule / 20 iterations vs 8 / 12).
       val a = col("event_id") % 5
       val b = (col("event_id") % 5 + 1 + col("user_id") % 4) % 5
       val aw = col("user_id") % (a + b + lit(2)) < a + 1
       val g = table(s, dir, "events").select(
         concat(lit("m"), when(aw, a).otherwise(b)).as("w"),
         concat(lit("m"), when(aw, b).otherwise(a)).as("l"))
-      Stats.bradleyTerry(g, col("w"), col("l"), iterations = 20)
+      graft.ops.Eval.bradleyTerry(g, col("w"), col("l"), iterations = 20)
         .select(col("item"), col("n_wins"), col("n_games"),
-          round(col("score"), 6).as("score"))
-        .orderBy("item")
+          round(col("rating"), 6).as("rating"), col("rank"))
+        .orderBy("rank")
     }),
 
     "g_mondrian" -> ((s, dir) => {
@@ -750,6 +753,23 @@ object AnalyticsQueries {
         .select(round(col("cvm"), 6).as("cvm"), col("n_a"), col("n_b"))
     }),
 
+    "g_drift_report" -> ((s, dir) => {
+      // The fused drift monitor: KS + W1 + CvM + exact-ECDF-decile PSI
+      // for THREE features in ONE corpus scan (vs one scan per (op,
+      // column) for the single-column faces above — the 100-feature
+      // production case pays 1 pass, not 400).
+      val ev = table(s, dir, "events").select(col("event_type"),
+        col("value"),
+        (col("user_id") % 97).cast("double").as("uid_mod"),
+        (col("event_id") % 101).cast("double").as("eid_mod"))
+      Stats.driftReport(ev, Seq("value", "uid_mod", "eid_mod"),
+          col("event_type"), "click", "view")
+        .select(col("feature"), col("n_a"), col("n_b"), col("n_distinct"),
+          round(col("ks"), 6).as("ks"), round(col("w1"), 6).as("w1"),
+          round(col("cvm"), 6).as("cvm"), round(col("psi"), 6).as("psi"))
+        .orderBy("feature")
+    }),
+
     "g_welch_ttest" -> ((s, dir) => {
       val ev = table(s, dir, "events")
       Stats.welchTTest(ev, col("value"), col("event_type"), "click", "view")
@@ -1114,6 +1134,16 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the unified Eval.bradleyTerry trajectory twin over the 5-item arena
+    "g_bradley_terry" -> graft.ops.Eval.bradleyTerrySql(
+      """SELECT CASE WHEN aw THEN a ELSE b END AS w,
+        |  CASE WHEN aw THEN b ELSE a END AS l
+        |FROM (SELECT 'm' || (event_id % 5) AS a,
+        |    'm' || ((event_id % 5 + 1 + user_id % 4) % 5) AS b,
+        |    user_id % (event_id % 5 + (event_id % 5 + 1 + user_id % 4) % 5 + 2)
+        |      < event_id % 5 + 1 AS aw
+        |  FROM events) t""".stripMargin, iterations = 20),
+
     "layout_zorder" -> {
       val z = graft.ops.Skew.zorderKeySql(
         Seq("user_id % 256", "CAST(floor(value * 100) AS BIGINT) % 256"), 8)
@@ -2353,6 +2383,63 @@ object AnalyticsQueries {
         |    * (CAST(na AS DOUBLE) * nb / pow(na + nb, 2)), 6) AS cvm,
         |  na AS n_a, nb AS n_b
         |FROM cum CROSS JOIN n GROUP BY na, nb""".stripMargin,
+
+    "g_drift_report" ->
+      """WITH src AS (
+        |  SELECT event_type AS g, f, v FROM (
+        |    SELECT event_type, 'value' AS f, CAST(value AS DOUBLE) AS v
+        |    FROM events
+        |    UNION ALL
+        |    SELECT event_type, 'uid_mod', CAST(user_id % 97 AS DOUBLE)
+        |    FROM events
+        |    UNION ALL
+        |    SELECT event_type, 'eid_mod', CAST(event_id % 101 AS DOUBLE)
+        |    FROM events) t
+        |  WHERE v IS NOT NULL AND event_type IN ('click', 'view')),
+        |c AS (
+        |  SELECT f, v,
+        |    CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM src GROUP BY 1, 2),
+        |tot AS (SELECT f, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        |  FROM c GROUP BY 1),
+        |cum AS (SELECT f, v, ca, cb,
+        |    sum(ca) OVER (PARTITION BY f ORDER BY v) AS cka,
+        |    sum(cb) OVER (PARTITION BY f ORDER BY v) AS ckb,
+        |    lead(v) OVER (PARTITION BY f ORDER BY v) - v AS dx
+        |  FROM c),
+        |j AS (SELECT cum.*, tot.na, tot.nb, tot.nd,
+        |    CAST(cka AS DOUBLE) / na - CAST(ckb AS DOUBLE) / nb AS d
+        |  FROM cum JOIN tot USING (f)),
+        |triad AS (SELECT f, na, nb, nd,
+        |    max(abs(d)) AS ks,
+        |    coalesce(sum(CASE WHEN dx IS NOT NULL THEN abs(d) * dx END),
+        |      0.0) AS w1,
+        |    sum(CAST(ca + cb AS DOUBLE) * d * d)
+        |      * (CAST(na AS DOUBLE) * nb
+        |         / (CAST(na + nb AS DOUBLE) * (na + nb))) AS cvm
+        |  FROM j GROUP BY 1, 2, 3, 4),
+        |binned AS (SELECT f, na, nb,
+        |    least(greatest(
+        |      CAST(ceil(CAST(cka AS DOUBLE) / na * 10) AS BIGINT) - 1,
+        |      0), 9) AS bin,
+        |    CAST(sum(ca) AS BIGINT) AS nr, CAST(sum(cb) AS BIGINT) AS nc
+        |  FROM j GROUP BY 1, 2, 3, 4),
+        |dense AS (SELECT t.f, t.na, t.nb, r.range AS bin,
+        |    coalesce(b.nr, 0) AS nr, coalesce(b.nc, 0) AS nc
+        |  FROM tot t CROSS JOIN range(10) r
+        |  LEFT JOIN binned b ON b.f = t.f AND b.bin = r.range),
+        |psi AS (SELECT f, sum((p - q) * ln(p / q)) AS psi FROM (
+        |    SELECT f, (nr + 0.5) / (na + 5.0) AS p,
+        |      (nc + 0.5) / (nb + 5.0) AS q
+        |    FROM dense) d GROUP BY 1)
+        |SELECT tr.f AS feature, tr.na AS n_a, tr.nb AS n_b,
+        |  tr.nd AS n_distinct,
+        |  round(tr.ks, 6) AS ks, round(tr.w1, 6) AS w1,
+        |  round(tr.cvm, 6) AS cvm, round(p.psi, 6) AS psi
+        |FROM triad tr JOIN psi p ON p.f = tr.f
+        |ORDER BY feature""".stripMargin,
 
     "g_welch_ttest" ->
       """WITH s AS (

@@ -141,7 +141,9 @@ object ExperimentQueries {
       // lowercase 'e' turned into 'a' (translate is engine-identical),
       // so overlap = the words untouched by the substitution — partial
       // credit per doc, EM only on e-free docs. Multiset intersection
-      // via the (id, token)-keyed count join.
+      // via the native zero-shuffle MultisetOverlap expression (the
+      // (id, token)-keyed count join survives as tokenF1Exploded, the
+      // parity baseline, and as the DuckDB twin's mechanism).
       graft.ops.Eval.tokenF1(
           table(s, dir, "documents").where(col("doc_id") < 400),
           col("doc_id"), col("text"), translate(col("text"), "e", "a"))

@@ -646,51 +646,6 @@ object RowsOnlyQueries {
          |FROM asn GROUP BY pid ORDER BY pid""".stripMargin
     }),
 
-    // round-19 strengths interpolated as literals; DuckDB executes the
-    // FINAL MM round (denominators, update, L1 normalization) over its
-    // OWN recomputed matchup counts — the update math and the counts are
-    // both genuinely cross-engine, only the seed is replayed
-    "g_bradley_terry" -> ((s, dir) => {
-      val a = col("event_id") % 5
-      val b = (col("event_id") % 5 + 1 + col("user_id") % 4) % 5
-      val aw = col("user_id") % (a + b + lit(2)) < a + 1
-      val g = table(s, dir, "events").select(
-        concat(lit("m"), when(aw, a).otherwise(b)).as("w"),
-        concat(lit("m"), when(aw, b).otherwise(a)).as("l"))
-      val fit19 = graft.ops.Stats.bradleyTerry(g, col("w"), col("l"),
-          iterations = 19)
-        .select("item", "score").collect()
-        .map(r => s"('${r.getString(0)}', ${java.lang.Double.toString(r.getDouble(1))})")
-        .mkString(", ")
-      s"""WITH raw AS (
-         |  SELECT 'm' || (event_id % 5) AS a,
-         |    'm' || ((event_id % 5 + 1 + user_id % 4) % 5) AS b,
-         |    user_id % (event_id % 5 + (event_id % 5 + 1 + user_id % 4) % 5 + 2)
-         |      < event_id % 5 + 1 AS aw
-         |  FROM events),
-         |m AS (
-         |  SELECT CASE WHEN aw THEN a ELSE b END AS w,
-         |    CASE WHEN aw THEN b ELSE a END AS l, count(*) AS n
-         |  FROM raw GROUP BY 1, 2),
-         |sym AS (SELECT i, j, CAST(sum(n) AS DOUBLE) AS gg FROM (
-         |    SELECT w AS i, l AS j, n FROM m
-         |    UNION ALL SELECT l AS i, w AS j, n FROM m)
-         |  GROUP BY 1, 2),
-         |wins AS (SELECT w AS i, CAST(sum(n) AS BIGINT) AS wi FROM m GROUP BY 1),
-         |p AS (SELECT * FROM (VALUES $fit19) t(i, pv)),
-         |den AS (SELECT s.i, sum(s.gg / (pi.pv + pj.pv)) AS den
-         |        FROM sym s JOIN p pi ON pi.i = s.i JOIN p pj ON pj.i = s.j
-         |        GROUP BY s.i),
-         |p0 AS (SELECT d.i, coalesce(w.wi, 0) / d.den AS p0
-         |       FROM den d LEFT JOIN wins w ON w.i = d.i),
-         |tot AS (SELECT sum(p0) AS s FROM p0),
-         |gp AS (SELECT i, CAST(sum(gg) AS BIGINT) AS ng FROM sym GROUP BY 1)
-         |SELECT p0.i AS item, coalesce(w.wi, 0) AS n_wins, gp.ng AS n_games,
-         |  round(p0.p0 / tot.s, 6) AS score
-         |FROM p0 LEFT JOIN wins w ON w.i = p0.i
-         |JOIN gp ON gp.i = p0.i CROSS JOIN tot
-         |ORDER BY item""".stripMargin
-    }),
     // the fitted per-bin step function interpolated as a literal array;
     // binning replayed identically (floor clamp into the last bin)
     "g_isotonic" -> ((s, dir) => {

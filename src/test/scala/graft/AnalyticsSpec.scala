@@ -664,32 +664,37 @@ class AnalyticsSpec extends SparkSpec {
       Stats.conformalFitGrouped(cal, col("g"), col("y"), col("yhat"), 0.0) }
   }
 
-  test("bradleyTerry: MM converges to the pairwise MLE; boundary and guards") {
+  test("bradleyTerry (unified Eval face): MM reaches the pairwise MLE; " +
+      "noise dropped; guards loud") {
     import spark.implicits._
-    // A beats B 3-1: MLE has P(A beats B) = 3/4 -> scores (0.75, 0.25);
-    // MM reaches it in ONE round from uniform and stays fixed
+    // A beats B 3-1: the MLE has P(A beats B) = 3/4, i.e. a rating
+    // RATIO of 3 under the geometric-mean-1 normalization; one MM round
+    // from uniform reaches it and further rounds stay fixed
     val ab = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A"))).toDF("w", "l")
-    val r1 = Stats.bradleyTerry(ab, col("w"), col("l"), iterations = 1)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
-    assert(r1("A") == ((3L, 4L, 0.75)) && r1("B") == ((1L, 4L, 0.25)))
-    val r9 = Stats.bradleyTerry(ab, col("w"), col("l"), iterations = 9)
+    val r1 = graft.ops.Eval.bradleyTerry(ab, col("w"), col("l"),
+        iterations = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(r1("A")._1 == 3L && r1("A")._2 == 4L)
+    assert(r1("B")._1 == 1L && r1("B")._2 == 4L)
+    assert(approx(r1("A")._3 / (r1("A")._3 + r1("B")._3), 0.75))
+    assert(approx(r1("A")._3 * r1("B")._3, 1.0)) // geo-mean-1 norm
+    val r9 = graft.ops.Eval.bradleyTerry(ab, col("w"), col("l"),
+        iterations = 9)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
-    assert(approx(r9("A"), 0.75) && approx(r9("B"), 0.25))
-    // never-wins item sits on the MLE boundary at 0; scores stay L1-normed
-    val chain = (Seq.fill(2)(("A", "B")) ++ Seq.fill(2)(("B", "C"))).toDF("w", "l")
-    val rc = Stats.bradleyTerry(chain, col("w"), col("l"), iterations = 30)
-      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
-    assert(rc("C") == 0.0 && rc("A") > rc("B") && rc("B") > 0.0)
-    assert(approx(rc.values.sum, 1.0))
+    assert(approx(r9("A") / (r9("A") + r9("B")), 0.75))
     // nulls and self-comparisons are dropped before counting
     val noisy = ab.union(Seq(("A", "A")).toDF("w", "l"))
       .union(Seq((null.asInstanceOf[String], "B")).toDF("w", "l"))
-    assert(Stats.bradleyTerry(noisy, col("w"), col("l"), 1)
+    assert(graft.ops.Eval.bradleyTerry(noisy, col("w"), col("l"), 1)
       .collect().map(r => r.getLong(2)).sum == 8L) // still 4 games x 2 sides
-    intercept[IllegalArgumentException](Stats.bradleyTerry(ab, col("w"), col("l"), 0))
     intercept[IllegalArgumentException](
-      Stats.bradleyTerry(ab, col("w"), col("l"), 1, maxItems = 1))
-    assert(Stats.bradleyTerry(ab.limit(0), col("w"), col("l"), 1).count() == 0)
+      graft.ops.Eval.bradleyTerry(ab, col("w"), col("l"), 0))
+    intercept[IllegalArgumentException](
+      graft.ops.Eval.bradleyTerry(ab, col("w"), col("l"), 1, maxItems = 1))
+    // the empty arena is REFUSED (need >= 2 items), not silently empty
+    intercept[IllegalArgumentException](
+      graft.ops.Eval.bradleyTerry(ab.limit(0), col("w"), col("l"), 1))
   }
 
   test("dpGroupCounts: per-(seed, group) deterministic Laplace noise, fresh seed fresh noise") {

@@ -486,20 +486,30 @@ object LawsProps extends Properties("GraftLaws") {
       }
     }
 
-  property("bradleyTerry: L1-normalized, order-invariant, games symmetric") =
+  property("bradleyTerry: geo-mean-1 normalized, order-invariant, " +
+      "games symmetric, rank a permutation") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 4), Gen.choose(0, 4)))
         .map(_.filter(p => p._1 != p._2).map(p => (s"i${p._1}", s"i${p._2}"))),
-        Gen.choose(1, 6)) { (games, iters) =>
-      if (games.isEmpty) Prop.passed
+        Gen.choose(1, 6)) { (games0, iters) =>
+      if (games0.isEmpty) Prop.passed
       else {
-        val a = Stats.bradleyTerry(games.toDF("w", "l"), col("w"), col("l"), iters)
-          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
-        val b = Stats.bradleyTerry(games.reverse.toDF("w", "l"), col("w"), col("l"), iters)
-          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        // symmetrize so Ford's condition holds by construction (every
+        // item wins and loses at least once); a second copy of the raw
+        // log keeps the ratings non-uniform
+        val games = games0 ++ games0 ++ games0.map(_.swap)
+        val a = graft.ops.Eval.bradleyTerry(games.toDF("w", "l"),
+            col("w"), col("l"), iters)
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        val b = graft.ops.Eval.bradleyTerry(games.reverse.toDF("w", "l"),
+            col("w"), col("l"), iters)
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
         Prop(a.sortBy(_._1).sameElements(b.sortBy(_._1)) &&
-          math.abs(a.map(_._2._3).sum - 1.0) < 1e-9 &&
+          math.abs(a.map(x => math.log(x._2._3)).sum) < 1e-6 && // geo mean 1
           a.map(_._2._2).sum == 2L * games.size && // every game counted on both sides
-          a.forall { case (_, (w, g, p)) => w <= g && p >= 0 })
+          a.forall { case (_, (w, g, p, _)) => w > 0 && w < g && p > 0 } &&
+          a.map(_._2._4).sorted.sameElements(1L to a.length.toLong))
       }
     }
 
