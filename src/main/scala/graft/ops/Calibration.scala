@@ -209,34 +209,99 @@ object Calibration {
     * recomputable (synthetic probes). At 100 TB, fit on an explicit
     * sample instead — one parameter needs nowhere near the corpus. */
   def temperatureFit(df: DataFrame, yTrue: Column, logits: Column,
-      iterations: Int = 6, cache: Boolean = true): TemperatureModel = {
+      iterations: Int = 6, cache: Boolean = true,
+      kHint: Option[Int] = None): TemperatureModel = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    def snap9(x: Double): Double =
-      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val raw = df.select(yTrue.cast("int").as("y"),
-        transform(logits, z => z.cast("double")).as("z"))
-      .where(col("y").isNotNull && col("z").isNotNull)
-    // fixed logit width, probed once: the per-row softmax sums UNROLL
-    // into plain codegen'd expressions. Higher-order array functions
-    // (aggregate/transform) are CodegenFallback — interpreted per
-    // element with boxed accumulators, measured MINUTES per pass at
-    // 100M × k = 8 where the unrolled form takes seconds. Class count
-    // is a schema property, so requiring it uniform costs nothing.
-    val kRow = raw.select(min(size(col("z"))).as("a"),
-      max(size(col("z"))).as("b")).head()
-    require(!kRow.isNullAt(0) && kRow.getInt(0) == kRow.getInt(1),
-      s"temperatureFit: logit arrays must have uniform length, got " +
-        s"[${kRow.get(0)}, ${kRow.get(1)}]")
-    val k = kRow.getInt(0)
-    require(k >= 2, s"temperatureFit: need >= 2 classes, got $k")
+    val raw = rawLogits(df, yTrue, logits)
+    val k = logitWidth(raw, kHint)
     // the loop frame: y plus the k logits as FLAT double columns (the
     // identical values element_at would read — trajectory unchanged);
     // flat doubles are what the columnar cache stores efficiently
-    val base = raw.select(col("y") +:
-      (0 until k).map(j => element_at(col("z"), j + 1).as(s"__z$j")): _*)
+    val base = flatten(raw, k)
     if (cache)
       base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try TemperatureModel(newtonBeta(base, k, iterations))
+    finally { if (cache) base.unpersist(blocking = false) }
+  }
+
+  /** [[temperatureFit]] + the per-class mean calibrated mass, computed
+    * from the SAME persisted flat frame the Newton loop iterates on —
+    * the fused form for consumers that want the fit AND the calibrated
+    * summary (the g_temperature_scaling face). The separate
+    * fit-then-apply sequence costs TWO extra corpus passes (the
+    * uniform-width probe plus the apply re-reading the raw upstream);
+    * here `k` is caller-asserted (the logits are schema-constructed at
+    * that width) and the means aggregation reads the cache, so the
+    * upstream executes exactly ONCE. Per-row p_j replays
+    * [[temperatureApply]]'s IEEE sequence on the flat columns
+    * (β·z, running max, left-to-right exp fold, exp(βz − lse)), so each
+    * p_j is bit-identical to the posexplode form. Means are over the
+    * rows the fit saw (y and logits non-null) — identical to a means-
+    * over-everything face whenever y is never null, which is the only
+    * shape the oracle data has.
+    * Returns (model, k-row DataFrame (cls, mean_p) in class order). */
+  def temperatureFitWithMeans(df: DataFrame, yTrue: Column, logits: Column,
+      iterations: Int = 6, k: Int): (TemperatureModel, DataFrame) = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(k >= 2, s"temperatureFitWithMeans: need >= 2 classes, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = flatten(rawLogits(df, yTrue, logits), k)
+    base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val beta = newtonBeta(base, k, iterations)
+      def zb(j: Int): Column = col(s"__z$j") * beta
+      val m = greatest((0 until k).map(zb): _*)
+      val lse = m + log((0 until k).map(j => exp(zb(j) - m))
+        .foldLeft(lit(0.0))(_ + _))
+      val row = base.agg(
+        avg(exp(zb(0) - lse)).as("__p0"),
+        (1 until k).map(j => avg(exp(zb(j) - lse)).as(s"__p$j")): _*).head()
+      val means = (0 until k).map(j => (j, row.getDouble(j)))
+        .toDF("cls", "mean_p")
+      (TemperatureModel(beta), means)
+    } finally base.unpersist(blocking = false)
+  }
+
+  private def rawLogits(df: DataFrame, yTrue: Column, logits: Column): DataFrame =
+    df.select(yTrue.cast("int").as("y"),
+        transform(logits, z => z.cast("double")).as("z"))
+      .where(col("y").isNotNull && col("z").isNotNull)
+
+  /** Fixed logit width: taken from `kHint` when the caller constructs
+    * the logit arrays at a schema-known width (skipping the probe saves
+    * a full corpus pass — rows with a DIFFERENT width then contribute
+    * nothing to the sums instead of failing loudly, which is vacuous
+    * under the fixed-width construction); probed in one min/max pass
+    * otherwise. The per-row softmax sums UNROLL into plain codegen'd
+    * expressions. Higher-order array functions (aggregate/transform)
+    * are CodegenFallback — interpreted per element with boxed
+    * accumulators, measured MINUTES per pass at 100M × k = 8 where the
+    * unrolled form takes seconds. */
+  private def logitWidth(raw: DataFrame, kHint: Option[Int]): Int = {
+    val k = kHint.getOrElse {
+      val kRow = raw.select(min(size(col("z"))).as("a"),
+        max(size(col("z"))).as("b")).head()
+      require(!kRow.isNullAt(0) && kRow.getInt(0) == kRow.getInt(1),
+        s"temperatureFit: logit arrays must have uniform length, got " +
+          s"[${kRow.get(0)}, ${kRow.get(1)}]")
+      kRow.getInt(0)
+    }
+    require(k >= 2, s"temperatureFit: need >= 2 classes, got $k")
+    k
+  }
+
+  private def flatten(raw: DataFrame, k: Int): DataFrame =
+    raw.select(col("y") +:
+      (0 until k).map(j => element_at(col("z"), j + 1).as(s"__z$j")): _*)
+
+  /** The damped-Newton β loop over the flat (y, __z0..__z{k−1}) frame —
+    * ONE fused 2-sum aggregation per step, β snapped to 9 dp per step
+    * (the [[plattFit]] convention), so the DuckDB twin recomputes the
+    * identical trajectory from the long (row, class, logit) form. */
+  private def newtonBeta(base: DataFrame, k: Int, iterations: Int): Double = {
+    def snap9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     def zj(j: Int): Column = col(s"__z$j")
     var beta = 1.0
     for (_ <- 1 to iterations) {
@@ -267,8 +332,7 @@ object Calibration {
       val delta = math.max(-1.0, math.min(1.0, g / h))
       beta = snap9(math.max(1e-3, math.min(1e3, beta - delta)))
     }
-    TemperatureModel(beta)
-    } finally { if (cache) base.unpersist(blocking = false) }
+    beta
   }
 
   /** Apply a fitted [[TemperatureModel]]: row-local softmax of β·z
@@ -350,24 +414,39 @@ object Calibration {
 
   /** Cohen's kappa: chance-corrected agreement between two integer label
     * columns. One k²-key groupBy over the data; marginals and the final
-    * scalar are derived from that bounded cell table (k classes — the
-    * joins below touch only k-row frames).
+    * scalar are derived from that bounded cell table in one linear pass
+    * (no joins, no re-aggregation of the cells).
     * Returns one row (po, pe, kappa). */
   def cohensKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
     val cells = df.groupBy(a.as("t"), b.as("p"))
       .agg(count(lit(1)).as("cnt"))
-    val totals = cells.agg(
-      sum(when(col("t") === col("p"), col("cnt")).otherwise(0L)).as("diag"),
-      sum(col("cnt")).as("n"))
-    val rowM = cells.groupBy("t").agg(sum("cnt").as("rn"))
-    val colM = cells.groupBy("p").agg(sum("cnt").as("cn"))
-    val pe = rowM.join(colM, col("t") === col("p")) // class absent from one
-      .agg(sum(col("rn") * col("cn")).as("rc"))     // marginal contributes 0
-    totals.crossJoin(pe).select(
-      (col("diag") / col("n")).as("po"),
-      (col("rc") / (col("n") * col("n"))).as("pe"),
-      ((col("diag") / col("n") - col("rc") / (col("n") * col("n"))) /
-        (lit(1.0) - col("rc") / (col("n") * col("n")))).as("kappa"))
+    // Marginals + diagonal in ONE pass over the k² cells (r12; was four
+    // separate re-aggregations of the cell table, each re-executing the
+    // corpus groupBy): every cell feeds its row marginal (keyed by its
+    // TRUE class, where its n and diagonal contribution also ride) and
+    // its column marginal (keyed by its PREDICTED class) — a 2-way
+    // explode of k² rows, one class-keyed sum, one scalar agg. A null
+    // class keeps its mass in n but contributes nothing to diag
+    // (null = null is not a match) or to Σ rn·cn (the old equi-join
+    // never matched null to null) — bit-identical po/pe/kappa.
+    val perClass = cells.select(explode(array(
+        struct(col("t").as("cls"), col("cnt").as("rn"), lit(0L).as("cn"),
+          when(col("t") === col("p"), col("cnt")).otherwise(0L).as("diag")),
+        struct(col("p").as("cls"), lit(0L).as("rn"), col("cnt").as("cn"),
+          lit(0L).as("diag")))).as("__c"))
+      .select(col("__c.cls").as("cls"), col("__c.rn"), col("__c.cn"),
+        col("__c.diag"))
+      .groupBy("cls")
+      .agg(sum("rn").as("rn"), sum("cn").as("cn"), sum("diag").as("diag"))
+    perClass.agg(
+        sum("diag").as("diag"), sum("rn").as("n"),
+        sum(when(col("cls").isNotNull, col("rn") * col("cn"))
+          .otherwise(0L)).as("rc"))
+      .select(
+        (col("diag") / col("n")).as("po"),
+        (col("rc") / (col("n") * col("n"))).as("pe"),
+        ((col("diag") / col("n") - col("rc") / (col("n") * col("n"))) /
+          (lit(1.0) - col("rc") / (col("n") * col("n")))).as("kappa"))
   }
 
   /** Confident-learning label-noise detection (Northcutt et al. 2021,

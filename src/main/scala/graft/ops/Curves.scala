@@ -190,6 +190,62 @@ object Curves {
       .select(col("average_precision").as("pr_auc_micro"))
   }
 
+  /** All three probability-ranked G13 fields from ONE corpus pass (r12):
+    * the separate [[prAucMicro]] + [[prAucMacro]] + [[rocAucMacro]]
+    * crossJoin paid three posexplode scans over the data for curves that
+    * all derive from the same (class, threshold, pos, neg) cell table.
+    * Here that table is built once (one map-side-combined groupBy over
+    * the exploded pairs) and lazily checkpointed — bounded by
+    * k·|distinct scores|, never the data — and the macro windows and the
+    * micro re-collapse (Σ over classes per threshold, an exact integer
+    * regroup of the same cells) both read it. Per-field arithmetic is
+    * expression-identical to the singleton ops. Returns one row
+    * (pr_auc_micro, pr_auc_macro, roc_auc_macro). */
+  def multiclassAucSuite(df: DataFrame, yTrue: Column, proba: Column): DataFrame = {
+    val pairs = df.select(yTrue.as("yt"), posexplode(proba))
+      .select(col("pos").as("cls"), col("col").cast("double").as("threshold"),
+        (col("yt") === col("pos")).cast("int").as("y"))
+    val cells = pairs.groupBy("cls", "threshold")
+      .agg(sum(col("y")).as("pos_n"), sum(lit(1) - col("y")).as("neg_n"))
+      .localCheckpoint(false) // macro + micro both read it; built once
+
+    val w = Window.partitionBy("cls").orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy("cls")
+    val lagW = Window.partitionBy("cls").orderBy(col("threshold").desc)
+    val macroDf = cells
+      .withColumn("tps", sum("pos_n").over(w))
+      .withColumn("fps", sum("neg_n").over(w))
+      .withColumn("recall", col("tps") / max("tps").over(tot))
+      .withColumn("fpr", col("fps") / max("fps").over(tot))
+      .withColumn("precision", col("tps") / (col("tps") + col("fps")))
+      .withColumn("recall_prev", coalesce(lag("recall", 1).over(lagW), lit(0.0)))
+      .withColumn("fpr_prev", coalesce(lag("fpr", 1).over(lagW), lit(0.0)))
+      .groupBy("cls")
+      .agg(sum((col("recall") - col("recall_prev")) * col("precision")).as("ap"),
+        sum((col("fpr") - col("fpr_prev")) * (col("recall") + col("recall_prev")) / 2).as("auc"))
+      .agg(avg("ap").as("pr_auc_macro"), avg("auc").as("roc_auc_macro"))
+
+    // micro: regroup the SAME cells by threshold (exact integer sums ==
+    // grouping the raw pairs by score), then rocCurve/averagePrecision's
+    // window arithmetic verbatim
+    val mw = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val mtot = Window.partitionBy()
+    val mlag = Window.orderBy(col("threshold").desc)
+    val micro = cells.groupBy("threshold")
+      .agg(sum("pos_n").as("pos"), sum("neg_n").as("neg"))
+      .withColumn("tps", sum("pos").over(mw))
+      .withColumn("fps", sum("neg").over(mw))
+      .withColumn("recall", col("tps") / max("tps").over(mtot))
+      .withColumn("precision", col("tps") / (col("tps") + col("fps")))
+      .withColumn("recall_prev", coalesce(lag("recall", 1).over(mlag), lit(0.0)))
+      .agg(sum((col("recall") - col("recall_prev")) * col("precision"))
+        .as("pr_auc_micro"))
+
+    micro.crossJoin(macroDf)
+  }
+
   /** The probability-ranked G13 fields PER GROUP (F10 slices call the full
     * metric dict per state, pipeline_trainingmodels_power.py:235-311):
     * one row per `groupCol` value with `pr_auc_micro` / `pr_auc_macro` /
@@ -203,14 +259,21 @@ object Curves {
       .select(col("grp"), col("pos").as("cls"),
         col("col").cast("double").as("threshold"),
         (col("yt") === col("pos")).cast("int").as("y"))
+    // ONE corpus-sized collapse feeds both legs (r12; micro and macro
+    // each re-exploded the corpus before): the per-(grp, cls, threshold)
+    // cells are checkpointed, and the micro leg's per-(grp, threshold)
+    // totals are an exact integer regroup of them
+    val cells = pairs.groupBy("grp", "cls", "threshold")
+      .agg(sum(col("y")).as("pos_n"), sum(lit(1) - col("y")).as("neg_n"))
+      .localCheckpoint(false)
 
     // micro: all of a group's (row, class) pairs as one binary problem
     val mw = Window.partitionBy("grp").orderBy(col("threshold").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val mtot = Window.partitionBy("grp")
     val mlag = Window.partitionBy("grp").orderBy(col("threshold").desc)
-    val micro = pairs.groupBy("grp", "threshold")
-      .agg(sum(col("y")).as("pos_n"), sum(lit(1) - col("y")).as("neg_n"))
+    val micro = cells.groupBy("grp", "threshold")
+      .agg(sum("pos_n").as("pos_n"), sum("neg_n").as("neg_n"))
       .withColumn("tps", sum("pos_n").over(mw))
       .withColumn("fps", sum("neg_n").over(mw))
       .withColumn("recall", col("tps") / max("tps").over(mtot))
@@ -224,8 +287,7 @@ object Curves {
       .rowsBetween(Window.unboundedPreceding, 0)
     val ctot = Window.partitionBy("grp", "cls")
     val clag = Window.partitionBy("grp", "cls").orderBy(col("threshold").desc)
-    val macroDf = pairs.groupBy("grp", "cls", "threshold")
-      .agg(sum(col("y")).as("pos_n"), sum(lit(1) - col("y")).as("neg_n"))
+    val macroDf = cells
       .withColumn("tps", sum("pos_n").over(cw))
       .withColumn("fps", sum("neg_n").over(cw))
       .withColumn("recall", col("tps") / max("tps").over(ctot))
@@ -239,7 +301,12 @@ object Curves {
       .groupBy("grp")
       .agg(avg("ap").as("pr_auc_macro"), avg("auc").as("roc_auc_macro"))
 
-    micro.join(macroDf, Seq("grp"))
+    // both legs now share the cells lineage: re-alias the macro key
+    // (fresh exprId) — a USING self-join on a shared attribute silently
+    // degenerates to a cross join
+    val macroR = macroDf.select(col("grp").as("__gmk"),
+      col("pr_auc_macro"), col("roc_auc_macro"))
+    micro.join(macroR, col("grp") === col("__gmk")).drop("__gmk")
   }
 
   /** DeLong variance + confidence interval for the ROC AUC (DeLong,

@@ -107,20 +107,22 @@ object DataQuality {
       case r @ RowCountBetween(_, _) =>
         (r, n, n)
     }
+    // each RefIntegrity's base count (non-null FK values) rides the SAME
+    // fused aggregation as the row-local rules (r12) — the separate
+    // df.where(fk).count() was a full extra corpus pass per FK rule
+    val refRules = rules.collect { case r: RefIntegrity => r }
+    val fusedAggs = fused.flatMap { case (r, num, base) =>
+      Seq(num.as(r.name + "\u0000num"), base.as(r.name + "\u0000base")) } ++
+      refRules.map(r => count(col(r.column)).as(r.name + "\u0000total"))
+    val row = df.agg(fusedAggs.head, fusedAggs.tail: _*).head()
     val counts: Map[String, (Long, Long)] =
-      if (fused.isEmpty) Map.empty
-      else {
-        val aggs = fused.flatMap { case (r, num, base) =>
-          Seq(num.as(r.name + "\u0000num"), base.as(r.name + "\u0000base")) }
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        fused.map { case (r, _, _) => r.name ->
-          (row.getAs[Long](r.name + "\u0000num"),
-            row.getAs[Long](r.name + "\u0000base")) }.toMap
-      }
+      fused.map { case (r, _, _) => r.name ->
+        (row.getAs[Long](r.name + "\u0000num"),
+          row.getAs[Long](r.name + "\u0000base")) }.toMap
     // referential-integrity rules: one anti-join count each
-    val refCounts: Map[String, (Long, Long)] = rules.collect {
+    val refCounts: Map[String, (Long, Long)] = refRules.map {
       case r @ RefIntegrity(c, dim, dc) =>
-        val total = df.where(col(c).isNotNull).count()
+        val total = row.getAs[Long](r.name + "\u0000total")
         val misses =
           if (total == 0) 0L
           else df.select(col(c)).where(col(c).isNotNull)
@@ -237,10 +239,66 @@ object DataQuality {
       nullFracTol: Double = 0.01, meanRelTol: Double = 0.05,
       distinctRelTol: Double = 0.20, exact: Boolean = false): DataFrame = {
     val pa = graft.ops.Stats.profileTable(a, cols, exact)
+    val pb = graft.ops.Stats.profileTable(b, cols, exact)
+    compareProfiles(pa, pb, nullFracTol, meanRelTol, distinctRelTol)
+  }
+
+  /** [[profileCompare]] for two SLICES of the same frame — the common
+    * "this snapshot vs its filtered subset / yesterday's partition"
+    * shape, where running [[graft.ops.Stats.profileTable]] twice pays
+    * two full scans (and, under `exact`, two countDistinct Expands) for
+    * data that shares one source. Both profiles here come from ONE
+    * conditional aggregation pass: per column and slice,
+    * `count(when(slice, …))` / `countDistinct(when(slice, c))` /
+    * `min/max/avg(when(slice, c))` — the same value sets the two
+    * separate scans would aggregate, so counts are identical integers
+    * and moments identical up to summation order (the verdict
+    * tolerances dwarf that). Slice predicates may overlap (a row can
+    * belong to both sides); a null predicate row belongs to neither,
+    * exactly as a `where` would drop it. */
+  def profileCompareSlices(df: DataFrame, sliceA: Column, sliceB: Column,
+      cols: Seq[String], nullFracTol: Double = 0.01,
+      meanRelTol: Double = 0.05, distinctRelTol: Double = 0.20,
+      exact: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nd: Column => Column =
+      if (exact) countDistinct(_) else c => approx_count_distinct(c)
+    def tryD(c: Column): Column =
+      c.try_cast(org.apache.spark.sql.types.DoubleType)
+    def side(tag: String, slice: Column): Seq[Column] =
+      count(when(slice, lit(1))).as(s"__n_$tag") +: cols.flatMap(c => Seq(
+        count(when(slice && col(c).isNull, lit(1))).as(s"${c}__nulls_$tag"),
+        nd(when(slice, col(c))).as(s"${c}__distinct_$tag"),
+        avg(tryD(when(slice, col(c)))).as(s"${c}__mean_$tag")))
+    val aggs = side("a", sliceA) ++ side("b", sliceB)
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    def profile(tag: String): DataFrame = {
+      val n = r.getAs[Long](s"__n_$tag")
+      def optD(name: String): Option[Double] =
+        Option(r.getAs[java.lang.Double](s"${name}_$tag")).map(_.toDouble)
+      cols.map(c => (c, n, Option(r.getAs[Long](s"${c}__nulls_$tag")),
+          Option(r.getAs[Long](s"${c}__distinct_$tag")),
+          optD(s"${c}__mean")))
+        .toDF("col_name", "n_rows", "n_nulls", "n_distinct", "mean_v")
+    }
+    compareProfiles(profile("a"), profile("b"),
+      nullFracTol, meanRelTol, distinctRelTol)
+  }
+
+  /** The shared verdict block of [[profileCompare]] /
+    * [[profileCompareSlices]]: join the two per-column profile tables
+    * and gate on null-fraction / relative-mean / relative-distinct
+    * shifts (UNROUNDED — the dq_constraints lesson). */
+  private def compareProfiles(profA: DataFrame, profB: DataFrame,
+      nullFracTol: Double, meanRelTol: Double,
+      distinctRelTol: Double): DataFrame = {
+    val pa = profA
       .select(col("col_name"), col("n_rows").as("n_a"),
         col("n_nulls").as("__nulls_a"), col("n_distinct").as("distinct_a"),
         col("mean_v").as("mean_a"))
-    val pb = graft.ops.Stats.profileTable(b, cols, exact)
+    val pb = profB
       .select(col("col_name"), col("n_rows").as("n_b"),
         col("n_nulls").as("__nulls_b"), col("n_distinct").as("distinct_b"),
         col("mean_v").as("mean_b"))

@@ -334,6 +334,10 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     val docs = df.select(col(id).as("id"), shingles(col(text), n).as("sh"))
       .where(size(col("sh")) > 0)
+      // five consumers (the postings explode feeds three branches, the
+      // verify stage joins the shingle sets back twice): checkpoint so
+      // the text is shingled ONCE, not re-split per branch (r12)
+      .localCheckpoint(false)
     val toks = docs.select(col("id"), size(col("sh")).as("__sz"),
       explode(col("sh")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("__f"))

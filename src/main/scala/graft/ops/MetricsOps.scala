@@ -61,19 +61,17 @@ object MetricsOps {
   /** G13, the reference's FULL dict (func_aux/func_test.py:61-171): from a
     * probability-matrix column. `y_pred = argmax(proba)` (first max wins,
     * numpy parity), the confusion-derived suite as above, PLUS the
-    * probability-ranked fields `pr_auc_micro` / `pr_auc_macro`
-    * ([[Curves.prAucMicro]]/[[Curves.prAucMacro]]) and `roc_auc_macro`
-    * ([[Curves.rocAucMacro]]). One row; the three AUC singletons are
-    * literal-size cross joins. */
+    * probability-ranked fields `pr_auc_micro` / `pr_auc_macro` /
+    * `roc_auc_macro`, all three from [[Curves.multiclassAucSuite]]'s ONE
+    * shared pass over the exploded pairs (r12; the three singleton ops
+    * cost a posexplode scan each). One row. */
   def multiclassMetrics(df: DataFrame, yTrue: String, proba: Column, labels: Seq[Int]): DataFrame = {
     val withPred = df.withColumn("__proba", proba)
       .withColumn("__y_pred",
         (array_position(col("__proba"), array_max(col("__proba"))) - 1).cast("int"))
     val base = multiclassMetrics(withPred, yTrue, "__y_pred", labels)
-    base
-      .crossJoin(Curves.prAucMicro(withPred, col(yTrue), col("__proba")))
-      .crossJoin(Curves.prAucMacro(withPred, col(yTrue), col("__proba")))
-      .crossJoin(Curves.rocAucMacro(withPred, col(yTrue), col("__proba"), labels.size))
+    base.crossJoin(
+      Curves.multiclassAucSuite(withPred, col(yTrue), col("__proba")))
   }
 
   /** G13, grouped (F10 per-state slices,
@@ -95,23 +93,51 @@ object MetricsOps {
     val counts = df.groupBy(col(groupCol).as("grp"),
         col(yTrue).cast("int").as("y_true"), col(yPred).cast("int").as("y_pred"))
       .agg(count(lit(1)).as("cnt"))
-    val universe = df.select(col(groupCol).as("grp")).distinct()
-      .crossJoin(labels.toDF("y_true")).crossJoin(labels.toDF("y_pred"))
-    val dense = universe.join(counts, Seq("grp", "y_true", "y_pred"), "left")
-      .na.fill(0L, Seq("cnt"))
-    val tp = dense.where(col("y_true") === col("y_pred"))
-      .select(col("grp"), col("y_true").as("cls"), col("cnt").as("tp"))
-    val support = dense.groupBy(col("grp"), col("y_true").as("cls"))
-      .agg(sum("cnt").as("support"))
-    val predicted = dense.groupBy(col("grp"), col("y_pred").as("cls"))
-      .agg(sum("cnt").as("predicted"))
+      // two consumers (the melt + the group universe); the lazy
+      // checkpoint pins the collapse to ONE corpus scan
+      .localCheckpoint(false)
+    // Per-(grp, cls) TP/support/predicted in ONE pass over the cell
+    // table (r12; was three separate re-aggregations of a dense cube,
+    // each re-executing the corpus groupBy — 8 corpus scans in the
+    // plan): every cell contributes its count to its TRUE class's
+    // support (and tp when the prediction matches) and to its PREDICTED
+    // class's predicted count — a 2-way explode of k² cells, then one
+    // (grp, cls) sum.
+    val contrib = counts
+      // the dense-cube join also dropped cells with EITHER class outside
+      // the label universe (sklearn labels= semantics) — keep that
+      .where(col("y_true").isin(labels: _*) && col("y_pred").isin(labels: _*))
+      .select(col("grp"), explode(array(
+        struct(col("y_true").as("cls"), col("cnt").as("support"),
+          when(col("y_true") === col("y_pred"), col("cnt")).otherwise(0L)
+            .as("tp"), lit(0L).as("predicted")),
+        struct(col("y_pred").as("cls"), lit(0L).as("support"),
+          lit(0L).as("tp"), col("cnt").as("predicted")))).as("__c"))
+      .select(col("grp"), col("__c.cls").as("cls"), col("__c.support"),
+        col("__c.tp"), col("__c.predicted"))
+      .groupBy("grp", "cls")
+      .agg(sum("support").as("support"), sum("tp").as("tp"),
+        sum("predicted").as("predicted"))
+    // zero-fill the label universe per group; groups are derived from
+    // the SAME cell aggregation (its exchange is reused at runtime)
+    // instead of a second corpus-wide distinct. The key columns are
+    // re-aliased (fresh exprIds): universe and contrib share the counts
+    // lineage, and a USING self-join on shared attributes silently
+    // degenerates to a cross join (the spearman lesson).
+    val universe = counts.select(col("grp").as("__gu")).distinct()
+      .crossJoin(labels.toDF("__cu"))
     def fbeta(b: Double): Column = {
       val b2 = lit(b * b)
       safeDiv((lit(1.0) + b2) * col("precision") * col("recall"),
         b2 * col("precision") + col("recall"))
     }
-    val stats = support.join(tp, Seq("grp", "cls"), "left")
-      .join(predicted, Seq("grp", "cls"), "left").na.fill(0L)
+    // plain equality (not <=>): the old USING join never matched a null
+    // group either — a null grp keeps its zero-filled row
+    val stats = universe.join(contrib,
+        col("__gu") === col("grp") && col("__cu") === col("cls"), "left")
+      .drop("grp", "cls")
+      .withColumnRenamed("__gu", "grp").withColumnRenamed("__cu", "cls")
+      .na.fill(0L, Seq("support", "tp", "predicted"))
       .withColumn("fn", col("support") - col("tp"))
       .withColumn("fp", col("predicted") - col("tp"))
       .withColumn("precision", safeDiv(col("tp"), col("tp") + col("fp")))

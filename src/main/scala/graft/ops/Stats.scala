@@ -1284,32 +1284,62 @@ object Stats {
     // pairwise-complete: rank over EXACTLY the rows that enter the
     // correlation — ranking over all of df and then inner-joining away
     // rows where the OTHER variable is null would bias the midranks
-    // (and Spark windows order nulls first vs DuckDB's nulls-last)
-    val base = df.where(x.isNotNull && y.isNotNull)
-    def midranks(c: Column): DataFrame = {
-      val byV = base.select(c.cast("double").as("__v"))
-        .groupBy("__v").agg(count(lit(1)).as("__n"))
-      val w = Window.orderBy("__v")
+    // (and Spark windows order nulls first vs DuckDB's nulls-last).
+    //
+    // ONE corpus pass (r12; was three): collapse to distinct (x, y)
+    // CELLS with counts, derive each variable's midranks from the cell
+    // table's per-value marginals, and compute the rank Pearson as
+    // n-weighted moments over the cells. The midrank mean is EXACTLY
+    // (N+1)/2 (midranks always sum to N(N+1)/2), and midranks and that
+    // mean are exact doubles (half-integers below 2^52), so the centered
+    // deviations are exact and the weighted sums carry no cancellation —
+    // agreeing with the row-level stddev/covar form well inside the 6-dp
+    // face. The previous form also broadcast a per-distinct-value rank
+    // map (unbounded at scale); here every post-collapse join stays on
+    // the bounded cell table.
+    val cells = df.where(x.isNotNull && y.isNotNull)
+      .groupBy(x.cast("double").as("__vx"), y.cast("double").as("__vy"))
+      .agg(count(lit(1)).as("__n"))
+      // three consumers (both rank tables + the final join); the lazy
+      // checkpoint pins the collapse to ONE corpus scan instead of
+      // betting on AQE stage reuse
+      .localCheckpoint(false)
+    // the rank tables derive FROM cells, so their join keys are
+    // re-aliased (fresh exprIds) — a USING self-join against one's own
+    // aggregate silently degenerates to a cross join
+    def midranks(v: String, k: String, r: String): DataFrame = {
+      val byV = cells.groupBy(col(v)).agg(sum("__n").as("__nv"))
+      val w = Window.orderBy(v)
         .rowsBetween(Window.unboundedPreceding, -1)
-      byV.withColumn("__r",
-        coalesce(sum("__n").over(w), lit(0L)).cast("double")
-          + (col("__n") + 1).cast("double") / 2.0)
-        .select(col("__v"), col("__r"))
+      byV.withColumn(r,
+        coalesce(sum("__nv").over(w), lit(0L)).cast("double")
+          + (col("__nv") + 1).cast("double") / 2.0)
+        .select(col(v).as(k), col(r))
     }
-    val rx = midranks(x).withColumnRenamed("__v", "__vx")
-      .withColumnRenamed("__r", "__rx")
-    val ry = midranks(y).withColumnRenamed("__v", "__vy")
-      .withColumnRenamed("__r", "__ry")
-    val ranked = base.select(x.cast("double").as("__vx"),
-        y.cast("double").as("__vy"))
-      .join(broadcast(rx), "__vx").join(broadcast(ry), "__vy")
-    ranked.agg(count(lit(1)).as("n"),
-        stddev_samp(col("__rx")).as("__sx"),
-        stddev_samp(col("__ry")).as("__sy"),
-        covar_samp(col("__rx"), col("__ry")).as("__cv"))
+    // N as an exact driver literal off the checkpointed cells (a bounded
+    // 1-row agg) — a window total would funnel every cell through one
+    // single-partition task just to attach a constant
+    val nTotal = cells.agg(coalesce(sum("__n"), lit(0L))).head().getLong(0)
+    if (nTotal == 0L) {
+      // empty input: the same (n=0, spearman=null) face the aggregate
+      // over an empty frame produced
+      val spark = df.sparkSession
+      import spark.implicits._
+      return Seq((0L, Option.empty[Double])).toDF("n", "spearman")
+    }
+    val mean = (nTotal + 1) / 2.0 // exact: midranks always average to this
+    cells
+      .join(midranks("__vx", "__kx", "__rx"), col("__vx") === col("__kx"))
+      .join(midranks("__vy", "__ky", "__ry"), col("__vy") === col("__ky"))
+      .withColumn("__dx", col("__rx") - mean)
+      .withColumn("__dy", col("__ry") - mean)
+      .agg(coalesce(sum("__n"), lit(0L)).as("n"),
+        sum(col("__n") * col("__dx") * col("__dy")).as("__sxy"),
+        sum(col("__n") * col("__dx") * col("__dx")).as("__sxx"),
+        sum(col("__n") * col("__dy") * col("__dy")).as("__syy"))
       .select(col("n"),
-        round(when(col("__sx") > 0 && col("__sy") > 0,
-          col("__cv") / (col("__sx") * col("__sy"))), 6).as("spearman"))
+        round(when(col("__sxx") > 0 && col("__syy") > 0,
+          col("__sxy") / sqrt(col("__sxx") * col("__syy"))), 6).as("spearman"))
   }
 
   /** Cohort retention matrix — the classic acquisition-quality table

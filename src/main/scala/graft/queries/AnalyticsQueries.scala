@@ -362,9 +362,13 @@ object AnalyticsQueries {
       // Snapshot drift gate: full events vs the error-free slice.
       // distinctRelTol = 0.15 makes event_type's 5 → 4 distinct drop
       // (exactly 0.2) FAIL — a gate that can't fail proves nothing.
-      graft.ops.DataQuality.profileCompare(
+      // Sliced form (r12): both sides are slices of ONE scan, so the
+      // two profileTable passes (each with its own countDistinct
+      // Expand) fuse into a single conditional aggregation — same
+      // counts, same verdicts, half the scans.
+      graft.ops.DataQuality.profileCompareSlices(
           table(s, dir, "events"),
-          table(s, dir, "events").where(col("event_type") =!= "error"),
+          lit(true), col("event_type") =!= "error",
           Seq("value", "user_id", "event_type"),
           nullFracTol = 0.01, meanRelTol = 0.05, distinctRelTol = 0.15,
           // exact distinct ONLY here: the DuckDB twin counts exactly,

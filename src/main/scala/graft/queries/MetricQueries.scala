@@ -21,9 +21,19 @@ object MetricQueries {
     * event_id % 5 == 0 — a deterministic 20%-error "model". */
   private def multiclassFrame(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val ev = table(s, dir, "events")
-    val enc = graft.ops.Labels.fitLabelEncoder(ev, "event_type")
-    val k = enc.count().toInt
-    val df = graft.ops.Labels.encodeLabel(ev, enc, "event_type", "y_true")
+    // The encoder is k rows (k = |event_type|): collect it once and
+    // re-inject as a literal when-chain instead of broadcast-joining it —
+    // the fit's distinct+window subtree (plus its broadcast build) then
+    // runs ONCE here instead of inside every action of all eight
+    // multiclass queries' plans. Same values as encodeLabel's left join:
+    // an unseen/null class falls through every branch to null.
+    val enc = graft.ops.Labels.fitLabelEncoder(ev, "event_type").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val k = enc.length
+    val yTrue = if (enc.isEmpty) lit(null).cast("int")
+      else coalesce(enc.map { case (c, y) =>
+        when(col("event_type").cast("string") === c, lit(y)) }.toIndexedSeq: _*)
+    val df = ev.withColumn("y_true", yTrue)
       .withColumn("y_pred",
         when(col("event_id") % 5 === 0, pmod(col("y_true") + 1, lit(k)))
           .otherwise(col("y_true")).cast("int"))
@@ -278,16 +288,18 @@ object MetricQueries {
       // temperature of the probaMatrix "logits", 9-dp-snapped so the
       // twin recomputes the identical β from the long (row, class,
       // logit) form. Face: β/T + the per-class mean calibrated mass.
+      // Fused fit+means (r12): k is schema-known (probaMatrix width),
+      // so the uniform-width probe pass is skipped, and the means read
+      // the SAME persisted flat frame as the Newton loop — the upstream
+      // scan+encode executes once, not three times. Per-row p_j replays
+      // temperatureApply's IEEE sequence bit-identically; y_true is
+      // never null here, so means-over-fit-rows == means-over-all-rows.
       val (df, k) = multiclassFrame(s, dir)
       val withZ = df.withColumn("z", probaMatrix(k))
-      val m = Calibration.temperatureFit(withZ, col("y_true"), col("z"),
-        iterations = 6)
-      withZ
-        .select(posexplode(
-          Calibration.temperatureApply(col("z"), m)).as(Seq("cls", "p")))
-        .groupBy("cls")
-        .agg(round(avg("p"), 6).as("mean_p_cal"))
-        .select(col("cls"), col("mean_p_cal"),
+      val (m, means) = Calibration.temperatureFitWithMeans(withZ,
+        col("y_true"), col("z"), iterations = 6, k)
+      means
+        .select(col("cls"), round(col("mean_p"), 6).as("mean_p_cal"),
           round(lit(m.beta), 6).as("beta"), round(lit(m.t), 6).as("t"))
         .orderBy("cls")
     }),

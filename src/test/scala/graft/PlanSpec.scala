@@ -405,10 +405,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("g_spearman: rank tables broadcast back by value; one final aggregation") {
+  test("g_spearman: rank tables join the checkpointed cell collapse — no " +
+      "corpus re-scan, no sort-merge join") {
     val p = plan("g_spearman")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
     assert(!p.contains("SortMergeJoin"), p)
+    // the (x, y) cell collapse is checkpointed: every branch reads the
+    // materialized RDD, so the corpus parquet scan never re-appears
+    assert(!p.contains("Scan parquet"), p)
   }
 
   test("g_skew_report: two aggregations, no window, no join — pure count algebra") {
