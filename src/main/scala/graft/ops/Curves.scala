@@ -301,9 +301,8 @@ object Curves {
       .groupBy("grp")
       .agg(avg("ap").as("pr_auc_macro"), avg("auc").as("roc_auc_macro"))
 
-    // both legs now share the cells lineage: re-alias the macro key
-    // (fresh exprId) — a USING self-join on a shared attribute silently
-    // degenerates to a cross join
+    // both legs share the cells lineage: re-alias the macro key so the
+    // join condition is explicit
     val macroR = macroDf.select(col("grp").as("__gmk"),
       col("pr_auc_macro"), col("roc_auc_macro"))
     micro.join(macroR, col("grp") === col("__gmk")).drop("__gmk")

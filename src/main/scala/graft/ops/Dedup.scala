@@ -163,13 +163,18 @@ object Dedup {
   def minhashNearDuplicates(df: DataFrame, id: String, text: String,
       threshold: Double, numShingleWords: Int = 3,
       numBands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    // both bucket-join legs read the signatures, and both verify joins
+    // read the shingle sets: checkpoint each so the corpus is
+    // shingled/minhashed once per representation, not once per leg (r12)
     val buckets = lshBuckets(df, id, text, numShingleWords, numBands, rowsPerBand)
+      .localCheckpoint(false)
     val a = buckets.toDF("id_a", "band", "bucket")
     val b = buckets.toDF("id_b", "band", "bucket")
     val pairs = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val docs = df.select(col(id), shingles(col(text), numShingleWords).as("sh"))
+      .localCheckpoint(false)
     pairs
       .join(docs.toDF("id_a", "sh_a"), Seq("id_a"))
       .join(docs.toDF("id_b", "sh_b"), Seq("id_b"))
@@ -371,12 +376,18 @@ object Dedup {
     * the shuffle carries (id, norm, vector) once per table. */
   def embeddingNearDuplicates(df: DataFrame, id: String, vec: String,
       threshold: Double, nBits: Int = 8, nTables: Int = 4, seed: Long = 42L): DataFrame = {
+    // ONE (id, vector, norm) projection feeds both bucket legs and both
+    // verify joins (r12; the projection — including the norm fold —
+    // re-executed four times before, plus a separate scan for the dim
+    // probe, which now doubles as the checkpoint materializer)
+    val base = df.select(col(id), col(vec).cast("array<double>").as("__v"))
+      .withColumn("__n", Similarity.norm(col("__v")))
+      .localCheckpoint(false)
     // hyperplanes need the dimensionality — probe one row (tiny action)
-    val dim = df.select(size(col(vec))).head().getInt(0)
+    val dim = base.select(size(col("__v"))).head().getInt(0)
     val buckets = (0 until nTables).map(t =>
       Similarity.randomHyperplaneLsh(col("__v"), nBits, seed + 7919L * t, dim))
-    val withB = df.select(col(id), col(vec).cast("array<double>").as("__v"))
-      .withColumn("__n", Similarity.norm(col("__v")))
+    val withB = base
       .select(col(id), col("__v"), col("__n"),
         posexplode(array(buckets: _*)).as(Seq("__t", "__b")))
     val a = withB.select(col(id).as("id_a"), col("__t"), col("__b"))
@@ -384,11 +395,11 @@ object Dedup {
     val pairs = a.join(b, Seq("__t", "__b"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val vecs = df.select(col(id), col(vec).cast("array<double>").as("v"))
-      .withColumn("n", Similarity.norm(col("v")))
     pairs
-      .join(vecs.select(col(id).as("id_a"), col("v").as("va"), col("n").as("na")), Seq("id_a"))
-      .join(vecs.select(col(id).as("id_b"), col("v").as("vb"), col("n").as("nb")), Seq("id_b"))
+      .join(base.select(col(id).as("id_a"), col("__v").as("va"),
+        col("__n").as("na")), Seq("id_a"))
+      .join(base.select(col(id).as("id_b"), col("__v").as("vb"),
+        col("__n").as("nb")), Seq("id_b"))
       .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
@@ -687,6 +698,8 @@ object Dedup {
     val e = edges.select(least(col(u), col(v)).as("a"),
         greatest(col(u), col(v)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull).distinct()
+      // three join legs read the canonical edge list: build it once (r12)
+      .localCheckpoint(false)
     e.toDF("a", "b")
       .join(e.toDF("b", "c"), "b")
       .join(e.toDF("a", "c"), Seq("a", "c"))

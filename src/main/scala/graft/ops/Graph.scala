@@ -448,11 +448,17 @@ object Graph {
         greatest(col(src), col(dst)).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+      // consumed by both adjacency legs + the existing-edge anti-join:
+      // canonicalize once (r12)
+      .localCheckpoint(false)
     val adj = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
     val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
     val centers = adj.join(deg, "node")
       .where(col("deg") <= maxDegree)
+      // consumed by both wedge legs + the capped-degree aggregation:
+      // build the hub-cut adjacency once (r12)
+      .localCheckpoint(false)
     val wedges = centers.select(col("node"), col("nbr").as("pa"), col("deg"))
       .join(centers.select(col("node"), col("nbr").as("pb")), "node")
       .where(col("pa") < col("pb"))
@@ -656,6 +662,10 @@ object Graph {
       .select(col("a"), col("b"),
         coalesce(col("__ca"), concat(lit("§unassigned§"), col("a"))).as("ca"),
         coalesce(col("__cb"), concat(lit("§unassigned§"), col("b"))).as("cb"))
+      // five consumers (the m count + three community aggregations, two
+      // of them two-legged unions): tag the edges once (r12); the count
+      // below materializes the checkpoint
+      .localCheckpoint(false)
     val m = tagged.count().toDouble
     require(m > 0, "modularity: graph has no edges")
     // per-community degree sums from the edge endpoints themselves (the
@@ -702,6 +712,8 @@ object Graph {
         greatest(col(src), col(dst)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull)
       .distinct()
+      // both degree legs + the triangle join read it: build once (r12)
+      .localCheckpoint(false)
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))

@@ -121,9 +121,8 @@ object MetricsOps {
     // zero-fill the label universe per group; groups are derived from
     // the SAME cell aggregation (its exchange is reused at runtime)
     // instead of a second corpus-wide distinct. The key columns are
-    // re-aliased (fresh exprIds): universe and contrib share the counts
-    // lineage, and a USING self-join on shared attributes silently
-    // degenerates to a cross join (the spearman lesson).
+    // re-aliased so the left-join condition is explicit (universe and
+    // contrib share the counts lineage).
     val universe = counts.select(col("grp").as("__gu")).distinct()
       .crossJoin(labels.toDF("__cu"))
     def fbeta(b: Double): Column = {

@@ -210,6 +210,9 @@ object Multimodal {
     val base = math.max(1, nBits / nBands) // band widths differ by <= 1
     val hashed = perceptualHash(
       media.select(col(idCol), col(payloadCol)), payloadCol, "__ph", nBits)
+      // both banding legs read the (id, 64-bit hash) table: hash the
+      // payloads once — this is the op's whole point at scale (r12)
+      .localCheckpoint(false)
     val bands = (0 until nBands).map { bIdx =>
       val lo = bIdx * base
       val hi = if (bIdx == nBands - 1) nBits else (bIdx + 1) * base

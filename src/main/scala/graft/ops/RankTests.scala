@@ -37,12 +37,18 @@ object RankTests {
     val cells = df.where(v.isNotNull && group.isNotNull)
       .groupBy(v.as("__v"), group.cast("string").as("__g"))
       .agg(count(lit(1)).as("__c"))
+      // two consumers (the rank spine + the per-group tagging join):
+      // collapse the corpus once (r12)
+      .localCheckpoint(false)
     val perV = cells.groupBy("__v").agg(sum("__c").as("__t"))
     val w = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = perV.withColumn("__rank",
       coalesce(sum("__t").over(w), lit(0L)).cast("double") +
         (col("__t") + 1).cast("double") / 2.0)
+      // consumed by the per-group join AND the tie sum: run the
+      // single-partition rank window once (r12)
+      .localCheckpoint(false)
     val perG = cells.join(ranked, "__v")
       .groupBy("__g")
       .agg(sum(col("__c") * col("__rank")).as("__r"), sum("__c").as("__n"))

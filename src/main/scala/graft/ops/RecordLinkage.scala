@@ -149,6 +149,9 @@ object RecordLinkage {
       idB: String = "id_b"): DataFrame = {
     val keyed = records.select(col(id).as("__id"),
       blockKey.cast("string").as("__bk"))
+      // three consumers (block sizes + both truth-tagging joins): key
+      // the records once (r12)
+      .localCheckpoint(false)
     val blocks = keyed.groupBy("__bk").agg(count(lit(1)).as("__n"))
     val base = blocks.agg(
       sum(col("__n")).cast("long").as("n_records"),

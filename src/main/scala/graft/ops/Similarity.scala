@@ -761,10 +761,14 @@ object Similarity {
       threshold: Double, nCells: Int, nProbe: Int, iters: Int = 1,
       byHash: Boolean = true, marginRound: Int = 6): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // each leg feeds BOTH its neighborhood-mean aggregate and the
+    // candidate union: checkpoint the bounded (rows × k) neighbor
+    // tables so the whole k-NN join (centroid fit + assignment + probe
+    // ranking) runs once per direction, not twice (r12)
     val fwd = knnJoin(left, lid, lvec, right, rid, rvec, k, nCells, nProbe,
-      iters, byHash)
+      iters, byHash).localCheckpoint(false)
     val bwd = knnJoin(right, rid, rvec, left, lid, lvec, k, nCells, nProbe,
-      iters, byHash)
+      iters, byHash).localCheckpoint(false)
     val avgF = fwd.groupBy(lid).agg(avg("cos").as("__af"))
     val avgB = bwd.groupBy(rid).agg(avg("cos").as("__ab"))
     // forward and backward legs compute bit-equal cosines for the same

@@ -677,6 +677,9 @@ object Stats {
     val r = df.where(label.isNotNull)
       .groupBy(item.as("__i"), label.as("__c"))
       .agg(count(lit(1)).as("__r"))
+      // two consumers (per-item moments + the label marginal join):
+      // collapse the corpus once (r12)
+      .localCheckpoint(false)
     val perItem = r.groupBy("__i")
       .agg(sum("__r").as("__n"), sum(col("__r") * col("__r")).as("__r2"))
       .where(col("__n") >= 2)
@@ -995,14 +998,19 @@ object Stats {
       t: Double, ordered: Boolean = false, maxDomain: Int = 10000): DataFrame = {
     require(quasi.nonEmpty && t > 0.0 && t < 1.0, "need QI columns and 0 < t < 1")
     val s = col(sensitive)
+    // ONE corpus pass (r12; was three): the global sensitive marginal
+    // and the total row count are exact integer regroups of the
+    // (quasi…, sensitive) cell table, so they derive from the
+    // checkpointed collapse instead of re-scanning the corpus
     val cells = df.groupBy((quasi :+ sensitive).map(col): _*)
       .agg(count(lit(1)).as("__c"))
-    val global = df.groupBy(s.as("__sv"))
-      .agg(count(lit(1)).as("__gc"))
+      .localCheckpoint(false)
+    val global = cells.groupBy(s.as("__sv"))
+      .agg(sum("__c").as("__gc"))
     val m = global.count()
     require(m <= maxDomain,
       s"tCloseness: sensitive domain $m > $maxDomain — bin the attribute first")
-    val nTotal = df.count()
+    val nTotal = cells.agg(coalesce(sum("__c"), lit(0L))).head().getLong(0)
     // group × domain grid (m rows per group; the global side is m rows —
     // broadcast by construction), group cells left-joined in so absent
     // sensitive values contribute p = 0
@@ -1304,9 +1312,8 @@ object Stats {
       // checkpoint pins the collapse to ONE corpus scan instead of
       // betting on AQE stage reuse
       .localCheckpoint(false)
-    // the rank tables derive FROM cells, so their join keys are
-    // re-aliased (fresh exprIds) — a USING self-join against one's own
-    // aggregate silently degenerates to a cross join
+    // the rank tables derive FROM cells; their join keys are re-aliased
+    // so the join condition is explicit and self-describing
     def midranks(v: String, k: String, r: String): DataFrame = {
       val byV = cells.groupBy(col(v)).agg(sum("__n").as("__nv"))
       val w = Window.orderBy(v)
@@ -1362,6 +1369,9 @@ object Stats {
       .cast("long")
     val first = df.groupBy(entity.as("__e"))
       .agg(min(period).as("cohort"))
+      // two consumers (the activity join + the cohort sizes): assign
+      // cohorts once (r12)
+      .localCheckpoint(false)
     val active = df.select(entity.as("__e2"), period.as("__p")).distinct()
     val joined = active.join(first, col("__e2") === col("__e"))
       .withColumn("offset", (col("__p") - col("cohort")).cast("int"))
@@ -1464,6 +1474,9 @@ object Stats {
         coalesce(x.cast("string"), lit("§null§")).as("x"),
         coalesce(y.cast("string"), lit("§null§")).as("y"))
       .agg(count(lit(1)).as("n_xy"))
+      // three consumers (both marginals + the tagging join): collapse
+      // the corpus once (r12)
+      .localCheckpoint(false)
     val mx = joint.groupBy("x").agg(sum("n_xy").as("n_x"))
     val my = joint.groupBy("y").agg(sum("n_xy").as("n_y"))
     val n = Window.partitionBy()
@@ -1542,6 +1555,9 @@ object Stats {
         coalesce(group.cast("string"), lit("§null§")).as("__g"),
         coalesce(category.cast("string"), lit("§null§")).as("__c"))
       .agg(count(lit(1)).as("__o"))
+      // both marginals, their gate probes, and the grid join read the
+      // cell table: collapse the corpus once (r12)
+      .localCheckpoint(false)
     val mg = obs.groupBy("__g").agg(sum("__o").as("__ng"))
     val mc = obs.groupBy("__c").agg(sum("__o").as("__nc"))
     val (r, c) = (mg.count(), mc.count())
@@ -1623,8 +1639,13 @@ object Stats {
     val nc = abs(yTrue.cast("double") - yPred.cast("double"))
     val base = cal.select(group.as("grp"), nc.as("__nc"))
       .where(col("__nc").isNotNull)
+      // two consumers (group sizes + the rank window): compute the
+      // residuals once (r12)
+      .localCheckpoint(false)
     val sizes = base.groupBy("grp").agg(count(lit(1)).as("n"))
       .withColumn("__k", ceil((col("n") + 1) * lit(1.0 - alpha)).cast("long"))
+      // two consumers (the rank-hit join + the report's left join)
+      .localCheckpoint(false)
     val w = Window.partitionBy("grp").orderBy(col("__nc"))
     val grid = math.pow(10.0, roundTo)
     val hit = base.withColumn("__r", row_number().over(w))

@@ -79,6 +79,8 @@ object AnalyticsQueries {
         .select(col("event_id"), col("event_type"), col("value"))
       val model = ev.where(col("event_id") % 3 === 0)
         .groupBy("event_type").agg(round(avg("value"), 6).as("yhat"))
+        // broadcast-joined twice (calibration + test preds): fit once (r12)
+        .localCheckpoint(false)
       def pred(df: org.apache.spark.sql.DataFrame) =
         df.join(broadcast(model), "event_type")
       val qhat = Stats.conformalFit(pred(ev.where(col("event_id") % 3 === 1)),
@@ -1067,11 +1069,16 @@ object AnalyticsQueries {
       // Three map-side-combined aggregations + two user-keyed joins — no
       // per-user event sorting, no collect.
       val ev = table(s, dir, "events").withColumn("ts_us", col("ts"))
+      // each stage table feeds BOTH the next stage's join and the final
+      // report join: checkpoint the bounded per-user tables so no stage
+      // re-executes its predecessors (r12)
       val tv = ev.where(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts_us").as("t_view"))
+        .localCheckpoint(false)
       val tc = ev.join(tv, "user_id")
         .where(col("event_type") === "click" && col("ts_us") >= col("t_view"))
         .groupBy("user_id").agg(min("ts_us").as("t_click"))
+        .localCheckpoint(false)
       val tp = ev.join(tc, "user_id")
         .where(col("event_type") === "purchase" && col("ts_us") >= col("t_click"))
         .groupBy("user_id").agg(min("ts_us").as("t_purchase"))

@@ -330,6 +330,8 @@ object RowsOnlyQueries {
       val base = Multimodal.syntheticMedia(s,
           table(s, dir, "documents").where(col("doc_id") < 300), "doc_id")
         .select(col("media_id"), col("payload"))
+        // three corpus slices derive from it: synthesize once (r12)
+        .localCheckpoint(false)
       def pstr = decode(col("payload"), "UTF-8")
       val near = base.select((col("media_id") + 100000).as("media_id"),
         encode(concat(substring(pstr, 1, 4), lit("zzzz"),

@@ -138,6 +138,8 @@ object SimilarityQueries {
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val neighbors = Similarity.bruteForceTopK(
         e, queries, "vec_id", "v", "qid", "qv", k = 12)
+        // feeds the positives slice AND the mining anti-join (r12)
+        .localCheckpoint(false)
       val positives = neighbors.where(col("rank") <= 2)
         .select(col("qid"), col("vec_id"))
       graft.ops.Retrieval.mineHardNegatives(neighbors, positives,
@@ -157,6 +159,8 @@ object SimilarityQueries {
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val nb = Similarity.bruteForceTopK(
         e, queries, "vec_id", "v", "qid", "qv", k = 20)
+        // feeds the judgment synthesis AND the metrics input (r12)
+        .localCheckpoint(false)
       val qrels = nb
         .where(col("rank") <= 3 || (col("rank") >= 15 && col("rank") <= 18))
         .select(col("qid"), col("vec_id"),

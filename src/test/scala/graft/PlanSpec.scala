@@ -261,13 +261,27 @@ class PlanSpec extends SparkSpec {
   test("bitext_margin: k-NN legs and the margin rank all group-limit; candidate sorts carry no vectors") {
     val p = plan("bitext_margin")
     assert(!p.contains("CartesianProduct"), p)
-    // 2 knnJoin legs + the rank-1-by-margin window, each with a
-    // partial+final WindowGroupLimit pair (rank<=k pushed below the sort)
-    assert("WindowGroupLimit".r.findAllIn(p).size >= 6, p)
+    // the rank-1-by-margin window keeps its partial+final
+    // WindowGroupLimit pair (rank<=k pushed below the sort); the two
+    // knnJoin legs now sit behind lazy checkpoints (r12 — each leg feeds
+    // two consumers and must run once), so their group limits are pinned
+    // on the leg's OWN plan below instead of the downstream plan
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    val embT = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val leg = planOf(graft.ops.Similarity.knnJoin(
+      embT.where(col("vec_id") >= 150)
+        .select(col("vec_id").as("src_id"), col("v")),
+      "src_id", "v",
+      embT.where(col("vec_id") < 150),
+      "vec_id", "v", k = 4, nCells = 4, nProbe = 4, iters = 0,
+      byHash = false))
+    assert("WindowGroupLimit".r.findAllIn(leg).size >= 2, leg)
     // the explicit pre-window projection keeps the dim-wide vectors out
     // of every top-k sort (the 300k-probe disk-blowup fix, SCALE.md) —
-    // no Sort step may list a vector column
-    val sortLines = p.linesIterator.filter(_.contains("+- Sort ")).toSeq
+    // no Sort step may list a vector column (in either plan)
+    val sortLines = (p.linesIterator ++ leg.linesIterator)
+      .filter(_.contains("+- Sort ")).toSeq
     assert(sortLines.nonEmpty &&
       sortLines.forall(l => !l.contains("__rv") && !l.contains("v#")), p)
     // the candidate ⋈ per-side-average joins are corpus-sized on BOTH
