@@ -38,6 +38,11 @@ object VectorShim {
       cvecs: Array[Array[Double]], cnorms: Array[Double], nProbe: Int): Column =
     ExpressionUtils.column(NearestCells(ExpressionUtils.expression(vec),
       ExpressionUtils.expression(vnorm), cvecs, cnorms, nProbe))
+  def prefixDotsCol(a: Column, b: Column, cuts: Array[Int]): Column =
+    ExpressionUtils.column(PrefixDots(ExpressionUtils.expression(a),
+      ExpressionUtils.expression(b), cuts))
+  def prefixNormsCol(a: Column, cuts: Array[Int]): Column =
+    ExpressionUtils.column(PrefixNorms(ExpressionUtils.expression(a), cuts))
 
   /** Unwrap a `.asc` SortOrder column into its projectable child (needed by
     * the distributed-index primitives, which must evaluate order keys as
@@ -259,6 +264,99 @@ case class NearestCells(vec: Expression, vnorm: Expression,
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): NearestCells =
     copy(vec = newLeft, vnorm = newRight)
+}
+
+/** Cumulative prefix dot products at fixed cut points — the matryoshka
+  * (MRL) fusion primitive: ONE ascending pass over the common prefix of
+  * two vectors emits `Σ_{i<cut} a[i]·b[i]` for every cut. Because
+  * float addition over a prefix is exactly the prefix of the running
+  * accumulation, out[c] is BIT-IDENTICAL to
+  * `DotProduct(slice(a,1,cut), slice(b,1,cut))` — so rankings computed
+  * from these partials match the per-budget sliced passes ulp-for-ulp.
+  * Cuts beyond the common length saturate (slice semantics). */
+object PrefixDotsImpl {
+  def compute(a: ArrayData, b: ArrayData, cuts: Array[Int]): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Double](cuts.length)
+    var s = 0.0
+    var i = 0
+    var c = 0
+    while (c < cuts.length) {
+      val stop = math.min(cuts(c), n)
+      while (i < stop) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+      out(c) = s
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Prefix L2 norms at fixed cut points — same cumulative contract as
+  * [[PrefixDotsImpl]]: out[c] == L2Norm(slice(a,1,cut)) bit-for-bit. */
+object PrefixNormsImpl {
+  def compute(a: ArrayData, cuts: Array[Int]): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](cuts.length)
+    var s = 0.0
+    var i = 0
+    var c = 0
+    while (c < cuts.length) {
+      val stop = math.min(cuts(c), n)
+      while (i < stop) { val v = a.getDouble(i); s += v * v; i += 1 }
+      out(c) = math.sqrt(s)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class PrefixDots(left: Expression, right: Expression, cuts: Array[Int])
+    extends BinaryExpression with ExpectsInputTypes {
+  require(cuts.nonEmpty && cuts.head >= 1 &&
+    cuts.iterator.sliding(2).withPartial(false).forall(p => p.head < p(1)),
+    "cuts must be strictly ascending and positive")
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_prefix_dots"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PrefixDotsImpl.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], cuts)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cc = ctx.addReferenceObj("cuts", cuts, "int[]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.PrefixDotsImpl" +
+        s".compute($a, $b, $cc);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PrefixDots =
+    copy(left = newLeft, right = newRight)
+}
+
+case class PrefixNorms(child: Expression, cuts: Array[Int])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cuts.nonEmpty && cuts.head >= 1 &&
+    cuts.iterator.sliding(2).withPartial(false).forall(p => p.head < p(1)),
+    "cuts must be strictly ascending and positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_prefix_norms"
+
+  override def nullSafeEval(a: Any): Any =
+    PrefixNormsImpl.compute(a.asInstanceOf[ArrayData], cuts)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cc = ctx.addReferenceObj("cuts", cuts, "int[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.PrefixNormsImpl" +
+        s".compute($a, $cc);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PrefixNorms =
+    copy(child = newChild)
 }
 
 case class NearestCentroid(vec: Expression, vnorm: Expression,

@@ -28,6 +28,16 @@ object VectorFunctions {
     * precompute the norms once per side instead. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Σ a[i]·b[i] at each ascending cut — array<double>, one pass;
+    * element c is bit-identical to `dot(slice(a,1,cut_c), slice(b,1,cut_c))`. */
+  def prefixDots(a: Column, b: Column, cuts: Seq[Int]): Column =
+    VectorShim.prefixDotsCol(a, b, cuts.toArray)
+
+  /** √(Σ a[i]²) at each ascending cut — array<double>, one pass;
+    * element c is bit-identical to `l2norm(slice(a,1,cut_c))`. */
+  def prefixNorms(a: Column, cuts: Seq[Int]): Column =
+    VectorShim.prefixNormsCol(a, cuts.toArray)
+
   /** Regularized incomplete-beta inverse (scipy `beta.ppf(p, a, b)`),
     * whole-stage-codegen'd; NaN outside the domain. The primitive behind
     * distributed Clopper–Pearson CIs (see

@@ -924,9 +924,18 @@ object Similarity {
     * — micro-averaged over queries, ties broken (cos desc, id asc) like
     * [[bruteForceTopK]].
     *
-    * Scale shape: |dims|+1 broadcast-join passes over the corpus (the
-    * query side is the broadcast side; the corpus is never shuffled
-    * beyond each per-query k-row window). This is the ground-truth EVAL
+    * Scale shape (fused, round 13): ONE broadcast-join pass over the
+    * corpus (the query side is the broadcast side) computes every
+    * prefix-budget cosine AND the full-dim cosine per pair via the
+    * native cumulative [[graft.functions.VectorFunctions.prefixDots]] /
+    * `prefixNorms` expressions — bit-identical to the per-budget sliced
+    * passes (prefix accumulation IS the sliced accumulation), so the
+    * per-budget rankings are ulp-for-ulp the old ones. The pairs then
+    * explode ×(|dims|+1) into one (query, budget)-partitioned top-k
+    * window; the bounded (≤ (|dims|+1)·k·|queries| rows) top-k table is
+    * lineage-pinned once and the budget legs semi-join the full leg on
+    * it. Replaces |dims|+1 corpus passes (and |dims|+1 windows over the
+    * pair set) with exactly one of each. This is the ground-truth EVAL
     * harness — run it over a sampled corpus slice / query panel, the
     * same regime as [[bruteForceTopK]]; production retrieval at the
     * chosen budget then goes through the IVF/PQ paths. */
@@ -935,20 +944,53 @@ object Similarity {
       dims: Seq[Int]): DataFrame = {
     require(dims.nonEmpty && dims.forall(_ > 0), "need positive dims")
     require(dims.distinct.size == dims.size, "duplicate dims")
+    import graft.functions.VectorFunctions.{prefixDots, prefixNorms}
     val nQ = queries.count()
     require(nQ > 0, "empty query panel")
-    val full = bruteForceTopK(corpus, queries, id, vec, qid, qvec, k)
-      .select(col(qid), col(id)).cache()
-    val rows = dims.map { d =>
-      val tc = corpus.withColumn(vec, slice(col(vec), 1, d))
-      val tq = queries.withColumn(qvec, slice(col(qvec), 1, d))
-      bruteForceTopK(tc, tq, id, vec, qid, qvec, k)
-        .select(col(qid), col(id))
-        .join(full, Seq(qid, id), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-        .select(lit(d).as("dim"), col("n_hits"), lit(nQ).as("n_queries"),
-          round(col("n_hits").cast("double") / (k * nQ), 6).as("recall"))
-    }
-    rows.reduce(_.unionAll(_))
+    val cuts = dims.sorted
+    // FULL-dim leg rides as sentinel budget -1 (dims are all positive):
+    // same dot/norm expression shape as bruteForceTopK's cos column.
+    val budgets = cuts.zipWithIndex.map { case (d, i) =>
+      struct(lit(d).as("dim"),
+        (element_at(col("__pd"), i + 1) /
+          (element_at(col("__qn"), i + 1) * element_at(col("__vn"), i + 1)))
+          .as("cos"))
+    } :+ struct(lit(-1).as("dim"),
+      (dot(col(qvec), col(vec)) / (col("__qnF") * col("__vnF"))).as("cos"))
+    val exploded = corpus
+      .withColumn("__vn", prefixNorms(col(vec).cast("array<double>"), cuts))
+      .withColumn("__vnF", norm(col(vec)))
+      .join(broadcast(queries
+        .withColumn("__qn", prefixNorms(col(qvec).cast("array<double>"), cuts))
+        .withColumn("__qnF", norm(col(qvec)))))
+      .where(col(id) =!= col(qid))
+      .withColumn("__pd", prefixDots(col(qvec).cast("array<double>"),
+        col(vec).cast("array<double>"), cuts))
+      .select(col(qid), col(id), explode(array(budgets: _*)).as("__b"))
+      .select(col(qid), col(id), col("__b.dim").as("__dim"),
+        col("__b.cos").as("cos"))
+    val w = Window.partitionBy(col(qid), col("__dim"))
+      .orderBy(col("cos").desc, col(id).asc)
+    // bounded: (|dims|+1)·k·|queries| rows — pin it so the full-leg /
+    // budget-leg semi-join below doesn't re-run the corpus pass twice
+    val topk = exploded.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qid), col(id), col("__dim"))
+      .localCheckpoint(false)
+    // fresh exprIds on the semi-join's build side (`.as` re-aliases; a
+    // bare select would share attribute ids with the probe side and the
+    // USING join could resolve both legs to the same attributes)
+    val full = topk.where(col("__dim") === -1)
+      .select(col(qid).as(qid), col(id).as(id))
+    val hits = topk.where(col("__dim") =!= -1)
+      .join(full, Seq(qid, id), "left_semi")
+      .groupBy(col("__dim")).agg(count(lit(1)).as("__h"))
+    corpus.sparkSession.range(1)
+      .select(explode(lit(dims.toArray)).as("dim"))
+      .join(hits, col("dim") === col("__dim"), "left")
+      .select(col("dim"), coalesce(col("__h"), lit(0L)).as("n_hits"),
+        lit(nQ).as("n_queries"),
+        round(coalesce(col("__h"), lit(0L)).cast("double") / (k * nQ), 6)
+          .as("recall"))
   }
 }

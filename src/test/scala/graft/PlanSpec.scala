@@ -341,12 +341,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("embedding_matryoshka: queries broadcast to the corpus; every top-k is group-limited") {
+  test("embedding_matryoshka: ONE fused corpus pass; legs read the pinned top-k") {
+    // r13 fusion: all |dims|+1 budget rankings ride one corpus×queries
+    // pass (native prefix dots/norms), checkpointed at bounded top-k
+    // size — the final plan must join two reads of that LogicalRDD leaf,
+    // with no parquet re-scan and no cartesian anywhere
     val p = plan("embedding_matryoshka")
-    // the corpus side is only ever joined via the broadcast of the query
-    // panel (one BNLJ per budget + one for the full-dim reference)
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3, p)
-    assert(p.contains("WindowGroupLimit"), p)
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("LeftSemi"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
