@@ -110,6 +110,115 @@ case class CenteredMomentsAgg(
     copy(child = newChild)
 }
 
+/** Per-dimension min/max of the L2-NORMALIZED input vectors in ONE flat
+  * buffer — the SQ8 fit pass (graft.ops.ScalarQuant). Replaces a forest
+  * of 2·d separate `min(element_at(transform(vec, x/norm), i))` /
+  * `max(...)` aggregates: one tight loop per row (norm + d compares)
+  * instead of 2·d expression evaluations, and a plan whose size is
+  * d-independent.
+  *
+  * Exact-parity contract with the expression forest it replaces:
+  * normalization is `x / sqrt(Σx²)` with the ascending L2Norm fold
+  * (identical IEEE); min/max compare via `java.lang.Double.compare`,
+  * Spark's SQL ordering (NaN greatest — max PICKS NaN when present, min
+  * avoids it); per-element nulls and elements beyond `d` are skipped
+  * like `element_at` + null-ignoring min/max; zero input rows eval to
+  * null. Output: array of 2·d doubles, mins then maxs. */
+case class NormalizedMinMaxAgg(
+    child: Expression,
+    d: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]]
+  with UnaryLike[Expression] with ExpectsInputTypes {
+
+  require(d > 0, "d must be positive")
+
+  // [count, mins(d), maxs(d)]
+  private val bufLen: Int = 1 + 2 * d
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_normalized_minmax"
+
+  override def createAggregationBuffer(): Array[Double] = {
+    val buf = new Array[Double](bufLen)
+    var i = 0
+    while (i < d) {
+      buf(1 + i) = Double.PositiveInfinity
+      buf(1 + d + i) = Double.NegativeInfinity
+      i += 1
+    }
+    buf
+  }
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val a = child.eval(input)
+    if (a == null) return buf
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { val v = arr.getDouble(i); s += v * v }
+      i += 1
+    }
+    val nrm = math.sqrt(s)
+    buf(0) += 1.0
+    val stop = math.min(d, n)
+    i = 0
+    while (i < stop) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getDouble(i) / nrm
+        if (java.lang.Double.compare(x, buf(1 + i)) < 0) buf(1 + i) = x
+        if (java.lang.Double.compare(x, buf(1 + d + i)) > 0) buf(1 + d + i) = x
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    b1(0) += b2(0)
+    var i = 0
+    while (i < d) {
+      if (java.lang.Double.compare(b2(1 + i), b1(1 + i)) < 0) b1(1 + i) = b2(1 + i)
+      if (java.lang.Double.compare(b2(1 + d + i), b1(1 + d + i)) > 0)
+        b1(1 + d + i) = b2(1 + d + i)
+      i += 1
+    }
+    b1
+  }
+
+  override def eval(buf: Array[Double]): Any = {
+    if (buf(0) == 0.0) return null
+    val out = new Array[Double](2 * d)
+    System.arraycopy(buf, 1, out, 0, 2 * d)
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(bufLen * 8)
+    bb.asDoubleBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](bufLen)
+    ByteBuffer.wrap(bytes).asDoubleBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): NormalizedMinMaxAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): NormalizedMinMaxAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): NormalizedMinMaxAgg =
+    copy(child = newChild)
+}
+
 object MomentShim {
   /** Column face of [[CenteredMomentsAgg]] (an aggregate — use inside
     * `.agg(...)`). */
@@ -117,5 +226,11 @@ object MomentShim {
       withTri: Boolean): Column =
     ExpressionUtils.column(
       CenteredMomentsAgg(ExpressionUtils.expression(vec), d, mean, withTri)
+        .toAggregateExpression())
+
+  /** Column face of [[NormalizedMinMaxAgg]]. */
+  def normalizedMinMaxCol(vec: Column, d: Int): Column =
+    ExpressionUtils.column(
+      NormalizedMinMaxAgg(ExpressionUtils.expression(vec), d)
         .toAggregateExpression())
 }

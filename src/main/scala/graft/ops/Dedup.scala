@@ -1009,12 +1009,17 @@ object Dedup {
       if (grain == 1) winTexts
       else filter(winTexts,
         x => pmod(IntHash.stringHash(x.getField("wt")), lit(grain)) === 0)
+    // two consumers (the frequency pass and the island rejoin) would
+    // otherwise tokenize + window-hash the corpus twice: pin the
+    // (id, pos, hash) window table so shingling runs ONCE (r13; same
+    // signature-table pattern as minhash/containment)
     val wins = df
       .withColumn("__toks", toks)
       .withColumn("__w", explode(transform(selected,
         x => struct(x.getField("pos").as("pos"),
           windowHash(x.getField("wt")).as("h")))))
       .select(col(id), col("__w.pos").as("__pos"), col("__w.h").as("__h"))
+      .localCheckpoint(false)
     val dupHashes = wins.groupBy("__h")
       .agg(countDistinct(col(id)).as("__docs"))
       .where(col("__docs") >= minDocs)

@@ -39,19 +39,21 @@ object ScalarQuant {
     transform(vec, x => x / vnorm)
 
   /** Fit per-dimension min/max over the L2-normalized `vec` column in ONE
-    * aggregation pass: 2·dim min/max aggregates over `element_at`, all
-    * map-side combined; the collect is the single 1-row result. */
+    * aggregation pass. r13: the 2·dim-expression min/max forest
+    * (`min(element_at(transform(vec, x/norm), i))` × 128 at dim 64 —
+    * per-row cost and plan size both O(dim)) is now ONE
+    * [[org.apache.spark.sql.graft.NormalizedMinMaxAgg]] buffer: norm +
+    * d compares per row in a tight loop, map-side combined, d-independent
+    * plan. Exact parity (same IEEE normalization, Double.compare
+    * ordering) is pinned in R13FusionSpec. */
   def fitSq8(corpus: DataFrame, vec: String, dim: Int): Sq8Model = {
     require(dim > 0, "dim must be positive")
-    val n = corpus
-      .withColumn("__n", graft.functions.VectorFunctions.l2norm(col(vec)))
-      .select(normalized(col(vec), col("__n")).as("__vn"))
-    val aggs = (0 until dim).flatMap(i => Seq(
-      min(element_at(col("__vn"), i + 1)).as(s"mn_$i"),
-      max(element_at(col("__vn"), i + 1)).as(s"mx_$i")))
-    val r = n.agg(aggs.head, aggs.tail: _*).head()
-    val mins = Array.tabulate(dim)(i => r.getAs[Double](s"mn_$i"))
-    val maxs = Array.tabulate(dim)(i => r.getAs[Double](s"mx_$i"))
+    val r = corpus.agg(org.apache.spark.sql.graft.MomentShim
+      .normalizedMinMaxCol(col(vec).cast("array<double>"), dim).as("mm"))
+      .head()
+    val mm = r.getSeq[Double](0)
+    val mins = mm.take(dim).toArray
+    val maxs = mm.drop(dim).toArray
     Sq8Model(mins, maxs.zip(mins).map { case (mx, mn) => (mx - mn) / 255.0 })
   }
 

@@ -584,6 +584,9 @@ object Stats {
           s"'$a' or '$b' — both slices must be non-empty per feature")
       val totals = per.toSeq.toDF("f", "nd", "na", "nb")
       val wf = Window.partitionBy("f").orderBy("v")
+      // the KS/W1/CvM triad and the PSI binning BOTH read the CDF rows:
+      // pin them so the (gate-bounded, <= |cols|·maxDistinct rows)
+      // window computes once, not once per consumer (r13)
       val cum = cells
         .withColumn("__cum_a", sum("ca").over(wf))
         .withColumn("__cum_b", sum("cb").over(wf))
@@ -591,6 +594,7 @@ object Stats {
         .join(broadcast(totals), Seq("f"))
         .withColumn("__d", col("__cum_a").cast("double") / col("na")
           - col("__cum_b").cast("double") / col("nb"))
+        .localCheckpoint(false)
       val triad = cum.groupBy("f", "na", "nb", "nd").agg(
           max(abs(col("__d"))).as("ks"),
           coalesce(sum(when(col("__dx").isNotNull,

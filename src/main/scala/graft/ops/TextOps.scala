@@ -445,11 +445,17 @@ object TextOps {
     * `text_bigram_lm`. */
   def bigramLmScore(df: org.apache.spark.sql.DataFrame, id: String,
       text: Column): org.apache.spark.sql.DataFrame = {
+    // train AND score both read the exploded bigram table: pin it so
+    // the corpus is tokenized once, not once per consumer; the bounded
+    // distinct-bigram count table likewise feeds the prefix re-aggregate
+    // and the scoring join (r13)
     val bi = df.select(col(id),
       explode(org.apache.spark.sql.graft.MinHashShim.shinglesAllCol(text, 2))
         .as("bg"))
+      .localCheckpoint(false)
     val counts = bi.groupBy("bg").agg(count(lit(1)).as("cnt"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .localCheckpoint(false)
     val pref = counts.groupBy("w1").agg(sum("cnt").as("pcnt"))
     val vocabSize = df
       .select(explode(filter(split(trim(text), "\\s+"),
@@ -549,12 +555,18 @@ object TextOps {
   def bigramKneserNeyScore(df: org.apache.spark.sql.DataFrame, id: String,
       text: Column, discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
     require(discount > 0.0 && discount < 1.0, "discount in (0, 1)")
+    // same two pins as [[bigramLmScore]] (r13): ONE corpus tokenization
+    // feeds train + score; the count table is read by FOUR consumers
+    // (left/right N₁₊ re-aggregates, the N₁₊(••) count, the scoring
+    // join) and the nTypes action below materializes it
     val bi = df.select(col(id),
       explode(org.apache.spark.sql.graft.MinHashShim.shinglesAllCol(text, 2))
         .as("bg"))
+      .localCheckpoint(false)
     val counts = bi.groupBy("bg").agg(count(lit(1)).as("cnt"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .localCheckpoint(false)
     val left = counts.groupBy("w1")
       .agg(sum("cnt").as("c1"), count(lit(1)).as("nl"))
     val right = counts.groupBy("w2").agg(count(lit(1)).as("nr"))
@@ -853,6 +865,12 @@ object TextOps {
   def distinctNgramStats(df: org.apache.spark.sql.DataFrame, text: Column,
       ns: Seq[Int]): org.apache.spark.sql.DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), "ns must all be >= 1")
+    // NOTE (r13): a one-scan melt (every n's grams tagged with n, one
+    // (n)-grouped count/countDistinct) was probed and REJECTED — the
+    // struct tag + the grouped distinct's Expand over Σ|grams| rows cost
+    // 2.3x the three narrow per-n pipelines at sf0.1 (0.29 s → 0.68 s).
+    // Per-n scans stay: each is a cheap projection feeding an ungrouped
+    // partial-distinct aggregate.
     ns.distinct.sorted.map { n =>
       df.select(explode(
           org.apache.spark.sql.graft.MinHashShim.shinglesAllCol(text, n)).as("g"))

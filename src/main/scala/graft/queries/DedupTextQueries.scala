@@ -128,7 +128,11 @@ object DedupTextQueries {
       // clustering as dedup_cc_clusters, keeper = max qualityScore per
       // component, ties to the lowest id — the 6-dp-rounded score keeps
       // the DESC comparison engine-portable.
+      // The slice feeds FIVE reads (both jaccard legs, the CC node
+      // probe, the CC label rejoin, the quality rejoin): pin it so the
+      // corpus is read once (r13)
       val docs = table(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id", "text").localCheckpoint(false)
       val pairs = Dedup.jaccardSimilarity(docs, "doc_id", "text", n = 1)
         .where(col("jaccard") >= 0.9)
         .select(col("id_a"), col("id_b"))
@@ -968,10 +972,14 @@ object DedupTextQueries {
       // length-banded) -> connected components -> canonical entity per
       // cluster (min name) with the sorted member list. Composes two
       // independently-oracled ops; the twin re-derives both.
+      // ONE distinct-name table feeds the edge generator, the CC node
+      // probe and the CC label rejoin (r13; editDistancePairs dedups
+      // internally, so handing it the distinct table is identical) —
+      // pinned so the corpus is scanned and deduped once, not three times
       val part = table(s, dir, "part")
       val names = part.select(col("p_name").as("name"))
-        .where(col("name").isNotNull).distinct()
-      val pairs = Dedup.editDistancePairs(part, col("p_name"), maxDist = 2)
+        .where(col("name").isNotNull).distinct().localCheckpoint(false)
+      val pairs = Dedup.editDistancePairs(names, col("name"), maxDist = 2)
       Dedup.connectedComponents(names, pairs, "name", "name_a", "name_b")
         .groupBy("component")
         .agg(count(lit(1)).as("n_members"),

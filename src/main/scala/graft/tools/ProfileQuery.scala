@@ -10,7 +10,13 @@ object ProfileQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val repeats = args.headOption.map(_.toInt).getOrElse(2)
-    val names = args.drop(1).toSeq
+    // "ALL" = the full query surface in bench order; "--release" frees
+    // RDD-level storage (localCheckpoint blocks) after each query like
+    // the r13 Bench epilogue, so storage occupancy can be compared
+    val release = args.contains("--release")
+    val names0 = args.drop(1).filterNot(_ == "--release").toSeq
+    lazy val all = graft.SparkEntry.queries.keys.toSeq.sorted
+    val names = if (names0 == Seq("ALL")) all else names0
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
@@ -38,8 +44,12 @@ object ProfileQuery {
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[prof] $name%-28s r$r ${dt}%7.3f s  jobs=${jobs - j0}%3d  jobSec=${jobSec - s0}%7.3f")
+        val st = spark.sparkContext.getRDDStorageInfo
+        println(f"[prof] $name%-28s r$r ${dt}%7.3f s  jobs=${jobs - j0}%3d  jobSec=${jobSec - s0}%7.3f  storedRdds=${st.length}%4d mem=${st.map(_.memSize).sum / 1e6}%9.1f MB")
         try spark.catalog.clearCache() catch { case _: Throwable => () }
+        if (release)
+          try spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(false)) catch { case _: Throwable => () }
       }
     }
     spark.stop()

@@ -39,6 +39,30 @@ class R13FusionSpec extends SparkSpec {
     }
   }
 
+  test("fitSq8 native buffer == the 2·dim min/max expression forest, bit-exact") {
+    import graft.ops.ScalarQuant
+    val dim = 16
+    // include a constant dim (scale 0) and mild variety
+    val df = spark.range(200).select(
+      transform(sequence(lit(1), lit(dim)), j =>
+        when(j === 3, lit(2.5)).otherwise(
+          sin(col("id") * j * 0.31) + cos(col("id") * 0.17) * j)).as("v"))
+    val m = ScalarQuant.fitSq8(df, "v", dim)
+    // reference: the pre-r13 expression forest, verbatim
+    val n = df
+      .withColumn("__n", graft.functions.VectorFunctions.l2norm(col("v")))
+      .select(transform(col("v"), x => x / col("__n")).as("__vn"))
+    val aggs = (0 until dim).flatMap(i => Seq(
+      min(element_at(col("__vn"), i + 1)).as(s"mn_$i"),
+      max(element_at(col("__vn"), i + 1)).as(s"mx_$i")))
+    val r = n.agg(aggs.head, aggs.tail: _*).head()
+    (0 until dim).foreach { i =>
+      assert(m.mins(i) == r.getAs[Double](s"mn_$i"), s"min dim $i")
+      val sc = (r.getAs[Double](s"mx_$i") - r.getAs[Double](s"mn_$i")) / 255.0
+      assert(m.scales(i) == sc, s"scale dim $i")
+    }
+  }
+
   /** The pre-r13 multi-pass matryoshkaRecall, verbatim. */
   private def matryoshkaRef(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, qid: String, qvec: String, k: Int,
