@@ -239,6 +239,14 @@ object Calibration {
     * rows the fit saw (y and logits non-null) — identical to a means-
     * over-everything face whenever y is never null, which is the only
     * shape the oracle data has.
+    *
+    * CALLER CONTRACT on `k` (r12 verdict item 3): `k` is asserted, not
+    * probed — every logit array MUST have exactly `k` elements. A row
+    * with a different width contributes nothing to the sums (its
+    * element_at projections go null) instead of failing loudly the way
+    * the probing [[temperatureFit]] does; pass schema-constructed
+    * fixed-width arrays only, or use [[temperatureFit]] when the width
+    * is data-dependent.
     * Returns (model, k-row DataFrame (cls, mean_p) in class order). */
   def temperatureFitWithMeans(df: DataFrame, yTrue: Column, logits: Column,
       iterations: Int = 6, k: Int): (TemperatureModel, DataFrame) = {

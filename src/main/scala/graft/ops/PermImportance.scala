@@ -31,9 +31,16 @@ object PermImportance {
     * input with `window` rebuilt. */
   def permuteFeature(df: DataFrame, winId: String, window: String,
       featureIdx: Int, seed: Long): DataFrame = {
-    val exploded = df.select(col(winId),
+    // THREE consumers re-derive the input (both global-index passes read
+    // the exploded cells; the reassembly join reads the windows again) —
+    // and each withGlobalIndex call EAGERLY collects its partition
+    // counts, so an unpinned input lineage (often a full sliding-window
+    // op) re-executes per call. Pin both faces once (r13).
+    val dfP = df.localCheckpoint(false)
+    val exploded = dfP.select(col(winId),
       posexplode(transform(col(window), r => element_at(r, featureIdx + 1)))
         .as(Seq("t", "v")))
+      .localCheckpoint(false)
     val cells = SlidingWindows.withGlobalIndex(exploded,
       Seq(col(winId), col("t")), "cell_rank")
     // Random permutation: rank cells by a deterministic hash-uniform, then
@@ -49,7 +56,7 @@ object PermImportance {
     // Re-assemble the permuted series per window, ordered by timestep.
     val series = replaced.groupBy(winId)
       .agg(map_from_entries(collect_list(struct(col("t"), col("v_perm")))).as("perm_map"))
-    df.join(series, Seq(winId))
+    dfP.join(series, Seq(winId))
       .withColumn(window,
         transform(col(window), (row, i) =>
           transform(row, (x, j) =>

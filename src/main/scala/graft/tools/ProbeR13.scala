@@ -84,6 +84,42 @@ object ProbeR13 {
                 sum("p_rf"), sum("p_ls"), sum("p_n")).head()
           }
         }
+      case "matry" =>
+        // fused one-pass matryoshkaRecall vs the pre-r13 |dims|+1-pass
+        // shape at synthetic scale (args: nRows, default 2M; dim 64)
+        val n = args.lift(1).map(_.toInt).getOrElse(2000000)
+        val dims = Seq(4, 8, 16, 32, 64)
+        val corpus = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(64)), j =>
+            sin(col("id") * j * 0.7 + j) * cos(col("id") * 0.3)).as("v"))
+          .localCheckpoint(true) // materialize input OUTSIDE the timing
+        val queries = corpus.where(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+          .localCheckpoint(true)
+        def oldShape(): Unit = {
+          import graft.ops.Similarity.bruteForceTopK
+          val nQ = queries.count()
+          val full = bruteForceTopK(corpus, queries, "vec_id", "v",
+            "qid", "qv", 5).select(col("qid"), col("vec_id")).cache()
+          val rows = dims.map { d =>
+            val tc = corpus.withColumn("v", slice(col("v"), 1, d))
+            val tq = queries.withColumn("qv", slice(col("qv"), 1, d))
+            bruteForceTopK(tc, tq, "vec_id", "v", "qid", "qv", 5)
+              .select(col("qid"), col("vec_id"))
+              .join(full, Seq("qid", "vec_id"), "left_semi")
+              .agg(count(lit(1)).as("n_hits"))
+              .select(lit(d).as("dim"), col("n_hits"), lit(nQ).as("n_queries"),
+                round(col("n_hits").cast("double") / (5 * nQ), 6).as("recall"))
+          }
+          noop(rows.reduce(_ unionAll _))
+          full.unpersist()
+        }
+        for (r <- 1 to 2) {
+          time(s"r$r matryoshka OLD |dims|+1-pass n=$n")(oldShape())
+          time(s"r$r matryoshka NEW fused 1-pass  n=$n")(
+            noop(graft.ops.Similarity.matryoshkaRecall(corpus, queries,
+              "vec_id", "v", "qid", "qv", 5, dims)))
+        }
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()
