@@ -874,6 +874,10 @@ object Dedup {
         i => tileHash(array_join(slice(col("__toks"), i * w + 1, lit(w)), " "))))
       .select(col(id), size(col("__tiles")).as("n_tiles"),
         explode_outer(array_distinct(col("__tiles"))).as("__tile"))
+      // frequency pass + flag rejoin both read the tile table: pin it so
+      // the corpus is tokenized + tile-hashed once (r13; the
+      // substringDuplicates window-table pattern)
+      .localCheckpoint(false)
     val freq = exploded.where(col("__tile").isNotNull)
       .groupBy("__tile").agg(countDistinct(col(id)).as("__docs"))
     exploded
@@ -1081,6 +1085,9 @@ object Dedup {
       // n_tiles_removed = 1 for every short doc once >= minDocs exist)
       .withColumn("__tile",
         when(col("__tileText").isNotNull, tileHash(col("__tileText"))))
+      // same two consumers as duplicateSpans — pin so tokenize+tile runs
+      // once; this table carries the tile TEXTS (output-sized) (r13)
+      .localCheckpoint(false)
     val freq = tiled.where(col("__tile").isNotNull)
       .groupBy("__tile").agg(countDistinct(col(id)).as("__docs"))
     tiled

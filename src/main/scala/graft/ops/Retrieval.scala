@@ -259,6 +259,12 @@ object Retrieval {
     require(k >= 1, "k must be >= 1")
     require(p > 0.0 && p < 1.0, s"p must be in (0, 1), got $p")
     val cArr = array(rboWeights(k, p).toIndexedSeq.map(lit(_)): _*)
+    // NOTE (r13): pinning the two (bounded) input rankings so each leg
+    // runs once was probed and REJECTED — the legs' expensive stages are
+    // construction-time collects (BM25's cf fold) that the plan's double
+    // read never re-runs, and the checkpoint barrier measured 2.2x
+    // SLOWER on retrieval_rbo at sf0.1 (1.21 s → 2.70 s min of 3). The
+    // double read re-scans only pushdown-pruned postings.
     def prefix(df: DataFrame, r: String) = df.where(col("rank") <= k)
       .select(col(qid), col(id), col("rank").as(r))
     val hits = prefix(a, "__ra").join(prefix(b, "__rb"), Seq(qid, id))

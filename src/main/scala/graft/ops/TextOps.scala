@@ -446,16 +446,16 @@ object TextOps {
   def bigramLmScore(df: org.apache.spark.sql.DataFrame, id: String,
       text: Column): org.apache.spark.sql.DataFrame = {
     // train AND score both read the exploded bigram table: pin it so
-    // the corpus is tokenized once, not once per consumer; the bounded
-    // distinct-bigram count table likewise feeds the prefix re-aggregate
-    // and the scoring join (r13)
+    // the corpus is tokenized once, not once per consumer (r13). The
+    // count table is NOT pinned: its two consumers re-aggregate the
+    // pinned bi (cheap reduce) and a second barrier measured +0.2 s on
+    // the cold single-run path (text_ppl_buckets) for no warm gain.
     val bi = df.select(col(id),
       explode(org.apache.spark.sql.graft.MinHashShim.shinglesAllCol(text, 2))
         .as("bg"))
       .localCheckpoint(false)
     val counts = bi.groupBy("bg").agg(count(lit(1)).as("cnt"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .localCheckpoint(false)
     val pref = counts.groupBy("w1").agg(sum("cnt").as("pcnt"))
     val vocabSize = df
       .select(explode(filter(split(trim(text), "\\s+"),
