@@ -189,11 +189,15 @@ object Mondrian {
           val order = (0 until d)
             .map(i => (-(rs.map(_(i)).max - rs.map(_(i)).min) / gRange(i), i))
             .sorted.map(_._2)
-          val pick = order.flatMap { i =>
+          // LAZY first allowable cut (r13): the eager flatMap sorted the
+          // leaf for EVERY dim before taking the head — the widest dim
+          // usually admits the cut, so later dims' O(n log n) sorts were
+          // pure waste. Same pick, same order, same medians.
+          val pick = order.iterator.flatMap { i =>
             val med = medianOfSorted(rs.map(_(i)).sorted)
             val le = rs.count(_(i) <= med)
             if (le >= k && rs.length - le >= k) Some((i, med)) else None
-          }.headOption
+          }.nextOption()
           pick.foreach { c => cuts(pid) = c; leafCount += 1 }
         }
       }
